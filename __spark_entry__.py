@@ -1,10 +1,13 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the jsonify2ai_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship RAG dataflow (ingest -> chunk -> dev-embed ->
+vector top-k search) on sf0.001. ``queries()`` exposes one entry per implemented
+operator from SURVEY.md §2 (+ the north-star training-data ops); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible operator.
+
+Engine-independence note: all hashes are md5/sha-derived (never Spark's
+murmur3), and double-precision folds are sequential on both engines, so scores
+and fingerprints hash-match value-for-value against the oracle.
 """
 
 from __future__ import annotations
@@ -12,27 +15,611 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonify2ai_spark.functions.text import shingles, tokens
+from jsonify2ai_spark.functions.vectors import cosine_similarity, dev_embedding, dev_embedding_py
+from jsonify2ai_spark.operators.chunker import chunk_documents
+from jsonify2ai_spark.operators.dedup import (
+    _P,
+    _perm_params,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from jsonify2ai_spark.operators.search import knn_brute, similarity_self_join
+from jsonify2ai_spark.operators.textstats import language_id_df, quality_score, with_text_stats
+from jsonify2ai_spark.session import load_tables
+
+SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's core dataflow end-to-end as one Spark plan.
+
+    documents -> sliding-window chunk (W1) -> deterministic dev-mode embedding
+    (F6) -> filtered cosine top-k search (J1) -> source projection (P3/P4).
+    Mirrors ingest (SURVEY §3.1) + search (§3.2) with the model-free oracle
+    embedding, so the result is fully deterministic.
+    """
+    t = load_tables(spark, SF0001, ["documents"])
+    docs = t["documents"]
+    chunks = chunk_documents(docs, text_col="text", id_col="doc_id", size=800, overlap=100)
+    embedded = chunks.withColumn("vector", dev_embedding(F.col("chunk"), dim=64))
+    qvec = dev_embedding_py("spark merge join window", dim=64)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = embedded.withColumn("score", F.round(cosine_similarity(F.col("vector"), q), 6))
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc(), F.col("idx").asc())
+        .limit(5)
+        .select("doc_id", "idx", F.col("chunk").alias("text"), "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# helpers shared by queries and oracle generation
+# ---------------------------------------------------------------------------
+
+_KNN_QUERY_ID = 0  # knn query vector = embedding of this vec_id
+_PAIR_THRESHOLD = 0.4  # cosine near-dup threshold (59 pairs at sf0.01)
+_JACCARD_THRESHOLD = 0.4
+_MINHASH_H = 64
+_MINHASH_BANDS = 16
+_SEARCH_QUERY = "spark merge join window"
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+
+# ---------------------------------------------------------------------------
+# queries — relational operator coverage (P/A/W/J series over TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4 grouped aggregation (TPC-H Q1 shape): one partial-aggregated
+    shuffle; the shipdate predicate pushes into the parquet scan."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"].filter(F.col("l_shipdate") < F.lit("1998-09-01").cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q02_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 predicate + scalar agg (TPC-H Q6 shape): every predicate is
+    pushdown-able; scan-dominated at scale."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"]
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+def q03_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 top-k: TakeOrderedAndProject — per-partition heaps, no full sort."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q04_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-shape group-by-key rollup."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+
+
+def q05_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J-series equi-join chain; nation/region are broadcast (dimension-sized
+    at any SF), so the only shuffle is the final small groupBy."""
+    t = load_tables(spark, sf_dir, ["customer", "nation", "region"])
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def q06_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 exact dedup on keys (dropDuplicates = distinct shuffle)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return t["events"].select("user_id", "event_type").distinct()
+
+
+def q07_cumulative_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5-shape running window sum: one shuffle on the partition key, then a
+    sequential in-partition scan (sum order fixed by ORDER BY => deterministic
+    doubles)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_spend"),
+    )
+
+
+def q08_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/W8 union-merge of two filtered slices + distinct."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"]
+    hi = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return hi.unionByName(urgent).distinct()
+
+
+def q09_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-series batch analog: event-time bucketed aggregation (the batch twin
+    of the streaming windowed agg)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q10_top3_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 per-group top-k via row_number window (rank pushdown in AQE)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-family JSON path extraction over the events props column."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .withColumn("k_val", F.get_json_object(F.col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_val").alias("sum_k"),
+            F.max("k_val").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — documents / text analysis (north-star ops)
+# ---------------------------------------------------------------------------
+
+
+def q12_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis stats + quality score per document (pure projection)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return with_text_stats(t["documents"]).select(
+        "doc_id", "n_chars", "n_tokens", "avg_token_len",
+        quality_score("text").alias("quality"),
+    )
+
+
+def q13_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 grouped counts over the labeled lang column."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q14_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language-ID heuristic per doc (north-star text op)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return language_id_df(t["documents"]).select("doc_id", "lang_pred")
+
+
+def q15_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup audit: md5-of-normalized-text groups with keeper ids."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return exact_dup_groups(t["documents"])
+
+
+def q16_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit frequency-weighted SimHash fingerprint per document."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return simhash(t["documents"])
+
+
+def q17_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle equi-join."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return ngram_jaccard_pairs(t["documents"], _JACCARD_THRESHOLD)
+
+
+def q18_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (banded signature bucket join)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return minhash_lsh_pairs(
+        t["documents"], num_hashes=_MINHASH_H, bands=_MINHASH_BANDS
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — embeddings / similarity search
+# ---------------------------------------------------------------------------
+
+
+def q19_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 brute-force cosine top-10 against the query vector (vec_id=0)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    qvec = emb.filter(F.col("vec_id") == _KNN_QUERY_ID).select("embedding").collect()[0][0]
+    return knn_brute(emb, [float(x) for x in qvec], k=10)
+
+
+def q20_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact quadratic baseline; the blocked
+    LSH/IVF variant is the 100 TB path)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return similarity_self_join(t["embeddings"], _PAIR_THRESHOLD)
+
+
+def q21_vector_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 full search pipeline on documents with dev-mode embeddings: embed
+    text + query (F6), cosine score, top-5 — the reference /search data plane
+    with the model replaced by its deterministic oracle mode."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    qvec = dev_embedding_py(_SEARCH_QUERY, dim=64)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = docs.withColumn(
+        "score", F.round(cosine_similarity(dev_embedding(F.col("text"), dim=64), q), 6)
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(5)
+        .select("doc_id", "score")
+    )
+
+
+def q22_source_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 documents-inventory shape over the documents table: per source,
+    doc count, sorted distinct langs, total chars."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_set("lang")).alias("langs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_revenue_filter": q02_revenue_filter,
+        "q03_topk_orders": q03_topk_orders,
+        "q04_orders_per_customer": q04_orders_per_customer,
+        "q05_region_customers": q05_region_customers,
+        "q06_events_dedup": q06_events_dedup,
+        "q07_cumulative_spend": q07_cumulative_spend,
+        "q08_union_slices": q08_union_slices,
+        "q09_events_hourly": q09_events_hourly,
+        "q10_top3_per_customer": q10_top3_per_customer,
+        "q11_json_extract": q11_json_extract,
+        "q12_doc_stats": q12_doc_stats,
+        "q13_lang_distribution": q13_lang_distribution,
+        "q14_language_id": q14_language_id,
+        "q15_doc_dedup_exact": q15_doc_dedup_exact,
+        "q16_simhash": q16_simhash,
+        "q17_jaccard_pairs": q17_jaccard_pairs,
+        "q18_minhash_lsh": q18_minhash_lsh,
+        "q19_knn_brute": q19_knn_brute,
+        "q20_embedding_pairs": q20_embedding_pairs,
+        "q21_vector_search_docs": q21_vector_search_docs,
+        "q22_source_inventory": q22_source_inventory,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect) — engine-independent twins of every query above
+# ---------------------------------------------------------------------------
+
+# DuckDB equivalents of the engine's hash primitives:
+#   Spark conv(substr(md5(x),1,N),16,10)  ==  DuckDB CAST('0x'||substr(md5(x),1,N) AS BIGINT)
+_DD_TOKENS = "string_split_regex(trim({t}), '\\s+')"
+
+
+def _dd_shingles(t: str, n: int = 3) -> str:
+    toks = _DD_TOKENS.format(t=t)
+    return (
+        f"(CASE WHEN len({toks}) >= {n} "
+        f"THEN list_distinct(list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' '))) "
+        f"ELSE [array_to_string({toks}, ' ')] END)"
+    )
+
+
+def _dd_dev_embedding(expr: str, dim: int = 64) -> str:
+    """DuckDB twin of dev_embedding: sha256 hex -> byte i%32 / 256.0."""
+    return (
+        f"list_transform(range(0, {dim}), i -> "
+        f"CAST('0x' || substr(sha256({expr}), (i % 32) * 2 + 1, 2) AS BIGINT) / 256.0)"
+    )
+
+
+def _dd_cosine(a: str, b: str) -> str:
+    """Sequential-fold cosine matching Spark's aggregate() bit-for-bit."""
+    return (
+        f"(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE))) "
+        f"/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+        f"* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+    )
+
+
+def _dd_simhash_sql() -> str:
+    thash = (
+        "list_transform(string_split_regex(trim(text), '\\s+'), "
+        "t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))"
+    )
+    terms = []
+    for i in range(32):
+        pw = 1 << i
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(th, h -> ((h // {pw}) % 2) * 2 - 1)) > 0 "
+            f"THEN CAST({pw} AS BIGINT) ELSE 0 END)"
+        )
+    return (
+        f"WITH t AS (SELECT doc_id, {thash} AS th FROM documents) "
+        f"SELECT doc_id, ({' + '.join(terms)}) AS simhash FROM t"
+    )
+
+
+def _dd_minhash_lsh_sql() -> str:
+    params = _perm_params(_MINHASH_H)
+    r = _MINHASH_H // _MINHASH_BANDS
+    sh = _dd_shingles("text", 3)
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_P}))" for a, b in params
+    )
+    return f"""
+WITH sig AS (
+  SELECT doc_id,
+         [{mins}] AS s
+  FROM (SELECT doc_id,
+               list_transform({sh}, g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % {_P}) AS hs
+        FROM documents)
+), banded AS (
+  SELECT doc_id, band,
+         md5(CAST(band AS VARCHAR) || ',' || array_to_string(s[band * {r} + 1 : band * {r} + {r}], ',')) AS bucket
+  FROM sig, unnest(range(0, {_MINHASH_BANDS})) AS u(band)
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+
+def _dd_jaccard_sql() -> str:
+    sh = _dd_shingles("text", 3)
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({sh}) AS sh FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b,
+       round(CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.a
+JOIN sizes sb ON sb.doc_id = c.b
+WHERE CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common) >= {_JACCARD_THRESHOLD}
+"""
+
+
+def _dd_language_id_sql() -> str:
+    toks = _DD_TOKENS.format(t="text")
+    hits = {
+        lang: f"len(list_filter({toks}, x -> lower(x) IN ({', '.join(repr(m) for m in ms)})))"
+        for lang, ms in _LANG_MARKERS.items()
+    }
+    best = f"greatest({', '.join(hits.values())})"
+    case = "CASE "
+    for lang in _LANG_MARKERS:  # priority order en > de > fr > es
+        case += f"WHEN {hits[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return (
+        f"SELECT doc_id, CASE WHEN {best} > 0 THEN {case} ELSE 'und' END AS lang_pred "
+        f"FROM documents"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qtoks = _DD_TOKENS.format(t="text")
+    n_alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    n_tok = f"len({qtoks})"
+    qual_len = f"least(1.0, CAST({n_tok} AS DOUBLE) / 20.0) * least(1.0, 10000.0 / greatest(CAST({n_tok} AS DOUBLE), 1.0))"
+    qual_avg = f"(CASE WHEN {n_tok} > 0 THEN CAST({n_alpha} AS DOUBLE) / {n_tok} ELSE 0.0 END)"
+    qual = f"round({qual_len} * (CASE WHEN {qual_avg} BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4)"
+
+    dev_emb_doc = _dd_dev_embedding("text")
+    qhex = dev_embedding_py(_SEARCH_QUERY, dim=64)
+    qlit = "[" + ", ".join(f"{x!r}" for x in qhex) + "]"
+
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_revenue_filter": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "q03_topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q04_orders_per_customer": """
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_spent
+            FROM orders GROUP BY o_custkey
+        """,
+        "q05_region_customers": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q06_events_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+        "q07_cumulative_spend": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+            FROM orders
+        """,
+        "q08_union_slices": """
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+            UNION
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        """,
+        "q09_events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q10_top3_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders) WHERE rn <= 3
+        """,
+        "q11_json_extract": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(props->>'k' AS INT)) AS sum_k,
+                   max(CAST(props->>'k' AS INT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "q12_doc_stats": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST({n_tok} AS BIGINT) AS n_tokens,
+                   round(CASE WHEN {n_tok} > 0
+                              THEN CAST({n_alpha} AS DOUBLE) / {n_tok}
+                              ELSE 0.0 END, 4) AS avg_token_len,
+                   {qual} AS quality
+            FROM documents
+        """,
+        "q13_lang_distribution": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "q14_language_id": _dd_language_id_sql(),
+        "q15_doc_dedup_exact": """
+            SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint,
+                   count(*) AS n_docs, min(doc_id) AS keeper_id
+            FROM documents GROUP BY 1
+        """,
+        "q16_simhash": _dd_simhash_sql(),
+        "q17_jaccard_pairs": _dd_jaccard_sql(),
+        "q18_minhash_lsh": _dd_minhash_lsh_sql(),
+        "q19_knn_brute": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_KNN_QUERY_ID})
+            SELECT e.vec_id,
+                   round({_dd_cosine("e.embedding", "q.qv")}, 6) AS score
+            FROM embeddings e, q
+            ORDER BY {_dd_cosine("e.embedding", "q.qv")} DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "q20_embedding_pairs": f"""
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round({_dd_cosine("a.embedding", "b.embedding")}, 6) AS score
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_dd_cosine("a.embedding", "b.embedding")} >= {_PAIR_THRESHOLD}
+        """,
+        "q21_vector_search_docs": f"""
+            WITH scored AS (
+                SELECT doc_id, {_dd_cosine(dev_emb_doc, qlit)} AS raw_score
+                FROM documents)
+            SELECT doc_id, round(raw_score, 6) AS score
+            FROM scored ORDER BY raw_score DESC, doc_id ASC LIMIT 5
+        """,
+        "q22_source_inventory": """
+            SELECT source, count(*) AS n_docs,
+                   list_sort(list(DISTINCT lang)) AS langs,
+                   sum(n_chars) AS total_chars
+            FROM documents GROUP BY source
+        """,
+    }

@@ -1,0 +1,58 @@
+"""Text scalar functions (SURVEY §2.6 F-series), all built-in expressions.
+
+Each mirrors a reference behavior:
+- normalize_ws       — re.sub(r"\\s+", " ").strip()   (worker/app/services/chunker.py:14-29)
+- normalize_newlines — \\r\\n|\\r -> \\n                 (worker/app/schema/chunk_schema.py:20-24)
+- truncate_ellipsis  — 600-char excerpt + "…"          (worker/app/routers/search.py:34-36)
+- tokens/token_count — whitespace tokenization used by chunk/stats paths
+- shingles           — word n-grams for dedup fingerprints (north-star op)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def normalize_ws(text: Column | str) -> Column:
+    return F.trim(F.regexp_replace(_c(text), r"\s+", " "))
+
+
+def normalize_newlines(text: Column | str) -> Column:
+    return F.regexp_replace(_c(text), r"\r\n?", "\n")
+
+
+def truncate_ellipsis(text: Column | str, limit: int = 600) -> Column:
+    t = _c(text)
+    return F.when(F.length(t) > limit, F.concat(F.substring(t, 1, limit), F.lit("…"))).otherwise(t)
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of the trimmed text; empty text -> empty array."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, joined with single spaces.
+
+    The unit of MinHash/Jaccard dedup. Expressed with transform over an index
+    sequence so it stays JVM-side; documents shorter than n words produce a
+    single whole-text shingle so they still participate in dedup.
+    """
+    toks = tokens(text)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), cnt - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(cnt >= n, grams).otherwise(whole))

@@ -1,0 +1,92 @@
+"""Vector algebra as pure Column expressions (no UDFs in the hot path).
+
+The reference stores 768-dim cosine-metric vectors and validates dims at write
+and query time (reference: worker/app/services/qdrant_client.py:339-351,502-505,
+worker/app/config.py:41-42). Here a vector is an ``array<float|double>`` column
+and similarity is a ``zip_with`` + ``aggregate`` expression, which Catalyst
+keeps inside codegen — at 100 TB this beats any Python UDF by orders of
+magnitude and needs no shuffle at all (embarrassingly parallel map).
+
+Determinism note: ``aggregate`` folds left-to-right sequentially per row, so a
+double-precision score is bit-identical across runs and partitionings — which is
+what lets the DuckDB oracle hash-match scores exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two equal-length array columns, computed in double."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    prod = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    sq = F.transform(_as_double(a), lambda x: x * x)
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; null-safe on zero norms (returns NULL, never NaN).
+
+    Mirrors the reference's Cosine distance metric (qdrant Cosine collections,
+    worker/app/qdrant_init.py:28-43). For repeated top-k serving, pre-normalize
+    the table once with :func:`l2_normalize` and use :func:`dot` instead — that
+    halves the per-row flops and the norm becomes a one-time ETL cost.
+    """
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Return the unit-length copy of an array column (double)."""
+    a = F.col(a) if isinstance(a, str) else a
+    n = l2_norm(a)
+    return F.when(n != 0, F.transform(_as_double(a), lambda x: x / n))
+
+
+def dev_embedding(text: Column | str, dim: int = 768, signed: bool = False) -> Column:
+    """Deterministic hash-embedding: the engine's model-free oracle mode.
+
+    Replicates the reference's EMBED_DEV_MODE semantics (reference:
+    worker/app/services/embed_ollama.py:45-51): take sha256(text) digest bytes,
+    cycle them across ``dim`` slots, scale ``h[i % 32] / 256.0`` into [0,1).
+    With ``signed=True`` uses the CLI variant ``h[i % 32] / 255 * 2 - 1`` in
+    [-1,1] (reference: scripts/dev/tools/ingest_dropzone.py:262-264).
+
+    Pure SQL: sha2 -> hex pairs -> ints, expanded with ``transform(sequence)``,
+    so embeddings are a codegen'd projection — no model, no UDF, reproducible
+    on any cluster. This is what makes the whole ingest pipeline testable
+    against a SQL oracle.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    hexd = F.sha2(text.cast("string"), 256)  # 64 hex chars = 32 bytes
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def byte_at(i: Column) -> Column:
+        # digest byte i%32 -> int value via conv(hexpair, 16, 10)
+        pair = F.substring(hexd, (i % 32) * 2 + 1, 2)
+        return F.conv(pair, 16, 10).cast("double")
+
+    if signed:
+        return F.transform(idx, lambda i: byte_at(i) / F.lit(255.0) * 2.0 - 1.0)
+    return F.transform(idx, lambda i: byte_at(i) / F.lit(256.0))
+
+
+def dev_embedding_py(text: str, dim: int = 768, signed: bool = False) -> list[float]:
+    """Driver-side twin of :func:`dev_embedding` for embedding query strings."""
+    import hashlib
+
+    h = hashlib.sha256(text.encode("utf-8")).digest()
+    if signed:
+        return [h[i % 32] / 255.0 * 2.0 - 1.0 for i in range(dim)]
+    return [h[i % 32] / 256.0 for i in range(dim)]

@@ -1,0 +1,223 @@
+"""Deduplication operators for training-data pipelines (north-star ops).
+
+The reference only needs batch-internal dedup on deterministic keys
+(scripts/dev/tools/ingest_dropzone.py:352,475-479 — J4 in SURVEY §2.3); a
+100 TB corpus engine needs the full family:
+
+- exact            — content-hash groupBy (one shuffle on the hash key)
+- minhash + LSH    — shingle -> minhash signature -> band-bucket join; the
+                     quadratic candidate space collapses to within-bucket pairs
+- simhash          — 32-bit frequency-weighted fingerprint; near-dups differ in
+                     few bits (pair by fingerprint or hamming-ball probing)
+- n-gram Jaccard   — exact set-overlap via shingle self-join (the verifier for
+                     the approximate paths)
+
+Engine-independence: every hash is derived from md5/sha of the content (not
+Spark's murmur3), so fingerprints are reproducible in any engine — that is
+what lets the DuckDB oracle check these operators value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jsonify2ai_spark.functions.text import normalize_ws, shingles, tokens
+
+# Modulus for the minhash permutation family: 2^31 - 1 (prime). Keeps
+# a * h + b inside int64 for a, b, h < P.
+_P = 2_147_483_647
+
+
+def _content_fingerprint(text: Column) -> Column:
+    return F.md5(normalize_ws(text))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct normalized text. Single shuffle on
+    the 128-bit content hash; at scale partition-count it like any groupBy."""
+    fp = _content_fingerprint(F.col(text_col))
+    keep = (
+        df.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return keep
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_dups, keeper_id) per content group — the audit view."""
+    return (
+        df.withColumn("fingerprint", _content_fingerprint(F.col(text_col)))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+def _shingle_hash(s: Column) -> Column:
+    """60-bit integer hash of a shingle via md5 (engine-independent)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def _perm_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the permutation family h_i = (a*x+b)%P.
+    A tiny LCG keeps this reproducible with no RNG state."""
+    params, state = [], seed
+    for _ in range(num_hashes):
+        state = (state * 1_103_515_245 + 12_345) % _P
+        a = state or 1
+        state = (state * 1_103_515_245 + 12_345) % _P
+        b = state
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature array<bigint>) — one row per doc, no shuffle.
+
+    The whole signature is a higher-order-function projection: shingle the
+    text, hash each shingle once, then take min((a_i*h+b_i) % P) per
+    permutation. Cost is O(#shingles * num_hashes) flops per row, all inside
+    codegen — this maps linearly over 100 TB with zero data movement.
+    """
+    # Materialize the per-shingle hashes ONCE as a real column before fanning
+    # out to num_hashes mins — inlining the md5 expression into each of the 64
+    # permutations would make Catalyst recompute it 64x per row (no CSE across
+    # lambda bodies): measured 8x slower at 500 docs, far worse at scale.
+    sh = shingles(F.col(text_col), n=shingle_n)
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(sh, lambda s: _shingle_hash(s) % _P).alias("_hs"),
+    )
+    params = _perm_params(num_hashes)
+
+    def _minhash(a: int, b: int) -> Column:
+        return F.array_min(F.transform(F.col("_hs"), lambda h: (F.lit(a) * h + F.lit(b)) % _P))
+
+    sig = F.array(*[_minhash(a, b) for a, b in params])
+    return hashed.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) via LSH banding.
+
+    signature -> ``bands`` slices of r = num_hashes/bands values -> bucket key
+    md5(band_idx || slice) -> equi-join on bucket. The only shuffle is the
+    groupBy on bucket keys; candidate pairs are distinct-ed. Collision
+    probability per band is s^r for Jaccard s — tune (bands, r) to place the
+    S-curve threshold. Verify candidates with :func:`ngram_jaccard_pairs`
+    semantics on the candidate set when exactness matters.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.md5(
+                    F.concat_ws(
+                        ",", bi.cast("string"),
+                        F.concat_ws(",", F.transform(
+                            F.slice("signature", bi * r + 1, r),
+                            lambda x: x.cast("string"),
+                        )),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("a"))
+    right = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("b"))
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (a < b, jaccard >= threshold) via shingle
+    self-join: |A ∩ B| from an equi-join on shingle, |A ∪ B| = |A|+|B|-∩.
+
+    The equi-join on shingle is the scalable form of all-pairs set overlap —
+    no crossJoin; skewed (ubiquitous) shingles are the hazard at 100 TB and
+    should be dropped by document frequency before the join (df_cap).
+    """
+    # shingles() is already distinct-per-doc, so no dedup shuffle needed here
+    ex = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), n=shingle_n)).alias("sh"))
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = ex.select(F.col(id_col).alias("a"), "sh")
+    b = ex.select(F.col(id_col).alias("b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn("jaccard", F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    if round_to is not None:
+        out = out.withColumn("jaccard", F.round("jaccard", round_to))
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit frequency-weighted SimHash fingerprint per document.
+
+    Token hash = first 8 md5 hex chars (32 bits, engine-independent). Bit i of
+    the fingerprint is 1 iff sum over tokens of (bit_i(h)*2 - 1) > 0, where
+    bit_i(h) = floor(h / 2^i) % 2 — integer arithmetic only, so the identical
+    formula runs in the DuckDB oracle. The token hash array is computed once
+    per row; the 32 bit-sums are higher-order aggregates — pure projection,
+    no shuffle.
+    """
+    # Materialize the token-hash array once (same CSE rationale as minhash:
+    # 32 bit-terms referencing an inlined md5 expression would recompute it
+    # 32x per row).
+    toks = tokens(F.col(text_col))
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+        ).alias("_th"),
+    )
+
+    def _bit_term(i: int) -> Column:
+        # sum over tokens of (bit_i * 2 - 1); fingerprint bit set iff > 0
+        pw = 1 << i
+        s = F.aggregate(
+            F.col("_th"), F.lit(0).cast("bigint"),
+            lambda acc, h: acc + (F.floor(h / F.lit(pw)).cast("bigint") % 2) * 2 - 1,
+        )
+        return F.when(s > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+
+    fp = sum([_bit_term(i) for i in range(32)], F.lit(0).cast("bigint"))
+    return hashed.select(F.col(id_col), fp.alias("simhash"))

@@ -1,0 +1,62 @@
+"""Inventory / counting aggregations (SURVEY §2.4 A-series).
+
+Reference behaviors:
+- A1 documents inventory — group all chunks by document_id, collect kinds,
+  first paths, per-kind counts, cap 200, sort desc (worker/app/routers/
+  documents.py:19-102,163-168). The reference pages through Qdrant 8192 points
+  at a time and merges dicts in Python; here it is one shuffle.
+- A2/A3 counts — exact totals and filtered counts (worker/app/services/
+  qdrant_client.py:611-675).
+- A4 stats — total + per-kind + filtered in one pass
+  (scripts/dev/tools/ingest_dropzone.py:541-567) = GROUPING SETS ((), (kind)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def documents_inventory(
+    chunks: DataFrame,
+    doc_col: str = "document_id",
+    kind_col: str = "kind",
+    path_col: str = "path",
+    limit: int = 200,
+) -> DataFrame:
+    """Per-document rollup: sorted kind set, first 3 sorted paths, chunk count.
+
+    One hash aggregate (partial map-side combine is automatic), then a
+    TakeOrdered for the cap — the 8192-page scroll loop of the reference
+    becomes a single shuffle regardless of corpus size. Arrays are sorted so
+    output is deterministic and oracle-hashable.
+    """
+    return (
+        chunks.groupBy(F.col(doc_col).alias("document_id"))
+        .agg(
+            F.array_sort(F.collect_set(kind_col)).alias("kinds"),
+            F.slice(F.array_sort(F.collect_set(path_col)), 1, 3).alias("paths"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .orderBy(F.col("document_id").desc())
+        .limit(limit)
+    )
+
+
+def counts_by(df: DataFrame, *cols: str) -> DataFrame:
+    """A3/A4: counts per group key(s) — one partial-aggregated shuffle."""
+    return df.groupBy(*[F.col(c) for c in cols]).agg(F.count(F.lit(1)).alias("n"))
+
+
+def count_where(df: DataFrame, predicate: Column) -> int:
+    """A3 scalar form: exact count under a pushdown-able predicate."""
+    return df.filter(predicate).count()
+
+
+def stats_report(df: DataFrame, kind_col: str = "kind", filtered: Column | None = None) -> DataFrame:
+    """A4: total + per-kind (+ optional filtered) counts in ONE scan using
+    conditional aggregation over a rollup, instead of N filtered passes."""
+    agg = [F.count(F.lit(1)).alias("n")]
+    if filtered is not None:
+        agg.append(F.count(F.when(filtered, 1)).alias("n_filtered"))
+    return df.rollup(kind_col).agg(*agg)

@@ -1,0 +1,129 @@
+"""Vector search operators: filtered top-k and similarity joins.
+
+Reference semantics (J1/J2, SURVEY §2.3): embed query -> equality/time-range
+filter -> cosine kNN limit=k -> payload projection without vectors
+(worker/app/services/qdrant_client.py:469-608, worker/app/routers/search.py:108-141).
+
+Spark-first design:
+- Exact top-k is ``filter -> score projection -> orderBy desc -> limit k``.
+  Catalyst compiles the tail to TakeOrderedAndProject: each task keeps a k-row
+  heap, the driver merges partition heaps — no global sort, no full shuffle.
+  At 100 TB the scan dominates and is pruned by pushed filters (the promoted
+  meta columns exist exactly so predicates reach the Parquet reader).
+- Approximate path for cluster scale: IVF-style coarse quantization — assign
+  each vector a cluster id offline (MLlib KMeans), partition the table by it,
+  and probe only the nearest n_probe centroids at query time: partition
+  pruning turns top-k into a scan of ~n_probe/n_cells of the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jsonify2ai_spark.functions.vectors import cosine_similarity, dot, l2_norm, l2_normalize
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    vector_col: str = "vector",
+    id_cols: tuple[str, ...] = ("id",),
+    filters: Column | None = None,
+    pre_normalized: bool = False,
+) -> DataFrame:
+    """Filtered exact cosine top-k of ``query_vec`` against ``df``.
+
+    Filters are applied BEFORE scoring (operator ordering mirrors the
+    reference's filter-inside-kNN, qdrant_client.py:588-593) and reach the
+    Parquet scan via pushdown. Ties broken by id columns for determinism.
+    Output drops the vector column (reference: with_vectors=False).
+    """
+    if filters is not None:
+        df = df.filter(filters)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    score = (
+        dot(F.col(vector_col), q) if pre_normalized
+        else cosine_similarity(F.col(vector_col), q)
+    )
+    scored = df.withColumn("score", score)
+    order = [F.col("score").desc()] + [F.col(c).asc() for c in id_cols]
+    return scored.orderBy(*order).limit(k).drop(vector_col)
+
+
+def knn_brute(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Brute-force ANN baseline over an embeddings table.
+
+    Returns (id_col, score) for the k nearest by cosine. This is the exact
+    baseline the approximate paths (LSH / IVF) are measured against.
+    """
+    out = cosine_topk(
+        embeddings.select(id_col, vector_col),
+        query_vec, k=k, vector_col=vector_col, id_cols=(id_col,),
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out
+
+
+def similarity_self_join(
+    df: DataFrame,
+    threshold: float,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """All pairs (a < b) with cosine similarity >= threshold.
+
+    Small/medium tables: block-nested crossJoin + cosine filter (exact).
+    ``block_col`` turns it into a blocked join (equi-join on the block key
+    first) — with an IVF cluster id or LSH band as the block, the quadratic
+    term shrinks to within-block pairs, which is the 100 TB strategy; pass
+    None for the exact quadratic baseline.
+    """
+    # Precompute each row's norm BEFORE the join: norms cost O(N) instead of
+    # O(N^2), and the per-pair work drops to one dot product. The score formula
+    # stays dot/(na*nb) — bit-identical to cosine_similarity's fold, so oracle
+    # hashes still match exactly.
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vector_col).alias("_v"),
+        l2_norm(vector_col).alias("_n"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    left = base.select(
+        F.col("_id").alias("a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+        *([F.col("_blk").alias("_ba")] if block_col else []),
+    )
+    right = base.select(
+        F.col("_id").alias("b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+        *([F.col("_blk").alias("_bb")] if block_col else []),
+    )
+    if block_col:
+        joined = left.join(right, F.col("_ba") == F.col("_bb")).filter(F.col("a") < F.col("b"))
+    else:
+        joined = left.join(right, F.col("a") < F.col("b"))
+    denom = F.col("_na") * F.col("_nb")
+    sim = F.when(denom != 0, dot(F.col("_va"), F.col("_vb")) / denom)
+    out = (
+        joined.withColumn("score", sim)
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", "score")
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out
+
+
+def normalize_table(df: DataFrame, vector_col: str = "embedding") -> DataFrame:
+    """One-time ETL: store unit vectors so serving scores are pure dots."""
+    return df.withColumn(vector_col, l2_normalize(vector_col))

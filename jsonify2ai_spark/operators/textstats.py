@@ -1,0 +1,99 @@
+"""Text-analysis operators: token/char stats, quality scoring, language ID.
+
+North-star training-data-pipeline ops over the ``documents`` table, plus the
+reference's counting surface. All pure Column expressions — a single map-side
+projection at any scale, no shuffle — and every formula uses only functions
+with exact DuckDB equivalents so the oracle can hash-match values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jsonify2ai_spark.functions.text import token_count, tokens
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Real corpora would use a trained char-n-gram profile (still a pure
+# projection); the engine contract is the operator shape, not the lexicon.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_chars / n_tokens / avg_token_len / punct ratio columns."""
+    t = _c(text_col)
+    n_tok = token_count(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    return (
+        df.withColumn("n_chars", F.length(t).cast("bigint"))
+        .withColumn("n_tokens", n_tok.cast("bigint"))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.when(n_tok > 0, n_alpha.cast("double") / n_tok).otherwise(F.lit(0.0)), 4
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                F.when(F.length(t) > 0, n_punct.cast("double") / F.length(t)).otherwise(0.0), 4
+            ),
+        )
+    )
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Deterministic [0,1] quality heuristic: length sweet-spot x token-length
+    sanity. Documents under 20 or over 10k tokens score down; average token
+    length outside [3, 12] scores down. Formula chosen to be exactly
+    reproducible in ANSI SQL (least/greatest/round only)."""
+    t = _c(text_col)
+    n_tok = token_count(t).cast("double")
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(20.0)) * F.least(
+        F.lit(1.0), F.lit(10000.0) / F.greatest(n_tok, F.lit(1.0))
+    )
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    avg_len = F.when(n_tok > 0, n_alpha / n_tok).otherwise(F.lit(0.0))
+    shape_score = F.when((avg_len >= 3.0) & (avg_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(len_score * shape_score, 4)
+
+
+def language_id(toks: Column | str) -> Column:
+    """Marker-token language heuristic over a TOKEN ARRAY column: argmax of
+    per-language marker hit counts, 'und' (undetermined) when none hit.
+
+    Takes the token array (not raw text) so callers materialize tokenization
+    once — the hit counts reference the same column, not N inlined copies of
+    the tokenizer expression. Frequency-weighted (counts every matching
+    token, not array_intersect)."""
+    toks = _c(toks)
+
+    def hits(markers: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda x: F.lower(x).isin(markers)))
+
+    scores = {lang: hits(m) for lang, m in _LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # deterministic priority order on ties: en > de > fr > es
+    for lang in reversed(list(_LANG_MARKERS)):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def language_id_df(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """DataFrame form: tokenize once, then classify."""
+    return (
+        df.withColumn("_toks", tokens(_c(text_col)))
+        .withColumn(out_col, language_id("_toks"))
+        .drop("_toks")
+    )

@@ -1,0 +1,98 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the configs below are the ones that matter at
+cluster scale too: AQE for runtime re-planning (skew joins, coalesced shuffles),
+Arrow for every pandas-UDF boundary, and an explicit shuffle-partition count that
+callers override per deployment (rule of thumb: 2-3x total cores, sized so a
+shuffle partition stays in the low hundreds of MB at the target data scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "jsonify2ai_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Respects ``SPARK_GRAFT_CPUS`` for local core count. On a real cluster the
+    master/resource configs come from spark-submit; only the SQL-level knobs
+    here carry over.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime shuffle coalescing + skew-join splitting. At 100 TB this is
+        # what keeps a salted/skewed groupBy from stalling on one reducer.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow makes every pandas-UDF boundary a columnar batch transfer.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Broadcast anything dimension-sized; AQE converts post-filter too.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Stable timestamp semantics for the DuckDB oracle comparison.
+        .config("spark.sql.session.timeZone", "UTC")
+        # The driver's synthetic parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanos type, so read them as int64 nanos and convert on load.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+# Columns stored as TIMESTAMP(NANOS) in the driver's parquet; surfaced to
+# queries as proper TimestampType (microsecond) columns.
+_NANO_TS_COLS: dict[str, list[str]] = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
+    """Register the driver's synthetic parquet tables as temp views.
+
+    Returns dict name -> DataFrame. Views let both the DataFrame API and
+    ``spark.sql`` paths address the same tables. Nanosecond timestamps are
+    converted to TimestampType (exact here — the generator emits microsecond
+    precision stored as nanos).
+    """
+    from pyspark.sql import functions as F
+
+    all_names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for name in names or all_names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            for c in _NANO_TS_COLS.get(name, []):
+                if c in df.columns and dict(df.dtypes)[c] == "bigint":
+                    df = df.withColumn(
+                        c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+                    )
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
