@@ -1,0 +1,31 @@
+"""Driver-contract smoke: entry() produces rows, every query runs at sf0.001,
+oracle keys line up with query keys."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+from tests.conftest import SF_DIR
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert df.columns == ["doc_id", "idx", "text", "score"]
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(os_).issubset(set(qs))
+    missing_oracle = set(qs) - set(os_)
+    # non-SQL-expressible ops may omit oracles; everything else must have one
+    assert all(k.startswith(("q23_", "q24_", "q25_")) or False for k in missing_oracle) or not missing_oracle
+
+
+def test_every_query_runs_small(spark):
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, SF_DIR)
+        assert df.count() >= 0, name

@@ -1,0 +1,101 @@
+"""Scalar function contracts: UUID5 parity with CPython, dev-embedding parity,
+cosine identities, text normalization."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from jsonify2ai_spark.functions.ids import (
+    chunk_id_for,
+    document_id_for,
+    uuid5_py,
+    uuid5_sql,
+)
+from jsonify2ai_spark.functions.text import (
+    normalize_newlines,
+    normalize_ws,
+    shingles,
+    token_count,
+    truncate_ellipsis,
+)
+from jsonify2ai_spark.functions.vectors import (
+    cosine_similarity,
+    dev_embedding,
+    dev_embedding_py,
+    l2_normalize,
+)
+
+
+def test_uuid5_matches_cpython(spark):
+    names = ["a", "notes/x.md", "päth/ünïcode.txt", "x" * 500, "chunk:0", ""]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {r["name"]: r["u"] for r in df.select("name", uuid5_sql("name").alias("u")).collect()}
+    for n in names:
+        assert got[n] == uuid5_py(n), n
+
+
+def test_uuid5_chained_namespace(spark):
+    # chunk id = uuid5(document_id, "chunk:{idx}") — column namespace path
+    df = spark.createDataFrame([("docs/readme.md", i) for i in range(4)], ["path", "idx"])
+    out = df.select(
+        "path", "idx",
+        document_id_for("path").alias("doc"),
+        chunk_id_for(document_id_for("path"), "idx").alias("cid"),
+    ).collect()
+    for r in out:
+        doc = uuid.uuid5(uuid.UUID("00000000-0000-5000-8000-000000000000"), r["path"])
+        assert r["doc"] == str(doc)
+        assert r["cid"] == str(uuid.uuid5(doc, f"chunk:{r['idx']}"))
+
+
+def test_dev_embedding_parity_and_range(spark):
+    texts = ["hello", "", "spark merge join window", "ü"]
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    rows = df.select("t", dev_embedding("t", dim=96).alias("v")).collect()
+    for r in rows:
+        expect = dev_embedding_py(r["t"], 96)
+        assert r["v"] == expect, r["t"]
+        assert all(0.0 <= x < 1.0 for x in r["v"])
+    srow = df.select(dev_embedding("t", dim=16, signed=True).alias("v")).first()
+    assert all(-1.0 <= x <= 1.0 for x in srow["v"])
+
+
+def test_cosine_identities(spark):
+    df = spark.range(1)
+    a = F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0))
+    b = F.array(F.lit(2.0), F.lit(4.0), F.lit(6.0))
+    z = F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0))
+    r = df.select(
+        cosine_similarity(a, b).alias("parallel"),
+        cosine_similarity(a, z).alias("zero"),
+        cosine_similarity(l2_normalize(a), l2_normalize(a)).alias("self"),
+    ).first()
+    assert abs(r["parallel"] - 1.0) < 1e-12
+    assert r["zero"] is None  # null-safe, not NaN
+    assert abs(r["self"] - 1.0) < 1e-12
+
+
+def test_text_normalization(spark):
+    df = spark.createDataFrame([("  a\t\tb\r\nc  ",)], ["t"])
+    r = df.select(
+        normalize_ws("t").alias("ws"),
+        normalize_newlines("t").alias("nl"),
+        truncate_ellipsis(F.lit("x" * 700), 600).alias("tr"),
+        truncate_ellipsis(F.lit("short"), 600).alias("keep"),
+    ).first()
+    assert r["ws"] == "a b c"
+    assert r["nl"] == "  a\t\tb\nc  "
+    assert len(r["tr"]) == 601 and r["tr"].endswith("…")
+    assert r["keep"] == "short"
+
+
+def test_shingles_and_tokens(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], ["t"])
+    rows = df.select("t", shingles("t", 3).alias("s"), token_count("t").alias("n")).collect()
+    by = {r["t"]: r for r in rows}
+    assert by["a b c d"]["s"] == ["a b c", "b c d"]
+    assert by["a b"]["s"] == ["a b"]  # short text -> whole-text shingle
+    assert by["a b c d"]["n"] == 4
+    assert by[""]["n"] == 0

@@ -1,0 +1,120 @@
+"""Operator semantics: search, dedup, upsert idempotency, snippets, inventory."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from jsonify2ai_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from jsonify2ai_spark.operators.inventory import documents_inventory, stats_report
+from jsonify2ai_spark.operators.search import knn_brute, similarity_self_join
+from jsonify2ai_spark.operators.snippets import select_snippets
+from jsonify2ai_spark.operators.upsert import replace_documents
+
+
+def test_knn_self_hit(spark, tables):
+    emb = tables["embeddings"]
+    q = emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]
+    top = knn_brute(emb, [float(x) for x in q], k=3).collect()
+    assert top[0]["vec_id"] == 7
+    assert abs(top[0]["score"] - 1.0) < 1e-6
+    assert top[0]["score"] >= top[1]["score"] >= top[2]["score"]
+
+
+def test_similarity_join_symmetric_free(spark, tables):
+    pairs = similarity_self_join(tables["embeddings"].limit(50), -1.0).collect()
+    # a < b always: no self pairs, no mirrored duplicates
+    assert all(r["a"] < r["b"] for r in pairs)
+    assert len(pairs) == 50 * 49 // 2
+
+
+def test_lsh_candidates_cover_high_jaccard(spark, tables):
+    docs = tables["documents"]
+    exact = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    cand = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs, num_hashes=64, bands=16).collect()}
+    # banding at 64/16 (r=4): P(candidate) = 1-(1-s^4)^16 > 0.99 for s >= 0.8
+    missed = exact - cand
+    assert not missed, f"LSH missed high-similarity pairs: {missed}"
+
+
+def test_simhash_near_dup_property(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    variant = base.replace("lazy", "sleepy", 1)
+    other = "completely different content about spark query engines and shuffles"
+    df = spark.createDataFrame(
+        [(1, base), (2, variant), (3, other)], ["doc_id", "text"]
+    )
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(fp[1], fp[2]) < ham(fp[1], fp[3])
+    assert ham(fp[1], fp[2]) <= 6
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same  text"), (2, "same text"), (3, "unique")], ["doc_id", "text"]
+    )
+    groups = {r["keeper_id"]: r["n_docs"] for r in exact_dup_groups(df).collect()}
+    # whitespace-normalized before hashing: 1 and 2 collapse
+    assert groups == {1: 2, 3: 1}
+
+
+def test_replace_documents_idempotent(spark):
+    """The reference's flagship golden: ingest twice -> identical table
+    (docs/invariants.md:12-18, smoke_golden.py re-ingest check)."""
+    existing = spark.createDataFrame(
+        [("d1", 0, "old0"), ("d1", 1, "old1"), ("d2", 0, "keep")],
+        ["document_id", "idx", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [("d1", 0, "new0"), ("d1", 0, "dup-dropped"), ("d1", 1, "new1")],
+        ["document_id", "idx", "text"],
+    )
+    once = replace_documents(existing, incoming)
+    twice = replace_documents(once, incoming)
+    snap = lambda df: sorted((r["document_id"], r["idx"], r["text"]) for r in df.collect())
+    s1, s2 = snap(once), snap(twice)
+    assert s1 == s2, "re-ingest must converge"
+    d1 = [t for t in s1 if t[0] == "d1"]
+    assert [t[2] for t in d1] == ["new0", "new1"]  # replaced, batch-dedup kept first
+    assert ("d2", 0, "keep") in s1
+
+
+def test_select_snippets_caps(spark):
+    rows = [(i, 0.9 - i * 0.05, "x" * 3000) for i in range(12)]
+    hits = spark.createDataFrame(rows, ["id", "score", "text"])
+    out = select_snippets(hits).collect()
+    # clip at 2000 chars, total 8000 -> 4 snippets max here, cap 5
+    assert 0 < len(out) <= 5
+    assert all(len(r["snippet"]) <= 2000 for r in out)
+    assert max(r["cum_chars"] for r in out) <= 8000
+    # low scores dropped
+    low = spark.createDataFrame([(1, 0.1, "t")], ["id", "score", "text"])
+    assert select_snippets(low).count() == 0
+
+
+def test_documents_inventory(spark):
+    chunks = spark.createDataFrame(
+        [("d2", "text", "a.md"), ("d2", "pdf", "b.pdf"), ("d1", "text", "a.md")],
+        ["document_id", "kind", "path"],
+    )
+    rows = documents_inventory(chunks).collect()
+    assert [r["document_id"] for r in rows] == ["d2", "d1"]  # desc order
+    d2 = rows[0]
+    assert d2["kinds"] == ["pdf", "text"] and d2["n_chunks"] == 2
+
+
+def test_stats_report_rollup(spark, tables):
+    ev = tables["events"]
+    rows = stats_report(ev, kind_col="event_type", filtered=F.col("value") > 100).collect()
+    total = [r for r in rows if r["event_type"] is None][0]
+    assert total["n"] == ev.count()
+    assert sum(r["n"] for r in rows if r["event_type"] is not None) == total["n"]
+    assert total["n_filtered"] == ev.filter(F.col("value") > 100).count()
