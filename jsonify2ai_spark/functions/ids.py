@@ -27,19 +27,27 @@ def _ns_hex(namespace: str) -> str:
     return uuid.UUID(namespace).hex
 
 
+_UUID_RE = r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+
+
 def uuid5_sql(name: Column | str, namespace: str | Column = DOCID_NAMESPACE) -> Column:
     """uuid5(namespace, name) as a Column expression producing the canonical
     hyphenated lowercase form.
 
-    namespace may be a literal UUID string (precompiled to hex) or a Column of
-    UUID strings (hyphens stripped at runtime — used for chunk ids whose
-    namespace is the row's document_id).
+    namespace may be a literal UUID string (precompiled to hex) or a Column.
+    A column namespace that is not itself a UUID (the reference's prefixed
+    document ids like ``chatgpt:{id}`` / ``transcript:{sig}:{tid}``) is first
+    folded into one via uuid5(DOCID_NAMESPACE, value), keeping chunk-id
+    derivation total and deterministic for every id shape.
     """
     name = F.col(name) if isinstance(name, str) else name
     if isinstance(namespace, str):
         ns_bytes = F.unhex(F.lit(_ns_hex(namespace)))
     else:
-        ns_bytes = F.unhex(F.regexp_replace(namespace, "-", ""))
+        ns_hex = F.when(
+            namespace.rlike(_UUID_RE), F.regexp_replace(namespace, "-", "")
+        ).otherwise(F.regexp_replace(uuid5_sql(namespace), "-", ""))
+        ns_bytes = F.unhex(ns_hex)
     digest = F.sha1(F.concat(ns_bytes, name.cast("binary")))  # 40 hex chars
     h = F.substring(digest, 1, 32)
     # version nibble (byte 6 high nibble, hex char 13) := '5'
@@ -60,6 +68,15 @@ def uuid5_sql(name: Column | str, namespace: str | Column = DOCID_NAMESPACE) -> 
 def uuid5_py(name: str, namespace: str = DOCID_NAMESPACE) -> str:
     """Driver-side twin for tests and single-value derivation."""
     return str(uuid.uuid5(uuid.UUID(namespace), name))
+
+
+def chunk_id_py(document_id: str, idx: int) -> str:
+    """Driver-side twin of :func:`chunk_id_for` (non-UUID ids folded first)."""
+    try:
+        ns = uuid.UUID(document_id)
+    except ValueError:
+        ns = uuid.UUID(uuid5_py(document_id))
+    return str(uuid.uuid5(ns, f"chunk:{idx}"))
 
 
 def canonical_relpath(path: Column | str) -> Column:
