@@ -17,8 +17,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jsonify2ai_spark.functions.text import shingles, tokens
+from jsonify2ai_spark.functions.text import bpe_tokens, shingles, tokens
 from jsonify2ai_spark.functions.vectors import cosine_similarity, dev_embedding, dev_embedding_py
+from jsonify2ai_spark.operators.ann import ivf_topk
 from jsonify2ai_spark.operators.chunker import chunk_documents
 from jsonify2ai_spark.operators.dedup import (
     _P,
@@ -27,9 +28,13 @@ from jsonify2ai_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_pairs,
+    winnowing_fingerprints,
 )
 from jsonify2ai_spark.operators.search import knn_brute, similarity_self_join
+from jsonify2ai_spark.operators.snippets import select_snippets
 from jsonify2ai_spark.operators.textstats import language_id_df, quality_score, with_text_stats
+from jsonify2ai_spark.operators.upsert import replace_documents
 from jsonify2ai_spark.session import load_tables
 
 SF0001 = "/root/testdata/sf0.001"
@@ -347,6 +352,134 @@ def q22_source_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASK_POOL_PER_SLICE = 4
+_ASK_MIN_SCORE = 0.88
+_ASK_MAX_TOTAL = 700
+_ASK_SYNTH_GATE = 0.9
+_IVF_K_CENTROIDS = 8
+_IVF_N_PROBE = 2
+_SIMHASH_MAX_HAMMING = 2
+
+
+def q23_ask_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/W5/F17: the /ask data plane end-to-end — dual-slice retrieve (en vs
+    non-en standing in for the chunks/images collections), union interleave,
+    synthesis gate on top score, then running-sum snippet selection
+    (reference: worker/app/routers/ask.py:155-209,265,375-422,449-462)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    qvec = dev_embedding_py(_SEARCH_QUERY, dim=64)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = docs.withColumn(
+        "score", F.round(cosine_similarity(dev_embedding(F.col("text"), dim=64), q), 6)
+    ).select("doc_id", "lang", "text", "score")
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    slice_a = scored.filter(F.col("lang") == "en").orderBy(*order).limit(_ASK_POOL_PER_SLICE)
+    slice_b = scored.filter(F.col("lang") != "en").orderBy(*order).limit(_ASK_POOL_PER_SLICE)
+    pool = slice_a.unionByName(slice_b)
+    from pyspark.sql import Window
+
+    pool = pool.withColumn(
+        "would_synth", F.max("score").over(Window.partitionBy()) >= _ASK_SYNTH_GATE
+    )
+    out = select_snippets(
+        pool,
+        score_col="score",
+        text_col="text",
+        id_cols=("doc_id",),
+        pool_size=2 * _ASK_POOL_PER_SLICE,
+        min_score=_ASK_MIN_SCORE,
+        max_snippets=5,
+        max_chars=2000,
+        max_total=_ASK_MAX_TOTAL,
+    )
+    return out.select("doc_id", "score", "cum_chars", "would_synth")
+
+
+def q24_replace_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/K4: idempotent replace-by-document_id (anti-join + union) followed
+    by predicate delete — the reference's delete-before-insert + delete-by-
+    filter semantics (process.py:577-584, qdrant_client.py:410-433) as one
+    plan. Incoming batch = every 7th doc re-parsed (uppercased)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select(F.col("doc_id").alias("document_id"), "text")
+    incoming = docs.filter(F.col("document_id") % 7 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" [reingested v2]"))
+    )
+    merged = replace_documents(docs, incoming, dedup_keys=("document_id",))
+    deleted = merged.filter(~(F.col("document_id") % 31 == 0))  # K4 delete-by-filter
+    return deleted.select(
+        F.col("document_id").alias("doc_id"), F.md5(F.col("text")).alias("content_md5")
+    )
+
+
+def q25_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN: coarse centroids (first-K vectors as the
+    deterministic stand-in for offline KMeans), nearest-centroid assignment,
+    probe the 2 closest cells, exact top-10 within them. At scale the
+    assignment is offline ETL + partitionBy(cluster), and the probe filter is
+    partition pruning (scan ~n_probe/K of the table)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    cents = (
+        emb.filter(F.col("vec_id") < _IVF_K_CENTROIDS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cents]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == _KNN_QUERY_ID).select("embedding").collect()[0][0]
+    ]
+    return ivf_topk(
+        emb, qvec, centroids, k=10, n_probe=_IVF_N_PROBE,
+    )
+
+
+def q26_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance 2 via byte-band LSH
+    (pigeonhole-exact recall for distance < 4) + bit_count(xor) verify."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return simhash_pairs(t["documents"], max_hamming=_SIMHASH_MAX_HAMMING)
+
+
+def q27_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization counts per doc — the LLM token-budget proxy:
+    letter runs / digit runs / single punctuation (GPT-2-style split)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = bpe_tokens(F.col("text"))
+    return t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda x: x.rlike("^[A-Za-z]+$"))).alias("n_word_tokens"),
+        F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$"))).alias("n_number_tokens"),
+    )
+
+
+def q28_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (SIGMOD'03) per document: count +
+    min fingerprint (the MOSS-style near-dup signature)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    fps = winnowing_fingerprints(t["documents"])
+    return fps.select(
+        "doc_id", "n_fingerprints", F.element_at("fingerprints", 1).alias("min_fingerprint")
+    )
+
+
+def q29_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: text bytes as the opaque content
+    column (no media files in the synthetic set), typed byte metadata promoted
+    for pushdown — the identity/dedup columns of the media table."""
+    from jsonify2ai_spark.multimodal import attach_media_meta
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = t["documents"].select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    return attach_media_meta(media).select("doc_id", "n_bytes", "sha256")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -371,6 +504,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_embedding_pairs": q20_embedding_pairs,
         "q21_vector_search_docs": q21_vector_search_docs,
         "q22_source_inventory": q22_source_inventory,
+        "q23_ask_snippets": q23_ask_snippets,
+        "q24_replace_upsert": q24_replace_upsert,
+        "q25_ivf_ann": q25_ivf_ann,
+        "q26_simhash_pairs": q26_simhash_pairs,
+        "q27_bpe_tokens": q27_bpe_tokens,
+        "q28_winnowing": q28_winnowing,
+        "q29_multimodal_meta": q29_multimodal_meta,
     }
 
 
@@ -621,5 +761,108 @@ def oracle_sql() -> dict[str, str]:
                    list_sort(list(DISTINCT lang)) AS langs,
                    sum(n_chars) AS total_chars
             FROM documents GROUP BY source
+        """,
+        "q23_ask_snippets": f"""
+            WITH scored AS (
+                SELECT doc_id, lang, text,
+                       round({_dd_cosine(dev_emb_doc, qlit)}, 6) AS score
+                FROM documents),
+            a AS (SELECT doc_id, text, score FROM scored WHERE lang = 'en'
+                  ORDER BY score DESC, doc_id LIMIT {_ASK_POOL_PER_SLICE}),
+            b AS (SELECT doc_id, text, score FROM scored WHERE lang <> 'en'
+                  ORDER BY score DESC, doc_id LIMIT {_ASK_POOL_PER_SLICE}),
+            pool AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+            gated AS (SELECT *, (max(score) OVER ()) >= {_ASK_SYNTH_GATE} AS would_synth
+                      FROM pool),
+            kept AS (SELECT * FROM gated WHERE score >= {_ASK_MIN_SCORE}),
+            cum AS (SELECT doc_id, score, would_synth,
+                           sum(length(substr(text, 1, 2000))) OVER (
+                               ORDER BY score DESC, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                           ) AS cum_chars
+                    FROM kept)
+            SELECT doc_id, score, CAST(cum_chars AS BIGINT) AS cum_chars, would_synth
+            FROM cum WHERE cum_chars <= {_ASK_MAX_TOTAL}
+            ORDER BY score DESC, doc_id LIMIT 5
+        """,
+        "q24_replace_upsert": """
+            WITH incoming AS (
+                SELECT doc_id AS document_id, text || ' [reingested v2]' AS text
+                FROM documents WHERE doc_id % 7 = 0),
+            kept AS (
+                SELECT doc_id AS document_id, text FROM documents
+                WHERE doc_id NOT IN (SELECT document_id FROM incoming)),
+            merged AS (SELECT * FROM kept UNION ALL SELECT * FROM incoming)
+            SELECT document_id AS doc_id, md5(text) AS content_md5
+            FROM merged WHERE document_id % 31 <> 0
+        """,
+        "q25_ivf_ann": f"""
+            WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                           WHERE vec_id < {_IVF_K_CENTROIDS}),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_KNN_QUERY_ID}),
+            probe AS (SELECT cid FROM cents, q
+                      ORDER BY {_dd_cosine("cv", "qv")} DESC, cid LIMIT {_IVF_N_PROBE}),
+            assigned AS (
+                SELECT vec_id, embedding, cluster FROM (
+                    SELECT e.vec_id, e.embedding, c.cid AS cluster,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_dd_cosine("e.embedding", "c.cv")} DESC, c.cid
+                           ) AS rn
+                    FROM embeddings e CROSS JOIN cents c)
+                WHERE rn = 1)
+            SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+                   round({_dd_cosine("a.embedding", "q.qv")}, 6) AS score
+            FROM assigned a, q
+            WHERE a.cluster IN (SELECT cid FROM probe)
+            ORDER BY {_dd_cosine("a.embedding", "q.qv")} DESC, a.vec_id
+            LIMIT 10
+        """,
+        "q26_simhash_pairs": f"""
+            WITH s AS ({_dd_simhash_sql()})
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+        """,
+        "q27_bpe_tokens": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS bt
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(bt) AS INT) AS n_bpe_tokens,
+                   CAST(len(list_filter(bt, x -> regexp_full_match(x, '[A-Za-z]+'))) AS INT)
+                       AS n_word_tokens,
+                   CAST(len(list_filter(bt, x -> regexp_full_match(x, '[0-9]+'))) AS INT)
+                       AS n_number_tokens
+            FROM t
+        """,
+        "q28_winnowing": r"""
+            WITH tk AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents),
+            g AS (SELECT doc_id,
+                         list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                        i -> array_to_string(toks[i:i+2], ' ')) AS grams
+                  FROM tk),
+            h AS (SELECT doc_id,
+                         list_transform(grams,
+                                        g2 -> CAST('0x' || substr(md5(g2), 1, 15) AS BIGINT)) AS hs
+                  FROM g),
+            w AS (SELECT doc_id,
+                         list_sort(list_distinct(
+                             list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                            i -> list_min(hs[i:i+3])))) AS fps
+                  FROM h)
+            SELECT doc_id, CAST(len(fps) AS INT) AS n_fingerprints,
+                   fps[1] AS min_fingerprint
+            FROM w
+        """,
+        "q29_multimodal_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   lower(sha256(text)) AS sha256
+            FROM documents
         """,
     }

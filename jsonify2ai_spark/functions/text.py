@@ -43,6 +43,21 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, single punctuation —
+# the GPT-2-style split that precedes byte-pair merging. Token COUNT over this
+# split is the standard cheap proxy for LLM token budgets at corpus scale.
+BPE_SPLIT_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """Array of BPE-ish pre-tokens (regexp_extract_all — stays JVM-side)."""
+    return F.regexp_extract_all(_c(text), F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles, joined with single spaces.
 

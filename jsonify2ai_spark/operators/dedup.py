@@ -264,3 +264,96 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
 
     fp = sum([_bit_term(i) for i in range(32)], F.lit(0).cast("bigint"))
     return hashed.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs (a < b) with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Banded candidate generation, not a quadratic join: split the 32-bit
+    fingerprint into ``n_bands`` byte bands; by pigeonhole, any pair within
+    hamming distance < n_bands shares at least one untouched band, so an
+    equi-join on (band_idx, band_value) finds every true pair. Candidates are
+    then verified exactly with bit_count(xor). The only shuffle is the band
+    join — same shape (and same 100 TB behavior) as MinHash-LSH banding.
+
+    Requires max_hamming < n_bands for exactness (guaranteed recall).
+    """
+    assert max_hamming < n_bands, "pigeonhole guarantee needs max_hamming < n_bands"
+    fps = simhash(df, text_col=text_col, id_col=id_col)
+    width = 32 // n_bands
+    bands = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[
+                (F.col("simhash").bitwiseAND(F.lit(((1 << width) - 1) << (width * i)))
+                 / F.lit(1 << (width * i))).cast("bigint")
+                for i in range(n_bands)
+            ])
+        ).alias("band", "band_val"),
+    )
+    left = bands.select(F.col("band"), F.col("band_val"),
+                        F.col(id_col).alias("a"), F.col("simhash").alias("_fa"))
+    right = bands.select(F.col("band"), F.col("band_val"),
+                         F.col(id_col).alias("b"), F.col("simhash").alias("_fb"))
+    return (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): the
+    rolling-hash selection used by MOSS-style near-dup/plagiarism detection.
+
+    Positional word n-gram hashes -> sliding window of ``window`` hashes ->
+    keep the min of each window -> distinct set. Guarantees any shared run of
+    window+gram_n-1 tokens yields a shared fingerprint. All let-bound
+    higher-order expressions (one md5 per gram), map-only at any scale.
+
+    Output: (id, n_fingerprints, fingerprints sorted array<bigint>).
+    """
+
+    def _mins(hashes: Column) -> Column:
+        n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(1))
+        mins = F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+        return F.array_sort(F.array_distinct(mins))
+
+    def _winnow(tk: Column) -> Column:
+        cnt = F.size(tk)
+        n_grams = cnt - F.lit(gram_n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, gram_n)),
+        )
+        hashes = F.transform(grams, lambda g: _shingle_hash(g))
+        # second binding level: the mins lambda must see hashes as a BOUND
+        # array, or each window re-derives every gram's md5 (O(grams^2))
+        return F.element_at(F.transform(F.array(hashes), _mins), 1)
+
+    # let-bind the token array (no CSE across lambda bodies — same rationale
+    # as shingles())
+    fps = F.element_at(F.transform(F.array(tokens(F.col(text_col))), _winnow), 1)
+    return df.select(
+        F.col(id_col),
+        F.size(fps).alias("n_fingerprints"),
+        fps.alias("fingerprints"),
+    )

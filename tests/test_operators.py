@@ -7,8 +7,11 @@ from pyspark.sql import functions as F
 from jsonify2ai_spark.operators.dedup import (
     exact_dup_groups,
     minhash_lsh_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_pairs,
+    winnowing_fingerprints,
 )
 from jsonify2ai_spark.operators.inventory import documents_inventory, stats_report
 from jsonify2ai_spark.operators.search import knn_brute, similarity_self_join
@@ -109,6 +112,58 @@ def test_documents_inventory(spark):
     assert [r["document_id"] for r in rows] == ["d2", "d1"]  # desc order
     d2 = rows[0]
     assert d2["kinds"] == ["pdf", "text"] and d2["n_chunks"] == 2
+
+
+def test_minhash_arrow_matches_expr(spark, tables):
+    """The vectorized Arrow signature path must be bit-identical to the
+    pure-Column implementation (same md5 -> permutation math)."""
+    docs = tables["documents"].limit(40)
+    a = {r["doc_id"]: r["signature"] for r in minhash_signatures(docs, impl="arrow").collect()}
+    b = {r["doc_id"]: r["signature"] for r in minhash_signatures(docs, impl="expr").collect()}
+    assert a == b
+
+
+def test_similarity_blas_matches_expr(spark, tables):
+    emb = tables["embeddings"].limit(60)
+    blas = {(r["a"], r["b"]): r["score"] for r in similarity_self_join(emb, 0.4).collect()}
+    expr = {
+        (r["a"], r["b"]): r["score"]
+        for r in similarity_self_join(emb, 0.4, strategy="expr").collect()
+    }
+    assert blas == expr
+
+
+def test_simhash_pairs_banding_exact(spark, tables):
+    """Banded candidate generation must find EVERY pair within the hamming
+    bound (pigeonhole guarantee) — compare against the quadratic truth."""
+    docs = tables["documents"].limit(80)
+    banded = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=3).collect()}
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(fp)
+    truth = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    assert banded == truth
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing (SIGMOD'03): documents sharing a run of window+n-1 tokens
+    share at least one fingerprint; disjoint docs share none."""
+    common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {common} closing remarks"),
+            (2, f"other prefix {common} different suffix"),
+            (3, "completely unrelated vocabulary everywhere nothing matches at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: set(r["fingerprints"]) for r in winnowing_fingerprints(df).collect()}
+    assert rows[1] & rows[2], "shared 10-token run must share a fingerprint"
+    assert not (rows[1] & rows[3])
 
 
 def test_stats_report_rollup(spark, tables):
