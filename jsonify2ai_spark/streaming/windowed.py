@@ -1,0 +1,141 @@
+"""Event-time windowed streaming aggregation (the generalization of T6/A6).
+
+The reference's streaming is file-arrival incremental processing with no
+event-time semantics (SURVEY §2.8) — its telemetry counters (worker/app/
+telemetry.py:27-79, A6) are wall-clock monotonic counts. A corpus-scale
+engine needs the real thing:
+
+- tumbling/sliding event-time windows over the event stream,
+- watermarks so state is BOUNDED: a window's state is dropped once the
+  watermark (max observed event time - delay) passes its end; events older
+  than the watermark are discarded instead of resurrecting dead state. At
+  1000 executors the state store is the scaling hazard — watermark delay x
+  input rate bounds it, independent of stream lifetime.
+- `update` output for live dashboards, `append` for exactly-once sinks
+  (emits a window only when it can no longer change).
+
+The batch twin of `hourly_rollup` is q09_events_hourly — same groupBy, same
+aggregates, so batch backfill and the live stream share one definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+
+def stream_events_json(spark: SparkSession, path: str, max_files_per_trigger: int = 16) -> DataFrame:
+    """File-source event stream (JSONL drops, schema fixed up front —
+    streaming sources cannot infer)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(path)
+    )
+
+
+def windowed_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling (or sliding) window aggregation:
+    (window_start, window_end, *keys, n_events, total_value).
+
+    One shuffle on (window, keys); partial aggregation is map-side. State per
+    group lives until watermark > window end, then is evicted — bounded by
+    (watermark delay / window) x |keys| groups.
+    """
+    w = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), *[F.col(k) for k in keys])
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """The streaming twin of q09_events_hourly (batch backfill and live
+    stream share this shape)."""
+    return windowed_rollup(events, window="1 hour", watermark=watermark)
+
+
+def running_counters(events: DataFrame, keys: tuple[str, ...] = ("event_type",)) -> DataFrame:
+    """A6 telemetry counters: monotonic per-key totals for `update`-mode
+    dashboards. Unbounded-lifetime state but bounded CARDINALITY (|keys|
+    groups) — safe where the key space is an enum, unlike per-entity counts
+    which need a watermark or TTL."""
+    return events.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def debounced_paths(
+    files: DataFrame,
+    stable_seconds: int = 1,
+    path_col: str = "path",
+    ts_col: str = "modificationTime",
+    timeout_seconds: int = 30,
+) -> DataFrame:
+    """T2's debounce/stability gate as a REAL stateful streaming operator
+    (applyInPandasWithState): a path is emitted only once no new modification
+    for it has arrived for ``stable_seconds`` of event time.
+
+    The reference polls file size 3x300 ms in-process
+    (scripts/dev/tools/watch_dropzone.py:165-183,213-229); distributed, the
+    equivalent is keyed state per path holding (last_mtime, last_len) with a
+    processing-time timeout — when the timeout fires with no newer event, the
+    file is declared stable and emitted downstream. State is per in-flight
+    path only; emitted keys drop their state.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{path_col} STRING, n_events INT, last_len BIGINT"
+    state_schema = "last_ts DOUBLE, n_events INT, last_len BIGINT"
+
+    def gate(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            (last_ts, n_events, last_len) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {path_col: [key[0]], "n_events": [n_events], "last_len": [last_len]}
+            )
+            return
+        n_events, last_len, last_ts = 0, 0, 0.0
+        if state.exists:
+            last_ts, n_events, last_len = state.get
+        for pdf in pdfs:
+            n_events += len(pdf)
+            if len(pdf):
+                row = pdf.sort_values(ts_col).iloc[-1]
+                last_ts = row[ts_col].timestamp()
+                last_len = int(row["length"])
+        state.update((last_ts, n_events, last_len))
+        state.setTimeoutDuration(stable_seconds * 1000)
+        yield from ()
+
+    return files.groupBy(path_col).applyInPandasWithState(
+        gate,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

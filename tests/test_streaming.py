@@ -6,6 +6,12 @@ from __future__ import annotations
 import time
 
 from jsonify2ai_spark.streaming.watcher import reconcile_deletes, watch_dropzone
+from jsonify2ai_spark.streaming.windowed import (
+    debounced_paths,
+    hourly_rollup,
+    running_counters,
+    stream_events_json,
+)
 
 
 def test_watcher_incremental_ingest(spark, tmp_path):
@@ -49,3 +55,133 @@ def test_watcher_incremental_ingest(spark, tmp_path):
     survivors = reconcile_deletes(spark, str(dz), t)
     left = {r["path"].rsplit("/", 1)[-1] for r in survivors.select("path").distinct().collect()}
     assert left == {"two.csv"}
+
+
+def _write_events(path, rows):
+    import json
+
+    lines = [
+        json.dumps(
+            {
+                "event_id": i,
+                "ts": ts,
+                "user_id": 1,
+                "event_type": et,
+                "value": v,
+                "props": "{}",
+            }
+        )
+        for i, (ts, et, v) in enumerate(rows)
+    ]
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_windowed_rollup_with_watermark_drops_late(spark, tmp_path):
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "wm_ckpt")
+
+    _write_events(
+        src / "b1.json",
+        [
+            ("2026-01-01T10:05:00", "click", 1.0),
+            ("2026-01-01T10:45:00", "click", 2.0),
+            ("2026-01-01T11:10:00", "view", 5.0),
+            ("2026-01-01T15:00:00", "click", 1.0),  # advances watermark to 13:00
+        ],
+    )
+    stream = stream_events_json(spark, str(src), max_files_per_trigger=1)
+    q = (
+        hourly_rollup(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("wm_rollup")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late event: 10:30 is older than watermark (15:00 - 2h = 13:00) -> dropped
+        _write_events(src / "b2.json", [("2026-01-01T10:30:00", "click", 100.0)])
+        q.processAllAvailable()
+        rows = {
+            (r["window_start"].isoformat(), r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.sql("select * from wm_rollup").collect()
+        }
+        assert rows[("2026-01-01T10:00:00", "click")] == (2, 3.0)  # late 100.0 NOT added
+        assert rows[("2026-01-01T11:00:00", "view")] == (1, 5.0)
+        assert q.lastProgress["stateOperators"][0]["numRowsDroppedByWatermark"] >= 1
+    finally:
+        q.stop()
+
+
+def test_running_counters_update_mode(spark, tmp_path):
+    src = tmp_path / "events2"
+    src.mkdir()
+    ckpt = str(tmp_path / "cnt_ckpt")
+    _write_events(
+        src / "b1.json",
+        [("2026-01-01T10:00:00", "click", 1.0), ("2026-01-01T10:01:00", "click", 2.0)],
+    )
+    stream = stream_events_json(spark, str(src))
+    q = (
+        running_counters(stream)
+        .writeStream.format("memory")
+        .queryName("counters")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_events(src / "b2.json", [("2026-01-01T10:02:00", "click", 3.0)])
+        q.processAllAvailable()
+        rows = {r["event_type"]: (r["n_events"], r["total_value"]) for r in spark.sql("select * from counters").collect()}
+        assert rows["click"] == (3, 6.0)
+    finally:
+        q.stop()
+
+
+def test_debounced_paths_emits_after_stability(spark, tmp_path):
+    """T2 stability gate: a path emits only after stable_seconds with no new
+    modification events (processing-time timeout on keyed state)."""
+    src = tmp_path / "files"
+    src.mkdir()
+    ckpt = str(tmp_path / "db_ckpt")
+    import json
+
+    (src / "f1.json").write_text(
+        json.dumps({"path": "a.md", "modificationTime": "2026-01-01T10:00:00", "length": 10})
+        + "\n"
+        + json.dumps({"path": "a.md", "modificationTime": "2026-01-01T10:00:01", "length": 20})
+    )
+    files = (
+        spark.readStream.schema("path STRING, modificationTime TIMESTAMP, length BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        debounced_paths(files, stable_seconds=1)
+        .writeStream.format("memory")
+        .queryName("debounced")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        # NOTE: processAllAvailable() never returns under ProcessingTimeTimeout
+        # (timeout evaluation keeps scheduling batches) — poll with a deadline.
+        deadline = time.time() + 60
+        rows = {}
+        while time.time() < deadline and not rows:
+            if q.exception():
+                raise AssertionError(q.exception())
+            rows = {
+                r["path"]: (r["n_events"], r["last_len"])
+                for r in spark.sql("select * from debounced").collect()
+            }
+            time.sleep(0.5)
+        # both modification events consumed into state, emitted once stable
+        assert rows.get("a.md") == (2, 20), rows
+    finally:
+        q.stop()
