@@ -1,0 +1,140 @@
+"""Export sinks (SURVEY §2.7 K5-K7).
+
+Reference semantics:
+- K5 JSONL export per document: stable field order
+  ``{id, document_id, path, kind, idx, text, meta}``, one JSON object per
+  line (worker/app/routers/export.py:62-160, docs/DATA_MODEL.md:70-90).
+- K6 ZIP archive: chunks.jsonl (+ images.jsonl) + README + manifest.json
+  with request id, timestamp, counts, per-file sha256 + byte sizes
+  (worker/app/routers/export.py:163-419).
+- K7 ingest mirror: every upserted chunk also appended to an ingest JSONL
+  log with its vector length (scripts/dev/tools/ingest_dropzone.py:344-347).
+
+Spark-first split: row serialization and the JSONL write are DATA-PLANE
+(distributed `to_json` + text sink — scales to any corpus); the ZIP+manifest
+assembly is CONTROL-PLANE (driver-side, one archive per request, bounded by
+the already-filtered export size — the reference caps exports the same way).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import os
+import zipfile
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EXPORT_FIELDS = ("id", "document_id", "path", "kind", "idx", "text", "meta")
+
+
+def _jsonl_lines(chunks: DataFrame, fields: tuple[str, ...] = EXPORT_FIELDS) -> DataFrame:
+    """One stable-field-order JSON line per chunk, as a 1-column DataFrame.
+
+    ``to_json(struct(...))`` preserves struct field order, matching the
+    reference's explicit key ordering (export.py:101-109). Serialization is
+    executor-side — the driver never sees the rows.
+    """
+    cols = [F.col(f) for f in fields if f in chunks.columns]
+    return chunks.select(F.to_json(F.struct(*cols)).alias("value"))
+
+
+def export_jsonl(
+    chunks: DataFrame,
+    out_dir: str,
+    document_id: str | None = None,
+    where: Column | None = None,
+) -> None:
+    """K5: write the (filtered) chunks as JSONL files under ``out_dir``.
+
+    The document filter is pushed into the scan (Parquet predicate on the
+    bucketed document_id layout touches only that doc's buckets)."""
+    if document_id is not None:
+        chunks = chunks.filter(F.col("document_id") == document_id)
+    if where is not None:
+        chunks = chunks.filter(where)
+    _jsonl_lines(chunks).write.mode("overwrite").text(out_dir)
+
+
+def ingest_mirror(chunks: DataFrame, out_dir: str, vector_col: str = "vector") -> None:
+    """K7: append-mode mirror of upserted chunks with vec_len (the reference
+    writes data/exports/ingest.jsonl next to every upsert)."""
+    mirrored = chunks.withColumn("vec_len", F.size(F.col(vector_col))) if (
+        vector_col in chunks.columns
+    ) else chunks
+    fields = EXPORT_FIELDS + ("vec_len",)
+    _jsonl_lines(mirrored, fields).write.mode("append").text(out_dir)
+
+
+def _collect_jsonl(out_dir: str) -> bytes:
+    """Concatenate a Spark text-sink directory into one JSONL payload
+    (driver-side, bounded by the per-request export size)."""
+    parts = []
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("part-"):
+            with open(os.path.join(out_dir, name), "rb") as f:
+                parts.append(f.read())
+    return b"".join(parts)
+
+
+def zip_export(
+    chunks: DataFrame,
+    document_id: str,
+    out_zip: str,
+    workdir: str,
+    request_id: str = "export",
+    images: DataFrame | None = None,
+    extra_files: dict[str, bytes] | None = None,
+) -> dict[str, Any]:
+    """K6: one-document ZIP archive with manifest (counts, sha256, bytes).
+
+    Data plane: the JSONL serialization runs distributed via
+    :func:`export_jsonl`. Control plane: this function zips the results and
+    writes manifest.json. ``extra_files`` maps archive names to raw payloads
+    (the reference's ``source/`` passthrough) — names are gated against path
+    traversal exactly like export.py:330-345.
+    """
+    payloads: dict[str, bytes] = {}
+    cdir = os.path.join(workdir, "chunks_jsonl")
+    export_jsonl(chunks, cdir, document_id=document_id)
+    payloads["chunks.jsonl"] = _collect_jsonl(cdir)
+    if images is not None:
+        idir = os.path.join(workdir, "images_jsonl")
+        export_jsonl(images, idir, document_id=document_id)
+        payloads["images.jsonl"] = _collect_jsonl(idir)
+    for name, data in (extra_files or {}).items():
+        safe = os.path.normpath(name)
+        if safe.startswith(("..", "/")) or os.path.isabs(safe):
+            raise ValueError(f"unsafe archive member name: {name!r}")
+        payloads[os.path.join("source", safe)] = data
+
+    manifest = {
+        "request_id": request_id,
+        "document_id": document_id,
+        "counts": {
+            "chunks": payloads["chunks.jsonl"].count(b"\n"),
+            "images": payloads.get("images.jsonl", b"").count(b"\n"),
+        },
+        "files": {
+            name: {
+                "sha256": hashlib.sha256(data).hexdigest(),
+                "bytes": len(data),
+            }
+            for name, data in payloads.items()
+        },
+    }
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in payloads.items():
+            zf.writestr(name, data)
+        zf.writestr("manifest.json", json.dumps(manifest, indent=2, sort_keys=True))
+        zf.writestr(
+            "README.txt",
+            "jsonify2ai_spark export\nfields: " + ", ".join(EXPORT_FIELDS) + "\n",
+        )
+    with open(out_zip, "wb") as f:
+        f.write(buf.getvalue())
+    return manifest

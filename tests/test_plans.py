@@ -1,0 +1,70 @@
+"""Plan-shape regression tests: the 100 TB properties, asserted.
+
+A query that returns right answers but scans every column, skips pushdown, or
+sort-shuffles for a top-k would melt at scale — these tests pin the plan
+shapes Catalyst must keep producing.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from jsonify2ai_spark.plans import (
+    codegen_stage_count,
+    node_count,
+    plan_string,
+    pushed_filters,
+    scan_read_schema,
+)
+from tests.conftest import SF_DIR
+
+
+def test_q02_filters_reach_parquet_scan(spark):
+    df = entry_mod.q02_revenue_filter(spark, SF_DIR)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    # column pruning: only the 4 referenced columns are read
+    assert set(scan_read_schema(df)) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+    }
+
+
+def test_q01_scan_prunes_to_needed_columns(spark):
+    df = entry_mod.q01_pricing_summary(spark, SF_DIR)
+    read = set(scan_read_schema(df))
+    assert "l_comment" not in read and "l_orderkey" not in read
+    assert {"l_returnflag", "l_linestatus", "l_quantity"} <= read
+
+
+def test_q05_dimension_joins_broadcast(spark):
+    plan = plan_string(entry_mod.q05_region_customers(spark, SF_DIR))
+    # formatted mode prints each node in the tree AND the details section
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_q03_topk_is_take_ordered_not_full_sort(spark):
+    plan = plan_string(entry_mod.q03_topk_orders(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    # no global sort-exchange for a limit-k
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_q24_replace_uses_broadcast_anti_join(spark):
+    plan = plan_string(entry_mod.q24_replace_upsert(spark, SF_DIR))
+    assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_aggregates_are_partial_then_final(spark):
+    """Map-side combine: two HashAggregate rounds around one exchange."""
+    df = entry_mod.q04_orders_per_customer(spark, SF_DIR)
+    assert node_count(df, "HashAggregate") == 2
+    assert node_count(df, "Exchange") == 1
+
+
+def test_scan_filter_agg_fuse_into_codegen(spark):
+    df = entry_mod.q02_revenue_filter(spark, SF_DIR)
+    df.collect()  # AQE annotates codegen ids only once the plan is final
+    assert codegen_stage_count(df) >= 1

@@ -1,0 +1,92 @@
+"""Export sink tests (K5-K7): JSONL field order, ZIP manifest, mirror."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    rows = [
+        ("c1", "d1", "a.md", "text", 0, "first chunk", {"ext": "md"}, [0.1, 0.2]),
+        ("c2", "d1", "a.md", "text", 1, "second chunk", {"ext": "md"}, [0.3, 0.4]),
+        ("c3", "d2", "b.pdf", "pdf", 0, "other doc", {"ext": "pdf"}, [0.5, 0.6]),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id string, document_id string, path string, kind string, idx int, "
+        "text string, meta map<string,string>, vector array<double>",
+    )
+
+
+def _read_lines(out_dir):
+    lines = []
+    for name in sorted(os.listdir(out_dir)):
+        if name.startswith("part-"):
+            with open(os.path.join(out_dir, name)) as f:
+                lines += [l for l in f.read().splitlines() if l]
+    return lines
+
+
+def test_export_jsonl_stable_field_order(chunks, tmp_path):
+    from jsonify2ai_spark.sinks import export_jsonl
+
+    out = str(tmp_path / "d1")
+    export_jsonl(chunks, out, document_id="d1")
+    lines = _read_lines(out)
+    assert len(lines) == 2
+    for line in lines:
+        # stable key order is part of the contract (reference export.py:101-109)
+        assert list(json.loads(line).keys()) == [
+            "id", "document_id", "path", "kind", "idx", "text", "meta",
+        ]
+    assert {json.loads(l)["id"] for l in lines} == {"c1", "c2"}
+
+
+def test_zip_export_manifest(chunks, tmp_path):
+    from jsonify2ai_spark.sinks import zip_export
+
+    out_zip = str(tmp_path / "d1.zip")
+    manifest = zip_export(
+        chunks.drop("vector"),
+        "d1",
+        out_zip,
+        str(tmp_path / "work"),
+        request_id="req-1",
+        extra_files={"orig.md": b"# source\n"},
+    )
+    assert manifest["counts"]["chunks"] == 2
+    with zipfile.ZipFile(out_zip) as zf:
+        names = set(zf.namelist())
+        assert {"chunks.jsonl", "manifest.json", "README.txt", "source/orig.md"} <= names
+        data = zf.read("chunks.jsonl")
+        m = json.loads(zf.read("manifest.json"))
+        assert m["files"]["chunks.jsonl"]["sha256"] == hashlib.sha256(data).hexdigest()
+        assert m["files"]["chunks.jsonl"]["bytes"] == len(data)
+
+
+def test_zip_export_rejects_traversal(chunks, tmp_path):
+    from jsonify2ai_spark.sinks import zip_export
+
+    with pytest.raises(ValueError):
+        zip_export(
+            chunks.drop("vector"), "d1", str(tmp_path / "x.zip"), str(tmp_path / "w2"),
+            extra_files={"../evil": b""},
+        )
+
+
+def test_ingest_mirror_appends_vec_len(chunks, tmp_path):
+    from jsonify2ai_spark.sinks import ingest_mirror
+
+    out = str(tmp_path / "mirror")
+    ingest_mirror(chunks, out)
+    ingest_mirror(chunks.filter(F.col("document_id") == "d2"), out)  # append mode
+    lines = [json.loads(l) for l in _read_lines(out)]
+    assert len(lines) == 4
+    assert all(l["vec_len"] == 2 for l in lines)
