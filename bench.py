@@ -28,6 +28,13 @@ def main() -> int:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JVM/codegen/Arrow warmup on synthetic rows only — no benchmark data is
+    # touched, so per-query timings measure queries, not JIT.
+    spark.range(20_000_000).selectExpr("sum(id * 2)").collect()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, schema="x int"
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entry_mod.queries().items():

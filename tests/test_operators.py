@@ -133,6 +133,13 @@ def test_similarity_blas_matches_expr(spark, tables):
     assert blas == expr
 
 
+def test_simhash_arrow_matches_expr(spark, tables):
+    docs = tables["documents"].limit(40)
+    a = {r["doc_id"]: r["simhash"] for r in simhash(docs, impl="arrow").collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(docs, impl="expr").collect()}
+    assert a == b
+
+
 def test_simhash_pairs_banding_exact(spark, tables):
     """Banded candidate generation must find EVERY pair within the hamming
     bound (pigeonhole guarantee) — compare against the quadratic truth."""
