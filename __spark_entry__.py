@@ -33,6 +33,7 @@ from jsonify2ai_spark.operators.dedup import (
 )
 from jsonify2ai_spark.operators.search import knn_brute, similarity_self_join
 from jsonify2ai_spark.operators.snippets import select_snippets
+from jsonify2ai_spark.operators.textsearch import bm25_oracle_sql, bm25_topk
 from jsonify2ai_spark.operators.textstats import language_id_df, quality_score, with_text_stats
 from jsonify2ai_spark.operators.upsert import replace_documents
 from jsonify2ai_spark.session import load_tables
@@ -480,6 +481,74 @@ def q29_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_media_meta(media).select("doc_id", "n_bytes", "sha256")
 
 
+def q30_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid text search (K3 analog / reference roadmap README.md:153):
+    inverted-postings BM25 top-10 for the standing query."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return bm25_topk(t["documents"], _SEARCH_QUERY, k=10)
+
+
+def q31_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 stats in ONE pass via ROLLUP: per-kind counts + grand total (the
+    reference runs one filtered count per kind, ingest_dropzone.py:541-567)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .rollup("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def q32_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (TPC-H Q3 shape): both sides shuffle on the join
+    key; date predicates push into both scans; AQE re-plans post-shuffle.
+    The only non-broadcast join in the suite — the 100 TB shuffle stressor."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    cutoff = F.lit("1995-06-15").cast("timestamp")
+    o = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q33_events_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 documents-inventory shape (documents.py:19-102,163-168) applied to
+    the events table: per user, sorted kind set, first-3 sorted payloads,
+    count — sort desc, cap 200. The reference's 8192-point scroll loop is one
+    hash aggregate + TakeOrdered here."""
+    from jsonify2ai_spark.operators.inventory import documents_inventory
+
+    t = load_tables(spark, sf_dir, ["events"])
+    return documents_inventory(
+        t["events"], doc_col="user_id", kind_col="event_type", path_col="props", limit=200
+    )
+
+
+def q34_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 sliding-window chunker over the documents table: per-doc chunk
+    count, total chunk chars, max idx. The whitespace-cut window logic is
+    sequential per document (pandas UDF) — NOT SQL-expressible, so this entry
+    has no oracle (driver records the weaker rows-only check); the chunker's
+    exact boundary semantics are pinned by tests/test_chunker.py goldens."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    chunks = chunk_documents(docs, text_col="text", id_col="doc_id", size=200, overlap=40)
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.length("chunk")).alias("total_chunk_chars"),
+            F.max("idx").alias("max_idx"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -511,6 +580,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_bpe_tokens": q27_bpe_tokens,
         "q28_winnowing": q28_winnowing,
         "q29_multimodal_meta": q29_multimodal_meta,
+        "q30_bm25_search": q30_bm25_search,
+        "q31_stats_rollup": q31_stats_rollup,
+        "q32_order_revenue": q32_order_revenue,
+        "q33_events_inventory": q33_events_inventory,
+        "q34_chunk_stats": q34_chunk_stats,
     }
 
 
@@ -865,4 +939,30 @@ def oracle_sql() -> dict[str, str]:
                    lower(sha256(text)) AS sha256
             FROM documents
         """,
+        "q30_bm25_search": bm25_oracle_sql(_SEARCH_QUERY, k=10),
+        "q31_stats_rollup": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+            FROM events GROUP BY GROUPING SETS ((event_type), ())
+        """,
+        "q32_order_revenue": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate < TIMESTAMP '1995-06-15'
+              AND l_shipdate > TIMESTAMP '1995-06-15'
+            GROUP BY o_orderkey, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q33_events_inventory": """
+            SELECT user_id AS document_id,
+                   list_sort(list(DISTINCT event_type)) AS kinds,
+                   (list_sort(list(DISTINCT props)))[1:3] AS paths,
+                   count(*) AS n_chunks
+            FROM events GROUP BY user_id
+            ORDER BY user_id DESC LIMIT 200
+        """,
+        # q34_chunk_stats: no oracle — the whitespace-aware sliding-window
+        # chunker is sequential per document (pandas UDF, tested against
+        # reference goldens in tests/test_chunker.py); driver records the
+        # rows-only check.
     }

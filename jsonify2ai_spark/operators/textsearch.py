@@ -1,0 +1,125 @@
+"""Hybrid text search: tokenized inverted index + BM25 ranking.
+
+The reference creates a word-tokenized TEXT payload index on `content` for
+hybrid search (worker/app/services/qdrant_client.py:206-297 — K3 in SURVEY
+§2.7; roadmap README.md:153). The Spark-native equivalent is an inverted
+postings table + BM25 scoring, built entirely from joins and aggregations:
+
+- postings: explode(lowered tokens) -> (term, doc, tf). One shuffle; at
+  100 TB this is the classic inverted-index build and partitions by term.
+- query: filter postings to the query's terms FIRST (predicate reaches the
+  postings scan), join the tiny per-term document frequencies broadcast,
+  score, and top-k. Work is proportional to the query terms' posting lists,
+  never the corpus.
+
+Determinism: BM25 constants are injected with Python float repr into both
+engines so every arithmetic step is the same double op in the same order;
+scores are rounded before ordering so the oracle's ln() ulp wiggle cannot
+reorder the top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jsonify2ai_spark.functions.text import tokens
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, id, dl, tf) postings — the inverted index as a table. Persist
+    partitioned/bucketed by term for serving."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    base = docs.select(F.col(id_col), toks.alias("_tk")).withColumn("dl", F.size("_tk"))
+    return (
+        base.select(id_col, "dl", F.explode("_tk").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 for a whitespace-tokenized query.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))  (Robertson-Sparck Jones, the
+    Lucene form — never negative), tf saturation k1, length normalization b.
+    Everything is DataFrame ops: corpus stats broadcast, per-term df
+    broadcast, one aggregation per doc. Output (id, bm25) rounded to 6dp.
+    """
+    terms = sorted({t.lower() for t in query.split() if t})
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    base = docs.select(F.col(id_col), toks.alias("_tk")).withColumn("dl", F.size("_tk"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    posted = (
+        base.select(id_col, "dl", F.explode("_tk").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = posted.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    w = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    scored = (
+        posted.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", w)
+    )
+    out = scored.groupBy(id_col).agg(F.round(F.sum("w"), 6).alias("bm25"))
+    return out.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_oracle_sql(
+    query: str,
+    k: int = 10,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """The DuckDB twin of :func:`bm25_topk` (same constants, same op order)."""
+    terms = sorted({t.lower() for t in query.split() if t})
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH base AS (
+            SELECT {id_col},
+                   list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t)) AS tk
+            FROM {table}),
+        b2 AS (SELECT {id_col}, tk, len(tk) AS dl FROM base),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b2),
+        posted AS (
+            SELECT {id_col}, dl, term, count(*) AS tf
+            FROM (SELECT {id_col}, dl, unnest(tk) AS term FROM b2)
+            WHERE term IN ({term_list})
+            GROUP BY 1, 2, 3),
+        dfreq AS (SELECT term, count(*) AS df_t FROM posted GROUP BY 1),
+        scored AS (
+            SELECT p.{id_col},
+                   ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+                     * p.tf * {k1 + 1.0!r}
+                     / (p.tf + {k1!r} * (1.0 - {b!r} + {b!r} * p.dl / s.avgdl)) AS w
+            FROM posted p JOIN dfreq d USING (term) CROSS JOIN stats s)
+        SELECT {id_col}, round(sum(w), 6) AS bm25
+        FROM scored GROUP BY {id_col}
+        ORDER BY bm25 DESC, {id_col} ASC LIMIT {k}
+    """

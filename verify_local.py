@@ -39,7 +39,10 @@ def norm_cell(v):
 
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    # sort by repr: gives a total order even with NULLs / mixed types
+    return sorted(
+        (tuple(norm_cell(r[i]) for i in order) for r in rows), key=repr
+    )
 
 
 def main() -> int:
