@@ -78,6 +78,76 @@ def probe_clusters(
     return ranked[:n_probe]
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    vector_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """OFFLINE centroid training via MLlib KMeans — the production source of
+    the IVF coarse quantizer (first-K vectors are only the deterministic test
+    stand-in). Seeded, so the layout is reproducible; retraining cadence is an
+    ETL concern, not a query concern."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(array_to_vector(F.col(vector_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def lsh_similarity_join(
+    df: DataFrame,
+    cosine_threshold: float,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate cosine near-dup pairs via MLlib BucketedRandomProjectionLSH.
+
+    Unit-normalize first: on the sphere, euclidean distance d and cosine s
+    satisfy d = sqrt(2 - 2s), so `cosine >= t` becomes `dist <= sqrt(2-2t)`.
+    approxSimilarityJoin prunes candidate pairs to same-bucket collisions —
+    the MLlib-native alternative to the hand-rolled banded joins in
+    operators/dedup.py. Recall < 1 (tunable via num_hash_tables); measure
+    against similarity_self_join.
+    """
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from jsonify2ai_spark.functions.vectors import l2_normalize
+
+    dist_threshold = math.sqrt(max(0.0, 2.0 - 2.0 * cosine_threshold))
+    normed = df.select(
+        F.col(id_col),
+        array_to_vector(l2_normalize(F.col(vector_col)).cast("array<double>")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(normed)
+    joined = model.approxSimilarityJoin(normed, normed, dist_threshold, distCol="dist")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("a"),
+            F.col(f"datasetB.{id_col}").alias("b"),
+            # back to cosine: s = 1 - d^2/2 (unit vectors)
+            F.round(F.lit(1.0) - F.col("dist") * F.col("dist") / F.lit(2.0), 6).alias("score"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

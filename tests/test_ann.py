@@ -4,8 +4,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from jsonify2ai_spark.operators.ann import ivf_assign, ivf_topk, probe_clusters
-from jsonify2ai_spark.operators.search import knn_brute
+from jsonify2ai_spark.operators.ann import (
+    ivf_assign,
+    ivf_topk,
+    kmeans_centroids,
+    lsh_similarity_join,
+    probe_clusters,
+)
+from jsonify2ai_spark.operators.search import knn_brute, similarity_self_join
 
 
 def _centroids(tables, k=4):
@@ -48,3 +54,27 @@ def test_ivf_topk_hits_query_vector_and_recall(tables):
     exact_ids = {r["vec_id"] for r in knn_brute(emb, q, k=10).collect()}
     approx_ids = {r["vec_id"] for r in rows}
     assert len(exact_ids & approx_ids) >= 5
+
+
+def test_kmeans_centroids_usable_for_ivf(tables):
+    emb = tables["embeddings"]
+    cents = kmeans_centroids(emb, k=4, seed=7)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    q = _query_vec(tables)
+    rows = ivf_topk(emb, q, cents, k=5, n_probe=2).collect()
+    assert len(rows) == 5
+    assert rows[0]["vec_id"] == 0  # the query vector's own cell is probed
+
+
+def test_lsh_similarity_join_recall(tables):
+    emb = tables["embeddings"]
+    threshold = 0.8
+    exact = {(r["a"], r["b"]) for r in similarity_self_join(emb, threshold).collect()}
+    approx = {
+        (r["a"], r["b"])
+        for r in lsh_similarity_join(emb, threshold, num_hash_tables=6).collect()
+    }
+    assert approx <= exact or not exact  # no false positives (exact verify on dist)
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.8, f"recall {recall}: {len(exact)} exact, {len(approx)} approx"
