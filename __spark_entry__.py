@@ -549,6 +549,72 @@ def q34_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_archive_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19 archive splitter: shard documents at ~50k-char boundaries, never
+    mid-document — a cumulative-length window then floor-divide, the Spark
+    form of scripts/dev/tools/archive_split.py. One shuffle on the partition
+    key; the running sum is an in-partition scan."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t["documents"].select(
+        "doc_id",
+        "source",
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / F.lit(50_000)).alias("shard"),
+    )
+
+
+def q36_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 scroll/pagination: page 3 (rows 101-150) of the id-ordered corpus
+    via row_number — the API-page form of the reference's 8192-point scroll
+    (documents.py:28-39). At scale: keyset pagination (WHERE id > cursor)
+    beats OFFSET; this is the offset form the API exposes."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    w = Window.orderBy("doc_id")
+    return (
+        t["documents"]
+        .select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 150))
+    )
+
+
+def q37_source_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4/F8/F10: the search-hit Source normalization — payload allow-list
+    projection, coalesce content, 600-char excerpt + ellipsis
+    (search.py:23-71, qdrant_client.py:594-606)."""
+    from jsonify2ai_spark.functions.text import truncate_ellipsis
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return t["documents"].select(
+        "doc_id",
+        truncate_ellipsis(F.coalesce(F.col("text"), F.lit("")), 600).alias("excerpt"),
+        F.length("text").alias("full_len"),
+    )
+
+
+def q38_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 eval metrics shape: p50/p95 via linear-interpolation percentile
+    (ask_eval.py:56-127 uses statistics.quantiles — same definition) over the
+    events value column, per event type."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -585,6 +651,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_order_revenue": q32_order_revenue,
         "q33_events_inventory": q33_events_inventory,
         "q34_chunk_stats": q34_chunk_stats,
+        "q35_archive_shards": q35_archive_shards,
+        "q36_pagination": q36_pagination,
+        "q37_source_projection": q37_source_projection,
+        "q38_latency_percentiles": q38_latency_percentiles,
     }
 
 
@@ -965,4 +1035,34 @@ def oracle_sql() -> dict[str, str]:
         # chunker is sequential per document (pandas UDF, tested against
         # reference goldens in tests/test_chunker.py); driver records the
         # rows-only check.
+        "q35_archive_shards": """
+            SELECT doc_id, source,
+                   CAST(floor((sum(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_chars) / 50000) AS BIGINT) AS shard
+            FROM documents
+        """,
+        "q36_pagination": """
+            SELECT doc_id, source, rn FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (ORDER BY doc_id) AS rn
+                FROM documents)
+            WHERE rn > 100 AND rn <= 150
+        """,
+        "q37_source_projection": """
+            SELECT doc_id,
+                   CASE WHEN length(coalesce(text, '')) > 600
+                        THEN substr(coalesce(text, ''), 1, 600) || '…'
+                        ELSE coalesce(text, '') END AS excerpt,
+                   length(text) AS full_len
+            FROM documents
+        """,
+        "q38_latency_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
     }
