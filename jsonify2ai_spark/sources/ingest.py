@@ -167,6 +167,31 @@ def embed_chunks(chunks: DataFrame, dim: int = 768, text_col: str = "text") -> D
     return chunks.withColumn("vector", dev_embedding(F.col(text_col), dim=dim))
 
 
+def ingest_summary(docs: DataFrame, chunks: DataFrame) -> DataFrame:
+    """A5 per-run ingest summary in two small aggregations: files scanned,
+    documents parsed/skipped (with reasons), chunk count, per-kind counts —
+    the reference accumulates these in Python dicts per file
+    (ingest_dropzone.py:349-356,512-522); here each is a map-side-combined
+    aggregate over the run's DataFrames."""
+    doc_stats = docs.agg(
+        F.count(F.lit(1)).alias("documents_seen"),
+        F.count(F.when(F.col("skip_reason").isNotNull(), 1)).alias("documents_skipped"),
+        F.countDistinct("path").alias("files_scanned"),
+        F.array_sort(F.collect_set("skip_reason")).alias("skip_reasons"),
+    )
+    chunk_stats = chunks.agg(F.count(F.lit(1)).alias("chunks_emitted"))
+    per_kind = (
+        chunks.groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("kind", "n")))
+            ).alias("per_kind")
+        )
+    )
+    return doc_stats.crossJoin(chunk_stats).crossJoin(per_kind)
+
+
 def ingest_files(
     spark: SparkSession,
     root: str,
