@@ -615,6 +615,36 @@ def q38_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q39_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min): lag + cumulative boundary sum, one
+    shuffle on user_id — the event-pipeline classic Spark lacks natively."""
+    from jsonify2ai_spark.operators.temporal import sessionize
+
+    t = load_tables(spark, sf_dir, ["events"])
+    return sessionize(t["events"]).select("event_id", "user_id", "session_id")
+
+
+def q40_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (events -> latest order at or before each event, ties to
+    highest orderkey) via the union-window form: one shuffle on the key, no
+    inequality join — the scalable shape; the oracle is the naive ranked
+    left-join."""
+    from jsonify2ai_spark.operators.temporal import asof_join
+
+    t = load_tables(spark, sf_dir, ["events", "orders"])
+    return asof_join(
+        t["events"],
+        t["orders"],
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_vals=["o_orderkey", "o_totalprice"],
+        left_id="event_id",
+        right_id="o_orderkey",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -655,6 +685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_pagination": q36_pagination,
         "q37_source_projection": q37_source_projection,
         "q38_latency_percentiles": q38_latency_percentiles,
+        "q39_sessionize": q39_sessionize,
+        "q40_asof_join": q40_asof_join,
     }
 
 
@@ -1064,5 +1096,31 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.95), 4) AS p95,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "q39_sessionize": """
+            SELECT event_id, user_id,
+                   sum(CASE WHEN prev_ts IS NULL
+                             OR epoch(ts) - epoch(prev_ts) > 1800.0
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM (SELECT event_id, user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             AS prev_ts
+                  FROM events)
+        """,
+        "q40_asof_join": """
+            WITH ranked AS (
+                SELECT e.user_id, e.event_id, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM events e
+                LEFT JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+            SELECT user_id, event_id, o_orderkey, o_totalprice
+            FROM ranked WHERE rn = 1
         """,
     }
