@@ -208,22 +208,25 @@ def ngram_jaccard_pairs(
     # collision probability.
     sh = shingles(F.col(text_col), n=shingle_n)
     based = df.select(F.col(id_col), sh.alias("_sh"))
-    sizes = based.select(F.col(id_col), F.size("_sh").alias("sz"))
+    # carry |set| through the explode: sz is functionally dependent on the id,
+    # so adding it to the pair groupBy keys is free and saves two join stages
     ex = based.select(
-        F.col(id_col), F.explode(F.transform("_sh", lambda s: _shingle_hash(s))).alias("sh")
+        F.col(id_col),
+        F.size("_sh").alias("sz"),
+        F.explode(F.transform("_sh", lambda s: _shingle_hash(s))).alias("sh"),
     )
-    a = ex.select(F.col(id_col).alias("a"), "sh")
-    b = ex.select(F.col(id_col).alias("b"), "sh")
+    a = ex.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"), "sh")
+    b = ex.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"), "sh")
     common = (
         a.join(b, "sh")
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
+        .groupBy("a", "b", "sza", "szb")
         .agg(F.count(F.lit(1)).alias("common"))
     )
     out = (
-        common.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
-        .withColumn("jaccard", F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")))
+        common.withColumn(
+            "jaccard", F.col("common") / (F.col("sza") + F.col("szb") - F.col("common"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
