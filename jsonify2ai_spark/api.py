@@ -1,0 +1,161 @@
+"""User-facing API facade — the reference's HTTP surface as Python functions.
+
+Route -> function map (reference: worker/app/routers/*):
+- POST /process/* + CLI ingest  -> :func:`ingest`        (process.py:370-1600)
+- GET|POST /search              -> :func:`search`        (search.py:144-220)
+- POST /ask (data plane)        -> :func:`ask`           (ask.py:253-462)
+- GET /documents                -> :func:`documents`     (documents.py:19-168)
+- DELETE /documents/{id}        -> :func:`delete_document` (documents.py:171-203)
+- GET /status (counts)          -> :func:`stats`         (status.py:112-162)
+- GET /export/{id}.jsonl|.zip   -> :func:`export_document` (export.py:62-419)
+
+Each function is a thin composition of the operator modules — the operators
+stay independently usable; this module is the "switch from the reference"
+entry point. The corpus is a chunks DataFrame (see sinks.tables.ensure_table
++ sources.ingest for building one); queries never mutate it — mutation
+functions RETURN the new table state for the caller to write (immutable
+Parquet discipline, snapshot isolation for readers).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonify2ai_spark.functions.vectors import dev_embedding_py
+from jsonify2ai_spark.operators.inventory import documents_inventory, stats_report
+from jsonify2ai_spark.operators.search import cosine_topk
+from jsonify2ai_spark.operators.snippets import select_snippets
+from jsonify2ai_spark.operators.upsert import delete_documents, replace_documents
+from jsonify2ai_spark.sources.ingest import ingest_files
+
+MIN_SYNTH_SCORE = 0.55  # reference config.py:86
+
+
+def ingest(
+    spark: SparkSession,
+    root: str,
+    existing: DataFrame | None = None,
+    **kw: Any,
+) -> DataFrame:
+    """§3.1 pipeline: files under ``root`` -> new chunks-table state
+    (idempotent replace when ``existing`` is given)."""
+    return ingest_files(spark, root, existing=existing, **kw)
+
+
+def _build_filter(
+    document_id: str | None = None,
+    kind: str | None = None,
+    path: str | None = None,
+    ts_after: int | None = None,
+    ts_before: int | None = None,
+) -> Column | None:
+    """P1/P2 filter builder (search.py:74-105): equality + time range."""
+    preds = []
+    if document_id is not None:
+        preds.append(F.col("document_id") == document_id)
+    if kind is not None:
+        preds.append(F.col("kind") == kind)
+    if path is not None:
+        preds.append(F.col("path") == path)
+    if ts_after is not None:
+        preds.append(F.col("ingested_at_ts") >= ts_after)
+    if ts_before is not None:
+        preds.append(F.col("ingested_at_ts") < ts_before)
+    if not preds:
+        return None
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def search(
+    chunks: DataFrame,
+    query: str,
+    k: int = 5,
+    dim: int = 768,
+    embed=None,
+    **filters: Any,
+) -> DataFrame:
+    """§3.2: embed query -> filter -> cosine top-k -> Source projection
+    (600-char excerpt, no vectors). ``embed`` is query-text -> vector;
+    defaults to the deterministic dev-mode embedding."""
+    from jsonify2ai_spark.functions.text import truncate_ellipsis
+
+    qvec = (embed or (lambda t: dev_embedding_py(t, dim=dim)))(query)
+    hits = cosine_topk(
+        chunks,
+        qvec,
+        k=k,
+        vector_col="vector",
+        id_cols=("document_id", "idx"),
+        filters=_build_filter(**filters),
+    )
+    return hits.select(
+        "id",
+        "document_id",
+        "kind",
+        "path",
+        "idx",
+        truncate_ellipsis(F.coalesce(F.col("text"), F.lit("")), 600).alias("text"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def ask(
+    chunks: DataFrame,
+    question: str,
+    k: int = 5,
+    dim: int = 768,
+    embed=None,
+    min_synth_score: float = MIN_SYNTH_SCORE,
+    **filters: Any,
+) -> dict[str, Any]:
+    """§3.3 data plane: retrieve -> synthesis gate -> snippet selection.
+    Returns {sources, snippets, would_synth, top_score}; prompt assembly and
+    the LLM call are the caller's (control-plane) concern — exactly the
+    reference's split, with generate() pluggable."""
+    pool = search(chunks, question, k=max(k, 10), dim=dim, embed=embed, **filters)
+    rows = select_snippets(
+        pool, score_col="score", text_col="text", id_cols=("document_id", "idx")
+    ).collect()
+    top = max((r["score"] for r in rows), default=None)
+    return {
+        "sources": [
+            {k2: r[k2] for k2 in ("document_id", "path", "kind", "idx", "score")}
+            for r in rows
+        ],
+        "snippets": [r["snippet"] for r in rows],
+        "top_score": top,
+        "would_synth": bool(rows) and top is not None and top >= min_synth_score,
+    }
+
+
+def documents(chunks: DataFrame, limit: int = 200) -> DataFrame:
+    """A1 inventory: per-document kinds/paths/chunk counts, newest-id first."""
+    return documents_inventory(chunks, limit=limit)
+
+
+def delete_document(chunks: DataFrame, document_id: str) -> DataFrame:
+    """K4: new table state without the document (write-back is the caller's)."""
+    return delete_documents(chunks, [document_id])
+
+
+def upsert_documents(chunks: DataFrame, incoming: DataFrame) -> DataFrame:
+    """J5: idempotent replace-by-document_id merge."""
+    return replace_documents(chunks, incoming)
+
+
+def stats(chunks: DataFrame) -> DataFrame:
+    """A2-A4: total + per-kind counts in one pass (GROUPING SETS rollup)."""
+    return stats_report(chunks)
+
+
+def export_document(chunks: DataFrame, document_id: str, out_dir: str) -> None:
+    """K5: JSONL export with the stable field order."""
+    from jsonify2ai_spark.sinks.export import export_jsonl
+
+    export_jsonl(chunks, out_dir, document_id=document_id)
