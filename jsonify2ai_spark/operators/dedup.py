@@ -113,24 +113,20 @@ def minhash_signatures(
     a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
     b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
     id_type = dict(df.dtypes)[id_col]
-    src = df.select(F.col(id_col), sh.alias("_sh"))
+    # shingle hashing stays in the JVM (codegen md5) — Python receives int64
+    # arrays, not strings: smaller Arrow payload, no per-shingle hashlib
+    src = df.select(
+        F.col(id_col),
+        F.transform(sh, lambda s: _shingle_hash(s) % _P).alias("_hs"),
+    )
 
     def gen(batches):
-        import hashlib
-
         import pandas as pd
 
         for batch in batches:
             sigs = []
-            for shingle_list in batch["_sh"]:
-                hs = np.fromiter(
-                    (
-                        int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % _P
-                        for s in shingle_list
-                    ),
-                    dtype=np.int64,
-                    count=len(shingle_list),
-                )
+            for hashes in batch["_hs"]:
+                hs = np.asarray(hashes, dtype=np.int64)
                 # a*h < P^2 < 2^62: stays inside int64, matching the JVM math
                 sigs.append(((a_vec * hs[None, :] + b_vec) % _P).min(axis=1).tolist())
             yield pd.DataFrame({id_col: batch[id_col], "signature": sigs})
@@ -255,25 +251,22 @@ def simhash(
         import numpy as np
 
         id_type = dict(df.dtypes)[id_col]
-        src = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+        # token hashing stays in the JVM (codegen md5) — Python receives int64
+        # arrays, not token strings
+        th_col = F.transform(
+            tokens(F.col(text_col)),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint"),
+        )
+        src = df.select(F.col(id_col), th_col.alias("_th"))
         bit_idx = np.arange(32, dtype=np.int64)
 
         def gen(batches):
-            import hashlib
-
             import pandas as pd
 
             for batch in batches:
                 fps = []
-                for token_list in batch["_tk"]:
-                    th = np.fromiter(
-                        (
-                            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
-                            for t in token_list
-                        ),
-                        dtype=np.int64,
-                        count=len(token_list),
-                    )
+                for hashes in batch["_th"]:
+                    th = np.asarray(hashes, dtype=np.int64)
                     if not len(th):
                         fps.append(0)
                         continue
