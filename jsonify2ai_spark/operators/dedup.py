@@ -188,6 +188,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     round_to: int | None = 6,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (a < b, jaccard >= threshold) via shingle
     self-join: |A ∩ B| from an equi-join on shingle, |A ∪ B| = |A|+|B|-∩.
@@ -195,7 +196,19 @@ def ngram_jaccard_pairs(
     The equi-join on shingle is the scalable form of all-pairs set overlap —
     no crossJoin; skewed (ubiquitous) shingles are the hazard at 100 TB and
     should be dropped by document frequency before the join (df_cap).
+
+    ``prefix_filter=True`` switches to SSJoin/PPJoin-style prefix filtering
+    (Chaudhuri et al. ICDE'06, Xiao et al. WWW'08), still EXACT: under any
+    global total order of shingles (hash order here — free), two sets with
+    jaccard >= t must share an element within their first
+    |X| - ceil(t*|X|) + 1 shingles, so the candidate join explodes only
+    prefixes; candidates are then verified with the exact intersection size.
+    At high thresholds this collapses the join input (t=0.8 -> ~20% of rows).
     """
+    if prefix_filter:
+        return _jaccard_prefix_filtered(
+            df, threshold, text_col, id_col, shingle_n, round_to
+        )
     # shingles() is already distinct-per-doc, so no dedup shuffle needed, and
     # |set| comes free from the array size (no extra aggregation). The join
     # key is the 60-bit md5-derived shingle hash, not the raw string: hashing
@@ -223,6 +236,50 @@ def ngram_jaccard_pairs(
         common.withColumn(
             "jaccard", F.col("common") / (F.col("sza") + F.col("szb") - F.col("common"))
         )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    if round_to is not None:
+        out = out.withColumn("jaccard", F.round("jaccard", round_to))
+    return out
+
+
+def _jaccard_prefix_filtered(
+    df: DataFrame,
+    threshold: float,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    round_to: int | None,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (see ngram_jaccard_pairs).
+
+    Plan: hash-sort each doc's shingle-hash set once; explode only the prefix;
+    equi-join prefixes; verify candidate pairs against the full sorted arrays
+    with array_intersect. Two shuffles total (candidate join + verify join),
+    both proportional to prefix/candidate volume, not the full posting list.
+    """
+    sh = shingles(F.col(text_col), n=shingle_n)
+    based = df.select(
+        F.col(id_col),
+        F.array_sort(F.transform(sh, lambda s: _shingle_hash(s))).alias("_hs"),
+    )
+    sz = F.size("_hs")
+    # prefix length |X| - ceil(t*|X|) + 1 (>= 1)
+    plen = F.greatest(sz - F.ceil(F.lit(threshold) * sz).cast("int") + 1, F.lit(1))
+    # candidate generation ships only (id, hash) pairs; the full arrays join
+    # in at verify time (per-candidate, not per-prefix-element)
+    prefixed = based.select(F.col(id_col), F.explode(F.slice("_hs", 1, plen)).alias("sh"))
+    a = prefixed.select(F.col(id_col).alias("a"), "sh")
+    b = prefixed.select(F.col(id_col).alias("b"), "sh")
+    cand = a.join(b, "sh").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    cand = cand.join(
+        based.select(F.col(id_col).alias("a"), F.col("_hs").alias("_ha")), "a"
+    ).join(based.select(F.col(id_col).alias("b"), F.col("_hs").alias("_hb")), "b")
+    common = F.size(F.array_intersect("_ha", "_hb"))
+    union = F.size("_ha") + F.size("_hb") - common
+    out = (
+        cand.withColumn("jaccard", common / union)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

@@ -133,6 +133,22 @@ def test_similarity_blas_matches_expr(spark, tables):
     assert blas == expr
 
 
+def test_jaccard_prefix_filter_exact(spark, tables):
+    """Prefix filtering must be EXACT (candidate-completeness theorem) —
+    identical pairs and scores to the full posting join at any threshold."""
+    docs = tables["documents"]
+    for t in (0.3, 0.5, 0.8):
+        full = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, t).collect()
+        }
+        pf = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, t, prefix_filter=True).collect()
+        }
+        assert pf == full, f"t={t}: prefix={len(pf)} full={len(full)}"
+
+
 def test_simhash_arrow_matches_expr(spark, tables):
     docs = tables["documents"].limit(40)
     a = {r["doc_id"]: r["simhash"] for r in simhash(docs, impl="arrow").collect()}
