@@ -69,17 +69,23 @@ def dev_embedding(text: Column | str, dim: int = 768, signed: bool = False) -> C
     against a SQL oracle.
     """
     text = F.col(text) if isinstance(text, str) else text
-    hexd = F.sha2(text.cast("string"), 256)  # 64 hex chars = 32 bytes
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
 
-    def byte_at(i: Column) -> Column:
-        # digest byte i%32 -> int value via conv(hexpair, 16, 10)
-        pair = F.substring(hexd, (i % 32) * 2 + 1, 2)
-        return F.conv(pair, 16, 10).cast("double")
+    def _expand(hexd: Column) -> Column:
+        # hexd is LET-BOUND by the outer transform: referencing the sha2
+        # expression directly inside the per-element lambda would recompute
+        # the digest dim times per row (no CSE across lambda bodies)
+        def byte_at(i: Column) -> Column:
+            # digest byte i%32 -> int value via conv(hexpair, 16, 10)
+            pair = F.substring(hexd, (i % 32) * 2 + 1, 2)
+            return F.conv(pair, 16, 10).cast("double")
 
-    if signed:
-        return F.transform(idx, lambda i: byte_at(i) / F.lit(255.0) * 2.0 - 1.0)
-    return F.transform(idx, lambda i: byte_at(i) / F.lit(256.0))
+        if signed:
+            return F.transform(idx, lambda i: byte_at(i) / F.lit(255.0) * 2.0 - 1.0)
+        return F.transform(idx, lambda i: byte_at(i) / F.lit(256.0))
+
+    digest = F.array(F.sha2(text.cast("string"), 256))  # 64 hex chars = 32 bytes
+    return F.element_at(F.transform(digest, _expand), 1)
 
 
 def dev_embedding_py(text: str, dim: int = 768, signed: bool = False) -> list[float]:
