@@ -37,9 +37,39 @@ def _vec_lit(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _norm_py(vec: list[float]) -> float:
+    """Sequential-fold L2 norm — bit-identical to l2_norm's aggregate() and
+    the oracle's list_sum fold (do NOT use math.fsum: higher precision would
+    break score parity)."""
+    import math
+
+    s = 0.0
+    for x in vec:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
 def centroid_scores(vector: Column, centroids: list[list[float]]) -> Column:
-    """array<double> of cosine(vector, centroid_i) — one entry per centroid."""
-    return F.array(*[cosine_similarity(vector, _vec_lit(c)) for c in centroids])
+    """array<double> of cosine(vector, centroid_i) — one entry per centroid.
+
+    Centroid norms are Python-precomputed constants (identical fold order, so
+    bit-equal to computing them in the plan) and the row vector's norm is
+    LET-BOUND once — naive per-centroid cosine_similarity would re-fold both
+    norms K times per row (no CSE across array elements' aggregates).
+    Formula stays dot/(|v|*|c|), numerically identical to the oracle.
+    """
+    from jsonify2ai_spark.functions.vectors import dot, l2_norm
+
+    cnorms = [_norm_py(c) for c in centroids]
+
+    def mk(nv: Column) -> Column:
+        sims = []
+        for c, cn in zip(centroids, cnorms):
+            denom = nv * F.lit(cn)
+            sims.append(F.when(denom != 0, dot(vector, _vec_lit(c)) / denom))
+        return F.array(*sims)
+
+    return F.element_at(F.transform(F.array(l2_norm(vector)), mk), 1)
 
 
 def ivf_assign(
