@@ -645,6 +645,56 @@ def q40_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q41_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (TPC-H Q4 shape): orders with >= 1 late lineitem,
+    counted per priority. Semi joins ship only the key set — no fan-out."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    big = t["lineitem"].filter(F.col("l_quantity") >= 48)
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q42_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame moving aggregate: per user, each event's count/sum over
+    the trailing hour of EVENT TIME (range frame on epoch seconds — rows
+    frames can't express time-based trailing windows)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["events"])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)  # trailing hour, microsecond precision
+    )
+    return t["events"].select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 2).alias("value_last_hour"),
+    )
+
+
+def q43_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (TPC-H Q22 shape): customers with no URGENT order, per
+    nation — the NOT EXISTS plan (the anti side reduces to its distinct key
+    set before shuffling)."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -687,6 +737,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_latency_percentiles": q38_latency_percentiles,
         "q39_sessionize": q39_sessionize,
         "q40_asof_join": q40_asof_join,
+        "q41_semi_join": q41_semi_join,
+        "q42_moving_window": q42_moving_window,
+        "q43_anti_join": q43_anti_join,
     }
 
 
@@ -1122,5 +1175,29 @@ def oracle_sql() -> dict[str, str]:
                   ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
             SELECT user_id, event_id, o_orderkey, o_totalprice
             FROM ranked WHERE rn = 1
+        """,
+        "q41_semi_join": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+            GROUP BY o_orderpriority
+        """,
+        "q42_moving_window": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_last_hour,
+                   round(sum(value) OVER w, 2) AS value_last_hour
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "q43_anti_join": """
+            SELECT c_nationkey, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
         """,
     }
