@@ -695,6 +695,66 @@ def q43_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_K = 60  # reciprocal-rank-fusion constant (Cormack et al.)
+
+
+def q44_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 and vector rankings fused with reciprocal-rank
+    fusion, rrf = 1/(k+rank_bm25) + 1/(k+rank_vec) — completes the
+    reference's hybrid-search roadmap item (README.md:153) with both
+    retrieval systems as one plan. Ranks are integers, so the fused score is
+    engine-exact (no float-fold concerns)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+
+    bm25 = bm25_topk(docs, _SEARCH_QUERY, k=20)
+    w_b = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    bm25_r = bm25.select("doc_id", F.row_number().over(w_b).alias("rank_bm25"))
+
+    qvec = dev_embedding_py(_SEARCH_QUERY, dim=64)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = docs.withColumn(
+        "score", F.round(cosine_similarity(dev_embedding(F.col("text"), dim=64), q), 6)
+    )
+    vec = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(20)
+    w_v = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    vec_r = vec.select("doc_id", F.row_number().over(w_v).alias("rank_vec"))
+
+    fused = bm25_r.join(vec_r, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_bm25")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rank_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)
+
+
+def q45_brand_revenue_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery HAVING (TPC-H Q11 shape) over the part/supplier side:
+    revenue per brand, keeping brands above 1/24 of TOTAL revenue. The global
+    scalar is one extra reduction broadcast into the filter."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    li = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).join(
+        F.broadcast(t["supplier"].select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_brand = li.groupBy("p_brand").agg(rev.alias("raw_rev"))
+    total = per_brand.agg(F.sum("raw_rev").alias("total_rev"))
+    return (
+        per_brand.crossJoin(F.broadcast(total))
+        .filter(F.col("raw_rev") > F.col("total_rev") / 24)
+        .select("p_brand", F.round("raw_rev", 2).alias("revenue"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -740,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_semi_join": q41_semi_join,
         "q42_moving_window": q42_moving_window,
         "q43_anti_join": q43_anti_join,
+        "q44_hybrid_rrf": q44_hybrid_rrf,
+        "q45_brand_revenue_having": q45_brand_revenue_having,
     }
 
 
@@ -1199,5 +1261,35 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
             GROUP BY c_nationkey
+        """,
+        "q44_hybrid_rrf": f"""
+            WITH bm AS ({bm25_oracle_sql(_SEARCH_QUERY, k=20)}),
+            bm_r AS (SELECT doc_id,
+                            row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25
+                     FROM bm),
+            scored AS (SELECT doc_id,
+                              round({_dd_cosine(_dd_dev_embedding("text"), "[" + ", ".join(repr(x) for x in dev_embedding_py(_SEARCH_QUERY, dim=64)) + "]")}, 6) AS score
+                       FROM documents),
+            vec AS (SELECT doc_id, score FROM scored
+                    ORDER BY score DESC, doc_id LIMIT 20),
+            vec_r AS (SELECT doc_id,
+                             row_number() OVER (ORDER BY score DESC, doc_id) AS rank_vec
+                      FROM vec)
+            SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+                   round(coalesce(1.0 / ({_RRF_K} + b.rank_bm25), 0.0)
+                         + coalesce(1.0 / ({_RRF_K} + v.rank_vec), 0.0), 6) AS rrf
+            FROM bm_r b FULL OUTER JOIN vec_r v ON b.doc_id = v.doc_id
+            ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
+        "q45_brand_revenue_having": """
+            WITH per_brand AS (
+                SELECT p_brand, sum(l_extendedprice * (1 - l_discount)) AS raw_rev
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY p_brand)
+            SELECT p_brand, round(raw_rev, 2) AS revenue
+            FROM per_brand
+            WHERE raw_rev > (SELECT sum(raw_rev) FROM per_brand) / 24
         """,
     }
