@@ -134,6 +134,55 @@ def ask(
     }
 
 
+def render_prompt(question: str, snippets: list[str], tags: list[str] | None = None) -> str:
+    """F19 prompt renderer (reference ask.py:212-227,359-372): numbered,
+    source-tagged snippets + grounded-only instructions, 3-6 sentence cap.
+    Driver-side string work — the data plane ends at the snippet set."""
+    tags = tags or [f"[T{i + 1}]" for i in range(len(snippets))]
+    numbered = "\n\n".join(
+        f"{i + 1}. {tag} {s[:700]}" for i, (tag, s) in enumerate(zip(tags, snippets))
+    )
+    return (
+        "Answer the question using ONLY the numbered context snippets below. "
+        "If the context is insufficient, say so. Keep the answer to 3-6 "
+        "sentences and cite snippet tags.\n\n"
+        f"Context:\n{numbered}\n\nQuestion: {question}\nAnswer:"
+    )
+
+
+def ask_and_generate(
+    chunks: DataFrame,
+    question: str,
+    generate=None,
+    **kw: Any,
+) -> dict[str, Any]:
+    """§3.3 complete: data plane via :func:`ask`, then the gated LLM call.
+    ``generate(prompt) -> str`` is the model transport (reference
+    providers/llm/ollama.py:21-72); generation failure falls back to
+    retrieve-only, exactly like ask.py:333-341. No transport configured ->
+    retrieve mode with a skip reason (the reference's synth_skipped_reason)."""
+    out = ask(chunks, question, **kw)
+    out["mode"] = "retrieve"
+    if not out["would_synth"]:
+        out["synth_skipped_reason"] = "below_min_score_or_no_sources"
+        return out
+    if generate is None:
+        out["synth_skipped_reason"] = "no_llm_provider"
+        return out
+    prompt = render_prompt(question, out["snippets"])
+    try:
+        answer = generate(prompt)
+    except Exception:
+        out["synth_skipped_reason"] = "generation_failed"
+        return out
+    if answer:
+        out["mode"] = "synthesize"
+        out["answer"] = answer
+    else:
+        out["synth_skipped_reason"] = "empty_generation"
+    return out
+
+
 def documents(chunks: DataFrame, limit: int = 200) -> DataFrame:
     """A1 inventory: per-document kinds/paths/chunk counts, newest-id first."""
     return documents_inventory(chunks, limit=limit)

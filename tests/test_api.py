@@ -51,6 +51,30 @@ def test_ask_gates_and_snippets(corpus):
     assert exact["would_synth"] and exact["top_score"] >= 0.99
 
 
+def test_ask_and_generate_modes(corpus):
+    q = corpus.select("text").first()[0]  # exact-match question -> gate passes
+    # no provider -> retrieve mode with reason
+    out = api.ask_and_generate(corpus, q, dim=64)
+    assert out["mode"] == "retrieve" and out["synth_skipped_reason"] == "no_llm_provider"
+    # provider -> synthesized answer from a grounded prompt
+    seen = {}
+    def fake_llm(prompt):
+        seen["prompt"] = prompt
+        return "Grounded answer [T1]."
+    out = api.ask_and_generate(corpus, q, generate=fake_llm, dim=64)
+    assert out["mode"] == "synthesize" and out["answer"].startswith("Grounded")
+    assert "ONLY the numbered context" in seen["prompt"] and "[T1]" in seen["prompt"]
+    # provider failure -> graceful retrieve fallback
+    def broken(prompt):
+        raise TimeoutError
+    out = api.ask_and_generate(corpus, q, generate=broken, dim=64)
+    assert out["mode"] == "retrieve" and out["synth_skipped_reason"] == "generation_failed"
+    # gate: nonsense question scores low -> synthesis skipped pre-provider
+    low = api.ask_and_generate(corpus, "zzz qqq xxx", generate=fake_llm, dim=64,
+                               min_synth_score=0.999)
+    assert low["mode"] == "retrieve"
+
+
 def test_documents_delete_upsert_stats(corpus, spark, tmp_path):
     inv = api.documents(corpus).collect()
     assert len(inv) == 3
