@@ -21,11 +21,15 @@ from jsonify2ai_spark.functions.text import (
     tokens,
     token_count,
     shingles,
+    bpe_tokens,
+    bpe_token_count,
 )
+from jsonify2ai_spark.functions.embed_live import embed_column, live_embedding_udf
 
 __all__ = [
     "cosine_similarity", "dot", "l2_norm", "l2_normalize", "dev_embedding",
     "uuid5_sql", "uuid5_py", "document_id_for", "chunk_id_for",
     "normalize_ws", "normalize_newlines", "truncate_ellipsis",
-    "tokens", "token_count", "shingles",
+    "tokens", "token_count", "shingles", "bpe_tokens", "bpe_token_count",
+    "embed_column", "live_embedding_udf",
 ]

@@ -15,7 +15,8 @@ from jsonify2ai_spark.sources.csvsrc import csv_join_lines, read_csv_joined
 from jsonify2ai_spark.sources.transcript import detect_transcript, parse_transcript
 from jsonify2ai_spark.sources.chatgpt import is_chatgpt_export, parse_chatgpt_export
 from jsonify2ai_spark.sources.router import extract_text_auto, kind_for_ext, SkipFile
-from jsonify2ai_spark.sources.ingest import ingest_files, read_binary_files
+from jsonify2ai_spark.sources.ingest import ingest_files, ingest_summary, read_binary_files
+from jsonify2ai_spark.sources.notes import parse_note_text, parse_notes
 
 __all__ = [
     "flatten_json_text", "flatten_obj", "flatten_json_col",
@@ -23,5 +24,6 @@ __all__ = [
     "detect_transcript", "parse_transcript",
     "is_chatgpt_export", "parse_chatgpt_export",
     "extract_text_auto", "kind_for_ext", "SkipFile",
-    "ingest_files", "read_binary_files",
+    "ingest_files", "ingest_summary", "read_binary_files",
+    "parse_note_text", "parse_notes",
 ]
