@@ -9,12 +9,20 @@ a 1000-executor cluster at ~100 TB:
 
 - ``schema``      — the unified chunk schema (reference: worker/app/schema/chunk_schema.py)
 - ``session``     — tuned SparkSession builder (AQE, Arrow, shuffle sizing)
-- ``functions``   — scalar building blocks: ids (UUID5), dev-mode embeddings,
-                    cosine similarity, text normalization
-- ``operators``   — search (top-k, similarity join), dedup (exact/minhash/simhash),
-                    chunkers, text stats, inventory aggregations, idempotent upsert
-- ``sources``     — file-format parsers (csv/json/jsonl/text flatteners, router)
-- ``streaming``   — Structured Streaming dropzone watcher (incremental ingest)
+- ``functions``   — scalar building blocks: ids (UUID5), dev-mode + live embeddings,
+                    cosine similarity, text normalization, BPE-ish tokens
+- ``operators``   — search (top-k, similarity joins incl. broadcast-GEMM), ANN
+                    (IVF, MLlib KMeans/LSH), dedup (exact/minhash/simhash/jaccard/
+                    winnowing), BM25 text search, chunkers, text stats, snippets,
+                    inventory, idempotent upsert, skew mitigation, temporal
+                    (sessionize, as-of), eval harness
+- ``sources``     — file-format parsers + detectors (csv/json/chatgpt/transcript/
+                    notes), the §3.1 ingest dataflow
+- ``sinks``       — JSONL/ZIP export with manifests, table ensure/repair
+- ``streaming``   — dropzone watcher, watermarked windows, stateful debounce
+- ``multimodal``  — binary media columns + decode/feature/frame-sample stubs
+- ``plans``       — physical-plan inspection/assertion helpers
+- ``api``         — the reference's HTTP surface as functions (search/ask/...)
 """
 
 __version__ = "0.1.0"
