@@ -87,3 +87,43 @@ def test_uuid5_sql_matches_cpython_on_random_corpus(spark):
     ns = uuid.UUID("00000000-0000-5000-8000-000000000000")
     for n in names:
         assert got[n] == str(uuid.uuid5(ns, n)), repr(n)
+
+
+def test_upsert_delete_model_convergence(spark):
+    """Model-based J5/K4 check: any seeded sequence of replace/delete ops
+    leaves the table equal to a plain dict model — and replaying any replace
+    is a no-op (idempotency, the reference's core invariant)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.upsert import delete_documents, replace_documents
+
+    rng = random.Random(7)
+    docs = [f"d{i}" for i in range(6)]
+    model: dict[tuple[str, int], str] = {}
+    table = spark.createDataFrame([], "document_id string, idx int, text string")
+
+    def snap(df):
+        return {(r["document_id"], r["idx"]): r["text"] for r in df.collect()}
+
+    last_replace = None
+    for step in range(12):
+        doc = rng.choice(docs)
+        if rng.random() < 0.3 and any(k[0] == doc for k in model):
+            table = delete_documents(table, [doc])
+            model = {k: v for k, v in model.items() if k[0] != doc}
+        else:
+            n = rng.randint(1, 3)
+            rows = [(doc, i, f"{doc}-v{step}-{i}") for i in range(n)]
+            incoming = spark.createDataFrame(rows, "document_id string, idx int, text string")
+            table = replace_documents(table, incoming)
+            model = {k: v for k, v in model.items() if k[0] != doc}
+            model.update({(doc, i): t for doc, i, t in rows})
+            last_replace = incoming
+        assert snap(table) == model, f"diverged at step {step}"
+
+    # idempotency: replaying the last replace changes nothing
+    if last_replace is not None:
+        again = replace_documents(table, last_replace)
+        assert snap(again) == model
