@@ -59,6 +59,53 @@ def _shingle_hash(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
+def shingle_hash_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    mod: int | None = None,
+) -> DataFrame:
+    """(id, hs: array<bigint>) — each doc's DISTINCT shingle-hash set.
+
+    Tokenization stays a JVM expression (regex \\s parity); gram joining +
+    md5 run per Arrow batch in Python, which beats the interpreted
+    slice/concat_ws/array_distinct/md5 expression chain ~3x. Hash values are
+    bit-identical to ``_shingle_hash(shingles(text))``: md5 of the same
+    space-joined gram, first 15 hex chars as int (mod optionally applied).
+    """
+    id_type = dict(df.dtypes)[id_col]
+    src = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+
+    def gen(batches):
+        import pandas as pd
+
+        for batch in batches:
+            out = [_gram_hashes_py(list(t), shingle_n, mod) for t in batch["_tk"]]
+            yield pd.DataFrame({id_col: batch[id_col], "hs": out})
+
+    return src.mapInPandas(gen, schema=f"{id_col} {id_type}, hs array<bigint>")
+
+
+def _gram_hashes_py(toks: list[str], n: int, mod: int | None = None) -> list[int]:
+    """Distinct space-joined word n-gram hashes — the Python kernel twin of
+    ``_shingle_hash(shingles(text))`` (first-occurrence order, whole-text
+    fallback below n tokens)."""
+    import hashlib
+
+    if len(toks) >= n:
+        grams = dict.fromkeys(
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+    else:
+        grams = {" ".join(toks): None}
+    out = []
+    for g in grams:
+        v = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+        out.append(v % mod if mod else v)
+    return out
+
+
 def _perm_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for the permutation family h_i = (a*x+b)%P.
     A tiny LCG keeps this reproducible with no RNG state."""
@@ -113,20 +160,16 @@ def minhash_signatures(
     a_vec = np.array([a for a, _ in params], dtype=np.int64)[:, None]
     b_vec = np.array([b for _, b in params], dtype=np.int64)[:, None]
     id_type = dict(df.dtypes)[id_col]
-    # shingle hashing stays in the JVM (codegen md5) — Python receives int64
-    # arrays, not strings: smaller Arrow payload, no per-shingle hashlib
-    src = df.select(
-        F.col(id_col),
-        F.transform(sh, lambda s: _shingle_hash(s) % _P).alias("_hs"),
-    )
+    # tokenize in the JVM (regex parity), gram+hash+mins in ONE Arrow pass
+    src = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
 
     def gen(batches):
         import pandas as pd
 
         for batch in batches:
             sigs = []
-            for hashes in batch["_hs"]:
-                hs = np.asarray(hashes, dtype=np.int64)
+            for toks in batch["_tk"]:
+                hs = np.asarray(_gram_hashes_py(list(toks), shingle_n, _P), dtype=np.int64)
                 # a*h < P^2 < 2^62: stays inside int64, matching the JVM math
                 sigs.append(((a_vec * hs[None, :] + b_vec) % _P).min(axis=1).tolist())
             yield pd.DataFrame({id_col: batch[id_col], "signature": sigs})
@@ -209,20 +252,18 @@ def ngram_jaccard_pairs(
         return _jaccard_prefix_filtered(
             df, threshold, text_col, id_col, shingle_n, round_to
         )
-    # shingles() is already distinct-per-doc, so no dedup shuffle needed, and
-    # |set| comes free from the array size (no extra aggregation). The join
-    # key is the 60-bit md5-derived shingle hash, not the raw string: hashing
-    # is one md5 per (doc, shingle) map-side, and the shuffle then moves 8-byte
-    # ints instead of n-gram strings — same pair counts modulo a ~2^-60
-    # collision probability.
-    sh = shingles(F.col(text_col), n=shingle_n)
-    based = df.select(F.col(id_col), sh.alias("_sh"))
+    # shingle sets are already distinct-per-doc, so no dedup shuffle needed,
+    # and |set| comes free from the array size (no extra aggregation). The
+    # join key is the 60-bit md5-derived shingle hash, not the raw string:
+    # the shuffle moves 8-byte ints instead of n-gram strings — same pair
+    # counts modulo a ~2^-60 collision probability.
+    based = shingle_hash_sets(df, text_col, id_col, shingle_n)
     # carry |set| through the explode: sz is functionally dependent on the id,
     # so adding it to the pair groupBy keys is free and saves two join stages
     ex = based.select(
         F.col(id_col),
-        F.size("_sh").alias("sz"),
-        F.explode(F.transform("_sh", lambda s: _shingle_hash(s))).alias("sh"),
+        F.size("hs").alias("sz"),
+        F.explode("hs").alias("sh"),
     )
     a = ex.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"), "sh")
     b = ex.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"), "sh")
@@ -259,10 +300,8 @@ def _jaccard_prefix_filtered(
     with array_intersect. Two shuffles total (candidate join + verify join),
     both proportional to prefix/candidate volume, not the full posting list.
     """
-    sh = shingles(F.col(text_col), n=shingle_n)
-    based = df.select(
-        F.col(id_col),
-        F.array_sort(F.transform(sh, lambda s: _shingle_hash(s))).alias("_hs"),
+    based = shingle_hash_sets(df, text_col, id_col, shingle_n).select(
+        F.col(id_col), F.array_sort("hs").alias("_hs")
     )
     sz = F.size("_hs")
     # prefix length |X| - ceil(t*|X|) + 1 (>= 1)
