@@ -755,6 +755,25 @@ def q45_brand_revenue_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
+    part via join-back-to-aggregate — the decorrelated MIN-subquery plan
+    (aggregate once, broadcast the per-group minima, equi-join back). Ties
+    resolved by min partkey to stay deterministic."""
+    t = load_tables(spark, sf_dir, ["part"])
+    p = t["part"]
+    mins = p.groupBy(F.col("p_brand").alias("b")).agg(F.min("p_retailprice").alias("min_price"))
+    cheapest = p.join(
+        F.broadcast(mins),
+        (F.col("p_brand") == F.col("b")) & (F.col("p_retailprice") == F.col("min_price")),
+    )
+    return (
+        cheapest.groupBy("p_brand", "p_retailprice")
+        .agg(F.min("p_partkey").alias("p_partkey"))
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("retail_price"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -802,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_anti_join": q43_anti_join,
         "q44_hybrid_rrf": q44_hybrid_rrf,
         "q45_brand_revenue_having": q45_brand_revenue_having,
+        "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
     }
 
 
@@ -1291,5 +1311,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand, round(raw_rev, 2) AS revenue
             FROM per_brand
             WHERE raw_rev > (SELECT sum(raw_rev) FROM per_brand) / 24
+        """,
+        "q46_cheapest_part_per_brand": """
+            SELECT p.p_brand, min(p.p_partkey) AS p_partkey,
+                   round(p.p_retailprice, 2) AS retail_price
+            FROM part p
+            JOIN (SELECT p_brand AS b, min(p_retailprice) AS min_price
+                  FROM part GROUP BY p_brand) m
+              ON p.p_brand = m.b AND p.p_retailprice = m.min_price
+            GROUP BY p.p_brand, p.p_retailprice
         """,
     }
