@@ -340,14 +340,15 @@ def q21_vector_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q22_source_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 documents-inventory shape over the documents table: per source,
-    doc count, sorted distinct langs, total chars."""
+    doc count, sorted distinct langs (comma-joined — the driver's row hasher
+    needs scalar cells), total chars."""
     t = load_tables(spark, sf_dir, ["documents"])
     return (
         t["documents"]
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.array_sort(F.collect_set("lang")).alias("langs"),
+            F.concat_ws(",", F.array_sort(F.collect_set("lang"))).alias("langs"),
             F.sum("n_chars").alias("total_chars"),
         )
     )
@@ -1019,7 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q11_json_extract": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(props->>'k' AS INT)) AS sum_k,
+                   CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
                    max(CAST(props->>'k' AS INT)) AS max_k
             FROM events GROUP BY event_type
         """,
@@ -1034,7 +1035,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q13_lang_distribution": """
-            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
         """,
         "q14_language_id": _dd_language_id_sql(),
@@ -1069,8 +1071,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q22_source_inventory": """
             SELECT source, count(*) AS n_docs,
-                   list_sort(list(DISTINCT lang)) AS langs,
-                   sum(n_chars) AS total_chars
+                   array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY source
         """,
         "q23_ask_snippets": f"""
@@ -1192,8 +1194,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q33_events_inventory": """
             SELECT user_id AS document_id,
-                   list_sort(list(DISTINCT event_type)) AS kinds,
-                   (list_sort(list(DISTINCT props)))[1:3] AS paths,
+                   array_to_string(list_sort(list(DISTINCT event_type)), ',') AS kinds,
+                   array_to_string((list_sort(list(DISTINCT props)))[1:3], ',') AS paths,
                    count(*) AS n_chunks
             FROM events GROUP BY user_id
             ORDER BY user_id DESC LIMIT 200
@@ -1234,12 +1236,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q39_sessionize": """
             SELECT event_id, user_id,
-                   sum(CASE WHEN prev_ts IS NULL
+                   CAST(sum(CASE WHEN prev_ts IS NULL
                              OR epoch(ts) - epoch(prev_ts) > 1800.0
                             THEN 1 ELSE 0 END) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_id
+                   ) AS BIGINT) AS session_id
             FROM (SELECT event_id, user_id, ts,
                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              AS prev_ts

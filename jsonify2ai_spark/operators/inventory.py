@@ -28,14 +28,18 @@ def documents_inventory(
 
     One hash aggregate (partial map-side combine is automatic), then a
     TakeOrdered for the cap — the 8192-page scroll loop of the reference
-    becomes a single shuffle regardless of corpus size. Arrays are sorted so
-    output is deterministic and oracle-hashable.
+    becomes a single shuffle regardless of corpus size. The collected sets are
+    sorted then comma-joined: deterministic, and scalar-typed so any
+    row-hashing harness (the driver's canonicalizer rejects array cells) can
+    consume the result.
     """
     return (
         chunks.groupBy(F.col(doc_col).alias("document_id"))
         .agg(
-            F.array_sort(F.collect_set(kind_col)).alias("kinds"),
-            F.slice(F.array_sort(F.collect_set(path_col)), 1, 3).alias("paths"),
+            F.concat_ws(",", F.array_sort(F.collect_set(kind_col))).alias("kinds"),
+            F.concat_ws(
+                ",", F.slice(F.array_sort(F.collect_set(path_col)), 1, 3)
+            ).alias("paths"),
             F.count(F.lit(1)).alias("n_chunks"),
         )
         .orderBy(F.col("document_id").desc())

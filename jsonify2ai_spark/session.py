@@ -79,6 +79,16 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     """
     from pyspark.sql import functions as F
 
+    # The driver's harness passes its OWN SparkSession (not one from get_spark),
+    # so the confs the reads depend on must be set here, on the caller's session.
+    # Both are runtime-settable SQL confs.
+    #  - nanosAsLong: the synthetic parquet stores TIMESTAMP(NANOS), which Spark
+    #    cannot read natively; read as int64 nanos, converted below.
+    #  - timeZone: date_trunc/date_format results must match the UTC-running
+    #    DuckDB oracle regardless of the host session's zone.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     all_names = [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",

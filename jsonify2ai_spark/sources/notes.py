@@ -82,8 +82,11 @@ def parse_note_text(text: str, filename_hint: str = "") -> dict[str, Any]:
         if h:
             block = None
             headers.append(h.group(2).strip())
+            # `or None` keeps the contract total: an H1 whose text is only
+            # (Unicode) whitespace must not claim the title slot, or the
+            # never-empty-title auto-fix below would be bypassed.
             if title is None and len(h.group(1)) == 1:
-                title = h.group(2).strip()
+                title = h.group(2).strip() or None
             plain_lines.append(h.group(2).strip())
             continue
         m = _MARKER.match(line)
@@ -120,7 +123,7 @@ def parse_note_text(text: str, filename_hint: str = "") -> dict[str, Any]:
             plain_lines.append(re.sub(r"\*\*([^*]+)\*\*", r"\1", line).strip())
 
     # auto-fix pass (the reference's jsonschema-validate + fix, :113-154)
-    if title is None:
+    if not title:
         non_empty = next((ln.strip() for ln in lines if ln.strip()), None)
         title = non_empty or filename_hint or "untitled"
     return {

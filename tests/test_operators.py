@@ -111,7 +111,7 @@ def test_documents_inventory(spark):
     rows = documents_inventory(chunks).collect()
     assert [r["document_id"] for r in rows] == ["d2", "d1"]  # desc order
     d2 = rows[0]
-    assert d2["kinds"] == ["pdf", "text"] and d2["n_chunks"] == 2
+    assert d2["kinds"] == "pdf,text" and d2["n_chunks"] == 2
 
 
 def test_minhash_arrow_matches_expr(spark, tables):

@@ -6,7 +6,13 @@ compares row-count + column names + order-insensitive values against
 oracle_sql()[name] via DuckDB. Exact value equality (after per-cell normalize)
 — the same bar the driver's value-hash implies.
 
-Usage: python verify_local.py [sf_dir] [query_name ...]
+Uses a BARE SparkSession by default (no get_spark() engine confs) so any
+dependency on builder-only session state — the exact divergence that broke
+round 1 — shows up here before it shows up in the driver's run. Pass --tuned
+to use get_spark() instead. Also fails any query whose output has array/map
+columns: the driver's canonicalizer cannot hash those.
+
+Usage: python verify_local.py [--tuned] [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -46,12 +52,31 @@ def norm_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--tuned"]
+    tuned = "--tuned" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
-    from jsonify2ai_spark.session import get_spark
+    if tuned:
+        from jsonify2ai_spark.session import get_spark
 
-    spark = get_spark("verify_local")
+        spark = get_spark("verify_local")
+    else:
+        # Bare session, like the driver's harness: no engine confs. Queries and
+        # load_tables must set every runtime conf they depend on themselves.
+        import os
+
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.appName("verify_local_bare")
+            .master(f"local[{cpus}]")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
@@ -74,6 +99,18 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            complex_cols = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                failures.append(name)
+                print(
+                    f"FAIL {name}: array/map/struct output cols {complex_cols} "
+                    "(driver canonicalizer cannot hash these — emit strings)"
+                )
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
