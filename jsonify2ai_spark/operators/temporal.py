@@ -60,13 +60,21 @@ def asof_join(
     (right_ts, right_id) such that right_ts <= left_ts and keys match
     (NULL payload when none). Union-window implementation: one shuffle on the
     key, a sequential in-partition scan — the inequality never becomes a join
-    predicate."""
+    predicate.
+
+    The payload columns travel as ONE struct so the carried row is atomic: a
+    right row with NULL in one payload column stays NULL there, instead of
+    that column back-filling from an older right row (which would produce a
+    merged row that never existed)."""
+    payload_type = right.select(
+        F.struct(*[F.col(v) for v in right_vals]).alias("_payload")
+    ).schema["_payload"].dataType
     lt = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_ts).alias("_t"),
         F.lit(1).alias("_is_left"),
         F.col(left_id).alias(left_id),
-        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(v) for v in right_vals],
+        F.lit(None).cast(payload_type).alias("_payload"),
         F.lit(None).cast(dict(right.dtypes)[right_id]).alias("_rid"),
     )
     rt = right.select(
@@ -74,7 +82,7 @@ def asof_join(
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(dict(left.dtypes)[left_id]).alias(left_id),
-        *[F.col(v) for v in right_vals],
+        F.struct(*[F.col(v) for v in right_vals]).alias("_payload"),
         F.col(right_id).alias("_rid"),
     )
     # right rows sort BEFORE left rows at the same timestamp (`<=` as-of);
@@ -86,8 +94,10 @@ def asof_join(
     )
     carried = lt.unionByName(rt).select(
         "_k", "_is_left", left_id,
-        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in right_vals],
+        F.last("_payload", ignorenulls=True).over(w).alias("_payload"),
     )
     return carried.filter(F.col("_is_left") == 1).select(
-        F.col("_k").alias(left_key), left_id, *right_vals
+        F.col("_k").alias(left_key),
+        left_id,
+        *[F.col(f"_payload.{v}").alias(v) for v in right_vals],
     )

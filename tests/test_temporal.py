@@ -82,3 +82,25 @@ def test_asof_join_equal_timestamp_included(spark):
         "event_id", "o_id",
     ).collect()[0]
     assert out["o_id"] == 9  # <= semantics: same-instant right row matches
+
+
+def test_asof_join_payload_is_atomic(spark):
+    """A matched right row with NULL in one payload column must surface that
+    NULL — not back-fill the column from an older right row (the carried
+    payload is one struct, not per-column last(ignorenulls))."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts("2026-01-10T00:00:00"))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1, _ts("2026-01-01T00:00:00"), 30.0),
+            (11, 1, _ts("2026-01-05T00:00:00"), None),  # latest match, NULL amount
+        ],
+        "o_id long, custkey long, odate timestamp, amount double",
+    )
+    out = asof_join(
+        left, right, "user_id", "custkey", "ts", "odate", ["o_id", "amount"],
+        "event_id", "o_id",
+    ).collect()[0]
+    assert out["o_id"] == 11
+    assert out["amount"] is None  # NOT 30.0 from the older row
