@@ -82,26 +82,43 @@ def similarity_self_join(
     block_col: str | None = None,
     round_to: int | None = 6,
     strategy: str = "auto",
+    max_broadcast_rows: int = 200_000,
+    n_chunks: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with cosine similarity >= threshold.
 
     Strategies:
-    - ``"blas"`` (default when un-blocked): broadcast the (id, vector) matrix
-      to every executor and compute each Arrow batch's scores against it with
-      one numpy matmul inside ``mapInPandas`` — the distributed "broadcast
-      GEMM". Same regime as a broadcast hash join: one side must fit in
-      executor memory (a 1M x 768 float32 matrix is ~3 GB — fine); beyond
-      that, block first.
+    - ``"blas"``: broadcast the (id, vector) matrix to every executor and
+      compute each Arrow batch's scores against it with one numpy matmul
+      inside ``mapInPandas`` — the distributed "broadcast GEMM". Same regime
+      as a broadcast hash join: the matrix must fit on the driver AND every
+      executor, so it is only safe bounded.
+    - ``"chunked"``: block-decomposed GEMM — rows are hashed into C chunks,
+      each row is shipped to the C chunk-pair groups it participates in, and
+      each (p, q) group computes one cross-chunk matmul executor-side. Nothing
+      ever materializes on the driver; shuffle volume is C x input. This is
+      the exact-all-pairs form that survives 100 TB.
     - ``"expr"``: pure-Column nested-loop pair join + fold-based cosine. Exact
       same scores; orders of magnitude slower per pair (interpreted
       higher-order functions), but shuffles nothing to Python.
-    - ``block_col`` turns either into a blocked join (equi-join on the block
-      key first) — with an IVF cluster id or LSH band as the block, the
-      quadratic term shrinks to within-block pairs, which is the 100 TB
-      strategy; pass None for the exact quadratic baseline.
+    - ``block_col`` turns the expr path into a blocked join (equi-join on the
+      block key first) — with an IVF cluster id or LSH band as the block, the
+      quadratic term shrinks to within-block pairs, which is the preferred
+      100 TB strategy when approximate candidates are acceptable.
+
+    ``"auto"`` without a block_col counts the table once and picks ``blas``
+    only below ``max_broadcast_rows``; above it, ``chunked``. The quadratic
+    *compute* is inherent to exact all-pairs either way — what auto guarantees
+    is that memory stays bounded per task and the driver never holds the data.
     """
-    if strategy == "blas" or (strategy == "auto" and block_col is None):
+    if strategy == "auto" and block_col is None:
+        strategy = "blas" if df.count() <= max_broadcast_rows else "chunked"
+    if strategy == "blas":
         return _similarity_self_join_blas(df, threshold, vector_col, id_col, round_to)
+    if strategy == "chunked":
+        return _similarity_self_join_chunked(
+            df, threshold, vector_col, id_col, round_to, n_chunks
+        )
     # Precompute each row's norm BEFORE the join: norms cost O(N) instead of
     # O(N^2), and the per-pair work drops to one dot product. The score formula
     # stays dot/(na*nb) — bit-identical to cosine_similarity's fold, so oracle
@@ -180,6 +197,85 @@ def _similarity_self_join_blas(
             )
 
     out = base.mapInPandas(gen, schema=f"a {id_type}, b {id_type}, score double")
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out
+
+
+def _similarity_self_join_chunked(
+    df: DataFrame,
+    threshold: float,
+    vector_col: str,
+    id_col: str,
+    round_to: int | None,
+    n_chunks: int | None,
+) -> DataFrame:
+    """Block-decomposed exact all-pairs GEMM with no driver materialization.
+
+    Rows hash into C chunks. Each unordered chunk pair (p, q) is one task:
+    a row in chunk i is exploded to the C groups {(min(i,j), max(i,j))}, so
+    the shuffle carries C copies of the input, and each group computes one
+    (|p| x d) @ (d x |q|) matmul (within-chunk a<b masking on the diagonal).
+    Every unordered row pair lands in exactly one group — exact, and each
+    task's memory is two chunks, independent of total table size. Choose C so
+    a chunk is a few hundred MB: shuffle cost C*N rows vs per-task memory
+    2N/C rows.
+
+    Scores are the same double-precision dot/(|a||b|) as the blas path (BLAS
+    pairwise summation differs from the sequential fold only in final ulps,
+    invisible at the 6-dp rounding every caller uses).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_chunks is None:
+        # Target ~64k rows per chunk — at 768-dim float64 that is ~400 MB per
+        # task pair. Callers at other scales pass n_chunks explicitly.
+        n_chunks = max(2, int(df.count() / 65536) + 1)
+    id_type = dict(df.dtypes)[id_col]
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vector_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)).cast("int").alias("_chunk"),
+    )
+    exploded = base.withColumn(
+        "_j", F.explode(F.array(*[F.lit(j) for j in range(n_chunks)]))
+    ).select(
+        F.least("_chunk", "_j").alias("_p"),
+        F.greatest("_chunk", "_j").alias("_q"),
+        "_id", "_v", "_chunk",
+    )
+
+    def compute(key, pdf):
+        p, q = key
+        ids = pdf["_id"].to_numpy()
+        mat = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        if p == q:
+            scores = mat @ mat.T
+            denom = np.outer(norms, norms)
+            np.divide(scores, denom, out=scores, where=denom != 0)
+            mask = (denom != 0) & (scores >= threshold) & (ids[:, None] < ids[None, :])
+            ai, bi = np.nonzero(mask)
+            return pd.DataFrame({"a": ids[ai], "b": ids[bi], "score": scores[ai, bi]})
+        left = pdf["_chunk"].to_numpy() == p
+        li, ri = ids[left], ids[~left]
+        lm, rm = mat[left], mat[~left]
+        ln, rn = norms[left], norms[~left]
+        scores = lm @ rm.T
+        denom = np.outer(ln, rn)
+        np.divide(scores, denom, out=scores, where=denom != 0)
+        mask = (denom != 0) & (scores >= threshold)
+        ai, bi = np.nonzero(mask)
+        a_ids, b_ids = li[ai], ri[bi]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"a": lo, "b": hi, "score": scores[ai, bi]})
+
+    out = exploded.groupBy("_p", "_q").applyInPandas(
+        compute, schema=f"a {id_type}, b {id_type}, score double"
+    )
     if round_to is not None:
         out = out.withColumn("score", F.round("score", round_to))
     return out

@@ -52,3 +52,51 @@ def test_asof_join_single_shuffle(spark):
 def test_sessionize_single_shuffle(spark):
     df = entry_mod.q39_sessionize(spark, SF_DIR)
     assert node_count(df, "Exchange") == 1, plan_string(df)[:1500]
+
+
+def test_similarity_join_default_never_driver_materializes(spark, tables, monkeypatch):
+    """Above max_broadcast_rows, the auto strategy must route to the chunked
+    block-GEMM — proven by poisoning toPandas: the broadcast path calls it,
+    the chunked path must not."""
+    import pyspark.sql.dataframe as df_mod
+
+    from jsonify2ai_spark.operators.search import similarity_self_join
+
+    emb = tables["embeddings"].limit(60)
+    expected = {
+        (r["a"], r["b"]): r["score"]
+        for r in similarity_self_join(emb, 0.3, strategy="blas").collect()
+    }
+
+    def boom(self):
+        raise AssertionError("driver-side toPandas() on the scale path")
+
+    monkeypatch.setattr(df_mod.DataFrame, "toPandas", boom)
+    got = {
+        (r["a"], r["b"]): r["score"]
+        for r in similarity_self_join(
+            emb, 0.3, strategy="auto", max_broadcast_rows=10, n_chunks=4
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_similarity_join_chunked_matches_blas(spark, tables):
+    """Chunked block-GEMM is exact: same pairs, same 6-dp scores as the
+    broadcast GEMM, for every chunk count including C > distinct rows."""
+    from jsonify2ai_spark.operators.search import similarity_self_join
+
+    emb = tables["embeddings"].limit(120)
+    expected = sorted(
+        map(tuple, similarity_self_join(emb, 0.25, strategy="blas").collect())
+    )
+    for c in (1, 3, 16):
+        got = sorted(
+            map(
+                tuple,
+                similarity_self_join(
+                    emb, 0.25, strategy="chunked", n_chunks=c
+                ).collect(),
+            )
+        )
+        assert got == expected, f"n_chunks={c}"
