@@ -232,13 +232,23 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     round_to: int | None = 6,
     prefix_filter: bool = False,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs (a < b, jaccard >= threshold) via shingle
     self-join: |A ∩ B| from an equi-join on shingle, |A ∪ B| = |A|+|B|-∩.
 
     The equi-join on shingle is the scalable form of all-pairs set overlap —
-    no crossJoin; skewed (ubiquitous) shingles are the hazard at 100 TB and
-    should be dropped by document frequency before the join (df_cap).
+    no crossJoin; skewed (ubiquitous) shingles are the hazard at 100 TB: one
+    shingle appearing in d documents contributes d^2/2 join rows.
+
+    ``df_cap`` bounds that skew: shingles whose document frequency exceeds the
+    cap are dropped from CANDIDATE GENERATION only — candidates are then
+    verified against the full shingle sets, so every emitted score is still
+    exact. The only possible loss is a qualifying pair whose shared shingles
+    are ALL ubiquitous (each in > df_cap docs); for near-dup thresholds this
+    means a pair of documents built entirely from boilerplate. The dropped-
+    shingle set is tiny by construction (few shingles exceed the cap), so the
+    posting filter is a broadcast anti-join — no extra shuffle of postings.
 
     ``prefix_filter=True`` switches to SSJoin/PPJoin-style prefix filtering
     (Chaudhuri et al. ICDE'06, Xiao et al. WWW'08), still EXACT: under any
@@ -265,6 +275,8 @@ def ngram_jaccard_pairs(
         F.size("hs").alias("sz"),
         F.explode("hs").alias("sh"),
     )
+    if df_cap is not None:
+        return _jaccard_df_capped(based, ex, threshold, id_col, round_to, df_cap)
     a = ex.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"), "sh")
     b = ex.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"), "sh")
     common = (
@@ -277,6 +289,45 @@ def ngram_jaccard_pairs(
         common.withColumn(
             "jaccard", F.col("common") / (F.col("sza") + F.col("szb") - F.col("common"))
         )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    if round_to is not None:
+        out = out.withColumn("jaccard", F.round("jaccard", round_to))
+    return out
+
+
+def _jaccard_df_capped(
+    based: DataFrame,
+    ex: DataFrame,
+    threshold: float,
+    id_col: str,
+    round_to: int | None,
+    df_cap: int,
+) -> DataFrame:
+    """df-capped candidate generation + full-set verification (see
+    ngram_jaccard_pairs). The hot-shingle set (df > cap) is computed with one
+    partial-aggregated shuffle of (sh) pairs, then removed from the postings
+    by broadcast anti-join; the pair join runs only over cold postings, and
+    survivors verify with array_intersect over the complete sets."""
+    hot = (
+        ex.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > df_cap)
+        .select("sh")
+    )
+    cold = ex.join(F.broadcast(hot), "sh", "left_anti")
+    a = cold.select(F.col(id_col).alias("a"), "sh")
+    b = cold.select(F.col(id_col).alias("b"), "sh")
+    cand = a.join(b, "sh").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    full = based.select(F.col(id_col), F.col("hs"))
+    cand = cand.join(
+        full.select(F.col(id_col).alias("a"), F.col("hs").alias("_ha")), "a"
+    ).join(full.select(F.col(id_col).alias("b"), F.col("hs").alias("_hb")), "b")
+    common = F.size(F.array_intersect("_ha", "_hb"))
+    union = F.size("_ha") + F.size("_hb") - common
+    out = (
+        cand.withColumn("jaccard", common / union)
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )

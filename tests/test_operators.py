@@ -149,6 +149,60 @@ def test_jaccard_prefix_filter_exact(spark, tables):
         assert pf == full, f"t={t}: prefix={len(pf)} full={len(full)}"
 
 
+def test_jaccard_df_cap_preserves_results(spark, tables):
+    """At the q17 operating point (t=0.4), capping shingle document frequency
+    must not change the result set: scores are verified against full sets, so
+    only pairs sharing NOTHING but ubiquitous shingles could drop — and no
+    such pair qualifies at near-dup thresholds on this corpus. Also checks a
+    tight cap actually removes hot shingles from candidate generation."""
+    docs = tables["documents"]
+    full = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, 0.4).collect()
+    }
+    for cap in (20, 100):
+        capped = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, 0.4, df_cap=cap).collect()
+        }
+        assert capped == full, f"cap={cap}: {len(capped)} vs {len(full)}"
+
+
+def test_jaccard_df_cap_on_skewed_boilerplate(spark):
+    """Constructed skew: many documents share one boilerplate sentence whose
+    shingles would contribute O(d^2) join rows. A cap below that df must (a)
+    actually drop those shingles from candidate generation and (b) still
+    return the exact pair set, because near-dup pairs share non-boilerplate
+    shingles that survive."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.dedup import shingle_hash_sets
+
+    boiler = "this message is confidential please do not distribute "
+    rows = [(f"d{i:03d}", boiler + f"unique body text number {i} with extra words {i * 7}")
+            for i in range(40)]
+    rows += [("dup_a", boiler + "the same body appears twice here exactly"),
+             ("dup_b", boiler + "the same body appears twice here exactly")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    cap = 10
+    ex = shingle_hash_sets(docs).select(F.explode("hs").alias("sh"))
+    n_hot = ex.groupBy("sh").count().filter(F.col("count") > cap).count()
+    assert n_hot > 0  # the boilerplate shingles really exceed the cap
+
+    # 0.8: boilerplate-only overlap (~0.58 between distinct bodies) does not
+    # qualify, so the exact result is reachable through cold shingles alone —
+    # the regime the df-cap is designed for. (At thresholds low enough that
+    # boilerplate alone qualifies a pair, the cap's documented loss case is
+    # real and intended.)
+    full = {(r["a"], r["b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, 0.8).collect()}
+    capped = {(r["a"], r["b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(docs, 0.8, df_cap=cap).collect()}
+    assert ("dup_a", "dup_b") in capped
+    assert capped == full
+
+
 def test_simhash_arrow_matches_expr(spark, tables):
     docs = tables["documents"].limit(40)
     a = {r["doc_id"]: r["simhash"] for r in simhash(docs, impl="arrow").collect()}
