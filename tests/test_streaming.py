@@ -57,6 +57,53 @@ def test_watcher_incremental_ingest(spark, tmp_path):
     assert left == {"two.csv"}
 
 
+def test_watcher_rewrites_only_touched_buckets(spark, tmp_path):
+    """A micro-batch must leave every bucket it doesn't touch byte-identical
+    on disk — the O(delta) rewrite claim, checked at the file level."""
+    import hashlib
+    import os
+
+    def bucket_files(table):
+        out = {}
+        for bdir in os.listdir(table):
+            if not bdir.startswith("bucket="):
+                continue
+            files = {}
+            for f in sorted(os.listdir(os.path.join(table, bdir))):
+                with open(os.path.join(table, bdir, f), "rb") as fh:
+                    files[f] = hashlib.sha256(fh.read()).hexdigest()
+            out[bdir] = files
+        return out
+
+    dz = tmp_path / "dropzone"
+    dz.mkdir()
+    table = str(tmp_path / "chunks_table")
+    ckpt = str(tmp_path / "ckpt")
+    (dz / "one.md").write_text("first document body " * 20)
+
+    q = watch_dropzone(spark, str(dz), table, ckpt, trigger_seconds=1, dim=32)
+    try:
+        q.processAllAvailable()
+        before = bucket_files(table)
+        assert before  # bucket-partitioned layout exists
+
+        (dz / "two.csv").write_text("a,b\n1,2\n")
+        time.sleep(1.1)
+        q.processAllAvailable()
+        after = bucket_files(table)
+    finally:
+        q.stop()
+
+    new_buckets = set(after) - set(before)
+    assert new_buckets, "second file landed in an existing bucket — pick other names"
+    for bdir in before:
+        assert after[bdir] == before[bdir], f"{bdir} was rewritten without being touched"
+    # and the merge result is still complete/correct
+    t = spark.read.parquet(table)
+    names = {r["path"].rsplit("/", 1)[-1] for r in t.select("path").distinct().collect()}
+    assert names == {"one.md", "two.csv"}
+
+
 def _write_events(path, rows):
     import json
 
