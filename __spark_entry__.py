@@ -448,14 +448,25 @@ def q26_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q27_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish pre-tokenization counts per doc — the LLM token-budget proxy:
-    letter runs / digit runs / single punctuation (GPT-2-style split)."""
+    letter runs / digit runs / single punctuation (GPT-2-style split).
+
+    The class-filtered counts are computed as independent single-regex
+    extractions, not filter-lambdas over the token array: a letter-run token
+    of BPE_SPLIT_RE is exactly a maximal [A-Za-z]+ run of the text (greedy
+    first alternative), so size(extract_all(text, '[A-Za-z]+')) ==
+    size(filter(bpe_tokens, is_word)) — three flat codegen'd scans instead of
+    one scan + two per-element lambda filters (no CSE across lambda bodies
+    re-derives the token array per element)."""
     t = load_tables(spark, sf_dir, ["documents"])
-    toks = bpe_tokens(F.col("text"))
     return t["documents"].select(
         "doc_id",
-        F.size(toks).alias("n_bpe_tokens"),
-        F.size(F.filter(toks, lambda x: x.rlike("^[A-Za-z]+$"))).alias("n_word_tokens"),
-        F.size(F.filter(toks, lambda x: x.rlike("^[0-9]+$"))).alias("n_number_tokens"),
+        F.size(bpe_tokens(F.col("text"))).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+"), 0)).alias(
+            "n_word_tokens"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), 0)).alias(
+            "n_number_tokens"
+        ),
     )
 
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jsonify2ai_spark.session import ensure_min_partitions
 from jsonify2ai_spark.functions.text import normalize_ws, shingles, tokens
 
 # Modulus for the minhash permutation family: 2^31 - 1 (prime). Keeps
@@ -84,7 +85,7 @@ def shingle_hash_sets(
             out = [_gram_hashes_py(list(t), shingle_n, mod) for t in batch["_tk"]]
             yield pd.DataFrame({id_col: batch[id_col], "hs": out})
 
-    return src.mapInPandas(gen, schema=f"{id_col} {id_type}, hs array<bigint>")
+    return ensure_min_partitions(src).mapInPandas(gen, schema=f"{id_col} {id_type}, hs array<bigint>")
 
 
 def _gram_hashes_py(toks: list[str], n: int, mod: int | None = None) -> list[int]:
@@ -174,7 +175,7 @@ def minhash_signatures(
                 sigs.append(((a_vec * hs[None, :] + b_vec) % _P).min(axis=1).tolist())
             yield pd.DataFrame({id_col: batch[id_col], "signature": sigs})
 
-    return src.mapInPandas(gen, schema=f"{id_col} {id_type}, signature array<bigint>")
+    return ensure_min_partitions(src).mapInPandas(gen, schema=f"{id_col} {id_type}, signature array<bigint>")
 
 
 def minhash_lsh_pairs(
@@ -421,7 +422,7 @@ def simhash(
                     fps.append(int(((votes > 0).astype(np.int64) << bit_idx).sum()))
                 yield pd.DataFrame({id_col: batch[id_col], "simhash": fps})
 
-        return src.mapInPandas(gen, schema=f"{id_col} {id_type}, simhash bigint")
+        return ensure_min_partitions(src).mapInPandas(gen, schema=f"{id_col} {id_type}, simhash bigint")
     # Materialize the token-hash array once (same CSE rationale as minhash:
     # 32 bit-terms referencing an inlined md5 expression would recompute it
     # 32x per row).

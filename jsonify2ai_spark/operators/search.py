@@ -82,7 +82,7 @@ def similarity_self_join(
     block_col: str | None = None,
     round_to: int | None = 6,
     strategy: str = "auto",
-    max_broadcast_rows: int = 200_000,
+    max_broadcast_bytes: int = 256 << 20,
     n_chunks: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with cosine similarity >= threshold.
@@ -106,13 +106,17 @@ def similarity_self_join(
       quadratic term shrinks to within-block pairs, which is the preferred
       100 TB strategy when approximate candidates are acceptable.
 
-    ``"auto"`` without a block_col counts the table once and picks ``blas``
-    only below ``max_broadcast_rows``; above it, ``chunked``. The quadratic
-    *compute* is inherent to exact all-pairs either way — what auto guarantees
-    is that memory stays bounded per task and the driver never holds the data.
+    ``"auto"`` without a block_col reads Catalyst's size estimate for the
+    input (free — plan statistics, no job) and picks ``blas`` only below
+    ``max_broadcast_bytes``; above it, ``chunked``. The quadratic *compute* is
+    inherent to exact all-pairs either way — what auto guarantees is that
+    memory stays bounded per task and the driver never holds the data.
     """
     if strategy == "auto" and block_col is None:
-        strategy = "blas" if df.count() <= max_broadcast_rows else "chunked"
+        est = _estimated_size_bytes(df.select(id_col, vector_col))
+        if est is None:
+            est = df.count() * 1024  # stats unavailable: rough 1 KiB/row
+        strategy = "blas" if est <= max_broadcast_bytes else "chunked"
     if strategy == "blas":
         return _similarity_self_join_blas(df, threshold, vector_col, id_col, round_to)
     if strategy == "chunked":
@@ -200,6 +204,17 @@ def _similarity_self_join_blas(
     if round_to is not None:
         out = out.withColumn("score", F.round("score", round_to))
     return out
+
+
+def _estimated_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (bytes) — file-size based for
+    parquet scans, propagated through projections. No job is run."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:
+        return None
 
 
 def _similarity_self_join_chunked(

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from jsonify2ai_spark.functions.text import token_count, tokens
+from jsonify2ai_spark.session import ensure_min_partitions
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Real corpora would use a trained char-n-gram profile (still a pure
@@ -133,4 +134,4 @@ def language_id_df(
             yield batch.drop(columns=["_tk"]).assign(**{out_col: preds})
 
     src = df.withColumn("_tk", tokens(_c(text_col)))
-    return src.mapInPandas(gen, schema=out_fields)
+    return ensure_min_partitions(src).mapInPandas(gen, schema=out_fields)

@@ -55,7 +55,7 @@ def test_sessionize_single_shuffle(spark):
 
 
 def test_similarity_join_default_never_driver_materializes(spark, tables, monkeypatch):
-    """Above max_broadcast_rows, the auto strategy must route to the chunked
+    """Above max_broadcast_bytes, the auto strategy must route to the chunked
     block-GEMM — proven by poisoning toPandas: the broadcast path calls it,
     the chunked path must not."""
     import pyspark.sql.dataframe as df_mod
@@ -75,7 +75,7 @@ def test_similarity_join_default_never_driver_materializes(spark, tables, monkey
     got = {
         (r["a"], r["b"]): r["score"]
         for r in similarity_self_join(
-            emb, 0.3, strategy="auto", max_broadcast_rows=10, n_chunks=4
+            emb, 0.3, strategy="auto", max_broadcast_bytes=1, n_chunks=4
         ).collect()
     }
     assert got == expected and len(got) > 0
