@@ -767,6 +767,28 @@ def q45_brand_revenue_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_csv_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 row-join semantics pinned against the oracle: cells trimmed,
+    NULL -> empty cell (separator kept — the coalesce-before-join contract of
+    sources/csvsrc.py:52,74, reference parse_csv.py:18-20), " | " separator,
+    2000-char row cap. A NULL cell is manufactured so the
+    empty-cell path is actually exercised (c_nationkey stands in as the nullable cell)."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    nation_maybe = F.when(F.col("c_mktsegment") == "BUILDING", None).otherwise(
+        F.col("c_nationkey").cast("string")
+    )
+    cells = [
+        F.trim(F.coalesce(F.col("c_custkey").cast("string"), F.lit(""))),
+        F.trim(F.coalesce(F.col("c_name"), F.lit(""))),
+        F.trim(F.coalesce(nation_maybe, F.lit(""))),
+        F.trim(F.coalesce(F.col("c_mktsegment"), F.lit(""))),
+    ]
+    return t["customer"].select(
+        "c_custkey",
+        F.substring(F.concat_ws(" | ", *cells), 1, 2000).alias("line"),
+    )
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -834,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_hybrid_rrf": q44_hybrid_rrf,
         "q45_brand_revenue_having": q45_brand_revenue_having,
         "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
+        "q47_csv_lines": q47_csv_lines,
     }
 
 
@@ -1333,5 +1356,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM part GROUP BY p_brand) m
               ON p.p_brand = m.b AND p.p_retailprice = m.min_price
             GROUP BY p.p_brand, p.p_retailprice
+        """,
+        "q47_csv_lines": """
+            SELECT c_custkey,
+                   substr(concat_ws(' | ',
+                       trim(CAST(c_custkey AS VARCHAR)),
+                       trim(c_name),
+                       trim(coalesce(CASE WHEN c_mktsegment = 'BUILDING'
+                                          THEN NULL
+                                          ELSE CAST(c_nationkey AS VARCHAR) END, '')),
+                       trim(c_mktsegment)), 1, 2000) AS line
+            FROM customer
         """,
     }

@@ -81,6 +81,63 @@ def live_embedding_udf(
     return _embed
 
 
+def parse_embed_response(data) -> list[list[float]]:
+    """Tolerant response parser with the reference's contract
+    (worker/app/services/embed_ollama.py:8-51). Accepted shapes:
+    modern /api/embed ``{"embeddings": [[...], ...]}``; older single
+    ``{"embedding": [...]}``; older batch
+    ``{"embeddings": [{"embedding": [...]}, ...]}``.
+    """
+    if isinstance(data, dict) and "embeddings" in data:
+        embs = data["embeddings"]
+        if isinstance(embs, list):
+            if embs and isinstance(embs[0], dict):
+                return [e.get("embedding") for e in embs]
+            return list(embs)
+    if isinstance(data, dict) and "embedding" in data:
+        return [data["embedding"]]
+    raise ValueError("unrecognized embedding response shape")
+
+
+def ollama_post_fn(
+    base_url: str = "http://localhost:11434",
+    model: str = "nomic-embed-text",
+    timeout: float = 180.0,
+) -> Callable[[list[str]], list[list[float]]]:
+    """Concrete HTTP transport matching the reference's request/response
+    shape (worker/app/services/embed_ollama.py:54-114): POST
+    ``{"model": ..., "input": texts}`` to ``{base_url}/api/embed``, parse
+    tolerantly, validate count and non-emptiness. Stdlib urllib — no extra
+    dependency; errors raise so live_embedding_udf's retry loop applies.
+
+    Pass the result as ``post_fn`` to :func:`live_embedding_udf` to go live;
+    the dev-mode default stays in place when no transport is given.
+    """
+    import json
+    import urllib.request
+
+    url = f"{base_url.rstrip('/')}/api/embed"
+
+    def post(texts: list[str]) -> list[list[float]]:
+        req = urllib.request.Request(
+            url,
+            data=json.dumps({"model": model, "input": texts}).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            data = json.loads(resp.read().decode("utf-8"))
+        vectors = parse_embed_response(data)
+        if len(vectors) != len(texts):
+            raise ValueError(
+                f"embedding count mismatch: expected {len(texts)}, got {len(vectors)}"
+            )
+        if not vectors or not vectors[0]:
+            raise ValueError("empty embedding returned")
+        return vectors
+
+    return post
+
+
 def embed_column(text: Column | str, dim: int = 768, **kw) -> Column:
     """Convenience: the UDF applied to a text column."""
     text = F.col(text) if isinstance(text, str) else text

@@ -31,6 +31,32 @@ def truncate_ellipsis(text: Column | str, limit: int = 600) -> Column:
     return F.when(F.length(t) > limit, F.concat(F.substring(t, 1, limit), F.lit("…"))).otherwise(t)
 
 
+def shorten_preview(text: Column | str, width: int = 160, placeholder: str = "...") -> Column:
+    """F9: word-boundary preview with ``textwrap.shorten`` semantics
+    (reference scripts/dev/tools/ingest_dropzone.py:594-596 — width=160,
+    placeholder="..."): collapse whitespace, return whole text if it fits,
+    else the longest whole-word prefix such that prefix + placeholder fits;
+    if not even one word fits, the placeholder alone.
+
+    Pure-Column: normalize -> length gate -> cut at the last word boundary
+    within (width - len(placeholder) + 1) chars -> append placeholder.
+    """
+    t = F.trim(F.regexp_replace(_c(text), r"\s+", " "))
+    budget = width - len(placeholder)
+    # one char beyond the budget: if it is a space the prefix is whole words
+    # already; the trailing ' \S*$' strip removes either that space or the
+    # partially-included word
+    probe = F.substring(t, 1, budget + 1)
+    prefix = F.rtrim(F.regexp_replace(probe, r" \S*$", ""))
+    # a single overlong first word leaves prefix == probe (no space to cut):
+    # textwrap returns the placeholder alone in that case
+    fits_none = F.length(prefix) > budget
+    shortened = F.when(fits_none, F.lit(placeholder)).otherwise(
+        F.concat(prefix, F.lit(placeholder))
+    )
+    return F.when(F.length(t) <= width, t).otherwise(shortened)
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens of the trimmed text; empty text -> empty array."""
     t = F.trim(_c(text))

@@ -80,6 +80,21 @@ def _collect_jsonl(out_dir: str) -> bytes:
     return b"".join(parts)
 
 
+def upload_to_dropzone(content: bytes, filename: str, dropzone: str) -> dict[str, Any]:
+    """K9 upload sink (reference worker/app/routers/upload.py:12-19): drop a
+    payload into the watched dropzone under a traversal-sanitized basename;
+    the streaming watcher (streaming/watcher.py) picks it up from there. A
+    missing/empty name gets a uuid4 hex, exactly like the reference."""
+    import uuid
+
+    name = os.path.basename(filename or "") or f"file-{uuid.uuid4().hex}"
+    os.makedirs(dropzone, exist_ok=True)
+    dest = os.path.join(dropzone, name)
+    with open(dest, "wb") as f:
+        f.write(content)
+    return {"ok": True, "path": dest, "filename": name}
+
+
 def zip_export(
     chunks: DataFrame,
     document_id: str,

@@ -95,3 +95,58 @@ def test_bucketed_write_localizes_document_rewrites(spark, tmp_path, tables):
             spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         else:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", with_dynamic)
+
+
+def test_parse_embed_response_shapes():
+    from jsonify2ai_spark.functions.embed_live import parse_embed_response
+
+    modern = {"embeddings": [[1.0, 2.0], [3.0, 4.0]]}
+    older_single = {"embedding": [1.0, 2.0]}
+    older_batch = {"embeddings": [{"embedding": [1.0]}, {"embedding": [2.0]}]}
+    assert parse_embed_response(modern) == [[1.0, 2.0], [3.0, 4.0]]
+    assert parse_embed_response(older_single) == [[1.0, 2.0]]
+    assert parse_embed_response(older_batch) == [[1.0], [2.0]]
+    with pytest.raises(ValueError):
+        parse_embed_response({"nope": 1})
+
+
+def test_ollama_post_fn_request_contract(monkeypatch):
+    """The transport must POST {model, input} to /api/embed and validate the
+    response count — checked against a faked urlopen."""
+    import io
+    import json as _json
+    import urllib.request
+
+    from jsonify2ai_spark.functions.embed_live import ollama_post_fn
+
+    seen = {}
+
+    class FakeResp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        seen["url"] = req.full_url
+        seen["body"] = _json.loads(req.data.decode("utf-8"))
+        seen["timeout"] = timeout
+        n = len(seen["body"]["input"])
+        return FakeResp(_json.dumps({"embeddings": [[0.1, 0.2]] * n}).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    post = ollama_post_fn(base_url="http://m:11434/", model="m1", timeout=9.0)
+    out = post(["a", "b"])
+    assert out == [[0.1, 0.2], [0.1, 0.2]]
+    assert seen["url"] == "http://m:11434/api/embed"
+    assert seen["body"] == {"model": "m1", "input": ["a", "b"]}
+    assert seen["timeout"] == 9.0
+
+    # count mismatch must raise (the udf's retry loop depends on it)
+    def bad_urlopen(req, timeout=None):
+        return FakeResp(_json.dumps({"embeddings": [[0.1]]}).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", bad_urlopen)
+    with pytest.raises(ValueError):
+        ollama_post_fn()(["a", "b"])

@@ -91,6 +91,39 @@ def test_text_normalization(spark):
     assert r["keep"] == "short"
 
 
+def test_shorten_preview_matches_textwrap(spark):
+    """F9 parity: shorten_preview == textwrap.shorten(width=160, '...') on an
+    adversarial ASCII corpus (word boundaries at/around the cut, overlong
+    first words, exact-fit lengths). One JVM round-trip for the whole corpus.
+    ASCII only: Java regex \\s is ASCII while Python str.split is Unicode —
+    the engine-wide tokenization stance."""
+    import textwrap
+
+    from jsonify2ai_spark.functions.text import shorten_preview
+
+    corpus = [
+        "",
+        "short one",
+        "x" * 159,
+        "x" * 160,
+        "x" * 161,  # one overlong word: placeholder alone
+        ("word " * 40).strip(),          # 199 chars, boundary at 5k+4
+        ("word " * 32).strip(),          # 159 chars: fits
+        ("a " * 100).strip(),
+        "  leading   and \t internal\nwhitespace   " + "tail " * 40,
+        ("abcdefgh " * 20).strip(),
+        ("z" * 155) + " tail words here",
+        ("z" * 157) + " tail",
+        ("z" * 158) + " tail",
+        "one " + ("y" * 200),
+    ]
+    df = spark.createDataFrame([(s,) for s in corpus], ["t"])
+    got = [r["p"] for r in df.select(shorten_preview("t").alias("p")).collect()]
+    for s, g in zip(corpus, got):
+        expect = textwrap.shorten(s, width=160, placeholder="...") if s.strip() else ""
+        assert g == expect, f"{s[:40]!r}...: got {g!r} expect {expect!r}"
+
+
 def test_shingles_and_tokens(spark):
     df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], ["t"])
     rows = df.select("t", shingles("t", 3).alias("s"), token_count("t").alias("n")).collect()

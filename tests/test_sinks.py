@@ -90,3 +90,36 @@ def test_ingest_mirror_appends_vec_len(chunks, tmp_path):
     lines = [json.loads(l) for l in _read_lines(out)]
     assert len(lines) == 4
     assert all(l["vec_len"] == 2 for l in lines)
+
+
+def test_upload_to_dropzone_sanitizes_and_writes(tmp_path):
+    from jsonify2ai_spark.sinks.export import upload_to_dropzone
+
+    dz = str(tmp_path / "dz")
+    r = upload_to_dropzone(b"hello", "../../etc/passwd", dz)
+    assert r["filename"] == "passwd"  # traversal stripped to basename
+    assert os.path.dirname(r["path"]) == dz
+    with open(r["path"], "rb") as f:
+        assert f.read() == b"hello"
+    # empty name -> generated uuid name
+    r2 = upload_to_dropzone(b"x", "", dz)
+    assert r2["filename"].startswith("file-") and os.path.exists(r2["path"])
+
+
+def test_telemetry_rotation_and_ring(tmp_path):
+    from jsonify2ai_spark.sinks.telemetry import TelemetryLog
+
+    t = TelemetryLog(str(tmp_path / "logs"), max_log_mb=0)  # rotate every write
+    for i in range(130):
+        t.record_activity(n=i)
+    # ring keeps the last 100, most-recent-first view
+    recent = t.recent_activity(limit=5)
+    assert [r["n"] for r in recent] == [129, 128, 127, 126, 125]
+    assert len(t.recent_activity(limit=1000)) == 100
+    # rotation depth 2: worker.jsonl (fresh) + .1 + .2, nothing deeper
+    names = sorted(os.listdir(tmp_path / "logs"))
+    assert names == ["worker.jsonl", "worker.jsonl.1", "worker.jsonl.2"]
+    t.increment("ingest_total")
+    t.increment("ingest_total")
+    t.set_error("boom")
+    assert t.stats() == {"ingest_total": 2, "last_error": "boom"}
