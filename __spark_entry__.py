@@ -789,6 +789,82 @@ def q47_csv_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py:37): events counted
+    by a 5-value enum — the classic one-hot-key reduce straggler at cluster
+    scale. The deterministic md5 salt spreads each key over 8 reducers; the
+    oracle is the PLAIN group-by, proving salted == unsalted row-for-row.
+    Money-ish sums go through decimal so the re-association is exact."""
+    from jsonify2ai_spark.operators.skew import salted_agg
+
+    t = load_tables(spark, sf_dir, ["events"])
+    out = salted_agg(
+        t["events"],
+        keys=["event_type"],
+        aggs={
+            "n_events": (F.count(F.lit(1)), "sum"),
+            "total_value": (F.sum(F.col("value").cast("decimal(18,2)")), "sum"),
+            "min_value": (F.min("value"), "min"),
+            "max_value": (F.max("value"), "max"),
+        },
+        n_salts=8,
+        salt_basis=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+def q49_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe equi-join (operators/skew.py:76): fact lineitem joined to the
+    supplier dim with the big side salted 8 ways and the broadcast side
+    replicated per salt — the explicit form of AQE's skew-join for plans AQE
+    can't rewrite. Oracle = the plain join + group-by, proving row identity."""
+    from jsonify2ai_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    big = t["lineitem"].select(
+        F.col("l_suppkey").alias("suppkey"), "l_extendedprice", "l_discount"
+    )
+    small = t["supplier"].select(F.col("s_suppkey").alias("suppkey"), "s_nationkey")
+    joined = salted_join(big, small, on=["suppkey"], n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+def q50_time_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 time-range predicate inside the full search pipeline
+    (api.py:_build_filter, reference search.py:74-105): a chunks-shaped frame
+    with a deterministic ingested_at_ts, filtered to [100, 600) BEFORE the
+    cosine scoring — the filter lands under the TakeOrdered, so at scale the
+    vector math runs only on the time slice."""
+    from jsonify2ai_spark import api
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    chunks = t["documents"].select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.lit("text").alias("kind"),
+        F.col("source").alias("path"),
+        F.lit(0).alias("idx"),
+        F.col("text"),
+        dev_embedding(F.col("text"), dim=64).alias("vector"),
+        (F.col("doc_id") % 1000).alias("ingested_at_ts"),
+    )
+    hits = api.search(
+        chunks, _SEARCH_QUERY, k=5, dim=64, ts_after=100, ts_before=600
+    )
+    return hits.select("document_id", "idx", "text", "score")
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -857,6 +933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_brand_revenue_having": q45_brand_revenue_having,
         "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
         "q47_csv_lines": q47_csv_lines,
+        "q48_salted_agg": q48_salted_agg,
+        "q49_salted_join": q49_salted_join,
+        "q50_time_range_search": q50_time_range_search,
     }
 
 
@@ -1367,5 +1446,37 @@ def oracle_sql() -> dict[str, str]:
                                           ELSE CAST(c_nationkey AS VARCHAR) END, '')),
                        trim(c_mktsegment)), 1, 2000) AS line
             FROM customer
+        """,
+        "q48_salted_agg": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "q49_salted_join": """
+            SELECT s_nationkey,
+                   count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey
+        """,
+        "q50_time_range_search": f"""
+            WITH filtered AS (
+                SELECT doc_id, text FROM documents
+                WHERE (doc_id % 1000) >= 100 AND (doc_id % 1000) < 600
+            ), scored AS (
+                SELECT doc_id, text,
+                       {_dd_cosine(dev_emb_doc, qlit)} AS raw_score
+                FROM filtered)
+            SELECT CAST(doc_id AS VARCHAR) AS document_id,
+                   0 AS idx,
+                   CASE WHEN length(coalesce(text, '')) > 600
+                        THEN substr(coalesce(text, ''), 1, 600) || '…'
+                        ELSE coalesce(text, '') END AS text,
+                   round(raw_score, 6) AS score
+            FROM scored
+            ORDER BY raw_score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 5
         """,
     }

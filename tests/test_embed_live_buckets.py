@@ -150,3 +150,57 @@ def test_ollama_post_fn_request_contract(monkeypatch):
     monkeypatch.setattr(urllib.request, "urlopen", bad_urlopen)
     with pytest.raises(ValueError):
         ollama_post_fn()(["a", "b"])
+
+
+def test_ollama_generate_fn_contract(monkeypatch):
+    """Generate transport: POSTs {model, prompt, stream:false, options} to
+    /api/generate, strips the response; ANY failure -> '' (never raises) so
+    ask_and_generate's retrieve-only fallback engages."""
+    import io
+    import json as _json
+    import urllib.request
+
+    from jsonify2ai_spark.functions.llm import DEFAULT_OPTIONS, ollama_generate_fn
+
+    seen = {}
+
+    class FakeResp(io.BytesIO):
+        status = 200
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        seen["url"] = req.full_url
+        seen["body"] = _json.loads(req.data.decode("utf-8"))
+        return FakeResp(_json.dumps({"response": "  an answer \n"}).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    gen = ollama_generate_fn(host="http://m:11434/", model="m1")
+    assert gen("why?") == "an answer"
+    assert seen["url"] == "http://m:11434/api/generate"
+    assert seen["body"] == {
+        "model": "m1",
+        "prompt": "why?",
+        "stream": False,
+        "options": DEFAULT_OPTIONS,
+    }
+
+    # non-2xx -> "" (reference returns '' instead of raising)
+    class Resp500(FakeResp):
+        status = 500
+
+    monkeypatch.setattr(
+        urllib.request, "urlopen", lambda req, timeout=None: Resp500(b"{}")
+    )
+    assert ollama_generate_fn()("p") == ""
+
+    # network error -> ""
+    def boom(req, timeout=None):
+        raise OSError("refused")
+
+    monkeypatch.setattr(urllib.request, "urlopen", boom)
+    assert ollama_generate_fn()("p") == ""
