@@ -88,22 +88,36 @@ def decode_image_meta(
     )
 
     def decode(batches: Iterator) -> Iterator:
+        Image = None
         if not dev_mode:
             try:
-                from PIL import Image  # noqa: F401
-            except ImportError as e:  # pragma: no cover
+                from PIL import Image  # one import per worker, all batches
+            except ImportError as e:
                 raise NotImplementedError(
                     "real image decode needs Pillow; run with dev_mode=True"
                 ) from e
+        import io
+
         for pdf in batches:
             widths, heights, modes = [], [], []
             for data in pdf[content_col]:
-                if not dev_mode:
-                    raise NotImplementedError("real decode not wired: STUB")
-                w, h = _fake_ints(bytes(data or b""), 2, 16, 4096)
-                widths.append(w)
-                heights.append(h)
-                modes.append("RGB")
+                if dev_mode:
+                    w, h = _fake_ints(bytes(data or b""), 2, 16, 4096)
+                    widths.append(w)
+                    heights.append(h)
+                    modes.append("RGB")
+                    continue
+                try:
+                    with Image.open(io.BytesIO(bytes(data or b""))) as img:
+                        widths.append(int(img.size[0]))
+                        heights.append(int(img.size[1]))
+                        modes.append(str(img.mode))
+                except Exception:
+                    # undecodable bytes -> NULL metadata, row kept (the
+                    # inventory/skip queries filter on it downstream)
+                    widths.append(None)
+                    heights.append(None)
+                    modes.append(None)
             pdf = pdf.copy()
             pdf["width"], pdf["height"], pdf["mode"] = widths, heights, modes
             yield pdf

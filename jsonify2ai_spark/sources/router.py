@@ -150,11 +150,21 @@ def extract_text_auto(path: str, content: bytes, dev_mode: bool = True) -> str:
     if ext in AUDIO_EXTS:
         if dev_mode:
             return transcribe_audio_stub(path)
-        raise SkipFile("audio model not available")
+        from jsonify2ai_spark.multimodal.models import ModelUnavailable, transcribe_audio_real
+
+        try:
+            return transcribe_audio_real(path)
+        except ModelUnavailable as e:
+            raise SkipFile(f"audio model not available: {e}") from e
     if ext in IMAGE_EXTS:
         if dev_mode:
             return caption_image_stub(path)
-        raise SkipFile("image model not available")
+        from jsonify2ai_spark.multimodal.models import ModelUnavailable, caption_image_real
+
+        try:
+            return caption_image_real(path, content=content)
+        except ModelUnavailable as e:
+            raise SkipFile(f"image model not available: {e}") from e
 
     try:
         text = content.decode("utf-8", errors="ignore")

@@ -1,0 +1,153 @@
+"""S9/S10 real-model wiring, tested via fake modules injected into sys.modules.
+
+The heavy deps (faster-whisper, transformers, Pillow) are absent in this
+sandbox, so these tests verify everything AROUND the model call — lazy import
+gate, per-process cache, segment joining, resize gate, soft-failure contract,
+router skip-with-reason conversion — against faithful fakes of the reference's
+interfaces (parse_audio.py:34-64, images.py:13-31).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pytest
+
+from jsonify2ai_spark.multimodal import models
+
+
+@pytest.fixture(autouse=True)
+def _clear_caches():
+    models._WHISPER_CACHE.clear()
+    models._BLIP_CACHE.clear()
+    yield
+    models._WHISPER_CACHE.clear()
+    models._BLIP_CACHE.clear()
+
+
+def test_model_unavailable_without_deps():
+    with pytest.raises(models.ModelUnavailable, match="faster-whisper"):
+        models.transcribe_audio_real("/tmp/a.mp3")
+    with pytest.raises(models.ModelUnavailable, match="transformers"):
+        models.caption_image_real("/tmp/a.png")
+
+
+def test_router_converts_unavailable_to_skipfile():
+    from jsonify2ai_spark.sources.router import SkipFile, extract_text_auto
+
+    with pytest.raises(SkipFile, match="audio model not available"):
+        extract_text_auto("x.mp3", b"", dev_mode=False)
+    with pytest.raises(SkipFile, match="image model not available"):
+        extract_text_auto("x.png", b"", dev_mode=False)
+    # dev mode unchanged: deterministic stubs
+    assert extract_text_auto("x.mp3", b"", dev_mode=True) == "[DEV] transcript of x.mp3"
+    assert extract_text_auto("x.png", b"", dev_mode=True) == "[DEV] caption of x.png"
+
+
+class _Seg:
+    def __init__(self, text):
+        self.text = text
+
+
+def _fake_whisper(constructed, transcribed):
+    mod = types.ModuleType("faster_whisper")
+
+    class WhisperModel:
+        def __init__(self, size, device=None, compute_type=None):
+            constructed.append((size, device, compute_type))
+
+        def transcribe(self, path, vad_filter=None, beam_size=None, language=None):
+            transcribed.append((path, vad_filter, beam_size, language))
+            return [_Seg(" hello "), _Seg(""), _Seg(None), _Seg("world")], {"lang": "en"}
+
+    mod.WhisperModel = WhisperModel
+    return mod
+
+
+def test_transcribe_joins_segments_and_caches_model(monkeypatch):
+    constructed, transcribed = [], []
+    monkeypatch.setitem(sys.modules, "faster_whisper", _fake_whisper(constructed, transcribed))
+
+    out = models.transcribe_audio_real("/tmp/a.mp3")
+    assert out == "hello world"  # stripped, empties dropped, space-joined
+    assert constructed == [("tiny", "cpu", "int8")]  # reference CPU config
+    assert transcribed == [("/tmp/a.mp3", True, 1, None)]
+
+    # second call on the same worker: cached model, no reconstruction
+    models.transcribe_audio_real("/tmp/b.mp3")
+    assert len(constructed) == 1 and len(transcribed) == 2
+
+
+def _fake_blip(monkeypatch, gen_raises=False):
+    seen = {"opened": [], "resized": [], "decoded": []}
+
+    class _Img:
+        def __init__(self, size):
+            self.size = size
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def resize(self, wh, resample=None):
+            seen["resized"].append(wh)
+            return _Img(wh)
+
+    class _Image:
+        class Resampling:
+            LANCZOS = "lanczos"
+
+        @staticmethod
+        def open(src):
+            seen["opened"].append(type(src).__name__)
+            return _Img((100, 400))  # below 224 on one side -> must upscale
+
+    pil = types.ModuleType("PIL")
+    pil.Image = _Image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+
+    tf = types.ModuleType("transformers")
+
+    class _Proc:
+        @staticmethod
+        def from_pretrained(name):
+            seen["model_name"] = name
+            return _Proc()
+
+        def __call__(self, images=None, return_tensors=None):
+            return {"pixel_values": images}
+
+        def decode(self, ids, skip_special_tokens=None):
+            seen["decoded"].append(skip_special_tokens)
+            return "  a tidy desk  "
+
+    class _Model:
+        @staticmethod
+        def from_pretrained(name):
+            return _Model()
+
+        def generate(self, pixel_values=None, max_length=None):
+            if gen_raises:
+                raise RuntimeError("OOM")
+            return ["ids"]
+
+    tf.BlipProcessor = _Proc
+    tf.BlipForConditionalGeneration = _Model
+    monkeypatch.setitem(sys.modules, "transformers", tf)
+    return seen
+
+
+def test_caption_resizes_and_strips(monkeypatch):
+    seen = _fake_blip(monkeypatch)
+    out = models.caption_image_real(content=b"png-bytes")
+    assert out == "a tidy desk"
+    assert seen["opened"] == ["BytesIO"]  # bytes path: no filesystem re-read
+    assert seen["resized"] == [(224, 224)]  # BLIP minimum-size gate
+    assert seen["decoded"] == [True]
+    assert seen["model_name"] == "Salesforce/blip-image-captioning-base"
+
+
+def test_caption_soft_fallback_on_inference_failure(monkeypatch):
+    _fake_blip(monkeypatch, gen_raises=True)
+    assert models.caption_image_real(content=b"x") == ""  # images.py:27-31 contract
