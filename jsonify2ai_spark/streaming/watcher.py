@@ -112,9 +112,10 @@ def watch_dropzone(
 def reconcile_deletes(
     spark: SparkSession, dropzone: str, table: DataFrame, path_col: str = "path"
 ) -> DataFrame:
-    """T4: rows of ``table`` whose source file no longer exists (anti-join of
-    table keys against the current listing). Writing the survivors back (or
-    Delta DELETE WHERE) completes delete propagation."""
+    """T4: the surviving rows of ``table`` — those whose source file still
+    exists (semi-join of table keys against the current listing; flip to
+    ``left_anti`` to get the deleted set). Writing the survivors back (or
+    Delta DELETE WHERE on the anti set) completes delete propagation."""
     from jsonify2ai_spark.sources.ingest import read_binary_files
 
     # same scheme-strip as ingest._parse_one so keys align

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import time
 
+from pyspark.sql import functions as F
+
 from jsonify2ai_spark.streaming.watcher import reconcile_deletes, watch_dropzone
 from jsonify2ai_spark.streaming.windowed import (
     debounced_paths,
@@ -232,3 +234,53 @@ def test_debounced_paths_emits_after_stability(spark, tmp_path):
         assert rows.get("a.md") == (2, 20), rows
     finally:
         q.stop()
+
+
+def test_watcher_checkpoint_restart_recovery(spark, tmp_path):
+    """T3 soak: the checkpoint IS the state store. Run several waves of file
+    drops, stop the query, drop more files while it is down, restart from the
+    SAME checkpoint — the new query must (a) not re-emit already-committed
+    files (no duplicate rows; deterministic ids would mask dupes, so count
+    rows not distinct ids) and (b) catch up on everything dropped while down."""
+    dz = tmp_path / "dropzone"
+    dz.mkdir()
+    table = str(tmp_path / "chunks_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def table_state():
+        t = spark.read.parquet(table)
+        per_doc = {
+            r["path"].rsplit("/", 1)[-1]: r["n"]
+            for r in t.groupBy("path").count().withColumnRenamed("count", "n")
+            .select(F.col("path"), F.col("n")).collect()
+        }
+        return per_doc
+
+    q = watch_dropzone(spark, str(dz), table, ckpt, trigger_seconds=1, dim=32)
+    try:
+        for wave in range(3):
+            for i in range(2):
+                (dz / f"w{wave}_{i}.md").write_text(f"wave {wave} file {i} body " * 30)
+            time.sleep(1.1)
+            q.processAllAvailable()
+        state1 = table_state()
+        assert set(state1) == {f"w{w}_{i}.md" for w in range(3) for i in range(2)}
+    finally:
+        q.stop()
+
+    # files land while the watcher is DOWN
+    (dz / "down_a.md").write_text("dropped while offline " * 30)
+    (dz / "down_b.md").write_text("also offline " * 30)
+
+    q2 = watch_dropzone(spark, str(dz), table, ckpt, trigger_seconds=1, dim=32)
+    try:
+        time.sleep(1.1)
+        q2.processAllAvailable()
+        state2 = table_state()
+        # catch-up: offline drops ingested
+        assert "down_a.md" in state2 and "down_b.md" in state2
+        # no re-emission: pre-restart docs keep their exact row counts
+        for doc, n in state1.items():
+            assert state2[doc] == n, f"{doc} rows changed across restart"
+    finally:
+        q2.stop()
