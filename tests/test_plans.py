@@ -68,3 +68,32 @@ def test_scan_filter_agg_fuse_into_codegen(spark):
     df = entry_mod.q02_revenue_filter(spark, SF_DIR)
     df.collect()  # AQE annotates codegen ids only once the plan is final
     assert codegen_stage_count(df) >= 1
+
+
+def test_q49_salted_join_stays_broadcast(spark):
+    """The salted join must not fall back to sort-merge: big side map-only
+    (salt is a projection, not a shuffle), dim side replicated + broadcast."""
+    plan = plan_string(entry_mod.q49_salted_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_q48_salted_agg_two_phase(spark):
+    """Salted agg = groupBy(key, salt) then groupBy(key): each groupBy gets
+    partial+final HashAggregate, and only the two key exchanges exist — the
+    salt must not add extra shuffles."""
+    df = entry_mod.q48_salted_agg(spark, SF_DIR)
+    assert node_count(df, "HashAggregate") == 4
+    assert node_count(df, "Exchange") == 2
+
+
+def test_q50_time_range_filter_under_topk(spark):
+    """P2: the time-range predicate must run BEFORE cosine scoring (filter
+    under the TakeOrdered), so the vector math only touches the slice."""
+    df = entry_mod.q50_time_range_search(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    # the range predicate is a plain Filter condition on the raw scan column
+    # (details section), not applied post-scoring
+    cond = next(line for line in plan.splitlines() if "Condition" in line)
+    assert "% 1000) >= 100" in cond and "% 1000) < 600" in cond, cond
