@@ -61,3 +61,65 @@ def ensure_table(
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def compact_buckets(
+    spark: SparkSession,
+    table_path: str,
+    target_file_mb: int = 128,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Small-file compaction for a `bucket=N/`-partitioned table.
+
+    Streaming micro-batches (streaming/watcher.py) leave a few files per
+    touched bucket per trigger; after days of drops a bucket holds hundreds
+    of kilobyte-files and every scan pays per-file open + footer-read +
+    task-schedule cost. Compaction is the standard maintenance pass (Delta
+    OPTIMIZE / Iceberg rewrite_data_files): per bucket, if it has >=
+    ``min_files_to_compact`` parquet files, read JUST that bucket, coalesce
+    to ceil(bytes / target_file_mb) files, write to staging, atomically swap
+    the bucket dir. Cost is O(buckets needing work), never O(table); buckets
+    already compact are not read, not rewritten, byte-identical after.
+
+    Returns {"compacted": [bucket...], "skipped": n, "files_before": n,
+    "files_after": n} for telemetry.
+    """
+    import math
+
+    compacted, skipped = [], 0
+    files_before = files_after = 0
+    for entry in sorted(os.listdir(table_path)):
+        if not entry.startswith("bucket="):
+            continue
+        bdir = os.path.join(table_path, entry)
+        parts = [
+            os.path.join(bdir, f)
+            for f in os.listdir(bdir)
+            if f.endswith(".parquet")
+        ]
+        files_before += len(parts)
+        if len(parts) < min_files_to_compact:
+            skipped += 1
+            files_after += len(parts)
+            continue
+        n_bytes = sum(os.path.getsize(p) for p in parts)
+        n_out = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
+        staging = f"{bdir}__compacting"
+        # reading the bucket dir directly drops the partition column, which
+        # is exactly right: the swapped-in files live under the same
+        # bucket=N/ dir and the reader re-derives the column from the path
+        spark.read.parquet(bdir).coalesce(n_out).write.mode("overwrite").parquet(staging)
+        # parquet writes _SUCCESS etc.; keep the data files only
+        for f in os.listdir(staging):
+            if not (f.endswith(".parquet") or f == "_SUCCESS"):
+                os.remove(os.path.join(staging, f))
+        shutil.rmtree(bdir)
+        os.replace(staging, bdir)
+        files_after += sum(1 for f in os.listdir(bdir) if f.endswith(".parquet"))
+        compacted.append(entry)
+    return {
+        "compacted": compacted,
+        "skipped": skipped,
+        "files_before": files_before,
+        "files_after": files_after,
+    }

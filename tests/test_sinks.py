@@ -123,3 +123,51 @@ def test_telemetry_rotation_and_ring(tmp_path):
     t.increment("ingest_total")
     t.set_error("boom")
     assert t.stats() == {"ingest_total": 2, "last_error": "boom"}
+
+
+def test_compact_buckets_merges_small_files(spark, tmp_path):
+    """Compaction: multi-file buckets collapse to one file with identical
+    rows; already-compact buckets are not rewritten (byte-identical)."""
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.sinks.tables import compact_buckets
+
+    table = str(tmp_path / "t")
+    # bucket=0: three separate writes -> three files. bucket=1: one write.
+    for i in range(3):
+        spark.createDataFrame([(i, "a" * 50)], "k int, v string").coalesce(1).write.mode(
+            "append"
+        ).parquet(table + "/bucket=0")
+    spark.createDataFrame([(99, "z")], "k int, v string").coalesce(1).write.mode(
+        "append"
+    ).parquet(table + "/bucket=1")
+
+    before = spark.read.parquet(table)
+    rows_before = sorted((r["bucket"], r["k"], r["v"]) for r in before.collect())
+    b1_files = {
+        f: os.path.getmtime(os.path.join(table, "bucket=1", f))
+        for f in os.listdir(os.path.join(table, "bucket=1"))
+        if f.endswith(".parquet")
+    }
+
+    report = compact_buckets(spark, table, target_file_mb=128)
+    assert report["compacted"] == ["bucket=0"]
+    assert report["skipped"] == 1
+    assert report["files_before"] >= 4 and report["files_after"] == 2
+
+    after = spark.read.parquet(table)
+    rows_after = sorted((r["bucket"], r["k"], r["v"]) for r in after.collect())
+    assert rows_after == rows_before
+    # untouched bucket: same files, same mtimes
+    b1_after = {
+        f: os.path.getmtime(os.path.join(table, "bucket=1", f))
+        for f in os.listdir(os.path.join(table, "bucket=1"))
+        if f.endswith(".parquet")
+    }
+    assert b1_after == b1_files
+    n_b0 = sum(
+        1 for f in os.listdir(os.path.join(table, "bucket=0")) if f.endswith(".parquet")
+    )
+    assert n_b0 == 1
