@@ -748,7 +748,12 @@ def q44_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q45_brand_revenue_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-subquery HAVING (TPC-H Q11 shape) over the part/supplier side:
     revenue per brand, keeping brands above 1/24 of TOTAL revenue. The global
-    scalar is one extra reduction broadcast into the filter."""
+    scalar comes from the brand-level aggregate itself via an empty-partition
+    window — the fact table is scanned ONCE (a broadcast-scalar crossJoin
+    would re-run the whole join pipeline for the total: measured 2 lineitem
+    scans and 2x the runtime; the window runs over 25 aggregated rows)."""
+    from pyspark.sql import Window
+
     t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
     li = t["lineitem"].join(
         F.broadcast(t["part"].select("p_partkey", "p_brand")),
@@ -759,9 +764,8 @@ def q45_brand_revenue_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     per_brand = li.groupBy("p_brand").agg(rev.alias("raw_rev"))
-    total = per_brand.agg(F.sum("raw_rev").alias("total_rev"))
     return (
-        per_brand.crossJoin(F.broadcast(total))
+        per_brand.withColumn("total_rev", F.sum("raw_rev").over(Window.partitionBy()))
         .filter(F.col("raw_rev") > F.col("total_rev") / 24)
         .select("p_brand", F.round("raw_rev", 2).alias("revenue"))
     )
