@@ -179,17 +179,21 @@ def ingest_summary(docs: DataFrame, chunks: DataFrame) -> DataFrame:
         F.countDistinct("path").alias("files_scanned"),
         F.array_sort(F.collect_set("skip_reason")).alias("skip_reasons"),
     )
-    chunk_stats = chunks.agg(F.count(F.lit(1)).alias("chunks_emitted"))
-    per_kind = (
+    # one pass over chunks: the total is the sum of the per-kind counts, so
+    # a second chunks aggregation (which would re-run the whole parse ->
+    # chunk -> embed pipeline when called on an in-flight frame) is wasted
+    chunk_stats = (
         chunks.groupBy("kind")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
+            F.sum("n").alias("chunks_emitted"),
             F.map_from_entries(
                 F.array_sort(F.collect_list(F.struct("kind", "n")))
-            ).alias("per_kind")
+            ).alias("per_kind"),
         )
+        .withColumn("chunks_emitted", F.coalesce(F.col("chunks_emitted"), F.lit(0)))
     )
-    return doc_stats.crossJoin(chunk_stats).crossJoin(per_kind)
+    return doc_stats.crossJoin(chunk_stats)
 
 
 def ingest_files(
