@@ -139,3 +139,53 @@ def debounced_paths(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_dedup(
+    records: DataFrame,
+    key_col: str = "fingerprint",
+    ttl_seconds: int | None = None,
+) -> DataFrame:
+    """Cross-micro-batch exact dedup: emit only the FIRST record seen for
+    each ``key_col`` value, for the whole stream lifetime (or per TTL).
+
+    The streaming face of the batch exact-dedup family (operators/dedup.py):
+    in a live ingest pipeline this sits between parse and embed so a
+    re-dropped or duplicated document never reaches the expensive stages.
+    Keyed state is one boolean per distinct key — with ``ttl_seconds`` set,
+    state is evicted on a processing-time timeout and the bound becomes
+    TTL x distinct-key rate instead of stream-lifetime cardinality (the
+    100 TB-safe configuration; a key re-arriving after its TTL re-emits,
+    i.e. at-most-once-per-TTL semantics).
+
+    Any representative of a duplicate group is a correct emission (the key
+    IS the content identity), so the first row delivered wins.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = records.schema
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_seconds
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]]
+        already = state.exists
+        if not already:
+            state.update((True,))
+        if ttl_seconds:
+            state.setTimeoutDuration(ttl_seconds * 1000)
+        if not already and first is not None:
+            yield first
+
+    return records.groupBy(key_col).applyInPandasWithState(
+        dedup, out_schema, "seen BOOLEAN", "append", timeout
+    )

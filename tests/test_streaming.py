@@ -284,3 +284,62 @@ def test_watcher_checkpoint_restart_recovery(spark, tmp_path):
             assert state2[doc] == n, f"{doc} rows changed across restart"
     finally:
         q2.stop()
+
+
+def test_stream_dedup_emits_first_occurrence_only(spark, tmp_path):
+    """Exact dedup across micro-batches: a fingerprint emits once for the
+    stream lifetime — dups inside one batch AND re-drops in later batches
+    are both suppressed."""
+    import json
+
+    from jsonify2ai_spark.streaming.windowed import stream_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "fingerprint STRING, doc STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    deduped = stream_dedup(stream, key_col="fingerprint")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # batch 1: k1 twice (in-batch dup) + k2
+        (src / "b1.json").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"fingerprint": "k1", "doc": "first"},
+                    {"fingerprint": "k1", "doc": "dup-in-batch"},
+                    {"fingerprint": "k2", "doc": "second"},
+                ]
+            )
+        )
+        q.processAllAvailable()
+        # batch 2: k1 again (cross-batch dup) + new k3
+        (src / "b2.json").write_text(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"fingerprint": "k1", "doc": "re-drop"},
+                    {"fingerprint": "k3", "doc": "third"},
+                ]
+            )
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dedup_sink").collect()
+        by_key = {}
+        for r in rows:
+            by_key.setdefault(r["fingerprint"], []).append(r["doc"])
+        assert sorted(by_key) == ["k1", "k2", "k3"]
+        assert all(len(v) == 1 for v in by_key.values()), by_key
+        assert by_key["k1"] != ["re-drop"]  # the FIRST occurrence won
+    finally:
+        q.stop()
