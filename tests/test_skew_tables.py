@@ -103,3 +103,47 @@ def test_ingest_summary(spark, tmp_path):
     assert row["documents_skipped"] == 0 and row["skip_reasons"] == []
     assert row["chunks_emitted"] >= 2
     assert row["per_kind"]["csv"] >= 1 and row["per_kind"]["text"] >= 1
+
+
+def test_salted_ops_null_keys_and_values(spark):
+    """Adversarial parity: NULL group keys, NULL values, one hot key.
+    Salted forms must agree with the plain forms on all of them (xxhash64
+    hashes NULL deterministically; inner-join NULL keys drop in BOTH forms)."""
+    rows = (
+        [(None, None)] * 3
+        + [(None, 5.0)]
+        + [("hot", float(i % 7)) for i in range(500)]
+        + [("cold", -1.5), ("cold", None)]
+    )
+    df = spark.createDataFrame(rows, "k string, v double")
+
+    plain = {
+        (r["k"],): (r["n"], r["vmin"], r["vmax"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+        .collect()
+    }
+    salted = {
+        (r["k"],): (r["n"], r["vmin"], r["vmax"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "n": (F.count(F.lit(1)), "sum"),
+                "vmin": (F.min("v"), "min"),
+                "vmax": (F.max("v"), "max"),
+            },
+            n_salts=4,
+        ).collect()
+    }
+    assert plain == salted
+
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, tag int")
+    plain_j = sorted(
+        ((r["k"], r["v"], r["tag"]) for r in df.join(dim, "k").collect()), key=repr
+    )
+    salted_j = sorted(
+        ((r["k"], r["v"], r["tag"]) for r in salted_join(df, dim, on=["k"], n_salts=4).collect()),
+        key=repr,
+    )
+    assert plain_j == salted_j
