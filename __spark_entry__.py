@@ -869,6 +869,22 @@ def q50_time_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("document_id", "idx", "text", "score")
 
 
+def q51_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline COMPLETED: LSH candidate pairs chained into
+    connected components, one canonical representative (min doc_id) per
+    duplicate cluster — what a training pipeline actually keeps. Spark side
+    is iterative min-label propagation (operators/dedup.py:
+    connected_components); the oracle is the same fixpoint as a DuckDB
+    recursive-CTE transitive closure. Pair generation matches q18 exactly."""
+    from jsonify2ai_spark.operators.dedup import connected_components
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = minhash_lsh_pairs(
+        t["documents"], num_hashes=_MINHASH_H, bands=_MINHASH_BANDS
+    )
+    return connected_components(pairs)
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -940,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_salted_agg": q48_salted_agg,
         "q49_salted_join": q49_salted_join,
         "q50_time_range_search": q50_time_range_search,
+        "q51_dedup_clusters": q51_dedup_clusters,
     }
 
 
@@ -1482,5 +1499,21 @@ def oracle_sql() -> dict[str, str]:
                    round(raw_score, 6) AS score
             FROM scored
             ORDER BY raw_score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 5
+        """,
+        "q51_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+                {_dd_minhash_lsh_sql()}
+            ), edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION
+                SELECT b, a FROM pairs
+            ), reach(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.label
+                FROM edges e JOIN reach r ON e.dst = r.node
+            )
+            SELECT node, min(label) AS cluster_rep
+            FROM reach GROUP BY node
         """,
     }

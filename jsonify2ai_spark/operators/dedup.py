@@ -562,3 +562,62 @@ def winnowing_fingerprints(
         F.size(fps).alias("n_fingerprints"),
         fps.alias("fingerprints"),
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate clusters from a near-dup pair graph: (node, cluster_rep)
+    where cluster_rep = min node id in the connected component.
+
+    This is the step a training-data pipeline runs AFTER candidate
+    generation (minhash_lsh_pairs / simhash_pairs / ngram_jaccard_pairs):
+    pairs chain transitively (A~B, B~C => one cluster), and keeping one
+    representative per CLUSTER — not per pair — is what actually dedups the
+    corpus.
+
+    Spark-first min-label propagation: every node starts labeled with
+    itself; each round, a node takes the min label in its closed
+    neighborhood; fixpoint when the global label sum stops falling (labels
+    only decrease, so the sum is a strict convergence witness — one count
+    per round, no driver-side graph). Rounds = graph diameter, and near-dup
+    components are short chains in practice, so 3-5 rounds is typical.
+    ``localCheckpoint`` truncates lineage each round — without it the plan
+    doubles per iteration. At cluster scale this is the textbook min-label
+    CC (the large-star/small-star optimization applies unchanged if
+    components turn out deep).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node"), F.col("label").alias("cluster_rep"))

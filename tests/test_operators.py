@@ -250,3 +250,28 @@ def test_stats_report_rollup(spark, tables):
     assert total["n"] == ev.count()
     assert sum(r["n"] for r in rows if r["event_type"] is not None) == total["n"]
     assert total["n_filtered"] == ev.filter(F.col("value") > 100).count()
+
+
+def test_connected_components_chains_cycles_islands(spark):
+    """Min-label CC over an adversarial pair graph: a 4-chain (diameter > 1
+    forces multiple propagation rounds), a triangle cycle, an isolated pair,
+    and out-of-order ids (rep must be the MIN id, not the first seen)."""
+    from jsonify2ai_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (40, 30), (30, 20), (20, 10),   # chain: rep 10
+            (7, 8), (8, 9), (9, 7),          # cycle: rep 7
+            (100, 101),                      # island pair: rep 100
+        ],
+        "a bigint, b bigint",
+    )
+    got = {
+        r["node"]: r["cluster_rep"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        40: 10, 30: 10, 20: 10, 10: 10,
+        7: 7, 8: 7, 9: 7,
+        100: 100, 101: 100,
+    }
