@@ -281,6 +281,13 @@ def ngram_jaccard_pairs(
     # the shuffle moves 8-byte ints instead of n-gram strings — same pair
     # counts modulo a ~2^-60 collision probability.
     based = shingle_hash_sets(df, text_col, id_col, shingle_n)
+    if df_cap is not None:
+        # the capped path references the shingle sets at candidate time AND
+        # twice at verify time; a lazy local checkpoint materializes the
+        # Arrow pass once instead of per-reference
+        return _jaccard_df_capped(
+            based.localCheckpoint(eager=False), threshold, id_col, round_to, df_cap
+        )
     # carry |set| through the explode: sz is functionally dependent on the id,
     # so adding it to the pair groupBy keys is free and saves two join stages
     ex = based.select(
@@ -288,14 +295,31 @@ def ngram_jaccard_pairs(
         F.size("hs").alias("sz"),
         F.explode("hs").alias("sh"),
     )
-    if df_cap is not None:
-        return _jaccard_df_capped(based, ex, threshold, id_col, round_to, df_cap)
-    a = ex.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"), "sh")
-    b = ex.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"), "sh")
+    # pair expansion via groupBy(sh) + double-explode, NOT a self-join: the
+    # self-join form materializes the Arrow shingle pass once per side (no
+    # exchange reuse), where this computes it once and shuffles once on sh.
+    # Per-shingle posting lists bound the row width: identical d^2/2 blowup
+    # semantics for a hot shingle as the join form, and the same df_cap is
+    # the remedy for both.
+    posts = (
+        ex.groupBy("sh")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("sz").alias("sz"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
     common = (
-        a.join(b, "sh")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "sza", "szb")
+        posts.select(F.explode("ms").alias("ma"), "ms")
+        .select("ma", F.explode("ms").alias("mb"))
+        .filter(F.col("ma.id") < F.col("mb.id"))
+        .groupBy(
+            F.col("ma.id").alias("a"),
+            F.col("mb.id").alias("b"),
+            F.col("ma.sz").alias("sza"),
+            F.col("mb.sz").alias("szb"),
+        )
         .agg(F.count(F.lit(1)).alias("common"))
     )
     out = (
@@ -312,27 +336,30 @@ def ngram_jaccard_pairs(
 
 def _jaccard_df_capped(
     based: DataFrame,
-    ex: DataFrame,
     threshold: float,
     id_col: str,
     round_to: int | None,
     df_cap: int,
 ) -> DataFrame:
     """df-capped candidate generation + full-set verification (see
-    ngram_jaccard_pairs). The hot-shingle set (df > cap) is computed with one
-    partial-aggregated shuffle of (sh) pairs, then removed from the postings
-    by broadcast anti-join; the pair join runs only over cold postings, and
-    survivors verify with array_intersect over the complete sets."""
-    hot = (
+    ngram_jaccard_pairs). Grouping postings by shingle makes the df cap a
+    FILTER on the posting-list size (1 < |list| <= cap) — the hot-shingle
+    aggregate + broadcast anti-join of the join formulation disappear
+    entirely, and the d^2 blowup of a hot shingle is structurally bounded at
+    cap^2 before any pair is generated. Survivors verify with array_intersect
+    over the complete sets, so every emitted score stays exact."""
+    ex = based.select(F.col(id_col), F.explode("hs").alias("sh"))
+    posts = (
         ex.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") > df_cap)
-        .select("sh")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= df_cap))
     )
-    cold = ex.join(F.broadcast(hot), "sh", "left_anti")
-    a = cold.select(F.col(id_col).alias("a"), "sh")
-    b = cold.select(F.col(id_col).alias("b"), "sh")
-    cand = a.join(b, "sh").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    cand = (
+        posts.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
     full = based.select(F.col(id_col), F.col("hs"))
     cand = cand.join(
         full.select(F.col(id_col).alias("a"), F.col("hs").alias("_ha")), "a"
@@ -364,9 +391,11 @@ def _jaccard_prefix_filtered(
     with array_intersect. Two shuffles total (candidate join + verify join),
     both proportional to prefix/candidate volume, not the full posting list.
     """
+    # referenced at prefix-candidate time and twice at verify time: one lazy
+    # local checkpoint instead of three Arrow passes
     based = shingle_hash_sets(df, text_col, id_col, shingle_n).select(
         F.col(id_col), F.array_sort("hs").alias("_hs")
-    )
+    ).localCheckpoint(eager=False)
     sz = F.size("_hs")
     # prefix length |X| - ceil(t*|X|) + 1 (>= 1)
     plen = F.greatest(sz - F.ceil(F.lit(threshold) * sz).cast("int") + 1, F.lit(1))
