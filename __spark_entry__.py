@@ -885,6 +885,21 @@ def q51_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def q52_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped Jaccard path (dedup.py:_jaccard_df_capped) oracle-pinned:
+    shingles with document frequency > 4 are excluded from candidate
+    generation (at sf0.01 that drops ~150 real shingles, so the cap BITES),
+    survivors verified against full sets — scores identical to q17's where
+    pairs survive. The oracle mirrors the exact capped semantics: posting
+    lists sized (1, cap], in-bucket pairs, full-set intersect verify."""
+    from jsonify2ai_spark.operators.dedup import ngram_jaccard_pairs
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return ngram_jaccard_pairs(
+        t["documents"], threshold=_JACCARD_THRESHOLD, df_cap=4
+    )
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -957,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_salted_join": q49_salted_join,
         "q50_time_range_search": q50_time_range_search,
         "q51_dedup_clusters": q51_dedup_clusters,
+        "q52_jaccard_capped": q52_jaccard_capped,
     }
 
 
@@ -1036,6 +1052,38 @@ WITH sig AS (
 )
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
 FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+"""
+
+
+def _dd_jaccard_capped_sql(threshold: float, df_cap: int) -> str:
+    """Oracle twin of dedup._jaccard_df_capped: posting lists sized (1, cap]
+    generate candidates; verification intersects FULL shingle sets (string
+    shingles here vs 60-bit md5 hashes in Spark — identical counts)."""
+    sh = _dd_shingles("text", 3)
+    return f"""
+WITH sets AS (
+  SELECT doc_id, {sh} AS hs FROM documents
+), ex AS (
+  SELECT doc_id, unnest(hs) AS sh FROM sets
+), posts AS (
+  SELECT sh, list(doc_id) AS ids FROM ex GROUP BY sh
+  HAVING len(list(doc_id)) > 1 AND len(list(doc_id)) <= {df_cap}
+), cand AS (
+  SELECT DISTINCT ua.a, ub.b
+  FROM posts, unnest(ids) AS ua(a), unnest(ids) AS ub(b)
+  WHERE ua.a < ub.b
+), verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(sa.hs, sb.hs)) AS common,
+         len(sa.hs) AS za, len(sb.hs) AS zb
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.a
+  JOIN sets sb ON sb.doc_id = c.b
+)
+SELECT a, b,
+       round(CAST(common AS DOUBLE) / (za + zb - common), 6) AS jaccard
+FROM verified
+WHERE CAST(common AS DOUBLE) / (za + zb - common) >= {threshold!r}
 """
 
 
@@ -1500,6 +1548,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             ORDER BY raw_score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 5
         """,
+        "q52_jaccard_capped": _dd_jaccard_capped_sql(_JACCARD_THRESHOLD, 4),
         "q51_dedup_clusters": f"""
             WITH RECURSIVE pairs AS (
                 {_dd_minhash_lsh_sql()}
