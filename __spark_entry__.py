@@ -546,9 +546,10 @@ def q33_events_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 sliding-window chunker over the documents table: per-doc chunk
     count, total chunk chars, max idx. The whitespace-cut window logic is
-    sequential per document (pandas UDF) — NOT SQL-expressible, so this entry
-    has no oracle (driver records the weaker rows-only check); the chunker's
-    exact boundary semantics are pinned by tests/test_chunker.py goldens."""
+    sequential per document (pandas UDF in Spark) — but the cut loop is pure
+    scalar arithmetic, so the oracle expresses it as a DuckDB RECURSIVE CTE
+    (_dd_chunker_sql) and this entry is fully value-verified; the boundary
+    semantics are additionally pinned by tests/test_chunker.py goldens."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     chunks = chunk_documents(docs, text_col="text", id_col="doc_id", size=200, overlap=40)
     return (
@@ -1055,6 +1056,52 @@ FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket AND l.doc
 """
 
 
+def _dd_chunker_sql(size: int, overlap: int) -> str:
+    """Recursive-CTE twin of the W1 sliding-window chunker
+    (operators/chunker.py:chunk_text_py): the per-document cut loop is pure
+    scalar arithmetic on (start, cut), so DuckDB's recursion expresses it
+    exactly — whitespace-preferred cut (strict ws > start), overlap step with
+    monotone-progress fallback, trim-and-drop-empty emission. Verified
+    piece-for-piece against the Python kernel on the full sf0.01 corpus."""
+    overlap = max(0, min(overlap, size - 1))
+    step = size - overlap
+    endp = f"least(w.start + {size}, w.n)"
+    sub = f"substr(w.t, w.start + 1, {endp} - w.start)"
+    revpos = f"strpos(reverse({sub}), ' ')"
+    wsrel = f"(length({sub}) - {revpos})"
+    cut = (
+        f"CASE WHEN {endp} < w.n AND {revpos} > 0 AND {wsrel} > 0 "
+        f"THEN w.start + {wsrel} ELSE {endp} END"
+    )
+    nxt = (
+        f"CASE WHEN ({cut}) - {overlap} <= w.start "
+        f"THEN w.start + {step} ELSE ({cut}) - {overlap} END"
+    )
+    return f"""
+WITH RECURSIVE nn AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t,
+         length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS n
+  FROM documents
+  WHERE length(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) > 0
+), walk(doc_id, t, n, start) AS (
+  SELECT doc_id, t, n, 0 FROM nn
+  UNION ALL
+  SELECT w.doc_id, w.t, w.n, {nxt}
+  FROM walk w
+  WHERE ({cut}) < w.n
+), pieces AS (
+  SELECT w.doc_id,
+         trim(substr(w.t, w.start + 1, ({cut}) - w.start)) AS piece
+  FROM walk w
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(length(piece)) AS BIGINT) AS total_chunk_chars,
+       CAST(count(*) - 1 AS INTEGER) AS max_idx
+FROM pieces WHERE piece <> '' GROUP BY doc_id
+"""
+
+
 def _dd_jaccard_capped_sql(threshold: float, df_cap: int) -> str:
     """Oracle twin of dedup._jaccard_df_capped: posting lists sized (1, cap]
     generate candidates; verification intersects FULL shingle sets (string
@@ -1386,6 +1433,7 @@ def oracle_sql() -> dict[str, str]:
         # chunker is sequential per document (pandas UDF, tested against
         # reference goldens in tests/test_chunker.py); driver records the
         # rows-only check.
+        "q34_chunk_stats": _dd_chunker_sql(200, 40),
         "q35_archive_shards": """
             SELECT doc_id, source,
                    CAST(floor((sum(n_chars) OVER (
