@@ -901,6 +901,40 @@ def q52_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_ingest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 ingest-summary aggregation (sources/ingest.py:ingest_summary)
+    oracle-pinned: the documents table stands in for a parsed run, with
+    deterministic synthetic skip reasons so the skipped/reason paths are
+    actually exercised. Array/map outputs are stringified for the driver's
+    row hasher (skip_reasons comma-joined; per_kind as sorted k:v pairs)."""
+    from jsonify2ai_spark.sources.ingest import ingest_summary
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = t["documents"]
+    docs = d.select(
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id")).alias("path"),
+        F.when(F.col("doc_id") % 7 == 0, "too_large")
+        .when(F.col("doc_id") % 11 == 0, "undecodable")
+        .alias("skip_reason"),
+    )
+    chunks = d.select(F.col("doc_id"), F.col("lang").alias("kind"))
+    out = ingest_summary(docs, chunks)
+    return out.select(
+        "documents_seen",
+        "documents_skipped",
+        "files_scanned",
+        F.concat_ws(",", "skip_reasons").alias("skip_reasons"),
+        "chunks_emitted",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.map_entries("per_kind")),
+                lambda e: F.concat_ws(":", e["key"], e["value"].cast("string")),
+            ),
+        ).alias("per_kind"),
+    )
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -974,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_time_range_search": q50_time_range_search,
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_jaccard_capped": q52_jaccard_capped,
+        "q53_ingest_summary": q53_ingest_summary,
     }
 
 
@@ -1597,6 +1632,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY raw_score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 5
         """,
         "q52_jaccard_capped": _dd_jaccard_capped_sql(_JACCARD_THRESHOLD, 4),
+        "q53_ingest_summary": """
+            WITH docs AS (
+                SELECT source || '/' || doc_id AS path,
+                       CASE WHEN doc_id % 7 = 0 THEN 'too_large'
+                            WHEN doc_id % 11 = 0 THEN 'undecodable' END AS skip_reason
+                FROM documents
+            ), per_kind AS (
+                SELECT lang AS kind, count(*) AS n FROM documents GROUP BY lang
+            )
+            SELECT (SELECT count(*) FROM docs) AS documents_seen,
+                   (SELECT count(*) FILTER (skip_reason IS NOT NULL) FROM docs)
+                       AS documents_skipped,
+                   (SELECT count(DISTINCT path) FROM docs) AS files_scanned,
+                   (SELECT coalesce(array_to_string(list_sort(list(DISTINCT skip_reason)), ','), '')
+                    FROM docs WHERE skip_reason IS NOT NULL) AS skip_reasons,
+                   (SELECT CAST(sum(n) AS BIGINT) FROM per_kind) AS chunks_emitted,
+                   (SELECT array_to_string(list_sort(list(kind || ':' || CAST(n AS VARCHAR))), ',')
+                    FROM per_kind) AS per_kind
+        """,
         "q51_dedup_clusters": f"""
             WITH RECURSIVE pairs AS (
                 {_dd_minhash_lsh_sql()}
