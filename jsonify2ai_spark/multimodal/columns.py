@@ -195,3 +195,89 @@ def sample_frames(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, content_col).mapInPandas(sample, schema=out_schema)
+
+
+def _resize_bytes_py(data: bytes, max_side: int) -> tuple[bytes, int, int]:
+    """Real resize kernel (PIL): aspect-preserving downscale so the longer
+    side == max_side (never upscale), re-encoded as JPEG. Returns
+    (bytes, width, height). Driver-testable; the executor wrapper below maps
+    it per Arrow batch."""
+    import io as _io
+
+    from PIL import Image
+
+    with Image.open(_io.BytesIO(data)) as img:
+        img = img.convert("RGB")
+        w, h = img.size
+        scale = max_side / max(w, h)
+        if scale < 1.0:
+            img = img.resize(
+                (max(1, round(w * scale)), max(1, round(h * scale))),
+                Image.Resampling.LANCZOS,
+            )
+        out = _io.BytesIO()
+        img.save(out, format="JPEG")
+        return out.getvalue(), img.size[0], img.size[1]
+
+
+def resize_images(
+    df: DataFrame,
+    max_side: int = 512,
+    content_col: str = "content",
+    dev_mode: bool = True,
+) -> DataFrame:
+    """binary -> resized binary + (width, height): the thumbnail/normalize
+    stage of a multimodal training pipeline, as mapInPandas (bytes never
+    touch the driver; one PIL import per executor worker).
+
+    Dev mode is a deterministic fake with REAL resize arithmetic: fake
+    source dims from the content hash, aspect-preserving scale to
+    ``max_side``, output bytes = sha256(content || max_side) — so schema,
+    partitioning, and the scale math are all testable without PIL.
+    """
+    out_schema = StructType(
+        df.schema.fields
+        + [
+            StructField("resized", BinaryType(), True),
+            StructField("width", IntegerType(), True),
+            StructField("height", IntegerType(), True),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        if not dev_mode:
+            try:
+                from PIL import Image  # noqa: F401  (fail the task early)
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real resize needs Pillow; run with dev_mode=True"
+                ) from e
+        for pdf in batches:
+            blobs, ws, hs = [], [], []
+            for data in pdf[content_col]:
+                raw = bytes(data or b"")
+                if dev_mode:
+                    w, h = _fake_ints(raw, 2, 16, 4096)
+                    scale = max_side / max(w, h)
+                    if scale < 1.0:
+                        w, h = max(1, round(w * scale)), max(1, round(h * scale))
+                    blobs.append(
+                        hashlib.sha256(raw + max_side.to_bytes(4, "big")).digest()
+                    )
+                    ws.append(w)
+                    hs.append(h)
+                    continue
+                try:
+                    b, w, h = _resize_bytes_py(raw, max_side)
+                    blobs.append(b)
+                    ws.append(w)
+                    hs.append(h)
+                except Exception:
+                    blobs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+            pdf = pdf.copy()
+            pdf["resized"], pdf["width"], pdf["height"] = blobs, ws, hs
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -151,3 +151,73 @@ def test_caption_resizes_and_strips(monkeypatch):
 def test_caption_soft_fallback_on_inference_failure(monkeypatch):
     _fake_blip(monkeypatch, gen_raises=True)
     assert models.caption_image_real(content=b"x") == ""  # images.py:27-31 contract
+
+
+def test_resize_kernel_aspect_and_no_upscale(monkeypatch):
+    """_resize_bytes_py: aspect-preserving downscale to max_side, no
+    upscaling of small images, JPEG re-encode — against a fake PIL."""
+    from jsonify2ai_spark.multimodal import columns as mmc
+
+    class _Img:
+        def __init__(self, size):
+            self.size = size
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def resize(self, wh, resample=None):
+            return _Img(wh)
+
+        def save(self, out, format=None):
+            assert format == "JPEG"
+            out.write(b"jpeg:%dx%d" % self.size)
+
+    class _Image:
+        class Resampling:
+            LANCZOS = "lanczos"
+
+        @staticmethod
+        def open(src):
+            return _Img((1000, 400))
+
+    pil = types.ModuleType("PIL")
+    pil.Image = _Image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+
+    b, w, h = mmc._resize_bytes_py(b"data", max_side=512)
+    assert (w, h) == (512, 205)  # 1000x400 scaled by 512/1000, rounded
+    assert b == b"jpeg:512x205"
+
+    # no upscale: already within budget
+    _Image.open = staticmethod(lambda src: _Img((100, 50)))
+    b, w, h = mmc._resize_bytes_py(b"data", max_side=512)
+    assert (w, h) == (100, 50)
+
+
+def test_resize_images_dev_mode_spark(spark):
+    """Dev-mode resize: deterministic dims scaled with the REAL arithmetic,
+    output bytes deterministic, schema typed."""
+    import hashlib
+
+    from jsonify2ai_spark.multimodal.columns import _fake_ints, resize_images
+
+    rows = [("m1", b"\x01" * 40), ("m2", b"\x02" * 9000)]
+    df = spark.createDataFrame(rows, "media_id string, content binary")
+    out = {r["media_id"]: r for r in resize_images(df, max_side=256).collect()}
+    assert set(out) == {"m1", "m2"}
+    for mid, raw in rows:
+        w0, h0 = _fake_ints(raw, 2, 16, 4096)
+        scale = 256 / max(w0, h0)
+        if scale < 1.0:
+            w0, h0 = max(1, round(w0 * scale)), max(1, round(h0 * scale))
+        r = out[mid]
+        assert (r["width"], r["height"]) == (w0, h0)
+        assert max(r["width"], r["height"]) <= 256
+        assert bytes(r["resized"]) == hashlib.sha256(raw + (256).to_bytes(4, "big")).digest()
