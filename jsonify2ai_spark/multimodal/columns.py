@@ -181,12 +181,20 @@ def sample_frames(
     def sample(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        if not dev_mode:
+            # fail the task at import time, not per-row
+            from jsonify2ai_spark.multimodal.models import demux_frames_real
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for mid, data in zip(pdf[id_col], pdf[content_col]):
-                if not dev_mode:
-                    raise NotImplementedError("real frame demux not wired: STUB")
                 raw = bytes(data or b"")
+                if not dev_mode:
+                    for fi, blob in demux_frames_real(raw, every_n=every_n):
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(blob)
+                    continue
                 (n_frames,) = _fake_ints(raw, 1, 30, 300)
                 for fi in range(0, n_frames, every_n):
                     ids.append(mid)

@@ -110,3 +110,40 @@ def caption_image_real(
         return proc.decode(out[0], skip_special_tokens=True).strip()
     except Exception:
         return ""
+
+
+def demux_frames_real(
+    content: bytes,
+    every_n: int = 10,
+    image_format: str = "jpeg",
+) -> list[tuple[int, bytes]]:
+    """Real video frame sampling kernel (pyav): demux the container from
+    bytes, decode the first video stream, keep every ``every_n``-th frame
+    re-encoded as JPEG. Returns [(frame_idx, jpeg_bytes)].
+
+    Per-row function so the mapInPandas wrapper in columns.sample_frames can
+    map it batch-wise; pyav imports lazily per executor worker.
+    """
+    import io
+
+    try:
+        import av
+    except Exception as e:
+        raise ModelUnavailable(
+            "pyav is required for video frame demux (pip install av)"
+        ) from e
+
+    out: list[tuple[int, bytes]] = []
+    with av.open(io.BytesIO(content)) as container:
+        stream = next(
+            (s for s in container.streams if s.type == "video"), None
+        )
+        if stream is None:
+            return out
+        for idx, frame in enumerate(container.decode(stream)):
+            if idx % every_n:
+                continue
+            buf = io.BytesIO()
+            frame.to_image().save(buf, format=image_format.upper())
+            out.append((idx, buf.getvalue()))
+    return out

@@ -221,3 +221,53 @@ def test_resize_images_dev_mode_spark(spark):
         assert (r["width"], r["height"]) == (w0, h0)
         assert max(r["width"], r["height"]) <= 256
         assert bytes(r["resized"]) == hashlib.sha256(raw + (256).to_bytes(4, "big")).digest()
+
+
+def test_demux_frames_real_contract(monkeypatch):
+    """pyav kernel against a fake av module: every_n-th frame kept with its
+    original index, JPEG re-encode, no video stream -> []."""
+
+    class _Frame:
+        def __init__(self, i):
+            self.i = i
+
+        def to_image(self):
+            frame = self
+
+            class _Im:
+                def save(self, buf, format=None):
+                    assert format == "JPEG"
+                    buf.write(b"f%d" % frame.i)
+
+            return _Im()
+
+    class _Stream:
+        type = "video"
+
+    class _Container:
+        def __init__(self, streams):
+            self.streams = streams
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def decode(self, stream):
+            return iter(_Frame(i) for i in range(25))
+
+    av = types.ModuleType("av")
+    av.open = lambda src: _Container([_Stream()])
+    monkeypatch.setitem(sys.modules, "av", av)
+
+    out = models.demux_frames_real(b"vid", every_n=10)
+    assert out == [(0, b"f0"), (10, b"f10"), (20, b"f20")]
+
+    av.open = lambda src: _Container([])  # audio-only container
+    assert models.demux_frames_real(b"vid", every_n=10) == []
+
+
+def test_demux_unavailable_without_av():
+    with pytest.raises(models.ModelUnavailable, match="pyav"):
+        models.demux_frames_real(b"x")
