@@ -247,10 +247,12 @@ def q11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q12_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-analysis stats + quality score per document (pure projection)."""
+    """Text-analysis stats + quality score per document (pure projection):
+    the length/punct/stopword quality triad plus the composite score."""
     t = load_tables(spark, sf_dir, ["documents"])
     return with_text_stats(t["documents"]).select(
         "doc_id", "n_chars", "n_tokens", "avg_token_len",
+        "punct_ratio", "stopword_ratio",
         quality_score("text").alias("quality"),
     )
 
@@ -1295,6 +1297,14 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN {n_tok} > 0
                               THEN CAST({n_alpha} AS DOUBLE) / {n_tok}
                               ELSE 0.0 END, 4) AS avg_token_len,
+                   round(CASE WHEN length(text) > 0
+                              THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                                   / length(text)
+                              ELSE 0.0 END, 4) AS punct_ratio,
+                   round(CASE WHEN {n_tok} > 0
+                              THEN CAST(len(list_filter({qtoks}, x -> lower(x) IN ('the', 'a', 'an', 'and', 'or', 'but', 'if', 'of', 'to', 'in', 'on', 'at', 'for', 'with', 'is', 'are', 'was', 'were', 'be', 'it', 'this', 'that', 'as', 'by', 'from')))
+                                        AS DOUBLE) / {n_tok}
+                              ELSE 0.0 END, 4) AS stopword_ratio,
                    {qual} AS quality
             FROM documents
         """,

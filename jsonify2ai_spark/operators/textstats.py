@@ -29,14 +29,30 @@ def _c(x: Column | str) -> Column:
     return F.col(x) if isinstance(x, str) else x
 
 
+# Small fixed EN stopword list for the quality triad (length/punct/stopword).
+# Engine-portable: a plain IN-list in any SQL dialect.
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "but", "if", "of", "to", "in", "on", "at",
+    "for", "with", "is", "are", "was", "were", "be", "it", "this", "that",
+    "as", "by", "from",
+]
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append n_chars / n_tokens / avg_token_len / punct ratio columns."""
+    """Append n_chars / n_tokens / avg_token_len / punct / stopword ratio
+    columns. The token array is let-bound through an intermediate column so
+    token_count and the stopword filter share ONE tokenize (no CSE across
+    lambda bodies otherwise)."""
+    from jsonify2ai_spark.functions.text import tokens
+
     t = _c(text_col)
-    n_tok = token_count(t)
+    base = df.withColumn("_tk", tokens(t))
+    n_tok = F.size("_tk")
+    n_stop = F.size(F.filter("_tk", lambda x: F.lower(x).isin(STOPWORDS)))
     n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
     return (
-        df.withColumn("n_chars", F.length(t).cast("bigint"))
+        base.withColumn("n_chars", F.length(t).cast("bigint"))
         .withColumn("n_tokens", n_tok.cast("bigint"))
         .withColumn(
             "avg_token_len",
@@ -50,6 +66,13 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.when(F.length(t) > 0, n_punct.cast("double") / F.length(t)).otherwise(0.0), 4
             ),
         )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(F.lit(0.0)), 4
+            ),
+        )
+        .drop("_tk")
     )
 
 
