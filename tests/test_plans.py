@@ -97,3 +97,41 @@ def test_q50_time_range_filter_under_topk(spark):
     # (details section), not applied post-scoring
     cond = next(line for line in plan.splitlines() if "Condition" in line)
     assert "% 1000) >= 100" in cond and "% 1000) < 600" in cond, cond
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The engine's AQE configs actually fire: a join with one hot key gets
+    runtime skew-split (SortMergeJoin(skew=true) in the FINAL adaptive plan).
+    This is the automatic complement to the explicit salted path — both
+    mitigations must hold at 100 TB. Thresholds are lowered to make test-size
+    partitions count as skewed; restored after."""
+    import pyspark.sql.functions as F
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ path
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 8, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .cast("long")
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("d")
+        )
+        j = big.join(dim, "k")
+        assert len(j.collect()) == 300_000  # inner join: every key matches
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:1500]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
