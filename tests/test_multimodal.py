@@ -68,3 +68,36 @@ def test_sample_frames_fanout_deterministic(media):
 def test_real_mode_raises_not_implemented(media):
     with pytest.raises(Exception):
         decode_image_meta(media, dev_mode=False).collect()
+
+
+def test_multimodal_pipeline_end_to_end(spark):
+    """Composability: binary media -> typed meta -> resize -> feature vector
+    -> cosine top-k, all dev-mode deterministic. This is the full multimodal
+    column pipeline a training ingest would run, as ONE lazy plan."""
+    import hashlib
+
+    from jsonify2ai_spark.multimodal.columns import (
+        attach_media_meta,
+        extract_media_features,
+        resize_images,
+    )
+    from jsonify2ai_spark.operators.search import cosine_topk
+
+    rows = [(f"m{i}", ("img-%03d" % i).encode() * (i + 1)) for i in range(12)]
+    media = spark.createDataFrame(rows, "media_id string, content binary")
+
+    staged = extract_media_features(
+        resize_images(attach_media_meta(media), max_side=128), dim=16
+    )
+    # query with m3's own feature vector: it must rank itself first at 1.0
+    q = [hashlib.sha256(rows[3][1]).digest()[i % 32] / 256.0 for i in range(16)]
+    hits = cosine_topk(
+        staged.select("media_id", F.col("features").alias("vector")),
+        q, k=3, id_cols=("media_id",),
+    ).collect()
+    assert hits[0]["media_id"] == "m3"
+    assert abs(hits[0]["score"] - 1.0) < 1e-9
+    # schema survived the whole chain
+    out_cols = set(staged.columns)
+    assert {"media_id", "content", "n_bytes", "sha256", "resized", "width",
+            "height", "features"} <= out_cols
