@@ -343,3 +343,57 @@ def test_stream_dedup_emits_first_occurrence_only(spark, tmp_path):
         assert by_key["k1"] != ["re-drop"]  # the FIRST occurrence won
     finally:
         q.stop()
+
+
+def test_rollup_stream_equals_batch_backfill(spark, tmp_path):
+    """T6/A6 parity soak: 6 micro-batches through the watermarked hourly
+    rollup must end at EXACTLY the aggregates the same definition computes
+    as one batch over the full event set — the backfill/live-parity claim,
+    executed. (No late events here: nothing may be dropped.)"""
+    src = tmp_path / "soak"
+    src.mkdir()
+    ckpt = str(tmp_path / "soak_ckpt")
+
+    all_rows = []
+    stream = stream_events_json(spark, str(src), max_files_per_trigger=1)
+    q = (
+        hourly_rollup(stream, watermark="24 hours")
+        .writeStream.format("memory")
+        .queryName("soak_rollup")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        for b in range(6):
+            rows = [
+                (f"2026-01-01T{8 + (b % 3):02d}:{5 * i:02d}:00", et, float(b + i))
+                for i, et in enumerate(["click", "view", "click"])
+            ]
+            all_rows.extend(rows)
+            _write_events(src / f"b{b}.json", rows)
+            q.processAllAvailable()
+        # update-mode sink: last emission per (window, key) wins
+        streamed = {}
+        for r in spark.sql("select * from soak_rollup").collect():
+            streamed[(r["window_start"], r["event_type"])] = (
+                r["n_events"],
+                r["total_value"],
+            )
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(
+        [
+            {
+                "event_id": i, "ts": ts, "user_id": 1,
+                "event_type": et, "value": v, "props": "{}",
+            }
+            for i, (ts, et, v) in enumerate(all_rows)
+        ]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in hourly_rollup(batch_df).collect()
+    }
+    assert streamed == batch
