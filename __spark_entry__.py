@@ -937,6 +937,29 @@ def q53_ingest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus sampling (operators/sampling.py):
+    hash-mod quotas (en 50%, de 25%, others 10%) — reproducible across
+    retries/engines unlike rand(), so the oracle matches row-for-row. Output
+    is the per-lang kept-count plus a kept-id checksum, proving the SAME
+    ROWS were chosen, not just the same number."""
+    from jsonify2ai_spark.operators.sampling import stratified_sample
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    kept = stratified_sample(
+        t["documents"],
+        key_col="doc_id",
+        stratum_col="lang",
+        fractions={"en": 0.5, "de": 0.25},
+        default_fraction=0.1,
+        salt="corpus-v1",
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1011,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_jaccard_capped": q52_jaccard_capped,
         "q53_ingest_summary": q53_ingest_summary,
+        "q54_stratified_sample": q54_stratified_sample,
     }
 
 
@@ -1642,6 +1666,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY raw_score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 5
         """,
         "q52_jaccard_capped": _dd_jaccard_capped_sql(_JACCARD_THRESHOLD, 4),
+        "q54_stratified_sample": """
+            WITH kept AS (
+                SELECT doc_id, lang,
+                       CAST('0x' || substr(md5('corpus-v1' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                           % 1000000 AS bucket
+                FROM documents
+            )
+            SELECT lang, count(*) AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM kept
+            WHERE bucket < (CASE lang WHEN 'en' THEN 500000
+                                      WHEN 'de' THEN 250000
+                                      ELSE 100000 END)
+            GROUP BY lang
+        """,
         "q53_ingest_summary": """
             WITH docs AS (
                 SELECT source || '/' || doc_id AS path,

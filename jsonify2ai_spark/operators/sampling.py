@@ -1,0 +1,56 @@
+"""Deterministic sampling for training-data pipelines.
+
+`df.sample()`/`sampleBy()` use an RNG seeded per task attempt: retries,
+repartitions, or a different executor count change WHICH rows are kept — at
+100 TB that breaks resumability and makes experiment corpora irreproducible.
+The engine-portable alternative: keep a row iff a content-derived hash of its
+key falls under the quota. Same rows on every engine, every run, every
+cluster shape; sampling composes with pushdown (it is a plain filter); and
+nested quotas (90% -> 50%) are consistent because the hash is salted per
+sampling stage.
+
+Not in the reference (single-node, no sampling needs — SURVEY §4); this is
+the standard hash-mod sampling used by large corpus pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000  # ppm resolution
+
+
+def sample_hash(key: Column | str, salt: str = "") -> Column:
+    """Uniform bucket in [0, 1e6) from md5(salt || key) — engine-portable
+    (md5 + integer arithmetic only)."""
+    key = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") % _BUCKETS
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — reproducible across
+    retries/engines/cluster shapes, unlike rand()-based sample()."""
+    return df.filter(sample_hash(key_col, salt) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic quotas (e.g. per-language corpus mix):
+    ``fractions`` maps stratum value -> keep fraction; strata not listed use
+    ``default_fraction``. One map-side filter — no shuffle, no RNG."""
+    quota = F.lit(int(default_fraction * _BUCKETS))
+    for value, frac in fractions.items():
+        quota = F.when(
+            F.col(stratum_col) == value, F.lit(int(frac * _BUCKETS))
+        ).otherwise(quota)
+    return df.filter(sample_hash(key_col, salt) < quota)

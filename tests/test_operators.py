@@ -275,3 +275,26 @@ def test_connected_components_chains_cycles_islands(spark):
         7: 7, 8: 7, 9: 7,
         100: 100, 101: 100,
     }
+
+
+def test_deterministic_sampling_reproducible_and_stratified(spark, tables):
+    """Hash-mod sampling: identical keep-set across runs/partitionings
+    (rand() would differ), fraction lands near target, per-stratum quotas
+    respected, salt changes the sample."""
+    from jsonify2ai_spark.operators.sampling import deterministic_sample, stratified_sample
+
+    docs = tables["documents"]
+    a = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3, salt="s1").collect()}
+    b = {r["doc_id"] for r in deterministic_sample(docs.repartition(7), "doc_id", 0.3, salt="s1").collect()}
+    assert a == b and a  # same rows regardless of partitioning
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # near the 30% target
+    c = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3, salt="s2").collect()}
+    assert c != a  # salt isolates sampling stages
+
+    strat = stratified_sample(
+        docs, "doc_id", "lang", {"en": 1.0}, default_fraction=0.0
+    )
+    kept_langs = {r["lang"] for r in strat.select("lang").distinct().collect()}
+    assert kept_langs == {"en"}  # full en, nothing else
+    assert strat.count() == docs.filter("lang = 'en'").count()
