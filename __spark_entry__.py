@@ -960,6 +960,26 @@ def q54_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q55_weighted_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus mixing (stride scheduling,
+    operators/sampling.py:weighted_interleave): en x3, de x2, others x1 —
+    the global training order, with the first 100 positions returned so the
+    oracle pins the exact interleaving (not just stratum counts)."""
+    from jsonify2ai_spark.operators.sampling import weighted_interleave
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    mixed = weighted_interleave(
+        t["documents"].select("doc_id", "lang"),
+        stratum_col="lang",
+        weights={"en": 3.0, "de": 2.0},
+        order_col="doc_id",
+        materialize_order=True,
+    )
+    return mixed.filter(F.col("mix_order") <= 100).select(
+        "mix_order", "doc_id", "lang", F.round("mix_vt", 6).alias("mix_vt")
+    )
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1035,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_jaccard_capped": q52_jaccard_capped,
         "q53_ingest_summary": q53_ingest_summary,
         "q54_stratified_sample": q54_stratified_sample,
+        "q55_weighted_interleave": q55_weighted_interleave,
     }
 
 
@@ -1666,6 +1687,21 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY raw_score DESC, CAST(doc_id AS VARCHAR) ASC LIMIT 5
         """,
         "q52_jaccard_capped": _dd_jaccard_capped_sql(_JACCARD_THRESHOLD, 4),
+        "q55_weighted_interleave": """
+            WITH ranked AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC)
+                           / (CASE lang WHEN 'en' THEN 3.0 WHEN 'de' THEN 2.0 ELSE 1.0 END)
+                           AS vt
+                FROM documents
+            ), ordered AS (
+                SELECT doc_id, lang, vt,
+                       row_number() OVER (ORDER BY vt ASC, lang ASC, doc_id ASC) AS mix_order
+                FROM ranked
+            )
+            SELECT mix_order, doc_id, lang, round(vt, 6) AS mix_vt
+            FROM ordered WHERE mix_order <= 100
+        """,
         "q54_stratified_sample": """
             WITH kept AS (
                 SELECT doc_id, lang,

@@ -54,3 +54,41 @@ def stratified_sample(
             F.col(stratum_col) == value, F.lit(int(frac * _BUCKETS))
         ).otherwise(quota)
     return df.filter(sample_hash(key_col, salt) < quota)
+
+
+def weighted_interleave(
+    df: DataFrame,
+    stratum_col: str,
+    weights: dict[str, float],
+    order_col: str,
+    default_weight: float = 1.0,
+    materialize_order: bool = False,
+) -> DataFrame:
+    """Deterministic weighted corpus mixing (stride scheduling): a global
+    training order where a stratum with weight w appears ~w times as often
+    as weight-1 strata, interleaved smoothly rather than concatenated.
+
+    Each row's virtual time ``mix_vt`` = per-stratum rank / weight; the
+    training order is orderBy(mix_vt, stratum, order_col). The per-stratum
+    window and the range-partitioned global sort are both distributed
+    shuffles, and the result is fully deterministic given (stratum,
+    order_col) — an interrupted 100 TB mixing job resumes at the same order.
+
+    ``materialize_order=True`` additionally numbers rows 1..N contiguously
+    (``mix_order``). That is an empty-partition window — a single-reducer
+    global pass — fine for samples and tests, NOT for the full corpus; at
+    scale, sort by the key instead (writers consume order, not ordinals).
+    """
+    from pyspark.sql import Window
+
+    w = F.lit(default_weight)
+    for value, weight in weights.items():
+        w = F.when(F.col(stratum_col) == value, F.lit(float(weight))).otherwise(w)
+    rank = F.row_number().over(
+        Window.partitionBy(stratum_col).orderBy(F.col(order_col).asc())
+    )
+    out = df.withColumn("mix_vt", rank.cast("double") / w)
+    order = [F.col("mix_vt").asc(), F.col(stratum_col).asc(), F.col(order_col).asc()]
+    if materialize_order:
+        return out.withColumn("mix_order", F.row_number().over(Window.orderBy(*order)))
+    return out.orderBy(*order)

@@ -298,3 +298,31 @@ def test_deterministic_sampling_reproducible_and_stratified(spark, tables):
     kept_langs = {r["lang"] for r in strat.select("lang").distinct().collect()}
     assert kept_langs == {"en"}  # full en, nothing else
     assert strat.count() == docs.filter("lang = 'en'").count()
+
+
+def test_weighted_interleave_stride_ratios(spark):
+    """Stride mixing: in any window of the order, weight-3 strata appear ~3x
+    weight-1 strata; the default path returns a SORTED frame (no global
+    row_number single-reducer pass)."""
+    from jsonify2ai_spark.operators.sampling import weighted_interleave
+
+    rows = [(f"a{i}", "heavy") for i in range(300)] + [
+        (f"b{i}", "light") for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, s string")
+    mixed = weighted_interleave(
+        df, stratum_col="s", weights={"heavy": 3.0}, order_col="k"
+    )
+    assert "mix_order" not in mixed.columns  # distributed default: no ordinal
+    head = [r["s"] for r in mixed.limit(120) .collect()]
+    # first 120 positions: heavy ~90, light ~30 (3:1 stride)
+    n_heavy = sum(1 for s in head if s == "heavy")
+    assert 80 <= n_heavy <= 100, n_heavy
+    # ordinal variant is contiguous 1..N
+    nums = [
+        r["mix_order"]
+        for r in weighted_interleave(
+            df, "s", {"heavy": 3.0}, "k", materialize_order=True
+        ).collect()
+    ]
+    assert sorted(nums) == list(range(1, 601))
