@@ -74,3 +74,45 @@ def test_chunk_documents_dataframe(spark):
     assert [i for i, _ in sorted(by_doc[1])] == [0, 1, 2]
     assert 2 not in by_doc  # empty text -> no rows
     assert by_doc[3] == [(0, "short")]
+
+
+def test_chunker_recursive_cte_parity_adversarial():
+    """The q34 oracle's recursive CTE must equal chunk_text_py on boundary
+    cases the corpus never hits: cuts exactly at/next to spaces, 1-char
+    words, no-space runs longer than the window, whitespace-only text,
+    pieces shorter than the overlap (monotone-progress fallback)."""
+    import duckdb
+
+    from __spark_entry__ import _dd_chunker_sql
+    from jsonify2ai_spark.operators.chunker import chunk_text_py
+
+    size, overlap = 10, 3
+    cases = [
+        "",
+        "   ",
+        "abcdefghijklmnopqrstuvwxyz",        # no spaces: hard cuts
+        "a " * 30,                             # 1-char words
+        "aaaa bbbb cccc dddd eeee",            # cut lands on boundaries
+        "aaaaaaaaa b",                         # space at window edge
+        "a" * 9 + " " + "b" * 9,
+        "a" * 10 + " " + "b" * 10,
+        "ab " + "c" * 25 + " de",              # oversize run mid-text
+        "  lead   multi   space  tail  ",
+        "x y z " * 12,
+        "a" * 7 + "  " + "b" * 7,              # double space collapses
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(cases))
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_dd_chunker_sql(size, overlap)).fetchall()
+    }
+    expect = {}
+    for i, text in enumerate(cases):
+        cs = chunk_text_py(text, size=size, overlap=overlap)
+        if cs:
+            expect[i] = (len(cs), sum(len(c) for c in cs), len(cs) - 1)
+    assert got == expect
