@@ -980,6 +980,27 @@ def q55_weighted_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q56_chat_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 chat-aware chunker oracle-pinned: block-structured text is
+    synthesized deterministically ('. ' -> '.\\n\\n' in both engines), then
+    the accumulate-blocks-under-budget kernel (chunker.py:chunk_chat_py,
+    size=300, oversize blocks W1-split at overlap=0) runs per doc. The
+    oracle replays the same accumulator as a two-level DuckDB recursion:
+    a W1 cut walk for oversize blocks + a per-doc block fold."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    blocky = docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"\. ", ".\n\n").alias("text"),
+    )
+    chunks = chunk_documents(
+        blocky, text_col="text", id_col="doc_id", size=300, chat=True
+    )
+    return chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.length("chunk")).alias("total_chars"),
+    )
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1056,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_ingest_summary": q53_ingest_summary,
         "q54_stratified_sample": q54_stratified_sample,
         "q55_weighted_interleave": q55_weighted_interleave,
+        "q56_chat_chunk_stats": q56_chat_chunk_stats,
     }
 
 
@@ -1181,6 +1203,79 @@ SELECT doc_id,
        CAST(sum(length(piece)) AS BIGINT) AS total_chunk_chars,
        CAST(count(*) - 1 AS INTEGER) AS max_idx
 FROM pieces WHERE piece <> '' GROUP BY doc_id
+"""
+
+
+def _dd_chat_chunker_sql(size: int) -> str:
+    """Recursive twin of chunk_chat_py over '.\\n\\n'-blocked text: blocks
+    fold left-to-right into an accumulator (join cost +2 chars), oversize
+    blocks flush the accumulator and emit their W1(overlap=0) pieces —
+    W1 stats come from the same cut-walk recursion as _dd_chunker_sql.
+    Verified block-for-block against the Python kernel on the sf0.01 corpus."""
+    endp = f"least(w.start + {size}, w.n)"
+    sub = f"substr(w.t, w.start + 1, {endp} - w.start)"
+    revpos = f"strpos(reverse({sub}), ' ')"
+    wsrel = f"(length({sub}) - {revpos})"
+    cut0 = (
+        f"CASE WHEN {endp} < w.n AND {revpos} > 0 AND {wsrel} > 0 "
+        f"THEN w.start + {wsrel} ELSE {endp} END"
+    )
+    nxt0 = f"CASE WHEN ({cut0}) <= w.start THEN w.start + {size} ELSE ({cut0}) END"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, replace(text, '. ', '.' || chr(10) || chr(10)) AS t2 FROM documents
+), blks AS (
+  SELECT doc_id, i, trim(bs[i]) AS b, length(trim(bs[i])) AS bl
+  FROM (SELECT doc_id, string_split(t2, chr(10) || chr(10)) AS bs FROM base),
+       unnest(range(1, len(bs) + 1)) AS u(i)
+  WHERE trim(bs[i]) <> ''
+), blocks AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS bi, b, bl
+  FROM blks
+), nblocks AS (
+  SELECT doc_id, max(bi) AS nb FROM blocks GROUP BY doc_id
+), w1walk(doc_id, bi, t, n, start) AS (
+  SELECT doc_id, bi, b, bl, 0 FROM blocks WHERE bl > {size}
+  UNION ALL
+  SELECT w.doc_id, w.bi, w.t, w.n, {nxt0}
+  FROM w1walk w WHERE ({cut0}) < w.n
+), w1stats AS (
+  SELECT doc_id, bi,
+         count(*) FILTER (piece <> '') AS n_w1,
+         sum(length(piece)) FILTER (piece <> '') AS chars_w1
+  FROM (SELECT w.doc_id, w.bi, trim(substr(w.t, w.start + 1, ({cut0}) - w.start)) AS piece
+        FROM w1walk w)
+  GROUP BY doc_id, bi
+), acc(doc_id, bi, acc_len, n_em, chars_em) AS (
+  SELECT doc_id, 0, 0, 0, 0 FROM nblocks
+  UNION ALL
+  SELECT a.doc_id, a.bi + 1,
+    CASE WHEN bk.bl > {size} THEN 0
+         WHEN a.acc_len = 0 THEN bk.bl
+         WHEN a.acc_len + 2 + bk.bl <= {size} THEN a.acc_len + 2 + bk.bl
+         ELSE bk.bl END,
+    a.n_em + CASE WHEN bk.bl > {size}
+                       THEN (CASE WHEN a.acc_len > 0 THEN 1 ELSE 0 END) + ws.n_w1
+                  WHEN a.acc_len = 0 THEN 0
+                  WHEN a.acc_len + 2 + bk.bl <= {size} THEN 0
+                  ELSE 1 END,
+    a.chars_em + CASE WHEN bk.bl > {size}
+                           THEN (CASE WHEN a.acc_len > 0 THEN a.acc_len ELSE 0 END) + ws.chars_w1
+                      WHEN a.acc_len = 0 THEN 0
+                      WHEN a.acc_len + 2 + bk.bl <= {size} THEN 0
+                      ELSE a.acc_len END
+  FROM acc a
+  JOIN blocks bk ON bk.doc_id = a.doc_id AND bk.bi = a.bi + 1
+  LEFT JOIN w1stats ws ON ws.doc_id = bk.doc_id AND ws.bi = bk.bi
+), final AS (
+  SELECT a.doc_id,
+         a.n_em + CASE WHEN a.acc_len > 0 THEN 1 ELSE 0 END AS n_chunks,
+         a.chars_em + CASE WHEN a.acc_len > 0 THEN a.acc_len ELSE 0 END AS total_chars
+  FROM acc a JOIN nblocks nb ON nb.doc_id = a.doc_id AND a.bi = nb.nb
+)
+SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(total_chars AS BIGINT) AS total_chars
+FROM final
 """
 
 
@@ -1524,6 +1619,7 @@ def oracle_sql() -> dict[str, str]:
         # reference goldens in tests/test_chunker.py); driver records the
         # rows-only check.
         "q34_chunk_stats": _dd_chunker_sql(200, 40),
+        "q56_chat_chunk_stats": _dd_chat_chunker_sql(300),
         "q35_archive_shards": """
             SELECT doc_id, source,
                    CAST(floor((sum(n_chars) OVER (
