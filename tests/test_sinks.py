@@ -171,3 +171,22 @@ def test_compact_buckets_merges_small_files(spark, tmp_path):
         1 for f in os.listdir(os.path.join(table, "bucket=0")) if f.endswith(".parquet")
     )
     assert n_b0 == 1
+
+
+def test_chunks_table_format_round_trips(spark, chunks, tmp_path):
+    """Source/sink breadth: the chunks table round-trips through ORC and
+    JSON losslessly (vector arrays included), so the engine is not
+    parquet-bound for interchange."""
+    base = chunks.select("id", "document_id", "idx", "text", "vector")
+    rows = sorted((r["id"], r["idx"], tuple(r["vector"] or ())) for r in base.collect())
+
+    for fmt in ("orc", "json"):
+        path = str(tmp_path / f"t_{fmt}")
+        base.write.format(fmt).mode("overwrite").save(path)
+        reader = spark.read.format(fmt)
+        if fmt == "json":  # json needs the schema to keep array<float> typed
+            reader = reader.schema(base.schema)
+        back = reader.load(path)
+        assert back.schema == base.schema, fmt
+        got = sorted((r["id"], r["idx"], tuple(r["vector"] or ())) for r in back.collect())
+        assert got == rows, f"{fmt} round-trip mismatch"
