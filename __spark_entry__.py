@@ -1001,6 +1001,24 @@ def q56_chat_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (operators/packing.py): next-fit documents
+    into 2000-char training bins within doc_id%8 groups — per-row
+    (pack_group, bin_idx) assignments, so the oracle (the same fold as a
+    recursive CTE) pins every packing decision, not just bin counts."""
+    from jsonify2ai_spark.operators.packing import pack_sequences
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    packed = pack_sequences(
+        t["documents"].select("doc_id", "n_chars"),
+        budget=2000,
+        size_col="n_chars",
+        id_col="doc_id",
+        n_groups=8,
+    )
+    return packed.select("doc_id", "pack_group", "bin_idx")
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1078,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_stratified_sample": q54_stratified_sample,
         "q55_weighted_interleave": q55_weighted_interleave,
         "q56_chat_chunk_stats": q56_chat_chunk_stats,
+        "q57_pack_sequences": q57_pack_sequences,
     }
 
 
@@ -1619,6 +1638,25 @@ def oracle_sql() -> dict[str, str]:
         # reference goldens in tests/test_chunker.py); driver records the
         # rows-only check.
         "q34_chunk_stats": _dd_chunker_sql(200, 40),
+        "q57_pack_sequences": """
+            WITH RECURSIVE g AS (
+                SELECT doc_id, n_chars, doc_id % 8 AS grp,
+                       row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS r
+                FROM documents
+            ), f(grp, r, doc_id, acc, bin) AS (
+                SELECT grp, r, doc_id, n_chars, 0 FROM g WHERE r = 1
+                UNION ALL
+                SELECT n.grp, n.r, n.doc_id,
+                       CASE WHEN f.acc > 0 AND f.acc + n.n_chars > 2000
+                            THEN n.n_chars ELSE f.acc + n.n_chars END,
+                       CASE WHEN f.acc > 0 AND f.acc + n.n_chars > 2000
+                            THEN f.bin + 1 ELSE f.bin END
+                FROM f JOIN g n ON n.grp = f.grp AND n.r = f.r + 1
+            )
+            SELECT doc_id, CAST(grp AS BIGINT) AS pack_group,
+                   CAST(bin AS BIGINT) AS bin_idx
+            FROM f
+        """,
         "q56_chat_chunk_stats": _dd_chat_chunker_sql(300),
         "q35_archive_shards": """
             SELECT doc_id, source,

@@ -1,0 +1,59 @@
+"""Greedy sequence packing for LLM training pipelines.
+
+Training consumes fixed-size context windows; feeding one short document per
+window wastes most of the budget. The standard fix is next-fit packing:
+walk documents in a deterministic order, accumulate until the next document
+would overflow the budget, then start a new bin (documents are never split;
+an oversized document gets its own bin — the tokenizer-side truncation is a
+separate, model-specific concern).
+
+The fold is sequential, so the scalable shape is packing WITHIN deterministic
+groups (id mod n_groups): each group folds independently in an
+applyInPandas (one Arrow batch stream per group, no global order barrier),
+and a bin is identified by (pack_group, bin_idx). Group count tunes the
+parallelism/packing-efficiency trade: more groups = more parallelism, a few
+more partially-filled final bins (one per group). Fully deterministic, so a
+re-run or retry packs identically — and the DuckDB oracle (q57) replays the
+same fold as a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_groups: int = 32,
+) -> DataFrame:
+    """Assign each row to (pack_group, bin_idx) by next-fit over ``id_col``
+    order within ``id % n_groups`` groups. One shuffle (the groupBy); the
+    fold runs Arrow-batched per group."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    grouped = df.withColumn("pack_group", (F.col(id_col) % n_groups).cast("long"))
+    # copy, don't .add(): DataFrame.schema returns the frame's cached
+    # StructType and add() mutates it in place
+    out_schema = StructType(
+        grouped.schema.fields + [StructField("bin_idx", LongType())]
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins: list[int] = []
+        acc, b = 0, 0
+        for sz in pdf[size_col]:
+            sz = int(sz or 0)
+            if acc > 0 and acc + sz > budget:
+                b += 1
+                acc = 0
+            acc += sz
+            bins.append(b)
+        pdf["bin_idx"] = bins
+        return pdf
+
+    return grouped.groupBy("pack_group").applyInPandas(fold, schema=out_schema)

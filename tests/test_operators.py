@@ -326,3 +326,30 @@ def test_weighted_interleave_stride_ratios(spark):
         ).collect()
     ]
     assert sorted(nums) == list(range(1, 601))
+
+
+def test_pack_sequences_next_fit_invariants(spark):
+    """Packing invariants: no bin exceeds the budget unless it holds exactly
+    one oversized doc; bins within a group are contiguous from 0; docs never
+    split; determinism across partitionings."""
+    from jsonify2ai_spark.operators.packing import pack_sequences
+
+    rows = [(i, sz) for i, sz in enumerate([500, 900, 700, 2500, 100, 1900, 60, 1999, 2, 3000])]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = pack_sequences(df, budget=2000, n_groups=2).collect()
+    assert len(out) == len(rows)
+
+    sizes = dict(rows)
+    bins = {}
+    for r in out:
+        bins.setdefault((r["pack_group"], r["bin_idx"]), []).append(r["doc_id"])
+    for (_, _), members in bins.items():
+        total = sum(sizes[d] for d in members)
+        if total > 2000:
+            assert len(members) == 1 and sizes[members[0]] > 2000  # oversize doc alone
+    for g in {r["pack_group"] for r in out}:
+        idxs = sorted({r["bin_idx"] for r in out if r["pack_group"] == g})
+        assert idxs == list(range(len(idxs)))  # contiguous bins per group
+
+    again = pack_sequences(df.repartition(5), budget=2000, n_groups=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))  # deterministic
