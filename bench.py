@@ -40,6 +40,7 @@ def main() -> int:
     # (measured in PERF.md), a fixed cost that is noise at bench scale and
     # nonexistent at real scale. min-of-2 is the steady-state number.
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     total = 0.0
     for name, fn in entry_mod.queries().items():
         runs = []
@@ -48,13 +49,14 @@ def main() -> int:
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                runs.append(time.time() - t0)
+                runs.append(round(time.time() - t0, 3))
         except Exception as e:  # a failing query gets a null, not a crash
             print(f"bench error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
             timings[name] = None
             continue
-        dt = round(min(runs), 3)
+        dt = min(runs)
         timings[name] = dt
+        all_runs[name] = runs
         total += dt
 
     print(json.dumps({
@@ -62,6 +64,9 @@ def main() -> int:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # both raw run times per query: distinguishes one-time plan-compile /
+        # machine-noise spikes (run1 >> run2) from real regressions (both high)
+        "runs": all_runs,
         "sf": sf,
         "mode": "min_of_2_runs",
     }))

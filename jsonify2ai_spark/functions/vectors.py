@@ -42,16 +42,65 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     worker/app/qdrant_init.py:28-43). For repeated top-k serving, pre-normalize
     the table once with :func:`l2_normalize` and use :func:`dot` instead — that
     halves the per-row flops and the norm becomes a one-time ETL cost.
+
+    Fused single-pass fold: one ``zip_with`` producing (x*y, x², y²) triples,
+    one ``aggregate`` with a struct accumulator. The input expression trees for
+    ``a`` and ``b`` therefore appear exactly ONCE in the plan — the naive
+    ``dot(a,b) / (l2_norm(a)*l2_norm(b))`` inlines ``a`` three times (Catalyst
+    does no CSE across lambda bodies), which for a wide synthesized input like
+    ``dev_embedding(text)`` tripled the codegen unit and its compile time.
+    Each accumulator component adds in the same left-to-right order as the
+    separate ``dot``/``l2_norm`` folds, and the final expression keeps the
+    ``dot / (sqrt(na)*sqrt(nb))`` shape, so scores are bit-identical to the
+    unfused form (and to the DuckDB oracle).
     """
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom != 0, dot(a, b) / denom)
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    terms = F.zip_with(
+        _as_double(a),
+        _as_double(b),
+        lambda x, y: F.struct(
+            (x * y).alias("xy"), (x * x).alias("xx"), (y * y).alias("yy")
+        ),
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("d"), F.lit(0.0).alias("na"), F.lit(0.0).alias("nb")
+    )
+    return F.aggregate(
+        terms,
+        zero,
+        lambda acc, t: F.struct(
+            (acc["d"] + t["xy"]).alias("d"),
+            (acc["na"] + t["xx"]).alias("na"),
+            (acc["nb"] + t["yy"]).alias("nb"),
+        ),
+        # acc is a bound lambda variable (a materialized struct), so the two
+        # references to the denom sub-expression cost two sqrts, not two folds
+        lambda acc: F.when(
+            F.sqrt(acc["na"]) * F.sqrt(acc["nb"]) != 0,
+            acc["d"] / (F.sqrt(acc["na"]) * F.sqrt(acc["nb"])),
+        ),
+    )
 
 
 def l2_normalize(a: Column | str) -> Column:
-    """Return the unit-length copy of an array column (double)."""
+    """Return the unit-length copy of an array column (double).
+
+    The norm is LET-BOUND via a single-element transform: dividing inside a
+    ``transform`` lambda by a bare ``l2_norm(a)`` expression would re-fold the
+    norm once PER ELEMENT (no CSE across lambda bodies — dim+1 folds per row).
+    """
     a = F.col(a) if isinstance(a, str) else a
-    n = l2_norm(a)
-    return F.when(n != 0, F.transform(_as_double(a), lambda x: x / n))
+    bound = F.array(F.struct(_as_double(a).alias("v"), l2_norm(a).alias("n")))
+    return F.element_at(
+        F.transform(
+            bound,
+            lambda s: F.when(
+                s["n"] != 0, F.transform(s["v"], lambda x: x / s["n"])
+            ),
+        ),
+        1,
+    )
 
 
 def dev_embedding(text: Column | str, dim: int = 768, signed: bool = False) -> Column:
