@@ -277,6 +277,42 @@ def test_connected_components_chains_cycles_islands(spark):
     }
 
 
+def test_connected_components_deep_chain_logarithmic(spark):
+    """A 1000-link chain has diameter 1000: plain min-label propagation
+    needs 1000 rounds, the alternating large-star/small-star implementation
+    must collapse it to the single rep 0 within O(log n) rounds. The round
+    count is observed by capping max_iter at 20 — convergence inside the cap
+    (no RuntimeWarning, correct labels) IS the logarithmic-rounds assertion."""
+    import warnings
+
+    from jsonify2ai_spark.operators.dedup import connected_components
+
+    n = 1000
+    pairs = spark.range(n).selectExpr("id as a", "id + 1 as b")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # unconverged -> fail
+        got = connected_components(pairs, max_iter=20).collect()
+    assert len(got) == n + 1
+    assert all(r["cluster_rep"] == 0 for r in got)
+
+
+def test_connected_components_warns_unconverged(spark):
+    """ADVICE fix: exiting via max_iter without reaching the fixpoint must
+    warn, not silently return wrong labels."""
+    import warnings
+
+    from jsonify2ai_spark.operators.dedup import connected_components
+
+    pairs = spark.range(200).selectExpr("id as a", "id + 1 as b")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iter=1).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "rounds" in str(w.message)
+        for w in caught
+    )
+
+
 def test_deterministic_sampling_reproducible_and_stratified(spark, tables):
     """Hash-mod sampling: identical keep-set across runs/partitionings
     (rand() would differ), fraction lands near target, per-stratum quotas
