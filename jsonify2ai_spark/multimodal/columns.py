@@ -130,11 +130,15 @@ def extract_media_features(
     content_col: str = "content",
     dim: int = 64,
     dev_mode: bool = True,
+    model_name: str = "openai/clip-vit-base-patch32",
 ) -> DataFrame:
     """binary -> fixed-dim float feature vector (the embedding column for
     similarity search / near-dup over media). Dev mode replicates the
     hash-embedding oracle (byte i%32 of sha256 / 256.0) so results join
-    directly against the text dev embeddings."""
+    directly against the text dev embeddings; real mode runs the CLIP image
+    tower (models.embed_image_real — import-gated per executor worker, dim
+    is then model-determined: 512 for ViT-B/32). Undecodable bytes yield a
+    NULL feature row in real mode, mirroring decode_image_meta."""
     from pyspark.sql.types import ArrayType, DoubleType
 
     out_schema = StructType(
@@ -142,12 +146,22 @@ def extract_media_features(
     )
 
     def extract(batches: Iterator) -> Iterator:
+        if not dev_mode:
+            # load the model once per worker BEFORE touching rows: a missing
+            # dependency fails the task immediately with the install hint
+            # instead of per-row deep in a batch
+            from jsonify2ai_spark.multimodal.models import _load_clip, embed_image_real
+
+            _load_clip(model_name)
+
         for pdf in batches:
             feats = []
             for data in pdf[content_col]:
+                raw = bytes(data or b"")
                 if not dev_mode:
-                    raise NotImplementedError("real feature extraction not wired: STUB")
-                h = hashlib.sha256(bytes(data or b"")).digest()
+                    feats.append(embed_image_real(raw, model_name=model_name))
+                    continue
+                h = hashlib.sha256(raw).digest()
                 feats.append([h[i % 32] / 256.0 for i in range(dim)])
             pdf = pdf.copy()
             pdf["features"] = feats

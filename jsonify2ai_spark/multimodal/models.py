@@ -25,6 +25,7 @@ from pathlib import Path
 # pays the model load once. Keyed by config so mixed sizes can coexist.
 _WHISPER_CACHE: dict = {}
 _BLIP_CACHE: dict = {}
+_CLIP_CACHE: dict = {}
 
 
 class ModelUnavailable(RuntimeError):
@@ -110,6 +111,52 @@ def caption_image_real(
         return proc.decode(out[0], skip_special_tokens=True).strip()
     except Exception:
         return ""
+
+
+def _load_clip(model_name: str):
+    if model_name not in _CLIP_CACHE:
+        try:
+            from PIL import Image
+            from transformers import CLIPModel, CLIPProcessor
+        except Exception as e:
+            raise ModelUnavailable(
+                "Pillow + transformers are required for image feature "
+                "extraction (pip install pillow transformers torch)"
+            ) from e
+        _CLIP_CACHE[model_name] = (
+            CLIPProcessor.from_pretrained(model_name),
+            CLIPModel.from_pretrained(model_name),
+            Image,
+        )
+    return _CLIP_CACHE[model_name]
+
+
+def embed_image_real(
+    content: bytes,
+    model_name: str = "openai/clip-vit-base-patch32",
+) -> list[float] | None:
+    """Fixed-dim image feature vector (CLIP image tower), L2-normalized so
+    downstream cosine top-k reduces to a plain dot product.
+
+    The reference has no native image-embedding path — images become captions
+    (BLIP, worker/app/services/images.py:13-31) which are then TEXT-embedded
+    (embed_ollama.py); a CLIP image embedding is the same-modality equivalent
+    feeding the similarity/near-dup operators directly. Contract mirrors
+    :func:`caption_image_real`: RGB-convert, per-process model cache,
+    inference failure returns None (soft fallback — row kept, downstream
+    filters on NULL), missing dependency raises :class:`ModelUnavailable`.
+    The output dim is model-determined (512 for CLIP ViT-B/32).
+    """
+    proc, model, Image = _load_clip(model_name)
+    try:
+        image = Image.open(io.BytesIO(content)).convert("RGB")
+        inputs = proc(images=image, return_tensors="pt")
+        feats = model.get_image_features(**inputs)
+        vec = [float(x) for x in feats[0]]
+        norm = sum(x * x for x in vec) ** 0.5
+        return [x / norm for x in vec] if norm else vec
+    except Exception:
+        return None
 
 
 def demux_frames_real(

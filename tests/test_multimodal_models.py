@@ -21,9 +21,11 @@ from jsonify2ai_spark.multimodal import models
 def _clear_caches():
     models._WHISPER_CACHE.clear()
     models._BLIP_CACHE.clear()
+    models._CLIP_CACHE.clear()
     yield
     models._WHISPER_CACHE.clear()
     models._BLIP_CACHE.clear()
+    models._CLIP_CACHE.clear()
 
 
 def test_model_unavailable_without_deps():
@@ -221,6 +223,75 @@ def test_resize_images_dev_mode_spark(spark):
         assert (r["width"], r["height"]) == (w0, h0)
         assert max(r["width"], r["height"]) <= 256
         assert bytes(r["resized"]) == hashlib.sha256(raw + (256).to_bytes(4, "big")).digest()
+
+
+def _fake_clip(monkeypatch, feats=(3.0, 4.0), feats_raises=False):
+    seen = {"constructed": [], "embedded": 0}
+
+    class _Img:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+    class _Image:
+        @staticmethod
+        def open(src):
+            assert type(src).__name__ == "BytesIO"  # bytes path, no fs
+            return _Img()
+
+    pil = types.ModuleType("PIL")
+    pil.Image = _Image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+
+    tf = types.ModuleType("transformers")
+
+    class _Proc:
+        @staticmethod
+        def from_pretrained(name):
+            seen["constructed"].append(name)
+            return _Proc()
+
+        def __call__(self, images=None, return_tensors=None):
+            assert return_tensors == "pt"
+            return {"pixel_values": images}
+
+    class _Model:
+        @staticmethod
+        def from_pretrained(name):
+            return _Model()
+
+        def get_image_features(self, pixel_values=None):
+            seen["embedded"] += 1
+            if feats_raises:
+                raise RuntimeError("OOM")
+            return [list(feats)]
+
+    tf.CLIPProcessor = _Proc
+    tf.CLIPModel = _Model
+    monkeypatch.setitem(sys.modules, "transformers", tf)
+    return seen
+
+
+def test_embed_image_unavailable_without_deps():
+    with pytest.raises(models.ModelUnavailable, match="transformers"):
+        models.embed_image_real(b"png")
+
+
+def test_embed_image_normalized_and_cached(monkeypatch):
+    seen = _fake_clip(monkeypatch, feats=(3.0, 4.0))
+    out = models.embed_image_real(b"png-bytes")
+    assert out == [0.6, 0.8]  # L2-normalized (3,4)/5
+    assert seen["constructed"] == ["openai/clip-vit-base-patch32"]
+
+    models.embed_image_real(b"other")  # cached: model built once per worker
+    assert len(seen["constructed"]) == 1 and seen["embedded"] == 2
+
+
+def test_embed_image_soft_fallback_on_inference_failure(monkeypatch):
+    _fake_clip(monkeypatch, feats_raises=True)
+    # inference failure -> None (row kept, NULL feature), same contract as
+    # caption_image_real's "" — but missing deps still raise (test above)
+    assert models.embed_image_real(b"x") is None
 
 
 def test_demux_frames_real_contract(monkeypatch):
