@@ -131,8 +131,12 @@ def ollama_post_fn(
             raise ValueError(
                 f"embedding count mismatch: expected {len(texts)}, got {len(vectors)}"
             )
-        if not vectors or not vectors[0]:
-            raise ValueError("empty embedding returned")
+        # every entry, not just the first: a malformed mid-batch item parses
+        # to None/[] and would otherwise surface much later as an obscure
+        # length-check failure inside the UDF
+        bad = [i for i, v in enumerate(vectors) if not v]
+        if bad:
+            raise ValueError(f"empty embedding at batch positions {bad[:5]}")
         return vectors
 
     return post

@@ -32,10 +32,20 @@ def pack_sequences(
 ) -> DataFrame:
     """Assign each row to (pack_group, bin_idx) by next-fit over ``id_col``
     order within ``id % n_groups`` groups. One shuffle (the groupBy); the
-    fold runs Arrow-batched per group."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    fold runs Arrow-batched per group.
 
-    grouped = df.withColumn("pack_group", (F.col(id_col) % n_groups).cast("long"))
+    Non-numeric id columns group by ``pmod(xxhash64(id), n_groups)`` — a
+    plain ``%`` on a string id is NULL for every row, which would silently
+    collapse the whole corpus into one sequential group (and that single
+    group is exactly the global-order barrier this design avoids).
+    """
+    from pyspark.sql.types import LongType, NumericType, StructField, StructType
+
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        grp = (F.col(id_col) % n_groups).cast("long")
+    else:
+        grp = F.pmod(F.xxhash64(id_col), F.lit(n_groups))
+    grouped = df.withColumn("pack_group", grp)
     # copy, don't .add(): DataFrame.schema returns the frame's cached
     # StructType and add() mutates it in place
     out_schema = StructType(

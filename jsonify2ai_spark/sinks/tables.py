@@ -63,6 +63,56 @@ def ensure_table(
     return spark.read.parquet(path)
 
 
+def swap_dir(src: str, dst: str) -> None:
+    """Crash-safe directory swap: rename ``dst`` aside to ``dst__old``, move
+    ``src`` in, then delete the ``__old`` copy.
+
+    The naive ``rmtree(dst); os.replace(src, dst)`` has a crash window where
+    the old data is deleted and the new not yet moved — rows recoverable from
+    nowhere (streaming replay only re-delivers the current batch's files, not
+    the old documents that lived in the bucket). Here a crash at any point
+    leaves either the old or the new COMPLETE directory on disk, and
+    :func:`recover_table` finishes or rolls back the swap on startup.
+    """
+    old = f"{dst}__old"
+    shutil.rmtree(old, ignore_errors=True)  # stale leftover of a finished swap
+    if os.path.exists(dst):
+        os.replace(dst, old)
+    os.replace(src, dst)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_table(table_path: str) -> list[str]:
+    """Startup recovery for interrupted swaps (streaming merge or
+    compaction). For each ``X__old``: ``X`` present means the new data
+    landed — drop the leftover; ``X`` missing means the crash hit between
+    rename-aside and move-in — restore the old directory (streaming replay
+    then re-applies the interrupted batch idempotently). ``__staging`` /
+    ``__compacting`` directories are partial writes — always dropped.
+    Returns the actions taken, for telemetry and tests."""
+    actions: list[str] = []
+    staging = f"{table_path}__staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging, ignore_errors=True)
+        actions.append(f"removed {os.path.basename(staging)}")
+    if not os.path.isdir(table_path):
+        return actions
+    for entry in sorted(os.listdir(table_path)):
+        full = os.path.join(table_path, entry)
+        if entry.endswith("__compacting"):
+            shutil.rmtree(full, ignore_errors=True)
+            actions.append(f"removed {entry}")
+        elif entry.endswith("__old"):
+            base = full[: -len("__old")]
+            if os.path.exists(base):
+                shutil.rmtree(full, ignore_errors=True)
+                actions.append(f"removed {entry}")
+            else:
+                os.replace(full, base)
+                actions.append(f"restored {os.path.basename(base)}")
+    return actions
+
+
 def compact_buckets(
     spark: SparkSession,
     table_path: str,
@@ -113,8 +163,7 @@ def compact_buckets(
         for f in os.listdir(staging):
             if not (f.endswith(".parquet") or f == "_SUCCESS"):
                 os.remove(os.path.join(staging, f))
-        shutil.rmtree(bdir)
-        os.replace(staging, bdir)
+        swap_dir(staging, bdir)
         files_after += sum(1 for f in os.listdir(bdir) if f.endswith(".parquet"))
         compacted.append(entry)
     return {

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jsonify2ai_spark.operators.upsert import N_BUCKETS_DEFAULT, bucket_expr, replace_documents
+from jsonify2ai_spark.sinks.tables import recover_table, swap_dir
 from jsonify2ai_spark.sources.ingest import chunk_parsed, embed_chunks, parse_files
 
 
@@ -73,8 +74,13 @@ def watch_dropzone(
             return
         sess = batch_df.sparkSession
         docs = parse_files(batch_df)
-        chunks = embed_chunks(chunk_parsed(docs, size, overlap), dim=dim).withColumn(
-            "bucket", bucket_expr("document_id", n_buckets)
+        # lazy localCheckpoint: the touched-bucket collect below materializes
+        # the parse->chunk->embed pipeline ONCE; without it the merged.write
+        # re-executes the whole (embed-heavy) subtree a second time
+        chunks = (
+            embed_chunks(chunk_parsed(docs, size, overlap), dim=dim)
+            .withColumn("bucket", bucket_expr("document_id", n_buckets))
+            .localCheckpoint(eager=False)
         )
         if os.path.exists(table_path):
             # every document this batch can replace lives in one of the
@@ -90,17 +96,19 @@ def watch_dropzone(
         # Stage-and-swap, bucket-granular: the merge plan READS the current
         # bucket files, so writing over them in place would delete files
         # mid-scan. Write the merged touched buckets to staging, then swap
-        # exactly those bucket dirs; untouched buckets are never rewritten.
+        # exactly those bucket dirs (crash-safe rename-aside swap; see
+        # sinks.tables.swap_dir); untouched buckets are never rewritten.
         staging = f"{table_path}__staging"
         merged.write.mode("overwrite").partitionBy("bucket").parquet(staging)
         os.makedirs(table_path, exist_ok=True)
         for entry in os.listdir(staging):
             if entry.startswith("bucket="):
-                dst = os.path.join(table_path, entry)
-                shutil.rmtree(dst, ignore_errors=True)
-                os.replace(os.path.join(staging, entry), dst)
+                swap_dir(os.path.join(staging, entry), os.path.join(table_path, entry))
         shutil.rmtree(staging, ignore_errors=True)
 
+    # finish or roll back any swap a previous run crashed in the middle of;
+    # the stream's checkpoint then replays the interrupted batch idempotently
+    recover_table(table_path)
     return (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint)

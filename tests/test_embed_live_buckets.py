@@ -151,6 +151,19 @@ def test_ollama_post_fn_request_contract(monkeypatch):
     with pytest.raises(ValueError):
         ollama_post_fn()(["a", "b"])
 
+    # ADVICE fix: a malformed MID-batch entry (None/[] after tolerant parse)
+    # must raise here, not propagate into the UDF as a silent None
+    def midbad_urlopen(req, timeout=None):
+        return FakeResp(
+            _json.dumps(
+                {"embeddings": [{"embedding": [0.1]}, {"nope": 1}, {"embedding": [0.2]}]}
+            ).encode()
+        )
+
+    monkeypatch.setattr(urllib.request, "urlopen", midbad_urlopen)
+    with pytest.raises(ValueError, match="positions \\[1\\]"):
+        ollama_post_fn()(["a", "b", "c"])
+
 
 def test_ollama_generate_fn_contract(monkeypatch):
     """Generate transport: POSTs {model, prompt, stream:false, options} to

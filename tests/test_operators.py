@@ -389,3 +389,22 @@ def test_pack_sequences_next_fit_invariants(spark):
 
     again = pack_sequences(df.repartition(5), budget=2000, n_groups=2).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))  # deterministic
+
+
+def test_pack_sequences_string_ids_hash_grouped(spark):
+    """ADVICE fix: a string id column must hash-group, not silently produce
+    `id % n` = NULL for every row (which collapsed the corpus into ONE
+    sequential group — the global-order barrier the design exists to avoid)."""
+    from jsonify2ai_spark.operators.packing import pack_sequences
+
+    rows = [(f"doc-{i}", 700) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id string, n_chars long")
+    out = pack_sequences(df, budget=2000, n_groups=8).collect()
+    assert len(out) == 200
+    groups = {r["pack_group"] for r in out}
+    assert None not in groups
+    assert len(groups) > 1  # actually spread, not one sequential fold
+    assert all(0 <= g < 8 for g in groups)
+    # deterministic across partitionings (hash is content-based, not random)
+    again = pack_sequences(df.repartition(7), budget=2000, n_groups=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

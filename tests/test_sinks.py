@@ -190,3 +190,47 @@ def test_chunks_table_format_round_trips(spark, chunks, tmp_path):
         assert back.schema == base.schema, fmt
         got = sorted((r["id"], r["idx"], tuple(r["vector"] or ())) for r in back.collect())
         assert got == rows, f"{fmt} round-trip mismatch"
+
+
+def test_swap_dir_and_recover_table_crash_windows(tmp_path):
+    """ADVICE fix: the bucket swap must never have a window where the old
+    data is deleted and the new not yet in place. swap_dir renames aside,
+    moves in, then deletes; recover_table finishes or rolls back whichever
+    state a crash left behind."""
+    import os
+
+    from jsonify2ai_spark.sinks.tables import recover_table, swap_dir
+
+    def mkdir_with(path, name):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, name), "w") as f:
+            f.write(name)
+
+    table = tmp_path / "t"
+
+    # normal swap: new content in, old gone, no leftovers
+    old_b = table / "bucket=0"
+    new_b = table / "incoming"
+    mkdir_with(str(old_b), "old.parquet")
+    mkdir_with(str(new_b), "new.parquet")
+    swap_dir(str(new_b), str(old_b))
+    assert os.listdir(old_b) == ["new.parquet"]
+    assert not os.path.exists(str(old_b) + "__old")
+
+    # crash AFTER rename-aside, BEFORE move-in: bucket=1 missing, __old holds
+    # the only copy -> recovery must restore it
+    mkdir_with(str(table / "bucket=1__old"), "survivor.parquet")
+    # crash AFTER move-in, BEFORE delete: both present -> drop the __old
+    mkdir_with(str(table / "bucket=2"), "current.parquet")
+    mkdir_with(str(table / "bucket=2__old"), "stale.parquet")
+    # partial writes are always dropped
+    mkdir_with(str(table / "bucket=3__compacting"), "partial.parquet")
+    mkdir_with(str(tmp_path / "t__staging"), "partial.parquet")
+
+    actions = recover_table(str(table))
+    assert os.listdir(table / "bucket=1") == ["survivor.parquet"]
+    assert os.listdir(table / "bucket=2") == ["current.parquet"]
+    assert not os.path.exists(table / "bucket=2__old")
+    assert not os.path.exists(table / "bucket=3__compacting")
+    assert not os.path.exists(tmp_path / "t__staging")
+    assert len(actions) == 4
