@@ -135,3 +135,56 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_cbo_column_stats_flip_filtered_join_to_broadcast(spark):
+    """ANALYZE + CBO: without stats the filtered fact side is estimated at
+    its full file size (over the broadcast threshold -> SortMergeJoin); with
+    table+column stats CBO sees the equality predicate keeps ~1/1000 of the
+    rows and broadcasts that side. The join strategy must FLIP with stats
+    present — this is why write_bucketed runs analyze_table after every bulk
+    write."""
+    import pyspark.sql.functions as F
+
+    from jsonify2ai_spark.sinks.bucketed import analyze_table
+
+    tuned = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024),
+        "spark.sql.adaptive.enabled": "false",  # plan-time decision, no runtime rescue
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        # high-entropy pad so the parquet files are genuinely > threshold
+        fact = spark.range(60_000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 1000).alias("sel"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        spark.sql("DROP TABLE IF EXISTS cbo_fact")
+        spark.sql("DROP TABLE IF EXISTS cbo_probe")
+        fact.write.saveAsTable("cbo_fact")
+        spark.range(60_000).select(
+            F.col("id").alias("k"),
+            F.sha2(F.concat(F.lit("p"), F.col("id").cast("string")), 256).alias("p"),
+        ).write.saveAsTable("cbo_probe")
+
+        def join_plan():
+            j = spark.table("cbo_probe").join(
+                spark.table("cbo_fact").filter(F.col("sel") == 7), "k"
+            )
+            return plan_string(j)
+
+        before = join_plan()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before, before[:2000]
+
+        analyze_table(spark, "cbo_fact", ["k", "sel"])
+        after = join_plan()
+        assert "BroadcastHashJoin" in after, after[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS cbo_fact")
+        spark.sql("DROP TABLE IF EXISTS cbo_probe")
