@@ -79,6 +79,101 @@ def eval_metrics(
     )
 
 
+def eval_corpus_from_documents(spark, sf_dir: str, dim: int = 64) -> DataFrame:
+    """documents.parquet -> a chunks-shaped corpus (one chunk per document,
+    dev-mode vectors), so the /ask eval runs end-to-end on the synthetic
+    test data with no model dependency."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("id"),
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.col("source").alias("path"),
+        F.lit("text").alias("kind"),
+        F.lit(0).alias("idx"),
+        F.col("text"),
+        dev_embedding(F.col("text"), dim=dim).alias("vector"),
+    )
+
+
+def run_qa_eval(
+    chunks: DataFrame,
+    qa,
+    out_path: str | None = None,
+    k: int = 5,
+    dim: int = 64,
+    embed=None,
+    min_synth_score: float = 0.55,
+) -> dict:
+    """End-to-end /ask eval, mirroring the reference's ask_eval.py:41-131:
+    every QA row ({question, answer_contains}, the eval/qa.example.jsonl
+    shape) runs the FULL serving path (retrieve -> synthesis gate -> snippet
+    selection via api.ask) with per-question wall time; the returned dict —
+    {ts, n, hit@1, p50_ms, p95_ms, latencies_ms, cases:[{i, ms, ok, hit,
+    question}]} — matches eval/results/last.json and is written to
+    ``out_path`` when given.
+
+    The hit check is the reference's fallback criterion (ask_eval.py:92-96):
+    case-insensitive substring containment of answer_contains anywhere in
+    the serialized response. Serving latency per question is the metric —
+    for corpus-level hit@k over a LARGE QA set use batch_retrieve +
+    eval_metrics, which score every question in one Spark plan instead of a
+    per-question loop. Hits are deterministic under dev-mode embeddings.
+    """
+    import json
+    import statistics
+    import time
+
+    from jsonify2ai_spark.api import ask
+
+    if isinstance(qa, str):
+        with open(qa, encoding="utf-8") as f:
+            qa = [json.loads(line) for line in f if line.strip()]
+
+    cases, lat = [], []
+    hits = 0
+    for i, item in enumerate(qa, 1):
+        question = item.get("q") or item.get("question", "")
+        t0 = time.perf_counter()
+        try:
+            js = ask(
+                chunks, question, k=k, dim=dim, embed=embed,
+                min_synth_score=min_synth_score,
+            )
+            ok = True
+        except Exception:
+            js, ok = {}, False
+        ms = (time.perf_counter() - t0) * 1000.0
+        lat.append(ms)
+        needle = (item.get("answer_contains") or "").lower()
+        body = json.dumps(js, ensure_ascii=False, default=str).lower()
+        hit = bool(needle) and needle in body
+        hits += int(hit)
+        cases.append(
+            {"i": i, "ms": round(ms, 1), "ok": ok, "hit": bool(hit), "question": question}
+        )
+    out = {
+        "ts": time.time(),
+        "engine": "jsonify2ai_spark",
+        "n": len(lat),
+        "hit@1": hits,
+        "p50_ms": round(statistics.median(lat), 1) if lat else 0,
+        "p95_ms": (
+            round(statistics.quantiles(lat, n=20)[-1], 1)
+            if len(lat) >= 20
+            else (round(max(lat), 1) if lat else 0)
+        ),
+        "latencies_ms": [round(x, 1) for x in lat],
+        "cases": cases,
+    }
+    if out_path:
+        import os
+
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w", encoding="utf-8") as f:
+            json.dump(out, f, ensure_ascii=False, indent=2)
+    return out
+
+
 def latency_percentiles(latencies: DataFrame, value_col: str = "latency_ms") -> DataFrame:
     """p50/p95 (linear interpolation — statistics.quantiles parity)."""
     return latencies.agg(

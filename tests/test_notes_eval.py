@@ -83,3 +83,50 @@ def test_eval_harness_hits_and_ranks(spark):
     assert per_q[1]["hit_at_1"] == 1 and per_q[1]["first_hit_rank"] == 1
     assert per_q[2]["hit_at_k"] == 0 and per_q[2]["first_hit_rank"] is None
     assert hits.groupBy("q_id").count().collect()[0]["count"] == 5
+
+
+def test_run_qa_eval_end_to_end_artifact(spark, tmp_path):
+    """The e2e /ask eval (retrieve -> gate -> snippets -> hit@1/p50/p95):
+    self-text questions must hit deterministically, absent-substring
+    questions must miss, and the artifact file mirrors the reference's
+    eval/results/last.json shape (ask_eval.py:117-131)."""
+    import json
+
+    from jsonify2ai_spark.operators.evalharness import (
+        eval_corpus_from_documents,
+        run_qa_eval,
+    )
+
+    corpus = eval_corpus_from_documents(spark, "/root/testdata/sf0.001", dim=64)
+    doc = corpus.orderBy("document_id").first()
+    qa = [
+        {"question": doc["text"], "answer_contains": doc["text"][:30]},
+        {"question": "absent topic entirely", "answer_contains": "zz-not-in-corpus"},
+    ]
+    out_path = str(tmp_path / "results" / "last.json")
+    out = run_qa_eval(corpus, qa, out_path=out_path, k=5, dim=64)
+
+    assert out["n"] == 2 and out["hit@1"] == 1
+    assert out["cases"][0]["hit"] is True and out["cases"][0]["ok"] is True
+    assert out["cases"][1]["hit"] is False
+    assert out["p50_ms"] <= out["p95_ms"]
+    on_disk = json.load(open(out_path))
+    assert set(on_disk) == {
+        "ts", "engine", "n", "hit@1", "p50_ms", "p95_ms", "latencies_ms", "cases",
+    }
+    assert [c["i"] for c in on_disk["cases"]] == [1, 2]
+
+
+def test_run_qa_eval_reads_committed_qa_file(spark):
+    """The committed eval/qa.jsonl replays against the sf0.001 corpus with
+    the exact hit pattern baked into eval/results/last.json: 3 self-text
+    hits, 5 misses."""
+    from jsonify2ai_spark.operators.evalharness import (
+        eval_corpus_from_documents,
+        run_qa_eval,
+    )
+
+    corpus = eval_corpus_from_documents(spark, "/root/testdata/sf0.001", dim=64)
+    out = run_qa_eval(corpus, "eval/qa.jsonl", k=5, dim=64)
+    assert out["n"] == 8 and out["hit@1"] == 3
+    assert [c["hit"] for c in out["cases"]] == [True] * 3 + [False] * 5
