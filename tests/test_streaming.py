@@ -397,3 +397,20 @@ def test_rollup_stream_equals_batch_backfill(spark, tmp_path):
         for r in hourly_rollup(batch_df).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_merge_throughput_soak(spark):
+    """T5 throughput soak (small config of bench_streaming.py): the
+    foreachBatch merge sustains multiple micro-batches at two bucket counts,
+    every document lands exactly once, and the chunk-row total is
+    bucket-count-invariant (bucketing changes layout, never content)."""
+    from bench_streaming import run_once
+
+    results = [
+        run_once(spark, n_buckets, n_files=30, chars_per_file=1500,
+                 max_files_per_trigger=8, timeout_s=120)
+        for n_buckets in (4, 16)
+    ]
+    assert all(r["files"] == 30 for r in results)
+    assert results[0]["chunk_rows"] == results[1]["chunk_rows"] > 0
+    assert all(r["rows_per_sec"] > 0 for r in results)
