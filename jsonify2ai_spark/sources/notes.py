@@ -161,6 +161,87 @@ def normalize_note_json(obj: Any, raw_text: str = "", filename_hint: str = "") -
     return base
 
 
+def decode_text(data: bytes) -> str:
+    """Encoding-tolerant bytes -> str (note2json parity: reference
+    utils/encoding.py decode_bytes + parser.py read_input:357-394 — UTF-8,
+    UTF-8 BOM, UTF-16 LE/BE with or without BOM, cp1252/latin-1 legacy).
+
+    Structurally different from the reference's try-every-encoding ladder:
+    an explicit BOM decides immediately; BOM-less UTF-16 is detected from
+    the NUL-byte signature of ASCII-ish text (NULs concentrated in even vs
+    odd byte positions reveal the endianness) instead of decode-and-score;
+    the legacy fallbacks reject any result with embedded NULs (binary, or
+    a mis-detected multibyte encoding). The returned text never carries a
+    BOM. Raises ValueError for bytes that are not text in any supported
+    encoding — callers map that to their skip-with-reason contract.
+    """
+    import codecs
+
+    if data.startswith(codecs.BOM_UTF8):
+        return data.decode("utf-8-sig")
+    if data.startswith(codecs.BOM_UTF16_LE) or data.startswith(codecs.BOM_UTF16_BE):
+        return data.decode("utf-16")  # honors and strips the BOM
+    sample = data[:4096]
+    if sample and sample.count(0) / len(sample) > 0.2:
+        evens, odds = sample[0::2].count(0), sample[1::2].count(0)
+        enc = "utf-16-le" if odds > evens else "utf-16-be"
+        try:
+            text = data.decode(enc)
+            if text and text.count("\x00") / len(text) <= 0.1:
+                return text
+        except UnicodeDecodeError:
+            pass
+    for enc in ("utf-8", "cp1252", "latin-1"):
+        try:
+            text = data.decode(enc)
+        except UnicodeDecodeError:
+            continue
+        if text and text.count("\x00") / len(text) > 0.1:
+            continue  # NUL-ridden: binary, or wrong single-byte guess
+        return text
+    raise ValueError("input is not valid UTF/legacy text (try saving as UTF-8)")
+
+
+def read_input(source, input_format: str = "auto", filename_hint: str = "") -> dict[str, Any]:
+    """The note2json entry point over any source shape (reference
+    parser.py read_input:357-394): file-like (stdin), bytes, an existing
+    path, or already-text. Bytes decode through :func:`decode_text`;
+    ``auto`` format sniffs JSON by the first non-space character; json
+    parse errors raise ValueError with the reference's format hint.
+    """
+    import json
+    import os
+
+    if hasattr(source, "read"):
+        raw = source.read()
+        text = raw if isinstance(raw, str) else decode_text(bytes(raw))
+    elif isinstance(source, (bytes, bytearray)):
+        text = decode_text(bytes(source))
+    elif isinstance(source, str) and os.path.exists(source):
+        with open(source, "rb") as f:
+            text = decode_text(f.read())
+        filename_hint = filename_hint or os.path.splitext(os.path.basename(source))[0]
+    else:
+        text = str(source)
+
+    effective = input_format
+    if effective == "auto":
+        s = text.lstrip()
+        effective = "json" if s.startswith(("{", "[")) else "txt"
+    if effective in ("md", "txt"):
+        return parse_note_text(text, filename_hint=filename_hint)
+    if effective == "json":
+        try:
+            obj = json.loads(text)
+        except json.JSONDecodeError as e:
+            raise ValueError(
+                "Invalid JSON input. If this is Markdown or text, use "
+                "input_format='md'|'txt'."
+            ) from e
+        return normalize_note_json(obj, raw_text=text, filename_hint=filename_hint)
+    raise ValueError(f"Unsupported input format: {input_format}")
+
+
 def parse_notes(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

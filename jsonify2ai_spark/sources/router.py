@@ -166,9 +166,13 @@ def extract_text_auto(path: str, content: bytes, dev_mode: bool = True) -> str:
         except ModelUnavailable as e:
             raise SkipFile(f"image model not available: {e}") from e
 
+    # tolerant decode (BOM / UTF-16 / legacy single-byte): a UTF-16 file
+    # under the old utf-8+ignore decode came out riddled with NULs
+    from jsonify2ai_spark.sources.notes import decode_text
+
     try:
-        text = content.decode("utf-8", errors="ignore")
-    except Exception as e:  # pragma: no cover - decode with ignore can't fail
+        text = decode_text(content)
+    except ValueError as e:
         raise SkipFile(f"undecodable: {e}") from e
 
     if ext in CSV_EXTS:

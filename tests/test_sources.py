@@ -173,3 +173,72 @@ def test_ingest_end_to_end_idempotent(spark, tmp_path):
     ).collect()
     assert hits[0]["id"] == target["id"]
     assert abs(hits[0]["score"] - 1.0) < 1e-9
+
+
+def test_decode_text_boms_utf16_and_legacy():
+    """Encoding tolerance (reference note2json utils/encoding.py contract):
+    UTF-8 BOM stripped, UTF-16 LE/BE with and without BOM, cp1252 legacy
+    bytes, and a hard ValueError on NUL-ridden binary."""
+    import pytest as _pytest
+
+    from jsonify2ai_spark.sources.notes import decode_text
+
+    s = "# Note\nhéllo wörld"
+    assert decode_text(s.encode("utf-8")) == s
+    assert decode_text(codecs_bom("utf-8-sig", s)) == s
+    assert decode_text(s.encode("utf-16")) == s          # BOM'd (LE on x86)
+    assert decode_text(s.encode("utf-16-le")) == s       # BOM-less LE
+    assert decode_text(s.encode("utf-16-be")) == s       # BOM-less BE
+    assert decode_text("café £10".encode("cp1252")) == "café £10"
+    with _pytest.raises(ValueError, match="UTF-8"):
+        decode_text(bytes(512))  # NUL-ridden under every decode -> binary
+
+
+def codecs_bom(enc, s):
+    return s.encode(enc)
+
+
+def test_read_input_source_shapes_and_formats(tmp_path):
+    """read_input parity (reference parser.py:357-394): file-like / bytes /
+    path / raw text in, auto json-vs-text sniff, json errors carry the
+    format hint, path supplies the filename hint."""
+    import io
+
+    import pytest as _pytest
+
+    from jsonify2ai_spark.sources.notes import read_input
+
+    md = "# Title here\n**Tags:** #a #b\nbody"
+    # bytes (UTF-16 with BOM) -> markdown parse
+    out = read_input(md.encode("utf-16"))
+    assert out["title"] == "Title here" and out["tags"] == ["a", "b"]
+    # file-like (stdin shape)
+    assert read_input(io.BytesIO(md.encode("utf-8")))["title"] == "Title here"
+    # auto-sniffed JSON
+    out = read_input('{"title": "From JSON", "tags": ["#x"]}')
+    assert out["title"] == "From JSON" and out["tags"] == ["x"]
+    # existing path: decoded from UTF-16, first line becomes the title (F14)
+    p = tmp_path / "daily-note.md"
+    p.write_bytes("no title body only".encode("utf-16-le"))
+    assert read_input(str(p))["title"] == "no title body only"
+    # hint from the filename stem kicks in when the text yields no title
+    p2 = tmp_path / "empty-note.md"
+    p2.write_bytes(b"")
+    assert read_input(str(p2))["title"] == "empty-note"
+    # bad JSON when json was demanded -> the reference's hint
+    with _pytest.raises(ValueError, match="Markdown or text"):
+        read_input("not json", input_format="json")
+
+
+def test_router_decodes_utf16_and_skips_binary():
+    """S18 fallback upgrade: UTF-16 text files extract cleanly (the old
+    utf-8+ignore decode left them NUL-riddled); binary junk now raises
+    SkipFile instead of producing garbage text."""
+    import pytest as _pytest
+
+    from jsonify2ai_spark.sources.router import SkipFile, extract_text_auto
+
+    text = extract_text_auto("x.txt", "plain utf16 content".encode("utf-16"))
+    assert text == "plain utf16 content"
+    with _pytest.raises(SkipFile, match="undecodable"):
+        extract_text_auto("x.bin", bytes(512))
