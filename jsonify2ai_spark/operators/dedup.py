@@ -741,3 +741,40 @@ def connected_components(
     return nodes.join(reps, "node", "left").select(
         "node", F.coalesce("cluster_rep", "node").alias("cluster_rep")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    ``n``-gram with an evaluation/benchmark corpus (the PaLM/GPT-3 style
+    n-gram overlap rule). Leaked eval data inflates benchmark scores, so
+    pipelines run this between dedup and sampling.
+
+    Shape: explode both sides to n-gram shingles, broadcast the benchmark
+    side (eval sets are tiny next to a training corpus — at 100 TB the fact
+    side streams map-only through a broadcast hash semi-aggregation; the
+    only shuffle is the per-doc count). Output: every input doc with
+    ``n_shared_ngrams`` and a ``contaminated`` flag; scores stay exact, no
+    probabilistic filter.
+    """
+    d = docs.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh"))
+    b = (
+        benchmark.select(F.explode(shingles(F.col(bench_text_col), n)).alias("sh"))
+        .distinct()
+    )
+    shared = (
+        d.join(F.broadcast(b), "sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("sh").alias("n_shared_ngrams"))
+    )
+    return docs.select(id_col).join(shared, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_shared_ngrams", F.lit(0)).cast("bigint").alias("n_shared_ngrams"),
+        (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -114,6 +114,76 @@ def language_id(toks: Column | str) -> Column:
     return F.when(best > 0, out).otherwise(F.lit("und"))
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_word_max: float = 0.2,
+    top_bigram_max: float = 0.18,
+    min_words: int = 20,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    per document, the fraction of words taken by the most frequent word and
+    by the most frequent bigram, plus a ``repetitive`` flag against the
+    thresholds. Machine-generated / boilerplate text shows top-fraction
+    spikes long before exact dedup would catch it, which is why corpus
+    filters run this before training. Documents under ``min_words`` never
+    flag — a 6-word sentence has top-bigram fraction 0.2 by construction,
+    so the thresholds are only meaningful past a minimum length.
+
+    Shape: ONE corpus scan — unigrams and bigrams explode together as
+    ('w'|'b')-tagged term rows — then two groupBys: per-(doc, tag, term)
+    counts, per-doc conditional max/sum. Both aggregations are
+    partial-merge (map-side combine) and keys include the term, so hot
+    documents spread across tasks; no join, no collect, no UDF. (The
+    obvious two-branch uni⋈bi version scans the corpus twice and adds a
+    join — measured in the plan, not just in theory.) Flag thresholds are
+    parameters, not policy.
+    """
+    t = _c(text_col)
+    base = df.select(F.col(id_col), tokens(t).alias("_tk"))
+    n_less1 = F.greatest(F.size("_tk") - 1, F.lit(0))
+    tagged = F.concat(
+        F.transform(F.col("_tk"), lambda w: F.struct(F.lit("w").alias("k"), w.alias("term"))),
+        F.zip_with(
+            F.slice(F.col("_tk"), 1, n_less1),
+            F.slice(F.col("_tk"), 2, n_less1),
+            lambda a, b: F.struct(F.lit("b").alias("k"), F.concat_ws(" ", a, b).alias("term")),
+        ),
+    )
+    terms = base.select(
+        id_col, F.explode(tagged).alias("s")
+    ).select(id_col, F.col("s.k").alias("k"), F.col("s.term").alias("term"))
+    is_w = F.col("k") == "w"
+    out = (
+        terms.groupBy(id_col, "k", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(is_w, F.col("c"))).alias("n_words"),
+            F.count(F.when(is_w, F.lit(1))).alias("n_distinct_words"),
+            F.max(F.when(is_w, F.col("c"))).alias("_top_w"),
+            F.sum(F.when(~is_w, F.col("c"))).alias("_n_bg"),
+            F.max(F.when(~is_w, F.col("c"))).alias("_top_bg"),
+        )
+    )
+    top_word_frac = F.round(F.col("_top_w").cast("double") / F.col("n_words"), 4)
+    top_bigram_frac = F.round(
+        F.coalesce(F.col("_top_bg").cast("double") / F.col("_n_bg"), F.lit(0.0)), 4
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_distinct_words").cast("bigint").alias("n_distinct_words"),
+        top_word_frac.alias("top_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        (
+            (F.col("n_words") >= min_words)
+            & ((top_word_frac > top_word_max) | (top_bigram_frac > top_bigram_max))
+        ).alias("repetitive"),
+    )
+
+
 def language_id_df(
     df: DataFrame, text_col: str = "text", out_col: str = "lang_pred", impl: str = "arrow"
 ) -> DataFrame:

@@ -408,3 +408,64 @@ def test_pack_sequences_string_ids_hash_grouped(spark):
     # deterministic across partitionings (hash is content-based, not random)
     again = pack_sequences(df.repartition(7), budget=2000, n_groups=8).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pii_counts_and_redaction(spark):
+    """PII scrub: per-kind counts and in-place redaction on a crafted text;
+    clean text stays untouched with zero counts."""
+    from jsonify2ai_spark.operators.pii import redact_pii, with_pii_counts
+
+    rows = [
+        (1, "mail a.user+x@ex-co.org or b@c.io, call 555-123-4567, "
+            "host 10.0.3.1, ssn 123-45-6789"),
+        (2, "perfectly clean text with numbers 12345 and dots. end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(with_pii_counts(df)).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"], out[1]["n_ssn"]) == (2, 1, 1, 1)
+    assert out[1]["pii_total"] == 5
+    assert out[1]["text_redacted"] == (
+        "mail [EMAIL] or [EMAIL], call [PHONE], host [IPV4], ssn [SSN]"
+    )
+    assert out[2]["pii_total"] == 0 and out[2]["text_redacted"] == rows[1][1]
+
+
+def test_repetition_stats_gopher_signals(spark):
+    """Repetition quality: a degenerate doc (one word repeated) maxes both
+    fractions and flags; a all-distinct doc scores low and passes."""
+    from jsonify2ai_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (1, ("spam " * 25).strip()),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, ("one two " * 12).strip()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["top_word_frac"] == 1.0 and out[1]["top_bigram_frac"] == 1.0
+    assert out[1]["repetitive"] is True
+    # short doc: a 6-word sentence has top_bigram_frac 0.2 by construction,
+    # so the min_words gate must keep it from flagging
+    assert out[2]["n_distinct_words"] == 6 and out[2]["repetitive"] is False
+    # "one two" bigram dominates doc 3 even though unigrams split 50/50
+    assert out[3]["top_word_frac"] == 0.5
+    assert out[3]["top_bigram_frac"] > 0.5 and out[3]["repetitive"] is True
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """Decontamination: docs sharing an 8-gram with the benchmark flag with
+    the exact shared count; disjoint docs pass clean."""
+    from jsonify2ai_spark.operators.dedup import decontaminate
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro text then {leak} and more trailing words here"),
+            (2, "completely unrelated content with no overlap at all in any window"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=8).collect()}
+    assert out[1]["contaminated"] is True and out[1]["n_shared_ngrams"] == 3
+    assert out[2]["contaminated"] is False and out[2]["n_shared_ngrams"] == 0
