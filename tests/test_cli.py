@@ -1,0 +1,69 @@
+"""CLI surface: the reference's route/tool set as subcommands, e2e over a
+temp corpus (ingest -> search/ask/documents/stats -> delete -> export)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from jsonify2ai_spark import cli
+
+
+def run_cli(capsys, argv):
+    rc = cli.main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0
+    return json.loads(out[-1])
+
+
+@pytest.fixture(scope="module")
+def corpus_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    (root / "golden.md").write_text("# Golden\nthe golden answer phrase lives here")
+    (root / "other.txt").write_text("unrelated filler content about nothing")
+    return root
+
+
+def test_cli_ingest_search_ask_lifecycle(spark, corpus_root, tmp_path, capsys):
+    table = str(tmp_path / "chunks")
+
+    out = run_cli(capsys, ["ingest", str(corpus_root), "--table", table])
+    assert out["chunks"] >= 2
+
+    # search: the exact (ws-normalized) chunk text is hit@1 score 1.0 under
+    # dev embeddings
+    golden_text = "# Golden the golden answer phrase lives here"
+    hits = run_cli(capsys, ["search", golden_text, "--table", table, "-k", "3"])
+    assert hits and hits[0]["text"] == golden_text and hits[0]["score"] == 1.0
+
+    ask = run_cli(capsys, ["ask", golden_text, "--table", table])
+    assert ask["would_synth"] is True and ask["sources"]
+
+    docs = run_cli(capsys, ["documents", "--table", table])
+    assert len(docs) == 2  # one inventory row per ingested file
+    assert hits[0]["document_id"] in {d["document_id"] for d in docs}
+    doc_id = hits[0]["document_id"]
+
+    stats = run_cli(capsys, ["stats", "--table", table])
+    total = next(r for r in stats if r.get("kind") is None)
+    assert total["n"] == out["chunks"]
+
+    exp = run_cli(capsys, ["export", doc_id, "--table", table, "--out", str(tmp_path / "exp")])
+    assert exp["document_id"] == doc_id
+
+    before = out["chunks"]
+    del_out = run_cli(capsys, ["delete", doc_id, "--table", table])
+    assert del_out["chunks"] < before
+
+
+def test_cli_note2json_and_eval(spark, tmp_path, capsys):
+    note = tmp_path / "n.md"
+    note.write_text("# My Note\n**Tags:** #x\nbody")
+    out = run_cli(capsys, ["note2json", str(note)])
+    assert out["title"] == "My Note" and out["tags"] == ["x"]
+
+    qa = tmp_path / "qa.jsonl"
+    qa.write_text(json.dumps({"question": "anything", "answer_contains": "zz-none"}) + "\n")
+    ev = run_cli(capsys, ["eval", "--qa", str(qa), "--sf-dir", "/root/testdata/sf0.001"])
+    assert ev["n"] == 1 and ev["hit@1"] == 0
