@@ -1086,6 +1086,16 @@ def q60_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench, n=8)
 
 
+def q61_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (operators/textstats.py
+    unigram_logprob): per-doc mean token log-prob + perplexity under the
+    corpus's own smoothed unigram model — the perplexity-filter stand-in."""
+    from jsonify2ai_spark.operators.textstats import unigram_logprob
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return unigram_logprob(t["documents"])
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1162,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # highest-information queries sit inside that window. These still run
         # in bench.py and verify_local.py.
         "q60_decontaminate": q60_decontaminate,  # shingle semi-agg: q17/q18 infra
+        "q61_unigram_logprob": q61_unigram_logprob,  # agg shapes: q59/q44 infra
         "q41_semi_join": q41_semi_join,  # Catalyst-native left_semi
         "q43_anti_join": q43_anti_join,  # Catalyst-native left_anti
         "q13_lang_distribution": q13_lang_distribution,  # lang-ID: q14; count-by-pred: q02
@@ -1826,6 +1837,25 @@ def oracle_sql() -> dict[str, str]:
         "q58_pii_scan": _dd_pii_sql(),
         "q59_repetition_quality": _dd_repetition_sql(),
         "q60_decontaminate": _dd_decontaminate_sql(),
+        "q61_unigram_logprob": f"""
+            WITH words AS (
+              SELECT doc_id, unnest({_DD_TOKENS.format(t="text")}) AS w FROM documents
+            ), dw AS (
+              SELECT doc_id, w, count(*) AS dc FROM words GROUP BY 1, 2
+            ), vocab AS (
+              SELECT w, sum(dc) AS c FROM dw GROUP BY 1
+            ), totals AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM vocab
+            )
+            SELECT dw.doc_id,
+                   CAST(sum(dw.dc) AS BIGINT) AS n_tokens,
+                   round(sum(dw.dc * ln((vocab.c + 1.0) / (totals.n + 1.0 * totals.v)))
+                         / sum(dw.dc), 4) AS logprob_per_token,
+                   round(exp(-(sum(dw.dc * ln((vocab.c + 1.0) / (totals.n + 1.0 * totals.v)))
+                         / sum(dw.dc))), 4) AS ppl
+            FROM dw JOIN vocab USING (w) CROSS JOIN totals
+            GROUP BY dw.doc_id
+        """,
         "q35_archive_shards": """
             SELECT doc_id, source,
                    CAST(floor((sum(n_chars) OVER (

@@ -184,6 +184,51 @@ def repetition_stats(
     )
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """CCNet-style language-model quality signal: per-document mean token
+    log-probability under the corpus's own Laplace-smoothed unigram model
+    (the cheap stand-in for the KenLM perplexity filter — documents far from
+    the corpus distribution score low and get dropped or down-sampled).
+
+    ONE corpus scan: explode to (doc, word) counts, derive the global
+    vocabulary counts FROM that frame (lazy-checkpointed — it feeds both the
+    model and the join back), attach the two model scalars (total tokens N,
+    vocab size V) via a one-row broadcast, then a weighted per-doc mean of
+    ln((c_w + α) / (N + αV)). The vocabulary join is a plain shuffle join —
+    at 100 TB the vocab is ~1e8 rows, far too big to broadcast, and AQE
+    broadcasts it automatically when it is small. Output: (id, n_tokens,
+    logprob_per_token, ppl), rounded to 4dp so cross-engine libm ulp noise
+    cannot reach the oracle hash.
+    """
+    words = df.select(F.col(id_col), F.explode(tokens(_c(text_col))).alias("w"))
+    dw = (
+        words.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = dw.groupBy("w").agg(F.sum("dc").alias("c")).localCheckpoint(eager=False)
+    totals = vocab.agg(
+        F.sum("c").cast("double").alias("N"), F.count(F.lit(1)).cast("double").alias("V")
+    )
+    scored = dw.join(vocab, "w").crossJoin(F.broadcast(totals))
+    logp = F.log((F.col("c") + F.lit(alpha)) / (F.col("N") + F.lit(alpha) * F.col("V")))
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("dc").cast("bigint").alias("n_tokens"),
+        (F.sum(F.col("dc") * logp) / F.sum("dc")).alias("_lp"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round("_lp", 4).alias("logprob_per_token"),
+        F.round(F.exp(-F.col("_lp")), 4).alias("ppl"),
+    )
+
+
 def language_id_df(
     df: DataFrame, text_col: str = "text", out_col: str = "lang_pred", impl: str = "arrow"
 ) -> DataFrame:

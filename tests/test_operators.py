@@ -469,3 +469,23 @@ def test_decontaminate_flags_ngram_overlap(spark):
     out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=8).collect()}
     assert out[1]["contaminated"] is True and out[1]["n_shared_ngrams"] == 3
     assert out[2]["contaminated"] is False and out[2]["n_shared_ngrams"] == 0
+
+
+def test_unigram_logprob_orders_by_typicality(spark):
+    """LM quality signal: a document made of corpus-common words must score
+    a higher (less negative) mean log-prob than one of corpus-rare words;
+    perplexity orders the other way. Deterministic across partitionings."""
+    from jsonify2ai_spark.operators.textstats import unigram_logprob
+
+    common = "the data the data the data"
+    rows = [(i, common) for i in range(1, 9)]
+    rows += [(9, "zyx qwv unique rare tokens only once")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert out[1]["logprob_per_token"] > out[9]["logprob_per_token"]
+    assert out[1]["ppl"] < out[9]["ppl"]
+    assert out[9]["n_tokens"] == 7
+    again = {r["doc_id"]: r for r in unigram_logprob(df.repartition(5)).collect()}
+    assert {k: (v["logprob_per_token"], v["ppl"]) for k, v in out.items()} == {
+        k: (v["logprob_per_token"], v["ppl"]) for k, v in again.items()
+    }
