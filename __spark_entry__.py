@@ -1096,6 +1096,19 @@ def q61_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(t["documents"])
 
 
+def q62_embed_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full embedding near-dup loop composed end to end: exact cosine
+    pairs (q20's operator) -> connected components -> (node, cluster_rep).
+    This is what a semantic-dedup pass actually keys its keep-one-per-cluster
+    decision on; oracle = recursive-CTE transitive closure over the same
+    pair predicate."""
+    from jsonify2ai_spark.operators.dedup import connected_components
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    pairs = similarity_self_join(t["embeddings"], _PAIR_THRESHOLD)
+    return connected_components(pairs.select("a", "b"))
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1173,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in bench.py and verify_local.py.
         "q60_decontaminate": q60_decontaminate,  # shingle semi-agg: q17/q18 infra
         "q61_unigram_logprob": q61_unigram_logprob,  # agg shapes: q59/q44 infra
+        "q62_embed_dup_clusters": q62_embed_dup_clusters,  # q20 ∘ q51 composition
         "q41_semi_join": q41_semi_join,  # Catalyst-native left_semi
         "q43_anti_join": q43_anti_join,  # Catalyst-native left_anti
         "q13_lang_distribution": q13_lang_distribution,  # lang-ID: q14; count-by-pred: q02
@@ -2067,6 +2081,24 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(sum(n) AS BIGINT) FROM per_kind) AS chunks_emitted,
                    (SELECT array_to_string(list_sort(list(kind || ':' || CAST(n AS VARCHAR))), ',')
                     FROM per_kind) AS per_kind
+        """,
+        "q62_embed_dup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE {_dd_cosine("a.embedding", "b.embedding")} >= {_PAIR_THRESHOLD}
+            ), edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION
+                SELECT b, a FROM pairs
+            ), reach(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.label
+                FROM edges e JOIN reach r ON e.dst = r.node
+            )
+            SELECT node, min(label) AS cluster_rep
+            FROM reach GROUP BY node
         """,
         "q51_dedup_clusters": f"""
             WITH RECURSIVE pairs AS (
