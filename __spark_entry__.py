@@ -1109,6 +1109,26 @@ def q62_embed_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs.select("a", "b"))
 
 
+def q63_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-MLlib embedding family end to end (SURVEY §2.9): HashingTF+IDF
+    corpus vectors -> cosine top-k self-probe. No SQL oracle — the IDF fit
+    is an ML stage, so the driver records the rows-only check (the operator
+    itself is pinned by tests: determinism, idf-zeroing, self-hit@1)."""
+    from jsonify2ai_spark.functions.embed_mllib import tfidf_embeddings
+    from jsonify2ai_spark.operators.search import cosine_topk
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    emb, _ = tfidf_embeddings(t["documents"], dim=256)
+    probe = emb.filter(F.col("doc_id") == 42).select("vector").first()[0]
+    return cosine_topk(
+        emb.select("doc_id", "vector"),
+        [float(x) for x in probe],
+        k=10,
+        vector_col="vector",
+        id_cols=("doc_id",),
+    )
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1187,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_decontaminate": q60_decontaminate,  # shingle semi-agg: q17/q18 infra
         "q61_unigram_logprob": q61_unigram_logprob,  # agg shapes: q59/q44 infra
         "q62_embed_dup_clusters": q62_embed_dup_clusters,  # q20 ∘ q51 composition
+        "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible
         "q41_semi_join": q41_semi_join,  # Catalyst-native left_semi
         "q43_anti_join": q43_anti_join,  # Catalyst-native left_anti
         "q13_lang_distribution": q13_lang_distribution,  # lang-ID: q14; count-by-pred: q02

@@ -132,3 +132,51 @@ def test_shingles_and_tokens(spark):
     assert by["a b"]["s"] == ["a b"]  # short text -> whole-text shingle
     assert by["a b c d"]["n"] == 4
     assert by[""]["n"] == 0
+
+
+def test_tfidf_embeddings_deterministic_and_searchable(spark):
+    """MLlib-native embedding family (SURVEY §2.9): HashingTF+IDF vectors are
+    deterministic, plug into the shared vector contract (cosine top-k
+    self-hit), and IDF zeroes terms present in every document."""
+    from jsonify2ai_spark.functions.embed_mllib import tfidf_embeddings
+    from jsonify2ai_spark.operators.search import cosine_topk
+
+    rows = [
+        (1, "common alpha beta"),
+        (2, "common gamma delta"),
+        (3, "common epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb, model = tfidf_embeddings(df, dim=64)
+    vecs = {r["doc_id"]: r["vector"] for r in emb.collect()}
+    assert all(len(v) == 64 for v in vecs.values())
+
+    # determinism: same corpus -> same vectors
+    emb2, _ = tfidf_embeddings(df.repartition(3), dim=64)
+    assert {r["doc_id"]: r["vector"] for r in emb2.collect()} == vecs
+
+    # 'common' appears in EVERY doc: idf = ln((n+1)/(df+1)) = ln(1) = 0,
+    # so doc 1 and doc 2 share no nonzero dimension
+    import math
+    dot12 = sum(a * b for a, b in zip(vecs[1], vecs[2]))
+    assert math.isclose(dot12, 0.0, abs_tol=1e-12)
+
+    # shared vector contract: exact self-query is hit@1 with score 1.0
+    hits = cosine_topk(emb, vecs[3], k=2, vector_col="vector", id_cols=("doc_id",)).collect()
+    assert hits[0]["doc_id"] == 3 and abs(hits[0]["score"] - 1.0) < 1e-9
+
+
+def test_word2vec_embeddings_shape_and_contract(spark):
+    """Word2Vec variant: right dim, vectors usable by the same operators,
+    deterministic under fixed seed + single training partition."""
+    from jsonify2ai_spark.functions.embed_mllib import word2vec_embeddings
+
+    rows = [(i, "spark runs fast queries on big data " * 3) for i in range(1, 5)]
+    rows += [(9, "cats purr softly at home")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb, model = word2vec_embeddings(df, dim=16)
+    vecs = {r["doc_id"]: r["vector"] for r in emb.collect()}
+    assert all(len(v) == 16 for v in vecs.values())
+    assert any(abs(x) > 0 for x in vecs[1])
+    emb2, _ = word2vec_embeddings(df, dim=16)
+    assert {r["doc_id"]: r["vector"] for r in emb2.collect()} == vecs
