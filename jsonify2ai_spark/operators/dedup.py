@@ -636,19 +636,30 @@ def connected_components(
     """
     import warnings
 
-    edges_sym = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    # EAGER checkpoint of the pair list before the symmetric union: the two
+    # union branches are separate task chains, so a lazy checkpoint would
+    # still execute the (often expensive — banded candidate join, cosine
+    # self-join) upstream subtree twice. Pairs are tiny relative to their
+    # producing plan; one materialization job is the cheap side of the trade.
+    base = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).localCheckpoint()
+    # Iteration frames are edge/label-sized, not corpus-sized. When the pair
+    # graph is small, per-round SCHEDULING (32-way shuffles x ~3 stages x N
+    # rounds) dominates wall time — collapse the loop frames to one
+    # partition. Above the threshold the layout is untouched: at real scale
+    # the per-round DATA is the cost and partitioning is load-bearing.
+    n_pairs = base.count()
+    _fit = (lambda df: df.coalesce(1)) if n_pairs < 100_000 else (lambda df: df)
+    edges_sym = _fit(
+        base.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(base.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=False)
-    )
+    ).localCheckpoint(eager=False)
 
     # --- phase 1: min-label propagation, bounded rounds -------------------
-    labels = (
+    labels = _fit(
         edges_sym.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
-    )
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = prev_sum is None  # empty graph
     rounds = 0
@@ -659,14 +670,13 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        labels = (
+        labels = _fit(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
             )
-            .localCheckpoint(eager=False)
-        )
+        ).localCheckpoint(eager=False)
         # labels only decrease, so a stable sum is a strict fixpoint witness
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         converged = cur_sum == prev_sum
@@ -676,11 +686,10 @@ def connected_components(
 
     # --- phase 2: large-star / small-star alternation ---------------------
     nodes = edges_sym.select(F.col("src").alias("node")).distinct()
-    edges = (
+    edges = _fit(
         edges_sym.filter(F.col("src") > F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .localCheckpoint(eager=False)
-    )
+    ).localCheckpoint(eager=False)
 
     def _witness(e: DataFrame) -> tuple:
         row = e.agg(
@@ -712,15 +721,14 @@ def connected_components(
         )
         # small-star: large's output is already hi→lo, so m(u) = min(N(u))
         mins_s = large.groupBy("u").agg(F.min("v").alias("m"))
-        edges = (
+        edges = _fit(
             large.join(mins_s, "u")
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins_s.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=False)
-        )
+        ).localCheckpoint(eager=False)
         cur = _witness(edges)
         converged = cur == prev
         prev = cur
