@@ -22,7 +22,8 @@ def test_oracle_keys_subset_of_queries():
     assert set(os_).issubset(set(qs))
     missing_oracle = set(qs) - set(os_)
     # non-SQL-expressible ops may omit oracles; everything else must have one
-    assert missing_oracle <= {"q34_chunk_stats"}, missing_oracle
+    # q63: the IDF fit is an ML stage with no SQL twin (rows-only check)
+    assert missing_oracle <= {"q34_chunk_stats", "q63_tfidf_search"}, missing_oracle
 
 
 def test_every_query_runs_small(spark):
