@@ -183,14 +183,31 @@ def decode_text(data: bytes) -> str:
         return data.decode("utf-16")  # honors and strips the BOM
     sample = data[:4096]
     if sample and sample.count(0) / len(sample) > 0.2:
-        evens, odds = sample[0::2].count(0), sample[1::2].count(0)
-        enc = "utf-16-le" if odds > evens else "utf-16-be"
-        try:
-            text = data.decode(enc)
-            if text and text.count("\x00") / len(text) <= 0.1:
-                return text
-        except UnicodeDecodeError:
-            pass
+        # BOM-less UTF-16: decode BOTH endiannesses and score — control-char
+        # ratio first (the wrong endianness of Latin-range text yields
+        # control codes), ASCII-printable share as the tiebreak (both
+        # decodes can be "clean" — 'a' in BE is a CJK char in LE — and
+        # preferring the ASCII reading is the standard resolution; BOM-less
+        # detection of fully non-ASCII text is inherently ambiguous).
+        def _scores(text: str) -> tuple[float, float]:
+            n = max(len(text), 1)
+            bad = sum(
+                1 for ch in text if ord(ch) < 32 and ch not in "\t\n\r"
+            ) + text.count("\x00")
+            ascii_printable = sum(1 for ch in text if 32 <= ord(ch) < 127)
+            return (bad / n, -ascii_printable / n)
+
+        best: tuple[tuple[float, float], str] | None = None
+        for enc in ("utf-16-le", "utf-16-be"):
+            try:
+                cand = data.decode(enc)
+            except UnicodeDecodeError:
+                continue
+            sc = _scores(cand)
+            if best is None or sc < best[0]:
+                best = (sc, cand)
+        if best is not None and best[0][0] <= 0.1:
+            return best[1]
     for enc in ("utf-8", "cp1252", "latin-1"):
         try:
             text = data.decode(enc)

@@ -127,3 +127,62 @@ def test_upsert_delete_model_convergence(spark):
     if last_replace is not None:
         again = replace_documents(table, last_replace)
         assert snap(again) == model
+
+
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="\x00﻿"),
+        min_size=1,
+        max_size=300,
+    ),
+    st.sampled_from(["utf-8", "utf-8-sig", "utf-16"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_decode_text_round_trips_self_describing_encodings(s, enc):
+    """decode_text(s.encode(enc)) == s for ANY clean unicode text when the
+    encoding is self-describing (UTF-8, or UTF-16 with its BOM). NULs and
+    bare BOMs are excluded — NULs mark binary by contract, and a leading
+    BOM is a byte-order mark, not content."""
+    from jsonify2ai_spark.sources.notes import decode_text
+
+    assert decode_text(s.encode(enc)) == s
+
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1,
+        max_size=300,
+    ),
+    st.sampled_from(["utf-16-le", "utf-16-be"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_decode_text_round_trips_bomless_utf16_ascii(s, enc):
+    """BOM-less UTF-16 has no in-band encoding marker, so detection is only
+    well-defined for ASCII-dominant text (the NUL-byte signature); there it
+    must round-trip for BOTH endiannesses. (Fully non-ASCII BOM-less UTF-16
+    is inherently ambiguous — 'a' in BE reads as a CJK char in LE — and
+    decode_text documents the ASCII-preferring resolution.)"""
+    from jsonify2ai_spark.sources.notes import decode_text
+
+    assert decode_text(s.encode(enc)) == s
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_pii_redaction_idempotent_driverside(s):
+    """redact(redact(x)) == redact(x): the [KIND] placeholders contain no
+    digits or @, so they can never re-match any PII pattern. Checked on the
+    regex kernels driver-side (the Column expressions apply the same Java
+    patterns)."""
+    import re
+
+    from jsonify2ai_spark.operators.pii import PII_PATTERNS
+
+    def redact(text: str) -> str:
+        for kind, pat in PII_PATTERNS.items():
+            text = re.sub(pat, f"[{kind.upper()}]", text)
+        return text
+
+    once = redact(s)
+    assert redact(once) == once
