@@ -1119,7 +1119,12 @@ def q63_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["documents"])
     emb, _ = tfidf_embeddings(t["documents"], dim=256)
-    probe = emb.filter(F.col("doc_id") == 42).select("vector").first()[0]
+    # probe = lowest doc_id: deterministic and present at ANY scale factor
+    # (a hardcoded id would crash with NoneType on a smaller/filtered corpus)
+    probe_row = emb.orderBy("doc_id").select("vector").first()
+    if probe_row is None:
+        raise ValueError("q63: documents table is empty — nothing to probe")
+    probe = probe_row[0]
     return cosine_topk(
         emb.select("doc_id", "vector"),
         [float(x) for x in probe],
@@ -1153,9 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q02_revenue_filter": q02_revenue_filter,
         "q03_topk_orders": q03_topk_orders,
-        "q04_orders_per_customer": q04_orders_per_customer,
         "q05_region_customers": q05_region_customers,
-        "q06_events_dedup": q06_events_dedup,
         "q07_cumulative_spend": q07_cumulative_spend,
         "q08_union_slices": q08_union_slices,
         "q09_events_hourly": q09_events_hourly,
@@ -1180,7 +1183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_multimodal_meta": q29_multimodal_meta,
         "q30_bm25_search": q30_bm25_search,
         "q31_stats_rollup": q31_stats_rollup,
-        "q33_events_inventory": q33_events_inventory,
         "q34_chunk_stats": q34_chunk_stats,
         "q35_archive_shards": q35_archive_shards,
         "q38_latency_percentiles": q38_latency_percentiles,
@@ -1200,14 +1202,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_pack_sequences": q57_pack_sequences,
         "q58_pii_scan": q58_pii_scan,
         "q59_repetition_quality": q59_repetition_quality,
+        "q60_decontaminate": q60_decontaminate,
+        "q61_unigram_logprob": q61_unigram_logprob,
+        "q62_embed_dup_clusters": q62_embed_dup_clusters,
         # --- tail: operator classes fully covered by green rows above; the
-        # driver's correctness gate checks the first 50 entries, so the
-        # highest-information queries sit inside that window. These still run
-        # in bench.py and verify_local.py.
-        "q60_decontaminate": q60_decontaminate,  # shingle semi-agg: q17/q18 infra
-        "q61_unigram_logprob": q61_unigram_logprob,  # agg shapes: q59/q44 infra
-        "q62_embed_dup_clusters": q62_embed_dup_clusters,  # q20 ∘ q51 composition
+        # driver's correctness gate checks the first 50 entries, so every
+        # NEW oracle-backed operator sits inside that window (newest code is
+        # the most likely to be wrong — the gate exists for exactly it).
+        # These still run in bench.py and verify_local.py.
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible
+        "q04_orders_per_customer": q04_orders_per_customer,  # count-per-group: q05/q31/q53
+        "q06_events_dedup": q06_events_dedup,  # DISTINCT/dedup: q15/q24
+        "q33_events_inventory": q33_events_inventory,  # inventory/sort+cap: q22/q03
         "q41_semi_join": q41_semi_join,  # Catalyst-native left_semi
         "q43_anti_join": q43_anti_join,  # Catalyst-native left_anti
         "q13_lang_distribution": q13_lang_distribution,  # lang-ID: q14; count-by-pred: q02

@@ -36,14 +36,23 @@ def _spark(app: str):
 
 
 def _read_table(spark, path: str):
+    from jsonify2ai_spark.sinks.tables import recover_table
+
+    # finish or roll back any swap a previous command crashed in — without
+    # this, a crash between rename-aside and move-in would leave the only
+    # copy in `{path}__old` and every later command would fail (or worse,
+    # the next write's swap would delete it)
+    recover_table(path)
     return spark.read.parquet(path)
 
 
 def _write_table(df, path: str) -> None:
     """Stage-and-swap table rewrite (never write over files a plan is
-    reading; crash-safe via sinks.tables.swap_dir)."""
-    from jsonify2ai_spark.sinks.tables import swap_dir
+    reading; crash-safe via sinks.tables.swap_dir + startup recovery in
+    :func:`_read_table`)."""
+    from jsonify2ai_spark.sinks.tables import recover_table, swap_dir
 
+    recover_table(path)
     staging = f"{path}__staging"
     df.write.mode("overwrite").parquet(staging)
     swap_dir(staging, path)
@@ -60,8 +69,13 @@ def _emit_rows(df, limit: int | None = None) -> None:
 
 def cmd_ingest(args) -> int:
     from jsonify2ai_spark.api import ingest
+    from jsonify2ai_spark.sinks.tables import recover_table
 
     spark = _spark("cli-ingest")
+    # recover BEFORE the exists check: after a crash mid-swap the table dir
+    # may be absent with the data in `__old` — skipping recovery here would
+    # ingest fresh instead of merging and the swap would drop the old rows
+    recover_table(args.table)
     existing = _read_table(spark, args.table) if os.path.exists(args.table) else None
     chunks = ingest(spark, args.root, existing=existing, dim=args.dim)
     _write_table(chunks, args.table)

@@ -95,6 +95,16 @@ def recover_table(table_path: str) -> list[str]:
     if os.path.isdir(staging):
         shutil.rmtree(staging, ignore_errors=True)
         actions.append(f"removed {os.path.basename(staging)}")
+    # whole-table swap interrupted (CLI ingest/delete path): same protocol
+    # as per-bucket __old dirs, at the table level
+    top_old = f"{table_path}__old"
+    if os.path.isdir(top_old):
+        if os.path.exists(table_path):
+            shutil.rmtree(top_old, ignore_errors=True)
+            actions.append(f"removed {os.path.basename(top_old)}")
+        else:
+            os.replace(top_old, table_path)
+            actions.append(f"restored {os.path.basename(table_path)}")
     if not os.path.isdir(table_path):
         return actions
     for entry in sorted(os.listdir(table_path)):
@@ -136,10 +146,14 @@ def compact_buckets(
     """
     import math
 
+    # finish/roll back any interrupted swap first — a leftover
+    # `bucket=N__old` dir would otherwise pass the bucket filter below and
+    # get compacted as if it were data (and poison partition inference)
+    recover_table(table_path)
     compacted, skipped = [], 0
     files_before = files_after = 0
     for entry in sorted(os.listdir(table_path)):
-        if not entry.startswith("bucket="):
+        if not entry.startswith("bucket=") or "__" in entry:
             continue
         bdir = os.path.join(table_path, entry)
         parts = [

@@ -23,7 +23,7 @@ def test_oracle_keys_subset_of_queries():
     missing_oracle = set(qs) - set(os_)
     # non-SQL-expressible ops may omit oracles; everything else must have one
     # q63: the IDF fit is an ML stage with no SQL twin (rows-only check)
-    assert missing_oracle <= {"q34_chunk_stats", "q63_tfidf_search"}, missing_oracle
+    assert missing_oracle <= {"q63_tfidf_search"}, missing_oracle
 
 
 def test_every_query_runs_small(spark):

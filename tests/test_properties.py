@@ -171,10 +171,12 @@ def test_decode_text_round_trips_bomless_utf16_ascii(s, enc):
 @given(st.text(max_size=400))
 @settings(max_examples=60, deadline=None)
 def test_pii_redaction_idempotent_driverside(s):
-    """redact(redact(x)) == redact(x): the [KIND] placeholders contain no
-    digits or @, so they can never re-match any PII pattern. Checked on the
-    regex kernels driver-side (the Column expressions apply the same Java
-    patterns)."""
+    """redact(redact(x)) == redact(x): no placeholder can seed a re-match —
+    every pattern needs an '@' or a multi-digit run with separators, and the
+    placeholders contain neither (note '[IPV4]' DOES contain the single
+    digit 4, so extending PII_PATTERNS with anything that matches a short
+    digit-adjacent token must re-check this property). Checked on the regex
+    kernels driver-side (the Column expressions apply the same patterns)."""
     import re
 
     from jsonify2ai_spark.operators.pii import PII_PATTERNS

@@ -234,3 +234,38 @@ def test_swap_dir_and_recover_table_crash_windows(tmp_path):
     assert not os.path.exists(table / "bucket=3__compacting")
     assert not os.path.exists(tmp_path / "t__staging")
     assert len(actions) == 4
+
+
+def test_recover_table_top_level_swap_and_compact_ignores_leftovers(spark, tmp_path):
+    """Review findings: (a) a crash between rename-aside and move-in of a
+    WHOLE-table swap (CLI ingest/delete) leaves only `t__old` — recovery
+    must restore it; (b) compact_buckets must never treat `bucket=N__old` /
+    `__compacting` leftovers as data buckets."""
+    import os
+
+    from jsonify2ai_spark.sinks.tables import compact_buckets, recover_table
+
+    # (a) table-level: t missing, t__old holds the only copy
+    t = tmp_path / "t"
+    os.makedirs(str(t) + "__old")
+    with open(str(t) + "__old/data.parquet", "w") as f:
+        f.write("x")
+    actions = recover_table(str(t))
+    assert os.listdir(t) == ["data.parquet"]
+    assert not os.path.exists(str(t) + "__old")
+    assert any("restored" in a for a in actions)
+
+    # (b) compaction skips (and recovery first cleans) swap leftovers
+    table = tmp_path / "c"
+    spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1).write.parquet(
+        str(table / "bucket=0")
+    )
+    os.makedirs(table / "bucket=1__old")  # bucket=1 exists too -> stale
+    os.makedirs(table / "bucket=1")
+    with open(table / "bucket=1__old" / "stale.txt", "w") as f:
+        f.write("stale")
+    report = compact_buckets(spark, str(table))
+    assert "bucket=1__old" not in report["compacted"]
+    assert not os.path.exists(table / "bucket=1__old")  # recovery removed it
+    rows = spark.read.parquet(str(table / "bucket=0")).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [(1, "a")]
