@@ -414,3 +414,46 @@ def test_streaming_merge_throughput_soak(spark):
     assert all(r["files"] == 30 for r in results)
     assert results[0]["chunk_rows"] == results[1]["chunk_rows"] > 0
     assert all(r["rows_per_sec"] > 0 for r in results)
+
+
+def test_scrub_operators_run_unchanged_in_streaming(spark, tmp_path):
+    """Batch/stream operator unification: the PII scrub (counts + redaction)
+    is a pure projection, so the SAME operator calls apply to a readStream
+    source with no code changes — the pattern that lets one scrub
+    implementation serve both the backfill and the live ingest path."""
+    import json as _json
+
+    from jsonify2ai_spark.operators.pii import redact_pii, with_pii_counts
+
+    src = tmp_path / "scrub_src"
+    src.mkdir()
+    (src / "a.json").write_text(
+        _json.dumps({"doc_id": 1, "text": "mail a@b.co or call 555-123-4567"})
+        + "\n"
+        + _json.dumps({"doc_id": 2, "text": "clean line"})
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    out = redact_pii(with_pii_counts(stream))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scrubbed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "scrub_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = {}
+        while time.time() < deadline and len(rows) < 2:
+            if q.exception():
+                raise AssertionError(q.exception())
+            q.processAllAvailable()
+            rows = {
+                r["doc_id"]: r for r in spark.sql("select * from scrubbed").collect()
+            }
+            time.sleep(0.25)
+        assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+        assert rows[1]["text_redacted"] == "mail [EMAIL] or call [PHONE]"
+        assert rows[2]["pii_total"] == 0 and rows[2]["text_redacted"] == "clean line"
+    finally:
+        q.stop()
