@@ -188,3 +188,27 @@ def test_cbo_column_stats_flip_filtered_join_to_broadcast(spark):
             spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS cbo_fact")
         spark.sql("DROP TABLE IF EXISTS cbo_probe")
+
+
+def test_q58_pii_scan_is_map_only(spark):
+    """Detection + redaction are pure JVM regexp projections: ZERO exchanges
+    at any scale."""
+    p = plan_string(entry_mod.q58_pii_scan(spark, SF_DIR), "simple")
+    assert "Exchange" not in p, p[:1500]
+
+
+def test_q59_repetition_single_scan_two_shuffles(spark):
+    """The tagged unigram+bigram explode reads the corpus ONCE and
+    aggregates through exactly two shuffles (per-(doc,tag,term), per-doc) —
+    the two-branch uni⋈bi alternative costs two scans plus a join."""
+    p = plan_string(entry_mod.q59_repetition_quality(spark, SF_DIR), "simple")
+    assert p.count("Scan parquet") == 1, p[:1500]
+    assert p.count("Exchange") == 2, p[:1500]
+
+
+def test_q60_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast (eval sets are tiny next to
+    a training corpus); the corpus side streams map-only into the join."""
+    p = plan_string(entry_mod.q60_decontaminate(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in p, p[:1500]
+    assert "SortMergeJoin" not in p, p[:1500]
