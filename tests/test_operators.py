@@ -489,3 +489,15 @@ def test_unigram_logprob_orders_by_typicality(spark):
     assert {k: (v["logprob_per_token"], v["ppl"]) for k, v in out.items()} == {
         k: (v["logprob_per_token"], v["ppl"]) for k, v in again.items()
     }
+
+
+def test_repetition_stats_arrow_matches_expr(spark, tables):
+    """The zero-shuffle Arrow kernel must be value-identical to the
+    pure-DataFrame explode implementation over the real corpus (same token
+    contract, same HALF_UP rounding, same flag)."""
+    from jsonify2ai_spark.operators.textstats import repetition_stats
+
+    docs = tables["documents"]
+    a = sorted(map(tuple, repetition_stats(docs, impl="arrow").collect()))
+    b = sorted(map(tuple, repetition_stats(docs, impl="expr").collect()))
+    assert a == b
