@@ -786,3 +786,23 @@ def decontaminate(
         F.coalesce("n_shared_ngrams", F.lit(0)).cast("bigint").alias("n_shared_ngrams"),
         (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def keep_representatives(
+    docs: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup FINISHER: given (node, cluster_rep) labels from
+    :func:`connected_components`, return ``docs`` with every non-representative
+    cluster member dropped (exactly one survivor — the min id — per near-dup
+    cluster; documents in no cluster pass through untouched).
+
+    A broadcast anti-join against the non-representative node set: the label
+    frame is cluster-members-sized (tiny next to the corpus), so the corpus
+    side streams map-only at any scale.
+    """
+    drop = labels.filter(F.col("node") != F.col("cluster_rep")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(F.broadcast(drop), id_col, "left_anti")

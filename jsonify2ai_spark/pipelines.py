@@ -1,0 +1,88 @@
+"""The end-to-end training-corpus preparation recipe, composed from the
+operator modules: scrub -> quality-filter -> dedup -> pack, one call.
+
+This is the "switch from the reference" deliverable for the corpus-prep use
+case: every stage is an operator that is independently oracle- or
+test-verified (PII q58, repetition q59, exact dedup q15, LSH q18, CC q51,
+packing q57), and the composition only wires them — no new semantics hide
+here. Every stage is also individually optional, because real pipelines
+always need to toggle stages per corpus.
+
+Scale shape of the whole chain: PII + repetition are map-only; the quality
+filter is a projection; exact dedup is one shuffle on the content hash; the
+near-dup path is banded candidate generation + CC (rounds bounded by
+large-star escalation); packing is per-group sequential by design. Nothing
+in the chain is quadratic or driver-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.2,
+    filter_repetitive: bool = True,
+    near_dedup: bool = True,
+    redact: bool = True,
+    pack_budget: int | None = 2000,
+    pack_groups: int = 32,
+) -> DataFrame:
+    """Return the prepared corpus: one row per KEPT document with the
+    (optionally redacted) text plus quality/packing columns.
+
+    Stages, in order (each skippable):
+    1. quality gate   — ``quality_score`` >= ``min_quality``
+    2. repetition gate — drop Gopher-repetitive documents
+    3. exact dedup    — one survivor per normalized-content hash
+    4. near dedup     — MinHash-LSH candidates -> connected components ->
+                        one survivor per cluster
+    5. PII redaction  — text rewritten in place (adds ``pii_total``)
+    6. packing        — (pack_group, bin_idx) next-fit assignments
+    """
+    from jsonify2ai_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        keep_representatives,
+        minhash_lsh_pairs,
+    )
+    from jsonify2ai_spark.operators.packing import pack_sequences
+    from jsonify2ai_spark.operators.pii import redact_pii, with_pii_counts
+    from jsonify2ai_spark.operators.textstats import quality_score, repetition_stats
+
+    out = docs.select(id_col, text_col).withColumn("quality", quality_score(text_col))
+    out = out.filter(F.col("quality") >= min_quality)
+
+    if filter_repetitive:
+        rep = repetition_stats(out, text_col=text_col, id_col=id_col).select(
+            id_col, "repetitive"
+        )
+        out = (
+            out.join(rep, id_col, "left")
+            .filter(~F.coalesce(F.col("repetitive"), F.lit(False)))
+            .drop("repetitive")
+        )
+
+    keep_exact = exact_dedup(out, text_col=text_col, id_col=id_col).select(id_col)
+    out = out.join(keep_exact, id_col, "left_semi")
+
+    if near_dedup:
+        pairs = minhash_lsh_pairs(out, text_col=text_col, id_col=id_col)
+        labels = connected_components(pairs)
+        out = keep_representatives(out, labels, id_col=id_col)
+
+    if redact:
+        out = redact_pii(with_pii_counts(out, text_col=text_col), text_col=text_col)
+        out = out.drop(text_col).withColumnRenamed("text_redacted", text_col)
+
+    if pack_budget:
+        sized = out.withColumn("n_chars", F.length(text_col).cast("bigint"))
+        out = pack_sequences(
+            sized, budget=pack_budget, size_col="n_chars",
+            id_col=id_col, n_groups=pack_groups,
+        )
+    return out

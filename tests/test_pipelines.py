@@ -1,0 +1,60 @@
+"""End-to-end corpus-prep composition: every stage's invariant must hold on
+the combined output, not just in isolation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_prepare_training_corpus_invariants(spark, tables):
+    from jsonify2ai_spark.operators.textstats import quality_score
+    from jsonify2ai_spark.pipelines import prepare_training_corpus
+
+    docs = tables["documents"]
+    # plant near-dups and an exact dup so the dedup stages have real work
+    extra = docs.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.unionByName(extra)
+    out = prepare_training_corpus(corpus, pack_budget=2000, pack_groups=4)
+    rows = out.collect()
+
+    n_in, n_out = corpus.count(), len(rows)
+    assert 0 < n_out < n_in  # something was filtered/deduped, not everything
+
+    # exact dups collapsed: the planted copies (same text, higher id) lost
+    kept = {r["doc_id"] for r in rows}
+    assert not ({100000, 100001, 100002} & kept)
+    assert {0, 1, 2} & kept  # min-id survivors stayed
+
+    # quality gate applied to every survivor
+    q = {
+        r["doc_id"]: r["q"]
+        for r in corpus.select("doc_id", quality_score("text").alias("q")).collect()
+    }
+    assert all(q[r["doc_id"]] >= 0.2 for r in rows)
+
+    # packing columns present, bins within budget unless single oversize doc
+    bins = {}
+    for r in rows:
+        assert r["pack_group"] is not None and r["bin_idx"] >= 0
+        bins.setdefault((r["pack_group"], r["bin_idx"]), []).append(len(r["text"]))
+    for sizes in bins.values():
+        assert sum(sizes) <= 2000 or len(sizes) == 1
+
+    # deterministic end to end
+    again = prepare_training_corpus(corpus.repartition(7), pack_budget=2000, pack_groups=4)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_keep_representatives_drops_cluster_members_only(spark):
+    from jsonify2ai_spark.operators.dedup import keep_representatives
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (4, 4), (5, 4)], "node long, cluster_rep long"
+    )
+    kept = sorted(r["doc_id"] for r in keep_representatives(docs, labels).collect())
+    assert kept == [0, 3, 4]  # reps 0 and 4 kept, unclustered 3 passes through
