@@ -171,11 +171,47 @@ def cmd_watch(args) -> int:  # pragma: no cover - blocking loop; logic tested vi
 
 
 def cmd_note2json(args) -> int:
+    """Reference note2json CLI parity: stdin ('-'), literal paths, glob
+    patterns (deduped + sorted for deterministic order), optional --out dir
+    writing one .json per input, per-file skip-with-reason in batch mode.
+    (For corpora already in a table, sources.notes.parse_notes is the
+    distributed form — this command is the file-at-a-time tool.)"""
+    import glob as globlib
+
     from jsonify2ai_spark.sources.notes import read_input
 
-    src = sys.stdin.buffer if args.file == "-" else args.file
-    _emit(read_input(src, input_format=args.input_format))
-    return 0
+    if args.file == ["-"]:
+        _emit(read_input(sys.stdin.buffer, input_format=args.input_format))
+        return 0
+
+    paths: list[str] = []
+    for pat in args.file:
+        if any(c in pat for c in "*?["):
+            paths.extend(globlib.glob(pat, recursive=True))
+        else:
+            paths.append(pat)
+    paths = sorted(set(paths))
+
+    results, n_ok = [], 0
+    for p in paths:
+        try:
+            data = read_input(p, input_format=args.input_format)
+            results.append({"file": p, "ok": True, "data": data})
+            n_ok += 1
+        except Exception as e:
+            results.append({"file": p, "ok": False, "error": str(e)[:200]})
+        if args.out:
+            os.makedirs(args.out, exist_ok=True)
+            stem = os.path.splitext(os.path.basename(p))[0]
+            with open(os.path.join(args.out, f"{stem}.json"), "w", encoding="utf-8") as f:
+                json.dump(results[-1], f, ensure_ascii=False, indent=2)
+
+    if len(paths) == 1 and not args.out:
+        r = results[0]  # single file keeps the plain-JSON output contract
+        _emit(r["data"] if r["ok"] else r)
+        return 0 if r["ok"] else 1
+    _emit({"n": len(results), "ok": n_ok, "results": results})
+    return 0 if n_ok == len(results) else 1
 
 
 def cmd_compact(args) -> int:
@@ -251,9 +287,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--dim", type=int, default=64)
     sp.set_defaults(fn=cmd_watch)
 
-    sp = sub.add_parser("note2json", help="parse a note file (or - for stdin) to JSON")
-    sp.add_argument("file")
+    sp = sub.add_parser(
+        "note2json", help="parse note files (paths/globs, or - for stdin) to JSON"
+    )
+    sp.add_argument("file", nargs="+")
     sp.add_argument("--input-format", default="auto", choices=["auto", "md", "txt", "json"])
+    sp.add_argument("--out", default=None, help="directory for one .json per input")
     sp.set_defaults(fn=cmd_note2json)
 
     sp = sub.add_parser("compact", help="merge small files per bucket")

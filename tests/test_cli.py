@@ -67,3 +67,26 @@ def test_cli_note2json_and_eval(spark, tmp_path, capsys):
     qa.write_text(json.dumps({"question": "anything", "answer_contains": "zz-none"}) + "\n")
     ev = run_cli(capsys, ["eval", "--qa", str(qa), "--sf-dir", "/root/testdata/sf0.001"])
     assert ev["n"] == 1 and ev["hit@1"] == 0
+
+
+def test_cli_note2json_glob_batch_and_out_dir(tmp_path, capsys):
+    """Reference CLI parity: glob expansion (deduped, sorted), per-file
+    results with skip-reasons, --out dir with one .json per input."""
+    import os
+
+    (tmp_path / "n1.md").write_text("# One\nbody")
+    (tmp_path / "n2.md").write_text("# Two\nbody")
+    (tmp_path / "bad.md").write_bytes(bytes(512))  # NUL-ridden -> per-file error
+    out_dir = tmp_path / "parsed"
+
+    rc = cli.main([
+        "note2json", str(tmp_path / "*.md"), str(tmp_path / "n1.md"),  # dup collapses
+        "--out", str(out_dir),
+    ])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1  # one file failed
+    assert out["n"] == 3 and out["ok"] == 2
+    by_file = {r["file"].rsplit("/", 1)[-1]: r for r in out["results"]}
+    assert by_file["n1.md"]["data"]["title"] == "One"
+    assert by_file["bad.md"]["ok"] is False and "UTF" in by_file["bad.md"]["error"]
+    assert sorted(os.listdir(out_dir)) == ["bad.json", "n1.json", "n2.json"]
