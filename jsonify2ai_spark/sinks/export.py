@@ -153,3 +153,36 @@ def zip_export(
     with open(out_zip, "wb") as f:
         f.write(buf.getvalue())
     return manifest
+
+
+def write_training_shards(
+    packed: "DataFrame",
+    out_dir: str,
+    group_col: str = "pack_group",
+    bin_col: str = "bin_idx",
+    id_col: str = "doc_id",
+) -> dict:
+    """The trainer-facing output step after sequence packing: one Parquet
+    shard directory per pack group (`group=N/`), rows sorted by
+    (bin, id) WITHIN each shard file so a trainer streams bins contiguously
+    without any read-side sort.
+
+    Plan shape: one repartition on the group key (each shard written by one
+    task — files are whole training groups, not arbitrary splits) + an
+    in-partition sort; no global sort, no driver collect. Returns a
+    manifest dict {groups, rows, out_dir} for telemetry, mirroring the
+    export sinks' manifest convention.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        packed.repartition(F.col(group_col))
+        .sortWithinPartitions(group_col, bin_col, id_col)
+        .write.mode("overwrite")
+        .partitionBy(group_col)
+        .parquet(out_dir)
+    )
+    spark = packed.sparkSession
+    back = spark.read.parquet(out_dir)
+    n_groups = back.select(group_col).distinct().count()
+    return {"out_dir": out_dir, "groups": n_groups, "rows": back.count()}

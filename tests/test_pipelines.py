@@ -58,3 +58,31 @@ def test_keep_representatives_drops_cluster_members_only(spark):
     )
     kept = sorted(r["doc_id"] for r in keep_representatives(docs, labels).collect())
     assert kept == [0, 3, 4]  # reps 0 and 4 kept, unclustered 3 passes through
+
+
+def test_write_training_shards_layout_and_order(spark, tables, tmp_path):
+    """Shard writer: one group=N/ dir per pack group, rows inside each shard
+    file already sorted by (bin, id) so the trainer streams bins
+    contiguously; round-trips losslessly."""
+    import os
+
+    from jsonify2ai_spark.pipelines import prepare_training_corpus
+    from jsonify2ai_spark.sinks import write_training_shards
+
+    packed = prepare_training_corpus(
+        tables["documents"], pack_budget=2000, pack_groups=4
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(packed, out)
+    assert manifest["groups"] == 4 and manifest["rows"] == packed.count()
+
+    group_dirs = sorted(d for d in os.listdir(out) if d.startswith("pack_group="))
+    assert len(group_dirs) == 4
+    # in-file order: read ONE shard file raw — rows must be bin-then-id sorted
+    gdir = os.path.join(out, group_dirs[0])
+    part = next(f for f in sorted(os.listdir(gdir)) if f.endswith(".parquet"))
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(gdir, part)).to_pydict()
+    seq = list(zip(t["bin_idx"], t["doc_id"]))
+    assert seq == sorted(seq)
