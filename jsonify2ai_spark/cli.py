@@ -79,7 +79,8 @@ def cmd_ingest(args) -> int:
     existing = _read_table(spark, args.table) if os.path.exists(args.table) else None
     chunks = ingest(spark, args.root, existing=existing, dim=args.dim)
     _write_table(chunks, args.table)
-    n = _read_table(spark, args.table).count()
+    # plain read for the count: recovery already ran above (and in _write_table)
+    n = spark.read.parquet(args.table).count()
     _emit({"table": args.table, "chunks": n})
     return 0
 
@@ -185,16 +186,30 @@ def cmd_note2json(args) -> int:
         return 0
 
     paths: list[str] = []
+    results: list[dict] = []
     for pat in args.file:
-        if any(c in pat for c in "*?["):
-            paths.extend(globlib.glob(pat, recursive=True))
-        else:
+        # a literal file wins over glob interpretation (a real file named
+        # 'notes[1].md' must not be read as a character class); a pattern
+        # matching nothing is an ERROR row, not silent success
+        if os.path.exists(pat):
             paths.append(pat)
+            continue
+        matched = globlib.glob(pat, recursive=True) if globlib.has_magic(pat) else []
+        if matched:
+            paths.extend(matched)
+        else:
+            results.append({"file": pat, "ok": False, "error": "no such file or no glob match"})
     paths = sorted(set(paths))
 
-    results, n_ok = [], 0
+    used_names: dict[str, int] = {}
+    n_ok = 0
     for p in paths:
         try:
+            # read_input falls back to treating a non-path string as raw
+            # text (the API contract); at the CLI boundary the argument IS
+            # a path, so a missing file must error, not parse its own name
+            if not os.path.exists(p):
+                raise FileNotFoundError(f"no such file: {p}")
             data = read_input(p, input_format=args.input_format)
             results.append({"file": p, "ok": True, "data": data})
             n_ok += 1
@@ -203,15 +218,19 @@ def cmd_note2json(args) -> int:
         if args.out:
             os.makedirs(args.out, exist_ok=True)
             stem = os.path.splitext(os.path.basename(p))[0]
-            with open(os.path.join(args.out, f"{stem}.json"), "w", encoding="utf-8") as f:
+            # same-stem inputs (a/n.md, b/n.md) must not clobber each other
+            seq = used_names.get(stem, 0)
+            used_names[stem] = seq + 1
+            name = f"{stem}.json" if seq == 0 else f"{stem}-{seq + 1}.json"
+            with open(os.path.join(args.out, name), "w", encoding="utf-8") as f:
                 json.dump(results[-1], f, ensure_ascii=False, indent=2)
 
-    if len(paths) == 1 and not args.out:
+    if len(results) == 1 and not args.out:
         r = results[0]  # single file keeps the plain-JSON output contract
         _emit(r["data"] if r["ok"] else r)
         return 0 if r["ok"] else 1
     _emit({"n": len(results), "ok": n_ok, "results": results})
-    return 0 if n_ok == len(results) else 1
+    return 0 if results and n_ok == len(results) else 1
 
 
 def cmd_compact(args) -> int:

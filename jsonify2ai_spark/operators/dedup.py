@@ -798,11 +798,13 @@ def keep_representatives(
     cluster member dropped (exactly one survivor — the min id — per near-dup
     cluster; documents in no cluster pass through untouched).
 
-    A broadcast anti-join against the non-representative node set: the label
-    frame is cluster-members-sized (tiny next to the corpus), so the corpus
-    side streams map-only at any scale.
+    An anti-join against the non-representative node set. The drop set is
+    DUPLICATE-COUNT-sized — on a crawl-like corpus that can be 30-50% of all
+    documents, far past broadcast range — so no broadcast hint is forced:
+    AQE broadcasts it when the duplicate set is actually small and falls
+    back to a shuffle anti-join when it is not.
     """
     drop = labels.filter(F.col("node") != F.col("cluster_rep")).select(
         F.col("node").alias(id_col)
     )
-    return docs.join(F.broadcast(drop), id_col, "left_anti")
+    return docs.join(drop, id_col, "left_anti")

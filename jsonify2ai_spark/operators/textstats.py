@@ -163,7 +163,9 @@ def repetition_stats(
             for batch in batches:
                 rows = []
                 for doc_id, toks in zip(batch[id_col], batch["_tk"]):
-                    toks = list(toks)
+                    # NULL text -> tokens() yields a NULL array; the explode
+                    # impl drops the row, so the kernel must too (not crash)
+                    toks = list(toks) if toks is not None else []
                     n = len(toks)
                     if n == 0:
                         continue  # parity with the explode form: no words, no row

@@ -54,8 +54,18 @@ def prepare_training_corpus(
     from jsonify2ai_spark.operators.pii import redact_pii, with_pii_counts
     from jsonify2ai_spark.operators.textstats import quality_score, repetition_stats
 
-    out = docs.select(id_col, text_col).withColumn("quality", quality_score(text_col))
-    out = out.filter(F.col("quality") >= min_quality)
+    # every stage below references `out` from BOTH sides of a self-join
+    # (stats + join, dedup-keys + semi-join, pairs + anti-join); a lazy
+    # localCheckpoint at each boundary materializes the stage once instead
+    # of recomputing the whole upstream subtree per side — without these,
+    # the corpus scan would execute up to ~8x in one action (the repo's
+    # documented subtree-recompute pitfall)
+    out = (
+        docs.select(id_col, text_col)
+        .withColumn("quality", quality_score(text_col))
+        .filter(F.col("quality") >= min_quality)
+        .localCheckpoint(eager=False)
+    )
 
     if filter_repetitive:
         rep = repetition_stats(out, text_col=text_col, id_col=id_col).select(
@@ -65,10 +75,11 @@ def prepare_training_corpus(
             out.join(rep, id_col, "left")
             .filter(~F.coalesce(F.col("repetitive"), F.lit(False)))
             .drop("repetitive")
+            .localCheckpoint(eager=False)
         )
 
     keep_exact = exact_dedup(out, text_col=text_col, id_col=id_col).select(id_col)
-    out = out.join(keep_exact, id_col, "left_semi")
+    out = out.join(keep_exact, id_col, "left_semi").localCheckpoint(eager=False)
 
     if near_dedup:
         pairs = minhash_lsh_pairs(out, text_col=text_col, id_col=id_col)

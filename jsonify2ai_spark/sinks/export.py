@@ -175,6 +175,11 @@ def write_training_shards(
     """
     from pyspark.sql import functions as F
 
+    # lazy checkpoint: the write materializes it, the manifest aggregation
+    # then reads the checkpoint — one computation of `packed`, no re-scan
+    # of the written output (which also cannot be schema-inferred when the
+    # corpus filtered down to zero rows)
+    packed = packed.localCheckpoint(eager=False)
     (
         packed.repartition(F.col(group_col))
         .sortWithinPartitions(group_col, bin_col, id_col)
@@ -182,7 +187,7 @@ def write_training_shards(
         .partitionBy(group_col)
         .parquet(out_dir)
     )
-    spark = packed.sparkSession
-    back = spark.read.parquet(out_dir)
-    n_groups = back.select(group_col).distinct().count()
-    return {"out_dir": out_dir, "groups": n_groups, "rows": back.count()}
+    stats = packed.agg(
+        F.count_distinct(F.col(group_col)).alias("g"), F.count(F.lit(1)).alias("n")
+    ).first()
+    return {"out_dir": out_dir, "groups": stats["g"], "rows": stats["n"]}

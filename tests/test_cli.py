@@ -90,3 +90,37 @@ def test_cli_note2json_glob_batch_and_out_dir(tmp_path, capsys):
     assert by_file["n1.md"]["data"]["title"] == "One"
     assert by_file["bad.md"]["ok"] is False and "UTF" in by_file["bad.md"]["error"]
     assert sorted(os.listdir(out_dir)) == ["bad.json", "n1.json", "n2.json"]
+
+
+def test_cli_note2json_missing_files_and_collisions(tmp_path, capsys):
+    """Review findings: missing files and zero-match globs are ERRORS (not
+    the path parsed as note text), literal '[' filenames survive, and
+    same-stem inputs get distinct --out names."""
+    import os
+
+    missing = str(tmp_path / "nope.md")
+    rc = cli.main(["note2json", missing])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["ok"] is False and "no such file" in out["error"]
+
+    rc = cli.main(["note2json", str(tmp_path / "zz_*.md")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and out["ok"] is False  # zero-match glob is not success
+
+    bracket = tmp_path / "notes[1].md"
+    bracket.write_text("# Bracket\nbody")
+    rc = cli.main(["note2json", str(bracket)])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["title"] == "Bracket"
+
+    (tmp_path / "a").mkdir(); (tmp_path / "b").mkdir()
+    (tmp_path / "a" / "n.md").write_text("# A")
+    (tmp_path / "b" / "n.md").write_text("# B")
+    out_dir = tmp_path / "out"
+    rc = cli.main([
+        "note2json", str(tmp_path / "a" / "n.md"), str(tmp_path / "b" / "n.md"),
+        "--out", str(out_dir),
+    ])
+    capsys.readouterr()
+    assert rc == 0
+    assert sorted(os.listdir(out_dir)) == ["n-2.json", "n.json"]

@@ -501,3 +501,18 @@ def test_repetition_stats_arrow_matches_expr(spark, tables):
     a = sorted(map(tuple, repetition_stats(docs, impl="arrow").collect()))
     b = sorted(map(tuple, repetition_stats(docs, impl="expr").collect()))
     assert a == b
+
+
+def test_repetition_stats_null_text_parity(spark):
+    """NULL text must be dropped by BOTH impls (review finding: the Arrow
+    kernel crashed on the NULL token array the expr impl silently drops)."""
+    from jsonify2ai_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "real words here " * 8), (3, "")],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, repetition_stats(df, impl="arrow").collect()))
+    b = sorted(map(tuple, repetition_stats(df, impl="expr").collect()))
+    assert a == b
+    assert [r[0] for r in a] == [2]  # null and empty rows dropped, not crashed

@@ -86,3 +86,15 @@ def test_write_training_shards_layout_and_order(spark, tables, tmp_path):
     t = pq.read_table(os.path.join(gdir, part)).to_pydict()
     seq = list(zip(t["bin_idx"], t["doc_id"]))
     assert seq == sorted(seq)
+
+
+def test_write_training_shards_empty_corpus(spark, tmp_path):
+    """Review finding: an all-filtered (empty) packed frame must produce a
+    zero manifest, not a schema-inference crash on read-back."""
+    from jsonify2ai_spark.sinks import write_training_shards
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, pack_group long, bin_idx long"
+    )
+    m = write_training_shards(empty, str(tmp_path / "shards"))
+    assert m["groups"] == 0 and m["rows"] == 0
