@@ -712,12 +712,14 @@ def connected_components(
             .agg(F.min("v").alias("mv"))
             .select("u", F.least(F.col("mv"), F.col("u")).alias("m"))
         )
+        # no distinct here: duplicates (several u routing the same (v, m))
+        # are bounded by degree and the small-star distinct collapses them
+        # anyway — dropping it saves one full shuffle per round
         large = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: large's output is already hi→lo, so m(u) = min(N(u))
         mins_s = large.groupBy("u").agg(F.min("v").alias("m"))
