@@ -86,6 +86,50 @@ def running_counters(events: DataFrame, keys: tuple[str, ...] = ("event_type",))
     )
 
 
+def quality_monitor(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Windowed corpus-quality telemetry over an ingest stream: per event-time
+    window, the document count, mean quality score, mean token count, and the
+    PII hit rate. This is the data-quality dashboard feed a training-data
+    pipeline runs NEXT TO ingestion — a quality-score collapse or PII spike in
+    a window flags a bad source before it pollutes the corpus.
+
+    Composition only: the scoring expressions are the verified batch
+    operators (quality_score, with_pii_counts — pure projections, so they
+    stream unchanged); the window/watermark machinery is the same as the
+    event rollups. State is bounded by the watermark.
+    """
+    from jsonify2ai_spark.operators.pii import with_pii_counts
+    from jsonify2ai_spark.operators.textstats import quality_score
+    from jsonify2ai_spark.functions.text import token_count
+
+    scored = with_pii_counts(docs, text_col=text_col).select(
+        F.col(ts_col),
+        quality_score(text_col).alias("_q"),
+        token_count(F.col(text_col)).alias("_ntok"),
+        (F.col("pii_total") > 0).cast("int").alias("_pii"),
+    )
+    return (
+        scored.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_q"), 4).alias("avg_quality"),
+            F.round(F.avg("_ntok"), 2).alias("avg_tokens"),
+            F.round(F.avg("_pii"), 4).alias("pii_rate"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_docs", "avg_quality", "avg_tokens", "pii_rate",
+        )
+    )
+
+
 def debounced_paths(
     files: DataFrame,
     stable_seconds: int = 1,

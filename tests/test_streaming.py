@@ -457,3 +457,53 @@ def test_scrub_operators_run_unchanged_in_streaming(spark, tmp_path):
         assert rows[2]["pii_total"] == 0 and rows[2]["text_redacted"] == "clean line"
     finally:
         q.stop()
+
+
+def test_quality_monitor_windows_and_flags_pii(spark, tmp_path):
+    """Windowed corpus-quality telemetry: scores stream through the same
+    verified batch expressions; a PII-laden window shows a nonzero pii_rate
+    and windows aggregate by event time."""
+    import json as _json
+
+    from jsonify2ai_spark.streaming.windowed import quality_monitor
+
+    src = tmp_path / "qm_src"
+    src.mkdir()
+    good = "perfectly ordinary prose with enough words to pass the gate " * 3
+    (src / "a.json").write_text(
+        "\n".join(
+            [
+                _json.dumps({"ts": "2026-01-01T10:01:00", "text": good}),
+                _json.dumps({"ts": "2026-01-01T10:02:00", "text": good + " mail x@y.io"}),
+                _json.dumps({"ts": "2026-01-01T11:31:00", "text": good}),
+            ]
+        )
+    )
+    stream = spark.readStream.schema("ts timestamp, text string").json(str(src))
+    q = (
+        quality_monitor(stream, window="10 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("qmon")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "qm_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows = {}
+        while time.time() < deadline and len(rows) < 2:
+            if q.exception():
+                raise AssertionError(q.exception())
+            q.processAllAvailable()
+            rows = {
+                str(r["window_start"]): r
+                for r in spark.sql("select * from qmon").collect()
+            }
+            time.sleep(0.25)
+        w1 = rows["2026-01-01 10:00:00"]
+        w2 = rows["2026-01-01 11:30:00"]
+        assert w1["n_docs"] == 2 and w2["n_docs"] == 1
+        assert w1["pii_rate"] == 0.5 and w2["pii_rate"] == 0.0  # 1 of 2 docs had PII
+        assert w1["avg_quality"] > 0.5 and w1["avg_tokens"] > 20
+    finally:
+        q.stop()
