@@ -188,3 +188,66 @@ def test_pii_redaction_idempotent_driverside(s):
 
     once = redact(s)
     assert redact(once) == once
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=0,
+        max_size=80,
+    ),
+    st.integers(0, 3),
+)
+@settings(max_examples=12, deadline=None)
+def test_connected_components_matches_union_find(edge_list, propagate_rounds):
+    """Differential fuzz: on random graphs (self-loops, duplicates, any
+    shape) the distributed CC must produce exactly the union-find labels —
+    min node id per component — regardless of how early the star-phase
+    escalation kicks in (propagate_rounds 0-3 forces different code paths).
+    """
+    from jsonify2ai_spark.operators.dedup import connected_components
+
+    spark = _spark_session()  # getOrCreate: reuses the suite's session
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edge_list:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    # canonicalize: representative = min of component
+    comp: dict[int, list[int]] = {}
+    for n, r in expected.items():
+        comp.setdefault(find(r), []).append(n)
+    expected = {n: min(ms) for r, ms in comp.items() for n in ms}
+
+    if not edge_list:
+        df = spark.createDataFrame([], "a bigint, b bigint")
+    else:
+        df = spark.createDataFrame(edge_list, "a bigint, b bigint")
+    got = {
+        r["node"]: r["cluster_rep"]
+        for r in connected_components(
+            df, max_iter=50, propagate_rounds=propagate_rounds
+        ).collect()
+    }
+    assert got == expected
+
+
+def _spark_session():
+    from jsonify2ai_spark.session import get_spark
+
+    s = get_spark("tests", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
