@@ -27,6 +27,16 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_every_query_runs_small(spark):
+    from pyspark.sql.types import ArrayType, MapType
+
     for name, fn in entry_mod.queries().items():
         df = fn(spark, SF_DIR)
         assert df.count() >= 0, name
+        # the driver's value-hash canonicalizer cannot hash array/map
+        # columns — a query sneaking one in would silently weaken its gate
+        # row (this was a round-1 failure mode; now a pre-commit guard)
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, (ArrayType, MapType)), (
+                f"{name}.{f.name} is {f.dataType.simpleString()} — "
+                "stringify or drop it before returning"
+            )
