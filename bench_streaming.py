@@ -74,10 +74,12 @@ def run_once(
                 break
             time.sleep(0.25)
         dt = time.time() - t0
+        # assert BEFORE cleanup so a timeout leaves the table/checkpoint
+        # inspectable exactly when debugging needs them
+        assert docs >= n_files, f"only {docs}/{n_files} documents landed (workdir kept: {base})"
     finally:
         q.stop()
     shutil.rmtree(base, ignore_errors=True)
-    assert docs >= n_files, f"only {docs}/{n_files} documents landed"
     return {
         "metric": "streaming_merge_throughput",
         "n_buckets": n_buckets,

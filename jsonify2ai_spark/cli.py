@@ -38,11 +38,12 @@ def _spark(app: str):
 def _read_table(spark, path: str):
     from jsonify2ai_spark.sinks.tables import recover_table
 
-    # finish or roll back any swap a previous command crashed in — without
-    # this, a crash between rename-aside and move-in would leave the only
-    # copy in `{path}__old` and every later command would fail (or worse,
-    # the next write's swap would delete it)
-    recover_table(path)
+    # restore-only recovery: a crash between rename-aside and move-in
+    # leaves the only copy in `{path}__old`, which reads must bring back —
+    # but reads never DELETE (destructive cleanup is writer-startup work;
+    # rm-ing a live writer's staging dir from a concurrent `stats` call
+    # would kill its in-flight batch)
+    recover_table(path, destructive=False)
     return spark.read.parquet(path)
 
 
@@ -182,7 +183,12 @@ def cmd_note2json(args) -> int:
     from jsonify2ai_spark.sources.notes import read_input
 
     if args.file == ["-"]:
-        _emit(read_input(sys.stdin.buffer, input_format=args.input_format))
+        data = read_input(sys.stdin.buffer, input_format=args.input_format)
+        if args.out:  # honor the one-.json-per-input contract for stdin too
+            os.makedirs(args.out, exist_ok=True)
+            with open(os.path.join(args.out, "stdin.json"), "w", encoding="utf-8") as f:
+                json.dump({"file": "-", "ok": True, "data": data}, f, ensure_ascii=False, indent=2)
+        _emit(data)
         return 0
 
     paths: list[str] = []

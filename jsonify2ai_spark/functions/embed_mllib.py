@@ -38,7 +38,12 @@ def tfidf_embeddings(
     from pyspark.ml.feature import IDF, HashingTF
     from pyspark.ml.functions import vector_to_array
 
-    toked = df.withColumn("_tok", tokens(F.col(text_col)))
+    # NULL text -> NULL token array, which NPEs inside HashingTF; coalesce
+    # to empty so NULL documents embed as zero vectors instead of killing
+    # the fit job (the sibling text operators all tolerate NULL)
+    toked = df.withColumn(
+        "_tok", F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    )
     tf = HashingTF(inputCol="_tok", outputCol="_tf", numFeatures=dim)
     tfed = tf.transform(toked)
     idf = IDF(inputCol="_tf", outputCol="_idf").fit(tfed)
@@ -70,7 +75,9 @@ def word2vec_embeddings(
     from pyspark.ml.feature import Word2Vec
     from pyspark.ml.functions import vector_to_array
 
-    toked = df.withColumn("_tok", tokens(F.col(text_col)))
+    toked = df.withColumn(
+        "_tok", F.coalesce(tokens(F.col(text_col)), F.array().cast("array<string>"))
+    )
     w2v = Word2Vec(
         inputCol="_tok",
         outputCol="_w2v",

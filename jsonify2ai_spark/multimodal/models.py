@@ -149,9 +149,20 @@ def embed_image_real(
     """
     proc, model, Image = _load_clip(model_name)
     try:
+        # inference-only: without no_grad every image builds an autograd
+        # graph, roughly doubling activation memory per executor task
+        try:
+            import torch
+
+            grad_ctx = torch.no_grad()
+        except ImportError:  # fake-module tests have no torch; real
+            import contextlib  # transformers installs always do
+
+            grad_ctx = contextlib.nullcontext()
         image = Image.open(io.BytesIO(content)).convert("RGB")
         inputs = proc(images=image, return_tensors="pt")
-        feats = model.get_image_features(**inputs)
+        with grad_ctx:
+            feats = model.get_image_features(**inputs)
         vec = [float(x) for x in feats[0]]
         norm = sum(x * x for x in vec) ** 0.5
         return [x / norm for x in vec] if norm else vec

@@ -660,7 +660,13 @@ def connected_components(
         edges_sym.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     ).localCheckpoint(eager=False)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # decimal(38,0) sums: overflow-proof for 64-bit-hash node ids at any
+    # node count (ANSI mode would otherwise throw; non-ANSI would silently
+    # wrap — and a wrapped-equal sum could falsely witness convergence)
+    def _label_sum(lb: DataFrame):
+        return lb.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     converged = prev_sum is None  # empty graph
     rounds = 0
     while not converged and rounds < min(propagate_rounds, max_iter):
@@ -678,17 +684,31 @@ def connected_components(
             )
         ).localCheckpoint(eager=False)
         # labels only decrease, so a stable sum is a strict fixpoint witness
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = _label_sum(labels)
         converged = cur_sum == prev_sum
         prev_sum = cur_sum
     if converged:
         return labels.select(F.col("node"), F.col("label").alias("cluster_rep"))
 
     # --- phase 2: large-star / small-star alternation ---------------------
-    nodes = edges_sym.select(F.col("src").alias("node")).distinct()
+    # CONTRACT the graph through the phase-1 labels instead of discarding
+    # that work: edge (x, y) -> (label(x), label(y)). Labels are always
+    # members of the node's own component (and the component minimum always
+    # labels itself), so the contracted graph has the same components with
+    # the same minima over a smaller node set — after k propagation rounds
+    # each contracted node stands for a k-hop neighborhood. The final answer
+    # maps every node through its phase-1 label to the star rep.
+    lab_src = labels.withColumnRenamed("node", "src").withColumnRenamed("label", "lsrc")
+    lab_dst = labels.withColumnRenamed("node", "dst").withColumnRenamed("label", "ldst")
     edges = _fit(
-        edges_sym.filter(F.col("src") > F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        edges_sym.join(lab_src, "src")
+        .join(lab_dst, "dst")
+        .filter(F.col("lsrc") != F.col("ldst"))
+        .select(
+            F.greatest(F.col("lsrc"), F.col("ldst")).alias("u"),
+            F.least(F.col("lsrc"), F.col("ldst")).alias("v"),
+        )
+        .distinct()
     ).localCheckpoint(eager=False)
 
     def _witness(e: DataFrame) -> tuple:
@@ -741,15 +761,15 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    # at the star fixpoint every non-min node has exactly one (u, min) edge;
-    # the groupBy-min also makes the unconverged warning case deterministic
-    reps = (
-        edges.groupBy("u")
-        .agg(F.min("v").alias("cluster_rep"))
-        .withColumnRenamed("u", "node")
-    )
-    return nodes.join(reps, "node", "left").select(
-        "node", F.coalesce("cluster_rep", "node").alias("cluster_rep")
+    # at the star fixpoint every non-min contracted node has exactly one
+    # (u, min) edge; the groupBy-min also makes the unconverged warning case
+    # deterministic. Map every ORIGINAL node through its phase-1 label to
+    # the star rep (labels whose sub-component fully collapsed in phase 1
+    # have no star edge — they are their own rep).
+    reps = edges.groupBy("u").agg(F.min("v").alias("_rep"))
+    return (
+        labels.join(reps, labels.label == reps.u, "left")
+        .select("node", F.coalesce(F.col("_rep"), F.col("label")).alias("cluster_rep"))
     )
 
 

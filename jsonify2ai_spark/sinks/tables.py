@@ -82,44 +82,53 @@ def swap_dir(src: str, dst: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
-def recover_table(table_path: str) -> list[str]:
-    """Startup recovery for interrupted swaps (streaming merge or
-    compaction). For each ``X__old``: ``X`` present means the new data
-    landed — drop the leftover; ``X`` missing means the crash hit between
-    rename-aside and move-in — restore the old directory (streaming replay
-    then re-applies the interrupted batch idempotently). ``__staging`` /
-    ``__compacting`` directories are partial writes — always dropped.
-    Returns the actions taken, for telemetry and tests."""
+def recover_table(table_path: str, destructive: bool = True) -> list[str]:
+    """Startup recovery for interrupted swaps (streaming merge, compaction,
+    or the CLI's whole-table rewrite). For each ``X__old``: ``X`` present
+    means the new data landed — drop the leftover; ``X`` missing means the
+    crash hit between rename-aside and move-in — restore the old directory
+    (streaming replay then re-applies the interrupted batch idempotently).
+    ``__staging`` / ``__compacting`` directories are partial writes —
+    dropped. Returns the actions taken, for telemetry and tests.
+
+    ``destructive=False`` restores ONLY (a missing base dir from its
+    ``__old`` copy) and never deletes anything — the mode for READ paths,
+    which must not race a live writer by rm-ing its in-flight staging dirs.
+    Full (destructive) recovery is a WRITER-STARTUP operation: exactly one
+    writer per table is the layout's concurrency model (as with any
+    file-swap sink; use Delta/Iceberg when multiple writers are real).
+    """
     actions: list[str] = []
     staging = f"{table_path}__staging"
-    if os.path.isdir(staging):
+    if destructive and os.path.isdir(staging):
         shutil.rmtree(staging, ignore_errors=True)
         actions.append(f"removed {os.path.basename(staging)}")
     # whole-table swap interrupted (CLI ingest/delete path): same protocol
     # as per-bucket __old dirs, at the table level
     top_old = f"{table_path}__old"
     if os.path.isdir(top_old):
-        if os.path.exists(table_path):
-            shutil.rmtree(top_old, ignore_errors=True)
-            actions.append(f"removed {os.path.basename(top_old)}")
-        else:
+        if not os.path.exists(table_path):
             os.replace(top_old, table_path)
             actions.append(f"restored {os.path.basename(table_path)}")
+        elif destructive:
+            shutil.rmtree(top_old, ignore_errors=True)
+            actions.append(f"removed {os.path.basename(top_old)}")
     if not os.path.isdir(table_path):
         return actions
     for entry in sorted(os.listdir(table_path)):
         full = os.path.join(table_path, entry)
         if entry.endswith("__compacting"):
-            shutil.rmtree(full, ignore_errors=True)
-            actions.append(f"removed {entry}")
-        elif entry.endswith("__old"):
-            base = full[: -len("__old")]
-            if os.path.exists(base):
+            if destructive:
                 shutil.rmtree(full, ignore_errors=True)
                 actions.append(f"removed {entry}")
-            else:
+        elif entry.endswith("__old"):
+            base = full[: -len("__old")]
+            if not os.path.exists(base):
                 os.replace(full, base)
                 actions.append(f"restored {os.path.basename(base)}")
+            elif destructive:
+                shutil.rmtree(full, ignore_errors=True)
+                actions.append(f"removed {entry}")
     return actions
 
 

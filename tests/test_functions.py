@@ -180,3 +180,18 @@ def test_word2vec_embeddings_shape_and_contract(spark):
     assert any(abs(x) > 0 for x in vecs[1])
     emb2, _ = word2vec_embeddings(df, dim=16)
     assert {r["doc_id"]: r["vector"] for r in emb2.collect()} == vecs
+
+
+def test_tfidf_embeddings_tolerate_null_text(spark):
+    """Review finding: a NULL text row NPE'd inside HashingTF and killed the
+    IDF fit; NULL documents must embed as zero vectors instead."""
+    from jsonify2ai_spark.functions.embed_mllib import tfidf_embeddings
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    emb, _ = tfidf_embeddings(df, dim=16)
+    vecs = {r["doc_id"]: r["vector"] for r in emb.collect()}
+    assert len(vecs) == 3
+    assert all(x == 0.0 for x in vecs[2]) and all(x == 0.0 for x in vecs[3])
+    assert any(x != 0.0 for x in vecs[1])

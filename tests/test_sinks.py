@@ -269,3 +269,31 @@ def test_recover_table_top_level_swap_and_compact_ignores_leftovers(spark, tmp_p
     assert not os.path.exists(table / "bucket=1__old")  # recovery removed it
     rows = spark.read.parquet(str(table / "bucket=0")).collect()
     assert [(r["k"], r["v"]) for r in rows] == [(1, "a")]
+
+
+def test_recover_table_restore_only_mode(tmp_path):
+    """Review finding: READ-path recovery must restore missing dirs but
+    never delete a (possibly live) writer's staging/leftovers."""
+    import os
+
+    from jsonify2ai_spark.sinks.tables import recover_table
+
+    table = tmp_path / "t"
+    os.makedirs(table / "bucket=0__old")       # base missing -> restore
+    with open(table / "bucket=0__old" / "d.parquet", "w") as f:
+        f.write("x")
+    os.makedirs(table / "bucket=1")            # stale __old next to live base
+    os.makedirs(table / "bucket=1__old")
+    os.makedirs(table / "bucket=2__compacting")
+    os.makedirs(str(table) + "__staging")      # in-flight writer staging
+
+    recover_table(str(table), destructive=False)
+    assert os.listdir(table / "bucket=0") == ["d.parquet"]  # restored
+    assert os.path.exists(table / "bucket=1__old")          # NOT deleted
+    assert os.path.exists(table / "bucket=2__compacting")   # NOT deleted
+    assert os.path.exists(str(table) + "__staging")         # NOT deleted
+
+    recover_table(str(table))  # writer-startup mode cleans the rest
+    assert not os.path.exists(table / "bucket=1__old")
+    assert not os.path.exists(table / "bucket=2__compacting")
+    assert not os.path.exists(str(table) + "__staging")
