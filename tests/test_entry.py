@@ -40,3 +40,15 @@ def test_every_query_runs_small(spark):
                 f"{name}.{f.name} is {f.dataType.simpleString()} — "
                 "stringify or drop it before returning"
             )
+
+
+def test_flagship_queries_inside_gate_window():
+    """The driver's correctness gate checks the FIRST 50 entries of
+    queries(); every oracle-backed custom operator (q51-q62) must sit inside
+    that window — a careless append/reorder silently un-gates the newest,
+    most-likely-wrong code (the round-2 verdict's #1 finding)."""
+    qs = list(entry_mod.queries())
+    window = set(qs[:50])
+    flagship = {q for q in qs if 51 <= int(q[1:3]) <= 62}
+    assert flagship <= window, sorted(flagship - window)
+    assert len(qs) == len(set(qs))  # no duplicate keys silently dropped
