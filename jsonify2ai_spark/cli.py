@@ -247,6 +247,21 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    from jsonify2ai_spark.sinks.tables import snapshot_table
+
+    spark = _spark("cli-snapshot")
+    _emit(snapshot_table(spark, args.table, args.snap_dir, label=args.label))
+    return 0
+
+
+def cmd_restore(args) -> int:
+    from jsonify2ai_spark.sinks.tables import restore_snapshot
+
+    _emit(restore_snapshot(args.snapshot, args.table))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="jsonify2ai-spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -324,6 +339,17 @@ def build_parser() -> argparse.ArgumentParser:
     table_arg(sp)
     sp.add_argument("--target-file-mb", type=int, default=128)
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("snapshot", help="tar.gz the table + integrity manifest")
+    table_arg(sp)
+    sp.add_argument("--snap-dir", required=True)
+    sp.add_argument("--label", default=None)
+    sp.set_defaults(fn=cmd_snapshot)
+
+    sp = sub.add_parser("restore", help="restore a snapshot archive (sha-verified)")
+    sp.add_argument("snapshot")
+    table_arg(sp)
+    sp.set_defaults(fn=cmd_restore)
 
     return p
 

@@ -195,3 +195,86 @@ def compact_buckets(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def snapshot_table(
+    spark: SparkSession, table_path: str, snap_dir: str, label: str | None = None
+) -> dict:
+    """Reference backup tool analog (scripts/dev/tools/backup_snapshot.py:
+    tar the data dir + a manifest with counts): tar.gz the table directory
+    plus a manifest recording row count and per-file sha256/bytes, returned
+    and embedded in the archive for restore-time verification.
+
+    Dev/ops-scale tooling — at warehouse scale backup is a storage-layer
+    concern (object-store versioning, Delta/Iceberg time travel); this
+    covers the reference's workflow 1:1 for filesystem tables. Runs
+    writer-side: full recovery first, so a snapshot never captures a
+    half-swapped table.
+    """
+    import hashlib
+    import json
+    import tarfile
+    import time
+
+    recover_table(table_path)
+    rows = spark.read.parquet(table_path).count()
+    files = {}
+    for root, _dirs, names in os.walk(table_path):
+        for name in sorted(names):
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table_path)
+            h = hashlib.sha256()
+            with open(full, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            files[rel] = {"bytes": os.path.getsize(full), "sha256": h.hexdigest()}
+    manifest = {
+        "ts": time.time(),
+        "table": os.path.basename(table_path),
+        "rows": rows,
+        "n_files": len(files),
+        "files": files,
+    }
+    os.makedirs(snap_dir, exist_ok=True)
+    name = label or time.strftime("snapshot-%Y%m%dT%H%M%SZ", time.gmtime())
+    snap_path = os.path.join(snap_dir, f"{name}.tar.gz")
+    import io as iolib
+
+    with tarfile.open(snap_path, "w:gz") as tar:
+        tar.add(table_path, arcname="table")
+        raw = json.dumps(manifest, indent=2).encode("utf-8")
+        info = tarfile.TarInfo("manifest.json")
+        info.size = len(raw)
+        tar.addfile(info, iolib.BytesIO(raw))
+    return {"snapshot": snap_path, "rows": rows, "n_files": len(files)}
+
+
+def restore_snapshot(snap_path: str, table_path: str) -> dict:
+    """Restore a :func:`snapshot_table` archive into ``table_path`` via the
+    crash-safe stage-and-swap, verifying every file's sha256 against the
+    embedded manifest BEFORE the swap — a corrupted or truncated archive
+    never replaces a good table."""
+    import hashlib
+    import json
+    import tarfile
+
+    staging = f"{table_path}__staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    with tarfile.open(snap_path, "r:gz") as tar:
+        manifest = json.loads(tar.extractfile("manifest.json").read().decode("utf-8"))
+        members = [m for m in tar.getmembers() if m.name.startswith("table/")]
+        tar.extractall(staging, members=members, filter="data")
+    extracted = os.path.join(staging, "table")
+    for rel, meta in manifest["files"].items():
+        full = os.path.join(extracted, rel)
+        h = hashlib.sha256()
+        with open(full, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != meta["sha256"]:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ValueError(f"snapshot corrupt: sha mismatch for {rel}")
+    swap_dir(extracted, table_path)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"restored": table_path, "rows": manifest["rows"], "n_files": manifest["n_files"]}

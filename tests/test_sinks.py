@@ -297,3 +297,50 @@ def test_recover_table_restore_only_mode(tmp_path):
     assert not os.path.exists(table / "bucket=1__old")
     assert not os.path.exists(table / "bucket=2__compacting")
     assert not os.path.exists(str(table) + "__staging")
+
+
+def test_snapshot_restore_round_trip_and_corruption_guard(spark, tmp_path):
+    """Backup-tool parity: snapshot embeds an integrity manifest, restore
+    sha-verifies every file BEFORE swapping, a corrupted archive never
+    replaces a good table, and the round trip is row-identical."""
+    import tarfile
+
+    import pytest as _pytest
+
+    from jsonify2ai_spark.sinks.tables import restore_snapshot, snapshot_table
+
+    table = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k int, v string"
+    ).write.parquet(table)
+    rows_before = sorted((r["k"], r["v"]) for r in spark.read.parquet(table).collect())
+
+    snap = snapshot_table(spark, table, str(tmp_path / "snaps"), label="s1")
+    assert snap["rows"] == 50 and snap["n_files"] >= 1
+
+    # mutate, then restore -> original rows back
+    spark.createDataFrame([(999, "z")], "k int, v string").write.mode(
+        "overwrite"
+    ).parquet(table)
+    out = restore_snapshot(snap["snapshot"], table)
+    assert out["rows"] == 50
+    rows_after = sorted((r["k"], r["v"]) for r in spark.read.parquet(table).collect())
+    assert rows_after == rows_before
+
+    # corrupt one data byte inside the archive -> restore must refuse and
+    # leave the (restored) table untouched
+    bad = str(tmp_path / "snaps" / "bad.tar.gz")
+    with tarfile.open(snap["snapshot"], "r:gz") as src, tarfile.open(bad, "w:gz") as dst:
+        for m in src.getmembers():
+            data = src.extractfile(m).read() if m.isfile() else None
+            if m.isfile() and m.name.endswith(".parquet"):
+                data = data[:-1] + bytes([data[-1] ^ 0xFF])
+            if data is not None:
+                import io as _io
+                dst.addfile(m, _io.BytesIO(data))
+            else:
+                dst.addfile(m)
+    with _pytest.raises(ValueError, match="sha mismatch"):
+        restore_snapshot(bad, table)
+    still = sorted((r["k"], r["v"]) for r in spark.read.parquet(table).collect())
+    assert still == rows_before
