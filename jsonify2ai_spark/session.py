@@ -77,8 +77,10 @@ def ensure_min_partitions(df, n: int | None = None):
     return df
 
 
-# Columns stored as TIMESTAMP(NANOS) in the driver's parquet; surfaced to
-# queries as proper TimestampType (microsecond) columns.
+# Timestamp columns in the driver's parquet; surfaced to queries as proper
+# TimestampType (microsecond, session-UTC) columns regardless of whether the
+# generator emitted TIMESTAMP(NANOS) (reads as bigint under nanosAsLong) or
+# TIMESTAMP_NTZ (timestamp[us] without zone).
 _NANO_TS_COLS: dict[str, list[str]] = {
     "orders": ["o_orderdate"],
     "lineitem": ["l_shipdate"],
@@ -116,10 +118,18 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
         if os.path.exists(path):
             df = spark.read.parquet(path)
             for c in _NANO_TS_COLS.get(name, []):
-                if c in df.columns and dict(df.dtypes)[c] == "bigint":
+                if c not in df.columns:
+                    continue
+                dt = dict(df.dtypes)[c]
+                if dt == "bigint":
                     df = df.withColumn(
                         c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
                     )
+                elif dt == "timestamp_ntz":
+                    # timestamp[us] with no zone: the cast interprets the
+                    # wall-clock in the session zone — pinned to UTC above —
+                    # so unix_micros/double casts and the DuckDB oracle agree.
+                    df = df.withColumn(c, F.col(c).cast("timestamp"))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
