@@ -107,6 +107,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     #    DuckDB oracle regardless of the host session's zone.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # TIMESTAMP_NTZ detection below relies on NTZ inference being on (it is by
+    # default on Spark >=3.4, but a caller session may have disabled it, in
+    # which case the column would read as plain 'timestamp' and silently skip
+    # both conversion branches).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
 
     all_names = [
         "region", "nation", "customer", "supplier", "part",
@@ -122,14 +127,22 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
                     continue
                 dt = dict(df.dtypes)[c]
                 if dt == "bigint":
+                    # Integer division: float division has a 256 ns double ULP
+                    # at epoch-nanos magnitude, which can truncate micros off
+                    # by one. `div` is exact 64-bit integer division.
                     df = df.withColumn(
-                        c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+                        c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
                     )
                 elif dt == "timestamp_ntz":
                     # timestamp[us] with no zone: the cast interprets the
                     # wall-clock in the session zone — pinned to UTC above —
                     # so unix_micros/double casts and the DuckDB oracle agree.
-                    df = df.withColumn(c, F.col(c).cast("timestamp"))
+                    # Explicit type object: cast('timestamp') resolves via
+                    # spark.sql.timestampType and would no-op if the caller's
+                    # session defaults to TIMESTAMP_NTZ.
+                    from pyspark.sql.types import TimestampType
+
+                    df = df.withColumn(c, F.col(c).cast(TimestampType()))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -277,6 +277,23 @@ def test_connected_components_chains_cycles_islands(spark):
     }
 
 
+def test_connected_components_driver_gate_parity(spark):
+    """The small-graph driver union-find gate (driver_threshold, default
+    100k edges) must produce exactly the distributed path's labels — same
+    rows, same (node, cluster_rep) pairs, same column types."""
+    from jsonify2ai_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(40, 30), (30, 20), (20, 10), (7, 8), (8, 9), (9, 7), (100, 101)],
+        "a bigint, b bigint",
+    )
+    via_driver = connected_components(pairs)  # 7 edges < default threshold
+    via_dist = connected_components(pairs, driver_threshold=0)
+    assert via_driver.schema == via_dist.schema
+    as_map = lambda df: {r["node"]: r["cluster_rep"] for r in df.collect()}
+    assert as_map(via_driver) == as_map(via_dist)
+
+
 def test_connected_components_deep_chain_logarithmic(spark):
     """A 1000-link chain has diameter 1000: plain min-label propagation
     needs 1000 rounds, the alternating large-star/small-star implementation
@@ -291,7 +308,9 @@ def test_connected_components_deep_chain_logarithmic(spark):
     pairs = spark.range(n).selectExpr("id as a", "id + 1 as b")
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)  # unconverged -> fail
-        got = connected_components(pairs, max_iter=20).collect()
+        got = connected_components(
+            pairs, max_iter=20, driver_threshold=0
+        ).collect()
     assert len(got) == n + 1
     assert all(r["cluster_rep"] == 0 for r in got)
 
@@ -306,7 +325,7 @@ def test_connected_components_warns_unconverged(spark):
     pairs = spark.range(200).selectExpr("id as a", "id + 1 as b")
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        connected_components(pairs, max_iter=1).collect()
+        connected_components(pairs, max_iter=1, driver_threshold=0).collect()
     assert any(
         issubclass(w.category, RuntimeWarning) and "rounds" in str(w.message)
         for w in caught

@@ -239,7 +239,8 @@ def test_connected_components_matches_union_find(edge_list, propagate_rounds):
     got = {
         r["node"]: r["cluster_rep"]
         for r in connected_components(
-            df, max_iter=50, propagate_rounds=propagate_rounds
+            df, max_iter=50, propagate_rounds=propagate_rounds,
+            driver_threshold=0,  # force the distributed path under fuzz
         ).collect()
     }
     assert got == expected
