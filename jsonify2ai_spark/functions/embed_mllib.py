@@ -55,6 +55,97 @@ def tfidf_embeddings(
     return out, idf
 
 
+def tfidf_hashed_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+) -> DataFrame:
+    """Sparse hashed TF-IDF weights: (id, bucket, w) — the SQL-expressible
+    member of the embedding family.
+
+    Same shape as :func:`tfidf_embeddings` (hash tokens into ``dim`` buckets,
+    tf * idf per bucket) but with the engine-portable md5 bucket hash instead
+    of MLlib's murmur3, and kept SPARSE: no dense array is materialized, so
+    the value path is joins/aggregations end to end and a DuckDB oracle can
+    replay it bit for bit. IDF uses MLlib's formula ln((N+1)/(df+1)) so the
+    two family members stay semantically aligned. One shuffle (the per-doc
+    bucket aggregation); the per-bucket document frequencies are <= ``dim``
+    rows and broadcast.
+
+    Cite: reference embedding contract worker/app/services/embed_ollama.py:
+    54-114 (swappable provider, one vector-column contract).
+    """
+    toked = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    bucketed = toked.select(
+        F.col(id_col),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("_t")), 1, 15), 16, 10).cast("bigint"),
+            F.lit(dim),
+        ).alias("bucket"),
+    )
+    tf = bucketed.groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("bucket").agg(F.count(F.lit(1)).alias("df_b"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "bucket")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("bucket"),
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df_b") + F.lit(1.0)))
+            ).alias("w"),
+        )
+        # a bucket present in EVERY doc has idf 0 — dead weight in a sparse
+        # layout (it would join every doc against every probe for a zero
+        # contribution); dropping it is the sparse twin of MLlib's idf-zeroing
+        .filter(F.col("w") != 0)
+    )
+
+
+def tfidf_cosine_topk(
+    df: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+) -> DataFrame:
+    """Top-k docs by TF-IDF cosine against the corpus's lowest-id document
+    (the deterministic self-probe q63 uses), entirely via sparse joins:
+    dot product = sum over shared buckets, norms from one aggregation.
+    Docs sharing no bucket with the probe score 0 and are omitted — the
+    standard sparse-retrieval contract. Output (id, tfidf_cosine) rounded
+    to 6dp, ties broken by id."""
+    w = tfidf_hashed_weights(df, text_col, id_col, dim).localCheckpoint(eager=False)
+    probe_id = df.agg(F.min(F.col(id_col)).alias("_pid"))
+    probe = (
+        w.join(F.broadcast(probe_id), F.col(id_col) == F.col("_pid"))
+        .select(F.col("bucket"), F.col("w").alias("pw"))
+    )
+    norms = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    pnorm = probe.agg(F.sqrt(F.sum(F.col("pw") * F.col("pw"))).alias("pnrm"))
+    dots = (
+        w.join(F.broadcast(probe), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("w") * F.col("pw")).alias("dot"))
+    )
+    return (
+        dots.join(norms, id_col)
+        .crossJoin(F.broadcast(pnorm))
+        .filter((F.col("nrm") > 0) & (F.col("pnrm") > 0))
+        .select(
+            F.col(id_col),
+            F.round(F.col("dot") / (F.col("nrm") * F.col("pnrm")), 6).alias(
+                "tfidf_cosine"
+            ),
+        )
+        .orderBy(F.col("tfidf_cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def word2vec_embeddings(
     df: DataFrame,
     text_col: str = "text",

@@ -166,6 +166,58 @@ def test_tfidf_embeddings_deterministic_and_searchable(spark):
     assert hits[0]["doc_id"] == 3 and abs(hits[0]["score"] - 1.0) < 1e-9
 
 
+def test_tfidf_hashed_family_parity(spark):
+    """The SQL-expressible family member (md5-bucket sparse TF-IDF,
+    tfidf_cosine_topk — q64's operator) must behave like the MLlib member:
+    self-probe hit@1 at cosine 1.0, deterministic under repartition, zero
+    weight for a term in every doc, NULL/empty text tolerated (no rows, not
+    a crash)."""
+    import math
+
+    from jsonify2ai_spark.functions.embed_mllib import (
+        tfidf_cosine_topk,
+        tfidf_hashed_weights,
+    )
+
+    rows = [
+        (1, "common alpha beta"),
+        (2, "common gamma delta"),
+        (3, "common epsilon zeta eta theta"),
+        (4, None),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # probe = min doc_id (1); its self-cosine is exactly 1.0 and ranks first
+    hits = tfidf_cosine_topk(df, k=5).collect()
+    assert hits[0]["doc_id"] == 1 and abs(hits[0]["tfidf_cosine"] - 1.0) < 1e-9
+    # NULL/empty docs contribute no weights and never appear
+    assert all(r["doc_id"] not in (4, 5) for r in hits)
+
+    # 'common' in EVERY doc of a 3-doc corpus -> idf = ln(4/4) = 0 -> docs 1
+    # and 2 share no weighted bucket -> doc 2 absent from the sparse result
+    df3 = spark.createDataFrame(rows[:3], "doc_id long, text string")
+    hits3 = tfidf_cosine_topk(df3, k=3).collect()
+    assert hits3[0]["doc_id"] == 1
+    assert all(r["doc_id"] != 2 for r in hits3)
+
+    # determinism under physical layout changes
+    hits2 = tfidf_cosine_topk(df.repartition(3), k=5).collect()
+    assert [tuple(r) for r in hits2] == [tuple(r) for r in hits]
+
+    # weight semantics match the MLlib formula: tf * ln((N+1)/(df+1)).
+    # 'alpha' appears once in doc 1; N=5 docs, df(alpha's bucket)=1
+    w = {
+        (r["doc_id"], r["bucket"]): r["w"]
+        for r in tfidf_hashed_weights(df, dim=4096).collect()
+    }
+    assert any(
+        math.isclose(v, math.log(6.0 / 2.0), rel_tol=1e-12)
+        for (d, _), v in w.items()
+        if d == 1
+    )
+
+
 def test_word2vec_embeddings_shape_and_contract(spark):
     """Word2Vec variant: right dim, vectors usable by the same operators,
     deterministic under fixed seed + single training partition."""
