@@ -10,7 +10,12 @@ write. Results are recorded in PERF.md; the soak test in
 tests/test_streaming.py runs a smaller configuration of the same harness.
 
 Usage: python bench_streaming.py [n_files] [chars_per_file]
-Prints one JSON line per bucket-count configuration.
+       python bench_streaming.py sweep
+Prints one JSON line per configuration. ``sweep`` runs the file-size x
+maxFilesPerTrigger grid that separates per-TRIGGER overhead from per-ROW
+cost: at 4 KB/file the stream is scheduling-bound (rows/s tracks trigger
+count), so scaling file size 4 KB -> 1 MB and batching 32 -> 256 files per
+trigger must scale rows/s with DATA — the cluster-relevant regime.
 """
 
 from __future__ import annotations
@@ -41,7 +46,8 @@ def run_once(
     os.makedirs(dz)
     table = os.path.join(base, "table")
     ckpt = os.path.join(base, "ckpt")
-    body = ("spark streaming merge throughput probe line\n" * 200)[:chars_per_file]
+    line = "spark streaming merge throughput probe line\n"
+    body = (line * (chars_per_file // len(line) + 1))[:chars_per_file]
     for i in range(n_files):
         with open(os.path.join(dz, f"f{i:05d}.md"), "w") as f:
             f.write(f"file {i}\n{body}")
@@ -80,21 +86,27 @@ def run_once(
     finally:
         q.stop()
     shutil.rmtree(base, ignore_errors=True)
+    n_batches = -(-n_files // max_files_per_trigger)  # ceil
     return {
         "metric": "streaming_merge_throughput",
         "n_buckets": n_buckets,
         "files": n_files,
+        "chars_per_file": chars_per_file,
+        "max_files_per_trigger": max_files_per_trigger,
+        "micro_batches": n_batches,
         "chunk_rows": rows,
         "seconds": round(dt, 2),
         "rows_per_sec": round(rows / dt, 1),
         "files_per_sec": round(n_files / dt, 1),
+        "sec_per_batch": round(dt / n_batches, 2),
     }
 
 
 def main() -> int:
     from jsonify2ai_spark.session import get_spark
 
-    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    sweep = len(sys.argv) > 1 and sys.argv[1] == "sweep"
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 and not sweep else 200
     chars = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
     spark = get_spark("stream_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -104,8 +116,29 @@ def main() -> int:
     # otherwise be billed to whichever configuration runs first
     spark.range(5_000_000).selectExpr("sum(id * 2)").collect()
     run_once(spark, 4, n_files=16, chars_per_file=1000)
-    for n_buckets in (8, 32):
-        print(json.dumps(run_once(spark, n_buckets, n_files, chars)))
+    if sweep:
+        # (files, chars/file, maxFilesPerTrigger): same total trigger count
+        # with 16x/256x the data, then one-big-batch to amortize triggers
+        grid = [
+            (200, 4_000, 32),       # r3 baseline: scheduling-bound
+            (200, 64_000, 32),      # 16x data, same trigger cadence
+            (200, 1_000_000, 32),   # 250x data, same trigger cadence
+            (200, 4_000, 200),      # same data as baseline, ONE batch
+            (200, 1_000_000, 200),  # big data AND one batch
+        ]
+        for nf, cf, mfpt in grid:
+            print(
+                json.dumps(
+                    run_once(
+                        spark, 32, n_files=nf, chars_per_file=cf,
+                        max_files_per_trigger=mfpt,
+                    )
+                ),
+                flush=True,
+            )
+    else:
+        for n_buckets in (8, 32):
+            print(json.dumps(run_once(spark, n_buckets, n_files, chars)))
     spark.stop()
     return 0
 

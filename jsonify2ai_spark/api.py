@@ -105,6 +105,102 @@ def search(
     )
 
 
+def bm25_search(
+    chunks: DataFrame,
+    query: str,
+    k: int = 5,
+    dim: int = 768,
+    embed=None,
+    **filters: Any,
+) -> DataFrame:
+    """Lexical-only retrieval arm: BM25 over the chunk text with the same
+    Source projection as :func:`search`. ``dim``/``embed`` are accepted (and
+    ignored) so the three retrievers are signature-interchangeable in
+    :func:`ask`. ``score`` is BM25-scale (unbounded, >0 for any term match)
+    — gate thresholds must be chosen per arm."""
+    from jsonify2ai_spark.functions.text import truncate_ellipsis
+    from jsonify2ai_spark.operators.textsearch import bm25_topk
+
+    flt = _build_filter(**filters)
+    pool = chunks.filter(flt) if flt is not None else chunks
+    scored = bm25_topk(pool, query, k=k, id_col="id").withColumnRenamed("bm25", "score")
+    out = pool.drop("score").join(F.broadcast(scored), "id")
+    return (
+        out.select(
+            "id",
+            "document_id",
+            "kind",
+            "path",
+            "idx",
+            truncate_ellipsis(F.coalesce(F.col("text"), F.lit("")), 600).alias("text"),
+            "score",
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
+def hybrid_search(
+    chunks: DataFrame,
+    query: str,
+    k: int = 5,
+    dim: int = 768,
+    embed=None,
+    rrf_k: int = 60,
+    **filters: Any,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 and vector rankings fused with reciprocal-rank
+    fusion (the q44 plan as a serving call, completing the reference's
+    hybrid-search roadmap item README.md:153). Same Source projection as
+    :func:`search`; ``score`` is the fused rrf = Σ 1/(rrf_k + rank) — note
+    the scale (max 2/(rrf_k+1)), so synthesis gates need an rrf-scale
+    threshold, not the cosine one."""
+    from pyspark.sql import Window
+
+    from jsonify2ai_spark.functions.text import truncate_ellipsis
+    from jsonify2ai_spark.operators.textsearch import bm25_topk
+
+    flt = _build_filter(**filters)
+    pool = chunks.filter(flt) if flt is not None else chunks
+
+    bm25 = bm25_topk(pool, query, k=max(k, 20), id_col="id")
+    w_b = Window.orderBy(F.col("bm25").desc(), F.col("id").asc())
+    bm25_r = bm25.select("id", F.row_number().over(w_b).alias("rank_bm25"))
+
+    qvec = (embed or (lambda t: dev_embedding_py(t, dim=dim)))(query)
+    vec = cosine_topk(
+        pool, qvec, k=max(k, 20), vector_col="vector", id_cols=("id",)
+    )
+    w_v = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    vec_r = vec.select("id", F.row_number().over(w_v).alias("rank_vec"))
+
+    fused = bm25_r.join(vec_r, "id", "full_outer").select(
+        "id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_bm25")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_vec")), F.lit(0.0)),
+            6,
+        ).alias("score"),
+    )
+    # both rank lists are <= max(k,20) rows: broadcast the fused ranking and
+    # join back to the chunk table for the projection — the corpus-side scan
+    # happens once per retrieval system, never for the fusion
+    out = pool.drop("score").join(F.broadcast(fused), "id")
+    return (
+        out.select(
+            "id",
+            "document_id",
+            "kind",
+            "path",
+            "idx",
+            truncate_ellipsis(F.coalesce(F.col("text"), F.lit("")), 600).alias("text"),
+            "score",
+        )
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(k)
+    )
+
+
 def ask(
     chunks: DataFrame,
     question: str,
@@ -112,15 +208,28 @@ def ask(
     dim: int = 768,
     embed=None,
     min_synth_score: float = MIN_SYNTH_SCORE,
+    retriever=None,
+    min_snippet_score: float | None = None,
     **filters: Any,
 ) -> dict[str, Any]:
     """§3.3 data plane: retrieve -> synthesis gate -> snippet selection.
     Returns {sources, snippets, would_synth, top_score}; prompt assembly and
     the LLM call are the caller's (control-plane) concern — exactly the
-    reference's split, with generate() pluggable."""
-    pool = search(chunks, question, k=max(k, 10), dim=dim, embed=embed, **filters)
+    reference's split, with generate() pluggable. ``retriever`` swaps the
+    retrieval system (default :func:`search`; pass :func:`hybrid_search`
+    with rrf-scale ``min_synth_score``/``min_snippet_score`` — the defaults
+    are COSINE-scale gates (reference config.py:86) and would drop every
+    rrf-scored row)."""
+    from jsonify2ai_spark.operators.snippets import MIN_SNIPPET_SCORE
+
+    retrieve = retriever or search
+    pool = retrieve(chunks, question, k=max(k, 10), dim=dim, embed=embed, **filters)
     rows = select_snippets(
-        pool, score_col="score", text_col="text", id_cols=("document_id", "idx")
+        pool,
+        score_col="score",
+        text_col="text",
+        id_cols=("document_id", "idx"),
+        min_score=MIN_SNIPPET_SCORE if min_snippet_score is None else min_snippet_score,
     ).collect()
     top = max((r["score"] for r in rows), default=None)
     return {

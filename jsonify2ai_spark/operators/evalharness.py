@@ -95,6 +95,30 @@ def eval_corpus_from_documents(spark, sf_dir: str, dim: int = 64) -> DataFrame:
     )
 
 
+def default_arms(k: int = 5, dim: int = 64, embed=None) -> dict:
+    """The three serving retrievals as eval arms: pure-vector (the
+    reference's /ask path), lexical BM25, and BM25+vector RRF hybrid (the
+    q44 plan as a serving call). Gate thresholds are per-arm because the
+    score scales differ: cosine in [-1,1]; bm25 unbounded positive; rrf
+    maxes at 2/(rrf_k+1) (a doc ranked #1 by BOTH systems), with 0.02 ≈
+    top-10 in at least one."""
+    from jsonify2ai_spark.api import ask, bm25_search, hybrid_search
+
+    return {
+        "vector": lambda chunks, q: ask(chunks, q, k=k, dim=dim, embed=embed),
+        "bm25": lambda chunks, q: ask(
+            chunks, q, k=k, dim=dim, embed=embed,
+            retriever=bm25_search, min_synth_score=0.0,
+            min_snippet_score=0.0,
+        ),
+        "hybrid": lambda chunks, q: ask(
+            chunks, q, k=k, dim=dim, embed=embed,
+            retriever=hybrid_search, min_synth_score=0.02,
+            min_snippet_score=1.0 / 1000.0,  # rrf-scale: any ranked hit
+        ),
+    }
+
+
 def run_qa_eval(
     chunks: DataFrame,
     qa,
@@ -103,6 +127,7 @@ def run_qa_eval(
     dim: int = 64,
     embed=None,
     min_synth_score: float = 0.55,
+    arms: dict | None = None,
 ) -> dict:
     """End-to-end /ask eval, mirroring the reference's ask_eval.py:41-131:
     every QA row ({question, answer_contains}, the eval/qa.example.jsonl
@@ -129,42 +154,68 @@ def run_qa_eval(
         with open(qa, encoding="utf-8") as f:
             qa = [json.loads(line) for line in f if line.strip()]
 
-    cases, lat = [], []
-    hits = 0
-    for i, item in enumerate(qa, 1):
-        question = item.get("q") or item.get("question", "")
-        t0 = time.perf_counter()
-        try:
-            js = ask(
-                chunks, question, k=k, dim=dim, embed=embed,
-                min_synth_score=min_synth_score,
+    if arms is None:
+        arms = {
+            "vector": lambda c, q: ask(
+                c, q, k=k, dim=dim, embed=embed, min_synth_score=min_synth_score
             )
-            ok = True
-        except Exception:
-            js, ok = {}, False
-        ms = (time.perf_counter() - t0) * 1000.0
-        lat.append(ms)
-        needle = (item.get("answer_contains") or "").lower()
-        body = json.dumps(js, ensure_ascii=False, default=str).lower()
-        hit = bool(needle) and needle in body
-        hits += int(hit)
-        cases.append(
-            {"i": i, "ms": round(ms, 1), "ok": ok, "hit": bool(hit), "question": question}
-        )
-    out = {
-        "ts": time.time(),
-        "engine": "jsonify2ai_spark",
-        "n": len(lat),
-        "hit@1": hits,
-        "p50_ms": round(statistics.median(lat), 1) if lat else 0,
-        "p95_ms": (
+        }
+
+    def _pcts(lat: list[float]) -> tuple[float, float]:
+        p50 = round(statistics.median(lat), 1) if lat else 0
+        p95 = (
             round(statistics.quantiles(lat, n=20)[-1], 1)
             if len(lat) >= 20
             else (round(max(lat), 1) if lat else 0)
-        ),
-        "latencies_ms": [round(x, 1) for x in lat],
-        "cases": cases,
+        )
+        return p50, p95
+
+    arm_results: dict[str, dict] = {}
+    for arm_name, ask_fn in arms.items():
+        cases, lat = [], []
+        hits = 0
+        for i, item in enumerate(qa, 1):
+            question = item.get("q") or item.get("question", "")
+            t0 = time.perf_counter()
+            try:
+                js = ask_fn(chunks, question)
+                ok = True
+            except Exception:
+                js, ok = {}, False
+            ms = (time.perf_counter() - t0) * 1000.0
+            lat.append(ms)
+            needle = (item.get("answer_contains") or "").lower()
+            body = json.dumps(js, ensure_ascii=False, default=str).lower()
+            hit = bool(needle) and needle in body
+            hits += int(hit)
+            cases.append(
+                {"i": i, "ms": round(ms, 1), "ok": ok, "hit": bool(hit), "question": question}
+            )
+        p50, p95 = _pcts(lat)
+        arm_results[arm_name] = {
+            "n": len(lat),
+            "hit@1": hits,
+            "p50_ms": p50,
+            "p95_ms": p95,
+            "latencies_ms": [round(x, 1) for x in lat],
+            "cases": cases,
+        }
+
+    # top-level fields mirror the FIRST arm (the reference's /ask path) so
+    # the artifact schema stays backward-compatible; extra arms land under
+    # "arms" for side-by-side comparison
+    primary = arm_results[next(iter(arm_results))]
+    out = {
+        "ts": time.time(),
+        "engine": "jsonify2ai_spark",
+        **{k2: primary[k2] for k2 in ("n", "hit@1", "p50_ms", "p95_ms", "latencies_ms", "cases")},
     }
+    if len(arm_results) > 1:
+        out["arms"] = {
+            name: {k2: r[k2] for k2 in ("n", "hit@1", "p50_ms", "p95_ms")}
+            | {"hits": [c["hit"] for c in r["cases"]]}
+            for name, r in arm_results.items()
+        }
     if out_path:
         import os
 
