@@ -1119,6 +1119,9 @@ def q63_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["documents"])
     emb, _ = tfidf_embeddings(t["documents"], dim=256)
+    # referenced twice (probe first() + top-k scan): one lazy checkpoint
+    # materializes the HashingTF/IDF transform once instead of per-action
+    emb = emb.localCheckpoint(eager=False)
     # probe = lowest doc_id: deterministic and present at ANY scale factor
     # (a hardcoded id would crash with NoneType on a smaller/filtered corpus)
     probe_row = emb.orderBy("doc_id").select("vector").first()

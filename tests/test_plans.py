@@ -223,3 +223,22 @@ def test_q60_decontaminate_broadcasts_benchmark(spark):
     p = plan_string(entry_mod.q60_decontaminate(spark, SF_DIR), "simple")
     assert "BroadcastHashJoin" in p, p[:1500]
     assert "SortMergeJoin" not in p, p[:1500]
+
+
+def test_q64_tfidf_small_sides_broadcast_one_corpus_shuffle(spark):
+    """Sparse TF-IDF cosine (q64): the corpus-sized data crosses the wire
+    once (the (doc,bucket) tf aggregation); everything joined onto it — the
+    <=dim-row df table, the 1-row n_docs scalar, the probe weights, the
+    1-row probe norm — must BROADCAST. A SortMergeJoin anywhere here means
+    a corpus-sized shuffle snuck into what should be dimension-table work."""
+    import re
+
+    p = plan_string(entry_mod.q64_tfidf_sql(spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in p, p[:2000]
+    assert p.count("BroadcastHashJoin") >= 3, p[:2000]
+    # data shuffles only (NOT BroadcastExchange): the doc-keyed dot + norm
+    # aggregations and the two 1-row scalar aggs (probe id, probe norm) are
+    # the full set — anything beyond means a corpus-sized shuffle appeared
+    data_shuffles = re.findall(r"\bExchange (?:hash|range|Single)", p)
+    assert len(data_shuffles) <= 5, (data_shuffles, p[:2000])
+    assert "TakeOrderedAndProject" in p, p[:2000]  # top-k never full-sorts

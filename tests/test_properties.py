@@ -246,6 +246,80 @@ def test_connected_components_matches_union_find(edge_list, propagate_rounds):
     assert got == expected
 
 
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_tfidf_cosine_matches_dense_reference(token_lists):
+    """Differential fuzz for the q64 operator: on random small corpora the
+    sparse md5-bucket TF-IDF cosine (joins + aggregations) must equal a
+    dense pure-Python computation of the same definition — same hash
+    buckets, tf * ln((N+1)/(df+1)) with zero-idf buckets dropped, cosine
+    vs the lowest-id doc, round 6, omit zero-norm and no-overlap docs."""
+    import hashlib
+    import math
+
+    spark = _spark_session()
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    dim = 32
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % dim
+
+    n_docs = len(rows)
+    vecs: dict[int, dict[int, float]] = {}
+    for i, toks in enumerate(token_lists):
+        tf: dict[int, int] = {}
+        for t in toks:
+            b = bucket(t)
+            tf[b] = tf.get(b, 0) + 1
+        vecs[i] = tf
+    dfreq: dict[int, int] = {}
+    for tf in vecs.values():
+        for b in tf:
+            dfreq[b] = dfreq.get(b, 0) + 1
+    w = {
+        i: {
+            b: c * math.log((n_docs + 1.0) / (dfreq[b] + 1.0))
+            for b, c in tf.items()
+            if dfreq[b] < n_docs  # zero-idf buckets dropped
+        }
+        for i, tf in vecs.items()
+    }
+    probe = w[0]
+    pnrm = math.sqrt(sum(x * x for x in probe.values()))
+    expected = {}
+    for i, wi in w.items():
+        shared = set(wi) & set(probe)
+        if not shared:
+            continue  # sparse join: no overlapping bucket -> no row
+        nrm = math.sqrt(sum(x * x for x in wi.values()))
+        if nrm == 0 or pnrm == 0:
+            continue
+        dot = sum(wi[b] * probe[b] for b in shared)
+        expected[i] = round(dot / (nrm * pnrm), 6)
+
+    from jsonify2ai_spark.functions.embed_mllib import tfidf_cosine_topk
+
+    got = {
+        r["doc_id"]: r["tfidf_cosine"]
+        for r in tfidf_cosine_topk(df, k=len(rows), dim=dim).collect()
+    }
+    assert set(got) == set(expected)
+    for i, v in expected.items():
+        assert math.isclose(got[i], v, abs_tol=2e-6), (i, got[i], v)
+
+
 def _spark_session():
     from jsonify2ai_spark.session import get_spark
 
