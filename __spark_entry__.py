@@ -1151,6 +1151,24 @@ def q64_tfidf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_topk(t["documents"], k=10, dim=256)
 
 
+def q65_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py dedup_against): the
+    doc_id%5==0 slice plays the incoming batch, the rest the existing
+    corpus; every batch doc is flagged (n_dups, kept) by exact bipartite
+    jaccard >= threshold against the corpus. The LSH variant of the same
+    operator is the per-batch 100 TB path (existing-side signatures
+    precomputed); exact is the oracle baseline, like q17 vs q18."""
+    from jsonify2ai_spark.operators.dedup import dedup_against
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    return dedup_against(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        _JACCARD_THRESHOLD,
+    )
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1202,7 +1220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_sessionize": q39_sessionize,
         "q40_asof_join": q40_asof_join,
         "q44_hybrid_rrf": q44_hybrid_rrf,
-        "q45_brand_revenue_having": q45_brand_revenue_having,
         "q48_salted_agg": q48_salted_agg,
         "q49_salted_join": q49_salted_join,
         "q50_time_range_search": q50_time_range_search,
@@ -1219,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_unigram_logprob": q61_unigram_logprob,
         "q62_embed_dup_clusters": q62_embed_dup_clusters,
         "q64_tfidf_sql": q64_tfidf_sql,
+        "q65_incremental_dedup": q65_incremental_dedup,
         # r4 rotation (VERDICT r3 #5): no query goes >2 rounds without a
         # driver-green row — these three were last driver-checked in r2.
         "q42_moving_window": q42_moving_window,
@@ -1230,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the most likely to be wrong — the gate exists for exactly it).
         # These still run in bench.py and verify_local.py.
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 in-gate
+        "q45_brand_revenue_having": q45_brand_revenue_having,  # join-agg+HAVING: q01/q31 (r3-green)
         "q03_topk_orders": q03_topk_orders,  # top-k: q30/q44/q50 in-gate (r3-green)
         "q05_region_customers": q05_region_customers,  # join-agg: q45 (r3-green)
         "q08_union_slices": q08_union_slices,  # union: q23 interleave (r3-green)
@@ -2202,5 +2221,37 @@ def oracle_sql() -> dict[str, str]:
             FROM dots d JOIN norms n USING (doc_id) CROSS JOIN pnorm p
             WHERE n.nrm > 0 AND p.pnrm > 0
             ORDER BY tfidf_cosine DESC, d.doc_id ASC LIMIT 10
+        """,
+        # bipartite twin of dedup.dedup_against(method="exact"): string
+        # shingles vs Spark's 60-bit md5 hashes — identical intersection
+        # counts (the _dd_jaccard_sql equivalence argument, bipartite)
+        "q65_incremental_dedup": f"""
+            WITH exn AS (
+              SELECT doc_id AS a, unnest({_dd_shingles("text", 3)}) AS sh
+              FROM documents WHERE doc_id % 5 = 0
+            ), exe AS (
+              SELECT doc_id AS b, unnest({_dd_shingles("text", 3)}) AS sh
+              FROM documents WHERE doc_id % 5 <> 0
+            ), sza AS (
+              SELECT a, count(*) AS sza FROM exn GROUP BY a
+            ), szb AS (
+              SELECT b, count(*) AS szb FROM exe GROUP BY b
+            ), common AS (
+              SELECT n.a, e.b, count(*) AS common
+              FROM exn n JOIN exe e ON n.sh = e.sh GROUP BY 1, 2
+            ), dups AS (
+              SELECT c.a, count(*) AS n_dups
+              FROM common c
+              JOIN sza ON sza.a = c.a
+              JOIN szb ON szb.b = c.b
+              WHERE CAST(c.common AS DOUBLE) / (sza.sza + szb.szb - c.common)
+                    >= {_JACCARD_THRESHOLD}
+              GROUP BY c.a
+            )
+            SELECT d.doc_id,
+                   coalesce(du.n_dups, 0) AS n_dups,
+                   du.n_dups IS NULL AS kept
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+            LEFT JOIN dups du ON du.a = d.doc_id
         """,
     }

@@ -421,6 +421,134 @@ def _jaccard_prefix_filtered(
     return out
 
 
+def dedup_against(
+    new: DataFrame,
+    existing: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    method: str = "exact",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Incremental-ingest dedup: flag every row of ``new`` that has a
+    jaccard >= threshold near-duplicate in ``existing`` — the "don't
+    re-ingest what the corpus already holds" step an append-only training
+    pipeline runs per batch (the batch-internal J4 dedup and corpus-wide
+    q15/q18 passes don't cover the new-vs-existing direction).
+
+    Returns one row per ``new`` document: (id, n_dups, kept) with
+    kept = no near-duplicate found; append ``new`` filtered to the kept ids.
+
+    ``method="exact"``: bipartite shingle-hash equi-join — the bipartite
+    form of :func:`ngram_jaccard_pairs` (set sizes carried through the
+    explode, one shuffle keyed on the 60-bit md5 shingle hash). Same
+    hot-shingle d_new x d_existing hazard and the same remedies (df-cap /
+    prefix filter) apply when a corpus has boilerplate.
+
+    ``method="lsh"``: minhash band join across the two tables generates
+    candidates, then EXACT verification against the full shingle sets — at
+    100 TB the existing corpus's signatures/bands are computed once,
+    persisted, and reused by every incoming batch, so per-batch cost is
+    proportional to the batch, not the corpus. Scores are exact; recall of
+    a qualifying pair is the banding S-curve (tune num_hashes/bands).
+    """
+    sn = shingle_hash_sets(new, text_col, id_col, shingle_n).localCheckpoint(eager=False)
+    se = shingle_hash_sets(existing, text_col, id_col, shingle_n).localCheckpoint(
+        eager=False
+    )
+    if method == "exact":
+        exn = sn.select(
+            F.col(id_col).alias("a"), F.size("hs").alias("sza"), F.explode("hs").alias("sh")
+        )
+        exe = se.select(
+            F.col(id_col).alias("b"), F.size("hs").alias("szb"), F.explode("hs").alias("sh")
+        )
+        common = (
+            exn.join(exe, "sh")
+            .groupBy("a", "b", "sza", "szb")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    elif method == "lsh":
+        cand = _lsh_bipartite_candidates(
+            new, existing, text_col, id_col, num_hashes, bands, shingle_n
+        )
+        common = (
+            cand.join(sn.select(F.col(id_col).alias("a"), F.col("hs").alias("_ha")), "a")
+            .join(se.select(F.col(id_col).alias("b"), F.col("hs").alias("_hb")), "b")
+            .select(
+                "a",
+                "b",
+                F.size("_ha").alias("sza"),
+                F.size("_hb").alias("szb"),
+                F.size(F.array_intersect("_ha", "_hb")).alias("common"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    dups = (
+        common.filter(
+            F.col("common") / (F.col("sza") + F.col("szb") - F.col("common"))
+            >= threshold
+        )
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    return (
+        new.select(F.col(id_col))
+        .join(dups.withColumnRenamed("a", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_dups", F.lit(0)).cast("bigint").alias("n_dups"),
+            (F.coalesce("n_dups", F.lit(0)) == 0).alias("kept"),
+        )
+    )
+
+
+def _lsh_bipartite_candidates(
+    new: DataFrame,
+    existing: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(a=new id, b=existing id) candidate pairs via cross-table band-bucket
+    join — minhash_lsh_pairs' banding, bipartite: only new x existing pairs
+    emerge (never new x new), and the existing side is the part a production
+    deployment precomputes."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+
+    def banded(df: DataFrame, out: str) -> DataFrame:
+        sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+        return sigs.select(
+            F.col(id_col).alias(out),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bi: F.md5(
+                        F.concat_ws(
+                            ",", bi.cast("string"),
+                            F.concat_ws(",", F.transform(
+                                F.slice("signature", bi * r + 1, r),
+                                lambda x: x.cast("string"),
+                            )),
+                        )
+                    ),
+                )
+            ).alias("band", "bucket"),
+        )
+    return (
+        banded(new, "a")
+        .join(banded(existing, "b"), ["band", "bucket"])
+        .select("a", "b")
+        .distinct()
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", impl: str = "arrow"
 ) -> DataFrame:

@@ -277,6 +277,44 @@ def test_connected_components_chains_cycles_islands(spark):
     }
 
 
+def test_dedup_against_exact_and_lsh(spark):
+    """Incremental dedup (new batch vs existing corpus): a near-copy in the
+    batch is flagged, novel docs are kept, and the LSH candidate path
+    verifies to the same answer as the exact bipartite join (high-similarity
+    pairs sit far up the banding S-curve at 64/16)."""
+    from jsonify2ai_spark.operators.dedup import dedup_against
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    existing = spark.createDataFrame(
+        [
+            (100, base),
+            (101, "completely different words about spark shuffle partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base + " extra"),  # near-copy of 100 -> flagged
+            (2, "an entirely novel document with its own content here"),
+            (3, base),  # exact copy of 100 -> flagged
+        ],
+        "doc_id long, text string",
+    )
+    expected = {1: (1, False), 2: (0, True), 3: (1, False)}
+    for method in ("exact", "lsh"):
+        got = {
+            r["doc_id"]: (r["n_dups"], r["kept"])
+            for r in dedup_against(new, existing, 0.5, method=method).collect()
+        }
+        assert got == expected, (method, got)
+
+    # empty batch and empty corpus degenerate sanely
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_against(empty, existing, 0.5).count() == 0
+    all_kept = dedup_against(new, empty, 0.5).collect()
+    assert len(all_kept) == 3 and all(r["kept"] for r in all_kept)
+
+
 def test_connected_components_driver_gate_parity(spark):
     """The small-graph driver union-find gate (driver_threshold, default
     100k edges) must produce exactly the distributed path's labels — same
