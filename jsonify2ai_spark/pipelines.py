@@ -97,3 +97,42 @@ def prepare_training_corpus(
             id_col=id_col, n_groups=pack_groups,
         )
     return out
+
+
+def prepare_incremental_batch(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    method: str = "lsh",
+    **prep_kwargs,
+) -> DataFrame:
+    """The append-only variant: prepare an incoming BATCH for appending to
+    an already-prepared corpus.
+
+    1. :func:`prepare_training_corpus` runs on the batch alone (quality /
+       repetition / batch-internal dedup / PII — everything that needs no
+       corpus context; packing is disabled, the corpus's packer owns bins).
+    2. ``dedup_against`` then drops batch docs with a jaccard >= threshold
+       near-duplicate already in the corpus — the step neither full-corpus
+       pass covers. Default ``method="lsh"``: per-batch cost proportional
+       to the batch once the corpus-side signatures are precomputed;
+       ``"exact"`` for the oracle-grade bipartite join.
+
+    Returns the prepared, corpus-deduped batch rows — append them and run
+    packing on the combined corpus's schedule.
+    """
+    from jsonify2ai_spark.operators.dedup import dedup_against
+
+    prep_kwargs.setdefault("pack_budget", None)
+    prepped = prepare_training_corpus(
+        batch, id_col=id_col, text_col=text_col, **prep_kwargs
+    ).localCheckpoint(eager=False)
+    verdict = dedup_against(
+        prepped, corpus, threshold,
+        text_col=text_col, id_col=id_col, method=method,
+    )
+    return prepped.join(
+        verdict.filter(F.col("kept")).select(id_col), id_col, "left_semi"
+    )

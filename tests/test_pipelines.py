@@ -47,6 +47,33 @@ def test_prepare_training_corpus_invariants(spark, tables):
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
 
 
+def test_prepare_incremental_batch_drops_corpus_dups(spark, tables):
+    """Append-only prep: a batch doc near-duplicating the EXISTING corpus is
+    dropped (the direction full-corpus prep never checks), a novel doc
+    survives with the batch-internal stages applied, and exact/lsh methods
+    agree."""
+    from jsonify2ai_spark.pipelines import prepare_incremental_batch
+
+    corpus = tables["documents"].select("doc_id", "text")
+    seed = corpus.orderBy("doc_id").first()
+    novel = "an entirely novel incoming document about warp drives and tea"
+    batch = spark.createDataFrame(
+        [
+            (900001, seed["text"]),          # exact copy of a corpus doc
+            (900002, novel),                 # genuinely new
+            (900003, novel),                 # batch-internal exact dup of 900002
+        ],
+        "doc_id long, text string",
+    )
+    for method in ("exact", "lsh"):
+        out = prepare_incremental_batch(
+            batch, corpus, threshold=0.8, method=method, min_quality=0.0,
+            filter_repetitive=False, redact=False,
+        )
+        kept = {r["doc_id"] for r in out.collect()}
+        assert kept == {900002}, (method, kept)
+
+
 def test_keep_representatives_drops_cluster_members_only(spark):
     from jsonify2ai_spark.operators.dedup import keep_representatives
 
