@@ -1169,6 +1169,27 @@ def q65_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q66_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling to a token budget (operators/sampling.py
+    sample_to_token_budget): per-language mix en 0.5 / de 0.3 / fr 0.2 over
+    a 50k-token budget, deterministic md5-hash keep rule; rolled up to
+    (lang, docs_kept, tokens_kept, keep_fraction) — the "blend corpora to a
+    target token count" step of training-data prep as one aggregation + a
+    map-side filter."""
+    from jsonify2ai_spark.operators.sampling import sample_to_token_budget
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    kept = sample_to_token_budget(
+        t["documents"], 50_000, "lang",
+        {"en": 0.5, "de": 0.3, "fr": 0.2}, salt="mix-v1",
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        F.max("keep_fraction").alias("keep_fraction"),
+    )
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1192,7 +1213,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q02_revenue_filter": q02_revenue_filter,
-        "q07_cumulative_spend": q07_cumulative_spend,
         "q09_events_hourly": q09_events_hourly,
         "q11_json_extract": q11_json_extract,
         "q12_doc_stats": q12_doc_stats,
@@ -1237,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_embed_dup_clusters": q62_embed_dup_clusters,
         "q64_tfidf_sql": q64_tfidf_sql,
         "q65_incremental_dedup": q65_incremental_dedup,
+        "q66_token_budget_mix": q66_token_budget_mix,
         # r4 rotation (VERDICT r3 #5): no query goes >2 rounds without a
         # driver-green row — these three were last driver-checked in r2.
         "q42_moving_window": q42_moving_window,
@@ -1249,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # These still run in bench.py and verify_local.py.
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 in-gate
         "q45_brand_revenue_having": q45_brand_revenue_having,  # join-agg+HAVING: q01/q31 (r3-green)
+        "q07_cumulative_spend": q07_cumulative_spend,  # window cumsum: q42 RANGE frame in-gate (r3-green)
         "q03_topk_orders": q03_topk_orders,  # top-k: q30/q44/q50 in-gate (r3-green)
         "q05_region_customers": q05_region_customers,  # join-agg: q45 (r3-green)
         "q08_union_slices": q08_union_slices,  # union: q23 interleave (r3-green)
@@ -2253,5 +2275,31 @@ def oracle_sql() -> dict[str, str]:
                    du.n_dups IS NULL AS kept
             FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
             LEFT JOIN dups du ON du.a = d.doc_id
+        """,
+        # twin of sampling.sample_to_token_budget: identical md5 keep rule
+        # (q54's idiom), identical double arithmetic order for the fraction
+        "q66_token_budget_mix": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_tokens,
+                       CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
+                                 WHEN 'fr' THEN 0.2 ELSE 0.0 END AS w,
+                       CAST('0x' || substr(md5('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                           % 1000000 AS bucket
+                FROM documents
+            ), totals AS (
+                SELECT lang, sum(n_tokens) AS t_s FROM toks GROUP BY 1
+            ), kept AS (
+                SELECT t.lang, t.n_tokens,
+                       least(1.0, (50000.0 * t.w / 1.0) / tt.t_s) AS frac
+                FROM toks t JOIN totals tt USING (lang)
+                WHERE t.bucket < least(1.0, (50000.0 * t.w / 1.0) / tt.t_s) * 1000000
+            )
+            SELECT lang, count(*) AS docs_kept,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+                   round(max(frac), 6) AS keep_fraction
+            FROM kept GROUP BY lang
         """,
     }

@@ -56,6 +56,54 @@ def stratified_sample(
     return df.filter(sample_hash(key_col, salt) < quota)
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    stratum_col: str,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic mixture sampling to a TOKEN budget: keep a hash-chosen
+    subset whose per-stratum token mass approximates
+    ``budget_tokens * w_s / Σw`` — the "mix corpora to a target token count
+    and blend" step of training-data prep, as one aggregation plus one
+    map-side filter.
+
+    Per stratum s: target_s = budget * w_s / Σw; keep fraction
+    f_s = min(1, target_s / total_tokens_s) (an under-supplied stratum
+    contributes everything it has — the mix under-delivers rather than
+    silently re-weighting). Rows are kept by the same engine-portable md5
+    hash rule as :func:`deterministic_sample`, so the sample is reproducible
+    across engines/retries/cluster shapes and composes with pushdown.
+    Strata absent from ``weights`` get fraction 0 (excluded from the mix).
+
+    Output: the kept rows + ``n_tokens`` (whitespace token count) and the
+    stratum's ``keep_fraction``. One shuffle (the per-stratum token totals,
+    broadcast back); the filter itself is map-side.
+    """
+    from jsonify2ai_spark.functions.text import token_count
+
+    wsum = float(sum(weights.values()))
+    w = F.lit(0.0)
+    for value, weight in weights.items():
+        w = F.when(F.col(stratum_col) == value, F.lit(float(weight))).otherwise(w)
+    toks = df.withColumn("_tok", token_count(F.col(text_col)).cast("bigint"))
+    totals = toks.groupBy(stratum_col).agg(F.sum("_tok").alias("_t_s"))
+    frac = F.least(
+        F.lit(1.0),
+        (F.lit(float(budget_tokens)) * w / F.lit(wsum)) / F.col("_t_s"),
+    )
+    return (
+        toks.join(F.broadcast(totals), stratum_col)
+        .filter(sample_hash(key_col, salt) < frac * _BUCKETS)
+        .withColumn("keep_fraction", F.round(frac, 6))
+        .withColumnRenamed("_tok", "n_tokens")
+        .drop("_t_s")
+    )
+
+
 def weighted_interleave(
     df: DataFrame,
     stratum_col: str,

@@ -370,6 +370,45 @@ def test_connected_components_warns_unconverged(spark):
     )
 
 
+def test_sample_to_token_budget_mixture(spark, tables):
+    """Token-budget mixture sampling: kept token mass per stratum tracks
+    budget * w_s (within hash-sampling noise), an under-supplied stratum
+    contributes everything (fraction 1), unweighted strata are excluded,
+    and the keep-set is reproducible across partitionings."""
+    from jsonify2ai_spark.operators.sampling import sample_to_token_budget
+
+    docs = tables["documents"]
+    budget = 20_000
+    weights = {"en": 0.6, "de": 0.4}
+    kept = sample_to_token_budget(docs, budget, "lang", weights, salt="t")
+    rows = kept.collect()
+
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) <= {"en", "de"}  # es/fr/zh unweighted -> excluded
+
+    for lang, target_frac in weights.items():
+        got = sum(r["n_tokens"] for r in by_lang.get(lang, []))
+        frac = by_lang[lang][0]["keep_fraction"]
+        total = sum(
+            r["n_tokens"]
+            for r in docs.filter(F.col("lang") == lang)
+            .select(F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"))
+            .collect()
+        )
+        target = budget * target_frac
+        if frac == 1.0:
+            assert got == total  # under-supplied: everything kept
+        else:
+            assert 0.5 * target <= got <= 1.7 * target, (lang, got, target)
+
+    again = sample_to_token_budget(
+        docs.repartition(7), budget, "lang", weights, salt="t"
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in rows)
+
+
 def test_deterministic_sampling_reproducible_and_stratified(spark, tables):
     """Hash-mod sampling: identical keep-set across runs/partitionings
     (rand() would differ), fraction lands near target, per-stratum quotas
