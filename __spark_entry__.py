@@ -1190,6 +1190,33 @@ def q66_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized vector search (functions/vectors.py
+    quantize_embeddings + int8_cosine): the 4-8x-smaller serving codebook
+    queried directly — integer dot/norm folds, scales cancel, one double
+    division per pair. Probe = lowest vec_id's quantized vector; top-10 by
+    quantized cosine. The float path (q19) is the accuracy baseline; the
+    error-bound test pins the quantization cost."""
+    from jsonify2ai_spark.functions.vectors import int8_cosine, quantize_embeddings
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    q = quantize_embeddings(t["embeddings"]).localCheckpoint(eager=False)
+    probe = q.join(
+        F.broadcast(q.agg(F.min("vec_id").alias("_pid"))),
+        F.col("vec_id") == F.col("_pid"),
+    ).select(F.col("qvec").alias("_pq"))
+    return (
+        q.crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(int8_cosine("qvec", "_pq"), 6).alias("qcos"),
+        )
+        .filter(F.col("qcos").isNotNull())
+        .orderBy(F.col("qcos").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1218,7 +1245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_doc_stats": q12_doc_stats,
         "q14_language_id": q14_language_id,
         "q15_doc_dedup_exact": q15_doc_dedup_exact,
-        "q16_simhash": q16_simhash,
         "q17_jaccard_pairs": q17_jaccard_pairs,
         "q18_minhash_lsh": q18_minhash_lsh,
         "q19_knn_brute": q19_knn_brute,
@@ -1258,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_tfidf_sql": q64_tfidf_sql,
         "q65_incremental_dedup": q65_incremental_dedup,
         "q66_token_budget_mix": q66_token_budget_mix,
+        "q67_quantized_search": q67_quantized_search,
         # r4 rotation (VERDICT r3 #5): no query goes >2 rounds without a
         # driver-green row — these three were last driver-checked in r2.
         "q42_moving_window": q42_moving_window,
@@ -1271,6 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 in-gate
         "q45_brand_revenue_having": q45_brand_revenue_having,  # join-agg+HAVING: q01/q31 (r3-green)
         "q07_cumulative_spend": q07_cumulative_spend,  # window cumsum: q42 RANGE frame in-gate (r3-green)
+        "q16_simhash": q16_simhash,  # simhash family: q26 pairs in-gate shares the signature path (r3-green)
         "q03_topk_orders": q03_topk_orders,  # top-k: q30/q44/q50 in-gate (r3-green)
         "q05_region_customers": q05_region_customers,  # join-agg: q45 (r3-green)
         "q08_union_slices": q08_union_slices,  # union: q23 interleave (r3-green)
@@ -2301,5 +2329,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
                    round(max(frac), 6) AS keep_fraction
             FROM kept GROUP BY lang
+        """,
+        # twin of vectors.quantize_embeddings + int8_cosine: same half-up
+        # floor quantizer (round() half-case semantics differ across
+        # engines), integer dot/norm sums, scales cancel
+        "q67_quantized_search": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding, x ->
+                           CASE WHEN m.maxabs = 0 THEN 0
+                                ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / m.maxabs + 0.5) AS INTEGER)
+                           END) AS qvec
+                FROM (
+                    SELECT vec_id, embedding,
+                           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+                    FROM embeddings
+                ) m
+            ), probe AS (
+                SELECT qvec AS pq FROM q WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+            ), scored AS (
+                SELECT q.vec_id,
+                       CAST(list_sum(list_transform(range(1, len(q.qvec) + 1),
+                            i -> CAST(q.qvec[i] AS BIGINT) * CAST(p.pq[i] AS BIGINT))) AS DOUBLE) AS dot,
+                       list_sum(list_transform(q.qvec, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS na,
+                       list_sum(list_transform(p.pq, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS nb
+                FROM q, probe p
+            )
+            SELECT vec_id,
+                   round(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS qcos
+            FROM scored
+            WHERE na > 0 AND nb > 0
+            ORDER BY qcos DESC, vec_id ASC LIMIT 10
         """,
     }

@@ -145,3 +145,87 @@ def dev_embedding_py(text: str, dim: int = 768, signed: bool = False) -> list[fl
     if signed:
         return [h[i % 32] / 255.0 * 2.0 - 1.0 for i in range(dim)]
     return [h[i % 32] / 256.0 for i in range(dim)]
+
+
+def quantize_embeddings(
+    df, vector_col: str = "embedding", id_col: str = "vec_id"
+):
+    """Int8 scalar quantization of a vector column: (id, qvec, scale).
+
+    The 100 TB serving-storage trade: an int8 codebook is 4-8x smaller than
+    the float column (qvec values lie in [-127, 127]; persist as
+    ``array<tinyint>`` — kept ``array<int>`` here only because the DuckDB
+    oracle compares INTs), which is the difference between an ANN working
+    set that fits executor memory and one that spills. Per-vector scale =
+    maxabs/127; q_i = floor(v_i * 127/maxabs + 0.5) — explicit half-up
+    floor, NOT round(), because round() half-case semantics differ across
+    engines and the quantized values must replay bit-identically in the
+    oracle. An all-zero vector quantizes to zeros with scale 0 (excluded
+    from cosine serving by the zero-norm guard, same as the float path).
+
+    Cosine needs NO dequantization: per-vector scales cancel in
+    dot/(|a||b|), so :func:`int8_cosine` is integer arithmetic until the
+    final division — see the error-bound test for the accuracy cost.
+    """
+    v = F.col(vector_col)
+    stage = df.select(
+        F.col(id_col),
+        _as_double(v).alias("_v"),
+    ).withColumn(
+        "_maxabs",
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))),
+    )
+    return stage.select(
+        F.col(id_col),
+        F.when(
+            F.col("_maxabs") == 0,
+            F.transform(F.col("_v"), lambda x: F.lit(0)),
+        )
+        .otherwise(
+            F.transform(
+                F.col("_v"),
+                lambda x: F.floor(
+                    x * F.lit(127.0) / F.col("_maxabs") + F.lit(0.5)
+                ).cast("int"),
+            )
+        )
+        .alias("qvec"),
+        (F.col("_maxabs") / F.lit(127.0)).alias("scale"),
+    )
+
+
+def int8_cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine over int8-quantized vectors — integer fold (exact at any
+    length: the accumulator is bigint, elementwise products <= 127^2), one
+    double division at the end. Scales cancel, so none are needed. NULL on
+    zero norms, like :func:`cosine_similarity`."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    terms = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.struct(
+            (x * y).cast("bigint").alias("xy"),
+            (x * x).cast("bigint").alias("xx"),
+            (y * y).cast("bigint").alias("yy"),
+        ),
+    )
+    zero = F.struct(
+        F.lit(0).cast("bigint").alias("d"),
+        F.lit(0).cast("bigint").alias("na"),
+        F.lit(0).cast("bigint").alias("nb"),
+    )
+    return F.aggregate(
+        terms,
+        zero,
+        lambda acc, t: F.struct(
+            (acc["d"] + t["xy"]).alias("d"),
+            (acc["na"] + t["xx"]).alias("na"),
+            (acc["nb"] + t["yy"]).alias("nb"),
+        ),
+        lambda acc: F.when(
+            (acc["na"] > 0) & (acc["nb"] > 0),
+            acc["d"].cast("double")
+            / (F.sqrt(acc["na"].cast("double")) * F.sqrt(acc["nb"].cast("double"))),
+        ),
+    )

@@ -218,6 +218,59 @@ def test_tfidf_hashed_family_parity(spark):
     )
 
 
+def test_quantize_embeddings_error_bound_and_recall(spark, tables):
+    """Int8 quantization accuracy contract: against the float cosine over
+    the real embeddings table, the quantized cosine errs by < 0.01 per
+    pair, the top-10 sets overlap >= 8/10, the self-hit stays rank 1, and
+    an all-zero vector quantizes to zeros/scale-0 and is excluded (NULL)
+    by the zero-norm guard."""
+    from jsonify2ai_spark.functions.vectors import (
+        cosine_similarity,
+        int8_cosine,
+        quantize_embeddings,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    probe_float = emb.orderBy("vec_id").first()["embedding"]
+    pf = F.array(*[F.lit(float(x)) for x in probe_float])
+    exact = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id", cosine_similarity("embedding", pf).alias("c")
+        ).collect()
+    }
+
+    q = quantize_embeddings(emb).localCheckpoint(eager=False)
+    pq_row = q.orderBy("vec_id").first()
+    assert max(abs(x) for x in pq_row["qvec"]) == 127  # full int8 range used
+    pq = F.array(*[F.lit(int(x)) for x in pq_row["qvec"]])
+    approx = {
+        r["vec_id"]: r["c"]
+        for r in q.select("vec_id", int8_cosine("qvec", pq).alias("c")).collect()
+    }
+
+    errs = [abs(exact[i] - approx[i]) for i in exact]
+    assert max(errs) < 0.01, max(errs)
+    top_exact = sorted(exact, key=lambda i: (-exact[i], i))[:10]
+    top_approx = sorted(approx, key=lambda i: (-approx[i], i))[:10]
+    assert len(set(top_exact) & set(top_approx)) >= 8
+    assert top_approx[0] == top_exact[0] == pq_row["vec_id"]  # self-hit
+
+    zeros = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    zq = {r["vec_id"]: r for r in quantize_embeddings(zeros).collect()}
+    assert zq[1]["qvec"] == [0, 0, 0] and zq[1]["scale"] == 0.0
+    assert zq[2]["qvec"] == [64, -127, 32]  # floor(v*127/2 + 0.5)
+    got = (
+        quantize_embeddings(zeros)
+        .select(int8_cosine("qvec", F.array(F.lit(1), F.lit(0), F.lit(0))).alias("c"))
+        .collect()
+    )
+    assert any(r["c"] is None for r in got)  # zero vector -> NULL, not NaN
+
+
 def test_word2vec_embeddings_shape_and_contract(spark):
     """Word2Vec variant: right dim, vectors usable by the same operators,
     deterministic under fixed seed + single training partition."""
