@@ -225,6 +225,24 @@ def test_q60_decontaminate_broadcasts_benchmark(spark):
     assert "SortMergeJoin" not in p, p[:1500]
 
 
+def test_q66_token_budget_mix_totals_broadcast(spark):
+    """Mixture sampling: the per-stratum token totals (<= |strata| rows)
+    broadcast back onto the corpus — the keep filter itself is map-side.
+    A SortMergeJoin here would shuffle the corpus to apply a 5-row table."""
+    p = plan_string(entry_mod.q66_token_budget_mix(spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in p, p[:1500]
+    assert "BroadcastHashJoin" in p, p[:1500]
+
+
+def test_q67_quantized_search_scan_once_takeordered(spark):
+    """Quantized serving: one pass over the embeddings for scoring (probe
+    side is a broadcast 1-row frame), top-k via TakeOrderedAndProject."""
+    p = plan_string(entry_mod.q67_quantized_search(spark, SF_DIR), "simple")
+    assert "SortMergeJoin" not in p, p[:1500]
+    assert "TakeOrderedAndProject" in p, p[:1500]
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p[:1500]
+
+
 def test_q64_tfidf_small_sides_broadcast_one_corpus_shuffle(spark):
     """Sparse TF-IDF cosine (q64): the corpus-sized data crosses the wire
     once (the (doc,bucket) tf aggregation); everything joined onto it — the
