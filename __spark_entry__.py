@@ -1217,6 +1217,17 @@ def q67_quantized_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span-overlap pairs (operators/dedup.py overlap_pairs):
+    winnowing-fingerprint posting join — detects shared verbatim runs the
+    bag-of-shingles jaccard family is blind to. Returns (a, b, n_shared,
+    overlap) for pairs sharing >= 2 fingerprints."""
+    from jsonify2ai_spark.operators.dedup import overlap_pairs
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return overlap_pairs(t["documents"], min_shared=2)
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1255,7 +1266,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_replace_upsert": q24_replace_upsert,
         "q25_ivf_ann": q25_ivf_ann,
         "q26_simhash_pairs": q26_simhash_pairs,
-        "q27_bpe_tokens": q27_bpe_tokens,
         "q28_winnowing": q28_winnowing,
         "q29_multimodal_meta": q29_multimodal_meta,
         "q30_bm25_search": q30_bm25_search,
@@ -1285,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_incremental_dedup": q65_incremental_dedup,
         "q66_token_budget_mix": q66_token_budget_mix,
         "q67_quantized_search": q67_quantized_search,
+        "q68_overlap_pairs": q68_overlap_pairs,
         # r4 rotation (VERDICT r3 #5): no query goes >2 rounds without a
         # driver-green row — these three were last driver-checked in r2.
         "q42_moving_window": q42_moving_window,
@@ -1299,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_brand_revenue_having": q45_brand_revenue_having,  # join-agg+HAVING: q01/q31 (r3-green)
         "q07_cumulative_spend": q07_cumulative_spend,  # window cumsum: q42 RANGE frame in-gate (r3-green)
         "q16_simhash": q16_simhash,  # simhash family: q26 pairs in-gate shares the signature path (r3-green)
+        "q27_bpe_tokens": q27_bpe_tokens,  # text scalar class: q12/q14/q59/q61 in-gate (r3-green)
         "q03_topk_orders": q03_topk_orders,  # top-k: q30/q44/q50 in-gate (r3-green)
         "q05_region_customers": q05_region_customers,  # join-agg: q45 (r3-green)
         "q08_union_slices": q08_union_slices,  # union: q23 interleave (r3-green)
@@ -2360,5 +2372,34 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             WHERE na > 0 AND nb > 0
             ORDER BY qcos DESC, vec_id ASC LIMIT 10
+        """,
+        # twin of dedup.overlap_pairs: the q28 winnowing construction
+        # (same grams/hashes/window mins) followed by a posting self-join
+        "q68_overlap_pairs": r"""
+            WITH tk AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents),
+            g AS (SELECT doc_id,
+                         list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                                        i -> array_to_string(toks[i:i+2], ' ')) AS grams
+                  FROM tk),
+            h AS (SELECT doc_id,
+                         list_transform(grams,
+                                        g2 -> CAST('0x' || substr(md5(g2), 1, 15) AS BIGINT)) AS hs
+                  FROM g),
+            w AS (SELECT doc_id,
+                         list_sort(list_distinct(
+                             list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                                            i -> list_min(hs[i:i+3])))) AS fps
+                  FROM h),
+            ex AS (SELECT doc_id, len(fps) AS nf, unnest(fps) AS fp FROM w),
+            pairs AS (
+                SELECT x.doc_id AS a, y.doc_id AS b, x.nf AS nfa, y.nf AS nfb,
+                       count(*) AS n_shared
+                FROM ex x JOIN ex y ON x.fp = y.fp AND x.doc_id < y.doc_id
+                GROUP BY 1, 2, 3, 4)
+            SELECT a, b, n_shared,
+                   round(CAST(n_shared AS DOUBLE) / least(nfa, nfb), 6) AS overlap
+            FROM pairs WHERE n_shared >= 2
         """,
     }

@@ -722,6 +722,65 @@ def winnowing_fingerprints(
     )
 
 
+def overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style cross-document overlap detection: pairs (a < b) sharing
+    >= ``min_shared`` winnowing fingerprints, with a containment-style
+    overlap score n_shared / min(|fps_a|, |fps_b|).
+
+    This is the cross-doc HALF of :func:`winnowing_fingerprints` (q28): the
+    winnowing guarantee (any shared run of window+gram_n-1 tokens yields a
+    shared fingerprint) makes the posting join a SPAN-overlap detector —
+    what jaccard/minhash (bag-of-shingles, order-free) cannot see: a long
+    verbatim passage inside otherwise-different documents. One shuffle on
+    fingerprint (posting lists, same shape and df-cap hazard/remedy as
+    ngram_jaccard_pairs); fingerprint counts ride along, so no extra join
+    stages.
+    """
+    fps = winnowing_fingerprints(df, text_col, id_col, gram_n, window)
+    ex = fps.select(
+        F.col(id_col),
+        F.col("n_fingerprints").alias("nf"),
+        F.explode("fingerprints").alias("fp"),
+    )
+    posts = (
+        ex.groupBy("fp")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("nf").alias("nf"))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+    return (
+        posts.select(F.explode("ms").alias("ma"), "ms")
+        .select("ma", F.explode("ms").alias("mb"))
+        .filter(F.col("ma.id") < F.col("mb.id"))
+        .groupBy(
+            F.col("ma.id").alias("a"),
+            F.col("mb.id").alias("b"),
+            F.col("ma.nf").alias("nfa"),
+            F.col("mb.nf").alias("nfb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least(F.col("nfa"), F.col("nfb")), 6
+            ).alias("overlap"),
+        )
+    )
+
+
 def _cc_union_find_driver(base: DataFrame) -> DataFrame:
     """Driver-side union-find for SMALL pair graphs (see connected_components
     gate): collect the edge list (bounded at ~1.6 MB by the 100k-edge gate),

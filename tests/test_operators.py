@@ -277,6 +277,32 @@ def test_connected_components_chains_cycles_islands(spark):
     }
 
 
+def test_overlap_pairs_detects_shared_spans(spark):
+    """The winnowing guarantee, cross-doc: a planted verbatim run of
+    >= window+gram_n-1 tokens inside otherwise-different documents yields
+    shared fingerprints (the pair is reported with its containment score);
+    token-disjoint documents share nothing. Jaccard at any useful threshold
+    misses this pair — the span detector is the point."""
+    from jsonify2ai_spark.operators.dedup import ngram_jaccard_pairs, overlap_pairs
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven " + run + " eight nine ten"),
+            (2, run + " cats dogs birds fish mice owls foxes bears wolves"),
+            (3, "totally disjoint vocabulary here nothing shared at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["a"], r["b"]): r for r in overlap_pairs(docs, min_shared=2).collect()}
+    assert (1, 2) in pairs
+    assert 0 < pairs[(1, 2)]["overlap"] <= 1.0
+    assert all(3 not in k for k in pairs)
+    # the same pair is invisible to bag-of-shingles jaccard at 0.5
+    jac = ngram_jaccard_pairs(docs, 0.5).collect()
+    assert jac == []
+
+
 def test_dedup_against_exact_and_lsh(spark):
     """Incremental dedup (new batch vs existing corpus): a near-copy in the
     batch is flagged, novel docs are kept, and the LSH candidate path

@@ -248,6 +248,53 @@ def test_connected_components_matches_union_find(edge_list, propagate_rounds):
 
 @given(
     st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_dedup_against_matches_python_bipartite_jaccard(new_toks, old_toks):
+    """Differential fuzz for incremental dedup: on random tiny corpora the
+    exact bipartite path must reproduce a pure-Python jaccard over the SAME
+    shingle kernel (_gram_hashes_py — whole-text fallback below n included),
+    per new-doc dup counts and kept flags."""
+    from jsonify2ai_spark.operators.dedup import _gram_hashes_py, dedup_against
+
+    spark = _spark_session()
+    threshold = 0.5
+    new_rows = [(i, " ".join(t)) for i, t in enumerate(new_toks)]
+    old_rows = [(1000 + i, " ".join(t)) for i, t in enumerate(old_toks)]
+
+    def sets(rows):
+        return {i: set(_gram_hashes_py(t.split() if t else [], 3)) for i, t in rows}
+
+    sn, se = sets(new_rows), sets(old_rows)
+    expected = {}
+    for a, ha in sn.items():
+        n_dups = 0
+        for b, hb in se.items():
+            union = len(ha | hb)
+            if union and len(ha & hb) / union >= threshold:
+                n_dups += 1
+        expected[a] = (n_dups, n_dups == 0)
+
+    new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+    old_df = spark.createDataFrame(old_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_dups"], r["kept"])
+        for r in dedup_against(new_df, old_df, threshold).collect()
+    }
+    assert got == expected
+
+
+@given(
+    st.lists(
         st.lists(
             st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
             min_size=0,
