@@ -2378,7 +2378,8 @@ def oracle_sql() -> dict[str, str]:
         "q68_overlap_pairs": r"""
             WITH tk AS (
                 SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-                FROM documents),
+                FROM documents
+                WHERE length(trim(coalesce(text, ''))) > 0),
             g AS (SELECT doc_id,
                          list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
                                         i -> array_to_string(toks[i:i+2], ' ')) AS grams

@@ -21,10 +21,11 @@ across runs and machines.
 from __future__ import annotations
 
 import json
+import os
 
 import duckdb
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_QA_SF_DIR", "/root/testdata/sf0.001")
 OUT = "eval/qa.jsonl"
 
 
@@ -33,11 +34,17 @@ def main() -> int:
         f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet' "
         "WHERE length(trim(text)) > 60 ORDER BY doc_id"
     ).fetchall()
-    stride = max(1, len(rows) // 20)
-    picked = [rows[i * stride] for i in range(20)]
+    # scale the pick count to the corpus: a filtered/smaller table yields a
+    # smaller QA file instead of an IndexError past the end of rows
+    n_pick = min(20, len(rows))
+    if n_pick == 0:
+        raise SystemExit(f"no usable documents in {SF_DIR}")
+    stride = max(1, len(rows) // n_pick)
+    picked = [rows[min(i * stride, len(rows) - 1)] for i in range(n_pick)]
+    n_exact = max(1, n_pick * 12 // 20)
 
     qa = []
-    for doc_id, text in picked[:12]:
+    for doc_id, text in picked[:n_exact]:
         qa.append(
             {
                 "question": text,
@@ -46,7 +53,7 @@ def main() -> int:
                 "stratum": "exact",
             }
         )
-    for doc_id, text in picked[12:20]:
+    for doc_id, text in picked[n_exact:n_pick]:
         qa.append(
             {
                 "question": " ".join(reversed(text.split())),

@@ -72,6 +72,27 @@ def _build_filter(
     return out
 
 
+def _project_sources(hits: DataFrame, k: int | None = None) -> DataFrame:
+    """The shared Source projection (reference search.py:144-220 response
+    shape): provenance columns + 600-char excerpt, never the vector. One
+    definition for all three retrievers — the shape must not drift between
+    arms. ``k`` additionally orders by (score desc, id) and caps."""
+    from jsonify2ai_spark.functions.text import truncate_ellipsis
+
+    out = hits.select(
+        "id",
+        "document_id",
+        "kind",
+        "path",
+        "idx",
+        truncate_ellipsis(F.coalesce(F.col("text"), F.lit("")), 600).alias("text"),
+        "score",
+    )
+    if k is not None:
+        out = out.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+    return out
+
+
 def search(
     chunks: DataFrame,
     query: str,
@@ -83,8 +104,6 @@ def search(
     """§3.2: embed query -> filter -> cosine top-k -> Source projection
     (600-char excerpt, no vectors). ``embed`` is query-text -> vector;
     defaults to the deterministic dev-mode embedding."""
-    from jsonify2ai_spark.functions.text import truncate_ellipsis
-
     qvec = (embed or (lambda t: dev_embedding_py(t, dim=dim)))(query)
     hits = cosine_topk(
         chunks,
@@ -94,15 +113,7 @@ def search(
         id_cols=("document_id", "idx"),
         filters=_build_filter(**filters),
     )
-    return hits.select(
-        "id",
-        "document_id",
-        "kind",
-        "path",
-        "idx",
-        truncate_ellipsis(F.coalesce(F.col("text"), F.lit("")), 600).alias("text"),
-        F.round("score", 6).alias("score"),
-    )
+    return _project_sources(hits.withColumn("score", F.round("score", 6)))
 
 
 def bm25_search(
@@ -118,26 +129,13 @@ def bm25_search(
     ignored) so the three retrievers are signature-interchangeable in
     :func:`ask`. ``score`` is BM25-scale (unbounded, >0 for any term match)
     — gate thresholds must be chosen per arm."""
-    from jsonify2ai_spark.functions.text import truncate_ellipsis
     from jsonify2ai_spark.operators.textsearch import bm25_topk
 
     flt = _build_filter(**filters)
     pool = chunks.filter(flt) if flt is not None else chunks
     scored = bm25_topk(pool, query, k=k, id_col="id").withColumnRenamed("bm25", "score")
     out = pool.drop("score").join(F.broadcast(scored), "id")
-    return (
-        out.select(
-            "id",
-            "document_id",
-            "kind",
-            "path",
-            "idx",
-            truncate_ellipsis(F.coalesce(F.col("text"), F.lit("")), 600).alias("text"),
-            "score",
-        )
-        .orderBy(F.col("score").desc(), F.col("id").asc())
-        .limit(k)
-    )
+    return _project_sources(out, k=k)
 
 
 def hybrid_search(
@@ -157,7 +155,6 @@ def hybrid_search(
     threshold, not the cosine one."""
     from pyspark.sql import Window
 
-    from jsonify2ai_spark.functions.text import truncate_ellipsis
     from jsonify2ai_spark.operators.textsearch import bm25_topk
 
     flt = _build_filter(**filters)
@@ -186,19 +183,7 @@ def hybrid_search(
     # join back to the chunk table for the projection — the corpus-side scan
     # happens once per retrieval system, never for the fusion
     out = pool.drop("score").join(F.broadcast(fused), "id")
-    return (
-        out.select(
-            "id",
-            "document_id",
-            "kind",
-            "path",
-            "idx",
-            truncate_ellipsis(F.coalesce(F.col("text"), F.lit("")), 600).alias("text"),
-            "score",
-        )
-        .orderBy(F.col("score").desc(), F.col("id").asc())
-        .limit(k)
-    )
+    return _project_sources(out, k=k)
 
 
 def ask(

@@ -83,7 +83,14 @@ def shingle_hash_sets(
         import pandas as pd
 
         for batch in batches:
-            out = [_gram_hashes_py(list(t), shingle_n, mod) for t in batch["_tk"]]
+            # NULL text -> NULL token array -> NO shingles (empty set, never
+            # pairs) — matching the DuckDB oracles, where unnest(NULL) yields
+            # no rows. Distinct from EMPTY text, which hashes the whole-text
+            # fallback "" on both engines. Crash-found: list(None) raised.
+            out = [
+                [] if t is None else _gram_hashes_py(list(t), shingle_n, mod)
+                for t in batch["_tk"]
+            ]
             yield pd.DataFrame({id_col: batch[id_col], "hs": out})
 
     return ensure_min_partitions(src).mapInPandas(gen, schema=f"{id_col} {id_type}, hs array<bigint>")
@@ -171,6 +178,12 @@ def minhash_signatures(
         for batch in batches:
             sigs = []
             for toks in batch["_tk"]:
+                if toks is None:
+                    # NULL text: sentinel all-P signature — NULL docs bucket
+                    # only with each other and any candidate pair they form
+                    # fails exact verification (0-size sets -> NULL jaccard)
+                    sigs.append([int(_P)] * len(params))
+                    continue
                 hs = np.asarray(_gram_hashes_py(list(toks), shingle_n, _P), dtype=np.int64)
                 # a*h < P^2 < 2^62: stays inside int64, matching the JVM math
                 sigs.append(((a_vec * hs[None, :] + b_vec) % _P).min(axis=1).tolist())
@@ -454,10 +467,15 @@ def dedup_against(
     proportional to the batch, not the corpus. Scores are exact; recall of
     a qualifying pair is the banding S-curve (tune num_hashes/bands).
     """
-    sn = shingle_hash_sets(new, text_col, id_col, shingle_n).localCheckpoint(eager=False)
-    se = shingle_hash_sets(existing, text_col, id_col, shingle_n).localCheckpoint(
-        eager=False
-    )
+    # each shingle-set frame is consumed exactly once per method branch, so
+    # no checkpoint: lineage runs once anyway (review-found: earlier
+    # checkpoints added a materialization write with no reuse). The LSH
+    # branch DOES tokenize each table twice (signatures + verification
+    # sets) — at deployment scale the existing side's signatures AND sets
+    # are precomputed artifacts, so the per-batch double pass is over the
+    # batch only.
+    sn = shingle_hash_sets(new, text_col, id_col, shingle_n)
+    se = shingle_hash_sets(existing, text_col, id_col, shingle_n)
     if method == "exact":
         exn = sn.select(
             F.col(id_col).alias("a"), F.size("hs").alias("sza"), F.explode("hs").alias("sh")
@@ -584,7 +602,9 @@ def simhash(
             for batch in batches:
                 fps = []
                 for hashes in batch["_th"]:
-                    th = np.asarray(hashes, dtype=np.int64)
+                    th = np.asarray(
+                        hashes if hashes is not None else [], dtype=np.int64
+                    )
                     if not len(th):
                         fps.append(0)
                         continue
@@ -743,7 +763,15 @@ def overlap_pairs(
     ngram_jaccard_pairs); fingerprint counts ride along, so no extra join
     stages.
     """
-    fps = winnowing_fingerprints(df, text_col, id_col, gram_n, window)
+    # contentless documents (NULL/empty/whitespace-only text) would all
+    # fingerprint the whole-text fallback "" and pair with each other at
+    # overlap=1.0 — meaningless "full overlaps"; NULL text additionally
+    # diverges from the DuckDB twin (split of NULL has no elements). Drop
+    # them before fingerprinting (review-found).
+    nonempty = df.filter(
+        F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0
+    )
+    fps = winnowing_fingerprints(nonempty, text_col, id_col, gram_n, window)
     ex = fps.select(
         F.col(id_col),
         F.col("n_fingerprints").alias("nf"),

@@ -100,8 +100,10 @@ def default_arms(k: int = 5, dim: int = 64, embed=None) -> dict:
     reference's /ask path), lexical BM25, and BM25+vector RRF hybrid (the
     q44 plan as a serving call). Gate thresholds are per-arm because the
     score scales differ: cosine in [-1,1]; bm25 unbounded positive; rrf
-    maxes at 2/(rrf_k+1) (a doc ranked #1 by BOTH systems), with 0.02 ≈
-    top-10 in at least one."""
+    maxes at 2/(rrf_k+1) (a doc ranked #1 by BOTH systems) and a doc
+    present in only ONE ranking caps at 1/(rrf_k+1) ≈ 0.0164 — the hybrid
+    gate is 1/(rrf_k+10) ≈ 0.0143, "top-10 in at least one", reachable by
+    single-retriever hits (review-found: 0.02 silently required BOTH)."""
     from jsonify2ai_spark.api import ask, bm25_search, hybrid_search
 
     return {
@@ -113,7 +115,7 @@ def default_arms(k: int = 5, dim: int = 64, embed=None) -> dict:
         ),
         "hybrid": lambda chunks, q: ask(
             chunks, q, k=k, dim=dim, embed=embed,
-            retriever=hybrid_search, min_synth_score=0.02,
+            retriever=hybrid_search, min_synth_score=1.0 / 70.0,
             min_snippet_score=1.0 / 1000.0,  # rrf-scale: any ranked hit
         ),
     }

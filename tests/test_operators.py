@@ -298,6 +298,16 @@ def test_overlap_pairs_detects_shared_spans(spark):
     assert (1, 2) in pairs
     assert 0 < pairs[(1, 2)]["overlap"] <= 1.0
     assert all(3 not in k for k in pairs)
+
+    # contentless docs (NULL/empty) must NOT pair with each other at
+    # overlap=1.0 via the whole-text "" fallback fingerprint (review-found)
+    with_blanks = docs.union(
+        spark.createDataFrame(
+            [(10, None), (11, ""), (12, "   ")], "doc_id long, text string"
+        )
+    )
+    blank_pairs = overlap_pairs(with_blanks, min_shared=1).collect()
+    assert all(r["a"] not in (10, 11, 12) and r["b"] not in (10, 11, 12) for r in blank_pairs)
     # the same pair is invisible to bag-of-shingles jaccard at 0.5
     jac = ngram_jaccard_pairs(docs, 0.5).collect()
     assert jac == []
@@ -323,10 +333,11 @@ def test_dedup_against_exact_and_lsh(spark):
             (1, base + " extra"),  # near-copy of 100 -> flagged
             (2, "an entirely novel document with its own content here"),
             (3, base),  # exact copy of 100 -> flagged
+            (4, None),  # NULL text: no shingles, kept, must NOT crash
         ],
         "doc_id long, text string",
     )
-    expected = {1: (1, False), 2: (0, True), 3: (1, False)}
+    expected = {1: (1, False), 2: (0, True), 3: (1, False), 4: (0, True)}
     for method in ("exact", "lsh"):
         got = {
             r["doc_id"]: (r["n_dups"], r["kept"])
@@ -338,7 +349,14 @@ def test_dedup_against_exact_and_lsh(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert dedup_against(empty, existing, 0.5).count() == 0
     all_kept = dedup_against(new, empty, 0.5).collect()
-    assert len(all_kept) == 3 and all(r["kept"] for r in all_kept)
+    assert len(all_kept) == 4 and all(r["kept"] for r in all_kept)
+
+    # NULL text on the EXISTING side must not crash either (review-found:
+    # the shingle kernel raised TypeError on list(None))
+    with_null = existing.union(
+        spark.createDataFrame([(102, None)], "doc_id long, text string")
+    )
+    assert dedup_against(new, with_null, 0.5).count() == 4
 
 
 def test_connected_components_driver_gate_parity(spark):
