@@ -1221,11 +1221,16 @@ def q68_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document span-overlap pairs (operators/dedup.py overlap_pairs):
     winnowing-fingerprint posting join — detects shared verbatim runs the
     bag-of-shingles jaccard family is blind to. Returns (a, b, n_shared,
-    overlap) for pairs sharing >= 2 fingerprints."""
+    overlap) for pairs sharing >= 2 fingerprints.
+
+    Runs the df-CAPPED path (max_df=8): hot fingerprints are dropped from
+    candidate generation, survivors verify against full fingerprint arrays
+    (exact scores) — the bounded-skew form that survives a 100 TB corpus
+    with boilerplate headers. The oracle expresses the same cap."""
     from jsonify2ai_spark.operators.dedup import overlap_pairs
 
     t = load_tables(spark, sf_dir, ["documents"])
-    return overlap_pairs(t["documents"], min_shared=2)
+    return overlap_pairs(t["documents"], min_shared=2, max_df=8)
 
 
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2373,8 +2378,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE na > 0 AND nb > 0
             ORDER BY qcos DESC, vec_id ASC LIMIT 10
         """,
-        # twin of dedup.overlap_pairs: the q28 winnowing construction
-        # (same grams/hashes/window mins) followed by a posting self-join
+        # twin of dedup.overlap_pairs max_df=8: the q28 winnowing
+        # construction (same grams/hashes/window mins), posting lists sized
+        # (1, 8] generate candidates, full-array intersect verifies
         "q68_overlap_pairs": r"""
             WITH tk AS (
                 SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
@@ -2393,14 +2399,23 @@ def oracle_sql() -> dict[str, str]:
                              list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
                                             i -> list_min(hs[i:i+3])))) AS fps
                   FROM h),
-            ex AS (SELECT doc_id, len(fps) AS nf, unnest(fps) AS fp FROM w),
-            pairs AS (
-                SELECT x.doc_id AS a, y.doc_id AS b, x.nf AS nfa, y.nf AS nfb,
-                       count(*) AS n_shared
-                FROM ex x JOIN ex y ON x.fp = y.fp AND x.doc_id < y.doc_id
-                GROUP BY 1, 2, 3, 4)
+            ex AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+            posts AS (
+                SELECT fp, list(doc_id) AS ids FROM ex GROUP BY fp
+                HAVING len(list(doc_id)) > 1 AND len(list(doc_id)) <= 8),
+            cand AS (
+                SELECT DISTINCT ua.a, ub.b
+                FROM posts, unnest(ids) AS ua(a), unnest(ids) AS ub(b)
+                WHERE ua.a < ub.b),
+            ver AS (
+                SELECT c.a, c.b,
+                       len(list_intersect(wa.fps, wb.fps)) AS n_shared,
+                       len(wa.fps) AS nfa, len(wb.fps) AS nfb
+                FROM cand c
+                JOIN w wa ON wa.doc_id = c.a
+                JOIN w wb ON wb.doc_id = c.b)
             SELECT a, b, n_shared,
                    round(CAST(n_shared AS DOUBLE) / least(nfa, nfb), 6) AS overlap
-            FROM pairs WHERE n_shared >= 2
+            FROM ver WHERE n_shared >= 2
         """,
     }

@@ -19,6 +19,8 @@ what lets the DuckDB oracle check these operators value-for-value.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -749,6 +751,8 @@ def overlap_pairs(
     id_col: str = "doc_id",
     gram_n: int = 3,
     window: int = 4,
+    max_df: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """MOSS-style cross-document overlap detection: pairs (a < b) sharing
     >= ``min_shared`` winnowing fingerprints, with a containment-style
@@ -760,8 +764,20 @@ def overlap_pairs(
     what jaccard/minhash (bag-of-shingles, order-free) cannot see: a long
     verbatim passage inside otherwise-different documents. One shuffle on
     fingerprint (posting lists, same shape and df-cap hazard/remedy as
-    ngram_jaccard_pairs); fingerprint counts ride along, so no extra join
-    stages.
+    ngram_jaccard_pairs).
+
+    ``max_df`` bounds posting-list skew, exactly as ``df_cap`` does for
+    ngram_jaccard_pairs: a fingerprint shared by d documents (a boilerplate
+    header at corpus scale) emits d^2/2 pairs through one shuffle key —
+    uncapped, that single hot key is the 100 TB scale-killer. With the cap,
+    hot fingerprints (|posting| > max_df) are dropped from CANDIDATE
+    GENERATION only; surviving candidates are verified against the COMPLETE
+    fingerprint arrays with array_intersect, so every emitted (n_shared,
+    overlap) is identical to the uncapped result. The only possible loss is
+    a pair whose shared fingerprints are ALL ubiquitous — i.e. documents
+    overlapping only in boilerplate, the pairs a dedup pipeline wants
+    suppressed anyway. ``log_dropped=True`` additionally counts the dropped
+    hot fingerprints (one tiny extra aggregation job, opt-in) and logs it.
     """
     # contentless documents (NULL/empty/whitespace-only text) would all
     # fingerprint the whole-text fallback "" and pair with each other at
@@ -772,6 +788,10 @@ def overlap_pairs(
         F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0
     )
     fps = winnowing_fingerprints(nonempty, text_col, id_col, gram_n, window)
+    if max_df is not None:
+        return _overlap_df_capped(
+            fps, min_shared, id_col, max_df, log_dropped
+        )
     ex = fps.select(
         F.col(id_col),
         F.col("n_fingerprints").alias("nf"),
@@ -797,6 +817,71 @@ def overlap_pairs(
             F.col("mb.nf").alias("nfb"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least(F.col("nfa"), F.col("nfb")), 6
+            ).alias("overlap"),
+        )
+    )
+
+
+def _overlap_df_capped(
+    fps: DataFrame,
+    min_shared: int,
+    id_col: str,
+    max_df: int,
+    log_dropped: bool,
+) -> DataFrame:
+    """df-capped candidate generation + full-array verification for
+    :func:`overlap_pairs` (see ngram_jaccard_pairs/_jaccard_df_capped for
+    the shape). The cap is a FILTER on posting-list size — a hot
+    fingerprint's d^2 blowup is structurally bounded at max_df^2 before any
+    pair exists. Verification re-derives n_shared from array_intersect over
+    the complete per-doc fingerprint arrays, so emitted scores are exact."""
+    # fps is referenced at candidate time and twice at verify time; one lazy
+    # local checkpoint materializes the winnowing Arrow pass once
+    fps = fps.localCheckpoint(eager=False)
+    ex = fps.select(F.col(id_col), F.explode("fingerprints").alias("fp"))
+    posts_all = ex.groupBy("fp").agg(F.collect_list(id_col).alias("ids"))
+    if log_dropped:
+        n_hot = posts_all.filter(F.size("ids") > max_df).count()
+        logging.getLogger(__name__).info(
+            "overlap_pairs: dropped %d hot fingerprints (df > %d) from "
+            "candidate generation",
+            n_hot,
+            max_df,
+        )
+    posts = posts_all.filter((F.size("ids") > 1) & (F.size("ids") <= max_df))
+    cand = (
+        posts.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    full = fps.select(
+        F.col(id_col), F.col("n_fingerprints").alias("nf"), F.col("fingerprints")
+    )
+    cand = cand.join(
+        full.select(
+            F.col(id_col).alias("a"),
+            F.col("nf").alias("nfa"),
+            F.col("fingerprints").alias("_fa"),
+        ),
+        "a",
+    ).join(
+        full.select(
+            F.col(id_col).alias("b"),
+            F.col("nf").alias("nfb"),
+            F.col("fingerprints").alias("_fb"),
+        ),
+        "b",
+    )
+    return (
+        cand.withColumn("n_shared", F.size(F.array_intersect("_fa", "_fb")))
         .filter(F.col("n_shared") >= min_shared)
         .select(
             "a",

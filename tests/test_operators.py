@@ -313,6 +313,60 @@ def test_overlap_pairs_detects_shared_spans(spark):
     assert jac == []
 
 
+def test_overlap_pairs_max_df_bounds_hot_fingerprint_skew(spark):
+    """The q68 scale hazard, reproduced and bounded: 1,000 docs sharing one
+    boilerplate header would emit ~499,500 boilerplate-only pairs uncapped
+    (the d^2/2 hot-posting blowup); with max_df wired, the hot fingerprints
+    are dropped from candidate generation, so the capped run emits ZERO
+    boilerplate-only pairs — while a genuine near-dup pair (shared UNIQUE
+    span, df=2 postings) survives with scores identical to the uncapped
+    run (full-array verification keeps emitted scores exact)."""
+    from jsonify2ai_spark.operators.dedup import overlap_pairs
+
+    header = "terms of service apply all rights reserved by the provider inc"
+    rows = [
+        (i, header + f" tail{i}a tail{i}b tail{i}c tail{i}d tail{i}e tail{i}f "
+                     f"tail{i}g tail{i}h tail{i}i tail{i}j")
+        for i in range(1000)
+    ]
+    span = "unique shared passage kilo lima mike november oscar papa quebec romeo"
+    rows.append((9001, span + " one ending here with extra words alpha beta"))
+    rows.append((9002, span + " another different ending entirely gamma delta"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = overlap_pairs(docs, min_shared=2, max_df=10).collect()
+    got = {(r["a"], r["b"]): r for r in capped}
+    # the planted near-dup survives the cap...
+    assert (9001, 9002) in got
+    # ...and nothing else does: every boilerplate-only pair is suppressed
+    assert len(got) == 1
+
+    # exactness: the surviving pair's score equals the uncapped score
+    pair_docs = docs.filter(F.col("doc_id").isin(9001, 9002))
+    uncapped = {
+        (r["a"], r["b"]): r
+        for r in overlap_pairs(pair_docs, min_shared=2).collect()
+    }
+    assert got[(9001, 9002)]["n_shared"] == uncapped[(9001, 9002)]["n_shared"]
+    assert got[(9001, 9002)]["overlap"] == uncapped[(9001, 9002)]["overlap"]
+
+    # contrast on a subset small enough to run uncapped: the hot header
+    # really does explode quadratically without the cap (d=100 -> 4,950
+    # boilerplate pairs), which is what max_df exists to prevent
+    subset = docs.filter(F.col("doc_id") < 100)
+    n_uncapped = overlap_pairs(subset, min_shared=2).count()
+    assert n_uncapped == 100 * 99 // 2
+
+    # capped == uncapped identically when no posting exceeds the cap
+    assert {
+        (r["a"], r["b"], r["n_shared"], r["overlap"])
+        for r in overlap_pairs(pair_docs, min_shared=2, max_df=10).collect()
+    } == {
+        (r["a"], r["b"], r["n_shared"], r["overlap"])
+        for r in uncapped.values()
+    }
+
+
 def test_dedup_against_exact_and_lsh(spark):
     """Incremental dedup (new batch vs existing corpus): a near-copy in the
     batch is flagged, novel docs are kept, and the LSH candidate path
