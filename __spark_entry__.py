@@ -1233,6 +1233,35 @@ def q68_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap_pairs(t["documents"], min_shared=2, max_df=8)
 
 
+def q69_quantized_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED 100 TB serving path (operators/ann.py
+    build_quantized_ivf + quantized_ivf_topk): int8 scalar quantization
+    inside IVF cluster-pruned probing. Offline: nearest-centroid assignment
+    at float precision + int8 quantization (partitionBy(cluster) layout,
+    4-8x smaller codebook). Query: driver-side probe selection, partition
+    prune to n_probe cells, integer cosine within them. q25 (float IVF) and
+    q67 (flat int8) are the components; this is their composition."""
+    from jsonify2ai_spark.operators.ann import build_quantized_ivf, quantized_ivf_topk
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    cents = (
+        emb.filter(F.col("vec_id") < _IVF_K_CENTROIDS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cents]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == _KNN_QUERY_ID).select("embedding").collect()[0][0]
+    ]
+    index = build_quantized_ivf(emb, centroids)
+    return quantized_ivf_topk(
+        index, qvec, centroids, k=10, n_probe=_IVF_N_PROBE
+    )
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1255,7 +1284,6 @@ def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
-        "q02_revenue_filter": q02_revenue_filter,
         "q09_events_hourly": q09_events_hourly,
         "q11_json_extract": q11_json_extract,
         "q12_doc_stats": q12_doc_stats,
@@ -1301,21 +1329,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_token_budget_mix": q66_token_budget_mix,
         "q67_quantized_search": q67_quantized_search,
         "q68_overlap_pairs": q68_overlap_pairs,
-        # r4 rotation (VERDICT r3 #5): no query goes >2 rounds without a
-        # driver-green row — these three were last driver-checked in r2.
-        "q42_moving_window": q42_moving_window,
-        "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
-        "q47_csv_lines": q47_csv_lines,
+        # r5 new operator: int8-inside-IVF composed serving path
+        "q69_quantized_ivf": q69_quantized_ivf,
+        # r5 rotation (VERDICT r4 #4): no query goes >2 rounds without a
+        # driver-green row — these three were last driver-checked in r3
+        # (r4-green q02/q42/q46/q47 rotate to the tail in exchange).
+        "q16_simhash": q16_simhash,
+        "q27_bpe_tokens": q27_bpe_tokens,
+        "q45_brand_revenue_having": q45_brand_revenue_having,
         # --- tail: operator classes fully covered by green rows above; the
         # driver's correctness gate checks the first 50 entries, so every
         # NEW oracle-backed operator sits inside that window (newest code is
         # the most likely to be wrong — the gate exists for exactly it).
         # These still run in bench.py and verify_local.py.
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 in-gate
-        "q45_brand_revenue_having": q45_brand_revenue_having,  # join-agg+HAVING: q01/q31 (r3-green)
-        "q07_cumulative_spend": q07_cumulative_spend,  # window cumsum: q42 RANGE frame in-gate (r3-green)
-        "q16_simhash": q16_simhash,  # simhash family: q26 pairs in-gate shares the signature path (r3-green)
-        "q27_bpe_tokens": q27_bpe_tokens,  # text scalar class: q12/q14/q59/q61 in-gate (r3-green)
+        "q02_revenue_filter": q02_revenue_filter,  # count-by-pred: q13 class, r4-green
+        "q42_moving_window": q42_moving_window,  # RANGE-frame window, r4-green
+        "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,  # decorrelated MIN-subquery, r4-green
+        "q47_csv_lines": q47_csv_lines,  # CSV row-joiner, r4-green
+        "q07_cumulative_spend": q07_cumulative_spend,  # window cumsum: q42 RANGE frame (r3-green)
         "q03_topk_orders": q03_topk_orders,  # top-k: q30/q44/q50 in-gate (r3-green)
         "q05_region_customers": q05_region_customers,  # join-agg: q45 (r3-green)
         "q08_union_slices": q08_union_slices,  # union: q23 interleave (r3-green)
@@ -2417,5 +2449,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, n_shared,
                    round(CAST(n_shared AS DOUBLE) / least(nfa, nfb), 6) AS overlap
             FROM ver WHERE n_shared >= 2
+        """,
+        # twin of ann.build_quantized_ivf + quantized_ivf_topk: float-precision
+        # centroid assignment + probe selection (q25's construction), then the
+        # q67 half-up-floor int8 quantizer and integer cosine INSIDE the
+        # probed cells only; order by unrounded quantized cosine (Spark
+        # rounds after the top-k, so the oracle must too)
+        "q69_quantized_ivf": f"""
+            WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                           WHERE vec_id < {_IVF_K_CENTROIDS}),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_KNN_QUERY_ID}),
+            probe AS (SELECT cid FROM cents, q
+                      ORDER BY {_dd_cosine("cv", "qv")} DESC, cid LIMIT {_IVF_N_PROBE}),
+            assigned AS (
+                SELECT vec_id, embedding, cluster FROM (
+                    SELECT e.vec_id, e.embedding, c.cid AS cluster,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_dd_cosine("e.embedding", "c.cv")} DESC, c.cid
+                           ) AS rn
+                    FROM embeddings e CROSS JOIN cents c)
+                WHERE rn = 1),
+            quant AS (
+                SELECT vec_id, cluster,
+                       list_transform(embedding, x ->
+                           CASE WHEN m.maxabs = 0 THEN 0
+                                ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / m.maxabs + 0.5) AS INTEGER)
+                           END) AS qvec
+                FROM (
+                    SELECT vec_id, cluster, embedding,
+                           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+                    FROM assigned
+                    WHERE cluster IN (SELECT cid FROM probe)
+                ) m
+            ), qq AS (
+                SELECT list_transform(qv, x ->
+                           CASE WHEN m.maxabs = 0 THEN 0
+                                ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / m.maxabs + 0.5) AS INTEGER)
+                           END) AS pq
+                FROM (
+                    SELECT qv,
+                           list_max(list_transform(qv, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+                    FROM q
+                ) m
+            ), scored AS (
+                SELECT t.vec_id, t.cluster,
+                       CAST(list_sum(list_transform(range(1, len(t.qvec) + 1),
+                            i -> CAST(t.qvec[i] AS BIGINT) * CAST(p.pq[i] AS BIGINT))) AS DOUBLE) AS dot,
+                       list_sum(list_transform(t.qvec, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS na,
+                       list_sum(list_transform(p.pq, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS nb
+                FROM quant t, qq p
+            )
+            SELECT vec_id, CAST(cluster AS INT) AS cluster,
+                   round(dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6) AS qcos
+            FROM scored
+            WHERE na > 0 AND nb > 0
+            ORDER BY dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, vec_id ASC
+            LIMIT 10
         """,
     }

@@ -52,6 +52,7 @@ def main() -> int:
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     total = 0.0
+    n_errors = 0
     for name, fn in entry_mod.queries().items():
         runs = []
         try:
@@ -63,6 +64,7 @@ def main() -> int:
         except Exception as e:  # a failing query gets a null, not a crash
             print(f"bench error {name}: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
             timings[name] = None
+            n_errors += 1
             continue
         dt = min(runs)
         timings[name] = dt
@@ -82,11 +84,15 @@ def main() -> int:
     # The ONE parseable line, printed last (after spark.stop so no JVM shutdown
     # chatter can follow it on stdout), compact separators to stay well inside
     # the driver's tail-capture window.
+    # "errors" makes a partially-failed round distinguishable from a faster
+    # one: a query that threw is null in "queries" and EXCLUDED from the
+    # total, so without this count a breakage would read as a speedup.
     line = json.dumps(
         {
             "metric": "total_query_seconds",
             "value": round(total, 3),
             "unit": "sec",
+            "errors": n_errors,
             "queries": timings,
             "sf": sf,
         },

@@ -148,7 +148,8 @@ def dev_embedding_py(text: str, dim: int = 768, signed: bool = False) -> list[fl
 
 
 def quantize_embeddings(
-    df, vector_col: str = "embedding", id_col: str = "vec_id"
+    df, vector_col: str = "embedding", id_col: str = "vec_id",
+    carry_cols: tuple[str, ...] = (),
 ):
     """Int8 scalar quantization of a vector column: (id, qvec, scale).
 
@@ -170,6 +171,7 @@ def quantize_embeddings(
     v = F.col(vector_col)
     stage = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         _as_double(v).alias("_v"),
     ).withColumn(
         "_maxabs",
@@ -177,6 +179,7 @@ def quantize_embeddings(
     )
     return stage.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.when(
             F.col("_maxabs") == 0,
             F.transform(F.col("_v"), lambda x: F.lit(0)),
@@ -192,6 +195,20 @@ def quantize_embeddings(
         .alias("qvec"),
         (F.col("_maxabs") / F.lit(127.0)).alias("scale"),
     )
+
+
+def quantize_query_py(vec: list[float]) -> list[int]:
+    """Driver-side twin of :func:`quantize_embeddings` for quantizing a query
+    vector: same maxabs/127 scale and half-up floor, so a query quantized on
+    the driver scores bit-identically to one quantized in the plan."""
+    import math
+
+    maxabs = 0.0
+    for x in vec:
+        maxabs = max(maxabs, abs(float(x)))
+    if maxabs == 0:
+        return [0 for _ in vec]
+    return [int(math.floor(float(x) * 127.0 / maxabs + 0.5)) for x in vec]
 
 
 def int8_cosine(a: Column | str, b: Column | str) -> Column:

@@ -178,6 +178,71 @@ def lsh_similarity_join(
     )
 
 
+def build_quantized_ivf(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """OFFLINE ETL for the quantized-IVF serving index: (id, cluster, qvec,
+    scale) — nearest-centroid assignment at FLOAT precision (the coarse
+    quantizer sees the original vectors, as FAISS IVF+SQ8 does), then int8
+    scalar quantization of each vector. One map-only pass, no shuffle.
+
+    At 100 TB this is the serving layout: ``.write.partitionBy("cluster")``
+    makes the probe filter a partition prune, and the int8 codebook is 4-8x
+    smaller than the float column — the difference between a probed cell
+    that fits executor memory and one that spills. `scale` rides along for
+    consumers that need dequantized magnitudes; cosine doesn't (scales
+    cancel in :func:`int8_cosine`)."""
+    from jsonify2ai_spark.functions.vectors import quantize_embeddings
+
+    assigned = ivf_assign(df.select(id_col, vector_col), centroids, vector_col)
+    return quantize_embeddings(
+        assigned, vector_col, id_col, carry_cols=("cluster",)
+    )
+
+
+def quantized_ivf_topk(
+    index: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k over the int8 serving index from
+    :func:`build_quantized_ivf` — the composed 100 TB serving path: coarse
+    probe selection on the driver (float centroids vs float query — query
+    planning, not data-plane work), partition-prune to the n_probe nearest
+    cells, then integer cosine (:func:`int8_cosine`) inside them only.
+
+    The query is quantized ONCE on the driver with the same half-up-floor
+    quantizer as the index (quantize_query_py), so scoring is integer
+    arithmetic end-to-end until the final division; per-vector scales
+    cancel and are never read. Output (id, cluster, qcos). Recall vs the
+    exact float path is pinned by test + the PERF.md recall table."""
+    from jsonify2ai_spark.functions.vectors import int8_cosine, quantize_query_py
+
+    probe = probe_clusters(query_vec, centroids, n_probe)
+    qq = quantize_query_py(query_vec)
+    qlit = F.array(*[F.lit(int(x)) for x in qq])
+    pruned = index.filter(F.col("cluster").isin(probe))
+    scored = pruned.select(
+        id_col,
+        "cluster",
+        int8_cosine(F.col("qvec"), qlit).alias("qcos"),
+    ).filter(F.col("qcos").isNotNull())
+    out = (
+        scored.orderBy(F.col("qcos").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    if round_to is not None:
+        out = out.withColumn("qcos", F.round("qcos", round_to))
+    return out
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -187,16 +252,23 @@ def ivf_topk(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int | None = 6,
+    preassigned: bool = False,
 ) -> DataFrame:
     """Approximate top-k: assign -> prune to the n_probe nearest cells ->
     exact cosine top-k within them.
 
-    Here assignment is computed inline; the production layout assigns offline
-    and partitions by `cluster`, making the `.isin(probe)` filter a partition
-    prune (only n_probe/K of files scanned). Output (id, cluster, score).
+    With ``preassigned=False`` assignment is computed inline (self-contained
+    oracle form); the production layout assigns offline (`ivf_assign` +
+    ``.write.partitionBy("cluster")``) and queries with ``preassigned=True``
+    — df already carries `cluster`, so the `.isin(probe)` filter is a pure
+    partition prune (only n_probe/K of files scanned, no per-query
+    assignment flops). Output (id, cluster, score).
     """
     probe = probe_clusters(query_vec, centroids, n_probe)
-    assigned = ivf_assign(df.select(id_col, vector_col), centroids, vector_col)
+    if preassigned:
+        assigned = df
+    else:
+        assigned = ivf_assign(df.select(id_col, vector_col), centroids, vector_col)
     pruned = assigned.filter(F.col("cluster").isin(probe))
     scored = pruned.withColumn(
         "score", cosine_similarity(F.col(vector_col), _vec_lit(query_vec))

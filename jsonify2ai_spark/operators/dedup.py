@@ -543,6 +543,14 @@ def _lsh_bipartite_candidates(
     r = num_hashes // bands
 
     def banded(df: DataFrame, out: str) -> DataFrame:
+        # contentless (NULL/empty) docs all hash to the all-sentinel
+        # signature, so every dirty NEW row would band-join every dirty
+        # EXISTING row — n_null^2 candidates that can never verify (0-size
+        # shingle sets -> NULL jaccard). Skipping them is behavior-preserving
+        # and removes the quadratic term on dirty corpora (advice-found).
+        df = df.filter(
+            F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0
+        )
         sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
         return sigs.select(
             F.col(id_col).alias(out),

@@ -156,7 +156,9 @@ def run_qa_eval(
         with open(qa, encoding="utf-8") as f:
             qa = [json.loads(line) for line in f if line.strip()]
 
-    if arms is None:
+    # falsy, not `is None`: an explicitly-empty dict would otherwise skip
+    # the fallback and crash at next(iter(arm_results)) (advice-found)
+    if not arms:
         arms = {
             "vector": lambda c, q: ask(
                 c, q, k=k, dim=dim, embed=embed, min_synth_score=min_synth_score

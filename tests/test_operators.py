@@ -413,6 +413,70 @@ def test_dedup_against_exact_and_lsh(spark):
     assert dedup_against(new, with_null, 0.5).count() == 4
 
 
+def test_dedup_against_lsh_differential_parity(spark):
+    """The q65 100 TB path pinned (VERDICT r4 #3): on a seeded corpus of 120
+    existing + 60 new docs (20 planted near-copies at shingle-jaccard ~0.85+,
+    40 novel), method='lsh' must return EXACTLY method='exact' — per-doc
+    n_dups and kept. At 64 hashes / 16 bands the banding S-curve puts
+    jaccard>=0.8 pairs at ~1-7e-6 recall, so parity here is deterministic in
+    practice; a miss means the banding or verification broke, not luck."""
+    from jsonify2ai_spark.operators.dedup import dedup_against
+
+    words = [f"tok{i}" for i in range(40)]
+    existing_rows = []
+    for d in range(120):
+        # mutually-distinct docs: stride through the vocab so no two
+        # existing docs are near-dups of each other
+        toks = [words[(d * 7 + j * 3) % 40] + str(d) for j in range(30)]
+        existing_rows.append((1000 + d, " ".join(toks)))
+    new_rows = []
+    for d in range(20):  # near-copies: drop the last 2 tokens, append one
+        base = existing_rows[d * 5][1].split()
+        new_rows.append((d, " ".join(base[:-2] + ["novelend"])))
+    for d in range(20, 60):  # novel docs, own vocabulary
+        new_rows.append((d, " ".join(f"new{d}w{j}" for j in range(25))))
+    existing = spark.createDataFrame(existing_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    got_exact = {
+        r["doc_id"]: (r["n_dups"], r["kept"])
+        for r in dedup_against(new, existing, 0.7, method="exact").collect()
+    }
+    got_lsh = {
+        r["doc_id"]: (r["n_dups"], r["kept"])
+        for r in dedup_against(new, existing, 0.7, method="lsh").collect()
+    }
+    assert got_lsh == got_exact
+    # sanity on the seeding itself: all 20 planted copies flagged, rest kept
+    assert sum(1 for v in got_exact.values() if not v[1]) == 20
+
+
+def test_lsh_bipartite_skips_contentless_rows(spark):
+    """Dirty-corpus guard (advice-found): NULL/empty-text rows all minhash
+    to the sentinel signature, so without the pre-band filter n_new_null x
+    n_existing_null candidates emerge, verify to NULL jaccard, and are
+    discarded — pure quadratic waste. The banding must emit ZERO candidates
+    for contentless rows."""
+    from jsonify2ai_spark.operators.dedup import _lsh_bipartite_candidates, dedup_against
+
+    blanks = [(i, None if i % 3 == 0 else ("" if i % 3 == 1 else "   "))
+              for i in range(60)]
+    real = [(900, "a genuinely real document with several words inside it")]
+    new = spark.createDataFrame(blanks[:30] + real, "doc_id long, text string")
+    existing = spark.createDataFrame(
+        [(2000 + i, t) for i, t in blanks[30:]] + [(2900, real[0][1])],
+        "doc_id long, text string",
+    )
+    cand = _lsh_bipartite_candidates(
+        new, existing, "text", "doc_id", 64, 16, 3
+    ).collect()
+    # the only candidate is the real near-dup pair — no blank x blank rows
+    assert {(r["a"], r["b"]) for r in cand} == {(900, 2900)}
+    out = {r["doc_id"]: r["kept"] for r in dedup_against(new, existing, 0.5, method="lsh").collect()}
+    assert out[900] is False
+    assert all(v for k, v in out.items() if k != 900)
+
+
 def test_connected_components_driver_gate_parity(spark):
     """The small-graph driver union-find gate (driver_threshold, default
     100k edges) must produce exactly the distributed path's labels — same
