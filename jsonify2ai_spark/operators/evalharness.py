@@ -121,6 +121,49 @@ def default_arms(k: int = 5, dim: int = 64, embed=None) -> dict:
     }
 
 
+def word2vec_arm(corpus: DataFrame, k: int = 5, dim: int = 64, seed: int = 7):
+    """Fourth eval arm (VERDICT r4 #8): corpus-trained MLlib Word2Vec in
+    place of the order-sensitive dev-hash embedding — document vector =
+    mean of word vectors, so a REORDERED near-verbatim question keeps
+    (almost) the same vector, the stratum the hash arm scores 0 on.
+
+    Trains on the corpus text once (eager checkpoint — train once, serve
+    every question), embeds each question through the SAME fitted model and
+    the SAME JVM tokenizer as the corpus side (driver-side re-tokenization
+    would diverge on Unicode whitespace). OOV-only questions get a zero
+    vector -> NULL cosine -> no hits, which is the right behavior for the
+    absent stratum. Returns an ask_fn for run_qa_eval's arms dict; the
+    chunks argument each arm receives is ignored in favor of the
+    w2v-vectored corpus (same rows, different vector column)."""
+    from pyspark.ml.functions import vector_to_array
+
+    from jsonify2ai_spark.api import ask
+    from jsonify2ai_spark.functions.embed_mllib import word2vec_embeddings
+    from jsonify2ai_spark.functions.text import tokens
+
+    spark = corpus.sparkSession
+    w2v_corpus, model = word2vec_embeddings(
+        corpus.drop("vector"), text_col="text", out_col="vector",
+        dim=dim, seed=seed,
+    )
+    w2v_corpus = w2v_corpus.localCheckpoint()
+
+    def embed_q(q: str) -> list[float]:
+        row = (
+            model.transform(
+                spark.createDataFrame([(q,)], "text string").withColumn(
+                    "_tok",
+                    F.coalesce(tokens(F.col("text")), F.array().cast("array<string>")),
+                )
+            )
+            .select(vector_to_array(F.col("_w2v")).alias("v"))
+            .first()
+        )
+        return [float(x) for x in row["v"]]
+
+    return lambda _chunks, q: ask(w2v_corpus, q, k=k, dim=dim, embed=embed_q)
+
+
 def run_qa_eval(
     chunks: DataFrame,
     qa,

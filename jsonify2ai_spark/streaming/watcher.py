@@ -118,21 +118,41 @@ def watch_dropzone(
 
 
 def reconcile_deletes(
-    spark: SparkSession, dropzone: str, table: DataFrame, path_col: str = "path"
+    spark: SparkSession,
+    dropzone,
+    table: DataFrame,
+    path_col: str = "path",
+    broadcast_listing: bool = True,
 ) -> DataFrame:
     """T4: the surviving rows of ``table`` — those whose source file still
     exists (semi-join of table keys against the current listing; flip to
     ``left_anti`` to get the deleted set). Writing the survivors back (or
-    Delta DELETE WHERE on the anti set) completes delete propagation."""
-    from jsonify2ai_spark.sources.ingest import read_binary_files
+    Delta DELETE WHERE on the anti set) completes delete propagation.
 
+    ``dropzone`` is a directory path (listed via the binaryFile source —
+    column pruning keeps the scan metadata-only, file CONTENTS are never
+    read) or a prebuilt listing/manifest DataFrame with ``path_col`` — the
+    100 TB form, where the listing comes from an object-store inventory
+    manifest instead of a live LIST.
+
+    ``broadcast_listing=True`` (default) broadcasts the listing: right for
+    dropzone-scale reconciliation (a 100k-path listing is ~10 MB — one
+    driver round-trip, no shuffle of the table side, and the semi-join
+    prunes inside the scan). For listings past ~10M paths flip it off: the
+    plan becomes a shuffled semi-join on path, O(listing) memory per
+    executor instead of a driver-sized broadcast. See PERF.md for the
+    measured cost curve."""
+    if isinstance(dropzone, DataFrame):
+        raw = dropzone.select(F.col(path_col).alias("path"))
+    else:
+        from jsonify2ai_spark.sources.ingest import read_binary_files
+
+        raw = read_binary_files(spark, dropzone).select("path")
     # same scheme-strip as ingest._parse_one so keys align
-    listing = (
-        read_binary_files(spark, dropzone)
-        .select(
-            F.regexp_replace(F.regexp_replace("path", r"^[a-zA-Z][\w+.-]*:/+", ""), r"^/+", "")
-            .alias(path_col)
-        )
-        .distinct()
-    )
-    return table.join(F.broadcast(listing), on=path_col, how="left_semi")
+    listing = raw.select(
+        F.regexp_replace(F.regexp_replace("path", r"^[a-zA-Z][\w+.-]*:/+", ""), r"^/+", "")
+        .alias(path_col)
+    ).distinct()
+    if broadcast_listing:
+        listing = F.broadcast(listing)
+    return table.join(listing, on=path_col, how="left_semi")

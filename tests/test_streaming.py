@@ -59,6 +59,48 @@ def test_watcher_incremental_ingest(spark, tmp_path):
     assert left == {"two.csv"}
 
 
+def test_reconcile_deletes_at_listing_scale(spark, tmp_path):
+    """T4 at listing scale (VERDICT r4 #7): a 100k-path reconciliation via
+    the manifest-DataFrame form (the 100 TB shape — object-store inventory,
+    no live LIST) is one broadcast semi-join with no shuffle of the table
+    side; the non-broadcast fallback returns the identical survivor set.
+    Also pins that the manifest form and the directory form agree on a
+    physical dropzone."""
+    n = 100_000
+    path_of = F.concat(F.lit("dz/f"), F.col("id"), F.lit(".txt"))
+    # every 20th file was deleted from the dropzone
+    listing = spark.range(n).filter((F.col("id") % 20) != 0).select(
+        path_of.alias("path"))
+    table = spark.range(n).select(path_of.alias("path"), F.col("id").alias("payload"))
+    surv = reconcile_deletes(spark, listing, table)
+    assert surv.count() == n - n // 20
+    plan = surv._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # past-broadcast-scale fallback: no forced hint — same survivors. (At
+    # THIS size AQE still picks broadcast from runtime stats, which is the
+    # point of dropping the hint: the planner decides from the listing's
+    # actual size instead of a promise that breaks at 100M paths.)
+    surv2 = reconcile_deletes(spark, listing, table, broadcast_listing=False)
+    assert surv2.count() == n - n // 20
+    assert "broadcast" not in surv2._jdf.queryExecution().logical().toString().lower()
+
+    # directory form == manifest form on a real dropzone
+    dz = tmp_path / "dz"
+    dz.mkdir()
+    for i in range(50):
+        (dz / f"f{i}.txt").write_text("x")
+    t = spark.createDataFrame(
+        [(str(dz / f"f{i}.txt").lstrip("/"), i) for i in range(60)],
+        "path string, payload long",
+    )
+    by_dir = {r["path"] for r in reconcile_deletes(spark, str(dz), t).collect()}
+    manifest = spark.createDataFrame(
+        [(f"file:{dz}/f{i}.txt",) for i in range(50)], "path string"
+    )
+    by_manifest = {r["path"] for r in reconcile_deletes(spark, manifest, t).collect()}
+    assert by_dir == by_manifest and len(by_dir) == 50
+
+
 def test_watcher_rewrites_only_touched_buckets(spark, tmp_path):
     """A micro-batch must leave every bucket it doesn't touch byte-identical
     on disk — the O(delta) rewrite claim, checked at the file level."""
