@@ -36,10 +36,30 @@ K_CENTROIDS = 64
 KNN_K = 10
 
 
-def replicate(emb, reps: int):
+def replicate(emb, reps: int, mode: str = "uniform"):
     """(vec_id, embedding) x reps with deterministic perturbation; replica 0
-    is the original row. New ids = old_id * reps + r (collision-free)."""
+    is the original row. New ids = old_id * reps + r (collision-free).
+
+    mode="uniform": noise amplitude GROWS with the replica index (0.02*r, up
+    to ~5 at r=255) — the corpus stays near-uniform overall, the adversarial
+    geometry for IVF (no cluster structure for the coarse quantizer to find).
+    mode="clustered": small bounded PSEUDO-RANDOM noise (amp 0.05->0.15
+    ramped by r; phase mixed from (r, i, base) with large coprime strides so
+    no two replicas share a noise pattern) — each base vector becomes a
+    tight, well-separated cluster of `reps` points, the geometry real
+    semantic embeddings have and IVF is designed for; a query's true top-10
+    are its own low-r replicas. (A FIRST version used a shared sinusoid
+    sin(r*2.4 + i*0.7 + base): KMeans then clustered by the per-r noise
+    PATTERN instead of by base — true neighbors scattered across ~10 cells
+    and recall maxed at 0.62. Structured noise is itself structure.)"""
     r = F.col("r").cast("int")
+    if mode == "uniform":
+        noise = "0.02 * r * sin(r * 2.4 + i * 0.7 + vec_id)"
+    else:
+        noise = (
+            f"(0.05 + 0.1 * r / {reps})"
+            " * sin((r * 131 + i * 17 + vec_id * 7919) * 0.61)"
+        )
     return (
         emb.select("vec_id", "embedding")
         .crossJoin(F.broadcast(
@@ -49,9 +69,13 @@ def replicate(emb, reps: int):
             (F.col("vec_id") * reps + r).alias("vec_id"),
             F.expr(
                 "transform(embedding, (x, i) -> cast(x as double)"
-                " + 0.02 * r * sin(r * 2.4 + i * 0.7 + vec_id))"
+                f" + {noise})"
             ).alias("embedding"),
         )
+        # the crossJoin inherits the 2k-row input's partitioning (1-2
+        # partitions) — without this every downstream scan runs on 1 of 32
+        # cores (measured: the whole probe serialized)
+        .repartition(64)
     )
 
 
@@ -62,11 +86,14 @@ def recall(approx_ids: set, exact_ids: set) -> float:
 def main() -> int:
     scales = [256, 512]
     n_queries = N_QUERIES
+    mode = "uniform"
     for i, a in enumerate(sys.argv[1:]):
         if a == "--scales":
             scales = [int(x) for x in sys.argv[i + 2].split(",")]
         if a == "--queries":
             n_queries = int(sys.argv[i + 2])
+        if a == "--mode":
+            mode = sys.argv[i + 2]
 
     from jsonify2ai_spark.operators.ann import (
         build_quantized_ivf,
@@ -90,19 +117,21 @@ def main() -> int:
     results = []
     for reps in scales:
         n = 2000 * reps
-        big = replicate(emb, reps).localCheckpoint()  # materialize corpus
-        print(f"== scale {n:,} vectors ==", flush=True)
+        big = replicate(emb, reps, mode).localCheckpoint()  # materialize corpus
+        print(f"== scale {n:,} vectors, mode={mode} ==", flush=True)
 
         # offline: coarse quantizer fit on a ~2% sample, then assignment +
         # int8 quantization materialized (write-time ETL in production)
         t0 = time.time()
         cents = kmeans_centroids(big.sample(0.02, seed=7), k=K_CENTROIDS, seed=7)
         t_fit = time.time() - t0
+        # impl="arrow": numpy-GEMM assignment — at K=64 the Column-expression
+        # form drops out of codegen into interpreted eval (see ivf_assign)
         t0 = time.time()
-        assigned = ivf_assign(big, cents).localCheckpoint()
+        assigned = ivf_assign(big, cents, impl="arrow").localCheckpoint()
         t_assign = time.time() - t0
         t0 = time.time()
-        qindex = build_quantized_ivf(big, cents).localCheckpoint()
+        qindex = build_quantized_ivf(big, cents, impl="arrow").localCheckpoint()
         t_quant = time.time() - t0
         print(f"offline: kmeans_fit={t_fit:.1f}s assign={t_assign:.1f}s "
               f"quantize={t_quant:.1f}s", flush=True)
@@ -188,7 +217,7 @@ def main() -> int:
                   f"p50={p50:.2f}s", flush=True)
 
     spark.stop()
-    print(json.dumps({"metric": "ann_recall_curve", "rows": results},
+    print(json.dumps({"metric": "ann_recall_curve", "mode": mode, "rows": results},
                      separators=(",", ":")), flush=True)
     return 0
 

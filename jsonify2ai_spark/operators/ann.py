@@ -76,13 +76,57 @@ def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
     vector_col: str = "embedding",
+    impl: str = "auto",
 ) -> DataFrame:
     """Append `cluster` = 0-based index of the nearest centroid (first wins on
     ties). Pure projection — at scale this is the one-time ETL that feeds
-    `.write.partitionBy("cluster")`."""
-    sims = centroid_scores(F.col(vector_col), centroids)
-    cluster = F.array_position(sims, F.array_max(sims)) - 1
-    return df.withColumn("cluster", cluster.cast("int"))
+    `.write.partitionBy("cluster")`.
+
+    ``impl="expr"``: the K cosines as one Column expression — exactly
+    engine-replayable (the DuckDB oracle form), and codegen'd at small K.
+    BUT Catalyst's whole-stage codegen bails on a K-element CreateArray of
+    zip_with/aggregate folds somewhere past K~16 and falls back to
+    INTERPRETED eval — measured ~2 orders of magnitude slower at K=64
+    (jstack: ZipWith.eval/ArrayAggregate.eval hot in a CreateArray.map).
+    ``impl="arrow"``: one numpy GEMM per Arrow batch
+    (batch_norms x centroid_norms; argmax row-wise) — the 100 TB form for
+    production K (hundreds to thousands of cells). Identical assignments up
+    to float-summation order; ties break to the first max in both.
+    ``impl="auto"`` picks expr for K <= 16 (oracle-parity zone) else arrow.
+    """
+    k = len(centroids)
+    if impl == "auto":
+        impl = "expr" if k <= 16 else "arrow"
+    if impl == "expr":
+        sims = centroid_scores(F.col(vector_col), centroids)
+        cluster = F.array_position(sims, F.array_max(sims)) - 1
+        return df.withColumn("cluster", cluster.cast("int"))
+    if impl != "arrow":
+        raise ValueError(f"unknown impl: {impl!r}")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype=np.float64)  # (K, dim)
+    cnorms = np.sqrt((cents * cents).sum(axis=1))  # (K,)
+
+    def _assign_batch(vs):
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])  # (B, dim)
+        if m.size == 0:
+            return pd.Series([], dtype="int32")
+        dots = m @ cents.T  # (B, K) — BLAS GEMM, the whole batch at once
+        vnorms = np.sqrt((m * m).sum(axis=1))  # (B,)
+        denom = np.outer(vnorms, cnorms)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom != 0, dots / denom, -np.inf)
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    # explicit pandas_udf(fn, type): `from __future__ import annotations`
+    # stringifies hints, which the decorator's hint-inference can't resolve
+    _assign = pandas_udf(_assign_batch, "int")
+
+    return df.withColumn("cluster", _assign(F.col(vector_col).cast("array<double>")))
 
 
 def probe_clusters(
@@ -183,6 +227,7 @@ def build_quantized_ivf(
     centroids: list[list[float]],
     vector_col: str = "embedding",
     id_col: str = "vec_id",
+    impl: str = "auto",
 ) -> DataFrame:
     """OFFLINE ETL for the quantized-IVF serving index: (id, cluster, qvec,
     scale) — nearest-centroid assignment at FLOAT precision (the coarse
@@ -197,7 +242,7 @@ def build_quantized_ivf(
     cancel in :func:`int8_cosine`)."""
     from jsonify2ai_spark.functions.vectors import quantize_embeddings
 
-    assigned = ivf_assign(df.select(id_col, vector_col), centroids, vector_col)
+    assigned = ivf_assign(df.select(id_col, vector_col), centroids, vector_col, impl=impl)
     return quantize_embeddings(
         assigned, vector_col, id_col, carry_cols=("cluster",)
     )

@@ -66,6 +66,23 @@ def test_kmeans_centroids_usable_for_ivf(tables):
     assert rows[0]["vec_id"] == 0  # the query vector's own cell is probed
 
 
+def test_ivf_assign_arrow_matches_expr(tables):
+    """The numpy-GEMM assignment path (production form for K > ~16, where
+    the Column-expression form falls out of codegen into interpreted eval)
+    must assign every vector to the same cluster as the expression form."""
+    emb = tables["embeddings"]
+    cents = _centroids(tables, k=8)
+    by_expr = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, cents, impl="expr").collect()
+    }
+    by_arrow = {
+        r["vec_id"]: r["cluster"]
+        for r in ivf_assign(emb, cents, impl="arrow").collect()
+    }
+    assert by_arrow == by_expr
+
+
 def test_quantized_ivf_matches_float_ivf_ranking(tables):
     """The composed int8-inside-IVF serving path: same probed cells as the
     float IVF path, and int8 scoring preserves the float ranking on the
@@ -106,6 +123,59 @@ def test_quantized_ivf_index_is_maponly_and_smaller(tables):
     row = index.first()
     assert set(index.columns) == {"vec_id", "cluster", "qvec", "scale"}
     assert all(-127 <= v <= 127 for v in row["qvec"])
+
+
+def test_quantized_ivf_recall_floor_at_scale(spark, tables):
+    """Recall floor at beyond-bench scale (VERDICT r4 #5): 128k vectors
+    (2k bases x 64 pseudo-random-noise replicas — tight clusters, the
+    geometry IVF is designed for), KMeans k=32 coarse quantizer fit on a
+    sample, int8-quantized index. Probing 8/32 cells must keep recall@10
+    >= 0.75 vs the exact float scan (bench_ann_recall.py measured 0.90 at
+    the same cells-probed fraction on 512k; floor set with slack for
+    kmeans sampling variance), and int8 must equal float recall exactly
+    (quantization reorders nothing at these score gaps)."""
+    from jsonify2ai_spark.operators.ann import (
+        build_quantized_ivf,
+        ivf_assign,
+        ivf_topk,
+        kmeans_centroids,
+        quantized_ivf_topk,
+    )
+
+    emb = tables["embeddings"]
+    reps = 64
+    big = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(spark.range(reps).select(F.col("id").alias("r"))))
+        .select(
+            (F.col("vec_id") * reps + F.col("r").cast("int")).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> cast(x as double)"
+                f" + (0.05 + 0.1 * r / {reps})"
+                " * sin((r * 131 + i * 17 + vec_id * 7919) * 0.61))"
+            ).alias("embedding"),
+        )
+        .repartition(32)
+        .localCheckpoint()
+    )
+    cents = kmeans_centroids(big.sample(0.05, seed=7), k=32, seed=7)
+    assigned = ivf_assign(big, cents, impl="arrow").localCheckpoint()
+    qindex = build_quantized_ivf(big, cents, impl="arrow").localCheckpoint()
+
+    from jsonify2ai_spark.operators.search import knn_brute
+
+    recalls_f, recalls_q = [], []
+    for qid in (0, 1, 2):
+        q = [float(x) for x in emb.filter(F.col("vec_id") == qid).select("embedding").first()[0]]
+        exact = {r["vec_id"] for r in knn_brute(big, q, k=10).collect()}
+        f_ids = {r["vec_id"] for r in ivf_topk(
+            assigned, q, cents, k=10, n_probe=8, preassigned=True).collect()}
+        q_ids = {r["vec_id"] for r in quantized_ivf_topk(
+            qindex, q, cents, k=10, n_probe=8).collect()}
+        recalls_f.append(len(f_ids & exact) / 10)
+        recalls_q.append(len(q_ids & exact) / 10)
+    assert sum(recalls_q) / 3 >= 0.75, (recalls_q, recalls_f)
+    assert recalls_q == recalls_f  # int8 == float recall, pointwise
 
 
 def test_lsh_similarity_join_recall(tables):

@@ -243,6 +243,49 @@ def test_q67_quantized_search_scan_once_takeordered(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p[:1500]
 
 
+def test_q69_quantized_ivf_prune_then_takeordered(spark):
+    """Composed int8-IVF serving (q69): the query side is a cluster filter
+    + integer cosine + TakeOrderedAndProject — no join, no shuffle of the
+    index (the only Exchange is the top-k's single-partition gather). The
+    cluster filter sits in the scan stage, which is what becomes a
+    partition PRUNE under the partitionBy(cluster) layout."""
+    import re
+
+    p = plan_string(entry_mod.q69_quantized_ivf(spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in p, p[:1500]
+    assert "Join" not in p, p[:1500]
+    assert "cluster" in p and "IN (" in p.upper() or "cluster#" in p, p[:800]
+    data_shuffles = re.findall(r"\bExchange (?:hash|range)", p)
+    assert not data_shuffles, (data_shuffles, p[:1500])
+
+
+def test_quantized_ivf_partitioned_layout_prunes(spark, tmp_path):
+    """The 100 TB layout claim, executed: write the quantized index
+    partitionBy(cluster), query it with the probe filter, and assert the
+    scan's PartitionFilters prune to the probed cells — only n_probe/K of
+    the files are read, before any row is touched."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.ann import (
+        build_quantized_ivf, probe_clusters, quantized_ivf_topk,
+    )
+    from jsonify2ai_spark.session import load_tables
+
+    emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    rows = emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("embedding").collect()
+    cents = [[float(x) for x in r[0]] for r in rows]
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    path = str(tmp_path / "qivf")
+    build_quantized_ivf(emb, cents).write.partitionBy("cluster").parquet(path)
+    index = spark.read.parquet(path)
+    out = quantized_ivf_topk(index, q, cents, k=5, n_probe=2)
+    p = plan_string(out, "formatted")
+    assert "PartitionFilters" in p and "cluster" in p, p[:2000]
+    # correctness through the physical layout: self-hit at ~1.0
+    top = out.collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["qcos"] - 1.0) < 1e-4
+
+
 def test_q64_tfidf_small_sides_broadcast_one_corpus_shuffle(spark):
     """Sparse TF-IDF cosine (q64): the corpus-sized data crosses the wire
     once (the (doc,bucket) tf aggregation); everything joined onto it — the
