@@ -1262,6 +1262,28 @@ def q69_quantized_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/sampling.py per_source_cap): the
+    CC-pipeline rule "no domain contributes more than N docs", as a
+    deterministic hash-order rank within source + kept flag. Skew-aware
+    two-phase rank: md5-prefix sub-buckets give 256x window parallelism on
+    hot domains; offsets restore the exact global per-source rank."""
+    from jsonify2ai_spark.operators.sampling import per_source_cap
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return per_source_cap(t["documents"], cap=10)
+
+
+def q71_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter (operators/textstats.py gopher_filter):
+    length / mean-word-length / repetition rules composed into per-doc
+    named verdicts + keep flag, one zero-shuffle Arrow pass."""
+    from jsonify2ai_spark.operators.textstats import gopher_filter
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return gopher_filter(t["documents"])
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1284,7 +1306,6 @@ def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
-        "q09_events_hourly": q09_events_hourly,
         "q11_json_extract": q11_json_extract,
         "q12_doc_stats": q12_doc_stats,
         "q14_language_id": q14_language_id,
@@ -1292,7 +1313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_jaccard_pairs": q17_jaccard_pairs,
         "q18_minhash_lsh": q18_minhash_lsh,
         "q19_knn_brute": q19_knn_brute,
-        "q20_embedding_pairs": q20_embedding_pairs,
         "q21_vector_search_docs": q21_vector_search_docs,
         "q22_source_inventory": q22_source_inventory,
         "q23_ask_snippets": q23_ask_snippets,
@@ -1329,8 +1349,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_token_budget_mix": q66_token_budget_mix,
         "q67_quantized_search": q67_quantized_search,
         "q68_overlap_pairs": q68_overlap_pairs,
-        # r5 new operator: int8-inside-IVF composed serving path
+        # r5 new operators: int8-inside-IVF composed serving path; per-domain
+        # cap; Gopher-rule filter (r4-green q09/q20 rotate to the tail to
+        # keep all new code inside the gate window)
         "q69_quantized_ivf": q69_quantized_ivf,
+        "q70_per_source_cap": q70_per_source_cap,
+        "q71_gopher_filter": q71_gopher_filter,
         # r5 rotation (VERDICT r4 #4): no query goes >2 rounds without a
         # driver-green row — these three were last driver-checked in r3
         # (r4-green q02/q42/q46/q47 rotate to the tail in exchange).
@@ -1343,6 +1367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the most likely to be wrong — the gate exists for exactly it).
         # These still run in bench.py and verify_local.py.
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 in-gate
+        "q09_events_hourly": q09_events_hourly,  # time-bucket agg: q31/q50 class, r4-green
+        "q20_embedding_pairs": q20_embedding_pairs,  # GEMM pairs: q19/q25/q67/q69 ANN class in-gate, r4-green
         "q02_revenue_filter": q02_revenue_filter,  # count-by-pred: q13 class, r4-green
         "q42_moving_window": q42_moving_window,  # RANGE-frame window, r4-green
         "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,  # decorrelated MIN-subquery, r4-green
@@ -2506,5 +2532,59 @@ def oracle_sql() -> dict[str, str]:
             WHERE na > 0 AND nb > 0
             ORDER BY dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, vec_id ASC
             LIMIT 10
+        """,
+        # twin of sampling.per_source_cap: the two-phase bucketed rank equals
+        # a plain per-source row_number over the md5 hash order (the bucket
+        # is a prefix of the ordering hash), so the oracle uses the direct
+        # window form
+        "q70_per_source_cap": """
+            WITH h AS (
+                SELECT doc_id, source,
+                       md5(coalesce(source, '') || '|' || CAST(doc_id AS VARCHAR)) AS hh
+                FROM documents)
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY hh, doc_id) AS INT) AS src_rank,
+                   (row_number() OVER (
+                       PARTITION BY source ORDER BY hh, doc_id)) <= 10 AS kept
+            FROM h
+        """,
+        # twin of textstats.gopher_filter: same tokenization/counters as the
+        # q59 oracle + word-shape rules; identical 4dp rounding before flags
+        "q71_gopher_filter": r"""
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+            ), words AS (
+                SELECT doc_id, unnest(l) AS w FROM t
+            ), uni AS (
+                SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2
+            ), unistats AS (
+                SELECT doc_id, sum(c) AS n_words, max(c) AS top_w,
+                       sum(len(w) * c) AS sum_chars
+                FROM uni GROUP BY 1
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS b
+                FROM t
+            ), bi AS (
+                SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+            ), bistats AS (
+                SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg FROM bi GROUP BY 1
+            ), sig AS (
+                SELECT u.doc_id,
+                       CAST(u.n_words AS BIGINT) AS n_words,
+                       round(CAST(u.sum_chars AS DOUBLE) / u.n_words, 4) AS mean_word_len,
+                       round(CAST(u.top_w AS DOUBLE) / u.n_words, 4) AS top_word_frac,
+                       round(coalesce(CAST(b.top_bg AS DOUBLE) / b.n_bg, 0.0), 4) AS top_bigram_frac
+                FROM unistats u LEFT JOIN bistats b USING (doc_id)
+            )
+            SELECT doc_id, n_words, mean_word_len, top_word_frac, top_bigram_frac,
+                   (n_words >= 15 AND n_words <= 100000) AS ok_length,
+                   (mean_word_len >= 2.0 AND mean_word_len <= 12.0) AS ok_word_len,
+                   NOT (top_word_frac > 0.2 OR top_bigram_frac > 0.18) AS ok_repetition,
+                   ((n_words >= 15 AND n_words <= 100000)
+                    AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+                    AND NOT (top_word_frac > 0.2 OR top_bigram_frac > 0.18)) AS keep
+            FROM sig
         """,
     }

@@ -140,3 +140,65 @@ def weighted_interleave(
     if materialize_order:
         return out.withColumn("mix_order", F.row_number().over(Window.orderBy(*order)))
     return out.orderBy(*order)
+
+
+def per_source_cap(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap (the CommonCrawl-pipeline step: no single
+    domain may contribute more than ``cap`` documents): every row gains its
+    deterministic hash-order rank within its source and a ``kept`` flag
+    (rank <= cap). Hash order makes the kept set a uniform random — but
+    reproducible, partitioning-independent — ``cap``-subset per domain.
+
+    Skew-aware two-phase rank: a naive row_number over
+    partitionBy(source) funnels a hot domain (a billion-doc site at 100 TB)
+    through ONE task. Instead the md5's first byte splits every source into
+    256 sub-buckets: phase 1 aggregates (source, bucket) counts — a
+    |sources| x 256-row table — and turns them into per-source running
+    offsets; phase 2 ranks within (source, bucket) — 256x the parallelism
+    on the hot key — and adds the broadcast offset. Because the bucket is a
+    PREFIX of the ordering hash, offset + within-bucket rank IS the global
+    per-source hash-order rank.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col(source_col), F.lit("")),
+            F.col(id_col).cast("string"),
+        )
+    )
+    based = df.select(
+        F.col(id_col), F.col(source_col), h.alias("_h"),
+        F.substring(h, 1, 2).alias("_bkt"),
+    )
+    counts = based.groupBy(source_col, "_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    offsets = counts.select(
+        source_col,
+        "_bkt",
+        F.sum("_c")
+        .over(
+            Window.partitionBy(source_col)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("_off"),
+    ).withColumn("_off", F.coalesce("_off", F.lit(0)))
+    rk = F.row_number().over(
+        Window.partitionBy(source_col, "_bkt").orderBy(F.col("_h"), F.col(id_col))
+    )
+    out = (
+        based.join(F.broadcast(offsets), [source_col, "_bkt"])
+        .select(
+            F.col(id_col),
+            F.col(source_col),
+            (F.col("_off") + rk).cast("int").alias("src_rank"),
+        )
+        .withColumn("kept", F.col("src_rank") <= cap)
+    )
+    return out

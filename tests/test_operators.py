@@ -774,3 +774,51 @@ def test_repetition_stats_null_text_parity(spark):
     b = sorted(map(tuple, repetition_stats(df, impl="expr").collect()))
     assert a == b
     assert [r[0] for r in a] == [2]  # null and empty rows dropped, not crashed
+
+
+def test_per_source_cap_deterministic_and_capped(spark):
+    """Per-domain cap: ranks are a 1..n permutation per source, kept counts
+    are min(cap, |source|), and the output is PARTITIONING-INDEPENDENT —
+    the same (doc, rank) pairs from any input layout (the hash order is a
+    function of the data, not the shuffle)."""
+    from jsonify2ai_spark.operators.sampling import per_source_cap
+
+    rows = [(i, f"site{i % 3}") for i in range(60)] + [(100, "rare")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r["doc_id"]: (r["source"], r["src_rank"], r["kept"])
+           for r in per_source_cap(docs, cap=5).collect()}
+    assert len(out) == 61
+    for src, n in (("site0", 20), ("site1", 20), ("site2", 20), ("rare", 1)):
+        ranks = sorted(rk for _, (s, rk, _) in out.items() if s == src)
+        assert ranks == list(range(1, n + 1)), (src, ranks)
+        kept = [k for _, (s, _, k) in out.items() if s == src and k]
+        assert len(kept) == min(5, n)
+    out2 = {r["doc_id"]: (r["source"], r["src_rank"], r["kept"])
+            for r in per_source_cap(docs.repartition(7), cap=5).collect()}
+    assert out2 == out
+
+
+def test_gopher_filter_rules_fire_individually(spark):
+    """Each Gopher rule must fire on its designed failure mode and only
+    there; contentless docs are dropped (q59 parity)."""
+    from jsonify2ai_spark.operators.textstats import gopher_filter
+
+    good = " ".join(f"word{i % 7}x{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                     # passes all
+            (2, "too short to keep"),                      # ok_length fails
+            (3, " ".join("a" * 30 for _ in range(25))),    # mean word len 30
+            (4, " ".join(["spam spam"] * 30)),             # repetitive
+            (5, None),                                     # dropped
+            (6, "   "),                                    # dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_filter(docs).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["keep"] and got[1]["ok_length"] and got[1]["ok_word_len"] and got[1]["ok_repetition"]
+    assert not got[2]["ok_length"] and got[2]["ok_word_len"]
+    assert not got[3]["ok_word_len"] and got[3]["ok_length"]
+    assert not got[4]["ok_repetition"] and not got[4]["keep"]
+    assert all(not got[d]["keep"] for d in (2, 3, 4))
