@@ -1284,6 +1284,16 @@ def q71_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_filter(t["documents"])
 
 
+def q72_clip_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget truncation (operators/packing.py clip_to_token_budget):
+    whole-token clip to a 20-token context budget with audit counts — the
+    prep step before q57's sequence packing. Map-only, zero shuffles."""
+    from jsonify2ai_spark.operators.packing import clip_to_token_budget
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return clip_to_token_budget(t["documents"], budget=20)
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1313,7 +1323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_jaccard_pairs": q17_jaccard_pairs,
         "q18_minhash_lsh": q18_minhash_lsh,
         "q19_knn_brute": q19_knn_brute,
-        "q21_vector_search_docs": q21_vector_search_docs,
         "q22_source_inventory": q22_source_inventory,
         "q23_ask_snippets": q23_ask_snippets,
         "q24_replace_upsert": q24_replace_upsert,
@@ -1355,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_quantized_ivf": q69_quantized_ivf,
         "q70_per_source_cap": q70_per_source_cap,
         "q71_gopher_filter": q71_gopher_filter,
+        "q72_clip_tokens": q72_clip_tokens,
         # r5 rotation (VERDICT r4 #4): no query goes >2 rounds without a
         # driver-green row — these three were last driver-checked in r3
         # (r4-green q02/q42/q46/q47 rotate to the tail in exchange).
@@ -1369,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 in-gate
         "q09_events_hourly": q09_events_hourly,  # time-bucket agg: q31/q50 class, r4-green
         "q20_embedding_pairs": q20_embedding_pairs,  # GEMM pairs: q19/q25/q67/q69 ANN class in-gate, r4-green
+        "q21_vector_search_docs": q21_vector_search_docs,  # filtered vector search: q19/q50 class, r4-green
         "q02_revenue_filter": q02_revenue_filter,  # count-by-pred: q13 class, r4-green
         "q42_moving_window": q42_moving_window,  # RANGE-frame window, r4-green
         "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,  # decorrelated MIN-subquery, r4-green
@@ -2586,5 +2597,19 @@ def oracle_sql() -> dict[str, str]:
                     AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
                     AND NOT (top_word_frac > 0.2 OR top_bigram_frac > 0.18)) AS keep
             FROM sig
+        """,
+        # twin of packing.clip_to_token_budget: same split regex, same
+        # space re-join, budget 20
+        "q72_clip_tokens": r"""
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+                FROM documents
+                WHERE length(trim(coalesce(text, ''))) > 0)
+            SELECT doc_id,
+                   CAST(len(l) AS BIGINT) AS n_tokens,
+                   CAST(least(len(l), 20) AS BIGINT) AS n_kept,
+                   (len(l) > 20) AS clipped,
+                   array_to_string(l[1:20], ' ') AS clipped_text
+            FROM t
         """,
     }

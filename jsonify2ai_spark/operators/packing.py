@@ -67,3 +67,44 @@ def pack_sequences(
         return pdf
 
     return grouped.groupBy("pack_group").applyInPandas(fold, schema=out_schema)
+
+
+def clip_to_token_budget(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token-budget truncation — the prep step BEFORE
+    :func:`pack_sequences` (packing never splits documents, so any doc
+    longer than the context budget must be clipped first or it monopolizes
+    a bin). Whole-token truncation on the engine's standard whitespace
+    tokenization: keep the first ``budget`` tokens, report original and
+    kept counts plus the clipped flag for pipeline audit.
+
+    Map-only Column expressions end to end (tokenize -> slice -> re-join):
+    zero shuffles at any corpus size, and every output is replayable in
+    the DuckDB oracle (same split regex, same join separator). Contentless
+    docs (NULL/empty) are dropped, matching the stats operators (q59/q71).
+    """
+    from jsonify2ai_spark.functions.text import tokens
+
+    nonempty = df.filter(
+        F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0
+    )
+    tk = F.array(tokens(F.col(text_col)))
+    # let-bind the token array: referencing tokens() in each output column
+    # would re-run the split regex per column (no CSE across expressions)
+    based = nonempty.select(
+        F.col(id_col),
+        F.element_at(tk, 1).alias("_tk"),
+    )
+    n = F.size("_tk")
+    kept = F.least(n, F.lit(budget))
+    return based.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        kept.cast("bigint").alias("n_kept"),
+        (n > budget).alias("clipped"),
+        F.concat_ws(" ", F.slice("_tk", 1, budget)).alias("clipped_text"),
+    )

@@ -822,3 +822,29 @@ def test_gopher_filter_rules_fire_individually(spark):
     assert not got[3]["ok_word_len"] and got[3]["ok_length"]
     assert not got[4]["ok_repetition"] and not got[4]["keep"]
     assert all(not got[d]["keep"] for d in (2, 3, 4))
+
+
+def test_clip_to_token_budget_whole_tokens(spark):
+    """Token-budget clip: whole-token truncation (never mid-token), exact
+    counts, unclipped docs unchanged up to whitespace normalization,
+    contentless docs dropped; the plan is map-only (no Exchange)."""
+    from jsonify2ai_spark.operators.packing import clip_to_token_budget
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "short doc"),
+            (3, None),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = clip_to_token_budget(docs, budget=4)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_tokens"] == 6 and got[1]["n_kept"] == 4 and got[1]["clipped"]
+    assert got[1]["clipped_text"] == "one two three four"
+    assert got[2]["n_tokens"] == 2 and not got[2]["clipped"]
+    assert got[2]["clipped_text"] == "short doc"
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
