@@ -217,6 +217,41 @@ def test_q59_repetition_arrow_zero_aggregation_shuffles(spark):
     assert p2.count("Exchange") == 2, p2[:1500]
 
 
+def test_q70_per_source_cap_offsets_broadcast(spark):
+    """Two-phase bucketed rank: the per-(source,bucket) offsets table
+    (|sources| x 256 rows) must BROADCAST onto the corpus — a
+    SortMergeJoin would shuffle the corpus to apply a dimension-sized
+    table. The rank windows partition by (source, bucket), never by bare
+    source (that single-task hot-domain window is what the design
+    avoids)."""
+    p = plan_string(entry_mod.q70_per_source_cap(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in p, p[:1500]
+    assert "SortMergeJoin" not in p, p[:1500]
+    import re
+    frags = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    # the CORPUS rank window partitions by (source, _bkt) — 256x the
+    # parallelism on a hot domain...
+    assert any("source" in f and "_bkt" in f for f in frags), (frags, p[:1500])
+    # ...and bare-source partitionings exist only for the running-offset
+    # window over the aggregated (source,_bkt) COUNTS table (tiny by
+    # construction). The corpus is never windowed by bare source: exactly
+    # the aggregate-side occurrences appear, each preceded by the count
+    # aggregation in the same subtree.
+    bare = [f for f in frags if "source" in f and "_bkt" not in f]
+    assert len(bare) <= 1, (frags, p[:1500])
+    assert "HashAggregate" in p  # the counts aggregation feeding offsets
+
+
+def test_q71_gopher_filter_zero_aggregation_shuffles(spark):
+    """Same contract as q59: per-document signals, one corpus scan, no
+    aggregation exchange (the only Exchange allowed is
+    ensure_min_partitions' parallelism round-robin)."""
+    p = plan_string(entry_mod.q71_gopher_filter(spark, SF_DIR), "simple")
+    assert p.count("Scan parquet") == 1, p[:1500]
+    assert p.count("HashAggregate") == 0, p[:1500]
+    assert p.count("Exchange") <= 1, p[:1500]
+
+
 def test_q60_decontaminate_broadcasts_benchmark(spark):
     """The benchmark shingle set must broadcast (eval sets are tiny next to
     a training corpus); the corpus side streams map-only into the join."""
