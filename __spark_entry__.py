@@ -1294,6 +1294,17 @@ def q72_clip_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clip_to_token_budget(t["documents"], budget=20)
 
 
+def q73_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM scoring (operators/textstats.py
+    bigram_logprob): per-doc mean ln of lam*P_bigram + (1-lam)*P_unigram,
+    Laplace-smoothed, corpus-trained — the word-order-sensitive step toward
+    CCNet's KenLM perplexity filter that q61's unigram model cannot see."""
+    from jsonify2ai_spark.operators.textstats import bigram_logprob
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return bigram_logprob(t["documents"])
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1339,7 +1350,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_asof_join": q40_asof_join,
         "q44_hybrid_rrf": q44_hybrid_rrf,
         "q48_salted_agg": q48_salted_agg,
-        "q49_salted_join": q49_salted_join,
         "q50_time_range_search": q50_time_range_search,
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_jaccard_capped": q52_jaccard_capped,
@@ -1365,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_per_source_cap": q70_per_source_cap,
         "q71_gopher_filter": q71_gopher_filter,
         "q72_clip_tokens": q72_clip_tokens,
+        "q73_bigram_logprob": q73_bigram_logprob,
         # r5 rotation (VERDICT r4 #4): no query goes >2 rounds without a
         # driver-green row — these three were last driver-checked in r3
         # (r4-green q02/q42/q46/q47 rotate to the tail in exchange).
@@ -1380,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q09_events_hourly": q09_events_hourly,  # time-bucket agg: q31/q50 class, r4-green
         "q20_embedding_pairs": q20_embedding_pairs,  # GEMM pairs: q19/q25/q67/q69 ANN class in-gate, r4-green
         "q21_vector_search_docs": q21_vector_search_docs,  # filtered vector search: q19/q50 class, r4-green
+        "q49_salted_join": q49_salted_join,  # skew family: q48 salted agg stays in-gate, r4-green
         "q02_revenue_filter": q02_revenue_filter,  # count-by-pred: q13 class, r4-green
         "q42_moving_window": q42_moving_window,  # RANGE-frame window, r4-green
         "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,  # decorrelated MIN-subquery, r4-green
@@ -2611,5 +2623,43 @@ def oracle_sql() -> dict[str, str]:
                    (len(l) > 20) AS clipped,
                    array_to_string(l[1:20], ' ') AS clipped_text
             FROM t
+        """,
+        # twin of textstats.bigram_logprob: same tokenization, Laplace
+        # bigram interpolated (lam=0.7, alpha=1.0) onto the Laplace
+        # unigram, natural log, 4dp rounding
+        "q73_bigram_logprob": r"""
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+            ), words AS (
+                SELECT doc_id, unnest(l) AS w FROM t
+            ), uni AS (
+                SELECT w, count(*) AS uc FROM words GROUP BY w
+            ), tot AS (
+                SELECT CAST(sum(uc) AS DOUBLE) AS N, CAST(count(*) AS DOUBLE) AS V FROM uni
+            ), bg AS (
+                SELECT doc_id, u['w1'] AS w1, u['w2'] AS w2
+                FROM (SELECT doc_id,
+                             unnest(list_transform(range(1, len(l)),
+                                    i -> {'w1': l[i], 'w2': l[i+1]})) AS u
+                      FROM t)
+            ), dbg AS (
+                SELECT doc_id, w1, w2, count(*) AS dc FROM bg GROUP BY 1, 2, 3
+            ), bc AS (
+                SELECT w1, w2, sum(dc) AS bc FROM dbg GROUP BY 1, 2
+            ), scored AS (
+                SELECT d.doc_id, d.dc,
+                       ln(0.7 * (b.bc + 1.0) / (u1.uc + 1.0 * tot.V)
+                          + (1.0 - 0.7) * (u2.uc + 1.0) / (tot.N + 1.0 * tot.V)) AS logp
+                FROM dbg d
+                JOIN bc b ON b.w1 = d.w1 AND b.w2 = d.w2
+                JOIN uni u1 ON u1.w = d.w1
+                JOIN uni u2 ON u2.w = d.w2
+                CROSS JOIN tot
+            )
+            SELECT doc_id,
+                   CAST(sum(dc) AS BIGINT) AS n_bigrams,
+                   round(sum(dc * logp) / sum(dc), 4) AS logprob_per_bigram,
+                   round(exp(-(sum(dc * logp) / sum(dc))), 4) AS ppl
+            FROM scored GROUP BY doc_id
         """,
     }

@@ -413,3 +413,75 @@ def gopher_filter(
         ok_repetition.alias("ok_repetition"),
         (ok_length & ok_word_len & ok_repetition).alias("keep"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated-bigram LM quality signal — one modeling step up from
+    :func:`unigram_logprob` toward the KenLM n-gram perplexity filter CCNet
+    runs: per document, the mean over bigram positions of
+    ln( lam * (c(w1 w2)+a)/(c(w1)+a*V) + (1-lam) * (c(w2)+a)/(N+a*V) ) —
+    Laplace-smoothed bigram backed off onto the Laplace unigram. Word-soup
+    that passes unigram screening (right words, wrong order) scores low
+    here; that is the signal bigrams add.
+
+    Plan: ONE tokenize pass feeds both the unigram explode and the
+    zip_with bigram explode; corpus model counts (unigram, context, bigram)
+    derive from those frames lazily checkpointed; the two model scalars
+    (N, V) attach as a one-row broadcast. The model joins are plain
+    shuffle joins — at 100 TB the bigram vocabulary is far past broadcast
+    size, and AQE broadcasts automatically when it is not. Docs with < 2
+    tokens have no bigram positions and are dropped (q59/q71 parity).
+    Output (id, n_bigrams, logprob_per_bigram, ppl), 4dp-rounded so
+    cross-engine libm ulp noise cannot reach the oracle hash.
+    """
+    toked = df.select(F.col(id_col), tokens(_c(text_col)).alias("_tk"))
+    words = toked.select(F.col(id_col), F.explode("_tk").alias("w"))
+    uni = (
+        words.groupBy("w").agg(F.count(F.lit(1)).alias("uc")).localCheckpoint(eager=False)
+    )
+    totals = uni.agg(
+        F.sum("uc").cast("double").alias("N"),
+        F.count(F.lit(1)).cast("double").alias("V"),
+    )
+    n_less1 = F.greatest(F.size("_tk") - 1, F.lit(0))
+    bg = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_tk"), 1, n_less1),
+                F.slice(F.col("_tk"), 2, n_less1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+    dbg = (
+        bg.groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .localCheckpoint(eager=False)
+    )
+    bcounts = dbg.groupBy("w1", "w2").agg(F.sum("dc").alias("bc"))
+    scored = (
+        dbg.join(bcounts, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("uc").alias("cw1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("uc").alias("cw2")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    p_bg = (F.col("bc") + F.lit(alpha)) / (F.col("cw1") + F.lit(alpha) * F.col("V"))
+    p_un = (F.col("cw2") + F.lit(alpha)) / (F.col("N") + F.lit(alpha) * F.col("V"))
+    logp = F.log(F.lit(lam) * p_bg + F.lit(1.0 - lam) * p_un)
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("dc").cast("bigint").alias("n_bigrams"),
+        (F.sum(F.col("dc") * logp) / F.sum("dc")).alias("_lp"),
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        F.round("_lp", 4).alias("logprob_per_bigram"),
+        F.round(F.exp(-F.col("_lp")), 4).alias("ppl"),
+    )

@@ -848,3 +848,24 @@ def test_clip_to_token_budget_whole_tokens(spark):
     assert got[2]["clipped_text"] == "short doc"
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bigram_logprob_penalizes_word_soup(spark):
+    """The signal bigrams add over q61's unigram model: two docs with the
+    IDENTICAL token multiset — one in the corpus's habitual order, one
+    shuffled — tie under a unigram LM by construction, but the shuffled one
+    must show higher bigram perplexity. Also: <2-token docs are dropped."""
+    from jsonify2ai_spark.operators.textstats import bigram_logprob, unigram_logprob
+
+    phrase = "the quick brown fox jumps over the lazy dog"
+    soup = "dog the over fox quick jumps lazy the brown"  # same multiset
+    rows = [(i, phrase) for i in range(10)]
+    rows += [(100, phrase), (101, soup), (200, "single")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uni = {r["doc_id"]: r["ppl"] for r in unigram_logprob(docs).collect()}
+    assert uni[100] == uni[101]  # unigram is blind to order
+    bi = {r["doc_id"]: r["ppl"] for r in bigram_logprob(docs).collect()}
+    assert bi[101] > bi[100] * 2, (bi[100], bi[101])
+    assert 200 not in bi  # no bigram positions
+    assert 200 in uni  # but the unigram model scores it
