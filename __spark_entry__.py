@@ -1305,6 +1305,30 @@ def q73_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(t["documents"])
 
 
+def q74_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health QA (operators/inventory.py embedding_stats):
+    per-dimension n/mean/stddev/min/max — dead-dimension / scale-outlier /
+    ragged-width detection before ANN index builds."""
+    from jsonify2ai_spark.operators.inventory import embedding_stats
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return embedding_stats(t["embeddings"])
+
+
+def q75_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup representative selection (operators/dedup.py
+    dedup_keep_best): minhash-LSH near-dup clusters (q18/q51 pair
+    generation), keep the LONGEST member per cluster (n_chars quality,
+    ties -> min id) instead of min-id — "keep the best copy"."""
+    from jsonify2ai_spark.operators.dedup import dedup_keep_best
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = minhash_lsh_pairs(
+        t["documents"], num_hashes=_MINHASH_H, bands=_MINHASH_BANDS
+    )
+    return dedup_keep_best(t["documents"], pairs, quality_col="n_chars")
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1341,12 +1365,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_simhash_pairs": q26_simhash_pairs,
         "q28_winnowing": q28_winnowing,
         "q29_multimodal_meta": q29_multimodal_meta,
-        "q30_bm25_search": q30_bm25_search,
         "q31_stats_rollup": q31_stats_rollup,
         "q34_chunk_stats": q34_chunk_stats,
         "q35_archive_shards": q35_archive_shards,
         "q38_latency_percentiles": q38_latency_percentiles,
-        "q39_sessionize": q39_sessionize,
         "q40_asof_join": q40_asof_join,
         "q44_hybrid_rrf": q44_hybrid_rrf,
         "q48_salted_agg": q48_salted_agg,
@@ -1376,6 +1398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_gopher_filter": q71_gopher_filter,
         "q72_clip_tokens": q72_clip_tokens,
         "q73_bigram_logprob": q73_bigram_logprob,
+        "q74_embedding_stats": q74_embedding_stats,
+        "q75_dedup_keep_best": q75_dedup_keep_best,
         # r5 rotation (VERDICT r4 #4): no query goes >2 rounds without a
         # driver-green row — these three were last driver-checked in r3
         # (r4-green q02/q42/q46/q47 rotate to the tail in exchange).
@@ -1392,6 +1416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_embedding_pairs": q20_embedding_pairs,  # GEMM pairs: q19/q25/q67/q69 ANN class in-gate, r4-green
         "q21_vector_search_docs": q21_vector_search_docs,  # filtered vector search: q19/q50 class, r4-green
         "q49_salted_join": q49_salted_join,  # skew family: q48 salted agg stays in-gate, r4-green
+        "q30_bm25_search": q30_bm25_search,  # bm25: q44 hybrid keeps K3/bm25 in-gate, r4-green
+        "q39_sessionize": q39_sessionize,  # temporal: q40 as-of join stays in-gate, r4-green
         "q02_revenue_filter": q02_revenue_filter,  # count-by-pred: q13 class, r4-green
         "q42_moving_window": q42_moving_window,  # RANGE-frame window, r4-green
         "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,  # decorrelated MIN-subquery, r4-green
@@ -2661,5 +2687,51 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(dc * logp) / sum(dc), 4) AS logprob_per_bigram,
                    round(exp(-(sum(dc * logp) / sum(dc))), 4) AS ppl
             FROM scored GROUP BY doc_id
+        """,
+        # twin of inventory.embedding_stats: 0-based dimension via struct
+        # unnest, population stddev, 4dp rounding
+        "q74_embedding_stats": """
+            WITH ex AS (
+                SELECT u['d'] AS dim, u['x'] AS x
+                FROM (SELECT unnest(list_transform(range(1, len(embedding) + 1),
+                             i -> {'d': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+                      FROM embeddings)
+            )
+            SELECT CAST(dim AS INT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(x), 4) AS mean,
+                   round(stddev_pop(x), 4) AS stddev,
+                   round(min(x), 4) AS vmin,
+                   round(max(x), 4) AS vmax
+            FROM ex GROUP BY dim ORDER BY dim
+        """,
+        # twin of dedup.dedup_keep_best over q51's cluster labels: same
+        # recursive-CTE transitive closure, then argmax(n_chars, min id)
+        # per cluster; singletons cluster with themselves
+        "q75_dedup_keep_best": f"""
+            WITH RECURSIVE pairs AS (
+                {_dd_minhash_lsh_sql()}
+            ), edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION
+                SELECT b, a FROM pairs
+            ), reach(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.label
+                FROM edges e JOIN reach r ON e.dst = r.node
+            ), labels AS (
+                SELECT node, min(label) AS cluster_rep
+                FROM reach GROUP BY node
+            ), based AS (
+                SELECT d.doc_id, d.n_chars,
+                       coalesce(l.cluster_rep, d.doc_id) AS cluster
+                FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+            )
+            SELECT doc_id, cluster, n_chars,
+                   (row_number() OVER (
+                        PARTITION BY cluster
+                        ORDER BY n_chars DESC, doc_id ASC) = 1) AS kept
+            FROM based
         """,
     }

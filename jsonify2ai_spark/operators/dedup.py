@@ -1209,3 +1209,42 @@ def keep_representatives(
         F.col("node").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-representative selection by QUALITY: label near-dup clusters
+    (via :func:`connected_components` over ``pairs``), then keep the
+    highest-``quality_col`` member of each cluster (ties -> min id) — the
+    "keep the best copy, not the first copy" step real pipelines run
+    instead of min-id dedup (the shortest or most boilerplate-laden member
+    often has the smallest id). Unclustered documents form singleton
+    clusters and keep themselves.
+
+    Output: (id, cluster, quality, kept). Scale shape: the label frame is
+    |clustered nodes| rows — near-dup clusters are a small fraction of a
+    corpus, so the label join broadcasts (AQE does this from runtime
+    stats); the argmax window partitions by cluster, whose sizes are
+    near-dup group sizes — bounded small by construction, no hot-key
+    hazard (unlike a per-domain window, see per_source_cap).
+    """
+    from pyspark.sql import Window
+
+    labels = connected_components(pairs)
+    based = df.select(F.col(id_col), F.col(quality_col)).join(
+        labels.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    cluster = F.coalesce(F.col("cluster_rep"), F.col(id_col))
+    w = Window.partitionBy(cluster).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return based.select(
+        F.col(id_col),
+        cluster.alias("cluster"),
+        F.col(quality_col),
+        (F.row_number().over(w) == 1).alias("kept"),
+    )

@@ -64,3 +64,36 @@ def stats_report(df: DataFrame, kind_col: str = "kind", filtered: Column | None 
     if filtered is not None:
         agg.append(F.count(F.when(filtered, 1)).alias("n_filtered"))
     return df.rollup(kind_col).agg(*agg)
+
+
+def embedding_stats(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-health report: per-dimension n / mean / stddev / min / max
+    over a vector column — the QA table a pipeline checks BEFORE building
+    an ANN index (a dead dimension, a scale outlier, or NaN leakage each
+    poison recall silently; this surfaces them as 64 rows a human reads).
+
+    posexplode pins each value to its dimension; one partial-aggregated
+    shuffle on the (tiny, = vector width) dimension key. Rounding to 4dp
+    keeps parallel-reduction float reassociation (~1e-12 relative) away
+    from the oracle hash, same policy as every aggregate in the repo.
+    NULL vectors contribute nothing; the `n` column exposes ragged widths
+    (n < corpus rows for a dimension means short vectors exist).
+    """
+    ex = df.select(
+        F.posexplode(F.col(vector_col).cast("array<double>")).alias("dim", "x")
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("x"), 4).alias("mean"),
+            F.round(F.stddev_pop("x"), 4).alias("stddev"),
+            F.round(F.min("x"), 4).alias("vmin"),
+            F.round(F.max("x"), 4).alias("vmax"),
+        )
+        .orderBy("dim")
+    )

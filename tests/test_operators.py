@@ -869,3 +869,42 @@ def test_bigram_logprob_penalizes_word_soup(spark):
     assert bi[101] > bi[100] * 2, (bi[100], bi[101])
     assert 200 not in bi  # no bigram positions
     assert 200 in uni  # but the unigram model scores it
+
+
+def test_embedding_stats_exposes_ragged_and_dead_dims(spark):
+    """Embedding QA: a short vector shows up as n < corpus size on the
+    missing dimensions, a NULL vector contributes nothing, and a dead
+    (constant-zero) dimension reads mean=stddev=0."""
+    from jsonify2ai_spark.operators.inventory import embedding_stats
+
+    rows = [
+        (1, [1.0, 0.0, 0.5]),
+        (2, [3.0, 0.0, 0.7]),
+        (3, [5.0, 0.0]),       # ragged: missing dim 2
+        (4, None),             # contributes nothing
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["dim"]: r for r in embedding_stats(emb).collect()}
+    assert [got[d]["n"] for d in (0, 1, 2)] == [3, 3, 2]
+    assert got[0]["mean"] == 3.0 and got[0]["vmin"] == 1.0 and got[0]["vmax"] == 5.0
+    assert got[1]["mean"] == 0.0 and got[1]["stddev"] == 0.0  # dead dim
+    assert got[2]["mean"] == 0.6
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    """Representative selection: within a near-dup cluster the HIGHEST
+    quality member is kept (ties -> min id), not the smallest id;
+    unclustered docs keep themselves as singletons."""
+    from jsonify2ai_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 50), (2, 90), (3, 90), (4, 10), (9, 70)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "a long, b long")
+    got = {r["doc_id"]: (r["cluster"], r["kept"]) for r in
+           dedup_keep_best(docs, pairs, quality_col="n_chars").collect()}
+    # cluster {1,2,3,4}: best quality 90 held by 2 and 3 -> min id 2 kept
+    assert got[1] == (1, False) and got[2] == (1, True)
+    assert got[3] == (1, False) and got[4] == (1, False)
+    assert got[9] == (9, True)  # singleton
