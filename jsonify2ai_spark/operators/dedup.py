@@ -1248,3 +1248,180 @@ def dedup_keep_best(
         F.col(quality_col),
         (F.row_number().over(w) == 1).alias("kept"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    round_to: int | None = 6,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC set containment pairs: c(A in B) = |A ∩ B| / |A|. Emits
+    (a, b, containment_ab, containment_ba) for a < b where EITHER direction
+    is >= threshold.
+
+    Containment is the near-dup measure symmetric Jaccard structurally
+    misses: a snippet fully embedded in a 100x larger page has
+    jaccard ~ |A|/|B| ~ 0.01 but containment(A in B) = 1.0 — the
+    quote-extraction / page-wrapping duplication pattern in crawl corpora
+    (the measure behind Broder's resemblance-vs-containment split and
+    CC-Net-style subset filtering). Same generalization direction as the
+    repo's winnowing/overlap operators over the reference's exact-hash
+    dedup (worker's sha256 content identity).
+
+    Plan shape is identical to :func:`ngram_jaccard_pairs` — one shuffle of
+    (id, sz, shingle) on the 60-bit shingle hash, posting-list pair
+    expansion, partial-aggregated pair counting — only the final filter
+    arithmetic differs (common/sza or common/szb instead of the union
+    ratio). Same hot-shingle d^2 hazard, same ``df_cap`` remedy: capped
+    candidate generation + exact full-set verification via array_intersect.
+    """
+    based = shingle_hash_sets(df, text_col, id_col, shingle_n)
+    if df_cap is not None:
+        based = based.localCheckpoint(eager=False)
+        ex = based.select(F.col(id_col), F.explode("hs").alias("sh"))
+        posts = (
+            ex.groupBy("sh")
+            .agg(F.collect_list(id_col).alias("ids"))
+            .filter((F.size("ids") > 1) & (F.size("ids") <= df_cap))
+        )
+        cand = (
+            posts.select(F.explode("ids").alias("a"), "ids")
+            .select("a", F.explode("ids").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+        )
+        sa = based.select(F.col(id_col).alias("a"), F.col("hs").alias("hsa"))
+        sb = based.select(F.col(id_col).alias("b"), F.col("hs").alias("hsb"))
+        verified = (
+            cand.join(sa, "a").join(sb, "b")
+            .select(
+                "a",
+                "b",
+                F.size(F.array_intersect("hsa", "hsb")).alias("common"),
+                F.size("hsa").alias("sza"),
+                F.size("hsb").alias("szb"),
+            )
+        )
+    else:
+        ex = based.select(
+            F.col(id_col),
+            F.size("hs").alias("sz"),
+            F.explode("hs").alias("sh"),
+        )
+        posts = (
+            ex.groupBy("sh")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("sz").alias("sz"))
+                ).alias("ms")
+            )
+            .filter(F.size("ms") > 1)
+        )
+        verified = (
+            posts.select(F.explode("ms").alias("ma"), "ms")
+            .select("ma", F.explode("ms").alias("mb"))
+            .filter(F.col("ma.id") < F.col("mb.id"))
+            .groupBy(
+                F.col("ma.id").alias("a"),
+                F.col("mb.id").alias("b"),
+                F.col("ma.sz").alias("sza"),
+                F.col("mb.sz").alias("szb"),
+            )
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    cab = F.col("common") / F.col("sza")
+    cba = F.col("common") / F.col("szb")
+    out = (
+        verified.filter((cab >= threshold) | (cba >= threshold))
+        .select("a", "b", cab.alias("containment_ab"), cba.alias("containment_ba"))
+    )
+    if round_to is not None:
+        out = out.select(
+            "a",
+            "b",
+            F.round("containment_ab", round_to).alias("containment_ab"),
+            F.round("containment_ba", round_to).alias("containment_ba"),
+        )
+    return out
+
+
+def shingle_df_census(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Shingle document-frequency HISTOGRAM: (df, n_shingles) — how many
+    distinct shingles appear in exactly ``df`` documents.
+
+    This is the operational pre-flight for every df-capped operator in this
+    module (``ngram_jaccard_pairs(df_cap=)``, ``overlap_pairs(max_df=)``,
+    ``dedup_against``): the histogram's tail IS the skew the caps bound, so
+    a user picks the cap by reading this census, not by guessing. On a
+    crawl corpus the tail exposes boilerplate (one shingle in 10^6 docs ->
+    that shingle alone would emit 5*10^11 candidate pairs uncapped).
+
+    Two shuffles, both safe at 100 TB: (1) per-shingle distinct-doc count —
+    partial-aggregated on the 60-bit shingle hash (shingle sets are already
+    distinct per doc, so count(*) == distinct-doc count; no count-distinct
+    expansion); (2) histogram groupBy on df — at most |distinct df values|
+    <= max-df rows in flight, partial aggregation collapses it map-side.
+    """
+    based = shingle_hash_sets(df, text_col, id_col, shingle_n)
+    per_shingle = (
+        based.select(F.explode("hs").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        per_shingle.groupBy("df")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+
+
+def cross_source_dup_matrix(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Duplication PROVENANCE matrix: (source_a, source_b, n_pairs,
+    max_jaccard) — which source pairs exchange near-duplicate content
+    (mirror sites, syndication feeds, scraped re-posts).
+
+    Composition of verified stages: exact n-gram Jaccard pairs (same
+    candidate machinery as q17/q52) joined back to each side's source
+    label, then a tiny groupBy on the source pair. Sources-per-pair lookup
+    is a join against an id->source projection — pair counts are the
+    near-dup rate (a small fraction of the corpus), so AQE broadcasts the
+    pairs side at runtime; the groupBy output is |sources|^2-bounded
+    (hundreds of domains -> thousands of rows), driver-safe at any corpus
+    size. Intra-source pairs are kept (a==b row) — self-duplication is the
+    most common and most actionable row in practice.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, threshold, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+    )
+    src = df.select(F.col(id_col), F.col(source_col))
+    withsrc = (
+        pairs.join(src.withColumnRenamed(id_col, "a").withColumnRenamed(source_col, "sa"), "a")
+        .join(src.withColumnRenamed(id_col, "b").withColumnRenamed(source_col, "sb"), "b")
+    )
+    return (
+        withsrc.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+    )

@@ -485,3 +485,107 @@ def bigram_logprob(
         F.round("_lp", 4).alias("logprob_per_bigram"),
         F.round(F.exp(-F.col("_lp")), 4).alias("ppl"),
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 10,
+) -> DataFrame:
+    """Corpus-level vocabulary health card, ONE row: total token count,
+    vocabulary size, hapax (freq-1 type) count and ratio, type-token
+    ratio, and the probability mass of the ``top_k`` most frequent tokens.
+
+    These are the go/no-go distribution checks run before a tokenizer/LM
+    train: a near-zero hapax ratio means template text, a top-10 mass near
+    1.0 means degenerate repetition, a TTR collapse between corpus
+    versions means a dedup or filter regression upstream.
+
+    Scale shape: one explode + one partial-aggregated shuffle on the token
+    (vocab-sized output, ~1e8 rows at 100 TB — fine as a shuffle, never
+    collected); every statistic then derives from single-pass aggregates
+    over that vocab frame. The top-k mass uses a TakeOrderedAndProject
+    (k rows to the driver via a one-row aggregate frame, not a global
+    sort), ties broken by token string for engine-independence. The vocab
+    frame is lazy-checkpointed: it feeds three tiny aggregates.
+    """
+    vocab = (
+        df.select(F.explode(tokens(_c(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = vocab.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("hapax_count"),
+    )
+    topk_mass = (
+        vocab.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(top_k)
+        .agg(F.sum("c").cast("bigint").alias("topk_tokens"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(topk_mass))
+        .select(
+            "n_tokens",
+            "vocab_size",
+            "hapax_count",
+            F.round(F.col("hapax_count") / F.col("vocab_size"), 6).alias("hapax_ratio"),
+            F.round(F.col("vocab_size") / F.col("n_tokens"), 6).alias("type_token_ratio"),
+            F.round(F.col("topk_tokens") / F.col("n_tokens"), 6).alias("topk_mass"),
+        )
+    )
+
+
+def length_outlier_flags(
+    df: DataFrame,
+    lower: float = 0.02,
+    upper: float = 0.98,
+    length_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rank-based corpus length trim: per document, the percent-rank of its
+    length ((rank - 1) / (N - 1), rank = 1 + #docs strictly shorter) and a
+    keep/trim_low/trim_high flag at the given quantile cuts — the robust
+    "drop the 2% shortest and 2% longest" pre-training filter (length
+    extremes are navigation stubs and concatenation accidents).
+
+    NOT a global window: percent_rank() over ORDER BY length is a
+    single-partition sort of the whole corpus — the canonical 100 TB
+    anti-pattern. Instead the rank comes from the VALUE-level CDF: group by
+    the length value (one partial-aggregated shuffle, output = |distinct
+    lengths| rows — thousands, not billions), cumulative-sum over that tiny
+    frame (a window over the aggregate, not the corpus), then broadcast the
+    per-value (pct_rank, flag) back onto the documents map-side. Identical
+    semantics to the window form at any corpus size — pinned by the plan
+    test (no corpus-wide single-partition Exchange).
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(length_col)).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col(length_col)).rowsBetween(Window.unboundedPreceding, -1)
+    n_total = F.sum("cnt").over(
+        Window.orderBy(F.col(length_col)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    cdf = counts.select(
+        F.col(length_col),
+        (F.coalesce(F.sum("cnt").over(w), F.lit(0)) / (n_total - 1)).alias("pct_rank"),
+    )
+    flag = (
+        F.when(F.col("pct_rank") < F.lit(lower), F.lit("trim_low"))
+        .when(F.col("pct_rank") > F.lit(upper), F.lit("trim_high"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        df.select(F.col(id_col), F.col(length_col))
+        .join(F.broadcast(cdf), length_col)
+        .select(
+            F.col(id_col),
+            F.col(length_col),
+            F.round("pct_rank", 6).alias("pct_rank"),
+            flag.alias("flag"),
+        )
+    )

@@ -908,3 +908,140 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark):
     assert got[1] == (1, False) and got[2] == (1, True)
     assert got[3] == (1, False) and got[4] == (1, False)
     assert got[9] == (9, True)  # singleton
+
+
+def test_containment_catches_snippet_inside_page(spark):
+    """The asymmetric case symmetric Jaccard misses: a 5-token snippet fully
+    embedded in a 60-token page has containment(A in B) = 1.0 but jaccard
+    far below any near-dup threshold. The capped path must agree exactly
+    with the uncapped path (caps change candidates, never scores)."""
+    from jsonify2ai_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    snippet = "alpha beta gamma delta epsilon"
+    page = snippet + " " + " ".join(f"w{i}" for i in range(55))
+    docs = spark.createDataFrame(
+        [(1, snippet), (2, page), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]): r for r in containment_pairs(docs, 0.9).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)]["containment_ab"] == 1.0  # snippet fully inside page
+    assert got[(1, 2)]["containment_ba"] < 0.1
+    assert ngram_jaccard_pairs(docs, 0.4).count() == 0  # jaccard is blind to it
+    capped = {(r["a"], r["b"]): (r["containment_ab"], r["containment_ba"])
+              for r in containment_pairs(docs, 0.9, df_cap=8).collect()}
+    assert capped == {(1, 2): (got[(1, 2)]["containment_ab"],
+                               got[(1, 2)]["containment_ba"])}
+
+
+def test_containment_df_cap_bounds_hot_shingles(spark):
+    """1k docs sharing ONE boilerplate shingle but nothing else: the capped
+    path must emit zero pairs (the hot posting list is dropped from
+    candidate generation; no surviving candidate verifies)."""
+    from jsonify2ai_spark.operators.dedup import containment_pairs
+
+    boiler = "terms of service apply"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} u{i}a u{i}b u{i}c u{i}d") for i in range(1000)],
+        "doc_id long, text string",
+    )
+    assert containment_pairs(docs, 0.5, df_cap=8).count() == 0
+
+
+def test_shingle_df_census_histogram(spark):
+    """df histogram: 3 identical docs (all shingles df=3) + 1 unique doc
+    (all shingles df=1); n_shingles per bucket = the distinct shingle count
+    of the respective text."""
+    from jsonify2ai_spark.operators.dedup import shingle_df_census
+
+    same = "a b c d e f"        # 4 distinct 3-gram shingles
+    other = "p q r s"           # 2 distinct 3-gram shingles
+    docs = spark.createDataFrame(
+        [(1, same), (2, same), (3, same), (4, other)],
+        "doc_id long, text string",
+    )
+    got = {r["df"]: r["n_shingles"] for r in shingle_df_census(docs).collect()}
+    assert got == {3: 4, 1: 2}
+
+
+def test_vocab_stats_single_row(spark):
+    """8 tokens, 5 types, 3 hapaxes; top-10 covers everything -> mass 1.0."""
+    from jsonify2ai_spark.operators.textstats import vocab_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "d e"), (3, None)],
+        "doc_id long, text string",
+    )
+    r = vocab_stats(docs).collect()[0]
+    assert r["n_tokens"] == 8 and r["vocab_size"] == 5 and r["hapax_count"] == 3
+    assert r["hapax_ratio"] == 0.6 and r["topk_mass"] == 1.0
+    assert r["type_token_ratio"] == 0.625
+
+
+def test_vocab_stats_topk_mass_partial(spark):
+    """top_k smaller than the vocab: mass = top-k counts only, ties at the
+    boundary broken by token string (deterministic cross-engine)."""
+    from jsonify2ai_spark.operators.textstats import vocab_stats
+
+    # counts: x=3, y=2, z=2, w=1 -> top2 = x(3) + y(2) (y < z lexically)
+    docs = spark.createDataFrame(
+        [(1, "x x x y y z z w")], "doc_id long, text string"
+    )
+    r = vocab_stats(docs, top_k=2).collect()[0]
+    assert r["topk_mass"] == 0.625  # 5/8
+
+
+def test_cross_source_dup_matrix(spark):
+    """Two near-identical docs from different sources -> one cross-source
+    row; two from the same source -> one intra-source (a==b) row."""
+    from jsonify2ai_spark.operators.dedup import cross_source_dup_matrix
+
+    t = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, t, "mirror-a"), (2, t + " eleven", "mirror-b"),
+         (3, t, "self"), (4, t + " twelve", "self"),
+         (5, "unrelated content entirely different words", "solo")],
+        "doc_id long, text string, source string",
+    )
+    got = {(r["source_a"], r["source_b"]): r["n_pairs"]
+           for r in cross_source_dup_matrix(docs, 0.4).collect()}
+    assert got[("mirror-a", "mirror-b")] >= 1
+    assert got[("self", "self")] >= 1
+    assert all("solo" not in k for k in got)
+
+
+def test_length_outlier_flags_rank_semantics(spark):
+    """Value-level CDF must reproduce percent_rank semantics exactly:
+    pct = (#strictly shorter) / (N - 1), ties share a rank; flags cut at
+    the given quantiles. 1 short outlier + 8 mid + 1 long outlier."""
+    from jsonify2ai_spark.operators.textstats import length_outlier_flags
+
+    lengths = [1] + [100] * 8 + [10000]
+    docs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lengths)], "doc_id long, n_chars long"
+    )
+    out = length_outlier_flags(docs, lower=0.05, upper=0.95)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["pct_rank"] == 0.0 and got[0]["flag"] == "trim_low"
+    assert got[9]["pct_rank"] == 1.0 and got[9]["flag"] == "trim_high"
+    for i in range(1, 9):  # ties: all mid docs share (1 shorter)/9
+        assert got[i]["flag"] == "keep"
+        assert abs(got[i]["pct_rank"] - 1 / 9) < 1e-6
+
+
+def test_length_outlier_no_corpus_wide_sort(spark):
+    """Plan shape: the corpus side must see NO global single-partition sort
+    — the only rangepartitioning/window sort allowed is over the tiny
+    value-level aggregate, and the join back must be a broadcast."""
+    from jsonify2ai_spark.operators.textstats import length_outlier_flags
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 500) for i in range(2000)], "doc_id long, n_chars long"
+    )
+    out = length_outlier_flags(docs)
+    assert out.count() == 2000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    # the corpus scan feeds the broadcast join directly: no Exchange between
+    # the doc-side scan and the join (window sort touches only the agg side)
+    assert "SortMergeJoin" not in plan
