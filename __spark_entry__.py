@@ -1389,6 +1389,41 @@ def q80_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_outlier_flags(t["documents"])
 
 
+def q81_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality rollup (operators/textstats.py
+    source_quality_report): Gopher-rule survival rate and which rule kills
+    the rest, per domain — the drop-this-domain-wholesale table. Source
+    label rides the Arrow pass via carry_cols; only shuffle is the
+    |sources|-keyed rollup."""
+    from jsonify2ai_spark.operators.textstats import source_quality_report
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return source_quality_report(t["documents"])
+
+
+def q82_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (operators/sampling.py
+    mixture_weights, XLM-R/mT5 q_s ∝ p_s^alpha, alpha=0.5): per-source
+    corpus share, smoothed target share, and data-loader sampling weight.
+    One source-keyed count shuffle + a one-row broadcast of the
+    normalizers."""
+    from jsonify2ai_spark.operators.sampling import mixture_weights
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return mixture_weights(t["documents"], alpha=0.5)
+
+
+def q83_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space label QA (operators/inventory.py label_coherence):
+    per label, member count and mean/min cosine to the label centroid —
+    are the labels real clusters? Centroids via a (label,dim)-keyed mean,
+    broadcast back; cosine is a map-side fold."""
+    from jsonify2ai_spark.operators.inventory import label_coherence
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return label_coherence(t["embeddings"])
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1415,13 +1450,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_language_id": q14_language_id,
         "q17_jaccard_pairs": q17_jaccard_pairs,
         "q18_minhash_lsh": q18_minhash_lsh,
-        "q22_source_inventory": q22_source_inventory,
         "q23_ask_snippets": q23_ask_snippets,
         "q24_replace_upsert": q24_replace_upsert,
         "q25_ivf_ann": q25_ivf_ann,
         "q29_multimodal_meta": q29_multimodal_meta,
         "q31_stats_rollup": q31_stats_rollup,
-        "q34_chunk_stats": q34_chunk_stats,
         "q35_archive_shards": q35_archive_shards,
         "q38_latency_percentiles": q38_latency_percentiles,
         "q40_asof_join": q40_asof_join,
@@ -1431,7 +1464,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_jaccard_capped": q52_jaccard_capped,
         "q53_ingest_summary": q53_ingest_summary,
-        "q54_stratified_sample": q54_stratified_sample,
         "q55_weighted_interleave": q55_weighted_interleave,
         "q56_chat_chunk_stats": q56_chat_chunk_stats,
         "q57_pack_sequences": q57_pack_sequences,
@@ -1463,6 +1495,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_vocab_stats": q78_vocab_stats,
         "q79_cross_source_dup": q79_cross_source_dup,
         "q80_length_outliers": q80_length_outliers,
+        # r5 (cont. 2): per-domain quality rollup, temperature mixture
+        # weights, embedding label-coherence QA (r4-green q22/q34/q54
+        # rotate to the tail — family twins noted there)
+        "q81_source_quality": q81_source_quality,
+        "q82_mixture_weights": q82_mixture_weights,
+        "q83_label_coherence": q83_label_coherence,
         # r5 rotation (VERDICT r4 #4): no query goes >2 rounds without a
         # driver-green row — these three were last driver-checked in r3
         # (r4-green q02/q42/q46/q47 rotate to the tail in exchange).
@@ -1475,6 +1513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the most likely to be wrong — the gate exists for exactly it).
         # These still run in bench.py and verify_local.py.
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 in-gate
+        "q22_source_inventory": q22_source_inventory,  # inventory rollup: q31/q53/q81 in-gate, r4-green
+        "q34_chunk_stats": q34_chunk_stats,  # W1 chunker: q56 chat-chunker in-gate, r4-green
+        "q54_stratified_sample": q54_stratified_sample,  # sampling: q55/q66/q70/q82 in-gate, r4-green
         "q12_doc_stats": q12_doc_stats,  # textstats class: q14/q59/q61/q71/q73 in-gate, r4-green
         "q15_doc_dedup_exact": q15_doc_dedup_exact,  # exact dedup: q24/q51/q75 dedup family in-gate, r4-green
         "q19_knn_brute": q19_knn_brute,  # ANN class: q25/q67/q69 in-gate, r4-green
@@ -2879,5 +2920,97 @@ def oracle_sql() -> dict[str, str]:
                         WHEN c.pct_rank > 0.98 THEN 'trim_high'
                         ELSE 'keep' END AS flag
             FROM documents d JOIN cdf c ON c.n_chars = d.n_chars
+        """,
+        # twin of textstats.source_quality_report: q71's Gopher signal CTE
+        # joined to the source label, rolled up per source
+        "q81_source_quality": r"""
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+            ), words AS (
+                SELECT doc_id, unnest(l) AS w FROM t
+            ), uni AS (
+                SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2
+            ), unistats AS (
+                SELECT doc_id, sum(c) AS n_words, max(c) AS top_w,
+                       sum(len(w) * c) AS sum_chars
+                FROM uni GROUP BY 1
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS b
+                FROM t
+            ), bi AS (
+                SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+            ), bistats AS (
+                SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg FROM bi GROUP BY 1
+            ), sig AS (
+                SELECT u.doc_id,
+                       CAST(u.n_words AS BIGINT) AS n_words,
+                       round(CAST(u.sum_chars AS DOUBLE) / u.n_words, 4) AS mean_word_len,
+                       round(CAST(u.top_w AS DOUBLE) / u.n_words, 4) AS top_word_frac,
+                       round(coalesce(CAST(b.top_bg AS DOUBLE) / b.n_bg, 0.0), 4) AS top_bigram_frac
+                FROM unistats u LEFT JOIN bistats b USING (doc_id)
+            ), flags AS (
+                SELECT d.source,
+                       (s.n_words >= 15 AND s.n_words <= 100000) AS ok_length,
+                       (s.mean_word_len >= 2.0 AND s.mean_word_len <= 12.0) AS ok_word_len,
+                       NOT (s.top_word_frac > 0.2 OR s.top_bigram_frac > 0.18) AS ok_repetition,
+                       s.n_words, s.top_word_frac
+                FROM sig s JOIN documents d USING (doc_id)
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN ok_length AND ok_word_len AND ok_repetition
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                   round(sum(CASE WHEN ok_length AND ok_word_len AND ok_repetition
+                             THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS keep_rate,
+                   CAST(sum(CASE WHEN NOT ok_length THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_fail_length,
+                   CAST(sum(CASE WHEN NOT ok_word_len THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_fail_word_len,
+                   CAST(sum(CASE WHEN NOT ok_repetition THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_fail_repetition,
+                   round(avg(n_words), 4) AS avg_words,
+                   round(avg(top_word_frac), 4) AS avg_top_word_frac
+            FROM flags GROUP BY source
+        """,
+        # twin of sampling.mixture_weights (alpha = 0.5)
+        "q82_mixture_weights": r"""
+            WITH per_src AS (
+              SELECT source,
+                     CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                         AS n_tokens
+              FROM documents GROUP BY source
+            ), tot AS (
+              SELECT CAST(sum(n_tokens) AS DOUBLE) AS N,
+                     sum(pow(n_tokens, 0.5)) AS Z
+              FROM per_src
+            )
+            SELECT source, n_tokens,
+                   round(n_tokens / N, 6) AS p_corpus,
+                   round(pow(n_tokens, 0.5) / Z, 6) AS p_target,
+                   round((pow(n_tokens, 0.5) / Z) / (n_tokens / N), 6) AS weight
+            FROM per_src, tot
+        """,
+        # twin of inventory.label_coherence: centroid = per-(label,dim)
+        # mean, cosine via the sequential-fold helper, 4dp rounding
+        "q83_label_coherence": f"""
+            WITH e AS (
+              SELECT label, embedding AS v FROM embeddings
+              WHERE embedding IS NOT NULL
+            ), ex AS (
+              SELECT label, u['d'] AS d, u['x'] AS x
+              FROM (SELECT label, unnest(list_transform(range(1, len(v) + 1),
+                           i -> {{'d': i - 1, 'x': CAST(v[i] AS DOUBLE)}})) AS u
+                    FROM e)
+            ), dims AS (
+              SELECT label, d, avg(x) AS m FROM ex GROUP BY 1, 2
+            ), cents AS (
+              SELECT label, array_agg(m ORDER BY d) AS c FROM dims GROUP BY label
+            )
+            SELECT e.label,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg({_dd_cosine("e.v", "cents.c")}), 4) AS mean_cos_to_centroid,
+                   round(min({_dd_cosine("e.v", "cents.c")}), 4) AS min_cos_to_centroid
+            FROM e JOIN cents USING (label) GROUP BY e.label
         """,
     }

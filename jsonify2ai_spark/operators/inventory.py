@@ -97,3 +97,56 @@ def embedding_stats(
         )
         .orderBy("dim")
     )
+
+
+def label_coherence(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space label QA: per label, member count and the mean cosine
+    similarity of members to their label CENTROID — the one-table answer to
+    "are these labels real clusters or noise?" before anyone trains a
+    classifier head or trusts class-stratified sampling. A label whose
+    mean-to-centroid cosine sits near the global background similarity is
+    carrying no geometric signal (mislabeled or heterogeneous); a near-1.0
+    label is redundant near-dup content.
+
+    Two bounded shuffles: (1) posexplode -> (label, dim) means — key
+    cardinality |labels| x dim, partial-aggregated; (2) members re-keyed by
+    label against the BROADCAST centroid table (|labels| rows) — the
+    per-row cosine is a map-side zip_with/aggregate fold, then one
+    |labels|-keyed mean. No corpus-sized join, no driver collect.
+    """
+    vec = F.col(vector_col).cast("array<double>")
+    base = df.filter(F.col(vector_col).isNotNull()).select(
+        F.col(label_col).alias("lbl"), vec.alias("v")
+    )
+    dims = (
+        base.select("lbl", F.posexplode("v").alias("d", "x"))
+        .groupBy("lbl", "d")
+        .agg(F.avg("x").alias("m"))
+    )
+    cents = dims.groupBy("lbl").agg(
+        F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm")
+    ).select("lbl", F.transform("dm", lambda s: s["m"]).alias("centroid"))
+    dot = F.aggregate(
+        F.zip_with("v", "centroid", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    cos = dot / (norm(F.col("v")) * norm(F.col("centroid")))
+    return (
+        base.join(F.broadcast(cents), "lbl")
+        .select("lbl", cos.alias("_cos"))
+        .groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("_cos"), 4).alias("mean_cos_to_centroid"),
+            F.round(F.min("_cos"), 4).alias("min_cos_to_centroid"),
+        )
+        .select(F.col("lbl").alias(label_col), "n", "mean_cos_to_centroid", "min_cos_to_centroid")
+    )

@@ -202,3 +202,47 @@ def per_source_cap(
         .withColumn("kept", F.col("src_rank") <= cap)
     )
     return out
+
+
+def mixture_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based corpus mixture reweighting (the exponential-
+    smoothing scheme of multilingual LM training — XLM-R §3.1 / mT5 §3.2:
+    q_s ∝ p_s^alpha): per source, its corpus token share p_s, its smoothed
+    TARGET share q_s, and the sampling weight q_s / p_s a data loader
+    multiplies into per-source sampling rates. alpha=1 reproduces the
+    corpus (all weights 1), alpha=0 is uniform-over-sources; 0.3-0.7
+    up-weights tail sources without letting them dominate.
+
+    One partial-aggregated shuffle on the source key (token counts are a
+    map-side `size(tokens)` projection — the token array is never
+    exploded), then the normalizing scalars (total N, sum of p^alpha)
+    attach via a one-row broadcast. Output is |sources|-sized. The hot-
+    domain skew of a crawl corpus collapses map-side in the combiner, same
+    as every count rollup in the repo.
+    """
+    from jsonify2ai_spark.functions.text import token_count
+
+    per_src = df.groupBy(F.col(source_col)).agg(
+        F.sum(token_count(F.col(text_col))).cast("bigint").alias("n_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("N"),
+        F.sum(F.pow(F.col("n_tokens"), F.lit(alpha))).alias("Z"),
+    )
+    p = F.col("n_tokens") / F.col("N")
+    q = F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("Z")
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(source_col),
+            "n_tokens",
+            F.round(p, 6).alias("p_corpus"),
+            F.round(q, 6).alias("p_target"),
+            F.round(q / p, 6).alias("weight"),
+        )
+    )

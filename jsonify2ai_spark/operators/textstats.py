@@ -341,11 +341,16 @@ def gopher_filter(
     max_mean_word_len: float = 12.0,
     top_word_max: float = 0.2,
     top_bigram_max: float = 0.18,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Gopher-rule document filter (Rae et al. 2021 §A1.1, the composition
     FineWeb/Dolma-style pipelines run as one pass): per document, the
     quality signals AND the named rule verdicts AND the final keep flag —
     so a pipeline can both filter (keep) and audit (which rule fired).
+
+    ``carry_cols`` threads extra columns (e.g. the source/domain label)
+    through the Arrow pass unchanged — map-only passthrough, so rollups
+    like :func:`source_quality_report` need NO corpus-sized join back.
 
     Rules: ok_length (min_words <= n_words <= max_words), ok_word_len
     (mean word length within [min,max] — kills lorem-ipsum-like and
@@ -361,10 +366,16 @@ def gopher_filter(
     from jsonify2ai_spark.functions.text import tokens
     from jsonify2ai_spark.session import ensure_min_partitions
 
-    id_type = dict(df.dtypes)[id_col]
-    src = df.select(F.col(id_col), tokens(_c(text_col)).alias("_tk"))
+    carry = list(carry_cols or [])
+    dtypes = dict(df.dtypes)
+    id_type = dtypes[id_col]
+    src = df.select(
+        F.col(id_col), *[F.col(c) for c in carry], tokens(_c(text_col)).alias("_tk")
+    )
+    carry_fields = "".join(f", {c} {dtypes[c]}" for c in carry)
     out_fields = (
-        f"{id_col} {id_type}, n_words bigint, _mwl double, _twf double, _tbf double"
+        f"{id_col} {id_type}{carry_fields},"
+        " n_words bigint, _mwl double, _twf double, _tbf double"
     )
 
     def gen(batches):
@@ -374,7 +385,9 @@ def gopher_filter(
 
         for batch in batches:
             rows = []
-            for doc_id, toks in zip(batch[id_col], batch["_tk"]):
+            for doc_id, *extra, toks in zip(
+                batch[id_col], *[batch[c] for c in carry], batch["_tk"]
+            ):
                 toks = list(toks) if toks is not None else []
                 n = len(toks)
                 if n == 0:
@@ -387,9 +400,9 @@ def gopher_filter(
                     if n > 1
                     else 0.0
                 )
-                rows.append((doc_id, n, mwl, twf, tbf))
+                rows.append((doc_id, *extra, n, mwl, twf, tbf))
             yield pd.DataFrame(
-                rows, columns=[id_col, "n_words", "_mwl", "_twf", "_tbf"]
+                rows, columns=[id_col, *carry, "n_words", "_mwl", "_twf", "_tbf"]
             )
 
     raw = ensure_min_partitions(src).mapInPandas(gen, schema=out_fields)
@@ -404,6 +417,7 @@ def gopher_filter(
     ok_repetition = ~((twf > top_word_max) | (tbf > top_bigram_max))
     return raw.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         "n_words",
         mwl.alias("mean_word_len"),
         twf.alias("top_word_frac"),
@@ -587,5 +601,41 @@ def length_outlier_flags(
             F.col(length_col),
             F.round("pct_rank", 6).alias("pct_rank"),
             flag.alias("flag"),
+        )
+    )
+
+
+def source_quality_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-SOURCE quality rollup: for each source/domain, how many documents,
+    what fraction survives the Gopher rules, and which rule kills the rest —
+    the table a pipeline owner reads to decide which domains to drop
+    wholesale instead of filtering row-by-row (in FineWeb-style curation
+    the per-domain decision precedes the per-document one).
+
+    Zero corpus-sized joins: the source label rides through the Gopher
+    Arrow pass via ``carry_cols`` (map-only passthrough), so the only
+    shuffle is the |sources|-keyed rollup itself — partial-aggregated,
+    output bounded by the domain count. A hot domain (half the crawl from
+    one host) is partial-aggregation-safe: combiners collapse it map-side
+    before the exchange.
+    """
+    gf = gopher_filter(df, text_col, id_col, carry_cols=[source_col])
+    n_docs = F.count(F.lit(1))
+    return (
+        gf.groupBy(source_col)
+        .agg(
+            n_docs.cast("bigint").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
+            F.round(F.sum(F.col("keep").cast("int")) / n_docs, 4).alias("keep_rate"),
+            F.sum((~F.col("ok_length")).cast("int")).cast("bigint").alias("n_fail_length"),
+            F.sum((~F.col("ok_word_len")).cast("int")).cast("bigint").alias("n_fail_word_len"),
+            F.sum((~F.col("ok_repetition")).cast("int")).cast("bigint").alias("n_fail_repetition"),
+            F.round(F.avg("n_words"), 4).alias("avg_words"),
+            F.round(F.avg("top_word_frac"), 4).alias("avg_top_word_frac"),
         )
     )

@@ -1045,3 +1045,70 @@ def test_length_outlier_no_corpus_wide_sort(spark):
     # the corpus scan feeds the broadcast join directly: no Exchange between
     # the doc-side scan and the join (window sort touches only the agg side)
     assert "SortMergeJoin" not in plan
+
+
+def test_source_quality_report_rollup(spark):
+    """Per-source Gopher rollup: a clean source keeps everything, a source
+    of too-short docs fails ok_length wholesale; empty-token docs vanish
+    before the rollup (same contract as gopher_filter/q59)."""
+    from jsonify2ai_spark.operators.textstats import source_quality_report
+
+    good = " ".join(f"word{i}" for i in range(30))
+    rows = [(i, good, "clean") for i in range(4)]
+    rows += [(10 + i, "too short", "stubs") for i in range(3)]
+    rows += [(20, None, "stubs")]  # no tokens -> not counted
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in source_quality_report(docs).collect()}
+    assert got["clean"]["n_docs"] == 4 and got["clean"]["keep_rate"] == 1.0
+    assert got["stubs"]["n_docs"] == 3  # NULL-text doc dropped
+    assert got["stubs"]["n_keep"] == 0 and got["stubs"]["n_fail_length"] == 3
+
+
+def test_gopher_filter_carry_cols_passthrough(spark):
+    """carry_cols threads extra columns through the Arrow pass without
+    changing any signal value vs the no-carry call."""
+    from jsonify2ai_spark.operators.textstats import gopher_filter
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20)), "a"), (2, "tiny", "b")],
+        "doc_id long, text string, source string",
+    )
+    plain = {r["doc_id"]: r for r in gopher_filter(docs).collect()}
+    carried = {r["doc_id"]: r for r in gopher_filter(docs, carry_cols=["source"]).collect()}
+    assert {r["source"] for r in carried.values()} == {"a", "b"}
+    for i in plain:
+        assert plain[i]["keep"] == carried[i]["keep"]
+        assert plain[i]["n_words"] == carried[i]["n_words"]
+
+
+def test_mixture_weights_alpha_semantics(spark):
+    """alpha=1 reproduces the corpus (all weights 1); alpha=0.5 up-weights
+    the tail source and down-weights the head; shares sum to 1."""
+    from jsonify2ai_spark.operators.sampling import mixture_weights
+
+    rows = [(i, " ".join(["tok"] * 90), "big") for i in range(10)]
+    rows += [(100, " ".join(["tok"] * 100), "small")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    w1 = {r["source"]: r for r in mixture_weights(docs, alpha=1.0).collect()}
+    assert w1["big"]["weight"] == 1.0 and w1["small"]["weight"] == 1.0
+    w5 = {r["source"]: r for r in mixture_weights(docs, alpha=0.5).collect()}
+    assert w5["small"]["weight"] > 1.0 > w5["big"]["weight"]
+    assert abs(w5["big"]["p_target"] + w5["small"]["p_target"] - 1.0) < 1e-4
+    assert w5["big"]["n_tokens"] == 900 and w5["small"]["n_tokens"] == 100
+
+
+def test_label_coherence_separates_tight_from_noise(spark):
+    """A tight label (identical vectors) reads mean cosine 1.0; a label of
+    orthogonal one-hot vectors reads far lower; NULL vectors are skipped."""
+    from jsonify2ai_spark.operators.inventory import label_coherence
+
+    tight = [(i, [1.0, 2.0, 3.0, 4.0], 0) for i in range(5)]
+    noise = [(10 + d, [1.0 if j == d else 0.0 for j in range(4)], 1) for d in range(4)]
+    rows = tight + noise + [(99, None, 1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r["label"]: r for r in label_coherence(emb).collect()}
+    assert got[0]["n"] == 5 and got[0]["mean_cos_to_centroid"] == 1.0
+    assert got[1]["n"] == 4  # NULL skipped
+    assert got[1]["mean_cos_to_centroid"] == 0.5  # one-hot vs uniform centroid
+    assert got[1]["min_cos_to_centroid"] == 0.5
