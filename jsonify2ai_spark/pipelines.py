@@ -27,7 +27,9 @@ def prepare_training_corpus(
     text_col: str = "text",
     min_quality: float = 0.2,
     filter_repetitive: bool = True,
+    length_trim: tuple[float, float] | None = None,
     near_dedup: bool = True,
+    keep_best: bool = False,
     redact: bool = True,
     pack_budget: int | None = 2000,
     pack_groups: int = 32,
@@ -37,12 +39,17 @@ def prepare_training_corpus(
 
     Stages, in order (each skippable):
     1. quality gate   — ``quality_score`` >= ``min_quality``
-    2. repetition gate — drop Gopher-repetitive documents
-    3. exact dedup    — one survivor per normalized-content hash
-    4. near dedup     — MinHash-LSH candidates -> connected components ->
-                        one survivor per cluster
-    5. PII redaction  — text rewritten in place (adds ``pii_total``)
-    6. packing        — (pack_group, bin_idx) next-fit assignments
+    2. length trim    — ``length_trim=(lo, hi)`` drops documents whose
+                        length percent-rank falls outside [lo, hi]
+                        (value-level CDF, q80 — no corpus-wide sort)
+    3. repetition gate — drop Gopher-repetitive documents
+    4. exact dedup    — one survivor per normalized-content hash
+    5. near dedup     — MinHash-LSH candidates -> connected components ->
+                        one survivor per cluster; ``keep_best=True``
+                        selects the HIGHEST-quality cluster member (q75)
+                        instead of the min-id one
+    6. PII redaction  — text rewritten in place (adds ``pii_total``)
+    7. packing        — (pack_group, bin_idx) next-fit assignments
     """
     from jsonify2ai_spark.operators.dedup import (
         connected_components,
@@ -67,6 +74,18 @@ def prepare_training_corpus(
         .localCheckpoint(eager=False)
     )
 
+    if length_trim is not None:
+        from jsonify2ai_spark.operators.textstats import length_outlier_flags
+
+        lo, hi = length_trim
+        sized = out.withColumn("_len", F.length(text_col).cast("bigint"))
+        keep_len = (
+            length_outlier_flags(sized, lower=lo, upper=hi, length_col="_len", id_col=id_col)
+            .filter(F.col("flag") == "keep")
+            .select(id_col)
+        )
+        out = out.join(keep_len, id_col, "left_semi").localCheckpoint(eager=False)
+
     if filter_repetitive:
         rep = repetition_stats(out, text_col=text_col, id_col=id_col).select(
             id_col, "repetitive"
@@ -83,8 +102,18 @@ def prepare_training_corpus(
 
     if near_dedup:
         pairs = minhash_lsh_pairs(out, text_col=text_col, id_col=id_col)
-        labels = connected_components(pairs)
-        out = keep_representatives(out, labels, id_col=id_col)
+        if keep_best:
+            from jsonify2ai_spark.operators.dedup import dedup_keep_best
+
+            kept = (
+                dedup_keep_best(out, pairs, quality_col="quality", id_col=id_col)
+                .filter(F.col("kept"))
+                .select(id_col)
+            )
+            out = out.join(kept, id_col, "left_semi")
+        else:
+            labels = connected_components(pairs)
+            out = keep_representatives(out, labels, id_col=id_col)
 
     if redact:
         out = redact_pii(with_pii_counts(out, text_col=text_col), text_col=text_col)

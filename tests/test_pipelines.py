@@ -125,3 +125,39 @@ def test_write_training_shards_empty_corpus(spark, tmp_path):
     )
     m = write_training_shards(empty, str(tmp_path / "shards"))
     assert m["groups"] == 0 and m["rows"] == 0
+
+
+def test_prepare_corpus_keep_best_and_length_trim(spark):
+    """New optional stages: keep_best selects the highest-quality cluster
+    member (not min id); length_trim drops percent-rank outliers. Both
+    compose with the rest of the chain."""
+    from jsonify2ai_spark.pipelines import prepare_training_corpus
+
+    nineteen = " ".join(f"tok{i % 7} word{i}" for i in range(10))[:-1]
+    nineteen = " ".join(nineteen.split()[:19])
+    # near-dup cluster: doc 1 has 19 tokens (quality_score len ramp 0.95),
+    # doc 3 adds one token (quality 1.0) — keep_best must pick 3, min-id
+    # dedup would pick 1
+    cluster = [(1, nineteen), (3, nineteen + " bonus")]
+    base = " ".join(f"word{i} filler{i % 5}" for i in range(40))
+    # length outlier: one tiny doc (passes the quality gate at
+    # min_quality=0) and normal singles
+    rest = [(10, "short stub text"), (11, base),
+            (12, base.replace("word", "other"))]
+    docs = spark.createDataFrame(cluster + rest, "doc_id long, text string")
+
+    out = prepare_training_corpus(
+        docs, min_quality=0.0, filter_repetitive=False, redact=False,
+        pack_budget=None, keep_best=True,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 3 in kept and 1 not in kept  # best copy, not min id
+    assert {10, 11, 12} <= kept  # singletons untouched
+
+    trimmed = prepare_training_corpus(
+        docs, min_quality=0.0, filter_repetitive=False, redact=False,
+        pack_budget=None, keep_best=True, length_trim=(0.05, 0.95),
+    )
+    kept_t = {r["doc_id"] for r in trimmed.collect()}
+    assert 10 not in kept_t  # shortest doc is the pct-rank-0 outlier
+    assert 3 in kept_t
