@@ -1459,11 +1459,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_latency_percentiles": q38_latency_percentiles,
         "q40_asof_join": q40_asof_join,
         "q44_hybrid_rrf": q44_hybrid_rrf,
-        "q48_salted_agg": q48_salted_agg,
         "q50_time_range_search": q50_time_range_search,
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_jaccard_capped": q52_jaccard_capped,
         "q53_ingest_summary": q53_ingest_summary,
+        "q54_stratified_sample": q54_stratified_sample,
         "q55_weighted_interleave": q55_weighted_interleave,
         "q56_chat_chunk_stats": q56_chat_chunk_stats,
         "q57_pack_sequences": q57_pack_sequences,
@@ -1513,9 +1513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the most likely to be wrong — the gate exists for exactly it).
         # These still run in bench.py and verify_local.py.
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 in-gate
+        "q48_salted_agg": q48_salted_agg,  # skew family: salting plan tests in pytest; q49 twin in tail, r4-green
         "q22_source_inventory": q22_source_inventory,  # inventory rollup: q31/q53/q81 in-gate, r4-green
         "q34_chunk_stats": q34_chunk_stats,  # W1 chunker: q56 chat-chunker in-gate, r4-green
-        "q54_stratified_sample": q54_stratified_sample,  # sampling: q55/q66/q70/q82 in-gate, r4-green
         "q12_doc_stats": q12_doc_stats,  # textstats class: q14/q59/q61/q71/q73 in-gate, r4-green
         "q15_doc_dedup_exact": q15_doc_dedup_exact,  # exact dedup: q24/q51/q75 dedup family in-gate, r4-green
         "q19_knn_brute": q19_knn_brute,  # ANN class: q25/q67/q69 in-gate, r4-green
