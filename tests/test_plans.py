@@ -338,3 +338,49 @@ def test_q64_tfidf_small_sides_broadcast_one_corpus_shuffle(spark):
     data_shuffles = re.findall(r"\bExchange (?:hash|range|Single)", p)
     assert len(data_shuffles) <= 5, (data_shuffles, p[:2000])
     assert "TakeOrderedAndProject" in p, p[:2000]  # top-k never full-sorts
+
+
+def test_q80_length_trim_broadcasts_cdf_no_corpus_sort(spark):
+    """The percent-rank CDF must stay a value-level aggregate: broadcast
+    join back onto the corpus (never SortMergeJoin), and the only window
+    sort runs over the tiny per-value counts frame — the corpus side has
+    no Exchange into a sort."""
+    p = plan_string(entry_mod.q80_length_outliers(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in p, p[:1500]
+    assert "SortMergeJoin" not in p, p[:1500]
+
+
+def test_q81_source_quality_no_corpus_join(spark):
+    """carry_cols design: the source label rides the Arrow pass, so the
+    plan has NO join at all — one ArrowEvalPython/mapInPandas stage plus
+    the |sources|-keyed partial aggregate."""
+    p = plan_string(entry_mod.q81_source_quality(spark, SF_DIR), "simple")
+    assert "Join" not in p, p[:1500]
+    assert "HashAggregate" in p
+
+
+def test_q82_mixture_weights_no_explode_broadcast_totals(spark):
+    """Token counts are map-side size(split(...)) — no Generate/explode
+    node anywhere; the normalizing scalars attach via a broadcast
+    nested-loop (one-row frame)."""
+    p = plan_string(entry_mod.q82_mixture_weights(spark, SF_DIR), "simple")
+    assert "Generate" not in p, p[:1500]
+    assert "BroadcastNestedLoopJoin" in p, p[:1500]
+    assert "SortMergeJoin" not in p
+
+
+def test_q83_label_coherence_broadcast_centroids(spark):
+    """The centroid table (|labels| rows) must broadcast onto the members;
+    the corpus never shuffles for the join (the only exchanges are the two
+    label-keyed partial aggregates)."""
+    p = plan_string(entry_mod.q83_label_coherence(spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in p, p[:1500]
+    assert "SortMergeJoin" not in p, p[:1500]
+
+
+def test_q77_shingle_census_two_partial_aggregates(spark):
+    """Census = two partial-aggregated shuffles (shingle df, then the
+    histogram); no join, no window, no sort anywhere."""
+    p = plan_string(entry_mod.q77_shingle_census(spark, SF_DIR), "simple")
+    assert "Join" not in p, p[:1500]
+    assert "Sort" not in p, p[:1500]
