@@ -233,3 +233,116 @@ def stream_dedup(
     return records.groupBy(key_col).applyInPandasWithState(
         dedup, out_schema, "seen BOOLEAN", "append", timeout
     )
+
+
+class CorpusNearDupGate:
+    """Streaming face of q65's incremental near-dup dedup: drop every
+    micro-batch row that has a jaccard >= threshold near-duplicate in a
+    STATIC reference corpus, reusing corpus-side artifacts across batches.
+
+    The per-batch cost contract (the reason this is a class and not a
+    per-batch ``dedup_against`` call): the corpus's shingle sets and its
+    exploded posting frame are built ONCE at construction, persisted, and
+    — critically — the posting frame is pre-partitioned on the shingle
+    hash, so every micro-batch join reuses that layout and only the BATCH
+    side shuffles. Per-batch work is proportional to the batch, never the
+    corpus; a 100 TB corpus amortizes to a one-time build.
+
+    ``df_cap`` drops corpus shingles whose document frequency exceeds the
+    cap from the posting frame at BUILD time (boilerplate, the
+    d_new x d_existing join hazard); batch-side candidates still verify
+    against FULL corpus shingle sets, so emitted jaccard decisions stay
+    exact (same candidates-vs-verification split as the batch operators).
+
+    Use: ``gate = CorpusNearDupGate(spark_corpus_df)``, then either
+    ``gate.filter_batch(batch_df)`` inside an existing foreachBatch, or
+    ``stream.writeStream.foreachBatch(gate.foreach_batch(append_fn))``.
+    Call ``close()`` to release the persisted corpus artifacts.
+    """
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        threshold: float = 0.8,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        shingle_n: int = 3,
+        df_cap: int | None = None,
+    ) -> None:
+        from jsonify2ai_spark.operators.dedup import shingle_hash_sets
+
+        self._threshold = threshold
+        self._text_col = text_col
+        self._id_col = id_col
+        self._shingle_n = shingle_n
+        # corpus shingle sets: verification side (full sets, never capped)
+        self._sets = (
+            shingle_hash_sets(corpus, text_col, id_col, shingle_n)
+            .select(F.col(id_col).alias("b"), F.col("hs").alias("_hb"))
+            .persist()
+        )
+        # posting frame: candidate side, pre-partitioned on the shingle
+        # hash so batch joins reuse the layout (only the batch shuffles)
+        posts = self._sets.select(
+            "b", F.size("_hb").alias("szb"), F.explode("_hb").alias("sh")
+        )
+        if df_cap is not None:
+            hot = (
+                posts.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > df_cap)
+                .select("sh")
+            )
+            posts = posts.join(F.broadcast(hot), "sh", "left_anti")
+        self._posts = posts.repartition(F.col("sh")).persist()
+        self._posts.count()  # materialize both artifacts up front
+        self._n_corpus = self._sets.count()
+
+    def filter_batch(self, batch: DataFrame) -> DataFrame:
+        """Rows of ``batch`` with NO near-duplicate in the corpus (plus
+        batch rows with no shingles, which cannot near-dup anything)."""
+        from jsonify2ai_spark.operators.dedup import shingle_hash_sets
+
+        sn = shingle_hash_sets(
+            batch, self._text_col, self._id_col, self._shingle_n
+        ).localCheckpoint(eager=False)  # feeds candidates AND verification
+        exn = sn.select(
+            F.col(self._id_col).alias("a"),
+            F.size("hs").alias("sza"),
+            F.explode("hs").alias("sh"),
+        )
+        # candidates: batch postings vs cached corpus postings; verify
+        # against the FULL corpus sets so df_cap never changes a score
+        cand = exn.join(self._posts, "sh").select("a", "b").distinct()
+        verified = (
+            cand.join(sn.select(F.col(self._id_col).alias("a"), "hs"), "a")
+            .join(self._sets, "b")
+            .select(
+                "a",
+                F.size("hs").alias("sza"),
+                F.size("_hb").alias("szb"),
+                F.size(F.array_intersect("hs", "_hb")).alias("common"),
+            )
+        )
+        dup_ids = (
+            verified.filter(
+                F.col("common")
+                / (F.col("sza") + F.col("szb") - F.col("common"))
+                >= self._threshold
+            )
+            .select(F.col("a").alias(self._id_col))
+            .distinct()
+        )
+        return batch.join(dup_ids, self._id_col, "left_anti")
+
+    def foreach_batch(self, append):
+        """Wrap ``append(clean_df, batch_id)`` as a foreachBatch callable."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            append(self.filter_batch(batch), batch_id)
+
+        return _fn
+
+    def close(self) -> None:
+        self._sets.unpersist()
+        self._posts.unpersist()

@@ -549,3 +549,102 @@ def test_quality_monitor_windows_and_flags_pii(spark, tmp_path):
         assert w1["avg_quality"] > 0.5 and w1["avg_tokens"] > 20
     finally:
         q.stop()
+
+
+def test_corpus_near_dup_gate_streaming(spark, tmp_path):
+    """Streaming face of q65: micro-batches are filtered against a STATIC
+    corpus whose artifacts were built once — near-dups of corpus docs are
+    dropped across multiple batches, fresh docs pass, and the gate's
+    verdicts match batch dedup_against(method='exact') on the same data."""
+    import json as _json
+
+    from jsonify2ai_spark.operators.dedup import dedup_against
+    from jsonify2ai_spark.streaming.windowed import CorpusNearDupGate
+
+    base = " ".join(f"tok{i} word{i % 9}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1000 + i, base.replace("tok0", f"var{i}")) for i in range(3)],
+        "doc_id long, text string",
+    )
+    gate = CorpusNearDupGate(corpus, threshold=0.8)
+
+    fresh1 = " ".join(f"other{i} thing{i % 5}" for i in range(25))
+    fresh2 = " ".join(f"novel{i} items{i % 4}" for i in range(25))
+    batches = [
+        [  # batch 0: one corpus near-dup, one fresh
+            {"doc_id": 1, "text": base.replace("tok0", "var0") + " pad"},
+            {"doc_id": 2, "text": fresh1},
+        ],
+        [  # batch 1: reuses the SAME gate artifacts
+            {"doc_id": 3, "text": base.replace("tok0", "var2") + " pad"},
+            {"doc_id": 4, "text": fresh2},
+        ],
+    ]
+    src = tmp_path / "gate_src"
+    src.mkdir()
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in batches[0]))
+
+    got = []
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            gate.foreach_batch(lambda df, bid: got.extend(
+                r["doc_id"] for r in df.collect()))
+        )
+        .option("checkpointLocation", str(tmp_path / "gate_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and 2 not in got:
+            if q.exception():
+                raise AssertionError(q.exception())
+            q.processAllAvailable()
+            time.sleep(0.25)
+        (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in batches[1]))
+        while time.time() < deadline and 4 not in got:
+            if q.exception():
+                raise AssertionError(q.exception())
+            q.processAllAvailable()
+            time.sleep(0.25)
+    finally:
+        q.stop()
+
+    assert sorted(got) == [2, 4], got  # near-dups 1 and 3 were gated out
+
+    # parity: the batch operator agrees row-for-row
+    allrows = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for b in batches for r in b],
+        "doc_id long, text string",
+    )
+    verdict = {
+        r["doc_id"]: r["kept"]
+        for r in dedup_against(allrows, corpus, 0.8, method="exact").collect()
+    }
+    assert verdict == {1: False, 2: True, 3: False, 4: True}
+    gate.close()
+
+
+def test_corpus_near_dup_gate_df_cap_keeps_scores_exact(spark):
+    """df_cap drops hot corpus shingles from CANDIDATES only: a batch doc
+    sharing only boilerplate with the corpus is not gated, while a true
+    near-dup still is (verification runs on full sets)."""
+    from jsonify2ai_spark.streaming.windowed import CorpusNearDupGate
+
+    boiler = "all rights reserved terms apply"
+    corpus = spark.createDataFrame(
+        [(100 + i, f"{boiler} c{i}x c{i}y c{i}z c{i}w") for i in range(50)]
+        + [(999, "entirely unique corpus document body here today")],
+        "doc_id long, text string",
+    )
+    gate = CorpusNearDupGate(corpus, threshold=0.5, df_cap=8)
+    batch = spark.createDataFrame(
+        [(1, f"{boiler} mine alone completely new"),
+         (2, "entirely unique corpus document body here today")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in gate.filter_batch(batch).collect()}
+    assert kept == {1}, kept  # boilerplate-only overlap passes; true dup gated
+    gate.close()
