@@ -1424,6 +1424,38 @@ def q83_label_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_coherence(t["embeddings"])
 
 
+def q84_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty (operators/dedup.py novelty_scores): fraction of a
+    document's shingles held by NO other document — information-density /
+    memorization-risk signal; the per-doc inverse of q77's census. Posting
+    frame feeds df aggregate + join back, no pair materialization."""
+    from jsonify2ai_spark.operators.dedup import novelty_scores
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return novelty_scores(t["documents"])
+
+
+def q85_boilerplate_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate catalog (operators/dedup.py
+    boilerplate_catalog): each source's top-5 most document-frequent
+    shingles as READABLE strings — the table a cleaning rule gets written
+    from. Window runs over per-source aggregated gram counts only."""
+    from jsonify2ai_spark.operators.dedup import boilerplate_catalog
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return boilerplate_catalog(t["documents"], top_k=5, min_df=2)
+
+
+def q86_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed token-length histogram (operators/textstats.py
+    token_length_histogram): the packing-budget planning table. Map-only
+    bucketing + one ~40-key aggregate."""
+    from jsonify2ai_spark.operators.textstats import token_length_histogram
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return token_length_histogram(t["documents"])
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1455,9 +1487,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_ivf_ann": q25_ivf_ann,
         "q29_multimodal_meta": q29_multimodal_meta,
         "q31_stats_rollup": q31_stats_rollup,
-        "q35_archive_shards": q35_archive_shards,
-        "q38_latency_percentiles": q38_latency_percentiles,
-        "q40_asof_join": q40_asof_join,
         "q44_hybrid_rrf": q44_hybrid_rrf,
         "q50_time_range_search": q50_time_range_search,
         "q51_dedup_clusters": q51_dedup_clusters,
@@ -1501,6 +1530,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_source_quality": q81_source_quality,
         "q82_mixture_weights": q82_mixture_weights,
         "q83_label_coherence": q83_label_coherence,
+        # r5 (cont. 3): per-doc novelty, per-source boilerplate catalog,
+        # packing-budget histogram (r4-green q35/q38/q40 rotate to the
+        # tail — family twins noted there)
+        "q84_novelty_scores": q84_novelty_scores,
+        "q85_boilerplate_catalog": q85_boilerplate_catalog,
+        "q86_token_histogram": q86_token_histogram,
         # r5 rotation (VERDICT r4 #4): no query goes >2 rounds without a
         # driver-green row — these three were last driver-checked in r3
         # (r4-green q02/q42/q46/q47 rotate to the tail in exchange).
@@ -1513,6 +1548,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the most likely to be wrong — the gate exists for exactly it).
         # These still run in bench.py and verify_local.py.
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 in-gate
+        "q35_archive_shards": q35_archive_shards,  # S19 shard splitter: pytest goldens, r4-green
+        "q38_latency_percentiles": q38_latency_percentiles,  # A8 eval metrics: committed artifact + pytest, r4-green
+        "q40_asof_join": q40_asof_join,  # temporal: q39 sessionize twin in tail, r4-green
         "q48_salted_agg": q48_salted_agg,  # skew family: salting plan tests in pytest; q49 twin in tail, r4-green
         "q22_source_inventory": q22_source_inventory,  # inventory rollup: q31/q53/q81 in-gate, r4-green
         "q34_chunk_stats": q34_chunk_stats,  # W1 chunker: q56 chat-chunker in-gate, r4-green
@@ -3012,5 +3050,55 @@ def oracle_sql() -> dict[str, str]:
                    round(avg({_dd_cosine("e.v", "cents.c")}), 4) AS mean_cos_to_centroid,
                    round(min({_dd_cosine("e.v", "cents.c")}), 4) AS min_cos_to_centroid
             FROM e JOIN cents USING (label) GROUP BY e.label
+        """,
+        "q84_novelty_scores": f"""
+            WITH ex AS (
+              SELECT doc_id, unnest({_dd_shingles("text", 3)}) AS sh FROM documents
+            ), dfreq AS (
+              SELECT sh, count(*) AS df FROM ex GROUP BY sh
+            )
+            SELECT e.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel,
+                   round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS novelty
+            FROM ex e JOIN dfreq d USING (sh)
+            GROUP BY e.doc_id
+        """,
+        "q85_boilerplate_catalog": f"""
+            WITH g AS (
+              SELECT doc_id, source, unnest({_dd_shingles("text", 3)}) AS gram
+              FROM documents
+            ), c AS (
+              SELECT source, gram, count(*) AS df
+              FROM g GROUP BY 1, 2 HAVING count(*) >= 2
+            ), r AS (
+              SELECT source, gram, df,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY df DESC, gram ASC) AS rank
+              FROM c
+            )
+            SELECT source, CAST(rank AS INT) AS rank, gram,
+                   CAST(df AS BIGINT) AS df
+            FROM r WHERE rank <= 5
+        """,
+        "q86_token_histogram": r"""
+            WITH t AS (
+              SELECT len(string_split_regex(trim(text), '\s+')) AS n
+              FROM documents WHERE text IS NOT NULL
+            ), b AS (
+              SELECT n, CASE WHEN n <= 0 THEN -1
+                             ELSE CAST(floor(log2(CAST(n AS DOUBLE))) AS INT)
+                        END AS bk
+              FROM t
+            )
+            SELECT CASE WHEN bk < 0 THEN 0
+                        ELSE CAST(pow(2.0, bk) AS BIGINT) END AS bucket_lo,
+                   CASE WHEN bk < 0 THEN 0
+                        ELSE CAST(pow(2.0, bk + 1) - 1 AS BIGINT) END AS bucket_hi,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS total_tokens
+            FROM b GROUP BY bk
         """,
     }

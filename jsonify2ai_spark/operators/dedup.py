@@ -1425,3 +1425,90 @@ def cross_source_dup_matrix(
             F.round(F.max("jaccard"), 6).alias("max_jaccard"),
         )
     )
+
+
+def novelty_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a document's shingles that
+    appear in no other document — the inverse of the census view (q77).
+    Low-novelty documents are recombinations of corpus text (template
+    output, quote-stitching, near-dup tails below the pair thresholds);
+    high-novelty ones carry new content. Pipelines use it as a
+    memorization-risk / information-density signal when choosing what to
+    up-sample.
+
+    A shingle's document frequency counts DISTINCT documents (sets are
+    distinct per doc), so "novel" = df == 1, i.e. this document is its
+    only holder. Plan: one exploded posting frame feeds BOTH the df
+    aggregate and the join back (lazy-checkpointed — one Arrow pass);
+    shuffles are the df groupBy and the posting equi-join on the same
+    60-bit shingle key (partition-layout reuse applies), then one
+    partial-aggregated per-doc rollup. No posting-list explosion — this
+    never materializes pairs, so no df-cap is needed.
+    """
+    based = shingle_hash_sets(df, text_col, id_col, shingle_n)
+    ex = based.select(F.col(id_col), F.explode("hs").alias("sh")).localCheckpoint(
+        eager=False
+    )
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(dfreq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("int")).cast("bigint").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 6)
+        )
+    )
+
+
+def boilerplate_catalog(
+    df: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    shingle_n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-SOURCE boilerplate catalog: for each source, its ``top_k`` most
+    document-frequent shingles AS READABLE STRINGS with their in-source
+    document counts — the human-actionable face of the df census: q77 says
+    "this corpus has hot shingles", this says "domain X's hot shingle is
+    'all rights reserved'", which is what someone writes a cleaning rule
+    from.
+
+    Unlike the dedup operators this keeps the shingle STRING (the output
+    is for humans); the groupBy key is therefore (source, gram) — wider
+    shuffle rows than the hashed form, but the frame aggregates down to
+    per-source-distinct-grams and the top-k window partitions by source
+    over already-aggregated counts (|grams-per-source| rows per partition,
+    never documents). ``min_df`` drops the df=1 noise floor before the
+    window. Ties break by gram string — deterministic cross-engine.
+    """
+    from jsonify2ai_spark.functions.text import shingles
+
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("gram"),
+    )
+    counts = (
+        grams.groupBy(source_col, "gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    w = Window.partitionBy(source_col).orderBy(F.col("df").desc(), F.col("gram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(source_col, F.col("rank").cast("int").alias("rank"), "gram", F.col("df").cast("bigint").alias("df"))
+    )

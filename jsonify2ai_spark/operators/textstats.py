@@ -639,3 +639,42 @@ def source_quality_report(
             F.round(F.avg("top_word_frac"), 4).alias("avg_top_word_frac"),
         )
     )
+
+
+def token_length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Log2-bucketed document TOKEN-LENGTH histogram: (bucket_lo, bucket_hi,
+    n_docs, total_tokens) — the one-page input to choosing a packing budget
+    (q57/q72): the budget should sit past the bucket holding the token
+    mass, and the histogram's top bucket is the truncation-loss estimate
+    for any smaller budget.
+
+    Map-only bucket assignment (token count = size(split), never exploded;
+    bucket = floor(log2(n))) + one partial-aggregated shuffle whose key
+    domain is ~40 buckets at any corpus size. Zero-token docs land in a
+    [0,0] bucket rather than -inf."""
+    n = F.size(tokens(_c(text_col)))
+    n = F.when(n.isNull(), None).otherwise(n)
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log2(n.cast("double"))).cast("int")
+    )
+    base = df.select(n.alias("_n"), bucket.alias("_b")).filter(F.col("_n").isNotNull())
+    return (
+        base.groupBy("_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_n").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            F.when(F.col("_b") < 0, F.lit(0)).otherwise(
+                F.pow(F.lit(2.0), F.col("_b")).cast("bigint")
+            ).alias("bucket_lo"),
+            F.when(F.col("_b") < 0, F.lit(0)).otherwise(
+                (F.pow(F.lit(2.0), F.col("_b") + 1) - 1).cast("bigint")
+            ).alias("bucket_hi"),
+            "n_docs",
+            "total_tokens",
+        )
+    )

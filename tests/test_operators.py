@@ -1112,3 +1112,61 @@ def test_label_coherence_separates_tight_from_noise(spark):
     assert got[1]["n"] == 4  # NULL skipped
     assert got[1]["mean_cos_to_centroid"] == 0.5  # one-hot vs uniform centroid
     assert got[1]["min_cos_to_centroid"] == 0.5
+
+
+def test_novelty_scores_separate_unique_from_recombined(spark):
+    """A unique doc scores novelty 1.0; an exact copy pair scores 0.0 (all
+    shingles shared); a half-recombined doc sits strictly between."""
+    from jsonify2ai_spark.operators.dedup import novelty_scores
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, shared),
+            (2, shared),                               # exact copy of 1
+            (3, "fully original content nobody repeats"),
+            (4, shared + " own private suffix tokens"),  # recombination
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in novelty_scores(docs).collect()}
+    assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
+    assert got[3]["novelty"] == 1.0
+    assert 0.0 < got[4]["novelty"] < 1.0
+    assert got[3]["n_shingles"] == got[3]["n_novel"]
+
+
+def test_boilerplate_catalog_per_source_topk(spark):
+    """The catalog surfaces each source's hottest shingle as a readable
+    string, ranked by in-source df with gram-string tie-break; df=1 noise
+    is dropped by min_df."""
+    from jsonify2ai_spark.operators.dedup import boilerplate_catalog
+
+    footer = "all rights reserved"
+    rows = [(i, f"unique{i} content{i} {footer}", "siteA") for i in range(4)]
+    rows += [(10 + i, f"fresh{i} words{i} only", "siteB") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = boilerplate_catalog(docs, top_k=3, min_df=2).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    a_top = sorted(by_src["siteA"], key=lambda r: r["rank"])[0]
+    assert a_top["gram"] == footer and a_top["df"] == 4
+    assert "siteB" not in by_src  # no shingle repeats within siteB
+
+
+def test_token_length_histogram_buckets(spark):
+    """Docs of 1, 2, 3, 9 tokens land in [1,1], [2,3], [2,3], [8,15];
+    counts and token mass add up; NULL text contributes nothing."""
+    from jsonify2ai_spark.operators.textstats import token_length_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c"), (4, " ".join("x" * 1 for _ in range(9))),
+         (5, None)],
+        "doc_id long, text string",
+    )
+    got = {(r["bucket_lo"], r["bucket_hi"]): r for r in token_length_histogram(docs).collect()}
+    assert got[(1, 1)]["n_docs"] == 1 and got[(1, 1)]["total_tokens"] == 1
+    assert got[(2, 3)]["n_docs"] == 2 and got[(2, 3)]["total_tokens"] == 5
+    assert got[(8, 15)]["n_docs"] == 1 and got[(8, 15)]["total_tokens"] == 9
+    assert sum(r["n_docs"] for r in got.values()) == 4
