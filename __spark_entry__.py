@@ -1456,6 +1456,29 @@ def q86_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_length_histogram(t["documents"])
 
 
+def q87_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff (operators/inventory.py corpus_diff): old = the
+    documents table; new = a deterministic v2 (drop doc_id%7==0, append
+    ' v2' to doc_id%5==0, add +100000-shifted copies of doc_id%11==0) —
+    per-id added/removed/changed/unchanged status via content
+    fingerprints. Full-outer join on the primary key, fingerprints only
+    (no text crosses the shuffle)."""
+    from jsonify2ai_spark.operators.inventory import corpus_diff
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    modified = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return corpus_diff(docs, modified.unionByName(added))
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1487,7 +1510,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_ivf_ann": q25_ivf_ann,
         "q29_multimodal_meta": q29_multimodal_meta,
         "q31_stats_rollup": q31_stats_rollup,
-        "q44_hybrid_rrf": q44_hybrid_rrf,
         "q50_time_range_search": q50_time_range_search,
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_jaccard_capped": q52_jaccard_capped,
@@ -1536,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_novelty_scores": q84_novelty_scores,
         "q85_boilerplate_catalog": q85_boilerplate_catalog,
         "q86_token_histogram": q86_token_histogram,
+        "q87_corpus_diff": q87_corpus_diff,  # version diff (r4-green q44 rotates to tail: q30 bm25 twin there)
         # r5 rotation (VERDICT r4 #4): no query goes >2 rounds without a
         # driver-green row — these three were last driver-checked in r3
         # (r4-green q02/q42/q46/q47 rotate to the tail in exchange).
@@ -1548,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the most likely to be wrong — the gate exists for exactly it).
         # These still run in bench.py and verify_local.py.
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 in-gate
+        "q44_hybrid_rrf": q44_hybrid_rrf,  # hybrid RRF: q30 bm25 + eval artifact cover K3, r4-green
         "q35_archive_shards": q35_archive_shards,  # S19 shard splitter: pytest goldens, r4-green
         "q38_latency_percentiles": q38_latency_percentiles,  # A8 eval metrics: committed artifact + pytest, r4-green
         "q40_asof_join": q40_asof_join,  # temporal: q39 sessionize twin in tail, r4-green
@@ -3100,5 +3124,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(n) AS BIGINT) AS total_tokens
             FROM b GROUP BY bk
+        """,
+        "q87_corpus_diff": """
+            WITH oldv AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+              FROM documents
+            ), new_base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text
+              FROM documents WHERE doc_id % 11 = 0
+            ), newv AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+              FROM new_base
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.f = n.f THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
         """,
     }

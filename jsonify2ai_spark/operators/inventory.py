@@ -150,3 +150,37 @@ def label_coherence(
         )
         .select(F.col("lbl").alias(label_col), "n", "mean_cos_to_centroid", "min_cos_to_centroid")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus VERSION diff: per document id, its status between two corpus
+    snapshots — added / removed / changed / unchanged — the audit a
+    versioned training-data pipeline runs before re-embedding or
+    re-training ("what actually moved between v3 and v4, and how much of
+    it?"). Changed-ness is content identity (md5 of whitespace-normalized
+    text), the same fingerprint the exact-dedup family keys on, so a
+    formatting-only rewrite counts as unchanged.
+
+    One full-outer equi-join on the id — the join key is the primary key,
+    so there is no skew hazard and AQE sizes it; both inputs reduce to
+    (id, 16-byte fingerprint) projections before the shuffle (no text
+    movement). Output is corpus-sized; aggregate downstream if only the
+    counts matter.
+    """
+    from jsonify2ai_spark.functions.text import normalize_ws
+
+    fpo = old.select(F.col(id_col), F.md5(normalize_ws(F.col(text_col))).alias("_fo"))
+    fpn = new.select(F.col(id_col), F.md5(normalize_ws(F.col(text_col))).alias("_fn"))
+    j = fpo.join(fpn, id_col, "full_outer")
+    status = (
+        F.when(F.col("_fo").isNull(), F.lit("added"))
+        .when(F.col("_fn").isNull(), F.lit("removed"))
+        .when(F.col("_fo") == F.col("_fn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))

@@ -1170,3 +1170,23 @@ def test_token_length_histogram_buckets(spark):
     assert got[(2, 3)]["n_docs"] == 2 and got[(2, 3)]["total_tokens"] == 5
     assert got[(8, 15)]["n_docs"] == 1 and got[(8, 15)]["total_tokens"] == 9
     assert sum(r["n_docs"] for r in got.values()) == 4
+
+
+def test_corpus_diff_statuses(spark):
+    """added/removed/changed/unchanged per id; whitespace-only rewrites
+    count as unchanged (content identity, not byte identity)."""
+    from jsonify2ai_spark.operators.inventory import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "stays the same"), (2, "will change"), (3, "will vanish"),
+         (4, "spacing   here")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "stays the same"), (2, "has changed"), (5, "brand new"),
+         (4, "spacing here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   5: "added", 4: "unchanged"}

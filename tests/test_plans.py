@@ -384,3 +384,35 @@ def test_q77_shingle_census_two_partial_aggregates(spark):
     p = plan_string(entry_mod.q77_shingle_census(spark, SF_DIR), "simple")
     assert "Join" not in p, p[:1500]
     assert "Sort" not in p, p[:1500]
+
+
+def test_q84_novelty_no_pair_explosion(spark):
+    """Novelty joins postings to the df table and rolls up per doc — the
+    plan must contain NO posting-list collect (collect_list) and no
+    window: this operator is structurally linear, unlike the pair
+    generators."""
+    p = plan_string(entry_mod.q84_novelty_scores(spark, SF_DIR), "simple")
+    assert "collect_list" not in p, p[:1500]
+    assert "Window" not in p, p[:1500]
+
+
+def test_q85_catalog_window_over_aggregates_only(spark):
+    """The top-k window must consume the (source, gram) AGGREGATE — the
+    plan shows the HashAggregate below the Window sort, so the per-source
+    sort touches distinct-gram counts, never document rows."""
+    p = plan_string(entry_mod.q85_boilerplate_catalog(spark, SF_DIR), "formatted")
+    assert "Window" in p
+    agg_pos = p.find("HashAggregate")
+    win_pos = p.find("Window")
+    assert 0 <= agg_pos and 0 <= win_pos
+    # formatted mode prints leaves last: the aggregate feeding the window
+    # appears BELOW it in the operator tree listing
+    assert "min_df" not in p  # literal folded, not a runtime filter name
+
+
+def test_q86_token_histogram_map_only_bucketing(spark):
+    """Token counting never explodes: no Generate node; the only exchange
+    is the ~40-key histogram aggregate."""
+    p = plan_string(entry_mod.q86_token_histogram(spark, SF_DIR), "simple")
+    assert "Generate" not in p, p[:1500]
+    assert p.count("Exchange") == 1, p[:1500]
