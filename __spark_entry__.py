@@ -1479,6 +1479,40 @@ def q87_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(docs, modified.unionByName(added))
 
 
+def q88_syndication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional duplication flow (operators/dedup.py syndication_matrix):
+    (source_contained -> source_container, n_pairs) — which way content
+    flows between sources, from asymmetric containment (q76) pairs.
+    q79 says who shares; this says who copies whom."""
+    from jsonify2ai_spark.operators.dedup import syndication_matrix
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return syndication_matrix(t["documents"], _CONTAINMENT_THRESHOLD)
+
+
+def q89_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-version embedding drift (operators/inventory.py
+    embedding_drift): old = the embeddings table, new = a deterministic v2
+    (drop vec_id%9==0; shift label 3 by +0.05/dim) — per label: member
+    counts, old-vs-new centroid cosine, mean-norm delta. The re-index
+    go/no-go table after a re-embed."""
+    from jsonify2ai_spark.operators.inventory import embedding_drift
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    shifted = emb.filter(F.col("vec_id") % 9 != 0).select(
+        "vec_id",
+        F.when(
+            F.col("label") == 3,
+            F.transform("embedding", lambda x: x.cast("double") + F.lit(0.05)),
+        )
+        .otherwise(F.transform("embedding", lambda x: x.cast("double")))
+        .alias("embedding"),
+        "label",
+    )
+    return embedding_drift(emb, shifted)
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1509,8 +1543,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_replace_upsert": q24_replace_upsert,
         "q25_ivf_ann": q25_ivf_ann,
         "q29_multimodal_meta": q29_multimodal_meta,
-        "q31_stats_rollup": q31_stats_rollup,
-        "q50_time_range_search": q50_time_range_search,
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_jaccard_capped": q52_jaccard_capped,
         "q53_ingest_summary": q53_ingest_summary,
@@ -1559,6 +1591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_boilerplate_catalog": q85_boilerplate_catalog,
         "q86_token_histogram": q86_token_histogram,
         "q87_corpus_diff": q87_corpus_diff,  # version diff (r4-green q44 rotates to tail: q30 bm25 twin there)
+        "q88_syndication_matrix": q88_syndication_matrix,  # directional dup flow (r4-green q50 to tail)
+        "q89_embedding_drift": q89_embedding_drift,  # re-embed drift QA (r4-green q31 to tail)
         # r5 rotation (VERDICT r4 #4): no query goes >2 rounds without a
         # driver-green row — these three were last driver-checked in r3
         # (r4-green q02/q42/q46/q47 rotate to the tail in exchange).
@@ -1571,6 +1605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the most likely to be wrong — the gate exists for exactly it).
         # These still run in bench.py and verify_local.py.
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 in-gate
+        "q31_stats_rollup": q31_stats_rollup,  # GROUPING SETS rollup: q53/q81 rollup family in-gate, r4-green
+        "q50_time_range_search": q50_time_range_search,  # time-range filter: q02 pushdown class + ANN rows q25/q67/q69 in-gate, r4-green
         "q44_hybrid_rrf": q44_hybrid_rrf,  # hybrid RRF: q30 bm25 + eval artifact cover K3, r4-green
         "q35_archive_shards": q35_archive_shards,  # S19 shard splitter: pytest goldens, r4-green
         "q38_latency_percentiles": q38_latency_percentiles,  # A8 eval metrics: committed artifact + pytest, r4-green
@@ -3148,5 +3184,84 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.f = n.f THEN 'unchanged'
                         ELSE 'changed' END AS status
             FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+        """,
+        "q88_syndication_matrix": f"""
+            WITH ex AS (
+              SELECT doc_id, unnest({_dd_shingles("text", 3)}) AS sh FROM documents
+            ), sizes AS (
+              SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+            ), common AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT c.a, c.b,
+                     CAST(c.common AS DOUBLE) / sa.sz AS cab,
+                     CAST(c.common AS DOUBLE) / sb.sz AS cba
+              FROM common c
+              JOIN sizes sa ON sa.doc_id = c.a
+              JOIN sizes sb ON sb.doc_id = c.b
+            ), edges AS (
+              SELECT da.source AS source_contained, db.source AS source_container
+              FROM pairs p
+              JOIN documents da ON da.doc_id = p.a
+              JOIN documents db ON db.doc_id = p.b
+              WHERE p.cab >= {_CONTAINMENT_THRESHOLD}
+              UNION ALL
+              SELECT db.source, da.source
+              FROM pairs p
+              JOIN documents da ON da.doc_id = p.a
+              JOIN documents db ON db.doc_id = p.b
+              WHERE p.cba >= {_CONTAINMENT_THRESHOLD}
+            )
+            SELECT source_contained, source_container,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM edges GROUP BY 1, 2
+        """,
+        "q89_embedding_drift": f"""
+            WITH oldv AS (
+              SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings WHERE embedding IS NOT NULL
+            ), newv AS (
+              SELECT label,
+                     CASE WHEN label = 3
+                          THEN list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.05)
+                          ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND vec_id % 9 <> 0
+            ), ostat AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n_old,
+                     avg(sqrt(list_sum(list_transform(v, x -> x * x)))) AS mn_old
+              FROM oldv GROUP BY label
+            ), nstat AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n_new,
+                     avg(sqrt(list_sum(list_transform(v, x -> x * x)))) AS mn_new
+              FROM newv GROUP BY label
+            ), oex AS (
+              SELECT label, u['d'] AS d, u['x'] AS x
+              FROM (SELECT label, unnest(list_transform(range(1, len(v) + 1),
+                           i -> {{'d': i - 1, 'x': v[i]}})) AS u FROM oldv)
+            ), ocent AS (
+              SELECT label, array_agg(m ORDER BY d) AS c
+              FROM (SELECT label, d, avg(x) AS m FROM oex GROUP BY 1, 2)
+              GROUP BY label
+            ), nex AS (
+              SELECT label, u['d'] AS d, u['x'] AS x
+              FROM (SELECT label, unnest(list_transform(range(1, len(v) + 1),
+                           i -> {{'d': i - 1, 'x': v[i]}})) AS u FROM newv)
+            ), ncent AS (
+              SELECT label, array_agg(m ORDER BY d) AS c
+              FROM (SELECT label, d, avg(x) AS m FROM nex GROUP BY 1, 2)
+              GROUP BY label
+            )
+            SELECT os.label,
+                   coalesce(os.n_old, 0) AS n_old,
+                   coalesce(ns.n_new, 0) AS n_new,
+                   round({_dd_cosine("oc.c", "nc.c")}, 4) AS centroid_cos,
+                   round(ns.mn_new - os.mn_old, 4) AS mean_norm_delta
+            FROM ostat os
+            FULL OUTER JOIN nstat ns ON ns.label = os.label
+            JOIN ocent oc ON oc.label = os.label
+            JOIN ncent nc ON nc.label = ns.label
         """,
     }

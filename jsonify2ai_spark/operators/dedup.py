@@ -1512,3 +1512,50 @@ def boilerplate_catalog(
         .filter(F.col("rank") <= top_k)
         .select(source_col, F.col("rank").cast("int").alias("rank"), "gram", F.col("df").cast("bigint").alias("df"))
     )
+
+
+def syndication_matrix(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    shingle_n: int = 3,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL duplication flow between sources: an edge
+    (source_contained -> source_container, n_pairs) for every document
+    pair where the first side's shingles are >= threshold contained in the
+    second's — i.e. "whose content shows up wrapped inside whose".
+    q79's symmetric matrix says two sources share content; this says which
+    way it flows (scraper vs origin, feed vs aggregator), which is what
+    provenance triage actually needs. Near-equal pairs emit both
+    directions — correctly: each contains the other.
+
+    Composition: :func:`containment_pairs` (posting join, df-cap remedy
+    available) + two id->source lookups (pairs side is near-dup-rate
+    sized, AQE broadcasts it) + a |sources|^2-bounded rollup.
+    """
+    pairs = containment_pairs(
+        df, threshold, text_col=text_col, id_col=id_col,
+        shingle_n=shingle_n, df_cap=df_cap,
+    )
+    src = df.select(F.col(id_col), F.col(source_col))
+    withsrc = (
+        pairs.join(
+            src.withColumnRenamed(id_col, "a").withColumnRenamed(source_col, "sa"), "a"
+        ).join(
+            src.withColumnRenamed(id_col, "b").withColumnRenamed(source_col, "sb"), "b"
+        )
+    )
+    ab = withsrc.filter(F.col("containment_ab") >= threshold).select(
+        F.col("sa").alias("source_contained"), F.col("sb").alias("source_container")
+    )
+    ba = withsrc.filter(F.col("containment_ba") >= threshold).select(
+        F.col("sb").alias("source_contained"), F.col("sa").alias("source_container")
+    )
+    return (
+        ab.unionByName(ba)
+        .groupBy("source_contained", "source_container")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )

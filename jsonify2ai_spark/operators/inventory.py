@@ -184,3 +184,68 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(F.col(id_col), status.alias("status"))
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    vector_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding DRIFT between two corpus/model versions, per label:
+    member counts on each side, the cosine between the old and new label
+    centroids, and the mean-norm delta — the re-index go/no-go check a
+    versioned pipeline runs after re-embedding (a centroid cosine well
+    under 1.0 on an unchanged label means the new model moved the space
+    and EVERY downstream ANN index and threshold needs recalibration;
+    norm drift alone breaks dot-product rankers).
+
+    Same machinery as :func:`label_coherence` twice: per-(label, dim) mean
+    via partial-aggregated posexplode (key cardinality |labels| x dim) on
+    each side, centroids assembled by sorted collect, then ONE
+    |labels|-sized join computes the cross-version cosine — no
+    corpus-sized join anywhere; norms ride the same tiny aggregates.
+    """
+    def _cents(df: DataFrame, suffix: str) -> DataFrame:
+        vec = F.col(vector_col).cast("array<double>")
+        base = df.filter(F.col(vector_col).isNotNull()).select(
+            F.col(label_col).alias("lbl"), vec.alias("v")
+        )
+        norm = F.sqrt(
+            F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+        stats = base.groupBy("lbl").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{suffix}"),
+            F.avg(norm).alias(f"_mn_{suffix}"),
+        )
+        dims = (
+            base.select("lbl", F.posexplode("v").alias("d", "x"))
+            .groupBy("lbl", "d")
+            .agg(F.avg("x").alias("m"))
+        )
+        cents = (
+            dims.groupBy("lbl")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+            .select("lbl", F.transform("dm", lambda s: s["m"]).alias(f"c_{suffix}"))
+        )
+        return stats.join(cents, "lbl")
+
+    o, n = _cents(old, "old"), _cents(new, "new")
+    j = o.join(n, "lbl", "full_outer")
+    dot = F.aggregate(
+        F.zip_with("c_old", "c_new", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return j.select(
+        F.col("lbl").alias(label_col),
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        F.round(dot / (nrm(F.col("c_old")) * nrm(F.col("c_new"))), 4).alias(
+            "centroid_cos"
+        ),
+        F.round(F.col("_mn_new") - F.col("_mn_old"), 4).alias("mean_norm_delta"),
+    )

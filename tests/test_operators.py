@@ -1190,3 +1190,46 @@ def test_corpus_diff_statuses(spark):
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    5: "added", 4: "unchanged"}
+
+
+def test_syndication_matrix_direction(spark):
+    """A snippet fully contained in another source's page yields exactly
+    the (snippet_source -> container_source) edge, never the reverse;
+    near-equal pairs emit both directions."""
+    from jsonify2ai_spark.operators.dedup import syndication_matrix
+
+    snippet = "alpha beta gamma delta epsilon"
+    page = snippet + " " + " ".join(f"w{i}" for i in range(55))
+    mirror_a = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, snippet, "feed"), (2, page, "aggregator"),
+         (3, mirror_a, "m1"), (4, mirror_a, "m2")],
+        "doc_id long, text string, source string",
+    )
+    got = {(r["source_contained"], r["source_container"]): r["n_pairs"]
+           for r in syndication_matrix(docs, 0.9).collect()}
+    assert got.get(("feed", "aggregator")) == 1
+    assert ("aggregator", "feed") not in got  # page not contained in snippet
+    assert got.get(("m1", "m2")) == 1 and got.get(("m2", "m1")) == 1  # mutual
+
+
+def test_embedding_drift_detects_shift_and_churn(spark):
+    """An unshifted label reads centroid_cos 1.0 and norm delta ~0; a
+    uniformly shifted label reads cos < 1.0 with a positive norm delta;
+    member churn shows in n_old vs n_new."""
+    from jsonify2ai_spark.operators.inventory import embedding_drift
+
+    old = spark.createDataFrame(
+        [(i, [1.0, 0.0, 1.0], 0) for i in range(4)]
+        + [(10 + i, [0.0, 1.0, 0.0], 1) for i in range(3)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    new = spark.createDataFrame(
+        [(i, [1.0, 0.0, 1.0], 0) for i in range(3)]          # one member dropped
+        + [(10 + i, [0.5, 1.5, 0.5], 1) for i in range(3)],  # +0.5 shift
+        "vec_id long, embedding array<double>, label int",
+    )
+    got = {r["label"]: r for r in embedding_drift(old, new).collect()}
+    assert got[0]["centroid_cos"] == 1.0 and got[0]["mean_norm_delta"] == 0.0
+    assert got[0]["n_old"] == 4 and got[0]["n_new"] == 3
+    assert got[1]["centroid_cos"] < 1.0 and got[1]["mean_norm_delta"] > 0
