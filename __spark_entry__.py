@@ -1513,6 +1513,22 @@ def q89_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_drift(emb, shifted)
 
 
+def q90_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup impact forecast (operators/dedup.py
+    dedup_impact_report): corpus = documents + duplicate copies of
+    doc_id%10==0 (id-shifted) — one row of groups/docs/tokens/chars a
+    min-id dedup would drop. One content-hash shuffle, min_by keeps the
+    keeper's contribution without a join back."""
+    from jsonify2ai_spark.operators.dedup import dedup_impact_report
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return dedup_impact_report(docs.unionByName(dups))
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1542,7 +1558,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_ask_snippets": q23_ask_snippets,
         "q24_replace_upsert": q24_replace_upsert,
         "q25_ivf_ann": q25_ivf_ann,
-        "q29_multimodal_meta": q29_multimodal_meta,
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_jaccard_capped": q52_jaccard_capped,
         "q53_ingest_summary": q53_ingest_summary,
@@ -1593,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_corpus_diff": q87_corpus_diff,  # version diff (r4-green q44 rotates to tail: q30 bm25 twin there)
         "q88_syndication_matrix": q88_syndication_matrix,  # directional dup flow (r4-green q50 to tail)
         "q89_embedding_drift": q89_embedding_drift,  # re-embed drift QA (r4-green q31 to tail)
+        "q90_dedup_impact": q90_dedup_impact,  # dedup sizing forecast (r4-green q29 to tail)
         # r5 rotation (VERDICT r4 #4): no query goes >2 rounds without a
         # driver-green row — these three were last driver-checked in r3
         # (r4-green q02/q42/q46/q47 rotate to the tail in exchange).
@@ -1605,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the most likely to be wrong — the gate exists for exactly it).
         # These still run in bench.py and verify_local.py.
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 in-gate
+        "q29_multimodal_meta": q29_multimodal_meta,  # multimodal meta: e2e pytest + dev-kernel tests cover the family, r4-green
         "q31_stats_rollup": q31_stats_rollup,  # GROUPING SETS rollup: q53/q81 rollup family in-gate, r4-green
         "q50_time_range_search": q50_time_range_search,  # time-range filter: q02 pushdown class + ANN rows q25/q67/q69 in-gate, r4-green
         "q44_hybrid_rrf": q44_hybrid_rrf,  # hybrid RRF: q30 bm25 + eval artifact cover K3, r4-green
@@ -3263,5 +3280,32 @@ def oracle_sql() -> dict[str, str]:
             FULL OUTER JOIN nstat ns ON ns.label = os.label
             JOIN ocent oc ON oc.label = os.label
             JOIN ncent nc ON nc.label = ns.label
+        """,
+        "q90_dedup_impact": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id, text
+              FROM documents WHERE doc_id % 10 = 0
+            ), per_doc AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+                     coalesce(len(string_split_regex(trim(text), '\\s+')), 0) AS tok,
+                     coalesce(length(text), 0) AS ch
+              FROM corpus
+            ), groups AS (
+              SELECT fp, count(*) AS n, sum(tok) AS toks, sum(ch) AS chs,
+                     arg_min(tok, doc_id) AS keep_tok,
+                     arg_min(ch, doc_id) AS keep_ch
+              FROM per_doc GROUP BY fp
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_groups,
+                   CAST(sum(n) AS BIGINT) AS n_docs,
+                   CAST(sum(n - 1) AS BIGINT) AS n_docs_dropped,
+                   CAST(sum(toks - keep_tok) AS BIGINT) AS n_tokens_dropped,
+                   CAST(sum(chs - keep_ch) AS BIGINT) AS n_chars_dropped
+            FROM groups
         """,
     }

@@ -1559,3 +1559,46 @@ def syndication_matrix(
         .groupBy("source_contained", "source_container")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+def dedup_impact_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row EXACT-dedup impact forecast: how many duplicate groups
+    exist, and how many documents / tokens / characters a min-id exact
+    dedup would drop — the "is dedup worth a full pass here" sizing a
+    pipeline owner reads before scheduling the real job (on crawl corpora
+    the answer is routinely 30-50% of tokens; on curated ones ~0, and
+    running the full dedup+rewrite there is wasted cluster time).
+
+    Costs ONE content-hash shuffle (the same key the dedup itself would
+    use): per-fingerprint counts and sizes partial-aggregate map-side;
+    "dropped" = group totals minus the kept member's (the min-id row's)
+    contribution, computed via min_by on the same aggregate — no second
+    scan, no join back. Output is a single row at any corpus size.
+    """
+    from jsonify2ai_spark.functions.text import token_count
+
+    per_doc = df.select(
+        F.col(id_col),
+        _content_fingerprint(F.col(text_col)).alias("fp"),
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)).cast("bigint").alias("tok"),
+        F.coalesce(F.length(text_col), F.lit(0)).cast("bigint").alias("ch"),
+    )
+    groups = per_doc.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("tok").alias("toks"),
+        F.sum("ch").alias("chs"),
+        F.min_by("tok", F.col(id_col)).alias("keep_tok"),
+        F.min_by("ch", F.col(id_col)).alias("keep_ch"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_groups"),
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n") - 1).cast("bigint").alias("n_docs_dropped"),
+        F.sum(F.col("toks") - F.col("keep_tok")).cast("bigint").alias("n_tokens_dropped"),
+        F.sum(F.col("chs") - F.col("keep_ch")).cast("bigint").alias("n_chars_dropped"),
+    )

@@ -1233,3 +1233,60 @@ def test_embedding_drift_detects_shift_and_churn(spark):
     assert got[0]["centroid_cos"] == 1.0 and got[0]["mean_norm_delta"] == 0.0
     assert got[0]["n_old"] == 4 and got[0]["n_new"] == 3
     assert got[1]["centroid_cos"] < 1.0 and got[1]["mean_norm_delta"] > 0
+
+
+def test_dedup_impact_report_counts_dropped_not_kept(spark):
+    """3-copy group + singleton: 2 docs dropped; dropped tokens/chars are
+    the NON-keeper copies' (keeper = min id, which here is the short
+    variant — so the report must subtract the keeper's size, not the
+    min size or an average)."""
+    from jsonify2ai_spark.operators.dedup import dedup_impact_report
+
+    docs = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "same text here"),
+         (9, "unique content")],
+        "doc_id long, text string",
+    )
+    r = dedup_impact_report(docs).collect()[0]
+    assert r["n_groups"] == 2 and r["n_dup_groups"] == 1
+    assert r["n_docs"] == 4 and r["n_docs_dropped"] == 2
+    assert r["n_tokens_dropped"] == 6  # 2 dropped copies x 3 tokens
+    assert r["n_chars_dropped"] == 28  # 2 x 14 chars
+
+
+def test_containment_matches_bruteforce_fuzz(spark):
+    """Differential fuzz: containment_pairs (posting join) must equal the
+    brute-force O(n^2) Python reference on randomized corpora — both the
+    pair set and both direction scores (6dp)."""
+    import random
+
+    from jsonify2ai_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(3):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+            for i in range(18)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["a"], r["b"]): (r["containment_ab"], r["containment_ba"])
+            for r in containment_pairs(df, 0.6).collect()
+        }
+
+        def sh(text):
+            toks = text.split()
+            if len(toks) < 3:
+                return {" ".join(toks)}
+            return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+        want = {}
+        for i, (ida, ta) in enumerate(docs):
+            for idb, tb in docs[i + 1:]:
+                A, B = sh(ta), sh(tb)
+                c = len(A & B)
+                cab, cba = c / len(A), c / len(B)
+                if cab >= 0.6 or cba >= 0.6:
+                    want[(ida, idb)] = (round(cab, 6), round(cba, 6))
+        assert got == want, (trial, got, want)
