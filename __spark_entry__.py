@@ -1529,6 +1529,18 @@ def q90_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_impact_report(docs.unionByName(dups))
 
 
+def q91_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped containment path (dedup.py containment_pairs
+    df_cap=4) oracle-pinned, exactly as q52 pins q17's capped twin: hot
+    shingles (df > 4) excluded from candidate generation — the cap BITES
+    at sf0.01 — survivors verified against full sets via array_intersect,
+    so every emitted direction score is exact."""
+    from jsonify2ai_spark.operators.dedup import containment_pairs
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return containment_pairs(t["documents"], _CONTAINMENT_THRESHOLD, df_cap=4)
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1551,7 +1563,6 @@ def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
-        "q11_json_extract": q11_json_extract,
         "q14_language_id": q14_language_id,
         "q17_jaccard_pairs": q17_jaccard_pairs,
         "q18_minhash_lsh": q18_minhash_lsh,
@@ -1609,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_syndication_matrix": q88_syndication_matrix,  # directional dup flow (r4-green q50 to tail)
         "q89_embedding_drift": q89_embedding_drift,  # re-embed drift QA (r4-green q31 to tail)
         "q90_dedup_impact": q90_dedup_impact,  # dedup sizing forecast (r4-green q29 to tail)
+        "q91_containment_capped": q91_containment_capped,  # capped containment value-pinned (r4-green q01 stays; r4-green q11 to tail)
         # r5 rotation (VERDICT r4 #4): no query goes >2 rounds without a
         # driver-green row — these three were last driver-checked in r3
         # (r4-green q02/q42/q46/q47 rotate to the tail in exchange).
@@ -1621,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the most likely to be wrong — the gate exists for exactly it).
         # These still run in bench.py and verify_local.py.
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 in-gate
+        "q11_json_extract": q11_json_extract,  # S4 JSON flattener: parser family pytest-heavy + q47 CSV twin in tail, r4-green
         "q29_multimodal_meta": q29_multimodal_meta,  # multimodal meta: e2e pytest + dev-kernel tests cover the family, r4-green
         "q31_stats_rollup": q31_stats_rollup,  # GROUPING SETS rollup: q53/q81 rollup family in-gate, r4-green
         "q50_time_range_search": q50_time_range_search,  # time-range filter: q02 pushdown class + ANN rows q25/q67/q69 in-gate, r4-green
@@ -3307,5 +3320,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(toks - keep_tok) AS BIGINT) AS n_tokens_dropped,
                    CAST(sum(chs - keep_ch) AS BIGINT) AS n_chars_dropped
             FROM groups
+        """,
+        "q91_containment_capped": f"""
+            WITH sets AS (
+              SELECT doc_id, {_dd_shingles("text", 3)} AS hs FROM documents
+            ), ex AS (
+              SELECT doc_id, unnest(hs) AS sh FROM sets
+            ), posts AS (
+              SELECT sh, list(doc_id) AS ids FROM ex GROUP BY sh
+              HAVING len(list(doc_id)) > 1 AND len(list(doc_id)) <= 4
+            ), cand AS (
+              SELECT DISTINCT ua.a, ub.b
+              FROM posts, unnest(ids) AS ua(a), unnest(ids) AS ub(b)
+              WHERE ua.a < ub.b
+            ), verified AS (
+              SELECT c.a, c.b,
+                     len(list_intersect(sa.hs, sb.hs)) AS common,
+                     len(sa.hs) AS za, len(sb.hs) AS zb
+              FROM cand c
+              JOIN sets sa ON sa.doc_id = c.a
+              JOIN sets sb ON sb.doc_id = c.b
+            )
+            SELECT a, b,
+                   round(CAST(common AS DOUBLE) / za, 6) AS containment_ab,
+                   round(CAST(common AS DOUBLE) / zb, 6) AS containment_ba
+            FROM verified
+            WHERE CAST(common AS DOUBLE) / za >= {_CONTAINMENT_THRESHOLD}
+               OR CAST(common AS DOUBLE) / zb >= {_CONTAINMENT_THRESHOLD}
         """,
     }

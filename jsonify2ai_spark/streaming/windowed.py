@@ -346,3 +346,64 @@ class CorpusNearDupGate:
     def close(self) -> None:
         self._sets.unpersist()
         self._posts.unpersist()
+
+
+def mixture_monitor(
+    docs: DataFrame,
+    weights: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Live mixture telemetry: per (event-time window, source), document
+    and token counts joined against the TARGET share table (q82's
+    ``mixture_weights`` output or any (source, p_target) frame) — the
+    dashboard that catches a drifting ingest mix while it drifts, instead
+    of at the next corpus audit.
+
+    The emitted ``tokens_per_target`` = n_tokens / p_target is the
+    mix-balance statistic: when the window's intake matches the target
+    mixture it is CONSTANT across sources, and an over-sampled source
+    reads proportionally high — comparable row-local, so no second
+    streaming aggregation (which append mode would reject) is needed.
+
+    Plan: token counts are map-side size(split); the weights table
+    broadcasts onto the stream BEFORE aggregation (p_target rides the
+    groupBy key — functionally dependent on source, so it is free); one
+    watermarked windowed aggregate whose state is |windows x sources|-
+    bounded. Same batch expressions as q82 — stream and audit share one
+    definition.
+    """
+    from jsonify2ai_spark.functions.text import token_count
+
+    w = weights.select(F.col(source_col), F.col("p_target"))
+    base = (
+        docs.withWatermark(ts_col, watermark)
+        .join(F.broadcast(w), source_col, "left")
+        .select(
+            F.col(ts_col),
+            F.col(source_col),
+            F.coalesce(F.col("p_target"), F.lit(0.0)).alias("p_target"),
+            F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("_tok"),
+        )
+    )
+    return (
+        base.groupBy(F.window(ts_col, window), F.col(source_col), F.col("p_target"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_tok").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round("p_target", 6).alias("p_target"),
+            F.round(
+                F.when(F.col("p_target") > 0, F.col("n_tokens") / F.col("p_target")),
+                2,
+            ).alias("tokens_per_target"),
+        )
+    )

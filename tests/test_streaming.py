@@ -648,3 +648,62 @@ def test_corpus_near_dup_gate_df_cap_keeps_scores_exact(spark):
     kept = {r["doc_id"] for r in gate.filter_batch(batch).collect()}
     assert kept == {1}, kept  # boilerplate-only overlap passes; true dup gated
     gate.close()
+
+
+def test_mixture_monitor_flags_drifting_mix(spark, tmp_path):
+    """Windowed mixture telemetry: window 1 intake matches the 2:1 target
+    (tokens_per_target equal across sources); window 2 over-samples the
+    minor source (its tokens_per_target reads ~4x the major's)."""
+    import json as _json
+
+    from jsonify2ai_spark.streaming.windowed import mixture_monitor
+
+    weights = spark.createDataFrame(
+        [("big", 2 / 3), ("small", 1 / 3)], "source string, p_target double"
+    )
+    six = "a b c d e f"
+    rows = [
+        # window 10:00 — balanced vs target: big 12 tokens, small 6
+        {"ts": "2026-01-01T10:01:00", "source": "big", "text": six},
+        {"ts": "2026-01-01T10:02:00", "source": "big", "text": six},
+        {"ts": "2026-01-01T10:03:00", "source": "small", "text": six},
+        # window 11:00 — drifted: small over-sampled 2:1
+        {"ts": "2026-01-01T11:01:00", "source": "big", "text": six},
+        {"ts": "2026-01-01T11:02:00", "source": "small", "text": six},
+        {"ts": "2026-01-01T11:03:00", "source": "small", "text": six},
+    ]
+    src = tmp_path / "mix_src"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(
+        "ts timestamp, source string, text string"
+    ).json(str(src))
+    q = (
+        mixture_monitor(stream, weights, window="10 minutes", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("mixmon")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "mix_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows_out = {}
+        while time.time() < deadline and len(rows_out) < 4:
+            if q.exception():
+                raise AssertionError(q.exception())
+            q.processAllAvailable()
+            rows_out = {
+                (str(r["window_start"]), r["source"]): r
+                for r in spark.sql("select * from mixmon").collect()
+            }
+            time.sleep(0.25)
+        w1b = rows_out[("2026-01-01 10:00:00", "big")]
+        w1s = rows_out[("2026-01-01 10:00:00", "small")]
+        assert w1b["n_tokens"] == 12 and w1s["n_tokens"] == 6
+        assert w1b["tokens_per_target"] == w1s["tokens_per_target"] == 18.0
+        w2b = rows_out[("2026-01-01 11:00:00", "big")]
+        w2s = rows_out[("2026-01-01 11:00:00", "small")]
+        assert w2s["tokens_per_target"] == 4 * w2b["tokens_per_target"]
+    finally:
+        q.stop()
