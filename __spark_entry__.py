@@ -1541,6 +1541,27 @@ def q91_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(t["documents"], _CONTAINMENT_THRESHOLD, df_cap=4)
 
 
+def q92_corpus_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram JS divergence between corpus versions (operators/textstats.py
+    corpus_divergence): old = documents, new = the SAME deterministic v2
+    as q87 — q87 counts which docs moved, this measures how far the
+    language moved (one bounded [0, ln 2] scalar)."""
+    from jsonify2ai_spark.operators.textstats import corpus_divergence
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    modified = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return corpus_divergence(docs, modified.unionByName(added))
+
+
 def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-aggregate subquery (TPC-H Q2 shape): each brand's cheapest
     part via join-back-to-aggregate — the decorrelated MIN-subquery plan
@@ -1566,7 +1587,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_language_id": q14_language_id,
         "q17_jaccard_pairs": q17_jaccard_pairs,
         "q18_minhash_lsh": q18_minhash_lsh,
-        "q23_ask_snippets": q23_ask_snippets,
         "q24_replace_upsert": q24_replace_upsert,
         "q25_ivf_ann": q25_ivf_ann,
         "q51_dedup_clusters": q51_dedup_clusters,
@@ -1621,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_embedding_drift": q89_embedding_drift,  # re-embed drift QA (r4-green q31 to tail)
         "q90_dedup_impact": q90_dedup_impact,  # dedup sizing forecast (r4-green q29 to tail)
         "q91_containment_capped": q91_containment_capped,  # capped containment value-pinned (r4-green q01 stays; r4-green q11 to tail)
+        "q92_corpus_divergence": q92_corpus_divergence,  # JS drift between versions (r4-green q23 to tail)
         # r5 rotation (VERDICT r4 #4): no query goes >2 rounds without a
         # driver-green row — these three were last driver-checked in r3
         # (r4-green q02/q42/q46/q47 rotate to the tail in exchange).
@@ -1633,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the most likely to be wrong — the gate exists for exactly it).
         # These still run in bench.py and verify_local.py.
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 in-gate
+        "q23_ask_snippets": q23_ask_snippets,  # ask data plane: q44 hybrid + eval artifact cover the family, r4-green
         "q11_json_extract": q11_json_extract,  # S4 JSON flattener: parser family pytest-heavy + q47 CSV twin in tail, r4-green
         "q29_multimodal_meta": q29_multimodal_meta,  # multimodal meta: e2e pytest + dev-kernel tests cover the family, r4-green
         "q31_stats_rollup": q31_stats_rollup,  # GROUPING SETS rollup: q53/q81 rollup family in-gate, r4-green
@@ -3347,5 +3369,45 @@ def oracle_sql() -> dict[str, str]:
             FROM verified
             WHERE CAST(common AS DOUBLE) / za >= {_CONTAINMENT_THRESHOLD}
                OR CAST(common AS DOUBLE) / zb >= {_CONTAINMENT_THRESHOLD}
+        """,
+        "q92_corpus_divergence": r"""
+            WITH corpus_new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text
+              FROM documents WHERE doc_id % 11 = 0
+            ), co AS (
+              SELECT w, count(*) AS c_old FROM (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                FROM documents WHERE text IS NOT NULL) GROUP BY w
+            ), cn AS (
+              SELECT w, count(*) AS c_new FROM (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                FROM corpus_new WHERE text IS NOT NULL) GROUP BY w
+            ), j AS (
+              SELECT coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+              FROM co FULL OUTER JOIN cn USING (w)
+            ), tot AS (
+              SELECT CAST(sum(c_old) AS DOUBLE) AS N_old,
+                     CAST(sum(c_new) AS DOUBLE) AS N_new,
+                     CAST(count(*) AS DOUBLE) AS V
+              FROM j
+            )
+            SELECT CAST(max(N_old) AS BIGINT) AS n_tokens_old,
+                   CAST(max(N_new) AS BIGINT) AS n_tokens_new,
+                   CAST(max(V) AS BIGINT) AS vocab_union,
+                   round(sum(
+                     0.5 * (((c_old + 1.0) / (N_old + V))
+                            * ln(2.0 * ((c_old + 1.0) / (N_old + V))
+                                 / (((c_old + 1.0) / (N_old + V))
+                                    + ((c_new + 1.0) / (N_new + V))))
+                          + ((c_new + 1.0) / (N_new + V))
+                            * ln(2.0 * ((c_new + 1.0) / (N_new + V))
+                                 / (((c_old + 1.0) / (N_old + V))
+                                    + ((c_new + 1.0) / (N_new + V)))))
+                   ), 6) AS js_divergence
+            FROM j, tot
         """,
     }

@@ -1390,6 +1390,7 @@ def cross_source_dup_matrix(
     id_col: str = "doc_id",
     source_col: str = "source",
     shingle_n: int = 3,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Duplication PROVENANCE matrix: (source_a, source_b, n_pairs,
     max_jaccard) — which source pairs exchange near-duplicate content
@@ -1403,10 +1404,13 @@ def cross_source_dup_matrix(
     pairs side at runtime; the groupBy output is |sources|^2-bounded
     (hundreds of domains -> thousands of rows), driver-safe at any corpus
     size. Intra-source pairs are kept (a==b row) — self-duplication is the
-    most common and most actionable row in practice.
+    most common and most actionable row in practice. ``df_cap`` plumbs to
+    the pair generator's capped path (boilerplate-heavy corpora — the same
+    remedy every posting-join operator carries).
     """
     pairs = ngram_jaccard_pairs(
-        df, threshold, text_col=text_col, id_col=id_col, shingle_n=shingle_n
+        df, threshold, text_col=text_col, id_col=id_col, shingle_n=shingle_n,
+        df_cap=df_cap,
     )
     src = df.select(F.col(id_col), F.col(source_col))
     withsrc = (

@@ -678,3 +678,63 @@ def token_length_histogram(
             "total_tokens",
         )
     )
+
+
+def corpus_divergence(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpus versions' unigram
+    distributions, ONE row — the distribution-level complement of
+    q87's per-document diff: corpus_diff says WHICH documents moved,
+    this says whether the LANGUAGE moved (a v2 that rewrites 3% of docs
+    but injects one template everywhere shows a small diff count and a
+    large JS spike). JS is symmetric and bounded [0, ln 2] — comparable
+    across corpus pairs, unlike raw KL.
+
+    Distributions are Laplace-smoothed over the UNION vocabulary
+    (p_w = (c_w + alpha) / (N + alpha*V)), so tokens absent on one side
+    contribute finitely. Plan: per-side token counts (partial-aggregated),
+    one full-outer vocab join (vocab-sized — a shuffle join at 100 TB,
+    AQE-broadcast when small), totals via a one-row broadcast, then a
+    single sum over the joined frame; the joined frame feeds totals AND
+    the final sum, so it is lazy-checkpointed. 6dp rounding keeps
+    parallel-reduction reassociation away from the oracle hash.
+    """
+    def _counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(_c(text_col))).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias(f"c_{side}"))
+        )
+
+    joined = (
+        _counts(old, "old")
+        .join(_counts(new, "new"), "w", "full_outer")
+        .select(
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = joined.agg(
+        F.sum("c_old").cast("double").alias("N_old"),
+        F.sum("c_new").cast("double").alias("N_new"),
+        F.count(F.lit(1)).cast("double").alias("V"),
+    )
+    p = (F.col("c_old") + F.lit(alpha)) / (F.col("N_old") + F.lit(alpha) * F.col("V"))
+    q = (F.col("c_new") + F.lit(alpha)) / (F.col("N_new") + F.lit(alpha) * F.col("V"))
+    js_term = 0.5 * (
+        p * F.log(F.lit(2.0) * p / (p + q)) + q * F.log(F.lit(2.0) * q / (p + q))
+    )
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("N_old").cast("bigint").alias("n_tokens_old"),
+            F.max("N_new").cast("bigint").alias("n_tokens_new"),
+            F.max("V").cast("bigint").alias("vocab_union"),
+            F.round(F.sum(js_term), 6).alias("js_divergence"),
+        )
+    )

@@ -1290,3 +1290,35 @@ def test_containment_matches_bruteforce_fuzz(spark):
                 if cab >= 0.6 or cba >= 0.6:
                     want[(ida, idb)] = (round(cab, 6), round(cba, 6))
         assert got == want, (trial, got, want)
+
+
+def test_corpus_divergence_semantics(spark):
+    """Identical corpora read ~0 JS (smoothing-only residue); a fully
+    disjoint-vocabulary v2 reads near the ln(2) ceiling; a mild rewrite
+    sits strictly between; symmetric in its arguments."""
+    import math
+
+    from jsonify2ai_spark.operators.textstats import corpus_divergence
+
+    # counts must dominate the Laplace alpha for the asymptotic readings,
+    # so every token appears 50x
+    def corpus(*toks):
+        return spark.createDataFrame(
+            [(i, " ".join([t] * 50)) for i, t in enumerate(toks)],
+            "doc_id long, text string",
+        )
+
+    a = corpus("alpha", "beta", "gamma", "delta")
+    same = corpus_divergence(a, a).collect()[0]
+    assert same["js_divergence"] == 0.0
+    assert same["n_tokens_old"] == same["n_tokens_new"] == 200
+
+    disjoint = corpus("uno", "dos", "tres", "cuatro")
+    far = corpus_divergence(a, disjoint).collect()[0]["js_divergence"]
+    assert far > 0.5  # near the ln(2) ~ 0.693 ceiling
+
+    mild = corpus("alpha", "beta", "gamma", "NEW")
+    mid = corpus_divergence(a, mild).collect()[0]["js_divergence"]
+    assert 0.0 < mid < far
+    # symmetry
+    assert corpus_divergence(mild, a).collect()[0]["js_divergence"] == mid
