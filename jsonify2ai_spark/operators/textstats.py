@@ -539,15 +539,18 @@ def vocab_stats(
         .limit(top_k)
         .agg(F.sum("c").cast("bigint").alias("topk_tokens"))
     )
+    # empty-corpus guard: vocab_size 0 would hit ANSI divide-by-zero; the
+    # ratios are undefined there, so they read NULL (the counts read 0/NULL)
+    nz = lambda num, den: F.round(F.when(den > 0, num / den), 6)
     return (
         totals.crossJoin(F.broadcast(topk_mass))
         .select(
             "n_tokens",
             "vocab_size",
             "hapax_count",
-            F.round(F.col("hapax_count") / F.col("vocab_size"), 6).alias("hapax_ratio"),
-            F.round(F.col("vocab_size") / F.col("n_tokens"), 6).alias("type_token_ratio"),
-            F.round(F.col("topk_tokens") / F.col("n_tokens"), 6).alias("topk_mass"),
+            nz(F.col("hapax_count"), F.col("vocab_size")).alias("hapax_ratio"),
+            nz(F.col("vocab_size"), F.col("n_tokens")).alias("type_token_ratio"),
+            nz(F.col("topk_tokens"), F.col("n_tokens")).alias("topk_mass"),
         )
     )
 
@@ -584,9 +587,14 @@ def length_outlier_flags(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
     )
+    # N==1 leaves percent-rank undefined (N-1 == 0; ANSI mode would raise);
+    # a one-document corpus has no outliers -> mid-rank 0.5, always 'keep'
     cdf = counts.select(
         F.col(length_col),
-        (F.coalesce(F.sum("cnt").over(w), F.lit(0)) / (n_total - 1)).alias("pct_rank"),
+        F.when(
+            n_total > 1,
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)) / (n_total - 1),
+        ).otherwise(F.lit(0.5)).alias("pct_rank"),
     )
     flag = (
         F.when(F.col("pct_rank") < F.lit(lower), F.lit("trim_low"))

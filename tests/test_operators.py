@@ -1322,3 +1322,21 @@ def test_corpus_divergence_semantics(spark):
     assert 0.0 < mid < far
     # symmetry
     assert corpus_divergence(mild, a).collect()[0]["js_divergence"] == mid
+
+
+def test_length_outlier_and_vocab_stats_degenerate_corpora(spark):
+    """ANSI-mode edge cases (crash-found): a one-document corpus must not
+    divide by N-1==0 (singleton reads mid-rank 0.5, kept); an empty corpus
+    must not divide by vocab_size==0 (ratios NULL, counts 0/NULL)."""
+    from jsonify2ai_spark.operators.textstats import (
+        length_outlier_flags,
+        vocab_stats,
+    )
+
+    one = spark.createDataFrame([(1, 5)], "doc_id long, n_chars long")
+    r = length_outlier_flags(one).collect()
+    assert len(r) == 1 and r[0]["flag"] == "keep" and r[0]["pct_rank"] == 0.5
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    v = vocab_stats(empty).collect()[0]
+    assert v["vocab_size"] == 0 and v["hapax_ratio"] is None
