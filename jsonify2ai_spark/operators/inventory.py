@@ -138,7 +138,10 @@ def label_coherence(
     norm = lambda c: F.sqrt(
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
-    cos = dot / (norm(F.col("v")) * norm(F.col("centroid")))
+    # zero-norm guard (same NULL-not-NaN contract as functions.vectors
+    # cosine_similarity; ANSI mode raises on the raw division)
+    den = norm(F.col("v")) * norm(F.col("centroid"))
+    cos = F.when(den != 0, dot / den)
     return (
         base.join(F.broadcast(cents), "lbl")
         .select("lbl", cos.alias("_cos"))
@@ -240,12 +243,12 @@ def embedding_drift(
     nrm = lambda c: F.sqrt(
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
     )
+    den = nrm(F.col("c_old")) * nrm(F.col("c_new"))
     return j.select(
         F.col("lbl").alias(label_col),
         F.coalesce("n_old", F.lit(0)).alias("n_old"),
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
-        F.round(dot / (nrm(F.col("c_old")) * nrm(F.col("c_new"))), 4).alias(
-            "centroid_cos"
-        ),
+        # zero-norm / missing-side guard: NULL, never NaN or an ANSI error
+        F.round(F.when(den != 0, dot / den), 4).alias("centroid_cos"),
         F.round(F.col("_mn_new") - F.col("_mn_old"), 4).alias("mean_norm_delta"),
     )

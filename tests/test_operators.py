@@ -1340,3 +1340,20 @@ def test_length_outlier_and_vocab_stats_degenerate_corpora(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     v = vocab_stats(empty).collect()[0]
     assert v["vocab_size"] == 0 and v["hapax_ratio"] is None
+
+
+def test_label_qa_zero_norm_vectors_null_not_crash(spark):
+    """ANSI-mode edge (crash-found): an all-zero vector must read NULL
+    cosine (the functions.vectors contract), not raise DIVIDE_BY_ZERO —
+    in both label_coherence and embedding_drift."""
+    from jsonify2ai_spark.operators.inventory import embedding_drift, label_coherence
+
+    z = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0), (2, [1.0, 1.0], 1), (3, [1.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    coh = {r["label"]: r for r in label_coherence(z).collect()}
+    assert coh[0]["mean_cos_to_centroid"] is None  # zero member AND centroid
+    assert coh[1]["mean_cos_to_centroid"] == 1.0
+    drift = {r["label"]: r for r in embedding_drift(z, z).collect()}
+    assert drift[0]["centroid_cos"] is None and drift[1]["centroid_cos"] == 1.0
