@@ -1581,14 +1581,29 @@ def q46_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q93_syndication_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-CAPPED posting path run END-TO-END through a composed
+    operator (dedup.py syndication_matrix df_cap=4): hot shingles
+    (df > 4) excluded from candidate generation, survivors verified
+    exactly against full shingle sets, then the q88 source-join +
+    directional rollup on top. q91 value-pins the capped component;
+    this row pins the capped PRODUCTION composition — the plan a 100 TB
+    run would actually execute (VERDICT r5 #5)."""
+    from jsonify2ai_spark.operators.dedup import syndication_matrix
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return syndication_matrix(t["documents"], _CONTAINMENT_THRESHOLD, df_cap=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
         "q14_language_id": q14_language_id,
-        "q17_jaccard_pairs": q17_jaccard_pairs,
-        "q18_minhash_lsh": q18_minhash_lsh,
+        # r6 rotation (VERDICT r5 #4): r5-green q17/q18/q25 move to the tail
+        # (in-gate family twins: q52/q76/q91/q93 posting-join dedup,
+        # q62/q65 LSH, q67/q69 ANN) in exchange for the r3-stale relational
+        # rows below — no query sits >2 rounds without a driver row.
         "q24_replace_upsert": q24_replace_upsert,
-        "q25_ivf_ann": q25_ivf_ann,
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_jaccard_capped": q52_jaccard_capped,
         "q53_ingest_summary": q53_ingest_summary,
@@ -1642,17 +1657,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_dedup_impact": q90_dedup_impact,  # dedup sizing forecast (r4-green q29 to tail)
         "q91_containment_capped": q91_containment_capped,  # capped containment value-pinned (r4-green q01 stays; r4-green q11 to tail)
         "q92_corpus_divergence": q92_corpus_divergence,  # JS drift between versions (r4-green q23 to tail)
-        # r5 rotation (VERDICT r4 #4): no query goes >2 rounds without a
-        # driver-green row — these three were last driver-checked in r3
-        # (r4-green q02/q42/q46/q47 rotate to the tail in exchange).
-        "q16_simhash": q16_simhash,
-        "q27_bpe_tokens": q27_bpe_tokens,
-        "q45_brand_revenue_having": q45_brand_revenue_having,
+        # r6 new: the capped posting path composed end-to-end (VERDICT r5
+        # #5) — q91 pins the component, this pins the production composition
+        "q93_syndication_capped": q93_syndication_capped,
+        # r6 rotation (VERDICT r5 #4): last driver-green in r3 — back in the
+        # gate before the 2-round staleness clock expires (r5-green
+        # q16/q27/q45 rotate to the tail in exchange; family notes there).
+        "q03_topk_orders": q03_topk_orders,
+        "q05_region_customers": q05_region_customers,
+        "q07_cumulative_spend": q07_cumulative_spend,
+        "q08_union_slices": q08_union_slices,
+        "q10_top3_per_customer": q10_top3_per_customer,
         # --- tail: operator classes fully covered by green rows above; the
         # driver's correctness gate checks the first 50 entries, so every
         # NEW oracle-backed operator sits inside that window (newest code is
         # the most likely to be wrong — the gate exists for exactly it).
         # These still run in bench.py and verify_local.py.
+        "q17_jaccard_pairs": q17_jaccard_pairs,  # posting-join pairs: q52 capped twin + q76/q91/q93 containment in-gate, r5-green
+        "q18_minhash_lsh": q18_minhash_lsh,  # LSH bands: q62 semantic dedup + q65 incremental LSH in-gate, r5-green
+        "q25_ivf_ann": q25_ivf_ann,  # IVF float: q69 quantized-IVF composed path + q67 int8 in-gate, r5-green
+        "q16_simhash": q16_simhash,  # simhash: q26 pairs twin in tail; hashing family q52/q91 in-gate, r5-green
+        "q27_bpe_tokens": q27_bpe_tokens,  # token family: q61/q73/q86 in-gate, r5-green
+        "q45_brand_revenue_having": q45_brand_revenue_having,  # join-agg-HAVING: q01/q05 in-gate, r5-green
         "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 in-gate
         "q23_ask_snippets": q23_ask_snippets,  # ask data plane: q44 hybrid + eval artifact cover the family, r4-green
         "q11_json_extract": q11_json_extract,  # S4 JSON flattener: parser family pytest-heavy + q47 CSV twin in tail, r4-green
@@ -1681,11 +1707,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_moving_window": q42_moving_window,  # RANGE-frame window, r4-green
         "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,  # decorrelated MIN-subquery, r4-green
         "q47_csv_lines": q47_csv_lines,  # CSV row-joiner, r4-green
-        "q07_cumulative_spend": q07_cumulative_spend,  # window cumsum: q42 RANGE frame (r3-green)
-        "q03_topk_orders": q03_topk_orders,  # top-k: q30/q44/q50 in-gate (r3-green)
-        "q05_region_customers": q05_region_customers,  # join-agg: q45 (r3-green)
-        "q08_union_slices": q08_union_slices,  # union: q23 interleave (r3-green)
-        "q10_top3_per_customer": q10_top3_per_customer,  # window rank: q42/q07 (r3-green)
         "q04_orders_per_customer": q04_orders_per_customer,  # count-per-group: q31/q53
         "q06_events_dedup": q06_events_dedup,  # DISTINCT/dedup: q15/q24
         "q33_events_inventory": q33_events_inventory,  # inventory/sort+cap: q22
@@ -1733,6 +1754,17 @@ def _dd_cosine(a: str, b: str) -> str:
         f"/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
         f"* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
     )
+
+
+def _dd_stable_avg(x: str) -> str:
+    """Order-independent mean, bit-parity twin of
+    operators.inventory._stable_avg: exact DECIMAL(38,18) sum (associative —
+    aggregation order cannot move it) cast to DOUBLE, divided by the
+    non-NULL count. Both engines round the same double->decimal cast, so a
+    round(mean, 4) on either side lands on the same value every run — the
+    fix for the r5 q89 driver hash flake (F.avg reassociation noise at the
+    rounding boundary)."""
+    return f"(CAST(sum(CAST(({x}) AS DECIMAL(38,18))) AS DOUBLE) / count({x}))"
 
 
 def _dd_simhash_sql() -> str:
@@ -2949,17 +2981,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         # twin of inventory.embedding_stats: 0-based dimension via struct
         # unnest, population stddev, 4dp rounding
-        "q74_embedding_stats": """
+        "q74_embedding_stats": f"""
             WITH ex AS (
                 SELECT u['d'] AS dim, u['x'] AS x
                 FROM (SELECT unnest(list_transform(range(1, len(embedding) + 1),
-                             i -> {'d': i - 1, 'x': CAST(embedding[i] AS DOUBLE)})) AS u
+                             i -> {{'d': i - 1, 'x': CAST(embedding[i] AS DOUBLE)}})) AS u
                       FROM embeddings)
             )
             SELECT CAST(dim AS INT) AS dim,
                    CAST(count(*) AS BIGINT) AS n,
-                   round(avg(x), 4) AS mean,
-                   round(stddev_pop(x), 4) AS stddev,
+                   round({_dd_stable_avg("x")}, 4) AS mean,
+                   round(sqrt(greatest(
+                       {_dd_stable_avg("x * x")}
+                       - {_dd_stable_avg("x")} * {_dd_stable_avg("x")},
+                       0)), 4) AS stddev,
                    round(min(x), 4) AS vmin,
                    round(max(x), 4) AS vmax
             FROM ex GROUP BY dim ORDER BY dim
@@ -3153,13 +3188,14 @@ def oracle_sql() -> dict[str, str]:
                            i -> {{'d': i - 1, 'x': CAST(v[i] AS DOUBLE)}})) AS u
                     FROM e)
             ), dims AS (
-              SELECT label, d, avg(x) AS m FROM ex GROUP BY 1, 2
+              SELECT label, d, {_dd_stable_avg("x")} AS m FROM ex GROUP BY 1, 2
             ), cents AS (
               SELECT label, array_agg(m ORDER BY d) AS c FROM dims GROUP BY label
             )
             SELECT e.label,
                    CAST(count(*) AS BIGINT) AS n,
-                   round(avg({_dd_cosine("e.v", "cents.c")}), 4) AS mean_cos_to_centroid,
+                   round({_dd_stable_avg(_dd_cosine("e.v", "cents.c"))}, 4)
+                       AS mean_cos_to_centroid,
                    round(min({_dd_cosine("e.v", "cents.c")}), 4) AS min_cos_to_centroid
             FROM e JOIN cents USING (label) GROUP BY e.label
         """,
@@ -3283,11 +3319,13 @@ def oracle_sql() -> dict[str, str]:
               WHERE embedding IS NOT NULL AND vec_id % 9 <> 0
             ), ostat AS (
               SELECT label, CAST(count(*) AS BIGINT) AS n_old,
-                     avg(sqrt(list_sum(list_transform(v, x -> x * x)))) AS mn_old
+                     {_dd_stable_avg("sqrt(list_sum(list_transform(v, x -> x * x)))")}
+                         AS mn_old
               FROM oldv GROUP BY label
             ), nstat AS (
               SELECT label, CAST(count(*) AS BIGINT) AS n_new,
-                     avg(sqrt(list_sum(list_transform(v, x -> x * x)))) AS mn_new
+                     {_dd_stable_avg("sqrt(list_sum(list_transform(v, x -> x * x)))")}
+                         AS mn_new
               FROM newv GROUP BY label
             ), oex AS (
               SELECT label, u['d'] AS d, u['x'] AS x
@@ -3295,7 +3333,8 @@ def oracle_sql() -> dict[str, str]:
                            i -> {{'d': i - 1, 'x': v[i]}})) AS u FROM oldv)
             ), ocent AS (
               SELECT label, array_agg(m ORDER BY d) AS c
-              FROM (SELECT label, d, avg(x) AS m FROM oex GROUP BY 1, 2)
+              FROM (SELECT label, d, {_dd_stable_avg("x")} AS m
+                    FROM oex GROUP BY 1, 2)
               GROUP BY label
             ), nex AS (
               SELECT label, u['d'] AS d, u['x'] AS x
@@ -3303,18 +3342,21 @@ def oracle_sql() -> dict[str, str]:
                            i -> {{'d': i - 1, 'x': v[i]}})) AS u FROM newv)
             ), ncent AS (
               SELECT label, array_agg(m ORDER BY d) AS c
-              FROM (SELECT label, d, avg(x) AS m FROM nex GROUP BY 1, 2)
+              FROM (SELECT label, d, {_dd_stable_avg("x")} AS m
+                    FROM nex GROUP BY 1, 2)
               GROUP BY label
             )
-            SELECT os.label,
+            -- coalesced key + LEFT joins so a label present on only one
+            -- side survives, matching the Spark full_outer semantics
+            SELECT coalesce(os.label, ns.label) AS label,
                    coalesce(os.n_old, 0) AS n_old,
                    coalesce(ns.n_new, 0) AS n_new,
                    round({_dd_cosine("oc.c", "nc.c")}, 4) AS centroid_cos,
                    round(ns.mn_new - os.mn_old, 4) AS mean_norm_delta
             FROM ostat os
             FULL OUTER JOIN nstat ns ON ns.label = os.label
-            JOIN ocent oc ON oc.label = os.label
-            JOIN ncent nc ON nc.label = ns.label
+            LEFT JOIN ocent oc ON oc.label = os.label
+            LEFT JOIN ncent nc ON nc.label = ns.label
         """,
         "q90_dedup_impact": """
             WITH corpus AS (
@@ -3409,5 +3451,49 @@ def oracle_sql() -> dict[str, str]:
                                     + ((c_new + 1.0) / (N_new + V)))))
                    ), 6) AS js_divergence
             FROM j, tot
+        """,
+        # q91's capped-candidate + exact-verify machinery, composed through
+        # q88's directional source rollup — the capped PRODUCTION plan
+        "q93_syndication_capped": f"""
+            WITH sets AS (
+              SELECT doc_id, {_dd_shingles("text", 3)} AS hs FROM documents
+            ), ex AS (
+              SELECT doc_id, unnest(hs) AS sh FROM sets
+            ), posts AS (
+              SELECT sh, list(doc_id) AS ids FROM ex GROUP BY sh
+              HAVING len(list(doc_id)) > 1 AND len(list(doc_id)) <= 4
+            ), cand AS (
+              SELECT DISTINCT ua.a, ub.b
+              FROM posts, unnest(ids) AS ua(a), unnest(ids) AS ub(b)
+              WHERE ua.a < ub.b
+            ), verified AS (
+              SELECT c.a, c.b,
+                     CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                         / len(sa.hs) AS cab,
+                     CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+                         / len(sb.hs) AS cba
+              FROM cand c
+              JOIN sets sa ON sa.doc_id = c.a
+              JOIN sets sb ON sb.doc_id = c.b
+            ), pairs AS (
+              SELECT a, b, cab, cba FROM verified
+              WHERE cab >= {_CONTAINMENT_THRESHOLD}
+                 OR cba >= {_CONTAINMENT_THRESHOLD}
+            ), edges AS (
+              SELECT da.source AS source_contained, db.source AS source_container
+              FROM pairs p
+              JOIN documents da ON da.doc_id = p.a
+              JOIN documents db ON db.doc_id = p.b
+              WHERE p.cab >= {_CONTAINMENT_THRESHOLD}
+              UNION ALL
+              SELECT db.source, da.source
+              FROM pairs p
+              JOIN documents da ON da.doc_id = p.a
+              JOIN documents db ON db.doc_id = p.b
+              WHERE p.cba >= {_CONTAINMENT_THRESHOLD}
+            )
+            SELECT source_contained, source_container,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM edges GROUP BY 1, 2
         """,
     }

@@ -1,14 +1,17 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-compact JSON line — the LAST line on stdout — with the r2 schema:
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints its
+result as JSON on stdout. The LAST line is a compact summary sized to
+survive the driver's bounded tail capture at any suite size:
 
     {"metric": "total_query_seconds", "value": N, "unit": "sec",
-     "queries": {name: min_sec}, "sf": ...}
+     "errors": 0, "n_queries": 92, "queries": {"q01": sec, ...}, "sf": ...}
 
+A full-query-name detail line (same schema, long keys) prints before it.
 Raw per-run arrays go to BENCH_RUNS.json next to this file (NOT into the
-stdout line: the driver captures a bounded tail of stdout, and the r3 line
-with inline run arrays overflowed it, truncating away the total).
+stdout lines: the driver captures a bounded tail of stdout — the r3 line
+with inline run arrays, and the r5 line with 92 full-name entries, both
+overflowed it and truncated away the front of the JSON).
 
 Each query is forced with a noop sink (full plan execution, no driver
 collect overhead beyond what the query itself does).
@@ -81,24 +84,45 @@ def main() -> int:
     except OSError as e:
         print(f"bench warning: could not write {runs_path}: {e}", file=sys.stderr)
 
-    # The ONE parseable line, printed last (after spark.stop so no JVM shutdown
-    # chatter can follow it on stdout), compact separators to stay well inside
-    # the driver's tail-capture window.
+    # Two parseable lines (after spark.stop so no JVM shutdown chatter can
+    # follow them on stdout). The driver captures a bounded TAIL of stdout:
+    # at 92 queries the single full-name line outgrew that window and was
+    # truncated at the FRONT (BENCH_r05 parsed:null — the r3 regression
+    # again). So the LAST line is now a guaranteed-small summary whose
+    # per-query keys are the short "qNN" ids from the driver's own schema
+    # example ({"q1": sec}) — ~1.2 KB at 92 queries, well inside the window
+    # that parsed r4's 1.9 KB line. The full-name detail line prints FIRST:
+    # if the tail chops its front, only it is mangled and the summary line
+    # still parses; full names + raw run arrays also live in BENCH_RUNS.json.
     # "errors" makes a partially-failed round distinguishable from a faster
     # one: a query that threw is null in "queries" and EXCLUDED from the
     # total, so without this count a breakage would read as a speedup.
-    line = json.dumps(
+    r2 = lambda v: None if v is None else round(v, 2)
+    detail = json.dumps(
         {
             "metric": "total_query_seconds",
             "value": round(total, 3),
             "unit": "sec",
             "errors": n_errors,
-            "queries": timings,
+            "queries": {k: r2(v) for k, v in timings.items()},
             "sf": sf,
         },
         separators=(",", ":"),
     )
-    print(line, flush=True)
+    summary = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "errors": n_errors,
+            "n_queries": len(timings),
+            "queries": {k.split("_")[0]: r2(v) for k, v in timings.items()},
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    print(detail, flush=True)
+    print(summary, flush=True)
     return 0
 
 

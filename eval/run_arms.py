@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Four-arm /ask eval runner (run from the repo root) — regenerates
+eval/results/last.json, the committed artifact VERDICT reads against
+BASELINE.md's /ask p50.
+
+Arms: vector (the reference's /ask path), bm25, bm25+vector RRF hybrid,
+and corpus-trained Word2Vec. The w2v arm gets the full question list up
+front so the whole eval set is embedded in ONE MLlib transform (the r5
+arms table paid a per-question transform job — p50 1114 ms of scheduler
+overhead, not retrieval).
+
+Usage: python eval/run_arms.py [sf_dir] [out_path]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+# `python eval/run_arms.py` puts eval/ (not the repo root) on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    # default must match the corpus eval/qa.jsonl was generated from
+    # (make_qa.py SF_DIR) — a mismatched corpus scores 0/24 on every arm
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "eval/results/last.json"
+
+    from jsonify2ai_spark.operators.evalharness import (
+        default_arms,
+        eval_corpus_from_documents,
+        run_qa_eval,
+        word2vec_arm,
+    )
+    from jsonify2ai_spark.session import get_spark
+
+    spark = get_spark("eval-arms")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    with open("eval/qa.jsonl", encoding="utf-8") as f:
+        qa = [json.loads(line) for line in f if line.strip()]
+    questions = [item.get("q") or item.get("question", "") for item in qa]
+
+    corpus = eval_corpus_from_documents(spark, sf_dir).localCheckpoint()
+    arms = default_arms()
+    arms["w2v"] = word2vec_arm(corpus, questions=questions)
+
+    # one warm pass (not timed): JIT/codegen/Python-worker spinup, so the
+    # recorded latencies measure serving, not first-call compilation
+    for fn in arms.values():
+        fn(corpus, questions[0])
+
+    res = run_qa_eval(corpus, qa, out_path=out, arms=arms)
+    print(
+        json.dumps(
+            {
+                name: {k: r[k] for k in ("n", "hit@1", "p50_ms", "p95_ms")}
+                for name, r in res["arms"].items()
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,6 +16,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Exact-sum accumulator type for order-stable means. Decimal addition is
+# ASSOCIATIVE (unlike float), so Spark's nondeterministic partial-agg combine
+# order cannot change the sum by even one ulp; 18 fractional digits hold every
+# rounding-relevant bit of an O(1)-magnitude double, and 20 integer digits
+# leave ~1e19 of headroom before overflow (corpus sums here are <=1e9 * O(10)).
+_DEC = "decimal(38,18)"
+
+
+def _stable_avg(col: Column) -> Column:
+    """Order-independent mean: exact decimal sum -> double, divided by the
+    non-NULL count. ``F.avg`` sums doubles in whatever order partitions
+    arrive; at a round(x, 4) boundary that reassociation noise (~1e-12
+    relative) flips the last digit nondeterministically — the r5 q89 driver
+    flake. DuckDB oracles mirror this expression verbatim
+    (CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(x)), so both
+    engines produce bit-identical means and the rounded value cannot diverge.
+    """
+    return F.sum(col.cast(_DEC)).cast("double") / F.count(col)
+
 
 def documents_inventory(
     chunks: DataFrame,
@@ -77,21 +96,29 @@ def embedding_stats(
     poison recall silently; this surfaces them as 64 rows a human reads).
 
     posexplode pins each value to its dimension; one partial-aggregated
-    shuffle on the (tiny, = vector width) dimension key. Rounding to 4dp
-    keeps parallel-reduction float reassociation (~1e-12 relative) away
-    from the oracle hash, same policy as every aggregate in the repo.
+    shuffle on the (tiny, = vector width) dimension key. mean and stddev
+    are built from order-stable exact decimal sums (see :func:`_stable_avg`)
+    rather than F.avg/F.stddev_pop, whose float-reassociation noise can
+    flip the 4dp rounding nondeterministically under the oracle hash.
     NULL vectors contribute nothing; the `n` column exposes ragged widths
     (n < corpus rows for a dimension means short vectors exist).
     """
     ex = df.select(
         F.posexplode(F.col(vector_col).cast("array<double>")).alias("dim", "x")
     )
+    x = F.col("x")
+    mean = _stable_avg(x)
+    # population variance from exact sums: E[x^2] - E[x]^2, clamped at 0
+    # (the formula can dip a few ulp negative when variance ~ 0). Both
+    # terms are bit-deterministic, so the sqrt is too.
+    ssq_mean = F.sum((x * x).cast(_DEC)).cast("double") / F.count(x)
+    stddev = F.sqrt(F.greatest(ssq_mean - mean * mean, F.lit(0.0)))
     return (
         ex.groupBy("dim")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.avg("x"), 4).alias("mean"),
-            F.round(F.stddev_pop("x"), 4).alias("stddev"),
+            F.round(mean, 4).alias("mean"),
+            F.round(stddev, 4).alias("stddev"),
             F.round(F.min("x"), 4).alias("vmin"),
             F.round(F.max("x"), 4).alias("vmax"),
         )
@@ -125,7 +152,7 @@ def label_coherence(
     dims = (
         base.select("lbl", F.posexplode("v").alias("d", "x"))
         .groupBy("lbl", "d")
-        .agg(F.avg("x").alias("m"))
+        .agg(_stable_avg(F.col("x")).alias("m"))
     )
     cents = dims.groupBy("lbl").agg(
         F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm")
@@ -148,7 +175,7 @@ def label_coherence(
         .groupBy("lbl")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(F.avg("_cos"), 4).alias("mean_cos_to_centroid"),
+            F.round(_stable_avg(F.col("_cos")), 4).alias("mean_cos_to_centroid"),
             F.round(F.min("_cos"), 4).alias("min_cos_to_centroid"),
         )
         .select(F.col("lbl").alias(label_col), "n", "mean_cos_to_centroid", "min_cos_to_centroid")
@@ -219,12 +246,15 @@ def embedding_drift(
         )
         stats = base.groupBy("lbl").agg(
             F.count(F.lit(1)).cast("bigint").alias(f"n_{suffix}"),
-            F.avg(norm).alias(f"_mn_{suffix}"),
+            # order-stable mean norm: the per-row norm is a sequential fold
+            # (bit-parity with the oracle's list_sum); the cross-row mean is
+            # an exact decimal sum so partial-agg order cannot move it
+            _stable_avg(norm).alias(f"_mn_{suffix}"),
         )
         dims = (
             base.select("lbl", F.posexplode("v").alias("d", "x"))
             .groupBy("lbl", "d")
-            .agg(F.avg("x").alias("m"))
+            .agg(_stable_avg(F.col("x")).alias("m"))
         )
         cents = (
             dims.groupBy("lbl")

@@ -228,14 +228,23 @@ def mixture_weights(
     from jsonify2ai_spark.functions.text import token_count
 
     per_src = df.groupBy(F.col(source_col)).agg(
-        F.sum(token_count(F.col(text_col))).cast("bigint").alias("n_tokens")
+        F.coalesce(F.sum(token_count(F.col(text_col))), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens")
     )
     totals = per_src.agg(
         F.sum("n_tokens").cast("double").alias("N"),
         F.sum(F.pow(F.col("n_tokens"), F.lit(alpha))).alias("Z"),
     )
-    p = F.col("n_tokens") / F.col("N")
-    q = F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("Z")
+    # Degenerate-corpus guards (NULL, never NaN / ANSI divide error — the
+    # contract every operator here follows): an all-empty source has
+    # n_tokens = 0 -> p = 0 and weight = q/p is undefined; an all-empty
+    # CORPUS additionally has N = 0 (and Z = 0 when alpha > 0).
+    p = F.when(F.col("N") > 0, F.col("n_tokens") / F.col("N"))
+    q = F.when(
+        F.col("Z") > 0, F.pow(F.col("n_tokens"), F.lit(alpha)) / F.col("Z")
+    )
+    w = F.when(F.col("n_tokens") > 0, q / p)
     return (
         per_src.crossJoin(F.broadcast(totals))
         .select(
@@ -243,6 +252,6 @@ def mixture_weights(
             "n_tokens",
             F.round(p, 6).alias("p_corpus"),
             F.round(q, 6).alias("p_target"),
-            F.round(q / p, 6).alias("weight"),
+            F.round(w, 6).alias("weight"),
         )
     )

@@ -580,7 +580,16 @@ def length_outlier_flags(
     """
     from pyspark.sql import Window
 
-    counts = df.groupBy(F.col(length_col)).agg(F.count(F.lit(1)).alias("cnt"))
+    # NULL lengths: excluded from the CDF population (they have no rank and
+    # would otherwise sort first and shift every percentile), kept in the
+    # OUTPUT with flag='no_length' / NULL pct_rank — the operator is total
+    # over its input, so a pipeline sees the unmeasurable rows instead of
+    # silently losing them in the equi-join.
+    counts = (
+        df.filter(F.col(length_col).isNotNull())
+        .groupBy(F.col(length_col))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     w = Window.orderBy(F.col(length_col)).rowsBetween(Window.unboundedPreceding, -1)
     n_total = F.sum("cnt").over(
         Window.orderBy(F.col(length_col)).rowsBetween(
@@ -597,13 +606,14 @@ def length_outlier_flags(
         ).otherwise(F.lit(0.5)).alias("pct_rank"),
     )
     flag = (
-        F.when(F.col("pct_rank") < F.lit(lower), F.lit("trim_low"))
+        F.when(F.col(length_col).isNull(), F.lit("no_length"))
+        .when(F.col("pct_rank") < F.lit(lower), F.lit("trim_low"))
         .when(F.col("pct_rank") > F.lit(upper), F.lit("trim_high"))
         .otherwise(F.lit("keep"))
     )
     return (
         df.select(F.col(id_col), F.col(length_col))
-        .join(F.broadcast(cdf), length_col)
+        .join(F.broadcast(cdf), [length_col], "left")
         .select(
             F.col(id_col),
             F.col(length_col),

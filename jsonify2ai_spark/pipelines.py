@@ -79,9 +79,12 @@ def prepare_training_corpus(
 
         lo, hi = length_trim
         sized = out.withColumn("_len", F.length(text_col).cast("bigint"))
+        # trim only MEASURED outliers: rows with no length (flag='no_length',
+        # possible only for NULL text, which the quality gate above already
+        # removed) are not outliers and pass through rather than vanishing
         keep_len = (
             length_outlier_flags(sized, lower=lo, upper=hi, length_col="_len", id_col=id_col)
-            .filter(F.col("flag") == "keep")
+            .filter(F.col("flag").isin("keep", "no_length"))
             .select(id_col)
         )
         out = out.join(keep_len, id_col, "left_semi").localCheckpoint(eager=False)

@@ -1357,3 +1357,109 @@ def test_label_qa_zero_norm_vectors_null_not_crash(spark):
     assert coh[1]["mean_cos_to_centroid"] == 1.0
     drift = {r["label"]: r for r in embedding_drift(z, z).collect()}
     assert drift[0]["centroid_cos"] is None and drift[1]["centroid_cos"] == 1.0
+
+
+def test_stable_avg_is_partitioning_invariant_and_exact(spark):
+    """The r5 q89 driver flake: F.avg sums doubles in partition-arrival
+    order, so two runs can land on opposite sides of a round(x, 4)
+    boundary. _stable_avg must (a) return the SAME bits under any
+    partitioning/ordering and (b) equal the exact (arbitrary-precision)
+    mean rounded once to double — on a magnitude mix (1e3 vs 1e-9) chosen
+    so a float left-fold IS order-sensitive."""
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.inventory import _stable_avg
+
+    vals = [1000.0 + i for i in range(50)] + [1e-9 * (i + 1) for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    outs = set()
+    for arranged in (
+        df.repartition(1),
+        df.repartition(32),
+        df.sort(F.col("x").desc()).repartition(7),
+        df.sort("x").coalesce(2),
+    ):
+        (got,) = arranged.agg(_stable_avg(F.col("x")).alias("m")).collect()
+        outs.add(got["m"].hex())  # bit-exact, not approx, equality
+    assert len(outs) == 1, f"mean moved with partitioning: {outs}"
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        exact = sum(
+            decimal.Decimal(v).quantize(decimal.Decimal(1).scaleb(-18))
+            for v in vals
+        ) / len(vals)
+    (got,) = df.agg(_stable_avg(F.col("x")).alias("m")).collect()
+    assert abs(got["m"] - float(exact)) <= abs(float(exact)) * 2**-50
+
+
+def test_embedding_drift_output_is_partitioning_invariant(spark):
+    """End-to-end q89 regression: the drift table (rounded at 4dp) must be
+    IDENTICAL across shuffle layouts — pseudo-random O(1) embeddings,
+    enough rows that avg-reassociation noise would be live."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.inventory import embedding_drift
+
+    import math
+
+    rows = [
+        (i, [math.sin(i * 13 + d) * 0.7 for d in range(8)], i % 4)
+        for i in range(400)
+    ]
+    base = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    new = base.filter(F.col("vec_id") % 9 != 0)
+    results = set()
+    for old_v, new_v in (
+        (base.repartition(1), new.repartition(1)),
+        (base.repartition(32), new.sort(F.col("vec_id").desc())),
+        (base.sort(F.col("vec_id").desc()).coalesce(3), new.repartition(17)),
+    ):
+        got = tuple(
+            sorted(tuple(r) for r in embedding_drift(old_v, new_v).collect())
+        )
+        results.add(got)
+    assert len(results) == 1, "drift table moved with partitioning"
+
+
+def test_mixture_weights_degenerate_sources_null_not_nan(spark):
+    """An all-empty source must read NULL weight (0/0 is undefined), never
+    NaN or an ANSI divide error; an all-empty CORPUS (N=0, Z=0) must be
+    all-NULL rows. The NULL-not-NaN contract of the other operators."""
+    from jsonify2ai_spark.operators.sampling import mixture_weights
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma", "a"), (2, "", "b"), (3, None, "b")],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in mixture_weights(df).collect()}
+    assert got["a"]["weight"] is not None and got["a"]["weight"] > 0
+    assert got["b"]["n_tokens"] == 0
+    assert got["b"]["weight"] is None and got["b"]["p_target"] is not None
+    empty = spark.createDataFrame([(1, "", "a")], "doc_id long, text string, source string")
+    (r,) = mixture_weights(empty).collect()
+    assert r["p_corpus"] is None and r["p_target"] is None and r["weight"] is None
+
+
+def test_length_outlier_flags_total_over_null_lengths(spark):
+    """NULL-length rows must SURVIVE (flag='no_length', NULL pct_rank) and
+    must not shift the CDF of the measurable population."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.textstats import length_outlier_flags
+
+    docs = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 100)] + [(1000, None), (1001, None)],
+        "doc_id long, n_chars bigint",
+    )
+    out = length_outlier_flags(docs, lower=0.02, upper=0.98)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 101  # total over input
+    assert rows[1000]["flag"] == "no_length" and rows[1000]["pct_rank"] is None
+    # CDF unshifted by the NULLs: doc 1 is rank 0 of the 99 measured rows
+    assert rows[1]["flag"] == "trim_low" and rows[1]["pct_rank"] == 0.0
+    assert rows[99]["flag"] == "trim_high"
+    assert rows[50]["flag"] == "keep"
