@@ -1159,22 +1159,42 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str = "text",
+    normalize: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any word
     ``n``-gram with an evaluation/benchmark corpus (the PaLM/GPT-3 style
     n-gram overlap rule). Leaked eval data inflates benchmark scores, so
     pipelines run this between dedup and sampling.
 
+    ``normalize=True`` lowercases and collapses every non-alphanumeric run
+    to a single space on BOTH sides before shingling — the form the GPT-3
+    appendix-C / PaLM decontamination actually used. Exact-surface matching
+    misses a benchmark question that re-enters the crawl re-cased,
+    re-punctuated, or HTML-mangled; normalized matching catches it. The
+    character class is ASCII-only ([^a-z0-9]+) on purpose: it means the
+    same thing in Java regex, RE2, and every SQL dialect, so the oracle
+    can reproduce it byte-for-byte.
+
     Shape: explode both sides to n-gram shingles, broadcast the benchmark
     side (eval sets are tiny next to a training corpus — at 100 TB the fact
     side streams map-only through a broadcast hash semi-aggregation; the
     only shuffle is the per-doc count). Output: every input doc with
     ``n_shared_ngrams`` and a ``contaminated`` flag; scores stay exact, no
-    probabilistic filter.
+    probabilistic filter. Normalization is a map-side expression — plan
+    shape unchanged.
     """
-    d = docs.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh"))
+    def _prep(c: Column) -> Column:
+        if not normalize:
+            return c
+        return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+    d = docs.select(
+        F.col(id_col), F.explode(shingles(_prep(F.col(text_col)), n)).alias("sh")
+    )
     b = (
-        benchmark.select(F.explode(shingles(F.col(bench_text_col), n)).alias("sh"))
+        benchmark.select(
+            F.explode(shingles(_prep(F.col(bench_text_col)), n)).alias("sh")
+        )
         .distinct()
     )
     shared = (
@@ -1186,6 +1206,70 @@ def decontaminate(
         F.col(id_col),
         F.coalesce("n_shared_ngrams", F.lit(0)).cast("bigint").alias("n_shared_ngrams"),
         (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    max_line_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level duplicated-LINE removal (the CCNet / RefinedWeb line
+    dedup stage): a line whose trimmed hash appears in more than
+    ``max_line_df`` distinct documents is boilerplate (nav bars, cookie
+    banners, footers, "subscribe" blocks) and is dropped from EVERY
+    document; each document's surviving lines reassemble in original
+    order. This is the sub-document complement of whole-doc dedup — the
+    duplication that q15/q18 can never see because every page is unique
+    around its repeated chrome.
+
+    Output: (id, n_lines, n_kept, cleaned_md5) — the md5 of the cleaned
+    text rather than the text itself, so the row stays hashable/compact;
+    callers that need the text run the same kept-lines reassembly with
+    the text column kept.
+
+    Plan: ONE posexplode of (doc, line-idx, line) — lazy-checkpointed, it
+    feeds the census and the reassembly; per-hash distinct-doc counts
+    partial-aggregate on the line hash; the hot set (df > cap) is
+    boilerplate-catalog-sized at any corpus scale and BROADCASTs onto the
+    line frame; reassembly is one id-keyed sorted-collect (array_sort over
+    (idx, line) structs — document-sized groups, no corpus-wide sort).
+    Two shuffles total (census, reassembly), both partial-aggregated.
+    """
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "ln"),
+        )
+        .withColumn("h", F.md5(F.trim("ln")))
+        .localCheckpoint(eager=False)
+    )
+    hot = (
+        lines.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("ldf"))
+        .filter(F.col("ldf") > max_line_df)
+        .select("h", F.lit(True).alias("_hot"))
+    )
+    marked = lines.join(F.broadcast(hot), "h", "left")
+    kept_struct = F.array_sort(
+        F.collect_list(F.when(F.col("_hot").isNull(), F.struct("idx", "ln")))
+    )
+    return (
+        marked.groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.count(F.when(F.col("_hot").isNull(), 1)).cast("bigint").alias("n_kept"),
+            kept_struct.alias("_ks"),
+        )
+        .select(
+            F.col(id_col),
+            "n_lines",
+            "n_kept",
+            F.md5(
+                F.concat_ws("\n", F.transform("_ks", lambda s: s["ln"]))
+            ).alias("cleaned_md5"),
+        )
     )
 
 

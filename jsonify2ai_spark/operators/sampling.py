@@ -255,3 +255,67 @@ def mixture_weights(
             F.round(w, 6).alias("weight"),
         )
     )
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    n_buckets: int = 10,
+    score_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum-ordering assignment: per document, its score, its
+    score-quantile BUCKET (0 = lowest-scoring slice .. n_buckets-1 =
+    highest), and a deterministic within-bucket shuffle key — the three
+    columns a curriculum data loader needs to serve "clean first, noisy
+    later" (or the reverse) reproducibly across runs and machines. With
+    ``score_col`` pointing at an LM log-probability (e.g.
+    textstats.unigram_logprob's ``logprob_per_token``) and n_buckets=3
+    this IS CCNet's head/middle/tail perplexity split, generalized; the
+    default score is the heuristic quality_score for corpora without an
+    LM signal.
+
+    NOT ntile() over a corpus-wide ORDER BY (a single-partition sort, the
+    canonical 100 TB anti-pattern — same reasoning as
+    textstats.length_outlier_flags): the bucket comes from the VALUE-level
+    CDF. Scores are 4dp-rounded upstream so the distinct-value frame is at
+    most ~10^5 rows; cumulative counts over that tiny aggregate give each
+    value its fraction-strictly-below, bucket = floor(frac * n_buckets)
+    (ties share a bucket — deterministic by construction), and the mapping
+    broadcasts back onto the corpus map-side. The shuffle key is
+    md5(id) — stable, uniform, and engine-portable, so a loader's
+    ORDER BY (bucket, shuffle_key) is the same permutation everywhere.
+    NULL scores (e.g. empty documents under an LM score) are excluded
+    from the CDF and emitted with NULL bucket — total over input, same
+    contract as length_outlier_flags.
+    """
+    from pyspark.sql import Window
+
+    from jsonify2ai_spark.operators.textstats import quality_score
+
+    score = F.col(score_col) if score_col else quality_score(text_col)
+    scored = df.select(F.col(id_col), score.alias("quality"))
+    counts = (
+        scored.filter(F.col("quality").isNotNull())
+        .groupBy("quality")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    below = Window.orderBy("quality").rowsBetween(Window.unboundedPreceding, -1)
+    total = Window.orderBy("quality").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    frac = F.coalesce(F.sum("cnt").over(below), F.lit(0)).cast("double") / F.sum(
+        "cnt"
+    ).over(total)
+    cdf = counts.select(
+        "quality",
+        F.least(
+            F.lit(n_buckets - 1), F.floor(frac * n_buckets)
+        ).cast("int").alias("bucket"),
+    )
+    return scored.join(F.broadcast(cdf), ["quality"], "left").select(
+        F.col(id_col),
+        F.col("quality").alias("score"),
+        "bucket",
+        F.md5(F.col(id_col).cast("string")).alias("shuffle_key"),
+    )

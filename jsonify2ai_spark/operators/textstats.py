@@ -331,6 +331,107 @@ def language_id_df(
     return ensure_min_partitions(src).mapInPandas(gen, schema=out_fields)
 
 
+def language_mix_report(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-(source, language) corpus composition: document count, token
+    count, and each language's token share WITHIN its source — the table a
+    multilingual mixture planner reads next to :func:`~jsonify2ai_spark.
+    operators.sampling.mixture_weights` (XLM-R/mT5-style alpha smoothing is
+    applied per language in practice, and a source whose "English" share is
+    actually 40% undetermined needs cleaning before weighting, not more
+    weight).
+
+    Plan shape: the language prediction and the token count ride the SAME
+    Arrow pass as :func:`language_id_df` (source carried through map-only —
+    no corpus-sized join to re-attach it), then ONE (source, lang)-keyed
+    partial-aggregated shuffle; per-source totals re-attach from a
+    |sources|-row aggregate the optimizer broadcasts. Output is
+    |sources| x |languages| at any corpus size. A hot domain collapses in
+    the map-side combiner like every count rollup here.
+    """
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(text_col).alias("text"),
+        F.coalesce(token_count(_c(text_col)), F.lit(0)).cast("bigint").alias("_ntok"),
+    )
+    pred = language_id_df(base, text_col="text", out_col="lang").drop("text")
+    per = (
+        pred.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_ntok").cast("bigint").alias("n_tokens"),
+        )
+        # both the output AND the per-source totals read this frame: without
+        # the checkpoint the totals branch re-runs the whole corpus-sized
+        # Arrow lang-ID pass (the repo's documented subtree-recompute
+        # pitfall — caught by the plan test: two MapInPandas in one plan)
+        .localCheckpoint(eager=False)
+    )
+    tot = per.groupBy("source").agg(F.sum("n_tokens").alias("_tot"))
+    share = F.when(
+        F.col("_tot") > 0, F.col("n_tokens").cast("double") / F.col("_tot")
+    )  # all-empty source: NULL share, never NaN (the repo-wide contract)
+    # totals are |sources| rows at any corpus size — always broadcastable
+    return per.join(F.broadcast(tot), "source").select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+    )
+
+
+def c4_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style heuristic cleaning report (Raffel et al. 2020 §2.2 — the
+    rules that built the C4 corpus): per document, how many lines survive
+    the LINE rule (>= ``min_words_per_line`` words AND terminal
+    punctuation), the sentence count, the three document kill switches
+    (curly brace = leaked code/JS, 'lorem ipsum' = placeholder boilerplate,
+    javascript/cookie = policy-notice pages), and the composite ``keep``
+    flag (>= ``min_sentences`` sentences, no kill switch). The complement
+    to :func:`gopher_filter`: Gopher scores word statistics, C4 scores
+    page STRUCTURE — production pipelines run both.
+
+    Map-only: every signal is a JVM string/HOF expression over the text
+    column — zero shuffles, zero Python, survives any corpus size as a
+    projection (plan-asserted). Every function used has an exact DuckDB
+    twin (split / filter / contains / ASCII-only regex), so the oracle
+    hash-matches.
+    """
+    t = _c(text_col)
+    lines = F.split(t, "\n")
+    good_line = lambda ln: (
+        F.size(F.split(F.trim(ln), " +")) >= F.lit(min_words_per_line)
+    ) & F.trim(ln).rlike("[.!?]$")
+    n_sent = F.size(F.split(t, "[.!?]")) - 1
+    low = F.lower(t)
+    has_brace = t.contains("{")
+    has_lorem = low.contains("lorem ipsum")
+    has_policy = low.contains("javascript") | low.contains("cookie")
+    keep = (
+        (n_sent >= F.lit(min_sentences)) & ~has_brace & ~has_lorem & ~has_policy
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(F.filter(lines, good_line)).alias("n_good_lines"),
+        n_sent.alias("n_sentences"),
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        has_policy.alias("has_policy"),
+        keep.alias("keep"),
+    )
+
+
 def gopher_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -1463,3 +1463,170 @@ def test_length_outlier_flags_total_over_null_lengths(spark):
     assert rows[1]["flag"] == "trim_low" and rows[1]["pct_rank"] == 0.0
     assert rows[99]["flag"] == "trim_high"
     assert rows[50]["flag"] == "keep"
+
+
+def test_language_mix_report_shares(spark):
+    """Per-source language mix: shares sum to 1 within a source, the
+    dominant language wins the bigger share, and an all-empty source
+    reads NULL share (never NaN)."""
+    from jsonify2ai_spark.operators.textstats import language_mix_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house", "a"),
+            (2, "the quick brown fox jumps to the tree", "a"),
+            (3, "der hund und die katze ist hier", "a"),
+            (4, "", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = language_mix_report(df).collect()
+    a = {r["lang"]: r for r in rows if r["source"] == "a"}
+    assert set(a) == {"en", "de"}
+    assert a["en"]["n_docs"] == 2 and a["de"]["n_docs"] == 1
+    assert abs(a["en"]["token_share"] + a["de"]["token_share"] - 1.0) < 1e-9
+    assert a["en"]["token_share"] > a["de"]["token_share"]
+    (b,) = [r for r in rows if r["source"] == "b"]
+    assert b["token_share"] is None  # 0-token source: NULL, not NaN
+
+
+def test_decontaminate_normalized_catches_mangled_benchmark(spark):
+    """A benchmark question that re-entered the corpus re-cased and
+    re-punctuated: exact-surface 8-gram matching scores 0; the
+    normalize=True rule must flag the leaked doc and leave clean docs
+    alone."""
+    from jsonify2ai_spark.operators.dedup import decontaminate
+
+    leaked = "what is the capital city of france in europe exactly"
+    docs = spark.createDataFrame(
+        [(1, leaked), (2, "a completely unrelated document about spark plans here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("WHAT... Is THE capital CITY, of FRANCE -- in EUROPE!! exactly",)],
+        "text string",
+    )
+    raw = {r["doc_id"]: r["contaminated"] for r in decontaminate(docs, bench, n=8).collect()}
+    norm = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(docs, bench, n=8, normalize=True).collect()
+    }
+    assert raw[1] is False  # surface mangling defeats the exact rule
+    assert norm[1] is True and norm[2] is False
+
+
+def test_curriculum_buckets_semantics(spark):
+    """Bucket is monotone in score, ties share a bucket, NULL scores get a
+    NULL bucket but stay in the output, and the shuffle key is the stable
+    md5 of the id."""
+    import hashlib
+
+    from jsonify2ai_spark.operators.sampling import curriculum_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i // 10)) for i in range(100)] + [(1000, None)],
+        "doc_id long, s double",
+    )
+    out = {r["doc_id"]: r for r in curriculum_buckets(df, score_col="s").collect()}
+    assert len(out) == 101
+    assert out[1000]["bucket"] is None
+    # 10 distinct score values, 10 docs each -> exact deciles, ties together
+    for i in range(100):
+        assert out[i]["bucket"] == i // 10
+    assert out[5]["shuffle_key"] == hashlib.md5(b"5").hexdigest()
+
+
+def test_curriculum_buckets_no_corpus_wide_sort(spark):
+    """Plan shape (same contract as length_outlier_flags): the corpus joins
+    the tiny value-level CDF via broadcast — no SortMergeJoin, no
+    single-partition sort of the corpus; the only window sort runs over
+    the distinct-score aggregate."""
+    from jsonify2ai_spark.operators.sampling import curriculum_buckets
+
+    docs = spark.createDataFrame(
+        [(i, float((i * 37) % 50) / 100.0) for i in range(2000)],
+        "doc_id long, s double",
+    )
+    out = curriculum_buckets(docs, score_col="s")
+    assert out.count() == 2000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_language_mix_report_single_rollup_no_corpus_join(spark):
+    """Plan shape: the source label and token count RIDE the Arrow lang-ID
+    pass (map-only carry) — the only joins in the plan attach the
+    |sources|-row totals, so no join input is corpus-sized and no
+    SortMergeJoin appears."""
+    from jsonify2ai_spark.operators.textstats import language_mix_report
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps", f"s{i % 4}") for i in range(2000)],
+        "doc_id long, text string, source string",
+    )
+    out = language_mix_report(docs)
+    assert out.count() == 4
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    # the corpus-sized Arrow pass must run ONCE: the totals branch reads
+    # the checkpointed rollup, not a second copy of the whole subtree
+    assert plan.count("MapInPandas") <= 1
+
+
+def test_c4_filter_rules(spark):
+    """C4 §2.2 semantics: the line rule needs >=5 words AND terminal
+    punctuation; the kill switches (brace / lorem ipsum / policy terms)
+    and the 3-sentence floor each independently flip keep."""
+    from jsonify2ai_spark.operators.textstats import c4_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this is a good clean line.\nshort line.\nno punctuation here at all\nanother fine sentence right here! done."),
+            (2, "curly { brace means code. one. two. three."),
+            (3, "Lorem Ipsum dolor sit amet. filler. page. text."),
+            (4, "please enable JavaScript to view. this. page. now."),
+            (5, "only two sentences. here we are"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_filter(docs).collect()}
+    assert out[1]["keep"] is True
+    assert out[1]["n_lines"] == 4
+    # line 1 (6 words + '.') and line 4 (>=5 words + '.') survive; the
+    # 2-word line and the unpunctuated line fail
+    assert out[1]["n_good_lines"] == 2
+    assert out[2]["keep"] is False and out[2]["has_brace"] is True
+    assert out[3]["keep"] is False and out[3]["has_lorem"] is True
+    assert out[4]["keep"] is False and out[4]["has_policy"] is True
+    # sentence count = terminal punctuation marks; the unterminated
+    # trailing clause does not count
+    assert out[5]["keep"] is False and out[5]["n_sentences"] == 1
+
+
+def test_line_dedup_removes_corpus_boilerplate(spark):
+    """A line repeated across > max_line_df documents vanishes from every
+    doc; unique lines survive in original order; a doc that was ALL
+    boilerplate keeps its row with n_kept=0."""
+    import hashlib
+
+    from jsonify2ai_spark.operators.dedup import line_dedup
+
+    bp = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{bp}\nunique one a\nunique one b"),
+            (2, f"{bp}\nunique two"),
+            (3, f"{bp}\nunique three"),
+            (4, f"{bp}"),
+            (5, "no boilerplate at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, max_line_df=2).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["cleaned_md5"] == hashlib.md5(b"unique one a\nunique one b").hexdigest()
+    assert out[4]["n_kept"] == 0
+    assert out[4]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
+    assert out[5]["n_kept"] == 1
+    assert out[5]["cleaned_md5"] == hashlib.md5(b"no boilerplate at all").hexdigest()
