@@ -1702,6 +1702,17 @@ def q98_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(_structured_docs(t["documents"]), max_line_df=2)
 
 
+def q99_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer cost table (operators/textstats.py
+    tokenizer_fertility_report): byte mass, whitespace vs BPE-ish token
+    counts, bytes-per-token and fertility — the budget-pricing numbers a
+    mix planner reads next to q82/q94."""
+    from jsonify2ai_spark.operators.textstats import tokenizer_fertility_report
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return tokenizer_fertility_report(t["documents"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -1722,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_curriculum_buckets": q96_curriculum_buckets,
         "q97_c4_filter": q97_c4_filter,
         "q98_line_dedup": q98_line_dedup,
+        "q99_tokenizer_fertility": q99_tokenizer_fertility,
         # --- changed this round: order-stable decimal means (q74/q83/q89),
         # NULL-length contract (q80), degenerate-source NULL guard (q82)
         "q74_embedding_stats": q74_embedding_stats,
@@ -1748,9 +1760,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_cumulative_spend": q07_cumulative_spend,
         "q08_union_slices": q08_union_slices,
         "q10_top3_per_customer": q10_top3_per_customer,
-        # --- r4-green cohort (22/27; q20/q26/q49 wait one round — family
-        # twins q19/q16/q48 in-gate — and q23/q44 are value-exercised by the
-        # round-6 four-arm eval artifact; all five rotate in r7)
+        # --- r4-green cohort (21/27; q20/q26/q49 wait one round — family
+        # twins q19/q16/q48 in-gate — q23/q44 are value-exercised by the
+        # round-6 four-arm eval artifact, q35 is pytest-golden-covered with
+        # its q07 running-sum twin in-gate; all six rotate in r7)
         "q02_revenue_filter": q02_revenue_filter,
         "q09_events_hourly": q09_events_hourly,
         "q11_json_extract": q11_json_extract,
@@ -1764,7 +1777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_bm25_search": q30_bm25_search,
         "q31_stats_rollup": q31_stats_rollup,
         "q34_chunk_stats": q34_chunk_stats,
-        "q35_archive_shards": q35_archive_shards,
         "q38_latency_percentiles": q38_latency_percentiles,
         "q39_sessionize": q39_sessionize,
         "q40_asof_join": q40_asof_join,
@@ -1775,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_time_range_search": q50_time_range_search,
         # ================= tail (entry 51+): r5-green cohort, one round out,
         # rotates back r7; every operator family keeps an in-gate row =====
+        "q35_archive_shards": q35_archive_shards,  # r4-green; pytest goldens + q07 running-sum twin in-gate; rotates r7
         "q23_ask_snippets": q23_ask_snippets,  # r4-green; ask plane value-exercised by this round's four-arm eval artifact; rotates r7
         "q44_hybrid_rrf": q44_hybrid_rrf,  # r4-green; hybrid arm in the same artifact + q30 bm25 in-gate; rotates r7
         "q01_pricing_summary": q01_pricing_summary,  # join-agg family: q02/q05/q31 in-gate, r5-green
@@ -3739,5 +3752,27 @@ def oracle_sql() -> dict[str, str]:
                                            chr(10) ORDER BY idx), ''))
                        AS cleaned_md5
             FROM marked GROUP BY doc_id
+        """,
+        # twin of textstats.tokenizer_fertility_report: strlen = byte length
+        "q99_tokenizer_fertility": r"""
+            WITH per AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(coalesce(sum(strlen(text)), 0) AS BIGINT) AS n_bytes,
+                     CAST(coalesce(sum(len(string_split_regex(trim(text), '\s+'))), 0)
+                          AS BIGINT) AS n_ws_tokens,
+                     CAST(coalesce(sum(len(regexp_extract_all(text,
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 0) AS BIGINT)
+                         AS n_bpe_tokens
+              FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, n_bytes, n_ws_tokens, n_bpe_tokens,
+                   round(CASE WHEN n_bpe_tokens > 0
+                         THEN CAST(n_bytes AS DOUBLE) / n_bpe_tokens END, 4)
+                       AS bytes_per_bpe_token,
+                   round(CASE WHEN n_ws_tokens > 0
+                         THEN CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens END, 4)
+                       AS fertility
+            FROM per
         """,
     }

@@ -384,6 +384,51 @@ def language_mix_report(
     )
 
 
+def tokenizer_fertility_report(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source tokenizer-cost planning table: document count, byte mass,
+    whitespace-token and BPE-ish-pre-token counts, bytes-per-BPE-token and
+    FERTILITY (BPE tokens per whitespace word) — the numbers a token-budget
+    owner reads before pricing a source into the mix (code and
+    digit-heavy sources tokenize 2-4x hotter per word than prose; a
+    token budget allocated by bytes silently over-weights them).
+
+    Map-only expressions (octet_length + the two JVM regex tokenizers)
+    into ONE source-keyed partial-aggregated shuffle; output is
+    |sources|-sized at any corpus scale. Ratios follow the repo's
+    NULL-not-NaN contract for degenerate (all-empty) sources.
+    """
+    from jsonify2ai_spark.functions.text import bpe_token_count
+
+    t = _c(text_col)
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(F.octet_length(t)), F.lit(0)).cast("bigint").alias("n_bytes"),
+        F.coalesce(F.sum(token_count(t)), F.lit(0)).cast("bigint").alias("n_ws_tokens"),
+        F.coalesce(F.sum(bpe_token_count(t)), F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
+    )
+    bpb = F.when(
+        F.col("n_bpe_tokens") > 0,
+        F.col("n_bytes").cast("double") / F.col("n_bpe_tokens"),
+    )
+    fert = F.when(
+        F.col("n_ws_tokens") > 0,
+        F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_bytes",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.round(bpb, 4).alias("bytes_per_bpe_token"),
+        F.round(fert, 4).alias("fertility"),
+    )
+
+
 def c4_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -1630,3 +1630,26 @@ def test_line_dedup_removes_corpus_boilerplate(spark):
     assert out[4]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
     assert out[5]["n_kept"] == 1
     assert out[5]["cleaned_md5"] == hashlib.md5(b"no boilerplate at all").hexdigest()
+
+
+def test_tokenizer_fertility_report(spark):
+    """Code/digit-heavy text tokenizes hotter (higher fertility = BPE
+    tokens per whitespace word) than plain prose; an all-empty source
+    reads NULL ratios, not NaN."""
+    from jsonify2ai_spark.operators.textstats import tokenizer_fertility_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain english words here", "prose"),
+            (2, "more simple clean prose text", "prose"),
+            (3, "x=f(a,b)+g[17]*h{z}; y+=2", "code"),
+            (4, "", "empty"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in tokenizer_fertility_report(df).collect()}
+    assert out["prose"]["fertility"] == 1.0  # pure words: 1 BPE run per word
+    assert out["code"]["fertility"] > 3.0  # operators split into many tokens
+    assert out["code"]["bytes_per_bpe_token"] < out["prose"]["bytes_per_bpe_token"]
+    assert out["empty"]["bytes_per_bpe_token"] is None
+    assert out["empty"]["fertility"] is None
