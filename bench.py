@@ -26,6 +26,43 @@ import sys
 import time
 
 
+def format_stdout_lines(
+    timings: dict, total: float, n_errors: int, sf
+) -> tuple[str, str]:
+    """(detail_line, summary_line) for stdout. The SUMMARY prints LAST and
+    must stay inside the driver's bounded tail capture at any suite size:
+    its query keys are the short qNN ids from the driver's schema example
+    ({"q1": sec}), 2dp values — ~12 bytes/query, so even a 150-query suite
+    stays under 2 KB (pinned by tests/test_cli.py). The full-name detail
+    line prints FIRST; if the tail chops its front only it is mangled.
+    """
+    r2 = lambda v: None if v is None else round(v, 2)
+    detail = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "errors": n_errors,
+            "queries": {k: r2(v) for k, v in timings.items()},
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    summary = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+            "errors": n_errors,
+            "n_queries": len(timings),
+            "queries": {k.split("_")[0]: r2(v) for k, v in timings.items()},
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    return detail, summary
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -97,30 +134,7 @@ def main() -> int:
     # "errors" makes a partially-failed round distinguishable from a faster
     # one: a query that threw is null in "queries" and EXCLUDED from the
     # total, so without this count a breakage would read as a speedup.
-    r2 = lambda v: None if v is None else round(v, 2)
-    detail = json.dumps(
-        {
-            "metric": "total_query_seconds",
-            "value": round(total, 3),
-            "unit": "sec",
-            "errors": n_errors,
-            "queries": {k: r2(v) for k, v in timings.items()},
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
-    summary = json.dumps(
-        {
-            "metric": "total_query_seconds",
-            "value": round(total, 3),
-            "unit": "sec",
-            "errors": n_errors,
-            "n_queries": len(timings),
-            "queries": {k.split("_")[0]: r2(v) for k, v in timings.items()},
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    detail, summary = format_stdout_lines(timings, total, n_errors, sf)
     print(detail, flush=True)
     print(summary, flush=True)
     return 0

@@ -54,12 +54,30 @@ def main() -> None:
         shingle_df_census,
     )
 
+    from jsonify2ai_spark.operators.dedup import line_dedup
+
     for n in sizes:
         docs = replicated_docs(spark, n)
+        # line-structured view for line_dedup: ' row ' -> line break plus a
+        # shared boilerplate line on a third of docs (same recipe as the
+        # q97/q98 gate corpus) — hot lines exist at every size
+        structured = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("subscribe to our newsletter\n"),
+                    F.replace(F.col("text"), F.lit(" row "), F.lit(".\nrow ")),
+                ),
+            )
+            .otherwise(F.replace(F.col("text"), F.lit(" row "), F.lit(".\nrow ")))
+            .alias("text"),
+        )
         ops = {
             "novelty_scores": lambda d: novelty_scores(d),
             "shingle_df_census": lambda d: shingle_df_census(d),
             "containment_capped": lambda d: containment_pairs(d, 0.9, df_cap=8),
+            "line_dedup": lambda d: line_dedup(structured, max_line_df=4),
         }
         for name, fn in ops.items():
             t0 = time.time()

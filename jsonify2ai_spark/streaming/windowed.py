@@ -407,3 +407,88 @@ def mixture_monitor(
             ).alias("tokens_per_target"),
         )
     )
+
+
+class BoilerplateLineGate:
+    """Streaming face of :func:`~jsonify2ai_spark.operators.dedup.line_dedup`
+    (the CCNet/RefinedWeb duplicated-line strip): REWRITE every micro-batch
+    document by removing lines whose trimmed hash is corpus-level
+    boilerplate (present in > ``max_line_df`` distinct corpus documents).
+    CorpusNearDupGate drops whole near-dup documents; this gate cleans the
+    survivors' chrome — pipelines run both, in that order.
+
+    Per-batch cost contract: the HOT-LINE set is built once from the static
+    corpus and persisted — it is boilerplate-catalog-sized (distinct
+    repeated lines), orders of magnitude smaller than the corpus, and
+    broadcast onto each batch. Per-batch work = one posexplode of the
+    batch's lines + the broadcast anti-mark + one batch-id-keyed sorted
+    reassembly — proportional to the batch, never the corpus.
+
+    Use: ``gate = BoilerplateLineGate(corpus_df)``, then
+    ``gate.filter_batch(batch_df)`` inside foreachBatch (or
+    ``stream.writeStream.foreachBatch(gate.foreach_batch(append_fn))``).
+    Output: the batch's id column, ``text`` rewritten to the surviving
+    lines (original order), and (n_lines, n_kept) counters. ``close()``
+    releases the persisted hot set.
+    """
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        max_line_df: int = 2,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        self._text_col = text_col
+        self._id_col = id_col
+        lines = corpus.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), "\n")).alias("ln"),
+        ).select(F.col(id_col), F.md5(F.trim("ln")).alias("h"))
+        self._hot = (
+            lines.groupBy("h")
+            .agg(F.count_distinct(F.col(id_col)).alias("ldf"))
+            .filter(F.col("ldf") > max_line_df)
+            .select("h", F.lit(True).alias("_hot"))
+            .persist()
+        )
+        self._hot.count()  # materialize once, before the first trigger
+
+    def filter_batch(self, batch: DataFrame) -> DataFrame:
+        """Rewrite ``batch``: corpus-boilerplate lines removed, order kept."""
+        idc, txt = self._id_col, self._text_col
+        lx = batch.select(
+            F.col(idc),
+            F.posexplode(F.split(F.col(txt), "\n")).alias("idx", "ln"),
+        ).withColumn("h", F.md5(F.trim("ln")))
+        marked = lx.join(F.broadcast(self._hot), "h", "left")
+        kept = F.array_sort(
+            F.collect_list(F.when(F.col("_hot").isNull(), F.struct("idx", "ln")))
+        )
+        return (
+            marked.groupBy(F.col(idc))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                F.count(F.when(F.col("_hot").isNull(), 1))
+                .cast("bigint")
+                .alias("n_kept"),
+                kept.alias("_ks"),
+            )
+            .select(
+                F.col(idc),
+                F.concat_ws("\n", F.transform("_ks", lambda s: s["ln"])).alias(txt),
+                "n_lines",
+                "n_kept",
+            )
+        )
+
+    def foreach_batch(self, append):
+        """Wrap ``append(clean_df, batch_id)`` as a foreachBatch callable."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            append(self.filter_batch(batch), batch_id)
+
+        return _fn
+
+    def close(self) -> None:
+        self._hot.unpersist()

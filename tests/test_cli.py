@@ -124,3 +124,24 @@ def test_cli_note2json_missing_files_and_collisions(tmp_path, capsys):
     capsys.readouterr()
     assert rc == 0
     assert sorted(os.listdir(out_dir)) == ["n-2.json", "n.json"]
+
+
+def test_bench_summary_line_bounded_and_parseable():
+    """The r3/r5 regression class, pinned: the LAST stdout line of bench.py
+    must parse as JSON and stay small enough for the driver's bounded tail
+    capture even at 150 queries; a thrown query reads as null + errors>0,
+    never as a silent speedup."""
+    import json
+
+    from bench import format_stdout_lines
+
+    timings = {f"q{i:02d}_some_operator_name_{i}": (None if i == 7 else i * 0.137)
+               for i in range(1, 151)}
+    total = sum(v for v in timings.values() if v is not None)
+    detail, summary = format_stdout_lines(timings, total, n_errors=1, sf=0.1)
+    s = json.loads(summary)
+    assert len(summary) < 2000, len(summary)
+    assert s["metric"] == "total_query_seconds" and s["errors"] == 1
+    assert s["n_queries"] == 150 and s["queries"]["q07"] is None
+    d = json.loads(detail)
+    assert set(d["queries"]) == set(timings)

@@ -707,3 +707,51 @@ def test_mixture_monitor_flags_drifting_mix(spark, tmp_path):
         assert w2s["tokens_per_target"] == 4 * w2b["tokens_per_target"]
     finally:
         q.stop()
+
+
+def test_boilerplate_line_gate_parity_and_streaming(spark):
+    """Streaming face of q98: (a) PARITY — running the gate over its own
+    corpus reproduces line_dedup's cleaned text md5 for every doc; (b) a
+    NEW batch has corpus-boilerplate lines stripped while its unique lines
+    survive in order, across two filter_batch calls on the same built-once
+    artifacts."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.dedup import line_dedup
+    from jsonify2ai_spark.streaming.windowed import BoilerplateLineGate
+
+    bp = "subscribe to our newsletter"
+    corpus = spark.createDataFrame(
+        [(i, f"{bp}\nunique corpus line {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    gate = BoilerplateLineGate(corpus, max_line_df=2)
+
+    # (a) parity with the batch operator over the same corpus
+    batch_out = {
+        r["doc_id"]: r for r in line_dedup(corpus, max_line_df=2).collect()
+    }
+    gate_out = {r["doc_id"]: r for r in gate.filter_batch(corpus).collect()}
+    for i in range(5):
+        assert (
+            hashlib.md5(gate_out[i]["text"].encode()).hexdigest()
+            == batch_out[i]["cleaned_md5"]
+        )
+        assert gate_out[i]["n_kept"] == batch_out[i]["n_kept"]
+
+    # (b) two fresh batches against the SAME artifacts
+    b1 = spark.createDataFrame(
+        [(100, f"{bp}\nbrand new content a\nbrand new content b")],
+        "doc_id long, text string",
+    )
+    (r1,) = gate.filter_batch(b1).collect()
+    assert r1["text"] == "brand new content a\nbrand new content b"
+    assert r1["n_lines"] == 3 and r1["n_kept"] == 2
+    b2 = spark.createDataFrame(
+        [(200, bp)], "doc_id long, text string"  # all boilerplate
+    )
+    (r2,) = gate.filter_batch(b2).collect()
+    assert r2["text"] == "" and r2["n_kept"] == 0
+    gate.close()
