@@ -1713,6 +1713,52 @@ def q99_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer_fertility_report(t["documents"])
 
 
+def q100_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing corpus-prep PIPELINE (pipelines.py
+    prepare_training_corpus) under the value gate END-TO-END: quality gate
+    -> length trim (value-level CDF) -> exact dedup (min-id keeper) -> PII
+    count + redact (q58's deterministic injection, so the redaction stage
+    does real work) -> next-fit packing. Every stage has its own green row
+    (q12/q80/q15/q58/q57); this row pins their COMPOSITION — the wiring,
+    stage order, and column plumbing a user actually runs. The two
+    non-SQL-expressible toggles stay off here (repetition: Arrow pass,
+    pinned by q59+q71; near-dup: LSH, pinned by q18/q51/q62/q75)."""
+    from jsonify2ai_spark.pipelines import prepare_training_corpus
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    injected = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-123-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.lit(" host 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return prepare_training_corpus(
+        injected,
+        min_quality=0.2,
+        filter_repetitive=False,
+        length_trim=(0.02, 0.98),
+        near_dedup=False,
+        redact=True,
+        pack_budget=2000,
+        pack_groups=32,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -1734,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_c4_filter": q97_c4_filter,
         "q98_line_dedup": q98_line_dedup,
         "q99_tokenizer_fertility": q99_tokenizer_fertility,
+        "q100_training_pipeline": q100_training_pipeline,
         # --- changed this round: order-stable decimal means (q74/q83/q89),
         # NULL-length contract (q80), degenerate-source NULL guard (q82)
         "q74_embedding_stats": q74_embedding_stats,
@@ -1760,10 +1807,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_cumulative_spend": q07_cumulative_spend,
         "q08_union_slices": q08_union_slices,
         "q10_top3_per_customer": q10_top3_per_customer,
-        # --- r4-green cohort (21/27; q20/q26/q49 wait one round — family
+        # --- r4-green cohort (20/27; q20/q26/q49 wait one round — family
         # twins q19/q16/q48 in-gate — q23/q44 are value-exercised by the
-        # round-6 four-arm eval artifact, q35 is pytest-golden-covered with
-        # its q07 running-sum twin in-gate; all six rotate in r7)
+        # round-6 four-arm eval artifact, q34/q35 are pytest-golden-covered
+        # with q56/q07 twins in-gate; all seven rotate in r7)
         "q02_revenue_filter": q02_revenue_filter,
         "q09_events_hourly": q09_events_hourly,
         "q11_json_extract": q11_json_extract,
@@ -1776,7 +1823,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_multimodal_meta": q29_multimodal_meta,
         "q30_bm25_search": q30_bm25_search,
         "q31_stats_rollup": q31_stats_rollup,
-        "q34_chunk_stats": q34_chunk_stats,
         "q38_latency_percentiles": q38_latency_percentiles,
         "q39_sessionize": q39_sessionize,
         "q40_asof_join": q40_asof_join,
@@ -1788,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================= tail (entry 51+): r5-green cohort, one round out,
         # rotates back r7; every operator family keeps an in-gate row =====
         "q35_archive_shards": q35_archive_shards,  # r4-green; pytest goldens + q07 running-sum twin in-gate; rotates r7
+        "q34_chunk_stats": q34_chunk_stats,  # r4-green; reference-golden pytest + q56 chat-chunker twin in-gate; rotates r7
         "q23_ask_snippets": q23_ask_snippets,  # r4-green; ask plane value-exercised by this round's four-arm eval artifact; rotates r7
         "q44_hybrid_rrf": q44_hybrid_rrf,  # r4-green; hybrid arm in the same artifact + q30 bm25 in-gate; rotates r7
         "q01_pricing_summary": q01_pricing_summary,  # join-agg family: q02/q05/q31 in-gate, r5-green
@@ -2209,6 +2256,115 @@ def _dd_lang_expr(t: str = "text") -> str:
 
 def _dd_language_id_sql() -> str:
     return f"SELECT doc_id, {_dd_lang_expr('text')} AS lang_pred FROM documents"
+
+
+def _dd_pipeline_sql(
+    min_quality: float = 0.2,
+    lo: float = 0.02,
+    hi: float = 0.98,
+    budget: int = 2000,
+    n_groups: int = 32,
+) -> str:
+    """q100 twin: prepare_training_corpus's stage chain replayed in SQL —
+    q58's injection, q12's quality expr, q80's value-level length CDF,
+    q15's min-id exact dedup, q58's counts+redaction, q57's next-fit
+    recursive CTE. PII fragments are concatenated (patterns contain {m,n}
+    braces); everything else composes the established twin expressions."""
+    from jsonify2ai_spark.operators.pii import PII_PATTERNS
+
+    inject = (
+        "SELECT doc_id, text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS text"
+        " FROM documents"
+    )
+    qtoks = _DD_TOKENS.format(t="text")
+    n_alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    n_tok = "len(" + qtoks + ")"
+    qual_len = (
+        "least(1.0, CAST(" + n_tok + " AS DOUBLE) / 20.0)"
+        " * least(1.0, 10000.0 / greatest(CAST(" + n_tok + " AS DOUBLE), 1.0))"
+    )
+    qual_avg = (
+        "(CASE WHEN " + n_tok + " > 0 THEN CAST(" + n_alpha + " AS DOUBLE) / "
+        + n_tok + " ELSE 0.0 END)"
+    )
+    qual = (
+        "round(" + qual_len + " * (CASE WHEN " + qual_avg
+        + " BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END), 4)"
+    )
+    counts = ", ".join(
+        "CAST(len(regexp_extract_all(text, '" + pat + "')) AS BIGINT) AS n_" + kind
+        for kind, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join("n_" + kind for kind in PII_PATTERNS)
+    redacted = "text"
+    for kind, pat in PII_PATTERNS.items():
+        redacted = (
+            "regexp_replace(" + redacted + ", '" + pat + "', '[" + kind.upper() + "]', 'g')"
+        )
+    return f"""
+WITH RECURSIVE injected AS (
+  {inject}
+), q AS (
+  SELECT doc_id, text, {qual} AS quality FROM injected WHERE {qual} >= {min_quality}
+), lens AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS _len FROM q
+), lcounts AS (
+  SELECT _len, count(*) AS cnt FROM lens GROUP BY _len
+), ltot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM lcounts
+), lcdf AS (
+  SELECT _len,
+         CASE WHEN ltot.n > 1 THEN
+           CAST(coalesce(sum(cnt) OVER (ORDER BY _len
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           / (ltot.n - 1)
+         ELSE 0.5 END AS pct
+  FROM lcounts, ltot
+), len_keep AS (
+  SELECT l.doc_id FROM lens l JOIN lcdf USING (_len)
+  WHERE pct >= {lo} AND pct <= {hi}
+), trimmed AS (
+  SELECT q.doc_id, q.text, q.quality FROM q JOIN len_keep USING (doc_id)
+), fp AS (
+  SELECT doc_id, text, quality,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+  FROM trimmed
+), keepers AS (
+  SELECT f, min(doc_id) AS kid FROM fp GROUP BY f
+), dd AS (
+  SELECT fp.doc_id, fp.text, fp.quality
+  FROM fp JOIN keepers ON keepers.f = fp.f AND keepers.kid = fp.doc_id
+), red AS (
+  SELECT doc_id, quality, {counts}, CAST({total} AS BIGINT) AS pii_total,
+         {redacted} AS text
+  FROM dd
+), sized AS (
+  SELECT *, CAST(length(text) AS BIGINT) AS n_chars FROM red
+), g AS (
+  SELECT *, CAST(doc_id % {n_groups} AS BIGINT) AS pack_group,
+         row_number() OVER (PARTITION BY doc_id % {n_groups}
+                            ORDER BY doc_id) AS r
+  FROM sized
+), pk(pack_group, r, doc_id, acc, bin) AS (
+  SELECT pack_group, r, doc_id, n_chars, 0 FROM g WHERE r = 1
+  UNION ALL
+  SELECT n.pack_group, n.r, n.doc_id,
+         CASE WHEN pk.acc > 0 AND pk.acc + n.n_chars > {budget}
+              THEN n.n_chars ELSE pk.acc + n.n_chars END,
+         CASE WHEN pk.acc > 0 AND pk.acc + n.n_chars > {budget}
+              THEN pk.bin + 1 ELSE pk.bin END
+  FROM pk JOIN g n ON n.pack_group = pk.pack_group AND n.r = pk.r + 1
+)
+SELECT g.doc_id, g.text, g.quality, g.n_email, g.n_phone, g.n_ipv4, g.n_ssn,
+       g.pii_total, g.n_chars, g.pack_group, CAST(pk.bin AS BIGINT) AS bin_idx
+FROM g JOIN pk ON pk.pack_group = g.pack_group AND pk.doc_id = g.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3775,4 +3931,5 @@ def oracle_sql() -> dict[str, str]:
                        AS fertility
             FROM per
         """,
+        "q100_training_pipeline": _dd_pipeline_sql(),
     }
