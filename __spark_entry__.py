@@ -1759,6 +1759,32 @@ def q100_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q101_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append-only pipeline COMPOSITION (pipelines.py
+    prepare_incremental_batch) under the value gate: the doc_id%5==0 slice
+    plays the incoming batch — batch-scoped prep (quality gate, length-trim
+    CDF, batch-internal exact dedup, PII redact) then dedup_against the
+    untouched corpus (exact bipartite jaccard, the q65 oracle baseline of
+    the LSH production path). q100 pins the full-corpus recipe; this row
+    pins the incremental wiring — prep-before-dedup order, the kept
+    left-semi, and the column plumbing."""
+    from jsonify2ai_spark.pipelines import prepare_incremental_batch
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    return prepare_incremental_batch(
+        docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text"),
+        docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text"),
+        threshold=_JACCARD_THRESHOLD,
+        method="exact",
+        min_quality=0.2,
+        filter_repetitive=False,
+        length_trim=(0.02, 0.98),
+        near_dedup=False,
+        redact=True,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -1781,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_line_dedup": q98_line_dedup,
         "q99_tokenizer_fertility": q99_tokenizer_fertility,
         "q100_training_pipeline": q100_training_pipeline,
+        "q101_incremental_pipeline": q101_incremental_pipeline,
         # --- changed this round: order-stable decimal means (q74/q83/q89),
         # NULL-length contract (q80), degenerate-source NULL guard (q82)
         "q74_embedding_stats": q74_embedding_stats,
@@ -1807,10 +1834,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_cumulative_spend": q07_cumulative_spend,
         "q08_union_slices": q08_union_slices,
         "q10_top3_per_customer": q10_top3_per_customer,
-        # --- r4-green cohort (20/27; q20/q26/q49 wait one round — family
+        # --- r4-green cohort (19/27; q20/q26/q49 wait one round — family
         # twins q19/q16/q48 in-gate — q23/q44 are value-exercised by the
-        # round-6 four-arm eval artifact, q34/q35 are pytest-golden-covered
-        # with q56/q07 twins in-gate; all seven rotate in r7)
+        # round-6 four-arm eval artifact, q29/q34/q35 are pytest-covered
+        # with in-gate family twins; all eight rotate in r7)
         "q02_revenue_filter": q02_revenue_filter,
         "q09_events_hourly": q09_events_hourly,
         "q11_json_extract": q11_json_extract,
@@ -1820,7 +1847,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_vector_search_docs": q21_vector_search_docs,
         "q22_source_inventory": q22_source_inventory,
         "q28_winnowing": q28_winnowing,
-        "q29_multimodal_meta": q29_multimodal_meta,
         "q30_bm25_search": q30_bm25_search,
         "q31_stats_rollup": q31_stats_rollup,
         "q38_latency_percentiles": q38_latency_percentiles,
@@ -1835,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotates back r7; every operator family keeps an in-gate row =====
         "q35_archive_shards": q35_archive_shards,  # r4-green; pytest goldens + q07 running-sum twin in-gate; rotates r7
         "q34_chunk_stats": q34_chunk_stats,  # r4-green; reference-golden pytest + q56 chat-chunker twin in-gate; rotates r7
+        "q29_multimodal_meta": q29_multimodal_meta,  # r4-green; multimodal e2e pytest + fake-module contracts; rotates r7
         "q23_ask_snippets": q23_ask_snippets,  # r4-green; ask plane value-exercised by this round's four-arm eval artifact; rotates r7
         "q44_hybrid_rrf": q44_hybrid_rrf,  # r4-green; hybrid arm in the same artifact + q30 bm25 in-gate; rotates r7
         "q01_pricing_summary": q01_pricing_summary,  # join-agg family: q02/q05/q31 in-gate, r5-green
@@ -2258,30 +2285,12 @@ def _dd_language_id_sql() -> str:
     return f"SELECT doc_id, {_dd_lang_expr('text')} AS lang_pred FROM documents"
 
 
-def _dd_pipeline_sql(
-    min_quality: float = 0.2,
-    lo: float = 0.02,
-    hi: float = 0.98,
-    budget: int = 2000,
-    n_groups: int = 32,
-) -> str:
-    """q100 twin: prepare_training_corpus's stage chain replayed in SQL —
-    q58's injection, q12's quality expr, q80's value-level length CDF,
-    q15's min-id exact dedup, q58's counts+redaction, q57's next-fit
-    recursive CTE. PII fragments are concatenated (patterns contain {m,n}
-    braces); everything else composes the established twin expressions."""
+def _dd_prep_fragments() -> tuple[str, str, str, str]:
+    """(quality expr, PII count list, PII total expr, redaction expr) —
+    the stage fragments shared by the q100/q101 composition oracles.
+    Built by concatenation: the PII patterns contain {m,n} braces."""
     from jsonify2ai_spark.operators.pii import PII_PATTERNS
 
-    inject = (
-        "SELECT doc_id, text"
-        " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
-        " || '@example.com' ELSE '' END"
-        " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-'"
-        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
-        " || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.'"
-        " || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS text"
-        " FROM documents"
-    )
     qtoks = _DD_TOKENS.format(t="text")
     n_alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
     n_tok = "len(" + qtoks + ")"
@@ -2307,6 +2316,34 @@ def _dd_pipeline_sql(
         redacted = (
             "regexp_replace(" + redacted + ", '" + pat + "', '[" + kind.upper() + "]', 'g')"
         )
+    return qual, counts, total, redacted
+
+
+def _dd_pipeline_sql(
+    min_quality: float = 0.2,
+    lo: float = 0.02,
+    hi: float = 0.98,
+    budget: int = 2000,
+    n_groups: int = 32,
+) -> str:
+    """q100 twin: prepare_training_corpus's stage chain replayed in SQL —
+    q58's injection, q12's quality expr, q80's value-level length CDF,
+    q15's min-id exact dedup, q58's counts+redaction, q57's next-fit
+    recursive CTE. PII fragments are concatenated (patterns contain {m,n}
+    braces); everything else composes the established twin expressions."""
+    from jsonify2ai_spark.operators.pii import PII_PATTERNS
+
+    inject = (
+        "SELECT doc_id, text"
+        " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS text"
+        " FROM documents"
+    )
+    qual, counts, total, redacted = _dd_prep_fragments()
     return f"""
 WITH RECURSIVE injected AS (
   {inject}
@@ -2364,6 +2401,80 @@ WITH RECURSIVE injected AS (
 SELECT g.doc_id, g.text, g.quality, g.n_email, g.n_phone, g.n_ipv4, g.n_ssn,
        g.pii_total, g.n_chars, g.pack_group, CAST(pk.bin AS BIGINT) AS bin_idx
 FROM g JOIN pk ON pk.pack_group = g.pack_group AND pk.doc_id = g.doc_id
+"""
+
+
+def _dd_incremental_sql(
+    min_quality: float = 0.2,
+    lo: float = 0.02,
+    hi: float = 0.98,
+) -> str:
+    """q101 twin: q100's prep chain scoped to the doc_id%5==0 batch (no
+    injection — the corpus side must stay untouched, and redaction is then
+    a provable no-op on this corpus), then q65's exact bipartite jaccard
+    exclusion against the raw corpus slice."""
+    qual, counts, total, redacted = _dd_prep_fragments()
+    return f"""
+WITH batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+), q AS (
+  SELECT doc_id, text, {qual} AS quality FROM batch WHERE {qual} >= {min_quality}
+), lens AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS _len FROM q
+), lcounts AS (
+  SELECT _len, count(*) AS cnt FROM lens GROUP BY _len
+), ltot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM lcounts
+), lcdf AS (
+  SELECT _len,
+         CASE WHEN ltot.n > 1 THEN
+           CAST(coalesce(sum(cnt) OVER (ORDER BY _len
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           / (ltot.n - 1)
+         ELSE 0.5 END AS pct
+  FROM lcounts, ltot
+), len_keep AS (
+  SELECT l.doc_id FROM lens l JOIN lcdf USING (_len)
+  WHERE pct >= {lo} AND pct <= {hi}
+), trimmed AS (
+  SELECT q.doc_id, q.text, q.quality FROM q JOIN len_keep USING (doc_id)
+), fp AS (
+  SELECT doc_id, text, quality,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+  FROM trimmed
+), keepers AS (
+  SELECT f, min(doc_id) AS kid FROM fp GROUP BY f
+), dd AS (
+  SELECT fp.doc_id, fp.text, fp.quality
+  FROM fp JOIN keepers ON keepers.f = fp.f AND keepers.kid = fp.doc_id
+), red AS (
+  SELECT doc_id, quality, {counts}, CAST({total} AS BIGINT) AS pii_total,
+         {redacted} AS text
+  FROM dd
+), exn AS (
+  SELECT doc_id AS a, unnest({_dd_shingles("text", 3)}) AS sh FROM red
+), exe AS (
+  SELECT doc_id AS b, unnest({_dd_shingles("text", 3)}) AS sh
+  FROM documents WHERE doc_id % 5 <> 0
+), sza AS (
+  SELECT a, count(*) AS sza FROM exn GROUP BY a
+), szb AS (
+  SELECT b, count(*) AS szb FROM exe GROUP BY b
+), common AS (
+  SELECT n.a, e.b, count(*) AS common
+  FROM exn n JOIN exe e ON n.sh = e.sh GROUP BY 1, 2
+), dups AS (
+  SELECT DISTINCT c.a
+  FROM common c
+  JOIN sza ON sza.a = c.a
+  JOIN szb ON szb.b = c.b
+  WHERE CAST(c.common AS DOUBLE) / (sza.sza + szb.szb - c.common)
+        >= {_JACCARD_THRESHOLD}
+)
+SELECT r.doc_id, r.text, r.quality, r.n_email, r.n_phone, r.n_ipv4, r.n_ssn,
+       r.pii_total
+FROM red r LEFT JOIN dups du ON du.a = r.doc_id
+WHERE du.a IS NULL
 """
 
 
@@ -3932,4 +4043,5 @@ def oracle_sql() -> dict[str, str]:
             FROM per
         """,
         "q100_training_pipeline": _dd_pipeline_sql(),
+        "q101_incremental_pipeline": _dd_incremental_sql(),
     }

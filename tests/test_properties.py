@@ -373,3 +373,78 @@ def _spark_session():
     s = get_spark("tests", shuffle_partitions=8)
     s.sparkContext.setLogLevel("ERROR")
     return s
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["nav bar", "footer", "body one", "body two", "x y z"]),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=7,
+    ),
+    st.integers(1, 3),
+)
+@settings(max_examples=8, deadline=None)
+def test_line_dedup_matches_python_model(doc_lines, cap):
+    """Differential fuzz for q98: on random tiny line-structured corpora
+    the Spark line_dedup must reproduce a pure-Python model — hot set =
+    trimmed lines in > cap DISTINCT docs, cleaned text = surviving lines
+    in original order — for every doc, including all-boilerplate docs."""
+    import hashlib
+
+    from jsonify2ai_spark.operators.dedup import line_dedup
+
+    spark = _spark_session()
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(doc_lines)]
+
+    df_by_line: dict[str, set] = {}
+    for i, lines in enumerate(doc_lines):
+        for ln in lines:
+            df_by_line.setdefault(ln.strip(), set()).add(i)
+    hot = {ln for ln, docs in df_by_line.items() if len(docs) > cap}
+    expected = {}
+    for i, lines in enumerate(doc_lines):
+        kept = [ln for ln in lines if ln.strip() not in hot]
+        expected[i] = (
+            len(lines),
+            len(kept),
+            hashlib.md5("\n".join(kept).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["cleaned_md5"])
+        for r in line_dedup(df, max_line_df=cap).collect()
+    }
+    assert got == expected
+
+
+@given(
+    st.lists(st.floats(0.0, 1.0, allow_nan=False).map(lambda x: round(x, 2)),
+             min_size=1, max_size=40),
+    st.integers(2, 10),
+)
+@settings(max_examples=8, deadline=None)
+def test_curriculum_buckets_matches_python_model(scores, n_buckets):
+    """Differential fuzz for q96: bucket = floor(frac_strictly_below * n),
+    capped at n-1, ties sharing a bucket — against a pure-Python CDF model
+    on random score multisets."""
+    from jsonify2ai_spark.operators.sampling import curriculum_buckets
+
+    spark = _spark_session()
+    rows = [(i, s) for i, s in enumerate(scores)]
+    n = len(scores)
+    expected = {}
+    for i, s in enumerate(scores):
+        below = sum(1 for x in scores if x < s)
+        expected[i] = min(n_buckets - 1, int((below / n) * n_buckets))
+
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in curriculum_buckets(df, n_buckets=n_buckets, score_col="s").collect()
+    }
+    assert got == expected
