@@ -44,7 +44,24 @@ def main() -> int:
     questions = [item.get("q") or item.get("question", "") for item in qa]
 
     corpus = eval_corpus_from_documents(spark, sf_dir).localCheckpoint()
+    # serving-shaped lexical arms: the BM25 postings build once (BM25Index)
+    # instead of re-tokenizing the corpus per question — the same
+    # build-once/query-many split the w2v arm gets from batched embedding
+    from jsonify2ai_spark.api import ask, bm25_search, hybrid_search
+    from jsonify2ai_spark.operators.textsearch import BM25Index
+
+    idx = BM25Index(corpus, id_col="id")
     arms = default_arms()
+    arms["bm25"] = lambda c, q: ask(
+        c, q, k=5, dim=64,
+        retriever=lambda ch, qq, **kw: bm25_search(ch, qq, index=idx, **kw),
+        min_synth_score=0.0, min_snippet_score=0.0,
+    )
+    arms["hybrid"] = lambda c, q: ask(
+        c, q, k=5, dim=64,
+        retriever=lambda ch, qq, **kw: hybrid_search(ch, qq, bm25_index=idx, **kw),
+        min_synth_score=1.0 / 70.0, min_snippet_score=1.0 / 1000.0,
+    )
     arms["w2v"] = word2vec_arm(corpus, questions=questions)
 
     # one warm pass (not timed): JIT/codegen/Python-worker spinup, so the

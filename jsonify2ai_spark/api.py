@@ -122,18 +122,33 @@ def bm25_search(
     k: int = 5,
     dim: int = 768,
     embed=None,
+    index=None,
     **filters: Any,
 ) -> DataFrame:
     """Lexical-only retrieval arm: BM25 over the chunk text with the same
     Source projection as :func:`search`. ``dim``/``embed`` are accepted (and
     ignored) so the three retrievers are signature-interchangeable in
     :func:`ask`. ``score`` is BM25-scale (unbounded, >0 for any term match)
-    — gate thresholds must be chosen per arm."""
+    — gate thresholds must be chosen per arm.
+
+    Pass a prebuilt :class:`~jsonify2ai_spark.operators.textsearch.BM25Index`
+    as ``index`` for serving loops: the per-query corpus tokenize is then a
+    posting-list lookup. Filters change the scoring pool (df_t/avgdl), so
+    they require the per-query path — combining both is an error, not a
+    silent mis-score."""
     from jsonify2ai_spark.operators.textsearch import bm25_topk
 
     flt = _build_filter(**filters)
     pool = chunks.filter(flt) if flt is not None else chunks
-    scored = bm25_topk(pool, query, k=k, id_col="id").withColumnRenamed("bm25", "score")
+    if index is not None:
+        if flt is not None:
+            raise ValueError(
+                "bm25_search: filters require per-query scoring (bm25_topk) — "
+                "a prebuilt index's df_t/avgdl cover the UNfiltered corpus"
+            )
+        scored = index.topk(query, k=k).withColumnRenamed("bm25", "score")
+    else:
+        scored = bm25_topk(pool, query, k=k, id_col="id").withColumnRenamed("bm25", "score")
     out = pool.drop("score").join(F.broadcast(scored), "id")
     return _project_sources(out, k=k)
 
@@ -145,6 +160,7 @@ def hybrid_search(
     dim: int = 768,
     embed=None,
     rrf_k: int = 60,
+    bm25_index=None,
     **filters: Any,
 ) -> DataFrame:
     """Hybrid retrieval: BM25 and vector rankings fused with reciprocal-rank
@@ -160,7 +176,10 @@ def hybrid_search(
     flt = _build_filter(**filters)
     pool = chunks.filter(flt) if flt is not None else chunks
 
-    bm25 = bm25_topk(pool, query, k=max(k, 20), id_col="id")
+    if bm25_index is not None and flt is None:
+        bm25 = bm25_index.topk(query, k=max(k, 20))
+    else:
+        bm25 = bm25_topk(pool, query, k=max(k, 20), id_col="id")
     w_b = Window.orderBy(F.col("bm25").desc(), F.col("id").asc())
     bm25_r = bm25.select("id", F.row_number().over(w_b).alias("rank_bm25"))
 

@@ -127,3 +127,83 @@ def bm25_oracle_sql(
         FROM scored GROUP BY {id_col}
         ORDER BY bm25 DESC, {id_col} ASC LIMIT {k}
     """
+
+
+class BM25Index:
+    """Built-once BM25 SERVING index. :func:`bm25_topk` re-tokenizes the
+    whole corpus per query — the right shape for one-shot analytics and the
+    oracle twin, the wrong one for a serving loop, where the corpus is
+    static across thousands of queries. This class materializes the
+    inverted postings ONCE (term-partitioned + persisted, the layout the
+    module docstring prescribes) plus the two corpus scalars; each query
+    then touches only its own terms' posting lists — work proportional to
+    the query, never the corpus, on every call after the first.
+
+    Scoring arithmetic is byte-for-byte :func:`bm25_topk`'s (same constant
+    injection, same op order), pinned by a parity test; the one
+    intentional difference is WHERE n_docs/avgdl come from (precomputed at
+    build, not re-aggregated per query). Filters are a pool-semantics
+    change (df_t and avgdl must be recomputed over the filtered pool), so
+    a filtered query belongs to :func:`bm25_topk` — the index refuses
+    rather than silently mis-scoring.
+    """
+
+    def __init__(
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k1: float = K1_DEFAULT,
+        b: float = B_DEFAULT,
+    ) -> None:
+        self._id_col = id_col
+        self._k1, self._b = k1, b
+        self._posts = (
+            build_postings(docs, text_col=text_col, id_col=id_col)
+            .repartition(F.col("term"))
+            .persist()
+        )
+        self._posts.count()  # materialize before the first query
+        # corpus scalars over the DOCS frame, exactly as bm25_topk's stats
+        # aggregate computes them (zero-token docs count toward n_docs and
+        # avgdl there — deriving these from distinct postings would drop
+        # them and break score parity)
+        toks = F.transform(tokens(F.col(text_col)), F.lower)
+        row = (
+            docs.select(F.size(toks).alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+            .first()
+        )
+        self._n_docs = int(row["n"])
+        self._avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+
+    def topk(self, query: str, k: int = 10) -> DataFrame:
+        """Top-k (id, bm25) for one query — touches only the query terms'
+        posting lists in the persisted index."""
+        from pyspark.sql import Window
+
+        terms = sorted({t.lower() for t in query.split() if t})
+        idc = self._id_col
+        posted = self._posts.filter(F.col("term").isin(terms)).withColumn(
+            "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(self._n_docs) - F.col("df_t") + F.lit(0.5))
+            / (F.col("df_t") + F.lit(0.5))
+        )
+        denom = F.col("tf") + F.lit(self._k1) * (
+            F.lit(1.0)
+            - F.lit(self._b)
+            + F.lit(self._b) * F.col("dl") / F.lit(self._avgdl)
+        )
+        w = idf * F.col("tf") * F.lit(self._k1 + 1.0) / denom
+        out = (
+            posted.withColumn("w", w)
+            .groupBy(idc)
+            .agg(F.round(F.sum("w"), 6).alias("bm25"))
+        )
+        return out.orderBy(F.col("bm25").desc(), F.col(idc).asc()).limit(k)
+
+    def close(self) -> None:
+        self._posts.unpersist()

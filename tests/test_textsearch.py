@@ -51,3 +51,47 @@ def test_bm25_ranks_denser_match_first(spark):
     rows = bm25_topk(df, "spark merge join window", k=3).collect()
     assert rows[0]["doc_id"] == 1
     assert [r["doc_id"] for r in rows] == [1, 2]
+
+
+def test_bm25_index_parity_and_reuse(spark):
+    """The serving index must reproduce bm25_topk's (id, score) list
+    exactly — including a corpus with an empty (zero-token) doc, which
+    counts toward n_docs/avgdl — and serve multiple queries off the same
+    built-once postings."""
+    from jsonify2ai_spark.operators.textsearch import BM25Index, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data between stages"),
+            (2, "spark broadcasts small tables"),
+            (3, "postgres vacuums dead tuples"),
+            (4, "the spark optimizer reorders joins and joins again"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    idx = BM25Index(docs)
+    for q in ("spark joins", "dead tuples vacuum", "nothing matches zzz"):
+        want = [tuple(r) for r in bm25_topk(docs, q, k=4).collect()]
+        got = [tuple(r) for r in idx.topk(q, k=4).collect()]
+        assert got == want, (q, got, want)
+    idx.close()
+
+
+def test_bm25_search_index_refuses_filters(spark):
+    """A filtered pool changes df_t/avgdl; the index path must refuse
+    rather than silently mis-score."""
+    import pytest
+
+    from jsonify2ai_spark.api import bm25_search
+    from jsonify2ai_spark.operators.textsearch import BM25Index
+
+    chunks = spark.createDataFrame(
+        [("c1", "d1", "p", "text", 0, "spark rocks", [0.1, 0.2])],
+        "id string, document_id string, path string, kind string, idx int, "
+        "text string, vector array<double>",
+    )
+    idx = BM25Index(chunks, id_col="id")
+    with pytest.raises(ValueError, match="filters require per-query"):
+        bm25_search(chunks, "spark", index=idx, kind="text")
+    idx.close()
