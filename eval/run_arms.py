@@ -64,6 +64,33 @@ def main() -> int:
     )
     arms["w2v"] = word2vec_arm(corpus, questions=questions)
 
+    # fifth arm: the quantized-IVF SERVING path (coarse probe -> partition
+    # prune -> int8 cosine) end-to-end through the ask data plane — the
+    # shape a 100 TB deployment retrieves with, next to the exact arms
+    from jsonify2ai_spark.api import _project_sources
+    from jsonify2ai_spark.functions.vectors import dev_embedding_py
+    from jsonify2ai_spark.operators.ann import (
+        build_quantized_ivf,
+        kmeans_centroids,
+        quantized_ivf_topk,
+    )
+    from pyspark.sql import functions as F
+
+    cents = kmeans_centroids(corpus, k=8, vector_col="vector")
+    ivf = build_quantized_ivf(
+        corpus, cents, vector_col="vector", id_col="id"
+    ).localCheckpoint()
+
+    def ivf_retriever(ch, qq, k=5, dim=64, embed=None, **_f):
+        qv = (embed or (lambda t: dev_embedding_py(t, dim=dim)))(qq)
+        top = quantized_ivf_topk(
+            ivf, qv, cents, k=max(k, 20), n_probe=3, id_col="id"
+        ).select("id", F.col("qcos").alias("score"))
+        out = ch.drop("score").join(F.broadcast(top), "id")
+        return _project_sources(out, k=k)
+
+    arms["ivf"] = lambda c, q: ask(c, q, k=5, dim=64, retriever=ivf_retriever)
+
     # one warm pass (not timed): JIT/codegen/Python-worker spinup, so the
     # recorded latencies measure serving, not first-call compilation
     for fn in arms.values():
