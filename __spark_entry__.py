@@ -1785,6 +1785,32 @@ def q101_incremental_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q102_conversation_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-data structural lint (operators/textstats.py
+    conversation_lint) over a deterministic chat corpus derived from
+    documents (conv = doc_id%60, alternating roles with doc_id-strata
+    perturbations: forced role doubles, empty turns, an unknown 'tool'
+    role) — per conversation the turn/role/violation table an SFT
+    pipeline gates on."""
+    from jsonify2ai_spark.operators.textstats import conversation_lint
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    turn = F.floor(F.col("doc_id") / 60).cast("int")
+    role = (
+        F.when(F.col("doc_id") % 97 == 0, F.lit("assistant"))
+        .when(F.col("doc_id") % 83 == 0, F.lit("tool"))
+        .when(turn % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    msgs = t["documents"].select(
+        (F.col("doc_id") % 60).alias("conv_id"),
+        turn.alias("turn_idx"),
+        role.alias("role"),
+        F.when(F.col("doc_id") % 89 == 0, F.lit("")).otherwise(F.col("text")).alias("text"),
+    )
+    return conversation_lint(msgs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -1808,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_tokenizer_fertility": q99_tokenizer_fertility,
         "q100_training_pipeline": q100_training_pipeline,
         "q101_incremental_pipeline": q101_incremental_pipeline,
+        "q102_conversation_lint": q102_conversation_lint,
         # --- changed this round: order-stable decimal means (q74/q83/q89),
         # NULL-length contract (q80), degenerate-source NULL guard (q82)
         "q74_embedding_stats": q74_embedding_stats,
@@ -1834,10 +1861,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_cumulative_spend": q07_cumulative_spend,
         "q08_union_slices": q08_union_slices,
         "q10_top3_per_customer": q10_top3_per_customer,
-        # --- r4-green cohort (19/27; q20/q26/q49 wait one round — family
+        # --- r4-green cohort (18/27; q20/q26/q49 wait one round — family
         # twins q19/q16/q48 in-gate — q23/q44 are value-exercised by the
-        # round-6 four-arm eval artifact, q29/q34/q35 are pytest-covered
-        # with in-gate family twins; all eight rotate in r7)
+        # round-6 five-arm eval artifact, q29/q34/q35/q39 are pytest-covered
+        # with in-gate family twins; all nine rotate in r7)
         "q02_revenue_filter": q02_revenue_filter,
         "q09_events_hourly": q09_events_hourly,
         "q11_json_extract": q11_json_extract,
@@ -1850,7 +1877,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_bm25_search": q30_bm25_search,
         "q31_stats_rollup": q31_stats_rollup,
         "q38_latency_percentiles": q38_latency_percentiles,
-        "q39_sessionize": q39_sessionize,
         "q40_asof_join": q40_asof_join,
         "q42_moving_window": q42_moving_window,
         "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
@@ -1862,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_archive_shards": q35_archive_shards,  # r4-green; pytest goldens + q07 running-sum twin in-gate; rotates r7
         "q34_chunk_stats": q34_chunk_stats,  # r4-green; reference-golden pytest + q56 chat-chunker twin in-gate; rotates r7
         "q29_multimodal_meta": q29_multimodal_meta,  # r4-green; multimodal e2e pytest + fake-module contracts; rotates r7
+        "q39_sessionize": q39_sessionize,  # r4-green; q40 as-of temporal twin in-gate; rotates r7
         "q23_ask_snippets": q23_ask_snippets,  # r4-green; ask plane value-exercised by this round's four-arm eval artifact; rotates r7
         "q44_hybrid_rrf": q44_hybrid_rrf,  # r4-green; hybrid arm in the same artifact + q30 bm25 in-gate; rotates r7
         "q01_pricing_summary": q01_pricing_summary,  # join-agg family: q02/q05/q31 in-gate, r5-green
@@ -4041,6 +4068,60 @@ def oracle_sql() -> dict[str, str]:
                          THEN CAST(n_bpe_tokens AS DOUBLE) / n_ws_tokens END, 4)
                        AS fertility
             FROM per
+        """,
+        # twin of textstats.conversation_lint over the same derived chat
+        # corpus: sorted per-conv struct list, adjacent-role fold, endpoint
+        # and emptiness checks
+        "q102_conversation_lint": """
+            WITH msgs AS (
+              SELECT doc_id % 60 AS conv_id,
+                     CAST(doc_id // 60 AS INT) AS turn_idx,
+                     CASE WHEN doc_id % 97 = 0 THEN 'assistant'
+                          WHEN doc_id % 83 = 0 THEN 'tool'
+                          WHEN (doc_id // 60) % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     CASE WHEN doc_id % 89 = 0 THEN '' ELSE text END AS text
+              FROM documents
+            ), agg AS (
+              SELECT conv_id,
+                     list_transform(
+                       list_sort(list_zip(list(turn_idx), list(role),
+                                          list(CASE WHEN trim(coalesce(text, '')) = ''
+                                               THEN 1 ELSE 0 END))),
+                       z -> {'r': z[2], 'e': z[3]}) AS ts
+              FROM msgs GROUP BY conv_id
+            ), sig AS (
+              SELECT conv_id,
+                     len(ts) AS n,
+                     list_transform(ts, s -> s['r']) AS roles,
+                     list_sum(list_transform(ts, s -> s['e'])) AS n_empty
+              FROM agg
+            )
+            SELECT conv_id,
+                   CAST(n AS INT) AS n_turns,
+                   CAST(len(list_filter(roles, r -> r = 'user')) AS INT) AS n_user,
+                   CAST(len(list_filter(roles, r -> r = 'assistant')) AS INT)
+                       AS n_assistant,
+                   roles[1] = 'user' AS starts_with_user,
+                   roles[-1] = 'assistant' AS ends_with_assistant,
+                   CAST(CASE WHEN n >= 2 THEN
+                     list_sum(list_transform(range(2, n + 1),
+                       i -> CASE WHEN roles[i] = roles[i - 1] THEN 1 ELSE 0 END))
+                   ELSE 0 END AS INT) AS alternation_violations,
+                   CAST(n_empty AS INT) AS n_empty,
+                   CAST(len(list_filter(roles,
+                        r -> r NOT IN ('system', 'user', 'assistant'))) AS INT)
+                       AS n_bad_role,
+                   (n >= 2 AND roles[1] = 'user' AND roles[-1] = 'assistant'
+                    AND (CASE WHEN n >= 2 THEN
+                      list_sum(list_transform(range(2, n + 1),
+                        i -> CASE WHEN roles[i] = roles[i - 1] THEN 1 ELSE 0 END))
+                    ELSE 0 END) = 0
+                    AND n_empty = 0
+                    AND len(list_filter(roles,
+                        r -> r NOT IN ('system', 'user', 'assistant'))) = 0)
+                       AS keep
+            FROM sig
         """,
         "q100_training_pipeline": _dd_pipeline_sql(),
         "q101_incremental_pipeline": _dd_incremental_sql(),

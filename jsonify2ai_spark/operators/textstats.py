@@ -902,3 +902,81 @@ def corpus_divergence(
             F.round(F.sum(js_term), 6).alias("js_divergence"),
         )
     )
+
+
+def conversation_lint(
+    messages: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    allowed_roles: tuple[str, ...] = ("system", "user", "assistant"),
+) -> DataFrame:
+    """Instruction-data QA: per conversation, the structural-lint table an
+    SFT pipeline gates on before a chat corpus reaches the trainer — turn
+    count, per-side counts, role-alternation violations, empty turns,
+    unknown roles, and the composite ``keep`` (starts with user, ends with
+    assistant, alternates cleanly, nothing empty or mis-roled, >= 2
+    turns). Malformed conversations are the dominant silent failure in
+    chat-template training: one doubled role shifts every subsequent
+    loss mask.
+
+    ONE conversation-keyed shuffle: turns collect into a sorted
+    (turn_idx, role, empty) struct array (conversation-sized groups — no
+    corpus-wide sort), and every signal is an array fold over it.
+    Adjacent-role comparison guards the n < 2 case explicitly: Spark's
+    sequence(2, n) runs BACKWARDS when n < 2, which would fabricate a
+    violation out of a single-turn conversation.
+    """
+    base = messages.select(
+        F.col(conv_col).alias("conv"),
+        F.struct(
+            F.col(turn_col).alias("i"),
+            F.col(role_col).alias("r"),
+            F.when(
+                F.coalesce(F.trim(F.col(text_col)), F.lit("")) == "", 1
+            ).otherwise(0).alias("e"),
+        ).alias("t"),
+    )
+    agg = base.groupBy("conv").agg(F.array_sort(F.collect_list("t")).alias("ts"))
+    roles = F.transform("ts", lambda s: s["r"])
+    n = F.size("ts")
+    viol = F.when(
+        n >= 2,
+        F.aggregate(
+            F.sequence(F.lit(2), n),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                F.element_at(roles, i) == F.element_at(roles, i - 1), 1
+            ).otherwise(0),
+        ),
+    ).otherwise(F.lit(0))
+    n_empty = F.aggregate(
+        F.transform("ts", lambda s: s["e"]), F.lit(0), lambda a, x: a + x
+    )
+    allowed = F.array(*[F.lit(r) for r in allowed_roles])
+    n_bad_role = F.size(F.filter(roles, lambda r: ~F.array_contains(allowed, r)))
+    count_role = lambda want: F.size(F.filter(roles, lambda r: r == F.lit(want)))
+    starts_user = F.element_at(roles, 1) == "user"
+    ends_assistant = F.element_at(roles, -1) == "assistant"
+    keep = (
+        (n >= 2)
+        & starts_user
+        & ends_assistant
+        & (viol == 0)
+        & (n_empty == 0)
+        & (n_bad_role == 0)
+    )
+    return agg.select(
+        F.col("conv").alias(conv_col),
+        n.alias("n_turns"),
+        count_role("user").alias("n_user"),
+        count_role("assistant").alias("n_assistant"),
+        starts_user.alias("starts_with_user"),
+        ends_assistant.alias("ends_with_assistant"),
+        viol.alias("alternation_violations"),
+        n_empty.alias("n_empty"),
+        n_bad_role.alias("n_bad_role"),
+        keep.alias("keep"),
+    )

@@ -1653,3 +1653,37 @@ def test_tokenizer_fertility_report(spark):
     assert out["code"]["bytes_per_bpe_token"] < out["prose"]["bytes_per_bpe_token"]
     assert out["empty"]["bytes_per_bpe_token"] is None
     assert out["empty"]["fertility"] is None
+
+
+def test_conversation_lint_rules(spark):
+    """SFT chat-structure lint: clean alternating user/assistant passes;
+    doubled roles, empty turns, unknown roles, wrong endpoints, and
+    single-turn conversations each independently fail keep — and a
+    single-turn conversation must NOT fabricate an alternation violation
+    (the Spark sequence(2, n) backwards-run edge)."""
+    from jsonify2ai_spark.operators.textstats import conversation_lint
+
+    rows = [
+        # c1: clean 4-turn
+        (1, 0, "user", "hi"), (1, 1, "assistant", "hello"),
+        (1, 2, "user", "more"), (1, 3, "assistant", "sure"),
+        # c2: doubled assistant
+        (2, 0, "user", "q"), (2, 1, "assistant", "a"), (2, 2, "assistant", "a2"),
+        # c3: empty turn
+        (3, 0, "user", "q"), (3, 1, "assistant", "   "),
+        # c4: unknown role
+        (4, 0, "user", "q"), (4, 1, "tool", "result"), (4, 2, "assistant", "a"),
+        # c5: ends with user
+        (5, 0, "user", "q"), (5, 1, "assistant", "a"), (5, 2, "user", "again?"),
+        # c6: single turn
+        (6, 0, "user", "alone"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id long, turn_idx int, role string, text string")
+    out = {r["conv_id"]: r for r in conversation_lint(df).collect()}
+    assert out[1]["keep"] is True and out[1]["n_user"] == 2 and out[1]["n_assistant"] == 2
+    assert out[2]["keep"] is False and out[2]["alternation_violations"] == 1
+    assert out[3]["keep"] is False and out[3]["n_empty"] == 1
+    assert out[4]["keep"] is False and out[4]["n_bad_role"] == 1
+    assert out[5]["keep"] is False and out[5]["ends_with_assistant"] is False
+    assert out[6]["keep"] is False
+    assert out[6]["alternation_violations"] == 0  # no fabricated violation
