@@ -1240,7 +1240,13 @@ def line_dedup(
     lines = (
         df.select(
             F.col(id_col),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "ln"),
+            # NULL text coalesces to '' (one empty line) so the document
+            # STAYS in the output — posexplode of a NULL array would
+            # silently drop the row, breaking the total-over-input
+            # contract every operator here keeps
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            ).alias("idx", "ln"),
         )
         .withColumn("h", F.md5(F.trim("ln")))
         .localCheckpoint(eager=False)

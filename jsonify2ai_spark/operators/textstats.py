@@ -315,7 +315,10 @@ def language_id_df(
             preds = []
             for token_list in batch["_tk"]:
                 counts = dict.fromkeys(langs, 0)
-                for t in token_list:
+                # NULL text -> tokens() yields a NULL array; the expr impl
+                # classifies it 'und' (all hit counts NULL -> otherwise
+                # branch), so the kernel must too, not raise TypeError
+                for t in token_list if token_list is not None else []:
                     tl = t.lower()
                     for lang, ms in marker_sets.items():
                         if tl in ms:

@@ -443,7 +443,9 @@ class BoilerplateLineGate:
         self._id_col = id_col
         lines = corpus.select(
             F.col(id_col),
-            F.explode(F.split(F.col(text_col), "\n")).alias("ln"),
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            ).alias("ln"),
         ).select(F.col(id_col), F.md5(F.trim("ln")).alias("h"))
         self._hot = (
             lines.groupBy("h")
@@ -459,7 +461,11 @@ class BoilerplateLineGate:
         idc, txt = self._id_col, self._text_col
         lx = batch.select(
             F.col(idc),
-            F.posexplode(F.split(F.col(txt), "\n")).alias("idx", "ln"),
+            # NULL text -> one empty line, so the batch row survives the
+            # rewrite (same total-over-input guard as line_dedup)
+            F.posexplode(
+                F.split(F.coalesce(F.col(txt), F.lit("")), "\n")
+            ).alias("idx", "ln"),
         ).withColumn("h", F.md5(F.trim("ln")))
         marked = lx.join(F.broadcast(self._hot), "h", "left")
         kept = F.array_sort(

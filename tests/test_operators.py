@@ -1687,3 +1687,38 @@ def test_conversation_lint_rules(spark):
     assert out[5]["keep"] is False and out[5]["ends_with_assistant"] is False
     assert out[6]["keep"] is False
     assert out[6]["alternation_violations"] == 0  # no fabricated violation
+
+
+def test_round6_ops_total_over_null_text(spark):
+    """Degenerate-input sweep for the round-6 operators: a NULL-text row
+    must neither crash an Arrow kernel (lang-ID TypeError, crash-found)
+    nor silently vanish (line_dedup's posexplode-of-NULL drop) — every
+    operator stays total over its input with NULL/und/empty-line
+    placeholders."""
+    import hashlib
+
+    from jsonify2ai_spark.operators.dedup import line_dedup
+    from jsonify2ai_spark.operators.textstats import (
+        c4_filter,
+        language_mix_report,
+        tokenizer_fertility_report,
+    )
+
+    nulls = spark.createDataFrame(
+        [(1, None, "a"), (2, "the cat and the dog", "a")],
+        "doc_id long, text string, source string",
+    )
+    mix = language_mix_report(nulls).collect()  # crashed before the fix
+    got = {(r["source"], r["lang"]): r["n_docs"] for r in mix}
+    assert got[("a", "und")] == 1 and got[("a", "en")] == 1
+
+    ld = {r["doc_id"]: r for r in line_dedup(nulls).collect()}
+    assert set(ld) == {1, 2}  # NULL-text doc kept, not dropped
+    assert ld[1]["n_lines"] == 1
+    assert ld[1]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
+
+    c4 = {r["doc_id"]: r for r in c4_filter(nulls).collect()}
+    assert set(c4) == {1, 2} and c4[1]["keep"] is None  # unmeasurable, kept
+
+    fert = tokenizer_fertility_report(nulls).collect()
+    assert len(fert) == 1 and fert[0]["n_docs"] == 2
