@@ -3571,7 +3571,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN NOT ok_repetition THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_fail_repetition,
                    round(avg(n_words), 4) AS avg_words,
-                   round(avg(top_word_frac), 4) AS avg_top_word_frac
+                   round((CAST(sum(CAST((top_word_frac) AS DECIMAL(38,18))) AS DOUBLE) / count(top_word_frac)), 4) AS avg_top_word_frac
             FROM flags GROUP BY source
         """,
         # twin of sampling.mixture_weights (alpha = 0.5)

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from jsonify2ai_spark.functions.text import token_count, tokens
+from jsonify2ai_spark.operators.inventory import _stable_avg
 from jsonify2ai_spark.session import ensure_min_partitions
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
@@ -803,7 +804,11 @@ def source_quality_report(
             F.sum((~F.col("ok_word_len")).cast("int")).cast("bigint").alias("n_fail_word_len"),
             F.sum((~F.col("ok_repetition")).cast("int")).cast("bigint").alias("n_fail_repetition"),
             F.round(F.avg("n_words"), 4).alias("avg_words"),
-            F.round(F.avg("top_word_frac"), 4).alias("avg_top_word_frac"),
+            # order-stable mean: top_word_frac values are arbitrary doubles,
+            # so F.avg's reassociation noise could flip the 4dp rounding
+            # nondeterministically (the q89 flake class; n_words sums are
+            # integral-in-double, hence exact, and keep F.avg)
+            F.round(_stable_avg(F.col("top_word_frac")), 4).alias("avg_top_word_frac"),
         )
     )
 
