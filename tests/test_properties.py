@@ -448,3 +448,72 @@ def test_curriculum_buckets_matches_python_model(scores, n_buckets):
         for r in curriculum_buckets(df, n_buckets=n_buckets, score_col="s").collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["user", "assistant", "system", "tool"]),
+                st.sampled_from(["hello there", "", "  ", "fine answer"]),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_conversation_lint_matches_python_model(convs):
+    """Differential fuzz for q102: on random conversations the Spark lint
+    must reproduce a pure-Python model for every signal, including the
+    single-turn and all-empty edges."""
+    from jsonify2ai_spark.operators.textstats import conversation_lint
+
+    spark = _spark_session()
+    rows = [
+        (c, t, role, text)
+        for c, turns in enumerate(convs)
+        for t, (role, text) in enumerate(turns)
+    ]
+    allowed = {"system", "user", "assistant"}
+    expected = {}
+    for c, turns in enumerate(convs):
+        roles = [r for r, _ in turns]
+        n = len(roles)
+        viol = sum(1 for i in range(1, n) if roles[i] == roles[i - 1])
+        n_empty = sum(1 for _, tx in turns if not tx.strip())
+        n_bad = sum(1 for r in roles if r not in allowed)
+        keep = (
+            n >= 2
+            and roles[0] == "user"
+            and roles[-1] == "assistant"
+            and viol == 0
+            and n_empty == 0
+            and n_bad == 0
+        )
+        expected[c] = (
+            n,
+            roles.count("user"),
+            roles.count("assistant"),
+            roles[0] == "user",
+            roles[-1] == "assistant",
+            viol,
+            n_empty,
+            n_bad,
+            keep,
+        )
+
+    df = spark.createDataFrame(
+        rows, "conv_id long, turn_idx int, role string, text string"
+    )
+    got = {
+        r["conv_id"]: (
+            r["n_turns"], r["n_user"], r["n_assistant"], r["starts_with_user"],
+            r["ends_with_assistant"], r["alternation_violations"],
+            r["n_empty"], r["n_bad_role"], r["keep"],
+        )
+        for r in conversation_lint(df).collect()
+    }
+    assert got == expected
