@@ -1861,34 +1861,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_cumulative_spend": q07_cumulative_spend,
         "q08_union_slices": q08_union_slices,
         "q10_top3_per_customer": q10_top3_per_customer,
-        # --- r4-green cohort (18/27; q20/q26/q49 wait one round — family
+        # --- r2-green cohort, FOUR rounds stale (surfaced by
+        # scripts/gate_staleness.py — the verdicts' rotation audits tracked
+        # the r3 cohort but these slipped everyone's list; oldest rows first)
+        "q04_orders_per_customer": q04_orders_per_customer,
+        "q06_events_dedup": q06_events_dedup,
+        "q13_lang_distribution": q13_lang_distribution,
+        "q32_order_revenue": q32_order_revenue,
+        "q33_events_inventory": q33_events_inventory,
+        "q36_pagination": q36_pagination,
+        "q37_source_projection": q37_source_projection,
+        "q41_semi_join": q41_semi_join,
+        "q43_anti_join": q43_anti_join,
+        # --- r4-green cohort (9 of 27 — the other 18 wait in the tail for
+        # the big r7 rotation when the r6 cohort frees ~30 slots; family
         # twins q19/q16/q48 in-gate — q23/q44 are value-exercised by the
         # round-6 five-arm eval artifact, q29/q34/q35/q39 are pytest-covered
         # with in-gate family twins; all nine rotate in r7)
-        "q02_revenue_filter": q02_revenue_filter,
-        "q09_events_hourly": q09_events_hourly,
         "q11_json_extract": q11_json_extract,
         "q12_doc_stats": q12_doc_stats,
         "q15_doc_dedup_exact": q15_doc_dedup_exact,
         "q19_knn_brute": q19_knn_brute,
         "q21_vector_search_docs": q21_vector_search_docs,
-        "q22_source_inventory": q22_source_inventory,
         "q28_winnowing": q28_winnowing,
         "q30_bm25_search": q30_bm25_search,
-        "q31_stats_rollup": q31_stats_rollup,
         "q38_latency_percentiles": q38_latency_percentiles,
         "q40_asof_join": q40_asof_join,
-        "q42_moving_window": q42_moving_window,
-        "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
-        "q47_csv_lines": q47_csv_lines,
-        "q48_salted_agg": q48_salted_agg,
-        "q50_time_range_search": q50_time_range_search,
         # ================= tail (entry 51+): r5-green cohort, one round out,
         # rotates back r7; every operator family keeps an in-gate row =====
         "q35_archive_shards": q35_archive_shards,  # r4-green; pytest goldens + q07 running-sum twin in-gate; rotates r7
         "q34_chunk_stats": q34_chunk_stats,  # r4-green; reference-golden pytest + q56 chat-chunker twin in-gate; rotates r7
         "q29_multimodal_meta": q29_multimodal_meta,  # r4-green; multimodal e2e pytest + fake-module contracts; rotates r7
         "q39_sessionize": q39_sessionize,  # r4-green; q40 as-of temporal twin in-gate; rotates r7
+        "q02_revenue_filter": q02_revenue_filter,  # r4-green; q13 count-by-pred twin rotated in-gate; rotates r7
+        "q09_events_hourly": q09_events_hourly,  # r4-green; q33 events family in-gate; rotates r7
+        "q22_source_inventory": q22_source_inventory,  # r4-green; q33/q53/q81-class rollups in-gate; rotates r7
+        "q31_stats_rollup": q31_stats_rollup,  # r4-green; q53 GROUPING-SETS family in-gate; rotates r7
+        "q42_moving_window": q42_moving_window,  # r4-green; q07 window family in-gate; rotates r7
+        "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,  # r4-green; q32 join-agg family in-gate; rotates r7
+        "q47_csv_lines": q47_csv_lines,  # r4-green; parser family q11 in-gate; rotates r7
+        "q48_salted_agg": q48_salted_agg,  # r4-green; salting plan tests in pytest; rotates r7
+        "q50_time_range_search": q50_time_range_search,  # r4-green; q02-class pushdown + ANN rows in-gate; rotates r7
         "q23_ask_snippets": q23_ask_snippets,  # r4-green; ask plane value-exercised by this round's four-arm eval artifact; rotates r7
         "q44_hybrid_rrf": q44_hybrid_rrf,  # r4-green; hybrid arm in the same artifact + q30 bm25 in-gate; rotates r7
         "q01_pricing_summary": q01_pricing_summary,  # join-agg family: q02/q05/q31 in-gate, r5-green
@@ -1928,15 +1941,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_simhash_pairs": q26_simhash_pairs,  # r4-green; q16 r5-green + hamming family; rotates r7
         "q20_embedding_pairs": q20_embedding_pairs,  # r4-green; q19 GEMM twin in-gate; rotates r7
         "q49_salted_join": q49_salted_join,  # r4-green; q48 salted-agg twin in-gate; rotates r7
-        "q04_orders_per_customer": q04_orders_per_customer,  # count-per-group: q31/q53
-        "q06_events_dedup": q06_events_dedup,  # DISTINCT/dedup: q15/q24
-        "q33_events_inventory": q33_events_inventory,  # inventory/sort+cap: q22
-        "q41_semi_join": q41_semi_join,  # Catalyst-native left_semi
-        "q43_anti_join": q43_anti_join,  # Catalyst-native left_anti
-        "q13_lang_distribution": q13_lang_distribution,  # lang-ID rollup: q94
-        "q32_order_revenue": q32_order_revenue,  # top-k + join-agg: q03/q05
-        "q36_pagination": q36_pagination,  # row_number window: q10
-        "q37_source_projection": q37_source_projection,  # projection/excerpt: q23
     }
 
 
