@@ -1811,6 +1811,31 @@ def q102_conversation_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_lint(msgs)
 
 
+def q103_squeeze_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-line squeeze (operators/dedup.py
+    squeeze_repeated_lines) over a derived corpus with injected
+    consecutive-duplicate runs (tripled header for doc_id%4==0, doubled
+    tail for doc_id%6==0) — the within-page pathology q98's corpus-level
+    census cannot see. Map-only; same row contract as q98."""
+    from jsonify2ai_spark.operators.dedup import squeeze_repeated_lines
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    base = F.concat(
+        F.replace(F.col("text"), F.lit(" row "), F.lit(".\nrow ")), F.lit(".")
+    )
+    derived = t["documents"].select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("dup header\ndup header\ndup header\n"), base),
+        )
+        .when(F.col("doc_id") % 6 == 0, F.concat(base, F.lit("\ntail\ntail")))
+        .otherwise(base)
+        .alias("text"),
+    )
+    return squeeze_repeated_lines(derived)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -1835,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_training_pipeline": q100_training_pipeline,
         "q101_incremental_pipeline": q101_incremental_pipeline,
         "q102_conversation_lint": q102_conversation_lint,
+        "q103_squeeze_lines": q103_squeeze_lines,
         # --- changed this round: order-stable decimal means (q74/q83/q89),
         # NULL-length contract (q80), degenerate-source NULL guard (q82)
         "q74_embedding_stats": q74_embedding_stats,
@@ -1885,7 +1911,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_vector_search_docs": q21_vector_search_docs,
         "q28_winnowing": q28_winnowing,
         "q30_bm25_search": q30_bm25_search,
-        "q38_latency_percentiles": q38_latency_percentiles,
         "q40_asof_join": q40_asof_join,
         # ================= tail (entry 51+): r5-green cohort, one round out,
         # rotates back r7; every operator family keeps an in-gate row =====
@@ -1893,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_chunk_stats": q34_chunk_stats,  # r4-green; reference-golden pytest + q56 chat-chunker twin in-gate; rotates r7
         "q29_multimodal_meta": q29_multimodal_meta,  # r4-green; multimodal e2e pytest + fake-module contracts; rotates r7
         "q39_sessionize": q39_sessionize,  # r4-green; q40 as-of temporal twin in-gate; rotates r7
+        "q38_latency_percentiles": q38_latency_percentiles,  # r4-green; committed eval artifact + pytest; rotates r7
         "q02_revenue_filter": q02_revenue_filter,  # r4-green; q13 count-by-pred twin rotated in-gate; rotates r7
         "q09_events_hourly": q09_events_hourly,  # r4-green; q33 events family in-gate; rotates r7
         "q22_source_inventory": q22_source_inventory,  # r4-green; q33/q53/q81-class rollups in-gate; rotates r7
@@ -4126,6 +4152,37 @@ def oracle_sql() -> dict[str, str]:
                         r -> r NOT IN ('system', 'user', 'assistant'))) = 0)
                        AS keep
             FROM sig
+        """,
+        # twin of dedup.squeeze_repeated_lines over the derived corpus:
+        # keep index 1 and every index whose trimmed line differs from its
+        # predecessor; reassemble and md5
+        "q103_squeeze_lines": """
+            WITH derived AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN 'dup header' || chr(10) || 'dup header' || chr(10)
+                               || 'dup header' || chr(10)
+                               || replace(text, ' row ', '.' || chr(10) || 'row ') || '.'
+                          WHEN doc_id % 6 = 0
+                          THEN replace(text, ' row ', '.' || chr(10) || 'row ') || '.'
+                               || chr(10) || 'tail' || chr(10) || 'tail'
+                          ELSE replace(text, ' row ', '.' || chr(10) || 'row ') || '.'
+                     END AS text
+              FROM documents
+            ), sp AS (
+              SELECT doc_id, string_split(text, chr(10)) AS ls FROM derived
+            ), kp AS (
+              SELECT doc_id, ls,
+                     list_filter(range(1, len(ls) + 1),
+                                 i -> i = 1 OR trim(ls[i]) <> trim(ls[i - 1])) AS ki
+              FROM sp
+            )
+            SELECT doc_id,
+                   CAST(len(ls) AS INT) AS n_lines,
+                   CAST(len(ls) - len(ki) AS INT) AS n_squeezed,
+                   md5(array_to_string(list_transform(ki, i -> ls[i]), chr(10)))
+                       AS cleaned_md5
+            FROM kp
         """,
         "q100_training_pipeline": _dd_pipeline_sql(),
         "q101_incremental_pipeline": _dd_incremental_sql(),

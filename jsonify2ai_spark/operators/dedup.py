@@ -1696,3 +1696,48 @@ def dedup_impact_report(
         F.sum(F.col("toks") - F.col("keep_tok")).cast("bigint").alias("n_tokens_dropped"),
         F.sum(F.col("chs") - F.col("keep_ch")).cast("bigint").alias("n_chars_dropped"),
     )
+
+
+def squeeze_repeated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INTRA-document repetition cleanup: collapse runs of consecutive
+    identical (trimmed) lines to their first occurrence — the scraped-page
+    pathology :func:`line_dedup` cannot touch (line_dedup drops lines
+    repeated ACROSS documents; a nav menu pasted 40 times inside ONE page
+    is invisible to a corpus-level df census). RefinedWeb-style "repetitive
+    content removal", restricted to the exactly-reproducible line form.
+
+    Output: (id, n_lines, n_squeezed, cleaned_md5) — same row contract as
+    line_dedup (total over input; NULL text reads as one empty line).
+
+    Map-shaped at any scale: lines never leave their document, so the
+    whole operator is array expressions over the split — no explode, no
+    shuffle beyond whatever the input already has (plan: pure projection).
+    A line is kept iff its trimmed form differs from the PREVIOUS line's
+    (index fold over the split array).
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+
+    def _pack(ls: Column) -> Column:
+        # ls is the LAMBDA-BOUND split array (the repo's no-CSE-across-
+        # lambdas rule: referencing the raw split expr inside the per-index
+        # lambdas would re-split the text once per index reference).
+        # keep index i (1-based) iff trim(ls[i]) != trim(ls[i-1])
+        keep_idx = F.filter(
+            F.sequence(F.lit(1), F.size(ls)),
+            lambda i: (i == F.lit(1))
+            | (F.trim(F.element_at(ls, i)) != F.trim(F.element_at(ls, i - 1))),
+        )
+        kept = F.transform(keep_idx, lambda i: F.element_at(ls, i))
+        return F.struct(F.size(ls).alias("n"), kept.alias("kept"))
+
+    res = F.element_at(F.transform(F.array(lines), _pack), 1)
+    return df.select(
+        F.col(id_col),
+        res["n"].alias("n_lines"),
+        (res["n"] - F.size(res["kept"])).alias("n_squeezed"),
+        F.md5(F.concat_ws("\n", res["kept"])).alias("cleaned_md5"),
+    )

@@ -1722,3 +1722,29 @@ def test_round6_ops_total_over_null_text(spark):
 
     fert = tokenizer_fertility_report(nulls).collect()
     assert len(fert) == 1 and fert[0]["n_docs"] == 2
+
+
+def test_squeeze_repeated_lines(spark):
+    """Intra-doc consecutive-duplicate lines collapse to the first
+    occurrence (trim-insensitive match, original spelling kept); alternating
+    lines never squeeze; NULL text reads one empty line and stays total."""
+    import hashlib
+
+    from jsonify2ai_spark.operators.dedup import squeeze_repeated_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "menu\nmenu\nmenu\nbody text\nfooter"),
+            (2, "a\nb\na\nb"),                 # alternating: nothing squeezes
+            (3, "one\n  one  \ntwo"),          # trim-insensitive run
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in squeeze_repeated_lines(docs).collect()}
+    assert out[1]["n_lines"] == 5 and out[1]["n_squeezed"] == 2
+    assert out[1]["cleaned_md5"] == hashlib.md5(b"menu\nbody text\nfooter").hexdigest()
+    assert out[2]["n_squeezed"] == 0
+    assert out[3]["n_squeezed"] == 1
+    assert out[3]["cleaned_md5"] == hashlib.md5(b"one\ntwo").hexdigest()
+    assert out[4]["n_lines"] == 1 and out[4]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
