@@ -1836,6 +1836,17 @@ def q103_squeeze_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return squeeze_repeated_lines(derived)
 
 
+def q104_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocabulary (operators/textstats.py build_vocab):
+    frequency-ranked (token, token_id, count) with min_count=2 and a
+    500-entry cap — deterministic ids (count desc, token asc), the
+    embedding-table precursor."""
+    from jsonify2ai_spark.operators.textstats import build_vocab
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return build_vocab(t["documents"], min_count=2, max_vocab=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -1861,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_incremental_pipeline": q101_incremental_pipeline,
         "q102_conversation_lint": q102_conversation_lint,
         "q103_squeeze_lines": q103_squeeze_lines,
+        "q104_build_vocab": q104_build_vocab,
         # --- changed this round: order-stable decimal means (q74/q83/q89),
         # NULL-length contract (q80), degenerate-source NULL guard (q82)
         "q74_embedding_stats": q74_embedding_stats,
@@ -1911,7 +1923,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_vector_search_docs": q21_vector_search_docs,
         "q28_winnowing": q28_winnowing,
         "q30_bm25_search": q30_bm25_search,
-        "q40_asof_join": q40_asof_join,
         # ================= tail (entry 51+): r5-green cohort, one round out,
         # rotates back r7; every operator family keeps an in-gate row =====
         "q35_archive_shards": q35_archive_shards,  # r4-green; pytest goldens + q07 running-sum twin in-gate; rotates r7
@@ -1919,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_multimodal_meta": q29_multimodal_meta,  # r4-green; multimodal e2e pytest + fake-module contracts; rotates r7
         "q39_sessionize": q39_sessionize,  # r4-green; q40 as-of temporal twin in-gate; rotates r7
         "q38_latency_percentiles": q38_latency_percentiles,  # r4-green; committed eval artifact + pytest; rotates r7
+        "q40_asof_join": q40_asof_join,  # r4-green; temporal family pytest + q39 twin beside it; rotates r7
         "q02_revenue_filter": q02_revenue_filter,  # r4-green; q13 count-by-pred twin rotated in-gate; rotates r7
         "q09_events_hourly": q09_events_hourly,  # r4-green; q33 events family in-gate; rotates r7
         "q22_source_inventory": q22_source_inventory,  # r4-green; q33/q53/q81-class rollups in-gate; rotates r7
@@ -4183,6 +4195,22 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_transform(ki, i -> ls[i]), chr(10)))
                        AS cleaned_md5
             FROM kp
+        """,
+        # twin of textstats.build_vocab: token counts, dense frequency rank
+        # with (count desc, token asc) tie order, min_count + cap
+        "q104_build_vocab": r"""
+            WITH counts AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS count
+              FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+                    FROM documents)
+              GROUP BY token HAVING count(*) >= 2
+            )
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY count DESC, token ASC)
+                        AS BIGINT) AS token_id,
+                   count
+            FROM counts
+            QUALIFY token_id <= 500
         """,
         "q100_training_pipeline": _dd_pipeline_sql(),
         "q101_incremental_pipeline": _dd_incremental_sql(),

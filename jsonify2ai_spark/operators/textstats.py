@@ -988,3 +988,40 @@ def conversation_lint(
         n_bad_role.alias("n_bad_role"),
         keep.alias("keep"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    min_count: int = 1,
+    max_vocab: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary builder — the tokenizer-training / embedding-table
+    precursor: (token, token_id, count) with ids dense-ranked by frequency
+    (count desc, token asc for cross-engine tie determinism), rare tokens
+    cut at ``min_count``, the table capped at ``max_vocab``. The id
+    assignment is REPRODUCIBLE: same corpus, same vocab, any engine, any
+    cluster shape — which is what makes a trained embedding table
+    portable between runs.
+
+    The corpus-sized work is ONE partial-aggregated token-count shuffle
+    (hot tokens collapse map-side). The rank then runs over the
+    |vocab|-sized aggregate — a global sort, but of the vocabulary, not
+    the corpus (at web scale |vocab| is ~1e8 rows of a few bytes: one
+    modest sort, same class as weighted_interleave's documented
+    materialize_order caveat — and a pipeline that only needs the CUT, not
+    the ids, should filter on count alone and skip the window).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(_c(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    out = counts.withColumn("token_id", F.row_number().over(w).cast("bigint"))
+    if max_vocab is not None:
+        out = out.filter(F.col("token_id") <= max_vocab)
+    return out.select("token", "token_id", "count")

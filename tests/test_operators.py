@@ -1748,3 +1748,22 @@ def test_squeeze_repeated_lines(spark):
     assert out[3]["n_squeezed"] == 1
     assert out[3]["cleaned_md5"] == hashlib.md5(b"one\ntwo").hexdigest()
     assert out[4]["n_lines"] == 1 and out[4]["cleaned_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_build_vocab_rank_and_cut(spark):
+    """Frequency-ranked ids with deterministic (count desc, token asc)
+    ties, min_count cut, max_vocab cap."""
+    from jsonify2ai_spark.operators.textstats import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c z"), (2, "a b y")],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: r for r in build_vocab(docs, min_count=2).collect()}
+    assert set(out) == {"a", "b"}  # c/z/y cut at min_count
+    assert out["b"]["count"] == 4 and out["b"]["token_id"] == 1
+    assert out["a"]["count"] == 3 and out["a"]["token_id"] == 2
+    capped = build_vocab(docs, min_count=1, max_vocab=3).collect()
+    assert len(capped) == 3
+    # tie at count 1 breaks on token text: c < y < z -> c kept at id 3
+    assert {r["token"] for r in capped} == {"a", "b", "c"}
