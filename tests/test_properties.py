@@ -517,3 +517,89 @@ def test_conversation_lint_matches_python_model(convs):
         for r in conversation_lint(df).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                ["good clean line here today.", "short.", "no punct at all",
+                 "{ code", "lorem ipsum", "five words ending right here!"]
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_c4_filter_matches_python_model(doc_lines):
+    """Differential fuzz for q97: on random line-structured docs the Spark
+    C4 report must reproduce a pure-Python model of the §2.2 rules."""
+    import re
+
+    from jsonify2ai_spark.operators.textstats import c4_filter
+
+    spark = _spark_session()
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(doc_lines)]
+    expected = {}
+    for i, lines in enumerate(doc_lines):
+        text = "\n".join(lines)
+        good = sum(
+            1 for ln in lines
+            if len(ln.strip().split()) >= 5 and re.search(r"[.!?]$", ln.strip())
+        )
+        n_sent = len(re.split(r"[.!?]", text)) - 1
+        brace = "{" in text
+        lorem = "lorem ipsum" in text.lower()
+        policy = "javascript" in text.lower() or "cookie" in text.lower()
+        keep = n_sent >= 3 and not brace and not lorem and not policy
+        expected[i] = (len(lines), good, n_sent, brace, lorem, policy, keep)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_good_lines"], r["n_sentences"],
+            r["has_brace"], r["has_lorem"], r["has_policy"], r["keep"],
+        )
+        for r in c4_filter(df).collect()
+    }
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", " aa ", "cc dd"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_squeeze_repeated_lines_matches_python_model(doc_lines):
+    """Differential fuzz for q103: trim-insensitive consecutive-run
+    collapse against a pure-Python model (first spelling of each run
+    kept), on random line multisets including whitespace-variant runs."""
+    import hashlib
+
+    from jsonify2ai_spark.operators.dedup import squeeze_repeated_lines
+
+    spark = _spark_session()
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(doc_lines)]
+    expected = {}
+    for i, lines in enumerate(doc_lines):
+        kept = [
+            ln for j, ln in enumerate(lines)
+            if j == 0 or ln.strip() != lines[j - 1].strip()
+        ]
+        expected[i] = (
+            len(lines),
+            len(lines) - len(kept),
+            hashlib.md5("\n".join(kept).encode()).hexdigest(),
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_squeezed"], r["cleaned_md5"])
+        for r in squeeze_repeated_lines(df).collect()
+    }
+    assert got == expected
