@@ -5,7 +5,7 @@ result as JSON on stdout. The LAST line is a compact summary sized to
 survive the driver's bounded tail capture at any suite size:
 
     {"metric": "total_query_seconds", "value": N, "unit": "sec",
-     "errors": 0, "n_queries": 92, "queries": {"q01": sec, ...}, "sf": ...}
+     "errors": 0, "n_queries": N, "queries": {"q01": sec, ...}, "sf": ...}
 
 A full-query-name detail line (same schema, long keys) prints before it.
 Raw per-run arrays go to BENCH_RUNS.json next to this file (NOT into the
