@@ -71,7 +71,7 @@ def test_bm25_index_parity_and_reuse(spark):
         "doc_id long, text string",
     )
     idx = BM25Index(docs)
-    for q in ("spark joins", "dead tuples vacuum", "nothing matches zzz"):
+    for q in ("spark joins", "dead tuples vacuum", "nothing matches zzz", "   "):
         want = [tuple(r) for r in bm25_topk(docs, q, k=4).collect()]
         got = [tuple(r) for r in idx.topk(q, k=4).collect()]
         assert got == want, (q, got, want)
