@@ -1988,7 +1988,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # DuckDB equivalents of the engine's hash primitives:
 #   Spark conv(substr(md5(x),1,N),16,10)  ==  DuckDB CAST('0x'||substr(md5(x),1,N) AS BIGINT)
-_DD_TOKENS = "string_split_regex(trim({t}), '\\s+')"
+# Guarded to mirror functions.text.tokens exactly: Spark's tokens('')
+# is [] (explicit empty-case), but a bare string_split_regex('', ...) is
+# [''] (len 1) — a latent cross-engine token-count divergence on any
+# corpus containing empty/whitespace-only documents (fuzz-found; the
+# synthetic tables never hit it).
+_DD_TOKENS = (
+    "(CASE WHEN length(trim({t})) = 0 THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(trim({t}), '\\s+') END)"
+)
 
 
 def _dd_shingles(t: str, n: int = 3) -> str:
@@ -2032,7 +2040,7 @@ def _dd_stable_avg(x: str) -> str:
 
 def _dd_simhash_sql() -> str:
     thash = (
-        "list_transform(string_split_regex(trim(text), '\\s+'), "
+        "list_transform((CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\\s+') END), "
         "t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))"
     )
     terms = []
@@ -2765,7 +2773,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q28_winnowing": r"""
             WITH tk AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS toks
                 FROM documents),
             g AS (SELECT doc_id,
                          list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
@@ -3112,7 +3120,7 @@ def oracle_sql() -> dict[str, str]:
         # yields [''] — the length(trim(...)) filter reconciles them.
         "q64_tfidf_sql": """
             WITH toked AS (
-                SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+                SELECT doc_id, unnest((CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\\s+') END)) AS t
                 FROM documents
                 WHERE length(trim(coalesce(text, ''))) > 0
             ), tf AS (
@@ -3183,7 +3191,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id, lang,
                        CASE WHEN length(trim(text)) = 0 THEN 0
-                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                            ELSE len((CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\\s+') END))
                        END AS n_tokens,
                        CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.3
                                  WHEN 'fr' THEN 0.2 ELSE 0.0 END AS w,
@@ -3239,7 +3247,7 @@ def oracle_sql() -> dict[str, str]:
         # (1, 8] generate candidates, full-array intersect verifies
         "q68_overlap_pairs": r"""
             WITH tk AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS toks
                 FROM documents
                 WHERE length(trim(coalesce(text, ''))) > 0),
             g AS (SELECT doc_id,
@@ -3351,7 +3359,7 @@ def oracle_sql() -> dict[str, str]:
         # q59 oracle + word-shape rules; identical 4dp rounding before flags
         "q71_gopher_filter": r"""
             WITH t AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+                SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS l FROM documents
             ), words AS (
                 SELECT doc_id, unnest(l) AS w FROM t
             ), uni AS (
@@ -3389,7 +3397,7 @@ def oracle_sql() -> dict[str, str]:
         # space re-join, budget 20
         "q72_clip_tokens": r"""
             WITH t AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+                SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS l
                 FROM documents
                 WHERE length(trim(coalesce(text, ''))) > 0)
             SELECT doc_id,
@@ -3404,7 +3412,7 @@ def oracle_sql() -> dict[str, str]:
         # unigram, natural log, 4dp rounding
         "q73_bigram_logprob": r"""
             WITH t AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+                SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS l FROM documents
             ), words AS (
                 SELECT doc_id, unnest(l) AS w FROM t
             ), uni AS (
@@ -3568,7 +3576,7 @@ def oracle_sql() -> dict[str, str]:
         # joined to the source label, rolled up per source
         "q81_source_quality": r"""
             WITH t AS (
-                SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+                SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS l FROM documents
             ), words AS (
                 SELECT doc_id, unnest(l) AS w FROM t
             ), uni AS (
@@ -3620,7 +3628,7 @@ def oracle_sql() -> dict[str, str]:
         "q82_mixture_weights": r"""
             WITH per_src AS (
               SELECT source,
-                     CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                     CAST(sum(len((CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END))) AS BIGINT)
                          AS n_tokens
               FROM documents GROUP BY source
             ), tot AS (
@@ -3691,7 +3699,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q86_token_histogram": r"""
             WITH t AS (
-              SELECT len(string_split_regex(trim(text), '\s+')) AS n
+              SELECT len((CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END)) AS n
               FROM documents WHERE text IS NOT NULL
             ), b AS (
               SELECT n, CASE WHEN n <= 0 THEN -1
@@ -3825,7 +3833,7 @@ def oracle_sql() -> dict[str, str]:
             ), per_doc AS (
               SELECT doc_id,
                      md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
-                     coalesce(len(string_split_regex(trim(text), '\\s+')), 0) AS tok,
+                     coalesce(len((CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\\s+') END)), 0) AS tok,
                      coalesce(length(text), 0) AS ch
               FROM corpus
             ), groups AS (
@@ -3880,11 +3888,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id % 11 = 0
             ), co AS (
               SELECT w, count(*) AS c_old FROM (
-                SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                SELECT unnest((CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END)) AS w
                 FROM documents WHERE text IS NOT NULL) GROUP BY w
             ), cn AS (
               SELECT w, count(*) AS c_new FROM (
-                SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+                SELECT unnest((CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END)) AS w
                 FROM corpus_new WHERE text IS NOT NULL) GROUP BY w
             ), j AS (
               SELECT coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
@@ -4095,7 +4103,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT source,
                      CAST(count(*) AS BIGINT) AS n_docs,
                      CAST(coalesce(sum(strlen(text)), 0) AS BIGINT) AS n_bytes,
-                     CAST(coalesce(sum(len(string_split_regex(trim(text), '\s+'))), 0)
+                     CAST(coalesce(sum(len((CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END))), 0)
                           AS BIGINT) AS n_ws_tokens,
                      CAST(coalesce(sum(len(regexp_extract_all(text,
                           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 0) AS BIGINT)
@@ -4201,7 +4209,7 @@ def oracle_sql() -> dict[str, str]:
         "q104_build_vocab": r"""
             WITH counts AS (
               SELECT token, CAST(count(*) AS BIGINT) AS count
-              FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+              FROM (SELECT unnest((CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END)) AS token
                     FROM documents)
               GROUP BY token HAVING count(*) >= 2
             )

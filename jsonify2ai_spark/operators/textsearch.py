@@ -107,7 +107,7 @@ def bm25_oracle_sql(
     return f"""
         WITH base AS (
             SELECT {id_col},
-                   list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t)) AS tk
+                   list_transform(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\\s+') END, t -> lower(t)) AS tk
             FROM {table}),
         b2 AS (SELECT {id_col}, tk, len(tk) AS dl FROM base),
         stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b2),

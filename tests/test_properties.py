@@ -603,3 +603,111 @@ def test_squeeze_repeated_lines_matches_python_model(doc_lines):
         for r in squeeze_repeated_lines(df).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.lists(
+                st.sampled_from(["the", "und", "der", "les", "cat", "dog", "que"]),
+                min_size=0,
+                max_size=8,
+            ),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_language_mix_matches_python_model(docs):
+    """Differential fuzz for q94: per-(source, lang) doc/token counts and
+    within-source shares against a pure-Python replica of the marker
+    heuristic (argmax with en>de>fr>es tie priority, 'und' on no hits)."""
+    from jsonify2ai_spark.operators.textstats import _LANG_MARKERS, language_mix_report
+
+    spark = _spark_session()
+    rows = [(i, " ".join(toks), src) for i, (src, toks) in enumerate(docs)]
+
+    def lang_of(toks):
+        counts = {
+            lang: sum(1 for t in toks if t.lower() in ms)
+            for lang, ms in _LANG_MARKERS.items()
+        }
+        best = max(counts.values()) if counts else 0
+        if best == 0:
+            return "und"
+        return next(l for l in _LANG_MARKERS if counts[l] == best)
+
+    agg: dict = {}
+    for i, (src, toks) in enumerate(docs):
+        # tokens() on "" yields [], on "a b" yields the words
+        ntok = len(toks)
+        key = (src, lang_of(toks))
+        d = agg.setdefault(key, [0, 0])
+        d[0] += 1
+        d[1] += ntok
+    totals: dict = {}
+    for (src, _), (_, nt) in agg.items():
+        totals[src] = totals.get(src, 0) + nt
+    expected = {
+        k: (v[0], v[1],
+            None if totals[k[0]] == 0 else round(v[1] / totals[k[0]], 6))
+        for k, v in agg.items()
+    }
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source"], r["lang"]): (r["n_docs"], r["n_tokens"], r["token_share"])
+        for r in language_mix_report(df).collect()
+    }
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.sampled_from(["plain words here", "x=1+2;", "nums 123 456", ""]),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_tokenizer_fertility_matches_python_model(docs):
+    """Differential fuzz for q99: byte/ws-token/BPE-token sums and ratios
+    against a pure-Python replica of the two tokenizers."""
+    import re
+
+    from jsonify2ai_spark.operators.textstats import tokenizer_fertility_report
+
+    spark = _spark_session()
+    rows = [(i, text, src) for i, (src, text) in enumerate(docs)]
+    BPE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+    agg: dict = {}
+    for _, (src, text) in enumerate(docs):
+        d = agg.setdefault(src, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += len(text.encode())
+        d[2] += len(text.strip().split()) if text.strip() else 1 if text else 0
+        d[3] += len(BPE.findall(text))
+    # tokens('') yields [] (size 0); whitespace-only trims to '' likewise
+    expected = {}
+    for src, (nd, nb, nws, nbpe) in agg.items():
+        expected[src] = (
+            nd, nb, nws, nbpe,
+            None if nbpe == 0 else round(nb / nbpe, 4),
+            None if nws == 0 else round(nbpe / nws, 4),
+        )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_bytes"], r["n_ws_tokens"], r["n_bpe_tokens"],
+            r["bytes_per_bpe_token"], r["fertility"],
+        )
+        for r in tokenizer_fertility_report(df).collect()
+    }
+    assert got == expected
