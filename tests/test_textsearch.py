@@ -95,3 +95,32 @@ def test_bm25_search_index_refuses_filters(spark):
     with pytest.raises(ValueError, match="filters require per-query"):
         bm25_search(chunks, "spark", index=idx, kind="text")
     idx.close()
+
+
+def test_bm25_index_query_plan_touches_cache_not_corpus(spark):
+    """Serving-plan shape: a query against the index must read the
+    PERSISTED postings (InMemoryTableScan) — never re-tokenize the corpus
+    (no MapInPandas/regexp split of the text column in the plan) — and
+    take its top-k via per-partition heaps (TakeOrderedAndProject), not a
+    global sort."""
+    from jsonify2ai_spark.operators.textsearch import BM25Index
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 7} common words here") for i in range(200)],
+        "doc_id long, text string",
+    )
+    idx = BM25Index(docs)
+    q = idx.topk("term3 common", k=5)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the EXECUTED portion (above the cached relation's stored build
+    # lineage, which legitimately mentions the tokenize) must not
+    # re-tokenize the corpus per query
+    executed = plan.split("InMemoryRelation")[0]
+    assert "split(" not in executed
+    # the term filter is pushed INTO the cache scan, so only the query
+    # terms' posting lists are read
+    assert "InMemoryTableScan [term" in plan and " IN (" in plan
+    idx.close()
