@@ -2330,7 +2330,10 @@ def _dd_decontaminate_sql(n: int = 8) -> str:
     sh = _dd_shingles("text", n)
     return f"""
 WITH ex AS (
-  SELECT doc_id, unnest({sh}) AS sh FROM documents
+  -- sh <> '' mirrors the operator's empty-shingle guard (an empty text
+  -- shingles to [''], which must not count as benchmark overlap)
+  SELECT doc_id, sh FROM (SELECT doc_id, unnest({sh}) AS sh FROM documents)
+  WHERE sh <> ''
 ), bench AS (
   SELECT DISTINCT sh FROM ex WHERE doc_id % 97 = 0
 ), shared AS (
@@ -3456,13 +3459,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(dim AS INT) AS dim,
                    CAST(count(*) AS BIGINT) AS n,
-                   round({_dd_stable_avg("x")}, 4) AS mean,
+                   round({_dd_stable_avg("x")}, 4) + 0.0 AS mean,
                    round(sqrt(greatest(
                        {_dd_stable_avg("x * x")}
                        - {_dd_stable_avg("x")} * {_dd_stable_avg("x")},
-                       0)), 4) AS stddev,
-                   round(min(x), 4) AS vmin,
-                   round(max(x), 4) AS vmax
+                       0)), 4) + 0.0 AS stddev,
+                   round(min(x), 4) + 0.0 AS vmin,
+                   round(max(x), 4) + 0.0 AS vmax
             FROM ex GROUP BY dim ORDER BY dim
         """,
         # twin of dedup.dedup_keep_best over q51's cluster labels: same
@@ -3660,9 +3663,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.label,
                    CAST(count(*) AS BIGINT) AS n,
-                   round({_dd_stable_avg(_dd_cosine("e.v", "cents.c"))}, 4)
+                   round({_dd_stable_avg(_dd_cosine("e.v", "cents.c"))}, 4) + 0.0
                        AS mean_cos_to_centroid,
-                   round(min({_dd_cosine("e.v", "cents.c")}), 4) AS min_cos_to_centroid
+                   round(min({_dd_cosine("e.v", "cents.c")}), 4) + 0.0
+                       AS min_cos_to_centroid
             FROM e JOIN cents USING (label) GROUP BY e.label
         """,
         "q84_novelty_scores": f"""
@@ -3817,8 +3821,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(os.label, ns.label) AS label,
                    coalesce(os.n_old, 0) AS n_old,
                    coalesce(ns.n_new, 0) AS n_new,
-                   round({_dd_cosine("oc.c", "nc.c")}, 4) AS centroid_cos,
-                   round(ns.mn_new - os.mn_old, 4) AS mean_norm_delta
+                   -- + 0.0 canonicalizes DuckDB's -0.0 (round preserves the
+                   -- sign of a tiny-negative delta; Spark HALF_UP drops it)
+                   round({_dd_cosine("oc.c", "nc.c")}, 4) + 0.0 AS centroid_cos,
+                   round(ns.mn_new - os.mn_old, 4) + 0.0 AS mean_norm_delta
             FROM ostat os
             FULL OUTER JOIN nstat ns ON ns.label = os.label
             LEFT JOIN ocent oc ON oc.label = os.label
@@ -3994,13 +4000,20 @@ def oracle_sql() -> dict[str, str]:
                      ), '[^a-z0-9]+', ' ', 'g')) AS text
               FROM documents WHERE doc_id % 97 = 0
             ), bsh AS (
-              SELECT DISTINCT unnest({_dd_shingles("text", 8)}) AS sh FROM bench_norm
+              -- sh <> '' mirrors the operator's empty-shingle guard: a
+              -- punctuation-only/non-ASCII text normalizes to '' and
+              -- shingles to [''], which must not create contamination
+              SELECT DISTINCT sh FROM (
+                SELECT unnest({_dd_shingles("text", 8)}) AS sh FROM bench_norm
+              ) WHERE sh <> ''
             ), docs_norm AS (
               SELECT doc_id,
                      trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS text
               FROM documents
             ), dsh AS (
-              SELECT doc_id, unnest({_dd_shingles("text", 8)}) AS sh FROM docs_norm
+              SELECT doc_id, sh FROM (
+                SELECT doc_id, unnest({_dd_shingles("text", 8)}) AS sh FROM docs_norm
+              ) WHERE sh <> ''
             ), shared AS (
               SELECT doc_id, count(DISTINCT d.sh) AS n
               FROM dsh d JOIN bsh b ON d.sh = b.sh
@@ -4045,29 +4058,41 @@ def oracle_sql() -> dict[str, str]:
                    md5(CAST(s.doc_id AS VARCHAR)) AS shuffle_key
             FROM scored s JOIN cdf c USING (score)
         """,
-        # twin of textstats.c4_filter over the shared structured corpus:
-        # line rule (>=5 words + terminal punct), sentence-mark count,
-        # brace/lorem/policy kill switches
+        # twin of textstats.c4_filter over the shared structured corpus,
+        # with the paper's rule scopes: line rule (>=5 words + terminal
+        # punct + no policy term), sentence floor over the CLEANED page,
+        # brace/lorem page kills
         "q97_c4_filter": f"""
-            WITH structured AS ({_DD_STRUCTURED})
+            WITH structured AS ({_DD_STRUCTURED}),
+            parts AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, chr(10)),
+                        ln -> len(string_split_regex(trim(ln), ' +')) >= 5
+                              AND regexp_matches(trim(ln), '[.!?]$')
+                              AND NOT (contains(lower(ln), 'javascript')
+                                       OR contains(lower(ln), 'cookie')))
+                         AS kept,
+                     list_filter(string_split(text, chr(10)),
+                        ln -> contains(lower(ln), 'javascript')
+                              OR contains(lower(ln), 'cookie')) AS policy
+              FROM structured
+            ), sent AS (
+              SELECT doc_id, text, kept, policy,
+                     len(string_split_regex(
+                         array_to_string(kept, chr(10)), '[.!?]')) - 1 AS ns
+              FROM parts
+            )
             SELECT doc_id,
                    CAST(len(string_split(text, chr(10))) AS INT) AS n_lines,
-                   CAST(len(list_filter(string_split(text, chr(10)),
-                        ln -> len(string_split_regex(trim(ln), ' +')) >= 5
-                              AND regexp_matches(trim(ln), '[.!?]$')))
-                        AS INT) AS n_good_lines,
-                   CAST(len(string_split_regex(text, '[.!?]')) - 1 AS INT)
-                       AS n_sentences,
+                   CAST(len(kept) AS INT) AS n_good_lines,
+                   CAST(len(policy) AS INT) AS n_policy_lines,
+                   CAST(ns AS INT) AS n_sentences,
                    contains(text, '{{') AS has_brace,
                    contains(lower(text), 'lorem ipsum') AS has_lorem,
-                   (contains(lower(text), 'javascript')
-                    OR contains(lower(text), 'cookie')) AS has_policy,
-                   (len(string_split_regex(text, '[.!?]')) - 1 >= 3
+                   (ns >= 3
                     AND NOT contains(text, '{{')
-                    AND NOT contains(lower(text), 'lorem ipsum')
-                    AND NOT (contains(lower(text), 'javascript')
-                             OR contains(lower(text), 'cookie'))) AS keep
-            FROM structured
+                    AND NOT contains(lower(text), 'lorem ipsum')) AS keep
+            FROM sent
         """,
         # twin of dedup.line_dedup over the same structured corpus: per-line
         # md5 census, lines in > max_line_df docs dropped, ordered reassembly

@@ -33,6 +33,29 @@ from jsonify2ai_spark.sources.ingest import ingest_files
 
 MIN_SYNTH_SCORE = 0.55  # reference config.py:86
 
+# filter kwarg -> chunk column it predicates on (the BM25Index needs the
+# column among its attr_cols to serve the filter from its doc table)
+_FILTER_COLS = {
+    "document_id": "document_id",
+    "kind": "kind",
+    "path": "path",
+    "ts_after": "ingested_at_ts",
+    "ts_before": "ingested_at_ts",
+}
+
+
+def _index_serves(index: Any, flt: Column | None, **filters: Any) -> bool:
+    """True when a prebuilt BM25Index can answer this query: always for
+    unfiltered, and for filtered when the index carries every column the
+    filter touches. Shared by bm25_search and hybrid_search so the two
+    entry points have ONE index-vs-fallback contract."""
+    if flt is None:
+        return True
+    need = {
+        _FILTER_COLS[k] for k, v in filters.items() if v is not None and k in _FILTER_COLS
+    }
+    return need <= set(getattr(index, "attr_cols", ()))
+
 
 def ingest(
     spark: SparkSession,
@@ -133,20 +156,18 @@ def bm25_search(
 
     Pass a prebuilt :class:`~jsonify2ai_spark.operators.textsearch.BM25Index`
     as ``index`` for serving loops: the per-query corpus tokenize is then a
-    posting-list lookup. Filters change the scoring pool (df_t/avgdl), so
-    they require the per-query path — combining both is an error, not a
-    silent mis-score."""
+    posting-list lookup. Filters change the scoring pool (df_t/avgdl); the
+    index serves them too — recomputing the pool scalars from its narrow
+    per-doc table — PROVIDED it was built with ``attr_cols`` covering the
+    filter's columns. Otherwise this falls back to per-query scoring over
+    the filtered pool (identical scores, corpus-tokenize cost) — the same
+    documented fallback :func:`hybrid_search` applies."""
     from jsonify2ai_spark.operators.textsearch import bm25_topk
 
     flt = _build_filter(**filters)
     pool = chunks.filter(flt) if flt is not None else chunks
-    if index is not None:
-        if flt is not None:
-            raise ValueError(
-                "bm25_search: filters require per-query scoring (bm25_topk) — "
-                "a prebuilt index's df_t/avgdl cover the UNfiltered corpus"
-            )
-        scored = index.topk(query, k=k).withColumnRenamed("bm25", "score")
+    if index is not None and _index_serves(index, flt, **filters):
+        scored = index.topk(query, k=k, filter=flt).withColumnRenamed("bm25", "score")
     else:
         scored = bm25_topk(pool, query, k=k, id_col="id").withColumnRenamed("bm25", "score")
     out = pool.drop("score").join(F.broadcast(scored), "id")
@@ -168,7 +189,12 @@ def hybrid_search(
     hybrid-search roadmap item README.md:153). Same Source projection as
     :func:`search`; ``score`` is the fused rrf = Σ 1/(rrf_k + rank) — note
     the scale (max 2/(rrf_k+1)), so synthesis gates need an rrf-scale
-    threshold, not the cosine one."""
+    threshold, not the cosine one.
+
+    ``bm25_index`` serves the lexical arm, filtered or not, when its
+    ``attr_cols`` cover the filter's columns; otherwise the arm falls back
+    to per-query ``bm25_topk`` over the filtered pool — the identical
+    contract :func:`bm25_search` applies (shared :func:`_index_serves`)."""
     from pyspark.sql import Window
 
     from jsonify2ai_spark.operators.textsearch import bm25_topk
@@ -176,8 +202,8 @@ def hybrid_search(
     flt = _build_filter(**filters)
     pool = chunks.filter(flt) if flt is not None else chunks
 
-    if bm25_index is not None and flt is None:
-        bm25 = bm25_index.topk(query, k=max(k, 20))
+    if bm25_index is not None and _index_serves(bm25_index, flt, **filters):
+        bm25 = bm25_index.topk(query, k=max(k, 20), filter=flt)
     else:
         bm25 = bm25_topk(pool, query, k=max(k, 20), id_col="id")
     w_b = Window.orderBy(F.col("bm25").desc(), F.col("id").asc())

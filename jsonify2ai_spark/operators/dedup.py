@@ -1188,13 +1188,21 @@ def decontaminate(
             return c
         return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
 
+    # Drop the degenerate '' shingle (an empty or — under normalize=True —
+    # entirely non-ASCII/punctuation text collapses to '', and shingles('')
+    # is ['']) from BOTH sides: one punctuation-only benchmark row would
+    # otherwise flag every non-ASCII training document as contaminated
+    # (mass false positives on multilingual corpora, invisible on ASCII
+    # synthetic data). An empty-matching-empty "overlap" carries no n-gram
+    # evidence; such docs read n_shared_ngrams=0 via the left join.
     d = docs.select(
         F.col(id_col), F.explode(shingles(_prep(F.col(text_col)), n)).alias("sh")
-    )
+    ).filter(F.col("sh") != "")
     b = (
         benchmark.select(
             F.explode(shingles(_prep(F.col(bench_text_col)), n)).alias("sh")
         )
+        .filter(F.col("sh") != "")
         .distinct()
     )
     shared = (

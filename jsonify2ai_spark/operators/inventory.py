@@ -36,6 +36,21 @@ def _stable_avg(col: Column) -> Column:
     return F.sum(col.cast(_DEC)).cast("double") / F.count(col)
 
 
+def _round_z(col: Column, scale: int) -> Column:
+    """round() with the zero sign canonicalized to +0.0.
+
+    Spark's round() (BigDecimal HALF_UP) emits +0.0 for a tiny-negative
+    input where DuckDB's round() preserves the sign and emits -0.0. Python
+    ``0.0 == -0.0`` is True so value comparison never sees it, but any
+    byte-level canonicalizer (the driver hash) distinguishes the two — the
+    r6 q89 driver red. Adding +0.0 after rounding maps -0.0 -> +0.0 by IEEE
+    754 addition rules and is an exact no-op for every other value; DuckDB
+    oracles mirror it as ``round(...) + 0.0``. Apply at EVERY rounded
+    difference/mean that can straddle zero.
+    """
+    return F.round(col, scale) + F.lit(0.0)
+
+
 def documents_inventory(
     chunks: DataFrame,
     doc_col: str = "document_id",
@@ -117,10 +132,10 @@ def embedding_stats(
         ex.groupBy("dim")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(mean, 4).alias("mean"),
-            F.round(stddev, 4).alias("stddev"),
-            F.round(F.min("x"), 4).alias("vmin"),
-            F.round(F.max("x"), 4).alias("vmax"),
+            _round_z(mean, 4).alias("mean"),
+            _round_z(stddev, 4).alias("stddev"),
+            _round_z(F.min("x"), 4).alias("vmin"),
+            _round_z(F.max("x"), 4).alias("vmax"),
         )
         .orderBy("dim")
     )
@@ -175,8 +190,8 @@ def label_coherence(
         .groupBy("lbl")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.round(_stable_avg(F.col("_cos")), 4).alias("mean_cos_to_centroid"),
-            F.round(F.min("_cos"), 4).alias("min_cos_to_centroid"),
+            _round_z(_stable_avg(F.col("_cos")), 4).alias("mean_cos_to_centroid"),
+            _round_z(F.min("_cos"), 4).alias("min_cos_to_centroid"),
         )
         .select(F.col("lbl").alias(label_col), "n", "mean_cos_to_centroid", "min_cos_to_centroid")
     )
@@ -279,6 +294,6 @@ def embedding_drift(
         F.coalesce("n_old", F.lit(0)).alias("n_old"),
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
         # zero-norm / missing-side guard: NULL, never NaN or an ANSI error
-        F.round(F.when(den != 0, dot / den), 4).alias("centroid_cos"),
-        F.round(F.col("_mn_new") - F.col("_mn_old"), 4).alias("mean_norm_delta"),
+        _round_z(F.when(den != 0, dot / den), 4).alias("centroid_cos"),
+        _round_z(F.col("_mn_new") - F.col("_mn_old"), 4).alias("mean_norm_delta"),
     )

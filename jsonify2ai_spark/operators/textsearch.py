@@ -141,11 +141,22 @@ class BM25Index:
 
     Scoring arithmetic is byte-for-byte :func:`bm25_topk`'s (same constant
     injection, same op order), pinned by a parity test; the one
-    intentional difference is WHERE n_docs/avgdl come from (precomputed at
-    build, not re-aggregated per query). Filters are a pool-semantics
-    change (df_t and avgdl must be recomputed over the filtered pool), so
-    a filtered query belongs to :func:`bm25_topk` — the index refuses
-    rather than silently mis-scoring.
+    intentional difference is WHERE n_docs/avgdl/df_t come from
+    (precomputed at build, not re-aggregated per query).
+
+    FILTERED queries (``topk(..., filter=...)``) are a pool-semantics
+    change: df_t and avgdl must describe the FILTERED pool or scores are
+    wrong. The index supports them without touching text: ``attr_cols``
+    named at build are carried on a narrow per-doc (id, dl, attrs) table,
+    the filter runs there (n_docs/avgdl = one aggregate over ~16 bytes/doc
+    — partition-prunable, never a retokenize), and df_t is recomputed over
+    the semi-joined touched postings only. Parity with
+    ``bm25_topk(docs.filter(pred))`` is test-pinned. A filter referencing
+    a column NOT in ``attr_cols`` raises at plan time (nothing silent).
+
+    BATCHED queries (``topk_batch``): one Spark job for N queries — the
+    per-job scheduler floor (~200 ms on local mode) amortizes across the
+    batch instead of multiplying by it.
     """
 
     def __init__(
@@ -155,55 +166,118 @@ class BM25Index:
         id_col: str = "doc_id",
         k1: float = K1_DEFAULT,
         b: float = B_DEFAULT,
+        attr_cols: tuple[str, ...] = (),
     ) -> None:
         self._id_col = id_col
         self._k1, self._b = k1, b
+        # df_t is a per-term constant of the corpus: bake it into the
+        # postings at build so the unfiltered serving path needs no
+        # per-query window (one fewer shuffleless-but-sorted exchange)
+        posts = build_postings(docs, text_col=text_col, id_col=id_col)
+        dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
         self._posts = (
-            build_postings(docs, text_col=text_col, id_col=id_col)
-            .repartition(F.col("term"))
-            .persist()
+            posts.join(dfreq, "term").repartition(F.col("term")).persist()
         )
         self._posts.count()  # materialize before the first query
-        # corpus scalars over the DOCS frame, exactly as bm25_topk's stats
-        # aggregate computes them (zero-token docs count toward n_docs and
-        # avgdl there — deriving these from distinct postings would drop
-        # them and break score parity)
+        # narrow per-doc table: dl + the filterable attributes. Covers the
+        # WHOLE docs frame (zero-token docs included) so filtered-pool
+        # n_docs/avgdl aggregate exactly as bm25_topk's stats CTE would
         toks = F.transform(tokens(F.col(text_col)), F.lower)
-        row = (
-            docs.select(F.size(toks).alias("dl"))
-            .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
-            .first()
+        self._doclens = (
+            docs.select(
+                F.col(id_col), F.size(toks).alias("dl"), *[F.col(c) for c in attr_cols]
+            )
+            .persist()
         )
+        row = self._doclens.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
         self._n_docs = int(row["n"])
         self._avgdl = float(row["avgdl"]) if row["avgdl"] is not None else 0.0
+        self._attr_cols = tuple(attr_cols)
 
-    def topk(self, query: str, k: int = 10) -> DataFrame:
-        """Top-k (id, bm25) for one query — touches only the query terms'
-        posting lists in the persisted index."""
-        from pyspark.sql import Window
+    @property
+    def attr_cols(self) -> tuple[str, ...]:
+        return self._attr_cols
 
-        terms = sorted({t.lower() for t in query.split() if t})
-        idc = self._id_col
-        posted = self._posts.filter(F.col("term").isin(terms)).withColumn(
-            "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
-        )
+    def _score(self, posted: DataFrame, n_docs, avgdl) -> DataFrame:
+        """bm25_topk's arithmetic verbatim over a (id, dl, tf, df_t[, ...])
+        frame; n_docs/avgdl are Columns or literals from the pool."""
         idf = F.log(
-            F.lit(1.0)
-            + (F.lit(self._n_docs) - F.col("df_t") + F.lit(0.5))
-            / (F.col("df_t") + F.lit(0.5))
+            F.lit(1.0) + (n_docs - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
         )
         denom = F.col("tf") + F.lit(self._k1) * (
-            F.lit(1.0)
-            - F.lit(self._b)
-            + F.lit(self._b) * F.col("dl") / F.lit(self._avgdl)
+            F.lit(1.0) - F.lit(self._b) + F.lit(self._b) * F.col("dl") / avgdl
         )
-        w = idf * F.col("tf") * F.lit(self._k1 + 1.0) / denom
-        out = (
-            posted.withColumn("w", w)
-            .groupBy(idc)
-            .agg(F.round(F.sum("w"), 6).alias("bm25"))
-        )
+        return posted.withColumn("w", idf * F.col("tf") * F.lit(self._k1 + 1.0) / denom)
+
+    def topk(self, query: str, k: int = 10, filter=None) -> DataFrame:
+        """Top-k (id, bm25) for one query — touches only the query terms'
+        posting lists in the persisted index. ``filter`` (a Column over
+        ``attr_cols``) restricts the pool; scores then equal
+        ``bm25_topk(docs.filter(filter))`` exactly."""
+        terms = sorted({t.lower() for t in query.split() if t})
+        idc = self._id_col
+        posted = self._posts.filter(F.col("term").isin(terms))
+        if filter is None:
+            scored = self._score(posted, F.lit(self._n_docs), F.lit(self._avgdl))
+        else:
+            from pyspark.sql import Window
+
+            pool = self._doclens.filter(filter)
+            # filtered-pool scalars: ONE aggregate over the narrow doclens
+            # table (no text); crossJoin of a single scalar row — broadcast
+            stats = pool.agg(
+                F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+            )
+            posted = (
+                posted.drop("df_t")
+                .join(pool.select(idc), idc, "left_semi")
+                .withColumn(
+                    "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
+                )
+                .crossJoin(F.broadcast(stats))
+            )
+            scored = self._score(posted, F.col("_n"), F.col("_avgdl"))
+        out = scored.groupBy(idc).agg(F.round(F.sum("w"), 6).alias("bm25"))
         return out.orderBy(F.col("bm25").desc(), F.col(idc).asc()).limit(k)
+
+    def topk_batch(self, queries: list[str], k: int = 10) -> DataFrame:
+        """Per-query top-k for MANY queries in ONE job: (query_id, id,
+        bm25), query_id = position in ``queries``. The per-term posting
+        lookups union into a single plan — the scheduler floor is paid
+        once, not per query. Row-for-row equal to ``topk`` per query
+        (parity-pinned)."""
+        from pyspark.sql import Window
+
+        spark = self._posts.sparkSession
+        qterms = [
+            (qi, t)
+            for qi, q in enumerate(queries)
+            for t in sorted({t.lower() for t in q.split() if t})
+        ]
+        idc = self._id_col
+        if not qterms:
+            return spark.createDataFrame(
+                [], f"query_id int, {idc} long, bm25 double"
+            )
+        qdf = spark.createDataFrame(qterms, "query_id int, term string")
+        # broadcast the tiny (qid, term) list into the term-partitioned
+        # postings: each query's terms pull only their own posting lists
+        posted = self._posts.join(F.broadcast(qdf), "term")
+        scored = self._score(posted, F.lit(self._n_docs), F.lit(self._avgdl))
+        agg = scored.groupBy("query_id", idc).agg(
+            F.round(F.sum("w"), 6).alias("bm25")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("bm25").desc(), F.col(idc).asc()
+        )
+        return (
+            agg.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
 
     def close(self) -> None:
         self._posts.unpersist()
+        self._doclens.unpersist()

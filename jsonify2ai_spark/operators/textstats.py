@@ -441,14 +441,24 @@ def c4_filter(
     min_sentences: int = 3,
 ) -> DataFrame:
     """C4-style heuristic cleaning report (Raffel et al. 2020 §2.2 — the
-    rules that built the C4 corpus): per document, how many lines survive
-    the LINE rule (>= ``min_words_per_line`` words AND terminal
-    punctuation), the sentence count, the three document kill switches
-    (curly brace = leaked code/JS, 'lorem ipsum' = placeholder boilerplate,
-    javascript/cookie = policy-notice pages), and the composite ``keep``
-    flag (>= ``min_sentences`` sentences, no kill switch). The complement
-    to :func:`gopher_filter`: Gopher scores word statistics, C4 scores
-    page STRUCTURE — production pipelines run both.
+    rules that built the C4 corpus), with the paper's actual rule SCOPES:
+
+    - LINE rules (drop the line, keep the page): fewer than
+      ``min_words_per_line`` words, no terminal punctuation, or a policy
+      term ('javascript' / 'cookie' — §2.2 removes the enable-JavaScript
+      and cookie-notice lines, it does not kill the page).
+      ``n_good_lines`` counts survivors, ``n_policy_lines`` the
+      policy-removed lines.
+    - PAGE rules (drop the document): curly brace (leaked code/JS),
+      'lorem ipsum' (placeholder boilerplate) — these ARE document kills
+      in the paper — and fewer than ``min_sentences`` sentences counted
+      over the CLEANED page (the kept lines), so a page whose content was
+      entirely boilerplate lines fails the floor.
+
+    NULL text is deliberately NULL-in / NULL-out: every count and the
+    ``keep`` flag read NULL ("unmeasurable, kept for audit"), the row
+    stays in the output — the operator is total over its input without
+    inventing a verdict for absent text (pinned by test).
 
     Map-only: every signal is a JVM string/HOF expression over the text
     column — zero shuffles, zero Python, survives any corpus size as a
@@ -458,25 +468,31 @@ def c4_filter(
     """
     t = _c(text_col)
     lines = F.split(t, "\n")
+    policy_line = lambda ln: F.lower(ln).contains("javascript") | F.lower(
+        ln
+    ).contains("cookie")
     good_line = lambda ln: (
-        F.size(F.split(F.trim(ln), " +")) >= F.lit(min_words_per_line)
-    ) & F.trim(ln).rlike("[.!?]$")
-    n_sent = F.size(F.split(t, "[.!?]")) - 1
-    low = F.lower(t)
-    has_brace = t.contains("{")
-    has_lorem = low.contains("lorem ipsum")
-    has_policy = low.contains("javascript") | low.contains("cookie")
-    keep = (
-        (n_sent >= F.lit(min_sentences)) & ~has_brace & ~has_lorem & ~has_policy
+        (F.size(F.split(F.trim(ln), " +")) >= F.lit(min_words_per_line))
+        & F.trim(ln).rlike("[.!?]$")
+        & ~policy_line(ln)
     )
+    kept_text = F.concat_ws("\n", F.filter(lines, good_line))
+    # sentences of the CLEANED page; split('') is [''] so empty pages read 0
+    n_sent = F.size(F.split(kept_text, "[.!?]")) - 1
+    # concat_ws swallows NULL args: re-impose NULL-in/NULL-out via n_lines
+    n_lines = F.size(lines)
+    n_sent = F.when(n_lines.isNotNull(), n_sent)
+    has_brace = t.contains("{")
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    keep = (n_sent >= F.lit(min_sentences)) & ~has_brace & ~has_lorem
     return df.select(
         F.col(id_col),
-        F.size(lines).alias("n_lines"),
+        n_lines.alias("n_lines"),
         F.size(F.filter(lines, good_line)).alias("n_good_lines"),
+        F.size(F.filter(lines, policy_line)).alias("n_policy_lines"),
         n_sent.alias("n_sentences"),
         has_brace.alias("has_brace"),
         has_lorem.alias("has_lorem"),
-        has_policy.alias("has_policy"),
         keep.alias("keep"),
     )
 

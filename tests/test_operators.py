@@ -1425,6 +1425,54 @@ def test_embedding_drift_output_is_partitioning_invariant(spark):
     assert len(results) == 1, "drift table moved with partitioning"
 
 
+def test_rounded_zero_cells_are_positive_zero_on_both_engines(spark):
+    """The r6 q89 driver red: a tiny-negative delta rounds to ZERO on both
+    engines, but DuckDB's round() preserves the sign (-0.0) while Spark's
+    (BigDecimal HALF_UP) drops it (+0.0). Python == cannot see the
+    difference; the driver's byte-level hash can. Pin the canonicalization
+    (round + 0.0) to emit POSITIVE zero on both engines, via the sign bit
+    (math.copysign), at every rounded site that can straddle zero."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.inventory import _round_z, embedding_drift
+
+    # unit level: _round_z canonicalizes, plain round would not need to
+    (row,) = (
+        spark.range(1)
+        .select(
+            _round_z(F.lit(-1e-9), 4).alias("z"),
+            _round_z(F.lit(-0.12344999), 4).alias("neg"),
+            _round_z(F.lit(None).cast("double"), 4).alias("nul"),
+        )
+        .collect()
+    )
+    assert math.copysign(1.0, row["z"]) == 1.0 and repr(row["z"]) == "0.0"
+    assert row["neg"] == -0.1234  # exact no-op on nonzero values
+    assert row["nul"] is None  # NULL survives the + 0.0
+
+    # oracle side: DuckDB's bare round keeps -0.0; + 0.0 canonicalizes it
+    raw, canon = duckdb.sql(
+        "SELECT round(-1e-9, 4), round(-1e-9, 4) + 0.0"
+    ).fetchone()
+    assert math.copysign(1.0, raw) == -1.0, "DuckDB round() stopped signing zeros"
+    assert math.copysign(1.0, canon) == 1.0 and repr(canon) == "0.0"
+
+    # end to end: drift over an UNCHANGED corpus — mean_norm_delta is the
+    # exactly-cancelling case the driver hashed red in r5/r6
+    base = spark.createDataFrame(
+        [(i, [math.sin(i * 7 + d) for d in range(4)], i % 3) for i in range(60)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    for r in embedding_drift(base, base).collect():
+        for c in ("centroid_cos", "mean_norm_delta"):
+            if r[c] is not None and r[c] == 0.0:
+                assert math.copysign(1.0, r[c]) == 1.0, f"{c} emitted -0.0"
+        assert r["mean_norm_delta"] == 0.0
+
+
 def test_mixture_weights_degenerate_sources_null_not_nan(spark):
     """An all-empty source must read NULL weight (0/0 is undefined), never
     NaN or an ANSI divide error; an all-empty CORPUS (N=0, Z=0) must be
@@ -1515,6 +1563,42 @@ def test_decontaminate_normalized_catches_mangled_benchmark(spark):
     assert norm[1] is True and norm[2] is False
 
 
+def test_decontaminate_empty_normalized_text_is_not_contamination(spark):
+    """Advisor-found (r6): under normalize=True an entirely non-ASCII or
+    punctuation-only text collapses to '' and shingles('') is [''] — so a
+    single punctuation-only benchmark row used to flag EVERY non-ASCII
+    training document as contaminated (mass false positives on
+    multilingual corpora; invisible on the ASCII synthetic gate corpus).
+    The '' shingle must never match; empty docs read n_shared=0."""
+    from jsonify2ai_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "这是一个完全中文的训练文档，没有任何拉丁字母在里面。"),
+            (2, "un document latin tout a fait ordinaire pour le test ici"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("!!! ... ???",), ("...",)], "text string")
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(docs, bench, n=8, normalize=True).collect()
+    }
+    assert len(out) == 3  # empty-normalized docs stay in the output
+    for i in (1, 2, 3):
+        assert out[i]["contaminated"] is False, f"doc {i} false-positived"
+        assert out[i]["n_shared_ngrams"] == 0
+    # and the exact-surface mode has the same guard for empty texts
+    raw = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(
+            docs, spark.createDataFrame([("",)], "text string"), n=8
+        ).collect()
+    }
+    assert raw[3] is False
+
+
 def test_curriculum_buckets_semantics(spark):
     """Bucket is monotone in score, ties share a bucket, NULL scores get a
     NULL bucket but stay in the output, and the shuffle key is the stable
@@ -1575,18 +1659,21 @@ def test_language_mix_report_single_rollup_no_corpus_join(spark):
 
 
 def test_c4_filter_rules(spark):
-    """C4 §2.2 semantics: the line rule needs >=5 words AND terminal
-    punctuation; the kill switches (brace / lorem ipsum / policy terms)
-    and the 3-sentence floor each independently flip keep."""
+    """C4 §2.2 semantics with the paper's rule scopes: the line rule needs
+    >=5 words AND terminal punctuation AND no policy term (javascript /
+    cookie lines are LINE removals, not page kills — advisor r6); the page
+    kills (brace / lorem ipsum) and the 3-sentence floor over the CLEANED
+    page each independently flip keep."""
     from jsonify2ai_spark.operators.textstats import c4_filter
 
     docs = spark.createDataFrame(
         [
             (1, "this is a good clean line.\nshort line.\nno punctuation here at all\nanother fine sentence right here! done."),
-            (2, "curly { brace means code. one. two. three."),
-            (3, "Lorem Ipsum dolor sit amet. filler. page. text."),
-            (4, "please enable JavaScript to view. this. page. now."),
+            (2, "curly { brace means code one two three."),
+            (3, "Lorem Ipsum dolor sit amet filler page text here.\nand a second fine line right here.\nplus one more to clear the floor. done."),
+            (4, "please enable JavaScript to view this.\nthis page needs more cookie consent.\nonly boilerplate lines lived here today."),
             (5, "only two sentences. here we are"),
+            (6, "we use cookie banners on this site.\na real first sentence stands right here.\na real second sentence stands right here.\na real third sentence stands right here."),
         ],
         "doc_id long, text string",
     )
@@ -1595,13 +1682,22 @@ def test_c4_filter_rules(spark):
     assert out[1]["n_lines"] == 4
     # line 1 (6 words + '.') and line 4 (>=5 words + '.') survive; the
     # 2-word line and the unpunctuated line fail
-    assert out[1]["n_good_lines"] == 2
+    assert out[1]["n_good_lines"] == 2 and out[1]["n_sentences"] == 3
     assert out[2]["keep"] is False and out[2]["has_brace"] is True
     assert out[3]["keep"] is False and out[3]["has_lorem"] is True
-    assert out[4]["keep"] is False and out[4]["has_policy"] is True
-    # sentence count = terminal punctuation marks; the unterminated
-    # trailing clause does not count
-    assert out[5]["keep"] is False and out[5]["n_sentences"] == 1
+    # policy lines are dropped at LINE level: doc 4 loses its javascript
+    # and cookie lines, the rest can't reach the sentence floor -> dropped
+    # by the floor, not by a page kill
+    assert out[4]["n_policy_lines"] == 2
+    assert out[4]["n_good_lines"] == 1
+    assert out[4]["keep"] is False and out[4]["n_sentences"] == 1
+    # doc 5's only line has no terminal punctuation, so the CLEANED page
+    # is empty: zero sentences, dropped by the floor
+    assert out[5]["keep"] is False and out[5]["n_sentences"] == 0
+    # a page with one cookie line and three clean sentences KEEPS the page
+    # (the pre-fix document-kill wrongly dropped it)
+    assert out[6]["n_policy_lines"] == 1
+    assert out[6]["keep"] is True and out[6]["n_sentences"] == 3
 
 
 def test_line_dedup_removes_corpus_boilerplate(spark):

@@ -546,22 +546,25 @@ def test_c4_filter_matches_python_model(doc_lines):
     expected = {}
     for i, lines in enumerate(doc_lines):
         text = "\n".join(lines)
-        good = sum(
-            1 for ln in lines
-            if len(ln.strip().split()) >= 5 and re.search(r"[.!?]$", ln.strip())
-        )
-        n_sent = len(re.split(r"[.!?]", text)) - 1
+        is_policy = lambda ln: "javascript" in ln.lower() or "cookie" in ln.lower()
+        kept = [
+            ln for ln in lines
+            if len(ln.strip().split()) >= 5
+            and re.search(r"[.!?]$", ln.strip())
+            and not is_policy(ln)
+        ]
+        n_policy = sum(1 for ln in lines if is_policy(ln))
+        n_sent = len(re.split(r"[.!?]", "\n".join(kept))) - 1
         brace = "{" in text
         lorem = "lorem ipsum" in text.lower()
-        policy = "javascript" in text.lower() or "cookie" in text.lower()
-        keep = n_sent >= 3 and not brace and not lorem and not policy
-        expected[i] = (len(lines), good, n_sent, brace, lorem, policy, keep)
+        keep = n_sent >= 3 and not brace and not lorem
+        expected[i] = (len(lines), len(kept), n_policy, n_sent, brace, lorem, keep)
 
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         r["doc_id"]: (
-            r["n_lines"], r["n_good_lines"], r["n_sentences"],
-            r["has_brace"], r["has_lorem"], r["has_policy"], r["keep"],
+            r["n_lines"], r["n_good_lines"], r["n_policy_lines"],
+            r["n_sentences"], r["has_brace"], r["has_lorem"], r["keep"],
         )
         for r in c4_filter(df).collect()
     }

@@ -78,23 +78,99 @@ def test_bm25_index_parity_and_reuse(spark):
     idx.close()
 
 
-def test_bm25_search_index_refuses_filters(spark):
-    """A filtered pool changes df_t/avgdl; the index path must refuse
-    rather than silently mis-score."""
-    import pytest
+def test_bm25_index_filtered_parity(spark):
+    """A filtered pool changes df_t/avgdl. The index recomputes both from
+    its narrow per-doc table + touched postings; scores must equal
+    bm25_topk over the PRE-filtered corpus exactly — the r6 verdict's
+    'not runnable at 100 TB' fallback removed."""
+    from pyspark.sql import functions as F
 
-    from jsonify2ai_spark.api import bm25_search
+    from jsonify2ai_spark.operators.textsearch import BM25Index, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data between stages", "a"),
+            (2, "spark broadcasts small spark tables", "b"),
+            (3, "postgres vacuums dead tuples", "a"),
+            (4, "the spark optimizer reorders joins and joins again", "b"),
+            (5, "", "a"),
+            (6, "spark spark spark dense match here", "a"),
+        ],
+        "doc_id long, text string, kind string",
+    )
+    idx = BM25Index(docs, attr_cols=("kind",))
+    for kind in ("a", "b"):
+        pred = F.col("kind") == kind
+        want = [
+            tuple(r) for r in bm25_topk(docs.filter(pred), "spark joins", k=4).collect()
+        ]
+        got = [tuple(r) for r in idx.topk("spark joins", k=4, filter=pred).collect()]
+        assert got == want, (kind, got, want)
+    # unfiltered path unchanged by the attr_cols build
+    want = [tuple(r) for r in bm25_topk(docs, "spark joins", k=4).collect()]
+    assert [tuple(r) for r in idx.topk("spark joins", k=4).collect()] == want
+    idx.close()
+
+
+def test_bm25_index_topk_batch_parity(spark):
+    """topk_batch must reproduce per-query topk row-for-row while paying
+    ONE job for the whole batch."""
     from jsonify2ai_spark.operators.textsearch import BM25Index
 
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 7} common words here number{i % 3}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    idx = BM25Index(docs)
+    queries = ["term3 common", "number1", "zzz nothing", "term5 number2 common"]
+    got = {}
+    for r in idx.topk_batch(queries, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["bm25"]))
+    for qi, q in enumerate(queries):
+        want = [(r["doc_id"], r["bm25"]) for r in idx.topk(q, k=5).collect()]
+        batch = sorted(got.get(qi, []), key=lambda t: (-t[1], t[0]))
+        assert batch == want, (q, batch, want)
+    assert idx.topk_batch([], k=5).count() == 0
+    idx.close()
+
+
+def test_bm25_and_hybrid_share_one_index_filter_contract(spark):
+    """Advisor r6: bm25_search raised on index+filters while hybrid_search
+    silently ignored the index — opposite contracts. Now both serve the
+    filter THROUGH the index when its attr_cols cover the filter columns,
+    and both fall back to per-query scoring (same scores) when not."""
+    from jsonify2ai_spark.api import bm25_search, hybrid_search
+    from jsonify2ai_spark.operators.textsearch import BM25Index
+
+    rows = [
+        (f"c{i}", f"d{i}", f"/p/{i}", "text" if i % 2 else "pdf", 0,
+         f"spark query engine doc {i} " + "pad " * (i % 5), [0.1 * i, 0.2])
+        for i in range(10)
+    ]
     chunks = spark.createDataFrame(
-        [("c1", "d1", "p", "text", 0, "spark rocks", [0.1, 0.2])],
+        rows,
         "id string, document_id string, path string, kind string, idx int, "
         "text string, vector array<double>",
     )
-    idx = BM25Index(chunks, id_col="id")
-    with pytest.raises(ValueError, match="filters require per-query"):
-        bm25_search(chunks, "spark", index=idx, kind="text")
-    idx.close()
+    covered = BM25Index(chunks, id_col="id", attr_cols=("kind",))
+    bare = BM25Index(chunks, id_col="id")
+    want_b = [tuple(r) for r in bm25_search(chunks, "spark doc", kind="text").collect()]
+    want_h = [tuple(r) for r in hybrid_search(chunks, "spark doc", kind="text").collect()]
+    for idx in (covered, bare):  # served vs fallback: SAME results
+        got_b = [
+            tuple(r)
+            for r in bm25_search(chunks, "spark doc", index=idx, kind="text").collect()
+        ]
+        got_h = [
+            tuple(r)
+            for r in hybrid_search(
+                chunks, "spark doc", bm25_index=idx, kind="text"
+            ).collect()
+        ]
+        assert got_b == want_b
+        assert got_h == want_h
+    covered.close()
+    bare.close()
 
 
 def test_bm25_index_query_plan_touches_cache_not_corpus(spark):
@@ -122,5 +198,9 @@ def test_bm25_index_query_plan_touches_cache_not_corpus(spark):
     assert "split(" not in executed
     # the term filter is pushed INTO the cache scan, so only the query
     # terms' posting lists are read
-    assert "InMemoryTableScan [term" in plan and " IN (" in plan
+    import re
+
+    assert re.search(r"InMemoryTableScan \[[^\]]*term[^\]]*\], \[term[^\]]* IN \(", plan)
+    # df_t is baked in at build: the per-query path needs NO window
+    assert "Window" not in plan.split("InMemoryRelation")[0]
     idx.close()

@@ -35,7 +35,12 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        # repr, not the float: the driver's hash is byte-level, so it
+        # distinguishes -0.0 from 0.0 where Python == cannot — exactly the
+        # divergence that kept q89 red through r5/r6 while this script
+        # passed. String equality of repr(round(x, 9)) adds ONLY the
+        # sign-of-zero sensitivity on top of the old rounded-== compare.
+        return repr(round(v, 9))
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     if hasattr(v, "isoformat"):
