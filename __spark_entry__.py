@@ -1110,42 +1110,18 @@ def q62_embed_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs.select("a", "b"))
 
 
-def q63_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native-MLlib embedding family end to end (SURVEY §2.9): HashingTF+IDF
-    corpus vectors -> cosine top-k self-probe. No SQL oracle — the IDF fit
-    is an ML stage, so the driver records the rows-only check (the operator
-    itself is pinned by tests: determinism, idf-zeroing, self-hit@1)."""
-    from jsonify2ai_spark.functions.embed_mllib import tfidf_embeddings
-    from jsonify2ai_spark.operators.search import cosine_topk
-
-    t = load_tables(spark, sf_dir, ["documents"])
-    emb, _ = tfidf_embeddings(t["documents"], dim=256)
-    # referenced twice (probe first() + top-k scan): one lazy checkpoint
-    # materializes the HashingTF/IDF transform once instead of per-action
-    emb = emb.localCheckpoint(eager=False)
-    # probe = lowest doc_id: deterministic and present at ANY scale factor
-    # (a hardcoded id would crash with NoneType on a smaller/filtered corpus)
-    probe_row = emb.orderBy("doc_id").select("vector").first()
-    if probe_row is None:
-        raise ValueError("q63: documents table is empty — nothing to probe")
-    probe = probe_row[0]
-    return cosine_topk(
-        emb.select("doc_id", "vector"),
-        [float(x) for x in probe],
-        k=10,
-        vector_col="vector",
-        id_cols=("doc_id",),
-    )
-
-
 def q64_tfidf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The value-checked twin of q63: sparse hashed TF-IDF cosine search
+    """The TF-IDF family's CONTRACT row: sparse hashed TF-IDF cosine search
     (functions/embed_mllib.py tfidf_cosine_topk) with the engine-portable
     md5 bucket hash — same family semantics as the MLlib HashingTF+IDF
-    member (same IDF formula, hash-bucketed tf), but every arithmetic step
-    is a join/aggregation a DuckDB oracle replays exactly. Covers the
-    embedding-family gap VERDICT r3 flagged: q63's fit stays rows-only,
-    this row hash-matches."""
+    member (same IDF formula ln((N+1)/(df+1)), hash-bucketed tf), but every
+    arithmetic step is a join/aggregation a DuckDB oracle replays exactly.
+    The MLlib member (former q63) was retired from the contract in r7: its
+    murmur3 bucket hash has no engine-portable twin (verified: F.hash's
+    murmur3 differs from HashingTF's), so it could never earn a value row
+    in six rounds — it remains fully pytest-pinned (determinism across
+    partitionings, idf-zeroing, self-hit@1 searchability) in
+    tests/test_functions.py, and THIS query is the family's value gate."""
     from jsonify2ai_spark.functions.embed_mllib import tfidf_cosine_topk
 
     t = load_tables(spark, sf_dir, ["documents"])
@@ -1847,39 +1823,67 @@ def q104_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocab(t["documents"], min_count=2, max_vocab=500)
 
 
+def q105_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED BM25 serving (operators/textsearch.py BM25Index.topk with
+    ``filter=``, new r7 — closes VERDICT r6 'What's missing #3'): the
+    built-once index answers a restricted-pool query by recomputing
+    n_docs/avgdl from its narrow per-doc table and df_t over the touched
+    postings — the reference's filtered search path (search.py:74-105)
+    without a corpus re-tokenize. Pool: doc_id % 3 == 0. Scores must equal
+    per-query bm25_topk over the pre-filtered pool (the oracle replays
+    exactly that)."""
+    from jsonify2ai_spark.operators.textsearch import BM25Index
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    # the index stays open (no close()) because the caller collects the
+    # returned frame lazily; the persisted postings are session-scoped
+    idx = BM25Index(t["documents"])
+    return idx.topk(_SEARCH_QUERY, k=10, filter=F.col("doc_id") % 3 == 0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
     # r4 #4 / r5 #4): (a) q51-q62 stay pinned in-gate (tests/test_entry.py),
     # (b) every NEW operator's first driver row is in-gate, (c) any query
     # whose code changed this round is in-gate, (d) remaining slots go to
-    # the OLDEST driver-green cohort so no query sits >2 rounds stale.
-    # Round-6 gate: pinned q51-q62 + changed (q74/q80/q82/q83/q89 — the
-    # order-stable-mean and NULL-guard edits) + the r3-stale relational
-    # cohort (q03/q05/q07/q08/q10) + new q93-q96 + 24 of the 27 r4-greens.
-    # The r5-green cohort (q01/q14/q24/q64-q92 minus the changed five)
-    # rotates to the tail for one round, exactly as the r4 cohort did in r5.
+    # the OLDEST driver-green cohort so no query sits >2 rounds without a
+    # driver row. Run scripts/gate_staleness.py to plan each rotation.
+    # Round-7 gate: changed/new (q105/q89/q74/q83/q95/q97/q30) + ALL 20
+    # r4-green tail queries (the staleness line) + pinned q51-q62 + the 11
+    # oldest r5-greens. The r6-green cohort and the r5 remainder sit in the
+    # tail for one round; the r5 remainder is the r8 gate's first claim.
     return {
-        # --- new this round: first driver row, newest code gates first
-        "q93_syndication_capped": q93_syndication_capped,
-        "q94_language_mix": q94_language_mix,
-        "q95_decontaminate_normalized": q95_decontaminate_normalized,
-        "q96_curriculum_buckets": q96_curriculum_buckets,
-        "q97_c4_filter": q97_c4_filter,
-        "q98_line_dedup": q98_line_dedup,
-        "q99_tokenizer_fertility": q99_tokenizer_fertility,
-        "q100_training_pipeline": q100_training_pipeline,
-        "q101_incremental_pipeline": q101_incremental_pipeline,
-        "q102_conversation_lint": q102_conversation_lint,
-        "q103_squeeze_lines": q103_squeeze_lines,
-        "q104_build_vocab": q104_build_vocab,
-        # --- changed this round: order-stable decimal means (q74/q83/q89),
-        # NULL-length contract (q80), degenerate-source NULL guard (q82)
-        "q74_embedding_stats": q74_embedding_stats,
-        "q80_length_outliers": q80_length_outliers,
-        "q82_mixture_weights": q82_mixture_weights,
-        "q83_label_coherence": q83_label_coherence,
-        "q89_embedding_drift": q89_embedding_drift,
+        # --- changed / new this round (r7): every edited operator gates first
+        "q105_bm25_filtered": q105_bm25_filtered,  # NEW r7: filtered BM25 serving (first driver row)
+        "q89_embedding_drift": q89_embedding_drift,  # changed r7: signed-zero canonicalization — 2 rounds red, the fix must gate
+        "q74_embedding_stats": q74_embedding_stats,  # changed r7: signed-zero sweep
+        "q83_label_coherence": q83_label_coherence,  # changed r7: signed-zero sweep
+        "q95_decontaminate_normalized": q95_decontaminate_normalized,  # changed r7: empty-shingle guard (advisor's multilingual false-positive)
+        "q97_c4_filter": q97_c4_filter,  # changed r7: C4 line-scope policy rules + n_policy_lines schema
+        "q30_bm25_search": q30_bm25_search,  # changed r7: bm25_search index/filter contract rework
+        # --- r4-green cohort: all 20 hit the >2-rounds-stale line at r7
+        # (scripts/gate_staleness.py) — the full rotation debt, paid at once
+        "q02_revenue_filter": q02_revenue_filter,
+        "q09_events_hourly": q09_events_hourly,
+        "q20_embedding_pairs": q20_embedding_pairs,
+        "q22_source_inventory": q22_source_inventory,
+        "q23_ask_snippets": q23_ask_snippets,
+        "q26_simhash_pairs": q26_simhash_pairs,
+        "q29_multimodal_meta": q29_multimodal_meta,
+        "q31_stats_rollup": q31_stats_rollup,
+        "q34_chunk_stats": q34_chunk_stats,
+        "q35_archive_shards": q35_archive_shards,
+        "q38_latency_percentiles": q38_latency_percentiles,
+        "q39_sessionize": q39_sessionize,
+        "q40_asof_join": q40_asof_join,
+        "q42_moving_window": q42_moving_window,
+        "q44_hybrid_rrf": q44_hybrid_rrf,
+        "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
+        "q47_csv_lines": q47_csv_lines,
+        "q48_salted_agg": q48_salted_agg,
+        "q49_salted_join": q49_salted_join,
+        "q50_time_range_search": q50_time_range_search,
         # --- pinned flagship block (test_entry.py invariant)
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_jaccard_capped": q52_jaccard_capped,
@@ -1893,15 +1897,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_decontaminate": q60_decontaminate,
         "q61_unigram_logprob": q61_unigram_logprob,
         "q62_embed_dup_clusters": q62_embed_dup_clusters,
-        # --- r3-green cohort, 3 rounds stale — back in the gate (r5 #4)
+        # --- oldest r5-green head (11 remaining slots), shrinking the r8
+        # debt to the 22-query r5 remainder below
+        "q01_pricing_summary": q01_pricing_summary,
+        "q14_language_id": q14_language_id,
+        "q24_replace_upsert": q24_replace_upsert,
+        "q64_tfidf_sql": q64_tfidf_sql,
+        "q65_incremental_dedup": q65_incremental_dedup,
+        "q66_token_budget_mix": q66_token_budget_mix,
+        "q67_quantized_search": q67_quantized_search,
+        "q68_overlap_pairs": q68_overlap_pairs,
+        "q69_quantized_ivf": q69_quantized_ivf,
+        "q70_per_source_cap": q70_per_source_cap,
+        "q71_gopher_filter": q71_gopher_filter,
+        # ================= tail (entry 51+) =================
+        # r6-green cohort: one round out, rotates back r8
+        "q93_syndication_capped": q93_syndication_capped,
+        "q94_language_mix": q94_language_mix,
+        "q96_curriculum_buckets": q96_curriculum_buckets,
+        "q98_line_dedup": q98_line_dedup,
+        "q99_tokenizer_fertility": q99_tokenizer_fertility,
+        "q100_training_pipeline": q100_training_pipeline,
+        "q101_incremental_pipeline": q101_incremental_pipeline,
+        "q102_conversation_lint": q102_conversation_lint,
+        "q103_squeeze_lines": q103_squeeze_lines,
+        "q104_build_vocab": q104_build_vocab,
+        "q80_length_outliers": q80_length_outliers,
+        "q82_mixture_weights": q82_mixture_weights,
         "q03_topk_orders": q03_topk_orders,
         "q05_region_customers": q05_region_customers,
         "q07_cumulative_spend": q07_cumulative_spend,
         "q08_union_slices": q08_union_slices,
         "q10_top3_per_customer": q10_top3_per_customer,
-        # --- r2-green cohort, FOUR rounds stale (surfaced by
-        # scripts/gate_staleness.py — the verdicts' rotation audits tracked
-        # the r3 cohort but these slipped everyone's list; oldest rows first)
         "q04_orders_per_customer": q04_orders_per_customer,
         "q06_events_dedup": q06_events_dedup,
         "q13_lang_distribution": q13_lang_distribution,
@@ -1911,74 +1938,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_source_projection": q37_source_projection,
         "q41_semi_join": q41_semi_join,
         "q43_anti_join": q43_anti_join,
-        # --- r4-green cohort (9 of 27 — the other 18 wait in the tail for
-        # the big r7 rotation when the r6 cohort frees ~30 slots; family
-        # twins q19/q16/q48 in-gate — q23/q44 are value-exercised by the
-        # round-6 five-arm eval artifact, q29/q34/q35/q39 are pytest-covered
-        # with in-gate family twins; all nine rotate in r7)
         "q11_json_extract": q11_json_extract,
         "q12_doc_stats": q12_doc_stats,
         "q15_doc_dedup_exact": q15_doc_dedup_exact,
         "q19_knn_brute": q19_knn_brute,
         "q21_vector_search_docs": q21_vector_search_docs,
         "q28_winnowing": q28_winnowing,
-        "q30_bm25_search": q30_bm25_search,
-        # ================= tail (entry 51+): r5-green cohort, one round out,
-        # rotates back r7; every operator family keeps an in-gate row =====
-        "q35_archive_shards": q35_archive_shards,  # r4-green; pytest goldens + q07 running-sum twin in-gate; rotates r7
-        "q34_chunk_stats": q34_chunk_stats,  # r4-green; reference-golden pytest + q56 chat-chunker twin in-gate; rotates r7
-        "q29_multimodal_meta": q29_multimodal_meta,  # r4-green; multimodal e2e pytest + fake-module contracts; rotates r7
-        "q39_sessionize": q39_sessionize,  # r4-green; q40 as-of temporal twin in-gate; rotates r7
-        "q38_latency_percentiles": q38_latency_percentiles,  # r4-green; committed eval artifact + pytest; rotates r7
-        "q40_asof_join": q40_asof_join,  # r4-green; temporal family pytest + q39 twin beside it; rotates r7
-        "q02_revenue_filter": q02_revenue_filter,  # r4-green; q13 count-by-pred twin rotated in-gate; rotates r7
-        "q09_events_hourly": q09_events_hourly,  # r4-green; q33 events family in-gate; rotates r7
-        "q22_source_inventory": q22_source_inventory,  # r4-green; q33/q53/q81-class rollups in-gate; rotates r7
-        "q31_stats_rollup": q31_stats_rollup,  # r4-green; q53 GROUPING-SETS family in-gate; rotates r7
-        "q42_moving_window": q42_moving_window,  # r4-green; q07 window family in-gate; rotates r7
-        "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,  # r4-green; q32 join-agg family in-gate; rotates r7
-        "q47_csv_lines": q47_csv_lines,  # r4-green; parser family q11 in-gate; rotates r7
-        "q48_salted_agg": q48_salted_agg,  # r4-green; salting plan tests in pytest; rotates r7
-        "q50_time_range_search": q50_time_range_search,  # r4-green; q02-class pushdown + ANN rows in-gate; rotates r7
-        "q23_ask_snippets": q23_ask_snippets,  # r4-green; ask plane value-exercised by this round's four-arm eval artifact; rotates r7
-        "q44_hybrid_rrf": q44_hybrid_rrf,  # r4-green; hybrid arm in the same artifact + q30 bm25 in-gate; rotates r7
-        "q01_pricing_summary": q01_pricing_summary,  # join-agg family: q02/q05/q31 in-gate, r5-green
-        "q14_language_id": q14_language_id,  # lang-ID: q94 language-mix composes the same kernel in-gate, r5-green
-        "q24_replace_upsert": q24_replace_upsert,  # J5/K1/K4 upsert: q15 dedup-keeper family in-gate, r5-green
-        "q64_tfidf_sql": q64_tfidf_sql,  # tfidf twin: q30 bm25 + q44 hybrid in-gate, r5-green
-        "q65_incremental_dedup": q65_incremental_dedup,  # incremental dedup: q60/q95 broadcast-semi family in-gate, r5-green
-        "q66_token_budget_mix": q66_token_budget_mix,  # token-budget mix: q54/q55 sampling family in-gate, r5-green
-        "q67_quantized_search": q67_quantized_search,  # int8 cosine: q19/q21 ANN rows in-gate, r5-green
-        "q68_overlap_pairs": q68_overlap_pairs,  # span overlap: q28 winnowing (fingerprint producer) in-gate, r5-green
-        "q69_quantized_ivf": q69_quantized_ivf,  # IVF serving: q19/q21 ANN family in-gate, r5-green
-        "q70_per_source_cap": q70_per_source_cap,  # per-domain cap: q96 curriculum + q54 sampling family in-gate, r5-green
-        "q71_gopher_filter": q71_gopher_filter,  # Gopher rules: q12 doc-stats + q59 repetition in-gate, r5-green
-        "q72_clip_tokens": q72_clip_tokens,  # token clip: q57 packing twin in-gate, r5-green
-        "q73_bigram_logprob": q73_bigram_logprob,  # bigram LM: q61 unigram twin in-gate, r5-green
-        "q75_dedup_keep_best": q75_dedup_keep_best,  # keep-best: q51 CC + q15 exact dedup in-gate, r5-green
-        "q76_containment_pairs": q76_containment_pairs,  # containment: q52 capped + q93 composed-capped in-gate, r5-green
-        "q77_shingle_census": q77_shingle_census,  # df census: q52/q93 capped consumers in-gate, r5-green
-        "q78_vocab_stats": q78_vocab_stats,  # vocab health: q12/q94 text-stats family in-gate, r5-green
-        "q79_cross_source_dup": q79_cross_source_dup,  # source dup matrix: q93 directional twin in-gate, r5-green
-        "q81_source_quality": q81_source_quality,  # per-source rollup: q22/q31 in-gate, r5-green
-        "q84_novelty_scores": q84_novelty_scores,  # novelty: q15/q28 fingerprint family in-gate, r5-green
-        "q85_boilerplate_catalog": q85_boilerplate_catalog,  # boilerplate: q22 rollup + q93 containment in-gate, r5-green
-        "q86_token_histogram": q86_token_histogram,  # token buckets: q12/q96 in-gate, r5-green
-        "q87_corpus_diff": q87_corpus_diff,  # version diff: q15 fingerprint family in-gate, r5-green
-        "q88_syndication_matrix": q88_syndication_matrix,  # uncapped form: q93 capped composition in-gate, r5-green
-        "q90_dedup_impact": q90_dedup_impact,  # dedup forecast: q15 exact-dedup twin in-gate, r5-green
-        "q91_containment_capped": q91_containment_capped,  # capped component: q93 composed form in-gate, r5-green
-        "q92_corpus_divergence": q92_corpus_divergence,  # JS divergence: q94 mix table twin in-gate, r5-green
-        "q16_simhash": q16_simhash,  # simhash: q28 winnowing hashing family in-gate, r5-green
-        "q17_jaccard_pairs": q17_jaccard_pairs,  # jaccard pairs: q52 capped twin in-gate, r5-green
-        "q18_minhash_lsh": q18_minhash_lsh,  # LSH bands: q62 semantic dedup in-gate, r5-green
-        "q25_ivf_ann": q25_ivf_ann,  # IVF float: q19/q21 ANN rows in-gate, r5-green
-        "q27_bpe_tokens": q27_bpe_tokens,  # BPE-ish tokens: q12 stats family in-gate, r5-green
-        "q45_brand_revenue_having": q45_brand_revenue_having,  # HAVING rollup: q02/q31/q46 in-gate, r5-green
-        "q63_tfidf_search": q63_tfidf_search,  # rows-only: ML fit not SQL-expressible; value twin q64 r5-green
-        "q26_simhash_pairs": q26_simhash_pairs,  # r4-green; q16 r5-green + hamming family; rotates r7
-        "q20_embedding_pairs": q20_embedding_pairs,  # r4-green; q19 GEMM twin in-gate; rotates r7
-        "q49_salted_join": q49_salted_join,  # r4-green; q48 salted-agg twin in-gate; rotates r7
+        # r5-green remainder: MUST be in the r8 gate (2 rounds out after r7)
+        "q72_clip_tokens": q72_clip_tokens,
+        "q73_bigram_logprob": q73_bigram_logprob,
+        "q75_dedup_keep_best": q75_dedup_keep_best,
+        "q76_containment_pairs": q76_containment_pairs,
+        "q77_shingle_census": q77_shingle_census,
+        "q78_vocab_stats": q78_vocab_stats,
+        "q79_cross_source_dup": q79_cross_source_dup,
+        "q81_source_quality": q81_source_quality,
+        "q84_novelty_scores": q84_novelty_scores,
+        "q85_boilerplate_catalog": q85_boilerplate_catalog,
+        "q86_token_histogram": q86_token_histogram,
+        "q87_corpus_diff": q87_corpus_diff,
+        "q88_syndication_matrix": q88_syndication_matrix,
+        "q90_dedup_impact": q90_dedup_impact,
+        "q91_containment_capped": q91_containment_capped,
+        "q92_corpus_divergence": q92_corpus_divergence,
+        "q16_simhash": q16_simhash,
+        "q17_jaccard_pairs": q17_jaccard_pairs,
+        "q18_minhash_lsh": q18_minhash_lsh,
+        "q25_ivf_ann": q25_ivf_ann,
+        "q27_bpe_tokens": q27_bpe_tokens,
+        "q45_brand_revenue_having": q45_brand_revenue_having,
     }
 
 
@@ -4247,4 +4235,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q100_training_pipeline": _dd_pipeline_sql(),
         "q101_incremental_pipeline": _dd_incremental_sql(),
+        # filtered-pool BM25: the per-query bm25_topk twin replayed over
+        # the PRE-filtered corpus — the semantics BM25Index.topk(filter=)
+        # must reproduce from its build-time tables
+        "q105_bm25_filtered": bm25_oracle_sql(
+            _SEARCH_QUERY, k=10,
+            table="(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+        ),
     }

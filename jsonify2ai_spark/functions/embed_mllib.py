@@ -113,7 +113,7 @@ def tfidf_cosine_topk(
     dim: int = 256,
 ) -> DataFrame:
     """Top-k docs by TF-IDF cosine against the corpus's lowest-id document
-    (the deterministic self-probe q63 uses), entirely via sparse joins:
+    (the deterministic lowest-id self-probe), entirely via sparse joins:
     dot product = sum over shared buckets, norms from one aggregation.
     Docs sharing no bucket with the probe score 0 and are omitted — the
     standard sparse-retrieval contract. Output (id, tfidf_cosine) rounded

@@ -48,12 +48,15 @@ def main() -> int:
     this_round = max(rounds) + 1  # artifacts exist for completed rounds
 
     oracled = set(entry_mod.oracle_sql())
+    orphans = [n for n in qs if n not in oracled]
+    if orphans:
+        # Since r7 every contract query must be oracle-backed (q63, the one
+        # ML-fit exception, was retired — q64 carries the family). A new
+        # oracle-less query is a permanent staleness hole: flag it loudly.
+        print(f"WARNING: oracle-less queries (can never earn a value row): {orphans}")
     flagged = []
     for name in qs:
         if name not in oracled:
-            # structurally oracle-less (e.g. ML fits): the gate invariant
-            # forces these to the tail, so they can never earn a value row —
-            # their family twins carry the clock
             continue
         last = greens.get(name)
         if name not in gate and (last is None or this_round - last >= 2):

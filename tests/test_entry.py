@@ -20,21 +20,14 @@ def test_entry_returns_rows(spark):
 def test_oracle_keys_subset_of_queries():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(os_).issubset(set(qs))
-    missing_oracle = set(qs) - set(os_)
-    # non-SQL-expressible ops may omit oracles; everything else must have one.
-    # q63: the MLlib IDF fit has no SQL twin (rows-only check) — but its
-    # family IS value-checked: q64_tfidf_sql replays the same hashed-TF-IDF
-    # semantics with the portable md5 bucket hash under a full value oracle,
-    # and the gate below pins that q64 stays oracle-backed.
-    assert missing_oracle <= {"q63_tfidf_search"}, missing_oracle
-    assert "q64_tfidf_sql" in os_, "q64 is q63's value twin — must keep its oracle"
-    # rotation invariant: the driver gates the FIRST 50 entries; every
-    # oracle-less query must sit in the tail so it never displaces a
-    # value-checked row from the gate window
-    first50 = list(qs)[:50]
-    assert all(name in os_ for name in first50), [
-        n for n in first50 if n not in os_
-    ]
+    # EVERY contract query is oracle-backed since r7: the one exception
+    # (q63, the MLlib IDF fit — murmur3 buckets have no engine-portable
+    # SQL twin) was retired after six rounds without a possible value row;
+    # q64_tfidf_sql is the family's contract query and the MLlib member
+    # stays pytest-pinned in tests/test_functions.py. A new oracle-less
+    # query would be a permanent staleness hole — don't add one.
+    assert set(qs) == set(os_), set(qs) ^ set(os_)
+    assert "q64_tfidf_sql" in os_, "q64 carries the TF-IDF family's value gate"
 
 
 def test_every_query_runs_small(spark):
