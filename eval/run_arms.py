@@ -97,12 +97,87 @@ def main() -> int:
         fn(corpus, questions[0])
 
     res = run_qa_eval(corpus, qa, out_path=out, arms=arms)
+
+    # batched serving (VERDICT r6 #7): the per-question arms above pay a
+    # ~200 ms scheduler floor PER QUERY on local mode; topk_batch pays ONE
+    # job for the whole set. Record wall total + amortized per-query ms +
+    # hit@1 computed from the same retrieval results.
+    import time
+
+    from jsonify2ai_spark.operators.ann import quantized_ivf_topk_batch
+
+    uniq_qs = list(dict.fromkeys(questions))
+    needles = {
+        (item.get("q") or item.get("question", "")): (
+            item.get("answer_contains") or ""
+        ).lower()
+        for item in qa
+    }
+    texts = None  # id -> text, fetched once
+
+    def _batch_hits(by_q, score_col):
+        nonlocal texts
+        if texts is None:
+            texts = {
+                r["id"]: (r["text"] or "").lower()
+                for r in corpus.select("id", "text").collect()
+            }
+        # same criterion as the per-question arms: needle anywhere in the
+        # k-doc response (run_qa_eval serializes all k snippets)
+        hits = 0
+        for qi, q in enumerate(uniq_qs):
+            lst = by_q.get(qi, [])
+            if needles[q] and any(
+                needles[q] in texts.get(r["id"], "") for r in lst
+            ):
+                hits += 1
+        return hits
+
+    batched = {}
+    # warm pass (JIT/codegen), then the timed one-job run
+    idx.topk_batch(uniq_qs[:2], k=5).collect()
+    t0 = time.perf_counter()
+    rows = idx.topk_batch(uniq_qs, k=5).collect()
+    total = (time.perf_counter() - t0) * 1000.0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    batched["bm25"] = {
+        "n": len(uniq_qs),
+        "total_ms": round(total, 1),
+        "per_q_ms": round(total / len(uniq_qs), 1),
+        "hit@1": _batch_hits(by_q, "bm25"),
+    }
+
+    from jsonify2ai_spark.functions.vectors import dev_embedding_py
+
+    qvecs = [dev_embedding_py(q, dim=64) for q in uniq_qs]
+    quantized_ivf_topk_batch(ivf, qvecs[:2], cents, k=5, n_probe=3, id_col="id").collect()
+    t0 = time.perf_counter()
+    rows = quantized_ivf_topk_batch(
+        ivf, qvecs, cents, k=5, n_probe=3, id_col="id"
+    ).collect()
+    total = (time.perf_counter() - t0) * 1000.0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    batched["ivf"] = {
+        "n": len(uniq_qs),
+        "total_ms": round(total, 1),
+        "per_q_ms": round(total / len(uniq_qs), 1),
+        "hit@1": _batch_hits(by_q, "qcos"),
+    }
+
+    res["batched"] = batched
+    with open(out, "w", encoding="utf-8") as f:
+        json.dump(res, f, ensure_ascii=False, indent=2)
     print(
         json.dumps(
             {
                 name: {k: r[k] for k in ("n", "hit@1", "p50_ms", "p95_ms")}
                 for name, r in res["arms"].items()
-            },
+            }
+            | {"batched": batched},
             indent=2,
         )
     )

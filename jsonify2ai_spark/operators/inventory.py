@@ -125,7 +125,14 @@ def embedding_stats(
     mean = _stable_avg(x)
     # population variance from exact sums: E[x^2] - E[x]^2, clamped at 0
     # (the formula can dip a few ulp negative when variance ~ 0). Both
-    # terms are bit-deterministic, so the sqrt is too.
+    # terms are bit-deterministic, so the sqrt is too. CAVEAT (advisor r6):
+    # this one-pass form cancels catastrophically when |mean| >> stddev
+    # (mean ~1e3 with stddev ~1e-3 loses every significant digit) — fine
+    # for the O(1)-magnitude normalized-embedding components this operator
+    # audits, NOT a general-purpose stddev. If large-offset dimensions ever
+    # appear, subtract a per-dim pivot (e.g. the dimension's min) before
+    # the decimal sums: shifted two-pass keeps determinism without the
+    # cancellation.
     ssq_mean = F.sum((x * x).cast(_DEC)).cast("double") / F.count(x)
     stddev = F.sqrt(F.greatest(ssq_mean - mean * mean, F.lit(0.0)))
     return (

@@ -109,6 +109,33 @@ def test_quantized_ivf_matches_float_ivf_ranking(tables):
     assert len(quant_ids & float_ivf_ids) >= 9
 
 
+def test_quantized_ivf_topk_batch_parity(tables):
+    """The one-job batched serving call must reproduce the per-query
+    quantized_ivf_topk rows exactly for every query in the batch — same
+    probes, same int8 scores, same tie-breaks."""
+    from jsonify2ai_spark.operators.ann import (
+        build_quantized_ivf,
+        quantized_ivf_topk,
+        quantized_ivf_topk_batch,
+    )
+
+    emb = tables["embeddings"]
+    cents = _centroids(tables)
+    index = build_quantized_ivf(emb, cents)
+    queries = [_query_vec(tables, i) for i in (0, 3, 7)]
+    got: dict[int, list] = {}
+    for r in quantized_ivf_topk_batch(index, queries, cents, k=5, n_probe=2).collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cluster"], r["qcos"]))
+    for qi, qv in enumerate(queries):
+        want = [
+            (r["vec_id"], r["cluster"], r["qcos"])
+            for r in quantized_ivf_topk(index, qv, cents, k=5, n_probe=2).collect()
+        ]
+        batch = sorted(got.get(qi, []), key=lambda t: (-t[2], t[0]))
+        assert batch == want, (qi, batch, want)
+    assert quantized_ivf_topk_batch(index, [], cents, k=5).count() == 0
+
+
 def test_quantized_ivf_index_is_maponly_and_smaller(tables):
     """build_quantized_ivf is one map-only projection (no Exchange in the
     plan — at scale it's the ETL before partitionBy(cluster)), and the int8
