@@ -55,12 +55,17 @@ def main() -> None:
         build_s = round(time.time() - t0, 2)
         for n_batch in BATCH_SIZES:
             batch = pool.limit(n_batch).localCheckpoint(eager=True)
-            # warm once (plan compile), then time the steady-state call —
-            # the per-trigger cost a stream actually pays
+            # warm once (plan compile), then min-of-3 the steady-state call
+            # — the per-trigger cost a stream actually pays (single runs at
+            # these sizes showed +/-40% machine noise; min is the honest
+            # steady-state estimator per the repo's variance protocol)
             gate.filter_batch(batch).count()
-            t0 = time.time()
-            kept = gate.filter_batch(batch).count()
-            dt = time.time() - t0
+            dt, kept = None, 0
+            for _ in range(3):
+                t0 = time.time()
+                kept = gate.filter_batch(batch).count()
+                d = time.time() - t0
+                dt = d if dt is None else min(dt, d)
             print(
                 json.dumps(
                     {

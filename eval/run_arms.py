@@ -1,13 +1,16 @@
 #!/usr/bin/env python
-"""Four-arm /ask eval runner (run from the repo root) — regenerates
+"""Six-arm /ask eval runner (run from the repo root) — regenerates
 eval/results/last.json, the committed artifact VERDICT reads against
 BASELINE.md's /ask p50.
 
-Arms: vector (the reference's /ask path), bm25, bm25+vector RRF hybrid,
-and corpus-trained Word2Vec. The w2v arm gets the full question list up
-front so the whole eval set is embedded in ONE MLlib transform (the r5
-arms table paid a per-question transform job — p50 1114 ms of scheduler
-overhead, not retrieval).
+Arms: vector (the reference's /ask path), bm25 via the built-once
+BM25Index, FILTERED bm25 through the same index (pool-scalar recompute,
+r7), bm25+vector RRF hybrid, corpus-trained Word2Vec, and the quantized
+IVF serving path — plus a "batched" section measuring topk_batch for
+bm25 and ivf (one job per question SET, r7). The w2v arm gets the full
+question list up front so the whole eval set is embedded in ONE MLlib
+transform (the r5 arms table paid a per-question transform job — p50
+1114 ms of scheduler overhead, not retrieval).
 
 Usage: python eval/run_arms.py [sf_dir] [out_path]
 """
@@ -47,10 +50,13 @@ def main() -> int:
     # serving-shaped lexical arms: the BM25 postings build once (BM25Index)
     # instead of re-tokenizing the corpus per question — the same
     # build-once/query-many split the w2v arm gets from batched embedding
+    from pyspark.sql import functions as F
+
     from jsonify2ai_spark.api import ask, bm25_search, hybrid_search
     from jsonify2ai_spark.operators.textsearch import BM25Index
 
-    idx = BM25Index(corpus, id_col="id")
+    # attr_cols=("path",) lets the SAME index serve the filtered arm below
+    idx = BM25Index(corpus, id_col="id", attr_cols=("path",))
     arms = default_arms()
     arms["bm25"] = lambda c, q: ask(
         c, q, k=5, dim=64,
@@ -62,6 +68,22 @@ def main() -> int:
         retriever=lambda ch, qq, **kw: hybrid_search(ch, qq, bm25_index=idx, **kw),
         min_synth_score=1.0 / 70.0, min_snippet_score=1.0 / 1000.0,
     )
+    # filtered BM25 serving arm (VERDICT r6 #6): pool restricted to the
+    # most common source THROUGH the index (pool scalars recomputed from
+    # its per-doc table — no corpus re-tokenize). hit@1 is structurally
+    # lower (answers outside the pool can't hit); the arm exists to show
+    # the filtered path's latency is index-class, not retokenize-class.
+    top_src = (
+        corpus.groupBy("path").count().orderBy(F.desc("count"), "path").first()["path"]
+    )
+    arms["bm25_filt"] = lambda c, q: ask(
+        c, q, k=5, dim=64,
+        retriever=lambda ch, qq, **kw: bm25_search(
+            ch, qq, index=idx, path=top_src, **kw
+        ),
+        min_synth_score=0.0, min_snippet_score=0.0,
+    )
+
     arms["w2v"] = word2vec_arm(corpus, questions=questions)
 
     # fifth arm: the quantized-IVF SERVING path (coarse probe -> partition
@@ -74,7 +96,6 @@ def main() -> int:
         kmeans_centroids,
         quantized_ivf_topk,
     )
-    from pyspark.sql import functions as F
 
     cents = kmeans_centroids(corpus, k=8, vector_col="vector")
     ivf = build_quantized_ivf(

@@ -311,9 +311,17 @@ class CorpusNearDupGate:
             F.size("hs").alias("sza"),
             F.explode("hs").alias("sh"),
         )
-        # candidates: batch postings vs cached corpus postings; verify
-        # against the FULL corpus sets so df_cap never changes a score
-        cand = exn.join(self._posts, "sh").select("a", "b").distinct()
+        # candidates: batch postings vs cached corpus postings. The BATCH's
+        # distinct shingle set broadcasts into a semi-join FIRST (r6
+        # verdict #8): the corpus-postings side entering the candidate
+        # join is then batch-shingle-sized — the persisted frame stays
+        # corpus-sized only in STORAGE, its per-batch contribution is one
+        # memory-speed scan behind a broadcast hash probe, and the join +
+        # distinct downstream see batch-proportional rows. Verify against
+        # the FULL corpus sets so df_cap never changes a score.
+        batch_sh = exn.select("sh").distinct()
+        touched = self._posts.join(F.broadcast(batch_sh), "sh", "left_semi")
+        cand = exn.join(touched, "sh").select("a", "b").distinct()
         verified = (
             cand.join(sn.select(F.col(self._id_col).alias("a"), "hs"), "a")
             .join(self._sets, "b")
