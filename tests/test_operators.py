@@ -1863,3 +1863,40 @@ def test_build_vocab_rank_and_cut(spark):
     assert len(capped) == 3
     # tie at count 1 breaks on token text: c < y < z -> c kept at id 3
     assert {r["token"] for r in capped} == {"a", "b", "c"}
+
+
+def test_build_vocab_rank_is_parallel_and_layout_invariant(spark):
+    """r7 rewrite of the r6-flagged single-partition rank window: ids come
+    from a range-repartitioned per-partition row_number plus collected
+    offsets. Must (a) assign the SAME ids under any input partitioning —
+    the position in the total order is boundary-invariant — and (b) emit
+    no globally-ordered (empty partitionBy) window in the plan."""
+    import random
+
+    from jsonify2ai_spark.operators.textstats import build_vocab
+
+    random.seed(11)
+    toks = [f"t{i:03d}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(random.choice(toks) for _ in range(30)))
+            for i in range(500)
+        ],
+        "doc_id long, text string",
+    )
+    layouts = [docs, docs.repartition(13), docs.coalesce(1)]
+    results = {
+        tuple(
+            tuple(r) for r in build_vocab(d, min_count=1).orderBy("token_id").collect()
+        )
+        for d in layouts
+    }
+    assert len(results) == 1, "token ids moved with input partitioning"
+    (rows,) = results
+    assert [r[1] for r in rows] == list(range(1, len(rows) + 1))  # dense 1..V
+    out = build_vocab(docs)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for frag in plan.split("Window [")[1:]:
+        spec = frag.split("windowspecdefinition(")[1]
+        assert spec.startswith("_pid"), "global-sort window reappeared"
