@@ -16,9 +16,18 @@ boundary — had no corpus-growth curve. This probe runs:
 - checkpoint footprint: total localCheckpoint RDD bytes after the full
   chain (the materialization the ~8x-subtree-recompute fix pays for).
 
-Corpus = sf0.1 documents replicated with per-replica perturbation
-(bench_posting_scale.replicated_docs — replicas near-dup their base, the
-honest regime: the near-dedup stage does real cluster work).
+Corpus regime matters here: bench_posting_scale.replicated_docs grows the
+near-dup CLUSTER SIZE with the corpus (every replica of a base doc
+near-dups every other), so LSH pair generation — quadratic in cluster
+size by construction — would dominate and measure the duplication factor,
+not the chain. A real 16x-bigger corpus has a roughly CONSTANT
+duplication rate, so this probe builds bounded-cluster replicas: every
+group of ``CLUSTER`` consecutive replicas shares a group token injected
+between EVERY word (group g's shingles all contain g<g> — zero jaccard
+across groups), while the members within a group differ by one appended
+token (jaccard ~0.9, true near-dups). Cluster size stays 4 at every
+corpus size; scale comes from MORE clusters. The unbounded regime is the
+posting-scale probe's subject, with df_cap as the production mitigation.
 
 Usage: python bench_pipeline_scale.py [sizes...] (default 100000 400000 1600000)
 Prints one JSON line per cell; record the table in PERF.md.
@@ -31,8 +40,44 @@ import time
 
 from pyspark.sql import functions as F
 
-from bench_posting_scale import replicated_docs
-from jsonify2ai_spark.session import get_spark
+from jsonify2ai_spark.session import get_spark, load_tables
+
+CLUSTER = 4  # near-dup cluster size, CONSTANT across corpus sizes
+
+
+def bounded_cluster_docs(spark, n_target: int):
+    """sf0.1 documents replicated so every near-dup cluster has exactly
+    ``CLUSTER`` members regardless of corpus size (see module docstring)."""
+    base = load_tables(spark, "/root/testdata/sf0.1", ["documents"])["documents"]
+    n_base = base.count()
+    k = (n_target + n_base - 1) // n_base
+    reps = spark.range(k).select(F.col("id").alias("rep"))
+    # group-within-doc: only replicas of the SAME base doc share text, so
+    # the marker only needs to separate rep-groups of one doc (<= k/CLUSTER
+    # values — 1-2 digits, so mean word length stays inside the Gopher
+    # band and no single token dominates the counts)
+    group = (F.col("rep") / CLUSTER).cast("bigint")
+    variant = (F.col("rep") % CLUSTER).cast("int")
+    return (
+        base.select("doc_id", "text").crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.concat(
+                # suffix EVERY word with the group id: every shingle
+                # carries it, cross-group jaccard ~0, clusters stay at
+                # CLUSTER members; word identities stay distinct so the
+                # quality/repetition stages see normal text
+                F.regexp_replace(
+                    F.col("text"), r"(\S+)",
+                    F.concat(F.lit("$1g"), group),
+                ),
+                F.lit(" v"), variant,
+            ).alias("text"),
+        )
+        .limit(n_target)
+        .repartition(64)
+        .localCheckpoint(eager=True)
+    )
 
 
 def checkpoint_bytes(spark) -> int:
@@ -64,7 +109,7 @@ def main() -> None:
     )
 
     batch = (
-        replicated_docs(spark, 4_000)
+        bounded_cluster_docs(spark, 4_000)
         .select(
             (F.col("doc_id") + 500_000_000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" qb")).alias("text"),
@@ -73,7 +118,7 @@ def main() -> None:
     )
 
     for n in sizes:
-        docs = replicated_docs(spark, n)
+        docs = bounded_cluster_docs(spark, n)
         prev = None
         for label, kw in STAGES:
             t0 = time.time()

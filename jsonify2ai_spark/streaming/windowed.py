@@ -506,3 +506,91 @@ class BoilerplateLineGate:
 
     def close(self) -> None:
         self._hot.unpersist()
+
+
+class DecontaminationGate:
+    """Streaming face of :func:`~jsonify2ai_spark.operators.dedup.
+    decontaminate` (the GPT-3/PaLM benchmark n-gram rule, q60/q95): drop
+    every micro-batch document sharing any word ``n``-gram with a static
+    benchmark/eval corpus — the gate an ingestion stream runs so leaked
+    eval data never reaches a training table. Sits naturally between
+    CorpusNearDupGate (whole-doc near-dups) and BoilerplateLineGate
+    (line chrome) in a streaming prep chain.
+
+    Per-batch cost contract: the benchmark shingle set is built ONCE
+    (eval sets are tiny next to an ingest stream), distinct-ed, persisted,
+    and broadcast into every batch — per-batch work is one shingle
+    explode of the BATCH plus a broadcast semi-probe, map-only except the
+    per-doc any-match aggregate. ``normalize=True`` applies the ASCII
+    lowercase/collapse form on BOTH sides (the batch side inherits the
+    operator's empty-shingle guard, so non-ASCII batch docs are never
+    false-positived — the r7 decontaminate fix).
+
+    Use: ``gate = DecontaminationGate(bench_df)``, then
+    ``gate.filter_batch(batch_df)`` inside foreachBatch (or
+    ``stream.writeStream.foreachBatch(gate.foreach_batch(append_fn))``).
+    ``close()`` releases the persisted shingle set.
+    """
+
+    def __init__(
+        self,
+        benchmark: DataFrame,
+        n: int = 8,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        bench_text_col: str = "text",
+        normalize: bool = False,
+    ) -> None:
+        from jsonify2ai_spark.functions.text import shingles
+
+        self._n = n
+        self._text_col = text_col
+        self._id_col = id_col
+        self._normalize = normalize
+        self._bsh = (
+            benchmark.select(
+                F.explode(
+                    shingles(self._prep(F.col(bench_text_col)), n)
+                ).alias("sh")
+            )
+            .filter(F.col("sh") != "")
+            .distinct()
+            .persist()
+        )
+        self._bsh.count()  # materialize before the first trigger
+
+    def _prep(self, c):
+        if not self._normalize:
+            return c
+        return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+    def filter_batch(self, batch: DataFrame) -> DataFrame:
+        """Rows of ``batch`` sharing NO n-gram with the benchmark set
+        (docs too short to shingle, or empty under normalization, pass —
+        no n-gram evidence exists against them)."""
+        from jsonify2ai_spark.functions.text import shingles
+
+        idc = self._id_col
+        ex = batch.select(
+            F.col(idc),
+            F.explode(
+                shingles(self._prep(F.col(self._text_col)), self._n)
+            ).alias("sh"),
+        ).filter(F.col("sh") != "")
+        dirty = (
+            ex.join(F.broadcast(self._bsh), "sh", "left_semi")
+            .select(idc)
+            .distinct()
+        )
+        return batch.join(dirty, idc, "left_anti")
+
+    def foreach_batch(self, append):
+        """Wrap ``append(clean_df, batch_id)`` as a foreachBatch callable."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            append(self.filter_batch(batch), batch_id)
+
+        return _fn
+
+    def close(self) -> None:
+        self._bsh.unpersist()

@@ -755,3 +755,52 @@ def test_boilerplate_line_gate_parity_and_streaming(spark):
     (r2,) = gate.filter_batch(b2).collect()
     assert r2["text"] == "" and r2["n_kept"] == 0
     gate.close()
+
+
+def test_decontamination_gate_parity_and_reuse(spark):
+    """DecontaminationGate must (a) keep exactly the rows the batch
+    decontaminate operator scores contaminated=False, in both surface and
+    normalized modes, (b) serve multiple batches off the one persisted
+    benchmark shingle set, and (c) never false-positive a non-ASCII batch
+    doc against a punctuation-only benchmark row (the r7 empty-shingle
+    guard, inherited)."""
+    from jsonify2ai_spark.operators.dedup import decontaminate
+    from jsonify2ai_spark.streaming.windowed import DecontaminationGate
+
+    leaked = "what is the capital city of france in europe exactly"
+    bench = spark.createDataFrame(
+        [("WHAT... Is THE capital CITY, of FRANCE -- in EUROPE!! exactly",),
+         ("!!! ... ???",)],
+        "text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, leaked),
+            (2, "a completely unrelated document about spark plans here"),
+            (3, "这是一个完全中文的训练文档，没有任何拉丁字母在里面。"),
+        ],
+        "doc_id long, text string",
+    )
+    for normalize in (False, True):
+        gate = DecontaminationGate(bench, n=8, normalize=normalize)
+        want = {
+            r["doc_id"]
+            for r in decontaminate(batch, bench, n=8, normalize=normalize)
+            .filter(~F.col("contaminated"))
+            .collect()
+        }
+        got = {r["doc_id"] for r in gate.filter_batch(batch).collect()}
+        assert got == want, (normalize, got, want)
+        if normalize:
+            assert 1 not in got  # mangled benchmark caught
+        else:
+            assert 1 in got  # surface mode misses the re-cased leak
+        assert 3 in got  # non-ASCII doc never false-positived
+        # second batch against the same persisted artifacts
+        b2 = spark.createDataFrame(
+            [(10, leaked + " padded out"), (11, "clean row")],
+            "doc_id long, text string",
+        )
+        got2 = {r["doc_id"] for r in gate.filter_batch(b2).collect()}
+        assert (10 in got2) == (not normalize) and 11 in got2
+        gate.close()
