@@ -278,6 +278,56 @@ class BM25Index:
             .drop("_rn")
         )
 
+    def save(self, path: str) -> None:
+        """Persist the index durably: postings + doclens as parquet (the
+        postings repartitioned by term at write, so a load re-clusters for
+        free via the file layout) plus a one-row meta table for the
+        scalars. A serving restart then :meth:`load`\\ s in seconds instead
+        of re-tokenizing the corpus — at 100 TB the build is a batch job,
+        the load is a cache warm."""
+        spark = self._posts.sparkSession
+        self._posts.write.mode("overwrite").parquet(f"{path}/postings")
+        self._doclens.write.mode("overwrite").parquet(f"{path}/doclens")
+        spark.createDataFrame(
+            [
+                (
+                    self._n_docs,
+                    self._avgdl,
+                    self._k1,
+                    self._b,
+                    self._id_col,
+                    ",".join(self._attr_cols),
+                )
+            ],
+            "n_docs long, avgdl double, k1 double, b double, "
+            "id_col string, attr_cols string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "BM25Index":
+        """Rebuild a serving index from :meth:`save` output without
+        touching the corpus text. Scoring state is byte-identical to the
+        saved instance (scalars round-trip through parquet doubles;
+        df_t/tf/dl are integers), so topk parity holds across a restart —
+        test-pinned."""
+        meta = spark.read.parquet(f"{path}/meta").first()
+        obj = cls.__new__(cls)
+        obj._id_col = meta["id_col"]
+        obj._k1, obj._b = float(meta["k1"]), float(meta["b"])
+        obj._n_docs = int(meta["n_docs"])
+        obj._avgdl = float(meta["avgdl"])
+        obj._attr_cols = tuple(
+            c for c in (meta["attr_cols"] or "").split(",") if c
+        )
+        obj._posts = (
+            spark.read.parquet(f"{path}/postings")
+            .repartition(F.col("term"))
+            .persist()
+        )
+        obj._posts.count()
+        obj._doclens = spark.read.parquet(f"{path}/doclens").persist()
+        return obj
+
     def close(self) -> None:
         self._posts.unpersist()
         self._doclens.unpersist()

@@ -204,3 +204,37 @@ def test_bm25_index_query_plan_touches_cache_not_corpus(spark):
     # df_t is baked in at build: the per-query path needs NO window
     assert "Window" not in plan.split("InMemoryRelation")[0]
     idx.close()
+
+
+def test_bm25_index_save_load_roundtrip(spark, tmp_path):
+    """A loaded index must answer unfiltered, filtered, and batched
+    queries row-for-row like the instance that built it — a serving
+    restart costs a cache warm, never a corpus re-tokenize."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.textsearch import BM25Index
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"term{i % 7} common words here number{i % 3}", "a" if i % 2 else "b")
+            for i in range(60)
+        ],
+        "doc_id long, text string, kind string",
+    )
+    built = BM25Index(docs, attr_cols=("kind",))
+    built.save(str(tmp_path / "idx"))
+    loaded = BM25Index.load(spark, str(tmp_path / "idx"))
+    assert loaded.attr_cols == ("kind",)
+    q = "term3 common number1"
+    assert [tuple(r) for r in loaded.topk(q, k=5).collect()] == [
+        tuple(r) for r in built.topk(q, k=5).collect()
+    ]
+    pred = F.col("kind") == "a"
+    assert [tuple(r) for r in loaded.topk(q, k=5, filter=pred).collect()] == [
+        tuple(r) for r in built.topk(q, k=5, filter=pred).collect()
+    ]
+    want = sorted(tuple(r) for r in built.topk_batch([q, "number2"], k=3).collect())
+    got = sorted(tuple(r) for r in loaded.topk_batch([q, "number2"], k=3).collect())
+    assert got == want
+    built.close()
+    loaded.close()
