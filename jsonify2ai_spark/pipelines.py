@@ -133,11 +133,12 @@ def prepare_training_corpus(
 
 def prepare_incremental_batch(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
     method: str = "lsh",
+    gate=None,
     **prep_kwargs,
 ) -> DataFrame:
     """The append-only variant: prepare an incoming BATCH for appending to
@@ -146,21 +147,37 @@ def prepare_incremental_batch(
     1. :func:`prepare_training_corpus` runs on the batch alone (quality /
        repetition / batch-internal dedup / PII — everything that needs no
        corpus context; packing is disabled, the corpus's packer owns bins).
-    2. ``dedup_against`` then drops batch docs with a jaccard >= threshold
-       near-duplicate already in the corpus — the step neither full-corpus
-       pass covers. Default ``method="lsh"``: per-batch cost proportional
-       to the batch once the corpus-side signatures are precomputed;
-       ``"exact"`` for the oracle-grade bipartite join.
+    2. The corpus-side near-dup check drops batch docs with a jaccard >=
+       threshold near-duplicate already in the corpus — the step neither
+       full-corpus pass covers. Two forms:
+
+       - ``corpus=``: per-call ``dedup_against`` — rebuilds the corpus's
+         shingle artifacts EVERY call, so cost is corpus-linear
+         (bench_pipeline_scale measured 43 s -> 165 s for 4k-batch calls
+         as the corpus grew 400k -> 1.6M). Right for one-shot jobs and
+         the oracle twin (``method="exact"`` is the oracle-grade join).
+       - ``gate=``: a prebuilt :class:`~jsonify2ai_spark.streaming.
+         windowed.CorpusNearDupGate` — the corpus postings are built ONCE
+         at gate construction and every batch pays batch-proportional
+         cost (the measured-flat grid in PERF.md). The deployment shape
+         for a standing ingest loop; candidates are the exact posting
+         join, so decisions match ``method="exact"`` (test-pinned; an
+         un-df_capped gate — a df_cap trades candidate recall for
+         boilerplate safety exactly as in the batch operators).
 
     Returns the prepared, corpus-deduped batch rows — append them and run
     packing on the combined corpus's schedule.
     """
     from jsonify2ai_spark.operators.dedup import dedup_against
 
+    if (corpus is None) == (gate is None):
+        raise ValueError("pass exactly one of corpus= or gate=")
     prep_kwargs.setdefault("pack_budget", None)
     prepped = prepare_training_corpus(
         batch, id_col=id_col, text_col=text_col, **prep_kwargs
     ).localCheckpoint(eager=False)
+    if gate is not None:
+        return gate.filter_batch(prepped)
     verdict = dedup_against(
         prepped, corpus, threshold,
         text_col=text_col, id_col=id_col, method=method,

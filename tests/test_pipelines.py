@@ -73,6 +73,25 @@ def test_prepare_incremental_batch_drops_corpus_dups(spark, tables):
         kept = {r["doc_id"] for r in out.collect()}
         assert kept == {900002}, (method, kept)
 
+    # gate= form (r7): a prebuilt CorpusNearDupGate replaces the per-call
+    # corpus artifact rebuild; an un-df_capped gate's posting candidates
+    # are the exact method's, so decisions must agree
+    import pytest
+
+    from jsonify2ai_spark.streaming.windowed import CorpusNearDupGate
+
+    gate = CorpusNearDupGate(corpus, threshold=0.8)
+    out = prepare_incremental_batch(
+        batch, gate=gate, min_quality=0.0,
+        filter_repetitive=False, redact=False,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {900002}
+    gate.close()
+    with pytest.raises(ValueError, match="exactly one"):
+        prepare_incremental_batch(batch, corpus, gate=gate)
+    with pytest.raises(ValueError, match="exactly one"):
+        prepare_incremental_batch(batch)
+
 
 def test_keep_representatives_drops_cluster_members_only(spark):
     from jsonify2ai_spark.operators.dedup import keep_representatives
