@@ -467,7 +467,6 @@ def c4_filter(
     hash-matches.
     """
     t = _c(text_col)
-    lines = F.split(t, "\n")
     policy_line = lambda ln: F.lower(ln).contains("javascript") | F.lower(
         ln
     ).contains("cookie")
@@ -476,20 +475,34 @@ def c4_filter(
         & F.trim(ln).rlike("[.!?]$")
         & ~policy_line(ln)
     )
-    kept_text = F.concat_ws("\n", F.filter(lines, good_line))
-    # sentences of the CLEANED page; split('') is [''] so empty pages read 0
-    n_sent = F.size(F.split(kept_text, "[.!?]")) - 1
+
+    # let-bind the kept-line array via the single-element-transform trick
+    # (Catalyst does no CSE across HOF lambda bodies): good_line — a split
+    # + regex per line — would otherwise run once for n_good_lines, once
+    # for the sentence count (+0.26 s at sf0.1, bench-measured)
+    def _report(lines: Column) -> Column:
+        kept = F.filter(lines, good_line)
+        # sentences of the CLEANED page; split('') is [''] -> 0 sentences
+        n_sent = F.size(F.split(F.concat_ws("\n", kept), "[.!?]")) - 1
+        return F.struct(
+            F.size(lines).alias("nl"),
+            F.size(kept).alias("ng"),
+            F.size(F.filter(lines, policy_line)).alias("np"),
+            n_sent.alias("ns"),
+        )
+
+    rep = F.element_at(F.transform(F.array(F.split(t, "\n")), _report), 1)
+    n_lines = rep["nl"]
     # concat_ws swallows NULL args: re-impose NULL-in/NULL-out via n_lines
-    n_lines = F.size(lines)
-    n_sent = F.when(n_lines.isNotNull(), n_sent)
+    n_sent = F.when(n_lines.isNotNull(), rep["ns"])
     has_brace = t.contains("{")
     has_lorem = F.lower(t).contains("lorem ipsum")
     keep = (n_sent >= F.lit(min_sentences)) & ~has_brace & ~has_lorem
     return df.select(
         F.col(id_col),
         n_lines.alias("n_lines"),
-        F.size(F.filter(lines, good_line)).alias("n_good_lines"),
-        F.size(F.filter(lines, policy_line)).alias("n_policy_lines"),
+        rep["ng"].alias("n_good_lines"),
+        rep["np"].alias("n_policy_lines"),
         n_sent.alias("n_sentences"),
         has_brace.alias("has_brace"),
         has_lorem.alias("has_lorem"),
