@@ -1841,6 +1841,25 @@ def q105_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.topk(_SEARCH_QUERY, k=10, filter=F.col("doc_id") % 3 == 0)
 
 
+def q106_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (operators/dedup.py
+    remove_duplicate_spans, new r7 — the Lee et al. 2022 ExactSubstr rule
+    as a rewrite, completing the dedup family's flag->repair arc): every
+    token covered by an 8-token window occurring >= 2 times in the corpus
+    is cut; survivors reassemble in order. Corpus: documents plus a
+    doc_id%7==0 slice re-ingested with a prefix (classic syndication), so
+    each copied body is a shared span in BOTH its rows."""
+    from jsonify2ai_spark.operators.dedup import remove_duplicate_spans
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    syn = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 300_000).alias("doc_id"),
+        F.concat(F.lit("syndicated copy intro "), F.col("text")).alias("text"),
+    )
+    return remove_duplicate_spans(docs.unionByName(syn), n=8, min_df=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -1856,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- changed / new this round (r7): every edited operator gates first
         "q105_bm25_filtered": q105_bm25_filtered,  # NEW r7: filtered BM25 serving (first driver row)
+        "q106_span_dedup": q106_span_dedup,  # NEW r7: ExactSubstr span removal (first driver row)
         "q89_embedding_drift": q89_embedding_drift,  # changed r7: signed-zero canonicalization — 2 rounds red, the fix must gate
         "q74_embedding_stats": q74_embedding_stats,  # changed r7: signed-zero sweep
         "q83_label_coherence": q83_label_coherence,  # changed r7: signed-zero sweep
@@ -1909,8 +1929,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_overlap_pairs": q68_overlap_pairs,
         "q69_quantized_ivf": q69_quantized_ivf,
         "q70_per_source_cap": q70_per_source_cap,
-        "q71_gopher_filter": q71_gopher_filter,
         # ================= tail (entry 51+) =================
+        # q71 yielded its fill slot to q106 (new code gates first); it
+        # keeps its r8-gate claim with the rest of the r5 cohort below
+        "q71_gopher_filter": q71_gopher_filter,
         # r6-green cohort: one round out, rotates back r8
         "q93_syndication_capped": q93_syndication_capped,
         "q94_language_mix": q94_language_mix,
@@ -4242,4 +4264,47 @@ def oracle_sql() -> dict[str, str]:
             _SEARCH_QUERY, k=10,
             table="(SELECT * FROM documents WHERE doc_id % 3 = 0)",
         ),
+        # twin of dedup.remove_duplicate_spans over the syndicated corpus:
+        # positional 8-token window md5s, occurrence census (>= 2 = hot),
+        # per-doc hot starts, index-filtered token reassembly. DuckDB list
+        # lambdas index 1-based (Spark's 0-based) — the i-1 below aligns
+        # them; tk[i:i+7] is inclusive (8 tokens).
+        "q106_span_dedup": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 300000 AS doc_id,
+                     'syndicated copy intro ' || text AS text
+              FROM documents WHERE doc_id % 7 = 0
+            ), toks AS (
+              SELECT doc_id, {_DD_TOKENS.format(t="text")} AS tk FROM corpus
+            ), w AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(tk[i:i+7], ' ')) AS h
+              FROM (SELECT doc_id, tk,
+                           unnest(range(1, greatest(len(tk) - 8 + 2, 1))) AS i
+                    FROM toks)
+            ), census AS (
+              SELECT h FROM w GROUP BY h HAVING count(*) >= 2
+            ), starts AS (
+              SELECT doc_id, list(pos) AS ss
+              FROM w JOIN census USING (h) GROUP BY doc_id
+            ), joined AS (
+              SELECT t.doc_id, t.tk, coalesce(s.ss, []) AS ss
+              FROM toks t LEFT JOIN starts s USING (doc_id)
+            ), kept AS (
+              SELECT doc_id, tk,
+                     list_filter(tk, (x, i) ->
+                       len(list_filter(ss, s -> s <= i - 1
+                                           AND i - 1 <= s + 7)) = 0) AS ka
+              FROM joined
+            )
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(len(ka) AS BIGINT) AS n_kept,
+                   -- array_to_string([]) is NULL in DuckDB; Spark's
+                   -- concat_ws on an empty array is '' — align on ''
+                   coalesce(array_to_string(ka, ' '), '') AS text_dedup
+            FROM kept
+        """,
     }

@@ -1749,3 +1749,84 @@ def squeeze_repeated_lines(
         (res["n"] - F.size(res["kept"])).alias("n_squeezed"),
         F.md5(F.concat_ws("\n", res["kept"])).alias("cleaned_md5"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 50,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring span REMOVAL (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr rule):
+    every token covered by an ``n``-token window whose exact content
+    occurs >= ``min_df`` times in the corpus is cut out of the document;
+    the survivors reassemble in order. The q68/q28 fingerprint family
+    FLAGS shared verbatim runs; this operator performs the repair — the
+    form the paper shows beats document-level dedup for LM training.
+    (The paper's suffix array is a single-machine structure; the
+    distributed equivalent is this rolling window-hash census — same
+    decision rule for fixed n, expressed as joins/aggregations.)
+
+    Shape at scale: one map pass builds per-document positional window
+    hashes (md5 let-bound once per window, winnowing's idiom), ONE
+    shuffle counts window-hash occurrences (partial-agg; the census keeps
+    only hashes with count >= min_df, i.e. actual duplicates), one
+    semi-join marks each document's hot window STARTS, and the rewrite is
+    a per-document array fold. The token-coverage test is exists() over
+    the doc's own hot starts — O(T x H_doc) per document, with H_doc <= T
+    and text-sized rows, never corpus-sized state on any node. Documents
+    shorter than ``n`` tokens have no windows and pass through unchanged
+    (substring dedup has no evidence against them).
+
+    Output (scalar columns only): (id, n_tokens, n_kept, text_dedup) —
+    text reassembled with single spaces, the canonical form of the
+    whitespace tokenizer this engine uses everywhere.
+    """
+    toks = tokens(F.col(text_col))
+
+    def _wins(tk: Column) -> Column:
+        cnt = F.size(tk)
+        n_w = cnt - F.lit(n - 1)
+        seq = F.sequence(F.lit(1), n_w)
+        grams = F.transform(seq, lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, n))))
+        # sequence(1, 0) would count BACKWARDS ([1, 0]) — guard short docs
+        return F.when(n_w >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_tk"),
+        F.element_at(F.transform(F.array(toks), _wins), 1).alias("_ws"),
+    ).localCheckpoint(eager=False)  # census + rewrite both read it
+
+    w = base.select(F.col(id_col), F.posexplode("_ws").alias("pos", "h"))
+    census = (
+        w.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_df)
+        .select("h")
+    )
+    starts = (
+        w.join(census, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("_ss"))
+    )
+
+    joined = base.join(starts, id_col, "left").select(
+        F.col(id_col),
+        F.col("_tk"),
+        F.coalesce("_ss", F.array().cast("array<int>")).alias("_ss"),
+    )
+    kept_arr = F.filter(
+        F.col("_tk"),
+        lambda x, i: ~F.exists(
+            F.col("_ss"), lambda s: (s <= i) & (i <= s + F.lit(n - 1))
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("_tk").cast("bigint").alias("n_tokens"),
+        F.size(kept_arr).cast("bigint").alias("n_kept"),
+        F.concat_ws(" ", kept_arr).alias("text_dedup"),
+    )

@@ -1900,3 +1900,38 @@ def test_build_vocab_rank_is_parallel_and_layout_invariant(spark):
     for frag in plan.split("Window [")[1:]:
         spec = frag.split("windowspecdefinition(")[1]
         assert spec.startswith("_pid"), "global-sort window reappeared"
+
+
+def test_remove_duplicate_spans_exactsubstr_rule(spark):
+    """Lee et al. ExactSubstr semantics: tokens covered by an n-token
+    window occurring >= min_df times anywhere in the corpus are cut,
+    unique content survives in order, short docs pass through untouched,
+    and a doc that was ALL duplicate reads n_kept=0 with empty text (the
+    row survives — total over input)."""
+    from jsonify2ai_spark.operators.dedup import remove_duplicate_spans
+
+    boiler = "all rights reserved contact us for terms of service details"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha words here {boiler} and more unique beta content"),
+            (2, f"other gamma stuff {boiler} trailing delta text"),
+            (3, "completely unrelated clean document content"),
+            (4, "short doc"),
+            (5, boiler),  # exactly the shared 10-token span, nothing else
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, n=10, min_df=2).collect()}
+    assert len(out) == 5
+    assert out[1]["text_dedup"] == "unique alpha words here and more unique beta content"
+    assert out[2]["text_dedup"] == "other gamma stuff trailing delta text"
+    assert out[3]["text_dedup"] == "completely unrelated clean document content"
+    assert out[3]["n_kept"] == out[3]["n_tokens"] == 5
+    assert out[4]["text_dedup"] == "short doc"  # < n tokens: no windows
+    assert out[5]["n_kept"] == 0 and out[5]["text_dedup"] == ""
+    # min_df above the occurrence count -> nothing is hot, all pass
+    clean = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, n=10, min_df=4).collect()
+    }
+    assert all(clean[i]["n_kept"] == clean[i]["n_tokens"] for i in clean)
