@@ -1935,3 +1935,86 @@ def test_remove_duplicate_spans_exactsubstr_rule(spark):
         for r in remove_duplicate_spans(docs, n=10, min_df=4).collect()
     }
     assert all(clean[i]["n_kept"] == clean[i]["n_tokens"] for i in clean)
+
+
+def test_train_bpe_matches_python_reference(spark):
+    """Differential: the distributed BPE trainer must learn the SAME merge
+    list, in the same order, as a pure-Python Sennrich-style reference
+    with the identical (count desc, pair asc) tie-break — and bpe_encode
+    must reproduce the reference encoding token-for-token."""
+    import re
+    from collections import Counter
+
+    from jsonify2ai_spark.operators.bpe import EOW, bpe_encode, train_bpe
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a cat and a mat and a hat",
+        "hats and mats and cats",
+        "the the the hat",
+    ]
+
+    def py_train(num_merges):
+        wf = Counter()
+        for t in texts:
+            for w in re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", t.lower()):
+                wf[w] += 1
+        vocab = {tuple(list(w) + [EOW]): c for w, c in wf.items()}
+        merges = []
+        for _ in range(num_merges):
+            pc = Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += c
+            if not pc:
+                break
+            top = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if top[1] < 2:
+                break
+            (a, b), _ = top
+            merges.append((a, b))
+            new = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new[tuple(out)] = new.get(tuple(out), 0) + c
+            vocab = new
+        return merges
+
+    def py_encode(text, merges):
+        out = []
+        for w in re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", text.lower()):
+            syms = list(w) + [EOW]
+            for a, b in merges:
+                res, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                syms = res
+            out.extend(syms)
+        return out
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    want = py_train(12)
+    got = train_bpe(df, num_merges=12)
+    assert got == want, (got, want)
+    assert len(got) >= 8  # the corpus genuinely supports that many merges
+    enc = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(df, got).select("doc_id", "bpe_tokens").collect()
+    }
+    for i, t in enumerate(texts):
+        assert enc[i] == py_encode(t, got), (i, enc[i])
+    # layout invariance: same merges from any partitioning
+    assert train_bpe(df.repartition(7), num_merges=12) == want
