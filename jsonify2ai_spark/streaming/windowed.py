@@ -594,3 +594,118 @@ class DecontaminationGate:
 
     def close(self) -> None:
         self._bsh.unpersist()
+
+
+class SpanDedupGate:
+    """Streaming face of :func:`~jsonify2ai_spark.operators.dedup.
+    remove_duplicate_spans` (the Lee et al. ExactSubstr rewrite): REWRITE
+    every micro-batch document by cutting tokens covered by an ``n``-token
+    window whose exact content occurs >= ``min_df`` times in a STATIC
+    reference corpus — so verbatim corpus material (syndicated bodies,
+    license blocks, quoted boilerplate) never re-enters through the
+    ingest stream. Completes the streaming clean chain:
+    CorpusNearDupGate (whole docs) -> SpanDedupGate (verbatim spans) ->
+    BoilerplateLineGate (line chrome) -> DecontaminationGate (eval leaks).
+
+    Per-batch cost contract: the corpus's HOT window-hash set (occurrence
+    count >= min_df — duplicated-content-sized, far smaller than the
+    corpus postings) is built once, persisted, and broadcast; per-batch
+    work is one positional window-hash pass over the BATCH, the broadcast
+    semi-probe, and a per-document array fold — proportional to the
+    batch, never the corpus.
+
+    Note the semantics: hotness is judged against the CORPUS alone (the
+    gate family's static-artifact contract); batch-internal duplicate
+    spans are the batch operator's job before appending.
+    """
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        n: int = 50,
+        min_df: int = 2,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        self._n = n
+        self._text_col = text_col
+        self._id_col = id_col
+        self._hot = (
+            self._windows(corpus)
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= min_df)
+            .select("h")
+            .persist()
+        )
+        self._hot.count()  # materialize before the first trigger
+
+    def _windows(self, df: DataFrame) -> DataFrame:
+        """(id, pos, h): positional n-token window hashes, the exact
+        construction of the batch operator (md5 let-bound once)."""
+        from jsonify2ai_spark.functions.text import tokens
+
+        n = self._n
+
+        def _wins(tk):
+            n_w = F.size(tk) - F.lit(n - 1)
+            grams = F.transform(
+                F.sequence(F.lit(1), n_w),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(tk, i, n))),
+            )
+            return F.when(n_w >= 1, grams).otherwise(
+                F.array().cast("array<string>")
+            )
+
+        toks = tokens(F.col(self._text_col))
+        return df.select(
+            F.col(self._id_col),
+            F.posexplode(
+                F.element_at(F.transform(F.array(toks), _wins), 1)
+            ).alias("pos", "h"),
+        )
+
+    def filter_batch(self, batch: DataFrame) -> DataFrame:
+        """Rewrite ``batch``: corpus-duplicated spans removed, order kept.
+        Output: (id, n_tokens, n_kept, text_dedup) — the batch operator's
+        schema."""
+        from jsonify2ai_spark.functions.text import tokens
+
+        idc, n = self._id_col, self._n
+        starts = (
+            self._windows(batch)
+            .join(F.broadcast(self._hot), "h", "left_semi")
+            .groupBy(idc)
+            .agg(F.array_sort(F.collect_list("pos")).alias("_ss"))
+        )
+        base = batch.select(
+            F.col(idc), tokens(F.col(self._text_col)).alias("_tk")
+        )
+        joined = base.join(starts, idc, "left").select(
+            F.col(idc),
+            F.col("_tk"),
+            F.coalesce("_ss", F.array().cast("array<int>")).alias("_ss"),
+        )
+        kept = F.filter(
+            F.col("_tk"),
+            lambda x, i: ~F.exists(
+                F.col("_ss"), lambda s: (s <= i) & (i <= s + F.lit(n - 1))
+            ),
+        )
+        return joined.select(
+            F.col(idc),
+            F.size("_tk").cast("bigint").alias("n_tokens"),
+            F.size(kept).cast("bigint").alias("n_kept"),
+            F.concat_ws(" ", kept).alias("text_dedup"),
+        )
+
+    def foreach_batch(self, append):
+        """Wrap ``append(clean_df, batch_id)`` as a foreachBatch callable."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            append(self.filter_batch(batch), batch_id)
+
+        return _fn
+
+    def close(self) -> None:
+        self._hot.unpersist()

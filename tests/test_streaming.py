@@ -804,3 +804,46 @@ def test_decontamination_gate_parity_and_reuse(spark):
         got2 = {r["doc_id"] for r in gate.filter_batch(b2).collect()}
         assert (10 in got2) == (not normalize) and 11 in got2
         gate.close()
+
+
+def test_span_dedup_gate_cuts_corpus_spans_only(spark):
+    """SpanDedupGate: a batch doc quoting a span duplicated IN THE CORPUS
+    loses exactly that span; batch-internal duplication alone does not
+    fire (static-artifact contract); unique docs pass through; the hot
+    set serves multiple batches."""
+    from jsonify2ai_spark.streaming.windowed import SpanDedupGate
+
+    boiler = "all rights reserved contact us for terms of service details"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"first corpus doc body {boiler} more text here"),
+            (2, f"second corpus doc {boiler} trailing words"),
+            (3, "unique corpus content nothing shared anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    gate = SpanDedupGate(corpus, n=10, min_df=2)
+    batch = spark.createDataFrame(
+        [
+            (100, f"incoming doc quoting {boiler} plus novel material"),
+            (101, "entirely novel incoming document content here"),
+            # batch-internal duplicate span, absent from the corpus:
+            (102, "repeat me repeat me special sequence one two three four five six"),
+            (103, "repeat me repeat me special sequence one two three four five six"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gate.filter_batch(batch).collect()}
+    assert out[100]["text_dedup"] == "incoming doc quoting plus novel material"
+    assert out[100]["n_tokens"] - out[100]["n_kept"] == 10
+    assert out[101]["n_kept"] == out[101]["n_tokens"]
+    # corpus-static contract: batch-internal dup spans are NOT corpus-hot
+    assert out[102]["n_kept"] == out[102]["n_tokens"]
+    assert out[103]["n_kept"] == out[103]["n_tokens"]
+    # second batch, same artifacts
+    b2 = spark.createDataFrame(
+        [(200, f"{boiler} standalone")], "doc_id long, text string"
+    )
+    (r2,) = gate.filter_batch(b2).collect()
+    assert r2["text_dedup"] == "standalone"
+    gate.close()
