@@ -2018,3 +2018,45 @@ def test_train_bpe_matches_python_reference(spark):
         assert enc[i] == py_encode(t, got), (i, enc[i])
     # layout invariance: same merges from any partitioning
     assert train_bpe(df.repartition(7), num_merges=12) == want
+
+
+def test_quality_classifier_separates_and_scores_maponly(spark):
+    """The learned quality filter must (a) separate clearly-distinct seed
+    distributions, (b) score deterministically, (c) stay map-only at
+    scoring time (no Exchange in the plan), and (d) filter by threshold."""
+    import random
+
+    from jsonify2ai_spark.operators.quality_model import (
+        quality_filter,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    random.seed(5)
+    goodw = ["analysis", "theorem", "method", "result", "evidence", "study"]
+    badw = ["click", "buy", "cheap", "winner", "free", "subscribe"]
+    mk = lambda ws: " ".join(random.choice(ws) for _ in range(30))
+    good = spark.createDataFrame([(mk(goodw),) for _ in range(40)], "text string")
+    bad = spark.createDataFrame([(mk(badw),) for _ in range(40)], "text string")
+    model = train_quality_classifier(good, bad, dim=512)
+
+    test = spark.createDataFrame(
+        [
+            (1, mk(goodw)),
+            (2, mk(badw)),
+            (3, None),  # NULL text must not crash the featurizer
+        ],
+        "doc_id long, text string",
+    )
+    scored = score_quality(test, model, dim=512)
+    rows = {r["doc_id"]: r["quality_prob"] for r in scored.collect()}
+    assert rows[1] > 0.9 and rows[2] < 0.1
+    assert 0.0 <= rows[3] <= 1.0  # empty features -> intercept-only score
+    # determinism
+    rows2 = {r["doc_id"]: r["quality_prob"] for r in score_quality(test, model, dim=512).collect()}
+    assert rows == rows2
+    # scoring is map-only: no shuffle in the plan
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    kept = {r["doc_id"] for r in quality_filter(test, model, threshold=0.5, dim=512).collect()}
+    assert 1 in kept and 2 not in kept
