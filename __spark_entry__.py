@@ -1860,6 +1860,28 @@ def q106_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs.unionByName(syn), n=8, min_df=2)
 
 
+def q107_ivf_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health report (operators/ann.py ivf_health_report, new
+    r7): per coarse cell, member count, fill fraction, and cohesion (mean
+    / min cosine to the cell's own centroid) — the re-train-the-quantizer
+    go/no-go for an append-maintained index (build_quantized_ivf appends
+    are map-only, so skew and drift accumulate silently). Same
+    deterministic first-K centroids as q25; stable-decimal means through
+    the signed-zero canonicalizer."""
+    from jsonify2ai_spark.operators.ann import ivf_health_report
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    cents = (
+        emb.filter(F.col("vec_id") < _IVF_K_CENTROIDS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cents]
+    return ivf_health_report(emb, centroids)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -1876,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed / new this round (r7): every edited operator gates first
         "q105_bm25_filtered": q105_bm25_filtered,  # NEW r7: filtered BM25 serving (first driver row)
         "q106_span_dedup": q106_span_dedup,  # NEW r7: ExactSubstr span removal (first driver row)
+        "q107_ivf_health": q107_ivf_health,  # NEW r7: IVF cell health report (first driver row)
         "q89_embedding_drift": q89_embedding_drift,  # changed r7: signed-zero canonicalization — 2 rounds red, the fix must gate
         "q74_embedding_stats": q74_embedding_stats,  # changed r7: signed-zero sweep
         "q83_label_coherence": q83_label_coherence,  # changed r7: signed-zero sweep
@@ -1928,10 +1951,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_quantized_search": q67_quantized_search,
         "q68_overlap_pairs": q68_overlap_pairs,
         "q69_quantized_ivf": q69_quantized_ivf,
-        "q70_per_source_cap": q70_per_source_cap,
         # ================= tail (entry 51+) =================
-        # q71 yielded its fill slot to q106 (new code gates first); it
-        # keeps its r8-gate claim with the rest of the r5 cohort below
+        # q70/q71 yielded their fill slots to q106/q107 (new code gates
+        # first); they keep their r8-gate claim with the r5 cohort below
+        "q70_per_source_cap": q70_per_source_cap,
         "q71_gopher_filter": q71_gopher_filter,
         # r6-green cohort: one round out, rotates back r8
         "q93_syndication_capped": q93_syndication_capped,
@@ -4306,5 +4329,41 @@ def oracle_sql() -> dict[str, str]:
                    -- concat_ws on an empty array is '' — align on ''
                    coalesce(array_to_string(ka, ' '), '') AS text_dedup
             FROM kept
+        """,
+        # twin of ann.ivf_health_report: q25's first-K-centroid assignment
+        # machinery, then per-cell stable-decimal cohesion means + a
+        # K-row window for the fill fraction; + 0.0 canonicalizes zeros
+        "q107_ivf_health": f"""
+            WITH cents AS (
+              SELECT vec_id AS cid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings WHERE vec_id < {_IVF_K_CENTROIDS}
+            ), e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings WHERE embedding IS NOT NULL
+            ), assigned AS (
+              SELECT vec_id, cluster, cosv FROM (
+                SELECT e.vec_id, c.cid AS cluster,
+                       {_dd_cosine("e.v", "c.cv")} AS cosv,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_dd_cosine("e.v", "c.cv")} DESC, c.cid
+                       ) AS rn
+                FROM e CROSS JOIN cents c)
+              WHERE rn = 1
+            ), agg AS (
+              SELECT cluster,
+                     CAST(count(*) AS BIGINT) AS n,
+                     round({_dd_stable_avg("cosv")}, 4) + 0.0
+                         AS mean_cos_to_centroid,
+                     round(min(cosv), 4) + 0.0 AS min_cos_to_centroid
+              FROM assigned GROUP BY cluster
+            )
+            SELECT CAST(cluster AS INT) AS cluster, n,
+                   round(CAST(n AS DOUBLE) / sum(n) OVER (), 4) + 0.0
+                       AS fill_frac,
+                   mean_cos_to_centroid, min_cos_to_centroid
+            FROM agg
         """,
     }

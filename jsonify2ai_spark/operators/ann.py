@@ -388,3 +388,63 @@ def ivf_topk(
     if round_to is not None:
         out = out.withColumn("score", F.round("score", round_to))
     return out
+
+
+def ivf_health_report(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF index HEALTH: per cell, the member count, fill fraction, and
+    cohesion (mean / min cosine of members to their own centroid) — the
+    "re-train the coarse quantizer?" go/no-go an append-maintained index
+    needs (build_quantized_ivf appends are map-only, so cells silently
+    skew and drift as the data distribution moves: an over-full cell makes
+    its probes expensive, a low-cohesion cell bleeds recall; this report
+    is the operational signal for both, the index-side sibling of
+    embedding_drift's re-embed check).
+
+    One map pass (K cosines per row, the let-bound centroid_scores
+    expression — impl="expr", engine-replayable) and one K-row aggregate.
+    Means are order-stable decimal sums rounded through the signed-zero
+    canonicalizer, so the report hash-matches its DuckDB twin.
+    """
+    from jsonify2ai_spark.operators.inventory import _round_z, _stable_avg
+
+    base = df.filter(F.col(vector_col).isNotNull()).select(
+        F.col(id_col), F.col(vector_col).cast("array<double>").alias("_v")
+    )
+    sims = centroid_scores(F.col("_v"), centroids)
+    # bind the K-cosine array once: cluster AND own-cosine both read it
+    scored = base.select(
+        F.col(id_col),
+        F.element_at(
+            F.transform(
+                F.array(sims),
+                lambda s: F.struct(
+                    (F.array_position(s, F.array_max(s)) - 1)
+                    .cast("int")
+                    .alias("cluster"),
+                    F.array_max(s).alias("cos_own"),
+                ),
+            ),
+            1,
+        ).alias("_a"),
+    ).select(F.col(id_col), F.col("_a.cluster"), F.col("_a.cos_own"))
+    from pyspark.sql import Window
+
+    agg = scored.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _round_z(_stable_avg(F.col("cos_own")), 4).alias("mean_cos_to_centroid"),
+        _round_z(F.min("cos_own"), 4).alias("min_cos_to_centroid"),
+    )
+    # fill fraction from a window over the K-ROW aggregate (K = |centroids|
+    # — a global frame here is K rows, not a corpus sort; avoids a second
+    # pass over the vectors for the total)
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        agg.withColumn("fill_frac", _round_z(F.col("n") / total, 4))
+        .select("cluster", "n", "fill_frac", "mean_cos_to_centroid", "min_cos_to_centroid")
+        .orderBy("cluster")
+    )

@@ -219,3 +219,41 @@ def test_lsh_similarity_join_recall(tables):
     if exact:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.8, f"recall {recall}: {len(exact)} exact, {len(approx)} approx"
+
+
+def test_ivf_health_report_semantics(tables, spark):
+    """Per-cell health: counts sum to the corpus, fill fractions to ~1,
+    each cell's members genuinely assign there (parity with ivf_assign),
+    and a deliberately skewed corpus shows the imbalance the report
+    exists to surface."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.ann import ivf_assign, ivf_health_report
+
+    emb = tables["embeddings"]
+    cents = _centroids(tables)
+    rows = ivf_health_report(emb, cents).collect()
+    n_vecs = emb.filter(F.col("embedding").isNotNull()).count()
+    assert sum(r["n"] for r in rows) == n_vecs
+    assert abs(sum(r["fill_frac"] for r in rows) - 1.0) < 0.01
+    counts = {
+        r["cluster"]: r["cnt"]
+        for r in ivf_assign(emb.filter(F.col("embedding").isNotNull()), cents)
+        .groupBy("cluster").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert {r["cluster"]: r["n"] for r in rows} == counts
+    for r in rows:
+        assert r["min_cos_to_centroid"] <= r["mean_cos_to_centroid"] <= 1.0
+    # skew surfaces: every vector near centroid 0 -> one over-full cell
+    base = [1.0, 0.0, 0.0, 0.0]
+    skew = spark.createDataFrame(
+        [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    crowded = {
+        r["cluster"]: r
+        for r in ivf_health_report(
+            skew, [base, [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+        ).collect()
+    }
+    assert set(crowded) == {0} and crowded[0]["fill_frac"] == 1.0
