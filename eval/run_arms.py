@@ -189,6 +189,22 @@ def main() -> int:
         "hit@1": _batch_hits(by_q, "qcos"),
     }
 
+    from jsonify2ai_spark.api import hybrid_topk_batch
+
+    hybrid_topk_batch(corpus, uniq_qs[:2], idx, k=5, dim=64).collect()
+    t0 = time.perf_counter()
+    rows = hybrid_topk_batch(corpus, uniq_qs, idx, k=5, dim=64).collect()
+    total = (time.perf_counter() - t0) * 1000.0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    batched["hybrid"] = {
+        "n": len(uniq_qs),
+        "total_ms": round(total, 1),
+        "per_q_ms": round(total / len(uniq_qs), 1),
+        "hit@1": _batch_hits(by_q, "score"),
+    }
+
     res["batched"] = batched
     with open(out, "w", encoding="utf-8") as f:
         json.dump(res, f, ensure_ascii=False, indent=2)

@@ -231,6 +231,77 @@ def hybrid_search(
     return _project_sources(out, k=k)
 
 
+def hybrid_topk_batch(
+    chunks: DataFrame,
+    queries: list[str],
+    bm25_index,
+    k: int = 5,
+    dim: int = 768,
+    embed=None,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """BATCHED hybrid retrieval: (query_id, id, score) — the per-query
+    rrf fusion of :func:`hybrid_search`, but ONE Spark job per retrieval
+    SYSTEM for the whole query set (query_id = position in ``queries``).
+    Completes the batched serving family (BM25Index.topk_batch,
+    quantized_ivf_topk_batch): the lexical arm is one topk_batch over the
+    persisted postings, the vector arm one broadcast of the embedded
+    query set into the corpus with per-query WindowGroupLimit top-k, and
+    the fusion a (query_id, id)-keyed outer join of two rank lists.
+    Row-for-row parity with per-query ``hybrid_search`` on an unfiltered
+    pool is test-pinned (filtered batches don't share one pool — filter
+    per query via ``hybrid_search``)."""
+    from pyspark.sql import Window
+
+    from jsonify2ai_spark.functions.vectors import cosine_similarity
+
+    spark = chunks.sparkSession
+    kk = max(k, 20)
+    embed_fn = embed or (lambda t: dev_embedding_py(t, dim=dim))
+
+    bm25 = bm25_index.topk_batch(queries, k=kk)
+    w_b = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("id").asc()
+    )
+    bm25_r = bm25.select(
+        "query_id", "id", F.row_number().over(w_b).alias("rank_bm25")
+    )
+
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in embed_fn(q)]) for i, q in enumerate(queries)],
+        "query_id int, _qv array<double>",
+    )
+    w_v = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    vec_r = (
+        F.broadcast(qdf)
+        .crossJoin(chunks.select("id", "vector"))
+        .withColumn("score", cosine_similarity(F.col("vector"), F.col("_qv")))
+        .withColumn("_rn", F.row_number().over(w_v))
+        .filter(F.col("_rn") <= kk)
+        .select("query_id", "id", F.col("_rn").alias("rank_vec"))
+    )
+
+    fused = bm25_r.join(vec_r, ["query_id", "id"], "full_outer").select(
+        "query_id",
+        "id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_bm25")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_vec")), F.lit(0.0)),
+            6,
+        ).alias("score"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        fused.withColumn("_rn", F.row_number().over(w_f))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def ask(
     chunks: DataFrame,
     question: str,

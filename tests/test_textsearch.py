@@ -238,3 +238,36 @@ def test_bm25_index_save_load_roundtrip(spark, tmp_path):
     assert got == want
     built.close()
     loaded.close()
+
+
+def test_hybrid_topk_batch_parity(spark):
+    """Batched hybrid must reproduce per-query hybrid_search's fused
+    (id, score) list for every query, paying one job per retrieval
+    SYSTEM instead of per query."""
+    from jsonify2ai_spark.api import hybrid_search, hybrid_topk_batch
+    from jsonify2ai_spark.operators.textsearch import BM25Index
+
+    rows = [
+        (f"c{i}", f"d{i}", f"/p/{i}", "text", 0,
+         f"spark query engine doc {i} " + ("merge join " * (i % 4)),
+         [0.05 * i, 0.3, 0.1 * (i % 3)])
+        for i in range(15)
+    ]
+    chunks = spark.createDataFrame(
+        rows,
+        "id string, document_id string, path string, kind string, idx int, "
+        "text string, vector array<double>",
+    )
+    idx = BM25Index(chunks, id_col="id")
+    queries = ["spark doc", "merge join engine", "zzz nothing here"]
+    got = {}
+    for r in hybrid_topk_batch(chunks, queries, idx, k=5, dim=3).collect():
+        got.setdefault(r["query_id"], []).append((r["id"], r["score"]))
+    for qi, q in enumerate(queries):
+        want = [
+            (r["id"], r["score"])
+            for r in hybrid_search(chunks, q, k=5, dim=3, bm25_index=idx).collect()
+        ]
+        batch = sorted(got.get(qi, []), key=lambda t: (-t[1], t[0]))
+        assert batch == want, (q, batch, want)
+    idx.close()
