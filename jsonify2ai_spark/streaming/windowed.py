@@ -709,3 +709,59 @@ class SpanDedupGate:
 
     def close(self) -> None:
         self._hot.unpersist()
+
+
+class StreamingPrepChain:
+    """Compose the streaming clean gates into ONE foreachBatch stage:
+    ``StreamingPrepChain([near_dup_gate, span_gate, line_gate,
+    decontamination_gate]).filter_batch(batch)`` applies each gate in
+    order — the streaming twin of pipelines.prepare_training_corpus's
+    corpus-context stages, with every gate keeping its own build-once
+    artifacts and per-batch cost contract.
+
+    The chain reconciles the two gate shapes: FILTER gates (near-dup,
+    decontamination) return surviving rows with the input schema and pass
+    straight through; REWRITE gates (span dedup, boilerplate lines)
+    return (id, rewritten text, counters) only — the chain joins the
+    rewritten text back onto the surviving rows' carry columns (a
+    broadcast-sized batch-keyed join), so downstream stages and the sink
+    see the full input schema with ``text`` updated. Order matters and is
+    the caller's choice — with one structural constraint: the span gate
+    is TOKEN-level and reassembles text with single spaces (newlines do
+    not survive), so LINE-level stages must run before it. Conventional
+    order: whole-doc near-dups -> boilerplate lines (line-level) ->
+    verbatim spans (token-level) -> eval-leak n-grams (token-level,
+    whitespace-insensitive).
+    """
+
+    def __init__(self, gates: list) -> None:
+        self._gates = list(gates)
+
+    def filter_batch(self, batch: DataFrame) -> DataFrame:
+        out = batch
+        for gate in self._gates:
+            res = gate.filter_batch(out)
+            idc = gate._id_col
+            if "text_dedup" in res.columns:  # SpanDedupGate shape
+                rewritten = res.select(
+                    F.col(idc), F.col("text_dedup").alias(gate._text_col)
+                )
+            elif set(res.columns) != set(out.columns):  # BoilerplateLineGate
+                rewritten = res.select(F.col(idc), F.col(gate._text_col))
+            else:  # filter gate: schema unchanged, rows subset
+                out = res
+                continue
+            out = out.drop(gate._text_col).join(rewritten, idc)
+        return out
+
+    def foreach_batch(self, append):
+        """Wrap ``append(clean_df, batch_id)`` as a foreachBatch callable."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            append(self.filter_batch(batch), batch_id)
+
+        return _fn
+
+    def close(self) -> None:
+        for gate in self._gates:
+            gate.close()

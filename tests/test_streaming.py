@@ -847,3 +847,62 @@ def test_span_dedup_gate_cuts_corpus_spans_only(spark):
     (r2,) = gate.filter_batch(b2).collect()
     assert r2["text_dedup"] == "standalone"
     gate.close()
+
+
+def test_streaming_prep_chain_composes_all_four_gates(spark):
+    """The composed chain must apply near-dup drop -> boilerplate-line
+    strip -> span rewrite -> decontamination drop in order, preserving
+    carry columns through the rewrite gates."""
+    from jsonify2ai_spark.streaming.windowed import (
+        BoilerplateLineGate,
+        CorpusNearDupGate,
+        DecontaminationGate,
+        SpanDedupGate,
+        StreamingPrepChain,
+    )
+
+    bp_line = "subscribe to our newsletter"
+    span = "all rights reserved contact us for terms of service details"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"corpus doc one body text {span} end portion here\n{bp_line}"),
+            (2, f"corpus doc two other words {span} closing bits now\n{bp_line}"),
+            (3, f"corpus doc three unique material entirely\n{bp_line}"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("never use this benchmark question sentence in training data ever",)],
+        "text string",
+    )
+    # line gate BEFORE the span gate: the span rewrite is token-level and
+    # flattens newlines, so line-level stages must see the text first
+    chain = StreamingPrepChain(
+        [
+            CorpusNearDupGate(corpus, threshold=0.8),
+            BoilerplateLineGate(corpus, max_line_df=2),
+            SpanDedupGate(corpus, n=10, min_df=2),
+            DecontaminationGate(bench, n=8),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dups corpus doc 1 -> dropped at stage 1
+            (100, f"corpus doc one body text {span} end portion here\n{bp_line}", "s1"),
+            # quotes the corpus span + a boilerplate line -> rewritten twice
+            (101, f"novel opening {span} novel middle\n{bp_line}\nnovel closing line", "s2"),
+            # leaks the benchmark -> dropped at stage 4
+            (102, "never use this benchmark question sentence in training data ever", "s3"),
+            # clean -> untouched
+            (103, "completely clean incoming document body", "s4"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r for r in chain.filter_batch(batch).collect()}
+    assert set(out) == {101, 103}
+    assert out[101]["source"] == "s2"  # carry column survived the rewrites
+    txt = out[101]["text"]
+    assert "rights reserved" not in txt and "subscribe" not in txt
+    assert "novel opening" in txt and "novel closing line" in txt
+    assert out[103]["text"] == "completely clean incoming document body"
+    chain.close()
