@@ -1882,6 +1882,22 @@ def q107_ivf_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_health_report(emb, centroids)
 
 
+def q108_reference_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-LM perplexity scoring (operators/textstats.py
+    unigram_logprob(reference=...), new r7): the ACTUAL CCNet recipe — a
+    unigram LM trained on a high-quality reference slice (doc_id%5==0,
+    the Wikipedia stand-in) scores the WHOLE corpus; low logprob = far
+    from the reference distribution, the keep/downsample signal. q61 is
+    the self-scored variant; this one exercises the fixed-vocabulary OOV
+    path (left join + count-0 smoothing) a cross-corpus model needs."""
+    from jsonify2ai_spark.operators.textstats import unigram_logprob
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    return unigram_logprob(docs, reference=ref)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -1899,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_bm25_filtered": q105_bm25_filtered,  # NEW r7: filtered BM25 serving (first driver row)
         "q106_span_dedup": q106_span_dedup,  # NEW r7: ExactSubstr span removal (first driver row)
         "q107_ivf_health": q107_ivf_health,  # NEW r7: IVF cell health report (first driver row)
+        "q108_reference_ppl": q108_reference_ppl,  # NEW r7: cross-corpus LM scoring (first driver row)
         "q89_embedding_drift": q89_embedding_drift,  # changed r7: signed-zero canonicalization — 2 rounds red, the fix must gate
         "q74_embedding_stats": q74_embedding_stats,  # changed r7: signed-zero sweep
         "q83_label_coherence": q83_label_coherence,  # changed r7: signed-zero sweep
@@ -1950,10 +1967,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_token_budget_mix": q66_token_budget_mix,
         "q67_quantized_search": q67_quantized_search,
         "q68_overlap_pairs": q68_overlap_pairs,
-        "q69_quantized_ivf": q69_quantized_ivf,
         # ================= tail (entry 51+) =================
-        # q70/q71 yielded their fill slots to q106/q107 (new code gates
-        # first); they keep their r8-gate claim with the r5 cohort below
+        # q69/q70/q71 yielded their fill slots to q106/q107/q108 (new code
+        # gates first); they keep their r8-gate claim with the r5 cohort
+        "q69_quantized_ivf": q69_quantized_ivf,
         "q70_per_source_cap": q70_per_source_cap,
         "q71_gopher_filter": q71_gopher_filter,
         # r6-green cohort: one round out, rotates back r8
@@ -4365,5 +4382,33 @@ def oracle_sql() -> dict[str, str]:
                        AS fill_frac,
                    mean_cos_to_centroid, min_cos_to_centroid
             FROM agg
+        """,
+        # twin of textstats.unigram_logprob(reference=doc_id%5==0 slice):
+        # q61's construction with the vocab/scalars from the REFERENCE and
+        # a LEFT join + count-0 smoothing for target words outside the
+        # reference vocabulary (the OOV path a cross-corpus model needs)
+        "q108_reference_ppl": f"""
+            WITH words AS (
+              SELECT doc_id, unnest({_DD_TOKENS.format(t="text")}) AS w FROM documents
+            ), dw AS (
+              SELECT doc_id, w, count(*) AS dc FROM words GROUP BY 1, 2
+            ), refw AS (
+              SELECT unnest({_DD_TOKENS.format(t="text")}) AS w
+              FROM documents WHERE doc_id % 5 = 0
+            ), vocab AS (
+              SELECT w, count(*) AS c FROM refw GROUP BY 1
+            ), totals AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM vocab
+            )
+            SELECT dw.doc_id,
+                   CAST(sum(dw.dc) AS BIGINT) AS n_tokens,
+                   round(sum(dw.dc * ln((coalesce(vocab.c, 0) + 1.0)
+                                        / (totals.n + 1.0 * totals.v)))
+                         / sum(dw.dc), 4) AS logprob_per_token,
+                   round(exp(-(sum(dw.dc * ln((coalesce(vocab.c, 0) + 1.0)
+                                              / (totals.n + 1.0 * totals.v)))
+                         / sum(dw.dc))), 4) AS ppl
+            FROM dw LEFT JOIN vocab USING (w) CROSS JOIN totals
+            GROUP BY dw.doc_id
         """,
     }

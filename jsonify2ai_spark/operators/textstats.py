@@ -246,21 +246,35 @@ def unigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 1.0,
+    reference: DataFrame | None = None,
+    ref_text_col: str | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality signal: per-document mean token
-    log-probability under the corpus's own Laplace-smoothed unigram model
-    (the cheap stand-in for the KenLM perplexity filter — documents far from
-    the corpus distribution score low and get dropped or down-sampled).
+    log-probability under a Laplace-smoothed unigram model (the cheap
+    stand-in for the KenLM perplexity filter — documents far from the
+    model distribution score low and get dropped or down-sampled).
 
-    ONE corpus scan: explode to (doc, word) counts, derive the global
-    vocabulary counts FROM that frame (lazy-checkpointed — it feeds both the
-    model and the join back), attach the two model scalars (total tokens N,
-    vocab size V) via a one-row broadcast, then a weighted per-doc mean of
-    ln((c_w + α) / (N + αV)). The vocabulary join is a plain shuffle join —
-    at 100 TB the vocab is ~1e8 rows, far too big to broadcast, and AQE
-    broadcasts it automatically when it is small. Output: (id, n_tokens,
-    logprob_per_token, ppl), rounded to 4dp so cross-engine libm ulp noise
-    cannot reach the oracle hash.
+    Two model sources:
+    - ``reference=None`` (default): the corpus's OWN distribution — the
+      self-scored outlier signal (q61).
+    - ``reference=<df>``: the model is trained on the REFERENCE corpus
+      and scores the target — the actual CCNet recipe (a Wikipedia-class
+      LM scoring raw crawl: low logprob = far from the high-quality
+      distribution, not merely unusual within itself). Target words
+      ABSENT from the reference vocabulary score as count-0 events,
+      ln(α / (N + αV)) with the reference's V — the standard
+      fixed-vocabulary Laplace treatment (left join + coalesce; an inner
+      join would silently DROP exactly the words that make a document
+      off-distribution).
+
+    ONE scan per corpus: explode to (doc, word) counts, vocabulary counts
+    from the model side (lazy-checkpointed — self mode reads it twice),
+    the two model scalars (total tokens N, vocab size V) via a one-row
+    broadcast, then a weighted per-doc mean. The vocabulary join is a
+    plain shuffle join — at 100 TB the vocab is ~1e8 rows, far too big to
+    broadcast, and AQE broadcasts it automatically when it is small.
+    Output: (id, n_tokens, logprob_per_token, ppl), rounded to 4dp so
+    cross-engine libm ulp noise cannot reach the oracle hash.
     """
     words = df.select(F.col(id_col), F.explode(tokens(_c(text_col))).alias("w"))
     dw = (
@@ -268,11 +282,25 @@ def unigram_logprob(
         .agg(F.count(F.lit(1)).alias("dc"))
         .localCheckpoint(eager=False)
     )
-    vocab = dw.groupBy("w").agg(F.sum("dc").alias("c")).localCheckpoint(eager=False)
+    if reference is None:
+        vocab = dw.groupBy("w").agg(F.sum("dc").alias("c")).localCheckpoint(eager=False)
+    else:
+        vocab = (
+            reference.select(
+                F.explode(tokens(_c(ref_text_col or text_col))).alias("w")
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     totals = vocab.agg(
         F.sum("c").cast("double").alias("N"), F.count(F.lit(1)).cast("double").alias("V")
     )
-    scored = dw.join(vocab, "w").crossJoin(F.broadcast(totals))
+    how = "inner" if reference is None else "left"
+    scored = (
+        dw.join(vocab, "w", how)
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+    )
     logp = F.log((F.col("c") + F.lit(alpha)) / (F.col("N") + F.lit(alpha) * F.col("V")))
     per_doc = scored.groupBy(id_col).agg(
         F.sum("dc").cast("bigint").alias("n_tokens"),

@@ -2060,3 +2060,40 @@ def test_quality_classifier_separates_and_scores_maponly(spark):
     assert "Exchange" not in plan
     kept = {r["doc_id"] for r in quality_filter(test, model, threshold=0.5, dim=512).collect()}
     assert 1 in kept and 2 not in kept
+
+
+def test_unigram_logprob_reference_mode_oov_semantics(spark):
+    """Cross-corpus LM scoring (CCNet): the model comes from the
+    REFERENCE; target words outside the reference vocab score as count-0
+    events under the reference's (N, V) instead of being dropped — a doc
+    of pure OOV must score ln(alpha/(N+alpha*V)) per token, and an
+    in-distribution doc must outscore an off-distribution one."""
+    import math
+
+    from jsonify2ai_spark.operators.textstats import unigram_logprob
+
+    ref = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quiet brown bear naps under the tall tree")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [
+            (10, "the brown fox naps"),          # fully in-vocab
+            (11, "zzz qqq www xxx"),             # fully OOV
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(target, reference=ref).collect()}
+    assert out[10]["logprob_per_token"] > out[11]["logprob_per_token"]
+    # reference stats: 18 tokens, V distinct; OOV scores ln(1/(N+V))
+    N = 18
+    V = len({w for r in [
+        "the quick brown fox jumps over the lazy dog",
+        "the quiet brown bear naps under the tall tree",
+    ] for w in r.split()})
+    assert out[11]["logprob_per_token"] == round(math.log(1.0 / (N + V)), 4)
+    assert out[11]["n_tokens"] == 4
+    # self mode unchanged: every word is in its own vocab
+    self_out = unigram_logprob(target).collect()
+    assert all(r["logprob_per_token"] is not None for r in self_out)
