@@ -714,3 +714,55 @@ def test_tokenizer_fertility_matches_python_model(docs):
         for r in tokenizer_fertility_report(df).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(  # documents as word lists over a small alphabet: collisions
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),  # window n
+)
+@settings(max_examples=8, deadline=None)
+def test_remove_duplicate_spans_matches_python_model(doc_words, n):
+    """Differential fuzz for q106: on random small-alphabet corpora (dense
+    window collisions by construction) the Spark ExactSubstr rewrite must
+    reproduce a pure-Python model of the rule: token kept iff no
+    >=min_df-occurrence n-window covers it."""
+    from collections import Counter
+
+    from jsonify2ai_spark.operators.dedup import remove_duplicate_spans
+
+    spark = _spark_session()
+    min_df = 2
+    wins = Counter()
+    for words in doc_words:
+        for i in range(len(words) - n + 1):
+            wins[tuple(words[i : i + n])] += 1
+    hot = {w for w, c in wins.items() if c >= min_df}
+    expected = {}
+    for di, words in enumerate(doc_words):
+        starts = [
+            i for i in range(len(words) - n + 1) if tuple(words[i : i + n]) in hot
+        ]
+        kept = [
+            w
+            for p, w in enumerate(words)
+            if not any(s <= p <= s + n - 1 for s in starts)
+        ]
+        expected[di] = (len(words), len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(doc_words)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text_dedup"])
+        for r in remove_duplicate_spans(df, n=n, min_df=min_df).collect()
+    }
+    assert got == expected
