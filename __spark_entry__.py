@@ -1898,6 +1898,18 @@ def q108_reference_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs, reference=ref)
 
 
+def q109_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-blocklist report (operators/textstats.py blocklist_filter, new
+    r7 — C4 §2.2's bad-words rule, completing the C4 set beside q97):
+    whole-token lowercased matching (substring matching is the classic
+    'class'-for-'ass' false positive), count + keep per document. The list
+    here is a deterministic stand-in; the mechanism is the contract."""
+    from jsonify2ai_spark.operators.textstats import blocklist_filter
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return blocklist_filter(t["documents"], words=["the", "la", "zzzabsent"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -1916,6 +1928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_span_dedup": q106_span_dedup,  # NEW r7: ExactSubstr span removal (first driver row)
         "q107_ivf_health": q107_ivf_health,  # NEW r7: IVF cell health report (first driver row)
         "q108_reference_ppl": q108_reference_ppl,  # NEW r7: cross-corpus LM scoring (first driver row)
+        "q109_blocklist": q109_blocklist,  # NEW r7: C4 bad-words rule (first driver row)
         "q89_embedding_drift": q89_embedding_drift,  # changed r7: signed-zero canonicalization — 2 rounds red, the fix must gate
         "q74_embedding_stats": q74_embedding_stats,  # changed r7: signed-zero sweep
         "q83_label_coherence": q83_label_coherence,  # changed r7: signed-zero sweep
@@ -1966,10 +1979,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_incremental_dedup": q65_incremental_dedup,
         "q66_token_budget_mix": q66_token_budget_mix,
         "q67_quantized_search": q67_quantized_search,
-        "q68_overlap_pairs": q68_overlap_pairs,
         # ================= tail (entry 51+) =================
-        # q69/q70/q71 yielded their fill slots to q106/q107/q108 (new code
-        # gates first); they keep their r8-gate claim with the r5 cohort
+        # q68-q71 yielded their fill slots to q106-q109 (new code gates
+        # first); they keep their r8-gate claim with the r5 cohort below
+        "q68_overlap_pairs": q68_overlap_pairs,
         "q69_quantized_ivf": q69_quantized_ivf,
         "q70_per_source_cap": q70_per_source_cap,
         "q71_gopher_filter": q71_gopher_filter,
@@ -4410,5 +4423,17 @@ def oracle_sql() -> dict[str, str]:
                          / sum(dw.dc))), 4) AS ppl
             FROM dw LEFT JOIN vocab USING (w) CROSS JOIN totals
             GROUP BY dw.doc_id
+        """,
+        # twin of textstats.blocklist_filter(scope="doc"): whole-token
+        # lowercased membership over the shared tokenizer
+        "q109_blocklist": f"""
+            SELECT doc_id,
+                   CAST(len(list_filter({_DD_TOKENS.format(t="text")},
+                        t -> lower(t) IN ('la', 'the', 'zzzabsent')))
+                        AS BIGINT) AS n_blocked_tokens,
+                   len(list_filter({_DD_TOKENS.format(t="text")},
+                        t -> lower(t) IN ('la', 'the', 'zzzabsent'))) = 0
+                       AS keep
+            FROM documents
         """,
     }

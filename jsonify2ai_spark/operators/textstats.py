@@ -1113,3 +1113,57 @@ def build_vocab(
     if max_vocab is not None:
         out = out.filter(F.col("token_id") <= max_vocab)
     return out.select("token", "token_id", "count")
+
+
+def blocklist_filter(
+    df: DataFrame,
+    words: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope: str = "doc",
+) -> DataFrame:
+    """Word-blocklist filter — the C4 §2.2 "bad words" rule (any page with
+    a word on the blocklist is removed) and its softer line-scoped
+    variant. The list is the caller's policy artifact (C4 used the public
+    "List of Dirty, Naughty, Obscene..." list); this operator is the
+    mechanism: matching is against whole TOKENS, lowercased (substring
+    matching would kill 'class' for 'ass' — the classic blocklist false
+    positive), using the same JVM tokenizer as every other operator.
+
+    ``scope="doc"``: per document, the count of blocked tokens and
+    ``keep`` = zero hits (the paper's semantics — output is a REPORT, the
+    caller filters on keep so audit and filter share one pass).
+    ``scope="line"``: lines containing a blocked token are REMOVED and
+    the text reassembled (n_lines/n_kept counters) — the
+    RefinedWeb-style softer policy that salvages the page.
+
+    Map-only either way: the blocklist compiles into one literal array
+    per plan (arrays_overlap / exists — blocklists are thousands of
+    words, far under expression-size hazards), so the filter rides any
+    ingest or prep scan with zero shuffles at any corpus size.
+    """
+    bl = F.array(*[F.lit(w.lower()) for w in sorted({w.lower() for w in words})])
+    if scope == "doc":
+        toks = F.transform(tokens(_c(text_col)), F.lower)
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(bl, t)))
+        # NULL text -> NULL counts, NULL keep (unmeasurable, kept for
+        # audit — the c4_filter totality contract)
+        return df.select(
+            F.col(id_col),
+            hits.cast("bigint").alias("n_blocked_tokens"),
+            (hits == 0).alias("keep"),
+        )
+    if scope != "line":
+        raise ValueError(f"unknown scope: {scope!r}")
+    lines = F.split(_c(text_col), "\n")
+    line_bad = lambda ln: F.exists(
+        F.transform(tokens(ln), F.lower), lambda t: F.array_contains(bl, t)
+    )
+    kept = F.filter(lines, lambda ln: ~line_bad(ln))
+    n_lines = F.size(lines)
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.when(n_lines.isNotNull(), F.concat_ws("\n", kept)).alias("text_clean"),
+    )

@@ -2097,3 +2097,34 @@ def test_unigram_logprob_reference_mode_oov_semantics(spark):
     # self mode unchanged: every word is in its own vocab
     self_out = unigram_logprob(target).collect()
     assert all(r["logprob_per_token"] is not None for r in self_out)
+
+
+def test_blocklist_filter_token_level_and_line_scope(spark):
+    """C4 bad-words mechanism: whole-TOKEN matching only ('classic' must
+    not trip a 'ass' entry), doc scope reports count+keep, line scope
+    removes offending lines and keeps the page; NULL text stays total."""
+    from jsonify2ai_spark.operators.textstats import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a classic compass associates with glass"),  # substrings only
+            (2, "this line is fine\nbuy cheap pills now\nanother clean line"),
+            (3, "CHEAP shouting token here"),  # case-insensitive
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    words = ["ass", "cheap", "pills"]
+    doc = {r["doc_id"]: r for r in blocklist_filter(docs, words).collect()}
+    assert doc[1]["keep"] is True and doc[1]["n_blocked_tokens"] == 0
+    assert doc[2]["keep"] is False and doc[2]["n_blocked_tokens"] == 2
+    assert doc[3]["keep"] is False
+    assert doc[4]["keep"] is None  # NULL text: unmeasurable, kept for audit
+    line = {
+        r["doc_id"]: r
+        for r in blocklist_filter(docs, words, scope="line").collect()
+    }
+    assert line[2]["text_clean"] == "this line is fine\nanother clean line"
+    assert line[2]["n_lines"] == 3 and line[2]["n_kept"] == 2
+    assert line[1]["text_clean"] == "a classic compass associates with glass"
+    assert line[4]["text_clean"] is None and line[4]["n_lines"] is None
