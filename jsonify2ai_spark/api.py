@@ -250,7 +250,14 @@ def hybrid_topk_batch(
     the fusion a (query_id, id)-keyed outer join of two rank lists.
     Row-for-row parity with per-query ``hybrid_search`` on an unfiltered
     pool is test-pinned (filtered batches don't share one pool — filter
-    per query via ``hybrid_search``)."""
+    per query via ``hybrid_search``).
+
+    Cost note: the vector arm here is the EXACT brute scan, so compute is
+    |corpus| x |batch| by construction — identical total flops to running
+    the per-query arm per query, minus the scheduler floor. At 100 TB
+    swap the vector arm for the ANN batched path
+    (``operators.ann.quantized_ivf_topk_batch``) and fuse its ranks the
+    same way."""
     from pyspark.sql import Window
 
     from jsonify2ai_spark.functions.vectors import cosine_similarity

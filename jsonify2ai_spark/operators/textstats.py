@@ -1115,6 +1115,10 @@ def build_vocab(
     return out.select("token", "token_id", "count")
 
 
+_BLOCKLIST_JOIN_THRESHOLD = 2000  # words; above this the literal-array
+# linear membership scan loses to a broadcast hash semi-join
+
+
 def blocklist_filter(
     df: DataFrame,
     words: list[str],
@@ -1137,12 +1141,43 @@ def blocklist_filter(
     the text reassembled (n_lines/n_kept counters) — the
     RefinedWeb-style softer policy that salvages the page.
 
-    Map-only either way: the blocklist compiles into one literal array
-    per plan (arrays_overlap / exists — blocklists are thousands of
-    words, far under expression-size hazards), so the filter rides any
-    ingest or prep scan with zero shuffles at any corpus size.
+    Cost model: the list compiles into one literal array per plan and
+    membership is a linear scan per token — map-only with zero shuffles,
+    right for the LDNOOBW class of list (~400 words/language). Past a few
+    thousand words the per-token scan dominates: ``scope="doc"``
+    automatically switches to a broadcast-join form (explode tokens,
+    broadcast hash semi-count against the word table — O(1) membership
+    per token, one per-doc count aggregate) above ``_JOIN_THRESHOLD``
+    words; decisions are identical (parity-pinned).
     """
-    bl = F.array(*[F.lit(w.lower()) for w in sorted({w.lower() for w in words})])
+    wordset = sorted({w.lower() for w in words})
+    if scope == "doc" and len(wordset) > _BLOCKLIST_JOIN_THRESHOLD:
+        spark = df.sparkSession
+        wl = spark.createDataFrame([(w,) for w in wordset], "_bw string")
+        ex = df.select(
+            F.col(id_col), F.explode(tokens(_c(text_col))).alias("_t")
+        ).select(F.col(id_col), F.lower("_t").alias("_t"))
+        hits = (
+            ex.join(F.broadcast(wl), ex["_t"] == wl["_bw"], "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        # left join back: zero-hit docs read 0, NULL-text docs read NULL
+        # counts + NULL keep (explode drops them; the when() restores the
+        # unmeasurable-kept totality contract)
+        measurable = F.size(tokens(_c(text_col))).isNotNull()
+        return (
+            df.select(F.col(id_col), measurable.alias("_m"))
+            .join(hits, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.when(F.col("_m"), F.coalesce("_n", F.lit(0)))
+                .cast("bigint")
+                .alias("n_blocked_tokens"),
+                F.when(F.col("_m"), F.coalesce("_n", F.lit(0)) == 0).alias("keep"),
+            )
+        )
+    bl = F.array(*[F.lit(w) for w in wordset])
     if scope == "doc":
         toks = F.transform(tokens(_c(text_col)), F.lower)
         hits = F.size(F.filter(toks, lambda t: F.array_contains(bl, t)))

@@ -2128,3 +2128,40 @@ def test_blocklist_filter_token_level_and_line_scope(spark):
     assert line[2]["n_lines"] == 3 and line[2]["n_kept"] == 2
     assert line[1]["text_clean"] == "a classic compass associates with glass"
     assert line[4]["text_clean"] is None and line[4]["n_lines"] is None
+
+
+def test_blocklist_filter_join_form_parity(spark):
+    """Above the word-count threshold the doc scope switches to the
+    broadcast-join membership form — decisions and counts must match the
+    literal-array form exactly, including the NULL-text and zero-hit
+    contracts."""
+    import jsonify2ai_spark.operators.textstats as ts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean words only in here"),
+            (2, "bad0007 appears plus bad0007 again and bad0042 once"),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    words = [f"bad{i:04d}" for i in range(3000)]  # > threshold
+    assert len(words) > ts._BLOCKLIST_JOIN_THRESHOLD
+    joined = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in ts.blocklist_filter(docs, words).collect()
+    }
+    old = ts._BLOCKLIST_JOIN_THRESHOLD
+    ts._BLOCKLIST_JOIN_THRESHOLD = 10**9  # force the literal-array form
+    try:
+        arr = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in ts.blocklist_filter(docs, words).collect()
+        }
+    finally:
+        ts._BLOCKLIST_JOIN_THRESHOLD = old
+    assert joined == arr, (joined, arr)
+    assert joined[2] == (3, False)
+    assert joined[1] == (0, True) and joined[4] == (0, True)
+    assert joined[3] == (None, None)
