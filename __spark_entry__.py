@@ -4141,8 +4141,12 @@ def oracle_sql() -> dict[str, str]:
               FROM structured
             ), sent AS (
               SELECT doc_id, text, kept, policy,
+                     -- DuckDB: array_to_string([], sep) is NULL (not ''), so a
+                     -- doc whose lines ALL fail the line rule would poison
+                     -- ns/keep with NULLs; Spark's concat_ws yields ''.
                      len(string_split_regex(
-                         array_to_string(kept, chr(10)), '[.!?]')) - 1 AS ns
+                         coalesce(array_to_string(kept, chr(10)), ''),
+                         '[.!?]')) - 1 AS ns
               FROM parts
             )
             SELECT doc_id,

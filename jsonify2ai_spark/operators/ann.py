@@ -319,8 +319,12 @@ def quantized_ivf_topk_batch(
         qq = [int(x) for x in quantize_query_py(qv)]
         rows.extend((qi, int(c), qq) for c in probes)
     if not rows:
+        # id type comes from the index (eval uses string ids): a hardcoded
+        # `long` would make the degenerate empty-batch schema diverge from
+        # the non-empty one, breaking downstream unions (r7 advisor)
+        idt = index.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], f"query_id int, {id_col} long, cluster int, qcos double"
+            [], f"query_id int, {id_col} {idt}, cluster int, qcos double"
         )
     qdf = spark.createDataFrame(
         rows, "query_id int, cluster int, _q array<int>"

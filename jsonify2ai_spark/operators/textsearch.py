@@ -258,8 +258,12 @@ class BM25Index:
         ]
         idc = self._id_col
         if not qterms:
+            # id type from the index's own doclens table, not a hardcoded
+            # long — the empty-batch schema must equal the non-empty one
+            # for downstream unions on the degenerate path (r7 advisor)
+            idt = self._doclens.schema[idc].dataType.simpleString()
             return spark.createDataFrame(
-                [], f"query_id int, {idc} long, bm25 double"
+                [], f"query_id int, {idc} {idt}, bm25 double"
             )
         qdf = spark.createDataFrame(qterms, "query_id int, term string")
         # broadcast the tiny (qid, term) list into the term-partitioned

@@ -260,6 +260,11 @@ class CorpusNearDupGate:
     Call ``close()`` to release the persisted corpus artifacts.
     """
 
+    # StreamingPrepChain dispatch contract: "filter" gates return surviving
+    # rows with the INPUT schema; "rewrite" gates return (id, rewritten
+    # text, counters) and name the rewritten column in ``rewritten_col``.
+    kind = "filter"
+
     def __init__(
         self,
         corpus: DataFrame,
@@ -440,6 +445,8 @@ class BoilerplateLineGate:
     releases the persisted hot set.
     """
 
+    kind = "rewrite"  # StreamingPrepChain dispatch (see CorpusNearDupGate)
+
     def __init__(
         self,
         corpus: DataFrame,
@@ -449,6 +456,7 @@ class BoilerplateLineGate:
     ) -> None:
         self._text_col = text_col
         self._id_col = id_col
+        self.rewritten_col = text_col  # rewrites in place, input column name
         lines = corpus.select(
             F.col(id_col),
             F.explode(
@@ -531,6 +539,8 @@ class DecontaminationGate:
     ``stream.writeStream.foreachBatch(gate.foreach_batch(append_fn))``).
     ``close()`` releases the persisted shingle set.
     """
+
+    kind = "filter"  # StreamingPrepChain dispatch (see CorpusNearDupGate)
 
     def __init__(
         self,
@@ -618,6 +628,9 @@ class SpanDedupGate:
     gate family's static-artifact contract); batch-internal duplicate
     spans are the batch operator's job before appending.
     """
+
+    kind = "rewrite"  # StreamingPrepChain dispatch (see CorpusNearDupGate)
+    rewritten_col = "text_dedup"
 
     def __init__(
         self,
@@ -740,17 +753,24 @@ class StreamingPrepChain:
     def filter_batch(self, batch: DataFrame) -> DataFrame:
         out = batch
         for gate in self._gates:
-            res = gate.filter_batch(out)
-            idc = gate._id_col
-            if "text_dedup" in res.columns:  # SpanDedupGate shape
-                rewritten = res.select(
-                    F.col(idc), F.col("text_dedup").alias(gate._text_col)
+            # explicit kind dispatch (r7 advisor): the old column-set
+            # heuristic misclassified a batch already carrying a
+            # text_dedup column, or a rewrite whose columns coincide with
+            # the input's — gate classes now declare their shape.
+            kind = getattr(gate, "kind", None)
+            if kind not in ("filter", "rewrite"):
+                raise TypeError(
+                    f"{type(gate).__name__} must declare kind='filter' or "
+                    "'rewrite' (+ rewritten_col) to join a StreamingPrepChain"
                 )
-            elif set(res.columns) != set(out.columns):  # BoilerplateLineGate
-                rewritten = res.select(F.col(idc), F.col(gate._text_col))
-            else:  # filter gate: schema unchanged, rows subset
+            res = gate.filter_batch(out)
+            if kind == "filter":  # surviving rows, input schema
                 out = res
                 continue
+            idc = gate._id_col
+            rewritten = res.select(
+                F.col(idc), F.col(gate.rewritten_col).alias(gate._text_col)
+            )
             out = out.drop(gate._text_col).join(rewritten, idc)
         return out
 

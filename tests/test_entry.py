@@ -56,3 +56,46 @@ def test_flagship_queries_inside_gate_window():
     flagship = {q for q in qs if 51 <= int(q[1:3]) <= 62}
     assert flagship <= window, sorted(flagship - window)
     assert len(qs) == len(set(qs))  # no duplicate keys silently dropped
+
+
+def test_q97_oracle_all_bad_lines_doc_matches_spark(spark, tmp_path):
+    """r7 advisor (medium): a doc whose lines ALL fail the C4 line rule has
+    kept=[], and DuckDB's array_to_string([], sep) is NULL (not ''), which
+    un-coalesced poisons ns/n_sentences/keep with NULLs while Spark's
+    concat_ws path yields n_sentences=0, keep=false. The sf corpora happen
+    to contain no such doc, so verify_local could not see the latent red —
+    pin it on a crafted corpus where every line of doc 1 carries a policy
+    term (doc_id=1 dodges the %3/%5/%7 structure-injection strata)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "doc_id": [1, 2],
+        "text": [
+            "javascript one two row cookie three four",  # every line fails
+            "alpha beta gamma delta epsilon row zeta eta theta iota kappa",
+        ],
+        "lang": ["en", "en"],
+        "source": ["web", "web"],
+        "n_chars": [40, 60],
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+
+    sdf = entry_mod.queries()["q97_c4_filter"](spark, str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    osql = entry_mod.oracle_sql()["q97_c4_filter"]
+    ocols = [d[0] for d in con.execute(osql).description]
+    orows = con.execute(osql).fetchall()
+
+    from verify_local import norm_rows
+
+    assert norm_rows(sdf.columns, sdf.collect()) == norm_rows(ocols, orows)
+    bad = {r[0]: r for r in orows}[1]
+    row = dict(zip(ocols, bad))
+    assert row["n_good_lines"] == 0
+    assert row["n_sentences"] == 0 and row["n_sentences"] is not None
+    assert row["keep"] is False  # NOT NULL — the coalesce guard

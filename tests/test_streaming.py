@@ -906,3 +906,45 @@ def test_streaming_prep_chain_composes_all_four_gates(spark):
     assert "novel opening" in txt and "novel closing line" in txt
     assert out[103]["text"] == "completely clean incoming document body"
     chain.close()
+
+
+def test_streaming_prep_chain_dispatches_on_explicit_kind(spark):
+    """r7 advisor: the chain used to classify gates by duck-typing output
+    columns — a batch already CARRYING a text_dedup column (e.g. re-running
+    a partially-cleaned table through the chain) made a filter gate's
+    passthrough look like a SpanDedupGate rewrite and scrambled the rows.
+    Gates now declare kind='filter'|'rewrite' and the chain must (a) route
+    a text_dedup-carrying batch through a filter gate untouched, and (b)
+    refuse an undeclared gate loudly instead of guessing."""
+    import pytest
+
+    from jsonify2ai_spark.streaming.windowed import (
+        DecontaminationGate,
+        StreamingPrepChain,
+    )
+
+    bench = spark.createDataFrame(
+        [("leak phrase alpha beta gamma delta epsilon zeta eta theta",)],
+        "text string",
+    )
+    chain = StreamingPrepChain([DecontaminationGate(bench, n=8)])
+    batch = spark.createDataFrame(
+        [
+            (1, "clean body one", "prior rewrite artifact"),
+            (2, "leak phrase alpha beta gamma delta epsilon zeta eta theta", "x"),
+        ],
+        "doc_id long, text string, text_dedup string",
+    )
+    out = {r["doc_id"]: r for r in chain.filter_batch(batch).collect()}
+    assert set(out) == {1}
+    # filter passthrough: ALL columns intact, including the decoy
+    assert out[1]["text"] == "clean body one"
+    assert out[1]["text_dedup"] == "prior rewrite artifact"
+
+    class UndeclaredGate:
+        def filter_batch(self, b):
+            return b
+
+    with pytest.raises(TypeError, match="kind"):
+        StreamingPrepChain([UndeclaredGate()]).filter_batch(batch)
+    chain.close()

@@ -271,3 +271,37 @@ def test_hybrid_topk_batch_parity(spark):
         batch = sorted(got.get(qi, []), key=lambda t: (-t[1], t[0]))
         assert batch == want, (q, batch, want)
     idx.close()
+
+
+def test_empty_batch_schema_matches_nonempty_for_string_ids(spark):
+    """r7 advisor: the empty-batch result schema hardcoded `{id_col} long`,
+    so with string ids (the eval corpus) the degenerate path's schema
+    diverged from the non-empty one and broke downstream unions. Pin that
+    empty == non-empty schema for BOTH batched serving systems."""
+    from jsonify2ai_spark.operators.ann import (
+        build_quantized_ivf,
+        quantized_ivf_topk_batch,
+    )
+    from jsonify2ai_spark.operators.textsearch import BM25Index
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", f"term{i % 5} common words") for i in range(20)],
+        "id string, text string",
+    )
+    idx = BM25Index(docs, id_col="id")
+    full = idx.topk_batch(["term1 common"], k=3)
+    empty = idx.topk_batch([], k=3)
+    assert empty.schema == full.schema
+    assert full.unionByName(empty).count() == full.count()  # the broken op
+    idx.close()
+
+    emb = spark.createDataFrame(
+        [(f"v-{i}", [float(i % 3), float(i % 7), 1.0]) for i in range(30)],
+        "id string, embedding array<double>",
+    )
+    cents = [[0.0, 0.0, 1.0], [2.0, 5.0, 1.0]]
+    ivf = build_quantized_ivf(emb, cents, id_col="id")
+    full = quantized_ivf_topk_batch(ivf, [[1.0, 2.0, 1.0]], cents, k=3, id_col="id")
+    empty = quantized_ivf_topk_batch(ivf, [], cents, k=3, id_col="id")
+    assert empty.schema == full.schema
+    assert full.unionByName(empty).count() == full.count()
