@@ -1910,6 +1910,25 @@ def q109_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_filter(t["documents"], words=["the", "la", "zzzabsent"])
 
 
+def q110_span_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr with Lee et al. 2022 §4.1's actual KEEP-ONE semantics
+    (operators/dedup.py remove_duplicate_spans(keep='one'), new r8 — the
+    r7 verdict's #2): all-but-one occurrence of every duplicated 8-token
+    window is cut, the minimum (doc_id, pos) occurrence survives — so the
+    syndicated bodies q106 erases from BOTH rows here survive once, in
+    their earliest document. Same corpus construction as q106 so the two
+    policies' rows are directly comparable."""
+    from jsonify2ai_spark.operators.dedup import remove_duplicate_spans
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    syn = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 300_000).alias("doc_id"),
+        F.concat(F.lit("syndicated copy intro "), F.col("text")).alias("text"),
+    )
+    return remove_duplicate_spans(docs.unionByName(syn), n=8, min_df=2, keep="one")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -1918,45 +1937,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whose code changed this round is in-gate, (d) remaining slots go to
     # the OLDEST driver-green cohort so no query sits >2 rounds without a
     # driver row. Run scripts/gate_staleness.py to plan each rotation.
-    # Round-7 gate: changed/new (q105/q89/q74/q83/q95/q97/q30) + ALL 20
-    # r4-green tail queries (the staleness line) + pinned q51-q62 + the 11
-    # oldest r5-greens. The r6-green cohort and the r5 remainder sit in the
-    # tail for one round; the r5 remainder is the r8 gate's first claim.
+    # Round-8 gate: changed/new (q110 keep-one + its q106 sibling whose
+    # operator gained keep=/max_doc_starts, q97 oracle NULL guard, q109
+    # line-scope join form, q105/q30 on the touched BM25Index, q107 on the
+    # touched ann.py) + the ENTIRE 26-query r5-green cohort (the r7
+    # verdict's #1: the largest rotation debt yet, paid in full — q25/q27
+    # double as the changed-ann/changed-bpe gate rows) + pinned q51-q62 +
+    # the 5 oldest r6-greens. The r6 remainder is the r9 gate's first
+    # claim.
     return {
-        # --- changed / new this round (r7): every edited operator gates first
-        "q105_bm25_filtered": q105_bm25_filtered,  # NEW r7: filtered BM25 serving (first driver row)
-        "q106_span_dedup": q106_span_dedup,  # NEW r7: ExactSubstr span removal (first driver row)
-        "q107_ivf_health": q107_ivf_health,  # NEW r7: IVF cell health report (first driver row)
-        "q108_reference_ppl": q108_reference_ppl,  # NEW r7: cross-corpus LM scoring (first driver row)
-        "q109_blocklist": q109_blocklist,  # NEW r7: C4 bad-words rule (first driver row)
-        "q89_embedding_drift": q89_embedding_drift,  # changed r7: signed-zero canonicalization — 2 rounds red, the fix must gate
-        "q74_embedding_stats": q74_embedding_stats,  # changed r7: signed-zero sweep
-        "q83_label_coherence": q83_label_coherence,  # changed r7: signed-zero sweep
-        "q95_decontaminate_normalized": q95_decontaminate_normalized,  # changed r7: empty-shingle guard (advisor's multilingual false-positive)
-        "q97_c4_filter": q97_c4_filter,  # changed r7: C4 line-scope policy rules + n_policy_lines schema
-        "q30_bm25_search": q30_bm25_search,  # changed r7: bm25_search index/filter contract rework
-        # --- r4-green cohort: all 20 hit the >2-rounds-stale line at r7
-        # (scripts/gate_staleness.py) — the full rotation debt, paid at once
-        "q02_revenue_filter": q02_revenue_filter,
-        "q09_events_hourly": q09_events_hourly,
-        "q20_embedding_pairs": q20_embedding_pairs,
-        "q22_source_inventory": q22_source_inventory,
-        "q23_ask_snippets": q23_ask_snippets,
-        "q26_simhash_pairs": q26_simhash_pairs,
-        "q29_multimodal_meta": q29_multimodal_meta,
-        "q31_stats_rollup": q31_stats_rollup,
-        "q34_chunk_stats": q34_chunk_stats,
-        "q35_archive_shards": q35_archive_shards,
-        "q38_latency_percentiles": q38_latency_percentiles,
-        "q39_sessionize": q39_sessionize,
-        "q40_asof_join": q40_asof_join,
-        "q42_moving_window": q42_moving_window,
-        "q44_hybrid_rrf": q44_hybrid_rrf,
-        "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
-        "q47_csv_lines": q47_csv_lines,
-        "q48_salted_agg": q48_salted_agg,
-        "q49_salted_join": q49_salted_join,
-        "q50_time_range_search": q50_time_range_search,
+        # --- changed / new this round (r8): every edited operator gates first
+        "q110_span_dedup_keep_one": q110_span_dedup_keep_one,  # NEW r8: ExactSubstr keep-one policy (first driver row)
+        "q106_span_dedup": q106_span_dedup,  # changed r8: remove_duplicate_spans gained keep=/max_doc_starts
+        "q97_c4_filter": q97_c4_filter,  # changed r8: oracle all-bad-lines NULL guard (r7 advisor)
+        "q109_blocklist": q109_blocklist,  # changed r8: line-scope broadcast-join membership form
+        "q105_bm25_filtered": q105_bm25_filtered,  # changed r8: BM25Index empty-batch schema derivation
+        "q30_bm25_search": q30_bm25_search,  # changed r8: same BM25Index touch
+        "q107_ivf_health": q107_ivf_health,  # changed r8: ann.py refresh_quantizer + schema fix
         # --- pinned flagship block (test_entry.py invariant)
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_jaccard_capped": q52_jaccard_capped,
@@ -1970,28 +1967,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_decontaminate": q60_decontaminate,
         "q61_unigram_logprob": q61_unigram_logprob,
         "q62_embed_dup_clusters": q62_embed_dup_clusters,
-        # --- oldest r5-green head (11 remaining slots), shrinking the r8
-        # debt to the 22-query r5 remainder below
-        "q01_pricing_summary": q01_pricing_summary,
-        "q14_language_id": q14_language_id,
-        "q24_replace_upsert": q24_replace_upsert,
-        "q64_tfidf_sql": q64_tfidf_sql,
-        "q65_incremental_dedup": q65_incremental_dedup,
-        "q66_token_budget_mix": q66_token_budget_mix,
-        "q67_quantized_search": q67_quantized_search,
-        # ================= tail (entry 51+) =================
-        # q68-q71 yielded their fill slots to q106-q109 (new code gates
-        # first); they keep their r8-gate claim with the r5 cohort below
+        # --- r5-green cohort: ALL 26 hit the >2-rounds-stale line at r8
+        # (scripts/gate_staleness.py) — the full rotation debt, paid at once
         "q68_overlap_pairs": q68_overlap_pairs,
         "q69_quantized_ivf": q69_quantized_ivf,
         "q70_per_source_cap": q70_per_source_cap,
         "q71_gopher_filter": q71_gopher_filter,
-        # r6-green cohort: one round out, rotates back r8
+        "q72_clip_tokens": q72_clip_tokens,
+        "q73_bigram_logprob": q73_bigram_logprob,
+        "q75_dedup_keep_best": q75_dedup_keep_best,
+        "q76_containment_pairs": q76_containment_pairs,
+        "q77_shingle_census": q77_shingle_census,
+        "q78_vocab_stats": q78_vocab_stats,
+        "q79_cross_source_dup": q79_cross_source_dup,
+        "q81_source_quality": q81_source_quality,
+        "q84_novelty_scores": q84_novelty_scores,
+        "q85_boilerplate_catalog": q85_boilerplate_catalog,
+        "q86_token_histogram": q86_token_histogram,
+        "q87_corpus_diff": q87_corpus_diff,
+        "q88_syndication_matrix": q88_syndication_matrix,
+        "q90_dedup_impact": q90_dedup_impact,
+        "q91_containment_capped": q91_containment_capped,
+        "q92_corpus_divergence": q92_corpus_divergence,
+        "q16_simhash": q16_simhash,
+        "q17_jaccard_pairs": q17_jaccard_pairs,
+        "q18_minhash_lsh": q18_minhash_lsh,
+        "q25_ivf_ann": q25_ivf_ann,
+        "q27_bpe_tokens": q27_bpe_tokens,
+        "q45_brand_revenue_having": q45_brand_revenue_having,
+        # --- oldest r6-green head (5 remaining slots)
         "q93_syndication_capped": q93_syndication_capped,
         "q94_language_mix": q94_language_mix,
         "q96_curriculum_buckets": q96_curriculum_buckets,
         "q98_line_dedup": q98_line_dedup,
         "q99_tokenizer_fertility": q99_tokenizer_fertility,
+        # ================= tail (entry 51+) =================
+        # r6-green remainder: the r9 gate's first claim
         "q100_training_pipeline": q100_training_pipeline,
         "q101_incremental_pipeline": q101_incremental_pipeline,
         "q102_conversation_lint": q102_conversation_lint,
@@ -2019,29 +2030,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_knn_brute": q19_knn_brute,
         "q21_vector_search_docs": q21_vector_search_docs,
         "q28_winnowing": q28_winnowing,
-        # r5-green remainder: MUST be in the r8 gate (2 rounds out after r7)
-        "q72_clip_tokens": q72_clip_tokens,
-        "q73_bigram_logprob": q73_bigram_logprob,
-        "q75_dedup_keep_best": q75_dedup_keep_best,
-        "q76_containment_pairs": q76_containment_pairs,
-        "q77_shingle_census": q77_shingle_census,
-        "q78_vocab_stats": q78_vocab_stats,
-        "q79_cross_source_dup": q79_cross_source_dup,
-        "q81_source_quality": q81_source_quality,
-        "q84_novelty_scores": q84_novelty_scores,
-        "q85_boilerplate_catalog": q85_boilerplate_catalog,
-        "q86_token_histogram": q86_token_histogram,
-        "q87_corpus_diff": q87_corpus_diff,
-        "q88_syndication_matrix": q88_syndication_matrix,
-        "q90_dedup_impact": q90_dedup_impact,
-        "q91_containment_capped": q91_containment_capped,
-        "q92_corpus_divergence": q92_corpus_divergence,
-        "q16_simhash": q16_simhash,
-        "q17_jaccard_pairs": q17_jaccard_pairs,
-        "q18_minhash_lsh": q18_minhash_lsh,
-        "q25_ivf_ann": q25_ivf_ann,
-        "q27_bpe_tokens": q27_bpe_tokens,
-        "q45_brand_revenue_having": q45_brand_revenue_having,
+        # r7-green cohort: one round of slack, rotates by r10
+        "q108_reference_ppl": q108_reference_ppl,
+        "q89_embedding_drift": q89_embedding_drift,
+        "q74_embedding_stats": q74_embedding_stats,
+        "q83_label_coherence": q83_label_coherence,
+        "q95_decontaminate_normalized": q95_decontaminate_normalized,
+        "q02_revenue_filter": q02_revenue_filter,
+        "q09_events_hourly": q09_events_hourly,
+        "q20_embedding_pairs": q20_embedding_pairs,
+        "q22_source_inventory": q22_source_inventory,
+        "q23_ask_snippets": q23_ask_snippets,
+        "q26_simhash_pairs": q26_simhash_pairs,
+        "q29_multimodal_meta": q29_multimodal_meta,
+        "q31_stats_rollup": q31_stats_rollup,
+        "q34_chunk_stats": q34_chunk_stats,
+        "q35_archive_shards": q35_archive_shards,
+        "q38_latency_percentiles": q38_latency_percentiles,
+        "q39_sessionize": q39_sessionize,
+        "q40_asof_join": q40_asof_join,
+        "q42_moving_window": q42_moving_window,
+        "q44_hybrid_rrf": q44_hybrid_rrf,
+        "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
+        "q47_csv_lines": q47_csv_lines,
+        "q48_salted_agg": q48_salted_agg,
+        "q49_salted_join": q49_salted_join,
+        "q50_time_range_search": q50_time_range_search,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q14_language_id": q14_language_id,
+        "q24_replace_upsert": q24_replace_upsert,
+        "q64_tfidf_sql": q64_tfidf_sql,
+        "q65_incremental_dedup": q65_incremental_dedup,
+        "q66_token_budget_mix": q66_token_budget_mix,
+        "q67_quantized_search": q67_quantized_search,
     }
 
 
@@ -4364,6 +4385,51 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(ka, ' '), '') AS text_dedup
             FROM kept
         """,
+        # twin of remove_duplicate_spans(keep='one'): q106's census, but
+        # per hot hash the FIRST (doc_id, pos) occurrence is exempt
+        # (row_number over the hot occurrences — the SQL face of the
+        # operator's argmin join), so duplicated content survives once
+        "q110_span_dedup_keep_one": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 300000 AS doc_id,
+                     'syndicated copy intro ' || text AS text
+              FROM documents WHERE doc_id % 7 = 0
+            ), toks AS (
+              SELECT doc_id, {{dd_tokens}} AS tk FROM corpus
+            ), w AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(tk[i:i+7], ' ')) AS h
+              FROM (SELECT doc_id, tk,
+                           unnest(range(1, greatest(len(tk) - 8 + 2, 1))) AS i
+                    FROM toks)
+            ), census AS (
+              SELECT h FROM w GROUP BY h HAVING count(*) >= 2
+            ), hot AS (
+              SELECT w.doc_id, w.pos,
+                     row_number() OVER (PARTITION BY w.h
+                                        ORDER BY w.doc_id, w.pos) AS rn
+              FROM w JOIN census USING (h)
+            ), starts AS (
+              SELECT doc_id, list(pos) AS ss
+              FROM hot WHERE rn > 1 GROUP BY doc_id
+            ), joined AS (
+              SELECT t.doc_id, t.tk, coalesce(s.ss, []) AS ss
+              FROM toks t LEFT JOIN starts s USING (doc_id)
+            ), kept AS (
+              SELECT doc_id, tk,
+                     list_filter(tk, (x, i) ->
+                       len(list_filter(ss, s -> s <= i - 1
+                                           AND i - 1 <= s + 7)) = 0) AS ka
+              FROM joined
+            )
+            SELECT doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(len(ka) AS BIGINT) AS n_kept,
+                   coalesce(array_to_string(ka, ' '), '') AS text_dedup
+            FROM kept
+        """.replace("{dd_tokens}", _DD_TOKENS.format(t="text")),
         # twin of ann.ivf_health_report: q25's first-K-centroid assignment
         # machinery, then per-cell stable-decimal cohesion means + a
         # K-row window for the fill fraction; + 0.0 canonicalizes zeros

@@ -1757,6 +1757,8 @@ def remove_duplicate_spans(
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep: str = "none",
+    max_doc_starts: int | None = None,
 ) -> DataFrame:
     """Exact-substring span REMOVAL (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better" — the ExactSubstr rule):
@@ -1783,7 +1785,34 @@ def remove_duplicate_spans(
     Output (scalar columns only): (id, n_tokens, n_kept, text_dedup) —
     text reassembled with single spaces, the canonical form of the
     whitespace tokenizer this engine uses everywhere.
+
+    ``keep`` selects the removal policy for duplicated material:
+
+    - ``"none"`` (default, the rule this operator shipped with): EVERY
+      occurrence of a hot window is cut — including the last one, so a
+      span duplicated anywhere vanishes from the whole corpus.
+    - ``"one"``: Lee et al.'s actual §4.1 semantics — all BUT ONE
+      occurrence is cut, so the content survives exactly once. The
+      surviving occurrence per hot window-hash is the minimum (id, pos)
+      one (deterministic, layout-invariant); the exemption is one extra
+      hash-keyed argmin aggregate + equi-join on the hot occurrences —
+      still no pair materialization, still census-sized state. Because
+      winners are picked per HASH with a consistent (id, pos) order, all
+      windows of one duplicated run elect the same earliest document, so
+      the surviving copy is contiguous, not a stitch of fragments.
+
+    ``max_doc_starts`` (optional) bounds the per-document hot-start array:
+    a document whose hot-start count exceeds the cap short-circuits to
+    n_kept=0 / empty text (with ``keep="one"`` the cap counts post-
+    exemption starts, so a surviving unique copy is never clipped). At
+    worst-case duplication (~everything hot) the uncapped array is
+    token-count-sized per row; the cap keeps executor row width bounded
+    at the price of over-cutting pathological rows — a doc with more hot
+    starts than the cap is near-wholly duplicated material anyway. Off by
+    default; the q106 oracle pins the uncapped rule.
     """
+    if keep not in ("none", "one"):
+        raise ValueError(f"keep must be 'none' or 'one', got {keep!r}")
     toks = tokens(F.col(text_col))
 
     def _wins(tk: Column) -> Column:
@@ -1807,10 +1836,25 @@ def remove_duplicate_spans(
         .filter(F.col("c") >= min_df)
         .select("h")
     )
-    starts = (
-        w.join(census, "h", "left_semi")
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("pos")).alias("_ss"))
+    hot = w.join(census, "h", "left_semi")
+    if keep == "one":
+        # per hot hash, the minimum (id, pos) occurrence is exempt from
+        # removal — min(struct) is a partial-aggregable argmin; the join
+        # back is h-keyed like the census, so no new shuffle key appears
+        winners = hot.groupBy("h").agg(
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+                "_w"
+            )
+        )
+        hot = (
+            hot.join(winners, "h")
+            .filter(
+                (F.col(id_col) != F.col("_w.i")) | (F.col("pos") != F.col("_w.p"))
+            )
+            .drop("_w")
+        )
+    starts = hot.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("_ss")
     )
 
     joined = base.join(starts, id_col, "left").select(
@@ -1818,8 +1862,22 @@ def remove_duplicate_spans(
         F.col("_tk"),
         F.coalesce("_ss", F.array().cast("array<int>")).alias("_ss"),
     )
+    if max_doc_starts is not None:
+        # bounded row width: above the cap the doc is near-wholly
+        # duplicated — short-circuit the fold input to empty instead of
+        # carrying a token-count-sized start array through the O(T x H)
+        # coverage test (n_tokens still reports the true length)
+        over = F.size("_ss") > max_doc_starts
+        joined = joined.withColumn(
+            "_fold_tk",
+            F.when(over, F.array().cast("array<string>")).otherwise(F.col("_tk")),
+        ).withColumn(
+            "_ss", F.when(over, F.array().cast("array<int>")).otherwise(F.col("_ss"))
+        )
+    else:
+        joined = joined.withColumn("_fold_tk", F.col("_tk"))
     kept_arr = F.filter(
-        F.col("_tk"),
+        F.col("_fold_tk"),
         lambda x, i: ~F.exists(
             F.col("_ss"), lambda s: (s <= i) & (i <= s + F.lit(n - 1))
         ),

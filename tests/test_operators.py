@@ -2165,3 +2165,104 @@ def test_blocklist_filter_join_form_parity(spark):
     assert joined[2] == (3, False)
     assert joined[1] == (0, True) and joined[4] == (0, True)
     assert joined[3] == (None, None)
+
+
+def test_remove_duplicate_spans_keep_one_policy(spark):
+    """keep='one' is Lee et al. §4.1's actual rule: all-but-one occurrence
+    of duplicated material is cut, the minimum (id, pos) occurrence
+    survives — contiguously, because every window of one duplicated run
+    elects the same earliest document. keep='none' (the default) stays
+    the cut-everything rule the q106 oracle pins."""
+    from jsonify2ai_spark.operators.dedup import remove_duplicate_spans
+
+    boiler = "all rights reserved contact us for terms of service details"
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique alpha words here {boiler} and more unique beta content"),
+            (2, f"other gamma stuff {boiler} trailing delta text"),
+            (5, boiler),
+            # intra-doc repeat: both copies lose to doc 1's earlier claim
+            (6, f"{boiler} mid filler {boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, n=10, min_df=2, keep="one").collect()
+    }
+    # the earliest (id, pos) occurrence survives IN FULL, in place
+    assert out[1]["text_dedup"] == (
+        f"unique alpha words here {boiler} and more unique beta content"
+    )
+    assert out[1]["n_kept"] == out[1]["n_tokens"]
+    # every other occurrence is cut exactly as under keep='none'
+    assert out[2]["text_dedup"] == "other gamma stuff trailing delta text"
+    assert out[5]["text_dedup"] == "" and out[5]["n_kept"] == 0
+    assert "rights" not in out[6]["text_dedup"]
+    assert "mid filler" in out[6]["text_dedup"]
+    # layout invariance: winners must not move with partitioning
+    for ddf in (docs.repartition(7), docs.sort(F.col("doc_id").desc())):
+        again = {
+            r["doc_id"]: r["text_dedup"]
+            for r in remove_duplicate_spans(
+                ddf, n=10, min_df=2, keep="one"
+            ).collect()
+        }
+        assert again == {k: v["text_dedup"] for k, v in out.items()}
+    # intra-doc only: first occurrence survives, second is cut
+    solo = spark.createDataFrame(
+        [(9, f"{boiler} bridge words join {boiler}")], "doc_id long, text string"
+    )
+    (r9,) = remove_duplicate_spans(solo, n=10, min_df=2, keep="one").collect()
+    assert r9["text_dedup"] == f"{boiler} bridge words join"
+    import pytest
+
+    with pytest.raises(ValueError, match="keep"):
+        remove_duplicate_spans(docs, keep="two")
+
+
+def test_remove_duplicate_spans_max_doc_starts_cap(spark):
+    """max_doc_starts bounds per-row fold state: a doc whose hot-start
+    count exceeds the cap short-circuits to empty (it is near-wholly
+    duplicated material), others are untouched; with keep='one' the cap
+    counts POST-exemption starts so a surviving unique copy is never
+    clipped."""
+    from jsonify2ai_spark.operators.dedup import remove_duplicate_spans
+
+    run = " ".join(f"w{i}" for i in range(40))  # 40-token duplicated run
+    docs = spark.createDataFrame(
+        [
+            (1, f"keep this prefix {run}"),
+            (2, f"{run} keep this suffix"),
+            (3, "an unrelated clean document body entirely its own"),
+        ],
+        "doc_id long, text string",
+    )
+    # uncapped: both runs cut, unique material survives
+    base = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(docs, n=10, min_df=2).collect()
+    }
+    assert base[1]["text_dedup"] == "keep this prefix"
+    assert base[2]["text_dedup"] == "keep this suffix"
+    # cap below the ~31 hot starts per run: over-cap docs go empty,
+    # the clean doc is untouched
+    capped = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            docs, n=10, min_df=2, max_doc_starts=10
+        ).collect()
+    }
+    assert capped[1]["text_dedup"] == "" and capped[1]["n_kept"] == 0
+    assert capped[1]["n_tokens"] == base[1]["n_tokens"]  # true length kept
+    assert capped[3]["text_dedup"] == base[3]["text_dedup"]
+    # keep='one' + cap: doc 1 (winner) has ZERO post-exemption starts —
+    # the cap must not clip the surviving copy
+    keep1 = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            docs, n=10, min_df=2, keep="one", max_doc_starts=10
+        ).collect()
+    }
+    assert keep1[1]["text_dedup"] == f"keep this prefix {run}"
+    assert keep1[2]["text_dedup"] == "keep this suffix" or keep1[2]["text_dedup"] == ""

@@ -766,3 +766,60 @@ def test_remove_duplicate_spans_matches_python_model(doc_words, n):
         for r in remove_duplicate_spans(df, n=n, min_df=min_df).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+            min_size=0,
+            max_size=14,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=8, deadline=None)
+def test_remove_duplicate_spans_keep_one_matches_python_model(doc_words, n):
+    """Differential fuzz for the r8 keep='one' policy (Lee et al. §4.1
+    all-but-one): per hot window the minimum (doc_id, pos) occurrence is
+    exempt; every other occurrence's coverage is cut. Dense small-alphabet
+    corpora exercise overlapping-run and intra-doc-repeat cases the
+    hand-written tests can't enumerate."""
+    from collections import defaultdict
+
+    from jsonify2ai_spark.operators.dedup import remove_duplicate_spans
+
+    spark = _spark_session()
+    min_df = 2
+    occ = defaultdict(list)
+    for di, words in enumerate(doc_words):
+        for i in range(len(words) - n + 1):
+            occ[tuple(words[i : i + n])].append((di, i))
+    losers = defaultdict(set)  # doc -> non-winner hot starts
+    for w, ps in occ.items():
+        if len(ps) >= min_df:
+            for di, i in sorted(ps)[1:]:
+                losers[di].add(i)
+    expected = {}
+    for di, words in enumerate(doc_words):
+        starts = sorted(losers.get(di, ()))
+        kept = [
+            w
+            for p, w in enumerate(words)
+            if not any(s <= p <= s + n - 1 for s in starts)
+        ]
+        expected[di] = (len(words), len(kept), " ".join(kept))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(doc_words)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["text_dedup"])
+        for r in remove_duplicate_spans(
+            df, n=n, min_df=min_df, keep="one"
+        ).collect()
+    }
+    assert got == expected
