@@ -2266,3 +2266,105 @@ def test_remove_duplicate_spans_max_doc_starts_cap(spark):
     }
     assert keep1[1]["text_dedup"] == f"keep this prefix {run}"
     assert keep1[2]["text_dedup"] == "keep this suffix" or keep1[2]["text_dedup"] == ""
+
+
+def test_train_bpe_merge_batching_is_exact(spark):
+    """r8 (r7 verdict #3): merge_batch > 1 must learn the IDENTICAL merge
+    list, in the identical order, as sequential training — the batch is
+    only a round-count optimization. Includes an adversarial tie corpus
+    where a naive 'top-B disjoint pairs' batch WOULD diverge (merging
+    (a,z) creates (az,</w>)-style offspring that outrank an equal-count
+    disjoint pair lexicographically); the boundary trim must catch it."""
+    from jsonify2ai_spark.operators.bpe import train_bpe
+
+    corpora = {
+        "natural": [
+            "the cat sat on the mat",
+            "the cats sat on the mats",
+            "a cat and a mat and a hat",
+            "hats and mats and cats",
+            "the the the hat",
+            "lower lowest newer newest wider widest",
+            "new newer newest low lower lowest",
+        ],
+        # the constructed divergence trap: (a,z) then offspring (az, y)/
+        # (az, </w>) tie at 5 with the disjoint pair (c,w)
+        "tie-trap": ["azy"] * 5 + ["az"] * 5 + ["cw"] * 5,
+        # heavy ties everywhere: every word same frequency
+        "uniform": ["abcd", "bcda", "cdab", "dabc", "abdc", "dcba"] * 3,
+    }
+    for name, texts in corpora.items():
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        seq = train_bpe(df, num_merges=12, merge_batch=1)
+        for bsz in (4, 100):
+            got = train_bpe(df, num_merges=12, merge_batch=bsz)
+            assert got == seq, (name, bsz, got, seq)
+
+
+def test_batch_safe_prefix_boundary_trim():
+    """Unit-pin the selection rule on the constructed offspring case: with
+    ranked rows [(a,z):10, (c,w):5, (w,</w>):5], (c,w) ties the first
+    blocked row's count so only the argmax survives the trim; with a
+    strict count gap the disjoint runner-up IS batched."""
+    from jsonify2ai_spark.operators.bpe import _batch_safe_prefix
+
+    def row(a, b, c):
+        return {"p": {"a": a, "b": b}, "c": c}
+
+    rows = [row("a", "z", 10), row("c", "w", 5), row("w", "</w>", 5)]
+    assert _batch_safe_prefix(rows, 3, 2) == [("a", "z")]
+    rows = [row("a", "z", 10), row("c", "w", 7), row("w", "</w>", 5)]
+    assert _batch_safe_prefix(rows, 3, 2) == [("a", "z"), ("c", "w")]
+    # output collision: (x, y) -> "xy" equal to a later member's symbol
+    rows = [row("x", "y", 10), row("xy", "q", 4), row("m", "n", 3)]
+    assert _batch_safe_prefix(rows, 3, 2) == [("x", "y")]
+    # horizon seeding: a full b+1 window means unseen pairs tie row b+1
+    rows = [row("a", "b", 9), row("c", "d", 5), row("e", "f", 5)]
+    assert _batch_safe_prefix(rows, 2, 2) == [("a", "b")]
+    # min_pair_count floors acceptance
+    rows = [row("a", "b", 9), row("c", "d", 1)]
+    assert _batch_safe_prefix(rows, 2, 2) == [("a", "b")]
+
+
+def test_train_bpe_fast_mode_quality_parity(spark):
+    """exact=False (skip-not-stop batching) may reorder merges but must
+    stay a QUALITY twin of sequential Sennrich: high merge-set overlap,
+    and encoding compression within a few percent on the training corpus.
+    Also pin that its batch really is bigger than the exact-safe one on a
+    tie-heavy corpus (the whole point of the mode)."""
+    from jsonify2ai_spark.operators.bpe import bpe_encode, train_bpe
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "a cat and a mat and a hat",
+        "hats and mats and cats",
+        "lower lowest newer newest wider widest",
+        "new newer newest low lower lowest",
+        "the newest cats on the lowest mat",
+    ] * 3
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    seq_stats, fast_stats = {}, {}
+    seq = train_bpe(df, num_merges=30, merge_batch=1, _stats=seq_stats)
+    fast = train_bpe(
+        df, num_merges=30, merge_batch=8, exact=False, _stats=fast_stats
+    )
+    assert len(fast) == len(seq)
+    # merge PAIRS legitimately differ (different merge trees can build the
+    # same token, e.g. a+nd vs an+d) — the comparable artifact is the
+    # produced token vocabulary
+    vocab_seq = {a + b for a, b in seq}
+    vocab_fast = {a + b for a, b in fast}
+    overlap = len(vocab_seq & vocab_fast) / len(vocab_seq)
+    assert overlap >= 0.7, (overlap, vocab_seq ^ vocab_fast)
+    assert fast_stats["rounds"] < seq_stats["rounds"] / 2, (
+        fast_stats,
+        seq_stats,
+    )
+
+    def total_tokens(merges):
+        out = bpe_encode(df, merges)
+        return out.select(F.sum(F.size("bpe_tokens"))).first()[0]
+
+    t_seq, t_fast = total_tokens(seq), total_tokens(fast)
+    assert abs(t_fast - t_seq) / t_seq < 0.05, (t_seq, t_fast)
