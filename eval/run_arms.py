@@ -207,6 +207,27 @@ def main() -> int:
         "hit@k": _batch_hits(by_q),
     }
 
+    # hybrid with the ANN vector arm (r8, r7 verdict #4): same fusion,
+    # vector side partition-pruned quantized-IVF instead of the brute
+    # corpus crossJoin — the 100 TB form of the batched hybrid
+    hybrid_topk_batch(
+        corpus, uniq_qs[:2], idx, k=5, dim=64, ann=(ivf, cents, 3)
+    ).collect()
+    t0 = time.perf_counter()
+    rows = hybrid_topk_batch(
+        corpus, uniq_qs, idx, k=5, dim=64, ann=(ivf, cents, 3)
+    ).collect()
+    total = (time.perf_counter() - t0) * 1000.0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    batched["hybrid_ann"] = {
+        "n": len(uniq_qs),
+        "total_ms": round(total, 1),
+        "per_q_ms": round(total / len(uniq_qs), 1),
+        "hit@k": _batch_hits(by_q),
+    }
+
     res["batched"] = batched
     with open(out, "w", encoding="utf-8") as f:
         json.dump(res, f, ensure_ascii=False, indent=2)

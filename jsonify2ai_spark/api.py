@@ -239,6 +239,7 @@ def hybrid_topk_batch(
     dim: int = 768,
     embed=None,
     rrf_k: int = 60,
+    ann: tuple | None = None,
 ) -> DataFrame:
     """BATCHED hybrid retrieval: (query_id, id, score) — the per-query
     rrf fusion of :func:`hybrid_search`, but ONE Spark job per retrieval
@@ -252,12 +253,19 @@ def hybrid_topk_batch(
     pool is test-pinned (filtered batches don't share one pool — filter
     per query via ``hybrid_search``).
 
-    Cost note: the vector arm here is the EXACT brute scan, so compute is
-    |corpus| x |batch| by construction — identical total flops to running
-    the per-query arm per query, minus the scheduler floor. At 100 TB
-    swap the vector arm for the ANN batched path
-    (``operators.ann.quantized_ivf_topk_batch``) and fuse its ranks the
-    same way."""
+    Cost note: the DEFAULT vector arm is the EXACT brute scan, so compute
+    is |corpus| x |batch| by construction — identical total flops to
+    running the per-query arm per query, minus the scheduler floor.
+
+    ``ann=(ivf_index, centroids[, n_probe=2])`` swaps the vector arm for
+    the batched quantized-IVF path
+    (:func:`~jsonify2ai_spark.operators.ann.quantized_ivf_topk_batch`) —
+    THE 100 TB form (r7 verdict #4): the scan partition-prunes to the
+    union of each query's probed cells instead of touching the corpus,
+    and scoring is int8. The ivf_index must be built over the SAME ids as
+    ``chunks.id`` (``build_quantized_ivf(..., id_col="id")``) and the
+    same embedding space as ``embed``. Ranks fuse identically; top-1
+    recall vs the brute arm is pinned by test + the eval artifact arm."""
     from pyspark.sql import Window
 
     from jsonify2ai_spark.functions.vectors import cosine_similarity
@@ -274,21 +282,38 @@ def hybrid_topk_batch(
         "query_id", "id", F.row_number().over(w_b).alias("rank_bm25")
     )
 
-    qdf = spark.createDataFrame(
-        [(i, [float(x) for x in embed_fn(q)]) for i, q in enumerate(queries)],
-        "query_id int, _qv array<double>",
-    )
-    w_v = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("id").asc()
-    )
-    vec_r = (
-        F.broadcast(qdf)
-        .crossJoin(chunks.select("id", "vector"))
-        .withColumn("score", cosine_similarity(F.col("vector"), F.col("_qv")))
-        .withColumn("_rn", F.row_number().over(w_v))
-        .filter(F.col("_rn") <= kk)
-        .select("query_id", "id", F.col("_rn").alias("rank_vec"))
-    )
+    qvecs = [[float(x) for x in embed_fn(q)] for q in queries]
+    if ann is not None:
+        from jsonify2ai_spark.operators.ann import quantized_ivf_topk_batch
+
+        ivf_index, centroids = ann[0], ann[1]
+        n_probe = ann[2] if len(ann) > 2 else 2
+        w_v = Window.partitionBy("query_id").orderBy(
+            F.col("qcos").desc(), F.col("id").asc()
+        )
+        vec_r = (
+            quantized_ivf_topk_batch(
+                ivf_index, qvecs, centroids, k=kk, n_probe=n_probe, id_col="id"
+            )
+            .withColumn("_rn", F.row_number().over(w_v))
+            .select("query_id", "id", F.col("_rn").alias("rank_vec"))
+        )
+    else:
+        qdf = spark.createDataFrame(
+            [(i, qv) for i, qv in enumerate(qvecs)],
+            "query_id int, _qv array<double>",
+        )
+        w_v = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("id").asc()
+        )
+        vec_r = (
+            F.broadcast(qdf)
+            .crossJoin(chunks.select("id", "vector"))
+            .withColumn("score", cosine_similarity(F.col("vector"), F.col("_qv")))
+            .withColumn("_rn", F.row_number().over(w_v))
+            .filter(F.col("_rn") <= kk)
+            .select("query_id", "id", F.col("_rn").alias("rank_vec"))
+        )
 
     fused = bm25_r.join(vec_r, ["query_id", "id"], "full_outer").select(
         "query_id",

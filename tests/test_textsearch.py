@@ -305,3 +305,67 @@ def test_empty_batch_schema_matches_nonempty_for_string_ids(spark):
     empty = quantized_ivf_topk_batch(ivf, [], cents, k=3, id_col="id")
     assert empty.schema == full.schema
     assert full.unionByName(empty).count() == full.count()
+
+
+def test_hybrid_topk_batch_ann_arm(spark):
+    """r8 (r7 verdict #4): ann=(ivf_index, centroids, n_probe) swaps the
+    batched hybrid's vector arm from the corpus-linear brute crossJoin to
+    the partition-pruned quantized-IVF path. With probes covering every
+    cell the fused output must equal the brute arm's row-for-row (int8
+    error is << the constructed cosine gaps); with n_probe=1 the top-1
+    doc must still match brute (recall@1 = 1.0 on cluster-separated
+    vectors) while touching only the probed cell."""
+    from jsonify2ai_spark.api import hybrid_topk_batch
+    from jsonify2ai_spark.operators.ann import build_quantized_ivf
+    from jsonify2ai_spark.operators.textsearch import BM25Index
+
+    rows = []
+    for i in range(16):
+        # two well-separated vector clusters, text splits the same way
+        if i < 8:
+            vec = [1.0, 0.05 * i, 0.0]
+            text = f"alpha retrieval doc {i} spark engine"
+        else:
+            vec = [0.0, 1.0, 0.05 * (i - 8)]
+            text = f"beta storage doc {i} parquet files"
+        rows.append((f"c{i}", text, vec))
+    chunks = spark.createDataFrame(
+        rows, "id string, text string, vector array<double>"
+    )
+    idx = BM25Index(chunks, id_col="id")
+    cents = [[1.0, 0.2, 0.0], [0.0, 1.0, 0.2]]
+    ivf = build_quantized_ivf(chunks, cents, vector_col="vector", id_col="id")
+
+    emb = {
+        "alpha spark": [1.0, 0.1, 0.0],
+        "beta parquet": [0.0, 1.0, 0.1],
+        "doc engine files": [0.5, 0.5, 0.05],
+    }
+    queries = list(emb)
+    embed_fn = lambda q: emb[q]  # noqa: E731
+
+    brute = {}
+    for r in hybrid_topk_batch(chunks, queries, idx, k=5, embed=embed_fn).collect():
+        brute.setdefault(r["query_id"], []).append((r["id"], r["score"]))
+    full = {}
+    for r in hybrid_topk_batch(
+        chunks, queries, idx, k=5, embed=embed_fn, ann=(ivf, cents, 2)
+    ).collect():
+        full.setdefault(r["query_id"], []).append((r["id"], r["score"]))
+    for qi in range(len(queries)):
+        want = sorted(brute[qi], key=lambda t: (-t[1], t[0]))
+        got = sorted(full[qi], key=lambda t: (-t[1], t[0]))
+        assert got == want, (queries[qi], got, want)
+
+    # n_probe=1: prune to ONE cell, top-1 must still agree with brute for
+    # the cluster-aligned queries (recall@1 = 1.0)
+    pruned = {}
+    for r in hybrid_topk_batch(
+        chunks, queries[:2], idx, k=5, embed=embed_fn, ann=(ivf, cents, 1)
+    ).collect():
+        pruned.setdefault(r["query_id"], []).append((r["id"], r["score"]))
+    for qi in range(2):
+        top_brute = max(brute[qi], key=lambda t: (t[1], t[0]))[0]
+        top_ann = max(pruned[qi], key=lambda t: (t[1], t[0]))[0]
+        assert top_ann == top_brute, (queries[qi], top_ann, top_brute)
+    idx.close()
