@@ -619,10 +619,14 @@ class SpanDedupGate:
 
     Per-batch cost contract: the corpus's HOT window-hash set (occurrence
     count >= min_df — duplicated-content-sized, far smaller than the
-    corpus postings) is built once, persisted, and broadcast; per-batch
-    work is one positional window-hash pass over the BATCH, the broadcast
-    semi-probe, and a per-document array fold — proportional to the
-    batch, never the corpus.
+    corpus postings) is built once, persisted, and broadcast into each
+    batch's window probe WHILE it fits (``broadcast_hot_max`` hashes,
+    checked against the materialized build count); a pathological
+    near-wholly-duplicated corpus whose hot set approaches corpus size
+    falls back to a plain shuffle semi-join instead of an executor-OOM
+    broadcast. Either way per-batch work is one positional window-hash
+    pass over the BATCH, the semi-probe, and a per-document array fold —
+    proportional to the batch, never the corpus.
 
     Note the semantics: hotness is judged against the CORPUS alone (the
     gate family's static-artifact contract); batch-internal duplicate
@@ -639,10 +643,12 @@ class SpanDedupGate:
         min_df: int = 2,
         text_col: str = "text",
         id_col: str = "doc_id",
+        broadcast_hot_max: int = 2_000_000,
     ) -> None:
         self._n = n
         self._text_col = text_col
         self._id_col = id_col
+        self._broadcast_hot_max = broadcast_hot_max
         self._hot = (
             self._windows(corpus)
             .groupBy("h")
@@ -651,7 +657,14 @@ class SpanDedupGate:
             .select("h")
             .persist()
         )
-        self._hot.count()  # materialize before the first trigger
+        # materialize before the first trigger; the count doubles as the
+        # broadcast-size guard (r7 verdict #5): the hot set is
+        # duplicated-content-sized, which a pathological corpus (q106's
+        # worst case is ~95% token coverage) can grow toward corpus-sized
+        # — broadcasting that would OOM an executor. Above the threshold
+        # the per-batch probe falls back to a plain shuffle semi-join,
+        # exactly CorpusNearDupGate's r7 treatment of its posting probe.
+        self._hot_count = self._hot.count()
 
     def _windows(self, df: DataFrame) -> DataFrame:
         """(id, pos, h): positional n-token window hashes, the exact
@@ -685,9 +698,14 @@ class SpanDedupGate:
         from jsonify2ai_spark.functions.text import tokens
 
         idc, n = self._id_col, self._n
+        hot = (
+            F.broadcast(self._hot)
+            if self._hot_count <= self._broadcast_hot_max
+            else self._hot  # oversized hot set: shuffle semi-join instead
+        )
         starts = (
             self._windows(batch)
-            .join(F.broadcast(self._hot), "h", "left_semi")
+            .join(hot, "h", "left_semi")
             .groupBy(idc)
             .agg(F.array_sort(F.collect_list("pos")).alias("_ss"))
         )

@@ -948,3 +948,54 @@ def test_streaming_prep_chain_dispatches_on_explicit_kind(spark):
     with pytest.raises(TypeError, match="kind"):
         StreamingPrepChain([UndeclaredGate()]).filter_batch(batch)
     chain.close()
+
+
+def test_span_dedup_gate_hot_set_broadcast_guard(spark):
+    """r7 verdict #5: the gate's hot window-hash set can approach corpus
+    size on a worst-case (near-wholly-duplicated) corpus; above
+    broadcast_hot_max the per-batch probe must fall back to a plain
+    shuffle semi-join — identical rows, and genuinely no broadcast of the
+    hot side in the plan."""
+    from jsonify2ai_spark.streaming.windowed import SpanDedupGate
+
+    run = " ".join(f"tok{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{run} trailer one"),
+            (2, f"{run} trailer two"),
+            (3, "an unrelated corpus document body entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, f"prefix words {run} suffix words"),
+            (101, "a clean incoming document"),
+        ],
+        "doc_id long, text string",
+    )
+    small = SpanDedupGate(corpus, n=10, min_df=2)  # default: broadcast
+    forced = SpanDedupGate(corpus, n=10, min_df=2, broadcast_hot_max=0)
+    assert forced._hot_count > 0  # the guard is actually engaged
+    rows_b = sorted(tuple(r) for r in small.filter_batch(batch).collect())
+    rows_s = sorted(tuple(r) for r in forced.filter_batch(batch).collect())
+    assert rows_b == rows_s and rows_b  # parity both sides of the guard
+
+    def n_broadcast_joins(gate):
+        plan = gate.filter_batch(batch)._jdf.queryExecution().executedPlan().toString()
+        return plan.count("BroadcastHashJoin")
+
+    # the guard's semantic is hint-vs-defer: F.broadcast FORCES a
+    # broadcast regardless of size (the OOM risk); the guarded form
+    # defers to Catalyst, which on an oversized side will not broadcast.
+    # Model 'oversized' by disabling auto-broadcast: the hinted gate must
+    # still broadcast, the guarded one must not.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert n_broadcast_joins(small) >= 1  # hint still forces it
+        assert n_broadcast_joins(forced) == 0  # guard defers, no broadcast
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    small.close()
+    forced.close()
