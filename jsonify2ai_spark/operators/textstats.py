@@ -1144,11 +1144,14 @@ def blocklist_filter(
     Cost model: the list compiles into one literal array per plan and
     membership is a linear scan per token — map-only with zero shuffles,
     right for the LDNOOBW class of list (~400 words/language). Past a few
-    thousand words the per-token scan dominates: ``scope="doc"``
-    automatically switches to a broadcast-join form (explode tokens,
-    broadcast hash semi-count against the word table — O(1) membership
-    per token, one per-doc count aggregate) above ``_JOIN_THRESHOLD``
-    words; decisions are identical (parity-pinned).
+    thousand words the per-token scan dominates: BOTH scopes
+    automatically switch to a broadcast-join form above
+    ``_BLOCKLIST_JOIN_THRESHOLD`` (2k) words — ``scope="doc"`` explodes
+    tokens and semi-counts against the broadcast word table (one per-doc
+    aggregate); ``scope="line"`` explodes lines -> tokens, marks lines
+    via the same broadcast membership, and reassembles kept lines in
+    order (one (doc, line) + one doc aggregate). Decisions are identical
+    to the literal-array form in both scopes (parity-pinned).
     """
     wordset = sorted({w.lower() for w in words})
     if scope == "doc" and len(wordset) > _BLOCKLIST_JOIN_THRESHOLD:
@@ -1190,6 +1193,55 @@ def blocklist_filter(
         )
     if scope != "line":
         raise ValueError(f"unknown scope: {scope!r}")
+    if len(wordset) > _BLOCKLIST_JOIN_THRESHOLD:
+        # r8 (r7 verdict #6): the large-list join form for line salvage —
+        # explode lines -> tokens, broadcast semi against the word table
+        # (O(1) membership per token), line-keyed any(), ordered
+        # reassembly. Same decisions as the literal-array scan below
+        # (parity-pinned); NULL-text docs restored via the left join.
+        spark = df.sparkSession
+        wl = spark.createDataFrame([(w,) for w in wordset], "_bw string")
+        lx = df.select(
+            F.col(id_col),
+            F.posexplode(F.split(_c(text_col), "\n")).alias("_idx", "_ln"),
+        )
+        # explode_outer keeps token-less lines (empty/whitespace) alive
+        tok = lx.select(
+            F.col(id_col),
+            "_idx",
+            "_ln",
+            F.explode_outer(F.transform(tokens(F.col("_ln")), F.lower)).alias(
+                "_t"
+            ),
+        )
+        marked = tok.join(
+            F.broadcast(wl), tok["_t"] == wl["_bw"], "left"
+        ).select(
+            F.col(id_col), "_idx", "_ln", wl["_bw"].isNotNull().alias("_hit")
+        )
+        per_line = marked.groupBy(id_col, "_idx").agg(
+            F.first("_ln").alias("_ln"), F.max("_hit").alias("_bad")
+        )
+        doc = per_line.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+            F.count(F.when(~F.col("_bad"), 1)).cast("int").alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("_bad"), F.struct("_idx", "_ln"))
+                        )
+                    ),
+                    lambda s: s["_ln"],
+                ),
+            ).alias("text_clean"),
+        )
+        return (
+            df.select(F.col(id_col))
+            .join(doc, id_col, "left")
+            .select(id_col, "n_lines", "n_kept", "text_clean")
+        )
     lines = F.split(_c(text_col), "\n")
     line_bad = lambda ln: F.exists(
         F.transform(tokens(ln), F.lower), lambda t: F.array_contains(bl, t)

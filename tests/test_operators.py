@@ -2368,3 +2368,44 @@ def test_train_bpe_fast_mode_quality_parity(spark):
 
     t_seq, t_fast = total_tokens(seq), total_tokens(fast)
     assert abs(t_fast - t_seq) / t_seq < 0.05, (t_seq, t_fast)
+
+
+def test_blocklist_filter_line_scope_join_form_parity(spark):
+    """r8 (r7 verdict #6): above the word-count threshold scope='line'
+    switches to the broadcast-join membership form — counters, kept-line
+    reassembly (order included), empty-line, all-bad-line, and NULL-text
+    contracts must match the literal-array scan exactly."""
+    import jsonify2ai_spark.operators.textstats as ts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean opening line\nbad0007 poisons this line\nclean closing"),
+            (2, "bad0001 a\nbad0002 b"),  # every line bad -> text_clean ''
+            (3, None),  # NULL text -> NULL row values
+            (4, ""),  # one empty line, kept
+            (5, "solitary clean line"),
+            (6, "x\n\ny bad0042 z\n"),  # blank + trailing-newline lines
+        ],
+        "doc_id long, text string",
+    )
+    words = [f"bad{i:04d}" for i in range(3000)]
+    assert len(words) > ts._BLOCKLIST_JOIN_THRESHOLD
+    joined = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in ts.blocklist_filter(docs, words, scope="line").collect()
+    }
+    old = ts._BLOCKLIST_JOIN_THRESHOLD
+    ts._BLOCKLIST_JOIN_THRESHOLD = 10**9
+    try:
+        arr = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in ts.blocklist_filter(docs, words, scope="line").collect()
+        }
+    finally:
+        ts._BLOCKLIST_JOIN_THRESHOLD = old
+    assert joined == arr, (joined, arr)
+    assert joined[1] == (3, 2, "clean opening line\nclean closing")
+    assert joined[2] == (2, 0, "")
+    assert joined[3] == (None, None, None)
+    assert joined[4] == (1, 1, "")
+    assert joined[6] == (4, 3, "x\n\n")
