@@ -1642,7 +1642,7 @@ def _structured_docs(docs: DataFrame) -> DataFrame:
 
 _DD_STRUCTURED = """
             SELECT doc_id,
-                   CASE WHEN doc_id % 5 = 0 THEN 'code {{ block' || chr(10) ||
+                   CASE WHEN doc_id % 5 = 0 THEN 'code { block' || chr(10) ||
                              replace(text, ' row ', '.' || chr(10) || 'row ') || '.'
                         WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor' || chr(10) ||
                              replace(text, ' row ', '.' || chr(10) || 'row ') || '.'
@@ -1929,6 +1929,24 @@ def q110_span_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(docs.unionByName(syn), n=8, min_df=2, keep="one")
 
 
+def q111_blocklist_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-scoped blocklist salvage (operators/textstats.py
+    blocklist_filter(scope='line'), gate row new r8 — the RefinedWeb-style
+    softer policy whose >2k-word join form shipped this round): over the
+    q97/q98 structure-injected corpus, lines carrying a blocked TOKEN are
+    removed and the page reassembled, with (n_lines, n_kept) counters.
+    The 3-word list keeps the literal-array form in play here; the join
+    form is parity-pinned against it in tests, so this row gates both."""
+    from jsonify2ai_spark.operators.textstats import blocklist_filter
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return blocklist_filter(
+        _structured_docs(t["documents"]),
+        words=["the", "subscribe", "zzzabsent"],
+        scope="line",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -1948,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- changed / new this round (r8): every edited operator gates first
         "q110_span_dedup_keep_one": q110_span_dedup_keep_one,  # NEW r8: ExactSubstr keep-one policy (first driver row)
+        "q111_blocklist_lines": q111_blocklist_lines,  # NEW r8: line-scope blocklist salvage (first driver row)
         "q106_span_dedup": q106_span_dedup,  # changed r8: remove_duplicate_spans gained keep=/max_doc_starts
         "q97_c4_filter": q97_c4_filter,  # changed r8: oracle all-bad-lines NULL guard (r7 advisor)
         "q109_blocklist": q109_blocklist,  # changed r8: line-scope broadcast-join membership form
@@ -1995,14 +2014,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_ivf_ann": q25_ivf_ann,
         "q27_bpe_tokens": q27_bpe_tokens,
         "q45_brand_revenue_having": q45_brand_revenue_having,
-        # --- oldest r6-green head (5 remaining slots)
+        # --- oldest r6-green head (4 remaining slots; q99 yielded its
+        # fill slot to q111 — new code gates first, q99 rotates r9)
         "q93_syndication_capped": q93_syndication_capped,
         "q94_language_mix": q94_language_mix,
         "q96_curriculum_buckets": q96_curriculum_buckets,
         "q98_line_dedup": q98_line_dedup,
-        "q99_tokenizer_fertility": q99_tokenizer_fertility,
         # ================= tail (entry 51+) =================
         # r6-green remainder: the r9 gate's first claim
+        "q99_tokenizer_fertility": q99_tokenizer_fertility,
         "q100_training_pipeline": q100_training_pipeline,
         "q101_incremental_pipeline": q101_incremental_pipeline,
         "q102_conversation_lint": q102_conversation_lint,
@@ -4430,6 +4450,33 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(ka, ' '), '') AS text_dedup
             FROM kept
         """.replace("{dd_tokens}", _DD_TOKENS.format(t="text")),
+        # twin of blocklist_filter(scope='line') over the structured
+        # corpus: per line, whole-token lowercased membership; kept lines
+        # reassemble in order (array_to_string([]) is NULL in DuckDB ->
+        # coalesce to '', the q97 lesson)
+        "q111_blocklist_lines": f"""
+            WITH structured AS ({_DD_STRUCTURED}),
+            ls AS (
+              SELECT doc_id, string_split(text, chr(10)) AS lines
+              FROM structured
+            ), lx AS (
+              SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i
+              FROM ls
+            ), marked AS (
+              SELECT doc_id, i, lines[i] AS ln,
+                     len(list_filter({_DD_TOKENS.format(t="lines[i]")},
+                         tk -> lower(tk) IN
+                             ('the', 'subscribe', 'zzzabsent'))) > 0 AS bad
+              FROM lx
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS INT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE NOT bad) AS INT) AS n_kept,
+                   coalesce(array_to_string(
+                       list(ln ORDER BY i) FILTER (WHERE NOT bad),
+                       chr(10)), '') AS text_clean
+            FROM marked GROUP BY doc_id
+        """,
         # twin of ann.ivf_health_report: q25's first-K-centroid assignment
         # machinery, then per-cell stable-decimal cohesion means + a
         # K-row window for the fill fraction; + 0.0 canonicalizes zeros

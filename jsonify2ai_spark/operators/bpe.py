@@ -278,3 +278,85 @@ def bpe_encode(
         words = F.transform(words, F.lower)
     encoded = F.flatten(F.transform(words, _encode_word))
     return df.withColumn(out_col, encoded)
+
+
+def bpe_encode_fast(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    lowercase: bool = True,
+) -> DataFrame:
+    """:func:`bpe_encode` for PRODUCTION merge lists — an Arrow-batched
+    rank-loop encoder (the GPT-2 reference algorithm: repeatedly merge
+    the lowest-rank adjacent pair), with a per-batch distinct-word cache.
+
+    Why it exists: the expression-form :func:`bpe_encode` chains one fold
+    per merge into a single Column — exact and plan-transparent, but the
+    analyzer's resolution pass walks the whole chain and hits its
+    iteration ceiling somewhere past ~100 merges (measured: the sf0.01
+    corpus's own 106-merge list is un-encodable that way), and a 32k-merge
+    production list would be hopeless. Here cost per WORD is independent
+    of merge-list length.
+
+    Equivalence: for a TRAINED merge list the rank-loop equals applying
+    each merge exhaustively in learned order — a merge can only create
+    pairs whose own merge rank is LATER (its output symbol did not exist
+    when earlier merges were learned), so greedy-by-rank never fires an
+    earlier merge on a later merge's output. Differential-pinned against
+    bpe_encode and the pure-Python Sennrich reference in tests. For a
+    hand-built ill-founded list (a pair referencing a symbol created by a
+    LATER entry) the two orders can differ — train the list, don't write
+    it by hand.
+
+    Tokenization stays in the JVM (``bpe_tokens`` + lower) and the UDF
+    receives the word ARRAY — Python's regex engine never sees the text
+    (Java vs Python \\s Unicode classes differ; the repo-wide rule).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+
+    def _enc_batch(words_ser):
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w) + [EOW]
+            while len(syms) > 1:
+                best_r = None
+                best_pair = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_r is None or r < best_r):
+                        best_r, best_pair = r, (syms[i], syms[i + 1])
+                if best_pair is None:
+                    break
+                a, b = best_pair
+                out, i = [], 0
+                while i < len(syms):  # leftmost-first non-overlapping
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        return words_ser.map(
+            lambda ws: None
+            if ws is None
+            else [t for w in ws for t in enc_word(w)]
+        )
+
+    _enc = pandas_udf(_enc_batch, "array<string>")
+
+    words = bpe_tokens(F.col(text_col))
+    if lowercase:
+        words = F.transform(words, F.lower)
+    return df.withColumn(out_col, _enc(words))

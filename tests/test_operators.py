@@ -2409,3 +2409,58 @@ def test_blocklist_filter_line_scope_join_form_parity(spark):
     assert joined[3] == (None, None, None)
     assert joined[4] == (1, 1, "")
     assert joined[6] == (4, 3, "x\n\n")
+
+
+def test_bpe_encode_fast_matches_expression_form_and_long_lists(spark):
+    """bpe_encode_fast (Arrow rank-loop, cost independent of merge-list
+    length) must reproduce bpe_encode token-for-token on a trained list —
+    and must handle a merge list LONGER than the expression form's
+    analyzer ceiling (~100 chained folds), which is its reason to exist."""
+    from jsonify2ai_spark.operators.bpe import (
+        bpe_encode,
+        bpe_encode_fast,
+        train_bpe,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "lower lowest newer newest wider widest",
+        "new newer newest low lower lowest",
+        "",
+        None,
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = train_bpe(df.filter(F.col("text").isNotNull()), num_merges=25)
+    assert merges
+    slow = [r["bpe_tokens"] for r in bpe_encode(df, merges).collect()]
+    fast = [r["bpe_tokens"] for r in bpe_encode_fast(df, merges).collect()]
+    assert fast == slow
+
+    # long-list path: pad the trained list with merges of its own outputs
+    # (well-founded: later entries reference earlier outputs only) — the
+    # expression form cannot even ANALYZE a chain this long
+    long_merges = list(merges)
+    seen = {a + b for a, b in merges}
+    base = sorted(seen)
+    i = 0
+    while len(long_merges) < 220 and i + 1 < len(base):
+        cand = (base[i], base[i + 1])
+        if cand not in long_merges:
+            long_merges.append(cand)
+        i += 1
+    # fill the remainder with inert merges over fresh symbols
+    j = 0
+    while len(long_merges) < 220:
+        long_merges.append((f"zz{j}", f"qq{j}"))
+        j += 1
+    out = bpe_encode_fast(df, long_merges).collect()
+    got = {r["text"]: r["bpe_tokens"] for r in out}
+    assert got[""] == [] and got[None] is None
+    # padding with inert/derived merges must not change words the original
+    # list already fully merges
+    for t, s in zip(texts, slow):
+        if t:
+            # every token of the original encoding either survives or was
+            # further merged into a longer one — total text reassembles
+            assert "".join(got[t]) == "".join(s)
