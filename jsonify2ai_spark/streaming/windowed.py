@@ -303,6 +303,51 @@ class CorpusNearDupGate:
         self._posts.count()  # materialize both artifacts up front
         self._n_corpus = self._sets.count()
 
+    def save(self, path: str) -> None:
+        """Persist the build-once corpus artifacts (shingle sets + the
+        sh-clustered posting frame + params) so a stream RESTART warm-
+        loads in seconds instead of re-shingling the corpus — the same
+        contract as BM25Index.save: at 100 TB the build is a batch job,
+        the load is a cache warm. Pair with the stream's checkpointLocation
+        (offsets resume there; the gate's corpus state resumes here)."""
+        spark = self._sets.sparkSession
+        self._sets.write.mode("overwrite").parquet(f"{path}/sets")
+        self._posts.write.mode("overwrite").parquet(f"{path}/posts")
+        spark.createDataFrame(
+            [
+                (
+                    self._threshold,
+                    self._text_col,
+                    self._id_col,
+                    self._shingle_n,
+                    self._n_corpus,
+                )
+            ],
+            "threshold double, text_col string, id_col string, "
+            "shingle_n int, n_corpus long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "CorpusNearDupGate":
+        """Rebuild from :meth:`save` output without touching the corpus
+        text; filter_batch parity across the round-trip is test-pinned
+        (df_cap, if any, was already applied to the saved postings)."""
+        meta = spark.read.parquet(f"{path}/meta").first()
+        obj = cls.__new__(cls)
+        obj._threshold = float(meta["threshold"])
+        obj._text_col = meta["text_col"]
+        obj._id_col = meta["id_col"]
+        obj._shingle_n = int(meta["shingle_n"])
+        obj._n_corpus = int(meta["n_corpus"])
+        obj._sets = spark.read.parquet(f"{path}/sets").persist()
+        obj._posts = (
+            spark.read.parquet(f"{path}/posts")
+            .repartition(F.col("sh"))
+            .persist()
+        )
+        obj._posts.count()
+        return obj
+
     def filter_batch(self, batch: DataFrame) -> DataFrame:
         """Rows of ``batch`` with NO near-duplicate in the corpus (plus
         batch rows with no shingles, which cannot near-dup anything)."""
@@ -472,6 +517,26 @@ class BoilerplateLineGate:
         )
         self._hot.count()  # materialize once, before the first trigger
 
+    def save(self, path: str) -> None:
+        """Persist the hot-line set + params for restart warm-load (see
+        CorpusNearDupGate.save — same contract, one artifact)."""
+        spark = self._hot.sparkSession
+        self._hot.write.mode("overwrite").parquet(f"{path}/hot")
+        spark.createDataFrame(
+            [(self._text_col, self._id_col)], "text_col string, id_col string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "BoilerplateLineGate":
+        meta = spark.read.parquet(f"{path}/meta").first()
+        obj = cls.__new__(cls)
+        obj._text_col = meta["text_col"]
+        obj._id_col = meta["id_col"]
+        obj.rewritten_col = meta["text_col"]
+        obj._hot = spark.read.parquet(f"{path}/hot").persist()
+        obj._hot.count()
+        return obj
+
     def filter_batch(self, batch: DataFrame) -> DataFrame:
         """Rewrite ``batch``: corpus-boilerplate lines removed, order kept."""
         idc, txt = self._id_col, self._text_col
@@ -569,6 +634,28 @@ class DecontaminationGate:
         )
         self._bsh.count()  # materialize before the first trigger
 
+    def save(self, path: str) -> None:
+        """Persist the benchmark shingle set + params for restart
+        warm-load (see CorpusNearDupGate.save — same contract)."""
+        spark = self._bsh.sparkSession
+        self._bsh.write.mode("overwrite").parquet(f"{path}/bsh")
+        spark.createDataFrame(
+            [(self._n, self._text_col, self._id_col, self._normalize)],
+            "n int, text_col string, id_col string, normalize boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "DecontaminationGate":
+        meta = spark.read.parquet(f"{path}/meta").first()
+        obj = cls.__new__(cls)
+        obj._n = int(meta["n"])
+        obj._text_col = meta["text_col"]
+        obj._id_col = meta["id_col"]
+        obj._normalize = bool(meta["normalize"])
+        obj._bsh = spark.read.parquet(f"{path}/bsh").persist()
+        obj._bsh.count()
+        return obj
+
     def _prep(self, c):
         if not self._normalize:
             return c
@@ -665,6 +752,38 @@ class SpanDedupGate:
         # the per-batch probe falls back to a plain shuffle semi-join,
         # exactly CorpusNearDupGate's r7 treatment of its posting probe.
         self._hot_count = self._hot.count()
+
+    def save(self, path: str) -> None:
+        """Persist the hot window-hash set + params for restart warm-load
+        (see CorpusNearDupGate.save — same contract)."""
+        spark = self._hot.sparkSession
+        self._hot.write.mode("overwrite").parquet(f"{path}/hot")
+        spark.createDataFrame(
+            [
+                (
+                    self._n,
+                    self._text_col,
+                    self._id_col,
+                    self._broadcast_hot_max,
+                    self._hot_count,
+                )
+            ],
+            "n int, text_col string, id_col string, "
+            "broadcast_hot_max long, hot_count long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "SpanDedupGate":
+        meta = spark.read.parquet(f"{path}/meta").first()
+        obj = cls.__new__(cls)
+        obj._n = int(meta["n"])
+        obj._text_col = meta["text_col"]
+        obj._id_col = meta["id_col"]
+        obj._broadcast_hot_max = int(meta["broadcast_hot_max"])
+        obj._hot_count = int(meta["hot_count"])
+        obj._hot = spark.read.parquet(f"{path}/hot").persist()
+        obj._hot.count()
+        return obj
 
     def _windows(self, df: DataFrame) -> DataFrame:
         """(id, pos, h): positional n-token window hashes, the exact

@@ -999,3 +999,66 @@ def test_span_dedup_gate_hot_set_broadcast_guard(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     small.close()
     forced.close()
+
+
+def test_gate_save_load_round_trip_parity(spark, tmp_path):
+    """r8: every streaming gate's build-once corpus artifact persists and
+    warm-loads (BM25Index.save's contract) — a stream restart resumes
+    offsets from its checkpoint and gate state from here, without
+    re-shingling the corpus. filter_batch output must be identical across
+    the round-trip for all four gates, composed as a chain both ways."""
+    from jsonify2ai_spark.streaming.windowed import (
+        BoilerplateLineGate,
+        CorpusNearDupGate,
+        DecontaminationGate,
+        SpanDedupGate,
+        StreamingPrepChain,
+    )
+
+    bp = "subscribe to our newsletter"
+    span = "all rights reserved contact us for terms of service details"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"corpus doc one body text {span} end portion here\n{bp}"),
+            (2, f"corpus doc two other words {span} closing bits now\n{bp}"),
+            (3, f"corpus doc three unique material entirely\n{bp}"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("never use this benchmark question sentence in training data ever",)],
+        "text string",
+    )
+    built = [
+        CorpusNearDupGate(corpus, threshold=0.8),
+        BoilerplateLineGate(corpus, max_line_df=2),
+        SpanDedupGate(corpus, n=10, min_df=2),
+        DecontaminationGate(bench, n=8),
+    ]
+    for i, g in enumerate(built):
+        g.save(str(tmp_path / f"g{i}"))
+    loaded = [
+        CorpusNearDupGate.load(spark, str(tmp_path / "g0")),
+        BoilerplateLineGate.load(spark, str(tmp_path / "g1")),
+        SpanDedupGate.load(spark, str(tmp_path / "g2")),
+        DecontaminationGate.load(spark, str(tmp_path / "g3")),
+    ]
+    batch = spark.createDataFrame(
+        [
+            (100, f"corpus doc one body text {span} end portion here\n{bp}", "s1"),
+            (101, f"novel opening {span} novel middle\n{bp}\nnovel closing", "s2"),
+            (102, "never use this benchmark question sentence in training data ever", "s3"),
+            (103, "completely clean incoming document body", "s4"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    want = sorted(tuple(r) for r in StreamingPrepChain(built).filter_batch(batch).collect())
+    got = sorted(tuple(r) for r in StreamingPrepChain(loaded).filter_batch(batch).collect())
+    assert got == want and want
+    # kind/rewritten_col dispatch attributes survive the load
+    assert loaded[1].kind == "rewrite" and loaded[1].rewritten_col == "text"
+    assert loaded[2].kind == "rewrite" and loaded[2].rewritten_col == "text_dedup"
+    # the span gate's broadcast guard state survives too
+    assert loaded[2]._hot_count == built[2]._hot_count > 0
+    for g in built + loaded:
+        g.close()
