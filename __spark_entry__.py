@@ -1947,6 +1947,32 @@ def q111_blocklist_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q112_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair report (operators/textstats.py fix_mojibake, new r8
+    - the ftfy-style fix_text stage C4/CCNet run before tokenization):
+    UTF-8-as-Latin-1 artifact sequences repaired via the fixed
+    longest-first rule table, with per-doc repair counts. The corpus is
+    clean by construction, so doc_id%4==0 rows get a deterministic
+    mojibake token injected (mirrored verbatim in the oracle) - the same
+    injection idiom as q58's PII and q97's page structure."""
+    from jsonify2ai_spark.operators.textstats import fix_mojibake
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    moj = "r\u00c3\u00a9sum\u00c3\u00a9\u00e2\u20ac\u2122"
+    docs = t["documents"].select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.replace(F.col("text"), F.lit(" row "), F.lit(f" {moj} row ")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return fix_mojibake(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -1967,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed / new this round (r8): every edited operator gates first
         "q110_span_dedup_keep_one": q110_span_dedup_keep_one,  # NEW r8: ExactSubstr keep-one policy (first driver row)
         "q111_blocklist_lines": q111_blocklist_lines,  # NEW r8: line-scope blocklist salvage (first driver row)
+        "q112_fix_mojibake": q112_fix_mojibake,  # NEW r8: encoding repair (first driver row)
         "q106_span_dedup": q106_span_dedup,  # changed r8: remove_duplicate_spans gained keep=/max_doc_starts
         "q97_c4_filter": q97_c4_filter,  # changed r8: oracle all-bad-lines NULL guard (r7 advisor)
         "q109_blocklist": q109_blocklist,  # changed r8: line-scope broadcast-join membership form
@@ -2019,9 +2046,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_syndication_capped": q93_syndication_capped,
         "q94_language_mix": q94_language_mix,
         "q96_curriculum_buckets": q96_curriculum_buckets,
-        "q98_line_dedup": q98_line_dedup,
         # ================= tail (entry 51+) =================
-        # r6-green remainder: the r9 gate's first claim
+        # r6-green remainder: the r9 gate's first claim (q98/q99 yielded
+        # their fill slots to q111/q112 - new code gates first)
+        "q98_line_dedup": q98_line_dedup,
         "q99_tokenizer_fertility": q99_tokenizer_fertility,
         "q100_training_pipeline": q100_training_pipeline,
         "q101_incremental_pipeline": q101_incremental_pipeline,
@@ -2660,6 +2688,39 @@ SELECT r.doc_id, r.text, r.quality, r.n_email, r.n_phone, r.n_ipv4, r.n_ssn,
 FROM red r LEFT JOIN dups du ON du.a = r.doc_id
 WHERE du.a IS NULL
 """
+
+
+
+
+def _dd_mojibake_oracle() -> str:
+    """q112's SQL, generated from the shared MOJIBAKE_RULES so the oracle
+    replace chain is literal-for-literal the operator's."""
+    from jsonify2ai_spark.operators.textstats import MOJIBAKE_RULES
+
+    moj = "r\u00c3\u00a9sum\u00c3\u00a9\u00e2\u20ac\u2122"
+    fixed = "text"
+    counts = []
+    for bad, good in MOJIBAKE_RULES:
+        b = bad.replace("'", "''")
+        g = good.replace("'", "''")
+        counts.append(
+            f"(length(text) - length(replace(text, '{b}', ''))) / {len(bad)}"
+        )
+        fixed = f"replace({fixed}, '{b}', '{g}')"
+    n_fixed = " + ".join(counts)
+    return f"""
+        WITH injected AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0
+                      THEN replace(text, ' row ', ' {moj} row ')
+                      ELSE text END AS text
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST({n_fixed} AS BIGINT) AS n_fixed,
+               {fixed} AS text_fixed
+        FROM injected
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4450,6 +4511,11 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(ka, ' '), '') AS text_dedup
             FROM kept
         """.replace("{dd_tokens}", _DD_TOKENS.format(t="text")),
+        # twin of textstats.fix_mojibake over the mojibake-injected corpus:
+        # the replace chain and per-rule length-delta counts are GENERATED
+        # from the operator's own MOJIBAKE_RULES table, so the two engines
+        # replay byte-identical literals
+        "q112_fix_mojibake": _dd_mojibake_oracle(),
         # twin of blocklist_filter(scope='line') over the structured
         # corpus: per line, whole-token lowercased membership; kept lines
         # reassemble in order (array_to_string([]) is NULL in DuckDB ->

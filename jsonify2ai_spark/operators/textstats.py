@@ -1254,3 +1254,66 @@ def blocklist_filter(
         F.size(kept).alias("n_kept"),
         F.when(n_lines.isNotNull(), F.concat_ws("\n", kept)).alias("text_clean"),
     )
+
+
+# UTF-8-decoded-as-Latin-1/cp1252 artifacts - the dominant mojibake class
+# in web crawls (ftfy's core case). Ordered LONGEST-FIRST so multi-byte
+# sequences repair before their prefixes (the smart-quote triple
+# "\u00e2\u20ac\u2122" must win over a bare "\u00e2"). Keys/values are
+# plain string literals, so the same table replays verbatim in the
+# DuckDB oracle.
+MOJIBAKE_RULES: tuple[tuple[str, str], ...] = (
+    ("\u00e2\u20ac\u2122", "\u2019"),  # smart apostrophe
+    ("\u00e2\u20ac\u0153", "\u201c"),  # left double quote
+    ("\u00e2\u20ac\u009d", "\u201d"),  # right double quote
+    ("\u00e2\u20ac\u201c", "\u2013"),  # en dash
+    ("\u00e2\u20ac\u201d", "\u2014"),  # em dash
+    ("\u00e2\u20ac\u00a6", "\u2026"),  # ellipsis
+    ("\u00c3\u00a9", "\u00e9"),  # e acute
+    ("\u00c3\u00a8", "\u00e8"),  # e grave
+    ("\u00c3\u00a4", "\u00e4"),  # a umlaut
+    ("\u00c3\u00b6", "\u00f6"),  # o umlaut
+    ("\u00c3\u00bc", "\u00fc"),  # u umlaut
+    ("\u00c3\u00b1", "\u00f1"),  # n tilde
+    ("\u00c2\u00a0", " "),  # doubled non-breaking space
+)
+
+
+def fix_mojibake(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rules: tuple[tuple[str, str], ...] = MOJIBAKE_RULES,
+) -> DataFrame:
+    """Encoding repair - the ftfy-style fix_text stage every web-crawl
+    prep pipeline (C4, CCNet) runs before tokenization: UTF-8 text that
+    was decoded as Latin-1/cp1252 somewhere upstream carries artifact
+    sequences ("rA(c)sumA(c)"-style spellings, smart-quote triples); left
+    unrepaired they fragment the vocabulary (every mojibake spelling is
+    its own token) and poison dedup/shingle matching against clean copies
+    of the same text.
+
+    Pure literal-replace repair over a fixed rule table (longest-first -
+    the module constant; pass your own for other locales): map-only, one
+    JVM pass, no regex (exact codepoint sequences, so no engine-dialect
+    drift). Output: (id, n_fixed, text_fixed) where n_fixed counts
+    repaired sequences - occurrences measured by length delta per rule,
+    all computed on the ORIGINAL text so earlier rules cannot hide later
+    ones' counts. NULL text -> NULL counters / NULL text (totality)."""
+    t = _c(text_col)
+    fixed = t
+    counts = []
+    for bad, good in rules:
+        counts.append(
+            (F.length(t) - F.length(F.replace(t, F.lit(bad), F.lit(""))))
+            / F.lit(len(bad))
+        )
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    n_fixed = counts[0]
+    for c in counts[1:]:
+        n_fixed = n_fixed + c
+    return df.select(
+        F.col(id_col),
+        n_fixed.cast("bigint").alias("n_fixed"),
+        fixed.alias("text_fixed"),
+    )

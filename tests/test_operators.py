@@ -2464,3 +2464,31 @@ def test_bpe_encode_fast_matches_expression_form_and_long_lists(spark):
             # every token of the original encoding either survives or was
             # further merged into a longer one — total text reassembles
             assert "".join(got[t]) == "".join(s)
+
+
+def test_fix_mojibake_repairs_and_counts(spark):
+    """Encoding repair (r8): UTF-8-as-Latin-1 artifact sequences repair to
+    their true characters, counts come from the ORIGINAL text per rule
+    (longest-first ordering so smart-quote triples win over bare prefix
+    bytes), clean text passes through untouched, NULL stays NULL."""
+    from jsonify2ai_spark.operators.textstats import fix_mojibake
+
+    smart = "\u00e2\u20ac\u2122"      # mojibake of right single quote
+    eacute = "\u00c3\u00a9"            # mojibake of e-acute
+    docs = spark.createDataFrame(
+        [
+            (1, f"it{smart}s a r{eacute}sum{eacute} test"),
+            (2, "perfectly clean ascii text"),
+            (3, None),
+            (4, f"{smart}{smart}{eacute}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in fix_mojibake(docs).collect()}
+    assert out[1]["text_fixed"] == "it\u2019s a r\u00e9sum\u00e9 test"
+    assert out[1]["n_fixed"] == 3
+    assert out[2]["text_fixed"] == "perfectly clean ascii text"
+    assert out[2]["n_fixed"] == 0
+    assert out[3]["text_fixed"] is None and out[3]["n_fixed"] is None
+    assert out[4]["n_fixed"] == 3
+    assert out[4]["text_fixed"] == "\u2019\u2019\u00e9"
