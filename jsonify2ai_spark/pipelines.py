@@ -33,11 +33,17 @@ def prepare_training_corpus(
     redact: bool = True,
     pack_budget: int | None = 2000,
     pack_groups: int = 32,
+    fix_encoding: bool = False,
+    span_dedup_n: int | None = None,
+    span_dedup_keep: str = "one",
 ) -> DataFrame:
     """Return the prepared corpus: one row per KEPT document with the
     (optionally redacted) text plus quality/packing columns.
 
     Stages, in order (each skippable):
+    0. encoding repair — ``fix_encoding=True`` runs fix_mojibake FIRST
+                        (q112): mojibake fragments tokens, so every
+                        downstream stat/dedup stage must see repaired text
     1. quality gate   — ``quality_score`` >= ``min_quality``
     2. length trim    — ``length_trim=(lo, hi)`` drops documents whose
                         length percent-rank falls outside [lo, hi]
@@ -48,6 +54,14 @@ def prepare_training_corpus(
                         one survivor per cluster; ``keep_best=True``
                         selects the HIGHEST-quality cluster member (q75)
                         instead of the min-id one
+    5b. span dedup    — ``span_dedup_n=N`` rewrites surviving docs with
+                        the ExactSubstr rule (q106/q110): verbatim runs
+                        duplicated across DIFFERENT surviving documents
+                        are cut — all-but-one occurrence by default
+                        (``span_dedup_keep``, Lee et al. §4.1). Runs
+                        after doc-level dedup (whole dups are already
+                        gone; this repairs partial syndication) and
+                        before PII/packing (which must see final text)
     6. PII redaction  — text rewritten in place (adds ``pii_total``)
     7. packing        — (pack_group, bin_idx) next-fit assignments
     """
@@ -60,6 +74,13 @@ def prepare_training_corpus(
     from jsonify2ai_spark.operators.packing import pack_sequences
     from jsonify2ai_spark.operators.pii import redact_pii, with_pii_counts
     from jsonify2ai_spark.operators.textstats import quality_score, repetition_stats
+
+    if fix_encoding:
+        from jsonify2ai_spark.operators.textstats import fix_mojibake
+
+        docs = fix_mojibake(
+            docs.select(id_col, text_col), text_col=text_col, id_col=id_col
+        ).select(id_col, F.col("text_fixed").alias(text_col))
 
     # every stage below references `out` from BOTH sides of a self-join
     # (stats + join, dedup-keys + semi-join, pairs + anti-join); a lazy
@@ -117,6 +138,26 @@ def prepare_training_corpus(
         else:
             labels = connected_components(pairs)
             out = keep_representatives(out, labels, id_col=id_col)
+
+    if span_dedup_n is not None:
+        from jsonify2ai_spark.operators.dedup import remove_duplicate_spans
+
+        spans = remove_duplicate_spans(
+            out,
+            n=span_dedup_n,
+            min_df=2,
+            text_col=text_col,
+            id_col=id_col,
+            keep=span_dedup_keep,
+        )
+        out = (
+            out.drop(text_col)
+            .join(
+                spans.select(id_col, F.col("text_dedup").alias(text_col)),
+                id_col,
+            )
+            .localCheckpoint(eager=False)
+        )
 
     if redact:
         out = redact_pii(with_pii_counts(out, text_col=text_col), text_col=text_col)

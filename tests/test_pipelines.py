@@ -180,3 +180,44 @@ def test_prepare_corpus_keep_best_and_length_trim(spark):
     kept_t = {r["doc_id"] for r in trimmed.collect()}
     assert 10 not in kept_t  # shortest doc is the pct-rank-0 outlier
     assert 3 in kept_t
+
+
+def test_pipeline_encoding_and_span_stages(spark):
+    """r8: the two new rewrite stages compose into prepare_training_corpus
+    - encoding repair FIRST (downstream stats see clean text), ExactSubstr
+    span dedup after doc-level dedup with keep='one' (the earliest
+    surviving document keeps the shared run; later ones lose it), PII and
+    packing operating on the final text. Defaults-off path unchanged."""
+    from jsonify2ai_spark.pipelines import prepare_training_corpus
+
+    smart = "\u00e2\u20ac\u2122"
+    run = " ".join(f"w{i}" for i in range(20))
+    filler = "plain unique filler words appear here so quality passes fine"
+    docs = spark.createDataFrame(
+        [
+            (1, f"it{smart}s opening text {filler} {run} first body ending"),
+            (2, f"second document begins {filler.replace('plain', 'other')} {run} and then concludes"),
+            (3, "an entirely clean unrelated document with its own material inside"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in prepare_training_corpus(
+            docs,
+            min_quality=0.0,
+            filter_repetitive=False,
+            near_dedup=False,
+            pack_budget=None,
+            fix_encoding=True,
+            span_dedup_n=10,
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # mojibake repaired before anything else saw the text
+    assert "\u2019" in out[1]["text"] and smart not in out[1]["text"]
+    # keep-one: doc 1 (earliest) keeps the run, doc 2 loses it
+    assert "w0 w1" in out[1]["text"]
+    assert "w0" not in out[2]["text"]
+    assert "second document begins" in out[2]["text"]
+    assert "entirely clean" in out[3]["text"]
