@@ -1973,6 +1973,23 @@ def q112_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fix_mojibake(docs)
 
 
+
+
+def q113_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (operators/sampling.py
+    assign_splits, new r8): the split every pipeline runs LAST -
+    md5-bucketed 98/1/1 so a grown corpus never moves an existing
+    document across splits and duplicate keys land together (key-level
+    dedup upstream is the only leakage control needed). Per-doc
+    (doc_id, split) - the md5 layout is the contract, pinned by value."""
+    from jsonify2ai_spark.operators.sampling import assign_splits
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return assign_splits(
+        t["documents"].select("doc_id"), "doc_id", salt="split-v1"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -1994,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_span_dedup_keep_one": q110_span_dedup_keep_one,  # NEW r8: ExactSubstr keep-one policy (first driver row)
         "q111_blocklist_lines": q111_blocklist_lines,  # NEW r8: line-scope blocklist salvage (first driver row)
         "q112_fix_mojibake": q112_fix_mojibake,  # NEW r8: encoding repair (first driver row)
+        "q113_assign_splits": q113_assign_splits,  # NEW r8: deterministic train/val/test split (first driver row)
         "q106_span_dedup": q106_span_dedup,  # changed r8: remove_duplicate_spans gained keep=/max_doc_starts
         "q97_c4_filter": q97_c4_filter,  # changed r8: oracle all-bad-lines NULL guard (r7 advisor)
         "q109_blocklist": q109_blocklist,  # changed r8: line-scope broadcast-join membership form
@@ -2045,10 +2063,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fill slot to q111 — new code gates first, q99 rotates r9)
         "q93_syndication_capped": q93_syndication_capped,
         "q94_language_mix": q94_language_mix,
-        "q96_curriculum_buckets": q96_curriculum_buckets,
         # ================= tail (entry 51+) =================
-        # r6-green remainder: the r9 gate's first claim (q98/q99 yielded
-        # their fill slots to q111/q112 - new code gates first)
+        # r6-green remainder: the r9 gate's first claim (q96/q98/q99
+        # yielded their fill slots to q111/q112/q113 - new code first)
+        "q96_curriculum_buckets": q96_curriculum_buckets,
         "q98_line_dedup": q98_line_dedup,
         "q99_tokenizer_fertility": q99_tokenizer_fertility,
         "q100_training_pipeline": q100_training_pipeline,
@@ -4516,6 +4534,20 @@ def oracle_sql() -> dict[str, str]:
         # from the operator's own MOJIBAKE_RULES table, so the two engines
         # replay byte-identical literals
         "q112_fix_mojibake": _dd_mojibake_oracle(),
+        # twin of sampling.assign_splits: the q54 md5-bucket idiom with
+        # cumulative 98/1/1 thresholds; remainder (none at these
+        # fractions) would fall to 'train'
+        "q113_assign_splits": """
+            SELECT doc_id,
+                   CASE WHEN bucket < 980000 THEN 'train'
+                        WHEN bucket < 990000 THEN 'val'
+                        WHEN bucket < 1000000 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM (SELECT doc_id,
+                         CAST('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                             % 1000000 AS bucket
+                  FROM documents)
+        """,
         # twin of blocklist_filter(scope='line') over the structured
         # corpus: per line, whole-token lowercased membership; kept lines
         # reassemble in order (array_to_string([]) is NULL in DuckDB ->

@@ -319,3 +319,45 @@ def curriculum_buckets(
         "bucket",
         F.md5(F.col(id_col).cast("string")).alias("shuffle_key"),
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic, leakage-free train/val/test assignment — the split
+    every training-data pipeline runs LAST: ``splits`` maps name ->
+    fraction (must sum to <= 1; any remainder falls into the FIRST named
+    split, so the default 0.98/0.01/0.01 never leaks rows). Assignment is
+    a pure function of md5(salt || key), so (a) re-running on a grown
+    corpus never moves an existing document across splits (the
+    document-stability property random splits lack — a doc that was in
+    val stays in val forever), and (b) duplicate keys land in the SAME
+    split, so key-level dedup upstream is the only leakage control
+    needed. One map-side projection; the salt versions the split layout.
+    """
+    if splits is None:
+        splits = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if not splits or any(f < 0 for f in splits.values()):
+        raise ValueError(f"bad splits: {splits!r}")
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    h = sample_hash(key_col, salt)
+    names = list(splits)
+    # cumulative ppm upper bounds in dict order: h < cum_1 -> first name,
+    # elif h < cum_2 -> second, ...; anything past the last bound (the
+    # fraction remainder) falls to the FIRST name
+    cum = 0
+    bounds = []
+    for name in names:
+        cum += int(splits[name] * _BUCKETS)
+        bounds.append((cum, name))
+    expr = F.when(h < F.lit(bounds[0][0]), F.lit(bounds[0][1]))
+    for hi, name in bounds[1:]:
+        expr = expr.when(h < F.lit(hi), F.lit(name))
+    expr = expr.otherwise(F.lit(names[0]))
+    return df.withColumn(out_col, expr)

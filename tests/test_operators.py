@@ -2492,3 +2492,50 @@ def test_fix_mojibake_repairs_and_counts(spark):
     assert out[3]["text_fixed"] is None and out[3]["n_fixed"] is None
     assert out[4]["n_fixed"] == 3
     assert out[4]["text_fixed"] == "\u2019\u2019\u00e9"
+
+
+def test_assign_splits_contract(spark):
+    """Deterministic splits (r8, q113): fractions land within tolerance,
+    assignments are a pure function of the key (corpus growth never moves
+    a document; duplicate keys co-locate), remainder falls to the first
+    split, and bad fractions raise."""
+    import pytest
+
+    from jsonify2ai_spark.operators.sampling import assign_splits
+
+    df = spark.range(50_000).select(F.col("id").alias("doc_id"))
+    out = assign_splits(df, "doc_id")
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 50_000 - 0.98) < 0.005
+    assert abs(counts["val"] / 50_000 - 0.01) < 0.005
+    # stability: the first 2k docs keep their split when the corpus grows
+    small = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(df.filter(F.col("doc_id") < 2000), "doc_id").collect()
+    }
+    big = {
+        r["doc_id"]: r["split"]
+        for r in out.filter(F.col("doc_id") < 2000).collect()
+    }
+    assert small == big
+    # duplicate keys co-locate (leakage control is key dedup, not luck)
+    dup = spark.createDataFrame([(7,), (7,), (7,)], "doc_id long")
+    assert assign_splits(dup, "doc_id").select("split").distinct().count() == 1
+    # remainder -> first split; under-1 fractions are legal
+    part = {r["split"] for r in assign_splits(df, "doc_id", splits={"a": 0.5, "b": 0.1}).collect()}
+    assert part == {"a", "b"}
+    counts2 = {
+        r["split"]: r["count"]
+        for r in assign_splits(df, "doc_id", splits={"a": 0.5, "b": 0.1})
+        .groupBy("split").count().collect()
+    }
+    assert abs(counts2["a"] / 50_000 - 0.9) < 0.01  # 0.5 + 0.4 remainder
+    with pytest.raises(ValueError):
+        assign_splits(df, "doc_id", splits={"a": 0.9, "b": 0.2})
+    # salt versions the layout
+    v2 = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(df.limit(2000), "doc_id", salt="v2").collect()
+    }
+    assert v2 != small
