@@ -1990,6 +1990,27 @@ def q113_assign_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q114_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit (operators/dedup.py
+    split_leakage_report, new r8): q113's deterministic splits + q60's
+    8-gram rule pointed at the pipeline's OWN held-out splits - for every
+    val/test document, the count of word 8-grams it shares with the train
+    split and a leaked flag. The composition a training-data pipeline
+    runs before shipping an eval set; broadcast direction reversed from
+    decontaminate (train is ~98% of the corpus, the held-out side is the
+    small one)."""
+    from jsonify2ai_spark.operators.dedup import split_leakage_report
+    from jsonify2ai_spark.operators.sampling import assign_splits
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = assign_splits(
+        t["documents"].select("doc_id", "text"), "doc_id", salt="split-v1"
+    )
+    return split_leakage_report(docs, n=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -2012,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_blocklist_lines": q111_blocklist_lines,  # NEW r8: line-scope blocklist salvage (first driver row)
         "q112_fix_mojibake": q112_fix_mojibake,  # NEW r8: encoding repair (first driver row)
         "q113_assign_splits": q113_assign_splits,  # NEW r8: deterministic train/val/test split (first driver row)
+        "q114_split_leakage": q114_split_leakage,  # NEW r8: cross-split contamination audit (first driver row)
         "q106_span_dedup": q106_span_dedup,  # changed r8: remove_duplicate_spans gained keep=/max_doc_starts
         "q97_c4_filter": q97_c4_filter,  # changed r8: oracle all-bad-lines NULL guard (r7 advisor)
         "q109_blocklist": q109_blocklist,  # changed r8: line-scope broadcast-join membership form
@@ -2062,10 +2084,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oldest r6-green head (4 remaining slots; q99 yielded its
         # fill slot to q111 — new code gates first, q99 rotates r9)
         "q93_syndication_capped": q93_syndication_capped,
-        "q94_language_mix": q94_language_mix,
         # ================= tail (entry 51+) =================
-        # r6-green remainder: the r9 gate's first claim (q96/q98/q99
-        # yielded their fill slots to q111/q112/q113 - new code first)
+        # r6-green remainder: the r9 gate's first claim (q94/q96/q98/q99
+        # yielded their fill slots to q111-q114 - new code gates first)
+        "q94_language_mix": q94_language_mix,
         "q96_curriculum_buckets": q96_curriculum_buckets,
         "q98_line_dedup": q98_line_dedup,
         "q99_tokenizer_fertility": q99_tokenizer_fertility,
@@ -2739,6 +2761,42 @@ def _dd_mojibake_oracle() -> str:
                {fixed} AS text_fixed
         FROM injected
     """
+
+
+
+
+def _dd_split_leakage_sql(n: int = 8) -> str:
+    """q114 twin: q113's md5-bucket split + q60's shingle-overlap rule,
+    train side the big one."""
+    sh = _dd_shingles("text", n)
+    return f"""
+WITH sp AS (
+  SELECT doc_id, text,
+         CASE WHEN bucket < 980000 THEN 'train'
+              WHEN bucket < 990000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, text,
+               CAST('0x' || substr(md5('split-v1' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                   % 1000000 AS bucket
+        FROM documents)
+), held AS (
+  SELECT doc_id, split, sh
+  FROM (SELECT doc_id, split, unnest({sh}) AS sh FROM sp WHERE split <> 'train')
+  WHERE sh <> ''
+), train_sh AS (
+  SELECT DISTINCT sh
+  FROM (SELECT unnest({sh}) AS sh FROM sp WHERE split = 'train')
+  WHERE sh <> ''
+), shared AS (
+  SELECT h.doc_id, count(DISTINCT h.sh) AS ns
+  FROM held h JOIN train_sh USING (sh) GROUP BY 1
+)
+SELECT s.doc_id, s.split,
+       CAST(coalesce(x.ns, 0) AS BIGINT) AS n_shared_ngrams,
+       coalesce(x.ns, 0) > 0 AS leaked
+FROM sp s LEFT JOIN shared x USING (doc_id)
+WHERE s.split <> 'train'
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4537,6 +4595,7 @@ def oracle_sql() -> dict[str, str]:
         # twin of sampling.assign_splits: the q54 md5-bucket idiom with
         # cumulative 98/1/1 thresholds; remainder (none at these
         # fractions) would fall to 'train'
+        "q114_split_leakage": _dd_split_leakage_sql(),
         "q113_assign_splits": """
             SELECT doc_id,
                    CASE WHEN bucket < 980000 THEN 'train'

@@ -1888,3 +1888,61 @@ def remove_duplicate_spans(
         F.size(kept_arr).cast("bigint").alias("n_kept"),
         F.concat_ws(" ", kept_arr).alias("text_dedup"),
     )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    train_split: str = "train",
+    normalize: bool = False,
+) -> DataFrame:
+    """Cross-split contamination audit — run AFTER
+    :func:`~jsonify2ai_spark.operators.sampling.assign_splits` (q113) and
+    before shipping an eval set: for every NON-train document, does it
+    share any word ``n``-gram with the TRAIN split? A near-duplicate that
+    survived dedup and straddles the split boundary silently turns held-
+    out metrics into memorization scores; this is :func:`decontaminate`'s
+    rule pointed at the pipeline's own splits instead of an external
+    benchmark.
+
+    Broadcast direction is the REVERSE of decontaminate's (there the
+    benchmark is tiny; here TRAIN is ~98% of the corpus): the held-out
+    side's (id, shingle) pairs — bounded at a couple percent of the
+    corpus by construction — broadcast into one map-only pass over the
+    train shingles, then one per-held-doc count. Output: (id, split,
+    n_shared_ngrams, leaked) for every non-train document.
+
+    ``normalize=True`` applies decontaminate's ASCII lower/collapse form
+    on both sides (re-cased/re-punctuated leaks). The degenerate ''
+    shingle is dropped on both sides (same guard, same reason).
+    """
+    from jsonify2ai_spark.functions.text import shingles
+
+    def _prep(c: Column) -> Column:
+        if not normalize:
+            return c
+        return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+    held = df.filter(F.col(split_col) != train_split)
+    d = held.select(
+        F.col(id_col), F.explode(shingles(_prep(F.col(text_col)), n)).alias("sh")
+    ).filter(F.col("sh") != "")
+    t = df.filter(F.col(split_col) == train_split).select(
+        F.explode(shingles(_prep(F.col(text_col)), n)).alias("sh")
+    ).filter(F.col("sh") != "")
+    shared = (
+        t.join(F.broadcast(d), "sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("sh").alias("n_shared_ngrams"))
+    )
+    return held.select(id_col, split_col).join(shared, id_col, "left").select(
+        F.col(id_col),
+        F.col(split_col),
+        F.coalesce("n_shared_ngrams", F.lit(0))
+        .cast("bigint")
+        .alias("n_shared_ngrams"),
+        (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("leaked"),
+    )

@@ -2539,3 +2539,34 @@ def test_assign_splits_contract(spark):
         for r in assign_splits(df.limit(2000), "doc_id", salt="v2").collect()
     }
     assert v2 != small
+
+
+def test_split_leakage_report_flags_cross_split_ngrams(spark):
+    """r8 (q114): a held-out document sharing a word 8-gram with any TRAIN
+    document must flag leaked with the shared-shingle count; clean held
+    docs read 0/False; train docs don't appear; normalize=True catches a
+    re-cased leak the surface form misses."""
+    from jsonify2ai_spark.operators.dedup import split_leakage_report
+
+    phrase = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"train filler one {phrase} more train words", "train"),
+            (2, "train filler two entirely its own material here", "train"),
+            (10, f"held doc quoting {phrase} verbatim", "val"),
+            (11, "held doc with completely original content inside it", "test"),
+            (12, f"held doc quoting {phrase.upper()} recased", "test"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    out = {r["doc_id"]: r for r in split_leakage_report(docs, n=8).collect()}
+    assert set(out) == {10, 11, 12}
+    assert out[10]["leaked"] is True and out[10]["n_shared_ngrams"] >= 3
+    assert out[11] ["leaked"] is False and out[11]["n_shared_ngrams"] == 0
+    assert out[12]["leaked"] is False  # surface form misses the re-case
+    norm = {
+        r["doc_id"]: r
+        for r in split_leakage_report(docs, n=8, normalize=True).collect()
+    }
+    assert norm[12]["leaked"] is True  # normalized form catches it
+    assert norm[11]["leaked"] is False
