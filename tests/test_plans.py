@@ -416,3 +416,25 @@ def test_q86_token_histogram_map_only_bucketing(spark):
     p = plan_string(entry_mod.q86_token_histogram(spark, SF_DIR), "simple")
     assert "Generate" not in p, p[:1500]
     assert p.count("Exchange") == 1, p[:1500]
+
+
+def test_q112_q113_map_only(spark):
+    """Encoding repair and split assignment are pure projections: zero
+    Exchange at any corpus size (r8)."""
+    for q in ("q112_fix_mojibake", "q113_assign_splits"):
+        p = plan_string(entry_mod.queries()[q](spark, SF_DIR), "simple")
+        assert p.count("Exchange") == 0, (q, p[:1200])
+
+
+def test_q114_broadcasts_held_out_side(spark):
+    """The leakage audit must broadcast the SMALL held-out side into the
+    train scan (decontaminate's direction reversed): the shingle join is
+    a BroadcastHashJoin and the train side is never collected/broadcast
+    by hint (only the held (id, sh) pairs are)."""
+    df = entry_mod.queries()["q114_split_leakage"](spark, SF_DIR)
+    p = plan_string(df, "simple")
+    assert "BroadcastHashJoin" in p, p[:1500]
+    # the logical plan's explicit hint sits on the held-out pairs (the
+    # side derived from split <> 'train')
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in lp or "train" not in lp.split("ResolvedHint")[0][-200:]
