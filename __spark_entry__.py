@@ -2019,14 +2019,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whose code changed this round is in-gate, (d) remaining slots go to
     # the OLDEST driver-green cohort so no query sits >2 rounds without a
     # driver row. Run scripts/gate_staleness.py to plan each rotation.
-    # Round-8 gate: changed/new (q110 keep-one + its q106 sibling whose
+    # Round-8 gate: changed/new (q110-q114 first driver rows; q106 whose
     # operator gained keep=/max_doc_starts, q97 oracle NULL guard, q109
     # line-scope join form, q105/q30 on the touched BM25Index, q107 on the
     # touched ann.py) + the ENTIRE 26-query r5-green cohort (the r7
     # verdict's #1: the largest rotation debt yet, paid in full — q25/q27
     # double as the changed-ann/changed-bpe gate rows) + pinned q51-q62 +
-    # the 5 oldest r6-greens. The r6 remainder is the r9 gate's first
-    # claim.
+    # ONE r6-green fill (q93; q94/q96/q98/q99 yielded their slots to
+    # q111-q114). The r6 remainder is the r9 gate's first claim.
     return {
         # --- changed / new this round (r8): every edited operator gates first
         "q110_span_dedup_keep_one": q110_span_dedup_keep_one,  # NEW r8: ExactSubstr keep-one policy (first driver row)
@@ -2081,8 +2081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_ivf_ann": q25_ivf_ann,
         "q27_bpe_tokens": q27_bpe_tokens,
         "q45_brand_revenue_having": q45_brand_revenue_having,
-        # --- oldest r6-green head (4 remaining slots; q99 yielded its
-        # fill slot to q111 — new code gates first, q99 rotates r9)
+        # --- oldest r6-green fill (1 remaining slot after q111-q114
+        # claimed the others — new code gates first)
         "q93_syndication_capped": q93_syndication_capped,
         # ================= tail (entry 51+) =================
         # r6-green remainder: the r9 gate's first claim (q94/q96/q98/q99
@@ -2743,8 +2743,10 @@ def _dd_mojibake_oracle() -> str:
     for bad, good in MOJIBAKE_RULES:
         b = bad.replace("'", "''")
         g = good.replace("'", "''")
+        # PROGRESSIVE counts, mirroring the operator (r8 review): each
+        # rule measures occurrences on the text the prior rules produced
         counts.append(
-            f"(length(text) - length(replace(text, '{b}', ''))) / {len(bad)}"
+            f"(length({fixed}) - length(replace({fixed}, '{b}', ''))) / {len(bad)}"
         )
         fixed = f"replace({fixed}, '{b}', '{g}')"
     n_fixed = " + ".join(counts)

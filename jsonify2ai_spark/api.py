@@ -293,7 +293,17 @@ def hybrid_topk_batch(
         )
         vec_r = (
             quantized_ivf_topk_batch(
-                ivf_index, qvecs, centroids, k=kk, n_probe=n_probe, id_col="id"
+                ivf_index,
+                qvecs,
+                centroids,
+                k=kk,
+                n_probe=n_probe,
+                id_col="id",
+                # rank on UNROUNDED scores: the batch call's top-k cut uses
+                # them, and re-ranking display-rounded qcos here could swap
+                # near-ties relative to that cut (review-found r8); the
+                # brute arm ranks unrounded cosines for the same reason
+                round_to=None,
             )
             .withColumn("_rn", F.row_number().over(w_v))
             .select("query_id", "id", F.col("_rn").alias("rank_vec"))

@@ -489,10 +489,10 @@ def refresh_quantizer(
     recall_before}``: the centroids to serve with (new ones on retrain,
     the caller's otherwise), and on retrain the sampled recall@k of the
     NEW quantizer next to the OLD one's on the same queries — the
-    recovery evidence. Recall validation is two batched jobs
-    (quantized_ivf_topk_batch) plus ONE brute pass (broadcast query set,
-    per-query window top-k) over the corpus — sample-sized work, not a
-    second index build at corpus cost.
+    recovery evidence. Recall validation is two batched serving jobs
+    (quantized_ivf_topk_batch, each over a map-only assignment projection
+    of the ONE materialized base — build_quantized_ivf adds no shuffle)
+    plus ONE brute pass (broadcast query set, per-query window top-k).
 
     Scale shape: the report is K rows (collected), kmeans is the standard
     MLlib fit (sample upstream if the corpus is 100 TB — the caller
@@ -532,8 +532,13 @@ def refresh_quantizer(
             "recall_before": None,
         }
 
-    base = df.filter(F.col(vector_col).isNotNull()).select(
-        F.col(id_col), F.col(vector_col).cast("array<double>").alias("_v")
+    base = (
+        df.filter(F.col(vector_col).isNotNull())
+        .select(F.col(id_col), F.col(vector_col).cast("array<double>").alias("_v"))
+        # one materialization: kmeans, the sample, the brute pass and two
+        # _recall index builds all read `base` — without this the corpus
+        # lineage re-executes ~5x in one call (review-found r8)
+        .localCheckpoint(eager=False)
     )
     new_cents = kmeans_centroids(
         base, k=k or len(centroids), vector_col="_v", seed=seed

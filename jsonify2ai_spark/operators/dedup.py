@@ -1927,16 +1927,29 @@ def split_leakage_report(
         return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
 
     held = df.filter(F.col(split_col) != train_split)
-    d = held.select(
-        F.col(id_col), F.explode(shingles(_prep(F.col(text_col)), n)).alias("sh")
-    ).filter(F.col("sh") != "")
-    t = df.filter(F.col(split_col) == train_split).select(
-        F.explode(shingles(_prep(F.col(text_col)), n)).alias("sh")
-    ).filter(F.col("sh") != "")
+    # distinct BOTH sides before the join (review-found r8): a boilerplate
+    # 8-gram occurring 100k times in train and quoted by 500 held docs
+    # would otherwise produce 50M intermediate rows for that one shingle
+    # before count_distinct collapses them — distinct bounds the join at
+    # |held pairs| with identical output
+    d = (
+        held.select(
+            F.col(id_col),
+            F.explode(shingles(_prep(F.col(text_col)), n)).alias("sh"),
+        )
+        .filter(F.col("sh") != "")
+        .distinct()
+    )
+    t = (
+        df.filter(F.col(split_col) == train_split)
+        .select(F.explode(shingles(_prep(F.col(text_col)), n)).alias("sh"))
+        .filter(F.col("sh") != "")
+        .distinct()
+    )
     shared = (
         t.join(F.broadcast(d), "sh")
         .groupBy(id_col)
-        .agg(F.count_distinct("sh").alias("n_shared_ngrams"))
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
     return held.select(id_col, split_col).join(shared, id_col, "left").select(
         F.col(id_col),

@@ -354,7 +354,9 @@ def assign_splits(
     cum = 0
     bounds = []
     for name in names:
-        cum += int(splits[name] * _BUCKETS)
+        # round, not int: truncation of binary-inexact fractions loses one
+        # ppm per boundary (int(0.3 * 1e6) == 299999 — review-found r8)
+        cum += round(splits[name] * _BUCKETS)
         bounds.append((cum, name))
     expr = F.when(h < F.lit(bounds[0][0]), F.lit(bounds[0][1]))
     for hi, name in bounds[1:]:

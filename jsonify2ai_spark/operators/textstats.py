@@ -1296,16 +1296,19 @@ def fix_mojibake(
     Pure literal-replace repair over a fixed rule table (longest-first -
     the module constant; pass your own for other locales): map-only, one
     JVM pass, no regex (exact codepoint sequences, so no engine-dialect
-    drift). Output: (id, n_fixed, text_fixed) where n_fixed counts
-    repaired sequences - occurrences measured by length delta per rule,
-    all computed on the ORIGINAL text so earlier rules cannot hide later
-    ones' counts. NULL text -> NULL counters / NULL text (totality)."""
+    drift). Output: (id, n_fixed, text_fixed) where n_fixed counts the
+    replacements actually PERFORMED: each rule's occurrences are measured
+    on the progressively-repaired text it operates on (review-found r8:
+    original-text counts undercount cascaded repairs — an earlier rule's
+    output completing a later rule's pattern — and can double-count
+    overlapping caller-supplied literals). NULL text -> NULL counters /
+    NULL text (totality)."""
     t = _c(text_col)
     fixed = t
     counts = []
     for bad, good in rules:
         counts.append(
-            (F.length(t) - F.length(F.replace(t, F.lit(bad), F.lit(""))))
+            (F.length(fixed) - F.length(F.replace(fixed, F.lit(bad), F.lit(""))))
             / F.lit(len(bad))
         )
         fixed = F.replace(fixed, F.lit(bad), F.lit(good))

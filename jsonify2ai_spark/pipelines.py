@@ -142,6 +142,11 @@ def prepare_training_corpus(
     if span_dedup_n is not None:
         from jsonify2ai_spark.operators.dedup import remove_duplicate_spans
 
+        # boundary checkpoint: the span stage reads `out` from BOTH sides
+        # (the census/rewrite inside remove_duplicate_spans AND the carry
+        # join below) — without it the near-dedup subtree above recomputes
+        # twice in one action (review-found r8; the function's own rule)
+        out = out.localCheckpoint(eager=False)
         spans = remove_duplicate_spans(
             out,
             n=span_dedup_n,

@@ -2492,6 +2492,17 @@ def test_fix_mojibake_repairs_and_counts(spark):
     assert out[3]["text_fixed"] is None and out[3]["n_fixed"] is None
     assert out[4]["n_fixed"] == 3
     assert out[4]["text_fixed"] == "\u2019\u2019\u00e9"
+    # cascade counting (r8 review): a repair whose output completes a
+    # LATER rule's pattern counts both replacements — '\u00e2\u20ac' +
+    # '\u00e2\u20ac\u0153' repairs via the left-quote rule into
+    # '\u00e2\u20ac\u201c', which IS the en-dash mojibake, repaired next
+    from jsonify2ai_spark.operators.textstats import fix_mojibake as _fm
+
+    casc = spark.createDataFrame(
+        [(9, "\u00e2\u20ac" + "\u00e2\u20ac\u0153")], "doc_id long, text string"
+    )
+    (r9,) = _fm(casc).collect()
+    assert r9["text_fixed"] == "\u2013" and r9["n_fixed"] == 2
 
 
 def test_assign_splits_contract(spark):
