@@ -2011,6 +2011,31 @@ def q114_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_leakage_report(docs, n=8)
 
 
+
+
+def q115_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-diversity cap (operators/sampling.py diversity_sample,
+    new r8 - SemDeDup/D4-style mode pruning): q25's deterministic first-K
+    coarse centroids assign every vector to its nearest cluster, then at
+    most 40 members per cluster survive, chosen by the same skew-aware
+    hash-order rank as q70's per-domain cap. Over-represented embedding
+    modes trim to the cap, thin modes survive whole - density flattening
+    without an all-pairs similarity pass. Audit + filter share the pass:
+    every row reports (cluster, cluster_rank, kept)."""
+    from jsonify2ai_spark.operators.sampling import diversity_sample
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    cents = (
+        emb.filter(F.col("vec_id") < _IVF_K_CENTROIDS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cents]
+    return diversity_sample(emb, centroids, cap=40, impl="expr")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -2025,8 +2050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # touched ann.py) + the ENTIRE 26-query r5-green cohort (the r7
     # verdict's #1: the largest rotation debt yet, paid in full — q25/q27
     # double as the changed-ann/changed-bpe gate rows) + pinned q51-q62 +
-    # ONE r6-green fill (q93; q94/q96/q98/q99 yielded their slots to
-    # q111-q114). The r6 remainder is the r9 gate's first claim.
+    # ZERO r6-green fills (q93-q99 yielded every slot to the q110-q115
+    # block). The ENTIRE r6-green cohort is the r9 gate's first claim.
     return {
         # --- changed / new this round (r8): every edited operator gates first
         "q110_span_dedup_keep_one": q110_span_dedup_keep_one,  # NEW r8: ExactSubstr keep-one policy (first driver row)
@@ -2034,6 +2059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_fix_mojibake": q112_fix_mojibake,  # NEW r8: encoding repair (first driver row)
         "q113_assign_splits": q113_assign_splits,  # NEW r8: deterministic train/val/test split (first driver row)
         "q114_split_leakage": q114_split_leakage,  # NEW r8: cross-split contamination audit (first driver row)
+        "q115_diversity_sample": q115_diversity_sample,  # NEW r8: embedding-diversity cap (first driver row)
         "q106_span_dedup": q106_span_dedup,  # changed r8: remove_duplicate_spans gained keep=/max_doc_starts
         "q97_c4_filter": q97_c4_filter,  # changed r8: oracle all-bad-lines NULL guard (r7 advisor)
         "q109_blocklist": q109_blocklist,  # changed r8: line-scope broadcast-join membership form
@@ -2081,12 +2107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_ivf_ann": q25_ivf_ann,
         "q27_bpe_tokens": q27_bpe_tokens,
         "q45_brand_revenue_having": q45_brand_revenue_having,
-        # --- oldest r6-green fill (1 remaining slot after q111-q114
-        # claimed the others — new code gates first)
-        "q93_syndication_capped": q93_syndication_capped,
         # ================= tail (entry 51+) =================
-        # r6-green remainder: the r9 gate's first claim (q94/q96/q98/q99
-        # yielded their fill slots to q111-q114 - new code gates first)
+        # r6-green cohort: the r9 gate's first claim, IN FULL (q93-q99
+        # yielded every r8 fill slot to q111-q115 - new code gates first)
+        "q93_syndication_capped": q93_syndication_capped,
         "q94_language_mix": q94_language_mix,
         "q96_curriculum_buckets": q96_curriculum_buckets,
         "q98_line_dedup": q98_line_dedup,
@@ -4597,6 +4621,41 @@ def oracle_sql() -> dict[str, str]:
         # twin of sampling.assign_splits: the q54 md5-bucket idiom with
         # cumulative 98/1/1 thresholds; remainder (none at these
         # fractions) would fall to 'train'
+        # twin of sampling.diversity_sample: q107's first-K nearest-
+        # centroid assignment CTE + q70's hash-order per-group rank, keyed
+        # on the cluster id
+        "q115_diversity_sample": f"""
+            WITH cents AS (
+              SELECT vec_id AS cid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings WHERE vec_id < {_IVF_K_CENTROIDS}
+            ), e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), assigned AS (
+              SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cid AS cluster,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_dd_cosine("e.v", "c.cv")} DESC, c.cid
+                       ) AS rn
+                FROM e CROSS JOIN cents c)
+              WHERE rn = 1
+            ), h AS (
+              SELECT vec_id, cluster,
+                     md5(CAST(cluster AS VARCHAR) || '|' ||
+                         CAST(vec_id AS VARCHAR)) AS hh
+              FROM assigned
+            )
+            SELECT vec_id, CAST(cluster AS INT) AS cluster,
+                   CAST(row_number() OVER (
+                       PARTITION BY cluster ORDER BY hh, vec_id) AS INT)
+                       AS cluster_rank,
+                   (row_number() OVER (
+                       PARTITION BY cluster ORDER BY hh, vec_id)) <= 40 AS kept
+            FROM h
+        """,
         "q114_split_leakage": _dd_split_leakage_sql(),
         "q113_assign_splits": """
             SELECT doc_id,

@@ -363,3 +363,38 @@ def assign_splits(
         expr = expr.when(h < F.lit(hi), F.lit(name))
     expr = expr.otherwise(F.lit(names[0]))
     return df.withColumn(out_col, expr)
+
+
+def diversity_sample(
+    df: DataFrame,
+    centroids: list[list[float]],
+    cap: int,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    impl: str = "auto",
+) -> DataFrame:
+    """Embedding-diversity cap — the cluster-balanced curation step
+    (SemDeDup/D4-style mode pruning, the embedding-space sibling of
+    :func:`per_source_cap`'s per-domain rule): assign every vector to its
+    nearest coarse centroid, then keep at most ``cap`` members per
+    cluster, chosen by deterministic hash order. Over-represented
+    embedding modes (boilerplate templates, near-identical spam shapes —
+    exactly what crowds a web crawl) are trimmed to the cap while thin
+    modes survive whole, flattening the density profile without an
+    all-pairs similarity pass.
+
+    Shape at scale: assignment is :func:`~jsonify2ai_spark.operators.ann.
+    ivf_assign` (map-only; numpy-GEMM past K~16) and the cap reuses
+    per_source_cap's skew-aware two-phase rank keyed on the cluster id —
+    a corpus-sized hot mode fans out over 256 sub-buckets instead of one
+    task. Output: (id, cluster, cluster_rank, kept) for EVERY input row
+    (audit + filter share the pass; callers filter on ``kept``).
+    """
+    from jsonify2ai_spark.operators.ann import ivf_assign
+
+    assigned = ivf_assign(
+        df.select(id_col, vector_col), centroids, vector_col, impl=impl
+    )
+    return per_source_cap(
+        assigned, cap, source_col="cluster", id_col=id_col
+    ).withColumnRenamed("src_rank", "cluster_rank")

@@ -2581,3 +2581,35 @@ def test_split_leakage_report_flags_cross_split_ngrams(spark):
     }
     assert norm[12]["leaked"] is True  # normalized form catches it
     assert norm[11]["leaked"] is False
+
+
+def test_diversity_sample_caps_dense_modes(spark):
+    """r8 (q115): a dense embedding mode (60 near-identical vectors) trims
+    to the cap while a thin mode (5 vectors) survives whole; ranks are
+    hash-ordered and layout-invariant; every input row is reported."""
+    from jsonify2ai_spark.operators.sampling import diversity_sample
+
+    rows = [(i, [1.0, 0.001 * i, 0.0]) for i in range(60)]  # dense mode
+    rows += [(100 + j, [0.0, 1.0, 0.002 * j]) for j in range(5)]  # thin
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    out = diversity_sample(emb, cents, cap=10, impl="expr")
+    rws = out.collect()
+    assert len(rws) == 65  # audit covers every row
+    by_c = {}
+    for r in rws:
+        by_c.setdefault(r["cluster"], []).append(r)
+    assert sum(r["kept"] for r in by_c[0]) == 10  # dense mode capped
+    assert sum(r["kept"] for r in by_c[1]) == 5  # thin mode whole
+    ranks0 = sorted(r["cluster_rank"] for r in by_c[0])
+    assert ranks0 == list(range(1, 61))  # contiguous global hash ranks
+    # layout invariance
+    again = {
+        r["vec_id"]: (r["cluster"], r["cluster_rank"], r["kept"])
+        for r in diversity_sample(
+            emb.repartition(7), cents, cap=10, impl="expr"
+        ).collect()
+    }
+    assert again == {
+        r["vec_id"]: (r["cluster"], r["cluster_rank"], r["kept"]) for r in rws
+    }
