@@ -823,3 +823,85 @@ def test_remove_duplicate_spans_keep_one_matches_python_model(doc_words, n):
         ).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(  # docs as (line-count, bad-word positions) over a tiny lexicon
+        st.lists(
+            st.lists(
+                st.sampled_from(["alpha", "beta", "bad0001", "bad0042", "gamma"]),
+                min_size=0,
+                max_size=6,
+            ),
+            min_size=0,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_blocklist_line_join_form_matches_literal_on_random_corpora(doc_lines):
+    """Differential fuzz for the r8 line-scope join form: on random
+    line/token layouts (empty lines, all-bad docs, token-less lines) the
+    broadcast-join membership path must equal the literal-array scan
+    row-for-row — the hand-written parity test can't enumerate these."""
+    import jsonify2ai_spark.operators.textstats as ts
+
+    spark = _spark_session()
+    docs = spark.createDataFrame(
+        [(i, "\n".join(" ".join(ws) for ws in lines)) for i, lines in enumerate(doc_lines)],
+        "doc_id long, text string",
+    )
+    words = [f"bad{i:04d}" for i in range(2100)]  # > join threshold
+    joined = sorted(
+        tuple(r) for r in ts.blocklist_filter(docs, words, scope="line").collect()
+    )
+    old = ts._BLOCKLIST_JOIN_THRESHOLD
+    ts._BLOCKLIST_JOIN_THRESHOLD = 10**9
+    try:
+        literal = sorted(
+            tuple(r)
+            for r in ts.blocklist_filter(docs, words, scope="line").collect()
+        )
+    finally:
+        ts._BLOCKLIST_JOIN_THRESHOLD = old
+    assert joined == literal
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "plain",
+                "x",
+                "\u00e2\u20ac\u2122",  # smart-apostrophe mojibake
+                "\u00c3\u00a9",          # e-acute mojibake
+                "\u00e2\u20ac",          # bare prefix (cascade fuel)
+                "\u00e2\u20ac\u0153",  # left-quote mojibake
+                " ",
+            ]
+        ),
+        min_size=0,
+        max_size=10,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_fix_mojibake_matches_python_model(pieces):
+    """Differential fuzz for the r8 progressive repair counts: a pure-
+    Python sequential replace model (count on the text each rule actually
+    sees) must match the Spark expression on adversarial concatenations —
+    including cascades where one rule's output completes a later rule's
+    pattern."""
+    from jsonify2ai_spark.operators.textstats import MOJIBAKE_RULES, fix_mojibake
+
+    text = "".join(pieces)
+    cur, n = text, 0
+    for bad, good in MOJIBAKE_RULES:
+        n += cur.count(bad)
+        cur = cur.replace(bad, good)
+
+    spark = _spark_session()
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    (row,) = fix_mojibake(df).collect()
+    assert row["text_fixed"] == cur and row["n_fixed"] == n, (text, cur, n)
