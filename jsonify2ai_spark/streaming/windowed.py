@@ -717,7 +717,12 @@ class SpanDedupGate:
 
     Note the semantics: hotness is judged against the CORPUS alone (the
     gate family's static-artifact contract); batch-internal duplicate
-    spans are the batch operator's job before appending.
+    spans are the batch operator's job before appending. The gate's
+    cut-everything rule is ALSO Lee et al.'s keep-one globally: every
+    corpus-hot span already has >= min_df copies IN the corpus, so
+    cutting the incoming occurrence leaves the content surviving there —
+    the batch operator's ``keep="one"`` exists for the one-shot case
+    where no copy would otherwise survive.
     """
 
     kind = "rewrite"  # StreamingPrepChain dispatch (see CorpusNearDupGate)
@@ -922,3 +927,128 @@ class StreamingPrepChain:
     def close(self) -> None:
         for gate in self._gates:
             gate.close()
+
+
+class DiversityCapGate:
+    """Streaming face of :func:`~jsonify2ai_spark.operators.sampling.
+    diversity_sample` (q115's SemDeDup/D4-style mode pruning): admit each
+    micro-batch row only while its embedding MODE (nearest coarse
+    centroid) still has budget — the curation gate a standing ingest runs
+    so over-represented shapes (boilerplate templates, spam clusters)
+    stop accumulating once their cap is hit, while thin modes keep
+    flowing. Completes the gate family's coverage: near-dup (verbatim
+    docs), span (verbatim runs), line (chrome), decontamination (eval
+    leaks), mixture_monitor (source mix) — and now embedding-space
+    density.
+
+    Admission semantics: ARRIVAL ORDER across batches (first come, first
+    admitted — the only causal option in a stream; ties inside one batch
+    break by hash order, so a single batch is layout-invariant), vs the
+    batch operator's global hash-order rank. The K-row admitted-count
+    state lives on the driver (K = |centroids|, bounded and tiny), is
+    updated per batch, and save/load round-trips it with the centroids —
+    a restart resumes the same budgets.
+
+    Per-batch cost contract: assignment is one map-only
+    :func:`~jsonify2ai_spark.operators.ann.ivf_assign` pass over the
+    BATCH; ranking is one batch-sized window per touched cluster; the
+    admitted-count update is a K-row collect. Nothing corpus-sized
+    exists anywhere.
+    """
+
+    kind = "filter"  # StreamingPrepChain dispatch (see CorpusNearDupGate)
+
+    def __init__(
+        self,
+        centroids: list[list[float]],
+        cap: int,
+        vector_col: str = "embedding",
+        id_col: str = "doc_id",
+        impl: str = "auto",
+    ) -> None:
+        self._centroids = [[float(x) for x in c] for c in centroids]
+        self._cap = int(cap)
+        self._vector_col = vector_col
+        self._id_col = id_col
+        self._impl = impl
+        self._admitted = {i: 0 for i in range(len(centroids))}
+
+    def filter_batch(self, batch: DataFrame) -> DataFrame:
+        """Rows of ``batch`` admitted under the per-mode budget (input
+        schema; the batch's own hash order breaks within-batch ties)."""
+        from jsonify2ai_spark.operators.ann import ivf_assign
+
+        idc = self._id_col
+        assigned = ivf_assign(
+            batch, self._centroids, self._vector_col, impl=self._impl
+        )
+        h = F.md5(
+            F.concat_ws(
+                "|", F.col("cluster").cast("string"), F.col(idc).cast("string")
+            )
+        )
+        from pyspark.sql import Window
+
+        rk = F.row_number().over(
+            Window.partitionBy("cluster").orderBy(h.asc(), F.col(idc).asc())
+        )
+        remaining = F.lit(0)
+        for cid, used in self._admitted.items():
+            remaining = F.when(
+                F.col("cluster") == cid, F.lit(max(self._cap - used, 0))
+            ).otherwise(remaining)
+        admitted = assigned.withColumn("_rk", rk).filter(F.col("_rk") <= remaining)
+        # update driver-side budgets (K-row collect — bounded by |centroids|)
+        for r in (
+            admitted.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+        ):
+            self._admitted[int(r["cluster"])] += int(r["n"])
+        return admitted.drop("cluster", "_rk")
+
+    def foreach_batch(self, append):
+        """Wrap ``append(clean_df, batch_id)`` as a foreachBatch callable."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            append(self.filter_batch(batch), batch_id)
+
+        return _fn
+
+    def save(self, path: str) -> None:
+        """Persist centroids + admitted budgets (see CorpusNearDupGate.save
+        — same restart contract; the state here is K rows, not corpus
+        artifacts)."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with open(f"{path}/state.json", "w", encoding="utf-8") as f:
+            json.dump(
+                {
+                    "centroids": self._centroids,
+                    "cap": self._cap,
+                    "vector_col": self._vector_col,
+                    "id_col": self._id_col,
+                    "impl": self._impl,
+                    "admitted": {str(k): v for k, v in self._admitted.items()},
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "DiversityCapGate":
+        import json
+
+        with open(f"{path}/state.json", encoding="utf-8") as f:
+            st = json.load(f)
+        obj = cls(
+            st["centroids"],
+            st["cap"],
+            vector_col=st["vector_col"],
+            id_col=st["id_col"],
+            impl=st["impl"],
+        )
+        obj._admitted = {int(k): int(v) for k, v in st["admitted"].items()}
+        return obj
+
+    def close(self) -> None:  # no persisted frames; symmetry with the family
+        pass

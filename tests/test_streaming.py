@@ -1062,3 +1062,51 @@ def test_gate_save_load_round_trip_parity(spark, tmp_path):
     assert loaded[2]._hot_count == built[2]._hot_count > 0
     for g in built + loaded:
         g.close()
+
+
+def test_diversity_cap_gate_budgets_across_batches(spark, tmp_path):
+    """r8: the streaming diversity gate admits per-embedding-mode rows
+    only while budget remains — across batches (arrival order), with
+    within-batch hash-order ties, save/load resuming the same budgets,
+    and chain composability as a filter gate."""
+    from jsonify2ai_spark.streaming.windowed import (
+        DiversityCapGate,
+        StreamingPrepChain,
+    )
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    gate = DiversityCapGate(cents, cap=3, impl="expr")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+
+    # batch 1: 2 dense-mode rows + 1 thin-mode row -> all admitted
+    b1 = batch([(1, [1.0, 0.1, 0.0]), (2, [1.0, 0.2, 0.0]), (3, [0.0, 1.0, 0.1])])
+    out1 = {r["doc_id"] for r in gate.filter_batch(b1).collect()}
+    assert out1 == {1, 2, 3}
+    assert gate._admitted == {0: 2, 1: 1}
+    # batch 2: 3 more dense rows but only 1 budget left -> exactly one in
+    b2 = batch([(4, [1.0, 0.3, 0.0]), (5, [1.0, 0.4, 0.0]), (6, [1.0, 0.5, 0.0])])
+    out2 = [r for r in gate.filter_batch(b2).collect()]
+    assert len(out2) == 1 and gate._admitted[0] == 3
+    # schema is the INPUT schema (filter-gate contract for the chain)
+    assert set(out2[0].asDict()) == {"doc_id", "embedding"}
+    # batch 3: dense mode exhausted, thin mode still open
+    b3 = batch([(7, [1.0, 0.6, 0.0]), (8, [0.0, 1.0, 0.2])])
+    out3 = {r["doc_id"] for r in gate.filter_batch(b3).collect()}
+    assert out3 == {8}
+
+    # save/load resumes budgets exactly
+    gate.save(str(tmp_path / "dg"))
+    g2 = DiversityCapGate.load(spark, str(tmp_path / "dg"))
+    assert g2._admitted == gate._admitted
+    assert g2.filter_batch(batch([(9, [1.0, 0.7, 0.0])])).count() == 0
+    assert g2.filter_batch(batch([(10, [0.0, 1.0, 0.3])])).count() == 1
+
+    # chain dispatch: declared filter kind, composes without rewrites
+    chain = StreamingPrepChain([DiversityCapGate(cents, cap=1, impl="expr")])
+    got = chain.filter_batch(
+        batch([(11, [1.0, 0.0, 0.0]), (12, [1.0, 0.1, 0.0])])
+    ).count()
+    assert got == 1
+    gate.close()
