@@ -997,7 +997,13 @@ class DiversityCapGate:
             remaining = F.when(
                 F.col("cluster") == cid, F.lit(max(self._cap - used, 0))
             ).otherwise(remaining)
-        admitted = assigned.withColumn("_rk", rk).filter(F.col("_rk") <= remaining)
+        admitted = (
+            assigned.withColumn("_rk", rk)
+            .filter(F.col("_rk") <= remaining)
+            # one materialization: the budget collect below AND the
+            # caller's sink both read this (batch-sized)
+            .localCheckpoint(eager=False)
+        )
         # update driver-side budgets (K-row collect — bounded by |centroids|)
         for r in (
             admitted.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
