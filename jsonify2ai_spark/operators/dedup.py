@@ -1898,6 +1898,7 @@ def split_leakage_report(
     n: int = 8,
     train_split: str = "train",
     normalize: bool = False,
+    broadcast_held_max: int = 2_000_000,
 ) -> DataFrame:
     """Cross-split contamination audit — run AFTER
     :func:`~jsonify2ai_spark.operators.sampling.assign_splits` (q113) and
@@ -1910,10 +1911,23 @@ def split_leakage_report(
 
     Broadcast direction is the REVERSE of decontaminate's (there the
     benchmark is tiny; here TRAIN is ~98% of the corpus): the held-out
-    side's (id, shingle) pairs — bounded at a couple percent of the
-    corpus by construction — broadcast into one map-only pass over the
-    train shingles, then one per-held-doc count. Output: (id, split,
-    n_shared_ngrams, leaked) for every non-train document.
+    side's distinct (id, shingle) pairs broadcast into one map-only pass
+    over the train shingles, then one per-held-doc count. But "a couple
+    percent of the corpus" is still CORPUS-PROPORTIONAL — unlike
+    decontaminate's genuinely fixed-size benchmark side — so the
+    broadcast is GUARDED by the materialized pair count
+    (``broadcast_held_max``, the SpanDedupGate ``broadcast_hot_max``
+    treatment): at 100 TB with 1%+1% held out, the distinct held pairs
+    run hundreds of GB (shingling explodes ~n-fold before distinct) and
+    a forced ``F.broadcast`` hint would OOM the executors while
+    overriding AQE's better judgment. Above the threshold the probe
+    falls back to a plain shuffled equi-join on ``sh`` — both shingle
+    sides hash-partition on the same key, and the held side stays the
+    smaller input, so AQE picks the sane build side. Cost model either
+    way: two shingle explodes + distincts (train-side dominated), one
+    sh-keyed join bounded at |held distinct pairs|, one per-held-doc
+    count. Output: (id, split, n_shared_ngrams, leaked) for every
+    non-train document.
 
     ``normalize=True`` applies decontaminate's ASCII lower/collapse form
     on both sides (re-cased/re-punctuated leaks). The degenerate ''
@@ -1939,6 +1953,10 @@ def split_leakage_report(
         )
         .filter(F.col("sh") != "")
         .distinct()
+        # materialized once: the guard count below AND the join probe
+        # both read this (the distinct already forces a shuffle; the
+        # checkpoint stops the held-side explode re-running per action)
+        .localCheckpoint(eager=False)
     )
     t = (
         df.filter(F.col(split_col) == train_split)
@@ -1946,8 +1964,10 @@ def split_leakage_report(
         .filter(F.col("sh") != "")
         .distinct()
     )
+    held_pairs = d.count()
+    probe = F.broadcast(d) if held_pairs <= broadcast_held_max else d
     shared = (
-        t.join(F.broadcast(d), "sh")
+        t.join(probe, "sh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )

@@ -2583,6 +2583,35 @@ def test_split_leakage_report_flags_cross_split_ngrams(spark):
     assert norm[11]["leaked"] is False
 
 
+def test_split_leakage_broadcast_guard_parity(spark):
+    """r9 (VERDICT r8 #2): the held-out pair broadcast is guarded by the
+    materialized pair count — above ``broadcast_held_max`` the probe is a
+    plain shuffled join (no forced-broadcast OOM at 100 TB) with
+    IDENTICAL output. Parity both sides of the threshold, and the plan
+    check: the forced-broadcast hint is present only under it."""
+    from jsonify2ai_spark.operators.dedup import split_leakage_report
+
+    phrase = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"train filler one {phrase} more train words", "train"),
+            (2, "train filler two entirely its own material here", "train"),
+            (10, f"held doc quoting {phrase} verbatim", "val"),
+            (11, "held doc with completely original content inside it", "test"),
+        ],
+        "doc_id long, text string, split string",
+    )
+    wide = split_leakage_report(docs, n=8)  # pairs << 2M -> broadcast
+    narrow = split_leakage_report(docs, n=8, broadcast_held_max=0)  # force fallback
+    key = lambda r: (r["doc_id"], r["split"], r["n_shared_ngrams"], r["leaked"])
+    assert sorted(map(key, wide.collect())) == sorted(map(key, narrow.collect()))
+    # the analyzed plans: hint present under the threshold, absent above
+    # (AQE may still CHOOSE broadcast for a small fallback side — the
+    # guard's point is that nothing FORCES it at scale)
+    assert "ResolvedHint" in wide._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in narrow._jdf.queryExecution().analyzed().toString()
+
+
 def test_diversity_sample_caps_dense_modes(spark):
     """r8 (q115): a dense embedding mode (60 near-identical vectors) trims
     to the cap while a thin mode (5 vectors) survives whole; ranks are
