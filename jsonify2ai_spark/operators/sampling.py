@@ -327,17 +327,28 @@ def assign_splits(
     splits: dict[str, float] | None = None,
     salt: str = "",
     out_col: str = "split",
+    on_null: str = "error",
 ) -> DataFrame:
     """Deterministic, leakage-free train/val/test assignment — the split
     every training-data pipeline runs LAST: ``splits`` maps name ->
-    fraction (must sum to <= 1; any remainder falls into the FIRST named
-    split, so the default 0.98/0.01/0.01 never leaks rows). Assignment is
-    a pure function of md5(salt || key), so (a) re-running on a grown
-    corpus never moves an existing document across splits (the
-    document-stability property random splits lack — a doc that was in
-    val stays in val forever), and (b) duplicate keys land in the SAME
-    split, so key-level dedup upstream is the only leakage control
-    needed. One map-side projection; the salt versions the split layout.
+    fraction (must sum to <= 1; any remainder — including the few-ppm
+    residue of per-fraction rounding, e.g. three 1/3 fractions leave one
+    ppm unbounded — falls into the FIRST named split, so the default
+    0.98/0.01/0.01 never leaks rows). Assignment is a pure function of
+    md5(salt || key), so (a) re-running on a grown corpus never moves an
+    existing document across splits (the document-stability property
+    random splits lack — a doc that was in val stays in val forever),
+    and (b) duplicate keys land in the SAME split, so key-level dedup
+    upstream is the only leakage control needed. One map-side
+    projection; the salt versions the split layout.
+
+    A NULL key has no identity to hash, so silently assigning it would
+    void both guarantees (r8 advisor: NULL hashes to NULL, every bound
+    comparison is NULL, and the row used to fall through ``otherwise``
+    into train unannounced). ``on_null="error"`` (default) fails the job
+    at the first NULL key; ``on_null=<split name>`` routes NULL-keyed
+    rows to that named split explicitly — route them to a held-out
+    split only knowing they are indistinguishable duplicates-wise.
     """
     if splits is None:
         splits = {"train": 0.98, "val": 0.01, "test": 0.01}
@@ -346,6 +357,8 @@ def assign_splits(
     total = sum(splits.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"split fractions sum to {total} > 1")
+    if on_null != "error" and on_null not in splits:
+        raise ValueError(f"on_null={on_null!r} is not a split name")
     h = sample_hash(key_col, salt)
     names = list(splits)
     # cumulative ppm upper bounds in dict order: h < cum_1 -> first name,
@@ -358,7 +371,20 @@ def assign_splits(
         # ppm per boundary (int(0.3 * 1e6) == 299999 — review-found r8)
         cum += round(splits[name] * _BUCKETS)
         bounds.append((cum, name))
-    expr = F.when(h < F.lit(bounds[0][0]), F.lit(bounds[0][1]))
+    null_key = F.col(key_col).isNull()
+    if on_null == "error":
+        null_arm = F.raise_error(
+            F.lit(
+                f"assign_splits: NULL in key column {key_col!r} — a NULL key "
+                "has no stable identity; pass on_null=<split name> to route "
+                "NULL-keyed rows explicitly"
+            )
+        )
+    else:
+        null_arm = F.lit(on_null)
+    expr = F.when(null_key, null_arm).when(
+        h < F.lit(bounds[0][0]), F.lit(bounds[0][1])
+    )
     for hi, name in bounds[1:]:
         expr = expr.when(h < F.lit(hi), F.lit(name))
     expr = expr.otherwise(F.lit(names[0]))

@@ -2552,6 +2552,30 @@ def test_assign_splits_contract(spark):
     assert v2 != small
 
 
+def test_assign_splits_null_key_policy(spark):
+    """r9 (r8 advisor): a NULL key has no identity — default on_null
+    fails the job instead of silently landing the row in train; a named
+    on_null routes NULLs to that split explicitly; a non-split name is
+    rejected up front."""
+    import pytest
+
+    from jsonify2ai_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "k string"
+    )
+    with pytest.raises(Exception, match="NULL in key column"):
+        assign_splits(df, "k").collect()
+    routed = {
+        r["k"]: r["split"]
+        for r in assign_splits(df, "k", on_null="test").collect()
+    }
+    assert routed[None] == "test"
+    assert routed["a"] in {"train", "val", "test"}
+    with pytest.raises(ValueError, match="not a split name"):
+        assign_splits(df, "k", on_null="holdout")
+
+
 def test_split_leakage_report_flags_cross_split_ngrams(spark):
     """r8 (q114): a held-out document sharing a word 8-gram with any TRAIN
     document must flag leaked with the shared-shingle count; clean held
