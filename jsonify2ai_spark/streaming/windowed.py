@@ -892,7 +892,11 @@ class StreamingPrepChain:
     def __init__(self, gates: list) -> None:
         self._gates = list(gates)
 
-    def filter_batch(self, batch: DataFrame) -> DataFrame:
+    def filter_batch(
+        self, batch: DataFrame, batch_id: int | None = None
+    ) -> DataFrame:
+        import inspect
+
         out = batch
         for gate in self._gates:
             # explicit kind dispatch (r7 advisor): the old column-set
@@ -905,7 +909,12 @@ class StreamingPrepChain:
                     f"{type(gate).__name__} must declare kind='filter' or "
                     "'rewrite' (+ rewritten_col) to join a StreamingPrepChain"
                 )
-            res = gate.filter_batch(out)
+            # STATEFUL gates (DiversityCapGate) take the batch_id for the
+            # at-least-once replay contract; stateless ones don't declare it
+            if "batch_id" in inspect.signature(gate.filter_batch).parameters:
+                res = gate.filter_batch(out, batch_id=batch_id)
+            else:
+                res = gate.filter_batch(out)
             if kind == "filter":  # surviving rows, input schema
                 out = res
                 continue
@@ -917,10 +926,11 @@ class StreamingPrepChain:
         return out
 
     def foreach_batch(self, append):
-        """Wrap ``append(clean_df, batch_id)`` as a foreachBatch callable."""
+        """Wrap ``append(clean_df, batch_id)`` as a foreachBatch callable
+        (batch_id threads through to stateful member gates)."""
 
         def _fn(batch: DataFrame, batch_id: int) -> None:
-            append(self.filter_batch(batch), batch_id)
+            append(self.filter_batch(batch, batch_id=batch_id), batch_id)
 
         return _fn
 
@@ -952,8 +962,27 @@ class DiversityCapGate:
     Per-batch cost contract: assignment is one map-only
     :func:`~jsonify2ai_spark.operators.ann.ivf_assign` pass over the
     BATCH; ranking is one batch-sized window per touched cluster; the
-    admitted-count update is a K-row collect. Nothing corpus-sized
-    exists anywhere.
+    per-cluster remaining-budget table is a K-row broadcast-joined
+    frame (NOT a K-deep chained ``when()`` — expression depth linear in
+    |centroids| hits the analyzer/codegen wall at a production
+    quantizer's K, r8 verdict #3; the join keeps per-batch planning
+    time flat in K, smoke-tested at K=2048); the admitted-count update
+    is a K-row collect. Nothing corpus-sized exists anywhere.
+
+    Retry/idempotency contract (this is the family's first STATEFUL
+    gate — r8 advisor): ``foreachBatch`` delivers at-least-once, so a
+    failed sink write replays the same ``batch_id``. ``filter_batch``
+    therefore takes the batch_id; when it equals the last processed id
+    the gate re-derives admission from the PRE-debit budget snapshot
+    and does NOT debit again — the replay returns byte-identical
+    admitted rows without double-charging any cluster. Structured
+    Streaming replays at most the one uncommitted batch, so a one-deep
+    snapshot is exact; an older batch_id raises (state cannot be
+    rewound further). ``save()`` must be coordinated with sink commits:
+    call it AFTER the sink's epoch commit (e.g. at the end of the
+    foreachBatch body), never between filter and write, or a crash in
+    the gap persists a debit the sink never saw — the snapshot makes
+    even that recoverable on the next replay.
     """
 
     kind = "filter"  # StreamingPrepChain dispatch (see CorpusNearDupGate)
@@ -972,11 +1001,36 @@ class DiversityCapGate:
         self._id_col = id_col
         self._impl = impl
         self._admitted = {i: 0 for i in range(len(centroids))}
+        # pre-debit snapshot of the LAST processed batch: an at-least-once
+        # replay of that batch_id re-derives identical admission from this
+        # instead of double-debiting (see the class retry contract)
+        self._last_batch_id: int | None = None
+        self._prev_admitted: dict[int, int] = dict(self._admitted)
 
-    def filter_batch(self, batch: DataFrame) -> DataFrame:
+    def filter_batch(
+        self, batch: DataFrame, batch_id: int | None = None
+    ) -> DataFrame:
         """Rows of ``batch`` admitted under the per-mode budget (input
-        schema; the batch's own hash order breaks within-batch ties)."""
+        schema; the batch's own hash order breaks within-batch ties).
+        Pass ``batch_id`` from foreachBatch for replay idempotency: the
+        last processed id re-derives from the pre-debit snapshot without
+        debiting again; older ids raise (state rewinds one batch only).
+        Without a batch_id every call debits (the one-shot batch API)."""
         from jsonify2ai_spark.operators.ann import ivf_assign
+
+        replay = False
+        budgets = self._admitted
+        if batch_id is not None and self._last_batch_id is not None:
+            if batch_id == self._last_batch_id:
+                replay = True
+                budgets = self._prev_admitted
+            elif batch_id < self._last_batch_id:
+                raise ValueError(
+                    f"batch_id {batch_id} precedes last processed "
+                    f"{self._last_batch_id}: the gate keeps a one-deep "
+                    "replay snapshot (Structured Streaming replays at "
+                    "most the one uncommitted batch)"
+                )
 
         idc = self._id_col
         assigned = ivf_assign(
@@ -992,30 +1046,41 @@ class DiversityCapGate:
         rk = F.row_number().over(
             Window.partitionBy("cluster").orderBy(h.asc(), F.col(idc).asc())
         )
-        remaining = F.lit(0)
-        for cid, used in self._admitted.items():
-            remaining = F.when(
-                F.col("cluster") == cid, F.lit(max(self._cap - used, 0))
-            ).otherwise(remaining)
+        # K-row (cluster, remaining) frame, broadcast-joined on cluster —
+        # planning cost flat in |centroids| (r8 verdict #3; the previous
+        # K-deep chained when() grew expression depth linearly in K)
+        rem = batch.sparkSession.createDataFrame(
+            [(cid, max(self._cap - used, 0)) for cid, used in budgets.items()],
+            "cluster int, _remaining int",
+        )
         admitted = (
             assigned.withColumn("_rk", rk)
-            .filter(F.col("_rk") <= remaining)
+            .join(F.broadcast(rem), "cluster", "left")
+            .filter(F.col("_rk") <= F.coalesce("_remaining", F.lit(0)))
             # one materialization: the budget collect below AND the
             # caller's sink both read this (batch-sized)
             .localCheckpoint(eager=False)
         )
-        # update driver-side budgets (K-row collect — bounded by |centroids|)
-        for r in (
-            admitted.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
-        ):
-            self._admitted[int(r["cluster"])] += int(r["n"])
-        return admitted.drop("cluster", "_rk")
+        if not replay:
+            # update driver-side budgets (K-row collect, |centroids|-bounded)
+            # against the pre-debit snapshot kept for replay
+            self._prev_admitted = dict(budgets)
+            for r in (
+                admitted.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ):
+                self._admitted[int(r["cluster"])] += int(r["n"])
+            if batch_id is not None:
+                self._last_batch_id = batch_id
+        return admitted.drop("cluster", "_rk", "_remaining")
 
     def foreach_batch(self, append):
-        """Wrap ``append(clean_df, batch_id)`` as a foreachBatch callable."""
+        """Wrap ``append(clean_df, batch_id)`` as a foreachBatch callable
+        (batch_id threads through for the replay-idempotency contract)."""
 
         def _fn(batch: DataFrame, batch_id: int) -> None:
-            append(self.filter_batch(batch), batch_id)
+            append(self.filter_batch(batch, batch_id=batch_id), batch_id)
 
         return _fn
 
@@ -1036,6 +1101,10 @@ class DiversityCapGate:
                     "id_col": self._id_col,
                     "impl": self._impl,
                     "admitted": {str(k): v for k, v in self._admitted.items()},
+                    "last_batch_id": self._last_batch_id,
+                    "prev_admitted": {
+                        str(k): v for k, v in self._prev_admitted.items()
+                    },
                 },
                 f,
             )
@@ -1054,6 +1123,11 @@ class DiversityCapGate:
             impl=st["impl"],
         )
         obj._admitted = {int(k): int(v) for k, v in st["admitted"].items()}
+        obj._last_batch_id = st.get("last_batch_id")
+        obj._prev_admitted = {
+            int(k): int(v)
+            for k, v in st.get("prev_admitted", st["admitted"]).items()
+        }
         return obj
 
     def close(self) -> None:  # no persisted frames; symmetry with the family

@@ -1110,3 +1110,78 @@ def test_diversity_cap_gate_budgets_across_batches(spark, tmp_path):
     ).count()
     assert got == 1
     gate.close()
+
+
+def test_diversity_cap_gate_replay_idempotent(spark, tmp_path):
+    """r9 (r8 advisor): foreachBatch is at-least-once — replaying the
+    last batch_id must return the SAME admitted rows without debiting
+    the budgets twice (re-derived from the pre-debit snapshot); an
+    older batch_id raises; the snapshot survives save/load so a
+    post-restart replay is still exact."""
+    import pytest
+
+    from jsonify2ai_spark.streaming.windowed import DiversityCapGate
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    gate = DiversityCapGate(cents, cap=3, impl="expr")
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+
+    b1 = batch([(1, [1.0, 0.1, 0.0]), (2, [1.0, 0.2, 0.0])])
+    first = {r["doc_id"] for r in gate.filter_batch(b1, batch_id=0).collect()}
+    assert first == {1, 2} and gate._admitted == {0: 2, 1: 0}
+    # replay of batch 0 (sink write failed): same rows, no double debit
+    again = {r["doc_id"] for r in gate.filter_batch(b1, batch_id=0).collect()}
+    assert again == first and gate._admitted == {0: 2, 1: 0}
+    # state diverged-sink case: replay after save/load is still exact
+    gate.save(str(tmp_path / "dg"))
+    g2 = DiversityCapGate.load(spark, str(tmp_path / "dg"))
+    replay = {r["doc_id"] for r in g2.filter_batch(b1, batch_id=0).collect()}
+    assert replay == first and g2._admitted == {0: 2, 1: 0}
+    # progress then attempt a two-deep rewind: refused
+    g2.filter_batch(batch([(3, [1.0, 0.3, 0.0])]), batch_id=1)
+    assert g2._admitted == {0: 3, 1: 0}
+    with pytest.raises(ValueError, match="precedes last processed"):
+        g2.filter_batch(b1, batch_id=0)
+    # batch_id-less calls keep the one-shot always-debit semantics
+    assert gate.filter_batch(batch([(4, [1.0, 0.4, 0.0])])).count() == 1
+    assert gate._admitted == {0: 3, 1: 0}
+    # the chain threads batch_id to stateful member gates: a chained
+    # replay is idempotent too
+    from jsonify2ai_spark.streaming.windowed import StreamingPrepChain
+
+    cg = DiversityCapGate(cents, cap=2, impl="expr")
+    chain = StreamingPrepChain([cg])
+    cb = batch([(21, [1.0, 0.1, 0.0]), (22, [1.0, 0.2, 0.0]), (23, [1.0, 0.3, 0.0])])
+    out_a = {r["doc_id"] for r in chain.filter_batch(cb, batch_id=0).collect()}
+    out_b = {r["doc_id"] for r in chain.filter_batch(cb, batch_id=0).collect()}
+    assert out_a == out_b and len(out_a) == 2 and cg._admitted == {0: 2, 1: 0}
+
+
+def test_diversity_cap_gate_k2048_planning_flat(spark):
+    """r9 (VERDICT r8 #3): the per-cluster budget is a K-row broadcast-
+    joined frame, not a K-deep chained when() — at K=2048 (a production
+    quantizer's scale, where linear expression depth hits the analyzer
+    wall) one small batch must still plan and run promptly."""
+    import time
+
+    from jsonify2ai_spark.streaming.windowed import DiversityCapGate
+
+    # 2048 deterministic unit-ish centroids in 8-d (no randomness APIs)
+    cents = [
+        [float((i * 7 + d * 3) % 17 + 1) for d in range(8)] for i in range(2048)
+    ]
+    gate = DiversityCapGate(cents, cap=1, impl="arrow")
+    rows = [(i, [float((i * 5 + d) % 13 + 1) for d in range(8)]) for i in range(64)]
+    b = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    t0 = time.monotonic()
+    out = gate.filter_batch(b, batch_id=0)
+    n = out.count()
+    elapsed = time.monotonic() - t0
+    assert 0 < n <= 64
+    # cap respected per cluster
+    assert all(v <= 1 for v in gate._admitted.values())
+    # generous wall bound: the chained-when form at K=2048 does not get
+    # anywhere near this; the join form plans in milliseconds
+    assert elapsed < 60, elapsed
