@@ -1791,15 +1791,25 @@ def remove_duplicate_spans(
     - ``"none"`` (default, the rule this operator shipped with): EVERY
       occurrence of a hot window is cut — including the last one, so a
       span duplicated anywhere vanishes from the whole corpus.
-    - ``"one"``: Lee et al.'s actual §4.1 semantics — all BUT ONE
-      occurrence is cut, so the content survives exactly once. The
-      surviving occurrence per hot window-hash is the minimum (id, pos)
-      one (deterministic, layout-invariant); the exemption is one extra
-      hash-keyed argmin aggregate + equi-join on the hot occurrences —
-      still no pair materialization, still census-sized state. Because
-      winners are picked per HASH with a consistent (id, pos) order, all
-      windows of one duplicated run elect the same earliest document, so
-      the surviving copy is contiguous, not a stitch of fragments.
+    - ``"one"``: Lee et al.'s §4.1 keep-one rule applied PER WINDOW-HASH
+      — for each hot window hash, all but the minimum-(id, pos)
+      occurrence are cut (deterministic, layout-invariant); the
+      exemption is one extra hash-keyed argmin aggregate + equi-join on
+      the hot occurrences — still no pair materialization, still
+      census-sized state. When a duplicated run's windows all have the
+      same occurrence multiset (the plain A==B syndication case), the
+      consistent (id, pos) order elects one document for every window,
+      so the surviving copy is contiguous. The guarantee is
+      per-window-hash, NOT per-run (r8 advisor): when a run PARTIALLY
+      overlaps a third document, adjacent hot hashes can elect winners
+      in different documents — content then survives split across
+      exemptions — and a non-exempt hot window overlapping an exempt
+      one's span still cuts the tokens it covers, so in corner cases no
+      single intact copy remains (the python-model differential test
+      pins exactly these semantics). Electing per maximal duplicated
+      run would need run-merging across documents (a
+      connected-components pass over overlapping occurrences) — out of
+      scope for the census shape.
 
     ``max_doc_starts`` (optional) bounds the per-document hot-start array:
     a document whose hot-start count exceeds the cap short-circuits to
