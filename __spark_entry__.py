@@ -2036,6 +2036,50 @@ def q115_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diversity_sample(emb, centroids, cap=40, impl="expr")
 
 
+def q116_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-array -> token-ID lookup (operators/bpe.py tokens_to_ids, new
+    r9 — VERDICT r8 'What's missing #2': the id-minting step between
+    tokenization and trainer-loadable shards). Vocab is q104's exact
+    build_vocab contract (min_count=2, 500-entry cap); lookup is the
+    production broadcast-dict Arrow form with oov='drop', so rare tokens
+    fall out of the id sequence. Output is scalar: per-doc token count,
+    surviving id count, id sum, and the position-weighted checksum
+    sum((k+1-th position) * id) that pins ORDER, not just membership.
+    (BPE-encode -> ids parity is differential-pinned in pytest; this row
+    gates the SQL-expressible id-lookup semantics.)"""
+    from jsonify2ai_spark.functions.text import tokens
+    from jsonify2ai_spark.operators.bpe import tokens_to_ids
+    from jsonify2ai_spark.operators.textstats import build_vocab
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    vocab = build_vocab(docs, min_count=2, max_vocab=500)
+    toked = docs.withColumn("_toks", tokens(F.col("text")))
+    ids = tokens_to_ids(toked, vocab, tokens_col="_toks", oov="drop", impl="udf")
+    sz = F.size("token_ids")
+    zero = F.lit(0).cast("bigint")
+    # sequence(1, 0) counts BACKWARDS — guard the empty array before
+    # building the positional weights (the repo's q106 idiom)
+    ck = F.when(sz == 0, zero).otherwise(
+        F.aggregate(
+            F.zip_with(
+                "token_ids", F.sequence(F.lit(1), sz), lambda x, i: x * i
+            ),
+            zero,
+            lambda a, x: a + x,
+        )
+    )
+    return ids.select(
+        "doc_id",
+        F.coalesce(F.size("_toks"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        sz.cast("bigint").alias("n_ids"),
+        F.coalesce(
+            F.aggregate("token_ids", zero, lambda a, x: a + x), zero
+        ).alias("sum_ids"),
+        ck.alias("ids_checksum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -2060,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_assign_splits": q113_assign_splits,  # NEW r8: deterministic train/val/test split (first driver row)
         "q114_split_leakage": q114_split_leakage,  # NEW r8: cross-split contamination audit (first driver row)
         "q115_diversity_sample": q115_diversity_sample,  # NEW r8: embedding-diversity cap (first driver row)
+        "q116_token_ids": q116_token_ids,  # NEW r9: token->id lookup (first driver row)
         "q106_span_dedup": q106_span_dedup,  # changed r8: remove_duplicate_spans gained keep=/max_doc_starts
         "q97_c4_filter": q97_c4_filter,  # changed r8: oracle all-bad-lines NULL guard (r7 advisor)
         "q109_blocklist": q109_blocklist,  # changed r8: line-scope broadcast-join membership form
@@ -4655,6 +4700,49 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (
                        PARTITION BY cluster ORDER BY hh, vec_id)) <= 40 AS kept
             FROM h
+        """,
+        # twin of bpe.tokens_to_ids(oov='drop') over the q104 vocab:
+        # whitespace tokens with position, vocab ids by (count desc, token)
+        # rank, OOV rows dropped, per-doc sums + the position-weighted
+        # checksum over the FILTERED sequence (row_number over original
+        # positions = the post-drop index Spark's zip_with uses)
+        "q116_token_ids": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     (CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                           ELSE string_split_regex(trim(text), '\s+') END) AS tk
+              FROM documents
+            ), counts AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS count
+              FROM (SELECT unnest(tk) AS token FROM toks)
+              GROUP BY token HAVING count(*) >= 2
+            ), vocab AS (
+              SELECT token,
+                     CAST(row_number() OVER (ORDER BY count DESC, token ASC)
+                          AS BIGINT) AS token_id
+              FROM counts
+              QUALIFY token_id <= 500
+            ), ex AS (
+              SELECT doc_id, unnest(tk) AS token,
+                     unnest(range(1, len(tk) + 1)) AS pos
+              FROM toks
+            ), matched AS (
+              SELECT e.doc_id, v.token_id,
+                     row_number() OVER (PARTITION BY e.doc_id ORDER BY e.pos)
+                         AS rk
+              FROM ex e JOIN vocab v USING (token)
+            ), m AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids,
+                     CAST(sum(token_id) AS BIGINT) AS sum_ids,
+                     CAST(sum(rk * token_id) AS BIGINT) AS ids_checksum
+              FROM matched GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.tk) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(m.n_ids, 0) AS BIGINT) AS n_ids,
+                   CAST(coalesce(m.sum_ids, 0) AS BIGINT) AS sum_ids,
+                   CAST(coalesce(m.ids_checksum, 0) AS BIGINT) AS ids_checksum
+            FROM toks t LEFT JOIN m USING (doc_id)
         """,
         "q114_split_leakage": _dd_split_leakage_sql(),
         "q113_assign_splits": """

@@ -1052,6 +1052,7 @@ def build_vocab(
     min_count: int = 1,
     max_vocab: int | None = None,
     text_col: str = "text",
+    token_array_col: str | None = None,
 ) -> DataFrame:
     """Corpus vocabulary builder — the tokenizer-training / embedding-table
     precursor: (token, token_id, count) with ids dense-ranked by frequency
@@ -1074,11 +1075,20 @@ def build_vocab(
     to where the sampled range boundaries land — same ids on any cluster
     shape, as the determinism contract requires ((count, token) is a total
     order: no ties can straddle a boundary).
+
+    ``token_array_col`` counts an ALREADY-TOKENIZED array column instead
+    of whitespace-tokenizing ``text_col`` — the BPE-vocab form (r9): feed
+    it :func:`~jsonify2ai_spark.operators.bpe.bpe_encode_fast`'s output
+    to mint ids over the trained subword inventory. Same ranking, same
+    determinism contract.
     """
     from pyspark.sql import Window
 
+    tok_src = (
+        F.col(token_array_col) if token_array_col else tokens(_c(text_col))
+    )
     counts = (
-        df.select(F.explode(tokens(_c(text_col))).alias("token"))
+        df.select(F.explode(tok_src).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("count"))
         .filter(F.col("count") >= min_count)

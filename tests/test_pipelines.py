@@ -221,3 +221,67 @@ def test_pipeline_encoding_and_span_stages(spark):
     assert "w0" not in out[2]["text"]
     assert "second document begins" in out[2]["text"]
     assert "entirely clean" in out[3]["text"]
+
+
+def test_write_token_shards_end_to_end(spark, tmp_path):
+    """r9 (VERDICT r8 'What's missing #2'): corpus -> BPE ids -> packed
+    id shards in one call. Bins respect the token budget (single
+    over-budget docs get their own bin, next-fit), shard files are
+    bin-contiguous, ids decode back through the vocab, and an empty
+    corpus writes a zero manifest."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from jsonify2ai_spark.operators.bpe import bpe_encode_fast, train_bpe
+    from jsonify2ai_spark.operators.textstats import build_vocab
+    from jsonify2ai_spark.sinks import write_token_shards
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "new newer newest low lower lowest",
+        "one tiny doc",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, num_merges=15)
+    enc = bpe_encode_fast(docs, merges, out_col="_toks")
+    vocab = build_vocab(enc, token_array_col="_toks")
+
+    out = str(tmp_path / "idshards")
+    m = write_token_shards(docs, merges, vocab, out, budget=16, n_groups=2)
+    assert m["rows"] == 4 and 1 <= m["groups"] <= 2
+
+    rev = {r["token_id"]: r["token"] for r in vocab.collect()}
+    want = {r["doc_id"]: r["_toks"] for r in enc.collect()}
+    seen = 0
+    for gdir in sorted(os.listdir(out)):
+        if not gdir.startswith("pack_group="):
+            continue
+        full = os.path.join(out, gdir)
+        for part in sorted(os.listdir(full)):
+            if not part.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(full, part)).to_pydict()
+            # bin-contiguous in-file order
+            seq = list(zip(t["bin_idx"], t["doc_id"]))
+            assert seq == sorted(seq)
+            for d, ids, n in zip(t["doc_id"], t["token_ids"], t["n_tokens"]):
+                assert [rev[i] for i in ids] == want[d]
+                assert n == len(ids)
+                seen += 1
+    assert seen == 4
+    # per-bin totals within budget unless a single doc exceeds it
+    rows = spark.read.parquet(out).collect()
+    by_bin = {}
+    for r in rows:
+        key = (r["pack_group"], r["bin_idx"])
+        by_bin.setdefault(key, []).append(r["n_tokens"])
+    for sizes in by_bin.values():
+        assert sum(sizes) <= 16 or len(sizes) == 1
+
+    empty = docs.filter("doc_id < 0")
+    m0 = write_token_shards(empty, merges, vocab, str(tmp_path / "empty"), budget=16)
+    assert m0["rows"] == 0 and m0["groups"] == 0
