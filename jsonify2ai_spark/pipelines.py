@@ -36,6 +36,8 @@ def prepare_training_corpus(
     fix_encoding: bool = False,
     span_dedup_n: int | None = None,
     span_dedup_keep: str = "one",
+    diversity: tuple[list[list[float]], int] | None = None,
+    vector_col: str = "embedding",
 ) -> DataFrame:
     """Return the prepared corpus: one row per KEPT document with the
     (optionally redacted) text plus quality/packing columns.
@@ -62,6 +64,14 @@ def prepare_training_corpus(
                         after doc-level dedup (whole dups are already
                         gone; this repairs partial syndication) and
                         before PII/packing (which must see final text)
+    5c. diversity cap — ``diversity=(centroids, cap)`` runs
+                        diversity_sample (q115's SemDeDup/D4-style mode
+                        pruning) over the SURVIVORS' ``vector_col``
+                        embeddings (read from the input frame, semi-join
+                        restricted): at most ``cap`` docs per embedding
+                        mode continue. The D4 recipe's placement —
+                        after dedup (so caps count unique content),
+                        before packing (r9, VERDICT r8 missing #1)
     6. PII redaction  — text rewritten in place (adds ``pii_total``)
     7. packing        — (pack_group, bin_idx) next-fit assignments
     """
@@ -163,6 +173,29 @@ def prepare_training_corpus(
             )
             .localCheckpoint(eager=False)
         )
+
+    if diversity is not None:
+        from jsonify2ai_spark.operators.sampling import diversity_sample
+
+        centroids, cap = diversity
+        if vector_col not in docs.columns:
+            raise ValueError(
+                f"diversity= needs an embedding column {vector_col!r} on the "
+                "input frame (pass vector_col= to rename)"
+            )
+        # embeddings come from the INPUT frame, restricted to survivors —
+        # the cap counts unique post-dedup content, the D4 placement
+        surv_emb = docs.select(id_col, vector_col).join(
+            out.select(id_col), id_col, "left_semi"
+        )
+        kept_div = (
+            diversity_sample(
+                surv_emb, centroids, cap, vector_col=vector_col, id_col=id_col
+            )
+            .filter(F.col("kept"))
+            .select(id_col)
+        )
+        out = out.join(kept_div, id_col, "left_semi").localCheckpoint(eager=False)
 
     if redact:
         out = redact_pii(with_pii_counts(out, text_col=text_col), text_col=text_col)
