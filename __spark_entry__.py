@@ -2088,29 +2088,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whose code changed this round is in-gate, (d) remaining slots go to
     # the OLDEST driver-green cohort so no query sits >2 rounds without a
     # driver row. Run scripts/gate_staleness.py to plan each rotation.
-    # Round-8 gate: changed/new (q110-q114 first driver rows; q106 whose
-    # operator gained keep=/max_doc_starts, q97 oracle NULL guard, q109
-    # line-scope join form, q105/q30 on the touched BM25Index, q107 on the
-    # touched ann.py) + the ENTIRE 26-query r5-green cohort (the r7
-    # verdict's #1: the largest rotation debt yet, paid in full — q25/q27
-    # double as the changed-ann/changed-bpe gate rows) + pinned q51-q62 +
-    # ZERO r6-green fills (q93-q99 yielded every slot to the q110-q115
-    # block). The ENTIRE r6-green cohort is the r9 gate's first claim.
+    # Round-9 gate (r8 verdict #1 — the tight-arithmetic round): changed/
+    # new rows held to FOUR (q116 new tokens_to_ids; q113 assign_splits
+    # NULL policy; q114 split_leakage broadcast guard; q115 whose module
+    # changed) + pinned q51-q62 + the ENTIRE 32-query r6-green cohort
+    # (the full rotation debt — q100/q101 double as the changed-pipelines
+    # rows, q104 as the changed-build_vocab row) + two spare slots pulled
+    # forward from the r7-green cohort (q108/q89), trimming r10's
+    # mandatory block to 30. r10 pre-plan: 30 r7-greens + pinned 12 = 42,
+    # ~8 slots for r10 changed/new; r11 then owes the 35-query r8-green
+    # cohort. See COVERAGE.md rotation plan.
     return {
-        # --- changed / new this round (r8): every edited operator gates first
-        "q110_span_dedup_keep_one": q110_span_dedup_keep_one,  # NEW r8: ExactSubstr keep-one policy (first driver row)
-        "q111_blocklist_lines": q111_blocklist_lines,  # NEW r8: line-scope blocklist salvage (first driver row)
-        "q112_fix_mojibake": q112_fix_mojibake,  # NEW r8: encoding repair (first driver row)
-        "q113_assign_splits": q113_assign_splits,  # NEW r8: deterministic train/val/test split (first driver row)
-        "q114_split_leakage": q114_split_leakage,  # NEW r8: cross-split contamination audit (first driver row)
-        "q115_diversity_sample": q115_diversity_sample,  # NEW r8: embedding-diversity cap (first driver row)
+        # --- changed / new this round (r9): edited operators gate first
         "q116_token_ids": q116_token_ids,  # NEW r9: token->id lookup (first driver row)
-        "q106_span_dedup": q106_span_dedup,  # changed r8: remove_duplicate_spans gained keep=/max_doc_starts
-        "q97_c4_filter": q97_c4_filter,  # changed r8: oracle all-bad-lines NULL guard (r7 advisor)
-        "q109_blocklist": q109_blocklist,  # changed r8: line-scope broadcast-join membership form
-        "q105_bm25_filtered": q105_bm25_filtered,  # changed r8: BM25Index empty-batch schema derivation
-        "q30_bm25_search": q30_bm25_search,  # changed r8: same BM25Index touch
-        "q107_ivf_health": q107_ivf_health,  # changed r8: ann.py refresh_quantizer + schema fix
+        "q113_assign_splits": q113_assign_splits,  # changed r9: NULL-key policy (r8 advisor)
+        "q114_split_leakage": q114_split_leakage,  # changed r9: broadcast guard (r8 verdict #2)
+        "q115_diversity_sample": q115_diversity_sample,  # module changed r9 (sampling.py); operator body untouched
         # --- pinned flagship block (test_entry.py invariant)
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_jaccard_capped": q52_jaccard_capped,
@@ -2124,37 +2117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_decontaminate": q60_decontaminate,
         "q61_unigram_logprob": q61_unigram_logprob,
         "q62_embed_dup_clusters": q62_embed_dup_clusters,
-        # --- r5-green cohort: ALL 26 hit the >2-rounds-stale line at r8
+        # --- r6-green cohort: ALL 32 hit the >2-rounds-stale line at r9
         # (scripts/gate_staleness.py) — the full rotation debt, paid at once
-        "q68_overlap_pairs": q68_overlap_pairs,
-        "q69_quantized_ivf": q69_quantized_ivf,
-        "q70_per_source_cap": q70_per_source_cap,
-        "q71_gopher_filter": q71_gopher_filter,
-        "q72_clip_tokens": q72_clip_tokens,
-        "q73_bigram_logprob": q73_bigram_logprob,
-        "q75_dedup_keep_best": q75_dedup_keep_best,
-        "q76_containment_pairs": q76_containment_pairs,
-        "q77_shingle_census": q77_shingle_census,
-        "q78_vocab_stats": q78_vocab_stats,
-        "q79_cross_source_dup": q79_cross_source_dup,
-        "q81_source_quality": q81_source_quality,
-        "q84_novelty_scores": q84_novelty_scores,
-        "q85_boilerplate_catalog": q85_boilerplate_catalog,
-        "q86_token_histogram": q86_token_histogram,
-        "q87_corpus_diff": q87_corpus_diff,
-        "q88_syndication_matrix": q88_syndication_matrix,
-        "q90_dedup_impact": q90_dedup_impact,
-        "q91_containment_capped": q91_containment_capped,
-        "q92_corpus_divergence": q92_corpus_divergence,
-        "q16_simhash": q16_simhash,
-        "q17_jaccard_pairs": q17_jaccard_pairs,
-        "q18_minhash_lsh": q18_minhash_lsh,
-        "q25_ivf_ann": q25_ivf_ann,
-        "q27_bpe_tokens": q27_bpe_tokens,
-        "q45_brand_revenue_having": q45_brand_revenue_having,
-        # ================= tail (entry 51+) =================
-        # r6-green cohort: the r9 gate's first claim, IN FULL (q93-q99
-        # yielded every r8 fill slot to q111-q115 - new code gates first)
         "q93_syndication_capped": q93_syndication_capped,
         "q94_language_mix": q94_language_mix,
         "q96_curriculum_buckets": q96_curriculum_buckets,
@@ -2187,9 +2151,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_knn_brute": q19_knn_brute,
         "q21_vector_search_docs": q21_vector_search_docs,
         "q28_winnowing": q28_winnowing,
-        # r7-green cohort: one round of slack, rotates by r10
+        # --- spare slots: oldest two r7-greens pulled forward, trimming
+        # r10's mandatory block to 30
         "q108_reference_ppl": q108_reference_ppl,
         "q89_embedding_drift": q89_embedding_drift,
+        # ================= tail (entry 51+) =================
+        # r7-green remainder (30): r10 gate's first claim, with pinned 12
+        # = 42 of 50 — leaving ~8 r10 slots for changed/new rows
         "q74_embedding_stats": q74_embedding_stats,
         "q83_label_coherence": q83_label_coherence,
         "q95_decontaminate_normalized": q95_decontaminate_normalized,
@@ -2220,6 +2188,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_incremental_dedup": q65_incremental_dedup,
         "q66_token_budget_mix": q66_token_budget_mix,
         "q67_quantized_search": q67_quantized_search,
+        # r8/r9-green cohort (35): r11's mandatory block (+ q116/q113/
+        # q114/q115/q108/q89 from this gate as they age)
+        "q110_span_dedup_keep_one": q110_span_dedup_keep_one,
+        "q111_blocklist_lines": q111_blocklist_lines,
+        "q112_fix_mojibake": q112_fix_mojibake,
+        "q106_span_dedup": q106_span_dedup,
+        "q97_c4_filter": q97_c4_filter,
+        "q109_blocklist": q109_blocklist,
+        "q105_bm25_filtered": q105_bm25_filtered,
+        "q30_bm25_search": q30_bm25_search,
+        "q107_ivf_health": q107_ivf_health,
+        "q68_overlap_pairs": q68_overlap_pairs,
+        "q69_quantized_ivf": q69_quantized_ivf,
+        "q70_per_source_cap": q70_per_source_cap,
+        "q71_gopher_filter": q71_gopher_filter,
+        "q72_clip_tokens": q72_clip_tokens,
+        "q73_bigram_logprob": q73_bigram_logprob,
+        "q75_dedup_keep_best": q75_dedup_keep_best,
+        "q76_containment_pairs": q76_containment_pairs,
+        "q77_shingle_census": q77_shingle_census,
+        "q78_vocab_stats": q78_vocab_stats,
+        "q79_cross_source_dup": q79_cross_source_dup,
+        "q81_source_quality": q81_source_quality,
+        "q84_novelty_scores": q84_novelty_scores,
+        "q85_boilerplate_catalog": q85_boilerplate_catalog,
+        "q86_token_histogram": q86_token_histogram,
+        "q87_corpus_diff": q87_corpus_diff,
+        "q88_syndication_matrix": q88_syndication_matrix,
+        "q90_dedup_impact": q90_dedup_impact,
+        "q91_containment_capped": q91_containment_capped,
+        "q92_corpus_divergence": q92_corpus_divergence,
+        "q16_simhash": q16_simhash,
+        "q17_jaccard_pairs": q17_jaccard_pairs,
+        "q18_minhash_lsh": q18_minhash_lsh,
+        "q25_ivf_ann": q25_ivf_ann,
+        "q27_bpe_tokens": q27_bpe_tokens,
+        "q45_brand_revenue_having": q45_brand_revenue_having,
     }
 
 
