@@ -1132,3 +1132,158 @@ class DiversityCapGate:
 
     def close(self) -> None:  # no persisted frames; symmetry with the family
         pass
+
+
+class LeakageGate:
+    """Streaming face of :func:`~jsonify2ai_spark.operators.dedup.
+    split_leakage_report` (q114's cross-split contamination audit, r9 —
+    VERDICT r8 #7): probe each micro-batch's HELD-OUT rows against a
+    build-once TRAIN-shingle artifact, so the split audit runs
+    continuously as documents arrive instead of as a one-shot corpus
+    pass. ``assign_splits`` itself streams unchanged (a pure map); this
+    gate is the audit half of the pair.
+
+    Build-once artifact: the train split's distinct word ``n``-grams,
+    shingled ONCE at construction and persisted — the DecontaminationGate
+    chassis with the benchmark replaced by the pipeline's own train
+    split. Per-batch work: explode the batch's held rows into distinct
+    (id, shingle) pairs (batch-sized), broadcast THEM into one pass over
+    the persisted train set, one per-held-doc count. The train artifact
+    is corpus-proportional — it is the SCANNED side, never broadcast
+    (the q114 broadcast-guard lesson applies doubly in streaming), so
+    per-trigger cost is one train-artifact scan: size triggers
+    accordingly (batch the probes; a per-document trigger would pay the
+    scan per document).
+
+    Two faces: :meth:`report_batch` returns the audit rows
+    (id, split, n_shared_ngrams, leaked) for the batch's held docs —
+    union over batches equals the batch operator on the replayed corpus
+    (parity-pinned); :meth:`filter_batch` is the chain face (kind
+    ``filter``): leaked held rows drop, everything else passes with the
+    input schema.
+    """
+
+    kind = "filter"  # StreamingPrepChain dispatch (see CorpusNearDupGate)
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        split_col: str = "split",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n: int = 8,
+        train_split: str = "train",
+        normalize: bool = False,
+    ) -> None:
+        from jsonify2ai_spark.functions.text import shingles
+
+        self._split_col = split_col
+        self._text_col = text_col
+        self._id_col = id_col
+        self._n = n
+        self._train_split = train_split
+        self._normalize = normalize
+        self._tsh = (
+            corpus.filter(F.col(split_col) == train_split)
+            .select(
+                F.explode(
+                    shingles(self._prep(F.col(text_col)), n)
+                ).alias("sh")
+            )
+            .filter(F.col("sh") != "")
+            .distinct()
+            .persist()
+        )
+        self._tsh.count()  # materialize before the first trigger
+
+    def _prep(self, c):
+        if not self._normalize:
+            return c
+        return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+    def report_batch(self, batch: DataFrame) -> DataFrame:
+        """Audit rows (id, split, n_shared_ngrams, leaked) for the
+        batch's NON-train documents — the batch operator's exact output
+        shape, computed against the build-once train artifact."""
+        from jsonify2ai_spark.functions.text import shingles
+
+        idc, spc = self._id_col, self._split_col
+        held = batch.filter(F.col(spc) != F.lit(self._train_split))
+        d = (
+            held.select(
+                F.col(idc),
+                F.explode(
+                    shingles(self._prep(F.col(self._text_col)), self._n)
+                ).alias("sh"),
+            )
+            .filter(F.col("sh") != "")
+            .distinct()
+        )
+        shared = (
+            self._tsh.join(F.broadcast(d), "sh")
+            .groupBy(idc)
+            .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        )
+        return held.select(idc, spc).join(shared, idc, "left").select(
+            F.col(idc),
+            F.col(spc),
+            F.coalesce("n_shared_ngrams", F.lit(0))
+            .cast("bigint")
+            .alias("n_shared_ngrams"),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("leaked"),
+        )
+
+    def filter_batch(self, batch: DataFrame) -> DataFrame:
+        """Chain face: LEAKED held rows drop; clean held rows and train
+        rows pass through with the input schema."""
+        leaked = (
+            self.report_batch(batch)
+            .filter(F.col("leaked"))
+            .select(self._id_col)
+        )
+        return batch.join(leaked, self._id_col, "left_anti")
+
+    def foreach_batch(self, append):
+        """Wrap ``append(clean_df, batch_id)`` as a foreachBatch callable."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            append(self.filter_batch(batch), batch_id)
+
+        return _fn
+
+    def save(self, path: str) -> None:
+        """Persist the train shingle artifact + params for restart
+        warm-load (see CorpusNearDupGate.save — same contract)."""
+        spark = self._tsh.sparkSession
+        self._tsh.write.mode("overwrite").parquet(f"{path}/tsh")
+        spark.createDataFrame(
+            [
+                (
+                    self._split_col,
+                    self._text_col,
+                    self._id_col,
+                    self._n,
+                    self._train_split,
+                    self._normalize,
+                )
+            ],
+            "split_col string, text_col string, id_col string, n int, "
+            "train_split string, normalize boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "LeakageGate":
+        meta = spark.read.parquet(f"{path}/meta").first()
+        obj = cls.__new__(cls)
+        obj._split_col = meta["split_col"]
+        obj._text_col = meta["text_col"]
+        obj._id_col = meta["id_col"]
+        obj._n = int(meta["n"])
+        obj._train_split = meta["train_split"]
+        obj._normalize = bool(meta["normalize"])
+        obj._tsh = spark.read.parquet(f"{path}/tsh").persist()
+        obj._tsh.count()
+        return obj
+
+    def close(self) -> None:
+        self._tsh.unpersist()

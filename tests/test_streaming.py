@@ -1185,3 +1185,54 @@ def test_diversity_cap_gate_k2048_planning_flat(spark):
     # generous wall bound: the chained-when form at K=2048 does not get
     # anywhere near this; the join form plans in milliseconds
     assert elapsed < 60, elapsed
+
+
+def test_leakage_gate_stream_equals_batch(spark, tmp_path):
+    """r9 (VERDICT r8 #7): LeakageGate probes each micro-batch's held-out
+    rows against the build-once train-shingle artifact — the union of
+    per-batch reports over a replayed corpus equals split_leakage_report
+    on the whole corpus; filter_batch drops exactly the leaked held rows;
+    save/load warm-restarts the artifact."""
+    from jsonify2ai_spark.operators.dedup import split_leakage_report
+    from jsonify2ai_spark.streaming.windowed import LeakageGate
+
+    phrase = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, f"train filler one {phrase} more train words", "train"),
+        (2, "train filler two entirely its own material here", "train"),
+        (3, "train third body with more filler text inside of it", "train"),
+        (10, f"held doc quoting {phrase} verbatim", "val"),
+        (11, "held doc with completely original content inside it", "test"),
+        (12, f"another held row also quoting {phrase} outright", "val"),
+    ]
+    schema = "doc_id long, text string, split string"
+    corpus = spark.createDataFrame(rows, schema)
+    want = sorted(
+        tuple(r) for r in split_leakage_report(corpus, n=8).collect()
+    )
+
+    gate = LeakageGate(corpus, n=8)
+    # replay the same corpus as three micro-batches (train rows mixed in)
+    batches = [rows[0:2], rows[2:4], rows[4:6]]
+    got = []
+    for b in batches:
+        got += [
+            tuple(r)
+            for r in gate.report_batch(spark.createDataFrame(b, schema)).collect()
+        ]
+    assert sorted(got) == want
+
+    # chain face: leaked held rows drop, clean held + train rows pass
+    full = spark.createDataFrame(rows, schema)
+    kept = {r["doc_id"] for r in gate.filter_batch(full).collect()}
+    assert kept == {1, 2, 3, 11}
+
+    # save/load: warm-restarted artifact gives identical reports
+    gate.save(str(tmp_path / "lg"))
+    g2 = LeakageGate.load(spark, str(tmp_path / "lg"))
+    re_got = sorted(
+        tuple(r) for r in g2.report_batch(full).collect()
+    )
+    assert re_got == want
+    gate.close()
+    g2.close()
