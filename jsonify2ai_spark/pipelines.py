@@ -246,6 +246,13 @@ def prepare_incremental_batch(
 
     Returns the prepared, corpus-deduped batch rows — append them and run
     packing on the combined corpus's schedule.
+
+    Note on ``diversity=`` in ``prep_kwargs``: it flows to
+    :func:`prepare_training_corpus` and caps modes WITHIN THIS BATCH
+    only — each call starts a fresh budget. For a cross-batch budget
+    (the standing-ingest semantics) use :class:`~jsonify2ai_spark.
+    streaming.windowed.DiversityCapGate`, whose driver-side state
+    carries admitted counts across batches.
     """
     from jsonify2ai_spark.operators.dedup import dedup_against
 

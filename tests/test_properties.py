@@ -905,3 +905,51 @@ def test_fix_mojibake_matches_python_model(pieces):
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     (row,) = fix_mojibake(df).collect()
     assert row["text_fixed"] == cur and row["n_fixed"] == n, (text, cur, n)
+
+
+@given(
+    st.lists(  # per-doc token arrays over a small shared alphabet
+        st.lists(st.sampled_from(["a", "bb", "ccc", "d", "ee", "zz"]), max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(  # vocab subset of the alphabet (may miss tokens -> OOV)
+        st.sampled_from(["a", "bb", "ccc", "d", "ee"]),
+        unique=True,
+        min_size=1,
+        max_size=5,
+    ),
+    st.sampled_from(["drop", 0]),
+)
+@settings(max_examples=8, deadline=None)
+def test_tokens_to_ids_matches_python_model(doc_toks, vocab_toks, policy):
+    """Differential fuzz for q116: on random token arrays and a random
+    partial vocab, both tokens_to_ids impls (broadcast-dict Arrow udf and
+    broadcast-join + positional reassembly) must reproduce the pure-
+    Python model for drop and <unk>-substitute policies — order
+    preserved, OOV handled, empty arrays empty."""
+    from jsonify2ai_spark.operators.bpe import tokens_to_ids
+
+    spark = _spark_session()
+    vocab_rows = [(t, i + 1) for i, t in enumerate(sorted(vocab_toks))]
+    mapping = dict(vocab_rows)
+    expected = {}
+    for i, toks in enumerate(doc_toks):
+        if policy == "drop":
+            expected[i] = [mapping[t] for t in toks if t in mapping]
+        else:
+            expected[i] = [mapping.get(t, policy) for t in toks]
+
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(doc_toks)],
+        "doc_id long, toks array<string>",
+    )
+    vocab = spark.createDataFrame(vocab_rows, "token string, token_id long")
+    for impl in ("udf", "join"):
+        got = {
+            r["doc_id"]: r["token_ids"]
+            for r in tokens_to_ids(
+                df, vocab, tokens_col="toks", oov=policy, impl=impl
+            ).collect()
+        }
+        assert got == expected, (impl, policy)
