@@ -2080,6 +2080,63 @@ def q116_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q117_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-sequence assembly (operators/packing.py concat_token_bins,
+    new r9): the q116 id pipeline feeds q57's next-fit packing (budget
+    counts ids + one EOS per doc), then each bin materializes as ONE
+    concatenated id sequence — docs in id order, EOS (id 0, below the
+    vocab's 1-based ids) after every document. Output pins every
+    sequence: per-bin doc count, real id count, and the position-
+    weighted checksum over the assembled sequence (order-sensitive
+    across document boundaries). The corpus -> ids -> packed-sequence
+    chain a pretraining loader consumes, end-to-end under one oracle."""
+    from jsonify2ai_spark.functions.text import tokens
+    from jsonify2ai_spark.operators.bpe import tokens_to_ids
+    from jsonify2ai_spark.operators.packing import (
+        concat_token_bins,
+        pack_sequences,
+    )
+    from jsonify2ai_spark.operators.textstats import build_vocab
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    vocab = build_vocab(docs, min_count=2, max_vocab=500)
+    ids = tokens_to_ids(
+        docs.withColumn("_toks", tokens(F.col("text"))),
+        vocab,
+        tokens_col="_toks",
+        oov="drop",
+        impl="udf",
+    )
+    sized = ids.select(
+        "doc_id",
+        "token_ids",
+        (F.size("token_ids") + 1).cast("bigint").alias("_w"),  # +1 = EOS
+    )
+    packed = pack_sequences(
+        sized, budget=256, size_col="_w", id_col="doc_id", n_groups=8
+    )
+    bins = concat_token_bins(packed, eos_id=0)
+    zero = F.lit(0).cast("bigint")
+    sz = F.size("input_ids")
+    ck = F.when(sz == 0, zero).otherwise(
+        F.aggregate(
+            F.zip_with(
+                "input_ids", F.sequence(F.lit(1), sz), lambda x, i: x * i
+            ),
+            zero,
+            lambda a, x: a + x,
+        )
+    )
+    return bins.select(
+        F.col("pack_group").cast("bigint").alias("pack_group"),
+        F.col("bin_idx").cast("bigint").alias("bin_idx"),
+        "n_docs",
+        "n_ids",
+        ck.alias("ids_checksum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -2089,21 +2146,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the OLDEST driver-green cohort so no query sits >2 rounds without a
     # driver row. Run scripts/gate_staleness.py to plan each rotation.
     # Round-9 gate (r8 verdict #1 — the tight-arithmetic round): changed/
-    # new rows held to FOUR (q116 new tokens_to_ids; q113 assign_splits
-    # NULL policy; q114 split_leakage broadcast guard; q115 whose module
-    # changed) + pinned q51-q62 + the ENTIRE 32-query r6-green cohort
-    # (the full rotation debt — q100/q101 double as the changed-pipelines
-    # rows, q104 as the changed-build_vocab row) + two spare slots pulled
-    # forward from the r7-green cohort (q108/q89), trimming r10's
-    # mandatory block to 30. r10 pre-plan: 30 r7-greens + pinned 12 = 42,
-    # ~8 slots for r10 changed/new; r11 then owes the 35-query r8-green
-    # cohort. See COVERAGE.md rotation plan.
+    # new rows held to FIVE (q116 new tokens_to_ids; q117 new
+    # pack_token_ids; q113 assign_splits NULL policy; q114 split_leakage
+    # broadcast guard; q115 whose module changed) + pinned q51-q62 + the
+    # ENTIRE 32-query r6-green cohort (the full rotation debt — q100/q101
+    # double as the changed-pipelines rows, q104 as the changed-
+    # build_vocab row) + one spare slot pulled forward from the r7-green
+    # cohort (q108), trimming r10's mandatory block to 31. r10 pre-plan:
+    # 31 r7-greens + pinned 12 = 43, ~7 slots for r10 changed/new; r11
+    # then owes the 35-query r8-green cohort. See COVERAGE.md.
     return {
         # --- changed / new this round (r9): edited operators gate first
         "q116_token_ids": q116_token_ids,  # NEW r9: token->id lookup (first driver row)
         "q113_assign_splits": q113_assign_splits,  # changed r9: NULL-key policy (r8 advisor)
         "q114_split_leakage": q114_split_leakage,  # changed r9: broadcast guard (r8 verdict #2)
         "q115_diversity_sample": q115_diversity_sample,  # module changed r9 (sampling.py); operator body untouched
+        "q117_pack_token_ids": q117_pack_token_ids,  # NEW r9: trainer-sequence assembly (first driver row)
         # --- pinned flagship block (test_entry.py invariant)
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_jaccard_capped": q52_jaccard_capped,
@@ -2151,13 +2209,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_knn_brute": q19_knn_brute,
         "q21_vector_search_docs": q21_vector_search_docs,
         "q28_winnowing": q28_winnowing,
-        # --- spare slots: oldest two r7-greens pulled forward, trimming
-        # r10's mandatory block to 30
+        # --- spare slot: the oldest r7-green pulled forward, trimming
+        # r10's mandatory block to 31
         "q108_reference_ppl": q108_reference_ppl,
-        "q89_embedding_drift": q89_embedding_drift,
         # ================= tail (entry 51+) =================
-        # r7-green remainder (30): r10 gate's first claim, with pinned 12
-        # = 42 of 50 — leaving ~8 r10 slots for changed/new rows
+        # r7-green remainder (31): r10 gate's first claim, with pinned 12
+        # = 43 of 50 — leaving ~7 r10 slots for changed/new rows
+        "q89_embedding_drift": q89_embedding_drift,
         "q74_embedding_stats": q74_embedding_stats,
         "q83_label_coherence": q83_label_coherence,
         "q95_decontaminate_normalized": q95_decontaminate_normalized,
@@ -4748,6 +4806,79 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(m.sum_ids, 0) AS BIGINT) AS sum_ids,
                    CAST(coalesce(m.ids_checksum, 0) AS BIGINT) AS ids_checksum
             FROM toks t LEFT JOIN m USING (doc_id)
+        """,
+        # twin of the q116 ids -> q57 next-fit (weight = n_ids + 1 EOS) ->
+        # concat_token_bins(eos_id=0) chain: per-doc id rows plus an EOS
+        # row at rk = n+1, bin positions by (doc_id, rk), position-weighted
+        # checksum (EOS id 0 contributes no value but shifts positions —
+        # exactly what the Spark zip_with computes over the assembled array)
+        "q117_pack_token_ids": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     (CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                           ELSE string_split_regex(trim(text), '\s+') END) AS tk
+              FROM documents
+            ), counts AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS count
+              FROM (SELECT unnest(tk) AS token FROM toks)
+              GROUP BY token HAVING count(*) >= 2
+            ), vocab AS (
+              SELECT token,
+                     CAST(row_number() OVER (ORDER BY count DESC, token ASC)
+                          AS BIGINT) AS token_id
+              FROM counts
+              QUALIFY token_id <= 500
+            ), ex AS (
+              SELECT doc_id, unnest(tk) AS token,
+                     unnest(range(1, len(tk) + 1)) AS pos
+              FROM toks
+            ), matched AS (
+              SELECT e.doc_id, v.token_id,
+                     row_number() OVER (PARTITION BY e.doc_id ORDER BY e.pos)
+                         AS rk
+              FROM ex e JOIN vocab v USING (token)
+            ), sized AS (
+              SELECT t.doc_id, coalesce(m.n, 0) + 1 AS w
+              FROM toks t LEFT JOIN (
+                SELECT doc_id, count(*) AS n FROM matched GROUP BY doc_id
+              ) m USING (doc_id)
+            ), g AS (
+              SELECT doc_id, w, doc_id % 8 AS grp,
+                     row_number() OVER (PARTITION BY doc_id % 8
+                                        ORDER BY doc_id) AS r
+              FROM sized
+            ), f(grp, r, doc_id, acc, bin) AS (
+              SELECT grp, r, doc_id, w, 0 FROM g WHERE r = 1
+              UNION ALL
+              SELECT n.grp, n.r, n.doc_id,
+                     CASE WHEN f.acc > 0 AND f.acc + n.w > 256
+                          THEN n.w ELSE f.acc + n.w END,
+                     CASE WHEN f.acc > 0 AND f.acc + n.w > 256
+                          THEN f.bin + 1 ELSE f.bin END
+              FROM f JOIN g n ON n.grp = f.grp AND n.r = f.r + 1
+            ), assign AS (
+              SELECT doc_id, grp, bin FROM f
+            ), iddocs AS (
+              SELECT doc_id, token_id, rk FROM matched
+              UNION ALL
+              SELECT doc_id, 0 AS token_id, w AS rk FROM sized
+            ), pos AS (
+              SELECT a.grp, a.bin, i.token_id,
+                     row_number() OVER (PARTITION BY a.grp, a.bin
+                                        ORDER BY i.doc_id, i.rk) AS p
+              FROM iddocs i JOIN assign a USING (doc_id)
+            ), nd AS (
+              SELECT grp, bin, CAST(count(*) AS BIGINT) AS n_docs
+              FROM assign GROUP BY grp, bin
+            ), binagg AS (
+              SELECT grp, bin, CAST(count(*) AS BIGINT) AS n_ids,
+                     CAST(sum(p * token_id) AS BIGINT) AS ids_checksum
+              FROM pos GROUP BY grp, bin
+            )
+            SELECT CAST(b.grp AS BIGINT) AS pack_group,
+                   CAST(b.bin AS BIGINT) AS bin_idx,
+                   nd.n_docs, b.n_ids, b.ids_checksum
+            FROM binagg b JOIN nd USING (grp, bin)
         """,
         "q114_split_leakage": _dd_split_leakage_sql(),
         "q113_assign_splits": """

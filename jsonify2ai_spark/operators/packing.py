@@ -108,3 +108,68 @@ def clip_to_token_budget(
         (n > budget).alias("clipped"),
         F.concat_ws(" ", F.slice("_tk", 1, budget)).alias("clipped_text"),
     )
+
+
+def concat_token_bins(
+    packed: DataFrame,
+    ids_col: str = "token_ids",
+    group_col: str = "pack_group",
+    bin_col: str = "bin_idx",
+    id_col: str = "doc_id",
+    eos_id: int | None = None,
+    pad_to: int | None = None,
+    pad_id: int = 0,
+) -> DataFrame:
+    """Materialize each packed bin as ONE trainer-ready sequence (r9 —
+    the step after :func:`pack_sequences`'s assignment): per
+    (``group_col``, ``bin_col``), member documents' ``ids_col`` arrays
+    concatenate in ``id_col`` order, ``eos_id`` (if given) appended
+    after EVERY document (the standard document-boundary token — pack
+    with ``size = n_ids + 1`` so the budget counts it), and the
+    sequence right-padded with ``pad_id`` up to ``pad_to`` (padding
+    never truncates: a bin longer than ``pad_to`` is a packing-budget
+    bug and is returned at its true length for the caller's audit).
+    Output: (group, bin, n_docs, n_ids, input_ids) where ``n_ids``
+    counts REAL ids+eos, excluding padding.
+
+    All JVM expressions — one hash aggregate on the (group, bin) key
+    (bin membership is budget-bounded, so rows per group are bounded);
+    the per-bin assembly is array_sort + flatten, no Python. The doc
+    order inside a bin is the same ``id_col`` order next-fit assigned
+    by, so sequences are deterministic on any cluster shape.
+    """
+    docs = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("i"), F.col(ids_col).alias("t"))
+        )
+    )
+    agged = packed.groupBy(group_col, bin_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        docs.alias("_docs"),
+    )
+    if eos_id is not None:
+        per_doc = lambda d: F.concat(  # noqa: E731
+            d["t"], F.array(F.lit(int(eos_id)).cast("bigint"))
+        )
+    else:
+        per_doc = lambda d: d["t"]  # noqa: E731
+    seq = F.flatten(F.transform("_docs", per_doc))
+    out = agged.select(
+        group_col,
+        bin_col,
+        "n_docs",
+        F.size(seq).cast("bigint").alias("n_ids"),
+        seq.alias("input_ids"),
+    )
+    if pad_to is not None:
+        out = out.withColumn(
+            "input_ids",
+            F.concat(
+                "input_ids",
+                F.array_repeat(
+                    F.lit(int(pad_id)).cast("bigint"),
+                    F.greatest(F.lit(pad_to) - F.size("input_ids"), F.lit(0)),
+                ),
+            ),
+        )
+    return out

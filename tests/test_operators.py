@@ -2770,3 +2770,46 @@ def test_tokenize_to_ids_roundtrip_decodes_to_encoder_tokens(spark):
     want = {r["doc_id"]: r["_toks"] for r in enc.collect()}
     for d, ids in got.items():
         assert [rev[i] for i in ids] == want[d], d
+
+
+def test_concat_token_bins_assembles_trainer_sequences(spark):
+    """r9: per (group, bin) the member docs' id arrays concatenate in
+    doc-id order with eos after EVERY doc; pad_to right-pads but never
+    truncates; n_ids counts real ids+eos excluding padding; empty-id
+    docs contribute just their eos."""
+    from jsonify2ai_spark.operators.packing import concat_token_bins
+
+    packed = spark.createDataFrame(
+        [
+            (1, [10, 11], 0, 0),
+            (3, [12], 0, 0),       # same bin, higher id -> appended after
+            (2, [], 0, 1),         # empty ids -> eos only
+            (5, [13, 14, 15], 1, 0),
+        ],
+        "doc_id long, token_ids array<bigint>, pack_group long, bin_idx long",
+    )
+    out = {
+        (r["pack_group"], r["bin_idx"]): r
+        for r in concat_token_bins(packed, eos_id=99, pad_to=8, pad_id=0).collect()
+    }
+    b00 = out[(0, 0)]
+    assert b00["input_ids"] == [10, 11, 99, 12, 99] + [0, 0, 0]
+    assert b00["n_docs"] == 2 and b00["n_ids"] == 5
+    b01 = out[(0, 1)]
+    assert b01["input_ids"] == [99] + [0] * 7 and b01["n_ids"] == 1
+    b10 = out[(1, 0)]
+    assert b10["input_ids"] == [13, 14, 15, 99] + [0] * 4
+
+    # no eos, no pad: raw concatenation at true length
+    raw = {
+        (r["pack_group"], r["bin_idx"]): r["input_ids"]
+        for r in concat_token_bins(packed).collect()
+    }
+    assert raw[(0, 0)] == [10, 11, 12] and raw[(0, 1)] == []
+    # over-long bin vs pad_to: returned at true length, never truncated
+    over = {
+        r["bin_idx"]: r["input_ids"]
+        for r in concat_token_bins(packed, pad_to=2).collect()
+        if (r["pack_group"], r["bin_idx"]) == (1, 0)
+    }
+    assert over[0] == [13, 14, 15]
