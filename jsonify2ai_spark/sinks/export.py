@@ -203,6 +203,9 @@ def write_token_shards(
     id_col: str = "doc_id",
     n_groups: int = 32,
     oov: "str | int" = "drop",
+    assemble: bool = False,
+    eos_id: "int | None" = None,
+    pad_id: int = 0,
 ) -> dict:
     """Corpus -> packed token-ID shards, the last pipeline step a
     pretraining user actually loads (r9, VERDICT r8 'What's missing #2'):
@@ -216,20 +219,40 @@ def write_token_shards(
     manifest rows=0). Scale shape: encode+lookup are projections, the
     pack is one group-keyed shuffle, the write is one repartition — no
     stage beyond what the text-shard path already pays.
+
+    ``assemble=True`` writes BIN rows instead of doc rows: each bin
+    becomes one :func:`~jsonify2ai_spark.operators.packing.
+    concat_token_bins` sequence (``eos_id`` after every doc — the
+    packing weight then counts it — right-padded with ``pad_id`` to
+    ``budget``; q117 pins the assembly semantics), so the shard files
+    are directly loadable fixed-length training rows (pack_group dirs,
+    bin-ordered in-file). One extra hash aggregate on the bin key.
     """
     from pyspark.sql import functions as F
 
     from jsonify2ai_spark.operators.bpe import tokenize_to_ids
-    from jsonify2ai_spark.operators.packing import pack_sequences
+    from jsonify2ai_spark.operators.packing import (
+        concat_token_bins,
+        pack_sequences,
+    )
 
+    per_doc_eos = 1 if (assemble and eos_id is not None) else 0
     ids = tokenize_to_ids(
         docs, merges, vocab, text_col=text_col, id_col=id_col, oov=oov
     ).select(
         id_col,
         "token_ids",
         F.size("token_ids").cast("bigint").alias("n_tokens"),
+        (F.size("token_ids") + per_doc_eos).cast("bigint").alias("_w"),
     )
     packed = pack_sequences(
-        ids, budget=budget, size_col="n_tokens", id_col=id_col, n_groups=n_groups
-    )
+        ids, budget=budget, size_col="_w", id_col=id_col, n_groups=n_groups
+    ).drop("_w")
+    if assemble:
+        bins = concat_token_bins(
+            packed, eos_id=eos_id, pad_to=budget, pad_id=pad_id
+        )
+        # bin rows: one per (group, bin); reuse the shard writer's layout
+        # with the bin id standing in for the doc id sort key
+        return write_training_shards(bins, out_dir, id_col="bin_idx")
     return write_training_shards(packed, out_dir, id_col=id_col)

@@ -286,6 +286,31 @@ def test_write_token_shards_end_to_end(spark, tmp_path):
     m0 = write_token_shards(empty, merges, vocab, str(tmp_path / "empty"), budget=16)
     assert m0["rows"] == 0 and m0["groups"] == 0
 
+    # assemble=True: one fixed-length sequence row per bin — docs joined
+    # by EOS, padded to the budget, real id count excludes the padding
+    out2 = str(tmp_path / "seqshards")
+    m2 = write_token_shards(
+        docs, merges, vocab, out2, budget=24, n_groups=2,
+        assemble=True, eos_id=0, pad_id=0,
+    )
+    seqs = spark.read.parquet(out2).collect()
+    assert m2["rows"] == len(seqs) > 0
+    all_ids = []
+    for r in seqs:
+        assert len(r["input_ids"]) == 24  # padded to budget
+        assert r["n_ids"] <= 24
+        real = r["input_ids"][: r["n_ids"]]
+        assert all(x == 0 for x in r["input_ids"][r["n_ids"]:])
+        # sequence = docs' ids joined by EOS 0 (vocab ids are 1-based)
+        assert real[-1] == 0 and real.count(0) == r["n_docs"]
+        all_ids += [x for x in real if x != 0]
+    # nothing lost: multiset of real non-EOS ids == the corpus's ids
+    tok2id = {r["token"]: r["token_id"] for r in vocab.collect()}
+    expect = sorted(
+        tok2id[t] for toks in want.values() for t in toks if t in tok2id
+    )
+    assert sorted(all_ids) == expect
+
 
 def test_prepare_corpus_diversity_stage_parity(spark):
     """r9 (VERDICT r8 missing #1): the diversity=(centroids, cap) stage
