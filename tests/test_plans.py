@@ -438,3 +438,14 @@ def test_q114_broadcasts_held_out_side(spark):
     # side derived from split <> 'train')
     lp = df._jdf.queryExecution().optimizedPlan().toString()
     assert "ResolvedHint" not in lp or "train" not in lp.split("ResolvedHint")[0][-200:]
+
+
+def test_q116_q117_stay_arrow_batched(spark):
+    """The token-id rows must never fall back to row-at-a-time Python:
+    the only Python in either plan is the Arrow-batched id-lookup UDF
+    (q116/q117), and q116's lookup stage adds no Exchange beyond
+    build_vocab's own rank shuffles."""
+    for q in ("q116_token_ids", "q117_pack_token_ids"):
+        p = plan_string(entry_mod.queries()[q](spark, SF_DIR), "simple")
+        assert "ArrowEvalPython" in p, (q, p[:800])
+        assert "BatchEvalPython" not in p, (q, p[:800])

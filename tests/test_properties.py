@@ -953,3 +953,49 @@ def test_tokens_to_ids_matches_python_model(doc_toks, vocab_toks, policy):
             ).collect()
         }
         assert got == expected, (impl, policy)
+
+
+@given(
+    st.lists(  # (doc ids implicit by index) random id arrays + bin labels
+        st.tuples(
+            st.lists(st.integers(1, 9), max_size=5),
+            st.integers(0, 2),  # pack_group
+            st.integers(0, 2),  # bin_idx
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([None, 0]),
+    st.sampled_from([None, 12]),
+)
+@settings(max_examples=8, deadline=None)
+def test_concat_token_bins_matches_python_model(rows, eos, pad_to):
+    """Differential fuzz for q117's assembly: on random (ids, group, bin)
+    rows the Spark bin concatenation must reproduce the pure-Python
+    model — docs in id order, optional eos after each, optional right-pad
+    (never truncating), n_ids excluding padding."""
+    from jsonify2ai_spark.operators.packing import concat_token_bins
+
+    spark = _spark_session()
+    data = [(i, ids, g, b) for i, (ids, g, b) in enumerate(rows)]
+    expected = {}
+    for i, ids, g, b in sorted(data):
+        seq, nd = expected.setdefault((g, b), ([], 0))
+        seq += list(ids) + ([eos] if eos is not None else [])
+        expected[(g, b)] = (seq, nd + 1)
+    model = {}
+    for key, (seq, nd) in expected.items():
+        n_ids = len(seq)
+        out = list(seq)
+        if pad_to is not None and len(out) < pad_to:
+            out += [0] * (pad_to - len(out))
+        model[key] = (nd, n_ids, out)
+
+    df = spark.createDataFrame(
+        data, "doc_id long, token_ids array<bigint>, pack_group long, bin_idx long"
+    )
+    got = {
+        (r["pack_group"], r["bin_idx"]): (r["n_docs"], r["n_ids"], r["input_ids"])
+        for r in concat_token_bins(df, eos_id=eos, pad_to=pad_to).collect()
+    }
+    assert got == model, (eos, pad_to)
