@@ -2080,6 +2080,31 @@ def q116_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q118_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space contamination audit (operators/dedup.py
+    semantic_decontaminate, new r9): max cosine of every vector against
+    the benchmark slice (q115's deterministic first-8 pattern), flagged
+    at 0.9 — the paraphrase-shaped leak q60's verbatim 8-gram rule
+    can't see. Map-only over the corpus (the benchmark side is
+    genuinely benchmark-sized — decontaminate's contract, not q114's);
+    expression form at B=8 for oracle parity, GEMM documented for
+    production B."""
+    from jsonify2ai_spark.operators.dedup import semantic_decontaminate
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    bench_rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    bench = [[float(x) for x in r[0]] for r in bench_rows]
+    return semantic_decontaminate(
+        emb, bench, threshold=0.9, id_col="vec_id", impl="expr", round_to=6
+    )
+
+
 def q117_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trainer-sequence assembly (operators/packing.py concat_token_bins,
     new r9): the q116 id pipeline feeds q57's next-fit packing (budget
@@ -2146,15 +2171,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the OLDEST driver-green cohort so no query sits >2 rounds without a
     # driver row. Run scripts/gate_staleness.py to plan each rotation.
     # Round-9 gate (r8 verdict #1 — the tight-arithmetic round): changed/
-    # new rows held to FIVE (q116 new tokens_to_ids; q117 new
-    # pack_token_ids; q113 assign_splits NULL policy; q114 split_leakage
-    # broadcast guard; q115 whose module changed) + pinned q51-q62 + the
-    # ENTIRE 32-query r6-green cohort (the full rotation debt — q100/q101
-    # double as the changed-pipelines rows, q104 as the changed-
-    # build_vocab row) + one spare slot pulled forward from the r7-green
-    # cohort (q108), trimming r10's mandatory block to 31. r10 pre-plan:
-    # 31 r7-greens + pinned 12 = 43, ~7 slots for r10 changed/new; r11
-    # then owes the 35-query r8-green cohort. See COVERAGE.md.
+    # new rows held to SIX (q116 new tokens_to_ids; q117 new
+    # pack_token_ids; q118 new semantic_decontaminate; q113 assign_splits
+    # NULL policy; q114 split_leakage broadcast guard; q115 whose module
+    # changed) + pinned q51-q62 + the ENTIRE 32-query r6-green cohort
+    # (the full rotation debt — q100/q101 double as the changed-pipelines
+    # rows, q104 as the changed-build_vocab row) = exactly 50, zero fill.
+    # r10 pre-plan: 32 r7-greens + pinned 12 = 44, ~6 slots for r10
+    # changed/new; r11 then owes the 35-query r8-green cohort. See
+    # COVERAGE.md.
     return {
         # --- changed / new this round (r9): edited operators gate first
         "q116_token_ids": q116_token_ids,  # NEW r9: token->id lookup (first driver row)
@@ -2162,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_split_leakage": q114_split_leakage,  # changed r9: broadcast guard (r8 verdict #2)
         "q115_diversity_sample": q115_diversity_sample,  # module changed r9 (sampling.py); operator body untouched
         "q117_pack_token_ids": q117_pack_token_ids,  # NEW r9: trainer-sequence assembly (first driver row)
+        "q118_semantic_decontaminate": q118_semantic_decontaminate,  # NEW r9: embedding decontamination (first driver row)
         # --- pinned flagship block (test_entry.py invariant)
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_jaccard_capped": q52_jaccard_capped,
@@ -2209,12 +2235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_knn_brute": q19_knn_brute,
         "q21_vector_search_docs": q21_vector_search_docs,
         "q28_winnowing": q28_winnowing,
-        # --- spare slot: the oldest r7-green pulled forward, trimming
-        # r10's mandatory block to 31
-        "q108_reference_ppl": q108_reference_ppl,
         # ================= tail (entry 51+) =================
-        # r7-green remainder (31): r10 gate's first claim, with pinned 12
-        # = 43 of 50 — leaving ~7 r10 slots for changed/new rows
+        # r7-green cohort (32): r10 gate's first claim, with pinned 12
+        # = 44 of 50 — leaving ~6 r10 slots for changed/new rows
+        "q108_reference_ppl": q108_reference_ppl,
         "q89_embedding_drift": q89_embedding_drift,
         "q74_embedding_stats": q74_embedding_stats,
         "q83_label_coherence": q83_label_coherence,
@@ -4879,6 +4903,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.bin AS BIGINT) AS bin_idx,
                    nd.n_docs, b.n_ids, b.ids_checksum
             FROM binagg b JOIN nd USING (grp, bin)
+        """,
+        # twin of dedup.semantic_decontaminate(impl='expr'): max of the
+        # sequential-fold cosines vs the first-8 benchmark slice; flag on
+        # the UNROUNDED max (both engines compute bit-identical folds);
+        # + 0.0 normalizes DuckDB's -0.0 on tiny negative rounds
+        "q118_semantic_decontaminate": f"""
+            WITH bench AS (
+              SELECT vec_id AS bid,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS bv
+              FROM embeddings WHERE vec_id < 8
+            ), e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), scored AS (
+              SELECT e.vec_id, max({_dd_cosine("e.v", "b.bv")}) AS mc
+              FROM e CROSS JOIN bench b
+              GROUP BY e.vec_id
+            )
+            SELECT vec_id, round(mc, 6) + 0.0 AS max_bench_cos,
+                   mc >= 0.9 AS contaminated
+            FROM scored
         """,
         "q114_split_leakage": _dd_split_leakage_sql(),
         "q113_assign_splits": """

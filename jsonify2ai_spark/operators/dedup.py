@@ -1989,3 +1989,85 @@ def split_leakage_report(
         .alias("n_shared_ngrams"),
         (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("leaked"),
     )
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    benchmark_vectors: list[list[float]],
+    threshold: float = 0.95,
+    vector_col: str = "embedding",
+    id_col: str = "doc_id",
+    impl: str = "auto",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """EMBEDDING-space contamination audit (r9) — the paraphrase-shaped
+    leak :func:`decontaminate`'s verbatim 8-gram rule cannot see: flag
+    every document whose embedding's max cosine against the benchmark's
+    embeddings reaches ``threshold``. Run both before shipping an eval
+    set — n-grams catch copies, this catches reworded copies (to the
+    extent the embedding space does).
+
+    The benchmark side is genuinely benchmark-sized (the decontaminate
+    contract, NOT q114's corpus-proportional held-out side), so it ships
+    as a plain Python list and the scan is MAP-ONLY over the corpus —
+    zero shuffles at any corpus size:
+
+    - ``impl="expr"``: the B cosines as one Column via
+      :func:`~jsonify2ai_spark.operators.ann.centroid_scores` (norms
+      let-bound) — exactly engine-replayable, the DuckDB-oracle form;
+      interpreted-eval cliff past B~16 (the ivf_assign lesson).
+    - ``impl="arrow"``: one numpy GEMM per Arrow batch — the production
+      form for real benchmark sizes (hundreds+ of vectors). Same
+      max-cosine up to float summation order.
+    - ``impl="auto"``: expr for B <= 16 else arrow.
+
+    Output: (id, max_bench_cos, contaminated) for EVERY input row —
+    audit and filter share the pass (callers drop ``contaminated``).
+    ``round_to`` rounds the reported cosine for display/oracle
+    stability; the FLAG always compares the unrounded value.
+    """
+    from jsonify2ai_spark.operators.ann import centroid_scores
+
+    b = len(benchmark_vectors)
+    if b == 0:
+        raise ValueError("benchmark_vectors is empty")
+    if impl == "auto":
+        impl = "expr" if b <= 16 else "arrow"
+    if impl == "expr":
+        sims = centroid_scores(F.col(vector_col), benchmark_vectors)
+        best = F.array_max(F.filter(sims, lambda s: s.isNotNull()))
+    elif impl == "arrow":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        bench = np.asarray(benchmark_vectors, dtype=np.float64)  # (B, dim)
+        bnorms = np.sqrt((bench * bench).sum(axis=1))  # (B,)
+
+        def _max_cos(vs):
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+            if m.size == 0:
+                return pd.Series([], dtype="float64")
+            dots = m @ bench.T  # (N, B) — BLAS GEMM per Arrow batch
+            vnorms = np.sqrt((m * m).sum(axis=1))
+            denom = np.outer(vnorms, bnorms)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom != 0, dots / denom, np.nan)
+            out = np.nanmax(sims, axis=1)
+            return pd.Series(out)
+
+        _mc = pandas_udf(_max_cos, "double")
+        best = _mc(F.col(vector_col).cast("array<double>"))
+    else:
+        raise ValueError(f"unknown impl: {impl!r}")
+    shown = F.round(best, round_to) if round_to is not None else best
+    # a zero-norm vector has no defined cosine against anything: NULL
+    # max_bench_cos, contaminated=false (no evidence against the doc —
+    # the family's short-doc convention)
+    return df.select(
+        F.col(id_col),
+        shown.alias("max_bench_cos"),
+        F.coalesce(
+            best >= F.lit(float(threshold)), F.lit(False)
+        ).alias("contaminated"),
+    )

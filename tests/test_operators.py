@@ -2813,3 +2813,51 @@ def test_concat_token_bins_assembles_trainer_sequences(spark):
         if (r["pack_group"], r["bin_idx"]) == (1, 0)
     }
     assert over[0] == [13, 14, 15]
+
+
+def test_semantic_decontaminate_flags_and_impl_parity(spark):
+    """r9: embedding-space contamination — max cosine vs the benchmark
+    vectors flags near-identical (paraphrase-shaped) docs the n-gram
+    rule can't see; expr and arrow (GEMM) impls agree on every flag and
+    on the max cosine to float tolerance; zero vectors are unflagged
+    with NULL cosine; empty benchmark raises."""
+    import math
+
+    import pytest
+
+    from jsonify2ai_spark.operators.dedup import semantic_decontaminate
+
+    bench = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    rows = [
+        (1, [1.0, 0.01, 0.0]),   # ~bench[0] -> contaminated
+        (2, [0.0, 2.0, 0.1]),    # ~bench[1] (scale-invariant) -> contaminated
+        (3, [0.0, 0.1, 1.0]),    # orthogonal-ish -> clean
+        (4, [0.0, 0.0, 0.0]),    # zero vector -> no cosine, clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    outs = {}
+    for impl in ("expr", "arrow"):
+        outs[impl] = {
+            r["doc_id"]: r
+            for r in semantic_decontaminate(
+                df, bench, threshold=0.95, impl=impl
+            ).collect()
+        }
+    for impl, out in outs.items():
+        assert out[1]["contaminated"] and out[2]["contaminated"], impl
+        assert not out[3]["contaminated"] and not out[4]["contaminated"], impl
+        assert out[4]["max_bench_cos"] is None, impl
+    for d in (1, 2, 3):
+        assert math.isclose(
+            outs["expr"][d]["max_bench_cos"],
+            outs["arrow"][d]["max_bench_cos"],
+            abs_tol=1e-9,
+        )
+    with pytest.raises(ValueError, match="empty"):
+        semantic_decontaminate(df, [])
+    # map-only contract: zero Exchange in either impl
+    from jsonify2ai_spark.plans import plan_string
+
+    for impl in ("expr", "arrow"):
+        p = plan_string(semantic_decontaminate(df, bench, impl=impl), "simple")
+        assert p.count("Exchange") == 0, (impl, p[:800])
