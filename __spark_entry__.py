@@ -4923,7 +4923,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY e.vec_id
             )
             SELECT vec_id, round(mc, 6) + 0.0 AS max_bench_cos,
-                   mc >= 0.9 AS contaminated
+                   COALESCE(mc >= 0.9, FALSE) AS contaminated
             FROM scored
         """,
         "q114_split_leakage": _dd_split_leakage_sql(),

@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 def main() -> int:
     from jsonify2ai_spark.api import hybrid_topk_batch
-    from jsonify2ai_spark.functions.vectors import dev_embedding_py
     from jsonify2ai_spark.operators.ann import (
         build_quantized_ivf,
         kmeans_centroids,
@@ -41,13 +40,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     with open("eval/qa.jsonl", encoding="utf-8") as f:
-        questions = list(
-            dict.fromkeys(
-                (json.loads(line).get("q") or json.loads(line).get("question", ""))
-                for line in f
-                if line.strip()
-            )
-        )
+        rows = [json.loads(line) for line in f if line.strip()]
+    questions = list(
+        dict.fromkeys(r.get("q") or r.get("question", "") for r in rows)
+    )
 
     def corpus_at(sf_dir: str, replicate: int = 1):
         base = eval_corpus_from_documents(spark, sf_dir)

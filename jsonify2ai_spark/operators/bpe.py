@@ -471,7 +471,10 @@ def tokens_to_ids(
             lambda s: s["token_id"],
         ).alias(out_col)
     )
-    return df.join(ids, id_col, "left").withColumn(
+    # drop a pre-existing out_col first (re-mapping through a refreshed
+    # vocab) so the join can't duplicate it — the udf impl's withColumn
+    # overwrites, and the parity claim must hold for that input too
+    return df.drop(out_col).join(ids, id_col, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.array().cast("array<bigint>"))
     )
 

@@ -2044,16 +2044,28 @@ def semantic_decontaminate(
         bench = np.asarray(benchmark_vectors, dtype=np.float64)  # (B, dim)
         bnorms = np.sqrt((bench * bench).sum(axis=1))  # (B,)
 
+        dim = bench.shape[1]
+
         def _max_cos(vs):
-            m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
-            if m.size == 0:
-                return pd.Series([], dtype="float64")
-            dots = m @ bench.T  # (N, B) — BLAS GEMM per Arrow batch
-            vnorms = np.sqrt((m * m).sum(axis=1))
-            denom = np.outer(vnorms, bnorms)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.where(denom != 0, dots / denom, np.nan)
-            out = np.nanmax(sims, axis=1)
+            # NULL / wrong-dim rows stay NaN (→ SQL NULL), matching the
+            # expr impl's NULL-propagation instead of crashing the stack
+            out = np.full(len(vs), np.nan)
+            rows, idxs = [], []
+            for i, v in enumerate(vs):
+                if v is None:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if a.ndim == 1 and a.shape[0] == dim:
+                    rows.append(a)
+                    idxs.append(i)
+            if rows:
+                m = np.stack(rows)
+                dots = m @ bench.T  # (N, B) — BLAS GEMM per Arrow batch
+                vnorms = np.sqrt((m * m).sum(axis=1))
+                denom = np.outer(vnorms, bnorms)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(denom != 0, dots / denom, np.nan)
+                    out[idxs] = np.nanmax(sims, axis=1)
             return pd.Series(out)
 
         _mc = pandas_udf(_max_cos, "double")

@@ -140,7 +140,13 @@ def concat_token_bins(
     """
     docs = F.array_sort(
         F.collect_list(
-            F.struct(F.col(id_col).alias("i"), F.col(ids_col).alias("t"))
+            F.struct(
+                F.col(id_col).alias("i"),
+                # a NULL id array reads as empty (the tokens_to_ids
+                # convention) — otherwise concat/flatten NULL-propagate
+                # and silently drop the ENTIRE bin's sequence
+                F.coalesce(F.col(ids_col), F.array()).alias("t"),
+            )
         )
     )
     agged = packed.groupBy(group_col, bin_col).agg(

@@ -85,6 +85,12 @@ def prepare_training_corpus(
     from jsonify2ai_spark.operators.pii import redact_pii, with_pii_counts
     from jsonify2ai_spark.operators.textstats import quality_score, repetition_stats
 
+    # keep a handle on the caller's frame BEFORE any stage narrows it: the
+    # diversity stage reads the embedding column from the INPUT frame, and
+    # fix_encoding below rebinds `docs` to (id, text) only (review-found
+    # r9: fix_encoding=True + diversity= used to always raise)
+    source = docs
+
     if fix_encoding:
         from jsonify2ai_spark.operators.textstats import fix_mojibake
 
@@ -178,14 +184,14 @@ def prepare_training_corpus(
         from jsonify2ai_spark.operators.sampling import diversity_sample
 
         centroids, cap = diversity
-        if vector_col not in docs.columns:
+        if vector_col not in source.columns:
             raise ValueError(
                 f"diversity= needs an embedding column {vector_col!r} on the "
                 "input frame (pass vector_col= to rename)"
             )
         # embeddings come from the INPUT frame, restricted to survivors —
         # the cap counts unique post-dedup content, the D4 placement
-        surv_emb = docs.select(id_col, vector_col).join(
+        surv_emb = source.select(id_col, vector_col).join(
             out.select(id_col), id_col, "left_semi"
         )
         kept_div = (

@@ -250,7 +250,7 @@ def write_token_shards(
     ).drop("_w")
     if assemble:
         bins = concat_token_bins(
-            packed, eos_id=eos_id, pad_to=budget, pad_id=pad_id
+            packed, id_col=id_col, eos_id=eos_id, pad_to=budget, pad_id=pad_id
         )
         # bin rows: one per (group, bin); reuse the shard writer's layout
         # with the bin id standing in for the doc id sort key

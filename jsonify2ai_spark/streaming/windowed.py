@@ -1006,6 +1006,10 @@ class DiversityCapGate:
         # instead of double-debiting (see the class retry contract)
         self._last_batch_id: int | None = None
         self._prev_admitted: dict[int, int] = dict(self._admitted)
+        # a batch_id-less (one-shot API) debit interleaved into a stream
+        # moves the budgets past the snapshot; replaying the last
+        # batch_id then must raise, not re-derive from stale pre-state
+        self._snapshot_valid = True
 
     def filter_batch(
         self, batch: DataFrame, batch_id: int | None = None
@@ -1022,6 +1026,14 @@ class DiversityCapGate:
         budgets = self._admitted
         if batch_id is not None and self._last_batch_id is not None:
             if batch_id == self._last_batch_id:
+                if not self._snapshot_valid:
+                    raise ValueError(
+                        f"batch_id {batch_id} precedes last processed "
+                        "state: a batch_id-less one-shot debit moved the "
+                        "budgets past the replay snapshot (review-found "
+                        "r9) — don't interleave the one-shot API into a "
+                        "live stream"
+                    )
                 replay = True
                 budgets = self._prev_admitted
             elif batch_id < self._last_batch_id:
@@ -1073,6 +1085,13 @@ class DiversityCapGate:
                 self._admitted[int(r["cluster"])] += int(r["n"])
             if batch_id is not None:
                 self._last_batch_id = batch_id
+                self._snapshot_valid = True
+            else:
+                # one-shot debit interleaved into a stream: the budgets
+                # moved past the snapshot, so mark it unusable — a later
+                # replay of _last_batch_id raises instead of re-deriving
+                # from stale pre-state (review-found r9)
+                self._snapshot_valid = False
         return admitted.drop("cluster", "_rk", "_remaining")
 
     def foreach_batch(self, append):
@@ -1105,6 +1124,7 @@ class DiversityCapGate:
                     "prev_admitted": {
                         str(k): v for k, v in self._prev_admitted.items()
                     },
+                    "snapshot_valid": self._snapshot_valid,
                 },
                 f,
             )
@@ -1128,6 +1148,7 @@ class DiversityCapGate:
             int(k): int(v)
             for k, v in st.get("prev_admitted", st["admitted"]).items()
         }
+        obj._snapshot_valid = bool(st.get("snapshot_valid", True))
         return obj
 
     def close(self) -> None:  # no persisted frames; symmetry with the family

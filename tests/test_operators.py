@@ -2718,6 +2718,21 @@ def test_tokens_to_ids_policies_and_impl_parity(spark):
             ).collect()
         }
         assert a == b, policy
+    # re-mapping a frame that ALREADY carries out_col (refreshed vocab):
+    # both impls overwrite instead of duplicating the column
+    # (review-found r9: the join impl used to hit AMBIGUOUS_REFERENCE)
+    pre = df.withColumn("token_ids", F.array(F.lit(7).cast("bigint")))
+    for impl in ("udf", "join"):
+        re = {
+            r["doc_id"]: r["token_ids"]
+            for r in tokens_to_ids(
+                pre, vocab, tokens_col="toks", impl=impl
+            ).collect()
+        }
+        assert re == drop, impl
+        assert tokens_to_ids(
+            pre, vocab, tokens_col="toks", impl=impl
+        ).columns.count("token_ids") == 1, impl
 
 
 def test_tokens_to_ids_plan_shapes(spark):
@@ -2813,6 +2828,15 @@ def test_concat_token_bins_assembles_trainer_sequences(spark):
         if (r["pack_group"], r["bin_idx"]) == (1, 0)
     }
     assert over[0] == [13, 14, 15]
+    # a NULL id array reads as empty (review-found r9: concat/flatten
+    # used to NULL-propagate and silently drop the whole bin)
+    with_null = spark.createDataFrame(
+        [(1, [10], 0, 0), (2, None, 0, 0)],
+        "doc_id long, token_ids array<bigint>, pack_group long, bin_idx long",
+    )
+    nrow = concat_token_bins(with_null, eos_id=99, pad_to=6).collect()[0]
+    assert nrow["input_ids"] == [10, 99, 99] + [0, 0, 0]
+    assert nrow["n_docs"] == 2 and nrow["n_ids"] == 3
 
 
 def test_semantic_decontaminate_flags_and_impl_parity(spark):
@@ -2833,6 +2857,8 @@ def test_semantic_decontaminate_flags_and_impl_parity(spark):
         (2, [0.0, 2.0, 0.1]),    # ~bench[1] (scale-invariant) -> contaminated
         (3, [0.0, 0.1, 1.0]),    # orthogonal-ish -> clean
         (4, [0.0, 0.0, 0.0]),    # zero vector -> no cosine, clean
+        (5, None),               # NULL embedding -> NULL cosine, clean
+        (6, [1.0, 0.0]),         # wrong dim -> NULL cosine, clean
     ]
     df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
     outs = {}
@@ -2846,7 +2872,9 @@ def test_semantic_decontaminate_flags_and_impl_parity(spark):
     for impl, out in outs.items():
         assert out[1]["contaminated"] and out[2]["contaminated"], impl
         assert not out[3]["contaminated"] and not out[4]["contaminated"], impl
-        assert out[4]["max_bench_cos"] is None, impl
+        for d in (4, 5, 6):  # no-evidence rows: NULL cosine, unflagged
+            assert out[d]["max_bench_cos"] is None, (impl, d)
+            assert not out[d]["contaminated"], (impl, d)
     for d in (1, 2, 3):
         assert math.isclose(
             outs["expr"][d]["max_bench_cos"],

@@ -304,6 +304,18 @@ def test_write_token_shards_end_to_end(spark, tmp_path):
         # sequence = docs' ids joined by EOS 0 (vocab ids are 1-based)
         assert real[-1] == 0 and real.count(0) == r["n_docs"]
         all_ids += [x for x in real if x != 0]
+    # a non-default id_col threads through to the bin assembly too
+    # (review-found r9: the assemble branch used to group on 'doc_id')
+    out3 = str(tmp_path / "renamed")
+    m3 = write_token_shards(
+        docs.withColumnRenamed("doc_id", "id"), merges, vocab, out3,
+        budget=24, n_groups=2, id_col="id", assemble=True, eos_id=0,
+    )
+    assert m3["rows"] == m2["rows"]
+    assert sorted(
+        r["input_ids"] for r in spark.read.parquet(out3).collect()
+    ) == sorted(r["input_ids"] for r in seqs)
+
     # nothing lost: multiset of real non-EOS ids == the corpus's ids
     tok2id = {r["token"]: r["token_id"] for r in vocab.collect()}
     expect = sorted(
@@ -368,3 +380,14 @@ def test_prepare_corpus_diversity_stage_parity(spark):
         prepare_training_corpus(
             docs.drop("embedding"), diversity=(cents, 5), **kwargs
         )
+    # fix_encoding + diversity compose: the repair stage narrows the
+    # working frame to (id, text) but the diversity stage reads
+    # embeddings from the CALLER's frame (review-found r9: this pairing
+    # used to always raise)
+    both = sorted(
+        r["doc_id"]
+        for r in prepare_training_corpus(
+            docs, fix_encoding=True, diversity=(cents, 5), **kwargs
+        ).collect()
+    )
+    assert both == got  # clean text: repair is a no-op, same survivors

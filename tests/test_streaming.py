@@ -1144,9 +1144,20 @@ def test_diversity_cap_gate_replay_idempotent(spark, tmp_path):
     assert g2._admitted == {0: 3, 1: 0}
     with pytest.raises(ValueError, match="precedes last processed"):
         g2.filter_batch(b1, batch_id=0)
-    # batch_id-less calls keep the one-shot always-debit semantics
+    # batch_id-less calls keep the one-shot always-debit semantics —
+    # and INVALIDATE the replay snapshot: it captured pre-state the
+    # budgets have since moved past, so a later replay of the last
+    # batch_id must raise instead of silently re-deriving from stale
+    # budgets (review-found r9)
     assert gate.filter_batch(batch([(4, [1.0, 0.4, 0.0])])).count() == 1
     assert gate._admitted == {0: 3, 1: 0}
+    with pytest.raises(ValueError, match="one-shot debit"):
+        gate.filter_batch(b1, batch_id=0)
+    # the NEXT streaming batch re-arms the snapshot and replay works again
+    b5 = batch([(5, [0.0, 1.0, 0.1])])
+    once = {r["doc_id"] for r in gate.filter_batch(b5, batch_id=1).collect()}
+    twice = {r["doc_id"] for r in gate.filter_batch(b5, batch_id=1).collect()}
+    assert once == twice == {5} and gate._admitted == {0: 3, 1: 1}
     # the chain threads batch_id to stateful member gates: a chained
     # replay is idempotent too
     from jsonify2ai_spark.streaming.windowed import StreamingPrepChain
