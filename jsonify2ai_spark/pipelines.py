@@ -277,3 +277,158 @@ def prepare_incremental_batch(
     return prepped.join(
         verdict.filter(F.col("kept")).select(id_col), id_col, "left_semi"
     )
+
+
+def corpus_to_token_shards(
+    docs: DataFrame,
+    out_dir: str,
+    num_merges: int = 200,
+    merge_batch: int = 1,
+    exact: bool = True,
+    vocab_min_count: int = 1,
+    max_vocab: int | None = None,
+    budget: int = 2048,
+    n_groups: int = 32,
+    assemble: bool = False,
+    eos_id: int | None = None,
+    pad_id: int = 0,
+    oov: str | int = "drop",
+    lowercase: bool = True,
+    prep: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Raw corpus -> trainer-loadable packed token-ID shards, one call —
+    the full pretraining data path (r9): optional
+    :func:`prepare_training_corpus` cleanup, :func:`~jsonify2ai_spark.
+    operators.bpe.train_bpe` on the prepared text, :func:`~jsonify2ai_spark.
+    operators.textstats.build_vocab` over the trained encoder's own output
+    (so every subword has an id and ``oov`` only ever sees drift), then the
+    packed-shard write. The tokenizer artifacts (merges + vocab) persist
+    under ``<out_dir>/tokenizer/`` and the shards under
+    ``<out_dir>/shards/`` so the output directory is self-describing —
+    :func:`load_tokenizer` reads them back for encoding NEW text with the
+    same inventory (the serving path).
+
+    ``prep`` = kwargs forwarded to :func:`prepare_training_corpus`
+    (``None`` skips cleanup entirely; ``{}`` runs the defaults). The prep
+    stage's own text packing is disabled by default here — packing happens
+    on TOKEN counts downstream, the budget a trainer actually means.
+
+    Scale shape: the prepared (id, text) frame is lazily checkpointed
+    because three consumers read it (BPE pair counting, vocab minting,
+    encoding) — without it the whole dedup chain would re-run per
+    consumer. The ENCODED frame is also lazily checkpointed so the corpus
+    is rank-loop encoded exactly ONCE (vocab count + id lookup + shard
+    rows all read the same materialization — a naive
+    ``write_token_shards(prepared, ...)`` chain pays the encode twice,
+    which at 100 TB is the dominant cost). Everything after the encode is
+    the q116/q117 shape: broadcast-vocab Arrow lookup (zero shuffles),
+    one group-keyed pack shuffle, one bin-keyed assembly aggregate, one
+    repartitioned write.
+    """
+    import os
+
+    from jsonify2ai_spark.operators.bpe import (
+        bpe_encode_fast,
+        tokens_to_ids,
+        train_bpe,
+    )
+    from jsonify2ai_spark.operators.textstats import build_vocab
+    from jsonify2ai_spark.sinks.export import _pack_and_write_ids
+
+    spark = docs.sparkSession
+    prepared = docs
+    if prep is not None:
+        kw = dict(prep)
+        kw.setdefault("pack_budget", None)
+        prepared = prepare_training_corpus(
+            docs, id_col=id_col, text_col=text_col, **kw
+        )
+    prepared = prepared.select(id_col, text_col).localCheckpoint(eager=False)
+
+    merges = train_bpe(
+        prepared,
+        num_merges=num_merges,
+        text_col=text_col,
+        lowercase=lowercase,
+        merge_batch=merge_batch,
+        exact=exact,
+    )
+    enc = bpe_encode_fast(
+        prepared, merges, text_col=text_col, out_col="_bpe_toks",
+        lowercase=lowercase,
+    ).localCheckpoint(eager=False)
+    vocab = build_vocab(
+        enc,
+        min_count=vocab_min_count,
+        max_vocab=max_vocab,
+        token_array_col="_bpe_toks",
+    )
+
+    tok_dir = os.path.join(out_dir, "tokenizer")
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tok_dir, "merges.parquet")
+    )
+    vocab.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tok_dir, "vocab.parquet")
+    )
+    # read the persisted vocab back so the id lookup and the artifact are
+    # the same rows by construction (vocab is tokenizer-sized, the reread
+    # is negligible; the alternative — two evaluations of the rank plan —
+    # is also fine but leaves nothing pinning artifact == lookup)
+    vocab_saved = spark.read.parquet(os.path.join(tok_dir, "vocab.parquet"))
+
+    per_doc_eos = 1 if (assemble and eos_id is not None) else 0
+    ids = (
+        tokens_to_ids(
+            enc, vocab_saved, tokens_col="_bpe_toks", out_col="token_ids",
+            oov=oov, id_col=id_col,
+        )
+        .select(
+            id_col,
+            "token_ids",
+            F.size("token_ids").cast("bigint").alias("n_tokens"),
+            (F.size("token_ids") + per_doc_eos).cast("bigint").alias("_w"),
+        )
+    )
+    manifest = _pack_and_write_ids(
+        ids,
+        os.path.join(out_dir, "shards"),
+        budget=budget,
+        id_col=id_col,
+        n_groups=n_groups,
+        assemble=assemble,
+        eos_id=eos_id,
+        pad_id=pad_id,
+    )
+    return {
+        **manifest,
+        "tokenizer_dir": tok_dir,
+        "num_merges": len(merges),
+        "vocab_size": vocab_saved.count(),
+    }
+
+
+def load_tokenizer(spark, out_dir: str):
+    """Read back the (merges, vocab) artifacts written by
+    :func:`corpus_to_token_shards` — feed them to :func:`~jsonify2ai_spark.
+    operators.bpe.tokenize_to_ids` to encode NEW text with the SAME
+    inventory (the serving/incremental path; ``oov`` then handles genuine
+    drift). ``out_dir`` is the composition's output root or the
+    ``tokenizer/`` directory itself."""
+    import os
+
+    tok_dir = out_dir
+    if not os.path.basename(os.path.normpath(out_dir)) == "tokenizer":
+        tok_dir = os.path.join(out_dir, "tokenizer")
+    merges_df = spark.read.parquet(os.path.join(tok_dir, "merges.parquet"))
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    vocab = spark.read.parquet(os.path.join(tok_dir, "vocab.parquet"))
+    return merges, vocab

@@ -231,10 +231,6 @@ def write_token_shards(
     from pyspark.sql import functions as F
 
     from jsonify2ai_spark.operators.bpe import tokenize_to_ids
-    from jsonify2ai_spark.operators.packing import (
-        concat_token_bins,
-        pack_sequences,
-    )
 
     per_doc_eos = 1 if (assemble and eos_id is not None) else 0
     ids = tokenize_to_ids(
@@ -245,6 +241,37 @@ def write_token_shards(
         F.size("token_ids").cast("bigint").alias("n_tokens"),
         (F.size("token_ids") + per_doc_eos).cast("bigint").alias("_w"),
     )
+    return _pack_and_write_ids(
+        ids,
+        out_dir,
+        budget=budget,
+        id_col=id_col,
+        n_groups=n_groups,
+        assemble=assemble,
+        eos_id=eos_id,
+        pad_id=pad_id,
+    )
+
+
+def _pack_and_write_ids(
+    ids: "DataFrame",
+    out_dir: str,
+    budget: int,
+    id_col: str,
+    n_groups: int,
+    assemble: bool,
+    eos_id: "int | None",
+    pad_id: int,
+) -> dict:
+    """Shared pack-and-write tail of :func:`write_token_shards` and
+    :func:`~jsonify2ai_spark.pipelines.corpus_to_token_shards` — ``ids``
+    carries (id_col, token_ids, n_tokens, _w) where ``_w`` is the packing
+    weight (token count, + per-doc eos when assembling)."""
+    from jsonify2ai_spark.operators.packing import (
+        concat_token_bins,
+        pack_sequences,
+    )
+
     packed = pack_sequences(
         ids, budget=budget, size_col="_w", id_col=id_col, n_groups=n_groups
     ).drop("_w")

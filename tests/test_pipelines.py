@@ -391,3 +391,75 @@ def test_prepare_corpus_diversity_stage_parity(spark):
         ).collect()
     )
     assert both == got  # clean text: repair is a no-op, same survivors
+
+
+def test_corpus_to_token_shards_composition(spark, tmp_path):
+    """r9 capstone: raw corpus -> trained tokenizer -> packed id shards in
+    ONE call, with the tokenizer persisted beside the shards. The
+    composition's single-encode path must produce byte-identical shard
+    rows to the hand-chained train_bpe -> build_vocab ->
+    write_token_shards (which encodes twice), and load_tokenizer must
+    round-trip the artifacts for encoding new text."""
+    import os
+
+    from jsonify2ai_spark.operators.bpe import (
+        bpe_encode_fast,
+        tokenize_to_ids,
+        train_bpe,
+    )
+    from jsonify2ai_spark.operators.textstats import build_vocab
+    from jsonify2ai_spark.pipelines import corpus_to_token_shards, load_tokenizer
+    from jsonify2ai_spark.sinks import write_token_shards
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats sat on the mats",
+        "new newer newest low lower lowest",
+        "one tiny doc",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "full")
+    m = corpus_to_token_shards(docs, out, num_merges=15, budget=16, n_groups=2)
+    assert m["rows"] == 4 and m["num_merges"] > 0 and m["vocab_size"] > 0
+    assert os.path.isdir(os.path.join(out, "shards"))
+    assert os.path.isdir(os.path.join(out, "tokenizer"))
+
+    # parity vs the hand-chained two-encode path
+    merges = train_bpe(docs, num_merges=15)
+    enc = bpe_encode_fast(docs, merges, out_col="_toks")
+    vocab = build_vocab(enc, token_array_col="_toks")
+    ref = str(tmp_path / "ref")
+    write_token_shards(docs, merges, vocab, ref, budget=16, n_groups=2)
+    got = sorted(
+        map(tuple, spark.read.parquet(os.path.join(out, "shards")).collect())
+    )
+    want = sorted(map(tuple, spark.read.parquet(ref).collect()))
+    assert got == want
+
+    # tokenizer round-trip: loaded artifacts encode NEW text identically
+    # to the in-memory ones
+    lm, lv = load_tokenizer(spark, out)
+    assert lm == merges
+    assert sorted(map(tuple, lv.collect())) == sorted(map(tuple, vocab.collect()))
+    new = spark.createDataFrame([(99, "the newest cat")], "doc_id long, text string")
+    a = tokenize_to_ids(new, lm, lv).collect()[0]["token_ids"]
+    b = tokenize_to_ids(new, merges, vocab).collect()[0]["token_ids"]
+    assert a == b and len(a) > 0
+
+    # prep stage composes (defaults; packing stays token-side)
+    out2 = str(tmp_path / "prepped")
+    m2 = corpus_to_token_shards(
+        docs, out2, num_merges=10, budget=16, n_groups=2, prep={}
+    )
+    assert 0 < m2["rows"] <= 4
+
+    # empty corpus: zero manifest, artifacts still written
+    out3 = str(tmp_path / "empty")
+    m3 = corpus_to_token_shards(
+        docs.filter("doc_id < 0"), out3, num_merges=5, budget=16
+    )
+    assert m3["rows"] == 0 and m3["num_merges"] == 0 and m3["vocab_size"] == 0
+    lm3, lv3 = load_tokenizer(spark, out3)
+    assert lm3 == [] and lv3.count() == 0
