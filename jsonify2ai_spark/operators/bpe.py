@@ -362,6 +362,45 @@ def bpe_encode_fast(
     return df.withColumn(out_col, _enc(words))
 
 
+def _ids_lookup_udf(spark, mapping: dict, oov):
+    """Build the Arrow-batched token->id lookup UDF over an
+    already-collected vocab ``mapping`` (shipped once as a Spark
+    broadcast variable). Shared by :func:`tokens_to_ids` (which collects
+    per call) and the streaming :class:`~jsonify2ai_spark.streaming.
+    windowed.TokenizeGate` (which collects ONCE at construction and
+    reuses the broadcast across micro-batches). Returns ``(udf,
+    broadcast)`` — callers that outlive a single query (the gate) own the
+    broadcast's lifetime; one-shot callers just drop it."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(mapping)
+
+    def _map_batch(tok_ser):
+        m = bc.value
+
+        def one(arr):
+            if arr is None:
+                return []
+            if oov == "drop":
+                return [m[t] for t in arr if t in m]
+            out = []
+            for t in arr:
+                got = m.get(t)
+                if got is None:
+                    if oov == "error":
+                        raise ValueError(
+                            f"tokens_to_ids: OOV token {t!r} under "
+                            "oov='error' (use 'drop' or an <unk> id)"
+                        )
+                    got = oov
+                out.append(got)
+            return out
+
+        return tok_ser.map(one)
+
+    return pandas_udf(_map_batch, "array<bigint>"), bc
+
+
 def tokens_to_ids(
     df: DataFrame,
     vocab: DataFrame,
@@ -402,39 +441,11 @@ def tokens_to_ids(
     if isinstance(oov, bool) or not (oov in ("drop", "error") or isinstance(oov, int)):
         raise ValueError(f"oov must be 'drop', 'error', or an int id: {oov!r}")
     if impl == "udf":
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-
         mapping = {
             r["token"]: r["token_id"]
             for r in vocab.select("token", "token_id").collect()
         }
-        bc = df.sparkSession.sparkContext.broadcast(mapping)
-
-        def _map_batch(tok_ser):
-            m = bc.value
-
-            def one(arr):
-                if arr is None:
-                    return []
-                if oov == "drop":
-                    return [m[t] for t in arr if t in m]
-                out = []
-                for t in arr:
-                    got = m.get(t)
-                    if got is None:
-                        if oov == "error":
-                            raise ValueError(
-                                f"tokens_to_ids: OOV token {t!r} under "
-                                "oov='error' (use 'drop' or an <unk> id)"
-                            )
-                        got = oov
-                    out.append(got)
-                return out
-
-            return tok_ser.map(one)
-
-        _map = pandas_udf(_map_batch, "array<bigint>")
+        _map, _ = _ids_lookup_udf(df.sparkSession, mapping, oov)
         return df.withColumn(out_col, _map(F.col(tokens_col)))
     if impl != "join":
         raise ValueError(f"unknown impl: {impl!r}")

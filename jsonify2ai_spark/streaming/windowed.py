@@ -1308,3 +1308,153 @@ class LeakageGate:
 
     def close(self) -> None:
         self._tsh.unpersist()
+
+
+class TokenizeGate:
+    """Streaming face of the token-id chain (q116/:func:`~jsonify2ai_spark.
+    operators.bpe.tokenize_to_ids`, r9): encode each micro-batch with a
+    FROZEN tokenizer — the merges + vocab minted offline by
+    :func:`~jsonify2ai_spark.pipelines.corpus_to_token_shards` (or
+    train_bpe + build_vocab) — so a standing ingest emits trainer-ready
+    token-id rows with the SAME inventory the training corpus used.
+    Incremental corpus growth must NOT re-train the tokenizer (ids would
+    shift under the trained model); genuine drift surfaces through the
+    ``oov`` policy instead, and a re-train is an explicit offline event
+    (mirroring refresh_quantizer's breach -> retrain loop, not a silent
+    per-batch mutation).
+
+    Chain shape (APPEND, a degenerate rewrite): ``kind='rewrite'`` with
+    ``rewritten_col = _text_col = out_col`` — a column the input does NOT
+    carry — so StreamingPrepChain's rewrite join ADDS ``token_ids`` to
+    the surviving rows' full schema instead of replacing text. Place it
+    LAST: downstream text gates would see unchanged text, but the ids
+    reflect the text as of this stage.
+
+    Per-batch cost: one Arrow rank-loop encode + one broadcast-vocab
+    Arrow lookup — two map-only projections, proportional to the batch,
+    never the corpus. The vocab is collected ONCE at construction
+    (tokenizer-sized, 8k-256k entries) and shipped as a broadcast
+    variable reused across every trigger; no per-batch collect, no
+    shuffle anywhere.
+    """
+
+    kind = "rewrite"  # StreamingPrepChain dispatch (see CorpusNearDupGate)
+
+    def __init__(
+        self,
+        merges: list,
+        vocab: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        out_col: str = "token_ids",
+        oov: "str | int" = "drop",
+        lowercase: bool = True,
+    ) -> None:
+        from jsonify2ai_spark.operators.bpe import _ids_lookup_udf
+
+        self._merges = [tuple(m) for m in merges]
+        self._input_col = text_col
+        self._id_col = id_col
+        self._oov = oov
+        self._lowercase = lowercase
+        # append shape: the chain drops-then-joins THIS column, which the
+        # input does not carry — so the full schema survives + token_ids
+        self._text_col = out_col
+        self.rewritten_col = out_col
+        self._mapping = {
+            r["token"]: r["token_id"]
+            for r in vocab.select("token", "token_id").collect()
+        }
+        self._udf, self._bc = _ids_lookup_udf(
+            vocab.sparkSession, self._mapping, oov
+        )
+
+    @classmethod
+    def from_artifacts(cls, spark, out_dir: str, **kw) -> "TokenizeGate":
+        """Construct from a :func:`~jsonify2ai_spark.pipelines.
+        corpus_to_token_shards` output root (or its ``tokenizer/`` dir) —
+        the serving handoff: the batch job mints the artifacts, the
+        stream loads them."""
+        from jsonify2ai_spark.pipelines import load_tokenizer
+
+        merges, vocab = load_tokenizer(spark, out_dir)
+        return cls(merges, vocab, **kw)
+
+    def filter_batch(self, batch: DataFrame) -> DataFrame:
+        """Encode the batch: returns (id, out_col ids, n_tokens) — the
+        chain joins ids back onto the full row; standalone callers get
+        the narrow frame."""
+        from jsonify2ai_spark.operators.bpe import bpe_encode_fast
+
+        enc = bpe_encode_fast(
+            batch.select(self._id_col, self._input_col),
+            self._merges,
+            text_col=self._input_col,
+            out_col="_toks",
+            lowercase=self._lowercase,
+        )
+        return enc.select(
+            F.col(self._id_col),
+            self._udf(F.col("_toks")).alias(self._text_col),
+        ).withColumn(
+            "n_tokens", F.size(self._text_col).cast("bigint")
+        )
+
+    def foreach_batch(self, append):
+        """Wrap ``append(ids_df, batch_id)`` as a foreachBatch callable."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            append(self.filter_batch(batch), batch_id)
+
+        return _fn
+
+    def save(self, path: str) -> None:
+        """Persist merges + vocab + params (the corpus_to_token_shards
+        tokenizer artifact layout, plus gate meta) for restart warm-load."""
+        spark = SparkSession.getActiveSession()
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(self._merges)],
+            "rank int, left string, right string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges.parquet")
+        spark.createDataFrame(
+            [(t, i) for t, i in self._mapping.items()],
+            "token string, token_id long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab.parquet")
+        spark.createDataFrame(
+            [
+                (
+                    self._input_col,
+                    self._id_col,
+                    self._text_col,
+                    str(self._oov),
+                    isinstance(self._oov, int),
+                    self._lowercase,
+                )
+            ],
+            "text_col string, id_col string, out_col string, oov string, "
+            "oov_is_int boolean, lowercase boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "TokenizeGate":
+        meta = spark.read.parquet(f"{path}/meta").first()
+        merges = [
+            (r["left"], r["right"])
+            for r in spark.read.parquet(f"{path}/merges.parquet")
+            .orderBy("rank")
+            .collect()
+        ]
+        vocab = spark.read.parquet(f"{path}/vocab.parquet")
+        oov = int(meta["oov"]) if meta["oov_is_int"] else meta["oov"]
+        return cls(
+            merges,
+            vocab,
+            text_col=meta["text_col"],
+            id_col=meta["id_col"],
+            out_col=meta["out_col"],
+            oov=oov,
+            lowercase=bool(meta["lowercase"]),
+        )
+
+    def close(self) -> None:
+        self._bc.unpersist()

@@ -1247,3 +1247,69 @@ def test_leakage_gate_stream_equals_batch(spark, tmp_path):
     assert re_got == want
     gate.close()
     g2.close()
+
+
+def test_tokenize_gate_stream_batch_parity(spark, tmp_path):
+    """r9: TokenizeGate encodes micro-batches with a FROZEN tokenizer —
+    the union of per-batch ids over a replayed corpus equals
+    tokenize_to_ids on the whole corpus; the append-shaped chain join
+    carries the full input schema + token_ids; save/load and
+    from_artifacts warm-restart the same inventory."""
+    from jsonify2ai_spark.operators.bpe import (
+        bpe_encode_fast,
+        tokenize_to_ids,
+        train_bpe,
+    )
+    from jsonify2ai_spark.operators.textstats import build_vocab
+    from jsonify2ai_spark.streaming.windowed import StreamingPrepChain, TokenizeGate
+
+    rows = [
+        (1, "the cat sat on the mat", "a"),
+        (2, "the cats sat on the mats", "a"),
+        (3, "new newer newest low lower lowest", "b"),
+        (4, "one tiny doc", "b"),
+    ]
+    schema = "doc_id long, text string, source string"
+    corpus = spark.createDataFrame(rows, schema)
+    merges = train_bpe(corpus, num_merges=12)
+    enc = bpe_encode_fast(corpus, merges, out_col="_toks")
+    vocab = build_vocab(enc, token_array_col="_toks")
+    want = {
+        r["doc_id"]: r["token_ids"]
+        for r in tokenize_to_ids(corpus, merges, vocab).collect()
+    }
+
+    gate = TokenizeGate(merges, vocab)
+    got = {}
+    for b in (rows[:2], rows[2:]):
+        for r in gate.filter_batch(spark.createDataFrame(b, schema)).collect():
+            got[r["doc_id"]] = r["token_ids"]
+            assert r["n_tokens"] == len(r["token_ids"])
+    assert got == want
+
+    # chain face: append shape — full input schema survives + token_ids
+    out = StreamingPrepChain([gate]).filter_batch(corpus)
+    assert set(out.columns) == {"doc_id", "text", "source", "token_ids"}
+    assert {r["doc_id"]: r["token_ids"] for r in out.collect()} == want
+
+    # save/load round-trip
+    gate.save(str(tmp_path / "tg"))
+    g2 = TokenizeGate.load(spark, str(tmp_path / "tg"))
+    re_got = {
+        r["doc_id"]: r["token_ids"] for r in g2.filter_batch(corpus).collect()
+    }
+    assert re_got == want
+
+    # from_artifacts: the corpus_to_token_shards handoff
+    from jsonify2ai_spark.pipelines import corpus_to_token_shards
+
+    root = str(tmp_path / "full")
+    corpus_to_token_shards(
+        corpus.select("doc_id", "text"), root, num_merges=12, budget=16
+    )
+    g3 = TokenizeGate.from_artifacts(spark, root)
+    a3 = {r["doc_id"]: r["token_ids"] for r in g3.filter_batch(corpus).collect()}
+    assert a3 == want  # same corpus, same merges/vocab -> same ids
+    gate.close()
+    g2.close()
+    g3.close()
