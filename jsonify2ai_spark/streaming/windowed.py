@@ -1361,13 +1361,12 @@ class TokenizeGate:
         # input does not carry — so the full schema survives + token_ids
         self._text_col = out_col
         self.rewritten_col = out_col
+        self._spark = vocab.sparkSession
         self._mapping = {
             r["token"]: r["token_id"]
             for r in vocab.select("token", "token_id").collect()
         }
-        self._udf, self._bc = _ids_lookup_udf(
-            vocab.sparkSession, self._mapping, oov
-        )
+        self._udf, self._bc = _ids_lookup_udf(self._spark, self._mapping, oov)
 
     @classmethod
     def from_artifacts(cls, spark, out_dir: str, **kw) -> "TokenizeGate":
@@ -1411,7 +1410,7 @@ class TokenizeGate:
     def save(self, path: str) -> None:
         """Persist merges + vocab + params (the corpus_to_token_shards
         tokenizer artifact layout, plus gate meta) for restart warm-load."""
-        spark = SparkSession.getActiveSession()
+        spark = self._spark
         spark.createDataFrame(
             [(i, a, b) for i, (a, b) in enumerate(self._merges)],
             "rank int, left string, right string",
