@@ -316,9 +316,8 @@ def corpus_to_token_shards(
     on TOKEN counts downstream, the budget a trainer actually means.
 
     Scale shape: the prepared (id, text) frame is lazily checkpointed
-    because three consumers read it (BPE pair counting, vocab minting,
-    encoding) — without it the whole dedup chain would re-run per
-    consumer. The ENCODED frame is also lazily checkpointed so the corpus
+    because two consumers read it (BPE pair counting and encoding) —
+    without it the whole dedup chain would re-run per consumer. The ENCODED frame is also lazily checkpointed so the corpus
     is rank-loop encoded exactly ONCE (vocab count + id lookup + shard
     rows all read the same materialization — a naive
     ``write_token_shards(prepared, ...)`` chain pays the encode twice,
