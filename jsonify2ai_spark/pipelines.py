@@ -295,6 +295,7 @@ def corpus_to_token_shards(
     oov: str | int = "drop",
     lowercase: bool = True,
     prep: dict | None = None,
+    shuffle_seed: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict:
@@ -403,6 +404,7 @@ def corpus_to_token_shards(
         assemble=assemble,
         eos_id=eos_id,
         pad_id=pad_id,
+        shuffle_seed=shuffle_seed,
     )
     return {
         **manifest,

@@ -161,11 +161,22 @@ def write_training_shards(
     group_col: str = "pack_group",
     bin_col: str = "bin_idx",
     id_col: str = "doc_id",
+    shuffle_seed: int | None = None,
 ) -> dict:
     """The trainer-facing output step after sequence packing: one Parquet
     shard directory per pack group (`group=N/`), rows sorted by
     (bin, id) WITHIN each shard file so a trainer streams bins contiguously
     without any read-side sort.
+
+    ``shuffle_seed`` permutes the BIN order inside each shard (r9): packing
+    assigns neighboring documents to neighboring bins, so the default
+    bin-ascending layout feeds a sequential trainer correlated batches.
+    The seeded order sorts bins by ``md5(seed||group||bin)`` — a
+    deterministic pseudo-random whole-bin permutation (same seed, same
+    corpus => byte-identical files on any cluster shape). Rows WITHIN a
+    bin keep id order, so bins stay contiguous and the bin-streaming
+    contract holds; assembled sequence rows (one row per bin) simply come
+    out in shuffled order, which is exactly what the trainer wants.
 
     Plan shape: one repartition on the group key (each shard written by one
     task — files are whole training groups, not arbitrary splits) + an
@@ -180,9 +191,20 @@ def write_training_shards(
     # of the written output (which also cannot be schema-inferred when the
     # corpus filtered down to zero rows)
     packed = packed.localCheckpoint(eager=False)
+    if shuffle_seed is None:
+        bin_order = F.col(bin_col)
+    else:
+        bin_order = F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(int(shuffle_seed)),
+                F.col(group_col),
+                F.col(bin_col),
+            )
+        )
     (
         packed.repartition(F.col(group_col))
-        .sortWithinPartitions(group_col, bin_col, id_col)
+        .sortWithinPartitions(F.col(group_col), bin_order, F.col(id_col))
         .write.mode("overwrite")
         .partitionBy(group_col)
         .parquet(out_dir)
@@ -206,6 +228,7 @@ def write_token_shards(
     assemble: bool = False,
     eos_id: "int | None" = None,
     pad_id: int = 0,
+    shuffle_seed: int | None = None,
 ) -> dict:
     """Corpus -> packed token-ID shards, the last pipeline step a
     pretraining user actually loads (r9, VERDICT r8 'What's missing #2'):
@@ -250,6 +273,7 @@ def write_token_shards(
         assemble=assemble,
         eos_id=eos_id,
         pad_id=pad_id,
+        shuffle_seed=shuffle_seed,
     )
 
 
@@ -262,6 +286,7 @@ def _pack_and_write_ids(
     assemble: bool,
     eos_id: "int | None",
     pad_id: int,
+    shuffle_seed: int | None = None,
 ) -> dict:
     """Shared pack-and-write tail of :func:`write_token_shards` and
     :func:`~jsonify2ai_spark.pipelines.corpus_to_token_shards` — ``ids``
@@ -281,5 +306,9 @@ def _pack_and_write_ids(
         )
         # bin rows: one per (group, bin); reuse the shard writer's layout
         # with the bin id standing in for the doc id sort key
-        return write_training_shards(bins, out_dir, id_col="bin_idx")
-    return write_training_shards(packed, out_dir, id_col=id_col)
+        return write_training_shards(
+            bins, out_dir, id_col="bin_idx", shuffle_seed=shuffle_seed
+        )
+    return write_training_shards(
+        packed, out_dir, id_col=id_col, shuffle_seed=shuffle_seed
+    )

@@ -344,3 +344,59 @@ def test_snapshot_restore_round_trip_and_corruption_guard(spark, tmp_path):
         restore_snapshot(bad, table)
     still = sorted((r["k"], r["v"]) for r in spark.read.parquet(table).collect())
     assert still == rows_before
+
+
+def test_write_training_shards_shuffle_seed(spark, tmp_path):
+    """r9: shuffle_seed permutes whole-BIN order inside each shard —
+    deterministic (same seed => byte-identical layout on any input
+    partitioning), bins stay contiguous in-file (the bin-streaming
+    contract), the multiset of rows is unchanged, and the seeded order
+    actually differs from the default bin-ascending layout."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from jsonify2ai_spark.sinks import write_training_shards
+
+    rows = [(d, d % 2, d // 2) for d in range(40)]  # 2 groups, 10 bins each
+    packed = spark.createDataFrame(
+        rows, "doc_id long, pack_group long, bin_idx long"
+    )
+
+    def layout(path):
+        out = {}
+        for gdir in sorted(os.listdir(path)):
+            if not gdir.startswith("pack_group="):
+                continue
+            seq = []
+            full = os.path.join(path, gdir)
+            for part in sorted(os.listdir(full)):
+                if part.endswith(".parquet"):
+                    t = pq.read_table(os.path.join(full, part)).to_pydict()
+                    seq += list(zip(t["bin_idx"], t["doc_id"]))
+            out[gdir] = seq
+        return out
+
+    plain = str(tmp_path / "plain")
+    write_training_shards(packed, plain)
+    s1 = str(tmp_path / "s1")
+    write_training_shards(packed, s1, shuffle_seed=7)
+    s2 = str(tmp_path / "s2")
+    write_training_shards(packed.repartition(13), s2, shuffle_seed=7)
+    s3 = str(tmp_path / "s3")
+    write_training_shards(packed, s3, shuffle_seed=8)
+
+    lp, l1, l2, l3 = layout(plain), layout(s1), layout(s2), layout(s3)
+    assert l1 == l2  # same seed, any partitioning -> identical layout
+    assert l1 != lp  # the permutation is real
+    assert l1 != l3  # and seed-dependent
+    for g, seq in l1.items():
+        assert sorted(seq) == sorted(lp[g])  # same rows per shard
+        # bins contiguous: each bin_idx appears as ONE run
+        bins = [b for b, _ in seq]
+        runs = [b for i, b in enumerate(bins) if i == 0 or bins[i - 1] != b]
+        assert len(runs) == len(set(bins))
+        # within a bin, id order is preserved
+        for b in set(bins):
+            ids = [d for bb, d in seq if bb == b]
+            assert ids == sorted(ids)
