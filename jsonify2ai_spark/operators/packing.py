@@ -119,6 +119,7 @@ def concat_token_bins(
     eos_id: int | None = None,
     pad_to: int | None = None,
     pad_id: int = 0,
+    with_boundaries: bool = False,
 ) -> DataFrame:
     """Materialize each packed bin as ONE trainer-ready sequence (r9 —
     the step after :func:`pack_sequences`'s assignment): per
@@ -131,6 +132,13 @@ def concat_token_bins(
     bug and is returned at its true length for the caller's audit).
     Output: (group, bin, n_docs, n_ids, input_ids) where ``n_ids``
     counts REAL ids+eos, excluding padding.
+
+    ``with_boundaries=True`` appends ``doc_ids`` (the member documents
+    in sequence order — provenance for attribution/filtering) and
+    ``doc_lens`` (each document's id count INCLUDING its eos, summing
+    to ``n_ids``) — the compact form a trainer derives block-diagonal
+    attention masks and per-document position resets from; padding is
+    excluded by construction.
 
     All JVM expressions — one hash aggregate on the (group, bin) key
     (bin membership is budget-bounded, so rows per group are bounded);
@@ -160,13 +168,21 @@ def concat_token_bins(
     else:
         per_doc = lambda d: d["t"]  # noqa: E731
     seq = F.flatten(F.transform("_docs", per_doc))
-    out = agged.select(
-        group_col,
-        bin_col,
-        "n_docs",
+    cols = [
+        F.col(group_col),
+        F.col(bin_col),
+        F.col("n_docs"),
         F.size(seq).cast("bigint").alias("n_ids"),
         seq.alias("input_ids"),
-    )
+    ]
+    if with_boundaries:
+        cols += [
+            F.transform("_docs", lambda d: d["i"]).alias("doc_ids"),
+            F.transform(
+                "_docs", lambda d: F.size(per_doc(d)).cast("bigint")
+            ).alias("doc_lens"),
+        ]
+    out = agged.select(*cols)
     if pad_to is not None:
         out = out.withColumn(
             "input_ids",

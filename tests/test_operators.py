@@ -2889,3 +2889,44 @@ def test_semantic_decontaminate_flags_and_impl_parity(spark):
     for impl in ("expr", "arrow"):
         p = plan_string(semantic_decontaminate(df, bench, impl=impl), "simple")
         assert p.count("Exchange") == 0, (impl, p[:800])
+
+
+def test_concat_token_bins_boundaries(spark):
+    """r9: with_boundaries=True emits doc_ids (sequence order) and
+    doc_lens (per-doc id count incl. eos, excl. padding) — doc_lens sums
+    to n_ids and zips against doc_ids positionally, so a trainer can
+    derive block-diagonal masks / position resets without re-splitting
+    input_ids."""
+    from jsonify2ai_spark.operators.packing import concat_token_bins
+
+    packed = spark.createDataFrame(
+        [
+            (1, [10, 11], 0, 0),
+            (3, [12], 0, 0),
+            (2, [], 0, 1),
+            (5, [13, 14, 15], 1, 0),
+        ],
+        "doc_id long, token_ids array<bigint>, pack_group long, bin_idx long",
+    )
+    out = {
+        (r["pack_group"], r["bin_idx"]): r
+        for r in concat_token_bins(
+            packed, eos_id=99, pad_to=8, with_boundaries=True
+        ).collect()
+    }
+    b00 = out[(0, 0)]
+    assert b00["doc_ids"] == [1, 3] and b00["doc_lens"] == [3, 2]
+    assert sum(b00["doc_lens"]) == b00["n_ids"]
+    # boundary reconstruction matches the unpadded prefix of input_ids
+    offs, spans = 0, []
+    for ln in b00["doc_lens"]:
+        spans.append(b00["input_ids"][offs : offs + ln])
+        offs += ln
+    assert spans == [[10, 11, 99], [12, 99]]
+    assert out[(0, 1)]["doc_ids"] == [2] and out[(0, 1)]["doc_lens"] == [1]
+    # no eos: lens are raw id counts (empty doc -> 0)
+    raw = {
+        (r["pack_group"], r["bin_idx"]): r
+        for r in concat_token_bins(packed, with_boundaries=True).collect()
+    }
+    assert raw[(0, 0)]["doc_lens"] == [2, 1] and raw[(0, 1)]["doc_lens"] == [0]
