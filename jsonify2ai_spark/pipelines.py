@@ -296,6 +296,7 @@ def corpus_to_token_shards(
     lowercase: bool = True,
     prep: dict | None = None,
     shuffle_seed: int | None = None,
+    boundaries: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict:
@@ -405,6 +406,7 @@ def corpus_to_token_shards(
         eos_id=eos_id,
         pad_id=pad_id,
         shuffle_seed=shuffle_seed,
+        boundaries=boundaries,
     )
     return {
         **manifest,

@@ -229,6 +229,7 @@ def write_token_shards(
     eos_id: "int | None" = None,
     pad_id: int = 0,
     shuffle_seed: int | None = None,
+    boundaries: bool = False,
 ) -> dict:
     """Corpus -> packed token-ID shards, the last pipeline step a
     pretraining user actually loads (r9, VERDICT r8 'What's missing #2'):
@@ -250,6 +251,10 @@ def write_token_shards(
     ``budget``; q117 pins the assembly semantics), so the shard files
     are directly loadable fixed-length training rows (pack_group dirs,
     bin-ordered in-file). One extra hash aggregate on the bin key.
+    ``boundaries=True`` adds per-sequence ``doc_ids``/``doc_lens``
+    (block-diagonal-mask provenance); ``shuffle_seed`` applies the
+    writer's deterministic whole-bin permutation (see
+    :func:`write_training_shards`).
     """
     from pyspark.sql import functions as F
 
@@ -274,6 +279,7 @@ def write_token_shards(
         eos_id=eos_id,
         pad_id=pad_id,
         shuffle_seed=shuffle_seed,
+        boundaries=boundaries,
     )
 
 
@@ -287,6 +293,7 @@ def _pack_and_write_ids(
     eos_id: "int | None",
     pad_id: int,
     shuffle_seed: int | None = None,
+    boundaries: bool = False,
 ) -> dict:
     """Shared pack-and-write tail of :func:`write_token_shards` and
     :func:`~jsonify2ai_spark.pipelines.corpus_to_token_shards` — ``ids``
@@ -302,7 +309,12 @@ def _pack_and_write_ids(
     ).drop("_w")
     if assemble:
         bins = concat_token_bins(
-            packed, id_col=id_col, eos_id=eos_id, pad_to=budget, pad_id=pad_id
+            packed,
+            id_col=id_col,
+            eos_id=eos_id,
+            pad_to=budget,
+            pad_id=pad_id,
+            with_boundaries=boundaries,
         )
         # bin rows: one per (group, bin); reuse the shard writer's layout
         # with the bin id standing in for the doc id sort key

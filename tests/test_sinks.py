@@ -400,3 +400,44 @@ def test_write_training_shards_shuffle_seed(spark, tmp_path):
         for b in set(bins):
             ids = [d for bb, d in seq if bb == b]
             assert ids == sorted(ids)
+
+
+def test_write_token_shards_boundaries_and_shuffle(spark, tmp_path):
+    """r9: assemble=True threads boundaries (doc_ids/doc_lens land in the
+    shard files) and shuffle_seed (deterministic bin permutation) through
+    the writer."""
+    from jsonify2ai_spark.operators.bpe import bpe_encode_fast, train_bpe
+    from jsonify2ai_spark.operators.textstats import build_vocab
+    from jsonify2ai_spark.sinks import write_token_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} words alpha beta gamma") for i in range(12)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, num_merges=8)
+    enc = bpe_encode_fast(docs, merges, out_col="_t")
+    vocab = build_vocab(enc, token_array_col="_t")
+
+    out = str(tmp_path / "b")
+    write_token_shards(
+        docs, merges, vocab, out, budget=24, n_groups=2,
+        assemble=True, eos_id=0, boundaries=True, shuffle_seed=5,
+    )
+    rows = spark.read.parquet(out).collect()
+    assert rows and {"doc_ids", "doc_lens"} <= set(rows[0].asDict())
+    got_docs = set()
+    for r in rows:
+        assert len(r["doc_ids"]) == len(r["doc_lens"]) == r["n_docs"]
+        assert sum(r["doc_lens"]) == r["n_ids"]
+        got_docs.update(r["doc_ids"])
+    assert got_docs == set(range(12))  # every doc lands exactly once
+
+    # same seed reproduces byte-identical layout
+    out2 = str(tmp_path / "b2")
+    write_token_shards(
+        docs.repartition(7), merges, vocab, out2, budget=24, n_groups=2,
+        assemble=True, eos_id=0, boundaries=True, shuffle_seed=5,
+    )
+    a = sorted(map(tuple, rows))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b
