@@ -408,12 +408,36 @@ def corpus_to_token_shards(
         shuffle_seed=shuffle_seed,
         boundaries=boundaries,
     )
-    return {
+    result = {
         **manifest,
         "tokenizer_dir": tok_dir,
         "num_merges": len(merges),
         "vocab_size": vocab_saved.count(),
+        "config": {
+            "budget": budget,
+            "n_groups": n_groups,
+            "assemble": assemble,
+            "eos_id": eos_id,
+            "pad_id": pad_id,
+            "oov": oov,
+            "lowercase": lowercase,
+            "shuffle_seed": shuffle_seed,
+            "boundaries": boundaries,
+            "vocab_min_count": vocab_min_count,
+            "max_vocab": max_vocab,
+            "prep": prep is not None,
+        },
     }
+    # persist the run manifest so the output directory is fully
+    # self-describing (the export sinks' manifest convention): a trainer
+    # or a later load_tokenizer caller can read counts + config without
+    # the driver that produced them
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(result, fh, indent=2, sort_keys=True)
+    return result
 
 
 def load_tokenizer(spark, out_dir: str):

@@ -463,3 +463,27 @@ def test_corpus_to_token_shards_composition(spark, tmp_path):
     assert m3["rows"] == 0 and m3["num_merges"] == 0 and m3["vocab_size"] == 0
     lm3, lv3 = load_tokenizer(spark, out3)
     assert lm3 == [] and lv3.count() == 0
+
+
+def test_corpus_to_token_shards_manifest(spark, tmp_path):
+    """r9: the composition persists manifest.json at the output root —
+    counts + config, so the directory is self-describing without the
+    producing driver."""
+    import json
+    import os
+
+    from jsonify2ai_spark.pipelines import corpus_to_token_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"some words here {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "run")
+    ret = corpus_to_token_shards(
+        docs, out, num_merges=5, budget=16, shuffle_seed=3
+    )
+    with open(os.path.join(out, "manifest.json")) as fh:
+        m = json.load(fh)
+    assert m["rows"] == ret["rows"] == 6
+    assert m["config"]["shuffle_seed"] == 3
+    assert m["vocab_size"] == ret["vocab_size"] > 0
