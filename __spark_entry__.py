@@ -2165,21 +2165,25 @@ def q117_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
-    # r4 #4 / r5 #4): (a) q51-q62 stay pinned in-gate (tests/test_entry.py),
-    # (b) every NEW operator's first driver row is in-gate, (c) any query
-    # whose code changed this round is in-gate, (d) remaining slots go to
-    # the OLDEST driver-green cohort so no query sits >2 rounds without a
-    # driver row. Run scripts/gate_staleness.py to plan each rotation.
-    # Round-9 gate (r8 verdict #1 — the tight-arithmetic round): changed/
-    # new rows held to SIX (q116 new tokens_to_ids; q117 new
+    # r4 #4 / r5 #4, amended r9): (a) every NEW operator's first driver
+    # row is in-gate, (b) any query whose code changed this round is
+    # in-gate, (c) remaining slots go to the OLDEST driver-green cohort so
+    # no query sits >2 rounds without a driver row. The old rule (a) —
+    # q51-q62 permanently pinned — was RETIRED late r9 (rationale expired
+    # after seven green rounds; the 12 frozen slots caused the zero-slack
+    # crunch): ALL queries now rotate. Run scripts/gate_staleness.py to
+    # plan each rotation.
+    # Round-9 gate (laid out before the retirement, so it still holds
+    # q51-q62): SIX changed/new rows (q116 new tokens_to_ids; q117 new
     # pack_token_ids; q118 new semantic_decontaminate; q113 assign_splits
     # NULL policy; q114 split_leakage broadcast guard; q115 whose module
-    # changed) + pinned q51-q62 + the ENTIRE 32-query r6-green cohort
-    # (the full rotation debt — q100/q101 double as the changed-pipelines
-    # rows, q104 as the changed-build_vocab row) = exactly 50, zero fill.
-    # r10 pre-plan: 32 r7-greens + pinned 12 = 44, ~6 slots for r10
-    # changed/new; r11 then owes the 35-query r8-green cohort. See
-    # COVERAGE.md.
+    # changed) + q51-q62 + the ENTIRE 32-query r6-green cohort (the full
+    # rotation debt — q100/q101 double as the changed-pipelines rows,
+    # q104 as the changed-build_vocab row) = exactly 50, zero fill.
+    # r10 pre-plan (post-retirement arithmetic): 32 r7-greens mandatory,
+    # 18 slots free — spend them pre-paying r9-greens (q51-q62 and
+    # q116-q118 first); r11 owes the 35-query r8-green cohort (15 free).
+    # See COVERAGE.md.
     return {
         # --- changed / new this round (r9): edited operators gate first
         "q116_token_ids": q116_token_ids,  # NEW r9: token->id lookup (first driver row)
@@ -2188,7 +2192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_diversity_sample": q115_diversity_sample,  # module changed r9 (sampling.py); operator body untouched
         "q117_pack_token_ids": q117_pack_token_ids,  # NEW r9: trainer-sequence assembly (first driver row)
         "q118_semantic_decontaminate": q118_semantic_decontaminate,  # NEW r9: embedding decontamination (first driver row)
-        # --- pinned flagship block (test_entry.py invariant)
+        # --- q51-q62 (in this gate per the pre-retirement layout; they
+        # --- rotate normally from r10 — see the header note)
         "q51_dedup_clusters": q51_dedup_clusters,
         "q52_jaccard_capped": q52_jaccard_capped,
         "q53_ingest_summary": q53_ingest_summary,
@@ -2236,8 +2241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_vector_search_docs": q21_vector_search_docs,
         "q28_winnowing": q28_winnowing,
         # ================= tail (entry 51+) =================
-        # r7-green cohort (32): r10 gate's first claim, with pinned 12
-        # = 44 of 50 — leaving ~6 r10 slots for changed/new rows
+        # r7-green cohort (32): r10 gate's first claim; with the pin
+        # retired, 18 r10 slots remain for changed/new + r9-green pre-pay
         "q108_reference_ppl": q108_reference_ppl,
         "q89_embedding_drift": q89_embedding_drift,
         "q74_embedding_stats": q74_embedding_stats,

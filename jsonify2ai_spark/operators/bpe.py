@@ -433,10 +433,13 @@ def tokens_to_ids(
     with position, broadcast-hash-join the vocab on ``token`` (map-side —
     the corpus never shuffles FOR THE LOOKUP), re-assemble per ``id_col``
     ordered by position (one batch-keyed shuffle for the groupBy), join
-    back onto the input row. Needs ``id_col`` unique per row. Identical
-    output to the udf form (parity-pinned) — reach for it only when the
-    vocab genuinely cannot broadcast, at the price of the reassembly
-    shuffle.
+    back onto the input row. Needs ``id_col`` unique per row (duplicate
+    ids duplicate rows through the reassembly join — unenforced, a
+    row-count check would cost a pass) and NON-NULL (a NULL key never
+    equi-joins back; the plan raises on one rather than silently
+    returning ``[]``). Identical output to the udf form (parity-pinned)
+    — reach for it only when the vocab genuinely cannot broadcast, at
+    the price of the reassembly shuffle.
     """
     if isinstance(oov, bool) or not (oov in ("drop", "error") or isinstance(oov, int)):
         raise ValueError(f"oov must be 'drop', 'error', or an int id: {oov!r}")
@@ -449,6 +452,24 @@ def tokens_to_ids(
         return df.withColumn(out_col, _map(F.col(tokens_col)))
     if impl != "join":
         raise ValueError(f"unknown impl: {impl!r}")
+    # the positional reassembly equi-joins on id_col, and a NULL key never
+    # matches itself — without this guard a NULL-id row would silently get
+    # [] instead of its ids, breaking the documented udf-form parity
+    # (review-found r9). Plan-level CASE, no extra pass.
+    _dt = df.schema[id_col].dataType.simpleString()
+    df = df.withColumn(
+        id_col,
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"tokens_to_ids impl='join': NULL in id column "
+                    f"{id_col!r} — the positional reassembly joins on it; "
+                    "fill ids or use impl='udf'"
+                )
+            ).cast(_dt),
+        ).otherwise(F.col(id_col)),
+    )
     ex = df.select(
         F.col(id_col), F.posexplode(F.col(tokens_col)).alias("_pos", "_tok")
     )

@@ -194,12 +194,29 @@ def prepare_training_corpus(
         surv_emb = source.select(id_col, vector_col).join(
             out.select(id_col), id_col, "left_semi"
         )
+        # a NULL or wrong-dim embedding has no mode: it cannot be capped,
+        # and fed onward it either crashes the arrow assign or pools into
+        # one fake NULL-cluster mode that silently over-drops (review-
+        # found r9) — such docs PASS the stage uncapped, like every other
+        # stage's row-preserving NULL contract
+        dim = len(centroids[0])
+        modeless = surv_emb.filter(
+            F.col(vector_col).isNull() | (F.size(vector_col) != dim)
+        ).select(id_col)
         kept_div = (
             diversity_sample(
-                surv_emb, centroids, cap, vector_col=vector_col, id_col=id_col
+                surv_emb.filter(
+                    F.col(vector_col).isNotNull()
+                    & (F.size(vector_col) == dim)
+                ),
+                centroids,
+                cap,
+                vector_col=vector_col,
+                id_col=id_col,
             )
             .filter(F.col("kept"))
             .select(id_col)
+            .unionByName(modeless)
         )
         out = out.join(kept_div, id_col, "left_semi").localCheckpoint(eager=False)
 
@@ -383,21 +400,13 @@ def corpus_to_token_shards(
     # is also fine but leaves nothing pinning artifact == lookup)
     vocab_saved = spark.read.parquet(os.path.join(tok_dir, "vocab.parquet"))
 
-    per_doc_eos = 1 if (assemble and eos_id is not None) else 0
-    ids = (
+    # the packing weight (+eos when assembling) derives inside the shared
+    # helper — the one home of the weight rule
+    manifest = _pack_and_write_ids(
         tokens_to_ids(
             enc, vocab_saved, tokens_col="_bpe_toks", out_col="token_ids",
             oov=oov, id_col=id_col,
-        )
-        .select(
-            id_col,
-            "token_ids",
-            F.size("token_ids").cast("bigint").alias("n_tokens"),
-            (F.size("token_ids") + per_doc_eos).cast("bigint").alias("_w"),
-        )
-    )
-    manifest = _pack_and_write_ids(
-        ids,
+        ),
         os.path.join(out_dir, "shards"),
         budget=budget,
         id_col=id_col,

@@ -260,17 +260,10 @@ def write_token_shards(
 
     from jsonify2ai_spark.operators.bpe import tokenize_to_ids
 
-    per_doc_eos = 1 if (assemble and eos_id is not None) else 0
-    ids = tokenize_to_ids(
-        docs, merges, vocab, text_col=text_col, id_col=id_col, oov=oov
-    ).select(
-        id_col,
-        "token_ids",
-        F.size("token_ids").cast("bigint").alias("n_tokens"),
-        (F.size("token_ids") + per_doc_eos).cast("bigint").alias("_w"),
-    )
     return _pack_and_write_ids(
-        ids,
+        tokenize_to_ids(
+            docs, merges, vocab, text_col=text_col, id_col=id_col, oov=oov
+        ),
         out_dir,
         budget=budget,
         id_col=id_col,
@@ -297,13 +290,29 @@ def _pack_and_write_ids(
 ) -> dict:
     """Shared pack-and-write tail of :func:`write_token_shards` and
     :func:`~jsonify2ai_spark.pipelines.corpus_to_token_shards` — ``ids``
-    carries (id_col, token_ids, n_tokens, _w) where ``_w`` is the packing
-    weight (token count, + per-doc eos when assembling)."""
+    needs (id_col, token_ids); the packing weight (token count, + the
+    per-doc eos when assembling) is derived HERE so the weight rule has
+    exactly one home (review-found r9: two call sites carried the same
+    projection and could drift)."""
+    from pyspark.sql import functions as F
+
     from jsonify2ai_spark.operators.packing import (
         concat_token_bins,
         pack_sequences,
     )
 
+    if boundaries and not assemble:
+        raise ValueError(
+            "boundaries=True needs assemble=True: per-doc shard rows "
+            "carry no assembled sequence to attach doc_ids/doc_lens to"
+        )
+    per_doc_eos = 1 if (assemble and eos_id is not None) else 0
+    ids = ids.select(
+        id_col,
+        "token_ids",
+        F.size("token_ids").cast("bigint").alias("n_tokens"),
+        (F.size("token_ids") + per_doc_eos).cast("bigint").alias("_w"),
+    )
     packed = pack_sequences(
         ids, budget=budget, size_col="_w", id_col=id_col, n_groups=n_groups
     ).drop("_w")

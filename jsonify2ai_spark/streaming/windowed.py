@@ -1045,8 +1045,19 @@ class DiversityCapGate:
                 )
 
         idc = self._id_col
+        # a NULL or wrong-dim embedding has no mode: it cannot be capped
+        # (fed onward it would crash the arrow assign or pool into one
+        # fake NULL-cluster mode that over-drops; review-found r9) — such
+        # rows ADMIT uncapped, mirroring prepare_training_corpus's
+        # diversity stage, and never debit any budget
+        _dim = len(self._centroids[0])
+        _valid = F.col(self._vector_col).isNotNull() & (
+            F.size(self._vector_col) == _dim
+        )
+        modeless = batch.filter(~_valid)
         assigned = ivf_assign(
-            batch, self._centroids, self._vector_col, impl=self._impl
+            batch.filter(_valid), self._centroids, self._vector_col,
+            impl=self._impl,
         )
         h = F.md5(
             F.concat_ws(
@@ -1092,7 +1103,9 @@ class DiversityCapGate:
                 # replay of _last_batch_id raises instead of re-deriving
                 # from stale pre-state (review-found r9)
                 self._snapshot_valid = False
-        return admitted.drop("cluster", "_rk", "_remaining")
+        return admitted.drop("cluster", "_rk", "_remaining").unionByName(
+            modeless
+        )
 
     def foreach_batch(self, append):
         """Wrap ``append(clean_df, batch_id)`` as a foreachBatch callable
@@ -1169,9 +1182,11 @@ class LeakageGate:
     chassis with the benchmark replaced by the pipeline's own train
     split. Per-batch work: explode the batch's held rows into distinct
     (id, shingle) pairs (batch-sized), broadcast THEM into one pass over
-    the persisted train set, one per-held-doc count. The train artifact
-    is corpus-proportional — it is the SCANNED side, never broadcast
-    (the q114 broadcast-guard lesson applies doubly in streaming), so
+    the persisted train set, one per-held-doc count — guarded by
+    ``broadcast_held_max`` (a giant backfill batch falls back to a
+    shuffled join, same bound as the batch operator's). The train
+    artifact is corpus-proportional — it is the SCANNED side, never
+    broadcast (the q114 broadcast-guard lesson applies doubly), so
     per-trigger cost is one train-artifact scan: size triggers
     accordingly (batch the probes; a per-document trigger would pay the
     scan per document).
@@ -1195,6 +1210,7 @@ class LeakageGate:
         n: int = 8,
         train_split: str = "train",
         normalize: bool = False,
+        broadcast_held_max: int = 2_000_000,
     ) -> None:
         from jsonify2ai_spark.functions.text import shingles
 
@@ -1204,6 +1220,7 @@ class LeakageGate:
         self._n = n
         self._train_split = train_split
         self._normalize = normalize
+        self._broadcast_held_max = broadcast_held_max
         self._tsh = (
             corpus.filter(F.col(split_col) == train_split)
             .select(
@@ -1239,9 +1256,21 @@ class LeakageGate:
             )
             .filter(F.col("sh") != "")
             .distinct()
+            # the count below materializes this; the join then reads the
+            # checkpoint instead of re-shingling (split_leakage_report's
+            # guard pattern)
+            .localCheckpoint(eager=False)
+        )
+        # a normal micro-batch's pairs broadcast; a giant backfill batch
+        # (availableNow restart) must NOT force-broadcast a corpus-sized
+        # side (review-found r9 — the same unguarded-F.broadcast OOM the
+        # batch operator's broadcast_held_max fixed), so fall back to a
+        # plain shuffled join above the threshold
+        probe = (
+            F.broadcast(d) if d.count() <= self._broadcast_held_max else d
         )
         shared = (
-            self._tsh.join(F.broadcast(d), "sh")
+            self._tsh.join(probe, "sh")
             .groupBy(idc)
             .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
         )
@@ -1286,10 +1315,12 @@ class LeakageGate:
                     self._n,
                     self._train_split,
                     self._normalize,
+                    self._broadcast_held_max,
                 )
             ],
             "split_col string, text_col string, id_col string, n int, "
-            "train_split string, normalize boolean",
+            "train_split string, normalize boolean, "
+            "broadcast_held_max long",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
@@ -1302,6 +1333,12 @@ class LeakageGate:
         obj._n = int(meta["n"])
         obj._train_split = meta["train_split"]
         obj._normalize = bool(meta["normalize"])
+        # pre-r9-guard artifacts lack the field: default, don't crash
+        obj._broadcast_held_max = (
+            int(meta["broadcast_held_max"])
+            if "broadcast_held_max" in meta.__fields__
+            else 2_000_000
+        )
         obj._tsh = spark.read.parquet(f"{path}/tsh").persist()
         obj._tsh.count()
         return obj
@@ -1352,6 +1389,13 @@ class TokenizeGate:
     ) -> None:
         from jsonify2ai_spark.operators.bpe import _ids_lookup_udf
 
+        # same contract as tokens_to_ids, enforced at CONSTRUCTION — an
+        # invalid policy must not surface as a mid-stream per-batch crash
+        # (or round-trip through save() as str(True); review-found r9)
+        if isinstance(oov, bool) or not (
+            oov in ("drop", "error") or isinstance(oov, int)
+        ):
+            raise ValueError(f"oov must be 'drop', 'error', or an int id: {oov!r}")
         self._merges = [tuple(m) for m in merges]
         self._input_col = text_col
         self._id_col = id_col

@@ -2930,3 +2930,28 @@ def test_concat_token_bins_boundaries(spark):
         for r in concat_token_bins(packed, with_boundaries=True).collect()
     }
     assert raw[(0, 0)]["doc_lens"] == [2, 1] and raw[(0, 1)]["doc_lens"] == [0]
+
+
+def test_tokens_to_ids_join_rejects_null_ids(spark):
+    """r9 review: impl='join' reassembles by equi-join on id_col, and a
+    NULL key never matches itself — the plan raises instead of silently
+    returning [] for the NULL-id row (udf-form parity would break)."""
+    import pytest as _pytest
+
+    from jsonify2ai_spark.operators.bpe import tokens_to_ids
+
+    vocab = spark.createDataFrame(
+        [("a", 0), ("b", 1)], "token string, token_id long"
+    )
+    df = spark.createDataFrame(
+        [(1, ["a"]), (None, ["b"])],
+        "doc_id long, bpe_tokens array<string>",
+    )
+    with _pytest.raises(Exception, match="NULL in id column"):
+        tokens_to_ids(df, vocab, impl="join").collect()
+    # udf form still maps the NULL-id row's tokens
+    got = {
+        r["doc_id"]: r["token_ids"]
+        for r in tokens_to_ids(df, vocab, impl="udf").collect()
+    }
+    assert got[1] == [0] and got[None] == [1]

@@ -487,3 +487,54 @@ def test_corpus_to_token_shards_manifest(spark, tmp_path):
     assert m["rows"] == ret["rows"] == 6
     assert m["config"]["shuffle_seed"] == 3
     assert m["vocab_size"] == ret["vocab_size"] > 0
+
+
+def test_diversity_stage_modeless_rows_pass_uncapped(spark):
+    """r9 review: survivors with NULL or wrong-dim embeddings have no
+    mode — they PASS the diversity stage uncapped instead of crashing
+    the arrow assign or pooling into a fake NULL-cluster mode."""
+    from jsonify2ai_spark.pipelines import prepare_training_corpus
+
+    # distinct, high-quality texts so prep keeps everything
+    rows = []
+    texts = [
+        "alpha writes about rivers and mountains in long sentences",
+        "beta discusses compilers and type systems at some length",
+        "gamma covers gardening with tomatoes and composting advice",
+        "delta explains sailing knots and tide tables carefully",
+    ]
+    embs = [[1.0, 0.0], [0.9, 0.1], None, [1.0, 0.0, 0.0]]  # last is wrong-dim
+    for i, (t, e) in enumerate(zip(texts, embs)):
+        rows.append((i, t, e))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+    out = prepare_training_corpus(
+        docs,
+        min_quality=0.0,
+        filter_repetitive=False,
+        near_dedup=False,
+        redact=False,
+        pack_budget=None,
+        diversity=([[1.0, 0.0], [0.0, 1.0]], 1),  # cap 1 per mode
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    # docs 0,1 share mode 0 -> cap keeps one; modeless 2,3 pass uncapped
+    assert {2, 3} <= kept
+    assert len(kept & {0, 1}) == 1
+
+
+def test_pack_and_write_boundaries_requires_assemble(spark, tmp_path):
+    """r9 review: boundaries=True without assemble=True must raise, not
+    silently write shards lacking the promised doc_ids/doc_lens."""
+    import pytest as _pytest
+
+    from jsonify2ai_spark.pipelines import corpus_to_token_shards
+
+    docs = spark.createDataFrame(
+        [(1, "a few words")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="assemble"):
+        corpus_to_token_shards(
+            docs, str(tmp_path / "x"), num_merges=2, boundaries=True
+        )
