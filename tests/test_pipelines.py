@@ -538,3 +538,58 @@ def test_pack_and_write_boundaries_requires_assemble(spark, tmp_path):
         corpus_to_token_shards(
             docs, str(tmp_path / "x"), num_merges=2, boundaries=True
         )
+
+
+def test_full_pretraining_story_integration(spark, tables, tmp_path):
+    """r9 closing integration pin: the whole pretraining data path
+    composes on the real test corpus — prep (quality/dedup/redact) ->
+    corpus_to_token_shards (train tokenizer, encode once, pack,
+    assembled+bounded+shuffled shards, manifest) -> TokenizeGate
+    .from_artifacts encodes an 'incremental' slice with the SAME
+    inventory the batch run minted."""
+    import json
+    import os
+
+    from jsonify2ai_spark.pipelines import corpus_to_token_shards
+    from jsonify2ai_spark.streaming.windowed import TokenizeGate
+
+    docs = tables["documents"].select("doc_id", "text")
+    root = str(tmp_path / "story")
+    ret = corpus_to_token_shards(
+        docs,
+        root,
+        num_merges=24,
+        merge_batch=4,
+        exact=False,
+        budget=128,
+        n_groups=4,
+        assemble=True,
+        eos_id=0,
+        boundaries=True,
+        shuffle_seed=11,
+        prep={"min_quality": 0.0, "near_dedup": True, "redact": False},
+    )
+    assert ret["rows"] > 0 and ret["vocab_size"] > 0
+    with open(os.path.join(root, "manifest.json")) as fh:
+        m = json.load(fh)
+    assert m["rows"] == ret["rows"] and m["config"]["boundaries"] is True
+
+    seqs = spark.read.parquet(os.path.join(root, "shards"))
+    row = seqs.first()
+    assert len(row["input_ids"]) == 128  # padded to budget
+    assert sum(row["doc_lens"]) == row["n_ids"] <= 128
+
+    # incremental slice through the streaming face: every id the gate
+    # mints exists in the batch-minted vocab
+    gate = TokenizeGate.from_artifacts(spark, root)
+    inc = docs.limit(20)
+    out = gate.filter_batch(inc)
+    vocab_ids = {
+        r["token_id"]
+        for r in spark.read.parquet(
+            os.path.join(root, "tokenizer", "vocab.parquet")
+        ).collect()
+    }
+    for r in out.collect():
+        assert set(r["token_ids"]) <= vocab_ids
+    gate.close()
