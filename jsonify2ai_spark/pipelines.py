@@ -468,3 +468,82 @@ def load_tokenizer(spark, out_dir: str):
     ]
     vocab = spark.read.parquet(os.path.join(tok_dir, "vocab.parquet"))
     return merges, vocab
+
+
+def append_token_shards(
+    new_docs: DataFrame,
+    out_dir: str,
+    run_id: str,
+    prep: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incremental counterpart of :func:`corpus_to_token_shards` (r9):
+    encode NEW documents under the run's FROZEN tokenizer and append
+    them as a self-contained increment at
+    ``<out_dir>/shards_incr/<run_id>/`` — the standing-ingest batch face
+    (the streaming face is :class:`~jsonify2ai_spark.streaming.windowed.
+    TokenizeGate`). The tokenizer is NOT retrained (ids must stay stable
+    under the trained model; drift surfaces through the run's recorded
+    ``oov`` policy) and packing config (budget / groups / assemble /
+    eos / boundaries / oov) is read from the run's ``manifest.json`` so
+    an increment can never silently diverge from the base run's shard
+    shape. ``prep`` forwards to :func:`prepare_training_corpus` for the
+    batch's own cleanup (corpus-context dedup against the BASE corpus is
+    the caller's step — :func:`prepare_incremental_batch`).
+
+    Each increment is keyed by ``run_id`` (re-running the same id
+    overwrites it — idempotent re-ingest); the manifest gains an
+    ``increments`` map of run_id -> rows. Scale shape: identical to the
+    base run's post-encode path (frozen-vocab Arrow lookup, one pack
+    shuffle, partitioned write), over the increment only.
+    """
+    import json
+    import os
+
+    from jsonify2ai_spark.operators.bpe import tokenize_to_ids
+    from jsonify2ai_spark.sinks.export import _pack_and_write_ids
+
+    man_path = os.path.join(out_dir, "manifest.json")
+    with open(man_path, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    cfg = manifest["config"]
+
+    spark = new_docs.sparkSession
+    merges, vocab = load_tokenizer(spark, out_dir)
+
+    prepared = new_docs
+    if prep is not None:
+        kw = dict(prep)
+        kw.setdefault("pack_budget", None)
+        prepared = prepare_training_corpus(
+            new_docs, id_col=id_col, text_col=text_col, **kw
+        )
+    prepared = prepared.select(id_col, text_col)
+
+    oov = cfg["oov"]
+    sub = os.path.join(out_dir, "shards_incr", str(run_id))
+    m = _pack_and_write_ids(
+        tokenize_to_ids(
+            prepared,
+            merges,
+            vocab,
+            text_col=text_col,
+            id_col=id_col,
+            oov=int(oov) if isinstance(oov, int) else oov,
+            lowercase=bool(cfg["lowercase"]),
+        ),
+        sub,
+        budget=int(cfg["budget"]),
+        id_col=id_col,
+        n_groups=int(cfg["n_groups"]),
+        assemble=bool(cfg["assemble"]),
+        eos_id=cfg["eos_id"],
+        pad_id=int(cfg["pad_id"]),
+        shuffle_seed=cfg.get("shuffle_seed"),
+        boundaries=bool(cfg.get("boundaries", False)),
+    )
+    manifest.setdefault("increments", {})[str(run_id)] = m["rows"]
+    with open(man_path, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return {**m, "run_id": str(run_id)}

@@ -593,3 +593,59 @@ def test_full_pretraining_story_integration(spark, tables, tmp_path):
     for r in out.collect():
         assert set(r["token_ids"]) <= vocab_ids
     gate.close()
+
+
+def test_append_token_shards_increment(spark, tmp_path):
+    """r9: append_token_shards encodes an increment under the base run's
+    FROZEN tokenizer, takes its packing config from manifest.json (an
+    increment can never silently diverge from the base shard shape),
+    lands at shards_incr/<run_id>/, records itself in the manifest, and
+    re-running the same run_id overwrites idempotently."""
+    import json
+    import os
+
+    from jsonify2ai_spark.pipelines import (
+        append_token_shards,
+        corpus_to_token_shards,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"base document {i} alpha beta gamma delta") for i in range(8)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "run")
+    corpus_to_token_shards(
+        base, root, num_merges=10, budget=32, n_groups=2,
+        assemble=True, eos_id=0,
+    )
+
+    inc = spark.createDataFrame(
+        [(100 + i, f"new arrival {i} alpha beta") for i in range(3)],
+        "doc_id long, text string",
+    )
+    m = append_token_shards(inc, root, "r1")
+    assert m["run_id"] == "r1" and m["rows"] > 0
+    sub = os.path.join(root, "shards_incr", "r1")
+    rows = spark.read.parquet(sub).collect()
+    # base config enforced: assembled, padded to the BASE budget
+    assert all(len(r["input_ids"]) == 32 for r in rows)
+    # every id the increment minted exists in the frozen vocab
+    vocab_ids = {
+        r["token_id"]
+        for r in spark.read.parquet(
+            os.path.join(root, "tokenizer", "vocab.parquet")
+        ).collect()
+    }
+    for r in rows:
+        real = [i for i in r["input_ids"][: r["n_ids"]]]
+        assert set(real) <= vocab_ids | {0}  # ids + eos
+    with open(os.path.join(root, "manifest.json")) as fh:
+        man = json.load(fh)
+    assert man["increments"]["r1"] == m["rows"]
+
+    # idempotent re-ingest: same run_id overwrites, manifest stays sane
+    m2 = append_token_shards(inc, root, "r1")
+    assert m2["rows"] == m["rows"]
+    with open(os.path.join(root, "manifest.json")) as fh:
+        man2 = json.load(fh)
+    assert man2["increments"] == {"r1": m["rows"]}
