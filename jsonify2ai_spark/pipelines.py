@@ -318,7 +318,10 @@ def corpus_to_token_shards(
     text_col: str = "text",
 ) -> dict:
     """Raw corpus -> trainer-loadable packed token-ID shards, one call —
-    the full pretraining data path (r9): optional
+    the full pretraining data path (r9). No reference anchor: the
+    reference's pipeline stops at JSONL export
+    (worker/app/routers/export.py:62-160); this is the north-star
+    generalization's final step. Composition: optional
     :func:`prepare_training_corpus` cleanup, :func:`~jsonify2ai_spark.
     operators.bpe.train_bpe` on the prepared text, :func:`~jsonify2ai_spark.
     operators.textstats.build_vocab` over the trained encoder's own output
@@ -478,7 +481,9 @@ def append_token_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict:
-    """Incremental counterpart of :func:`corpus_to_token_shards` (r9):
+    """Incremental counterpart of :func:`corpus_to_token_shards` (r9; no
+    reference anchor — the reference's incremental path is the watcher
+    re-upsert loop, worker/app/routers/export.py stops at JSONL):
     encode NEW documents under the run's FROZEN tokenizer and append
     them as a self-contained increment at
     ``<out_dir>/shards_incr/<run_id>/`` — the standing-ingest batch face
