@@ -552,3 +552,46 @@ def append_token_shards(
     with open(man_path, "w", encoding="utf-8") as fh:
         json.dump(manifest, fh, indent=2, sort_keys=True)
     return {**m, "run_id": str(run_id)}
+
+
+def read_token_shards(
+    spark,
+    out_dir: str,
+    include_increments: bool = True,
+    validate: bool = False,
+) -> DataFrame:
+    """Load a :func:`corpus_to_token_shards` run for training: the base
+    shards unioned with every :func:`append_token_shards` increment
+    (manifest order), each row tagged ``_source_run`` (``'base'`` or the
+    increment's run_id) so a trainer can weight, exclude, or ablate
+    increments without path games. Lazy by default; ``validate=True``
+    counts each part against the manifest's recorded rows and raises on
+    drift (a torn write or a hand-edited manifest) — one count job per
+    part, so leave it off in the hot path and run it in the ingest
+    audit."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "manifest.json"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+
+    parts = [("base", os.path.join(out_dir, "shards"), manifest["rows"])]
+    if include_increments:
+        for rid, rows in sorted(manifest.get("increments", {}).items()):
+            parts.append(
+                (rid, os.path.join(out_dir, "shards_incr", rid), rows)
+            )
+
+    out = None
+    for rid, path, rows in parts:
+        df = spark.read.parquet(path).withColumn("_source_run", F.lit(rid))
+        if validate:
+            got = df.count()
+            if got != rows:
+                raise ValueError(
+                    f"read_token_shards: part {rid!r} has {got} rows, "
+                    f"manifest records {rows} — torn write or stale "
+                    "manifest"
+                )
+        out = df if out is None else out.unionByName(df)
+    return out

@@ -649,3 +649,47 @@ def test_append_token_shards_increment(spark, tmp_path):
     with open(os.path.join(root, "manifest.json")) as fh:
         man2 = json.load(fh)
     assert man2["increments"] == {"r1": m["rows"]}
+
+
+def test_read_token_shards_unions_increments(spark, tmp_path):
+    """r9: read_token_shards loads base + increments in manifest order
+    with a _source_run tag; validate=True raises on manifest/row drift."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from jsonify2ai_spark.pipelines import (
+        append_token_shards,
+        corpus_to_token_shards,
+        read_token_shards,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"base doc {i} alpha beta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "run")
+    corpus_to_token_shards(base, root, num_merges=6, budget=32, n_groups=2)
+    inc = spark.createDataFrame(
+        [(100, "fresh alpha"), (101, "fresh beta")],
+        "doc_id long, text string",
+    )
+    append_token_shards(inc, root, "r1")
+
+    df = read_token_shards(spark, root, validate=True)
+    by_run = {
+        r["_source_run"]: r["n"]
+        for r in df.groupBy("_source_run").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_run == {"base": 5, "r1": 2}
+    only_base = read_token_shards(spark, root, include_increments=False)
+    assert only_base.count() == 5
+
+    # tampered manifest -> validate raises
+    mp = os.path.join(root, "manifest.json")
+    m = json.load(open(mp))
+    m["increments"]["r1"] = 99
+    json.dump(m, open(mp, "w"))
+    with _pytest.raises(ValueError, match="torn write or stale"):
+        read_token_shards(spark, root, validate=True)
