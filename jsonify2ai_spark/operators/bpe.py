@@ -409,6 +409,7 @@ def tokens_to_ids(
     oov: str | int = "drop",
     id_col: str = "doc_id",
     impl: str = "udf",
+    check_unique: bool = True,
 ) -> DataFrame:
     """Map a token-array column to a token-ID array through a minted
     vocabulary — the embedding-table lookup step between tokenization and
@@ -433,11 +434,18 @@ def tokens_to_ids(
     with position, broadcast-hash-join the vocab on ``token`` (map-side —
     the corpus never shuffles FOR THE LOOKUP), re-assemble per ``id_col``
     ordered by position (one batch-keyed shuffle for the groupBy), join
-    back onto the input row. Needs ``id_col`` unique per row (duplicate
-    ids duplicate rows through the reassembly join — unenforced, a
-    row-count check would cost a pass) and NON-NULL (a NULL key never
-    equi-joins back; the plan raises on one rather than silently
-    returning ``[]``). Identical output to the udf form (parity-pinned)
+    back onto the input row. Needs ``id_col`` unique per row (a
+    duplicated id collapses in the reassembly groupBy — every copy
+    would silently receive the MERGED id sequence of all copies,
+    corrupted data, not an error) and NON-NULL (a NULL key never equi-joins back; the plan
+    raises on one rather than silently returning ``[]``). Uniqueness is
+    therefore ENFORCED by default (r9 advisor): ``check_unique=True``
+    runs one count-vs-count_distinct aggregate over ``id_col`` and
+    raises on duplicates — a single partial-aggregated pass, cheap next
+    to the reassembly shuffle the join form already pays; pass
+    ``check_unique=False`` only when the caller construction guarantees
+    uniqueness (e.g. the composed shard writers, whose upstream dedup
+    keyed on the id). Identical output to the udf form (parity-pinned)
     — reach for it only when the vocab genuinely cannot broadcast, at
     the price of the reassembly shuffle.
     """
@@ -452,6 +460,21 @@ def tokens_to_ids(
         return df.withColumn(out_col, _map(F.col(tokens_col)))
     if impl != "join":
         raise ValueError(f"unknown impl: {impl!r}")
+    if check_unique:
+        u = df.agg(
+            F.count(id_col).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("d"),
+        ).first()
+        if u["n"] != u["d"]:
+            raise ValueError(
+                f"tokens_to_ids impl='join': id column {id_col!r} has "
+                f"{u['n'] - u['d']} duplicate key(s) — the positional "
+                "reassembly groups by id, so every copy would receive "
+                "the MERGED id sequence of all copies (silent "
+                "corruption). Deduplicate ids, or pass "
+                "check_unique=False if uniqueness is guaranteed by "
+                "construction."
+            )
     # the positional reassembly equi-joins on id_col, and a NULL key never
     # matches itself — without this guard a NULL-id row would silently get
     # [] instead of its ids, breaking the documented udf-form parity

@@ -2955,3 +2955,47 @@ def test_tokens_to_ids_join_rejects_null_ids(spark):
         for r in tokens_to_ids(df, vocab, impl="udf").collect()
     }
     assert got[1] == [0] and got[None] == [1]
+
+
+def test_tokens_to_ids_join_rejects_duplicate_ids(spark):
+    """r10 (r9 advisor): impl='join' fans out through the reassembly
+    equi-join when id_col is not unique — every copy silently receives
+    ALL copies' rows, corrupting the documented udf-form parity. The
+    default check_unique=True guard raises instead; check_unique=False
+    is the documented opt-out for by-construction-unique callers."""
+    import pytest as _pytest
+
+    from jsonify2ai_spark.operators.bpe import tokens_to_ids
+
+    vocab = spark.createDataFrame(
+        [("a", 0), ("b", 1)], "token string, token_id long"
+    )
+    dup = spark.createDataFrame(
+        [(1, ["a"]), (1, ["b"]), (2, ["a", "b"])],
+        "doc_id long, bpe_tokens array<string>",
+    )
+    with _pytest.raises(ValueError, match="duplicate key"):
+        tokens_to_ids(dup, vocab, impl="join")
+    # opt-out still works (caller takes responsibility); the corruption
+    # the guard protects against: both copies of id 1 receive the MERGED
+    # array of both copies' tokens (positions collide in the groupBy)
+    fanned = tokens_to_ids(dup, vocab, impl="join", check_unique=False)
+    merged = [
+        r["token_ids"] for r in fanned.filter("doc_id = 1").collect()
+    ]
+    assert merged == [[0, 1], [0, 1]]
+
+    # unique ids: guard passes and parity with the udf form holds
+    uniq = spark.createDataFrame(
+        [(1, ["a"]), (2, ["a", "b"])],
+        "doc_id long, bpe_tokens array<string>",
+    )
+    j = {
+        r["doc_id"]: r["token_ids"]
+        for r in tokens_to_ids(uniq, vocab, impl="join").collect()
+    }
+    u = {
+        r["doc_id"]: r["token_ids"]
+        for r in tokens_to_ids(uniq, vocab, impl="udf").collect()
+    }
+    assert j == u == {1: [0], 2: [0, 1]}
