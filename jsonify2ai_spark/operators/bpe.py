@@ -401,6 +401,27 @@ def _ids_lookup_udf(spark, mapping: dict, oov):
     return pandas_udf(_map_batch, "array<bigint>"), bc
 
 
+def _oov_count_udf(bc):
+    """Arrow-batched count of tokens NOT in the broadcast vocab ``bc``
+    (the mapping an :func:`_ids_lookup_udf` call shipped) — the
+    drift-rate numerator for :class:`~jsonify2ai_spark.streaming.
+    windowed.TokenizeGate`'s OOV monitor. Counted directly against the
+    mapping so the metric is policy-independent: under ``oov=<unk id>``
+    the id array's length match hides substitutions, and a legitimate
+    token could share the unk id."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _cnt_batch(tok_ser):
+        m = bc.value
+        return tok_ser.map(
+            lambda arr: 0
+            if arr is None
+            else sum(1 for t in arr if t not in m)
+        )
+
+    return pandas_udf(_cnt_batch, "bigint")
+
+
 def tokens_to_ids(
     df: DataFrame,
     vocab: DataFrame,

@@ -1197,6 +1197,22 @@ class LeakageGate:
     (parity-pinned); :meth:`filter_batch` is the chain face (kind
     ``filter``): leaked held rows drop, everything else passes with the
     input schema.
+
+    STATIC-TRAIN-SNAPSHOT contract (r10, r9 advisor): the train-shingle
+    artifact is a snapshot of the corpus given AT CONSTRUCTION. Held-out
+    rows in later micro-batches are audited against that snapshot only —
+    train-split rows arriving IN THE STREAM are passed through (they are
+    not held-out) but are NOT added to the artifact, so a held document
+    that collides only with post-construction train arrivals will read
+    clean. The stream==batch parity claim above therefore holds exactly
+    when the train side is static. This is the same frozen-artifact
+    stance as ``TokenizeGate``'s tokenizer and the IVF centroids:
+    growing the train side is an explicit offline event — call
+    :meth:`rebuild` with the grown corpus (e.g. on the
+    ``refresh_quantizer`` cadence, or whenever the appended train mass
+    crosses a few percent), not a silent per-batch mutation (per-batch
+    re-shingling of a 100 TB train split would put a corpus-sized job
+    inside every trigger).
     """
 
     kind = "filter"  # StreamingPrepChain dispatch (see CorpusNearDupGate)
@@ -1212,8 +1228,6 @@ class LeakageGate:
         normalize: bool = False,
         broadcast_held_max: int = 2_000_000,
     ) -> None:
-        from jsonify2ai_spark.functions.text import shingles
-
         self._split_col = split_col
         self._text_col = text_col
         self._id_col = id_col
@@ -1221,23 +1235,37 @@ class LeakageGate:
         self._train_split = train_split
         self._normalize = normalize
         self._broadcast_held_max = broadcast_held_max
+        self.rebuild(corpus)  # materializes before the first trigger
+
+    def _prep(self, c):
+        if not self._normalize:
+            return c
+        return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+    def rebuild(self, corpus: DataFrame) -> None:
+        """Re-snapshot the train-shingle artifact from ``corpus`` (the
+        grown corpus INCLUDING streamed-in train rows) — the explicit
+        offline refresh of the static-train contract, mirroring
+        refresh_quantizer: one corpus-proportional job the operator
+        schedules, never a per-trigger cost. Subsequent batches audit
+        against the new snapshot; the old artifact is unpersisted."""
+        from jsonify2ai_spark.functions.text import shingles
+
+        old = getattr(self, "_tsh", None)  # None on first (__init__) build
         self._tsh = (
-            corpus.filter(F.col(split_col) == train_split)
+            corpus.filter(F.col(self._split_col) == self._train_split)
             .select(
                 F.explode(
-                    shingles(self._prep(F.col(text_col)), n)
+                    shingles(self._prep(F.col(self._text_col)), self._n)
                 ).alias("sh")
             )
             .filter(F.col("sh") != "")
             .distinct()
             .persist()
         )
-        self._tsh.count()  # materialize before the first trigger
-
-    def _prep(self, c):
-        if not self._normalize:
-            return c
-        return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+        self._tsh.count()
+        if old is not None:
+            old.unpersist()
 
     def report_batch(self, batch: DataFrame) -> DataFrame:
         """Audit rows (id, split, n_shared_ngrams, leaked) for the
@@ -1372,7 +1400,23 @@ class TokenizeGate:
     never the corpus. The vocab is collected ONCE at construction
     (tokenizer-sized, 8k-256k entries) and shipped as a broadcast
     variable reused across every trigger; no per-batch collect, no
-    shuffle anywhere.
+    shuffle anywhere (the opt-in OOV monitor below adds one batch-sized
+    two-scalar aggregate per trigger).
+
+    OOV drift monitor (r10, r9 verdict #6 — the health loop the frozen-
+    tokenizer stance needs, completing the refresh_quantizer analogy):
+    ``oov_alert=<fraction>`` measures each batch's OOV token rate
+    (tokens absent from the frozen vocab / total BPE tokens, counted
+    directly against the broadcast mapping so the metric is identical
+    under drop/unk/error policies) and records it in
+    :attr:`oov_history`; :attr:`oov_breached` flips when the LAST
+    batch's rate exceeds the threshold — the "retrain the tokenizer
+    offline" signal (rebuild via corpus_to_token_shards, then hand the
+    stream a new gate with :meth:`from_artifacts`; ids under the old
+    vocab stay valid, which is the point of freezing). Surfaced like
+    ``mixture_monitor``: the history is driver-side telemetry, one dict
+    per processed batch, not persisted by :meth:`save` (a restarted
+    gate starts a fresh window; the threshold itself round-trips).
     """
 
     kind = "rewrite"  # StreamingPrepChain dispatch (see CorpusNearDupGate)
@@ -1386,6 +1430,7 @@ class TokenizeGate:
         out_col: str = "token_ids",
         oov: "str | int" = "drop",
         lowercase: bool = True,
+        oov_alert: "float | None" = None,
     ) -> None:
         from jsonify2ai_spark.operators.bpe import _ids_lookup_udf
 
@@ -1411,6 +1456,20 @@ class TokenizeGate:
             for r in vocab.select("token", "token_id").collect()
         }
         self._udf, self._bc = _ids_lookup_udf(self._spark, self._mapping, oov)
+        if oov_alert is not None and not (0.0 <= float(oov_alert) <= 1.0):
+            raise ValueError(f"oov_alert must be a fraction in [0, 1]: {oov_alert!r}")
+        self._oov_alert = None if oov_alert is None else float(oov_alert)
+        self.oov_history: list[dict] = []
+        if self._oov_alert is not None:
+            from jsonify2ai_spark.operators.bpe import _oov_count_udf
+
+            self._oov_udf = _oov_count_udf(self._bc)
+
+    @property
+    def oov_breached(self) -> bool:
+        """True when the LAST processed batch's OOV rate exceeded
+        ``oov_alert`` — the retrain-the-tokenizer-offline signal."""
+        return bool(self.oov_history) and self.oov_history[-1]["breach"]
 
     @classmethod
     def from_artifacts(cls, spark, out_dir: str, **kw) -> "TokenizeGate":
@@ -1436,6 +1495,30 @@ class TokenizeGate:
             out_col="_toks",
             lowercase=self._lowercase,
         )
+        if self._oov_alert is not None:
+            # one materialization: the monitor aggregate below AND the
+            # caller's sink both read this (batch-sized) — without it the
+            # rank-loop encode would run twice per trigger
+            enc = enc.localCheckpoint(eager=False)
+            row = enc.agg(
+                F.coalesce(
+                    F.sum(F.size("_toks")), F.lit(0)
+                ).cast("bigint").alias("nt"),
+                F.coalesce(
+                    F.sum(self._oov_udf(F.col("_toks"))), F.lit(0)
+                ).cast("bigint").alias("no"),
+            ).first()
+            nt, no = int(row["nt"]), int(row["no"])
+            rate = (no / nt) if nt else 0.0
+            self.oov_history.append(
+                {
+                    "batch": len(self.oov_history),
+                    "n_tokens": nt,
+                    "n_oov": no,
+                    "oov_rate": rate,
+                    "breach": rate > self._oov_alert,
+                }
+            )
         return enc.select(
             F.col(self._id_col),
             self._udf(F.col("_toks")).alias(self._text_col),
@@ -1472,10 +1555,11 @@ class TokenizeGate:
                     str(self._oov),
                     isinstance(self._oov, int),
                     self._lowercase,
+                    self._oov_alert,
                 )
             ],
             "text_col string, id_col string, out_col string, oov string, "
-            "oov_is_int boolean, lowercase boolean",
+            "oov_is_int boolean, lowercase boolean, oov_alert double",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
@@ -1489,6 +1573,10 @@ class TokenizeGate:
         ]
         vocab = spark.read.parquet(f"{path}/vocab.parquet")
         oov = int(meta["oov"]) if meta["oov_is_int"] else meta["oov"]
+        # pre-r10 artifacts lack the monitor field: default, don't crash
+        alert = (
+            meta["oov_alert"] if "oov_alert" in meta.__fields__ else None
+        )
         return cls(
             merges,
             vocab,
@@ -1497,6 +1585,7 @@ class TokenizeGate:
             out_col=meta["out_col"],
             oov=oov,
             lowercase=bool(meta["lowercase"]),
+            oov_alert=alert,
         )
 
     def close(self) -> None:

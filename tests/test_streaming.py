@@ -1373,3 +1373,94 @@ def test_tokenize_gate_rejects_bad_oov(spark):
         TokenizeGate([], vocab, oov="unk")
     with _pytest.raises(ValueError, match="oov"):
         TokenizeGate([], vocab, oov=True)
+    with _pytest.raises(ValueError, match="oov_alert"):
+        TokenizeGate([], vocab, oov_alert=1.5)
+
+
+def test_leakage_gate_rebuild_covers_streamed_train(spark):
+    """r10 (r9 advisor): the train artifact is a STATIC snapshot — a held
+    doc colliding only with post-construction train arrivals reads clean
+    until rebuild() re-snapshots the grown corpus (the explicit offline
+    refresh, mirroring refresh_quantizer)."""
+    from jsonify2ai_spark.streaming.windowed import LeakageGate
+
+    phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    schema = "doc_id long, text string, split string"
+    corpus0 = spark.createDataFrame(
+        [(1, "original train body with its own words only here", "train")],
+        schema,
+    )
+    gate = LeakageGate(corpus0, n=8)
+
+    # a NEW train doc streams in carrying the phrase; a held doc quotes it
+    new_train = (2, f"late train arrival {phrase} appended", "train")
+    held = (10, f"held doc quoting {phrase} verbatim", "val")
+    batch = spark.createDataFrame([new_train, held], schema)
+
+    # static snapshot: the held doc reads CLEAN (documented limitation)
+    rep = {r["doc_id"]: r["leaked"] for r in gate.report_batch(batch).collect()}
+    assert rep == {10: False}
+
+    # offline refresh with the grown corpus -> the leak is now visible
+    gate.rebuild(corpus0.unionByName(spark.createDataFrame([new_train], schema)))
+    rep2 = {r["doc_id"]: r["leaked"] for r in gate.report_batch(batch).collect()}
+    assert rep2 == {10: True}
+    gate.close()
+
+
+def test_tokenize_gate_oov_monitor(spark, tmp_path):
+    """r10 (r9 verdict #6): oov_alert= measures each batch's OOV token
+    rate against the frozen vocab — no breach on the training corpus
+    itself, breach flagged on a drifted stream; the metric is counted
+    against the mapping so it works identically under an <unk>
+    substitution policy; the threshold survives save/load."""
+    from jsonify2ai_spark.operators.bpe import (
+        bpe_encode_fast,
+        train_bpe,
+    )
+    from jsonify2ai_spark.operators.textstats import build_vocab
+    from jsonify2ai_spark.streaming.windowed import TokenizeGate
+
+    rows = [
+        (1, "the cat sat on the mat", "a"),
+        (2, "the cats sat on the mats", "a"),
+    ]
+    schema = "doc_id long, text string, source string"
+    corpus = spark.createDataFrame(rows, schema)
+    merges = train_bpe(corpus, num_merges=12)
+    enc = bpe_encode_fast(corpus, merges, out_col="_toks")
+    vocab = build_vocab(enc, token_array_col="_toks")
+
+    gate = TokenizeGate(merges, vocab, oov_alert=0.3)
+    # the training corpus through its own tokenizer: zero OOV, no breach
+    gate.filter_batch(corpus).collect()
+    assert gate.oov_history[-1]["n_oov"] == 0
+    assert not gate.oov_breached
+
+    # drifted stream: vocabulary the tokenizer never saw
+    drift = spark.createDataFrame(
+        [(7, "zygomorphic quasar xylophone jurisprudence", "z")], schema
+    )
+    gate.filter_batch(drift).collect()
+    assert gate.oov_history[-1]["oov_rate"] > 0.3
+    assert gate.oov_breached
+    assert len(gate.oov_history) == 2
+
+    # same metric under the <unk> substitution policy (id-array length
+    # would hide substitutions — the count is against the mapping)
+    unk = TokenizeGate(merges, vocab, oov=0, oov_alert=0.3)
+    unk.filter_batch(drift).collect()
+    assert unk.oov_breached
+    assert (
+        unk.oov_history[-1]["n_oov"] == gate.oov_history[-1]["n_oov"]
+    )
+
+    # threshold round-trips; history is fresh telemetry after restart
+    gate.save(str(tmp_path / "tg"))
+    g2 = TokenizeGate.load(spark, str(tmp_path / "tg"))
+    assert g2._oov_alert == 0.3 and g2.oov_history == []
+    g2.filter_batch(drift).collect()
+    assert g2.oov_breached
+    gate.close()
+    unk.close()
+    g2.close()
