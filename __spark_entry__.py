@@ -2168,81 +2168,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 #4 / r5 #4, amended r9): (a) every NEW operator's first driver
     # row is in-gate, (b) any query whose code changed this round is
     # in-gate, (c) remaining slots go to the OLDEST driver-green cohort so
-    # no query sits >2 rounds without a driver row. The old rule (a) —
-    # q51-q62 permanently pinned — was RETIRED late r9 (rationale expired
-    # after seven green rounds; the 12 frozen slots caused the zero-slack
-    # crunch): ALL queries now rotate. Run scripts/gate_staleness.py to
-    # plan each rotation.
-    # Round-9 gate (laid out before the retirement, so it still holds
-    # q51-q62): SIX changed/new rows (q116 new tokens_to_ids; q117 new
-    # pack_token_ids; q118 new semantic_decontaminate; q113 assign_splits
-    # NULL policy; q114 split_leakage broadcast guard; q115 whose module
-    # changed) + q51-q62 + the ENTIRE 32-query r6-green cohort (the full
-    # rotation debt — q100/q101 double as the changed-pipelines rows,
-    # q104 as the changed-build_vocab row) = exactly 50, zero fill.
-    # r10 pre-plan (post-retirement arithmetic): 32 r7-greens mandatory,
-    # 18 slots free — spend them pre-paying r9-greens (q51-q62 and
-    # q116-q118 first); r11 owes the 35-query r8-green cohort (15 free).
-    # See COVERAGE.md.
+    # no query sits >2 rounds without a driver row. ALL queries rotate
+    # (the q51-q62 permanent pin was retired late r9). Run
+    # scripts/gate_staleness.py to plan each rotation; `--check` FAILS if
+    # this ordering wastes gate slots on fresh queries while staler ones
+    # wait (the r10 miss, mechanized — see tests/test_entry.py).
+    # Round-11 gate (r10 skipped its rotation, so the debt is 67 stale
+    # queries against 50 slots — larger than one round can clear): the
+    # ENTIRE 32-query r7-green cohort (3 rounds driver-stale, the oldest
+    # debt) + the 18 OLDEST r8-greens, in gate_staleness.py order.
+    # Round-12 owes the remaining 17 r8-greens (q78 q79 q81 q84 q85 q86
+    # q87 q88 q90 q91 q92 q16 q17 q18 q25 q27 q45, laid out first in the
+    # tail below) + the r9/r10-green cohort as it ages. See COVERAGE.md.
     return {
-        # --- changed / new this round (r9): edited operators gate first
-        "q116_token_ids": q116_token_ids,  # NEW r9: token->id lookup (first driver row)
-        "q113_assign_splits": q113_assign_splits,  # changed r9: NULL-key policy (r8 advisor)
-        "q114_split_leakage": q114_split_leakage,  # changed r9: broadcast guard (r8 verdict #2)
-        "q115_diversity_sample": q115_diversity_sample,  # module changed r9 (sampling.py); operator body untouched
-        "q117_pack_token_ids": q117_pack_token_ids,  # NEW r9: trainer-sequence assembly (first driver row)
-        "q118_semantic_decontaminate": q118_semantic_decontaminate,  # NEW r9: embedding decontamination (first driver row)
-        # --- q51-q62 (in this gate per the pre-retirement layout; they
-        # --- rotate normally from r10 — see the header note)
-        "q51_dedup_clusters": q51_dedup_clusters,
-        "q52_jaccard_capped": q52_jaccard_capped,
-        "q53_ingest_summary": q53_ingest_summary,
-        "q54_stratified_sample": q54_stratified_sample,
-        "q55_weighted_interleave": q55_weighted_interleave,
-        "q56_chat_chunk_stats": q56_chat_chunk_stats,
-        "q57_pack_sequences": q57_pack_sequences,
-        "q58_pii_scan": q58_pii_scan,
-        "q59_repetition_quality": q59_repetition_quality,
-        "q60_decontaminate": q60_decontaminate,
-        "q61_unigram_logprob": q61_unigram_logprob,
-        "q62_embed_dup_clusters": q62_embed_dup_clusters,
-        # --- r6-green cohort: ALL 32 hit the >2-rounds-stale line at r9
-        # (scripts/gate_staleness.py) — the full rotation debt, paid at once
-        "q93_syndication_capped": q93_syndication_capped,
-        "q94_language_mix": q94_language_mix,
-        "q96_curriculum_buckets": q96_curriculum_buckets,
-        "q98_line_dedup": q98_line_dedup,
-        "q99_tokenizer_fertility": q99_tokenizer_fertility,
-        "q100_training_pipeline": q100_training_pipeline,
-        "q101_incremental_pipeline": q101_incremental_pipeline,
-        "q102_conversation_lint": q102_conversation_lint,
-        "q103_squeeze_lines": q103_squeeze_lines,
-        "q104_build_vocab": q104_build_vocab,
-        "q80_length_outliers": q80_length_outliers,
-        "q82_mixture_weights": q82_mixture_weights,
-        "q03_topk_orders": q03_topk_orders,
-        "q05_region_customers": q05_region_customers,
-        "q07_cumulative_spend": q07_cumulative_spend,
-        "q08_union_slices": q08_union_slices,
-        "q10_top3_per_customer": q10_top3_per_customer,
-        "q04_orders_per_customer": q04_orders_per_customer,
-        "q06_events_dedup": q06_events_dedup,
-        "q13_lang_distribution": q13_lang_distribution,
-        "q32_order_revenue": q32_order_revenue,
-        "q33_events_inventory": q33_events_inventory,
-        "q36_pagination": q36_pagination,
-        "q37_source_projection": q37_source_projection,
-        "q41_semi_join": q41_semi_join,
-        "q43_anti_join": q43_anti_join,
-        "q11_json_extract": q11_json_extract,
-        "q12_doc_stats": q12_doc_stats,
-        "q15_doc_dedup_exact": q15_doc_dedup_exact,
-        "q19_knn_brute": q19_knn_brute,
-        "q21_vector_search_docs": q21_vector_search_docs,
-        "q28_winnowing": q28_winnowing,
-        # ================= tail (entry 51+) =================
-        # r7-green cohort (32): r10 gate's first claim; with the pin
-        # retired, 18 r10 slots remain for changed/new + r9-green pre-pay
+        # --- r7-green cohort (32): 3 rounds driver-stale, pays first ---
         "q108_reference_ppl": q108_reference_ppl,
         "q89_embedding_drift": q89_embedding_drift,
         "q74_embedding_stats": q74_embedding_stats,
@@ -2275,8 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_incremental_dedup": q65_incremental_dedup,
         "q66_token_budget_mix": q66_token_budget_mix,
         "q67_quantized_search": q67_quantized_search,
-        # r8/r9-green cohort (35): r11's mandatory block (+ q116/q113/
-        # q114/q115/q108/q89 from this gate as they age)
+        # --- 18 oldest r8-greens (2 rounds driver-stale) ---
         "q110_span_dedup_keep_one": q110_span_dedup_keep_one,
         "q111_blocklist_lines": q111_blocklist_lines,
         "q112_fix_mojibake": q112_fix_mojibake,
@@ -2295,6 +2233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_dedup_keep_best": q75_dedup_keep_best,
         "q76_containment_pairs": q76_containment_pairs,
         "q77_shingle_census": q77_shingle_census,
+        # ================= tail (entry 51+) =================
+        # remaining r8-greens (17): round-12's mandatory block
         "q78_vocab_stats": q78_vocab_stats,
         "q79_cross_source_dup": q79_cross_source_dup,
         "q81_source_quality": q81_source_quality,
@@ -2312,6 +2252,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_ivf_ann": q25_ivf_ann,
         "q27_bpe_tokens": q27_bpe_tokens,
         "q45_brand_revenue_having": q45_brand_revenue_having,
+        # r9/r10-green cohort (50, the r9+r10 gate): freshest; rotates
+        # back in from r12 as it ages
+        "q116_token_ids": q116_token_ids,
+        "q113_assign_splits": q113_assign_splits,
+        "q114_split_leakage": q114_split_leakage,
+        "q115_diversity_sample": q115_diversity_sample,
+        "q117_pack_token_ids": q117_pack_token_ids,
+        "q118_semantic_decontaminate": q118_semantic_decontaminate,
+        "q51_dedup_clusters": q51_dedup_clusters,
+        "q52_jaccard_capped": q52_jaccard_capped,
+        "q53_ingest_summary": q53_ingest_summary,
+        "q54_stratified_sample": q54_stratified_sample,
+        "q55_weighted_interleave": q55_weighted_interleave,
+        "q56_chat_chunk_stats": q56_chat_chunk_stats,
+        "q57_pack_sequences": q57_pack_sequences,
+        "q58_pii_scan": q58_pii_scan,
+        "q59_repetition_quality": q59_repetition_quality,
+        "q60_decontaminate": q60_decontaminate,
+        "q61_unigram_logprob": q61_unigram_logprob,
+        "q62_embed_dup_clusters": q62_embed_dup_clusters,
+        "q93_syndication_capped": q93_syndication_capped,
+        "q94_language_mix": q94_language_mix,
+        "q96_curriculum_buckets": q96_curriculum_buckets,
+        "q98_line_dedup": q98_line_dedup,
+        "q99_tokenizer_fertility": q99_tokenizer_fertility,
+        "q100_training_pipeline": q100_training_pipeline,
+        "q101_incremental_pipeline": q101_incremental_pipeline,
+        "q102_conversation_lint": q102_conversation_lint,
+        "q103_squeeze_lines": q103_squeeze_lines,
+        "q104_build_vocab": q104_build_vocab,
+        "q80_length_outliers": q80_length_outliers,
+        "q82_mixture_weights": q82_mixture_weights,
+        "q03_topk_orders": q03_topk_orders,
+        "q05_region_customers": q05_region_customers,
+        "q07_cumulative_spend": q07_cumulative_spend,
+        "q08_union_slices": q08_union_slices,
+        "q10_top3_per_customer": q10_top3_per_customer,
+        "q04_orders_per_customer": q04_orders_per_customer,
+        "q06_events_dedup": q06_events_dedup,
+        "q13_lang_distribution": q13_lang_distribution,
+        "q32_order_revenue": q32_order_revenue,
+        "q33_events_inventory": q33_events_inventory,
+        "q36_pagination": q36_pagination,
+        "q37_source_projection": q37_source_projection,
+        "q41_semi_join": q41_semi_join,
+        "q43_anti_join": q43_anti_join,
+        "q11_json_extract": q11_json_extract,
+        "q12_doc_stats": q12_doc_stats,
+        "q15_doc_dedup_exact": q15_doc_dedup_exact,
+        "q19_knn_brute": q19_knn_brute,
+        "q21_vector_search_docs": q21_vector_search_docs,
+        "q28_winnowing": q28_winnowing,
     }
 
 
