@@ -8,6 +8,21 @@ queries()). Run from the repo root before finalizing a round's rotation:
 Flags (stale >= 2 and out-of-gate) are the queries that MUST rotate into
 the gate next round to honor the "no query goes >2 rounds without a
 driver row" invariant the verdicts audit.
+
+    python scripts/gate_staleness.py --check
+
+exits non-zero when the committed first-50 ordering WASTES a gate slot:
+some out-of-gate oracle-backed query is strictly staler (smaller
+last-driver-green round; never-green counts as stalest) than some in-gate
+query. When the total stale debt exceeds 50 slots no ordering can clear
+it in one round, so --check enforces the strongest satisfiable form of
+the policy: the gate must be a 50-stalest set (ties broken freely).
+Policy (b) — "changed-this-round code gates even if fresh" — is honored
+via `GATE_FRESH_EXEMPT` in __spark_entry__ (a list of query names this
+round's edits touched; exempt names are skipped by the comparison).
+tests/test_entry.py runs --check as a pytest row, so a round can no
+longer skip its rotation silently (the r10 miss, mechanized — r10
+verdict #2).
 """
 
 from __future__ import annotations
@@ -61,6 +76,30 @@ def main() -> int:
         last = greens.get(name)
         if name not in gate and (last is None or this_round - last >= 2):
             flagged.append((name, last))
+    if "--check" in sys.argv[1:]:
+        # Gate-waste check: no out-of-gate oracle-backed query may be
+        # strictly staler than an in-gate one (never-green -> round 0,
+        # i.e. stalest: new queries MUST take their first driver row).
+        exempt = set(getattr(entry_mod, "GATE_FRESH_EXEMPT", ()))
+        in_gate = [(greens.get(n, 0), n) for n in qs[:50] if n in oracled and n not in exempt]
+        out_gate = [(greens.get(n, 0), n) for n in qs[50:] if n in oracled and n not in exempt]
+        if not in_gate or not out_gate:
+            print("check: nothing to compare")
+            return 0
+        freshest_in = max(in_gate)
+        stalest_out = min(out_gate)
+        if stalest_out[0] < freshest_in[0]:
+            print(
+                "CHECK FAILED: gate slot wasted — out-of-gate "
+                f"{stalest_out[1]} (last green r{stalest_out[0]}) is staler "
+                f"than in-gate {freshest_in[1]} (last green r{freshest_in[0]}). "
+                "Rotate the stalest 50 oracle-backed queries into the gate "
+                "(list them with: python scripts/gate_staleness.py), or add "
+                "changed-this-round names to GATE_FRESH_EXEMPT."
+            )
+            return 1
+        print(f"check OK: gate is a 50-stalest set (freshest in-gate last green r{freshest_in[0]})")
+        return 0
     print(f"queries: {len(qs)} | in gate: 50 | artifacts: r{min(rounds)}-r{max(rounds)}")
     print(f"assuming current gate goes green in round {this_round}:")
     if not flagged:

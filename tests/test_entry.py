@@ -63,6 +63,32 @@ def test_gate_window_hygiene():
     assert len(qs) == len(set(qs))  # no duplicate keys silently dropped
 
 
+def test_gate_rotation_not_stale():
+    """r10 verdict #2: the rotation policy lived only in comments and
+    memory, and r10 proved that is not enough — the round shipped the r9
+    gate verbatim and the 32-query r7 cohort went a third round without a
+    driver row. Mechanize it: `gate_staleness.py --check` fails when the
+    committed first-50 ordering wastes a slot on a fresher query while a
+    strictly staler oracle-backed query waits outside (never-green counts
+    as stalest, so a NEW query must take its first driver row; names in
+    __spark_entry__.GATE_FRESH_EXEMPT are policy-(b) changed-this-round
+    exemptions). This test fails on the r10 layout and passes on the r11
+    rotation."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [_sys.executable, str(repo / "scripts" / "gate_staleness.py"), "--check"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
 def test_q97_oracle_all_bad_lines_doc_matches_spark(spark, tmp_path):
     """r7 advisor (medium): a doc whose lines ALL fail the C4 line rule has
     kept=[], and DuckDB's array_to_string([], sep) is NULL (not ''), which
