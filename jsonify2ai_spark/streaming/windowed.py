@@ -1482,10 +1482,21 @@ class TokenizeGate:
         merges, vocab = load_tokenizer(spark, out_dir)
         return cls(merges, vocab, **kw)
 
-    def filter_batch(self, batch: DataFrame) -> DataFrame:
+    def filter_batch(
+        self, batch: DataFrame, batch_id: "int | None" = None
+    ) -> DataFrame:
         """Encode the batch: returns (id, out_col ids, n_tokens) — the
         chain joins ids back onto the full row; standalone callers get
-        the narrow frame."""
+        the narrow frame.
+
+        ``batch_id`` (threaded by StreamingPrepChain/foreach_batch like
+        the stateful gates') exists for the OOV monitor's replay
+        hygiene: the encode itself is stateless, but ``oov_history`` is
+        driver state, and Structured Streaming's at-least-once replay
+        of an uncommitted trigger would otherwise append the same batch
+        twice — skewing history indices/rates and potentially flipping
+        ``oov_breached`` on stale data (r10 advisor). A redelivered
+        batch_id OVERWRITES the entry it wrote the first time."""
         from jsonify2ai_spark.operators.bpe import bpe_encode_fast
 
         enc = bpe_encode_fast(
@@ -1510,15 +1521,24 @@ class TokenizeGate:
             ).first()
             nt, no = int(row["nt"]), int(row["no"])
             rate = (no / nt) if nt else 0.0
-            self.oov_history.append(
-                {
-                    "batch": len(self.oov_history),
-                    "n_tokens": nt,
-                    "n_oov": no,
-                    "oov_rate": rate,
-                    "breach": rate > self._oov_alert,
-                }
+            entry = {
+                "batch": len(self.oov_history),
+                "batch_id": batch_id,
+                "n_tokens": nt,
+                "n_oov": no,
+                "oov_rate": rate,
+                "breach": rate > self._oov_alert,
+            }
+            replayed = (
+                batch_id is not None
+                and self.oov_history
+                and self.oov_history[-1]["batch_id"] == batch_id
             )
+            if replayed:
+                entry["batch"] = self.oov_history[-1]["batch"]
+                self.oov_history[-1] = entry
+            else:
+                self.oov_history.append(entry)
         return enc.select(
             F.col(self._id_col),
             self._udf(F.col("_toks")).alias(self._text_col),
@@ -1527,10 +1547,11 @@ class TokenizeGate:
         )
 
     def foreach_batch(self, append):
-        """Wrap ``append(ids_df, batch_id)`` as a foreachBatch callable."""
+        """Wrap ``append(ids_df, batch_id)`` as a foreachBatch callable
+        (batch_id threads through for the OOV monitor's replay hygiene)."""
 
         def _fn(batch: DataFrame, batch_id: int) -> None:
-            append(self.filter_batch(batch), batch_id)
+            append(self.filter_batch(batch, batch_id=batch_id), batch_id)
 
         return _fn
 
@@ -1617,7 +1638,10 @@ class PackGate:
     replayed-corpus parity test). Stream==batch parity: replaying a
     corpus in id-ordered batches and unioning every trigger's closed
     bins + the flush reproduces ``pack_sequences`` +
-    ``concat_token_bins`` row-for-row — pinned; with out-of-order
+    ``concat_token_bins`` row-for-row — pinned by
+    ``tests/test_streaming.py::test_pack_gate_stream_equals_batch``
+    (plus replay/save-load/boundary/edge pins alongside it); with
+    out-of-order
     arrival the batch operator's global id sort and the stream's
     arrival order legitimately diverge (the documented cross-batch
     boundary).

@@ -1464,3 +1464,275 @@ def test_tokenize_gate_oov_monitor(spark, tmp_path):
     gate.close()
     unk.close()
     g2.close()
+
+
+# ---------------------------------------------------------------------------
+# PackGate (r10 operator; r10 verdict #3 — the test suite it shipped without)
+# ---------------------------------------------------------------------------
+
+
+def _pack_batch_oracle(df, budget, eos_id, n_groups, boundaries=False):
+    """The batch path PackGate claims parity with: pack_sequences over
+    size = n_ids (+1 per doc when eos), then concat_token_bins."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.packing import (
+        concat_token_bins,
+        pack_sequences,
+    )
+
+    sized = df.withColumn(
+        "_sz", F.size("token_ids") + (1 if eos_id is not None else 0)
+    )
+    packed = pack_sequences(
+        sized, budget, size_col="_sz", id_col="doc_id", n_groups=n_groups
+    )
+    return concat_token_bins(
+        packed,
+        eos_id=eos_id,
+        pad_to=budget,
+        with_boundaries=boundaries,
+    )
+
+
+def _bins_key(rows):
+    return sorted(
+        (r["pack_group"], r["bin_idx"], r["n_docs"], r["n_ids"], tuple(r["input_ids"]))
+        for r in rows
+    )
+
+
+def test_pack_gate_stream_equals_batch(spark):
+    """The docstring's parity claim, pinned: replaying a corpus in
+    id-ordered batches and unioning every trigger's closed bins + the
+    flush reproduces pack_sequences + concat_token_bins row-for-row
+    (same eos-inclusive weight rule as _pack_and_write_ids)."""
+    from jsonify2ai_spark.streaming.windowed import PackGate
+
+    docs = [(i, [100 + i] * (1 + (i * 7) % 6)) for i in range(60)]
+    schema = "doc_id long, token_ids array<bigint>"
+    corpus = spark.createDataFrame(docs, schema)
+    batch_bins = _pack_batch_oracle(corpus, budget=16, eos_id=2, n_groups=4)
+
+    gate = PackGate(budget=16, n_groups=4, eos_id=2)
+    got = []
+    for b, lo in enumerate(range(0, 60, 20)):
+        part = spark.createDataFrame(docs[lo : lo + 20], schema)
+        got.extend(gate.filter_batch(part, batch_id=b).collect())
+    fl = gate.flush()
+    assert fl is not None
+    got.extend(fl.collect())
+
+    assert _bins_key(got) == _bins_key(batch_bins.collect())
+    # flush cleared the buffers: a second flush has nothing to say
+    assert gate.flush() is None
+
+
+def test_pack_gate_boundaries_parity(spark):
+    """with_boundaries threads through: doc_ids/doc_lens per emitted
+    sequence match the batch operator's (lens include each doc's eos
+    and sum to n_ids)."""
+    from jsonify2ai_spark.streaming.windowed import PackGate
+
+    docs = [(i, [7] * (1 + i % 5)) for i in range(24)]
+    schema = "doc_id long, token_ids array<bigint>"
+    corpus = spark.createDataFrame(docs, schema)
+    want = {
+        (r["pack_group"], r["bin_idx"]): (list(r["doc_ids"]), list(r["doc_lens"]))
+        for r in _pack_batch_oracle(
+            corpus, budget=12, eos_id=9, n_groups=3, boundaries=True
+        ).collect()
+    }
+
+    gate = PackGate(budget=12, n_groups=3, eos_id=9, boundaries=True)
+    rows = gate.filter_batch(corpus.filter("doc_id < 12"), batch_id=0).collect()
+    rows += gate.filter_batch(corpus.filter("doc_id >= 12"), batch_id=1).collect()
+    fl = gate.flush()
+    rows += fl.collect() if fl is not None else []
+    got = {
+        (r["pack_group"], r["bin_idx"]): (list(r["doc_ids"]), list(r["doc_lens"]))
+        for r in rows
+    }
+    assert got == want
+    for (_, _), (ids, lens) in got.items():
+        assert len(ids) == len(lens)
+
+
+def test_pack_gate_replay_idempotent(spark):
+    """DiversityCapGate's one-deep replay contract, applied verbatim:
+    re-delivering the last batch_id re-derives the SAME closed bins from
+    the pre-batch snapshot without advancing state; the stream then
+    continues correctly; an older batch_id raises."""
+    import pytest
+
+    from jsonify2ai_spark.streaming.windowed import PackGate
+
+    schema = "doc_id long, token_ids array<bigint>"
+    docs = [(i, [5] * (2 + i % 4)) for i in range(30)]
+    b1 = spark.createDataFrame(docs[:10], schema)
+    b2 = spark.createDataFrame(docs[10:20], schema)
+    b3 = spark.createDataFrame(docs[20:], schema)
+
+    gate = PackGate(budget=10, n_groups=2, eos_id=None)
+    gate.filter_batch(b1, batch_id=0).collect()
+    first = _bins_key(gate.filter_batch(b2, batch_id=1).collect())
+    state_after = (dict(gate._next_bin), {g: list(d) for g, d in gate._open.items()})
+
+    # at-least-once redelivery of batch 1
+    replay = _bins_key(gate.filter_batch(b2, batch_id=1).collect())
+    assert replay == first
+    assert (gate._next_bin, gate._open) == state_after  # state NOT advanced
+
+    # continuation after the replay matches a never-replayed twin
+    twin = PackGate(budget=10, n_groups=2, eos_id=None)
+    twin.filter_batch(b1, batch_id=0).collect()
+    twin.filter_batch(b2, batch_id=1).collect()
+    assert _bins_key(gate.filter_batch(b3, batch_id=2).collect()) == _bins_key(
+        twin.filter_batch(b3, batch_id=2).collect()
+    )
+
+    with pytest.raises(ValueError, match="precedes"):
+        gate.filter_batch(b1, batch_id=0)
+
+
+def test_pack_gate_batchidless_poisons_snapshot(spark):
+    """A batch_id-less one-shot call moves state past the replay
+    snapshot; a subsequent same-batch_id redelivery must refuse rather
+    than replay against the wrong baseline."""
+    import pytest
+
+    from jsonify2ai_spark.streaming.windowed import PackGate
+
+    schema = "doc_id long, token_ids array<bigint>"
+    b1 = spark.createDataFrame([(i, [1, 2, 3]) for i in range(6)], schema)
+    gate = PackGate(budget=8, n_groups=2)
+    gate.filter_batch(b1, batch_id=0).collect()
+    gate.filter_batch(b1).collect()  # one-shot, no batch_id
+    with pytest.raises(ValueError, match="one-shot"):
+        gate.filter_batch(b1, batch_id=0)
+
+
+def test_pack_gate_save_load_mid_stream(spark, tmp_path):
+    """Restart mid-stream: save/load round-trips open-bin buffers,
+    next-bin counters, and the replay snapshot; the resumed gate emits
+    the same bins an uninterrupted gate would."""
+    from jsonify2ai_spark.streaming.windowed import PackGate
+
+    schema = "doc_id long, token_ids array<bigint>"
+    docs = [(i, [3] * (1 + i % 3)) for i in range(40)]
+    b1 = spark.createDataFrame(docs[:20], schema)
+    b2 = spark.createDataFrame(docs[20:], schema)
+
+    gate = PackGate(budget=7, n_groups=4, eos_id=1)
+    out1 = gate.filter_batch(b1, batch_id=0).collect()
+    gate.save(str(tmp_path / "pg"))
+    g2 = PackGate.load(spark, str(tmp_path / "pg"))
+    assert g2._next_bin == gate._next_bin
+    assert g2._open == gate._open
+    assert g2._last_batch_id == gate._last_batch_id
+
+    cont = PackGate(budget=7, n_groups=4, eos_id=1)
+    cont.filter_batch(b1, batch_id=0).collect()
+    want = _bins_key(cont.filter_batch(b2, batch_id=1).collect())
+    assert _bins_key(g2.filter_batch(b2, batch_id=1).collect()) == want
+    fl_a, fl_b = g2.flush(), cont.flush()
+    assert _bins_key(fl_a.collect()) == _bins_key(fl_b.collect())
+    assert len(out1) > 0
+
+
+def test_pack_gate_edges(spark):
+    """Oversized document (single-doc bin at true length > budget, never
+    truncated), exactly-full bin (closes without spill), empty/NULL id
+    arrays, and non-numeric + negative ids grouping consistently with
+    the batch packer."""
+    from jsonify2ai_spark.streaming.windowed import PackGate
+
+    schema = "doc_id long, token_ids array<bigint>"
+
+    # oversized: doc of 9 ids vs budget 4 — its own bin, length 9, and
+    # the successor opens a fresh bin (next-fit buffers at most one bin)
+    gate = PackGate(budget=4, n_groups=1)
+    b = spark.createDataFrame([(0, [1] * 9), (1, [2, 2]), (2, [3, 3])], schema)
+    closed = gate.filter_batch(b, batch_id=0).collect()
+    over = [r for r in closed if r["n_ids"] == 9]
+    assert len(over) == 1 and len(over[0]["input_ids"]) == 9  # not padded down
+    fl = gate.flush().collect()
+    assert {tuple(r["input_ids"][: r["n_ids"]]) for r in closed + fl} == {
+        (1,) * 9,
+        (2, 2, 3, 3),
+    }
+
+    # exactly-full bin closes cleanly: 2+2 into budget 4, successor spills
+    gate2 = PackGate(budget=4, n_groups=1)
+    b2 = spark.createDataFrame([(0, [1, 1]), (1, [2, 2]), (2, [3])], schema)
+    closed2 = gate2.filter_batch(b2, batch_id=0).collect()
+    assert len(closed2) == 1 and closed2[0]["n_ids"] == 4
+    assert list(closed2[0]["input_ids"]) == [1, 1, 2, 2]
+
+    # empty + NULL arrays: zero weight (no eos), never close a bin alone
+    gate3 = PackGate(budget=3, n_groups=1)
+    b3 = spark.createDataFrame([(0, []), (1, None), (2, [4, 4, 4])], schema)
+    assert gate3.filter_batch(b3, batch_id=0).count() == 0
+    assert gate3.flush().count() == 1
+
+    # string + negative ids: same parity as the batch oracle
+    sschema = "doc_id string, token_ids array<bigint>"
+    sdocs = [(f"d{i}", [6] * (1 + i % 3)) for i in range(12)]
+    scorpus = spark.createDataFrame(sdocs, sschema)
+    want = _bins_key(
+        _pack_batch_oracle(scorpus, budget=5, eos_id=None, n_groups=2).collect()
+    )
+    sgate = PackGate(budget=5, n_groups=2)
+    rows = sgate.filter_batch(scorpus, batch_id=0).collect()
+    rows += sgate.flush().collect()
+    assert _bins_key(rows) == want
+
+    ndocs = [(-3, [1, 1]), (-2, [2, 2]), (5, [3, 3]), (6, [4, 4])]
+    ncorpus = spark.createDataFrame(ndocs, schema)
+    want_n = _bins_key(
+        _pack_batch_oracle(ncorpus, budget=4, eos_id=None, n_groups=4).collect()
+    )
+    ngate = PackGate(budget=4, n_groups=4)
+    rows_n = ngate.filter_batch(ncorpus, batch_id=0).collect()
+    rows_n += ngate.flush().collect()
+    assert _bins_key(rows_n) == want_n
+
+
+def test_tokenize_gate_oov_history_replay_safe(spark):
+    """r10 advisor: the OOV monitor mutates driver state (oov_history)
+    per trigger — an at-least-once replay of the same batch_id must
+    overwrite its own entry, not append a duplicate (which skews
+    indices/rates and can flip oov_breached on stale data)."""
+    from jsonify2ai_spark.operators.bpe import bpe_encode_fast, train_bpe
+    from jsonify2ai_spark.operators.textstats import build_vocab
+    from jsonify2ai_spark.streaming.windowed import TokenizeGate
+
+    schema = "doc_id long, text string, lang string"
+    corpus = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "x"), (2, "the cats sat", "x")], schema
+    )
+    merges = train_bpe(corpus, num_merges=8)
+    vocab = build_vocab(
+        bpe_encode_fast(corpus, merges, out_col="_toks"), token_array_col="_toks"
+    )
+    gate = TokenizeGate(merges, vocab, oov_alert=0.3)
+
+    b1 = corpus.filter("doc_id = 1")
+    b2 = spark.createDataFrame(
+        [(7, "zygomorphic quasar xylophone jurisprudence", "z")], schema
+    )
+    gate.filter_batch(b1, batch_id=0).collect()
+    gate.filter_batch(b2, batch_id=1).collect()
+    assert len(gate.oov_history) == 2 and gate.oov_breached
+
+    # replay of batch_id=1: same history length, same entry, same signal
+    snap = dict(gate.oov_history[-1])
+    gate.filter_batch(b2, batch_id=1).collect()
+    assert len(gate.oov_history) == 2
+    assert gate.oov_history[-1] == snap
+
+    # batch_id-less one-shot calls still append every time (the batch API)
+    gate.filter_batch(b1).collect()
+    gate.filter_batch(b1).collect()
+    assert len(gate.oov_history) == 4
+    assert not gate.oov_breached  # clean batches reset the signal
