@@ -2162,6 +2162,59 @@ def q117_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q119_packed_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assembled-shard BOUNDARIES contract (r10 verdict #4 / r9 #7 —
+    first driver row for concat_token_bins(with_boundaries=True),
+    packing.py): same corpus -> ids -> next-fit chain as q117 but the
+    pinned surface is the trainer-facing boundary metadata — per packed
+    sequence, the member documents in sequence order (``doc_ids``) and
+    each document's id count INCLUDING its EOS (``doc_lens``, summing
+    to ``n_ids`` and excluding padding by construction). This is the
+    compact form a trainer derives block-diagonal attention masks and
+    per-document position resets from; until now it lived only in
+    pytest. Arrays stringify to CSV (the driver's value-hash
+    canonicalizer rejects array columns — the round-1 rule)."""
+    from jsonify2ai_spark.functions.text import tokens
+    from jsonify2ai_spark.operators.bpe import tokens_to_ids
+    from jsonify2ai_spark.operators.packing import (
+        concat_token_bins,
+        pack_sequences,
+    )
+    from jsonify2ai_spark.operators.textstats import build_vocab
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    vocab = build_vocab(docs, min_count=2, max_vocab=500)
+    ids = tokens_to_ids(
+        docs.withColumn("_toks", tokens(F.col("text"))),
+        vocab,
+        tokens_col="_toks",
+        oov="drop",
+        impl="udf",
+    )
+    sized = ids.select(
+        "doc_id",
+        "token_ids",
+        (F.size("token_ids") + 1).cast("bigint").alias("_w"),  # +1 = EOS
+    )
+    packed = pack_sequences(
+        sized, budget=192, size_col="_w", id_col="doc_id", n_groups=8
+    )
+    bins = concat_token_bins(packed, eos_id=0, with_boundaries=True)
+    return bins.select(
+        F.col("pack_group").cast("bigint").alias("pack_group"),
+        F.col("bin_idx").cast("bigint").alias("bin_idx"),
+        "n_docs",
+        "n_ids",
+        F.array_join(
+            F.transform("doc_ids", lambda x: x.cast("string")), ","
+        ).alias("doc_ids_csv"),
+        F.array_join(
+            F.transform("doc_lens", lambda x: x.cast("string")), ","
+        ).alias("doc_lens_csv"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -2181,6 +2234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q87 q88 q90 q91 q92 q16 q17 q18 q25 q27 q45, laid out first in the
     # tail below) + the r9/r10-green cohort as it ages. See COVERAGE.md.
     return {
+        # --- new this round (policy (a): first driver row gates) ---
+        "q119_packed_boundaries": q119_packed_boundaries,  # NEW r11: with_boundaries contract
         # --- r7-green cohort (32): 3 rounds driver-stale, pays first ---
         "q108_reference_ppl": q108_reference_ppl,
         "q89_embedding_drift": q89_embedding_drift,
@@ -2232,9 +2287,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_bigram_logprob": q73_bigram_logprob,
         "q75_dedup_keep_best": q75_dedup_keep_best,
         "q76_containment_pairs": q76_containment_pairs,
-        "q77_shingle_census": q77_shingle_census,
         # ================= tail (entry 51+) =================
-        # remaining r8-greens (17): round-12's mandatory block
+        # remaining r8-greens (18, q77 bumped by q119): round-12's
+        # mandatory block
+        "q77_shingle_census": q77_shingle_census,
         "q78_vocab_stats": q78_vocab_stats,
         "q79_cross_source_dup": q79_cross_source_dup,
         "q81_source_quality": q81_source_quality,
@@ -4900,6 +4956,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.bin AS BIGINT) AS bin_idx,
                    nd.n_docs, b.n_ids, b.ids_checksum
             FROM binagg b JOIN nd USING (grp, bin)
+        """,
+        # q119: the q117 chain's BOUNDARY surface — per (group, bin),
+        # member doc_ids in sequence (doc_id) order and per-doc id
+        # counts INCLUDING the EOS (w = matched + 1), whose sum IS
+        # n_ids; same recursive next-fit fold at budget 192. CSV via
+        # ordered string_agg == Spark's array_join over the id-ordered
+        # boundary arrays.
+        "q119_packed_boundaries": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     (CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                           ELSE string_split_regex(trim(text), '\s+') END) AS tk
+              FROM documents
+            ), counts AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS count
+              FROM (SELECT unnest(tk) AS token FROM toks)
+              GROUP BY token HAVING count(*) >= 2
+            ), vocab AS (
+              SELECT token,
+                     CAST(row_number() OVER (ORDER BY count DESC, token ASC)
+                          AS BIGINT) AS token_id
+              FROM counts
+              QUALIFY token_id <= 500
+            ), ex AS (
+              SELECT doc_id, unnest(tk) AS token FROM toks
+            ), matched AS (
+              SELECT e.doc_id, count(*) AS n
+              FROM ex e JOIN vocab v USING (token)
+              GROUP BY e.doc_id
+            ), sized AS (
+              SELECT t.doc_id, coalesce(m.n, 0) + 1 AS w
+              FROM toks t LEFT JOIN matched m USING (doc_id)
+            ), g AS (
+              SELECT doc_id, w, doc_id % 8 AS grp,
+                     row_number() OVER (PARTITION BY doc_id % 8
+                                        ORDER BY doc_id) AS r
+              FROM sized
+            ), f(grp, r, doc_id, acc, bin) AS (
+              SELECT grp, r, doc_id, w, 0 FROM g WHERE r = 1
+              UNION ALL
+              SELECT n.grp, n.r, n.doc_id,
+                     CASE WHEN f.acc > 0 AND f.acc + n.w > 192
+                          THEN n.w ELSE f.acc + n.w END,
+                     CASE WHEN f.acc > 0 AND f.acc + n.w > 192
+                          THEN f.bin + 1 ELSE f.bin END
+              FROM f JOIN g n ON n.grp = f.grp AND n.r = f.r + 1
+            ), assign AS (
+              SELECT doc_id, grp, bin FROM f
+            )
+            SELECT CAST(a.grp AS BIGINT) AS pack_group,
+                   CAST(a.bin AS BIGINT) AS bin_idx,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(s.w) AS BIGINT) AS n_ids,
+                   string_agg(CAST(s.doc_id AS VARCHAR), ','
+                              ORDER BY s.doc_id) AS doc_ids_csv,
+                   string_agg(CAST(s.w AS VARCHAR), ','
+                              ORDER BY s.doc_id) AS doc_lens_csv
+            FROM assign a JOIN sized s USING (doc_id)
+            GROUP BY a.grp, a.bin
         """,
         # twin of dedup.semantic_decontaminate(impl='expr'): max of the
         # sequential-fold cosines vs the first-8 benchmark slice; flag on
