@@ -958,3 +958,127 @@ def test_read_token_shards_balanced_union_many_increments(spark, tmp_path):
 
     assert df.count() == 5 + 96 * 2
     assert df.select("_source_run").distinct().count() == 97
+
+
+def test_stream_shard_sink_end_to_end(spark, tmp_path):
+    """r11 (r10 verdict #5 / 'What's missing #1'): PackGate -> shard
+    layout. A base run mints the layout; StreamShardSink lands each
+    trigger's closed bins as _increment.json-disciplined increments
+    (run_id = prefix+batch_id); an at-least-once replay overwrites
+    rather than duplicates; a RESTART resumes the persisted gate state
+    mid-stream; flush writes the final partial bins; read_token_shards
+    loads the whole thing with validate=True and every streamed id is
+    accounted for exactly once."""
+    import os
+
+    from jsonify2ai_spark.pipelines import (
+        StreamShardSink,
+        read_token_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} words repeat repeat") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "run")
+    from jsonify2ai_spark.pipelines import corpus_to_token_shards
+
+    base = corpus_to_token_shards(
+        docs,
+        out,
+        num_merges=10,
+        budget=12,
+        n_groups=2,
+        assemble=True,
+        eos_id=0,
+        boundaries=True,
+    )
+    base_bins = base["rows"]
+
+    # streamed token-id rows (what a TokenizeGate upstream emits)
+    sdocs = [(100 + i, [7] * (2 + i % 4)) for i in range(18)]
+    schema = "doc_id long, token_ids array<bigint>"
+
+    sink = StreamShardSink.from_artifacts(out)
+    m0 = sink(spark.createDataFrame(sdocs[:6], schema), 0)
+    m1 = sink(spark.createDataFrame(sdocs[6:12], schema), 1)
+    assert (m0 or m1) is not None  # something closed in the first triggers
+
+    # at-least-once replay of trigger 1: same increment, same rows, no dup
+    m1_replay = sink(spark.createDataFrame(sdocs[6:12], schema), 1)
+    if m1 is None:
+        assert m1_replay is None
+    else:
+        assert m1_replay["rows"] == m1["rows"] and m1_replay["run_id"] == m1["run_id"]
+    incr_root = os.path.join(out, "shards_incr")
+    runs_after_replay = sorted(os.listdir(incr_root))
+
+    # RESTART mid-stream: a fresh sink resumes the persisted gate state
+    sink2 = StreamShardSink.from_artifacts(out)
+    assert sink2.gate._next_bin == sink.gate._next_bin
+    assert sink2.gate._open == sink.gate._open
+    assert sink2.gate._last_batch_id == sink.gate._last_batch_id
+    sink2(spark.createDataFrame(sdocs[12:], schema), 2)
+    mf = sink2.flush()
+    assert mf is not None and mf["run_id"] == "stream-final"
+    assert sink2.flush() is None  # idempotent second flush
+
+    # loader sees base + every stream increment; counts validate
+    loaded = read_token_shards(spark, out, validate=True)
+    rows = loaded.collect()
+    tags = {r["_source_run"] for r in rows}
+    assert "base" in tags and "stream-final" in tags
+    assert len(rows) > base_bins
+    assert set(runs_after_replay) <= {
+        t for t in tags if t != "base"
+    } | {"stream-final"}
+
+    # conservation: streamed ids appear exactly once across increments
+    # (n_ids counts real ids + one eos per doc, padding excluded)
+    stream_nids = sum(
+        r["n_ids"] for r in rows if r["_source_run"] != "base"
+    )
+    assert stream_nids == sum(len(t) + 1 for _, t in sdocs)
+    # boundary doc_ids cover every streamed doc exactly once
+    streamed_doc_ids = sorted(
+        i for r in rows if r["_source_run"] != "base" for i in r["doc_ids"]
+    )
+    assert streamed_doc_ids == sorted(i for i, _ in sdocs)
+
+
+def test_stream_shard_sink_guards(spark, tmp_path):
+    """from_artifacts refuses a per-doc (assemble=False) base; a
+    compacted run_id cannot be re-written by a restarted stream."""
+    import pytest
+
+    from jsonify2ai_spark.pipelines import (
+        StreamShardSink,
+        compact_token_shards,
+        corpus_to_token_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"plain doc {i} alpha beta") for i in range(3)],
+        "doc_id long, text string",
+    )
+    flat = str(tmp_path / "flat")
+    corpus_to_token_shards(docs, flat, num_merges=5, budget=16, n_groups=2)
+    with pytest.raises(ValueError, match="assemble"):
+        StreamShardSink.from_artifacts(flat)
+
+    out = str(tmp_path / "packed")
+    corpus_to_token_shards(
+        docs, out, num_merges=5, budget=16, n_groups=2, assemble=True, eos_id=0
+    )
+    sink = StreamShardSink.from_artifacts(out)
+    schema = "doc_id long, token_ids array<bigint>"
+    # enough weight to close bins in trigger 0
+    sink(
+        spark.createDataFrame([(200 + i, [3] * 10) for i in range(4)], schema),
+        0,
+    )
+    compact_token_shards(spark, out)
+    with pytest.raises(ValueError, match="compact"):
+        sink(
+            spark.createDataFrame([(300, [4] * 10), (301, [4] * 10)], schema), 0
+        )
