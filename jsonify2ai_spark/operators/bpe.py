@@ -460,13 +460,19 @@ def tokens_to_ids(
     would silently receive the MERGED id sequence of all copies,
     corrupted data, not an error) and NON-NULL (a NULL key never equi-joins back; the plan
     raises on one rather than silently returning ``[]``). Uniqueness is
-    therefore ENFORCED by default (r9 advisor): ``check_unique=True``
-    runs one count-vs-count_distinct aggregate over ``id_col`` and
-    raises on duplicates — a single partial-aggregated pass, cheap next
-    to the reassembly shuffle the join form already pays; pass
-    ``check_unique=False`` only when the caller construction guarantees
-    uniqueness (e.g. the composed shard writers, whose upstream dedup
-    keyed on the id). Identical output to the udf form (parity-pinned)
+    therefore ENFORCED by default (r9 advisor, plan-embedded r11):
+    ``check_unique=True`` wraps the FINAL join's left input in a
+    count-over-window on ``id_col`` and the job fails at the first
+    duplicate — one window on the one branch that reads every input
+    row, inside the same job, so the guard never re-runs the upstream
+    lineage (the old separate-action form recomputed an un-cached
+    upstream end-to-end) and it checks, by construction, exactly the
+    rows the join consumes even under a non-deterministic source. The
+    error surfaces at ACTION time (it lives in the plan);
+    pass ``check_unique=False`` only when the caller construction
+    guarantees uniqueness (e.g. the composed shard writers, whose
+    upstream dedup keyed on the id).
+    Identical output to the udf form (parity-pinned)
     — reach for it only when the vocab genuinely cannot broadcast, at
     the price of the reassembly shuffle.
     """
@@ -481,21 +487,6 @@ def tokens_to_ids(
         return df.withColumn(out_col, _map(F.col(tokens_col)))
     if impl != "join":
         raise ValueError(f"unknown impl: {impl!r}")
-    if check_unique:
-        u = df.agg(
-            F.count(id_col).alias("n"),
-            F.count_distinct(F.col(id_col)).alias("d"),
-        ).first()
-        if u["n"] != u["d"]:
-            raise ValueError(
-                f"tokens_to_ids impl='join': id column {id_col!r} has "
-                f"{u['n'] - u['d']} duplicate key(s) — the positional "
-                "reassembly groups by id, so every copy would receive "
-                "the MERGED id sequence of all copies (silent "
-                "corruption). Deduplicate ids, or pass "
-                "check_unique=False if uniqueness is guaranteed by "
-                "construction."
-            )
     # the positional reassembly equi-joins on id_col, and a NULL key never
     # matches itself — without this guard a NULL-id row would silently get
     # [] instead of its ids, breaking the documented udf-form parity
@@ -547,6 +538,42 @@ def tokens_to_ids(
             lambda s: s["token_id"],
         ).alias(out_col)
     )
+    if check_unique:
+        # Plan-embedded guard (r10 advisor — the previous form ran a
+        # separate ACTION, recomputing the entire un-cached upstream
+        # lineage and checking a potentially different materialization
+        # than the join sees under a non-deterministic source): a count
+        # over a partitionBy(id_col) window on the final join's LEFT
+        # input raises inside the same job the moment any key occurs
+        # twice. Only this branch carries it — it is the one branch
+        # that reads every input row, so the guard fires on any action
+        # over the output while the explode/reassembly branch stays
+        # window-free.
+        from pyspark.sql.window import Window
+
+        _kdt = df.schema[id_col].dataType.simpleString()
+        df = df.withColumn(
+            id_col,
+            F.when(
+                F.count(F.lit(1)).over(Window.partitionBy(id_col)) > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"tokens_to_ids impl='join': duplicate key in "
+                            f"id column {id_col!r} (value "
+                        ),
+                        F.col(id_col).cast("string"),
+                        F.lit(
+                            ") — the positional reassembly groups by id, "
+                            "so every copy would receive the MERGED id "
+                            "sequence of all copies (silent corruption). "
+                            "Deduplicate ids, or pass check_unique=False "
+                            "if uniqueness is guaranteed by construction."
+                        ),
+                    )
+                ).cast(_kdt),
+            ).otherwise(F.col(id_col)),
+        )
     # drop a pre-existing out_col first (re-mapping through a refreshed
     # vocab) so the join can't duplicate it — the udf impl's withColumn
     # overwrites, and the parity claim must hold for that input too

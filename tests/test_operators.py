@@ -2961,8 +2961,12 @@ def test_tokens_to_ids_join_rejects_duplicate_ids(spark):
     """r10 (r9 advisor): impl='join' fans out through the reassembly
     equi-join when id_col is not unique — every copy silently receives
     ALL copies' rows, corrupting the documented udf-form parity. The
-    default check_unique=True guard raises instead; check_unique=False
-    is the documented opt-out for by-construction-unique callers."""
+    default check_unique=True guard raises instead (plan-embedded r11:
+    the raise fires at action time, inside the same job, via a
+    count-over-window that reuses the join's own hash shuffle — no
+    separate pass, no upstream recomputation, and it checks exactly the
+    rows the join consumes); check_unique=False is the documented
+    opt-out for by-construction-unique callers."""
     import pytest as _pytest
 
     from jsonify2ai_spark.operators.bpe import tokens_to_ids
@@ -2974,8 +2978,8 @@ def test_tokens_to_ids_join_rejects_duplicate_ids(spark):
         [(1, ["a"]), (1, ["b"]), (2, ["a", "b"])],
         "doc_id long, bpe_tokens array<string>",
     )
-    with _pytest.raises(ValueError, match="duplicate key"):
-        tokens_to_ids(dup, vocab, impl="join")
+    with _pytest.raises(Exception, match="duplicate key"):
+        tokens_to_ids(dup, vocab, impl="join").collect()
     # opt-out still works (caller takes responsibility); the corruption
     # the guard protects against: both copies of id 1 receive the MERGED
     # array of both copies' tokens (positions collide in the groupBy)

@@ -850,7 +850,7 @@ def test_compact_token_shards_parity_and_idempotent(spark, tmp_path):
         (r["_source_run"], r["doc_id"], tuple(r["token_ids"]))
         for r in read_token_shards(spark, root).collect()
     )
-    ret = compact_token_shards(spark, root)
+    ret = compact_token_shards(spark, root, defer_delete=False)
     assert sorted(ret["folded_runs"]) == ["r1", "r2"]
     after = sorted(
         (r["_source_run"], r["doc_id"], tuple(r["token_ids"]))
@@ -879,7 +879,7 @@ def test_compact_token_shards_parity_and_idempotent(spark, tmp_path):
         _mk_increment(spark, root, "r1", [999])
 
     # second compaction folds r3 on top of the already-compacted base
-    ret3 = compact_token_shards(spark, root)
+    ret3 = compact_token_shards(spark, root, defer_delete=False)
     assert ret3["folded_runs"] == ["r3"] and ret3["shards_dir"] == "shards_v2"
     assert read_token_shards(spark, root, validate=True).count() == len(after) + 1
 
@@ -904,7 +904,7 @@ def test_compact_crash_garbage_is_ignored(spark, tmp_path):
     keep = os.path.join(str(tmp_path), "keep_r1")
     shutil.copytree(src, keep)
     total = read_token_shards(spark, root).count()
-    compact_token_shards(spark, root)
+    compact_token_shards(spark, root, defer_delete=False)
     shutil.copytree(keep, src)
 
     df = read_token_shards(spark, root, validate=True)
@@ -1082,3 +1082,53 @@ def test_stream_shard_sink_guards(spark, tmp_path):
         sink(
             spark.createDataFrame([(300, [4] * 10), (301, [4] * 10)], schema), 0
         )
+
+
+def test_compact_defer_delete_grace_window(spark, tmp_path):
+    """r11 (r10 advisor): read_token_shards is lazy — a loader built from
+    the pre-swap manifest still scans the OLD directories. Default
+    compaction therefore DEFERS deletion: the replaced dirs go to the
+    manifest's stale_dirs ledger, the pre-swap DataFrame still collects
+    correctly after the swap, and the NEXT compaction reclaims them."""
+    import json
+    import os
+
+    from jsonify2ai_spark.pipelines import (
+        compact_token_shards,
+        read_token_shards,
+    )
+
+    root = _mk_token_run(spark, tmp_path)
+    _mk_increment(spark, root, "r1", [100, 101])
+
+    pre_swap = read_token_shards(spark, root)  # lazy, pre-swap manifest
+    want = sorted(
+        (r["_source_run"], r["doc_id"]) for r in pre_swap.collect()
+    )
+
+    compact_token_shards(spark, root)  # default: defer_delete=True
+    man = json.load(open(os.path.join(root, "manifest.json")))
+    assert sorted(man["stale_dirs"]) == sorted(
+        ["shards", os.path.join("shards_incr", "r1")]
+    )
+    # the old directories survived the swap — the lazy loader's scan works
+    assert os.path.isdir(os.path.join(root, "shards"))
+    got = sorted((r["_source_run"], r["doc_id"]) for r in pre_swap.collect())
+    assert got == want
+    # a post-swap loader reads the new layout, same rows
+    assert read_token_shards(spark, root, validate=True).count() == len(want)
+
+    # next compaction reclaims the ledger even with nothing to fold
+    ret = compact_token_shards(spark, root)
+    assert ret["folded_runs"] == []
+    assert not os.path.exists(os.path.join(root, "shards"))
+    assert not os.path.exists(os.path.join(root, "shards_incr", "r1"))
+    man2 = json.load(open(os.path.join(root, "manifest.json")))
+    assert man2["stale_dirs"] == []
+
+    # and a compaction WITH work also reclaims first, then defers its own
+    _mk_increment(spark, root, "r2", [200])
+    compact_token_shards(spark, root)
+    man3 = json.load(open(os.path.join(root, "manifest.json")))
+    assert os.path.join("shards_incr", "r2") in man3["stale_dirs"]
+    assert read_token_shards(spark, root, validate=True).count() == len(want) + 1
