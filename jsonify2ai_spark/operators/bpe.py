@@ -408,15 +408,25 @@ def _oov_count_udf(bc):
     windowed.TokenizeGate`'s OOV monitor. Counted directly against the
     mapping so the metric is policy-independent: under ``oov=<unk id>``
     the id array's length match hides substitutions, and a legitimate
-    token could share the unk id."""
+    token could share the unk id.
+
+    Vectorized (r11, r10 verdict #8): ``explode`` + ``isin`` against
+    the broadcast key set, grouped back by row index — no per-token
+    Python inner loop, so the kernel is hot-path-grade if it ever
+    leaves its opt-in batch-sized monitor duty. An empty/NULL array
+    explodes to one NaN row, which the ``notna`` mask excludes (it
+    would otherwise count as one phantom OOV)."""
     from pyspark.sql.functions import pandas_udf
 
     def _cnt_batch(tok_ser):
         m = bc.value
-        return tok_ser.map(
-            lambda arr: 0
-            if arr is None
-            else sum(1 for t in arr if t not in m)
+        ex = tok_ser.explode()
+        oov = (~ex.isin(m)) & ex.notna()
+        return (
+            oov.groupby(level=0)
+            .sum()
+            .reindex(tok_ser.index, fill_value=0)
+            .astype("int64")
         )
 
     return pandas_udf(_cnt_batch, "bigint")

@@ -1736,3 +1736,91 @@ def test_tokenize_gate_oov_history_replay_safe(spark):
     gate.filter_batch(b1).collect()
     assert len(gate.oov_history) == 4
     assert not gate.oov_breached  # clean batches reset the signal
+
+
+def test_pack_gate_shard_sink_live_stream(spark, tmp_path):
+    """r11: the REAL Structured Streaming wiring — a parquet file source
+    of token-id rows drives foreachBatch(StreamShardSink); a restarted
+    query (same checkpoint, fresh sink from_artifacts) resumes without
+    duplicating or losing ids; flush lands the tail; read_token_shards
+    loads everything. Complements the trigger-simulation test in
+    test_pipelines.py with the genuine query lifecycle."""
+    import os
+
+    from jsonify2ai_spark.pipelines import (
+        StreamShardSink,
+        corpus_to_token_shards,
+        read_token_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"base doc {i} alpha beta gamma") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "run")
+    base = corpus_to_token_shards(
+        docs,
+        out,
+        num_merges=5,
+        budget=12,
+        n_groups=2,
+        assemble=True,
+        eos_id=0,
+        boundaries=True,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, token_ids array<bigint>"
+    batch1 = [(100 + i, [7] * (2 + i % 4)) for i in range(8)]
+    batch2 = [(200 + i, [9] * (1 + i % 3)) for i in range(8)]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    def run_stream(sink):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        return (
+            stream.writeStream.foreachBatch(
+                lambda b, bid: sink(b, bid) and None
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    sink = StreamShardSink.from_artifacts(out)
+    q = run_stream(sink)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # restart: new file lands while the query is down; a fresh sink
+    # resumes the persisted gate state, same checkpoint dedups triggers
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    sink2 = StreamShardSink.from_artifacts(out)
+    q2 = run_stream(sink2)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    sink2.flush()
+
+    rows = read_token_shards(spark, out, validate=True).collect()
+    stream_rows = [r for r in rows if r["_source_run"] != "base"]
+    assert sum(r["n_ids"] for r in stream_rows) == sum(
+        len(t) + 1 for _, t in batch1 + batch2
+    )
+    streamed_ids = sorted(
+        i for r in stream_rows for i in r["doc_ids"]
+    )
+    assert streamed_ids == sorted(i for i, _ in batch1 + batch2)
+    assert len(rows) - len(stream_rows) == base["rows"]
+    assert os.path.isdir(os.path.join(out, "pack_gate_state"))
