@@ -61,11 +61,15 @@ def main() -> int:
             base = out
         return base.localCheckpoint()
 
-    cells = {"sf0.001": 8, "sf0.1": 32, "sf0.1x16": 64}
+    cells = {"sf0.001": 8, "sf0.1": 32, "sf0.1x16": 64, "sf0.1x64": 128}
     sizes = [
         ("sf0.001", "/root/testdata/sf0.001", 1),
         ("sf0.1", "/root/testdata/sf0.1", 1),
         ("sf0.1x16", "/root/testdata/sf0.1", 16),
+        # r11 (r10 verdict #6 / r9 #8): one more replication step so the
+        # ANN arm's flat-ish trend is confirmed before the 2.7x/1.7x
+        # numbers get quoted at face value
+        ("sf0.1x64", "/root/testdata/sf0.1", 64),
     ]
     results = {}
     for label, sf_dir, rep in sizes:
