@@ -1132,3 +1132,55 @@ def test_compact_defer_delete_grace_window(spark, tmp_path):
     man3 = json.load(open(os.path.join(root, "manifest.json")))
     assert os.path.join("shards_incr", "r2") in man3["stale_dirs"]
     assert read_token_shards(spark, root, validate=True).count() == len(want) + 1
+
+
+def test_text_stream_to_trainer_shards_composition(spark, tmp_path):
+    """r11: the COMPLETE streaming pretraining loop in one wiring — raw
+    text triggers -> TokenizeGate (frozen tokenizer from the base run's
+    artifacts) -> StreamShardSink (PackGate + increment layout) ->
+    read_token_shards. Conservation is pinned against the batch encoder
+    over the same documents: every streamed token id lands in exactly
+    one trainer sequence."""
+    from jsonify2ai_spark.operators.bpe import tokenize_to_ids
+    from jsonify2ai_spark.pipelines import (
+        StreamShardSink,
+        corpus_to_token_shards,
+        load_tokenizer,
+        read_token_shards,
+    )
+    from jsonify2ai_spark.streaming.windowed import TokenizeGate
+
+    docs = spark.createDataFrame(
+        [(i, f"the cat number {i} sat on mat {i % 3}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "run")
+    corpus_to_token_shards(
+        docs, out, num_merges=8, budget=10, n_groups=2, assemble=True, eos_id=0
+    )
+
+    stream_docs = [
+        (100 + i, f"the cat number {100 + i} sat on a new mat") for i in range(9)
+    ]
+    schema = "doc_id long, text string"
+
+    tok = TokenizeGate.from_artifacts(spark, out)
+    sink = StreamShardSink.from_artifacts(out)
+    for b, lo in enumerate(range(0, 9, 3)):
+        batch = spark.createDataFrame(stream_docs[lo : lo + 3], schema)
+        ids = tok.filter_batch(batch, batch_id=b).select("doc_id", "token_ids")
+        sink(ids, b)
+    sink.flush()
+
+    # batch-encoder twin over the same docs fixes the expected id count
+    merges, vocab = load_tokenizer(spark, out)
+    want_ids = sum(
+        len(r["token_ids"]) + 1  # +1 = eos per doc
+        for r in tokenize_to_ids(
+            spark.createDataFrame(stream_docs, schema), merges, vocab
+        ).collect()
+    )
+    rows = read_token_shards(spark, out, validate=True).collect()
+    got = sum(r["n_ids"] for r in rows if r["_source_run"] != "base")
+    assert got == want_ids and want_ids > 9  # nonempty encodes
+    tok.close()
