@@ -1051,8 +1051,17 @@ class StreamShardSink:
     def flush(self) -> "dict | None":
         """Graceful end-of-stream: emit the per-group trailing open bins
         as the final (partial-sequence) increment ``<prefix>final``.
-        Idempotent against its own crash window: a repeated flush after
-        the gate's buffers cleared returns None without touching disk."""
+
+        Crash window: :meth:`PackGate.flush` clears the in-memory
+        buffers BEFORE this method's increment write, so if the write
+        raises (e.g. the compacted-run_id guard), the bins are gone
+        from THIS process — but the on-disk gate state is still
+        pre-flush (it persists only after the write commits), so a
+        restarted ``from_artifacts`` sink re-derives and re-flushes the
+        identical bins. Same-process recovery is intentionally not
+        offered: restart is the documented recovery path for every
+        sink in this family. A repeated flush after a SUCCESSFUL one
+        returns None without touching disk."""
         bins = self._gate.flush()
         if bins is None:
             return None
