@@ -2215,6 +2215,25 @@ def q119_packed_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q120_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection end-to-end (operators/sampling.py dsir_weights
+    + dsir_resample — Xie et al. 2023): hashed unigram+bigram importance
+    weights of every document against an English-slice target model, then
+    a Gumbel-top-k draw of 100 docs ∝ exp(log_weight). The selected rows
+    carry their full weight record so the driver verifies BOTH halves:
+    the bucket-model arithmetic (n_feats/log_weight/logw_per_feat) and
+    the deterministic resampling key/cutoff."""
+    from jsonify2ai_spark.operators.sampling import dsir_resample, dsir_weights
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    w = dsir_weights(docs, docs.filter(F.col("lang") == "en"), buckets=10_000)
+    sel = dsir_resample(w, 100)
+    return sel.join(w, "doc_id").select(
+        "doc_id", "n_feats", "log_weight", "logw_per_feat", "resample_key"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -2236,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round (policy (a): first driver row gates) ---
         "q119_packed_boundaries": q119_packed_boundaries,  # NEW r11: with_boundaries contract
+        "q120_dsir": q120_dsir,  # NEW r11: DSIR weights + Gumbel-top-k resample
         # --- r7-green cohort (32): 3 rounds driver-stale, pays first ---
         "q108_reference_ppl": q108_reference_ppl,
         "q89_embedding_drift": q89_embedding_drift,
@@ -2286,10 +2306,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_clip_tokens": q72_clip_tokens,
         "q73_bigram_logprob": q73_bigram_logprob,
         "q75_dedup_keep_best": q75_dedup_keep_best,
-        "q76_containment_pairs": q76_containment_pairs,
         # ================= tail (entry 51+) =================
-        # remaining r8-greens (18, q77 bumped by q119): round-12's
-        # mandatory block
+        # remaining r8-greens (19, q76/q77 bumped by q119/q120):
+        # round-12's mandatory block
+        "q76_containment_pairs": q76_containment_pairs,
         "q77_shingle_census": q77_shingle_census,
         "q78_vocab_stats": q78_vocab_stats,
         "q79_cross_source_dup": q79_cross_source_dup,
@@ -5015,6 +5035,63 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY s.doc_id) AS doc_lens_csv
             FROM assign a JOIN sized s USING (doc_id)
             GROUP BY a.grp, a.bin
+        """,
+        # twin of sampling.dsir_weights + dsir_resample: hashed
+        # unigram+bigram buckets (md5 idiom), Laplace-1 bucket models
+        # target=lang('en') vs raw=corpus, per-doc log weight, then the
+        # Gumbel-top-k draw on the 4dp-ROUNDED key (the documented
+        # engine-determinism rule), k=100, salt 'dsir-v1'
+        "q120_dsir": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     (CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                           ELSE string_split_regex(trim(text), '\s+') END) AS l
+              FROM documents
+            ), g AS (
+              SELECT doc_id, lang,
+                     unnest(list_concat(l,
+                        CASE WHEN len(l) >= 2
+                             THEN list_transform(range(1, len(l)),
+                                                 i -> l[i] || ' ' || l[i+1])
+                             ELSE CAST([] AS VARCHAR[]) END)) AS gram
+              FROM t
+            ), f AS (
+              SELECT doc_id, lang,
+                     CAST('0x' || substr(md5(gram), 1, 12) AS BIGINT) % 10000 AS b
+              FROM g
+            ), tc AS (
+              SELECT b, count(*) AS tc FROM f WHERE lang = 'en' GROUP BY b
+            ), rc AS (
+              SELECT b, count(*) AS rc FROM f GROUP BY b
+            ), model AS (
+              SELECT coalesce(tc.b, rc.b) AS b,
+                     coalesce(tc, 0) AS tc, coalesce(rc, 0) AS rc
+              FROM tc FULL JOIN rc ON tc.b = rc.b
+            ), s AS (
+              SELECT CAST(sum(tc) AS DOUBLE) AS Nt,
+                     CAST(sum(rc) AS DOUBLE) AS Nr
+              FROM model
+            ), dc AS (
+              SELECT doc_id, b, count(*) AS c FROM f GROUP BY 1, 2
+            ), scored AS (
+              SELECT dc.doc_id, dc.c,
+                     ln((m.tc + 1.0) / (s.Nt + 1.0 * 10000))
+                     - ln((m.rc + 1.0) / (s.Nr + 1.0 * 10000)) AS lr
+              FROM dc JOIN model m ON m.b = dc.b CROSS JOIN s
+            ), w AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+                     round(sum(c * lr), 4) + 0.0 AS log_weight,
+                     round(sum(c * lr) / sum(c), 4) + 0.0 AS logw_per_feat
+              FROM scored GROUP BY doc_id
+            ), keyed AS (
+              SELECT doc_id, n_feats, log_weight, logw_per_feat,
+                     round(log_weight - ln(-ln(
+                        (CAST('0x' || substr(md5('dsir-v1' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+                         % 1000000 + 0.5) / 1000000.0)), 4) + 0.0 AS resample_key
+              FROM w WHERE log_weight IS NOT NULL
+            )
+            SELECT doc_id, n_feats, log_weight, logw_per_feat, resample_key
+            FROM keyed ORDER BY resample_key DESC, doc_id LIMIT 100
         """,
         # twin of dedup.semantic_decontaminate(impl='expr'): max of the
         # sequential-fold cosines vs the first-8 benchmark slice; flag on

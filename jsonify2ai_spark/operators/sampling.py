@@ -424,3 +424,166 @@ def diversity_sample(
     return per_source_cap(
         assigned, cap, source_col="cluster", id_col=id_col
     ).withColumnRenamed("src_rank", "cluster_rank")
+
+
+def _hashed_gram_buckets(text: Column | str, buckets: int) -> Column:
+    """Hashed unigram+bigram feature buckets of a text column — the DSIR
+    feature map (Xie et al. 2023 §2.2: bag of hashed n-grams). Engine-
+    portable: bucket = conv(substr(md5(gram),1,12),16,10) % buckets, the
+    same md5 idiom as :func:`sample_hash` (DuckDB twin:
+    ``CAST('0x'||substr(md5(g),1,12) AS BIGINT) % B``). Pure column
+    expression — whole-stage codegen, no UDF, no shuffle."""
+    from jsonify2ai_spark.functions.text import tokens
+
+    toks = tokens(text)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(toks, bigrams),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("bigint")
+        % buckets,
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    buckets: int = 10_000,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: str | None = None,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much more likely its hashed-n-gram profile is under a TARGET
+    corpus (the distribution you want more of — Wikipedia-grade text, a
+    domain slice) than under the raw corpus itself. The standing
+    alternative to hard classifier filtering: weights feed
+    :func:`dsir_resample`, which draws a target-shaped subset instead of
+    thresholding.
+
+    Model: unigram+bigram grams hashed into ``buckets`` buckets
+    (:func:`_hashed_gram_buckets`); bucket probabilities Laplace-smoothed
+    with ``alpha`` over the B-bucket vocabulary, fitted once on target and
+    once on ``df`` (the raw corpus is its own proposal distribution, per
+    the paper). Per document: log w(x) = Σ_j c_j(x)·(ln p̂_target(j) −
+    ln p̂_raw(j)).
+
+    Plan shape at 100 TB: gram hashing is a map-side column expression;
+    the two model fits are partial-aggregated count rollups of at most B
+    rows each; per-doc bucket counts shuffle once on (id, bucket); the
+    bucket→logratio join is B-row-bounded (AQE broadcasts it — same
+    contract as unigram_logprob's vocab join) and inner-exact, because
+    the raw fit and the per-doc counts share one feature frame — a
+    target-only bucket joins nothing, a doc bucket is always in the raw
+    model. No UDFs, no collect.
+
+    Output (docs with ≥1 token; empty docs have no features and drop, as
+    in the paper's featurization): ``(id, n_feats, log_weight,
+    logw_per_feat)``, the log columns rounded to 4dp (+0.0 signed-zero
+    guard) so cross-engine libm ulp noise cannot reach an oracle hash —
+    downstream ranking uses the ROUNDED value, documented in
+    :func:`dsir_resample`.
+    """
+    b = F.lit(float(buckets))
+    a = F.lit(float(alpha))
+
+    def feats(frame: DataFrame, col: str, keep_id: bool) -> DataFrame:
+        sel = [F.col(id_col)] if keep_id else []
+        return frame.select(
+            *sel,
+            F.explode(_hashed_gram_buckets(col, buckets)).alias("bucket"),
+        )
+
+    raw_feats = feats(df, text_col, keep_id=True).localCheckpoint(eager=False)
+    tgt_counts = (
+        feats(target, target_text_col or text_col, keep_id=False)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    raw_counts = raw_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    model = (
+        tgt_counts.join(raw_counts, "bucket", "outer")
+        .select(
+            "bucket",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    scalars = model.agg(
+        F.sum("tc").cast("double").alias("Nt"),
+        F.sum("rc").cast("double").alias("Nr"),
+    )
+    logratio = (
+        F.log((F.col("tc") + a) / (F.col("Nt") + a * b))
+        - F.log((F.col("rc") + a) / (F.col("Nr") + a * b))
+    ).alias("logratio")
+    ratios = model.crossJoin(F.broadcast(scalars)).select("bucket", logratio)
+    doc_counts = raw_feats.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # inner join is exact: every doc bucket is in the raw model by
+    # construction (the raw fit and doc_counts share raw_feats)
+    scored = doc_counts.join(ratios, "bucket").select(
+        F.col(id_col), F.col("c"), F.col("logratio").alias("lr")
+    )
+    logw = F.sum(F.col("c") * F.col("lr"))
+    return scored.groupBy(id_col).agg(
+        F.sum("c").cast("bigint").alias("n_feats"),
+        (F.round(logw, 4) + F.lit(0.0)).alias("log_weight"),
+        (F.round(logw / F.sum("c"), 4) + F.lit(0.0)).alias("logw_per_feat"),
+    )
+
+
+def dsir_resample(
+    weights: DataFrame,
+    k: int,
+    weight_col: str = "log_weight",
+    id_col: str = "doc_id",
+    salt: str = "dsir-v1",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """DSIR's resampling half: draw ``k`` documents WITHOUT replacement
+    with probability ∝ exp(log_weight / temperature), via the Gumbel
+    top-k trick (Vieira 2014; Xie et al. 2023 §2.3 sample ∝ importance
+    weight) — rank on log w/T + Gumbel noise and keep the top k. Unlike a
+    hard threshold on the weight, resampling preserves DIVERSITY: a
+    middling-weight document still wins sometimes, so the selected corpus
+    approximates the target distribution instead of collapsing onto the
+    target's mode. ``temperature`` → ∞ recovers uniform sampling, → 0
+    recovers deterministic top-k by weight.
+
+    Engine-portable determinism: the Gumbel variate derives from the md5
+    uniform of :func:`sample_hash` (u = (bucket+0.5)/1e6, g =
+    −ln(−ln u)) — same rows on every engine, retry, and cluster shape,
+    exactly like every sampler in this module; the ranking key is rounded
+    to 4dp BEFORE ordering (ties broken by id) so cross-engine float ulp
+    cannot reorder the boundary. Plan: one map-side key projection + a
+    TakeOrderedAndProject top-k — no corpus-wide sort, no shuffle beyond
+    the k-row collect-to-driver-free ordered take.
+
+    Output: ``(id, resample_key)`` for the k selected documents. NULL
+    weights (docs absent from the model — callers joining weights back
+    onto a wider frame) are excluded: no weight, no ticket.
+    """
+    u = (sample_hash(F.col(id_col), salt) + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    key = F.round(
+        F.col(weight_col) / F.lit(float(temperature)) - F.log(-F.log(u)), 4
+    ) + F.lit(0.0)
+    return (
+        weights.filter(F.col(weight_col).isNotNull())
+        .select(F.col(id_col), key.alias("resample_key"))
+        .orderBy(F.col("resample_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -3003,3 +3003,75 @@ def test_tokens_to_ids_join_rejects_duplicate_ids(spark):
         for r in tokens_to_ids(uniq, vocab, impl="udf").collect()
     }
     assert j == u == {1: [0], 2: [0, 1]}
+
+
+def test_dsir_weights_shift_toward_target(spark, tables):
+    """DSIR importance weights: target-language documents score higher
+    (per-feature) than off-target ones on average; n_feats is the exact
+    unigram+bigram count; empty docs drop; the weight frame is stable
+    across partitionings (no RNG, no row-order dependence)."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.sampling import dsir_weights
+
+    docs = tables["documents"]
+    target = docs.filter("lang = 'en'")
+    w = dsir_weights(docs, target, buckets=5_000)
+    joined = w.join(docs.select("doc_id", "lang"), "doc_id").collect()
+    assert len(joined) == docs.filter(F.length(F.trim("text")) > 0).count()
+
+    en = [r["logw_per_feat"] for r in joined if r["lang"] == "en"]
+    rest = [r["logw_per_feat"] for r in joined if r["lang"] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)  # the point of DSIR
+
+    one = docs.filter("doc_id = 1").collect()[0]
+    ntok = len(one["text"].split())
+    got = [r["n_feats"] for r in joined if r["doc_id"] == 1][0]
+    assert got == ntok + max(ntok - 1, 0)  # unigrams + bigrams
+
+    again = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_weights(docs.repartition(7), target, buckets=5_000).collect()
+    }
+    assert again == {r["doc_id"]: r["log_weight"] for r in joined}
+
+
+def test_dsir_resample_gumbel_without_replacement(spark, tables):
+    """DSIR resampling: k distinct rows, reproducible across runs,
+    temperature→0 degenerates to top-k by weight, and the drawn subset is
+    target-shifted (mean selected weight > corpus mean). NULL weights get
+    no ticket."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.sampling import dsir_resample, dsir_weights
+
+    docs = tables["documents"]
+    w = dsir_weights(docs, docs.filter("lang = 'en'"), buckets=5_000)
+    w = w.localCheckpoint()
+
+    sel = dsir_resample(w, 60).collect()
+    assert len(sel) == 60
+    assert len({r["doc_id"] for r in sel}) == 60  # without replacement
+    again = dsir_resample(w.repartition(5), 60).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in sel)
+
+    pop_mean = w.agg(F.avg("log_weight")).collect()[0][0]
+    sel_ids = [r["doc_id"] for r in sel]
+    sel_mean = (
+        w.filter(F.col("doc_id").isin(sel_ids)).agg(F.avg("log_weight")).collect()[0][0]
+    )
+    assert sel_mean > pop_mean  # importance resampling shifts the mix
+
+    cold = dsir_resample(w, 20, temperature=1e-9)
+    top = w.orderBy(F.col("log_weight").desc(), "doc_id").limit(20)
+    assert {r["doc_id"] for r in cold.collect()} == {
+        r["doc_id"] for r in top.collect()
+    }
+
+    with_null = w.withColumn(
+        "log_weight",
+        F.when(F.col("doc_id") % 2 == 0, F.col("log_weight")),
+    )
+    odd = dsir_resample(with_null, 1_000_000).collect()
+    assert all(r["doc_id"] % 2 == 0 for r in odd)
