@@ -569,7 +569,11 @@ def dsir_resample(
     to 4dp BEFORE ordering (ties broken by id) so cross-engine float ulp
     cannot reorder the boundary. Plan: one map-side key projection + a
     TakeOrderedAndProject top-k — no corpus-wide sort, no shuffle beyond
-    the k-row collect-to-driver-free ordered take.
+    the k-row ordered take. k is SUBSET-sized by contract: the physical
+    take keeps a k-row heap per input partition, so a corpus-scale k
+    (say 10^9) allocates that heap 10^3 times over — for "keep
+    everything above a weight floor" use a plain filter on the key
+    (``DSIRGate``'s cutoff mode is exactly that), not a giant k.
 
     Output: ``(id, resample_key)`` for the k selected documents. NULL
     weights (docs absent from the model — callers joining weights back

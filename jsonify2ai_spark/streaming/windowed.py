@@ -1999,3 +1999,263 @@ class PackGate:
 
     def close(self) -> None:  # no persisted frames; symmetry with the family
         pass
+
+
+class DSIRGate:
+    """Streaming face of DSIR data selection (q120 /
+    :func:`~jsonify2ai_spark.operators.sampling.dsir_weights` +
+    ``dsir_resample``, Xie et al. 2023): score each micro-batch's
+    documents against FROZEN hashed-n-gram bucket models — the
+    target/raw importance models fitted offline at construction — so a
+    standing ingest annotates (or thins) arriving documents toward the
+    target distribution with the SAME arithmetic the batch selector
+    used. The frozen-artifact stance of the family (TokenizeGate's
+    tokenizer, LeakageGate's train shingles, the IVF centroids): corpus
+    drift does not silently refit the models per trigger; refreshing is
+    the explicit offline :meth:`rebuild`.
+
+    Two chain shapes, declared at construction:
+
+    - ``key_cutoff=None`` (default): ANNOTATE — ``kind='rewrite'`` with
+      an append-shaped ``rewritten_col = out_col`` the input does not
+      carry, so StreamingPrepChain ADDS ``dsir_log_weight`` to surviving
+      rows. Featureless (empty-text) documents annotate NULL — total
+      over the batch, never row-dropping.
+    - ``key_cutoff=<float>``: THIN — ``kind='filter'``; keep a document
+      iff its deterministic Gumbel key ``round(log_w/T + g(id), 4)`` ≥
+      the cutoff, the streaming analog of ``dsir_resample`` (a stream
+      cannot take a global top-k, so the caller calibrates the cutoff
+      offline — e.g. the k-th ``resample_key`` of a batch resample over
+      a calibration corpus — and the gate applies it per document).
+      Same md5 uniforms, same 4dp-rounded key, so a replayed batch
+      keeps exactly the same rows: idempotent under at-least-once
+      delivery with NO cross-batch state. Featureless documents have no
+      weight and no ticket — they drop, matching the batch operator.
+
+    Per-trigger cost: gram hashing is a map-side column expression; one
+    batch-sized (id, bucket) rollup; one join against the persisted
+    ≤``buckets``-row logratio table (broadcast while ``buckets`` ≤
+    ``broadcast_model_max``, shuffled join above it — the LeakageGate
+    guard convention). Buckets a batch hashes into that NEITHER fit-time
+    model saw (genuinely novel text — impossible at fit time, routine
+    under drift) fold to the constant smoothing logratio
+    ``ln(Nr + αB) − ln(Nt + αB)``, the Laplace value both models assign
+    a count-0 bucket; :meth:`score_batch` on the fit corpus itself
+    reproduces ``dsir_weights`` row-for-row (parity-pinned in tests).
+
+    Reference anchor: no counterpart in the reference (single-node, no
+    curation pipeline); the batch/stream split mirrors this repo's
+    gate-family design only.
+    """
+
+    def __init__(
+        self,
+        raw: DataFrame,
+        target: DataFrame,
+        buckets: int = 10_000,
+        alpha: float = 1.0,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        target_text_col: str | None = None,
+        key_cutoff: float | None = None,
+        temperature: float = 1.0,
+        salt: str = "dsir-v1",
+        out_col: str = "dsir_log_weight",
+        broadcast_model_max: int = 4_000_000,
+    ) -> None:
+        self._buckets = int(buckets)
+        self._alpha = float(alpha)
+        self._input_col = text_col
+        self._text_col = out_col  # chain rewrite destination (append)
+        self._id_col = id_col
+        self._key_cutoff = None if key_cutoff is None else float(key_cutoff)
+        self._temperature = float(temperature)
+        self._salt = salt
+        self._broadcast_model_max = int(broadcast_model_max)
+        self.kind = "filter" if self._key_cutoff is not None else "rewrite"
+        self.rewritten_col = out_col
+        self.rebuild(raw, target, target_text_col=target_text_col)
+
+    def rebuild(
+        self,
+        raw: DataFrame,
+        target: DataFrame,
+        target_text_col: str | None = None,
+    ) -> None:
+        """Refit the bucket models from the grown corpora — the explicit
+        offline refresh (refresh_quantizer cadence), one pair of
+        corpus-proportional count rollups, never a per-trigger cost. The
+        old logratio artifact is unpersisted."""
+        import math
+
+        from jsonify2ai_spark.operators.sampling import _hashed_gram_buckets
+
+        def counts(frame: DataFrame, col: str, alias: str) -> DataFrame:
+            return (
+                frame.select(
+                    F.explode(
+                        _hashed_gram_buckets(col, self._buckets)
+                    ).alias("bucket")
+                )
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias(alias))
+            )
+
+        a, b = self._alpha, float(self._buckets)
+        tc = counts(target, target_text_col or self._input_col, "tc")
+        rc = counts(raw, self._input_col, "rc")
+        totals = (
+            tc.join(rc, "bucket", "outer")
+            .agg(
+                F.sum(F.coalesce("tc", F.lit(0))).cast("double").alias("Nt"),
+                F.sum(F.coalesce("rc", F.lit(0))).cast("double").alias("Nr"),
+            )
+            .first()
+        )
+        self._nt, self._nr = float(totals["Nt"]), float(totals["Nr"])
+        logratio = (
+            F.log((F.coalesce("tc", F.lit(0)) + F.lit(a)) / F.lit(self._nt + a * b))
+            - F.log((F.coalesce("rc", F.lit(0)) + F.lit(a)) / F.lit(self._nr + a * b))
+        ).alias("logratio")
+        old = getattr(self, "_model", None)
+        self._model = (
+            tc.join(rc, "bucket", "outer").select("bucket", logratio).persist()
+        )
+        self._model.count()
+        if old is not None:
+            old.unpersist()
+        # count-0 bucket under both models (novel text): α cancels
+        self._unseen = math.log(self._nr + a * b) - math.log(self._nt + a * b)
+
+    def _scores(self, batch: DataFrame) -> DataFrame:
+        from jsonify2ai_spark.operators.sampling import _hashed_gram_buckets
+
+        idc = self._id_col
+        doc_counts = (
+            batch.select(
+                F.col(idc),
+                F.explode(
+                    _hashed_gram_buckets(self._input_col, self._buckets)
+                ).alias("bucket"),
+            )
+            .groupBy(idc, "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        model = (
+            F.broadcast(self._model)
+            if self._buckets <= self._broadcast_model_max
+            else self._model
+        )
+        logw = F.sum(F.col("c") * F.col("lr"))
+        return (
+            doc_counts.join(model, "bucket", "left")
+            .select(
+                F.col(idc),
+                F.col("c"),
+                F.coalesce("logratio", F.lit(self._unseen)).alias("lr"),
+            )
+            .groupBy(idc)
+            .agg(
+                F.sum("c").cast("bigint").alias("n_feats"),
+                (F.round(logw, 4) + F.lit(0.0)).alias("log_weight"),
+                (F.round(logw / F.sum("c"), 4) + F.lit(0.0)).alias(
+                    "logw_per_feat"
+                ),
+            )
+        )
+
+    def score_batch(self, batch: DataFrame) -> DataFrame:
+        """Audit face: (id, n_feats, log_weight, logw_per_feat) for the
+        batch's documents with ≥1 token — dsir_weights' exact output
+        shape and arithmetic under the frozen models."""
+        return self._scores(batch)
+
+    def filter_batch(self, batch: DataFrame) -> DataFrame:
+        """Chain face. Annotate mode (rewrite): every input id with its
+        4dp log_weight (NULL when featureless). Thin mode (filter):
+        surviving input rows, input schema."""
+        from jsonify2ai_spark.operators.sampling import _BUCKETS, sample_hash
+
+        idc = self._id_col
+        scores = self._scores(batch)
+        if self._key_cutoff is None:
+            return (
+                batch.select(idc)
+                .join(scores, idc, "left")
+                .select(
+                    F.col(idc),
+                    F.col("log_weight").alias(self.rewritten_col),
+                )
+            )
+        u = (sample_hash(F.col(idc), self._salt) + F.lit(0.5)) / F.lit(
+            float(_BUCKETS)
+        )
+        key = F.round(
+            F.col("log_weight") / F.lit(self._temperature) - F.log(-F.log(u)),
+            4,
+        ) + F.lit(0.0)
+        keep = scores.filter(key >= F.lit(self._key_cutoff)).select(idc)
+        return batch.join(keep, idc, "left_semi")
+
+    def foreach_batch(self, append):
+        """Wrap ``append(df, batch_id)`` as a foreachBatch callable."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            append(self.filter_batch(batch), batch_id)
+
+        return _fn
+
+    def save(self, path: str) -> None:
+        """Persist the logratio model + params for restart warm-load
+        (CorpusNearDupGate.save contract)."""
+        spark = self._model.sparkSession
+        self._model.write.mode("overwrite").parquet(f"{path}/model")
+        spark.createDataFrame(
+            [
+                (
+                    self._buckets,
+                    self._alpha,
+                    self._input_col,
+                    self._id_col,
+                    self._key_cutoff,
+                    self._temperature,
+                    self._salt,
+                    self.rewritten_col,
+                    self._broadcast_model_max,
+                    self._nt,
+                    self._nr,
+                )
+            ],
+            "buckets long, alpha double, text_col string, id_col string, "
+            "key_cutoff double, temperature double, salt string, "
+            "out_col string, broadcast_model_max long, nt double, nr double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "DSIRGate":
+        import math
+
+        meta = spark.read.parquet(f"{path}/meta").first()
+        obj = cls.__new__(cls)
+        obj._buckets = int(meta["buckets"])
+        obj._alpha = float(meta["alpha"])
+        obj._input_col = meta["text_col"]
+        obj._id_col = meta["id_col"]
+        obj._key_cutoff = (
+            None if meta["key_cutoff"] is None else float(meta["key_cutoff"])
+        )
+        obj._temperature = float(meta["temperature"])
+        obj._salt = meta["salt"]
+        obj._text_col = meta["out_col"]
+        obj.rewritten_col = meta["out_col"]
+        obj._broadcast_model_max = int(meta["broadcast_model_max"])
+        obj._nt, obj._nr = float(meta["nt"]), float(meta["nr"])
+        obj.kind = "filter" if obj._key_cutoff is not None else "rewrite"
+        a, b = obj._alpha, float(obj._buckets)
+        obj._unseen = math.log(obj._nr + a * b) - math.log(obj._nt + a * b)
+        obj._model = spark.read.parquet(f"{path}/model").persist()
+        obj._model.count()
+        return obj
+
+    def close(self) -> None:
+        self._model.unpersist()

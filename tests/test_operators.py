@@ -3073,5 +3073,5 @@ def test_dsir_resample_gumbel_without_replacement(spark, tables):
         "log_weight",
         F.when(F.col("doc_id") % 2 == 0, F.col("log_weight")),
     )
-    odd = dsir_resample(with_null, 1_000_000).collect()
+    odd = dsir_resample(with_null, with_null.count()).collect()
     assert all(r["doc_id"] % 2 == 0 for r in odd)

@@ -1824,3 +1824,107 @@ def test_pack_gate_shard_sink_live_stream(spark, tmp_path):
     assert streamed_ids == sorted(i for i, _ in batch1 + batch2)
     assert len(rows) - len(stream_rows) == base["rows"]
     assert os.path.isdir(os.path.join(out, "pack_gate_state"))
+
+
+def test_dsir_gate_stream_equals_batch_and_annotate(spark, tables):
+    """DSIRGate (r11): per-batch scoring under the frozen bucket models
+    reproduces dsir_weights row-for-row over a replayed corpus; the
+    annotate face (kind='rewrite') is TOTAL — every input id gets a row,
+    featureless docs annotate NULL — and composes through
+    StreamingPrepChain as an append-shaped rewrite."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.sampling import dsir_weights
+    from jsonify2ai_spark.streaming.windowed import DSIRGate, StreamingPrepChain
+
+    docs = tables["documents"].select("doc_id", "text", "lang")
+    target = docs.filter("lang = 'en'")
+    gate = DSIRGate(docs, target, buckets=5_000)
+    assert gate.kind == "rewrite"
+
+    batch = dsir_weights(docs, target, buckets=5_000)
+    want = {r["doc_id"]: repr((r["n_feats"], r["log_weight"], r["logw_per_feat"]))
+            for r in batch.collect()}
+    got = {}
+    for part in range(3):
+        b = docs.filter(F.col("doc_id") % 3 == part)
+        for r in gate.score_batch(b).collect():
+            got[r["doc_id"]] = repr((r["n_feats"], r["log_weight"], r["logw_per_feat"]))
+    assert got == want  # stream == batch, repr-strict
+
+    with_empty = docs.limit(5).union(
+        spark.createDataFrame([(999999, "   ", "xx")], docs.schema)
+    )
+    ann = {r["doc_id"]: r["dsir_log_weight"]
+           for r in gate.filter_batch(with_empty).collect()}
+    assert set(ann) == {r["doc_id"] for r in with_empty.collect()}
+    assert ann[999999] is None  # featureless -> NULL, row kept
+
+    chained = StreamingPrepChain([gate]).filter_batch(with_empty)
+    crow = {r["doc_id"]: r["dsir_log_weight"] for r in chained.collect()}
+    assert crow == ann and "text" in chained.columns
+    gate.close()
+
+
+def test_dsir_gate_cutoff_replay_and_save_load(spark, tables, tmp_path):
+    """DSIRGate thin mode: the deterministic Gumbel-key cutoff keeps the
+    same rows as the batch-side key computation, a replayed batch keeps
+    exactly the same rows (no cross-batch state), featureless docs drop,
+    and save/load round-trips models, mode, and scores."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.sampling import dsir_resample, dsir_weights
+    from jsonify2ai_spark.streaming.windowed import DSIRGate
+
+    docs = tables["documents"].select("doc_id", "text", "lang")
+    target = docs.filter("lang = 'en'")
+    w = dsir_weights(docs, target, buckets=5_000)
+    # calibrate: the 100th resample key over the fit corpus
+    cutoff = dsir_resample(w, 100).agg(F.min("resample_key")).collect()[0][0]
+
+    gate = DSIRGate(docs, target, buckets=5_000, key_cutoff=cutoff)
+    assert gate.kind == "filter"
+    kept = gate.filter_batch(docs)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    expect = {r["doc_id"] for r in dsir_resample(w, w.count()).filter(
+        F.col("resample_key") >= cutoff).collect()}
+    assert kept_ids == expect and len(kept_ids) >= 100
+    assert kept.columns == docs.columns  # input schema survives
+
+    replay = {r["doc_id"] for r in gate.filter_batch(docs).collect()}
+    assert replay == kept_ids  # idempotent under at-least-once delivery
+
+    empty = spark.createDataFrame([(777777, "", "xx")], docs.schema)
+    assert gate.filter_batch(empty).count() == 0  # no weight, no ticket
+
+    path = str(tmp_path / "dsir_gate")
+    gate.save(path)
+    loaded = DSIRGate.load(spark, path)
+    assert loaded.kind == "filter"
+    assert {r["doc_id"] for r in loaded.filter_batch(docs).collect()} == kept_ids
+    gate.close()
+    loaded.close()
+
+
+def test_dsir_gate_unseen_buckets_fold_to_constant(spark):
+    """Drifted text hashing into buckets NEITHER fit-time model saw folds
+    to the constant count-0 smoothing logratio ln(Nr+aB)-ln(Nt+aB) — no
+    NULL scores, and an all-novel document scores exactly
+    round(n_feats * const, 4)."""
+    import pytest
+
+    from jsonify2ai_spark.streaming.windowed import DSIRGate
+
+    fit = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")], "doc_id long, text string"
+    )
+    # B >> distinct fit grams: a novel gram is almost surely an unseen bucket
+    gate = DSIRGate(fit, fit.filter("doc_id = 1"), buckets=1_000_000)
+    novel = spark.createDataFrame(
+        [(9, "zzqx wwvk yyrt")], "doc_id long, text string"
+    )
+    row = gate.score_batch(novel).collect()[0]
+    assert row["log_weight"] is not None
+    assert row["n_feats"] == 5  # 3 unigrams + 2 bigrams
+    assert row["log_weight"] == pytest.approx(5 * gate._unseen, abs=1e-4)
+    gate.close()
