@@ -2234,6 +2234,27 @@ def q120_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q121_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency QA card (operators/packing.py pack_report):
+    next-fit-pack the documents table by n_chars at budget 512, then the
+    one-row layout report — bin count, docs/bin, fill-rate distribution
+    (mean/p50/p95/min/max), wasted-capacity fraction, and the overfull
+    count (docs larger than the budget pack alone past it — the "clip
+    upstream" signal). The trainer-facing go/no-go before
+    write_training_shards commits a (budget, corpus) pairing."""
+    from jsonify2ai_spark.operators.packing import pack_report, pack_sequences
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    packed = pack_sequences(
+        t["documents"].select("doc_id", "n_chars"),
+        budget=512,
+        size_col="n_chars",
+        id_col="doc_id",
+        n_groups=8,
+    )
+    return pack_report(packed, budget=512, size_col="n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -2256,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (policy (a): first driver row gates) ---
         "q119_packed_boundaries": q119_packed_boundaries,  # NEW r11: with_boundaries contract
         "q120_dsir": q120_dsir,  # NEW r11: DSIR weights + Gumbel-top-k resample
+        "q121_pack_report": q121_pack_report,  # NEW r11: packing-efficiency QA card
         # --- r7-green cohort (32): 3 rounds driver-stale, pays first ---
         "q108_reference_ppl": q108_reference_ppl,
         "q89_embedding_drift": q89_embedding_drift,
@@ -2305,10 +2327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_gopher_filter": q71_gopher_filter,
         "q72_clip_tokens": q72_clip_tokens,
         "q73_bigram_logprob": q73_bigram_logprob,
-        "q75_dedup_keep_best": q75_dedup_keep_best,
         # ================= tail (entry 51+) =================
-        # remaining r8-greens (19, q76/q77 bumped by q119/q120):
+        # remaining r8-greens (20, q75/q76/q77 bumped by q119-q121):
         # round-12's mandatory block
+        "q75_dedup_keep_best": q75_dedup_keep_best,
         "q76_containment_pairs": q76_containment_pairs,
         "q77_shingle_census": q77_shingle_census,
         "q78_vocab_stats": q78_vocab_stats,
@@ -5092,6 +5114,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_feats, log_weight, logw_per_feat, resample_key
             FROM keyed ORDER BY resample_key DESC, doc_id LIMIT 100
+        """,
+        # twin of packing.pack_report over pack_sequences(n_chars, 512,
+        # 8 groups): the q119 next-fit recursive CTE, then the one-row
+        # layout card; quantile_cont == Spark's exact percentile()
+        "q121_pack_report": r"""
+            WITH RECURSIVE g AS (
+              SELECT doc_id, n_chars AS w, doc_id % 8 AS grp,
+                     row_number() OVER (PARTITION BY doc_id % 8
+                                        ORDER BY doc_id) AS r
+              FROM documents
+            ), f(grp, r, doc_id, w, acc, bin) AS (
+              SELECT grp, r, doc_id, w, w, 0 FROM g WHERE r = 1
+              UNION ALL
+              SELECT n.grp, n.r, n.doc_id, n.w,
+                     CASE WHEN f.acc > 0 AND f.acc + n.w > 512
+                          THEN n.w ELSE f.acc + n.w END,
+                     CASE WHEN f.acc > 0 AND f.acc + n.w > 512
+                          THEN f.bin + 1 ELSE f.bin END
+              FROM f JOIN g n ON n.grp = f.grp AND n.r = f.r + 1
+            ), bins AS (
+              SELECT grp, bin, sum(w) AS fill, count(*) AS n_docs
+              FROM f GROUP BY grp, bin
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_bins,
+                   CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                   CAST(sum(fill) AS BIGINT) AS total_units,
+                   round(avg(n_docs), 4) + 0.0 AS docs_per_bin,
+                   round(avg(fill / 512.0), 4) + 0.0 AS mean_fill,
+                   round(quantile_cont(fill / 512.0, 0.5), 4) + 0.0 AS p50_fill,
+                   round(quantile_cont(fill / 512.0, 0.95), 4) + 0.0 AS p95_fill,
+                   round(min(fill / 512.0), 4) + 0.0 AS min_fill,
+                   round(max(fill / 512.0), 4) + 0.0 AS max_fill,
+                   round(1.0 - sum(fill) / (count(*) * 512.0), 4) + 0.0 AS waste_frac,
+                   CAST(sum(CASE WHEN fill > 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_overfull
+            FROM bins
         """,
         # twin of dedup.semantic_decontaminate(impl='expr'): max of the
         # sequential-fold cosines vs the first-8 benchmark slice; flag on

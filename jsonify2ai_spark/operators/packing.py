@@ -195,3 +195,54 @@ def concat_token_bins(
             ),
         )
     return out
+
+
+def pack_report(
+    packed: DataFrame,
+    budget: int,
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Packing-efficiency report over :func:`pack_sequences` output — the
+    one-row QA card a trainer reads before committing a shard layout:
+    does this (budget, corpus) pairing waste sequence capacity, and is
+    the waste in the bins or in oversized documents?
+
+    Columns: ``n_bins``, ``n_docs``, ``total_units`` (Σ size),
+    ``docs_per_bin`` (mean), fill-rate distribution over bins
+    (``mean_fill``/``p50_fill``/``p95_fill``/``min_fill``/``max_fill``,
+    each Σsize-in-bin / budget), ``waste_frac`` (capacity the layout
+    burns: 1 − total/(n_bins·budget)) and ``n_overfull`` (bins above
+    budget — next-fit places an oversized single document alone rather
+    than splitting it, so overfull count == oversized-doc count; a
+    nonzero value says "clip upstream or raise the budget", see
+    :func:`clip_to_token_budget`). Percentiles are exact
+    linear-interpolation ``percentile()`` over the BIN frame (bounded:
+    ≤ n_docs rows, in practice corpus_tokens/budget), not the corpus —
+    the q38 idiom, safe at 100 TB because bins-per-group are rolled up
+    partial-aggregated first and the final reduce is one row. Ratios
+    round to 4dp (+0.0 signed-zero guard, the oracle convention).
+    """
+    bins = packed.groupBy("pack_group", "bin_idx").agg(
+        F.sum(F.col(size_col)).cast("bigint").alias("fill"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    b = F.lit(float(budget))
+
+    def _r(c):
+        return F.round(c, 4) + F.lit(0.0)
+
+    return bins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("fill").cast("bigint").alias("total_units"),
+        _r(F.avg("n_docs")).alias("docs_per_bin"),
+        _r(F.avg(F.col("fill") / b)).alias("mean_fill"),
+        _r(F.expr("percentile(fill / CAST({b} AS DOUBLE), 0.5)".format(b=budget))).alias("p50_fill"),
+        _r(F.expr("percentile(fill / CAST({b} AS DOUBLE), 0.95)".format(b=budget))).alias("p95_fill"),
+        _r(F.min(F.col("fill") / b)).alias("min_fill"),
+        _r(F.max(F.col("fill") / b)).alias("max_fill"),
+        _r(F.lit(1.0) - F.sum("fill") / (F.count(F.lit(1)) * b)).alias("waste_frac"),
+        F.sum((F.col("fill") > F.lit(int(budget))).cast("int"))
+        .cast("bigint")
+        .alias("n_overfull"),
+    )

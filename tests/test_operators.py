@@ -3075,3 +3075,29 @@ def test_dsir_resample_gumbel_without_replacement(spark, tables):
     )
     odd = dsir_resample(with_null, with_null.count()).collect()
     assert all(r["doc_id"] % 2 == 0 for r in odd)
+
+
+def test_pack_report_card(spark, tables):
+    """pack_report: conservation (n_docs/total_units == input), waste
+    identity 1 - total/(n_bins*budget), overfull bins == oversized docs
+    (next-fit never co-locates a doc that would overflow a non-empty
+    bin), and every fill stat is budget-normalized."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.packing import pack_report, pack_sequences
+
+    docs = tables["documents"].select("doc_id", "n_chars")
+    budget = 512
+    packed = pack_sequences(docs, budget=budget, size_col="n_chars", n_groups=8)
+    card = pack_report(packed, budget=budget, size_col="n_chars").collect()[0]
+
+    assert card["n_docs"] == docs.count()
+    assert card["total_units"] == docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert card["waste_frac"] == round(
+        1.0 - card["total_units"] / (card["n_bins"] * budget), 4
+    )
+    oversized = docs.filter(F.col("n_chars") > budget).count()
+    assert card["n_overfull"] == oversized and oversized > 0
+    assert card["min_fill"] <= card["p50_fill"] <= card["p95_fill"] <= card["max_fill"]
+    assert card["max_fill"] > 1.0  # the oversized doc's lone bin
+    assert 0.0 < card["mean_fill"] <= card["max_fill"]
