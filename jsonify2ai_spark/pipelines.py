@@ -1069,3 +1069,116 @@ class StreamShardSink:
         if self._persist:
             self._gate.save(self._state_dir)
         return out
+
+
+def shard_store_report(out_dir: str) -> dict:
+    """Ops audit of a token-shard store (the produce/append/stream/LOAD
+    lifecycle's health card): reconcile the manifest against the disk
+    LISTING — the same dual-source rule :func:`_discover_increments`
+    loads by — and report every part's rows/bytes/files plus the
+    conditions an operator acts on. Driver-side os.walk only (a store
+    has tens-to-thousands of parts, never corpus-many); no Spark job,
+    so it is safe to run against a store that loaders are reading.
+
+    Per-part ``status``:
+
+    - ``ok``            listed sidecar + manifest entry agree
+    - ``unmanifested``  sidecar exists, manifest entry missing (crash
+                        window / lost concurrent-append race) — data is
+                        whole, the loader already heals it; the next
+                        append or compaction re-caches it
+    - ``torn``          increment directory WITHOUT a sidecar: a write
+                        crashed before commit — re-run the same run_id
+    - ``garbage``       directory for a run_id in ``compacted_runs``:
+                        its rows live in the compacted base; deletion
+                        was deferred or crashed — reclaimable
+    - ``lost``          manifest claims an increment with no directory/
+                        sidecar: the loader RAISES on this; surfaced
+                        here instead of raising so the audit can list
+                        every casualty at once
+
+    Top level: base dir/rows/bytes/files + compaction generation,
+    ``stale_dirs`` pending reclaim (with on-disk bytes), totals, and
+    ``compaction_recommended`` once live increments exceed
+    ``compact_over`` (default 8 — small-file pressure is the loader's
+    enemy at scale; each increment is its own parquet footer set).
+    """
+    import json
+    import os
+
+    def du(path: str) -> tuple[int, int]:
+        nbytes = nfiles = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    nbytes += os.path.getsize(os.path.join(root, f))
+                    nfiles += 1
+                except OSError:
+                    pass
+        return nbytes, nfiles
+
+    compact_over = 8
+    with open(os.path.join(out_dir, "manifest.json"), encoding="utf-8") as fh:
+        manifest = json.load(fh)
+
+    base_dir = manifest.get("shards_dir", "shards")
+    base_bytes, base_files = du(os.path.join(out_dir, base_dir))
+    folded = set(manifest.get("compacted_runs", []))
+    cached = {str(k): int(v) for k, v in manifest.get("increments", {}).items()}
+
+    parts = []
+    incr_root = os.path.join(out_dir, "shards_incr")
+    listed = set()
+    if os.path.isdir(incr_root):
+        for rid in sorted(os.listdir(incr_root)):
+            d = os.path.join(incr_root, rid)
+            if not os.path.isdir(d):
+                continue
+            listed.add(rid)
+            nbytes, nfiles = du(d)
+            side = os.path.join(d, "_increment.json")
+            if rid in folded:
+                status, rows = "garbage", None
+            elif not os.path.isfile(side):
+                status, rows = "torn", None
+            else:
+                with open(side, encoding="utf-8") as fh:
+                    rows = int(json.load(fh)["rows"])
+                status = "ok" if rid in cached else "unmanifested"
+            parts.append(
+                {
+                    "run_id": rid,
+                    "status": status,
+                    "rows": rows,
+                    "bytes": nbytes,
+                    "files": nfiles,
+                }
+            )
+    for rid in sorted(set(cached) - listed - folded):
+        parts.append(
+            {"run_id": rid, "status": "lost", "rows": cached[rid],
+             "bytes": 0, "files": 0}
+        )
+
+    stale = manifest.get("stale_dirs", [])
+    stale_bytes = sum(du(os.path.join(out_dir, d))[0] for d in stale)
+    live = [p for p in parts if p["status"] in ("ok", "unmanifested")]
+    return {
+        "base": {
+            "dir": base_dir,
+            "rows": int(manifest["rows"]),
+            "bytes": base_bytes,
+            "files": base_files,
+            "compaction_generation": (
+                int(base_dir.rsplit("_v", 1)[1]) if "_v" in base_dir else 0
+            ),
+        },
+        "increments": parts,
+        "n_live_increments": len(live),
+        "total_rows": int(manifest["rows"]) + sum(p["rows"] for p in live),
+        "total_bytes": base_bytes + sum(p["bytes"] for p in parts) + stale_bytes,
+        "stale_dirs": {"count": len(stale), "bytes": stale_bytes},
+        "n_lost": sum(1 for p in parts if p["status"] == "lost"),
+        "n_torn": sum(1 for p in parts if p["status"] == "torn"),
+        "compaction_recommended": len(live) > compact_over,
+    }

@@ -1184,3 +1184,60 @@ def test_text_stream_to_trainer_shards_composition(spark, tmp_path):
     got = sum(r["n_ids"] for r in rows if r["_source_run"] != "base")
     assert got == want_ids and want_ids > 9  # nonempty encodes
     tok.close()
+
+
+def test_shard_store_report_statuses(spark, tmp_path):
+    """shard_store_report: every part status the lifecycle can produce —
+    ok, unmanifested (crash-window increment), torn (no sidecar), lost
+    (manifest claims, disk lacks), garbage (compacted leftover) — plus
+    totals that agree with read_token_shards and the compaction nudge."""
+    import json
+    import os
+    import shutil
+
+    from jsonify2ai_spark.pipelines import (
+        compact_token_shards,
+        read_token_shards,
+        shard_store_report,
+    )
+
+    root = _mk_token_run(spark, tmp_path)
+    _mk_increment(spark, root, "r1", [100, 101])
+    _mk_increment(spark, root, "r2", [200, 201, 202])
+
+    mp = os.path.join(root, "manifest.json")
+    m = json.load(open(mp))
+    del m["increments"]["r1"]  # crash window: sidecar only
+    m["increments"]["ghost"] = 7  # manifest claims, disk lacks
+    json.dump(m, open(mp, "w"))
+    os.makedirs(os.path.join(root, "shards_incr", "rtorn"))  # no sidecar
+
+    rep = shard_store_report(root)
+    by = {p["run_id"]: p["status"] for p in rep["increments"]}
+    assert by == {
+        "r1": "unmanifested",
+        "r2": "ok",
+        "rtorn": "torn",
+        "ghost": "lost",
+    }
+    assert rep["n_lost"] == 1 and rep["n_torn"] == 1
+    assert rep["n_live_increments"] == 2
+    assert not rep["compaction_recommended"]
+    assert rep["base"]["compaction_generation"] == 0
+    assert rep["base"]["bytes"] > 0 and rep["base"]["files"] > 0
+
+    # heal the audit findings, then compact with deferred delete:
+    # folded run dirs become garbage, stale base goes to stale_dirs
+    del m["increments"]["ghost"]
+    json.dump(m, open(mp, "w"))
+    shutil.rmtree(os.path.join(root, "shards_incr", "rtorn"))
+    compact_token_shards(spark, root, defer_delete=True)
+
+    rep2 = shard_store_report(root)
+    assert rep2["base"]["compaction_generation"] == 1
+    assert {p["status"] for p in rep2["increments"]} <= {"garbage"}
+    assert rep2["n_live_increments"] == 0
+    assert rep2["stale_dirs"]["count"] >= 1
+    assert rep2["stale_dirs"]["bytes"] > 0
+    # the audit's row total is the loader's row count
+    assert rep2["total_rows"] == read_token_shards(spark, root).count()
