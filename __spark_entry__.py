@@ -2222,14 +2222,15 @@ def q120_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     a Gumbel-top-k draw of 100 docs ∝ exp(log_weight). The selected rows
     carry their full weight record so the driver verifies BOTH halves:
     the bucket-model arithmetic (n_feats/log_weight/logw_per_feat) and
-    the deterministic resampling key/cutoff."""
+    the deterministic resampling key/cutoff. dsir_resample carries the
+    full weight row through the k-row take, so the plan computes the
+    weights ONCE (no self-join re-deriving the same subtree)."""
     from jsonify2ai_spark.operators.sampling import dsir_resample, dsir_weights
 
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t["documents"]
     w = dsir_weights(docs, docs.filter(F.col("lang") == "en"), buckets=10_000)
-    sel = dsir_resample(w, 100)
-    return sel.join(w, "doc_id").select(
+    return dsir_resample(w, 100).select(
         "doc_id", "n_feats", "log_weight", "logw_per_feat", "resample_key"
     )
 

@@ -575,9 +575,13 @@ def dsir_resample(
     everything above a weight floor" use a plain filter on the key
     (``DSIRGate``'s cutoff mode is exactly that), not a giant k.
 
-    Output: ``(id, resample_key)`` for the k selected documents. NULL
-    weights (docs absent from the model — callers joining weights back
-    onto a wider frame) are excluded: no weight, no ticket.
+    Output: every input column plus ``resample_key`` for the k selected
+    documents — the full weight row rides the k-row take, so a caller
+    wanting the selection WITH its weights pays no self-join (a second
+    full weight computation: Spark does not dedupe common DataFrame
+    subplans). NULL weights (docs absent from the model — callers
+    joining weights back onto a wider frame) are excluded: no weight,
+    no ticket.
     """
     u = (sample_hash(F.col(id_col), salt) + F.lit(0.5)) / F.lit(
         float(_BUCKETS)
@@ -587,7 +591,7 @@ def dsir_resample(
     ) + F.lit(0.0)
     return (
         weights.filter(F.col(weight_col).isNotNull())
-        .select(F.col(id_col), key.alias("resample_key"))
+        .select("*", key.alias("resample_key"))
         .orderBy(F.col("resample_key").desc(), F.col(id_col))
         .limit(k)
     )
