@@ -2088,13 +2088,15 @@ class DSIRGate:
         old logratio artifact is unpersisted."""
         import math
 
-        from jsonify2ai_spark.operators.sampling import _hashed_gram_buckets
+        from jsonify2ai_spark.functions.text import tokens
+        from jsonify2ai_spark.operators.sampling import _gram_buckets_of
 
         def counts(frame: DataFrame, col: str, alias: str) -> DataFrame:
             return (
-                frame.select(
+                frame.select(tokens(col).alias("_tk"))
+                .select(
                     F.explode(
-                        _hashed_gram_buckets(col, self._buckets)
+                        _gram_buckets_of(F.col("_tk"), self._buckets)
                     ).alias("bucket")
                 )
                 .groupBy("bucket")
@@ -2128,14 +2130,16 @@ class DSIRGate:
         self._unseen = math.log(self._nr + a * b) - math.log(self._nt + a * b)
 
     def _scores(self, batch: DataFrame) -> DataFrame:
-        from jsonify2ai_spark.operators.sampling import _hashed_gram_buckets
+        from jsonify2ai_spark.functions.text import tokens
+        from jsonify2ai_spark.operators.sampling import _gram_buckets_of
 
         idc = self._id_col
         doc_counts = (
-            batch.select(
+            batch.select(F.col(idc), tokens(self._input_col).alias("_tk"))
+            .select(
                 F.col(idc),
                 F.explode(
-                    _hashed_gram_buckets(self._input_col, self._buckets)
+                    _gram_buckets_of(F.col("_tk"), self._buckets)
                 ).alias("bucket"),
             )
             .groupBy(idc, "bucket")

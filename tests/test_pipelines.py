@@ -1241,3 +1241,87 @@ def test_shard_store_report_statuses(spark, tmp_path):
     assert rep2["stale_dirs"]["bytes"] > 0
     # the audit's row total is the loader's row count
     assert rep2["total_rows"] == read_token_shards(spark, root).count()
+
+
+def test_curation_stream_composition_dsir_tokenize_shards(spark, tmp_path):
+    """r11: the full streaming CURATION loop — raw text triggers ->
+    DSIRGate (thin toward a target distribution, calibrated cutoff) ->
+    TokenizeGate (frozen tokenizer) -> StreamShardSink -> trainer load.
+    The streamed survivor set equals the batch-side key filter over the
+    same docs, and every survivor's ids (+eos) land in the shards."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.bpe import tokenize_to_ids
+    from jsonify2ai_spark.operators.sampling import dsir_weights
+    from jsonify2ai_spark.pipelines import (
+        StreamShardSink,
+        corpus_to_token_shards,
+        load_tokenizer,
+        read_token_shards,
+    )
+    from jsonify2ai_spark.streaming.windowed import DSIRGate, TokenizeGate
+
+    base = spark.createDataFrame(
+        [(i, f"the cat number {i} sat on mat {i % 3}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "run")
+    corpus_to_token_shards(
+        base, out, num_merges=8, budget=10, n_groups=2, assemble=True, eos_id=0
+    )
+
+    # fit corpus: half cat-like (target-shaped), half digit noise
+    fit_rows = [
+        (i, f"the cat number {i} sat on a mat" if i % 2 == 0
+         else f"zz{i} qq{i} ww{i} vv{i} kk{i}")
+        for i in range(20)
+    ]
+    schema = "doc_id long, text string"
+    fit = spark.createDataFrame(fit_rows, schema)
+    target = fit.filter(F.col("doc_id") % 2 == 0)
+
+    # calibrate a cutoff that keeps roughly the target-shaped half
+    w = dsir_weights(fit, target, buckets=5_000)
+    cutoff = float(
+        w.agg(F.expr("percentile(log_weight, 0.5)")).collect()[0][0]
+    )
+    gate = DSIRGate(fit, target, buckets=5_000, key_cutoff=cutoff)
+
+    tok = TokenizeGate.from_artifacts(spark, out)
+    sink = StreamShardSink.from_artifacts(out)
+    survivors = []
+    for b, lo in enumerate(range(0, 20, 5)):
+        batch = spark.createDataFrame(fit_rows[lo : lo + 5], schema)
+        kept = gate.filter_batch(batch)
+        survivors += [r["doc_id"] for r in kept.select("doc_id").collect()]
+        ids = tok.filter_batch(kept, batch_id=b).select("doc_id", "token_ids")
+        sink(ids, b)
+    sink.flush()
+
+    # streamed survivors == the batch-side key filter (same salt/key rule)
+    from jsonify2ai_spark.operators.sampling import dsir_resample
+
+    expect = {
+        r["doc_id"]
+        for r in dsir_resample(w, w.count())
+        .filter(F.col("resample_key") >= cutoff)
+        .collect()
+    }
+    assert set(survivors) == expect and 0 < len(expect) < 20
+
+    merges, vocab = load_tokenizer(spark, out)
+    want_ids = sum(
+        len(r["token_ids"]) + 1
+        for r in tokenize_to_ids(
+            spark.createDataFrame(
+                [r for r in fit_rows if r[0] in expect], schema
+            ),
+            merges,
+            vocab,
+        ).collect()
+    )
+    rows = read_token_shards(spark, out, validate=True).collect()
+    got = sum(r["n_ids"] for r in rows if r["_source_run"] != "base")
+    assert got == want_ids and want_ids > 0
+    gate.close()
+    tok.close()
