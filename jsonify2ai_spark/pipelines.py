@@ -1182,3 +1182,85 @@ def shard_store_report(out_dir: str) -> dict:
         "n_torn": sum(1 for p in parts if p["status"] == "torn"),
         "compaction_recommended": len(live) > compact_over,
     }
+
+
+def read_token_shards_mixture(
+    spark,
+    stores: "dict[str, str]",
+    weights: "dict[str, float]",
+    budget_tokens: int,
+    salt: str = "mix-v1",
+    include_increments: bool = True,
+    validate: bool = False,
+) -> DataFrame:
+    """Weighted multi-store trainer load: union several token-shard
+    stores (:func:`corpus_to_token_shards` runs — the code store, the
+    web store, the books store) into ONE training frame whose per-store
+    token mass approximates ``budget_tokens * w_s / Σw`` — the "blend
+    domains to a token budget" step a multi-corpus pretraining run
+    starts with, applied at the SHARD level so nothing re-tokenizes or
+    re-packs.
+
+    Per store s: keep fraction f_s = min(1, target_s / available_s),
+    where available_s is one sum over the store's size column (``n_ids``
+    for assembled stores, ``size(token_ids)`` otherwise — mixing the two
+    layouts is fine; sequence lengths just differ). Rows are kept by the
+    engine-portable md5 rule of :func:`~jsonify2ai_spark.operators.
+    sampling.deterministic_sample` on the row's stable identity
+    (store alias + pack_group/bin_idx, or store + doc id), so the blend
+    is reproducible across engines/retries/cluster shapes and composes
+    with pushdown — the whole mixture is metadata joins plus ONE
+    map-side filter; the only extra jobs are the per-store size sums
+    (one partial-aggregated scalar each, unavoidable: manifests record
+    row counts, not token mass). An under-supplied store contributes
+    everything it has and the mix under-delivers rather than silently
+    re-weighting (:func:`~jsonify2ai_spark.operators.sampling.
+    sample_to_token_budget`'s contract). Stores absent from ``weights``
+    get weight 0 (excluded).
+
+    Output: every store column plus ``_store`` (the alias) and the
+    store's ``_source_run`` tags intact — a trainer can still weight or
+    ablate increments within a store. Whole-bin keep/drop: sampling
+    never splits a packed sequence, so attention masks and boundary
+    metadata stay valid.
+    """
+    from jsonify2ai_spark.operators.sampling import _BUCKETS, sample_hash
+
+    total_w = sum(weights.get(a, 0.0) for a in stores)
+    if total_w <= 0:
+        raise ValueError("read_token_shards_mixture: no positive weights")
+
+    frames = []
+    for alias, out_dir in stores.items():
+        w = weights.get(alias, 0.0)
+        if w <= 0:
+            continue
+        df = read_token_shards(
+            spark, out_dir,
+            include_increments=include_increments, validate=validate,
+        )
+        size_col = (
+            F.col("n_ids").cast("double")
+            if "n_ids" in df.columns
+            else F.size("token_ids").cast("double")
+        )
+        available = df.agg(F.sum(size_col)).collect()[0][0] or 0.0
+        target = budget_tokens * w / total_w
+        frac = 1.0 if available <= target else target / available
+        key = (
+            F.concat_ws(
+                "|",
+                F.lit(alias),
+                F.col("pack_group").cast("string"),
+                F.col("bin_idx").cast("string"),
+            )
+            if "bin_idx" in df.columns
+            else F.concat_ws("|", F.lit(alias), F.col("doc_id").cast("string"))
+        )
+        frames.append(
+            df.filter(sample_hash(key, salt) < int(frac * _BUCKETS))
+            .withColumn("_store", F.lit(alias))
+        )
+    if not frames:
+        raise ValueError("read_token_shards_mixture: every store has weight 0")
+    return _balanced_union(frames)

@@ -1325,3 +1325,79 @@ def test_curation_stream_composition_dsir_tokenize_shards(spark, tmp_path):
     assert got == want_ids and want_ids > 0
     gate.close()
     tok.close()
+
+
+def test_read_token_shards_mixture(spark, tmp_path):
+    """Multi-store weighted blend: per-store token mass tracks
+    budget * w_s (within hash-sampling noise), an under-supplied store
+    contributes everything, rows keep _store + _source_run tags, the
+    blend is deterministic across calls, and whole bins survive intact."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.pipelines import (
+        corpus_to_token_shards,
+        read_token_shards,
+        read_token_shards_mixture,
+    )
+
+    def mk(name, n_docs, words):
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"{words}{i}w{j}" for j in range(6))) for i in range(n_docs)],
+            "doc_id long, text string",
+        )
+        out = str(tmp_path / name)
+        corpus_to_token_shards(
+            docs, out, num_merges=4, budget=24, n_groups=2,
+            assemble=True, eos_id=0,
+        )
+        return out
+
+    big = mk("big", 60, "aa bb")
+    small = mk("small", 6, "cc dd")
+    stores = {"web": big, "code": small}
+
+    def mass(df):
+        return {
+            r["_store"]: r["m"]
+            for r in df.groupBy("_store").agg(F.sum("n_ids").alias("m")).collect()
+        }
+
+    avail_web = read_token_shards(spark, big).agg(F.sum("n_ids")).collect()[0][0]
+    avail_code = read_token_shards(spark, small).agg(F.sum("n_ids")).collect()[0][0]
+
+    budget = int(avail_web * 0.6)  # web must subsample; code is tiny
+    mix = read_token_shards_mixture(
+        spark, stores, {"web": 3.0, "code": 1.0}, budget_tokens=budget
+    )
+    m = mass(mix)
+    target_web = budget * 0.75
+    assert 0.5 * target_web < m["web"] < 1.5 * target_web  # hash noise band
+    assert m["code"] == avail_code  # under-supplied: contributes all
+    assert avail_web > m["web"]  # web actually subsampled
+
+    again = mass(
+        read_token_shards_mixture(
+            spark, stores, {"web": 3.0, "code": 1.0}, budget_tokens=budget
+        )
+    )
+    assert again == m  # deterministic blend
+
+    # whole-bin identity: every kept (store, group, bin) exists intact
+    rows = mix.filter(F.col("_store") == "web").collect()
+    src = {
+        (r["pack_group"], r["bin_idx"]): r["n_ids"]
+        for r in read_token_shards(spark, big).collect()
+    }
+    for r in rows:
+        assert src[(r["pack_group"], r["bin_idx"])] == r["n_ids"]
+    assert {r["_source_run"] for r in rows} == {"base"}
+
+    # weight-0 store excluded; all-zero weights raise
+    only_web = read_token_shards_mixture(
+        spark, stores, {"web": 1.0}, budget_tokens=budget
+    )
+    assert mass(only_web).keys() == {"web"}
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_token_shards_mixture(spark, stores, {}, budget_tokens=budget)
