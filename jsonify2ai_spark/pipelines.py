@@ -1263,4 +1263,12 @@ def read_token_shards_mixture(
         )
     if not frames:
         raise ValueError("read_token_shards_mixture: every store has weight 0")
+    cols = {tuple(sorted(f.columns)) for f in frames}
+    if len(cols) > 1:
+        raise ValueError(
+            "read_token_shards_mixture: stores have mismatched columns "
+            f"{sorted(cols)} — mixing assembled with per-doc layouts (or "
+            "boundary-tagged with plain) produces rows a trainer cannot "
+            "consume uniformly; re-run the odd store with matching config"
+        )
     return _balanced_union(frames)

@@ -1401,3 +1401,33 @@ def test_read_token_shards_mixture(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_token_shards_mixture(spark, stores, {}, budget_tokens=budget)
+
+
+def test_read_token_shards_mixture_rejects_mismatched_layouts(spark, tmp_path):
+    """Mixing an assembled store with a per-doc (assemble=False) store
+    raises the layout-mismatch error instead of a confusing union
+    failure — a trainer cannot consume the two row shapes uniformly."""
+    import pytest
+
+    from jsonify2ai_spark.pipelines import (
+        corpus_to_token_shards,
+        read_token_shards_mixture,
+    )
+
+    def mk(name, assemble):
+        docs = spark.createDataFrame(
+            [(i, f"tok{i} a b c d e") for i in range(5)],
+            "doc_id long, text string",
+        )
+        out = str(tmp_path / name)
+        corpus_to_token_shards(
+            docs, out, num_merges=3, budget=16, n_groups=2,
+            assemble=assemble, eos_id=0 if assemble else None,
+        )
+        return out
+
+    stores = {"a": mk("a", True), "b": mk("b", False)}
+    with pytest.raises(ValueError, match="mismatched columns"):
+        read_token_shards_mixture(
+            spark, stores, {"a": 1.0, "b": 1.0}, budget_tokens=100
+        )

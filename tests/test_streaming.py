@@ -1928,3 +1928,70 @@ def test_dsir_gate_unseen_buckets_fold_to_constant(spark):
     assert row["n_feats"] == 5  # 3 unigrams + 2 bigrams
     assert row["log_weight"] == pytest.approx(5 * gate._unseen, abs=1e-4)
     gate.close()
+
+
+def test_dsir_gate_live_readstream_chain(spark, tmp_path):
+    """DSIRGate on a LIVE file-source readStream through foreachBatch:
+    the thin-mode gate drops off-target documents as triggers fire, and
+    the surviving set equals the batch-side key filter over the same
+    rows — the standing-curation wiring, not a trigger simulation."""
+    import json as _json
+
+    from jsonify2ai_spark.operators.sampling import dsir_resample, dsir_weights
+    from jsonify2ai_spark.streaming.windowed import DSIRGate
+
+    fit_rows = [
+        (i, f"the cat number {i} sat on a mat" if i % 2 == 0
+         else f"zz{i} qq{i} ww{i} vv{i} kk{i}")
+        for i in range(16)
+    ]
+    schema = "doc_id long, text string"
+    fit = spark.createDataFrame(fit_rows, schema)
+    target = fit.filter(F.col("doc_id") % 2 == 0)
+    w = dsir_weights(fit, target, buckets=5_000).localCheckpoint()
+    cutoff = float(
+        w.agg(F.expr("percentile(log_weight, 0.5)")).collect()[0][0]
+    )
+    expect = {
+        r["doc_id"]
+        for r in dsir_resample(w, w.count())
+        .filter(F.col("resample_key") >= cutoff)
+        .collect()
+    }
+
+    gate = DSIRGate(fit, target, buckets=5_000, key_cutoff=cutoff)
+    src = tmp_path / "dsir_src"
+    src.mkdir()
+    for part in range(2):
+        (src / f"{part}.json").write_text(
+            "\n".join(
+                _json.dumps({"doc_id": i, "text": t})
+                for i, t in fit_rows[part * 8 : part * 8 + 8]
+            )
+        )
+    got = []
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = (
+        stream.writeStream.foreachBatch(
+            gate.foreach_batch(
+                lambda df, bid: got.extend(
+                    r["doc_id"] for r in df.select("doc_id").collect()
+                )
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "dsir_ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and len(set(got)) < len(expect):
+            if q.exception():
+                raise AssertionError(q.exception())
+            q.processAllAvailable()
+            time.sleep(0.25)
+        assert set(got) == expect and 0 < len(expect) < 16
+    finally:
+        q.stop()
+    gate.close()
