@@ -940,6 +940,7 @@ class StreamShardSink:
         out_dir: str,
         run_prefix: str = "stream-",
         persist_state: bool = True,
+        auto_compact_over: "int | None" = None,
     ) -> None:
         import os
 
@@ -947,6 +948,9 @@ class StreamShardSink:
         self._out_dir = out_dir
         self._prefix = str(run_prefix)
         self._persist = bool(persist_state)
+        self._auto_compact_over = (
+            None if auto_compact_over is None else int(auto_compact_over)
+        )
         self._state_dir = os.path.join(out_dir, "pack_gate_state")
         self._man_path = os.path.join(out_dir, "manifest.json")
 
@@ -957,6 +961,7 @@ class StreamShardSink:
         run_prefix: str = "stream-",
         id_col: str = "doc_id",
         ids_col: str = "token_ids",
+        auto_compact_over: "int | None" = None,
     ) -> "StreamShardSink":
         """Build the PackGate FROM the run's manifest config (budget /
         groups / eos / pad / boundaries / shuffle-free layout) and
@@ -992,13 +997,20 @@ class StreamShardSink:
                 ids_col=ids_col,
                 id_col=id_col,
             )
-        return cls(gate, out_dir, run_prefix=run_prefix)
+        return cls(
+            gate,
+            out_dir,
+            run_prefix=run_prefix,
+            auto_compact_over=auto_compact_over,
+        )
 
     @property
     def gate(self):
         return self._gate
 
-    def _write_increment(self, bins, run_id: str) -> "dict | None":
+    def _write_increment(
+        self, bins, run_id: str, replay: bool = False
+    ) -> "dict | None":
         import json
         import os
 
@@ -1007,11 +1019,22 @@ class StreamShardSink:
         with open(self._man_path, encoding="utf-8") as fh:
             manifest = json.load(fh)
         if run_id in manifest.get("compacted_runs", []):
+            if replay:
+                # a TRUE replay of the last committed trigger whose
+                # increment a (possibly auto-) compaction already folded
+                # into the base: the rows are durably in the store, so
+                # re-writing them would double-count — the replay is an
+                # idempotent no-op. Only the one-deep window qualifies
+                # (batch_id == the gate's persisted _last_batch_id, the
+                # same window PackGate's replay snapshot covers).
+                return None
             raise ValueError(
                 f"StreamShardSink: run_id {run_id!r} was already folded "
-                "into the base by compact_token_shards — restart the "
-                "stream with a fresh run_prefix (or a fresh checkpoint) "
-                "after compacting mid-stream"
+                "into the base by compact_token_shards, and this is not "
+                "a replay of the last committed trigger — a fresh "
+                "checkpoint is reusing batch_ids against an old store. "
+                "Restart the stream with a fresh run_prefix (or compact "
+                "only between streams)"
             )
         bins = bins.localCheckpoint(eager=False)
         n = bins.count()
@@ -1040,12 +1063,37 @@ class StreamShardSink:
     def __call__(self, batch, batch_id: int) -> "dict | None":
         """The foreachBatch body: fold the batch through the gate, write
         this trigger's closed bins as increment ``<prefix><batch_id>``,
-        then persist gate state (commit point — see the class docstring's
-        crash-window walk)."""
+        persist gate state (commit point — see the class docstring's
+        crash-window walk), then run the maintenance hook.
+
+        ``auto_compact_over=N``: once MORE THAN N live increments exist
+        after a commit, fold them into the base with
+        :func:`compact_token_shards` (defer_delete grace applies) — the
+        standing ingest keeps its own store trainer-optimal instead of
+        relying on an operator cron. Replay interaction: compaction can
+        fold the increment of a trigger whose checkpoint never
+        committed; the subsequent replay is detected (batch_id == the
+        gate's persisted ``_last_batch_id``, the same one-deep window
+        PackGate's snapshot covers) and skipped as already-durable,
+        while a FRESH checkpoint colliding with a compacted run_id
+        still raises — silently skipping that one would drop new data.
+        """
+        import json
+
+        was_replay = (
+            getattr(self._gate, "_last_batch_id", None) == batch_id
+        )
         closed = self._gate.filter_batch(batch, batch_id=batch_id)
-        out = self._write_increment(closed, f"{self._prefix}{batch_id}")
+        out = self._write_increment(
+            closed, f"{self._prefix}{batch_id}", replay=was_replay
+        )
         if self._persist:
             self._gate.save(self._state_dir)
+        if self._auto_compact_over is not None and out is not None:
+            with open(self._man_path, encoding="utf-8") as fh:
+                live = len(json.load(fh).get("increments", {}))
+            if live > self._auto_compact_over:
+                compact_token_shards(batch.sparkSession, self._out_dir)
         return out
 
     def flush(self) -> "dict | None":

@@ -1055,6 +1055,7 @@ def test_stream_shard_sink_guards(spark, tmp_path):
         StreamShardSink,
         compact_token_shards,
         corpus_to_token_shards,
+        read_token_shards,
     )
 
     docs = spark.createDataFrame(
@@ -1078,8 +1079,25 @@ def test_stream_shard_sink_guards(spark, tmp_path):
         0,
     )
     compact_token_shards(spark, out)
-    with pytest.raises(ValueError, match="compact"):
+    # same sink, same batch_id = the one-deep replay window: the folded
+    # increment's rows are durably in the base, so the replay is a no-op
+    # (r11 auto-compaction contract; the pre-r11 blanket raise survives
+    # only for fresh checkpoints below)
+    n_before = read_token_shards(spark, out).count()
+    assert (
         sink(
+            spark.createDataFrame([(200 + i, [3] * 10) for i in range(4)], schema),
+            0,
+        )
+        is None
+    )
+    assert read_token_shards(spark, out).count() == n_before
+    # a FRESH checkpoint reusing batch_id 0 against the compacted store
+    # carries NEW data — skipping would drop it, so it must still raise
+    fresh = StreamShardSink.from_artifacts(out)
+    fresh._gate._last_batch_id = None
+    with pytest.raises(ValueError, match="compact"):
+        fresh(
             spark.createDataFrame([(300, [4] * 10), (301, [4] * 10)], schema), 0
         )
 
@@ -1431,3 +1449,121 @@ def test_read_token_shards_mixture_rejects_mismatched_layouts(spark, tmp_path):
         read_token_shards_mixture(
             spark, stores, {"a": 1.0, "b": 1.0}, budget_tokens=100
         )
+
+
+def test_stream_shard_sink_auto_compaction(spark, tmp_path):
+    """auto_compact_over=N: the standing ingest folds its own increments
+    into the base once more than N are live — no operator cron. All
+    streamed rows survive the mid-stream compactions (loader-verified),
+    later triggers append fresh increments, and the store report shows
+    the folded bookkeeping."""
+    import json
+    import os
+
+    from jsonify2ai_spark.pipelines import (
+        StreamShardSink,
+        corpus_to_token_shards,
+        read_token_shards,
+        shard_store_report,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"base doc {i} alpha beta gamma") for i in range(4)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "auto")
+    corpus_to_token_shards(
+        base, root, num_merges=6, budget=12, n_groups=2, assemble=True, eos_id=0
+    )
+
+    from jsonify2ai_spark.operators.bpe import tokenize_to_ids
+    from jsonify2ai_spark.pipelines import load_tokenizer
+
+    merges, vocab = load_tokenizer(spark, root)
+    stream_rows = [(100 + i, f"alpha beta doc {100 + i} gamma") for i in range(12)]
+    schema = "doc_id long, text string"
+    ids_all = tokenize_to_ids(
+        spark.createDataFrame(stream_rows, schema), merges, vocab
+    ).select("doc_id", "token_ids").collect()
+
+    sink = StreamShardSink.from_artifacts(root, auto_compact_over=2)
+    for b in range(6):
+        batch = spark.createDataFrame(
+            ids_all[b * 2 : b * 2 + 2], "doc_id long, token_ids array<bigint>"
+        )
+        sink(batch, b)
+    sink.flush()
+
+    m = json.load(open(os.path.join(root, "manifest.json")))
+    assert m.get("compacted_runs"), "no compaction ran"
+    assert "_v" in m.get("shards_dir", "shards")  # base swapped at least once
+
+    want_ids = sum(len(r["token_ids"]) + 1 for r in ids_all)
+    rows = read_token_shards(spark, root, validate=True).collect()
+    got = sum(r["n_ids"] for r in rows if "base doc" not in str(r))
+    total = sum(r["n_ids"] for r in rows)
+    base_ids = sum(
+        len(r["token_ids"]) + 1
+        for r in tokenize_to_ids(base, merges, vocab).collect()
+    )
+    assert total == base_ids + want_ids  # conservation through compactions
+
+    rep = shard_store_report(root)
+    assert rep["base"]["compaction_generation"] >= 1
+    assert rep["total_rows"] == len(rows)
+
+
+def test_stream_shard_sink_replay_after_auto_compaction(spark, tmp_path):
+    """The one-deep replay window vs compaction: a replay of the LAST
+    committed trigger whose increment compaction already folded is a
+    no-op (rows are durably in the base — rewriting would double-count),
+    while a fresh checkpoint reusing a folded batch_id still raises."""
+    import pytest
+
+    from jsonify2ai_spark.operators.bpe import tokenize_to_ids
+    from jsonify2ai_spark.pipelines import (
+        StreamShardSink,
+        corpus_to_token_shards,
+        load_tokenizer,
+        read_token_shards,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"base doc {i} alpha beta gamma") for i in range(4)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "replaycomp")
+    corpus_to_token_shards(
+        base, root, num_merges=6, budget=12, n_groups=2, assemble=True, eos_id=0
+    )
+    merges, vocab = load_tokenizer(spark, root)
+    schema = "doc_id long, text string"
+
+    def ids_of(rows):
+        return spark.createDataFrame(
+            tokenize_to_ids(
+                spark.createDataFrame(rows, schema), merges, vocab
+            ).select("doc_id", "token_ids").collect(),
+            "doc_id long, token_ids array<bigint>",
+        )
+
+    sink = StreamShardSink.from_artifacts(root, auto_compact_over=0)
+    # same pack group (even ids, n_groups=2) so the budget overflows and
+    # the trigger CLOSES bins — an all-open trigger writes no increment
+    b0 = ids_of(
+        [(100 + 2 * i, f"alpha beta gamma doc {i} end") for i in range(4)]
+    )
+    assert sink(b0, 0) is not None  # commits stream-0, then auto-compacts
+    n_after = read_token_shards(spark, root).count()
+
+    # crash-before-checkpoint replay: same batch_id, same rows -> no-op
+    assert sink(b0, 0) is None
+    assert read_token_shards(spark, root).count() == n_after
+
+    # fresh checkpoint (new sink, batch_id restarts at 0) with NEW data:
+    # skipping would silently drop it -> must raise
+    fresh = StreamShardSink.from_artifacts(root)
+    fresh._gate._last_batch_id = None  # a genuinely fresh stream's gate
+    b0new = ids_of([(200, "alpha beta gamma three")])
+    with pytest.raises(ValueError, match="fresh"):
+        fresh(b0new, 0)
