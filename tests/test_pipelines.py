@@ -1567,3 +1567,69 @@ def test_stream_shard_sink_replay_after_auto_compaction(spark, tmp_path):
     b0new = ids_of([(200, "alpha beta gamma three")])
     with pytest.raises(ValueError, match="fresh"):
         fresh(b0new, 0)
+
+
+def test_curation_chain_feeds_sink_directly(spark, tmp_path):
+    """The README wiring verbatim: StreamingPrepChain([DSIRGate(cutoff),
+    TokenizeGate]) with StreamShardSink AS the append callable —
+    chain.foreach_batch(sink) — lands selected, tokenized increments.
+    Pins that the sink's (df, batch_id) signature satisfies the chain's
+    append contract and that the chain's rewrite join carries token_ids
+    to the sink intact."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.sampling import dsir_weights
+    from jsonify2ai_spark.pipelines import (
+        StreamShardSink,
+        corpus_to_token_shards,
+        read_token_shards,
+    )
+    from jsonify2ai_spark.streaming.windowed import (
+        DSIRGate,
+        StreamingPrepChain,
+        TokenizeGate,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"base doc {i} alpha beta gamma") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "run")
+    corpus_to_token_shards(
+        base, out, num_merges=6, budget=12, n_groups=2, assemble=True, eos_id=0
+    )
+
+    fit_rows = [
+        (i, f"alpha beta gamma doc {i}" if i % 2 == 0
+         else f"zz{i} qq{i} ww{i} vv{i}")
+        for i in range(12)
+    ]
+    schema = "doc_id long, text string"
+    fit = spark.createDataFrame(fit_rows, schema)
+    target = fit.filter(F.col("doc_id") % 2 == 0)
+    w = dsir_weights(fit, target, buckets=5_000)
+    cutoff = float(w.agg(F.expr("percentile(log_weight, 0.5)")).collect()[0][0])
+
+    chain = StreamingPrepChain(
+        [
+            DSIRGate(fit, target, buckets=5_000, key_cutoff=cutoff),
+            TokenizeGate.from_artifacts(spark, out),
+        ]
+    )
+    sink = StreamShardSink.from_artifacts(out)
+    body = chain.foreach_batch(sink)
+    for b, lo in enumerate(range(0, 12, 4)):
+        body(spark.createDataFrame(fit_rows[lo : lo + 4], schema), b)
+    sink.flush()
+
+    rows = read_token_shards(spark, out, validate=True).collect()
+    streamed = [r for r in rows if r["_source_run"] != "base"]
+    assert streamed and sum(r["n_ids"] for r in streamed) > 0
+    # off-target docs were thinned BEFORE tokenize: the survivor count
+    # bounds the total docs that can appear in streamed bins
+    n_survivors = w.filter(
+        F.col("log_weight") >= cutoff  # proxy lower bound; keys add gumbel
+    ).count()
+    assert sum(r["n_docs"] for r in streamed) <= 12
+    assert n_survivors > 0
+    chain.close()
