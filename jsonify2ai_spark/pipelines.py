@@ -1077,6 +1077,10 @@ class StreamShardSink:
         PackGate's snapshot covers) and skipped as already-durable,
         while a FRESH checkpoint colliding with a compacted run_id
         still raises — silently skipping that one would drop new data.
+        Cost note: the compaction runs INSIDE the trigger (one scan +
+        rewrite of base+increments), so that trigger stretches by the
+        store-rewrite time — size N so it fires rarely relative to the
+        trigger interval, or leave it None and compact between streams.
         """
         import json
 
