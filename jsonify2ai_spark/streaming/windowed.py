@@ -2062,6 +2062,7 @@ class DSIRGate:
         salt: str = "dsir-v1",
         out_col: str = "dsir_log_weight",
         broadcast_model_max: int = 4_000_000,
+        drift_alert: float | None = None,
     ) -> None:
         self._buckets = int(buckets)
         self._alpha = float(alpha)
@@ -2072,9 +2073,27 @@ class DSIRGate:
         self._temperature = float(temperature)
         self._salt = salt
         self._broadcast_model_max = int(broadcast_model_max)
+        self._drift_alert = None if drift_alert is None else float(drift_alert)
+        self.drift_history: list[dict] = []
         self.kind = "filter" if self._key_cutoff is not None else "rewrite"
         self.rewritten_col = out_col
         self.rebuild(raw, target, target_text_col=target_text_col)
+
+    @property
+    def drift_breached(self) -> bool:
+        """True when the LAST processed batch's UNSEEN-feature rate
+        (fraction of its gram mass hashing to buckets NEITHER fit-time
+        model saw) exceeded ``drift_alert`` — the models no longer
+        describe the stream; :meth:`rebuild` offline and recalibrate the
+        cutoff. The exact analog of TokenizeGate's ``oov_breached``.
+        The mean log-weight is deliberately NOT the signal: under
+        Laplace smoothing an unseen bucket's logratio is the constant
+        ln((Nr+αB)/(Nt+αB)) — usually POSITIVE when the target is a
+        slice of raw (the smaller corpus has the higher smoothing
+        floor), so fully-novel text can look target-like by weight
+        while being invisible to both models. Unseen mass measures
+        that invisibility directly."""
+        return bool(self.drift_history) and self.drift_history[-1]["breach"]
 
     def rebuild(
         self,
@@ -2157,6 +2176,9 @@ class DSIRGate:
                 F.col(idc),
                 F.col("c"),
                 F.coalesce("logratio", F.lit(self._unseen)).alias("lr"),
+                F.when(F.col("logratio").isNull(), F.col("c"))
+                .otherwise(F.lit(0))
+                .alias("u"),
             )
             .groupBy(idc)
             .agg(
@@ -2165,23 +2187,67 @@ class DSIRGate:
                 (F.round(logw / F.sum("c"), 4) + F.lit(0.0)).alias(
                     "logw_per_feat"
                 ),
+                F.sum("u").cast("bigint").alias("n_unseen"),
             )
         )
 
     def score_batch(self, batch: DataFrame) -> DataFrame:
-        """Audit face: (id, n_feats, log_weight, logw_per_feat) for the
-        batch's documents with ≥1 token — dsir_weights' exact output
-        shape and arithmetic under the frozen models."""
+        """Audit face: (id, n_feats, log_weight, logw_per_feat,
+        n_unseen) for the batch's documents with ≥1 token —
+        dsir_weights' exact arithmetic under the frozen models, plus
+        the per-doc count of features in buckets neither model saw
+        (the drift monitor's raw signal)."""
         return self._scores(batch)
 
-    def filter_batch(self, batch: DataFrame) -> DataFrame:
+    def _record_drift(self, scores: DataFrame, batch_id: "int | None"):
+        """Batch unseen-feature rate (plus mean log-weight telemetry)
+        into ``drift_history`` — with the replay-overwrite hygiene of
+        TokenizeGate's OOV monitor (an at-least-once redelivery must not
+        append the same batch twice)."""
+        row = scores.agg(
+            F.coalesce(F.sum("log_weight"), F.lit(0.0)).alias("lw"),
+            F.coalesce(F.sum("n_feats"), F.lit(0)).cast("bigint").alias("nf"),
+            F.coalesce(F.sum("n_unseen"), F.lit(0)).cast("bigint").alias("nu"),
+        ).first()
+        nf, nu = int(row["nf"]), int(row["nu"])
+        rate = (nu / nf) if nf else 0.0
+        entry = {
+            "batch": len(self.drift_history),
+            "batch_id": batch_id,
+            "n_feats": nf,
+            "n_unseen": nu,
+            "unseen_rate": rate,
+            "logw_per_feat": (float(row["lw"]) / nf) if nf else 0.0,
+            "breach": rate > self._drift_alert,
+        }
+        replayed = (
+            batch_id is not None
+            and self.drift_history
+            and self.drift_history[-1]["batch_id"] == batch_id
+        )
+        if replayed:
+            entry["batch"] = self.drift_history[-1]["batch"]
+            self.drift_history[-1] = entry
+        else:
+            self.drift_history.append(entry)
+
+    def filter_batch(
+        self, batch: DataFrame, batch_id: "int | None" = None
+    ) -> DataFrame:
         """Chain face. Annotate mode (rewrite): every input id with its
         4dp log_weight (NULL when featureless). Thin mode (filter):
-        surviving input rows, input schema."""
+        surviving input rows, input schema. ``batch_id`` (threaded by
+        the chain) serves only the drift monitor's replay hygiene —
+        scoring itself is stateless."""
         from jsonify2ai_spark.operators.sampling import _BUCKETS, sample_hash
 
         idc = self._id_col
         scores = self._scores(batch)
+        if self._drift_alert is not None:
+            # one materialization: the monitor aggregate AND the
+            # annotate/thin consumer both read this batch-sized frame
+            scores = scores.localCheckpoint(eager=False)
+            self._record_drift(scores, batch_id)
         if self._key_cutoff is None:
             return (
                 batch.select(idc)
@@ -2228,11 +2294,13 @@ class DSIRGate:
                     self._broadcast_model_max,
                     self._nt,
                     self._nr,
+                    self._drift_alert,
                 )
             ],
             "buckets long, alpha double, text_col string, id_col string, "
             "key_cutoff double, temperature double, salt string, "
-            "out_col string, broadcast_model_max long, nt double, nr double",
+            "out_col string, broadcast_model_max long, nt double, nr double, "
+            "drift_alert double",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
@@ -2254,6 +2322,14 @@ class DSIRGate:
         obj.rewritten_col = meta["out_col"]
         obj._broadcast_model_max = int(meta["broadcast_model_max"])
         obj._nt, obj._nr = float(meta["nt"]), float(meta["nr"])
+        # artifacts saved before the monitor existed lack the field
+        obj._drift_alert = (
+            float(meta["drift_alert"])
+            if "drift_alert" in meta.__fields__
+            and meta["drift_alert"] is not None
+            else None
+        )
+        obj.drift_history = []
         obj.kind = "filter" if obj._key_cutoff is not None else "rewrite"
         a, b = obj._alpha, float(obj._buckets)
         obj._unseen = math.log(obj._nr + a * b) - math.log(obj._nt + a * b)

@@ -1995,3 +1995,46 @@ def test_dsir_gate_live_readstream_chain(spark, tmp_path):
     finally:
         q.stop()
     gate.close()
+
+
+def test_dsir_gate_drift_monitor(spark, tables, tmp_path):
+    """drift_alert: each batch's UNSEEN-feature rate (gram mass in
+    buckets neither fit-time model saw — the OOV analog; mean log-weight
+    is useless here, the Laplace floor makes novel text look
+    target-like) lands in drift_history; fit-corpus batches stay quiet,
+    a novel batch breaches; a replayed batch_id OVERWRITES its own entry
+    (at-least-once hygiene); the threshold survives save/load and a
+    fresh-loaded gate starts a fresh window."""
+    from jsonify2ai_spark.streaming.windowed import DSIRGate
+
+    docs = tables["documents"].select("doc_id", "text", "lang")
+    target = docs.filter("lang = 'en'")
+    gate = DSIRGate(docs, target, buckets=1_000_000, drift_alert=0.3)
+
+    on_target = target.limit(20)
+    gate.filter_batch(on_target, batch_id=0)
+    assert len(gate.drift_history) == 1
+    assert gate.drift_history[0]["unseen_rate"] == 0.0  # fit corpus
+    assert not gate.drift_breached
+
+    drifted = spark.createDataFrame(
+        [(10_000 + i, f"zzq{i} wvk{i} yrt{i} pqm{i}", "xx") for i in range(20)],
+        docs.schema,
+    )
+    gate.filter_batch(drifted, batch_id=1)
+    assert gate.drift_history[-1]["unseen_rate"] > 0.9  # novel grams
+    assert gate.drift_breached
+
+    before = dict(gate.drift_history[-1])
+    gate.filter_batch(drifted, batch_id=1)  # replay
+    assert len(gate.drift_history) == 2  # overwrote, didn't append
+    assert gate.drift_history[-1]["batch"] == before["batch"]
+
+    path = str(tmp_path / "dg")
+    gate.save(path)
+    loaded = DSIRGate.load(spark, path)
+    assert loaded._drift_alert == 0.3 and loaded.drift_history == []
+    loaded.filter_batch(drifted, batch_id=0)
+    assert loaded.drift_breached
+    gate.close()
+    loaded.close()
