@@ -449,3 +449,32 @@ def test_q116_q117_stay_arrow_batched(spark):
         p = plan_string(entry_mod.queries()[q](spark, SF_DIR), "simple")
         assert "ArrowEvalPython" in p, (q, p[:800])
         assert "BatchEvalPython" not in p, (q, p[:800])
+
+
+def test_q120_dsir_single_weight_subtree_and_ordered_take(spark):
+    """DSIR's 100 TB shape, pinned: the resample is a per-partition-heap
+    TakeOrderedAndProject (never a global sort-exchange), and because
+    dsir_resample carries the weight row through the take, the weight
+    subtree — featurization + both model rollups — appears ONCE in the
+    plan (a join-back form re-derived it all on the join's right side;
+    Spark does not dedupe common DataFrame subplans)."""
+    df = entry_mod.q120_dsir(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    # one (id,bucket)->(id) weight aggregation chain, not two: the
+    # doc-side rollup pair appears once, plus one rollup per model fit
+    # = 3 aggregate pairs total (6 HashAggregate nodes). The join-back
+    # form doubles this.
+    assert node_count(df, "HashAggregate") == 6, plan_string(df)
+
+
+def test_q121_pack_report_bounded_aggregates_no_sort(spark):
+    """pack_report rolls per-bin then one row — two aggregate pairs
+    around the pack fold, and the exact percentile runs inside the final
+    one-row aggregate (ObjectHashAggregate), never via a corpus sort."""
+    df = entry_mod.q121_pack_report(spark, SF_DIR)
+    plan = plan_string(df)
+    assert "FlatMapGroupsInPandas" in plan  # the pack fold itself
+    assert "rangepartitioning" not in plan.lower()
+    assert node_count(df, "ObjectHashAggregate") == 2  # percentile pair
