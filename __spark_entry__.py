@@ -2267,19 +2267,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/gate_staleness.py to plan each rotation; `--check` FAILS if
     # this ordering wastes gate slots on fresh queries while staler ones
     # wait (the r10 miss, mechanized — see tests/test_entry.py).
-    # Round-11 gate (r10 skipped its rotation, so the debt is 67 stale
-    # queries against 50 slots — larger than one round can clear): the
-    # ENTIRE 32-query r7-green cohort (3 rounds driver-stale, the oldest
-    # debt) + the 18 OLDEST r8-greens, in gate_staleness.py order.
-    # Round-12 owes the remaining 17 r8-greens (q78 q79 q81 q84 q85 q86
-    # q87 q88 q90 q91 q92 q16 q17 q18 q25 q27 q45, laid out first in the
-    # tail below) + the r9/r10-green cohort as it ages. See COVERAGE.md.
+    # Round-12 gate (staleness tool replay: 70 queries hit the 2-round
+    # line — 20 r8-greens + the 50-query r9/r10 cohort — vs 50 slots, so
+    # again the strongest satisfiable form applies: gate = a 50-stalest
+    # set): ALL 20 remaining r8-greens + the 30 OLDEST r10-greens in
+    # gate_staleness.py order. New round-12 queries (never-green =
+    # stalest) slot at the top per policy (a), displacing the gate's
+    # bottom entries (q80, q82 first). Round-13 owes the remaining 20
+    # r10-greens (q03 q05 q07 q08 q10 q04 q06 q13 q32 q33 q36 q37 q41
+    # q43 q11 q12 q15 q19 q21 q28, laid out first in the tail below).
+    # See COVERAGE.md ledger.
     return {
-        # --- new this round (policy (a): first driver row gates) ---
-        "q119_packed_boundaries": q119_packed_boundaries,  # NEW r11: with_boundaries contract
-        "q120_dsir": q120_dsir,  # NEW r11: DSIR weights + Gumbel-top-k resample
-        "q121_pack_report": q121_pack_report,  # NEW r11: packing-efficiency QA card
-        # --- r7-green cohort (32): 3 rounds driver-stale, pays first ---
+        # --- 20 r8-greens (2 rounds driver-stale: round-12's mandatory block) ---
+        "q75_dedup_keep_best": q75_dedup_keep_best,
+        "q76_containment_pairs": q76_containment_pairs,
+        "q77_shingle_census": q77_shingle_census,
+        "q78_vocab_stats": q78_vocab_stats,
+        "q79_cross_source_dup": q79_cross_source_dup,
+        "q81_source_quality": q81_source_quality,
+        "q84_novelty_scores": q84_novelty_scores,
+        "q85_boilerplate_catalog": q85_boilerplate_catalog,
+        "q86_token_histogram": q86_token_histogram,
+        "q87_corpus_diff": q87_corpus_diff,
+        "q88_syndication_matrix": q88_syndication_matrix,
+        "q90_dedup_impact": q90_dedup_impact,
+        "q91_containment_capped": q91_containment_capped,
+        "q92_corpus_divergence": q92_corpus_divergence,
+        "q16_simhash": q16_simhash,
+        "q17_jaccard_pairs": q17_jaccard_pairs,
+        "q18_minhash_lsh": q18_minhash_lsh,
+        "q25_ivf_ann": q25_ivf_ann,
+        "q27_bpe_tokens": q27_bpe_tokens,
+        "q45_brand_revenue_having": q45_brand_revenue_having,
+        # --- 28 oldest r10-greens (gate_staleness.py order) ---
+        "q116_token_ids": q116_token_ids,
+        "q113_assign_splits": q113_assign_splits,
+        "q114_split_leakage": q114_split_leakage,
+        "q115_diversity_sample": q115_diversity_sample,
+        "q117_pack_token_ids": q117_pack_token_ids,
+        "q118_semantic_decontaminate": q118_semantic_decontaminate,
+        "q51_dedup_clusters": q51_dedup_clusters,
+        "q52_jaccard_capped": q52_jaccard_capped,
+        "q53_ingest_summary": q53_ingest_summary,
+        "q54_stratified_sample": q54_stratified_sample,
+        "q55_weighted_interleave": q55_weighted_interleave,
+        "q56_chat_chunk_stats": q56_chat_chunk_stats,
+        "q57_pack_sequences": q57_pack_sequences,
+        "q58_pii_scan": q58_pii_scan,
+        "q59_repetition_quality": q59_repetition_quality,
+        "q60_decontaminate": q60_decontaminate,
+        "q61_unigram_logprob": q61_unigram_logprob,
+        "q62_embed_dup_clusters": q62_embed_dup_clusters,
+        "q93_syndication_capped": q93_syndication_capped,
+        "q94_language_mix": q94_language_mix,
+        "q96_curriculum_buckets": q96_curriculum_buckets,
+        "q98_line_dedup": q98_line_dedup,
+        "q99_tokenizer_fertility": q99_tokenizer_fertility,
+        "q100_training_pipeline": q100_training_pipeline,
+        "q101_incremental_pipeline": q101_incremental_pipeline,
+        "q102_conversation_lint": q102_conversation_lint,
+        "q103_squeeze_lines": q103_squeeze_lines,
+        "q104_build_vocab": q104_build_vocab,
+        "q80_length_outliers": q80_length_outliers,
+        "q82_mixture_weights": q82_mixture_weights,
+        # ================= tail (entry 51+) =================
+        # round-13's mandatory 20-query r10-green block (oldest-first)
+        "q03_topk_orders": q03_topk_orders,
+        "q05_region_customers": q05_region_customers,
+        "q07_cumulative_spend": q07_cumulative_spend,
+        "q08_union_slices": q08_union_slices,
+        "q10_top3_per_customer": q10_top3_per_customer,
+        "q04_orders_per_customer": q04_orders_per_customer,
+        "q06_events_dedup": q06_events_dedup,
+        "q13_lang_distribution": q13_lang_distribution,
+        "q32_order_revenue": q32_order_revenue,
+        "q33_events_inventory": q33_events_inventory,
+        "q36_pagination": q36_pagination,
+        "q37_source_projection": q37_source_projection,
+        "q41_semi_join": q41_semi_join,
+        "q43_anti_join": q43_anti_join,
+        "q11_json_extract": q11_json_extract,
+        "q12_doc_stats": q12_doc_stats,
+        "q15_doc_dedup_exact": q15_doc_dedup_exact,
+        "q19_knn_brute": q19_knn_brute,
+        "q21_vector_search_docs": q21_vector_search_docs,
+        "q28_winnowing": q28_winnowing,
+        # r11-gate cohort (50: q119-q121 + the 32-query r7 cohort + the 15
+        # oldest r8-greens): freshest (driver-green r11); re-ages from r13
+        "q119_packed_boundaries": q119_packed_boundaries,
+        "q120_dsir": q120_dsir,
+        "q121_pack_report": q121_pack_report,
         "q108_reference_ppl": q108_reference_ppl,
         "q89_embedding_drift": q89_embedding_drift,
         "q74_embedding_stats": q74_embedding_stats,
@@ -2312,7 +2389,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_incremental_dedup": q65_incremental_dedup,
         "q66_token_budget_mix": q66_token_budget_mix,
         "q67_quantized_search": q67_quantized_search,
-        # --- 18 oldest r8-greens (2 rounds driver-stale) ---
         "q110_span_dedup_keep_one": q110_span_dedup_keep_one,
         "q111_blocklist_lines": q111_blocklist_lines,
         "q112_fix_mojibake": q112_fix_mojibake,
@@ -2328,81 +2404,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_gopher_filter": q71_gopher_filter,
         "q72_clip_tokens": q72_clip_tokens,
         "q73_bigram_logprob": q73_bigram_logprob,
-        # ================= tail (entry 51+) =================
-        # remaining r8-greens (20, q75/q76/q77 bumped by q119-q121):
-        # round-12's mandatory block
-        "q75_dedup_keep_best": q75_dedup_keep_best,
-        "q76_containment_pairs": q76_containment_pairs,
-        "q77_shingle_census": q77_shingle_census,
-        "q78_vocab_stats": q78_vocab_stats,
-        "q79_cross_source_dup": q79_cross_source_dup,
-        "q81_source_quality": q81_source_quality,
-        "q84_novelty_scores": q84_novelty_scores,
-        "q85_boilerplate_catalog": q85_boilerplate_catalog,
-        "q86_token_histogram": q86_token_histogram,
-        "q87_corpus_diff": q87_corpus_diff,
-        "q88_syndication_matrix": q88_syndication_matrix,
-        "q90_dedup_impact": q90_dedup_impact,
-        "q91_containment_capped": q91_containment_capped,
-        "q92_corpus_divergence": q92_corpus_divergence,
-        "q16_simhash": q16_simhash,
-        "q17_jaccard_pairs": q17_jaccard_pairs,
-        "q18_minhash_lsh": q18_minhash_lsh,
-        "q25_ivf_ann": q25_ivf_ann,
-        "q27_bpe_tokens": q27_bpe_tokens,
-        "q45_brand_revenue_having": q45_brand_revenue_having,
-        # r9/r10-green cohort (50, the r9+r10 gate): freshest; rotates
-        # back in from r12 as it ages
-        "q116_token_ids": q116_token_ids,
-        "q113_assign_splits": q113_assign_splits,
-        "q114_split_leakage": q114_split_leakage,
-        "q115_diversity_sample": q115_diversity_sample,
-        "q117_pack_token_ids": q117_pack_token_ids,
-        "q118_semantic_decontaminate": q118_semantic_decontaminate,
-        "q51_dedup_clusters": q51_dedup_clusters,
-        "q52_jaccard_capped": q52_jaccard_capped,
-        "q53_ingest_summary": q53_ingest_summary,
-        "q54_stratified_sample": q54_stratified_sample,
-        "q55_weighted_interleave": q55_weighted_interleave,
-        "q56_chat_chunk_stats": q56_chat_chunk_stats,
-        "q57_pack_sequences": q57_pack_sequences,
-        "q58_pii_scan": q58_pii_scan,
-        "q59_repetition_quality": q59_repetition_quality,
-        "q60_decontaminate": q60_decontaminate,
-        "q61_unigram_logprob": q61_unigram_logprob,
-        "q62_embed_dup_clusters": q62_embed_dup_clusters,
-        "q93_syndication_capped": q93_syndication_capped,
-        "q94_language_mix": q94_language_mix,
-        "q96_curriculum_buckets": q96_curriculum_buckets,
-        "q98_line_dedup": q98_line_dedup,
-        "q99_tokenizer_fertility": q99_tokenizer_fertility,
-        "q100_training_pipeline": q100_training_pipeline,
-        "q101_incremental_pipeline": q101_incremental_pipeline,
-        "q102_conversation_lint": q102_conversation_lint,
-        "q103_squeeze_lines": q103_squeeze_lines,
-        "q104_build_vocab": q104_build_vocab,
-        "q80_length_outliers": q80_length_outliers,
-        "q82_mixture_weights": q82_mixture_weights,
-        "q03_topk_orders": q03_topk_orders,
-        "q05_region_customers": q05_region_customers,
-        "q07_cumulative_spend": q07_cumulative_spend,
-        "q08_union_slices": q08_union_slices,
-        "q10_top3_per_customer": q10_top3_per_customer,
-        "q04_orders_per_customer": q04_orders_per_customer,
-        "q06_events_dedup": q06_events_dedup,
-        "q13_lang_distribution": q13_lang_distribution,
-        "q32_order_revenue": q32_order_revenue,
-        "q33_events_inventory": q33_events_inventory,
-        "q36_pagination": q36_pagination,
-        "q37_source_projection": q37_source_projection,
-        "q41_semi_join": q41_semi_join,
-        "q43_anti_join": q43_anti_join,
-        "q11_json_extract": q11_json_extract,
-        "q12_doc_stats": q12_doc_stats,
-        "q15_doc_dedup_exact": q15_doc_dedup_exact,
-        "q19_knn_brute": q19_knn_brute,
-        "q21_vector_search_docs": q21_vector_search_docs,
-        "q28_winnowing": q28_winnowing,
     }
 
 
