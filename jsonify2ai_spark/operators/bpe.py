@@ -413,15 +413,22 @@ def _oov_count_udf(bc):
     Vectorized (r11, r10 verdict #8): ``explode`` + ``isin`` against
     the broadcast key set, grouped back by row index — no per-token
     Python inner loop, so the kernel is hot-path-grade if it ever
-    leaves its opt-in batch-sized monitor duty. An empty/NULL array
-    explodes to one NaN row, which the ``notna`` mask excludes (it
-    would otherwise count as one phantom OOV)."""
+    leaves its opt-in batch-sized monitor duty. NaN rows in the
+    exploded series are two distinct cases (r11 advisor): the single
+    NaN an empty/NULL ARRAY explodes to is a phantom (0 tokens, 0
+    OOV), but a NULL ELEMENT inside a non-empty array is a real
+    corrupt token the per-token loop counted (``t not in m``) — so NaN
+    counts as OOV exactly when the row's original array is non-empty
+    (pinned in test_operators.py)."""
     from pyspark.sql.functions import pandas_udf
 
     def _cnt_batch(tok_ser):
         m = bc.value
         ex = tok_ser.explode()
-        oov = (~ex.isin(m)) & ex.notna()
+        nonempty = tok_ser.map(lambda a: a is not None and len(a) > 0)
+        oov = (~ex.isin(m)) & (
+            ex.notna() | nonempty.reindex(ex.index).fillna(False)
+        )
         return (
             oov.groupby(level=0)
             .sum()

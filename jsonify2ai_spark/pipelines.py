@@ -1113,11 +1113,27 @@ class StreamShardSink:
         identical bins. Same-process recovery is intentionally not
         offered: restart is the documented recovery path for every
         sink in this family. A repeated flush after a SUCCESSFUL one
-        returns None without touching disk."""
+        returns None without touching disk — and a flush that follows
+        MORE TRIGGERS after a successful one gets a fresh run_id
+        (``<prefix>final_b<last_batch_id>``) rather than silently
+        overwriting the earlier final increment's directory and
+        manifest row (which would lose its rows)."""
+        import json
+
         bins = self._gate.flush()
         if bins is None:
             return None
-        out = self._write_increment(bins, f"{self._prefix}final")
+        run_id = f"{self._prefix}final"
+        with open(self._man_path, encoding="utf-8") as fh:
+            manifest = json.load(fh)
+        if run_id in manifest.get("increments", {}):
+            # flush -> more triggers -> flush again: the first final
+            # increment is live on disk; mint a unique id for this one.
+            # Unreachable with the same _last_batch_id (the gate's
+            # buffers were cleared by the first flush, so a second
+            # flush with no intervening trigger returns None above).
+            run_id = f"{self._prefix}final_b{self._gate._last_batch_id}"
+        out = self._write_increment(bins, run_id)
         if self._persist:
             self._gate.save(self._state_dir)
         return out

@@ -2268,10 +2268,15 @@ class DSIRGate:
         return batch.join(keep, idc, "left_semi")
 
     def foreach_batch(self, append):
-        """Wrap ``append(df, batch_id)`` as a foreachBatch callable."""
+        """Wrap ``append(df, batch_id)`` as a foreachBatch callable.
+        ``batch_id`` is threaded into ``filter_batch`` so the drift
+        monitor's replay-overwrite hygiene holds on the standalone
+        foreachBatch path too (TokenizeGate.foreach_batch contract —
+        an at-least-once redelivery must not append a duplicate
+        drift_history entry)."""
 
         def _fn(batch: DataFrame, batch_id: int) -> None:
-            append(self.filter_batch(batch), batch_id)
+            append(self.filter_batch(batch, batch_id=batch_id), batch_id)
 
         return _fn
 

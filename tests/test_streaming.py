@@ -2038,3 +2038,88 @@ def test_dsir_gate_drift_monitor(spark, tables, tmp_path):
     assert loaded.drift_breached
     gate.close()
     loaded.close()
+
+
+def test_dsir_gate_shuffled_join_fallback_parity(spark, tables):
+    """r11 verdict #2: above broadcast_model_max the per-batch score
+    join must fall back to a plain shuffled join — identical annotate
+    AND thin output, and genuinely no broadcast of the model frame in
+    the executed plan (the SpanDedupGate hint-vs-defer contract,
+    test_span_dedup_gate_hot_set_broadcast_guard)."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.sampling import dsir_resample, dsir_weights
+    from jsonify2ai_spark.streaming.windowed import DSIRGate
+
+    docs = tables["documents"].select("doc_id", "text", "lang").limit(60)
+    target = docs.filter("lang = 'en'")
+    hinted = DSIRGate(docs, target, buckets=5_000)
+    forced = DSIRGate(docs, target, buckets=5_000, broadcast_model_max=0)
+
+    ann_h = sorted(tuple(r) for r in hinted.filter_batch(docs).collect())
+    ann_f = sorted(tuple(r) for r in forced.filter_batch(docs).collect())
+    assert ann_h == ann_f and ann_h  # annotate parity, repr-equal rows
+
+    w = dsir_weights(docs, target, buckets=5_000)
+    cutoff = (
+        dsir_resample(w, 20).agg(F.min("resample_key")).collect()[0][0]
+    )
+    thin_h = DSIRGate(docs, target, buckets=5_000, key_cutoff=cutoff)
+    thin_f = DSIRGate(
+        docs, target, buckets=5_000, key_cutoff=cutoff, broadcast_model_max=0
+    )
+    ids_h = {r["doc_id"] for r in thin_h.filter_batch(docs).collect()}
+    ids_f = {r["doc_id"] for r in thin_f.filter_batch(docs).collect()}
+    assert ids_h == ids_f and ids_h  # thin parity
+
+    def n_broadcast_joins(gate):
+        plan = (
+            gate.score_batch(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        return plan.count("BroadcastHashJoin")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert n_broadcast_joins(hinted) >= 1  # F.broadcast still forces it
+        assert n_broadcast_joins(forced) == 0  # guard defers, no broadcast
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for g in (hinted, forced, thin_h, thin_f):
+        g.close()
+
+
+def test_dsir_gate_foreach_batch_threads_batch_id(spark, tables):
+    """r11 advisor (medium): the standalone foreachBatch wrapper must
+    thread batch_id into filter_batch so the drift monitor's
+    replay-overwrite hygiene holds — an at-least-once redelivery of the
+    same trigger OVERWRITES its drift_history entry instead of
+    appending a duplicate (and cannot flip drift_breached on stale
+    data)."""
+    from jsonify2ai_spark.streaming.windowed import DSIRGate
+
+    docs = tables["documents"].select("doc_id", "text", "lang")
+    target = docs.filter("lang = 'en'")
+    gate = DSIRGate(docs, target, buckets=1_000_000, drift_alert=0.3)
+
+    sunk = []
+    fn = gate.foreach_batch(lambda df, bid: sunk.append((bid, df.count())))
+
+    on_target = target.limit(10)
+    drifted = spark.createDataFrame(
+        [(90_000 + i, f"qqz{i} xxv{i} wwy{i}", "xx") for i in range(10)],
+        docs.schema,
+    )
+    fn(on_target, 0)
+    fn(drifted, 1)
+    assert len(gate.drift_history) == 2 and gate.drift_breached
+
+    snap = dict(gate.drift_history[-1])
+    fn(drifted, 1)  # at-least-once redelivery of trigger 1
+    assert len(gate.drift_history) == 2  # overwrote, didn't append
+    assert gate.drift_history[-1] == snap
+    # quiet batch after the redelivery: history advances, breach clears
+    fn(on_target, 2)
+    assert len(gate.drift_history) == 3 and not gate.drift_breached
+    assert [b for b, _ in sunk] == [0, 1, 1, 2]
+    gate.close()
