@@ -1702,7 +1702,23 @@ def q100_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jsonify2ai_spark.pipelines import prepare_training_corpus
 
     t = load_tables(spark, sf_dir, ["documents"])
-    injected = t["documents"].select(
+    return prepare_training_corpus(
+        _pii_injected(t["documents"]),
+        min_quality=0.2,
+        filter_repetitive=False,
+        length_trim=(0.02, 0.98),
+        near_dedup=False,
+        redact=True,
+        pack_budget=2000,
+        pack_groups=32,
+    )
+
+
+def _pii_injected(docs: DataFrame) -> DataFrame:
+    """The q100/q122 deterministic PII injection (emails on doc_id%7,
+    phones on %11, IPs on %13) — so the redaction stage does real,
+    oracle-checkable work on the synthetic corpus."""
+    return docs.select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -1723,15 +1739,29 @@ def q100_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    return prepare_training_corpus(
-        injected,
+
+
+def q122_prep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prep chain's RUN-REPORT CARD (pipelines.py prep_report, r11
+    verdict #3): per enabled stage, rows/chars/tokens surviving and
+    rows dropped vs the previous stage — q100's exact configuration
+    (quality gate, value-level length trim, min-id exact dedup, PII
+    redaction over the q58 injection) so the card's numbers audit the
+    same composed chain q100 pins row-level. Reference analog: the
+    ingest summary card (worker/app/routers/status.py:50-91), applied
+    to the training-prep path whose stages already compute these
+    counters."""
+    from jsonify2ai_spark.pipelines import prep_report
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return prep_report(
+        _pii_injected(t["documents"]),
         min_quality=0.2,
         filter_repetitive=False,
         length_trim=(0.02, 0.98),
         near_dedup=False,
         redact=True,
-        pack_budget=2000,
-        pack_groups=32,
+        pack_budget=None,
     )
 
 
@@ -2278,6 +2308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q43 q11 q12 q15 q19 q21 q28, laid out first in the tail below).
     # See COVERAGE.md ledger.
     return {
+        # --- new this round (policy (a): first driver row gates) ---
+        "q122_prep_report": q122_prep_report,  # NEW r12: prep run-report card
         # --- 20 r8-greens (2 rounds driver-stale: round-12's mandatory block) ---
         "q75_dedup_keep_best": q75_dedup_keep_best,
         "q76_containment_pairs": q76_containment_pairs,
@@ -2328,10 +2360,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_conversation_lint": q102_conversation_lint,
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
-        "q80_length_outliers": q80_length_outliers,
         "q82_mixture_weights": q82_mixture_weights,
         # ================= tail (entry 51+) =================
-        # round-13's mandatory 20-query r10-green block (oldest-first)
+        # r10-greens displaced by the new r12 queries, then round-13's
+        # mandatory 20-query r10-green block (oldest-first)
+        "q80_length_outliers": q80_length_outliers,
         "q03_topk_orders": q03_topk_orders,
         "q05_region_customers": q05_region_customers,
         "q07_cumulative_spend": q07_cumulative_spend,
@@ -2790,6 +2823,18 @@ def _dd_language_id_sql() -> str:
     return f"SELECT doc_id, {_dd_lang_expr('text')} AS lang_pred FROM documents"
 
 
+_DD_PII_INJECT = (
+    "SELECT doc_id, text"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS text"
+    " FROM documents"
+)
+
+
 def _dd_prep_fragments() -> tuple[str, str, str, str]:
     """(quality expr, PII count list, PII total expr, redaction expr) —
     the stage fragments shared by the q100/q101 composition oracles.
@@ -2836,18 +2881,7 @@ def _dd_pipeline_sql(
     q15's min-id exact dedup, q58's counts+redaction, q57's next-fit
     recursive CTE. PII fragments are concatenated (patterns contain {m,n}
     braces); everything else composes the established twin expressions."""
-    from jsonify2ai_spark.operators.pii import PII_PATTERNS
-
-    inject = (
-        "SELECT doc_id, text"
-        " || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)"
-        " || '@example.com' ELSE '' END"
-        " || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-'"
-        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
-        " || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.'"
-        " || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS text"
-        " FROM documents"
-    )
+    inject = _DD_PII_INJECT
     qual, counts, total, redacted = _dd_prep_fragments()
     return f"""
 WITH RECURSIVE injected AS (
@@ -2906,6 +2940,81 @@ WITH RECURSIVE injected AS (
 SELECT g.doc_id, g.text, g.quality, g.n_email, g.n_phone, g.n_ipv4, g.n_ssn,
        g.pii_total, g.n_chars, g.pack_group, CAST(pk.bin AS BIGINT) AS bin_idx
 FROM g JOIN pk ON pk.pack_group = g.pack_group AND pk.doc_id = g.doc_id
+"""
+
+
+def _dd_prep_report_sql(
+    min_quality: float = 0.2,
+    lo: float = 0.02,
+    hi: float = 0.98,
+) -> str:
+    """q122 twin: q100's stage CTEs (injection, quality, length CDF,
+    min-id exact dedup, redaction) with per-stage survival counters
+    instead of row-level output — rows/chars/tokens out per stage and
+    the lag-window rows_dropped."""
+    qual, counts, total, redacted = _dd_prep_fragments()
+    toks = _DD_TOKENS.format(t="text")
+
+    def stage(idx: int, name: str, src: str) -> str:
+        return (
+            f"SELECT {idx} AS stage_idx, '{name}' AS stage,"
+            " CAST(count(*) AS BIGINT) AS rows_out,"
+            " CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS chars_out,"
+            f" CAST(coalesce(sum(len({toks})), 0) AS BIGINT) AS tokens_out"
+            f" FROM {src}"
+        )
+
+    stages = " UNION ALL ".join(
+        [
+            stage(0, "input", "injected"),
+            stage(1, "quality", "q"),
+            stage(2, "length_trim", "trimmed"),
+            stage(3, "exact_dedup", "dd"),
+            stage(4, "redact", "red"),
+        ]
+    )
+    return f"""
+WITH injected AS (
+  {_DD_PII_INJECT}
+), q AS (
+  SELECT doc_id, text FROM injected WHERE {qual} >= {min_quality}
+), lens AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS _len FROM q
+), lcounts AS (
+  SELECT _len, count(*) AS cnt FROM lens GROUP BY _len
+), ltot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM lcounts
+), lcdf AS (
+  SELECT _len,
+         CASE WHEN ltot.n > 1 THEN
+           CAST(coalesce(sum(cnt) OVER (ORDER BY _len
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+           / (ltot.n - 1)
+         ELSE 0.5 END AS pct
+  FROM lcounts, ltot
+), len_keep AS (
+  SELECT l.doc_id FROM lens l JOIN lcdf USING (_len)
+  WHERE pct >= {lo} AND pct <= {hi}
+), trimmed AS (
+  SELECT q.doc_id, q.text FROM q JOIN len_keep USING (doc_id)
+), fp AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+  FROM trimmed
+), keepers AS (
+  SELECT f, min(doc_id) AS kid FROM fp GROUP BY f
+), dd AS (
+  SELECT fp.doc_id, fp.text
+  FROM fp JOIN keepers ON keepers.f = fp.f AND keepers.kid = fp.doc_id
+), red AS (
+  SELECT doc_id, {redacted} AS text FROM dd
+), stages AS (
+  {stages}
+)
+SELECT stage_idx, stage, rows_out, chars_out, tokens_out,
+       CAST(coalesce(lag(rows_out) OVER (ORDER BY stage_idx) - rows_out, 0)
+            AS BIGINT) AS rows_dropped
+FROM stages
 """
 
 
@@ -4746,6 +4855,7 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY token_id <= 500
         """,
         "q100_training_pipeline": _dd_pipeline_sql(),
+        "q122_prep_report": _dd_prep_report_sql(),
         "q101_incremental_pipeline": _dd_incremental_sql(),
         # filtered-pool BM25: the per-query bm25_topk twin replayed over
         # the PRE-filtered corpus — the semantics BM25Index.topk(filter=)

@@ -1682,3 +1682,98 @@ def test_stream_shard_sink_flush_after_more_triggers_unique_run_id(
     finals = loaded.filter(loaded._source_run != "base")
     n_ids = sum(r["n_ids"] for r in finals.collect())
     assert n_ids == (3 + 1) + (4 + 1) + (2 + 1)
+
+
+def test_prep_report_stage_counters(spark):
+    """r11 verdict #3: prep_report's card — one row per ENABLED stage,
+    rows_dropped telescopes against rows_out, optional stages appear
+    exactly when toggled, and the counters match hand-derived ground
+    truth on a corpus engineered to lose rows at specific stages
+    (oracle q122 pins the sf corpus; this pins the audit mechanics)."""
+    from jsonify2ai_spark.pipelines import prep_report
+
+    base = (
+        "document {i} discusses topic{i} with angle{j} detail{k} and "
+        "closes on point{i} after weighing side{j} against side{k}"
+    )
+    docs = spark.createDataFrame(
+        [(i, base.format(i=i, j=i % 5, k=i % 7)) for i in range(20)]
+        # two exact dups of doc 0's text
+        + [(100, base.format(i=0, j=0, k=0)),
+           (101, base.format(i=0, j=0, k=0))]
+        # a repetitive doc the Gopher gate must cut
+        + [(102, "spam " * 200)],
+        "doc_id long, text string",
+    )
+    rep = prep_report(
+        docs, min_quality=0.05, filter_repetitive=True,
+        near_dedup=False, redact=True, pack_budget=None,
+    )
+    rows = {r["stage"]: r for r in rep.collect()}
+    assert list(rep.columns) == [
+        "stage_idx", "stage", "rows_out", "chars_out", "tokens_out",
+        "rows_dropped",
+    ]
+    # enabled-stage set only: no length_trim / near_dedup / span / diversity
+    assert set(rows) == {"input", "quality", "repetition", "exact_dedup", "redact"}
+    assert rows["input"]["rows_out"] == 23 and rows["input"]["rows_dropped"] == 0
+    assert rows["repetition"]["rows_dropped"] == 1          # doc 102
+    assert rows["exact_dedup"]["rows_dropped"] == 2         # 100, 101 fold into 0
+    assert rows["redact"]["rows_out"] == rows["exact_dedup"]["rows_out"]
+    # telescoping: each stage's rows_out + its drop = previous rows_out
+    ordered = sorted(rows.values(), key=lambda r: r["stage_idx"])
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur["rows_out"] + cur["rows_dropped"] == prev["rows_out"]
+    # no PII injected: redact preserves chars byte-for-byte
+    assert rows["redact"]["chars_out"] == rows["exact_dedup"]["chars_out"]
+
+    # optional stages register when toggled
+    rep2 = prep_report(
+        docs, min_quality=0.05, filter_repetitive=False,
+        length_trim=(0.05, 0.95), near_dedup=True, redact=False,
+        pack_budget=None,
+    )
+    stages2 = [r["stage"] for r in rep2.orderBy("stage_idx").collect()]
+    assert stages2 == ["input", "quality", "length_trim", "exact_dedup", "near_dedup"]
+
+
+def test_corpus_to_token_shards_report(spark, tmp_path):
+    """corpus_to_token_shards(report=True): the manifest carries the
+    token-conservation card — docs in/prepared, tokens encoded vs ids
+    out (oov_dropped = the vocab cap's cut under oov='drop'), and the
+    prep chain's per-stage counters when prep ran."""
+    from jsonify2ai_spark.pipelines import corpus_to_token_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc{i}") for i in range(8)]
+        + [(100, "alpha beta gamma delta doc0")],  # near-exact filler
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "run")
+    m = corpus_to_token_shards(
+        docs, out, num_merges=8, budget=16, n_groups=2,
+        max_vocab=6, oov="drop", report=True,
+        prep={"min_quality": 0.0, "filter_repetitive": False,
+              "near_dedup": False, "redact": False},
+    )
+    rep = m["report"]
+    assert rep["docs_in"] == 9
+    assert rep["docs_prepared"] <= 9  # exact dedup always runs in prep
+    assert rep["tokens_encoded"] > 0
+    # max_vocab=6 caps a >6-type inventory: drops must show and reconcile
+    assert rep["oov_dropped"] == rep["tokens_encoded"] - rep["token_ids_out"]
+    assert rep["oov_dropped"] > 0
+    stages = [s["stage"] for s in rep["prep_stages"]]
+    assert stages == ["input", "quality", "exact_dedup"]
+    assert rep["prep_stages"][0]["rows_out"] == 9
+    # manifest round-trips through JSON (the sidecar write is atomic)
+    import json, os
+    disk = json.load(open(os.path.join(out, "manifest.json")))
+    assert disk["report"] == rep
+
+    # report=False (default): no report key, no extra actions
+    m2 = corpus_to_token_shards(
+        spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string"),
+        str(tmp_path / "run2"), num_merges=2, budget=8, n_groups=1,
+    )
+    assert "report" not in m2
