@@ -607,3 +607,57 @@ def dsir_resample(
         .orderBy(F.col("resample_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def calibrate_dsir_cutoff(
+    weights: DataFrame,
+    keep_frac: float,
+    weight_col: str = "log_weight",
+    id_col: str = "doc_id",
+    salt: str = "dsir-v1",
+    temperature: float = 1.0,
+) -> float:
+    """Derive the thin-mode ``key_cutoff`` for :class:`~jsonify2ai_spark.
+    streaming.windowed.DSIRGate` from a calibration corpus's
+    :func:`dsir_weights` frame: the k-th ``resample_key`` where
+    ``k = ceil(keep_frac * n_weighted)`` — exactly the documented
+    hand-recipe (r11 verdict #4), as a function, so the gate's one free
+    parameter is DERIVED rather than hand-computed. A gate built with
+    the returned cutoff keeps, on the calibration corpus itself, the
+    same row set as ``dsir_resample(weights, k)`` (ties at the exact
+    boundary key keep ALL tied rows — the 4dp key makes ties rare but
+    possible, so ``keep_frac`` is a floor, not an exact quota).
+
+    Pass the SAME ``salt``/``temperature`` the gate will run with —
+    the keys must be the gate's keys for the quantile to transfer.
+
+    Scale shape: one NULL-filtered count + the k-row ordered take's
+    min — the take keeps a k-row heap per partition, so calibrate on a
+    SAMPLE-sized corpus (the deployment shape anyway: the calibration
+    frame models the incoming distribution, it does not need to be the
+    100 TB corpus).
+    """
+    import math
+
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac!r}")
+    n = weights.filter(F.col(weight_col).isNotNull()).count()
+    if n == 0:
+        raise ValueError(
+            "calibrate_dsir_cutoff: no weighted rows in the calibration "
+            "corpus (all-NULL weight_col or empty frame)"
+        )
+    k = max(1, math.ceil(keep_frac * n))
+    row = (
+        dsir_resample(
+            weights,
+            k,
+            weight_col=weight_col,
+            id_col=id_col,
+            salt=salt,
+            temperature=temperature,
+        )
+        .agg(F.min("resample_key"))
+        .collect()[0]
+    )
+    return float(row[0])

@@ -2025,8 +2025,10 @@ class DSIRGate:
       iff its deterministic Gumbel key ``round(log_w/T + g(id), 4)`` ≥
       the cutoff, the streaming analog of ``dsir_resample`` (a stream
       cannot take a global top-k, so the caller calibrates the cutoff
-      offline — e.g. the k-th ``resample_key`` of a batch resample over
-      a calibration corpus — and the gate applies it per document).
+      offline — :func:`~jsonify2ai_spark.operators.sampling.
+      calibrate_dsir_cutoff` derives it as the k-th ``resample_key``
+      of a batch resample over a calibration corpus — and the gate
+      applies it per document).
       Same md5 uniforms, same 4dp-rounded key, so a replayed batch
       keeps exactly the same rows: idempotent under at-least-once
       delivery with NO cross-batch state. Featureless documents have no

@@ -3131,3 +3131,47 @@ def test_oov_count_kernel_null_element_is_oov(spark):
         for r in df.select("doc_id", cnt(F.col("toks")).alias("n")).collect()
     }
     assert got == {1: 1, 2: 1, 3: 2, 4: 0, 5: 0, 6: 0}
+
+
+def test_calibrate_dsir_cutoff_contract(spark, tables):
+    """r11 verdict #4: the thin-mode cutoff is DERIVED — the gate's one
+    free parameter comes from keep_frac. keep_frac=1.0 keeps every
+    weighted row; a mid fraction keeps >= ceil(frac*n) (ties are a
+    floor); invalid fractions and empty calibration frames raise."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.sampling import (
+        calibrate_dsir_cutoff,
+        dsir_weights,
+    )
+
+    docs = tables["documents"].select("doc_id", "text", "lang").limit(200)
+    target = docs.filter("lang = 'en'")
+    w = dsir_weights(docs, target, buckets=5_000).localCheckpoint(eager=False)
+    n = w.count()
+
+    from jsonify2ai_spark.operators.sampling import _BUCKETS, sample_hash
+
+    u = (sample_hash(F.col("doc_id"), "dsir-v1") + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    key = F.round(F.col("log_weight") - F.log(-F.log(u)), 4) + F.lit(0.0)
+    keyed = w.select("doc_id", key.alias("k"))
+
+    for frac in (0.25, 0.5, 1.0):
+        cutoff = calibrate_dsir_cutoff(w, frac)
+        kept = keyed.filter(F.col("k") >= cutoff).count()
+        want = math.ceil(frac * n)
+        assert want <= kept <= want + 5  # ties at the 4dp boundary only
+
+    with pytest.raises(ValueError, match="keep_frac"):
+        calibrate_dsir_cutoff(w, 0.0)
+    with pytest.raises(ValueError, match="keep_frac"):
+        calibrate_dsir_cutoff(w, 1.5)
+    with pytest.raises(ValueError, match="no weighted rows"):
+        calibrate_dsir_cutoff(
+            w.withColumn("log_weight", F.lit(None).cast("double")), 0.5
+        )

@@ -1873,14 +1873,23 @@ def test_dsir_gate_cutoff_replay_and_save_load(spark, tables, tmp_path):
     and save/load round-trips models, mode, and scores."""
     from pyspark.sql import functions as F
 
-    from jsonify2ai_spark.operators.sampling import dsir_resample, dsir_weights
+    from jsonify2ai_spark.operators.sampling import (
+        calibrate_dsir_cutoff,
+        dsir_resample,
+        dsir_weights,
+    )
     from jsonify2ai_spark.streaming.windowed import DSIRGate
 
     docs = tables["documents"].select("doc_id", "text", "lang")
     target = docs.filter("lang = 'en'")
-    w = dsir_weights(docs, target, buckets=5_000)
-    # calibrate: the 100th resample key over the fit corpus
-    cutoff = dsir_resample(w, 100).agg(F.min("resample_key")).collect()[0][0]
+    w = dsir_weights(docs, target, buckets=5_000).localCheckpoint(eager=False)
+    # calibrate (r11 verdict #4: derived, not hand-computed): the cutoff
+    # that keeps ~100/n of the calibration corpus — must equal the
+    # 100th resample key the hand recipe used
+    n = w.count()
+    cutoff = calibrate_dsir_cutoff(w, 100 / n)
+    hand = dsir_resample(w, 100).agg(F.min("resample_key")).collect()[0][0]
+    assert cutoff == hand
 
     gate = DSIRGate(docs, target, buckets=5_000, key_cutoff=cutoff)
     assert gate.kind == "filter"
