@@ -2310,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round (policy (a): first driver row gates) ---
         "q122_prep_report": q122_prep_report,  # NEW r12: prep run-report card
+        "q123_bm25_sharded": q123_bm25_sharded,  # NEW r12: term-bucket-sharded BM25 serving
         # --- 20 r8-greens (2 rounds driver-stale: round-12's mandatory block) ---
         "q75_dedup_keep_best": q75_dedup_keep_best,
         "q76_containment_pairs": q76_containment_pairs,
@@ -2360,10 +2361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_conversation_lint": q102_conversation_lint,
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
-        "q82_mixture_weights": q82_mixture_weights,
         # ================= tail (entry 51+) =================
         # r10-greens displaced by the new r12 queries, then round-13's
         # mandatory 20-query r10-green block (oldest-first)
+        "q82_mixture_weights": q82_mixture_weights,
         "q80_length_outliers": q80_length_outliers,
         "q03_topk_orders": q03_topk_orders,
         "q05_region_customers": q05_region_customers,
@@ -2943,6 +2944,26 @@ FROM g JOIN pk ON pk.pack_group = g.pack_group AND pk.doc_id = g.doc_id
 """
 
 
+def q123_bm25_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-bucket-SHARDED BM25 serving (operators/textsearch.py
+    ShardedBM25Index, r11 verdict #7): the postings persist partitioned
+    by md5(term) % n_buckets and the query's scan carries its terms'
+    buckets as PartitionFilters — per-query IO is the touched buckets,
+    ~|terms|/n_buckets of the postings, never the corpus (the in-memory
+    index's corpus-linear lexical floor, PERF.md round-11 crossover).
+    Scores must equal bm25_topk exactly (k=15 to differentiate from
+    q30's k=10 row); the oracle replays the q30 arithmetic."""
+    import tempfile
+
+    from jsonify2ai_spark.operators.textsearch import ShardedBM25Index
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    idx = ShardedBM25Index.build(
+        t["documents"], tempfile.mkdtemp(prefix="bm25shard_"), n_buckets=16
+    )
+    return idx.topk(_SEARCH_QUERY, k=15)
+
+
 def _dd_prep_report_sql(
     min_quality: float = 0.2,
     lo: float = 0.02,
@@ -3407,6 +3428,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q30_bm25_search": bm25_oracle_sql(_SEARCH_QUERY, k=10),
+        "q123_bm25_sharded": bm25_oracle_sql(_SEARCH_QUERY, k=15),
         "q31_stats_rollup": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY GROUPING SETS ((event_type), ())

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Sharded-BM25 serving scale probe (r11 verdict #7): the crossover
+bench's own conclusion was that the hybrid arm's wall at scale is the
+LEXICAL floor — BM25Index's per-query cost scans its memory-persisted
+postings, corpus-linear, and the cache itself must hold the corpus.
+ShardedBM25Index partitions the postings by md5(term) % n_buckets and
+prunes each query's scan to its terms' buckets, so per-query IO is
+~|terms|/n_buckets of the postings; sizing n_buckets WITH the corpus
+(exactly how the IVF arm scales its cell count) keeps the touched bytes
+per query roughly flat.
+
+For each corpus size the 24-question eval set runs through topk_batch
+on BOTH indexes (same scoring arithmetic, parity test-pinned) — warm
+pass, then min-of-3 wall, amortized per query. n_buckets scales
+16/64/256 as the corpus replicates x1/x16/x64 (5k -> 80k -> 320k
+chunks), holding per-bucket postings roughly constant — the
+cell-parallel design point being measured.
+
+Usage: python bench_bm25_sharded.py   # one JSON line last
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    from jsonify2ai_spark.operators.evalharness import eval_corpus_from_documents
+    from jsonify2ai_spark.operators.textsearch import BM25Index, ShardedBM25Index
+    from jsonify2ai_spark.session import get_spark
+
+    spark = get_spark("bench-bm25-sharded")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    with open("eval/qa.jsonl", encoding="utf-8") as f:
+        rows = [json.loads(line) for line in f if line.strip()]
+    questions = list(
+        dict.fromkeys(r.get("q") or r.get("question", "") for r in rows)
+    )
+
+    def corpus_at(sf_dir: str, replicate: int = 1):
+        base = eval_corpus_from_documents(spark, sf_dir)
+        if replicate > 1:
+            parts = [
+                base.select(
+                    F.concat(F.lit(f"r{i}-"), F.col("id")).alias("id"),
+                    *[c for c in base.columns if c != "id"],
+                )
+                for i in range(replicate)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            base = out
+        return base.localCheckpoint()
+
+    sizes = [
+        ("sf0.1", "/root/testdata/sf0.1", 1, 16),
+        ("sf0.1x16", "/root/testdata/sf0.1", 16, 64),
+        ("sf0.1x64", "/root/testdata/sf0.1", 64, 256),
+    ]
+    results = {}
+    for label, sf_dir, rep, n_buckets in sizes:
+        corpus = corpus_at(sf_dir, rep)
+        n = corpus.count()
+
+        def timed(idx):
+            idx.topk_batch(questions[:2], k=5).collect()  # warm
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                idx.topk_batch(questions, k=5).collect()
+                dt = (time.perf_counter() - t0) * 1000.0
+                best = dt if best is None else min(best, dt)
+            return best
+
+        t0 = time.perf_counter()
+        mem = BM25Index(corpus, id_col="id")
+        mem_build_s = time.perf_counter() - t0
+        mem_ms = timed(mem)
+        mem.close()
+
+        tmp = tempfile.mkdtemp(prefix="bm25shard_bench_")
+        t0 = time.perf_counter()
+        sharded = ShardedBM25Index.build(
+            corpus, tmp, n_buckets=n_buckets, id_col="id"
+        )
+        shard_build_s = time.perf_counter() - t0
+        shard_ms = timed(sharded)
+        sharded.close()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        results[label] = {
+            "chunks": n,
+            "n_buckets": n_buckets,
+            "mem_per_q_ms": round(mem_ms / len(questions), 1),
+            "sharded_per_q_ms": round(shard_ms / len(questions), 1),
+            "mem_build_s": round(mem_build_s, 1),
+            "sharded_build_s": round(shard_build_s, 1),
+        }
+        print(label, results[label], flush=True)
+
+    print(json.dumps({"bm25_sharded": results, "n_queries": len(questions)}))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -211,6 +211,18 @@ class BM25Index:
         )
         return posted.withColumn("w", idf * F.col("tf") * F.lit(self._k1 + 1.0) / denom)
 
+    def _lookup(self, terms: list) -> DataFrame:
+        """The query terms' posting rows. The base index filters its
+        memory-persisted postings; :class:`ShardedBM25Index` overrides
+        with a partition-pruned disk scan."""
+        return self._posts.filter(F.col("term").isin(terms))
+
+    def _lookup_batch(self, qdf: DataFrame, terms: list) -> DataFrame:
+        """Batch form: (query_id, term) broadcast-joined into the
+        postings. ``terms`` (the distinct term list, known driver-side)
+        lets the sharded override prune partitions STATICALLY."""
+        return self._posts.join(F.broadcast(qdf), "term")
+
     def topk(self, query: str, k: int = 10, filter=None) -> DataFrame:
         """Top-k (id, bm25) for one query — touches only the query terms'
         posting lists in the persisted index. ``filter`` (a Column over
@@ -218,7 +230,7 @@ class BM25Index:
         ``bm25_topk(docs.filter(filter))`` exactly."""
         terms = sorted({t.lower() for t in query.split() if t})
         idc = self._id_col
-        posted = self._posts.filter(F.col("term").isin(terms))
+        posted = self._lookup(terms)
         if filter is None:
             scored = self._score(posted, F.lit(self._n_docs), F.lit(self._avgdl))
         else:
@@ -268,7 +280,7 @@ class BM25Index:
         qdf = spark.createDataFrame(qterms, "query_id int, term string")
         # broadcast the tiny (qid, term) list into the term-partitioned
         # postings: each query's terms pull only their own posting lists
-        posted = self._posts.join(F.broadcast(qdf), "term")
+        posted = self._lookup_batch(qdf, sorted({t for _, t in qterms}))
         scored = self._score(posted, F.lit(self._n_docs), F.lit(self._avgdl))
         agg = scored.groupBy("query_id", idc).agg(
             F.round(F.sum("w"), 6).alias("bm25")
@@ -334,4 +346,161 @@ class BM25Index:
 
     def close(self) -> None:
         self._posts.unpersist()
+        self._doclens.unpersist()
+
+def _term_bucket(term_col, n_buckets: int):
+    """Engine-portable term -> bucket in [0, n_buckets): md5 first 12 hex
+    chars as an integer, mod n_buckets (the sample_hash idiom). The
+    PYTHON twin (_term_bucket_py) must stay in lockstep — query-side
+    pruning computes the same buckets driver-side."""
+    return (
+        F.conv(F.substring(F.md5(term_col), 1, 12), 16, 10).cast("bigint")
+        % n_buckets
+    )
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:12], 16) % n_buckets
+
+
+class ShardedBM25Index(BM25Index):
+    """Term-bucket-SHARDED BM25 serving (r11 verdict #7): the postings
+    persist as parquet PARTITIONED BY ``term_bucket = md5(term) %
+    n_buckets``, and every query filters on its terms' buckets with a
+    driver-computed literal IN list — static partition pruning, so the
+    scan touches ONLY the query terms' bucket directories
+    (``PartitionFilters`` in the plan, test-pinned), never the whole
+    postings table.
+
+    Why this is the 100 TB serving shape: :class:`BM25Index` persists
+    the full postings in executor memory — per-query cost is a filter
+    over ALL cached partitions, and the cache itself must fit the
+    corpus (corpus-linear memory, the crossover bench's "lexical floor",
+    PERF.md round-11). Here the resident state is the ~16-byte/doc
+    doclens table only; per-query IO is the query terms' buckets,
+    ~|terms|/n_buckets of the postings. Size ``n_buckets`` so a bucket
+    is a few hundred MB at the target corpus (buckets scale WITH the
+    corpus, keeping per-query scan cost roughly flat — the cell-parallel
+    layout; hot terms' posting lists remain df-linear, which is
+    inherent to exact BM25).
+
+    Scoring arithmetic is the parent's verbatim (same ``_score``, same
+    constants, same rounding) — parity with :func:`bm25_topk` and with
+    the in-memory index is test-pinned, filtered and batched faces
+    included.
+    """
+
+    @classmethod
+    def build(
+        cls,
+        docs: DataFrame,
+        path: str,
+        n_buckets: int = 64,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k1: float = K1_DEFAULT,
+        b: float = B_DEFAULT,
+        attr_cols: tuple[str, ...] = (),
+    ) -> "ShardedBM25Index":
+        """One batch job: tokenize -> postings(+df_t) -> bucketed parquet
+        (one file per bucket via in-partition repartition, so a bucket
+        is one contiguous read), doclens, meta — then :meth:`load`."""
+        posts = build_postings(docs, text_col=text_col, id_col=id_col)
+        dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+        (
+            posts.join(dfreq, "term")
+            .withColumn("term_bucket", _term_bucket(F.col("term"), n_buckets))
+            .repartition(F.col("term_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{path}/postings")
+        )
+        toks = F.transform(tokens(F.col(text_col)), F.lower)
+        doclens = docs.select(
+            F.col(id_col), F.size(toks).alias("dl"), *[F.col(c) for c in attr_cols]
+        )
+        doclens.write.mode("overwrite").parquet(f"{path}/doclens")
+        row = doclens.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
+        spark = docs.sparkSession
+        spark.createDataFrame(
+            [
+                (
+                    int(row["n"]),
+                    float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+                    k1,
+                    b,
+                    id_col,
+                    ",".join(attr_cols),
+                    n_buckets,
+                )
+            ],
+            "n_docs long, avgdl double, k1 double, b double, "
+            "id_col string, attr_cols string, n_buckets int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        return cls.load(spark, path)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "ShardedBM25Index":
+        """Open for serving. The postings are NOT persisted or counted —
+        the entire point is that no query ever materializes them; only
+        the narrow doclens table (filtered-pool scalars) is cached."""
+        meta = spark.read.parquet(f"{path}/meta").first()
+        obj = cls.__new__(cls)
+        obj._id_col = meta["id_col"]
+        obj._k1, obj._b = float(meta["k1"]), float(meta["b"])
+        obj._n_docs = int(meta["n_docs"])
+        obj._avgdl = float(meta["avgdl"])
+        obj._attr_cols = tuple(
+            c for c in (meta["attr_cols"] or "").split(",") if c
+        )
+        obj._n_buckets = int(meta["n_buckets"])
+        obj._posts = spark.read.parquet(f"{path}/postings")
+        obj._doclens = spark.read.parquet(f"{path}/doclens").persist()
+        return obj
+
+    def save(self, path: str) -> None:
+        """Copy the sharded layout to a new location (the postings frame
+        carries ``term_bucket`` from the partitioned read, so the bucket
+        assignment is preserved byte-for-byte)."""
+        spark = self._posts.sparkSession
+        (
+            self._posts.repartition(F.col("term_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{path}/postings")
+        )
+        self._doclens.write.mode("overwrite").parquet(f"{path}/doclens")
+        spark.createDataFrame(
+            [
+                (
+                    self._n_docs,
+                    self._avgdl,
+                    self._k1,
+                    self._b,
+                    self._id_col,
+                    ",".join(self._attr_cols),
+                    self._n_buckets,
+                )
+            ],
+            "n_docs long, avgdl double, k1 double, b double, "
+            "id_col string, attr_cols string, n_buckets int",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    def _lookup(self, terms: list) -> DataFrame:
+        buckets = sorted({_term_bucket_py(t, self._n_buckets) for t in terms})
+        return self._posts.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+
+    def _lookup_batch(self, qdf: DataFrame, terms: list) -> DataFrame:
+        buckets = sorted({_term_bucket_py(t, self._n_buckets) for t in terms})
+        return self._posts.filter(
+            F.col("term_bucket").isin(buckets)
+        ).join(F.broadcast(qdf), "term")
+
+    def close(self) -> None:
         self._doclens.unpersist()

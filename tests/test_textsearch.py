@@ -369,3 +369,138 @@ def test_hybrid_topk_batch_ann_arm(spark):
         top_ann = max(pruned[qi], key=lambda t: (t[1], t[0]))[0]
         assert top_ann == top_brute, (queries[qi], top_ann, top_brute)
     idx.close()
+
+
+def test_sharded_bm25_parity_all_faces(spark, tmp_path):
+    """r11 verdict #7: the term-bucket-sharded serving index must
+    reproduce bm25_topk / the in-memory index exactly on every face —
+    plain, filtered (pool scalars + df_t recompute), and batched —
+    including empty-doc corpora and no-match queries."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.textsearch import (
+        BM25Index,
+        ShardedBM25Index,
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data between stages", "a"),
+            (2, "spark broadcasts small spark tables", "b"),
+            (3, "postgres vacuums dead tuples", "a"),
+            (4, "the spark optimizer reorders joins and joins again", "b"),
+            (5, "", "a"),
+            (6, "spark spark spark dense match here", "a"),
+        ],
+        "doc_id long, text string, kind string",
+    )
+    idx = ShardedBM25Index.build(
+        docs, str(tmp_path / "sidx"), n_buckets=8, attr_cols=("kind",)
+    )
+    for q in ("spark joins", "dead tuples vacuum", "nothing matches zzz", "   "):
+        want = [tuple(r) for r in bm25_topk(docs, q, k=4).collect()]
+        got = [tuple(r) for r in idx.topk(q, k=4).collect()]
+        assert got == want, (q, got, want)
+    # filtered face
+    for kind in ("a", "b"):
+        pred = F.col("kind") == kind
+        want = [
+            tuple(r)
+            for r in bm25_topk(docs.filter(pred), "spark joins", k=4).collect()
+        ]
+        got = [tuple(r) for r in idx.topk("spark joins", k=4, filter=pred).collect()]
+        assert got == want, (kind, got, want)
+    # batched face, vs the in-memory index's batch
+    mem = BM25Index(docs, attr_cols=("kind",))
+    queries = ["spark joins", "dead tuples", "zzz"]
+    want = sorted(tuple(r) for r in mem.topk_batch(queries, k=4).collect())
+    got = sorted(tuple(r) for r in idx.topk_batch(queries, k=4).collect())
+    assert got == want and got
+    mem.close()
+    idx.close()
+
+
+def test_sharded_bm25_partition_pruning_plan(spark, tmp_path):
+    """The whole point of the sharding: a query's scan must carry its
+    terms' buckets as PartitionFilters (static pruning from the
+    driver-computed literal IN list) — reading only those bucket
+    directories, never the full postings table. Pinned on the single
+    and batched faces; the Python and SQL bucket hashes must agree."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.textsearch import (
+        ShardedBM25Index,
+        _term_bucket,
+        _term_bucket_py,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma term{i} spark joins data") for i in range(40)],
+        "doc_id long, text string",
+    )
+    idx = ShardedBM25Index.build(docs, str(tmp_path / "sidx"), n_buckets=16)
+
+    # hash lockstep: SQL expr == python twin on every distinct term
+    terms = [r["term"] for r in idx._posts.select("term").distinct().collect()]
+    sql_buckets = {
+        r["term"]: r["b"]
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", _term_bucket(F.col("term"), 16).alias("b"))
+        .collect()
+    }
+    for t in terms:
+        assert sql_buckets[t] == _term_bucket_py(t, 16), t
+
+    want = sorted({_term_bucket_py(t, 16) for t in ("spark", "joins")})
+    plan = (
+        idx.topk("spark joins", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan[:2000]
+    assert "term_bucket" in m.group(1), m.group(1)
+    for b in want:
+        assert str(b) in m.group(1), (b, m.group(1))
+    # batched face prunes too
+    plan_b = (
+        idx.topk_batch(["spark joins"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    mb = re.search(r"PartitionFilters: \[([^\]]*)\]", plan_b)
+    assert mb and "term_bucket" in mb.group(1), plan_b[:2000]
+    idx.close()
+
+
+def test_sharded_bm25_save_load_roundtrip(spark, tmp_path):
+    """save() preserves the bucketed layout (bucket assignment included)
+    and load() serves identical scores without touching the corpus;
+    the loaded index still partition-prunes."""
+    from jsonify2ai_spark.operators.textsearch import ShardedBM25Index
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta spark joins doc{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    idx = ShardedBM25Index.build(docs, str(tmp_path / "a"), n_buckets=8)
+    want = [tuple(r) for r in idx.topk("spark joins", k=5).collect()]
+    idx.save(str(tmp_path / "b"))
+    idx.close()
+    loaded = ShardedBM25Index.load(spark, str(tmp_path / "b"))
+    assert loaded._n_buckets == 8
+    got = [tuple(r) for r in loaded.topk("spark joins", k=5).collect()]
+    assert got == want
+    plan = (
+        loaded.topk("spark joins", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "term_bucket" in plan
+    loaded.close()
