@@ -1,0 +1,207 @@
+"""Media feature shards: the multimodal trainer path (r11 verdict #5).
+
+The text side has a full produce/append/stream/load shard lifecycle
+(pipelines.py: corpus_to_token_shards -> append_token_shards ->
+read_token_shards, manifest.json + _increment.json discipline). The
+multimodal columns stopped at QA/top-k — image features existed
+(columns.py extract_media_features: dev hash-embedding or the real CLIP
+tower) but nothing carried them into trainer-loadable shards. This
+module closes that seam with the SAME manifest discipline, so image
+embeddings ride the same produce/append/load loop the token shards do
+(reference analog: the images collection the reference serves,
+worker/app/config.py:36-38 — it upserts image vectors into a second
+Qdrant collection; this is that idea carried through to training
+shards instead of a serving index).
+
+Layout (identical discipline, media content):
+
+    <out_dir>/manifest.json              atomic, self-describing config
+    <out_dir>/shards/media_group=N/      base run, md5(id)%n_groups
+    <out_dir>/shards_incr/<run_id>/      appends, _increment.json sidecar
+
+Interleaved-media rows: ``payload_cols`` carries any extra columns into
+the shards alongside ``features`` — e.g. caption ``token_ids`` from a
+TokenizeGate pass — so one shard row is a complete interleaved training
+sample (image embedding + caption ids). The append face freezes
+``payload_cols`` (with dim / dev_mode / model_name / n_groups) in the
+manifest so increments can never silently diverge from the base shape.
+
+Scale shape: featurize is one Arrow mapInPandas pass (columns.py), the
+group assignment is a map-side md5 expression, and the write is one
+repartition on the group key + an in-partition sort — no shuffle beyond
+the grouping, no driver collect; undecodable-media drops (real mode
+yields NULL features) are counted map-side into the manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jsonify2ai_spark.pipelines import (
+    _read_sharded_store,
+    _write_json_atomic,
+)
+
+
+def _media_group(id_col, n_groups: int):
+    """Engine-portable id -> shard group (the sample_hash idiom)."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        % n_groups
+    )
+
+
+def _featurize(
+    media: DataFrame,
+    dim: int,
+    dev_mode: bool,
+    model_name: str,
+    id_col: str,
+    content_col: str,
+    payload_cols: tuple,
+) -> tuple[DataFrame, DataFrame]:
+    """(kept rows with features, dropped-undecodable rows) — real mode
+    yields NULL features for undecodable bytes (columns.py contract);
+    those rows cannot train and are dropped COUNTED, never silently."""
+    from jsonify2ai_spark.multimodal.columns import extract_media_features
+
+    feats = extract_media_features(
+        media.select(id_col, content_col, *payload_cols),
+        content_col=content_col,
+        dim=dim,
+        dev_mode=dev_mode,
+        model_name=model_name,
+    ).drop(content_col)
+    # two consumers (kept + dropped counts) of one Arrow featurize pass
+    feats = feats.localCheckpoint(eager=False)
+    return (
+        feats.filter(F.col("features").isNotNull()),
+        feats.filter(F.col("features").isNull()),
+    )
+
+
+def _write_media_part(
+    kept: DataFrame, path: str, id_col: str, n_groups: int
+) -> int:
+    """Group-partitioned parquet, rows id-sorted within each group file;
+    returns the row count (one count over the checkpointed frame)."""
+    kept = kept.withColumn(
+        "media_group", _media_group(F.col(id_col), n_groups)
+    ).localCheckpoint(eager=False)
+    (
+        kept.repartition(F.col("media_group"))
+        .sortWithinPartitions("media_group", id_col)
+        .write.mode("overwrite")
+        .partitionBy("media_group")
+        .parquet(path)
+    )
+    return kept.count()
+
+
+def media_to_feature_shards(
+    media: DataFrame,
+    out_dir: str,
+    dim: int = 64,
+    n_groups: int = 16,
+    dev_mode: bool = True,
+    model_name: str = "openai/clip-vit-base-patch32",
+    payload_cols: tuple = (),
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> dict:
+    """Base run: media binary -> feature shards + manifest. Returns the
+    manifest dict ({rows, groups, dim, dropped_undecodable, config})."""
+    import os
+
+    kept, dropped = _featurize(
+        media, dim, dev_mode, model_name, id_col, content_col, tuple(payload_cols)
+    )
+    rows = _write_media_part(
+        kept, os.path.join(out_dir, "shards"), id_col, n_groups
+    )
+    result = {
+        "out_dir": out_dir,
+        "rows": rows,
+        "groups": n_groups,
+        "dim": dim,
+        "dropped_undecodable": dropped.count(),
+        "config": {
+            "dim": dim,
+            "n_groups": n_groups,
+            "dev_mode": dev_mode,
+            "model_name": model_name,
+            "payload_cols": list(payload_cols),
+            "id_col": id_col,
+            "content_col": content_col,
+        },
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    _write_json_atomic(os.path.join(out_dir, "manifest.json"), result)
+    return result
+
+
+def append_media_shards(
+    media: DataFrame, out_dir: str, run_id: str
+) -> dict:
+    """Incremental counterpart: featurize NEW media under the run's
+    FROZEN config (dim / mode / model / groups / payload shape all come
+    from manifest.json — an increment can never silently diverge) and
+    land it as ``shards_incr/<run_id>/`` with the `_increment.json`
+    sidecar-then-manifest-cache discipline of
+    :func:`~jsonify2ai_spark.pipelines.append_token_shards` (its
+    crash-window walk applies verbatim). Re-running a run_id overwrites
+    it — idempotent re-ingest."""
+    import json
+    import os
+
+    man_path = os.path.join(out_dir, "manifest.json")
+    with open(man_path, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    cfg = manifest["config"]
+    missing = [c for c in cfg["payload_cols"] if c not in media.columns]
+    if missing:
+        raise ValueError(
+            f"append_media_shards: increment lacks the run's frozen "
+            f"payload columns {missing} — the base shards carry them, "
+            "so every increment must too"
+        )
+    kept, dropped = _featurize(
+        media,
+        int(cfg["dim"]),
+        bool(cfg["dev_mode"]),
+        cfg["model_name"],
+        cfg["id_col"],
+        cfg["content_col"],
+        tuple(cfg["payload_cols"]),
+    )
+    sub = os.path.join(out_dir, "shards_incr", str(run_id))
+    rows = _write_media_part(kept, sub, cfg["id_col"], int(cfg["n_groups"]))
+    _write_json_atomic(
+        os.path.join(sub, "_increment.json"),
+        {"run_id": str(run_id), "rows": rows},
+    )
+    with open(man_path, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    manifest.setdefault("increments", {})[str(run_id)] = rows
+    manifest["dropped_undecodable"] = (
+        int(manifest.get("dropped_undecodable", 0)) + dropped.count()
+    )
+    _write_json_atomic(man_path, manifest)
+    return {"run_id": str(run_id), "rows": rows, "out_dir": sub}
+
+
+def read_media_shards(
+    spark,
+    out_dir: str,
+    include_increments: bool = True,
+    validate: bool = False,
+) -> DataFrame:
+    """Load a media shard store for training: base + sidecar-listed
+    increments, ``_source_run`` tags, optional per-part count validation
+    — the exact :func:`~jsonify2ai_spark.pipelines.read_token_shards`
+    contract over media rows (shared loader)."""
+    return _read_sharded_store(
+        spark, out_dir, include_increments, validate, "read_media_shards"
+    )

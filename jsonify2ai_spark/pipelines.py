@@ -858,6 +858,22 @@ def read_token_shards(
     raises on drift (a torn write or a hand-edited manifest) — one
     count job per part, so leave it off in the hot path and run it in
     the ingest audit."""
+    return _read_sharded_store(
+        spark, out_dir, include_increments, validate, "read_token_shards"
+    )
+
+
+def _read_sharded_store(
+    spark,
+    out_dir: str,
+    include_increments: bool,
+    validate: bool,
+    label: str,
+) -> DataFrame:
+    """The manifest-disciplined loader shared by every shard store in
+    this family (token shards, media feature shards): base + sidecar-
+    listed increments, ``_source_run`` tags, optional per-part row-count
+    validation, pairwise-balanced union."""
     import json
     import os
 
@@ -878,7 +894,7 @@ def read_token_shards(
             got = df.count()
             if got != rows:
                 raise ValueError(
-                    f"read_token_shards: part {rid!r} has {got} rows, "
+                    f"{label}: part {rid!r} has {got} rows, "
                     f"recorded {rows} — torn write or stale manifest"
                 )
         dfs.append(df)

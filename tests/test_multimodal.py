@@ -101,3 +101,81 @@ def test_multimodal_pipeline_end_to_end(spark):
     out_cols = set(staged.columns)
     assert {"media_id", "content", "n_bytes", "sha256", "resized", "width",
             "height", "features"} <= out_cols
+
+
+def test_media_feature_shards_e2e(spark, tmp_path):
+    """r11 verdict #5 (multimodal trainer path): media bytes -> CLIP-dev
+    features -> group-partitioned shards under the token-shard manifest
+    discipline -> append increment -> loader. Conservation: every media
+    id appears exactly once with an intact dim-length feature vector and
+    its interleaved payload column; _source_run tags parts; validate
+    counts; an increment missing the frozen payload column raises."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.multimodal.shards import (
+        append_media_shards,
+        media_to_feature_shards,
+        read_media_shards,
+    )
+
+    base = spark.createDataFrame(
+        [(i, bytes([i % 251]) * (40 + i), [1, 2, i]) for i in range(30)],
+        "media_id long, content binary, token_ids array<bigint>",
+    )
+    out = str(tmp_path / "media")
+    m = media_to_feature_shards(
+        base, out, dim=16, n_groups=4, payload_cols=("token_ids",)
+    )
+    assert m["rows"] == 30 and m["dropped_undecodable"] == 0
+    assert m["config"]["payload_cols"] == ["token_ids"]
+    # base layout: group-partitioned parquet
+    groups = {
+        d for d in os.listdir(os.path.join(out, "shards"))
+        if d.startswith("media_group=")
+    }
+    assert 1 < len(groups) <= 4
+
+    incr = spark.createDataFrame(
+        [(100 + i, bytes([7]) * (25 + i), [9, i]) for i in range(8)],
+        "media_id long, content binary, token_ids array<bigint>",
+    )
+    a = append_media_shards(incr, out, "r1")
+    assert a["rows"] == 8
+    # idempotent re-ingest: same run_id overwrites, no duplication
+    append_media_shards(incr, out, "r1")
+
+    loaded = read_media_shards(spark, out, validate=True)
+    rows = loaded.collect()
+    assert len(rows) == 38
+    ids = sorted(r["media_id"] for r in rows)
+    assert ids == sorted(list(range(30)) + list(range(100, 108)))
+    assert {r["_source_run"] for r in rows} == {"base", "r1"}
+    for r in rows:
+        assert len(r["features"]) == 16
+        assert all(0.0 <= v < 1.0 for v in r["features"])
+        assert r["token_ids"]  # interleaved payload survived
+    # features are the dev hash-embedding contract: deterministic per bytes
+    again = {
+        r["media_id"]: r["features"]
+        for r in read_media_shards(spark, out).collect()
+    }
+    assert again[0] == rows[[r["media_id"] for r in rows].index(0)]["features"]
+
+    # frozen payload shape: an increment without token_ids raises
+    with pytest.raises(ValueError, match="payload"):
+        append_media_shards(
+            spark.createDataFrame(
+                [(200, b"xx" * 30)], "media_id long, content binary"
+            ),
+            out,
+            "r2",
+        )
+
+    # similarity-search consumers join directly against the dev text
+    # embeddings (same hash contract): spot-check the loader output is
+    # a well-formed (id, vector) frame for the ANN/brute operators
+    vecs = loaded.select("media_id", F.col("features").alias("embedding"))
+    assert vecs.filter(F.size("embedding") != 16).count() == 0
