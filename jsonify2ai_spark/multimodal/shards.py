@@ -167,6 +167,12 @@ def append_media_shards(
             f"payload columns {missing} — the base shards carry them, "
             "so every increment must too"
         )
+    if str(run_id) in manifest.get("compacted_runs", []):
+        raise ValueError(
+            f"append_media_shards: run_id {run_id!r} was already folded "
+            "into the base by compact_media_shards — increments need "
+            "fresh run_ids after a compaction"
+        )
     kept, dropped = _featurize(
         media,
         int(cfg["dim"]),
@@ -178,6 +184,13 @@ def append_media_shards(
     )
     sub = os.path.join(out_dir, "shards_incr", str(run_id))
     rows = _write_media_part(kept, sub, cfg["id_col"], int(cfg["n_groups"]))
+    if rows == 0:
+        # idle trigger / all-undecodable batch: no increment-directory
+        # litter, no manifest entry (StreamShardSink's n==0 contract)
+        import shutil
+
+        shutil.rmtree(sub, ignore_errors=True)
+        return {"run_id": str(run_id), "rows": 0, "out_dir": sub}
     _write_json_atomic(
         os.path.join(sub, "_increment.json"),
         {"run_id": str(run_id), "rows": rows},
@@ -205,3 +218,27 @@ def read_media_shards(
     return _read_sharded_store(
         spark, out_dir, include_increments, validate, "read_media_shards"
     )
+
+
+class MediaShardSink:
+    """foreachBatch adapter for a standing media ingest: each trigger's
+    rows featurize and land as increment ``<prefix><batch_id>`` via
+    :func:`append_media_shards` — whose same-run_id overwrite makes an
+    at-least-once replay idempotent BY CONSTRUCTION (featurization is
+    stateless and deterministic per byte content, so re-deriving the
+    increment writes identical rows; no gate state to persist, unlike
+    StreamShardSink's PackGate, whose open bins force a commit
+    protocol). Idle triggers write nothing.
+
+    Wiring: ``stream.writeStream.foreachBatch(sink)`` — the instance is
+    the callable.
+    """
+
+    def __init__(self, out_dir: str, run_prefix: str = "m"):
+        self._out_dir = out_dir
+        self._prefix = run_prefix
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> dict:
+        return append_media_shards(
+            batch, self._out_dir, f"{self._prefix}{batch_id}"
+        )

@@ -945,6 +945,35 @@ def compact_token_shards(
     counts before the swap (a torn part fails the compaction instead of
     shrinking the corpus).
     """
+    return _compact_store(
+        spark, out_dir, defer_delete, group_col="pack_group",
+        extra_sort=("bin_idx", "doc_id"), label="compact_token_shards",
+    )
+
+
+def compact_media_shards(
+    spark, out_dir: str, defer_delete: bool = True
+) -> dict:
+    """Fold :func:`~jsonify2ai_spark.multimodal.shards.
+    append_media_shards` increments into the base media-shard layout —
+    the exact :func:`compact_token_shards` protocol (stage-and-swap
+    through the manifest, ``compacted_runs`` double-count guard,
+    ``defer_delete`` loader grace) over the media layout
+    (``media_group`` partitions, id-sorted rows)."""
+    return _compact_store(
+        spark, out_dir, defer_delete, group_col="media_group",
+        extra_sort=("media_id",), label="compact_media_shards",
+    )
+
+
+def _compact_store(
+    spark,
+    out_dir: str,
+    defer_delete: bool,
+    group_col: str,
+    extra_sort: tuple,
+    label: str,
+) -> dict:
     import json
     import os
     import shutil
@@ -987,23 +1016,24 @@ def compact_token_shards(
     new_rel = f"shards_v{version}"
     new_dir = os.path.join(out_dir, new_rel)
     # keep the shard writer's layout contract: group-partitioned files,
-    # runs contiguous and bins contiguous within a run (sort key covers
-    # both shard row shapes — doc rows carry doc_id, assembled rows don't)
-    sort_cols = ["pack_group", "_source_run", "bin_idx"]
-    if "doc_id" in merged.columns:
-        sort_cols.append("doc_id")
+    # runs contiguous within a group (the extra sort keys cover each
+    # store's row shape — token doc rows carry doc_id, assembled rows
+    # don't, media rows sort by media_id)
+    sort_cols = [group_col, "_source_run"] + [
+        c for c in extra_sort if c in merged.columns
+    ]
     (
-        merged.repartition(F.col("pack_group"))
+        merged.repartition(F.col(group_col))
         .sortWithinPartitions(*[F.col(c) for c in sort_cols])
         .write.mode("overwrite")
-        .partitionBy("pack_group")
+        .partitionBy(group_col)
         .parquet(new_dir)
     )
     expected = int(manifest["rows"]) + sum(r for _, _, r in incr)
     got = merged.count()
     if got != expected:
         raise ValueError(
-            f"compact_token_shards: folded {got} rows, parts record "
+            f"{label}: folded {got} rows, parts record "
             f"{expected} — a torn part; compaction aborted (the manifest "
             "still points at the old layout)"
         )

@@ -179,3 +179,129 @@ def test_media_feature_shards_e2e(spark, tmp_path):
     # a well-formed (id, vector) frame for the ANN/brute operators
     vecs = loaded.select("media_id", F.col("features").alias("embedding"))
     assert vecs.filter(F.size("embedding") != 16).count() == 0
+
+
+def test_media_shards_compact_and_sink(spark, tmp_path):
+    """compact_media_shards folds increments with the token-store
+    protocol (loader before == after row-for-row including _source_run;
+    stale_dirs grace; folded run_id re-use raises) and MediaShardSink
+    is the foreachBatch face — replay-idempotent by construction, idle
+    triggers write nothing."""
+    import os
+
+    import pytest
+
+    from jsonify2ai_spark.multimodal.shards import (
+        MediaShardSink,
+        append_media_shards,
+        media_to_feature_shards,
+        read_media_shards,
+    )
+    from jsonify2ai_spark.pipelines import compact_media_shards
+
+    schema = "media_id long, content binary"
+    base = spark.createDataFrame(
+        [(i, bytes([i % 251]) * 30) for i in range(12)], schema
+    )
+    out = str(tmp_path / "media")
+    media_to_feature_shards(base, out, dim=8, n_groups=3)
+
+    sink = MediaShardSink(out, run_prefix="s")
+    sink(spark.createDataFrame([(100, b"a" * 20), (101, b"b" * 25)], schema), 0)
+    sink(spark.createDataFrame([(102, b"c" * 22)], schema), 1)
+    # replay of trigger 1: overwrite, no duplication
+    sink(spark.createDataFrame([(102, b"c" * 22)], schema), 1)
+    # idle trigger: no increment litter
+    sink(spark.createDataFrame([], schema), 2)
+    assert not os.path.isdir(os.path.join(out, "shards_incr", "s2"))
+
+    before = sorted(
+        (r["media_id"], r["_source_run"], tuple(r["features"]))
+        for r in read_media_shards(spark, out, validate=True).collect()
+    )
+    assert {t[1] for t in before} == {"base", "s0", "s1"}
+
+    m = compact_media_shards(spark, out)
+    assert sorted(m["folded_runs"]) == ["s0", "s1"]
+    after = sorted(
+        (r["media_id"], r["_source_run"], tuple(r["features"]))
+        for r in read_media_shards(spark, out, validate=True).collect()
+    )
+    assert after == before  # provenance survives the fold
+
+    # folded run_ids are burned
+    with pytest.raises(ValueError, match="folded"):
+        append_media_shards(
+            spark.createDataFrame([(200, b"z" * 20)], schema), out, "s0"
+        )
+    # fresh appends continue after compaction; next compact reclaims
+    append_media_shards(
+        spark.createDataFrame([(201, b"y" * 21)], schema), out, "s5"
+    )
+    import json
+
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["stale_dirs"]  # grace ledger from the first fold
+    compact_media_shards(spark, out)
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert read_media_shards(spark, out, validate=True).count() == 16
+
+
+def test_media_shard_sink_live_readstream(spark, tmp_path):
+    """MediaShardSink on a LIVE file-source readStream: parquet media
+    files arrive, triggers featurize and append increments, the loader
+    accounts for every media id exactly once."""
+    import time as _time
+
+    from jsonify2ai_spark.multimodal.shards import (
+        MediaShardSink,
+        media_to_feature_shards,
+        read_media_shards,
+    )
+
+    schema = "media_id long, content binary"
+    media_to_feature_shards(
+        spark.createDataFrame([(0, b"seed" * 10)], schema),
+        str(tmp_path / "store"),
+        dim=8,
+        n_groups=2,
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    for part in range(2):
+        spark.createDataFrame(
+            [(10 + part * 4 + i, bytes([part + 1]) * (15 + i)) for i in range(4)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    sink = MediaShardSink(str(tmp_path / "store"), run_prefix="live")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 90
+        want = {0} | set(range(10, 18))
+        got = set()
+        while _time.time() < deadline and got != want:
+            if q.exception():
+                raise AssertionError(q.exception())
+            q.processAllAvailable()
+            got = {
+                r["media_id"]
+                for r in read_media_shards(spark, str(tmp_path / "store"))
+                .select("media_id")
+                .collect()
+            }
+            _time.sleep(0.25)
+        assert got == want
+    finally:
+        q.stop()
+    df = read_media_shards(spark, str(tmp_path / "store"), validate=True)
+    assert df.count() == 9  # exactly once each

@@ -504,3 +504,38 @@ def test_sharded_bm25_save_load_roundtrip(spark, tmp_path):
     )
     assert "PartitionFilters" in plan and "term_bucket" in plan
     loaded.close()
+
+
+def test_hybrid_batch_over_sharded_index_parity(spark, tmp_path):
+    """The hybrid serving arm is index-implementation-agnostic:
+    hybrid_topk_batch over ShardedBM25Index returns row-for-row the
+    in-memory index's fusion — the sharded lexical arm drops into the
+    100 TB hybrid path unchanged."""
+    from jsonify2ai_spark.api import hybrid_topk_batch
+    from jsonify2ai_spark.functions.vectors import dev_embedding_py
+    from jsonify2ai_spark.operators.textsearch import BM25Index, ShardedBM25Index
+
+    chunks = spark.createDataFrame(
+        [
+            (f"c{i}", f"/p/{i}", f"spark joins data chunk {i} alpha beta",
+             dev_embedding_py(f"spark joins data chunk {i} alpha beta", dim=16))
+            for i in range(30)
+        ],
+        "id string, path string, text string, vector array<double>",
+    )
+    queries = ["spark joins", "alpha beta chunk", "zzz"]
+    mem = BM25Index(chunks, id_col="id")
+    sharded = ShardedBM25Index.build(
+        chunks, str(tmp_path / "sidx"), n_buckets=8, id_col="id"
+    )
+    want = sorted(
+        tuple(r)
+        for r in hybrid_topk_batch(chunks, queries, mem, k=5, dim=16).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in hybrid_topk_batch(chunks, queries, sharded, k=5, dim=16).collect()
+    )
+    assert got == want and got
+    mem.close()
+    sharded.close()
