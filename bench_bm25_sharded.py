@@ -103,6 +103,47 @@ def main() -> int:
             "mem_build_s": round(mem_build_s, 1),
             "sharded_build_s": round(shard_build_s, 1),
         }
+
+        if label == "sf0.1x64":
+            # static impact pruning at the biggest size: the df-linear
+            # residue capped at 2000 postings/term — per-query cost and
+            # the quality bill (recall@10 vs the exact index)
+            tmp2 = tempfile.mkdtemp(prefix="bm25prune_bench_")
+            t0 = time.perf_counter()
+            pruned = ShardedBM25Index.build(
+                corpus, tmp2, n_buckets=n_buckets, id_col="id",
+                max_postings_per_term=2000,
+            )
+            pruned_build_s = time.perf_counter() - t0
+            pruned_ms = timed(pruned)
+            # recall@10 vs exact, per query
+            tmp3 = tempfile.mkdtemp(prefix="bm25full_")
+            sharded_full = ShardedBM25Index.build(
+                corpus, tmp3, n_buckets=n_buckets, id_col="id",
+            )
+            exact_ids = {}
+            for r in sharded_full.topk_batch(questions, k=10).collect():
+                exact_ids.setdefault(r["query_id"], set()).add(r["id"])
+            pruned_ids = {}
+            for r in pruned.topk_batch(questions, k=10).collect():
+                pruned_ids.setdefault(r["query_id"], set()).add(r["id"])
+            recalls = [
+                len(pruned_ids.get(qi, set()) & ids) / max(1, len(ids))
+                for qi, ids in exact_ids.items()
+            ]
+            results["sf0.1x64_pruned2000"] = {
+                "chunks": n,
+                "n_buckets": n_buckets,
+                "sharded_per_q_ms": round(pruned_ms / len(questions), 1),
+                "sharded_build_s": round(pruned_build_s, 1),
+                "recall_at_10": round(sum(recalls) / len(recalls), 3),
+            }
+            pruned.close()
+            sharded_full.close()
+            shutil.rmtree(tmp2, ignore_errors=True)
+            shutil.rmtree(tmp3, ignore_errors=True)
+            print("sf0.1x64_pruned2000", results["sf0.1x64_pruned2000"], flush=True)
+
         print(label, results[label], flush=True)
 
     print(json.dumps({"bm25_sharded": results, "n_queries": len(questions)}))

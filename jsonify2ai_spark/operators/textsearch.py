@@ -403,14 +403,56 @@ class ShardedBM25Index(BM25Index):
         k1: float = K1_DEFAULT,
         b: float = B_DEFAULT,
         attr_cols: tuple[str, ...] = (),
+        max_postings_per_term: int | None = None,
     ) -> "ShardedBM25Index":
         """One batch job: tokenize -> postings(+df_t) -> bucketed parquet
         (one file per bucket via in-partition repartition, so a bucket
-        is one contiguous read), doclens, meta — then :meth:`load`."""
+        is one contiguous read), doclens, meta — then :meth:`load`.
+
+        ``max_postings_per_term``: static impact-based index pruning
+        (Carmel et al. 2001): keep only each term's top-N postings by
+        their exact BM25 contribution (idf computed from the FULL-corpus
+        df_t, which stays baked in — so every SURVIVING posting scores
+        byte-identically to the unpruned index, test-pinned). This
+        bounds the df-linear residue the sharded layout can't remove: a
+        stop-word's posting list caps at N rows instead of
+        corpus-linear, at the cost of dropping each term's lowest-impact
+        contributions — top-k quality degrades gracefully
+        (bench_bm25_sharded measures recall@10). The build pays one
+        extra per-term window over the postings shuffle it already does.
+        ``None`` (default) = exact, no pruning."""
         posts = build_postings(docs, text_col=text_col, id_col=id_col)
         dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+        joined = posts.join(dfreq, "term")
+        if max_postings_per_term is not None:
+            from pyspark.sql import Window
+
+            # exact per-posting BM25 contribution under the corpus
+            # scalars — needs avgdl/n_docs up front (one narrow agg)
+            toks = F.transform(tokens(F.col(text_col)), F.lower)
+            srow = docs.select(F.size(toks).alias("dl")).agg(
+                F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
+            ).first()
+            n_docs, avgdl = int(srow["n"]), float(srow["a"] or 0.0)
+            idf = F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            )
+            denom = F.col("tf") + F.lit(k1) * (
+                F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+            )
+            impact = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+            w = Window.partitionBy("term").orderBy(
+                impact.desc(), F.col(id_col).asc()
+            )
+            joined = (
+                joined.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= max_postings_per_term)
+                .drop("_rn")
+            )
         (
-            posts.join(dfreq, "term")
+            joined
             .withColumn("term_bucket", _term_bucket(F.col("term"), n_buckets))
             .repartition(F.col("term_bucket"))
             .write.mode("overwrite")

@@ -1777,3 +1777,56 @@ def test_corpus_to_token_shards_report(spark, tmp_path):
         str(tmp_path / "run2"), num_merges=2, budget=8, n_groups=1,
     )
     assert "report" not in m2
+
+
+def test_prepare_training_corpus_dsir_stage(spark, tables):
+    """Stage 5d (r12): dsir=(target, keep_frac) selects survivors whose
+    resample key clears the derived cutoff — row set must equal the
+    hand-composed dsir_weights -> calibrate -> key-filter over the same
+    pre-DSIR survivor set; the audit card gains a 'dsir' row whose drop
+    count telescopes; keep_frac is honored as a floor."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.sampling import (
+        _BUCKETS,
+        calibrate_dsir_cutoff,
+        dsir_weights,
+        sample_hash,
+    )
+    from jsonify2ai_spark.pipelines import prepare_training_corpus
+
+    docs = tables["documents"].select("doc_id", "text", "lang").limit(300)
+    target = docs.filter("lang = 'en'").select("doc_id", "text")
+
+    audit = []
+    out = prepare_training_corpus(
+        docs.select("doc_id", "text"),
+        min_quality=0.0,
+        filter_repetitive=False,
+        near_dedup=False,
+        redact=False,
+        pack_budget=None,
+        dsir=(target, 0.5),
+        dsir_buckets=5_000,
+        audit=audit,
+    )
+    got_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    stages = dict((name, frame) for name, frame in audit)
+    assert list(dict(audit)) == ["input", "quality", "exact_dedup", "dsir"]
+    pre = stages["exact_dedup"].select("doc_id", "text")
+    w = dsir_weights(pre, target, buckets=5_000).localCheckpoint(eager=False)
+    cutoff = calibrate_dsir_cutoff(w, 0.5)
+    u = (sample_hash(F.col("doc_id"), "dsir-v1") + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    key = F.round(F.col("log_weight") - F.log(-F.log(u)), 4) + F.lit(0.0)
+    want_ids = {
+        r["doc_id"] for r in w.filter(key >= F.lit(cutoff)).collect()
+    }
+    assert got_ids == want_ids
+    n_pre = pre.count()
+    assert len(got_ids) >= math.ceil(0.5 * n_pre)  # keep_frac floor
+    assert len(got_ids) < n_pre  # it actually selected

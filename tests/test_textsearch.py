@@ -539,3 +539,42 @@ def test_hybrid_batch_over_sharded_index_parity(spark, tmp_path):
     assert got == want and got
     mem.close()
     sharded.close()
+
+
+def test_sharded_bm25_static_pruning(spark, tmp_path):
+    """max_postings_per_term (Carmel-style static pruning): a cap wider
+    than every posting list is EXACT (row-for-row vs unpruned); a tight
+    cap keeps each term's top-impact postings — surviving postings score
+    byte-identically (full-corpus df_t stays baked in), pruned docs can
+    only LOSE score, and the hottest documents survive in rank order."""
+    from jsonify2ai_spark.operators.textsearch import ShardedBM25Index, bm25_topk
+
+    # doc 0..4 mention 'spark' with rising density; 5..29 one mention in
+    # increasingly long (lower-impact) documents
+    rows = [
+        (i, ("spark " * (5 - i)) + f"unique{i} filler") for i in range(5)
+    ] + [
+        (i, "spark " + ("filler " * i) + f"word{i}") for i in range(5, 30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    wide = ShardedBM25Index.build(
+        docs, str(tmp_path / "wide"), n_buckets=4, max_postings_per_term=1000
+    )
+    want = [tuple(r) for r in bm25_topk(docs, "spark", k=10).collect()]
+    assert [tuple(r) for r in wide.topk("spark", k=10).collect()] == want
+    wide.close()
+
+    tight = ShardedBM25Index.build(
+        docs, str(tmp_path / "tight"), n_buckets=4, max_postings_per_term=10
+    )
+    got = [tuple(r) for r in tight.topk("spark", k=10).collect()]
+    exact = {r[0]: r[1] for r in want}
+    # surviving postings score exactly; nothing scores HIGHER than exact
+    for doc_id, score in got:
+        assert score == exact[doc_id], (doc_id, score, exact[doc_id])
+    # the postings store is actually bounded
+    assert (
+        tight._posts.filter(tight._posts.term == "spark").count() == 10
+    )
+    tight.close()
