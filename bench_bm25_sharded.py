@@ -45,6 +45,21 @@ def main() -> int:
 
     def corpus_at(sf_dir: str, replicate: int = 1):
         base = eval_corpus_from_documents(spark, sf_dir)
+        # the synthetic vocabulary has NO df skew (min df on the x1
+        # corpus is already large) — real corpora do; inject one entity
+        # token per base document so the discriminative-query regime
+        # (rare term + common words, df = replicate after replication)
+        # exists to measure
+        base = base.withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                "text",
+                F.concat(
+                    F.lit("entity"), F.regexp_replace("id", "[^0-9]", "")
+                ),
+            ),
+        )
         if replicate > 1:
             parts = [
                 base.select(
@@ -121,22 +136,42 @@ def main() -> int:
             sharded_full = ShardedBM25Index.build(
                 corpus, tmp3, n_buckets=n_buckets, id_col="id",
             )
-            exact_ids = {}
-            for r in sharded_full.topk_batch(questions, k=10).collect():
-                exact_ids.setdefault(r["query_id"], set()).add(r["id"])
-            pruned_ids = {}
-            for r in pruned.topk_batch(questions, k=10).collect():
-                pruned_ids.setdefault(r["query_id"], set()).add(r["id"])
-            recalls = [
-                len(pruned_ids.get(qi, set()) & ids) / max(1, len(ids))
-                for qi, ids in exact_ids.items()
+            def recall_at_10(qlist):
+                exact_ids = {}
+                for r in sharded_full.topk_batch(qlist, k=10).collect():
+                    exact_ids.setdefault(r["query_id"], set()).add(r["id"])
+                pruned_ids = {}
+                for r in pruned.topk_batch(qlist, k=10).collect():
+                    pruned_ids.setdefault(r["query_id"], set()).add(r["id"])
+                rs = [
+                    len(pruned_ids.get(qi, set()) & ids) / max(1, len(ids))
+                    for qi, ids in exact_ids.items()
+                ]
+                return round(sum(rs) / max(1, len(rs)), 3)
+
+            # two query regimes: the eval questions are bags of COMMON
+            # terms (pruning's worst case — ranking is a sum of tail
+            # contributions the cap discards), vs discriminative queries
+            # (one rare term + common words — the entity-lookup shape
+            # impact pruning is designed for)
+            rare_terms = [
+                r["term"]
+                for r in sharded_full._posts.select("term", "df_t")
+                .distinct()
+                .filter(F.col("term").startswith("entity"))
+                .orderBy("term")
+                .limit(24)
+                .collect()
             ]
+            assert rare_terms, "entity injection missing from corpus_at"
+            disc = [f"{t} spark data window" for t in rare_terms]
             results["sf0.1x64_pruned2000"] = {
                 "chunks": n,
                 "n_buckets": n_buckets,
                 "sharded_per_q_ms": round(pruned_ms / len(questions), 1),
                 "sharded_build_s": round(pruned_build_s, 1),
-                "recall_at_10": round(sum(recalls) / len(recalls), 3),
+                "recall_at_10_common": recall_at_10(questions),
+                "recall_at_10_discriminative": recall_at_10(disc),
             }
             pruned.close()
             sharded_full.close()
