@@ -172,6 +172,32 @@ def main() -> int:
         "hit@k": _batch_hits(by_q),
     }
 
+    # sharded lexical serving (r12): same arithmetic, postings
+    # partitioned by term bucket and partition-pruned per query — the
+    # corpus-scale form of the bm25 row above (resident state: doclens)
+    import shutil
+    import tempfile
+
+    from jsonify2ai_spark.operators.textsearch import ShardedBM25Index
+
+    stmp = tempfile.mkdtemp(prefix="eval_bm25shard_")
+    sidx = ShardedBM25Index.build(corpus, stmp, n_buckets=16, id_col="id")
+    sidx.topk_batch(uniq_qs[:2], k=5).collect()
+    t0 = time.perf_counter()
+    rows = sidx.topk_batch(uniq_qs, k=5).collect()
+    total = (time.perf_counter() - t0) * 1000.0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    batched["bm25_sharded"] = {
+        "n": len(uniq_qs),
+        "total_ms": round(total, 1),
+        "per_q_ms": round(total / len(uniq_qs), 1),
+        "hit@k": _batch_hits(by_q),
+    }
+    sidx.close()
+    shutil.rmtree(stmp, ignore_errors=True)
+
     from jsonify2ai_spark.functions.vectors import dev_embedding_py
 
     qvecs = [dev_embedding_py(q, dim=64) for q in uniq_qs]
