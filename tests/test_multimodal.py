@@ -305,3 +305,43 @@ def test_media_shard_sink_live_readstream(spark, tmp_path):
         q.stop()
     df = read_media_shards(spark, str(tmp_path / "store"), validate=True)
     assert df.count() == 9  # exactly once each
+
+
+def test_media_shards_feed_ann_index(spark, tmp_path):
+    """The similarity-search story closes over the media store: features
+    loaded from shards build a quantized IVF index and brute top-k over
+    the loader output matches direct top-k over the in-memory features
+    (the shard round-trip preserves vectors bit-for-bit)."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.multimodal.shards import (
+        media_to_feature_shards,
+        read_media_shards,
+    )
+    from jsonify2ai_spark.operators.search import knn_brute
+
+    schema = "media_id long, content binary"
+    media = spark.createDataFrame(
+        [(i, bytes([i % 251, (i * 7) % 251]) * 20) for i in range(40)], schema
+    )
+    out = str(tmp_path / "m")
+    media_to_feature_shards(media, out, dim=16, n_groups=4)
+    loaded = read_media_shards(spark, out).select(
+        "media_id", F.col("features").alias("embedding")
+    )
+
+    from jsonify2ai_spark.multimodal.columns import extract_media_features
+
+    direct = extract_media_features(media, dim=16).select(
+        "media_id", F.col("features").alias("embedding")
+    )
+    qvec = direct.filter("media_id = 3").collect()[0]["embedding"]
+    want = [
+        (r["media_id"], r["score"])
+        for r in knn_brute(direct, qvec, k=5, id_col="media_id").collect()
+    ]
+    got = [
+        (r["media_id"], r["score"])
+        for r in knn_brute(loaded, qvec, k=5, id_col="media_id").collect()
+    ]
+    assert got == want and got[0][0] == 3  # self is its own nearest
