@@ -546,3 +546,92 @@ class ShardedBM25Index(BM25Index):
 
     def close(self) -> None:
         self._doclens.unpersist()
+
+class RoutedBM25:
+    """Workload router over two :class:`ShardedBM25Index` builds of the
+    SAME corpus — exact and impact-pruned. The pruned index is 10-20x
+    cheaper per query but only rank-safe when the query carries a
+    discriminative term (bench_bm25_sharded: recall@10 = 1.0 on
+    entity-shaped queries, 0.0 on bag-of-common-words — PERF.md round
+    12). The router applies exactly that measured rule per query: route
+    to the pruned index iff the query's MINIMUM term df ≤ ``df_max``
+    (a discriminative term dominates the ranking and its postings all
+    survive the cap); otherwise serve exact.
+
+    The df lookup reads the pruned index's own postings (df_t is baked
+    into every row, and the probe partition-prunes to the query's
+    buckets like any query) — one tiny job, no driver-side vocabulary.
+    A term absent from BOTH indexes contributes nothing to either
+    ranking and is ignored for routing. ``topk_batch`` splits the batch
+    by the same rule and runs ONE job per sub-batch, re-keyed to the
+    caller's query_ids.
+    """
+
+    def __init__(
+        self,
+        exact: "ShardedBM25Index",
+        pruned: "ShardedBM25Index",
+        df_max: int,
+    ) -> None:
+        if exact._id_col != pruned._id_col:
+            raise ValueError("exact and pruned indexes disagree on id_col")
+        self._exact = exact
+        self._pruned = pruned
+        self._df_max = int(df_max)
+
+    def _route(self, query: str) -> bool:
+        """True -> pruned. Min df over the query's terms, read from the
+        pruned postings (bucket-pruned probe)."""
+        terms = sorted({t.lower() for t in query.split() if t})
+        if not terms:
+            return False
+        rows = (
+            self._pruned._lookup(terms)
+            .select("term", "df_t")
+            .distinct()
+            .collect()
+        )
+        dfs = [int(r["df_t"]) for r in rows]
+        return bool(dfs) and min(dfs) <= self._df_max
+
+    def topk(self, query: str, k: int = 10, filter=None) -> DataFrame:
+        idx = self._pruned if self._route(query) else self._exact
+        return idx.topk(query, k=k, filter=filter)
+
+    def topk_batch(self, queries: list, k: int = 10) -> DataFrame:
+        spark = self._exact._posts.sparkSession
+        routed = [self._route(q) for q in queries]
+        out = None
+        for use_pruned in (False, True):
+            sub = [
+                (qi, q)
+                for qi, (q, r) in enumerate(zip(queries, routed))
+                if r == use_pruned
+            ]
+            if not sub:
+                continue
+            idx = self._pruned if use_pruned else self._exact
+            part = idx.topk_batch([q for _, q in sub], k=k)
+            remap = spark.createDataFrame(
+                [(i, qi) for i, (qi, _) in enumerate(sub)],
+                "query_id int, _orig int",
+            )
+            part = (
+                part.join(F.broadcast(remap), "query_id")
+                .drop("query_id")
+                .withColumnRenamed("_orig", "query_id")
+                .select("query_id", *[c for c in part.columns if c != "query_id"])
+            )
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            idt = self._exact._doclens.schema[
+                self._exact._id_col
+            ].dataType.simpleString()
+            return spark.createDataFrame(
+                [], f"query_id int, {self._exact._id_col} {idt}, bm25 double"
+            )
+        return out
+
+    def close(self) -> None:
+        self._exact.close()
+        self._pruned.close()

@@ -578,3 +578,48 @@ def test_sharded_bm25_static_pruning(spark, tmp_path):
         tight._posts.filter(tight._posts.term == "spark").count() == 10
     )
     tight.close()
+
+
+def test_routed_bm25_applies_measured_rule(spark, tmp_path):
+    """RoutedBM25: a query whose min term df <= df_max serves from the
+    pruned index, a bag-of-common-words query from the exact one —
+    per-query results equal the respective index's own, and topk_batch
+    splits/re-keys correctly (including all-one-way and empty batches)."""
+    from jsonify2ai_spark.operators.textsearch import RoutedBM25, ShardedBM25Index
+
+    # 40 docs of common words; docs 0-3 also carry a rare entity token
+    rows = [
+        (i, "spark joins data window " + (f"entity{i} " if i < 4 else "") + f"w{i % 6}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = ShardedBM25Index.build(docs, str(tmp_path / "e"), n_buckets=4)
+    pruned = ShardedBM25Index.build(
+        docs, str(tmp_path / "p"), n_buckets=4, max_postings_per_term=6
+    )
+    routed = RoutedBM25(exact, pruned, df_max=4)
+
+    rare_q, common_q = "entity2 spark data", "spark joins data window"
+    assert routed._route(rare_q) is True
+    assert routed._route(common_q) is False
+    assert routed._route("") is False  # empty -> exact by convention
+
+    want_rare = [tuple(r) for r in pruned.topk(rare_q, k=5).collect()]
+    want_common = [tuple(r) for r in exact.topk(common_q, k=5).collect()]
+    assert [tuple(r) for r in routed.topk(rare_q, k=5).collect()] == want_rare
+    assert [tuple(r) for r in routed.topk(common_q, k=5).collect()] == want_common
+    assert want_rare[0][0] == 2  # the entity doc wins its own query
+
+    batch = routed.topk_batch([common_q, rare_q, "entity3 window"], k=5)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["bm25"]))
+    assert sorted(by_q) == [0, 1, 2]
+    assert sorted(by_q[0]) == sorted(tuple(t) for t in want_common)
+    assert sorted(by_q[1]) == sorted(tuple(t) for t in want_rare)
+    assert max(ids for ids, _ in by_q[2])  # entity3 query resolved
+    # one-way batches and the empty batch keep the schema
+    assert routed.topk_batch([common_q], k=3).count() > 0
+    assert routed.topk_batch([], k=3).count() == 0
+    assert routed.topk_batch([], k=3).columns == ["query_id", "doc_id", "bm25"]
+    routed.close()
