@@ -2286,6 +2286,33 @@ def q121_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_report(packed, budget=512, size_col="n_chars")
 
 
+def q124_dsir_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prep-chain DSIR stage composition (pipelines.py
+    prepare_training_corpus(dsir=), r12 stage 5d): quality gate -> exact
+    dedup -> DSIR selection at keep_frac=0.5 against the English-slice
+    target, cutoff DERIVED via calibrate_dsir_cutoff (the k-th resample
+    key over the chain's own survivors). Pins the composition the way
+    q100 pins the base chain: the stage order, the fit-on-survivors
+    model, and the derived-cutoff wiring. Output: surviving (doc_id,
+    quality) — the row SET is the selection assertion, quality the
+    value check."""
+    from jsonify2ai_spark.pipelines import prepare_training_corpus
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    out = prepare_training_corpus(
+        docs.select("doc_id", "text"),
+        min_quality=0.2,
+        filter_repetitive=False,
+        near_dedup=False,
+        redact=False,
+        pack_budget=None,
+        dsir=(docs.filter(F.col("lang") == "en").select("doc_id", "text"), 0.5),
+        dsir_buckets=10_000,
+    )
+    return out.select("doc_id", "quality")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -2311,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (policy (a): first driver row gates) ---
         "q122_prep_report": q122_prep_report,  # NEW r12: prep run-report card
         "q123_bm25_sharded": q123_bm25_sharded,  # NEW r12: term-bucket-sharded BM25 serving
+        "q124_dsir_prep": q124_dsir_prep,  # NEW r12: prep-chain DSIR stage composition
         # --- 20 r8-greens (2 rounds driver-stale: round-12's mandatory block) ---
         "q75_dedup_keep_best": q75_dedup_keep_best,
         "q76_containment_pairs": q76_containment_pairs,
@@ -2360,10 +2388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_incremental_pipeline": q101_incremental_pipeline,
         "q102_conversation_lint": q102_conversation_lint,
         "q103_squeeze_lines": q103_squeeze_lines,
-        "q104_build_vocab": q104_build_vocab,
         # ================= tail (entry 51+) =================
         # r10-greens displaced by the new r12 queries, then round-13's
         # mandatory 20-query r10-green block (oldest-first)
+        "q104_build_vocab": q104_build_vocab,
         "q82_mixture_weights": q82_mixture_weights,
         "q80_length_outliers": q80_length_outliers,
         "q03_topk_orders": q03_topk_orders,
@@ -3036,6 +3064,95 @@ SELECT stage_idx, stage, rows_out, chars_out, tokens_out,
        CAST(coalesce(lag(rows_out) OVER (ORDER BY stage_idx) - rows_out, 0)
             AS BIGINT) AS rows_dropped
 FROM stages
+"""
+
+
+def _dd_dsir_prep_sql(
+    min_quality: float = 0.2, keep_frac: float = 0.5, buckets: int = 10_000
+) -> str:
+    """q124 twin: the q122 quality/exact-dedup CTEs feeding the q120
+    DSIR arithmetic — target model fit on the raw English slice, raw
+    model on the chain's survivors, Gumbel keys per survivor, cutoff =
+    min key of the top-ceil(keep_frac*n) rows ordered (key desc, id)
+    (calibrate_dsir_cutoff's exact recipe), selection = key >= cutoff
+    (boundary ties keep all)."""
+    qual, _, _, _ = _dd_prep_fragments()
+
+    def grams(src: str) -> str:
+        # unigrams + bigrams of src.text (the q120 gram expansion)
+        return f"""
+              SELECT doc_id,
+                     unnest(list_concat(l,
+                        CASE WHEN len(l) >= 2
+                             THEN list_transform(range(1, len(l)),
+                                                 i -> l[i] || ' ' || l[i+1])
+                             ELSE CAST([] AS VARCHAR[]) END)) AS gram
+              FROM (SELECT doc_id,
+                           (CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                                 ELSE string_split_regex(trim(text), '\\s+') END) AS l
+                    FROM {src})"""
+
+    return f"""
+WITH q AS (
+  SELECT doc_id, text, {qual} AS quality FROM documents WHERE {qual} >= {min_quality}
+), fp AS (
+  SELECT doc_id, text, quality,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+  FROM q
+), keepers AS (
+  SELECT f, min(doc_id) AS kid FROM fp GROUP BY f
+), dd AS (
+  SELECT fp.doc_id, fp.text, fp.quality
+  FROM fp JOIN keepers ON keepers.f = fp.f AND keepers.kid = fp.doc_id
+), tgt AS (
+  SELECT doc_id, text FROM documents WHERE lang = 'en'
+), tg AS ({grams("tgt")}
+), sg AS ({grams("dd")}
+), tf_b AS (
+  SELECT CAST('0x' || substr(md5(gram), 1, 12) AS BIGINT) % {buckets} AS b,
+         count(*) AS tc
+  FROM tg GROUP BY 1
+), sf_b AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(gram), 1, 12) AS BIGINT) % {buckets} AS b
+  FROM sg
+), rc_b AS (
+  SELECT b, count(*) AS rc FROM sf_b GROUP BY b
+), model AS (
+  SELECT coalesce(tf_b.b, rc_b.b) AS b,
+         coalesce(tc, 0) AS tc, coalesce(rc, 0) AS rc
+  FROM tf_b FULL JOIN rc_b ON tf_b.b = rc_b.b
+), s AS (
+  SELECT CAST(sum(tc) AS DOUBLE) AS Nt, CAST(sum(rc) AS DOUBLE) AS Nr
+  FROM model
+), dc AS (
+  SELECT doc_id, b, count(*) AS c FROM sf_b GROUP BY 1, 2
+), scored AS (
+  SELECT dc.doc_id, dc.c,
+         ln((m.tc + 1.0) / (s.Nt + 1.0 * {buckets}))
+         - ln((m.rc + 1.0) / (s.Nr + 1.0 * {buckets})) AS lr
+  FROM dc JOIN model m ON m.b = dc.b CROSS JOIN s
+), w AS (
+  SELECT doc_id, round(sum(c * lr), 4) + 0.0 AS log_weight
+  FROM scored GROUP BY doc_id
+), keyed AS (
+  SELECT doc_id,
+         round(log_weight - ln(-ln(
+            (CAST('0x' || substr(md5('dsir-v1' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+             % 1000000 + 0.5) / 1000000.0)), 4) + 0.0 AS resample_key
+  FROM w WHERE log_weight IS NOT NULL
+), ranked AS (
+  SELECT doc_id, resample_key,
+         row_number() OVER (ORDER BY resample_key DESC, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM keyed
+), cut AS (
+  SELECT min(resample_key) AS c
+  FROM ranked WHERE rn <= CAST(ceil({keep_frac} * n) AS BIGINT)
+)
+SELECT k.doc_id, dd.quality
+FROM keyed k JOIN dd USING (doc_id) CROSS JOIN cut
+WHERE k.resample_key >= cut.c
 """
 
 
@@ -4878,6 +4995,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q100_training_pipeline": _dd_pipeline_sql(),
         "q122_prep_report": _dd_prep_report_sql(),
+        "q124_dsir_prep": _dd_dsir_prep_sql(),
         "q101_incremental_pipeline": _dd_incremental_sql(),
         # filtered-pool BM25: the per-query bm25_topk twin replayed over
         # the PRE-filtered corpus — the semantics BM25Index.topk(filter=)
