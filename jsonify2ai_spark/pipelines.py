@@ -419,15 +419,22 @@ def prepare_incremental_batch(
     prepped = prepare_training_corpus(
         batch, id_col=id_col, text_col=text_col, **prep_kwargs
     ).localCheckpoint(eager=False)
+    audit = prep_kwargs.get("audit")
     if gate is not None:
-        return gate.filter_batch(prepped)
+        kept = gate.filter_batch(prepped)
+        if audit is not None:
+            audit.append(("corpus_dedup", kept))
+        return kept
     verdict = dedup_against(
         prepped, corpus, threshold,
         text_col=text_col, id_col=id_col, method=method,
     )
-    return prepped.join(
+    kept = prepped.join(
         verdict.filter(F.col("kept")).select(id_col), id_col, "left_semi"
     )
+    if audit is not None:
+        audit.append(("corpus_dedup", kept))
+    return kept
 
 
 def corpus_to_token_shards(

@@ -889,8 +889,16 @@ class StreamingPrepChain:
     whitespace-insensitive).
     """
 
-    def __init__(self, gates: list) -> None:
+    def __init__(self, gates: list, audit: bool = False) -> None:
         self._gates = list(gates)
+        # opt-in per-trigger stage card (the streaming face of
+        # pipelines.prep_report): ``stage_history`` gains one entry per
+        # trigger with rows in/out per gate. Counting is an ACTION per
+        # gate boundary (each boundary is lazily checkpointed first so
+        # the chain still evaluates once) — leave it off in the hot path
+        # and turn it on when a 100 TB stream needs its drops explained.
+        self._audit = bool(audit)
+        self.stage_history: list[dict] = []
 
     def filter_batch(
         self, batch: DataFrame, batch_id: int | None = None
@@ -898,6 +906,8 @@ class StreamingPrepChain:
         import inspect
 
         out = batch
+        stages = []
+        rows_in = batch.count() if self._audit else None
         for gate in self._gates:
             # explicit kind dispatch (r7 advisor): the old column-set
             # heuristic misclassified a batch already carrying a
@@ -917,12 +927,35 @@ class StreamingPrepChain:
                 res = gate.filter_batch(out)
             if kind == "filter":  # surviving rows, input schema
                 out = res
-                continue
-            idc = gate._id_col
-            rewritten = res.select(
-                F.col(idc), F.col(gate.rewritten_col).alias(gate._text_col)
+            else:
+                idc = gate._id_col
+                rewritten = res.select(
+                    F.col(idc), F.col(gate.rewritten_col).alias(gate._text_col)
+                )
+                out = out.drop(gate._text_col).join(rewritten, idc)
+            if self._audit:
+                out = out.localCheckpoint(eager=False)
+                rows_out = out.count()
+                stages.append(
+                    {
+                        "gate": type(gate).__name__,
+                        "kind": kind,
+                        "rows_in": rows_in,
+                        "rows_out": rows_out,
+                    }
+                )
+                rows_in = rows_out
+        if self._audit:
+            entry = {"batch_id": batch_id, "stages": stages}
+            replayed = (
+                batch_id is not None
+                and self.stage_history
+                and self.stage_history[-1]["batch_id"] == batch_id
             )
-            out = out.drop(gate._text_col).join(rewritten, idc)
+            if replayed:  # at-least-once hygiene (the monitor contract)
+                self.stage_history[-1] = entry
+            else:
+                self.stage_history.append(entry)
         return out
 
     def foreach_batch(self, append):

@@ -1830,3 +1830,34 @@ def test_prepare_training_corpus_dsir_stage(spark, tables):
     n_pre = pre.count()
     assert len(got_ids) >= math.ceil(0.5 * n_pre)  # keep_frac floor
     assert len(got_ids) < n_pre  # it actually selected
+
+
+def test_incremental_batch_audit_includes_corpus_dedup(spark, tables):
+    """prepare_incremental_batch threads audit= through to the prep
+    chain AND appends the corpus-dedup stage — the incremental run's
+    full survival card, _stage_counters-composable."""
+    from jsonify2ai_spark.pipelines import (
+        _stage_counters,
+        prepare_incremental_batch,
+    )
+
+    docs = tables["documents"].select("doc_id", "text").limit(100)
+    batch = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 != 0")
+    audit = []
+    out = prepare_incremental_batch(
+        batch,
+        corpus,
+        threshold=0.8,
+        method="exact",
+        min_quality=0.0,
+        filter_repetitive=False,
+        near_dedup=False,
+        redact=False,
+        audit=audit,
+    )
+    names = [n for n, _ in audit]
+    assert names == ["input", "quality", "exact_dedup", "corpus_dedup"]
+    card = {r["stage"]: r for r in _stage_counters(audit, "text").collect()}
+    assert card["corpus_dedup"]["rows_out"] == out.count()
+    assert card["input"]["rows_out"] == batch.count()

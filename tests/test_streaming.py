@@ -2132,3 +2132,54 @@ def test_dsir_gate_foreach_batch_threads_batch_id(spark, tables):
     assert len(gate.drift_history) == 3 and not gate.drift_breached
     assert [b for b, _ in sunk] == [0, 1, 1, 2]
     gate.close()
+
+
+def test_streaming_prep_chain_audit(spark, tables):
+    """StreamingPrepChain(audit=True): one stage_history entry per
+    trigger with per-gate rows in/out (filter AND rewrite shapes); a
+    replayed batch_id overwrites its entry; audit=False (default) keeps
+    the history empty and the output identical."""
+    from jsonify2ai_spark.streaming.windowed import (
+        CorpusNearDupGate,
+        SpanDedupGate,
+        StreamingPrepChain,
+    )
+
+    docs = tables["documents"].select("doc_id", "text").limit(40)
+    run = " ".join(f"tok{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(900, f"{run} one"), (901, f"{run} two")], "doc_id long, text string"
+    )
+    gates = lambda: [  # noqa: E731
+        CorpusNearDupGate(corpus, threshold=0.8),
+        SpanDedupGate(corpus, n=10, min_df=2),
+    ]
+    batch = docs.union(
+        spark.createDataFrame(
+            [(800, f"prefix {run} suffix")], "doc_id long, text string"
+        )
+    )
+
+    plain = StreamingPrepChain(gates())
+    audited = StreamingPrepChain(gates(), audit=True)
+    want = sorted(tuple(r) for r in plain.filter_batch(batch, batch_id=0).collect())
+    got = sorted(tuple(r) for r in audited.filter_batch(batch, batch_id=0).collect())
+    assert got == want  # auditing never changes the data
+    assert plain.stage_history == []
+    assert len(audited.stage_history) == 1
+    stages = audited.stage_history[0]["stages"]
+    assert [s["gate"] for s in stages] == ["CorpusNearDupGate", "SpanDedupGate"]
+    assert stages[0]["rows_in"] == 41
+    assert stages[0]["rows_out"] <= 41  # near-dup may drop
+    assert stages[1]["rows_in"] == stages[0]["rows_out"]  # telescopes
+    assert stages[1]["kind"] == "rewrite"
+    assert stages[1]["rows_out"] == stages[1]["rows_in"]  # rewrite keeps rows
+
+    snap = dict(audited.stage_history[-1])
+    audited.filter_batch(batch, batch_id=0)  # replay
+    assert len(audited.stage_history) == 1
+    assert audited.stage_history[-1] == snap
+    audited.filter_batch(batch, batch_id=1)
+    assert len(audited.stage_history) == 2
+    plain.close()
+    audited.close()
