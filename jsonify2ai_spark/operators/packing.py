@@ -29,10 +29,25 @@ def pack_sequences(
     size_col: str = "n_chars",
     id_col: str = "doc_id",
     n_groups: int = 32,
+    strategy: str = "nextfit",
 ) -> DataFrame:
-    """Assign each row to (pack_group, bin_idx) by next-fit over ``id_col``
-    order within ``id % n_groups`` groups. One shuffle (the groupBy); the
-    fold runs Arrow-batched per group.
+    """Assign each row to (pack_group, bin_idx) by ``strategy`` within
+    ``id % n_groups`` groups. One shuffle (the groupBy); the fold runs
+    Arrow-batched per group.
+
+    - ``"nextfit"`` (default): one pass in ``id_col`` order — the
+      streaming-compatible rule (PackGate runs the same fold over
+      triggers), oracle-twinned by the q57/q119 recursive CTEs.
+    - ``"bfd"`` (best-fit-decreasing): sort the group by (size desc,
+      id), place each doc in the open bin with the LEAST remaining
+      space that still fits, else open a new bin — the classic offline
+      bin-packing heuristic. Tighter fill (pack_report waste_frac never
+      worse than next-fit on the same group split, test-pinned) at the
+      cost of being offline-only: the whole group must be known, so
+      there is no streaming face, and assignment is independent of
+      arrival order BY CONSTRUCTION (the sort). Not SQL-expressible
+      (bin state is a mutable multiset) — pytest-pinned, no oracle row,
+      like the model-based quality filter.
 
     Non-numeric id columns group by ``pmod(xxhash64(id), n_groups)`` — a
     plain ``%`` on a string id is NULL for every row, which would silently
@@ -52,6 +67,9 @@ def pack_sequences(
         grouped.schema.fields + [StructField("bin_idx", LongType())]
     )
 
+    if strategy not in ("nextfit", "bfd"):
+        raise ValueError(f"strategy must be 'nextfit' or 'bfd': {strategy!r}")
+
     def fold(pdf):
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         bins: list[int] = []
@@ -66,7 +84,45 @@ def pack_sequences(
         pdf["bin_idx"] = bins
         return pdf
 
-    return grouped.groupBy("pack_group").applyInPandas(fold, schema=out_schema)
+    def fold_bfd(pdf):
+        import bisect
+
+        pdf = pdf.sort_values(
+            [size_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        # open bins as a sorted list of (remaining, bin_idx): the
+        # best fit is the FIRST entry with remaining >= sz (smallest
+        # viable residual; ties break to the lowest bin index via the
+        # tuple order) — O(log bins) locate + O(bins) list surgery,
+        # bounded by the group's bin count, never the corpus
+        open_bins: list[tuple[int, int]] = []
+        next_bin = 0
+        assigned = []
+        for sz in pdf[size_col]:
+            sz = int(sz or 0)
+            i = bisect.bisect_left(open_bins, (sz, -1))
+            if i < len(open_bins):
+                rem, b = open_bins.pop(i)
+                open_bins.insert(
+                    bisect.bisect_left(open_bins, (rem - sz, b)),
+                    (rem - sz, b),
+                )
+                assigned.append(b)
+            else:
+                # nothing fits (or no bins yet): open a new one; an
+                # oversized doc (sz > budget) sits alone with 0 left
+                assigned.append(next_bin)
+                rem = max(0, budget - sz)
+                open_bins.insert(
+                    bisect.bisect_left(open_bins, (rem, next_bin)),
+                    (rem, next_bin),
+                )
+                next_bin += 1
+        pdf["bin_idx"] = assigned
+        return pdf
+
+    body = fold if strategy == "nextfit" else fold_bfd
+    return grouped.groupBy("pack_group").applyInPandas(body, schema=out_schema)
 
 
 def clip_to_token_budget(

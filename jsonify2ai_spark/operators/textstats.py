@@ -1330,3 +1330,61 @@ def fix_mojibake(
         n_fixed.cast("bigint").alias("n_fixed"),
         fixed.alias("text_fixed"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the cheap redundancy signal
+    production LLM-data stacks gate on alongside the n-gram repetition
+    stats (highly compressible text = templated/repetitive boilerplate;
+    near-incompressible text = binary junk or already-compressed noise
+    that leaked through extraction). Complements repetition_stats:
+    n-gram ratios see exact token repeats, the compressor sees EVERY
+    regularity (character-level templates, markup skeletons,
+    interleaved near-repeats) at memcpy-like cost.
+
+    Output: (id, n_bytes, n_compressed, ratio) with ``ratio =
+    n_compressed / n_bytes`` rounded to 4dp — low = redundant, ~1 =
+    incompressible. Contentless docs (NULL/empty) drop, matching the
+    stats family. Arrow-batched pandas UDF (zlib is stdlib C — the
+    per-batch loop is bytes-bound, not Python-bound); map-only, zero
+    shuffles at any corpus size. No DuckDB oracle: compressed SIZE is a
+    zlib implementation detail, not engine-portable arithmetic —
+    pytest-pinned via ordering/bounds invariants instead (the
+    model-based-quality convention).
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    def _csize_batch(texts):
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), lvl))
+            if t
+            else 0
+        )
+
+    _csize = pandas_udf(_csize_batch, "bigint")
+
+    nonempty = df.filter(
+        F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0
+    )
+    sized = nonempty.select(
+        F.col(id_col),
+        F.octet_length(text_col).cast("bigint").alias("n_bytes"),
+        _csize(F.col(text_col)).alias("n_compressed"),
+    )
+    return sized.select(
+        id_col,
+        "n_bytes",
+        "n_compressed",
+        (F.round(F.col("n_compressed") / F.col("n_bytes"), 4) + F.lit(0.0)).alias(
+            "ratio"
+        ),
+    )

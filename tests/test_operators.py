@@ -3175,3 +3175,85 @@ def test_calibrate_dsir_cutoff_contract(spark, tables):
         calibrate_dsir_cutoff(
             w.withColumn("log_weight", F.lit(None).cast("double")), 0.5
         )
+
+
+def test_pack_sequences_bfd_strategy(spark, tables):
+    """BFD packing: conservation (every doc exactly one bin), no bin
+    overfull except a lone oversized doc, order-independence by
+    construction, and fill NEVER worse than next-fit on the same group
+    split (the reason to pay the offline sort)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.packing import pack_report, pack_sequences
+
+    docs = tables["documents"].select("doc_id", "n_chars").limit(400)
+    kw = dict(budget=512, size_col="n_chars", id_col="doc_id", n_groups=8)
+    nf = pack_sequences(docs, **kw)
+    bfd = pack_sequences(docs, strategy="bfd", **kw)
+
+    # conservation + per-bin budget (oversized docs sit alone)
+    assert bfd.count() == docs.count()
+    fills = bfd.groupBy("pack_group", "bin_idx").agg(
+        F.sum("n_chars").alias("fill"), F.count(F.lit(1)).alias("n")
+    )
+    bad = fills.filter((F.col("fill") > 512) & (F.col("n") > 1)).count()
+    assert bad == 0
+
+    r_nf = pack_report(nf, budget=512, size_col="n_chars").collect()[0]
+    r_bfd = pack_report(bfd, budget=512, size_col="n_chars").collect()[0]
+    assert r_bfd["n_docs"] == r_nf["n_docs"]
+    assert r_bfd["total_units"] == r_nf["total_units"]
+    assert r_bfd["n_bins"] <= r_nf["n_bins"]
+    assert r_bfd["waste_frac"] <= r_nf["waste_frac"]
+
+    # arrival-order independence: a shuffled input packs identically
+    shuffled = docs.orderBy(F.md5(F.col("doc_id").cast("string")))
+    again = {
+        (r["doc_id"]): (r["pack_group"], r["bin_idx"])
+        for r in pack_sequences(shuffled, strategy="bfd", **kw).collect()
+    }
+    first = {
+        (r["doc_id"]): (r["pack_group"], r["bin_idx"])
+        for r in bfd.collect()
+    }
+    assert again == first
+
+    with pytest.raises(ValueError, match="strategy"):
+        pack_sequences(docs, strategy="firstfit", **kw)
+
+
+def test_compression_ratio_signal(spark):
+    """zlib redundancy signal: templated text compresses far below
+    random-ish text, ratio is in (0, ~1.1], empty/NULL docs drop, and
+    the ranking (templated < natural < random) is stable — the bounds
+    the flag thresholds rely on, since compressed size itself is not
+    engine-portable."""
+    import random
+
+    from jsonify2ai_spark.operators.textstats import compression_ratio
+
+    rng = random.Random(7)
+    rand_text = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(200)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now limited offer " * 100),          # templated
+            (2, ("the quarterly report discusses revenue growth across "
+                 "regions with notable seasonal variation in demand ") * 4),
+            (3, rand_text),                               # incompressible-ish
+            (4, ""),                                      # drops
+            (5, None),                                    # drops
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    for r in rows.values():
+        assert r["n_bytes"] > 0 and 0.0 < r["ratio"] <= 1.1
+        assert r["n_compressed"] > 0
+    assert rows[1]["ratio"] < 0.1            # template collapses
+    assert rows[1]["ratio"] < rows[2]["ratio"] < rows[3]["ratio"]
+    assert rows[3]["ratio"] > 0.5            # random stays large
