@@ -30,6 +30,7 @@ def prepare_training_corpus(
     length_trim: tuple[float, float] | None = None,
     near_dedup: bool = True,
     keep_best: bool = False,
+    compression_trim: "tuple[float, float] | None" = None,
     redact: bool = True,
     pack_budget: int | None = 2000,
     pack_groups: int = 32,
@@ -54,6 +55,12 @@ def prepare_training_corpus(
                         length percent-rank falls outside [lo, hi]
                         (value-level CDF, q80 — no corpus-wide sort)
     3. repetition gate — drop Gopher-repetitive documents
+    3b. compression trim — ``compression_trim=(lo, hi)`` drops documents
+                        whose zlib ratio falls outside [lo, hi]: below
+                        lo = templated/boilerplate redundancy the n-gram
+                        gate can miss (character-level repeats), above
+                        hi = binary junk/already-compressed noise that
+                        leaked through extraction
     4. exact dedup    — one survivor per normalized-content hash
     5. near dedup     — MinHash-LSH candidates -> connected components ->
                         one survivor per cluster; ``keep_best=True``
@@ -78,7 +85,7 @@ def prepare_training_corpus(
     5d. DSIR selection — ``dsir=(target_docs, keep_frac)`` keeps the
                         survivors whose deterministic Gumbel resample
                         key clears :func:`~jsonify2ai_spark.operators.
-                        sampling.calibrate_dsir_cutoff`\ (weights,
+                        sampling.calibrate_dsir_cutoff` (weights,
                         keep_frac) — importance selection toward the
                         target distribution (Xie et al. 2023), fitted
                         on THIS chain's survivors so dedup has already
@@ -168,6 +175,18 @@ def prepare_training_corpus(
             .localCheckpoint(eager=False)
         )
         _note("repetition", out)
+
+    if compression_trim is not None:
+        from jsonify2ai_spark.operators.textstats import compression_ratio
+
+        lo_c, hi_c = compression_trim
+        keep_c = (
+            compression_ratio(out, text_col=text_col, id_col=id_col)
+            .filter(F.col("ratio").between(lo_c, hi_c))
+            .select(id_col)
+        )
+        out = out.join(keep_c, id_col, "left_semi").localCheckpoint(eager=False)
+        _note("compression_trim", out)
 
     keep_exact = exact_dedup(out, text_col=text_col, id_col=id_col).select(id_col)
     out = out.join(keep_exact, id_col, "left_semi").localCheckpoint(eager=False)

@@ -1861,3 +1861,40 @@ def test_incremental_batch_audit_includes_corpus_dedup(spark, tables):
     card = {r["stage"]: r for r in _stage_counters(audit, "text").collect()}
     assert card["corpus_dedup"]["rows_out"] == out.count()
     assert card["input"]["rows_out"] == batch.count()
+
+
+def test_prep_compression_trim_stage(spark):
+    """Stage 3b: compression_trim drops character-level-templated docs
+    the token-exact gates miss and binary-ish noise; survivors and the
+    audit row telescope."""
+    import random
+
+    from jsonify2ai_spark.pipelines import prep_report
+
+    rng = random.Random(3)
+    noise = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(150)
+    )
+    base = (
+        "document {i} discusses topic{i} angle{j} detail{k} and closes "
+        "on point{i} after weighing side{j} against side{k} "
+    )
+    docs = spark.createDataFrame(
+        # natural docs long enough that zlib's header overhead doesn't
+        # dominate (~0.23 ratio at ~600 chars; short docs sit ~0.85)
+        [(i, " ".join(base.format(i=i, j=(i + n) % 5, k=(i + n) % 7)
+                      for n in range(6)))
+         for i in range(10)]
+        + [(100, "buy now limited offer " * 120),  # templated -> ~0.02
+           (101, noise)],                          # junk -> ~0.68
+        "doc_id long, text string",
+    )
+    rep = prep_report(
+        docs, min_quality=0.0, filter_repetitive=False,
+        compression_trim=(0.1, 0.5), near_dedup=False, redact=False,
+        pack_budget=None,
+    )
+    rows = {r["stage"]: r for r in rep.collect()}
+    assert rows["compression_trim"]["rows_dropped"] == 2
+    assert rows["compression_trim"]["rows_out"] == 10
