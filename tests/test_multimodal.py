@@ -345,3 +345,38 @@ def test_media_shards_feed_ann_index(spark, tmp_path):
         for r in knn_brute(loaded, qvec, k=5, id_col="media_id").collect()
     ]
     assert got == want and got[0][0] == 3  # self is its own nearest
+
+
+def test_shard_store_report_on_media_store(spark, tmp_path):
+    """The ops audit is layout-agnostic: a media store (manifest +
+    _increment.json discipline shared with token shards) reports the
+    same statuses — ok increments, post-compaction stale ledger, totals
+    matching the loader."""
+    from jsonify2ai_spark.multimodal.shards import (
+        append_media_shards,
+        media_to_feature_shards,
+        read_media_shards,
+    )
+    from jsonify2ai_spark.pipelines import compact_media_shards, shard_store_report
+
+    schema = "media_id long, content binary"
+    out = str(tmp_path / "m")
+    media_to_feature_shards(
+        spark.createDataFrame([(i, bytes([i]) * 20) for i in range(6)], schema),
+        out, dim=8, n_groups=2,
+    )
+    append_media_shards(
+        spark.createDataFrame([(10, b"x" * 25)], schema), out, "a1"
+    )
+    rep = shard_store_report(out)
+    assert {p["run_id"]: p["status"] for p in rep["increments"]} == {"a1": "ok"}
+    assert rep["total_rows"] == read_media_shards(spark, out).count()
+
+    compact_media_shards(spark, out)
+    rep2 = shard_store_report(out)
+    assert rep2["base"]["rows"] == 7
+    assert rep2["stale_dirs"]["count"] > 0  # deferred reclaim ledger visible
+    # leftover folded directory (deletion deferred) reads as garbage
+    statuses = {p["status"] for p in rep2["increments"]}
+    assert statuses <= {"garbage"}
+    assert rep2["n_live_increments"] == 0
