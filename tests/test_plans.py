@@ -478,3 +478,31 @@ def test_q121_pack_report_bounded_aggregates_no_sort(spark):
     assert "FlatMapGroupsInPandas" in plan  # the pack fold itself
     assert "rangepartitioning" not in plan.lower()
     assert node_count(df, "ObjectHashAggregate") == 2  # percentile pair
+
+
+def test_q122_prep_report_single_corpus_scan(spark):
+    """The run card counts the chain's own checkpointed boundaries: the
+    raw table is scanned ONCE (the input stage); every later stage
+    aggregate reads a checkpoint, never re-derives the chain (the
+    subtree-recompute pitfall the boundary checkpoints exist to stop).
+    The rows_dropped lag runs on the stage-count-sized frame (one
+    Window), and no stage join survives into the card's plan."""
+    df = entry_mod.queries()["q122_prep_report"](spark, SF_DIR)
+    plan = plan_string(df)
+    assert node_count(df, "Scan parquet") == 1, plan[:1200]
+    assert node_count(df, "Window") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_q123_sharded_bm25_partition_pruned_scan(spark):
+    """The served query's postings scan must carry the terms' buckets as
+    PartitionFilters — the literal IN list computed driver-side — so IO
+    is the touched bucket directories, never the postings table."""
+    df = entry_mod.queries()["q123_bm25_sharded"](spark, SF_DIR)
+    plan = plan_string(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "term_bucket" in m.group(1), plan[:1500]
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+    assert "rangepartitioning" not in plan.lower()
