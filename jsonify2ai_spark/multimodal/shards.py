@@ -242,3 +242,68 @@ class MediaShardSink:
         return append_media_shards(
             batch, self._out_dir, f"{self._prefix}{batch_id}"
         )
+
+
+def read_media_shards_mixture(
+    spark,
+    stores: "dict[str, str]",
+    weights: "dict[str, float]",
+    budget_rows: int,
+    salt: str = "mediamix-v1",
+    include_increments: bool = True,
+    validate: bool = False,
+) -> DataFrame:
+    """Weighted multi-store media blend — :func:`~jsonify2ai_spark.
+    pipelines.read_token_shards_mixture`'s contract over media feature
+    stores (the photos store, the diagrams store, the video-frames
+    store), budgeted in ROWS (each row is one atomic training sample;
+    there is no intra-row mass to weigh). Per store: keep fraction
+    f_s = min(1, target_s / available_s) applied by the engine-portable
+    md5 rule on (store alias, media id) — reproducible across
+    engines/retries/cluster shapes, one map-side filter per store; the
+    only extra jobs are the per-store row counts. Under-supplied stores
+    contribute everything and the mix under-delivers rather than
+    silently re-weighting. Stores must agree on columns (same dim +
+    payload shape) or the blend raises — a trainer cannot consume
+    mixed layouts.
+    """
+    from jsonify2ai_spark.operators.sampling import _BUCKETS, sample_hash
+
+    total_w = sum(weights.get(a, 0.0) for a in stores)
+    if total_w <= 0:
+        raise ValueError("read_media_shards_mixture: no positive weights")
+
+    from jsonify2ai_spark.pipelines import _balanced_union
+
+    frames = []
+    for alias, out_dir in stores.items():
+        w = weights.get(alias, 0.0)
+        if w <= 0:
+            continue
+        import json
+        import os
+
+        with open(os.path.join(out_dir, "manifest.json"), encoding="utf-8") as fh:
+            id_col = json.load(fh)["config"]["id_col"]
+        df = read_media_shards(
+            spark, out_dir,
+            include_increments=include_increments, validate=validate,
+        )
+        available = df.count()
+        target = budget_rows * w / total_w
+        frac = 1.0 if available <= target else target / available
+        key = F.concat_ws("|", F.lit(alias), F.col(id_col).cast("string"))
+        frames.append(
+            df.filter(sample_hash(key, salt) < int(frac * _BUCKETS))
+            .withColumn("_store", F.lit(alias))
+        )
+    if not frames:
+        raise ValueError("read_media_shards_mixture: every store has weight 0")
+    cols = {tuple(sorted(f.columns)) for f in frames}
+    if len(cols) > 1:
+        raise ValueError(
+            "read_media_shards_mixture: stores have mismatched columns "
+            f"{sorted(cols)} — different dim/payload configs cannot blend; "
+            "re-run the odd store with matching config"
+        )
+    return _balanced_union(frames)

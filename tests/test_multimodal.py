@@ -380,3 +380,62 @@ def test_shard_store_report_on_media_store(spark, tmp_path):
     statuses = {p["status"] for p in rep2["increments"]}
     assert statuses <= {"garbage"}
     assert rep2["n_live_increments"] == 0
+
+
+def test_read_media_shards_mixture(spark, tmp_path):
+    """Media blend: per-store row mass tracks budget*w_s, deterministic
+    keep rule, under-supply under-delivers, mismatched layouts raise."""
+    import pytest
+
+    from jsonify2ai_spark.multimodal.shards import (
+        media_to_feature_shards,
+        read_media_shards_mixture,
+    )
+
+    schema = "media_id long, content binary"
+
+    def store(name, n, dim=8):
+        out = str(tmp_path / name)
+        media_to_feature_shards(
+            spark.createDataFrame(
+                [(i, bytes([i % 251, len(name)]) * 15) for i in range(n)], schema
+            ),
+            out, dim=dim, n_groups=2,
+        )
+        return out
+
+    a, b = store("a", 200), store("b", 200)
+    mix = read_media_shards_mixture(
+        spark, {"a": a, "b": b}, {"a": 3.0, "b": 1.0}, budget_rows=100
+    )
+    by = {r["_store"]: r["n"] for r in mix.groupBy("_store").count()
+          .withColumnRenamed("count", "n").collect()}
+    assert 60 <= by["a"] <= 90 and 15 <= by["b"] <= 35  # ~75/25 split
+    # deterministic: same call, same rows
+    again = sorted(r["media_id"] for r in read_media_shards_mixture(
+        spark, {"a": a, "b": b}, {"a": 3.0, "b": 1.0}, budget_rows=100
+    ).collect())
+    assert again == sorted(r["media_id"] for r in mix.collect())
+
+    # under-supply: a tiny store gives everything, no silent re-weight
+    c = store("c", 5)
+    mix2 = read_media_shards_mixture(
+        spark, {"a": a, "c": c}, {"a": 1.0, "c": 1.0}, budget_rows=400
+    )
+    by2 = {r["_store"]: r["n"] for r in mix2.groupBy("_store").count()
+           .withColumnRenamed("count", "n").collect()}
+    assert by2["c"] == 5 and by2["a"] == 200  # both capped by supply
+
+    # layout mismatch: a store with an extra payload column can't blend
+    dpath = str(tmp_path / "d")
+    media_to_feature_shards(
+        spark.createDataFrame(
+            [(1, b"x" * 20, [1, 2])],
+            "media_id long, content binary, token_ids array<bigint>",
+        ),
+        dpath, dim=8, n_groups=1, payload_cols=("token_ids",),
+    )
+    with pytest.raises(ValueError, match="mismatched"):
+        read_media_shards_mixture(
+            spark, {"a": a, "d": dpath}, {"a": 1.0, "d": 1.0}, budget_rows=10
+        )
