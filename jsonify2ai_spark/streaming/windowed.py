@@ -2379,3 +2379,176 @@ class DSIRGate:
 
     def close(self) -> None:
         self._model.unpersist()
+
+
+class PerplexityGate:
+    """Streaming face of the CCNet reference-LM quality filter
+    (:func:`~jsonify2ai_spark.operators.textstats.unigram_logprob` with
+    ``reference=`` — q108's oracle-verified arithmetic): a
+    Laplace-smoothed unigram model fits ONCE on the high-quality
+    reference corpus (the Wikipedia-class LM), then every trigger's
+    documents score against the FROZEN model — low mean log-probability
+    = far from the quality distribution.
+
+    Modes (the DSIRGate convention):
+    - ``max_ppl=None`` (default): ANNOTATE — ``kind='rewrite'``,
+      ``rewritten_col='ref_ppl'`` added to every surviving row
+      (tokenless docs annotate NULL; total, never row-dropping).
+    - ``max_ppl=<float>``: THIN — ``kind='filter'``; keep a document
+      iff its 4dp-rounded perplexity ≤ the cutoff. Scoring is
+      stateless and deterministic, so a replayed batch keeps exactly
+      the same rows — idempotent under at-least-once delivery with no
+      cross-batch state. Tokenless docs have no score and drop (the
+      batch operator emits no row for them either).
+
+    Per-trigger cost: one (id, word) rollup over the batch, one join
+    against the persisted vocab (``F.broadcast`` hint while the fitted
+    vocabulary is ≤ ``broadcast_vocab_max`` rows; above it the hint is
+    withheld and Catalyst plans a shuffled join — a 100 TB reference's
+    ~1e8-word vocab must never be forced into executor memory; both
+    arms parity-pinned at birth, the DSIRGate r11-verdict lesson), and
+    a batch-sized mean. The model side is reference-sized ONCE, never
+    per trigger; ``rebuild()`` refits offline when the reference grows.
+    """
+
+    kind: str
+
+    def __init__(
+        self,
+        reference: DataFrame,
+        max_ppl: "float | None" = None,
+        alpha: float = 1.0,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        ref_text_col: "str | None" = None,
+        broadcast_vocab_max: int = 4_000_000,
+    ) -> None:
+        self._alpha = float(alpha)
+        self._input_col = text_col
+        self._text_col = "ref_ppl"  # chain rewrite destination (append)
+        self._id_col = id_col
+        self._max_ppl = None if max_ppl is None else float(max_ppl)
+        self._broadcast_vocab_max = int(broadcast_vocab_max)
+        self.kind = "filter" if self._max_ppl is not None else "rewrite"
+        self.rewritten_col = "ref_ppl"
+        self._fit(reference, ref_text_col or text_col)
+
+    def _fit(self, reference: DataFrame, ref_text_col: str) -> None:
+        from jsonify2ai_spark.functions.text import tokens
+
+        old = getattr(self, "_vocab", None)
+        self._vocab = (
+            reference.select(F.explode(tokens(ref_text_col)).alias("w"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
+        )
+        self._vocab_rows = self._vocab.count()
+        row = self._vocab.agg(
+            F.sum("c").cast("double").alias("N"),
+            F.count(F.lit(1)).cast("double").alias("V"),
+        ).first()
+        self._n, self._v = float(row["N"] or 0.0), float(row["V"] or 0.0)
+        if old is not None:
+            old.unpersist()
+
+    def rebuild(self, reference: DataFrame, ref_text_col: "str | None" = None) -> None:
+        """Offline model refresh from the grown reference — one
+        reference-proportional rollup, never a per-trigger cost."""
+        self._fit(reference, ref_text_col or self._input_col)
+
+    def score_batch(self, batch: DataFrame) -> DataFrame:
+        """(id, n_tokens, logprob_per_token, ppl) for the batch's
+        documents with ≥1 token — unigram_logprob(reference=...)'s exact
+        arithmetic under the frozen model."""
+        from jsonify2ai_spark.functions.text import tokens
+
+        idc = self._id_col
+        dw = (
+            batch.select(F.col(idc), F.explode(tokens(self._input_col)).alias("w"))
+            .groupBy(idc, "w")
+            .agg(F.count(F.lit(1)).alias("dc"))
+        )
+        vocab = (
+            F.broadcast(self._vocab)
+            if self._vocab_rows <= self._broadcast_vocab_max
+            else self._vocab
+        )
+        logp = F.log(
+            (F.coalesce("c", F.lit(0)) + F.lit(self._alpha))
+            / (F.lit(self._n) + F.lit(self._alpha) * F.lit(self._v))
+        )
+        per_doc = (
+            dw.join(vocab, "w", "left")
+            .groupBy(idc)
+            .agg(
+                F.sum("dc").cast("bigint").alias("n_tokens"),
+                (F.sum(F.col("dc") * logp) / F.sum("dc")).alias("_lp"),
+            )
+        )
+        return per_doc.select(
+            F.col(idc),
+            "n_tokens",
+            F.round("_lp", 4).alias("logprob_per_token"),
+            F.round(F.exp(-F.col("_lp")), 4).alias("ppl"),
+        )
+
+    def filter_batch(self, batch: DataFrame) -> DataFrame:
+        idc = self._id_col
+        scores = self.score_batch(batch)
+        if self._max_ppl is None:
+            return (
+                batch.select(idc)
+                .join(scores.select(idc, "ppl"), idc, "left")
+                .select(F.col(idc), F.col("ppl").alias(self.rewritten_col))
+            )
+        keep = scores.filter(F.col("ppl") <= F.lit(self._max_ppl)).select(idc)
+        return batch.join(keep, idc, "left_semi")
+
+    def foreach_batch(self, append):
+        """Wrap ``append(df, batch_id)`` as a foreachBatch callable."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            append(self.filter_batch(batch), batch_id)
+
+        return _fn
+
+    def save(self, path: str) -> None:
+        """Persist the vocab model + params for restart warm-load."""
+        spark = self._vocab.sparkSession
+        self._vocab.write.mode("overwrite").parquet(f"{path}/vocab")
+        spark.createDataFrame(
+            [
+                (
+                    self._alpha,
+                    self._input_col,
+                    self._id_col,
+                    self._max_ppl,
+                    self._broadcast_vocab_max,
+                    self._n,
+                    self._v,
+                )
+            ],
+            "alpha double, text_col string, id_col string, max_ppl double, "
+            "broadcast_vocab_max long, n double, v double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "PerplexityGate":
+        meta = spark.read.parquet(f"{path}/meta").first()
+        obj = cls.__new__(cls)
+        obj._alpha = float(meta["alpha"])
+        obj._input_col = meta["text_col"]
+        obj._text_col = "ref_ppl"
+        obj._id_col = meta["id_col"]
+        obj._max_ppl = None if meta["max_ppl"] is None else float(meta["max_ppl"])
+        obj._broadcast_vocab_max = int(meta["broadcast_vocab_max"])
+        obj._n, obj._v = float(meta["n"]), float(meta["v"])
+        obj.kind = "filter" if obj._max_ppl is not None else "rewrite"
+        obj.rewritten_col = "ref_ppl"
+        obj._vocab = spark.read.parquet(f"{path}/vocab").persist()
+        obj._vocab_rows = obj._vocab.count()
+        return obj
+
+    def close(self) -> None:
+        self._vocab.unpersist()

@@ -2183,3 +2183,97 @@ def test_streaming_prep_chain_audit(spark, tables):
     assert len(audited.stage_history) == 2
     plain.close()
     audited.close()
+
+
+def test_perplexity_gate_stream_equals_batch(spark, tables):
+    """PerplexityGate (r12): per-batch scoring under the frozen reference
+    model reproduces unigram_logprob(reference=...) row-for-row
+    (repr-strict) over a partitioned replay; annotate mode is total
+    (tokenless -> NULL); thin mode == the batch-side ppl filter and is
+    replay-idempotent; save/load round-trips; chain composition adds
+    ref_ppl."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.textstats import unigram_logprob
+    from jsonify2ai_spark.streaming.windowed import PerplexityGate, StreamingPrepChain
+
+    docs = tables["documents"].select("doc_id", "text", "lang")
+    ref = docs.filter("lang = 'en'").select("doc_id", "text")
+    gate = PerplexityGate(ref, id_col="doc_id")
+    assert gate.kind == "rewrite"
+
+    batch = unigram_logprob(docs, reference=ref)
+    want = {r["doc_id"]: repr((r["n_tokens"], r["logprob_per_token"], r["ppl"]))
+            for r in batch.collect()}
+    got = {}
+    for part in range(3):
+        b = docs.filter(F.col("doc_id") % 3 == part)
+        for r in gate.score_batch(b).collect():
+            got[r["doc_id"]] = repr((r["n_tokens"], r["logprob_per_token"], r["ppl"]))
+    assert got == want  # stream == batch, repr-strict
+
+    with_empty = docs.limit(5).union(
+        spark.createDataFrame([(888888, "   ", "xx")], docs.schema)
+    )
+    ann = {r["doc_id"]: r["ref_ppl"]
+           for r in gate.filter_batch(with_empty).collect()}
+    assert set(ann) == {r["doc_id"] for r in with_empty.collect()}
+    assert ann[888888] is None  # tokenless -> NULL, row kept
+
+    chained = StreamingPrepChain([gate]).filter_batch(with_empty)
+    assert "ref_ppl" in chained.columns and "text" in chained.columns
+    gate.close()
+
+
+def test_perplexity_gate_thin_save_load_and_fallback(spark, tables, tmp_path):
+    """Thin mode keeps exactly the batch filter's rows and replays
+    identically; save/load round-trips model + cutoff; the shuffled-join
+    fallback arm (broadcast_vocab_max=0) is output-identical and
+    genuinely unbroadcast (the DSIRGate r11-verdict lesson, pinned at
+    birth)."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.textstats import unigram_logprob
+    from jsonify2ai_spark.streaming.windowed import PerplexityGate
+
+    docs = tables["documents"].select("doc_id", "text", "lang").limit(200)
+    ref = docs.filter("lang = 'en'").select("doc_id", "text")
+    cutoff = float(
+        unigram_logprob(docs, reference=ref)
+        .agg(F.expr("percentile(ppl, 0.5)"))
+        .collect()[0][0]
+    )
+    gate = PerplexityGate(ref, max_ppl=cutoff)
+    assert gate.kind == "filter"
+    kept = {r["doc_id"] for r in gate.filter_batch(docs).collect()}
+    expect = {
+        r["doc_id"]
+        for r in unigram_logprob(docs, reference=ref)
+        .filter(F.col("ppl") <= cutoff)
+        .collect()
+    }
+    assert kept == expect and 0 < len(kept) < 200
+    assert {r["doc_id"] for r in gate.filter_batch(docs).collect()} == kept
+
+    path = str(tmp_path / "pplgate")
+    gate.save(path)
+    loaded = PerplexityGate.load(spark, path)
+    assert loaded.kind == "filter"
+    assert {r["doc_id"] for r in loaded.filter_batch(docs).collect()} == kept
+
+    forced = PerplexityGate(ref, max_ppl=cutoff, broadcast_vocab_max=0)
+    assert {r["doc_id"] for r in forced.filter_batch(docs).collect()} == kept
+
+    def n_broadcast_joins(g):
+        plan = g.score_batch(docs)._jdf.queryExecution().executedPlan().toString()
+        return plan.count("BroadcastHashJoin")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert n_broadcast_joins(gate) >= 1   # hint forces it
+        assert n_broadcast_joins(forced) == 0  # guard defers
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for g in (gate, loaded, forced):
+        g.close()
