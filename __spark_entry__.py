@@ -2313,6 +2313,33 @@ def q124_dsir_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "quality")
 
 
+def q125_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT sample assembly (operators/sft.py render_sft_samples, r12):
+    q102's derived chat corpus rendered into one training string per
+    conversation under the fixed '<|role|>\\n{content}\\n' template,
+    with the assistant turns' content offsets as the loss-mask span CSV
+    (the q119 idiom — 0-based [start, end), headers/newlines are
+    context). The training-side counterpart of the parse/lint surface:
+    parse (S11-S14) -> lint (q102) -> RENDER (this row) -> tokenize."""
+    from jsonify2ai_spark.operators.sft import render_sft_samples
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    turn = F.floor(F.col("doc_id") / 60).cast("int")
+    role = (
+        F.when(F.col("doc_id") % 97 == 0, F.lit("assistant"))
+        .when(F.col("doc_id") % 83 == 0, F.lit("tool"))
+        .when(turn % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    msgs = t["documents"].select(
+        (F.col("doc_id") % 60).alias("conv_id"),
+        turn.alias("turn_idx"),
+        role.alias("role"),
+        F.when(F.col("doc_id") % 89 == 0, F.lit("")).otherwise(F.col("text")).alias("text"),
+    )
+    return render_sft_samples(msgs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -2339,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_prep_report": q122_prep_report,  # NEW r12: prep run-report card
         "q123_bm25_sharded": q123_bm25_sharded,  # NEW r12: term-bucket-sharded BM25 serving
         "q124_dsir_prep": q124_dsir_prep,  # NEW r12: prep-chain DSIR stage composition
+        "q125_sft_render": q125_sft_render,  # NEW r12: SFT sample assembly + loss-mask spans
         # --- 20 r8-greens (2 rounds driver-stale: round-12's mandatory block) ---
         "q75_dedup_keep_best": q75_dedup_keep_best,
         "q76_containment_pairs": q76_containment_pairs,
@@ -2387,10 +2415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_training_pipeline": q100_training_pipeline,
         "q101_incremental_pipeline": q101_incremental_pipeline,
         "q102_conversation_lint": q102_conversation_lint,
-        "q103_squeeze_lines": q103_squeeze_lines,
         # ================= tail (entry 51+) =================
         # r10-greens displaced by the new r12 queries, then round-13's
         # mandatory 20-query r10-green block (oldest-first)
+        "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
         "q82_mixture_weights": q82_mixture_weights,
         "q80_length_outliers": q80_length_outliers,
@@ -4996,6 +5024,43 @@ def oracle_sql() -> dict[str, str]:
         "q100_training_pipeline": _dd_pipeline_sql(),
         "q122_prep_report": _dd_prep_report_sql(),
         "q124_dsir_prep": _dd_dsir_prep_sql(),
+        "q125_sft_render": """
+            WITH msgs AS (
+              SELECT doc_id % 60 AS conv_id,
+                     CAST(floor(doc_id / 60) AS INT) AS turn_idx,
+                     CASE WHEN doc_id % 97 = 0 THEN 'assistant'
+                          WHEN doc_id % 83 = 0 THEN 'tool'
+                          WHEN CAST(floor(doc_id / 60) AS INT) % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     CASE WHEN doc_id % 89 = 0 THEN '' ELSE text END AS content
+              FROM documents
+            ), seg AS (
+              SELECT conv_id, turn_idx, role, content,
+                     '<|' || role || '|>' || chr(10) || content || chr(10) AS seg,
+                     length('<|' || role || '|>') + 1 AS hlen
+              FROM msgs
+            ), pos AS (
+              SELECT *, coalesce(sum(length(seg)) OVER (
+                          PARTITION BY conv_id
+                          ORDER BY turn_idx, role, content
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        + hlen AS s
+              FROM seg
+            ), pe AS (
+              SELECT *, s + length(content) AS e FROM pos
+            )
+            SELECT conv_id,
+                   string_agg(seg, '' ORDER BY turn_idx, role, content) AS text,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(coalesce(sum(CASE WHEN role = 'assistant' THEN 1 END), 0) AS BIGINT) AS n_mask_turns,
+                   CAST(sum(length(seg)) AS BIGINT) AS n_chars,
+                   CAST(coalesce(sum(CASE WHEN role = 'assistant' THEN e - s END), 0) AS BIGINT) AS mask_chars,
+                   coalesce(string_agg(CASE WHEN role = 'assistant'
+                                            THEN s || ':' || e END, ';'
+                                       ORDER BY turn_idx, role, content), '') AS mask_spans
+            FROM pe GROUP BY conv_id
+        """,
+
         "q101_incremental_pipeline": _dd_incremental_sql(),
         # filtered-pool BM25: the per-query bm25_topk twin replayed over
         # the PRE-filtered corpus — the semantics BM25Index.topk(filter=)

@@ -1,0 +1,118 @@
+"""SFT sample assembly: conversations -> training text + loss-mask spans.
+
+The training-side counterpart of the chat parsing/lint surface (the
+reference parses ChatGPT exports and transcripts into (conv, turn, role,
+content) rows — worker/app/services/parse_chatgpt.py,
+services/transcript.py; conversation_lint (q102) gates their structure):
+an SFT pipeline must then RENDER each conversation into one training
+string under a chat template and know, in character offsets, which spans
+are the assistant's — the loss mask trains on assistant content only
+(the standard instruction-tuning recipe).
+
+Template (fixed-form so the DuckDB oracle replays it exactly):
+
+    <|role|>\\n{content}\\n        per turn, turns in order
+
+Span convention: 0-based [start, end) character offsets of the CONTENT
+of every ``mask_role`` turn (headers and newlines are context, never
+loss), serialized as ``"start:end;start:end"`` in turn order — the q119
+CSV idiom, engine-portable where array<struct> hashing is not.
+
+Scale shape: one window (per-conversation cumulative segment length —
+the same partition-bounded window every sessionize/pagination query
+uses) + one groupBy with sort_array/collect_list bounded by the
+conversation's own turn count. No UDFs, no driver loops; a conversation
+is the natural unit and fits a partition by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def render_sft_samples(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "text",
+    mask_role: str = "assistant",
+) -> DataFrame:
+    """One row per conversation: ``(conv, text, n_turns, n_mask_turns,
+    n_chars, mask_chars, mask_spans)``.
+
+    Turn order is ``(turn_col, role_col, content_col)`` — a total order
+    as long as no conversation carries two byte-identical turns at the
+    same index (run :func:`~jsonify2ai_spark.operators.textstats.
+    conversation_lint` first; its role-double/empty-turn findings are
+    exactly the rows that make rendering ambiguous). Empty content
+    renders an empty span (``start == end``) rather than dropping the
+    turn — the mask stays aligned with the text either way.
+    """
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    header = F.concat(F.lit("<|"), F.col(role_col), F.lit("|>\n"))
+    seg = F.concat(header, content, F.lit("\n"))
+    w = Window.partitionBy(conv_col).orderBy(turn_col, role_col, content_col)
+    turns = df.select(
+        F.col(conv_col),
+        F.col(turn_col),
+        F.col(role_col),
+        content.alias("_content"),
+        seg.alias("_seg"),
+        (
+            F.coalesce(
+                F.sum(F.length(seg)).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + F.length(header)
+        ).alias("_start"),
+    ).withColumn("_end", F.col("_start") + F.length("_content"))
+
+    ordered = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(turn_col).alias("t"),
+                F.col(role_col).alias("r"),
+                F.col("_content").alias("c"),
+                F.col("_seg").alias("seg"),
+                F.col("_start").alias("s"),
+                F.col("_end").alias("e"),
+            )
+        )
+    )
+    return (
+        turns.groupBy(conv_col)
+        .agg(ordered.alias("_o"))
+        .select(
+            F.col(conv_col),
+            F.array_join(
+                F.transform(F.col("_o"), lambda x: x["seg"]), ""
+            ).alias("text"),
+            F.size("_o").cast("bigint").alias("n_turns"),
+            F.size(F.filter(F.col("_o"), lambda x: x["r"] == F.lit(mask_role)))
+            .cast("bigint")
+            .alias("n_mask_turns"),
+            F.aggregate(
+                F.col("_o"),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + F.length(x["seg"]),
+            ).alias("n_chars"),
+            F.aggregate(
+                F.filter(F.col("_o"), lambda x: x["r"] == F.lit(mask_role)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + (x["e"] - x["s"]),
+            ).alias("mask_chars"),
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("_o"), lambda x: x["r"] == F.lit(mask_role)),
+                    lambda x: F.concat_ws(
+                        ":", x["s"].cast("string"), x["e"].cast("string")
+                    ),
+                ),
+                ";",
+            ).alias("mask_spans"),
+        )
+    )

@@ -3257,3 +3257,45 @@ def test_compression_ratio_signal(spark):
     assert rows[1]["ratio"] < 0.1            # template collapses
     assert rows[1]["ratio"] < rows[2]["ratio"] < rows[3]["ratio"]
     assert rows[3]["ratio"] > 0.5            # random stays large
+
+
+def test_render_sft_samples_spans_slice_exactly(spark):
+    """SFT rendering: the text is the ordered concat of
+    '<|role|>\\n{content}\\n' segments; every mask span, sliced out of
+    the rendered text, is byte-identical to that assistant turn's
+    content; empty turns render empty spans; counters reconcile."""
+    from jsonify2ai_spark.operators.sft import render_sft_samples
+
+    msgs = spark.createDataFrame(
+        [
+            (1, 0, "user", "what is spark"),
+            (1, 1, "assistant", "a distributed engine"),
+            (1, 2, "user", "and catalyst"),
+            (1, 3, "assistant", "its optimizer"),
+            (2, 0, "user", "hi"),
+            (2, 1, "assistant", ""),          # empty turn -> empty span
+            (2, 2, "tool", "lookup(...)"),    # non-mask role: context only
+            (2, 3, "assistant", "hello"),
+        ],
+        "conv_id long, turn_idx int, role string, text string",
+    )
+    out = {r["conv_id"]: r for r in render_sft_samples(msgs).collect()}
+
+    r1 = out[1]
+    assert r1["text"] == (
+        "<|user|>\nwhat is spark\n<|assistant|>\na distributed engine\n"
+        "<|user|>\nand catalyst\n<|assistant|>\nits optimizer\n"
+    )
+    assert r1["n_turns"] == 4 and r1["n_mask_turns"] == 2
+    assert r1["n_chars"] == len(r1["text"])
+    spans = [tuple(map(int, s.split(":"))) for s in r1["mask_spans"].split(";")]
+    assert [r1["text"][a:b] for a, b in spans] == [
+        "a distributed engine", "its optimizer",
+    ]
+    assert r1["mask_chars"] == sum(b - a for a, b in spans)
+
+    r2 = out[2]
+    spans2 = [tuple(map(int, s.split(":"))) for s in r2["mask_spans"].split(";")]
+    assert [r2["text"][a:b] for a, b in spans2] == ["", "hello"]
+    assert "<|tool|>\nlookup(...)\n" in r2["text"]
+    assert r2["n_mask_turns"] == 2 and r2["mask_chars"] == 5
