@@ -116,3 +116,97 @@ def render_sft_samples(
             ).alias("mask_spans"),
         )
     )
+
+
+def sft_token_samples(
+    df: DataFrame,
+    merges: list,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "text",
+    mask_role: str = "assistant",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Token-space SFT samples: ``(conv, bpe_tokens, loss_mask,
+    n_tokens, n_mask_tokens)`` — the step after
+    :func:`render_sft_samples`' char-space contract, aligned BY
+    CONSTRUCTION instead of by offset arithmetic: each turn encodes
+    separately (whitespace-first BPE is per-word, so a word's subwords
+    never depend on neighbors), the turn's mask is 0 over the header
+    token(s) and 1 over the content tokens when the turn is
+    ``mask_role`` (all 0 otherwise), and the conversation flattens
+    turns in order. ``loss_mask[i]`` governs ``bpe_tokens[i]``
+    position-for-position.
+
+    Map the tokens to ids with ``tokens_to_ids(..., oov=<unk id>)`` —
+    the substitution policy keeps 1:1 alignment; ``oov='drop'`` would
+    shift every later mask position and MUST NOT be used on SFT
+    samples (test-pinned in the module's alignment test).
+
+    Scale shape: two Arrow encode passes (turn texts + the role-header
+    inventory, which is roles-sized and broadcast back), one
+    conversation-bounded sort_array collect. No driver loops.
+    """
+    from jsonify2ai_spark.operators.bpe import bpe_encode_fast
+
+    header = F.concat(F.lit("<|"), F.col(role_col), F.lit("|>"))
+    turn_text = F.concat(
+        header, F.lit(" "), F.coalesce(F.col(content_col), F.lit(""))
+    )
+    enc = bpe_encode_fast(
+        df.withColumn("_turn_text", turn_text),
+        merges,
+        text_col="_turn_text",
+        out_col="_toks",
+        lowercase=lowercase,
+    )
+    spark = df.sparkSession
+    roles = [r[0] for r in df.select(role_col).distinct().collect()]
+    hdr_df = spark.createDataFrame([(r, f"<|{r}|>") for r in roles],
+                                   f"{role_col} string, _h string")
+    hdr_counts = bpe_encode_fast(
+        hdr_df, merges, text_col="_h", out_col="_htoks", lowercase=lowercase
+    ).select(role_col, F.size("_htoks").alias("_hn"))
+
+    turn_mask = F.when(
+        F.col(role_col) == mask_role,
+        F.concat(
+            F.array_repeat(F.lit(0), F.col("_hn")),
+            F.array_repeat(F.lit(1), F.size("_toks") - F.col("_hn")),
+        ),
+    ).otherwise(F.array_repeat(F.lit(0), F.size("_toks")))
+
+    turns = enc.join(F.broadcast(hdr_counts), role_col).select(
+        F.col(conv_col),
+        F.struct(
+            F.col(turn_col).alias("t"),
+            F.col(role_col).alias("r"),
+            F.coalesce(F.col(content_col), F.lit("")).alias("c"),
+            F.col("_toks").alias("toks"),
+            turn_mask.alias("mask"),
+        ).alias("_row"),
+    )
+    ordered = F.sort_array(F.collect_list("_row"))
+    return (
+        turns.groupBy(conv_col)
+        .agg(ordered.alias("_o"))
+        .select(
+            F.col(conv_col),
+            F.flatten(F.transform(F.col("_o"), lambda x: x["toks"])).alias(
+                "bpe_tokens"
+            ),
+            F.flatten(F.transform(F.col("_o"), lambda x: x["mask"])).alias(
+                "loss_mask"
+            ),
+        )
+        .select(
+            conv_col,
+            "bpe_tokens",
+            "loss_mask",
+            F.size("bpe_tokens").cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                "loss_mask", F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("n_mask_tokens"),
+        )
+    )

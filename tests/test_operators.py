@@ -3299,3 +3299,82 @@ def test_render_sft_samples_spans_slice_exactly(spark):
     assert [r2["text"][a:b] for a, b in spans2] == ["", "hello"]
     assert "<|tool|>\nlookup(...)\n" in r2["text"]
     assert r2["n_mask_turns"] == 2 and r2["mask_chars"] == 5
+
+
+def test_sft_token_samples_mask_alignment(spark):
+    """Token-space SFT masks: flattened tokens == the ordered concat of
+    per-turn encodes, the mask-1 positions are exactly the assistant
+    CONTENT subwords (headers and other roles all 0), and the
+    tokens_to_ids policies behave as documented — unk substitution
+    preserves alignment, drop breaks it (pinned so nobody ships it)."""
+    from jsonify2ai_spark.operators.bpe import (
+        bpe_encode_fast,
+        tokens_to_ids,
+        train_bpe,
+    )
+    from jsonify2ai_spark.operators.sft import sft_token_samples
+    from jsonify2ai_spark.operators.textstats import build_vocab
+
+    msgs = spark.createDataFrame(
+        [
+            (1, 0, "user", "the cat sat"),
+            (1, 1, "assistant", "on the mat"),
+            (1, 2, "user", "again"),
+            (1, 3, "assistant", "the cats sat"),
+            (2, 0, "user", "hello"),
+            (2, 1, "assistant", ""),
+        ],
+        "conv_id long, turn_idx int, role string, text string",
+    )
+    corpus = msgs.selectExpr("conv_id as doc_id", "text")
+    merges = train_bpe(corpus, num_merges=10)
+
+    out = {r["conv_id"]: r for r in sft_token_samples(msgs, merges).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == len(r1["bpe_tokens"]) == len(r1["loss_mask"])
+    assert r1["n_mask_tokens"] == sum(r1["loss_mask"])
+
+    # mask-1 positions reproduce the assistant contents' own encodes
+    enc = {
+        r["doc_id"]: r["_t"]
+        for r in bpe_encode_fast(
+            spark.createDataFrame(
+                [(1, "on the mat"), (2, "the cats sat")], "doc_id long, text string"
+            ),
+            merges,
+            out_col="_t",
+        ).collect()
+    }
+    masked_toks = [
+        t for t, m in zip(r1["bpe_tokens"], r1["loss_mask"]) if m == 1
+    ]
+    assert masked_toks == enc[1] + enc[2]
+    # headers are never masked
+    hdr_positions = [
+        i for i, t in enumerate(r1["bpe_tokens"]) if "<|" in t or "|>" in t
+    ]
+    assert all(r1["loss_mask"][i] == 0 for i in hdr_positions)
+
+    r2 = out[2]
+    assert r2["n_mask_tokens"] == 0  # empty assistant turn: header only
+
+    # id mapping: unk substitution preserves 1:1; drop would shift
+    sample = sft_token_samples(msgs, merges)
+    vocab = build_vocab(
+        bpe_encode_fast(corpus, merges, out_col="bpe_tokens"),
+        token_array_col="bpe_tokens",
+    )
+    ids = tokens_to_ids(
+        sample, vocab, tokens_col="bpe_tokens", out_col="token_ids",
+        oov=0, id_col="conv_id",
+    )
+    for r in ids.collect():
+        assert len(r["token_ids"]) == len(r["loss_mask"])
+    dropped = tokens_to_ids(
+        sample, vocab, tokens_col="bpe_tokens", out_col="token_ids",
+        oov="drop", id_col="conv_id",
+    )
+    # the headers are OOV to the content-trained vocab: drop shrinks
+    assert any(
+        len(r["token_ids"]) != len(r["loss_mask"]) for r in dropped.collect()
+    )
