@@ -176,6 +176,7 @@ def concat_token_bins(
     pad_to: int | None = None,
     pad_id: int = 0,
     with_boundaries: bool = False,
+    mask_col: str | None = None,
 ) -> DataFrame:
     """Materialize each packed bin as ONE trainer-ready sequence (r9 —
     the step after :func:`pack_sequences`'s assignment): per
@@ -196,23 +197,48 @@ def concat_token_bins(
     attention masks and per-document position resets from; padding is
     excluded by construction.
 
+    ``mask_col``: SFT assembly (r12) — each document carries a
+    position-aligned loss-mask array (:func:`~jsonify2ai_spark.
+    operators.sft.sft_token_samples`); the assembled row gains
+    ``loss_mask`` flattened in the same doc order, with 0 at every
+    eos position (the boundary token is never trained) and 0 over
+    padding. A document whose mask length disagrees with its id length
+    RAISES at action time (plan-embedded guard — a silent misalignment
+    would train on the wrong positions for every later doc in the bin).
+
     All JVM expressions — one hash aggregate on the (group, bin) key
     (bin membership is budget-bounded, so rows per group are bounded);
     the per-bin assembly is array_sort + flatten, no Python. The doc
     order inside a bin is the same ``id_col`` order next-fit assigned
     by, so sequences are deterministic on any cluster shape.
     """
-    docs = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col(id_col).alias("i"),
-                # a NULL id array reads as empty (the tokens_to_ids
-                # convention) — otherwise concat/flatten NULL-propagate
-                # and silently drop the ENTIRE bin's sequence
-                F.coalesce(F.col(ids_col), F.array()).alias("t"),
+    fields = [
+        F.col(id_col).alias("i"),
+        # a NULL id array reads as empty (the tokens_to_ids
+        # convention) — otherwise concat/flatten NULL-propagate
+        # and silently drop the ENTIRE bin's sequence
+        F.coalesce(F.col(ids_col), F.array()).alias("t"),
+    ]
+    if mask_col is not None:
+        ids_c = F.coalesce(F.col(ids_col), F.array())
+        msk_c = F.coalesce(F.col(mask_col), F.array())
+        fields.append(
+            F.when(
+                F.size(msk_c) != F.size(ids_c),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "concat_token_bins: loss-mask length disagrees "
+                            "with id length for doc "
+                        ),
+                        F.col(id_col).cast("string"),
+                    )
+                ).cast("array<int>"),
             )
+            .otherwise(msk_c.cast("array<int>"))
+            .alias("m")
         )
-    )
+    docs = F.array_sort(F.collect_list(F.struct(*fields)))
     agged = packed.groupBy(group_col, bin_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         docs.alias("_docs"),
@@ -231,6 +257,16 @@ def concat_token_bins(
         F.size(seq).cast("bigint").alias("n_ids"),
         seq.alias("input_ids"),
     ]
+    if mask_col is not None:
+        if eos_id is not None:
+            per_doc_mask = lambda d: F.concat(  # noqa: E731
+                d["m"], F.array(F.lit(0))
+            )
+        else:
+            per_doc_mask = lambda d: d["m"]  # noqa: E731
+        cols.append(
+            F.flatten(F.transform("_docs", per_doc_mask)).alias("loss_mask")
+        )
     if with_boundaries:
         cols += [
             F.transform("_docs", lambda d: d["i"]).alias("doc_ids"),
@@ -240,14 +276,18 @@ def concat_token_bins(
         ]
     out = agged.select(*cols)
     if pad_to is not None:
+        pad_n = F.greatest(F.lit(pad_to) - F.size("input_ids"), F.lit(0))
+        if mask_col is not None:
+            # pad the mask FIRST (its length tracks the unpadded ids)
+            out = out.withColumn(
+                "loss_mask",
+                F.concat("loss_mask", F.array_repeat(F.lit(0), pad_n)),
+            )
         out = out.withColumn(
             "input_ids",
             F.concat(
                 "input_ids",
-                F.array_repeat(
-                    F.lit(int(pad_id)).cast("bigint"),
-                    F.greatest(F.lit(pad_to) - F.size("input_ids"), F.lit(0)),
-                ),
+                F.array_repeat(F.lit(int(pad_id)).cast("bigint"), pad_n),
             ),
         )
     return out

@@ -3378,3 +3378,50 @@ def test_sft_token_samples_mask_alignment(spark):
     assert any(
         len(r["token_ids"]) != len(r["loss_mask"]) for r in dropped.collect()
     )
+
+
+def test_concat_token_bins_loss_mask_assembly(spark):
+    """Mask-aware assembly: the assembled loss_mask aligns with
+    input_ids position-for-position — per-doc masks in doc order, 0 at
+    every eos, 0 over padding — and a misaligned per-doc mask RAISES
+    instead of training the wrong positions."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.packing import concat_token_bins
+
+    packed = spark.createDataFrame(
+        [
+            (0, 0, 1, [11, 12, 13], [0, 1, 1]),
+            (0, 0, 2, [21, 22], [1, 0]),
+            (0, 1, 3, [31], [1]),
+        ],
+        "pack_group int, bin_idx int, doc_id long, "
+        "token_ids array<bigint>, loss_mask array<int>",
+    )
+    out = {
+        (r["pack_group"], r["bin_idx"]): r
+        for r in concat_token_bins(
+            packed, eos_id=0, pad_to=8, mask_col="loss_mask"
+        ).collect()
+    }
+    b0 = out[(0, 0)]
+    assert b0["input_ids"] == [11, 12, 13, 0, 21, 22, 0] + [0]
+    assert b0["loss_mask"] == [0, 1, 1, 0, 1, 0, 0] + [0]
+    assert len(b0["loss_mask"]) == len(b0["input_ids"]) == 8
+    b1 = out[(0, 1)]
+    assert b1["input_ids"][:2] == [31, 0] and b1["loss_mask"][:2] == [1, 0]
+    assert sum(b1["loss_mask"]) == 1  # padding contributes no loss
+
+    # misaligned mask raises at action time
+    bad = spark.createDataFrame(
+        [(0, 0, 9, [1, 2, 3], [1])],
+        "pack_group int, bin_idx int, doc_id long, "
+        "token_ids array<bigint>, loss_mask array<int>",
+    )
+    with pytest.raises(Exception, match="disagrees"):
+        concat_token_bins(bad, eos_id=0, mask_col="loss_mask").collect()
+
+    # mask_col=None: output unchanged from the pre-r12 contract
+    plain = concat_token_bins(packed, eos_id=0).columns
+    assert "loss_mask" not in plain
