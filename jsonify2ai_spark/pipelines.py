@@ -657,6 +657,133 @@ def corpus_to_token_shards(
     return result
 
 
+def sft_to_token_shards(
+    msgs: DataFrame,
+    out_dir: str,
+    num_merges: int = 200,
+    merge_batch: int = 1,
+    exact: bool = True,
+    vocab_min_count: int = 1,
+    max_vocab: "int | None" = None,
+    budget: int = 2048,
+    n_groups: int = 32,
+    pad_id: int = 0,
+    lowercase: bool = True,
+    shuffle_seed: "int | None" = None,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "text",
+    mask_role: str = "assistant",
+) -> dict:
+    """Chat conversations -> trainer-loadable SFT shards, one call — the
+    :func:`corpus_to_token_shards` recipe for instruction data: train
+    the tokenizer on the RENDERED turn texts (headers become in-
+    inventory tokens), build conversation-level samples with
+    position-aligned loss masks (:func:`~jsonify2ai_spark.operators.
+    sft.sft_token_samples`), map to ids under the UNK policy (never
+    'drop' — it would shift the mask, the sft module's pinned
+    contract), pack whole conversations, and assemble bins whose
+    ``loss_mask`` rides ``input_ids`` with 0 at eos/padding. The output
+    directory carries the same tokenizer artifacts + manifest.json the
+    token-shard family uses — :func:`read_token_shards` loads it.
+
+    Reserved ids are MINTED past the vocabulary: ``unk_id =
+    vocab_size``, ``eos_id = vocab_size + 1`` (recorded in the
+    manifest config) — a caller-supplied eos of 0 would collide with a
+    real token id, the trap the explicit mint avoids. The base run has
+    zero UNKs by construction (the vocab is built from the samples'
+    own tokens) unless ``max_vocab`` caps it; UNK substitution then
+    preserves alignment where a drop could not.
+    """
+    import os
+
+    from jsonify2ai_spark.operators.bpe import tokens_to_ids, train_bpe
+    from jsonify2ai_spark.operators.sft import sft_token_samples
+    from jsonify2ai_spark.operators.textstats import build_vocab
+    from jsonify2ai_spark.sinks.export import _pack_and_write_ids
+
+    spark = msgs.sparkSession
+    turn_frame = msgs.select(
+        F.col(conv_col).alias("doc_id"),
+        F.concat(
+            F.lit("<|"), F.col(role_col), F.lit("|> "),
+            F.coalesce(F.col(content_col), F.lit("")),
+        ).alias("text"),
+    )
+    merges = train_bpe(
+        turn_frame, num_merges=num_merges, lowercase=lowercase,
+        merge_batch=merge_batch, exact=exact,
+    )
+    sample = sft_token_samples(
+        msgs, merges,
+        conv_col=conv_col, turn_col=turn_col, role_col=role_col,
+        content_col=content_col, mask_role=mask_role, lowercase=lowercase,
+    ).localCheckpoint(eager=False)
+    vocab = build_vocab(
+        sample, min_count=vocab_min_count, max_vocab=max_vocab,
+        token_array_col="bpe_tokens",
+    )
+
+    tok_dir = os.path.join(out_dir, "tokenizer")
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tok_dir, "merges.parquet")
+    )
+    vocab.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tok_dir, "vocab.parquet")
+    )
+    vocab_saved = spark.read.parquet(os.path.join(tok_dir, "vocab.parquet"))
+    vocab_size = vocab_saved.count()
+    unk_id, eos_id = vocab_size, vocab_size + 1
+
+    ids = tokens_to_ids(
+        sample, vocab_saved, tokens_col="bpe_tokens", out_col="token_ids",
+        oov=unk_id, id_col=conv_col,
+    )
+    manifest = _pack_and_write_ids(
+        ids,
+        os.path.join(out_dir, "shards"),
+        budget=budget,
+        id_col=conv_col,
+        n_groups=n_groups,
+        assemble=True,
+        eos_id=eos_id,
+        pad_id=pad_id,
+        shuffle_seed=shuffle_seed,
+        boundaries=True,
+        mask_col="loss_mask",
+    )
+    result = {
+        **manifest,
+        "tokenizer_dir": tok_dir,
+        "num_merges": len(merges),
+        "vocab_size": vocab_size,
+        "config": {
+            "budget": budget,
+            "n_groups": n_groups,
+            "assemble": True,
+            "eos_id": eos_id,
+            "unk_id": unk_id,
+            "pad_id": pad_id,
+            "oov": unk_id,
+            "lowercase": lowercase,
+            "shuffle_seed": shuffle_seed,
+            "boundaries": True,
+            "vocab_min_count": vocab_min_count,
+            "max_vocab": max_vocab,
+            "sft": True,
+            "mask_role": mask_role,
+            "prep": False,
+        },
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    _write_json_atomic(os.path.join(out_dir, "manifest.json"), result)
+    return result
+
+
 def _write_json_atomic(path: str, obj: dict) -> None:
     """Write ``obj`` as JSON via a same-directory temp file + fsync +
     ``os.replace`` (atomic on POSIX): a crash mid-write can never leave a

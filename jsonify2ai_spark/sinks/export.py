@@ -287,6 +287,7 @@ def _pack_and_write_ids(
     pad_id: int,
     shuffle_seed: int | None = None,
     boundaries: bool = False,
+    mask_col: "str | None" = None,
 ) -> dict:
     """Shared pack-and-write tail of :func:`write_token_shards` and
     :func:`~jsonify2ai_spark.pipelines.corpus_to_token_shards` — ``ids``
@@ -307,9 +308,11 @@ def _pack_and_write_ids(
             "carry no assembled sequence to attach doc_ids/doc_lens to"
         )
     per_doc_eos = 1 if (assemble and eos_id is not None) else 0
+    extra = [mask_col] if mask_col is not None else []
     ids = ids.select(
         id_col,
         "token_ids",
+        *extra,
         F.size("token_ids").cast("bigint").alias("n_tokens"),
         (F.size("token_ids") + per_doc_eos).cast("bigint").alias("_w"),
     )
@@ -324,6 +327,7 @@ def _pack_and_write_ids(
             pad_to=budget,
             pad_id=pad_id,
             with_boundaries=boundaries,
+            mask_col=mask_col,
         )
         # bin rows: one per (group, bin); reuse the shard writer's layout
         # with the bin id standing in for the doc id sort key

@@ -1898,3 +1898,55 @@ def test_prep_compression_trim_stage(spark):
     rows = {r["stage"]: r for r in rep.collect()}
     assert rows["compression_trim"]["rows_dropped"] == 2
     assert rows["compression_trim"]["rows_out"] == 10
+
+
+def test_sft_to_token_shards_e2e(spark, tmp_path):
+    """One-call SFT shards: conversations -> tokenizer -> masked packed
+    bins -> read_token_shards. Every bin row carries loss_mask aligned
+    with input_ids (0 at eos/pad); minted unk/eos ids sit past the
+    vocabulary; mask-token conservation holds end-to-end; the loader
+    validates."""
+    from jsonify2ai_spark.operators.sft import sft_token_samples
+    from jsonify2ai_spark.pipelines import read_token_shards, sft_to_token_shards
+
+    msgs = spark.createDataFrame(
+        [
+            (c, t, ("user" if t % 2 == 0 else "assistant"),
+             f"turn {t} of conversation {c} says thing{c * 10 + t}")
+            for c in range(6)
+            for t in range(4)
+        ],
+        "conv_id long, turn_idx int, role string, text string",
+    )
+    out = str(tmp_path / "sft")
+    m = sft_to_token_shards(
+        msgs, out, num_merges=12, budget=96, n_groups=2, shuffle_seed=7
+    )
+    assert m["config"]["sft"] is True
+    assert m["config"]["unk_id"] == m["vocab_size"]
+    assert m["config"]["eos_id"] == m["vocab_size"] + 1
+
+    rows = read_token_shards(spark, out, validate=True).collect()
+    assert rows
+    eos = m["config"]["eos_id"]
+    for r in rows:
+        assert len(r["loss_mask"]) == len(r["input_ids"])
+        # eos and padding positions never train
+        for tok, mk in zip(r["input_ids"], r["loss_mask"]):
+            if tok == eos:
+                assert mk == 0
+        assert all(
+            mk == 0 for mk in r["loss_mask"][r["n_ids"]:]
+        )  # padding tail
+        # boundaries ride along (manifest boundaries=True)
+        assert r["doc_ids"] and sum(r["doc_lens"]) == r["n_ids"]
+
+    # conservation: assembled mask mass == the samples' own mask mass
+    from jsonify2ai_spark.pipelines import load_tokenizer
+
+    merges, _ = load_tokenizer(spark, out)
+    want_mask = sum(
+        r["n_mask_tokens"] for r in sft_token_samples(msgs, merges).collect()
+    )
+    got_mask = sum(sum(r["loss_mask"]) for r in rows)
+    assert got_mask == want_mask > 0
