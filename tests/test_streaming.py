@@ -2277,3 +2277,86 @@ def test_perplexity_gate_thin_save_load_and_fallback(spark, tables, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     for g in (gate, loaded, forced):
         g.close()
+
+
+def test_full_curation_chain_with_quality_and_selection(spark, tables, tmp_path):
+    """The complete standing-curation composition, one chain: perplexity
+    quality gate (thin) -> DSIR selection (thin) -> frozen-tokenizer
+    encode -> StreamShardSink increments -> loader. Survivors equal the
+    batch-side composition of the same stages in the same order; ids
+    conserve through the shard store."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.sampling import (
+        calibrate_dsir_cutoff,
+        dsir_weights,
+    )
+    from jsonify2ai_spark.operators.textstats import unigram_logprob
+    from jsonify2ai_spark.pipelines import (
+        StreamShardSink,
+        corpus_to_token_shards,
+        read_token_shards,
+    )
+    from jsonify2ai_spark.streaming.windowed import (
+        DSIRGate,
+        PerplexityGate,
+        StreamingPrepChain,
+        TokenizeGate,
+    )
+
+    docs = tables["documents"].select("doc_id", "text", "lang").limit(240)
+    target = docs.filter("lang = 'en'").select("doc_id", "text")
+
+    # batch-side ground truth, same stage order
+    ppl_cut = float(
+        unigram_logprob(docs, reference=target)
+        .agg(F.expr("percentile(ppl, 0.7)"))
+        .collect()[0][0]
+    )
+    q_pass = docs.join(
+        unigram_logprob(docs, reference=target)
+        .filter(F.col("ppl") <= ppl_cut)
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).localCheckpoint(eager=False)
+    w = dsir_weights(q_pass, target, buckets=5_000).localCheckpoint(eager=False)
+    dsir_cut = calibrate_dsir_cutoff(w, 0.5)
+
+    out = str(tmp_path / "run")
+    corpus_to_token_shards(
+        docs.select("doc_id", "text"), out, num_merges=12, budget=64,
+        n_groups=2, assemble=True, eos_id=0,
+    )
+    base_rows = read_token_shards(spark, out).count()
+
+    chain = StreamingPrepChain(
+        [
+            PerplexityGate(target, max_ppl=ppl_cut),
+            DSIRGate(q_pass, target, buckets=5_000, key_cutoff=dsir_cut),
+            TokenizeGate.from_artifacts(spark, out),
+        ]
+    )
+    sink = StreamShardSink.from_artifacts(out)
+    survivors = []
+    for part in range(3):
+        b = docs.filter(F.col("doc_id") % 3 == part)
+        cleaned = chain.filter_batch(b, batch_id=part)
+        survivors.extend(r["doc_id"] for r in cleaned.select("doc_id").collect())
+        sink(cleaned.select("doc_id", "token_ids"), part)
+    sink.flush()
+
+    # batch-side composition: ppl filter then DSIR key filter
+    from jsonify2ai_spark.operators.sampling import _BUCKETS, sample_hash
+
+    u = (sample_hash(F.col("doc_id"), "dsir-v1") + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    key = F.round(F.col("log_weight") - F.log(-F.log(u)), 4) + F.lit(0.0)
+    want = {r["doc_id"] for r in w.filter(key >= F.lit(dsir_cut)).collect()}
+    assert set(survivors) == want and 0 < len(want) < 240
+
+    # the shard store accounts for every survivor's ids exactly once
+    loaded = read_token_shards(spark, out, validate=True)
+    assert loaded.count() > base_rows
+    chain.close()
