@@ -784,6 +784,83 @@ def sft_to_token_shards(
     return result
 
 
+def append_sft_shards(
+    msgs: DataFrame,
+    out_dir: str,
+    run_id: str,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    content_col: str = "text",
+) -> dict:
+    """Incremental counterpart of :func:`sft_to_token_shards`: NEW
+    conversations encode under the run's FROZEN tokenizer and mask
+    config and land as a masked increment at
+    ``shards_incr/<run_id>/`` — :func:`append_token_shards`' exact
+    durability discipline (sidecar-then-manifest, idempotent re-run,
+    compacted-run_id guard), with the SFT additions frozen from the
+    manifest: mask_role, minted unk/eos ids, budget/groups/pad. UNK
+    drift surfaces the same way the token store's does (novel subwords
+    substitute, never drop — alignment is the contract)."""
+    import json
+    import os
+
+    from jsonify2ai_spark.operators.bpe import tokens_to_ids
+    from jsonify2ai_spark.operators.sft import sft_token_samples
+    from jsonify2ai_spark.sinks.export import _pack_and_write_ids
+
+    man_path = os.path.join(out_dir, "manifest.json")
+    with open(man_path, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    cfg = manifest["config"]
+    if not cfg.get("sft"):
+        raise ValueError(
+            "append_sft_shards: not an SFT store (manifest config lacks "
+            "sft=True) — use append_token_shards for text stores"
+        )
+    if str(run_id) in manifest.get("compacted_runs", []):
+        raise ValueError(
+            f"append_sft_shards: run_id {run_id!r} was already folded "
+            "into the base by compact_token_shards — increments need "
+            "fresh run_ids after a compaction"
+        )
+    spark = msgs.sparkSession
+    merges, vocab = load_tokenizer(spark, out_dir)
+    sample = sft_token_samples(
+        msgs, merges,
+        conv_col=conv_col, turn_col=turn_col, role_col=role_col,
+        content_col=content_col, mask_role=cfg["mask_role"],
+        lowercase=bool(cfg["lowercase"]),
+    )
+    ids = tokens_to_ids(
+        sample, vocab, tokens_col="bpe_tokens", out_col="token_ids",
+        oov=int(cfg["unk_id"]), id_col=conv_col,
+    )
+    sub = os.path.join(out_dir, "shards_incr", str(run_id))
+    m = _pack_and_write_ids(
+        ids,
+        sub,
+        budget=int(cfg["budget"]),
+        id_col=conv_col,
+        n_groups=int(cfg["n_groups"]),
+        assemble=True,
+        eos_id=int(cfg["eos_id"]),
+        pad_id=int(cfg["pad_id"]),
+        shuffle_seed=cfg.get("shuffle_seed"),
+        boundaries=True,
+        mask_col="loss_mask",
+    )
+    _write_json_atomic(
+        os.path.join(sub, "_increment.json"),
+        {"run_id": str(run_id), "rows": m["rows"]},
+    )
+    with open(man_path, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    manifest.setdefault("increments", {})[str(run_id)] = m["rows"]
+    _write_json_atomic(man_path, manifest)
+    return {**m, "run_id": str(run_id)}
+
+
 def _write_json_atomic(path: str, obj: dict) -> None:
     """Write ``obj`` as JSON via a same-directory temp file + fsync +
     ``os.replace`` (atomic on POSIX): a crash mid-write can never leave a
@@ -903,6 +980,13 @@ def append_token_shards(
     with open(man_path, encoding="utf-8") as fh:
         manifest = json.load(fh)
     cfg = manifest["config"]
+    if cfg.get("sft"):
+        raise ValueError(
+            "append_token_shards: this store holds SFT samples (loss "
+            "masks ride every bin) — a text-shaped append would land "
+            "maskless rows the loader cannot union; use "
+            "append_sft_shards(msgs, ...) instead"
+        )
     if str(run_id) in manifest.get("compacted_runs", []):
         # the run's rows were folded into the compacted base and its
         # directory may still exist as post-crash garbage the loader

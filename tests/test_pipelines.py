@@ -1950,3 +1950,59 @@ def test_sft_to_token_shards_e2e(spark, tmp_path):
     )
     got_mask = sum(sum(r["loss_mask"]) for r in rows)
     assert got_mask == want_mask > 0
+
+
+def test_append_sft_shards_frozen_config(spark, tmp_path):
+    """SFT store appends: new conversations encode under the frozen
+    tokenizer/mask config, land as a masked increment, and the loader
+    unions base + increment with masks aligned throughout. Text-shaped
+    appends on an SFT store raise; sft appends on a text store raise;
+    idempotent re-run."""
+    import pytest
+
+    from jsonify2ai_spark.pipelines import (
+        append_sft_shards,
+        append_token_shards,
+        corpus_to_token_shards,
+        read_token_shards,
+        sft_to_token_shards,
+    )
+
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [
+            (c, t, ("user" if t % 2 == 0 else "assistant"),
+             f"turn {t} conv {c} thing{c * 10 + t}")
+            for c in range(lo, hi)
+            for t in range(4)
+        ],
+        "conv_id long, turn_idx int, role string, text string",
+    )
+    out = str(tmp_path / "sft")
+    sft_to_token_shards(mk(0, 5), out, num_merges=10, budget=96, n_groups=2)
+    base_rows = read_token_shards(spark, out).count()
+
+    a = append_sft_shards(mk(100, 103), out, "r1")
+    assert a["rows"] > 0
+    a2 = append_sft_shards(mk(100, 103), out, "r1")  # idempotent re-run
+    assert a2["rows"] == a["rows"]
+
+    loaded = read_token_shards(spark, out, validate=True)
+    rows = loaded.collect()
+    assert len(rows) == base_rows + a["rows"]
+    for r in rows:
+        assert len(r["loss_mask"]) == len(r["input_ids"])
+        assert sum(r["loss_mask"]) > 0 or r["n_docs"] == 0
+
+    with pytest.raises(ValueError, match="SFT"):
+        append_token_shards(
+            spark.createDataFrame([(1, "plain text")], "doc_id long, text string"),
+            out, "r2",
+        )
+    # and the converse on a text store
+    tout = str(tmp_path / "text")
+    corpus_to_token_shards(
+        spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string"),
+        tout, num_merges=2, budget=8, n_groups=1,
+    )
+    with pytest.raises(ValueError, match="not an SFT store"):
+        append_sft_shards(mk(0, 1), tout, "r1")
