@@ -2006,3 +2006,44 @@ def test_append_sft_shards_frozen_config(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="not an SFT store"):
         append_sft_shards(mk(0, 1), tout, "r1")
+
+
+def test_compact_sft_store_preserves_masks(spark, tmp_path):
+    """compact_token_shards on an SFT store: the fold is column-complete
+    (loss_mask/boundaries survive), loader before == after row-for-row
+    including provenance, and appends continue post-fold."""
+    from jsonify2ai_spark.pipelines import (
+        append_sft_shards,
+        compact_token_shards,
+        read_token_shards,
+        sft_to_token_shards,
+    )
+
+    mk = lambda lo, hi: spark.createDataFrame(  # noqa: E731
+        [
+            (c, t, ("user" if t % 2 == 0 else "assistant"),
+             f"turn {t} conv {c} thing{c * 10 + t}")
+            for c in range(lo, hi)
+            for t in range(4)
+        ],
+        "conv_id long, turn_idx int, role string, text string",
+    )
+    out = str(tmp_path / "sft")
+    sft_to_token_shards(mk(0, 4), out, num_merges=10, budget=96, n_groups=2)
+    append_sft_shards(mk(50, 53), out, "a1")
+    append_sft_shards(mk(60, 62), out, "a2")
+
+    def snap():
+        return sorted(
+            (r["pack_group"], r["bin_idx"], r["_source_run"],
+             tuple(r["input_ids"]), tuple(r["loss_mask"]),
+             tuple(r["doc_ids"]))
+            for r in read_token_shards(spark, out, validate=True).collect()
+        )
+
+    before = snap()
+    m = compact_token_shards(spark, out)
+    assert sorted(m["folded_runs"]) == ["a1", "a2"]
+    assert snap() == before  # masks + boundaries + provenance survive
+    append_sft_shards(mk(70, 71), out, "a3")  # life continues post-fold
+    assert read_token_shards(spark, out, validate=True).count() > len(before)
