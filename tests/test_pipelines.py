@@ -2047,3 +2047,48 @@ def test_compact_sft_store_preserves_masks(spark, tmp_path):
     assert snap() == before  # masks + boundaries + provenance survive
     append_sft_shards(mk(70, 71), out, "a3")  # life continues post-fold
     assert read_token_shards(spark, out, validate=True).count() > len(before)
+
+
+def test_mixture_blends_sft_stores_and_guards_cross_kind(spark, tmp_path):
+    """read_token_shards_mixture over two SFT stores blends masked bins
+    (columns uniform, masks intact); blending an SFT store with a text
+    store trips the existing layout guard — no maskless rows ever reach
+    a trainer expecting masks."""
+    import pytest
+
+    from jsonify2ai_spark.pipelines import (
+        corpus_to_token_shards,
+        read_token_shards_mixture,
+        sft_to_token_shards,
+    )
+
+    mk = lambda lo, hi, tag: spark.createDataFrame(  # noqa: E731
+        [
+            (c, t, ("user" if t % 2 == 0 else "assistant"),
+             f"{tag} turn {t} conv {c} thing{c * 10 + t}")
+            for c in range(lo, hi)
+            for t in range(4)
+        ],
+        "conv_id long, turn_idx int, role string, text string",
+    )
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    sft_to_token_shards(mk(0, 8, "alpha"), a, num_merges=10, budget=96, n_groups=2)
+    sft_to_token_shards(mk(0, 8, "beta"), b, num_merges=10, budget=96, n_groups=2)
+    mix = read_token_shards_mixture(
+        spark, {"a": a, "b": b}, {"a": 1.0, "b": 1.0}, budget_tokens=10_000
+    )
+    rows = mix.collect()
+    assert rows and {r["_store"] for r in rows} == {"a", "b"}
+    for r in rows:
+        assert len(r["loss_mask"]) == len(r["input_ids"])
+
+    text_store = str(tmp_path / "t")
+    corpus_to_token_shards(
+        spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string"),
+        text_store, num_merges=2, budget=8, n_groups=1, assemble=True, eos_id=0,
+    )
+    with pytest.raises(ValueError, match="mismatched"):
+        read_token_shards_mixture(
+            spark, {"a": a, "t": text_store}, {"a": 1.0, "t": 1.0},
+            budget_tokens=10_000,
+        )
