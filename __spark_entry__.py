@@ -2351,73 +2351,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/gate_staleness.py to plan each rotation; `--check` FAILS if
     # this ordering wastes gate slots on fresh queries while staler ones
     # wait (the r10 miss, mechanized — see tests/test_entry.py).
-    # Round-12 gate (staleness tool replay: 70 queries hit the 2-round
-    # line — 20 r8-greens + the 50-query r9/r10 cohort — vs 50 slots, so
-    # again the strongest satisfiable form applies: gate = a 50-stalest
-    # set): ALL 20 remaining r8-greens + the 30 OLDEST r10-greens in
-    # gate_staleness.py order. New round-12 queries (never-green =
-    # stalest) slot at the top per policy (a), displacing the gate's
-    # bottom entries (q80, q82 first). Round-13 owes the remaining 20
-    # r10-greens (q03 q05 q07 q08 q10 q04 q06 q13 q32 q33 q36 q37 q41
-    # q43 q11 q12 q15 q19 q21 q28, laid out first in the tail below).
-    # See COVERAGE.md ledger.
+    # Round-13 gate (staleness tool: 74 queries hit the 2-round line —
+    # the 24 r10-greens q103/q104/q82/q80 + the 20-query q03…q28 block,
+    # plus the full 50-query r11-gate cohort — vs 50 slots, so again the
+    # strongest satisfiable form applies: gate = a 50-stalest set): ALL
+    # 24 r10-greens + the 26 OLDEST r11-greens in gate_staleness.py
+    # order. New round-13 queries (never-green = stalest) slot at the
+    # top per policy (a), displacing the gate's bottom r11 entries back
+    # to the tail head. Round-14 owes the remaining r11-greens (q49 q50
+    # q01 q14 q24 q64 q65 q66 q67 q110 q111 q112 q106 q97 q109 q105 q30
+    # q107 q68 q69 q70 q71 q72 q73 + any displaced below, laid out FIRST
+    # in the tail so the debt lands as the r14 gate's head). See
+    # COVERAGE.md ledger.
     return {
-        # --- new this round (policy (a): first driver row gates) ---
-        "q122_prep_report": q122_prep_report,  # NEW r12: prep run-report card
-        "q123_bm25_sharded": q123_bm25_sharded,  # NEW r12: term-bucket-sharded BM25 serving
-        "q124_dsir_prep": q124_dsir_prep,  # NEW r12: prep-chain DSIR stage composition
-        "q125_sft_render": q125_sft_render,  # NEW r12: SFT sample assembly + loss-mask spans
-        # --- 20 r8-greens (2 rounds driver-stale: round-12's mandatory block) ---
-        "q75_dedup_keep_best": q75_dedup_keep_best,
-        "q76_containment_pairs": q76_containment_pairs,
-        "q77_shingle_census": q77_shingle_census,
-        "q78_vocab_stats": q78_vocab_stats,
-        "q79_cross_source_dup": q79_cross_source_dup,
-        "q81_source_quality": q81_source_quality,
-        "q84_novelty_scores": q84_novelty_scores,
-        "q85_boilerplate_catalog": q85_boilerplate_catalog,
-        "q86_token_histogram": q86_token_histogram,
-        "q87_corpus_diff": q87_corpus_diff,
-        "q88_syndication_matrix": q88_syndication_matrix,
-        "q90_dedup_impact": q90_dedup_impact,
-        "q91_containment_capped": q91_containment_capped,
-        "q92_corpus_divergence": q92_corpus_divergence,
-        "q16_simhash": q16_simhash,
-        "q17_jaccard_pairs": q17_jaccard_pairs,
-        "q18_minhash_lsh": q18_minhash_lsh,
-        "q25_ivf_ann": q25_ivf_ann,
-        "q27_bpe_tokens": q27_bpe_tokens,
-        "q45_brand_revenue_having": q45_brand_revenue_having,
-        # --- 28 oldest r10-greens (gate_staleness.py order) ---
-        "q116_token_ids": q116_token_ids,
-        "q113_assign_splits": q113_assign_splits,
-        "q114_split_leakage": q114_split_leakage,
-        "q115_diversity_sample": q115_diversity_sample,
-        "q117_pack_token_ids": q117_pack_token_ids,
-        "q118_semantic_decontaminate": q118_semantic_decontaminate,
-        "q51_dedup_clusters": q51_dedup_clusters,
-        "q52_jaccard_capped": q52_jaccard_capped,
-        "q53_ingest_summary": q53_ingest_summary,
-        "q54_stratified_sample": q54_stratified_sample,
-        "q55_weighted_interleave": q55_weighted_interleave,
-        "q56_chat_chunk_stats": q56_chat_chunk_stats,
-        "q57_pack_sequences": q57_pack_sequences,
-        "q58_pii_scan": q58_pii_scan,
-        "q59_repetition_quality": q59_repetition_quality,
-        "q60_decontaminate": q60_decontaminate,
-        "q61_unigram_logprob": q61_unigram_logprob,
-        "q62_embed_dup_clusters": q62_embed_dup_clusters,
-        "q93_syndication_capped": q93_syndication_capped,
-        "q94_language_mix": q94_language_mix,
-        "q96_curriculum_buckets": q96_curriculum_buckets,
-        "q98_line_dedup": q98_line_dedup,
-        "q99_tokenizer_fertility": q99_tokenizer_fertility,
-        "q100_training_pipeline": q100_training_pipeline,
-        "q101_incremental_pipeline": q101_incremental_pipeline,
-        "q102_conversation_lint": q102_conversation_lint,
-        # ================= tail (entry 51+) =================
-        # r10-greens displaced by the new r12 queries, then round-13's
-        # mandatory 20-query r10-green block (oldest-first)
+        # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
         "q82_mixture_weights": q82_mixture_weights,
@@ -2442,8 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_knn_brute": q19_knn_brute,
         "q21_vector_search_docs": q21_vector_search_docs,
         "q28_winnowing": q28_winnowing,
-        # r11-gate cohort (50: q119-q121 + the 32-query r7 cohort + the 15
-        # oldest r8-greens): freshest (driver-green r11); re-ages from r13
+        # --- 26 oldest r11-greens (gate_staleness.py order) ---
         "q119_packed_boundaries": q119_packed_boundaries,
         "q120_dsir": q120_dsir,
         "q121_pack_report": q121_pack_report,
@@ -2470,6 +2416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
         "q47_csv_lines": q47_csv_lines,
         "q48_salted_agg": q48_salted_agg,
+        # ================= tail (entry 51+) =================
+        # round-14's mandatory debt: the r11-greens that did not fit
+        # (oldest-first, gate_staleness.py order)
         "q49_salted_join": q49_salted_join,
         "q50_time_range_search": q50_time_range_search,
         "q01_pricing_summary": q01_pricing_summary,
@@ -2494,6 +2443,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_gopher_filter": q71_gopher_filter,
         "q72_clip_tokens": q72_clip_tokens,
         "q73_bigram_logprob": q73_bigram_logprob,
+        # r12-gate cohort (driver-green r12): ages to its 2-round line
+        # at r15; gate_staleness.py order within the cohort
+        "q122_prep_report": q122_prep_report,
+        "q123_bm25_sharded": q123_bm25_sharded,
+        "q124_dsir_prep": q124_dsir_prep,
+        "q125_sft_render": q125_sft_render,
+        "q75_dedup_keep_best": q75_dedup_keep_best,
+        "q76_containment_pairs": q76_containment_pairs,
+        "q77_shingle_census": q77_shingle_census,
+        "q78_vocab_stats": q78_vocab_stats,
+        "q79_cross_source_dup": q79_cross_source_dup,
+        "q81_source_quality": q81_source_quality,
+        "q84_novelty_scores": q84_novelty_scores,
+        "q85_boilerplate_catalog": q85_boilerplate_catalog,
+        "q86_token_histogram": q86_token_histogram,
+        "q87_corpus_diff": q87_corpus_diff,
+        "q88_syndication_matrix": q88_syndication_matrix,
+        "q90_dedup_impact": q90_dedup_impact,
+        "q91_containment_capped": q91_containment_capped,
+        "q92_corpus_divergence": q92_corpus_divergence,
+        "q16_simhash": q16_simhash,
+        "q17_jaccard_pairs": q17_jaccard_pairs,
+        "q18_minhash_lsh": q18_minhash_lsh,
+        "q25_ivf_ann": q25_ivf_ann,
+        "q27_bpe_tokens": q27_bpe_tokens,
+        "q45_brand_revenue_having": q45_brand_revenue_having,
+        "q116_token_ids": q116_token_ids,
+        "q113_assign_splits": q113_assign_splits,
+        "q114_split_leakage": q114_split_leakage,
+        "q115_diversity_sample": q115_diversity_sample,
+        "q117_pack_token_ids": q117_pack_token_ids,
+        "q118_semantic_decontaminate": q118_semantic_decontaminate,
+        "q51_dedup_clusters": q51_dedup_clusters,
+        "q52_jaccard_capped": q52_jaccard_capped,
+        "q53_ingest_summary": q53_ingest_summary,
+        "q54_stratified_sample": q54_stratified_sample,
+        "q55_weighted_interleave": q55_weighted_interleave,
+        "q56_chat_chunk_stats": q56_chat_chunk_stats,
+        "q57_pack_sequences": q57_pack_sequences,
+        "q58_pii_scan": q58_pii_scan,
+        "q59_repetition_quality": q59_repetition_quality,
+        "q60_decontaminate": q60_decontaminate,
+        "q61_unigram_logprob": q61_unigram_logprob,
+        "q62_embed_dup_clusters": q62_embed_dup_clusters,
+        "q93_syndication_capped": q93_syndication_capped,
+        "q94_language_mix": q94_language_mix,
+        "q96_curriculum_buckets": q96_curriculum_buckets,
+        "q98_line_dedup": q98_line_dedup,
+        "q99_tokenizer_fertility": q99_tokenizer_fertility,
+        "q100_training_pipeline": q100_training_pipeline,
+        "q101_incremental_pipeline": q101_incremental_pipeline,
+        "q102_conversation_lint": q102_conversation_lint,
     }
 
 
