@@ -689,9 +689,16 @@ def sft_to_token_shards(
     token-shard family uses — :func:`read_token_shards` loads it.
 
     Reserved ids are MINTED past the vocabulary: ``unk_id =
-    vocab_size``, ``eos_id = vocab_size + 1`` (recorded in the
-    manifest config) — a caller-supplied eos of 0 would collide with a
-    real token id, the trap the explicit mint avoids. The base run has
+    vocab_size + 1``, ``eos_id = vocab_size + 2`` (recorded in the
+    manifest config) — :func:`~jsonify2ai_spark.operators.textstats.
+    build_vocab` assigns 1-BASED ids spanning ``[1, vocab_size]``, so
+    ``vocab_size`` itself IS a real token's id (the least-frequent
+    in-vocab token; an earlier ``unk_id = vocab_size`` silently aliased
+    every novel subword to it in trainer shards — r12 advisor, high).
+    A caller-supplied eos of 0 would likewise collide under a 0-based
+    scheme, the trap the explicit past-the-inventory mint avoids.
+    Pre-fix stores keep working: :func:`append_sft_shards` reads these
+    ids from the store manifest, never re-derives them. The base run has
     zero UNKs by construction (the vocab is built from the samples'
     own tokens) unless ``max_vocab`` caps it; UNK substitution then
     preserves alignment where a drop could not.
@@ -737,7 +744,10 @@ def sft_to_token_shards(
     )
     vocab_saved = spark.read.parquet(os.path.join(tok_dir, "vocab.parquet"))
     vocab_size = vocab_saved.count()
-    unk_id, eos_id = vocab_size, vocab_size + 1
+    # ids are 1-based [1, vocab_size] (build_vocab's row_number), so the
+    # first free id is vocab_size + 1 — NOT vocab_size, which is the
+    # least-frequent real token's id (r12 advisor, high severity)
+    unk_id, eos_id = vocab_size + 1, vocab_size + 2
 
     ids = tokens_to_ids(
         sample, vocab_saved, tokens_col="bpe_tokens", out_col="token_ids",

@@ -1923,8 +1923,19 @@ def test_sft_to_token_shards_e2e(spark, tmp_path):
         msgs, out, num_merges=12, budget=96, n_groups=2, shuffle_seed=7
     )
     assert m["config"]["sft"] is True
-    assert m["config"]["unk_id"] == m["vocab_size"]
-    assert m["config"]["eos_id"] == m["vocab_size"] + 1
+    # minted ids must be strictly PAST the real inventory: build_vocab's
+    # ids are 1-based [1, vocab_size], so unk_id == vocab_size would
+    # alias the least-frequent real token (r12 advisor, high) — pin
+    # non-collision against the persisted vocab itself, not just the
+    # arithmetic
+    assert m["config"]["unk_id"] == m["vocab_size"] + 1
+    assert m["config"]["eos_id"] == m["vocab_size"] + 2
+    max_real = (
+        spark.read.parquet(out + "/tokenizer/vocab.parquet")
+        .agg({"token_id": "max"}).collect()[0][0]
+    )
+    assert m["config"]["unk_id"] > max_real
+    assert m["config"]["eos_id"] > max_real
 
     rows = read_token_shards(spark, out, validate=True).collect()
     assert rows
