@@ -163,6 +163,17 @@ def sft_token_samples(
     )
     spark = df.sparkSession
     roles = [r[0] for r in df.select(role_col).distinct().collect()]
+    if any(r is None for r in roles):
+        # a NULL role can never match the header join key (NULL != NULL
+        # in an equi-join), so the turn would vanish from its
+        # conversation's sample and silently SHIFT every later token
+        # relative to render_sft_samples' char-space output — the exact
+        # misalignment class the oov='drop' pin exists for (r12 advisor)
+        raise ValueError(
+            f"sft_token_samples: NULL in role column {role_col!r} — "
+            "every turn must carry a role; fill or drop malformed turns "
+            "upstream"
+        )
     hdr_df = spark.createDataFrame([(r, f"<|{r}|>") for r in roles],
                                    f"{role_col} string, _h string")
     hdr_counts = bpe_encode_fast(
@@ -177,7 +188,27 @@ def sft_token_samples(
         ),
     ).otherwise(F.array_repeat(F.lit(0), F.size("_toks")))
 
-    turns = enc.join(F.broadcast(hdr_counts), role_col).select(
+    # left join + plan-embedded raise instead of the (equivalent-looking)
+    # inner join: a role that appears between the inventory collect above
+    # and this join's execution (concurrent input change, or a NULL that
+    # slipped past a non-deterministic source) must fail loudly, not
+    # silently drop the turn and misalign the conversation's mask
+    guarded_hn = F.when(
+        F.col("_hn").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "sft_token_samples: turn role absent from the header "
+                    "inventory (NULL role or input changed under the "
+                    "run): "
+                ),
+                F.coalesce(F.col(role_col), F.lit("NULL")),
+            )
+        ).cast("int"),
+    ).otherwise(F.col("_hn"))
+    turns = enc.join(F.broadcast(hdr_counts), role_col, "left").withColumn(
+        "_hn", guarded_hn
+    ).select(
         F.col(conv_col),
         F.struct(
             F.col(turn_col).alias("t"),

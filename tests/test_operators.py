@@ -3380,6 +3380,32 @@ def test_sft_token_samples_mask_alignment(spark):
     )
 
 
+def test_sft_token_samples_null_role_raises(spark):
+    """A NULL role must fail LOUDLY, not vanish: the header join is an
+    equi-join, so a NULL-role turn would silently drop from its
+    conversation's sample and shift every later token relative to
+    render_sft_samples' char-space output — the same misalignment class
+    as oov='drop' (r12 advisor)."""
+    import pytest
+
+    from jsonify2ai_spark.operators.bpe import train_bpe
+    from jsonify2ai_spark.operators.sft import sft_token_samples
+
+    msgs = spark.createDataFrame(
+        [
+            (1, 0, "user", "the cat sat"),
+            (1, 1, None, "orphan turn"),
+            (1, 2, "assistant", "on the mat"),
+        ],
+        "conv_id long, turn_idx int, role string, text string",
+    )
+    merges = train_bpe(
+        msgs.selectExpr("conv_id as doc_id", "text"), num_merges=5
+    )
+    with pytest.raises(ValueError, match="NULL in role column"):
+        sft_token_samples(msgs, merges)
+
+
 def test_concat_token_bins_loss_mask_assembly(spark):
     """Mask-aware assembly: the assembled loss_mask aligns with
     input_ids position-for-position — per-doc masks in doc order, 0 at
