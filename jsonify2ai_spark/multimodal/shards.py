@@ -184,25 +184,51 @@ def append_media_shards(
     )
     sub = os.path.join(out_dir, "shards_incr", str(run_id))
     rows = _write_media_part(kept, sub, cfg["id_col"], int(cfg["n_groups"]))
+    dropped_n = dropped.count()
+
+    def _record(update) -> None:
+        # read-modify-write against the CURRENT manifest (not the copy
+        # loaded before featurization) under the store's single-writer
+        # contract; _write_json_atomic fsyncs
+        with open(man_path, encoding="utf-8") as fh:
+            cur = json.load(fh)
+        update(cur)
+        _write_json_atomic(man_path, cur)
+
+    # drops are keyed BY RUN and overwritten on a same-run_id replay —
+    # exactly like the increments map — so an idempotent re-ingest can
+    # never double-count them; the manifest's top-level
+    # dropped_undecodable stays the BASE run's count and the store total
+    # is base + sum(dropped_by_run.values()) (r12 advisor)
     if rows == 0:
         # idle trigger / all-undecodable batch: no increment-directory
-        # litter, no manifest entry (StreamShardSink's n==0 contract)
+        # litter, no increments entry (StreamShardSink's n==0 contract) —
+        # but an all-undecodable batch's drops are still data loss and
+        # must land in the ledger ("counted, never silently")
         import shutil
 
         shutil.rmtree(sub, ignore_errors=True)
-        return {"run_id": str(run_id), "rows": 0, "out_dir": sub}
+        if dropped_n > 0:
+            _record(
+                lambda cur: cur.setdefault("dropped_by_run", {}).__setitem__(
+                    str(run_id), dropped_n
+                )
+            )
+        return {"run_id": str(run_id), "rows": 0, "out_dir": sub,
+                "dropped_undecodable": dropped_n}
     _write_json_atomic(
         os.path.join(sub, "_increment.json"),
         {"run_id": str(run_id), "rows": rows},
     )
-    with open(man_path, encoding="utf-8") as fh:
-        manifest = json.load(fh)
-    manifest.setdefault("increments", {})[str(run_id)] = rows
-    manifest["dropped_undecodable"] = (
-        int(manifest.get("dropped_undecodable", 0)) + dropped.count()
-    )
-    _write_json_atomic(man_path, manifest)
-    return {"run_id": str(run_id), "rows": rows, "out_dir": sub}
+
+    def _apply(cur: dict) -> None:
+        cur.setdefault("increments", {})[str(run_id)] = rows
+        if dropped_n > 0 or str(run_id) in cur.get("dropped_by_run", {}):
+            cur.setdefault("dropped_by_run", {})[str(run_id)] = dropped_n
+
+    _record(_apply)
+    return {"run_id": str(run_id), "rows": rows, "out_dir": sub,
+            "dropped_undecodable": dropped_n}
 
 
 def read_media_shards(

@@ -1332,6 +1332,19 @@ def _compact_store(
     manifest["shards_dir"] = new_rel
     manifest["compaction"] = version
     manifest["increments"] = {}
+    # media stores ledger per-run drop counts next to the increments map
+    # (append_media_shards); folding a run folds its drops into the base
+    # figure so "total = dropped_undecodable + sum(dropped_by_run)"
+    # survives compaction. Unfolded entries (rows==0 all-undecodable
+    # batches have drops but no increment directory) stay keyed by run.
+    by_run = manifest.get("dropped_by_run")
+    if by_run:
+        folded_drops = sum(int(by_run.pop(rid, 0)) for rid in folded)
+        if folded_drops:
+            manifest["dropped_undecodable"] = (
+                int(manifest.get("dropped_undecodable", 0)) + folded_drops
+            )
+        manifest["dropped_by_run"] = by_run
     manifest["compacted_runs"] = sorted(
         set(manifest.get("compacted_runs", [])) | set(folded)
     )

@@ -181,6 +181,74 @@ def test_media_feature_shards_e2e(spark, tmp_path):
     assert vecs.filter(F.size("embedding") != 16).count() == 0
 
 
+def test_media_shards_dropped_ledger(spark, tmp_path, monkeypatch):
+    """Drop accounting survives replays and the rows==0 path (r12
+    advisor): per-run drop counts are keyed by run_id and OVERWRITTEN on
+    an idempotent same-run_id replay (never re-summed), an
+    all-undecodable batch's drops still land in the manifest despite
+    writing no increment, and compaction folds folded runs' drops into
+    the base figure. Dev-mode featurization never yields NULL features,
+    so the kept/dropped split is injected via _featurize."""
+    import json
+    import os
+
+    from jsonify2ai_spark.multimodal import shards as shards_mod
+    from jsonify2ai_spark.multimodal.shards import (
+        append_media_shards,
+        media_to_feature_shards,
+    )
+    from jsonify2ai_spark.pipelines import compact_media_shards
+
+    base = spark.createDataFrame(
+        [(i, bytes([i % 251]) * 40) for i in range(10)],
+        "media_id long, content binary",
+    )
+    out = str(tmp_path / "media")
+    m = media_to_feature_shards(base, out, dim=8, n_groups=2)
+    assert m["dropped_undecodable"] == 0
+
+    schema = "media_id long, features array<double>"
+    feat = [0.5] * 8
+
+    def fake_featurize(kept_rows, dropped_rows):
+        kept = spark.createDataFrame(
+            [(i, feat) for i in kept_rows], schema
+        )
+        dropped = spark.createDataFrame(
+            [(i, None) for i in dropped_rows], schema
+        )
+        return lambda *a, **k: (kept, dropped)
+
+    man = lambda: json.load(  # noqa: E731
+        open(os.path.join(out, "manifest.json"), encoding="utf-8")
+    )
+
+    monkeypatch.setattr(shards_mod, "_featurize", fake_featurize([100, 101, 102], [1000, 1001]))
+    a = append_media_shards(base, out, "d1")
+    assert a["rows"] == 3 and a["dropped_undecodable"] == 2
+    assert man()["dropped_by_run"] == {"d1": 2}
+    assert man()["dropped_undecodable"] == 0  # base figure untouched
+
+    # idempotent replay: overwrite, not re-sum
+    append_media_shards(base, out, "d1")
+    assert man()["dropped_by_run"] == {"d1": 2}
+
+    # all-undecodable batch: rows==0, no increment directory, but the
+    # drops are ledgered ("counted, never silently")
+    monkeypatch.setattr(shards_mod, "_featurize", fake_featurize([], [1, 2, 3, 4]))
+    z = append_media_shards(base, out, "d2")
+    assert z["rows"] == 0 and z["dropped_undecodable"] == 4
+    assert not os.path.exists(os.path.join(out, "shards_incr", "d2"))
+    assert man()["dropped_by_run"] == {"d1": 2, "d2": 4}
+    assert "d2" not in man().get("increments", {})
+
+    # compaction folds d1 (it has an increment) into the base figure;
+    # d2 (no increment) stays keyed by run
+    compact_media_shards(spark, out, defer_delete=False)
+    assert man()["dropped_undecodable"] == 2
+    assert man()["dropped_by_run"] == {"d2": 4}
+
+
 def test_media_shards_compact_and_sink(spark, tmp_path):
     """compact_media_shards folds increments with the token-store
     protocol (loader before == after row-for-row including _source_run;
