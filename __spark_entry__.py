@@ -3009,16 +3009,27 @@ def q123_bm25_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~|terms|/n_buckets of the postings, never the corpus (the in-memory
     index's corpus-linear lexical floor, PERF.md round-11 crossover).
     Scores must equal bm25_topk exactly (k=15 to differentiate from
-    q30's k=10 row); the oracle replays the q30 arithmetic."""
+    q30's k=10 row); the oracle replays the q30 arithmetic.
+
+    The index builds into a scratch dir that is REMOVED before
+    returning (r12 advisor: every gate run leaked a postings/doclens
+    directory): the k-row result is eagerly localCheckpoint'ed first so
+    the returned frame reads from checkpoint storage, not the deleted
+    parquet."""
+    import shutil
     import tempfile
 
     from jsonify2ai_spark.operators.textsearch import ShardedBM25Index
 
     t = load_tables(spark, sf_dir, ["documents"])
-    idx = ShardedBM25Index.build(
-        t["documents"], tempfile.mkdtemp(prefix="bm25shard_"), n_buckets=16
-    )
-    return idx.topk(_SEARCH_QUERY, k=15)
+    tmp = tempfile.mkdtemp(prefix="bm25shard_")
+    try:
+        idx = ShardedBM25Index.build(t["documents"], tmp, n_buckets=16)
+        out = idx.topk(_SEARCH_QUERY, k=15).localCheckpoint()
+        idx.close()
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _dd_prep_report_sql(

@@ -173,6 +173,28 @@ def main() -> int:
                 "recall_at_10_common": recall_at_10(questions),
                 "recall_at_10_discriminative": recall_at_10(disc),
             }
+            # RoutedBM25 batched routing (r12 verdict #2): the probe for
+            # the full 24-question batch is ONE action with constant job
+            # count — measure its wall and job count at the biggest size
+            from jsonify2ai_spark.operators.textsearch import RoutedBM25
+
+            routed = RoutedBM25(sharded_full, pruned, df_max=rep * 2)
+            routed._route_batch(questions[:2])  # warm
+            sc = spark.sparkContext
+            sc.setJobGroup("route24", "batched routing probe")
+            t0 = time.perf_counter()
+            routed._route_batch(questions + disc)
+            route_ms = (time.perf_counter() - t0) * 1000.0
+            route_jobs = len(
+                sc.statusTracker().getJobIdsForGroup("route24")
+            )
+            sc.setJobGroup(None, None)
+            results["routing_48q"] = {
+                "probe_ms": round(route_ms, 1),
+                "probe_jobs": route_jobs,
+            }
+            print("routing_48q", results["routing_48q"], flush=True)
+
             pruned.close()
             sharded_full.close()
             shutil.rmtree(tmp2, ignore_errors=True)

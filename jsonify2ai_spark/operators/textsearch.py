@@ -562,9 +562,14 @@ class RoutedBM25:
     into every row, and the probe partition-prunes to the query's
     buckets like any query) — one tiny job, no driver-side vocabulary.
     A term absent from BOTH indexes contributes nothing to either
-    ranking and is ignored for routing. ``topk_batch`` splits the batch
-    by the same rule and runs ONE job per sub-batch, re-keyed to the
-    caller's query_ids.
+    ranking and is ignored for routing. ``topk_batch`` routes the WHOLE
+    batch with ONE probe action (distinct term→df_t over the union of
+    the batch's buckets — a batch-terms-sized collect — then the min-df
+    rule folds driver-side; r12 verdict #2: the previous per-query
+    ``_route`` loop launched N sequential driver-bound probe jobs
+    before any scoring), then runs ONE scoring job per sub-batch,
+    re-keyed to the caller's query_ids. Probe job count is CONSTANT in
+    the batch size, test-pinned.
     """
 
     def __init__(
@@ -582,17 +587,35 @@ class RoutedBM25:
     def _route(self, query: str) -> bool:
         """True -> pruned. Min df over the query's terms, read from the
         pruned postings (bucket-pruned probe)."""
-        terms = sorted({t.lower() for t in query.split() if t})
-        if not terms:
-            return False
-        rows = (
-            self._pruned._lookup(terms)
+        return self._route_batch([query])[0]
+
+    def _route_batch(self, queries: list) -> "list[bool]":
+        """Route every query with ONE probe action: the distinct
+        term→df_t pairs over the union of the batch's buckets (bucket +
+        term partition-pruned, exactly like a query's own scan) collect
+        once — the result is bounded by the batch's distinct TERM count,
+        not by any posting list — and the per-query min-df rule folds
+        driver-side over that tiny map. Constant job count in the batch
+        size (test-pinned); the previous per-query loop launched N
+        sequential probe jobs before any scoring started. A query with
+        no surviving terms routes exact (it would score empty either
+        way)."""
+        per_q = [sorted({t.lower() for t in q.split() if t}) for q in queries]
+        all_terms = sorted({t for ts in per_q for t in ts})
+        if not all_terms:
+            return [False] * len(queries)
+        df_by_term = {
+            r["term"]: int(r["df_t"])
+            for r in self._pruned._lookup(all_terms)
             .select("term", "df_t")
             .distinct()
             .collect()
-        )
-        dfs = [int(r["df_t"]) for r in rows]
-        return bool(dfs) and min(dfs) <= self._df_max
+        }
+        out = []
+        for ts in per_q:
+            dfs = [df_by_term[t] for t in ts if t in df_by_term]
+            out.append(bool(dfs) and min(dfs) <= self._df_max)
+        return out
 
     def topk(self, query: str, k: int = 10, filter=None) -> DataFrame:
         idx = self._pruned if self._route(query) else self._exact
@@ -600,7 +623,7 @@ class RoutedBM25:
 
     def topk_batch(self, queries: list, k: int = 10) -> DataFrame:
         spark = self._exact._posts.sparkSession
-        routed = [self._route(q) for q in queries]
+        routed = self._route_batch(queries)
         out = None
         for use_pruned in (False, True):
             sub = [

@@ -622,4 +622,26 @@ def test_routed_bm25_applies_measured_rule(spark, tmp_path):
     assert routed.topk_batch([common_q], k=3).count() > 0
     assert routed.topk_batch([], k=3).count() == 0
     assert routed.topk_batch([], k=3).columns == ["query_id", "doc_id", "bm25"]
+
+    # batched routing parity with the per-query rule, and the job-count
+    # contract (r12 verdict #2): routing is CONSTANT jobs in the batch
+    # size (one probe action), not N sequential per-query probes
+    mixed = [common_q, rare_q, "entity3 window", "", "spark window"]
+    assert routed._route_batch(mixed) == [
+        False, True, True, False, False
+    ]
+
+    def probe_jobs(batch, tag):
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, "batched routing job-count pin")
+        try:
+            routed._route_batch(batch)
+            return len(sc.statusTracker().getJobIdsForGroup(tag))
+        finally:
+            sc.setJobGroup(None, None)
+
+    one = probe_jobs([rare_q], "routing-probe-1")
+    five = probe_jobs(mixed, "routing-probe-5")
+    assert five == one, f"routing jobs grew with batch size: {one} -> {five}"
+    assert one <= 3  # one action (AQE may split the distinct's shuffle)
     routed.close()
