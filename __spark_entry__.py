@@ -2340,6 +2340,118 @@ def q125_sft_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_sft_samples(msgs)
 
 
+def q126_sft_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-space SFT samples (operators/sft.py sft_token_samples, r12
+    verdict #3: the trainer contract — position-aligned loss masks —
+    had only pytest rows): q125's derived chat corpus encoded per turn
+    under merges=[] (every BPE_SPLIT_RE pre-token splits to chars +
+    </w>, so the oracle can replay exact token counts: len+1 per
+    pre-token), flattened per conversation. The value check pins mask
+    POSITIONS, not just mass: mask_checksum = sum over masked 1-based
+    positions — any header/content boundary drift or turn-order slip
+    moves it. lowercase=False keeps the regex replay in q27's proven
+    ASCII territory (DuckDB lower() diverges on non-ASCII).
+
+    Reference anchor: the chat parse surface this extends
+    (worker/app/services/parse_chatgpt.py:104-331)."""
+    from jsonify2ai_spark.operators.sft import sft_token_samples
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    turn = F.floor(F.col("doc_id") / 60).cast("int")
+    role = (
+        F.when(F.col("doc_id") % 97 == 0, F.lit("assistant"))
+        .when(F.col("doc_id") % 83 == 0, F.lit("tool"))
+        .when(turn % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+    )
+    msgs = t["documents"].select(
+        (F.col("doc_id") % 60).alias("conv_id"),
+        turn.alias("turn_idx"),
+        role.alias("role"),
+        F.when(F.col("doc_id") % 89 == 0, F.lit("")).otherwise(F.col("text")).alias("text"),
+    )
+    out = sft_token_samples(msgs, [], lowercase=False)
+    zero = F.lit(0).cast("bigint")
+    sz = F.size("loss_mask")
+    ck = F.when(sz == 0, zero).otherwise(
+        F.aggregate(
+            F.zip_with(
+                "loss_mask",
+                F.sequence(F.lit(1), sz),
+                lambda m, i: m.cast("bigint") * i,
+            ),
+            zero,
+            lambda a, x: a + x,
+        )
+    )
+    return out.select(
+        "conv_id",
+        F.col("n_tokens"),
+        F.col("n_mask_tokens"),
+        ck.alias("mask_checksum"),
+    )
+
+
+def q127_media_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-shard store lifecycle audit (multimodal/shards.py +
+    pipelines.shard_store_report, r12 verdict #4: the media trainer
+    path's store audit had no driver row): a feature store builds from
+    the documents table's bytes (q29's opaque-content idiom), takes
+    four increments, and is then deterministically injured — r1's
+    manifest cache entry dropped (unmanifested: the loader heals it),
+    r2's sidecar removed (torn: the write never committed), r3's
+    directory deleted under an intact manifest claim (lost: the loader
+    would raise). r4 stays healthy. The report's per-part statuses and
+    row counts are what an operator acts on; every count derives from
+    the table, so the oracle recomputes them independently. The part
+    listing is store-sized (driver-side by design — the audit must run
+    against a store loaders are reading, no Spark job); -1 encodes the
+    'rows unknowable' NULL of torn parts."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from jsonify2ai_spark.multimodal.shards import (
+        append_media_shards,
+        media_to_feature_shards,
+    )
+    from jsonify2ai_spark.pipelines import shard_store_report
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("content"),
+    )
+    tmp = tempfile.mkdtemp(prefix="mediastore_q127_")
+    try:
+        media_to_feature_shards(
+            media.filter(F.col("media_id") % 3 == 0), tmp, dim=8, n_groups=4
+        )
+        append_media_shards(media.filter(F.col("media_id") % 3 == 1), tmp, "r1")
+        append_media_shards(media.filter(F.col("media_id") % 3 == 2), tmp, "r2")
+        append_media_shards(media.filter(F.col("media_id") % 7 == 0), tmp, "r3")
+        append_media_shards(media.filter(F.col("media_id") % 5 == 0), tmp, "r4")
+        man_path = os.path.join(tmp, "manifest.json")
+        with open(man_path, encoding="utf-8") as fh:
+            man = json.load(fh)
+        del man["increments"]["r1"]  # -> unmanifested (sidecar survives)
+        with open(man_path, "w", encoding="utf-8") as fh:
+            json.dump(man, fh)
+        os.remove(os.path.join(tmp, "shards_incr", "r2", "_increment.json"))  # -> torn
+        shutil.rmtree(os.path.join(tmp, "shards_incr", "r3"))  # -> lost
+        rep = shard_store_report(tmp)
+        rows = [("base", "base", int(rep["base"]["rows"]))]
+        rows += [
+            (p["run_id"], p["status"],
+             -1 if p["rows"] is None else int(p["rows"]))
+            for p in rep["increments"]
+        ]
+        return spark.createDataFrame(rows, "part string, status string, n_rows bigint")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's correctness gate checks the FIRST 50 entries; the tail
     # still runs in bench.py and verify_local.py. Rotation policy (VERDICT
@@ -2364,6 +2476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in the tail so the debt lands as the r14 gate's head). See
     # COVERAGE.md ledger.
     return {
+        # --- new this round (policy (a): first driver row gates) ---
+        "q126_sft_tokens": q126_sft_tokens,  # NEW r13: token-space SFT loss masks
+        "q127_media_store_audit": q127_media_store_audit,  # NEW r13: media store health card
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -2414,11 +2529,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_moving_window": q42_moving_window,
         "q44_hybrid_rrf": q44_hybrid_rrf,
         "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
-        "q47_csv_lines": q47_csv_lines,
-        "q48_salted_agg": q48_salted_agg,
         # ================= tail (entry 51+) =================
         # round-14's mandatory debt: the r11-greens that did not fit
-        # (oldest-first, gate_staleness.py order)
+        # (oldest-first, gate_staleness.py order; q47/q48 displaced by
+        # the two new r13 rows above)
+        "q47_csv_lines": q47_csv_lines,
+        "q48_salted_agg": q48_salted_agg,
         "q49_salted_join": q49_salted_join,
         "q50_time_range_search": q50_time_range_search,
         "q01_pricing_summary": q01_pricing_summary,
@@ -5071,6 +5187,65 @@ def oracle_sql() -> dict[str, str]:
                                             THEN s || ':' || e END, ';'
                                        ORDER BY turn_idx, role, content), '') AS mask_spans
             FROM pe GROUP BY conv_id
+        """,
+        # q126 twin: per-turn token counts replayed exactly — merges=[]
+        # means every BPE_SPLIT_RE pre-token becomes chars + </w>, i.e.
+        # len(pre)+1 symbols; header counts replay the same way over
+        # '<|role|>'; the running token offset (window cumsum) turns the
+        # assistant spans into the closed-form 1-based position sum
+        # ((e)(e+1) - (s)(s+1)) / 2 that pins mask POSITIONS
+        "q126_sft_tokens": r"""
+            WITH msgs AS (
+              SELECT doc_id % 60 AS conv_id,
+                     CAST(floor(doc_id / 60) AS INT) AS turn_idx,
+                     CASE WHEN doc_id % 97 = 0 THEN 'assistant'
+                          WHEN doc_id % 83 = 0 THEN 'tool'
+                          WHEN CAST(floor(doc_id / 60) AS INT) % 2 = 0 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     CASE WHEN doc_id % 89 = 0 THEN '' ELSE text END AS content
+              FROM documents
+            ), tok AS (
+              SELECT conv_id, turn_idx, role,
+                     regexp_extract_all('<|' || role || '|> ' || content,
+                                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS pt,
+                     regexp_extract_all('<|' || role || '|>',
+                                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS hp
+              FROM msgs
+            ), cnt AS (
+              SELECT conv_id, turn_idx, role,
+                     CAST(len(pt) + coalesce(list_sum(list_transform(pt, x -> length(x))), 0) AS BIGINT) AS nt,
+                     CAST(len(hp) + coalesce(list_sum(list_transform(hp, x -> length(x))), 0) AS BIGINT) AS hn
+              FROM tok
+            ), pos AS (
+              SELECT *, coalesce(sum(nt) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+              FROM cnt
+            )
+            SELECT conv_id,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sum(CASE WHEN role = 'assistant' THEN nt - hn END), 0) AS BIGINT) AS n_mask_tokens,
+                   CAST(coalesce(sum(CASE WHEN role = 'assistant'
+                        THEN ((o + nt) * (o + nt + 1) - (o + hn) * (o + hn + 1)) // 2 END), 0) AS BIGINT) AS mask_checksum
+            FROM pos GROUP BY conv_id
+        """,
+        # q127 twin: the audit's row counts all derive from the table
+        # (each increment is a residue-class filter and dev-mode
+        # featurization drops nothing), and the statuses follow from the
+        # query's own deterministic injuries — recomputed independently
+        "q127_media_store_audit": """
+            SELECT 'base' AS part, 'base' AS status,
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 3 = 0) AS BIGINT) AS n_rows
+            UNION ALL
+            SELECT 'r1', 'unmanifested',
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 3 = 1) AS BIGINT)
+            UNION ALL
+            SELECT 'r2', 'torn', CAST(-1 AS BIGINT)
+            UNION ALL
+            SELECT 'r3', 'lost',
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 7 = 0) AS BIGINT)
+            UNION ALL
+            SELECT 'r4', 'ok',
+                   CAST((SELECT count(*) FROM documents WHERE doc_id % 5 = 0) AS BIGINT)
         """,
 
         "q101_incremental_pipeline": _dd_incremental_sql(),
