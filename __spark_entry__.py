@@ -2479,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round (policy (a): first driver row gates) ---
         "q126_sft_tokens": q126_sft_tokens,  # NEW r13: token-space SFT loss masks
         "q127_media_store_audit": q127_media_store_audit,  # NEW r13: media store health card
+        "q128_bm25_impact": q128_bm25_impact,  # NEW r13: impact-ordered BM25 serving
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -2528,11 +2529,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_asof_join": q40_asof_join,
         "q42_moving_window": q42_moving_window,
         "q44_hybrid_rrf": q44_hybrid_rrf,
-        "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
         # ================= tail (entry 51+) =================
         # round-14's mandatory debt: the r11-greens that did not fit
-        # (oldest-first, gate_staleness.py order; q47/q48 displaced by
-        # the two new r13 rows above)
+        # (oldest-first, gate_staleness.py order; q46/q47/q48 displaced
+        # by the three new r13 rows above)
+        "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
         "q47_csv_lines": q47_csv_lines,
         "q48_salted_agg": q48_salted_agg,
         "q49_salted_join": q49_salted_join,
@@ -3140,8 +3141,43 @@ def q123_bm25_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     tmp = tempfile.mkdtemp(prefix="bm25shard_")
     try:
-        idx = ShardedBM25Index.build(t["documents"], tmp, n_buckets=16)
+        # flat layout: q128 pins the impact-ordered build; this row pins
+        # the plain sharded one (and keeps its r12 build cost)
+        idx = ShardedBM25Index.build(
+            t["documents"], tmp, n_buckets=16, impact_ordered=False
+        )
         out = idx.topk(_SEARCH_QUERY, k=15).localCheckpoint()
+        idx.close()
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q128_bm25_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact-ordered BM25 serving (operators/textsearch.py
+    topk_impact, NEW r13 — r12 verdict #5: dynamic pruning for the
+    common-word tail): postings persist with their exact per-posting
+    BM25 contribution and its within-term rank, files sorted so an
+    ``impact_rank <= depth`` predicate skips hot terms' tails at the
+    row-group level (pushdown plan-pinned). At a covering depth the
+    summed stored impacts equal the recomputed exact scores — which is
+    what this row gates (k=12 to differentiate from q30/q123); the
+    approximate shallow-depth regime and the WAND-style rank-safety
+    certificate are pytest+bench territory (recall-vs-depth table,
+    PERF.md round-13). Scratch index removed before returning (the
+    q123 discipline)."""
+    import shutil
+    import tempfile
+
+    from jsonify2ai_spark.operators.textsearch import ShardedBM25Index
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    tmp = tempfile.mkdtemp(prefix="bm25impact_")
+    try:
+        idx = ShardedBM25Index.build(t["documents"], tmp, n_buckets=16)
+        out = idx.topk_impact(
+            _SEARCH_QUERY, k=12, depth=100000
+        ).localCheckpoint()
         idx.close()
         return out
     finally:
@@ -3702,6 +3738,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q30_bm25_search": bm25_oracle_sql(_SEARCH_QUERY, k=10),
         "q123_bm25_sharded": bm25_oracle_sql(_SEARCH_QUERY, k=15),
+        # q128 gates the impact-scan arithmetic: at covering depth the
+        # summed STORED impacts must equal the recomputed exact scores
+        "q128_bm25_impact": bm25_oracle_sql(_SEARCH_QUERY, k=12),
         "q31_stats_rollup": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
             FROM events GROUP BY GROUPING SETS ((event_type), ())

@@ -195,6 +195,44 @@ def main() -> int:
             }
             print("routing_48q", results["routing_48q"], flush=True)
 
+            # impact-ordered dynamic pruning (r12 verdict #5): per-query
+            # read bounded by |terms| * depth regardless of df — measure
+            # cost + recall@10 per regime per depth against the exact
+            # index (sharded_full is impact_ordered by default)
+            def recall_vs_exact(qlist, depth):
+                exact_ids = {}
+                for r in sharded_full.topk_batch(qlist, k=10).collect():
+                    exact_ids.setdefault(r["query_id"], set()).add(r["id"])
+                got = {}
+                for r in sharded_full.topk_batch_impact(
+                    qlist, k=10, depth=depth
+                ).collect():
+                    got.setdefault(r["query_id"], set()).add(r["id"])
+                rs = [
+                    len(got.get(qi, set()) & ids) / max(1, len(ids))
+                    for qi, ids in exact_ids.items()
+                ]
+                return round(sum(rs) / max(1, len(rs)), 3)
+
+            for depth in (1000, 4000, 16000):
+                sharded_full.topk_batch_impact(
+                    questions[:2], k=10, depth=depth
+                ).collect()  # warm
+                best = None
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    sharded_full.topk_batch_impact(
+                        questions, k=10, depth=depth
+                    ).collect()
+                    dt = (time.perf_counter() - t0) * 1000.0
+                    best = dt if best is None else min(best, dt)
+                results[f"impact_d{depth}"] = {
+                    "per_q_ms": round(best / len(questions), 1),
+                    "recall_at_10_common": recall_vs_exact(questions, depth),
+                    "recall_at_10_discriminative": recall_vs_exact(disc, depth),
+                }
+                print(f"impact_d{depth}", results[f"impact_d{depth}"], flush=True)
+
             pruned.close()
             sharded_full.close()
             shutil.rmtree(tmp2, ignore_errors=True)

@@ -404,6 +404,7 @@ class ShardedBM25Index(BM25Index):
         b: float = B_DEFAULT,
         attr_cols: tuple[str, ...] = (),
         max_postings_per_term: int | None = None,
+        impact_ordered: bool = True,
     ) -> "ShardedBM25Index":
         """One batch job: tokenize -> postings(+df_t) -> bucketed parquet
         (one file per bucket via in-partition repartition, so a bucket
@@ -420,11 +421,25 @@ class ShardedBM25Index(BM25Index):
         contributions — top-k quality degrades gracefully
         (bench_bm25_sharded measures recall@10). The build pays one
         extra per-term window over the postings shuffle it already does.
-        ``None`` (default) = exact, no pruning."""
+        ``None`` (default) = exact, no pruning.
+
+        ``impact_ordered`` (default True): additionally persist each
+        posting's exact BM25 contribution (``impact``) and its rank
+        within the term's list ordered by impact desc (``impact_rank``),
+        with files sorted by (term, impact_rank) so a serving-time
+        ``impact_rank <= depth`` predicate skips the tails of hot
+        terms' lists at the parquet row-group level. This is the
+        DYNAMIC-pruning layout (Anh & Moffat, SIGIR'06 impact-ordered
+        lists): the full index stays exact — :meth:`topk` is unchanged
+        byte-for-byte — while :meth:`topk_impact` reads only each
+        term's top-``depth`` postings and :meth:`topk_adaptive`
+        escalates depth under a WAND-style rank-safety certificate.
+        Costs one per-term window at build (shared with the static
+        pruning path) and two extra postings columns (~12 B/posting)."""
         posts = build_postings(docs, text_col=text_col, id_col=id_col)
         dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
         joined = posts.join(dfreq, "term")
-        if max_postings_per_term is not None:
+        if max_postings_per_term is not None or impact_ordered:
             from pyspark.sql import Window
 
             # exact per-posting BM25 contribution under the corpus
@@ -446,15 +461,23 @@ class ShardedBM25Index(BM25Index):
             w = Window.partitionBy("term").orderBy(
                 impact.desc(), F.col(id_col).asc()
             )
-            joined = (
-                joined.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") <= max_postings_per_term)
-                .drop("_rn")
+            joined = joined.withColumn("impact", impact).withColumn(
+                "impact_rank", F.row_number().over(w)
             )
+            if max_postings_per_term is not None:
+                joined = joined.filter(
+                    F.col("impact_rank") <= max_postings_per_term
+                )
+            if not impact_ordered:
+                joined = joined.drop("impact", "impact_rank")
+        sort_cols = (
+            ["term", "impact_rank"] if impact_ordered else ["term"]
+        )
         (
             joined
             .withColumn("term_bucket", _term_bucket(F.col("term"), n_buckets))
             .repartition(F.col("term_bucket"))
+            .sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
             .partitionBy("term_bucket")
             .parquet(f"{path}/postings")
@@ -509,8 +532,14 @@ class ShardedBM25Index(BM25Index):
         carries ``term_bucket`` from the partitioned read, so the bucket
         assignment is preserved byte-for-byte)."""
         spark = self._posts.sparkSession
+        sort_cols = (
+            ["term", "impact_rank"]
+            if "impact_rank" in self._posts.columns
+            else ["term"]
+        )
         (
             self._posts.repartition(F.col("term_bucket"))
+            .sortWithinPartitions(*sort_cols)
             .write.mode("overwrite")
             .partitionBy("term_bucket")
             .parquet(f"{path}/postings")
@@ -543,6 +572,202 @@ class ShardedBM25Index(BM25Index):
         return self._posts.filter(
             F.col("term_bucket").isin(buckets)
         ).join(F.broadcast(qdf), "term")
+
+    # -- impact-ordered (dynamic-pruning) serving -------------------------
+
+    def _require_impact(self) -> None:
+        if "impact_rank" not in self._posts.columns:
+            raise ValueError(
+                "this index was built with impact_ordered=False — "
+                "rebuild with impact_ordered=True for prefix serving"
+            )
+
+    def _impact_prefix(self, terms: list, depth: int) -> DataFrame:
+        """The query terms' top-``depth`` postings by stored impact:
+        bucket partition-pruning as in :meth:`_lookup`, plus an
+        ``impact_rank <= depth`` pushed predicate that skips hot terms'
+        tails at the row-group level (files are (term, impact_rank)-
+        sorted at build). Result size is bounded by |terms| * depth."""
+        return self._lookup(terms).filter(F.col("impact_rank") <= depth)
+
+    def topk_impact(
+        self,
+        query: str,
+        k: int = 10,
+        depth: int = 1000,
+        with_certificate: bool = False,
+    ):
+        """Impact-ordered prefix serving (Anh & Moffat, SIGIR'06): score
+        only each query term's top-``depth`` postings by their stored
+        exact BM25 contribution. Per-query cost is bounded by
+        ``|terms| * depth`` postings REGARDLESS of df — the df-linear
+        hot-term residue exact serving can't avoid (the PERF.md round-12
+        two-regime table's common-words wall) becomes a constant-size
+        read; quality degrades gracefully and is benched
+        (bench_bm25_sharded recall-vs-depth table).
+
+        A posting's stored impact equals the per-posting ``w`` the exact
+        path computes (same expression, same constants, at build), so at
+        a depth covering every list the scores — and the 6dp-rounded
+        output — equal :meth:`topk` exactly (test-pinned).
+
+        ``with_certificate=True`` additionally returns the WAND-style
+        rank-safety verdict: per term the unread tail is bounded by the
+        depth-th (smallest read) impact, so every doc's true score lies
+        in [partial, partial + Σ unseen-term tail bounds]; if the k-th
+        best partial beats every other doc's upper bound (including the
+        all-tails bound of never-seen docs), the returned top-k SET is
+        provably the exact one. The certificate aggregates run on the
+        prefix frame, whose size is depth-bounded by construction —
+        the two tiny collects here are |terms|- and 1-row-sized.
+
+        Returns the (id, bm25) frame, or (frame, certified: bool) when
+        ``with_certificate=True``."""
+        self._require_impact()
+        terms = sorted({t.lower() for t in query.split() if t})
+        idc = self._id_col
+        spark = self._posts.sparkSession
+        if not terms:
+            idt = self._doclens.schema[idc].dataType.simpleString()
+            empty = spark.createDataFrame([], f"{idc} {idt}, bm25 double")
+            return (empty, True) if with_certificate else empty
+        prefix = self._impact_prefix(terms, depth)
+        if not with_certificate:
+            out = prefix.groupBy(idc).agg(
+                F.round(F.sum("impact"), 6).alias("bm25")
+            )
+            return out.orderBy(
+                F.col("bm25").desc(), F.col(idc).asc()
+            ).limit(k)
+
+        # one materialization of the depth-bounded prefix feeds the
+        # per-term tail bounds, the scores, and the certificate
+        prefix = prefix.localCheckpoint(eager=False)
+        trows = (
+            prefix.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("impact").alias("lo"))
+            .collect()
+        )
+        # a term whose whole list fits inside the prefix has NO unread
+        # tail; otherwise the tail is bounded by the smallest read impact
+        tails = {
+            r["term"]: (float(r["lo"]) if int(r["n"]) >= depth else 0.0)
+            for r in trows
+        }
+        t_sum = sum(tails.values())
+        tail_df = spark.createDataFrame(
+            [(t, v) for t, v in tails.items()], "term string, _tail double"
+        )
+        aggd = (
+            prefix.join(F.broadcast(tail_df), "term")
+            .groupBy(idc)
+            .agg(
+                F.sum("impact").alias("_partial"),
+                F.sum("_tail").alias("_seen_tail"),
+            )
+            .withColumn(
+                "_upper",
+                F.col("_partial") + F.lit(t_sum) - F.col("_seen_tail"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        from pyspark.sql import Window
+
+        # single-partition window is fine: aggd is depth-bounded
+        w = Window.orderBy(F.col("_partial").desc(), F.col(idc).asc())
+        ranked = aggd.withColumn("_rn", F.row_number().over(w))
+        cert_row = ranked.agg(
+            F.min(F.when(F.col("_rn") <= k, F.col("_partial"))).alias("kth"),
+            F.max(F.when(F.col("_rn") > k, F.col("_upper"))).alias("out_max"),
+        ).first()
+        kth = cert_row["kth"]
+        out_max = cert_row["out_max"]
+        # STRICT inequalities: an exact tie (common in replicated
+        # corpora) means the boundary doc is interchangeable with one we
+        # can't see fully — escalate rather than claim safety
+        certified = kth is not None and (
+            # docs outside the returned set can't overtake ...
+            (out_max is None or float(kth) > float(out_max))
+            # ... and neither can a doc absent from every prefix
+            and float(kth) > t_sum
+        )
+        out = (
+            ranked.filter(F.col("_rn") <= k)
+            .select(idc, F.round(F.col("_partial"), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col(idc).asc())
+        )
+        return out, bool(certified)
+
+    def topk_batch_impact(
+        self, queries: list, k: int = 10, depth: int = 1000
+    ) -> DataFrame:
+        """Batched :meth:`topk_impact` (no certificate): one job for N
+        queries, each reading only its terms' top-``depth`` postings —
+        the (query_id, id, bm25) contract of :meth:`topk_batch` with
+        per-query cost bounded by ``|terms| * depth`` postings. Parity
+        with the single-query face is test-pinned."""
+        self._require_impact()
+        spark = self._posts.sparkSession
+        qterms = [
+            (qi, t)
+            for qi, q in enumerate(queries)
+            for t in sorted({t.lower() for t in q.split() if t})
+        ]
+        idc = self._id_col
+        if not qterms:
+            idt = self._doclens.schema[idc].dataType.simpleString()
+            return spark.createDataFrame(
+                [], f"query_id int, {idc} {idt}, bm25 double"
+            )
+        qdf = spark.createDataFrame(qterms, "query_id int, term string")
+        posted = self._lookup_batch(
+            qdf, sorted({t for _, t in qterms})
+        ).filter(F.col("impact_rank") <= depth)
+        agg = posted.groupBy("query_id", idc).agg(
+            F.round(F.sum("impact"), 6).alias("bm25")
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("bm25").desc(), F.col(idc).asc()
+        )
+        return (
+            agg.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
+    def topk_adaptive(
+        self,
+        query: str,
+        k: int = 10,
+        depth0: int = 1000,
+        max_doublings: int = 3,
+    ):
+        """Rank-safe serving with bounded early exit: run
+        :meth:`topk_impact` at ``depth0`` and geometrically escalate
+        (2x per round, at most ``max_doublings`` times) until the
+        certificate holds; past the cap, fall back to the exact scan.
+        Discriminative queries certify at the first depth (their rare
+        term's whole list fits, so its tail bound is 0 and the rare-term
+        gap dominates); bag-of-common-words queries either certify at a
+        deeper prefix or pay the exact cost they always did — never a
+        silent quality loss (the RoutedBM25 rule's measured failure
+        regime, closed). Total read <= 2x the certifying depth thanks to
+        the geometric schedule. Returns (frame, info dict with the depth
+        used and whether the exact fallback fired)."""
+        depth = depth0
+        for _ in range(max_doublings + 1):
+            out, ok = self.topk_impact(
+                query, k=k, depth=depth, with_certificate=True
+            )
+            if ok:
+                return out, {"depth": depth, "exact_fallback": False}
+            depth *= 2
+        return self.topk(query, k=k), {
+            "depth": None,
+            "exact_fallback": True,
+        }
 
     def close(self) -> None:
         self._doclens.unpersist()

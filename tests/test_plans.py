@@ -494,15 +494,31 @@ def test_q122_prep_report_single_corpus_scan(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_q123_sharded_bm25_partition_pruned_scan(spark):
+def test_q123_sharded_bm25_partition_pruned_scan(spark, tmp_path):
     """The served query's postings scan must carry the terms' buckets as
     PartitionFilters — the literal IN list computed driver-side — so IO
-    is the touched bucket directories, never the postings table."""
-    df = entry_mod.queries()["q123_bm25_sharded"](spark, SF_DIR)
-    plan = plan_string(df)
+    is the touched bucket directories, never the postings table. q123
+    itself now returns an eagerly checkpointed k-row frame (the r12
+    advisor's scratch-dir leak fix erases the upstream plan), so the pin
+    reconstructs the gate row's serve step — the same build + topk the
+    wrapper runs before its checkpoint."""
     import re
+
+    from jsonify2ai_spark.operators.textsearch import ShardedBM25Index
+
+    t = entry_mod.load_tables(spark, SF_DIR, ["documents"])
+    idx = ShardedBM25Index.build(
+        t["documents"], str(tmp_path / "q123pin"), n_buckets=16,
+        impact_ordered=False,
+    )
+    df = idx.topk(entry_mod._SEARCH_QUERY, k=15)
+    plan = plan_string(df)
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "term_bucket" in m.group(1), plan[:1500]
     assert "TakeOrderedAndProject" in plan  # top-k, no global sort
     assert "rangepartitioning" not in plan.lower()
+    # and the gate wrapper still returns the right rows post-checkpoint
+    out = entry_mod.queries()["q123_bm25_sharded"](spark, SF_DIR)
+    assert out.count() == 15
+    idx.close()

@@ -645,3 +645,136 @@ def test_routed_bm25_applies_measured_rule(spark, tmp_path):
     assert five == one, f"routing jobs grew with batch size: {one} -> {five}"
     assert one <= 3  # one action (AQE may split the distinct's shuffle)
     routed.close()
+
+
+def test_impact_ordered_serving(spark, tmp_path):
+    """Impact-ordered dynamic pruning (r12 verdict #5): stored per-posting
+    impacts reproduce the exact path at covering depth; a shallow prefix
+    reads a bounded posting count; the WAND-style certificate is honest
+    (certified => set == exact top-k set); topk_adaptive ALWAYS returns
+    the exact top-k set (certified prefix or explicit exact fallback);
+    an impact_ordered=False build refuses prefix serving."""
+    import pytest
+
+    from jsonify2ai_spark.operators.textsearch import ShardedBM25Index
+
+    # strictly increasing dl (the "pad" tail) so no two docs share
+    # (tf, dl) — the strict certificate refuses exact ties by design, so
+    # the covering-depth certification check needs a tie-free corpus;
+    # docs 0-3 carry a rare entity token
+    rows = [
+        (
+            i,
+            ("spark " * (i % 5 + 1))
+            + "joins data window "
+            + (f"entity{i} " if i < 4 else "")
+            + "pad " * i,
+        )
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = ShardedBM25Index.build(docs, str(tmp_path / "imp"), n_buckets=4)
+    assert {"impact", "impact_rank"} <= set(idx._posts.columns)
+
+    rare_q, common_q = "entity2 spark data", "spark joins data window"
+
+    # covering depth == the exact path, row-for-row (rounded output)
+    for q in (rare_q, common_q):
+        want = [tuple(r) for r in idx.topk(q, k=5).collect()]
+        got = [tuple(r) for r in idx.topk_impact(q, k=5, depth=1000).collect()]
+        assert got == want, q
+
+    # certificate at covering depth: every list fits, tails are 0 -> safe
+    out, ok = idx.topk_impact(rare_q, k=3, depth=1000, with_certificate=True)
+    assert ok is True
+    exact_set = {(r["doc_id"], r["bm25"]) for r in idx.topk(rare_q, k=3).collect()}
+    assert {(r["doc_id"], r["bm25"]) for r in out.collect()} == exact_set
+
+    # bounded read: a depth-5 prefix holds at most |terms| * 5 postings
+    terms = sorted(set(rare_q.split()))
+    assert idx._impact_prefix(terms, 5).count() <= len(terms) * 5
+
+    # adaptive serving returns the exact top-k SET on both regimes,
+    # whether by certificate or by explicit fallback
+    for q in (rare_q, common_q):
+        got_df, info = idx.topk_adaptive(q, k=5, depth0=8, max_doublings=2)
+        want = {(r["doc_id"], r["bm25"]) for r in idx.topk(q, k=5).collect()}
+        got = {(r["doc_id"], r["bm25"]) for r in got_df.collect()}
+        assert got == want, (q, info)
+        assert info["exact_fallback"] in (False, True)
+
+    # a certified shallow prefix is honest: if ok, the set equals exact's
+    out8, ok8 = idx.topk_impact(rare_q, k=3, depth=8, with_certificate=True)
+    if ok8:
+        got8 = {(r["doc_id"], r["bm25"]) for r in out8.collect()}
+        assert got8 == exact_set
+
+    # static pruning composes: impact columns survive a capped build
+    capped = ShardedBM25Index.build(
+        docs, str(tmp_path / "cap"), n_buckets=4, max_postings_per_term=6
+    )
+    assert {"impact", "impact_rank"} <= set(capped._posts.columns)
+    assert capped.topk_impact(rare_q, k=3, depth=6).count() <= 3
+    capped.close()
+
+    # batched face == the single-query face per query, at any depth
+    for depth in (6, 1000):
+        by_q = {}
+        for r in idx.topk_batch_impact([rare_q, common_q], k=4, depth=depth).collect():
+            by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["bm25"]))
+        for qi, q in enumerate((rare_q, common_q)):
+            want = [
+                (r["doc_id"], r["bm25"])
+                for r in idx.topk_impact(q, k=4, depth=depth).collect()
+            ]
+            got_b = sorted(by_q.get(qi, []), key=lambda t: (-t[1], t[0]))
+            assert got_b == want, (q, depth)
+
+    # save/load keeps the layout
+    idx.save(str(tmp_path / "copy"))
+    idx2 = ShardedBM25Index.load(spark, str(tmp_path / "copy"))
+    assert [tuple(r) for r in idx2.topk_impact(rare_q, k=3, depth=1000).collect()] == [
+        tuple(r) for r in idx.topk_impact(rare_q, k=3, depth=1000).collect()
+    ]
+    idx2.close()
+    idx.close()
+
+    # a flat build refuses prefix serving loudly
+    flat = ShardedBM25Index.build(
+        docs, str(tmp_path / "flat"), n_buckets=4, impact_ordered=False
+    )
+    assert "impact_rank" not in flat._posts.columns
+    with pytest.raises(ValueError, match="impact_ordered"):
+        flat.topk_impact(rare_q, k=3)
+    flat.close()
+
+
+def test_impact_prefix_pushes_rank_filter_to_scan(spark, tmp_path):
+    """The depth bound must reach the parquet scan as a pushed filter
+    (impact_rank <= depth in PushedFilters) ON TOP of the terms' bucket
+    PartitionFilters — the files are (term, impact_rank)-sorted at
+    build, so row-group stats skip hot terms' tails; a post-scan filter
+    would read the whole bucket and only then drop the tail."""
+    import re
+
+    from jsonify2ai_spark.operators.textsearch import ShardedBM25Index
+
+    docs = spark.createDataFrame(
+        [(i, "spark joins data " + "pad " * (i % 9)) for i in range(120)],
+        "doc_id long, text string",
+    )
+    idx = ShardedBM25Index.build(docs, str(tmp_path / "pidx"), n_buckets=8)
+    plan = (
+        idx.topk_impact("spark data", k=5, depth=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "term_bucket" in m.group(1), plan[:2000]
+    # the PushedFilters list nests brackets (In(term, [...])), so match
+    # the whole line rather than a bracket-balanced group
+    p = re.search(r"PushedFilters: \[(.*)", plan)
+    assert p, plan[:2000]
+    assert "LessThanOrEqual(impact_rank,7)" in p.group(1), p.group(1)
+    idx.close()
