@@ -2409,6 +2409,19 @@ class PerplexityGate:
     arms parity-pinned at birth, the DSIRGate r11-verdict lesson), and
     a batch-sized mean. The model side is reference-sized ONCE, never
     per trigger; ``rebuild()`` refits offline when the reference grows.
+
+    ``drift_alert``: the DSIRGate drift lesson applied to the PPL gate
+    (r12 verdict #7). Laplace smoothing makes NOVEL words score the
+    constant floor ln(alpha / (N + alpha*V)) — bounded, so a stream
+    drifting wholly out of the reference vocabulary moves mean
+    perplexity smoothly while the model has stopped describing the
+    data. The honest signal is the UNSEEN-WORD RATE: the fraction of
+    the trigger's tokens whose word the frozen reference never saw.
+    With ``drift_alert=<rate>``, every trigger records (n_tokens,
+    n_unseen, unseen_rate, breach) into ``drift_history`` with
+    at-least-once replay-overwrite hygiene (a redelivered batch_id
+    overwrites its own entry, never appends a duplicate);
+    ``drift_breached`` tells the operator to ``rebuild()``.
     """
 
     kind: str
@@ -2422,6 +2435,7 @@ class PerplexityGate:
         id_col: str = "doc_id",
         ref_text_col: "str | None" = None,
         broadcast_vocab_max: int = 4_000_000,
+        drift_alert: "float | None" = None,
     ) -> None:
         self._alpha = float(alpha)
         self._input_col = text_col
@@ -2429,9 +2443,20 @@ class PerplexityGate:
         self._id_col = id_col
         self._max_ppl = None if max_ppl is None else float(max_ppl)
         self._broadcast_vocab_max = int(broadcast_vocab_max)
+        self._drift_alert = None if drift_alert is None else float(drift_alert)
+        self.drift_history: list[dict] = []
         self.kind = "filter" if self._max_ppl is not None else "rewrite"
         self.rewritten_col = "ref_ppl"
         self._fit(reference, ref_text_col or text_col)
+
+    @property
+    def drift_breached(self) -> bool:
+        """True when the latest trigger's unseen-word rate exceeded
+        ``drift_alert`` — the frozen reference LM no longer describes
+        the stream (mean perplexity alone cannot say so: every unseen
+        word scores the same bounded smoothing floor). Refresh with
+        :meth:`rebuild`."""
+        return bool(self.drift_history) and self.drift_history[-1]["breach"]
 
     def _fit(self, reference: DataFrame, ref_text_col: str) -> None:
         from jsonify2ai_spark.functions.text import tokens
@@ -2458,9 +2483,11 @@ class PerplexityGate:
         self._fit(reference, ref_text_col or self._input_col)
 
     def score_batch(self, batch: DataFrame) -> DataFrame:
-        """(id, n_tokens, logprob_per_token, ppl) for the batch's
-        documents with ≥1 token — unigram_logprob(reference=...)'s exact
-        arithmetic under the frozen model."""
+        """(id, n_tokens, n_unseen, logprob_per_token, ppl) for the
+        batch's documents with ≥1 token — unigram_logprob(reference=...)'s
+        exact arithmetic under the frozen model; ``n_unseen`` counts the
+        doc's tokens whose word the reference never saw (the drift
+        monitor's raw signal)."""
         from jsonify2ai_spark.functions.text import tokens
 
         idc = self._id_col
@@ -2483,19 +2510,59 @@ class PerplexityGate:
             .groupBy(idc)
             .agg(
                 F.sum("dc").cast("bigint").alias("n_tokens"),
+                F.coalesce(
+                    F.sum(F.when(F.col("c").isNull(), F.col("dc"))), F.lit(0)
+                ).cast("bigint").alias("n_unseen"),
                 (F.sum(F.col("dc") * logp) / F.sum("dc")).alias("_lp"),
             )
         )
         return per_doc.select(
             F.col(idc),
             "n_tokens",
+            "n_unseen",
             F.round("_lp", 4).alias("logprob_per_token"),
             F.round(F.exp(-F.col("_lp")), 4).alias("ppl"),
         )
 
-    def filter_batch(self, batch: DataFrame) -> DataFrame:
+    def _record_drift(self, scores: DataFrame, batch_id: "int | None"):
+        """Batch unseen-word rate into ``drift_history`` — the
+        DSIRGate/TokenizeGate replay-overwrite hygiene (an at-least-once
+        redelivery must not append the same batch twice)."""
+        row = scores.agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias("nt"),
+            F.coalesce(F.sum("n_unseen"), F.lit(0)).cast("bigint").alias("nu"),
+        ).first()
+        nt, nu = int(row["nt"]), int(row["nu"])
+        rate = (nu / nt) if nt else 0.0
+        entry = {
+            "batch": len(self.drift_history),
+            "batch_id": batch_id,
+            "n_tokens": nt,
+            "n_unseen": nu,
+            "unseen_rate": rate,
+            "breach": rate > self._drift_alert,
+        }
+        replayed = (
+            batch_id is not None
+            and self.drift_history
+            and self.drift_history[-1]["batch_id"] == batch_id
+        )
+        if replayed:
+            entry["batch"] = self.drift_history[-1]["batch"]
+            self.drift_history[-1] = entry
+        else:
+            self.drift_history.append(entry)
+
+    def filter_batch(
+        self, batch: DataFrame, batch_id: "int | None" = None
+    ) -> DataFrame:
         idc = self._id_col
         scores = self.score_batch(batch)
+        if self._drift_alert is not None:
+            # one materialization: the monitor aggregate AND the
+            # annotate/thin consumer both read this batch-sized frame
+            scores = scores.localCheckpoint(eager=False)
+            self._record_drift(scores, batch_id)
         if self._max_ppl is None:
             return (
                 batch.select(idc)
@@ -2506,10 +2573,13 @@ class PerplexityGate:
         return batch.join(keep, idc, "left_semi")
 
     def foreach_batch(self, append):
-        """Wrap ``append(df, batch_id)`` as a foreachBatch callable."""
+        """Wrap ``append(df, batch_id)`` as a foreachBatch callable;
+        ``batch_id`` is threaded into :meth:`filter_batch` so the drift
+        monitor's replay-overwrite hygiene holds on the standalone path
+        too (the DSIRGate r11-advisor contract)."""
 
         def _fn(batch: DataFrame, batch_id: int) -> None:
-            append(self.filter_batch(batch), batch_id)
+            append(self.filter_batch(batch, batch_id=batch_id), batch_id)
 
         return _fn
 
@@ -2532,9 +2602,19 @@ class PerplexityGate:
             "alpha double, text_col string, id_col string, max_ppl double, "
             "broadcast_vocab_max long, n double, v double",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        if self._drift_alert is not None:
+            # sidecar rather than a meta column: pre-r13 artifacts stay
+            # loadable with the fixed meta schema above
+            spark.createDataFrame(
+                [(self._drift_alert,)], "drift_alert double"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/drift_meta"
+            )
 
     @classmethod
     def load(cls, spark, path: str) -> "PerplexityGate":
+        import os
+
         meta = spark.read.parquet(f"{path}/meta").first()
         obj = cls.__new__(cls)
         obj._alpha = float(meta["alpha"])
@@ -2544,6 +2624,12 @@ class PerplexityGate:
         obj._max_ppl = None if meta["max_ppl"] is None else float(meta["max_ppl"])
         obj._broadcast_vocab_max = int(meta["broadcast_vocab_max"])
         obj._n, obj._v = float(meta["n"]), float(meta["v"])
+        obj._drift_alert = None
+        obj.drift_history = []
+        if os.path.isdir(f"{path}/drift_meta"):
+            obj._drift_alert = float(
+                spark.read.parquet(f"{path}/drift_meta").first()["drift_alert"]
+            )
         obj.kind = "filter" if obj._max_ppl is not None else "rewrite"
         obj.rewritten_col = "ref_ppl"
         obj._vocab = spark.read.parquet(f"{path}/vocab").persist()

@@ -2279,6 +2279,54 @@ def test_perplexity_gate_thin_save_load_and_fallback(spark, tables, tmp_path):
         g.close()
 
 
+def test_perplexity_gate_unseen_rate_monitor(spark, tables, tmp_path):
+    """drift_alert (r12 verdict #7 — DSIRGate's drift lesson applied to
+    the PPL gate): the Laplace floor bounds every novel word's score, so
+    mean perplexity drifts smoothly while the frozen reference has
+    stopped describing the stream; the honest signal is the UNSEEN-WORD
+    rate. Reference-drawn batches stay quiet; a novel-vocabulary batch
+    breaches; a replayed batch_id OVERWRITES its own history entry; the
+    threshold survives save/load (sidecar — pre-r13 artifacts without it
+    still load) and a fresh-loaded gate starts a fresh window."""
+    from jsonify2ai_spark.streaming.windowed import PerplexityGate
+
+    docs = tables["documents"].select("doc_id", "text", "lang")
+    ref = docs.filter("lang = 'en'").select("doc_id", "text")
+    gate = PerplexityGate(ref, id_col="doc_id", drift_alert=0.3)
+
+    gate.filter_batch(ref.limit(20), batch_id=0)
+    assert len(gate.drift_history) == 1
+    assert gate.drift_history[0]["unseen_rate"] == 0.0  # fit corpus
+    assert not gate.drift_breached
+
+    drifted = spark.createDataFrame(
+        [(10_000 + i, f"zzq{i} wvk{i} yrt{i} pqm{i}", "xx") for i in range(20)],
+        docs.schema,
+    )
+    gate.filter_batch(drifted, batch_id=1)
+    assert gate.drift_history[-1]["unseen_rate"] > 0.9
+    assert gate.drift_breached
+
+    before = dict(gate.drift_history[-1])
+    gate.filter_batch(drifted, batch_id=1)  # at-least-once replay
+    assert len(gate.drift_history) == 2  # overwrote, didn't append
+    assert gate.drift_history[-1]["batch"] == before["batch"]
+
+    # a monitor-less gate records nothing (no checkpoint/agg overhead)
+    quiet = PerplexityGate(ref, id_col="doc_id")
+    quiet.filter_batch(drifted, batch_id=0)
+    assert quiet.drift_history == []
+
+    path = str(tmp_path / "pplmon")
+    gate.save(path)
+    loaded = PerplexityGate.load(spark, path)
+    assert loaded._drift_alert == 0.3 and loaded.drift_history == []
+    loaded.filter_batch(drifted, batch_id=0)
+    assert loaded.drift_breached
+    for g in (gate, quiet, loaded):
+        g.close()
+
+
 def test_full_curation_chain_with_quality_and_selection(spark, tables, tmp_path):
     """The complete standing-curation composition, one chain: perplexity
     quality gate (thin) -> DSIR selection (thin) -> frozen-tokenizer
