@@ -2480,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_sft_tokens": q126_sft_tokens,  # NEW r13: token-space SFT loss masks
         "q127_media_store_audit": q127_media_store_audit,  # NEW r13: media store health card
         "q128_bm25_impact": q128_bm25_impact,  # NEW r13: impact-ordered BM25 serving
+        "q129_extend_vocab": q129_extend_vocab,  # NEW r13: id-stable vocab evolution
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -2528,11 +2529,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_sessionize": q39_sessionize,
         "q40_asof_join": q40_asof_join,
         "q42_moving_window": q42_moving_window,
-        "q44_hybrid_rrf": q44_hybrid_rrf,
         # ================= tail (entry 51+) =================
         # round-14's mandatory debt: the r11-greens that did not fit
-        # (oldest-first, gate_staleness.py order; q46/q47/q48 displaced
-        # by the three new r13 rows above)
+        # (oldest-first, gate_staleness.py order; q44/q46/q47/q48
+        # displaced by the four new r13 rows above)
+        "q44_hybrid_rrf": q44_hybrid_rrf,
         "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
         "q47_csv_lines": q47_csv_lines,
         "q48_salted_agg": q48_salted_agg,
@@ -3182,6 +3183,27 @@ def q128_bm25_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q129_extend_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-stable vocabulary evolution (operators/textstats.py
+    extend_vocab, NEW r13): q104's build_vocab contract over the
+    even-doc half (min_count=2, 300-entry cap), then the odd-doc half
+    folds in WITHOUT rescanning the old corpus — existing ids frozen
+    verbatim (counts updated), novel tokens ranked among themselves and
+    appended strictly past max(token_id). The contract a trained
+    embedding table needs to survive corpus growth — the unk-id
+    collision lesson applied to whole vocabularies."""
+    from jsonify2ai_spark.operators.textstats import build_vocab, extend_vocab
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    vocab = build_vocab(
+        docs.filter(F.col("doc_id") % 2 == 0), min_count=2, max_vocab=300
+    )
+    return extend_vocab(
+        vocab, docs.filter(F.col("doc_id") % 2 == 1), min_count=2
+    )
 
 
 def _dd_prep_report_sql(
@@ -5187,6 +5209,44 @@ def oracle_sql() -> dict[str, str]:
                    count
             FROM counts
             QUALIFY token_id <= 500
+        """,
+        # q129 twin: q104's replay over the even half, then the frozen-id
+        # fold — existing ids verbatim with counts updated, novel tokens
+        # row_number'd among themselves and offset past the base max
+        "q129_extend_vocab": r"""
+            WITH base_counts AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS count
+              FROM (SELECT unnest((CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END)) AS token
+                    FROM documents WHERE doc_id % 2 = 0)
+              GROUP BY token HAVING count(*) >= 2
+            ), base AS (
+              SELECT token,
+                     CAST(row_number() OVER (ORDER BY count DESC, token ASC) AS BIGINT) AS token_id,
+                     count
+              FROM base_counts
+              QUALIFY token_id <= 300
+            ), newc AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS nc
+              FROM (SELECT unnest((CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END)) AS token
+                    FROM documents WHERE doc_id % 2 = 1)
+              GROUP BY token
+            ), kept AS (
+              SELECT b.token, b.token_id,
+                     CAST(b.count + coalesce(n.nc, 0) AS BIGINT) AS count
+              FROM base b LEFT JOIN newc n USING (token)
+            ), novel AS (
+              SELECT token, nc AS count FROM newc
+              WHERE token NOT IN (SELECT token FROM base) AND nc >= 2
+            ), ranked AS (
+              SELECT token,
+                     (SELECT coalesce(max(token_id), 0) FROM base)
+                       + CAST(row_number() OVER (ORDER BY count DESC, token ASC) AS BIGINT) AS token_id,
+                     CAST(count AS BIGINT) AS count
+              FROM novel
+            )
+            SELECT token, token_id, count FROM kept
+            UNION ALL
+            SELECT token, token_id, count FROM ranked
         """,
         "q100_training_pipeline": _dd_pipeline_sql(),
         "q122_prep_report": _dd_prep_report_sql(),

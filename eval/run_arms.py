@@ -195,6 +195,25 @@ def main() -> int:
         "per_q_ms": round(total / len(uniq_qs), 1),
         "hit@k": _batch_hits(by_q),
     }
+
+    # impact-ordered prefix serving (r13): same index (impact columns
+    # land at build by default), per-query read bounded by
+    # |terms| * depth postings — the dynamic-pruning serving form; at
+    # this corpus size the depth covers every list, so hit@k must equal
+    # the exact arm's (the covering-depth parity contract)
+    sidx.topk_batch_impact(uniq_qs[:2], k=5, depth=1000).collect()
+    t0 = time.perf_counter()
+    rows = sidx.topk_batch_impact(uniq_qs, k=5, depth=1000).collect()
+    total = (time.perf_counter() - t0) * 1000.0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    batched["bm25_impact"] = {
+        "n": len(uniq_qs),
+        "total_ms": round(total, 1),
+        "per_q_ms": round(total / len(uniq_qs), 1),
+        "hit@k": _batch_hits(by_q),
+    }
     sidx.close()
     shutil.rmtree(stmp, ignore_errors=True)
 

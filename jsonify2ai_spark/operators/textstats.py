@@ -1093,6 +1093,21 @@ def build_vocab(
         .agg(F.count(F.lit(1)).cast("bigint").alias("count"))
         .filter(F.col("count") >= min_count)
     )
+    out = _assign_vocab_ids(counts)
+    if max_vocab is not None:
+        out = out.filter(F.col("token_id") <= max_vocab)
+    return out.select("token", "token_id", "count")
+
+
+def _assign_vocab_ids(counts: DataFrame, id_offset: int = 0) -> DataFrame:
+    """build_vocab's shuffle-parallel total-order id assignment over a
+    (token, count) frame, shared with :func:`extend_vocab`: ids are
+    ``id_offset + 1 .. id_offset + n`` in (count desc, token asc) order —
+    range-repartition on the order, row_number WITHIN each sorted
+    partition, per-partition offsets from a partition-count aggregate
+    (see build_vocab's docstring for why this is boundary-invariant)."""
+    from pyspark.sql import Window
+
     order = [F.col("count").desc(), F.col("token").asc()]
     ranked = (
         counts.repartitionByRange(*order)
@@ -1106,7 +1121,7 @@ def build_vocab(
         r["_pid"]: r["n"]
         for r in ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = {}, id_offset
     for pid in sorted(sizes):
         offsets[pid] = acc
         acc += sizes[pid]
@@ -1115,14 +1130,74 @@ def build_vocab(
             *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
         ),
         F.col("_pid"),
-    ) if offsets else F.lit(0)
+    ) if offsets else F.lit(id_offset)
     local = F.row_number().over(Window.partitionBy("_pid").orderBy(*order))
-    out = ranked.withColumn(
+    return ranked.withColumn(
         "token_id", (off + local).cast("bigint")
     ).drop("_pid")
-    if max_vocab is not None:
-        out = out.filter(F.col("token_id") <= max_vocab)
-    return out.select("token", "token_id", "count")
+
+
+def extend_vocab(
+    vocab: DataFrame,
+    df: DataFrame,
+    min_count: int = 1,
+    max_new: int | None = None,
+    text_col: str = "text",
+    token_array_col: str | None = None,
+) -> DataFrame:
+    """ID-STABLE vocabulary evolution — the incremental counterpart of
+    :func:`build_vocab` for a growing corpus: every existing
+    (token, token_id) pair keeps its id VERBATIM (only the count folds
+    in the new corpus's occurrences), and tokens the vocabulary has
+    never seen rank among themselves by the build_vocab total order
+    (count desc, token asc — new-corpus counts) and append with ids
+    strictly PAST ``max(token_id)``. A trained embedding table indexed
+    by token_id therefore stays valid across vocabulary growth — rows
+    0..V just gain new siblings; re-running :func:`build_vocab` on the
+    union corpus would re-rank and scramble every id (the same id-alias
+    class as the unk-id collision fixed this round, applied to whole
+    vocabularies).
+
+    Consequence, documented not hidden: after an extension the id order
+    no longer reflects global frequency order — ids are a HISTORY of
+    when each token entered the inventory, which is exactly the
+    stability contract. ``min_count``/``max_new`` gate NOVEL tokens
+    only; an existing token is never evicted however rare it stays.
+
+    Scale shape: one token-count aggregate over the NEW corpus only
+    (the old corpus is never rescanned — that is the point), one join
+    against the vocab (vocab-sized, Catalyst picks the strategy), one
+    scalar max(token_id) aggregate, and the shared shuffle-parallel
+    rank over the novel-token set."""
+    tok_src = (
+        F.col(token_array_col) if token_array_col else tokens(_c(text_col))
+    )
+    new_counts = (
+        df.select(F.explode(tok_src).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_nc"))
+        # two consumers (count fold + novel ranking) of one aggregate
+        .localCheckpoint(eager=False)
+    )
+    base = vocab.select("token", "token_id", F.col("count").cast("bigint").alias("count"))
+    kept = (
+        base.join(new_counts, "token", "left")
+        .select(
+            "token",
+            "token_id",
+            (F.col("count") + F.coalesce("_nc", F.lit(0))).cast("bigint").alias("count"),
+        )
+    )
+    novel = (
+        new_counts.join(base.select("token"), "token", "left_anti")
+        .filter(F.col("_nc") >= min_count)
+        .select("token", F.col("_nc").alias("count"))
+    )
+    base_max = int(vocab.agg(F.max("token_id")).first()[0] or 0)
+    ranked = _assign_vocab_ids(novel, id_offset=base_max)
+    if max_new is not None:
+        ranked = ranked.filter(F.col("token_id") <= base_max + max_new)
+    return kept.unionByName(ranked.select("token", "token_id", "count"))
 
 
 _BLOCKLIST_JOIN_THRESHOLD = 2000  # words; above this the literal-array

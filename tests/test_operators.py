@@ -1902,6 +1902,60 @@ def test_build_vocab_rank_is_parallel_and_layout_invariant(spark):
         assert spec.startswith("_pid"), "global-sort window reappeared"
 
 
+def test_extend_vocab_id_stability(spark):
+    """Vocabulary evolution keeps every existing id VERBATIM while
+    folding new occurrences into counts; novel tokens rank among
+    themselves (count desc, token asc over the NEW corpus) and append
+    strictly past max(token_id); min_count/max_new gate novel tokens
+    only; rebuilding from scratch on the union corpus would scramble
+    ids (pinned as the contrast that motivates the operator)."""
+    from jsonify2ai_spark.operators.textstats import build_vocab, extend_vocab
+
+    old = spark.createDataFrame(
+        [(1, "b b b a a c c z")], "doc_id long, text string"
+    )
+    vocab = build_vocab(old, min_count=2)  # b=1(3), a=2(2), c=3(2)
+    base = {r["token"]: (r["token_id"], r["count"]) for r in vocab.collect()}
+    assert base == {"b": (1, 3), "a": (2, 2), "c": (3, 2)}
+
+    new = spark.createDataFrame(
+        # a surges past b globally; d and e are novel (e more frequent);
+        # f appears once (cut by min_count=2 on novel tokens)
+        [(2, "a a a a a d d e e e f")], "doc_id long, text string"
+    )
+    out = {r["token"]: (r["token_id"], r["count"])
+           for r in extend_vocab(vocab, new, min_count=2).collect()}
+    # frozen ids, folded counts — a outgrew b but keeps id 2
+    assert out["b"] == (1, 3) and out["a"] == (2, 7) and out["c"] == (3, 2)
+    # novel tokens appended past max id, ranked by new-corpus counts
+    assert out["e"] == (4, 3) and out["d"] == (5, 2)
+    assert "f" not in out  # novel min_count cut
+    assert len(out) == 5
+
+    # max_new caps the appended tail only
+    capped = {r["token"] for r in
+              extend_vocab(vocab, new, min_count=1, max_new=1).collect()}
+    assert capped == {"a", "b", "c", "e"}  # e (count 3) wins the one slot
+
+    # the contrast: a from-scratch rebuild re-ranks — a takes id 1
+    rebuilt = {r["token"]: r["token_id"]
+               for r in build_vocab(old.union(new), min_count=2).collect()}
+    assert rebuilt["a"] == 1 and rebuilt["a"] != out["a"][0]
+
+    # idempotent growth: extending again with an already-seen corpus
+    # mints nothing new
+    again = extend_vocab(
+        spark.createDataFrame(
+            [(t, i, c) for t, (i, c) in out.items()],
+            "token string, token_id long, count long",
+        ),
+        new,
+        min_count=2,
+    )
+    assert again.count() == 5
+    assert {r["token_id"] for r in again.collect()} == {1, 2, 3, 4, 5}
+
+
 def test_remove_duplicate_spans_exactsubstr_rule(spark):
     """Lee et al. ExactSubstr semantics: tokens covered by an n-token
     window occurring >= min_df times anywhere in the corpus are cut,
