@@ -616,8 +616,11 @@ class ShardedBM25Index(BM25Index):
         depth-th (smallest read) impact, so every doc's true score lies
         in [partial, partial + Σ unseen-term tail bounds]; if the k-th
         best partial beats every other doc's upper bound (including the
-        all-tails bound of never-seen docs), the returned top-k SET is
-        provably the exact one. The certificate aggregates run on the
+        all-tails bound of never-seen docs), AND every returned doc was
+        seen in every CAPPED term's prefix (a term read in full has no
+        tail, so absence there is a true zero), the returned top-k is
+        provably the exact one — set AND scores (each winner's partial
+        is its complete sum). The certificate aggregates run on the
         prefix frame, whose size is depth-bounded by construction —
         the two tiny collects here are |terms|- and 1-row-sized.
 
@@ -655,6 +658,7 @@ class ShardedBM25Index(BM25Index):
             for r in trows
         }
         t_sum = sum(tails.values())
+        n_capped = sum(1 for v in tails.values() if v > 0.0)
         tail_df = spark.createDataFrame(
             [(t, v) for t, v in tails.items()], "term string, _tail double"
         )
@@ -664,6 +668,9 @@ class ShardedBM25Index(BM25Index):
             .agg(
                 F.sum("impact").alias("_partial"),
                 F.sum("_tail").alias("_seen_tail"),
+                F.sum(
+                    F.when(F.col("_tail") > 0.0, 1).otherwise(0)
+                ).alias("_n_capped_seen"),
             )
             .withColumn(
                 "_upper",
@@ -679,6 +686,9 @@ class ShardedBM25Index(BM25Index):
         cert_row = ranked.agg(
             F.min(F.when(F.col("_rn") <= k, F.col("_partial"))).alias("kth"),
             F.max(F.when(F.col("_rn") > k, F.col("_upper"))).alias("out_max"),
+            F.min(
+                F.when(F.col("_rn") <= k, F.col("_n_capped_seen"))
+            ).alias("min_capped"),
         ).first()
         kth = cert_row["kth"]
         out_max = cert_row["out_max"]
@@ -688,8 +698,12 @@ class ShardedBM25Index(BM25Index):
         certified = kth is not None and (
             # docs outside the returned set can't overtake ...
             (out_max is None or float(kth) > float(out_max))
-            # ... and neither can a doc absent from every prefix
+            # ... and neither can a doc absent from every prefix ...
             and float(kth) > t_sum
+            # ... and every winner's score is COMPLETE: seen in every
+            # capped term (uncapped terms are fully read — absence there
+            # is a true zero, never a hidden tail contribution)
+            and int(cert_row["min_capped"] or 0) >= n_capped
         )
         out = (
             ranked.filter(F.col("_rn") <= k)
@@ -768,6 +782,176 @@ class ShardedBM25Index(BM25Index):
             "depth": None,
             "exact_fallback": True,
         }
+
+    def topk_batch_adaptive(
+        self,
+        queries: list,
+        k: int = 10,
+        depth0: int = 1000,
+        max_doublings: int = 3,
+    ):
+        """Batched rank-safe serving — the production shape: ONE prefix
+        job certifies every query in the batch (per-query tail bounds /
+        partials / k-th-vs-outside-upper comparison, all grouped by
+        query_id over the depth-bounded prefix), then only the
+        UNCERTIFIED sub-batch escalates to the doubled depth; whatever
+        survives ``max_doublings`` rounds uncertified is served by one
+        exact :meth:`topk_batch` job. Per-query results carry the same
+        set-exactness guarantee as :meth:`topk_adaptive` (parity
+        test-pinned). Job count per round is constant in the batch size
+        — the RoutedBM25 batched-routing lesson applied to
+        certification. Returns (frame keyed by the CALLER's query_id,
+        info dict {certified_at: {depth: [query_id, ...]},
+        exact_fallback: [query_id, ...]})."""
+        self._require_impact()
+        spark = self._posts.sparkSession
+        idc = self._id_col
+        idt = self._doclens.schema[idc].dataType.simpleString()
+        empty = spark.createDataFrame(
+            [], f"query_id int, {idc} {idt}, bm25 double"
+        )
+        pending = list(range(len(queries)))
+        pieces, info = [], {"certified_at": {}, "exact_fallback": []}
+        depth = depth0
+        for _ in range(max_doublings + 1):
+            if not pending:
+                break
+            qterms = [
+                (qi, t)
+                for qi in pending
+                for t in sorted({t.lower() for t in queries[qi].split() if t})
+            ]
+            if not qterms:
+                # all-empty queries: nothing to score, trivially certified
+                for qi in pending:
+                    info["certified_at"].setdefault(depth, []).append(qi)
+                pending = []
+                break
+            qdf = spark.createDataFrame(qterms, "query_id int, term string")
+            prefix = (
+                self._lookup_batch(qdf, sorted({t for _, t in qterms}))
+                .filter(F.col("impact_rank") <= depth)
+                .localCheckpoint(eager=False)
+            )
+            # per-(query, term) tail bound: smallest read impact if the
+            # term's prefix is full-depth, else 0 (whole list read)
+            tails = prefix.groupBy("query_id", "term").agg(
+                F.when(
+                    F.count(F.lit(1)) >= depth, F.min("impact")
+                ).otherwise(F.lit(0.0)).alias("_tail")
+            )
+            t_sums = {
+                int(r["query_id"]): float(r["ts"])
+                for r in tails.groupBy("query_id")
+                .agg(F.coalesce(F.sum("_tail"), F.lit(0.0)).alias("ts"))
+                .collect()
+            }
+            n_capped = {
+                int(r["query_id"]): int(r["nc"])
+                for r in tails.groupBy("query_id")
+                .agg(
+                    F.sum(
+                        F.when(F.col("_tail") > 0.0, 1).otherwise(0)
+                    ).alias("nc")
+                )
+                .collect()
+            }
+            aggd = (
+                prefix.join(tails, ["query_id", "term"])
+                .groupBy("query_id", idc)
+                .agg(
+                    F.sum("impact").alias("_partial"),
+                    F.sum("_tail").alias("_seen_tail"),
+                    F.sum(
+                        F.when(F.col("_tail") > 0.0, 1).otherwise(0)
+                    ).alias("_n_capped_seen"),
+                )
+                .localCheckpoint(eager=False)
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("_partial").desc(), F.col(idc).asc()
+            )
+            ranked = aggd.withColumn("_rn", F.row_number().over(w))
+            # per-query certificate in ONE aggregate: a doc's upper
+            # bound is partial + (the query's all-terms tail sum − the
+            # tails of terms it WAS seen in); the query's t_sum joins in
+            # as a tiny broadcast frame
+            tsum_df = spark.createDataFrame(
+                [(qi, t_sums.get(qi, 0.0)) for qi in pending],
+                "query_id int, _tsum double",
+            )
+            upper = F.col("_partial") + F.col("_tsum") - F.col("_seen_tail")
+            cert = {
+                int(r["query_id"]): (
+                    r["kth"], r["out_max"], float(r["ts"]), r["min_capped"]
+                )
+                for r in ranked.join(F.broadcast(tsum_df), "query_id")
+                .groupBy("query_id")
+                .agg(
+                    F.min(
+                        F.when(F.col("_rn") <= k, F.col("_partial"))
+                    ).alias("kth"),
+                    F.max(F.when(F.col("_rn") > k, upper)).alias("out_max"),
+                    F.first("_tsum").alias("ts"),
+                    F.min(
+                        F.when(F.col("_rn") <= k, F.col("_n_capped_seen"))
+                    ).alias("min_capped"),
+                )
+                .collect()
+            }
+            certified = []
+            for qi in pending:
+                kth, out_max, t_sum, min_capped = cert.get(
+                    qi, (None, None, 0.0, None)
+                )
+                # STRICT inequalities — exact ties escalate; winners must
+                # be score-COMPLETE (seen in every capped term) — the
+                # single-query certificate's contract
+                if (
+                    kth is not None
+                    and float(kth) > t_sum
+                    and (out_max is None or float(kth) > float(out_max))
+                    and int(min_capped or 0) >= n_capped.get(qi, 0)
+                ):
+                    certified.append(qi)
+            if certified:
+                cset = set(certified)
+                part = (
+                    ranked.filter(
+                        F.col("query_id").isin(sorted(cset))
+                        & (F.col("_rn") <= k)
+                    )
+                    .select(
+                        "query_id",
+                        idc,
+                        F.round(F.col("_partial"), 6).alias("bm25"),
+                    )
+                )
+                pieces.append(part.localCheckpoint(eager=False))
+                info["certified_at"].setdefault(depth, []).extend(sorted(cset))
+                pending = [qi for qi in pending if qi not in cset]
+            depth *= 2
+        if pending:
+            sub = [queries[qi] for qi in pending]
+            remap = spark.createDataFrame(
+                [(i, qi) for i, qi in enumerate(pending)],
+                "query_id int, _orig int",
+            )
+            part = self.topk_batch(sub, k=k)
+            part = (
+                part.join(F.broadcast(remap), "query_id")
+                .drop("query_id")
+                .withColumnRenamed("_orig", "query_id")
+                .select("query_id", idc, "bm25")
+            )
+            pieces.append(part)
+            info["exact_fallback"] = sorted(pending)
+        out = empty
+        for p in pieces:
+            out = out.unionByName(p)
+        return out, info
 
     def close(self) -> None:
         self._doclens.unpersist()

@@ -730,6 +730,20 @@ def test_impact_ordered_serving(spark, tmp_path):
             got_b = sorted(by_q.get(qi, []), key=lambda t: (-t[1], t[0]))
             assert got_b == want, (q, depth)
 
+    # batched adaptive: per-query results carry topk_adaptive's
+    # set-exactness guarantee, certified queries and fallback queries
+    # mixed in one batch, keyed by the caller's query ids
+    batch = [rare_q, common_q, "entity1 pad", "zzz nothing matches", ""]
+    got_df, binfo = idx.topk_batch_adaptive(batch, k=5, depth0=8, max_doublings=2)
+    by_q = {}
+    for r in got_df.collect():
+        by_q.setdefault(r["query_id"], set()).add((r["doc_id"], r["bm25"]))
+    for qi, q in enumerate(batch):
+        want = {(r["doc_id"], r["bm25"]) for r in idx.topk(q, k=5).collect()}
+        assert by_q.get(qi, set()) == want, (qi, q, binfo)
+    certified_qis = {qi for qis in binfo["certified_at"].values() for qi in qis}
+    assert certified_qis | set(binfo["exact_fallback"]) >= {0, 1, 2, 3}
+
     # save/load keeps the layout
     idx.save(str(tmp_path / "copy"))
     idx2 = ShardedBM25Index.load(spark, str(tmp_path / "copy"))
