@@ -2481,6 +2481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_media_store_audit": q127_media_store_audit,  # NEW r13: media store health card
         "q128_bm25_impact": q128_bm25_impact,  # NEW r13: impact-ordered BM25 serving
         "q129_extend_vocab": q129_extend_vocab,  # NEW r13: id-stable vocab evolution
+        "q130_preference_pairs": q130_preference_pairs,  # NEW r13: DPO pair assembly
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -2528,11 +2529,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_latency_percentiles": q38_latency_percentiles,
         "q39_sessionize": q39_sessionize,
         "q40_asof_join": q40_asof_join,
-        "q42_moving_window": q42_moving_window,
         # ================= tail (entry 51+) =================
         # round-14's mandatory debt: the r11-greens that did not fit
-        # (oldest-first, gate_staleness.py order; q44/q46/q47/q48
-        # displaced by the four new r13 rows above)
+        # (oldest-first, gate_staleness.py order; q42/q44/q46/q47/q48
+        # displaced by the five new r13 rows above)
+        "q42_moving_window": q42_moving_window,
         "q44_hybrid_rrf": q44_hybrid_rrf,
         "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
         "q47_csv_lines": q47_csv_lines,
@@ -3204,6 +3205,27 @@ def q129_extend_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extend_vocab(
         vocab, docs.filter(F.col("doc_id") % 2 == 1), min_count=2
     )
+
+
+def q130_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair assembly (operators/sft.py preference_pairs,
+    NEW r13): scored candidate responses per prompt become one
+    maximum-margin (chosen, rejected) training row per prompt under the
+    deterministic (score desc, response asc) total order; 0-margin and
+    single-candidate prompts emit nothing. The preference-tuning step
+    after the SFT render/tokenize faces (q125/q126)."""
+    from jsonify2ai_spark.operators.sft import preference_pairs
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    cand = t["documents"].select(
+        (F.col("doc_id") % 40).alias("prompt_id"),
+        F.concat(
+            F.lit("prompt "), (F.col("doc_id") % 40).cast("string")
+        ).alias("prompt"),
+        F.col("text").alias("response"),
+        (F.col("doc_id") % 7).cast("double").alias("score"),
+    )
+    return preference_pairs(cand)
 
 
 def _dd_prep_report_sql(
@@ -5209,6 +5231,34 @@ def oracle_sql() -> dict[str, str]:
                    count
             FROM counts
             QUALIFY token_id <= 500
+        """,
+        # q130 twin: the same (score desc, response asc) total order as a
+        # window; chosen = rank-1 via first_value, rejected = the last
+        # rank; 0-margin and single-candidate prompts filtered
+        "q130_preference_pairs": """
+            WITH cand AS (
+              SELECT doc_id % 40 AS prompt_id,
+                     'prompt ' || CAST(doc_id % 40 AS VARCHAR) AS prompt,
+                     text AS response,
+                     CAST(doc_id % 7 AS DOUBLE) AS score
+              FROM documents
+            ), ranked AS (
+              SELECT prompt_id, prompt, response, score,
+                     row_number() OVER (PARTITION BY prompt_id
+                                        ORDER BY score DESC, response ASC) AS rn,
+                     count(*) OVER (PARTITION BY prompt_id) AS n,
+                     first_value(response) OVER (PARTITION BY prompt_id
+                                                 ORDER BY score DESC, response ASC) AS best,
+                     first_value(score) OVER (PARTITION BY prompt_id
+                                              ORDER BY score DESC, response ASC) AS best_score
+              FROM cand
+            )
+            SELECT prompt_id, prompt,
+                   best AS chosen, response AS rejected,
+                   best_score AS chosen_score, score AS rejected_score,
+                   CAST(best_score - score AS DOUBLE) AS margin
+            FROM ranked
+            WHERE rn = n AND n >= 2 AND best_score - score > 0
         """,
         # q129 twin: q104's replay over the even half, then the frozen-id
         # fold — existing ids verbatim with counts updated, novel tokens

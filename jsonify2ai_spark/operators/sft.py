@@ -241,3 +241,110 @@ def sft_token_samples(
             ).alias("n_mask_tokens"),
         )
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    prompt_text_col: str = "prompt",
+    response_col: str = "response",
+    score_col: str = "score",
+    pairing: str = "best_worst",
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Preference-pair assembly — the DPO/RLHF data path that follows
+    the SFT chain: candidate responses per prompt (scored by a reward
+    model, human ranking, or any quality signal) become
+    ``(prompt_id, prompt, chosen, rejected, chosen_score,
+    rejected_score, margin)`` training rows. No reference anchor: the
+    reference stops at chat parsing (worker/app/services/
+    parse_chatgpt.py); this is the north-star generalization's
+    preference-tuning step, the q125/q126 render/tokenize face's input.
+
+    Responses rank per prompt by the TOTAL order (score desc, response
+    asc — the build_vocab tie rule, so pairs are deterministic on any
+    engine and any cluster shape). ``pairing``:
+
+    - ``'best_worst'``  one pair per prompt: rank 1 vs rank n — the
+      maximum-margin pair (the common DPO recipe).
+    - ``'best_rest'``   rank 1 vs every other response: n-1 pairs —
+      when the best answer is trusted and the rest are negatives.
+    - ``'adjacent'``    rank i vs rank i+1: n-1 pairs — the
+      fine-grained form a listwise ranking is flattened to.
+
+    Pairs with ``margin <= min_margin`` drop (a pair that doesn't
+    separate teaches nothing and a 0-margin pair is two equally-good
+    answers — training on it is noise); single-response prompts emit
+    nothing. A NULL score raises in-plan rather than silently
+    mis-ranking (the NULL-role lesson: malformed rows fail loudly).
+
+    Scale shape: one per-prompt window pass (prompt-bounded, the
+    sessionize shape) + for 'best_rest'/'best_worst' a broadcast-sized
+    self-join keyed on (prompt, rank) only when needed — here both
+    derive from the SAME windowed frame via first_value/lag, so the
+    whole operator is window-only: no join, no shuffle beyond the one
+    prompt-keyed sort.
+    """
+    if pairing not in ("best_worst", "best_rest", "adjacent"):
+        raise ValueError(f"preference_pairs: unknown pairing {pairing!r}")
+    sc = F.when(
+        F.col(score_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"preference_pairs: NULL in score column {score_col!r} — "
+                "every candidate response must carry a score; drop or "
+                "impute upstream"
+            )
+        ).cast(df.schema[score_col].dataType.simpleString()),
+    ).otherwise(F.col(score_col))
+    base = df.select(
+        F.col(prompt_col),
+        F.col(prompt_text_col),
+        F.col(response_col).alias("_resp"),
+        sc.alias("_score"),
+    )
+    order = [F.col("_score").desc(), F.col("_resp").asc()]
+    w = Window.partitionBy(prompt_col).orderBy(*order)
+    ranked = base.select(
+        prompt_col,
+        prompt_text_col,
+        "_resp",
+        "_score",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(prompt_col)).alias("_n"),
+        F.first("_resp").over(w).alias("_best"),
+        F.first("_score").over(w).alias("_best_score"),
+    )
+    if pairing == "adjacent":
+        pairs = ranked.select(
+            prompt_col,
+            prompt_text_col,
+            F.lag("_resp", 1).over(w).alias("chosen"),
+            F.col("_resp").alias("rejected"),
+            F.lag("_score", 1).over(w).alias("chosen_score"),
+            F.col("_score").alias("rejected_score"),
+        ).filter(F.col("chosen").isNotNull())
+    elif pairing == "best_rest":
+        pairs = ranked.filter(F.col("_rn") > 1).select(
+            prompt_col,
+            prompt_text_col,
+            F.col("_best").alias("chosen"),
+            F.col("_resp").alias("rejected"),
+            F.col("_best_score").alias("chosen_score"),
+            F.col("_score").alias("rejected_score"),
+        )
+    else:  # best_worst
+        pairs = ranked.filter(
+            (F.col("_rn") == F.col("_n")) & (F.col("_n") >= 2)
+        ).select(
+            prompt_col,
+            prompt_text_col,
+            F.col("_best").alias("chosen"),
+            F.col("_resp").alias("rejected"),
+            F.col("_best_score").alias("chosen_score"),
+            F.col("_score").alias("rejected_score"),
+        )
+    return pairs.withColumn(
+        "margin",
+        (F.col("chosen_score") - F.col("rejected_score")).cast("double"),
+    ).filter(F.col("margin") > F.lit(float(min_margin)))

@@ -3505,3 +3505,66 @@ def test_concat_token_bins_loss_mask_assembly(spark):
     # mask_col=None: output unchanged from the pre-r12 contract
     plain = concat_token_bins(packed, eos_id=0).columns
     assert "loss_mask" not in plain
+
+
+def test_preference_pairs_all_pairings(spark):
+    """DPO pair assembly: deterministic (score desc, response asc)
+    ranking; best_worst = one max-margin pair per prompt; best_rest =
+    top vs each other; adjacent = consecutive ranks; min_margin and
+    single-response prompts drop; NULL score raises in-plan."""
+    import pytest
+
+    from jsonify2ai_spark.operators.sft import preference_pairs
+
+    rows = [
+        # prompt 1: clear ranking a(3) > b(2) > c(1)
+        (1, "p one", "resp a", 3.0),
+        (1, "p one", "resp b", 2.0),
+        (1, "p one", "resp c", 1.0),
+        # prompt 2: score tie broken by response text asc -> "x" chosen
+        (2, "p two", "resp y", 5.0),
+        (2, "p two", "resp x", 5.0),
+        (2, "p two", "resp z", 4.0),
+        # prompt 3: single response -> nothing
+        (3, "p three", "only", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, prompt string, response string, score double"
+    )
+
+    bw = {r["prompt_id"]: r for r in preference_pairs(df).collect()}
+    assert set(bw) == {1, 2}
+    assert (bw[1]["chosen"], bw[1]["rejected"]) == ("resp a", "resp c")
+    assert bw[1]["margin"] == 2.0
+    # tie at the top: "resp x" < "resp y" -> x is rank 1
+    assert (bw[2]["chosen"], bw[2]["rejected"]) == ("resp x", "resp z")
+    assert bw[2]["margin"] == 1.0
+
+    br = preference_pairs(df, pairing="best_rest").collect()
+    got = {(r["prompt_id"], r["rejected"]) for r in br}
+    # prompt 2: x-vs-y has margin 0 -> dropped at the default min_margin
+    assert got == {(1, "resp b"), (1, "resp c"), (2, "resp z")}
+    assert all(r["chosen"] in ("resp a", "resp x") for r in br)
+
+    adj = preference_pairs(df, pairing="adjacent").collect()
+    got = {(r["prompt_id"], r["chosen"], r["rejected"]) for r in adj}
+    # prompt 2's adjacent pairs: (x,y) margin 0 -> dropped, (y,z) kept
+    assert got == {
+        (1, "resp a", "resp b"),
+        (1, "resp b", "resp c"),
+        (2, "resp y", "resp z"),
+    }
+
+    # min_margin raises the bar: only the margin-2 pair survives
+    hi = preference_pairs(df, min_margin=1.5).collect()
+    assert [(r["prompt_id"], r["margin"]) for r in hi] == [(1, 2.0)]
+
+    with pytest.raises(ValueError, match="unknown pairing"):
+        preference_pairs(df, pairing="zzz")
+
+    bad = spark.createDataFrame(
+        [(1, "p", "a", 1.0), (1, "p", "b", None)],
+        "prompt_id long, prompt string, response string, score double",
+    )
+    with pytest.raises(Exception, match="NULL in score column"):
+        preference_pairs(bad).collect()
