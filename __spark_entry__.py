@@ -2482,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_bm25_impact": q128_bm25_impact,  # NEW r13: impact-ordered BM25 serving
         "q129_extend_vocab": q129_extend_vocab,  # NEW r13: id-stable vocab evolution
         "q130_preference_pairs": q130_preference_pairs,  # NEW r13: DPO pair assembly
+        "q131_dpo_tokens": q131_dpo_tokens,  # NEW r13: DPO paired token samples
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -2528,11 +2529,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_archive_shards": q35_archive_shards,
         "q38_latency_percentiles": q38_latency_percentiles,
         "q39_sessionize": q39_sessionize,
-        "q40_asof_join": q40_asof_join,
         # ================= tail (entry 51+) =================
         # round-14's mandatory debt: the r11-greens that did not fit
-        # (oldest-first, gate_staleness.py order; q42/q44/q46/q47/q48
-        # displaced by the five new r13 rows above)
+        # (oldest-first, gate_staleness.py order; q40/q42/q44/q46/q47/
+        # q48 displaced by the six new r13 rows above)
+        "q40_asof_join": q40_asof_join,
         "q42_moving_window": q42_moving_window,
         "q44_hybrid_rrf": q44_hybrid_rrf,
         "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
@@ -3226,6 +3227,52 @@ def q130_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 7).cast("double").alias("score"),
     )
     return preference_pairs(cand)
+
+
+def q131_dpo_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO paired token samples (operators/sft.py dpo_token_samples,
+    NEW r13): q130's preference pairs rendered as two 2-turn
+    conversations per pair and tokenized under merges=[] (the q126
+    oracle idiom — each BPE_SPLIT_RE pre-token splits to chars+</w>),
+    masks 1 exactly over each side's response content. Value check =
+    per-side token counts + the closed-form mask-position checksums, so
+    a prompt/response boundary slip on EITHER side moves a column.
+    lowercase=False keeps the regex replay ASCII-safe (q126's rule)."""
+    from jsonify2ai_spark.operators.sft import dpo_token_samples, preference_pairs
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    cand = t["documents"].select(
+        (F.col("doc_id") % 40).alias("prompt_id"),
+        F.concat(
+            F.lit("prompt "), (F.col("doc_id") % 40).cast("string")
+        ).alias("prompt"),
+        F.col("text").alias("response"),
+        (F.col("doc_id") % 7).cast("double").alias("score"),
+    )
+    out = dpo_token_samples(preference_pairs(cand), [], lowercase=False)
+    zero = F.lit(0).cast("bigint")
+
+    def ck(mask_col: str):
+        sz = F.size(mask_col)
+        return F.when(sz == 0, zero).otherwise(
+            F.aggregate(
+                F.zip_with(
+                    mask_col,
+                    F.sequence(F.lit(1), sz),
+                    lambda m, i: m.cast("bigint") * i,
+                ),
+                zero,
+                lambda a, x: a + x,
+            )
+        )
+
+    return out.select(
+        "prompt_id",
+        F.col("n_chosen_tokens"),
+        F.col("n_rejected_tokens"),
+        ck("chosen_mask").alias("chosen_mask_checksum"),
+        ck("rejected_mask").alias("rejected_mask_checksum"),
+    )
 
 
 def _dd_prep_report_sql(
@@ -5259,6 +5306,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(best_score - score AS DOUBLE) AS margin
             FROM ranked
             WHERE rn = n AND n >= 2 AND best_score - score > 0
+        """,
+        # q131 twin: q130's pair selection + q126's merges=[] counting
+        # idiom over each side's two-turn render; the side's masked span
+        # is [n0+hn, n0+n_side) in token space -> closed-form checksum
+        "q131_dpo_tokens": r"""
+            WITH cand AS (
+              SELECT doc_id % 40 AS prompt_id,
+                     'prompt ' || CAST(doc_id % 40 AS VARCHAR) AS prompt,
+                     text AS response,
+                     CAST(doc_id % 7 AS DOUBLE) AS score
+              FROM documents
+            ), ranked AS (
+              SELECT prompt_id, prompt, response, score,
+                     row_number() OVER (PARTITION BY prompt_id
+                                        ORDER BY score DESC, response ASC) AS rn,
+                     count(*) OVER (PARTITION BY prompt_id) AS n,
+                     first_value(response) OVER (PARTITION BY prompt_id
+                                                 ORDER BY score DESC, response ASC) AS best,
+                     first_value(score) OVER (PARTITION BY prompt_id
+                                              ORDER BY score DESC, response ASC) AS best_score
+              FROM cand
+            ), pairs AS (
+              SELECT prompt_id, prompt, best AS chosen, response AS rejected
+              FROM ranked WHERE rn = n AND n >= 2 AND best_score - score > 0
+            ), seg AS (
+              SELECT CAST(prompt_id AS VARCHAR) AS prompt_id,
+                     regexp_extract_all('<|user|> ' || prompt, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS pp,
+                     regexp_extract_all('<|assistant|> ' || chosen, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS cc,
+                     regexp_extract_all('<|assistant|> ' || rejected, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS rr,
+                     regexp_extract_all('<|assistant|>', '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS ha
+              FROM pairs
+            ), cnts AS (
+              SELECT prompt_id,
+                     CAST(len(pp) + coalesce(list_sum(list_transform(pp, x -> length(x))), 0) AS BIGINT) AS n0,
+                     CAST(len(cc) + coalesce(list_sum(list_transform(cc, x -> length(x))), 0) AS BIGINT) AS nc,
+                     CAST(len(rr) + coalesce(list_sum(list_transform(rr, x -> length(x))), 0) AS BIGINT) AS nr,
+                     CAST(len(ha) + coalesce(list_sum(list_transform(ha, x -> length(x))), 0) AS BIGINT) AS hn
+              FROM seg
+            )
+            SELECT prompt_id,
+                   CAST(n0 + nc AS BIGINT) AS n_chosen_tokens,
+                   CAST(n0 + nr AS BIGINT) AS n_rejected_tokens,
+                   CAST(((n0 + nc) * (n0 + nc + 1) - (n0 + hn) * (n0 + hn + 1)) // 2 AS BIGINT) AS chosen_mask_checksum,
+                   CAST(((n0 + nr) * (n0 + nr + 1) - (n0 + hn) * (n0 + hn + 1)) // 2 AS BIGINT) AS rejected_mask_checksum
+            FROM cnts
         """,
         # q129 twin: q104's replay over the even half, then the frozen-id
         # fold — existing ids verbatim with counts updated, novel tokens

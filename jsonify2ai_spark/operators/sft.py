@@ -348,3 +348,100 @@ def preference_pairs(
         "margin",
         (F.col("chosen_score") - F.col("rejected_score")).cast("double"),
     ).filter(F.col("margin") > F.lit(float(min_margin)))
+
+
+def dpo_token_samples(
+    pairs: DataFrame,
+    merges: list,
+    pair_col: str = "prompt_id",
+    prompt_text_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Preference pairs -> paired token samples: ``(pair, chosen_tokens,
+    chosen_mask, rejected_tokens, rejected_mask, n_chosen_tokens,
+    n_rejected_tokens)`` — what a DPO trainer consumes: both sides
+    tokenized under ONE tokenizer, each with a position-aligned loss
+    mask that is 1 exactly over the response content (the policy /
+    reference log-prob sums run over masked positions only).
+
+    Built BY REUSE, not re-derivation: each pair explodes into two
+    2-turn conversations — ``(user, prompt), (assistant, response)``
+    keyed ``<pair>#chosen`` / ``<pair>#rejected`` — and rides
+    :func:`sft_token_samples`' aligned-by-construction contract
+    verbatim (same header form, same per-turn encode independence, same
+    NULL-role guard); the two sides then pivot back onto one row. Any
+    fix to the SFT alignment semantics is a fix here for free.
+
+    Scale shape: sft_token_samples' two Arrow passes over 2x the pair
+    count of 2-row conversations, plus one pair-keyed pivot (a groupBy
+    with two first() aggregates — no join)."""
+    pc = F.col(pair_col).cast("string")
+    two = pairs.select(
+        pc.alias("_pair"),
+        F.col(prompt_text_col).alias("_prompt"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("chosen").alias("side"),
+                    F.col(chosen_col).alias("resp"),
+                ),
+                F.struct(
+                    F.lit("rejected").alias("side"),
+                    F.col(rejected_col).alias("resp"),
+                ),
+            )
+        ).alias("_s"),
+    )
+    msgs = two.select(
+        F.concat("_pair", F.lit("#"), F.col("_s.side")).alias("conv_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("turn_idx"),
+                    F.lit("user").alias("role"),
+                    F.col("_prompt").alias("text"),
+                ),
+                F.struct(
+                    F.lit(1).alias("turn_idx"),
+                    F.lit("assistant").alias("role"),
+                    F.col("_s.resp").alias("text"),
+                ),
+            )
+        ).alias("_t"),
+    ).select("conv_id", "_t.turn_idx", "_t.role", "_t.text")
+    samples = sft_token_samples(msgs, merges, lowercase=lowercase)
+    split = F.split(F.col("conv_id"), "#", -1)
+    # rsplit semantics: the side tag is the LAST segment (pair ids may
+    # themselves contain '#'), the pair key is everything before it
+    side = F.element_at(split, -1)
+    pair = F.expr(
+        "substring(conv_id, 1, length(conv_id) - length(element_at("
+        "split(conv_id, '#', -1), -1)) - 1)"
+    )
+    tagged = samples.select(
+        pair.alias(pair_col),
+        side.alias("_side"),
+        "bpe_tokens",
+        "loss_mask",
+        "n_tokens",
+    )
+    return (
+        tagged.groupBy(pair_col)
+        .pivot("_side", ["chosen", "rejected"])
+        .agg(
+            F.first("bpe_tokens").alias("tokens"),
+            F.first("loss_mask").alias("mask"),
+            F.first("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            pair_col,
+            F.col("chosen_tokens"),
+            F.col("chosen_mask"),
+            F.col("rejected_tokens"),
+            F.col("rejected_mask"),
+            F.col("chosen_n_tokens").alias("n_chosen_tokens"),
+            F.col("rejected_n_tokens").alias("n_rejected_tokens"),
+        )
+    )

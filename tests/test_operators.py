@@ -3568,3 +3568,64 @@ def test_preference_pairs_all_pairings(spark):
     )
     with pytest.raises(Exception, match="NULL in score column"):
         preference_pairs(bad).collect()
+
+
+def test_dpo_token_samples_paired_alignment(spark):
+    """DPO token pairs ride sft_token_samples' contract: both sides
+    tokenize under one tokenizer, each mask is 1 exactly over the
+    response content subwords (prompt + headers are context), sides
+    pivot onto one row keyed by the original pair id, and a pair id
+    containing the '#' separator still splits on the LAST segment."""
+    from jsonify2ai_spark.operators.bpe import bpe_encode_fast, train_bpe
+    from jsonify2ai_spark.operators.sft import dpo_token_samples, preference_pairs
+
+    cand = spark.createDataFrame(
+        [
+            (1, "the cat question", "on the mat answer", 3.0),
+            (1, "the cat question", "bad reply", 1.0),
+            (2, "hello there", "general kenobi", 2.0),
+            (2, "hello there", "general grievous", 1.0),
+        ],
+        "prompt_id long, prompt string, response string, score double",
+    )
+    pairs = preference_pairs(cand)
+    merges = train_bpe(
+        cand.selectExpr("prompt_id as doc_id", "response as text"),
+        num_merges=8,
+    )
+    out = {r["prompt_id"]: r for r in dpo_token_samples(pairs, merges).collect()}
+    assert set(out) == {"1", "2"}  # pair key round-trips (as string)
+
+    # masks align position-for-position and cover exactly the response
+    enc = {
+        r["doc_id"]: r["_t"]
+        for r in bpe_encode_fast(
+            spark.createDataFrame(
+                [(1, "on the mat answer"), (2, "bad reply")],
+                "doc_id long, text string",
+            ),
+            merges,
+            out_col="_t",
+        ).collect()
+    }
+    r1 = out["1"]
+    assert len(r1["chosen_tokens"]) == len(r1["chosen_mask"]) == r1["n_chosen_tokens"]
+    assert len(r1["rejected_tokens"]) == len(r1["rejected_mask"])
+    chosen_masked = [
+        t for t, m in zip(r1["chosen_tokens"], r1["chosen_mask"]) if m == 1
+    ]
+    rejected_masked = [
+        t for t, m in zip(r1["rejected_tokens"], r1["rejected_mask"]) if m == 1
+    ]
+    assert chosen_masked == enc[1]   # exactly the chosen response's encode
+    assert rejected_masked == enc[2]  # exactly the rejected response's
+    # both sides share the prompt prefix (same tokenizer, same template)
+    np = r1["n_chosen_tokens"] - len(enc[1])
+    assert r1["chosen_tokens"][:np - 2] == r1["rejected_tokens"][:np - 2]
+
+    # '#' inside the pair key: side still splits on the LAST segment
+    weird = pairs.withColumn(
+        "prompt_id", F.concat(F.lit("a#b-"), F.col("prompt_id").cast("string"))
+    )
+    wout = {r["prompt_id"] for r in dpo_token_samples(weird, merges).collect()}
+    assert wout == {"a#b-1", "a#b-2"}
