@@ -378,18 +378,49 @@ def dpo_token_samples(
     count of 2-row conversations, plus one pair-keyed pivot (a groupBy
     with two first() aggregates — no join)."""
     pc = F.col(pair_col).cast("string")
-    two = pairs.select(
+    # duplicate pair keys would collapse SILENTLY: both rows' sides mint
+    # the SAME conv_id ("<pair>#chosen"), so sft_token_samples'
+    # conversation grouping merges two distinct responses into one
+    # 4-turn conversation before any downstream check can see them
+    # (best_rest/adjacent pairings emit several rows per prompt — those
+    # need a per-pair surrogate key). Guard UPSTREAM of the explode,
+    # in-plan, on the pairs frame itself.
+    n_per_pair = F.count(F.lit(1)).over(Window.partitionBy(pair_col))
+    prompt_guarded = F.when(
+        n_per_pair > F.lit(1),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "dpo_token_samples: duplicate pair key — one row per "
+                    f"{pair_col!r} required (best_rest/adjacent pairings "
+                    "need a surrogate pair id): "
+                ),
+                pc,
+            )
+        ).cast("string"),
+    ).otherwise(F.col(prompt_text_col))
+    # the guard lives in its OWN projection: a window expression and a
+    # generator in one select plant the Generate below the Window, so
+    # the count would see the exploded (2-rows-per-pair) frame and fire
+    # on every pair
+    guarded = pairs.select(
         pc.alias("_pair"),
-        F.col(prompt_text_col).alias("_prompt"),
+        prompt_guarded.alias("_prompt"),
+        F.col(chosen_col).alias("_chosen"),
+        F.col(rejected_col).alias("_rejected"),
+    )
+    two = guarded.select(
+        "_pair",
+        "_prompt",
         F.explode(
             F.array(
                 F.struct(
                     F.lit("chosen").alias("side"),
-                    F.col(chosen_col).alias("resp"),
+                    F.col("_chosen").alias("resp"),
                 ),
                 F.struct(
                     F.lit("rejected").alias("side"),
-                    F.col(rejected_col).alias("resp"),
+                    F.col("_rejected").alias("resp"),
                 ),
             )
         ).alias("_s"),

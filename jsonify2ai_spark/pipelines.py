@@ -827,6 +827,7 @@ def append_sft_shards(
         raise ValueError(
             "append_sft_shards: not an SFT store (manifest config lacks "
             "sft=True) — use append_token_shards for text stores"
+            + (" (this one is a DPO store)" if cfg.get("dpo") else "")
         )
     if str(run_id) in manifest.get("compacted_runs", []):
         raise ValueError(
@@ -869,6 +870,143 @@ def append_sft_shards(
     manifest.setdefault("increments", {})[str(run_id)] = m["rows"]
     _write_json_atomic(man_path, manifest)
     return {**m, "run_id": str(run_id)}
+
+
+def dpo_to_token_shards(
+    pairs: DataFrame,
+    out_dir: str,
+    num_merges: int = 200,
+    merge_batch: int = 1,
+    exact: bool = True,
+    vocab_min_count: int = 1,
+    max_vocab: "int | None" = None,
+    n_groups: int = 32,
+    lowercase: bool = True,
+    pair_col: str = "prompt_id",
+    prompt_text_col: str = "prompt",
+    chosen_col: str = "chosen",
+    rejected_col: str = "rejected",
+) -> dict:
+    """Preference pairs -> trainer-loadable DPO shards, one call — the
+    :func:`sft_to_token_shards` recipe for preference data: train the
+    tokenizer on the pairs' own rendered turn texts (prompt + BOTH
+    responses — the policy and reference models see both sides), build
+    paired token samples with position-aligned per-side loss masks
+    (:func:`~jsonify2ai_spark.operators.sft.dpo_token_samples`), mint a
+    vocabulary over the union of both sides' tokens, map each side to
+    ids under the UNK-substitution policy (never 'drop' — the sft
+    module's pinned alignment contract), and land one ROW PER PAIR —
+    DPO's loss is pairwise, so rows stay unpacked (no eos/packing
+    machinery; a trainer batches whole pairs). The output directory
+    carries the token-shard family's tokenizer artifacts + manifest.json
+    and loads through :func:`read_token_shards`.
+
+    Reserved id: ``unk_id = vocab_size + 1`` — build_vocab ids are
+    1-based [1, V], so V itself is a real token's id (the r12-advisor
+    collision, minted correctly here from birth).
+
+    Scale shape: one BPE train over 3 rows/pair, dpo_token_samples' two
+    Arrow passes + pivot (lazily checkpointed — the vocab count and two
+    id lookups all read one materialization), two broadcast-vocab Arrow
+    id lookups (zero shuffles), one group-keyed write."""
+    import os
+
+    from jsonify2ai_spark.multimodal.shards import _media_group
+    from jsonify2ai_spark.operators.bpe import tokens_to_ids, train_bpe
+    from jsonify2ai_spark.operators.sft import dpo_token_samples
+    from jsonify2ai_spark.operators.textstats import build_vocab
+
+    spark = pairs.sparkSession
+    turn_frame = pairs.select(
+        F.col(pair_col).cast("string").alias("doc_id"),
+        F.explode(
+            F.array(
+                F.concat(F.lit("<|user|> "), F.coalesce(F.col(prompt_text_col), F.lit(""))),
+                F.concat(F.lit("<|assistant|> "), F.coalesce(F.col(chosen_col), F.lit(""))),
+                F.concat(F.lit("<|assistant|> "), F.coalesce(F.col(rejected_col), F.lit(""))),
+            )
+        ).alias("text"),
+    )
+    merges = train_bpe(
+        turn_frame, num_merges=num_merges, lowercase=lowercase,
+        merge_batch=merge_batch, exact=exact,
+    )
+    sample = dpo_token_samples(
+        pairs, merges,
+        pair_col=pair_col, prompt_text_col=prompt_text_col,
+        chosen_col=chosen_col, rejected_col=rejected_col,
+        lowercase=lowercase,
+    ).localCheckpoint(eager=False)
+    vocab = build_vocab(
+        sample.select(
+            F.concat("chosen_tokens", "rejected_tokens").alias("_all")
+        ),
+        min_count=vocab_min_count, max_vocab=max_vocab,
+        token_array_col="_all",
+    )
+
+    tok_dir = os.path.join(out_dir, "tokenizer")
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tok_dir, "merges.parquet")
+    )
+    vocab.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tok_dir, "vocab.parquet")
+    )
+    vocab_saved = spark.read.parquet(os.path.join(tok_dir, "vocab.parquet"))
+    vocab_size = vocab_saved.count()
+    unk_id = vocab_size + 1
+
+    ids = tokens_to_ids(
+        sample, vocab_saved, tokens_col="chosen_tokens",
+        out_col="chosen_ids", oov=unk_id, id_col=pair_col,
+    )
+    ids = tokens_to_ids(
+        ids, vocab_saved, tokens_col="rejected_tokens",
+        out_col="rejected_ids", oov=unk_id, id_col=pair_col,
+    )
+    rows_df = ids.select(
+        F.col(pair_col),
+        "chosen_ids",
+        "chosen_mask",
+        "rejected_ids",
+        "rejected_mask",
+        "n_chosen_tokens",
+        "n_rejected_tokens",
+        _media_group(F.col(pair_col), n_groups).alias("pack_group"),
+    ).localCheckpoint(eager=False)
+    (
+        rows_df.repartition(F.col("pack_group"))
+        .sortWithinPartitions("pack_group", pair_col)
+        .write.mode("overwrite")
+        .partitionBy("pack_group")
+        .parquet(os.path.join(out_dir, "shards"))
+    )
+    n_rows = rows_df.count()
+    result = {
+        "out_dir": out_dir,
+        "rows": n_rows,
+        "groups": n_groups,
+        "tokenizer_dir": tok_dir,
+        "num_merges": len(merges),
+        "vocab_size": vocab_size,
+        "config": {
+            "dpo": True,
+            "n_groups": n_groups,
+            "unk_id": unk_id,
+            "oov": unk_id,
+            "lowercase": lowercase,
+            "vocab_min_count": vocab_min_count,
+            "max_vocab": max_vocab,
+            "pair_col": pair_col,
+            "prep": False,
+        },
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    _write_json_atomic(os.path.join(out_dir, "manifest.json"), result)
+    return result
 
 
 def _write_json_atomic(path: str, obj: dict) -> None:
@@ -996,6 +1134,12 @@ def append_token_shards(
             "masks ride every bin) — a text-shaped append would land "
             "maskless rows the loader cannot union; use "
             "append_sft_shards(msgs, ...) instead"
+        )
+    if cfg.get("dpo"):
+        raise ValueError(
+            "append_token_shards: this store holds DPO pair rows "
+            "(paired per-side ids + masks) — a text-shaped append "
+            "would land rows the loader cannot union"
         )
     if str(run_id) in manifest.get("compacted_runs", []):
         # the run's rows were folded into the compacted base and its

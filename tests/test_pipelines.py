@@ -2103,3 +2103,75 @@ def test_mixture_blends_sft_stores_and_guards_cross_kind(spark, tmp_path):
             spark, {"a": a, "t": text_store}, {"a": 1.0, "t": 1.0},
             budget_tokens=10_000,
         )
+
+
+def test_dpo_to_token_shards_e2e(spark, tmp_path):
+    """One-call DPO shards: scored candidates -> preference pairs ->
+    tokenizer -> paired id rows with per-side masks -> read_token_shards.
+    One row per pair (unpacked — DPO's loss is pairwise); masks align
+    per side; unk_id minted PAST the 1-based vocab; text/SFT appends on
+    a DPO store raise; duplicate pair keys raise in-plan."""
+    import pytest
+
+    from jsonify2ai_spark.operators.sft import dpo_token_samples, preference_pairs
+    from jsonify2ai_spark.pipelines import (
+        append_sft_shards,
+        append_token_shards,
+        dpo_to_token_shards,
+        read_token_shards,
+    )
+
+    cand = spark.createDataFrame(
+        [
+            (p, f"question {p} about thing{p}",
+             f"answer {p} variant {v} says item{p * 10 + v}", float(v))
+            for p in range(8)
+            for v in range(3)
+        ],
+        "prompt_id long, prompt string, response string, score double",
+    )
+    pairs = preference_pairs(cand)
+    out = str(tmp_path / "dpo")
+    m = dpo_to_token_shards(pairs, out, num_merges=10, n_groups=2)
+    assert m["config"]["dpo"] is True
+    assert m["rows"] == 8
+    assert m["config"]["unk_id"] == m["vocab_size"] + 1
+    max_real = (
+        spark.read.parquet(out + "/tokenizer/vocab.parquet")
+        .agg({"token_id": "max"}).collect()[0][0]
+    )
+    assert m["config"]["unk_id"] > max_real
+
+    rows = read_token_shards(spark, out, validate=True).collect()
+    assert len(rows) == 8
+    unk = m["config"]["unk_id"]
+    for r in rows:
+        assert len(r["chosen_ids"]) == len(r["chosen_mask"]) == r["n_chosen_tokens"]
+        assert len(r["rejected_ids"]) == len(r["rejected_mask"]) == r["n_rejected_tokens"]
+        assert sum(r["chosen_mask"]) > 0 and sum(r["rejected_mask"]) > 0
+        # base vocab is trained on these very tokens: zero UNKs
+        assert unk not in r["chosen_ids"] and unk not in r["rejected_ids"]
+        assert r["_source_run"] == "base"
+
+    # store-kind guards both ways
+    msgs = spark.createDataFrame(
+        [(1, 0, "user", "hi"), (1, 1, "assistant", "hello")],
+        "conv_id long, turn_idx int, role string, text string",
+    )
+    with pytest.raises(ValueError, match="DPO|dpo"):
+        append_token_shards(
+            spark.createDataFrame([(1, "text doc")], "doc_id long, text string"),
+            out, "r1",
+        )
+    with pytest.raises(ValueError, match="DPO|dpo|not an SFT"):
+        append_sft_shards(msgs, out, "r1")
+
+    # duplicate pair key: best_rest emits several rows per prompt
+    from jsonify2ai_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(
+        cand.selectExpr("prompt_id as doc_id", "response as text"), num_merges=5
+    )
+    dup = preference_pairs(cand, pairing="best_rest")
+    with pytest.raises(Exception, match="duplicate pair key"):
+        dpo_token_samples(dup, merges).collect()
