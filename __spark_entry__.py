@@ -2483,6 +2483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_extend_vocab": q129_extend_vocab,  # NEW r13: id-stable vocab evolution
         "q130_preference_pairs": q130_preference_pairs,  # NEW r13: DPO pair assembly
         "q131_dpo_tokens": q131_dpo_tokens,  # NEW r13: DPO paired token samples
+        "q132_purge_packed": q132_purge_packed,  # NEW r13: trainer-shard document purge
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -3272,6 +3273,79 @@ def q131_dpo_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rejected_tokens"),
         ck("chosen_mask").alias("chosen_mask_checksum"),
         ck("rejected_mask").alias("rejected_mask_checksum"),
+    )
+
+
+def q132_purge_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten re-slice over packed trainer sequences
+    (operators/packing.py purge_packed_bins, NEW r13 — the logical half
+    of the shard-store deletion-vector protocol, pipelines.py
+    purge_shard_store): q119's corpus -> vocab ids -> next-fit ->
+    assembled-bins chain (budget 192, eos 0, now padded to 192), then
+    every document with ``doc_id % 5 == 2`` is purged. The oracle
+    replays the boundary arithmetic: affected bins keep only surviving
+    members (original order), ``n_ids`` drops by exactly the victims'
+    eos-inclusive lengths, ``ids_sum`` (the assembled sequence's token
+    sum — eos and pad are 0, so it equals the kept members' own id
+    sums) and ``seq_len = greatest(192, kept n_ids)`` pin the rebuilt
+    array's CONTENT and SHAPE, fully-purged bins vanish, untouched
+    bins byte-match q119's own rows. Reference anchor: the delete
+    reconciliation path (worker/app/services/qdrant_io.py), generalized
+    from vector points to document slices inside training rows."""
+    from jsonify2ai_spark.functions.text import tokens
+    from jsonify2ai_spark.operators.bpe import tokens_to_ids
+    from jsonify2ai_spark.operators.packing import (
+        concat_token_bins,
+        pack_sequences,
+        purge_packed_bins,
+    )
+    from jsonify2ai_spark.operators.textstats import build_vocab
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    vocab = build_vocab(docs, min_count=2, max_vocab=500)
+    ids = tokens_to_ids(
+        docs.withColumn("_toks", tokens(F.col("text"))),
+        vocab,
+        tokens_col="_toks",
+        oov="drop",
+        impl="udf",
+    )
+    sized = ids.select(
+        "doc_id",
+        "token_ids",
+        (F.size("token_ids") + 1).cast("bigint").alias("_w"),  # +1 = EOS
+    )
+    packed = pack_sequences(
+        sized, budget=192, size_col="_w", id_col="doc_id", n_groups=8
+    )
+    bins = concat_token_bins(
+        packed, eos_id=0, pad_to=192, with_boundaries=True
+    )
+    # the purge set: a deletion REQUEST is driver-sized by contract —
+    # this fixture derives a deterministic one from the corpus (the
+    # collect is bounded by |documents|/5 at gate scale)
+    victims = [
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 5 == 2)
+        .select("doc_id")
+        .collect()
+    ]
+    out = purge_packed_bins(bins, victims, pad_to=192)
+    zero = F.lit(0).cast("bigint")
+    return out.select(
+        F.col("pack_group").cast("bigint").alias("pack_group"),
+        F.col("bin_idx").cast("bigint").alias("bin_idx"),
+        "n_docs",
+        "n_ids",
+        F.array_join(
+            F.transform("doc_ids", lambda x: x.cast("string")), ","
+        ).alias("doc_ids_csv"),
+        F.array_join(
+            F.transform("doc_lens", lambda x: x.cast("string")), ","
+        ).alias("doc_lens_csv"),
+        F.aggregate("input_ids", zero, lambda a, x: a + x).alias("ids_sum"),
+        F.size("input_ids").cast("bigint").alias("seq_len"),
     )
 
 
@@ -5351,6 +5425,69 @@ def oracle_sql() -> dict[str, str]:
                    CAST(((n0 + nc) * (n0 + nc + 1) - (n0 + hn) * (n0 + hn + 1)) // 2 AS BIGINT) AS chosen_mask_checksum,
                    CAST(((n0 + nr) * (n0 + nr + 1) - (n0 + hn) * (n0 + hn + 1)) // 2 AS BIGINT) AS rejected_mask_checksum
             FROM cnts
+        """,
+        # q132 twin: q119's pack CTEs + the purge re-slice arithmetic —
+        # members with doc_id % 5 = 2 drop from every bin, survivors keep
+        # original order/lengths, ids_sum replays the kept members' own
+        # token-id sums (eos/pad contribute 0), seq_len = the pad rule
+        # greatest(192, kept n_ids); bins with no survivor produce no row
+        "q132_purge_packed": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     (CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                           ELSE string_split_regex(trim(text), '\s+') END) AS tk
+              FROM documents
+            ), counts AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS count
+              FROM (SELECT unnest(tk) AS token FROM toks)
+              GROUP BY token HAVING count(*) >= 2
+            ), vocab AS (
+              SELECT token,
+                     CAST(row_number() OVER (ORDER BY count DESC, token ASC)
+                          AS BIGINT) AS token_id
+              FROM counts
+              QUALIFY token_id <= 500
+            ), ex AS (
+              SELECT doc_id, unnest(tk) AS token FROM toks
+            ), matched AS (
+              SELECT e.doc_id, count(*) AS n,
+                     CAST(sum(v.token_id) AS BIGINT) AS ds
+              FROM ex e JOIN vocab v USING (token)
+              GROUP BY e.doc_id
+            ), sized AS (
+              SELECT t.doc_id, coalesce(m.n, 0) + 1 AS w,
+                     coalesce(m.ds, 0) AS ds
+              FROM toks t LEFT JOIN matched m USING (doc_id)
+            ), g AS (
+              SELECT doc_id, w, doc_id % 8 AS grp,
+                     row_number() OVER (PARTITION BY doc_id % 8
+                                        ORDER BY doc_id) AS r
+              FROM sized
+            ), f(grp, r, doc_id, acc, bin) AS (
+              SELECT grp, r, doc_id, w, 0 FROM g WHERE r = 1
+              UNION ALL
+              SELECT n.grp, n.r, n.doc_id,
+                     CASE WHEN f.acc > 0 AND f.acc + n.w > 192
+                          THEN n.w ELSE f.acc + n.w END,
+                     CASE WHEN f.acc > 0 AND f.acc + n.w > 192
+                          THEN f.bin + 1 ELSE f.bin END
+              FROM f JOIN g n ON n.grp = f.grp AND n.r = f.r + 1
+            ), assign AS (
+              SELECT doc_id, grp, bin FROM f
+            )
+            SELECT CAST(a.grp AS BIGINT) AS pack_group,
+                   CAST(a.bin AS BIGINT) AS bin_idx,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(s.w) AS BIGINT) AS n_ids,
+                   string_agg(CAST(s.doc_id AS VARCHAR), ','
+                              ORDER BY s.doc_id) AS doc_ids_csv,
+                   string_agg(CAST(s.w AS VARCHAR), ','
+                              ORDER BY s.doc_id) AS doc_lens_csv,
+                   CAST(sum(s.ds) AS BIGINT) AS ids_sum,
+                   CAST(greatest(192, sum(s.w)) AS BIGINT) AS seq_len
+            FROM assign a JOIN sized s USING (doc_id)
+            WHERE s.doc_id % 5 <> 2
+            GROUP BY a.grp, a.bin
         """,
         # q129 twin: q104's replay over the even half, then the frozen-id
         # fold — existing ids verbatim with counts updated, novel tokens

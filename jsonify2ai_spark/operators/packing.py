@@ -293,6 +293,167 @@ def concat_token_bins(
     return out
 
 
+def purge_packed_bins(
+    bins: DataFrame,
+    purged_ids: list,
+    ids_col: str = "input_ids",
+    mask_col: str | None = "auto",
+    pad_to: int | None = None,
+    pad_id: int = 0,
+) -> DataFrame:
+    """Remove a set of documents from ASSEMBLED packed sequences — the
+    re-slice half of right-to-be-forgotten deletion over trainer shards
+    (r13). Given :func:`concat_token_bins` output WITH boundaries
+    (``doc_ids``/``doc_lens``), every bin that contains a purged
+    document is rebuilt from its surviving documents' own token runs:
+    the boundary offsets locate each member's slice of ``ids_col``
+    (each slice already carries its EOS — ``doc_lens`` include it), the
+    kept slices re-concatenate in the original order, and the sequence
+    re-pads with ``pad_id`` (to ``max(pad_to, new length)`` when
+    ``pad_to`` is given — the :func:`concat_token_bins` padding rule —
+    else to the row's ORIGINAL length, so tensor shapes are stable
+    either way). ``n_docs``/``n_ids``/``doc_ids``/``doc_lens`` update
+    to the survivors; a bin whose every member is purged drops
+    entirely; a bin with no purged member passes through
+    BYTE-IDENTICAL (the rebuild is gated per row, not applied
+    globally). ``mask_col='auto'`` re-slices ``loss_mask`` alongside
+    when present (SFT stores) — mask and ids share the same boundary
+    offsets by the :func:`concat_token_bins` alignment contract, and
+    padding positions get mask 0.
+
+    Membership compares ids AS STRINGS (purge requests arrive as
+    external identifiers; the store's id type — int doc ids, string
+    conversation keys — must not matter). ``purged_ids`` is
+    request-sized by contract (a deletion request, never a corpus): it
+    ships as ONE broadcast single-row array, so the plan stays O(1) in
+    the set size and the rebuild is map-side — zero shuffles at any
+    store size. Pure Column expressions end to end (aggregate scan for
+    offsets, filter + slice + flatten for the rebuild), so the same
+    transform serves the read path (logical purge) and compaction
+    (physical erasure) and is DuckDB-replayable (driver gate row q132).
+
+    Reference anchor: generalizes the reference's delete-by-document
+    reconciliation (worker/app/services/qdrant_io.py delete path;
+    watcher delete events) from vector-store points to packed trainer
+    sequences, where a document is an interior SLICE of a training row
+    rather than a row of its own.
+    """
+    for c in ("doc_ids", "doc_lens"):
+        if c not in bins.columns:
+            raise ValueError(
+                "purge_packed_bins needs boundary columns doc_ids/doc_lens "
+                f"({c!r} missing) — assembled shards written without "
+                "boundaries=True cannot locate member documents; rebuild "
+                "the store with boundaries enabled to make it purgeable"
+            )
+    if mask_col == "auto":
+        mask_col = "loss_mask" if "loss_mask" in bins.columns else None
+    ids = sorted({str(x) for x in purged_ids})
+    if not ids:
+        return bins
+
+    spark = bins.sparkSession
+    elem_t = bins.schema[ids_col].dataType.elementType.simpleString()
+    tomb_df = spark.createDataFrame([(ids,)], "_tomb_ids array<string>")
+    df = bins.crossJoin(F.broadcast(tomb_df))
+    tomb = F.col("_tomb_ids")
+
+    gone = lambda d: F.array_contains(tomb, d.cast("string"))  # noqa: E731
+    affected = F.coalesce(
+        F.arrays_overlap(
+            F.transform("doc_ids", lambda d: d.cast("string")), tomb
+        ),
+        F.lit(False),
+    )
+    # one linear scan over the (id, len) pairs builds each member's
+    # (start, length, keep) segment — offsets are cumulative doc_lens,
+    # 1-based for slice()
+    zipped = F.arrays_zip("doc_ids", "doc_lens")
+    init = F.struct(
+        F.lit(1).cast("bigint").alias("pos"),
+        F.expr(
+            "CAST(array() AS array<struct<s: bigint, l: bigint, k: boolean>>)"
+        ).alias("segs"),
+    )
+    merge = lambda acc, x: F.struct(  # noqa: E731
+        (acc["pos"] + x["doc_lens"]).alias("pos"),
+        F.concat(
+            acc["segs"],
+            F.array(
+                F.struct(
+                    acc["pos"].alias("s"),
+                    x["doc_lens"].cast("bigint").alias("l"),
+                    (~gone(x["doc_ids"])).alias("k"),
+                )
+            ),
+        ).alias("segs"),
+    )
+    df = df.withColumn(
+        "_kept",
+        F.aggregate(
+            zipped, init, merge, lambda acc: F.filter(acc["segs"], lambda s: s["k"])
+        ),
+    ).withColumn("_aff", affected)
+
+    kept_pairs = F.filter(zipped, lambda z: ~gone(z["doc_ids"]))
+    new_core = F.flatten(
+        F.transform(
+            "_kept",
+            lambda s: F.slice(
+                F.col(ids_col), s["s"].cast("int"), s["l"].cast("int")
+            ),
+        )
+    )
+    new_n = F.coalesce(
+        F.aggregate(
+            "_kept", F.lit(0).cast("bigint"), lambda acc, s: acc + s["l"]
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    if pad_to is not None:
+        target_len = F.greatest(F.lit(int(pad_to)).cast("bigint"), new_n)
+    else:
+        target_len = F.size(ids_col).cast("bigint")
+    pad_n = F.greatest(target_len - new_n, F.lit(0).cast("bigint")).cast("int")
+    new_ids = F.concat(
+        new_core, F.array_repeat(F.lit(int(pad_id)).cast(elem_t), pad_n)
+    )
+
+    def _upd(col, new):
+        return F.when(F.col("_aff"), new).otherwise(F.col(col)).alias(col)
+
+    updates = {
+        "n_docs": _upd("n_docs", F.size(kept_pairs).cast("bigint")),
+        "n_ids": _upd("n_ids", new_n),
+        ids_col: _upd(ids_col, new_ids),
+        "doc_ids": _upd("doc_ids", F.transform(kept_pairs, lambda z: z["doc_ids"])),
+        "doc_lens": _upd(
+            "doc_lens",
+            F.transform(kept_pairs, lambda z: z["doc_lens"].cast("bigint")),
+        ),
+    }
+    if mask_col is not None:
+        mask_t = bins.schema[mask_col].dataType.elementType.simpleString()
+        new_mask = F.concat(
+            F.flatten(
+                F.transform(
+                    "_kept",
+                    lambda s: F.slice(
+                        F.col(mask_col), s["s"].cast("int"), s["l"].cast("int")
+                    ),
+                )
+            ),
+            F.array_repeat(F.lit(0).cast(mask_t), pad_n),
+        )
+        updates[mask_col] = _upd(mask_col, new_mask)
+
+    out_cols = [updates.get(c, F.col(c)) for c in bins.columns]
+    return (
+        df.filter(~(F.col("_aff") & (F.size(kept_pairs) == 0)))
+        .select(*out_cols)
+    )
+
+
 def pack_report(
     packed: DataFrame,
     budget: int,

@@ -1331,7 +1331,11 @@ def _read_sharded_store(
                     f"recorded {rows} — torn write or stale manifest"
                 )
         dfs.append(df)
-    return _balanced_union(dfs)
+    # logical purge (r13): pending tombstones apply AFTER the per-part
+    # validation counts (the recorded rows are pre-purge by design) and
+    # across ALL parts uniformly — a purged document is invisible no
+    # matter which part (base, increment, post-purge append) carries it
+    return _apply_tombstones(_balanced_union(dfs), manifest)
 
 
 def compact_token_shards(
@@ -1399,6 +1403,106 @@ def compact_media_shards(
     )
 
 
+def purge_shard_store(
+    out_dir: str, purged_ids: list, id_col: str | None = None
+) -> dict:
+    """Right-to-be-forgotten deletion over a shard store (r13) — the
+    deletion-vector protocol (the Delta/Iceberg DV idea applied to this
+    family's manifest discipline): purging writes a TOMBSTONE ledger
+    into the manifest (O(request) driver-side work, no Spark job, no
+    data rewrite), every loader applies it immediately (the documents
+    vanish from :func:`read_token_shards` / media loads at the next
+    action), and PHYSICAL erasure happens at the next compaction —
+    which the operator runs on the GDPR deadline's schedule rather
+    than per request, so a 100 TB store never rewrites itself once per
+    deletion request.
+
+    Works on every store in the family; the manifest config picks the
+    application shape:
+
+    - per-document stores (token ``assemble=False``, media feature
+      shards): a broadcast anti-join on the id column;
+    - assembled stores (packed bins, SFT): the
+      :func:`~jsonify2ai_spark.operators.packing.purge_packed_bins`
+      boundary re-slice — which REQUIRES ``boundaries=True`` in the
+      store config (an assembled store without boundaries cannot
+      locate member documents; this raises at purge time, fail-fast,
+      rather than at some later read).
+
+    Ids are ledgered AS STRINGS (external deletion requests do not
+    know the store's id dtype); repeat purges merge; ``purged_ids`` is
+    request-sized by contract. Semantics are store-wide and
+    time-forward: the tombstone suppresses the id in EVERY part
+    including appends made after the purge, until a compaction
+    physically erases and clears the ledger — re-ingesting a purged
+    document therefore requires an explicit post-compaction append
+    (the conservative reading of a deletion request).
+    """
+    import json
+    import os
+
+    man_path = os.path.join(out_dir, "manifest.json")
+    with open(man_path, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    cfg = manifest.get("config", {})
+    if cfg.get("assemble") and not cfg.get("boundaries"):
+        raise ValueError(
+            "purge_shard_store: this store holds ASSEMBLED sequences "
+            "without boundaries (config boundaries=False) — member "
+            "documents cannot be located inside the packed rows; "
+            "rebuild the store with boundaries=True to make it purgeable"
+        )
+    ledger = manifest.get("tombstones") or {}
+    want_id = id_col or ledger.get("id_col") or cfg.get("id_col") or "doc_id"
+    if ledger and ledger.get("id_col") != want_id:
+        raise ValueError(
+            f"purge_shard_store: pending tombstones use id_col="
+            f"{ledger.get('id_col')!r}, this purge asked for {want_id!r} "
+            "— compact the store to apply the pending set first"
+        )
+    ids = sorted(set(ledger.get("ids", [])) | {str(x) for x in purged_ids})
+    manifest["tombstones"] = {"id_col": want_id, "ids": ids}
+    _write_json_atomic(man_path, manifest)
+    return {
+        "out_dir": out_dir,
+        "pending_purge_ids": len(ids),
+        "physically_erased": False,
+    }
+
+
+def _apply_tombstones(df: DataFrame, manifest: dict) -> DataFrame:
+    """Apply a store's pending tombstone ledger to loaded rows — the
+    shared logical-purge step of :func:`_read_sharded_store` (read
+    path) and :func:`_compact_store` (physical erasure). Per-document
+    stores anti-join on the ledger's id column (broadcast — the set is
+    request-sized by contract); assembled stores re-slice affected
+    bins via :func:`~jsonify2ai_spark.operators.packing.
+    purge_packed_bins` under the store's own pad config. No-op when
+    the ledger is empty."""
+    ledger = manifest.get("tombstones") or {}
+    ids = ledger.get("ids", [])
+    if not ids:
+        return df
+    cfg = manifest.get("config", {})
+    if cfg.get("assemble"):
+        from jsonify2ai_spark.operators.packing import purge_packed_bins
+
+        return purge_packed_bins(
+            df,
+            ids,
+            pad_to=cfg.get("budget"),
+            pad_id=int(cfg.get("pad_id", 0)),
+        )
+    id_col = ledger["id_col"]
+    spark = df.sparkSession
+    tomb = spark.createDataFrame([(i,) for i in ids], "_tomb_id string")
+    return df.join(
+        F.broadcast(tomb),
+        F.col(id_col).cast("string") == F.col("_tomb_id"),
+        "left_anti",
+    )
+
+
 def _compact_store(
     spark,
     out_dir: str,
@@ -1424,7 +1528,11 @@ def _compact_store(
     manifest["stale_dirs"] = []
 
     incr = _discover_increments(out_dir, manifest)
-    if not incr:
+    tomb_ids = (manifest.get("tombstones") or {}).get("ids", [])
+    # pending tombstones make compaction non-optional even with zero
+    # increments: this is the step that turns the logical purge into
+    # PHYSICAL erasure (the GDPR deadline's job)
+    if not incr and not tomb_ids:
         if reclaimed:  # persist the cleared ledger even on the no-op path
             _write_json_atomic(man_path, manifest)
         return {
@@ -1444,6 +1552,10 @@ def _compact_store(
             df = df.withColumn("_source_run", F.lit(rid))
         dfs.append(df)
     merged = _balanced_union(dfs).localCheckpoint(eager=False)
+    # physical erasure of pending tombstones rides the fold (r13): the
+    # written layout never contains the purged documents, and the
+    # cleared ledger below makes the erasure durable
+    final = _apply_tombstones(merged, manifest) if tomb_ids else merged
 
     version = int(manifest.get("compaction", 0)) + 1
     new_rel = f"shards_v{version}"
@@ -1456,26 +1568,40 @@ def _compact_store(
         c for c in extra_sort if c in merged.columns
     ]
     (
-        merged.repartition(F.col(group_col))
+        final.repartition(F.col(group_col))
         .sortWithinPartitions(*[F.col(c) for c in sort_cols])
         .write.mode("overwrite")
         .partitionBy(group_col)
         .parquet(new_dir)
     )
     expected = int(manifest["rows"]) + sum(r for _, _, r in incr)
-    got = merged.count()
-    if got != expected:
+    # the torn-part cross-check runs on the PRE-purge union (recorded
+    # counts are pre-purge); the post-purge count becomes the new truth
+    pre = merged.count()
+    if pre != expected:
         raise ValueError(
-            f"{label}: folded {got} rows, parts record "
+            f"{label}: folded {pre} rows, parts record "
             f"{expected} — a torn part; compaction aborted (the manifest "
             "still points at the old layout)"
         )
+    got = final.count() if tomb_ids else pre
 
     folded = [rid for rid, _, _ in incr]
     manifest["rows"] = got
     manifest["shards_dir"] = new_rel
     manifest["compaction"] = version
     manifest["increments"] = {}
+    if tomb_ids:
+        # erasure is durable past this write: the purged rows are gone
+        # from the new layout AND the ledger clears, so later appends
+        # may legitimately re-introduce an id (explicit re-ingest)
+        manifest["tombstones"] = None
+        manifest["purged_ids_applied"] = (
+            int(manifest.get("purged_ids_applied", 0)) + len(tomb_ids)
+        )
+        manifest["purged_rows_total"] = (
+            int(manifest.get("purged_rows_total", 0)) + (pre - got)
+        )
     # media stores ledger per-run drop counts next to the increments map
     # (append_media_shards); folding a run folds its drops into the base
     # figure so "total = dropped_undecodable + sum(dropped_by_run)"
@@ -1874,7 +2000,15 @@ def shard_store_report(out_dir: str) -> dict:
         "stale_dirs": {"count": len(stale), "bytes": stale_bytes},
         "n_lost": sum(1 for p in parts if p["status"] == "lost"),
         "n_torn": sum(1 for p in parts if p["status"] == "torn"),
-        "compaction_recommended": len(live) > compact_over,
+        # pending deletion requests (logical-only until a compaction
+        # erases them) — a nonzero count with an old manifest mtime is
+        # the "GDPR deadline approaching" signal an operator pages on
+        "pending_purge_ids": len(
+            (manifest.get("tombstones") or {}).get("ids", [])
+        ),
+        "purged_ids_applied": int(manifest.get("purged_ids_applied", 0)),
+        "compaction_recommended": len(live) > compact_over
+        or bool((manifest.get("tombstones") or {}).get("ids")),
     }
 
 

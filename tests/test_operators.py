@@ -3629,3 +3629,77 @@ def test_dpo_token_samples_paired_alignment(spark):
     )
     wout = {r["prompt_id"] for r in dpo_token_samples(weird, merges).collect()}
     assert wout == {"a#b-1", "a#b-2"}
+
+
+def test_purge_packed_bins_reslices_affected_bins_only(spark):
+    """Boundary-based document removal from assembled sequences: affected
+    bins rebuild from surviving members' own slices (eos rides along via
+    doc_lens), masks re-slice in lockstep, tensor shapes are stable,
+    untouched bins pass through byte-identical, fully-purged bins drop."""
+    from jsonify2ai_spark.operators.packing import (
+        concat_token_bins,
+        pack_sequences,
+        purge_packed_bins,
+    )
+
+    rows = [
+        (i, list(range(i * 10, i * 10 + 3 + i % 3)), [1] * (3 + i % 3))
+        for i in range(1, 9)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, token_ids array<bigint>, m array<int>"
+    ).withColumn("_w", F.size("token_ids") + 1)
+    packed = pack_sequences(df, budget=12, size_col="_w", id_col="doc_id", n_groups=2)
+    bins = concat_token_bins(
+        packed, eos_id=0, pad_to=12, with_boundaries=True, mask_col="m"
+    )
+    before = {(r["pack_group"], r["bin_idx"]): r.asDict() for r in bins.collect()}
+
+    out = purge_packed_bins(bins, [4, 5], pad_to=12)
+    after = {(r["pack_group"], r["bin_idx"]): r.asDict() for r in out.collect()}
+
+    toks = {i: t for i, t, _m in rows}
+    assert set(after) == set(before)  # no bin lost every member here
+    for k, a in after.items():
+        b = before[k]
+        assert not ({4, 5} & set(a["doc_ids"]))
+        assert len(a["input_ids"]) == len(b["input_ids"]) == 12
+        assert len(a["loss_mask"]) == len(a["input_ids"])
+        assert a["n_ids"] == sum(a["doc_lens"])
+        assert a["n_docs"] == len(a["doc_ids"])
+        # surviving members' runs are their ORIGINAL encodes + eos
+        want = []
+        for i in a["doc_ids"]:
+            want += toks[i] + [0]
+        assert a["input_ids"][: len(want)] == want
+        assert all(t == 0 for t in a["input_ids"][len(want):])  # pad
+        assert all(mk == 0 for mk in a["loss_mask"][a["n_ids"]:])
+        if not ({4, 5} & set(b["doc_ids"])):
+            assert a == b  # untouched bins byte-identical
+
+    # a bin whose every member is purged disappears entirely
+    some = next(iter(before.values()))
+    gone = purge_packed_bins(bins, some["doc_ids"], pad_to=12)
+    keys = {(r["pack_group"], r["bin_idx"]) for r in gone.collect()}
+    assert (some["pack_group"], some["bin_idx"]) not in keys
+    assert len(keys) == len(before) - 1
+
+    # empty purge set: pass-through
+    assert sorted(map(repr, purge_packed_bins(bins, []).collect())) == sorted(
+        map(repr, bins.collect())
+    )
+
+    # membership is string-typed: int inputs purge string-keyed stores
+    sbins = bins.withColumn(
+        "doc_ids", F.transform("doc_ids", lambda d: d.cast("string"))
+    )
+    sout = purge_packed_bins(sbins, [4, 5], pad_to=12)
+    assert not any(
+        {"4", "5"} & set(r["doc_ids"]) for r in sout.collect()
+    )
+
+    # boundaries are mandatory — locating members needs them
+    import pytest
+
+    with pytest.raises(ValueError, match="doc_ids"):
+        purge_packed_bins(bins.drop("doc_ids", "doc_lens"), [4])

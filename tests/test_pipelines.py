@@ -2175,3 +2175,213 @@ def test_dpo_to_token_shards_e2e(spark, tmp_path):
     dup = preference_pairs(cand, pairing="best_rest")
     with pytest.raises(Exception, match="duplicate pair key"):
         dpo_token_samples(dup, merges).collect()
+
+
+def _small_docs(spark, n=40):
+    return spark.createDataFrame(
+        [(i, " ".join(f"w{j % 17}" for j in range(5 + i % 9))) for i in range(1, n + 1)],
+        "doc_id long, text string",
+    )
+
+
+def test_purge_store_lifecycle_assembled(spark, tmp_path):
+    """Deletion-vector purge over an assembled token store: the tombstone
+    is logical immediately (loader re-slices affected bins, shapes
+    stable), physical at the next compaction (raw parquet clean, ledger
+    cleared, totals ledgered), and the store stays fully usable after."""
+    import json
+    import os
+
+    from jsonify2ai_spark.pipelines import (
+        compact_token_shards,
+        corpus_to_token_shards,
+        purge_shard_store,
+        read_token_shards,
+        shard_store_report,
+    )
+
+    out = str(tmp_path / "store")
+    corpus_to_token_shards(
+        _small_docs(spark), out, num_merges=5, budget=64, n_groups=4,
+        assemble=True, eos_id=0, boundaries=True, prep=None,
+    )
+    base = read_token_shards(spark, out)
+    tok_before = base.agg(F.sum("n_ids")).first()[0]
+    all_ids = sorted({i for r in base.select("doc_ids").collect() for i in r["doc_ids"]})
+    victims = [all_ids[2], all_ids[7], all_ids[11]]
+    victim_tokens = sum(
+        sum(l for d, l in zip(r["doc_ids"], r["doc_lens"]) if d in victims)
+        for r in base.collect()
+    )
+
+    res = purge_shard_store(out, victims)
+    assert res["pending_purge_ids"] == 3 and not res["physically_erased"]
+
+    # logical: loader-invisible at once, token mass drops by exactly the
+    # victims' own (eos-inclusive) lengths, tensor shapes unchanged
+    after = read_token_shards(spark, out)
+    left = {i for r in after.select("doc_ids").collect() for i in r["doc_ids"]}
+    assert not (left & set(victims))
+    assert after.agg(F.sum("n_ids")).first()[0] == tok_before - victim_tokens
+    assert after.select(F.size("input_ids")).distinct().collect() == [
+        base.select(F.size("input_ids")).distinct().first()
+    ]
+
+    rep = shard_store_report(out)
+    assert rep["pending_purge_ids"] == 3 and rep["compaction_recommended"]
+
+    # physical: compaction erases from disk and clears the ledger
+    compact_token_shards(spark, out)
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["tombstones"] is None
+    assert man["purged_ids_applied"] == 3
+    raw = spark.read.parquet(os.path.join(out, man["shards_dir"]))
+    raw_ids = {i for r in raw.select("doc_ids").collect() for i in r["doc_ids"]}
+    assert not (raw_ids & set(victims))
+    assert read_token_shards(spark, out).agg(F.sum("n_ids")).first()[0] == (
+        tok_before - victim_tokens
+    )
+
+    # second compaction is a clean no-op; a fresh purge starts a new ledger
+    assert compact_token_shards(spark, out)["folded_runs"] == []
+    purge_shard_store(out, [all_ids[0]])
+    assert shard_store_report(out)["pending_purge_ids"] == 1
+
+
+def test_purge_per_doc_store_covers_increments(spark, tmp_path):
+    """Per-document layout: the tombstone anti-joins rows out of EVERY
+    part — base and increments, including an increment appended AFTER
+    the purge (store-wide semantics until erasure clears the ledger)."""
+    import json
+    import os
+
+    from jsonify2ai_spark.pipelines import (
+        append_token_shards,
+        compact_token_shards,
+        corpus_to_token_shards,
+        purge_shard_store,
+        read_token_shards,
+    )
+
+    out = str(tmp_path / "flat")
+    corpus_to_token_shards(
+        _small_docs(spark, 30), out, num_merges=5, budget=64, n_groups=4,
+        assemble=False, prep=None,
+    )
+    purge_shard_store(out, [5, 9, 500])  # 500 never existed: harmless
+    # an append arriving after the purge re-introduces doc 5 — still
+    # suppressed until the ledger clears
+    late = spark.createDataFrame(
+        [(5, "w1 w2 w3 w4"), (77, "w5 w6 w7")], "doc_id long, text string"
+    )
+    append_token_shards(late, out, run_id="late1")
+
+    got = {r["doc_id"] for r in read_token_shards(spark, out).select("doc_id").collect()}
+    assert 77 in got and not ({5, 9} & got)
+
+    compact_token_shards(spark, out)
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    raw = spark.read.parquet(os.path.join(out, man["shards_dir"]))
+    assert raw.filter(F.col("doc_id").isin([5, 9])).count() == 0
+    assert man["purged_rows_total"] == 3  # docs 5 (base) + 5 (late) + 9
+
+
+def test_purge_sft_store_keeps_mask_alignment(spark, tmp_path):
+    """Purging a conversation from an SFT store re-slices loss_mask in
+    lockstep with input_ids: surviving bins keep mask==ids length, pad
+    tail stays 0, and total mask mass drops by exactly the purged
+    conversation's own."""
+    from jsonify2ai_spark.pipelines import read_token_shards, sft_to_token_shards
+    from jsonify2ai_spark.pipelines import purge_shard_store
+
+    msgs = spark.createDataFrame(
+        [
+            (c, t, ("user" if t % 2 == 0 else "assistant"),
+             f"turn {t} of conversation {c} says thing{c * 10 + t}")
+            for c in range(6)
+            for t in range(4)
+        ],
+        "conv_id long, turn_idx int, role string, text string",
+    )
+    out = str(tmp_path / "sft")
+    sft_to_token_shards(msgs, out, num_merges=12, budget=96, n_groups=2)
+    rows = read_token_shards(spark, out).collect()
+    mask_by_conv = {}
+    for r in rows:
+        off = 0
+        for cid, ln in zip(r["doc_ids"], r["doc_lens"]):
+            mask_by_conv[cid] = mask_by_conv.get(cid, 0) + sum(
+                r["loss_mask"][off : off + ln]
+            )
+            off += ln
+    total = sum(sum(r["loss_mask"]) for r in rows)
+    victim = sorted(mask_by_conv)[1]
+
+    purge_shard_store(out, [victim])
+    after = read_token_shards(spark, out).collect()
+    assert all(victim not in r["doc_ids"] for r in after)
+    for r in after:
+        assert len(r["loss_mask"]) == len(r["input_ids"])
+        assert all(m == 0 for m in r["loss_mask"][r["n_ids"]:])
+    assert sum(sum(r["loss_mask"]) for r in after) == total - mask_by_conv[victim]
+
+
+def test_purge_guards(spark, tmp_path):
+    """Fail-fast contracts: an assembled store without boundaries cannot
+    be purged (members unlocatable); a pending ledger pins its id_col;
+    repeat purges merge ids."""
+    import pytest
+
+    from jsonify2ai_spark.pipelines import (
+        corpus_to_token_shards,
+        purge_shard_store,
+        shard_store_report,
+    )
+
+    blind = str(tmp_path / "blind")
+    corpus_to_token_shards(
+        _small_docs(spark, 10), blind, num_merges=5, budget=64, n_groups=2,
+        assemble=True, eos_id=0, boundaries=False, prep=None,
+    )
+    with pytest.raises(ValueError, match="boundaries"):
+        purge_shard_store(blind, [1])
+
+    flat = str(tmp_path / "flat")
+    corpus_to_token_shards(
+        _small_docs(spark, 10), flat, num_merges=5, budget=64, n_groups=2,
+        assemble=False, prep=None,
+    )
+    purge_shard_store(flat, [1, 2])
+    purge_shard_store(flat, [2, 3])  # merges, dedups
+    assert shard_store_report(flat)["pending_purge_ids"] == 3
+    with pytest.raises(ValueError, match="id_col"):
+        purge_shard_store(flat, [4], id_col="other_id")
+
+
+def test_purge_media_store(spark, tmp_path):
+    """Media feature stores purge by their config id_col through the same
+    ledger: loader-invisible at once, erased at compact_media_shards."""
+    import json
+    import os
+
+    from jsonify2ai_spark.multimodal.shards import (
+        media_to_feature_shards,
+        read_media_shards,
+    )
+    from jsonify2ai_spark.pipelines import compact_media_shards, purge_shard_store
+
+    media = spark.createDataFrame(
+        [(f"m{i}", bytes([i % 250 + 1]) * 16, "image/png") for i in range(12)],
+        "media_id string, content binary, mime string",
+    )
+    out = str(tmp_path / "media")
+    media_to_feature_shards(media, out, dim=8, n_groups=2)
+    purge_shard_store(out, ["m3", "m7"])
+    got = {r["media_id"] for r in read_media_shards(spark, out).select("media_id").collect()}
+    assert not ({"m3", "m7"} & got) and len(got) == 10
+
+    compact_media_shards(spark, out)
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    raw = spark.read.parquet(os.path.join(out, man["shards_dir"]))
+    assert raw.filter(F.col("media_id").isin(["m3", "m7"])).count() == 0
+    assert man["tombstones"] is None and man["purged_rows_total"] == 2
