@@ -2484,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_preference_pairs": q130_preference_pairs,  # NEW r13: DPO pair assembly
         "q131_dpo_tokens": q131_dpo_tokens,  # NEW r13: DPO paired token samples
         "q132_purge_packed": q132_purge_packed,  # NEW r13: trainer-shard document purge
+        "q133_semantic_pack": q133_semantic_pack,  # NEW r13: in-context-pretraining layout
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -3346,6 +3347,62 @@ def q132_purge_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doc_lens_csv"),
         F.aggregate("input_ids", zero, lambda a, x: a + x).alias("ids_sum"),
         F.size("input_ids").cast("bigint").alias("seq_len"),
+    )
+
+
+def q133_semantic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantically-grouped sequence packing (operators/packing.py
+    semantic_pack_groups + pack_sequences(group_col=), NEW r13 — the
+    scalable form of In-Context Pretraining, Shi et al. 2023): each
+    document's embedding signs against 4 md5-derived hyperplanes (the
+    engine-portable md5 idiom; dots rounded 6dp before the sign test,
+    the dsir rounding rule), cosine-similar documents collide into one
+    of 16 buckets, and the next-fit fold packs WITHIN buckets — so a
+    context window holds related documents, map-side, with no kNN graph.
+    Output: per (bucket, bin) membership + token mass; the oracle
+    rebuilds the plane matrix from the same md5 strings and replays the
+    q57/q119 recursive next-fit CTE partitioned by the semantic bucket.
+    No reference anchor: the reference stops at per-chunk vector search
+    (worker/app/routers/search.py); this is the training-layout use of
+    the same embedding column."""
+    from jsonify2ai_spark.functions.text import tokens
+    from jsonify2ai_spark.operators.packing import (
+        pack_sequences,
+        semantic_pack_groups,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    docs = t["documents"].select("doc_id", "text")
+    emb = t["embeddings"].select("vec_id", "embedding")
+    joined = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "text", "embedding"
+    )
+    grouped = semantic_pack_groups(joined, n_bits=4)
+    sized = grouped.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("_w"),
+        "pack_group",
+    )
+    packed = pack_sequences(
+        sized, budget=512, size_col="_w", id_col="doc_id",
+        group_col="pack_group",
+    )
+    return packed.groupBy("pack_group", "bin_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_w").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("doc_ids_csv"),
+    ).select(
+        F.col("pack_group").cast("bigint").alias("pack_group"),
+        F.col("bin_idx").cast("bigint").alias("bin_idx"),
+        "n_docs",
+        "n_tokens",
+        "doc_ids_csv",
     )
 
 
@@ -5487,6 +5544,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest(192, sum(s.w)) AS BIGINT) AS seq_len
             FROM assign a JOIN sized s USING (doc_id)
             WHERE s.doc_id % 5 <> 2
+            GROUP BY a.grp, a.bin
+        """,
+        # q133 twin: the md5 hyperplane matrix rebuilt from the same
+        # strings (semantic_plane's exact arithmetic), 6dp-rounded dots
+        # -> sign bits -> bucket, then the q119 recursive next-fit CTE
+        # partitioned by the SEMANTIC bucket instead of doc_id % n
+        "q133_semantic_pack": r"""
+            WITH RECURSIVE b AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN dot >= 0 THEN (1 << i) ELSE 0 END)
+                          AS BIGINT) AS grp
+              FROM (
+                SELECT vec_id, i,
+                       round(list_sum(list_transform(range(1, 65),
+                         j -> embedding[j] * ((CAST('0x' || substr(md5('icp-v1|' || CAST(i AS VARCHAR) || '|' || CAST(j-1 AS VARCHAR)), 1, 12) AS BIGINT) % 2001 - 1000) / 1000.0))), 6) AS dot
+                FROM embeddings, range(4) t(i)
+              ) GROUP BY vec_id
+            ), d AS (
+              SELECT doc_id,
+                     CAST(len(CASE WHEN length(trim(text)) = 0
+                                   THEN CAST([] AS VARCHAR[])
+                                   ELSE string_split_regex(trim(text), '\s+')
+                              END) AS BIGINT) AS w
+              FROM documents
+            ), g AS (
+              SELECT d.doc_id, d.w, b.grp,
+                     row_number() OVER (PARTITION BY b.grp
+                                        ORDER BY d.doc_id) AS r
+              FROM d JOIN b ON d.doc_id = b.vec_id
+            ), f(grp, r, doc_id, acc, bin) AS (
+              SELECT grp, r, doc_id, w, 0 FROM g WHERE r = 1
+              UNION ALL
+              SELECT n.grp, n.r, n.doc_id,
+                     CASE WHEN f.acc > 0 AND f.acc + n.w > 512
+                          THEN n.w ELSE f.acc + n.w END,
+                     CASE WHEN f.acc > 0 AND f.acc + n.w > 512
+                          THEN f.bin + 1 ELSE f.bin END
+              FROM f JOIN g n ON n.grp = f.grp AND n.r = f.r + 1
+            )
+            SELECT CAST(a.grp AS BIGINT) AS pack_group,
+                   CAST(a.bin AS BIGINT) AS bin_idx,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(s.w) AS BIGINT) AS n_tokens,
+                   string_agg(CAST(s.doc_id AS VARCHAR), ','
+                              ORDER BY s.doc_id) AS doc_ids_csv
+            FROM (SELECT doc_id, grp, bin FROM f) a
+            JOIN g s USING (doc_id)
             GROUP BY a.grp, a.bin
         """,
         # q129 twin: q104's replay over the even half, then the frozen-id

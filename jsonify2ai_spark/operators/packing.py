@@ -30,10 +30,18 @@ def pack_sequences(
     id_col: str = "doc_id",
     n_groups: int = 32,
     strategy: str = "nextfit",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Assign each row to (pack_group, bin_idx) by ``strategy`` within
     ``id % n_groups`` groups. One shuffle (the groupBy); the fold runs
     Arrow-batched per group.
+
+    ``group_col``: pack within a CALLER-SUPPLIED grouping column instead
+    of the id-derived one (``n_groups`` is then ignored) — the hook for
+    semantically-informed layouts (:func:`semantic_pack_groups`, r13)
+    where "which documents share a bin" is itself a modeling choice.
+    Same determinism and oracle story: the fold is unchanged, only the
+    group key differs.
 
     - ``"nextfit"`` (default): one pass in ``id_col`` order — the
       streaming-compatible rule (PackGate runs the same fold over
@@ -56,7 +64,9 @@ def pack_sequences(
     """
     from pyspark.sql.types import LongType, NumericType, StructField, StructType
 
-    if isinstance(df.schema[id_col].dataType, NumericType):
+    if group_col is not None:
+        grp = F.col(group_col).cast("long")
+    elif isinstance(df.schema[id_col].dataType, NumericType):
         grp = (F.col(id_col) % n_groups).cast("long")
     else:
         grp = F.pmod(F.xxhash64(id_col), F.lit(n_groups))
@@ -291,6 +301,75 @@ def concat_token_bins(
             ),
         )
     return out
+
+
+def semantic_plane(seed: str, plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane ``g[plane][j] =
+    (md5int12(seed|plane|j) % 2001 - 1000) / 1000`` — the engine-portable
+    md5 idiom (operators/sampling.py `_hash_bucket`), so a DuckDB oracle
+    rebuilds the exact same matrix from the exact same strings."""
+    import hashlib
+
+    return [
+        (
+            int(
+                hashlib.md5(f"{seed}|{plane}|{j}".encode()).hexdigest()[:12],
+                16,
+            )
+            % 2001
+            - 1000
+        )
+        / 1000.0
+        for j in range(dim)
+    ]
+
+
+def semantic_pack_groups(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    n_bits: int = 4,
+    dim: int = 64,
+    seed: str = "icp-v1",
+    out_col: str = "pack_group",
+) -> DataFrame:
+    """Semantic grouping key for in-context-pretraining-style packing
+    (Shi et al. 2023, "In-Context Pretraining": training sequences built
+    from RELATED documents instead of random neighbors improve long-
+    context use). The paper's exact recipe — kNN graph + greedy
+    traversal — is corpus-quadratic in the worst case; the scalable
+    approximation is locality-sensitive BUCKETING: ``n_bits`` random
+    hyperplanes (deterministic md5-derived, :func:`semantic_plane`) sign
+    each document's embedding into one of ``2**n_bits`` buckets, cosine-
+    similar documents collide, and :func:`pack_sequences` with
+    ``group_col=out_col`` then fills each bin from ONE bucket — related
+    documents share context windows with no extra machinery.
+
+    Scale shape: pure map-side Column arithmetic (n_bits dot products as
+    zip_with/aggregate folds over plan-literal planes — no UDF, no
+    shuffle, no model); the only shuffle is the pack groupBy that the
+    id-modulo grouping paid anyway. Dots round to 6dp before the sign
+    test so the bucket is engine-portable (the dsir 4dp-rounding rule);
+    the whole assignment is DuckDB-replayable (driver gate row q133).
+    More bits = tighter semantic neighborhoods but fewer docs per group
+    (a group below ~budget tokens degenerates to a lone ragged bin) —
+    size ``n_bits`` so corpus_tokens / 2**n_bits >> budget.
+    """
+    if not 1 <= n_bits <= 16:
+        raise ValueError(f"n_bits must be in [1, 16]: {n_bits}")
+    v = F.col(vector_col).cast("array<double>")
+    bucket = F.lit(0).cast("long")
+    for i in range(n_bits):
+        g = F.array(*[F.lit(x) for x in semantic_plane(seed, i, dim)])
+        dot = F.round(
+            F.aggregate(
+                F.zip_with(v, g, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        bucket = bucket + (dot >= 0).cast("long") * F.lit(1 << i)
+    return df.withColumn(out_col, bucket)
 
 
 def purge_packed_bins(

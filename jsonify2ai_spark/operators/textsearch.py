@@ -365,6 +365,45 @@ def _term_bucket_py(term: str, n_buckets: int) -> int:
     return int(hashlib.md5(term.encode()).hexdigest()[:12], 16) % n_buckets
 
 
+def _with_impacts(
+    joined: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    id_col: str,
+    max_postings_per_term: int | None,
+    impact_ordered: bool,
+) -> DataFrame:
+    """Attach each posting's exact BM25 contribution (``impact``) and its
+    rank inside the term's impact-descending list — the one home of the
+    impact arithmetic, shared by :meth:`ShardedBM25Index.build` and
+    :meth:`ShardedBM25Index.compact` so a compacted index's impact
+    columns are byte-identical to a fresh build's under the same
+    scalars. Optionally applies Carmel static pruning
+    (``impact_rank <= max_postings_per_term``)."""
+    from pyspark.sql import Window
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n_docs) - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
+    )
+    impact = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    w = Window.partitionBy("term").orderBy(impact.desc(), F.col(id_col).asc())
+    out = joined.withColumn("impact", impact).withColumn(
+        "impact_rank", F.row_number().over(w)
+    )
+    if max_postings_per_term is not None:
+        out = out.filter(F.col("impact_rank") <= max_postings_per_term)
+    if not impact_ordered:
+        out = out.drop("impact", "impact_rank")
+    return out
+
+
 class ShardedBM25Index(BM25Index):
     """Term-bucket-SHARDED BM25 serving (r11 verdict #7): the postings
     persist as parquet PARTITIONED BY ``term_bucket = md5(term) %
@@ -440,8 +479,6 @@ class ShardedBM25Index(BM25Index):
         dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
         joined = posts.join(dfreq, "term")
         if max_postings_per_term is not None or impact_ordered:
-            from pyspark.sql import Window
-
             # exact per-posting BM25 contribution under the corpus
             # scalars — needs avgdl/n_docs up front (one narrow agg)
             toks = F.transform(tokens(F.col(text_col)), F.lower)
@@ -449,27 +486,10 @@ class ShardedBM25Index(BM25Index):
                 F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
             ).first()
             n_docs, avgdl = int(srow["n"]), float(srow["a"] or 0.0)
-            idf = F.log(
-                F.lit(1.0)
-                + (F.lit(n_docs) - F.col("df_t") + F.lit(0.5))
-                / (F.col("df_t") + F.lit(0.5))
+            joined = _with_impacts(
+                joined, n_docs, avgdl, k1, b, id_col,
+                max_postings_per_term, impact_ordered,
             )
-            denom = F.col("tf") + F.lit(k1) * (
-                F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
-            )
-            impact = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
-            w = Window.partitionBy("term").orderBy(
-                impact.desc(), F.col(id_col).asc()
-            )
-            joined = joined.withColumn("impact", impact).withColumn(
-                "impact_rank", F.row_number().over(w)
-            )
-            if max_postings_per_term is not None:
-                joined = joined.filter(
-                    F.col("impact_rank") <= max_postings_per_term
-                )
-            if not impact_ordered:
-                joined = joined.drop("impact", "impact_rank")
         sort_cols = (
             ["term", "impact_rank"] if impact_ordered else ["term"]
         )
@@ -491,29 +511,23 @@ class ShardedBM25Index(BM25Index):
             F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
         ).first()
         spark = docs.sparkSession
-        spark.createDataFrame(
-            [
-                (
-                    int(row["n"]),
-                    float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
-                    k1,
-                    b,
-                    id_col,
-                    ",".join(attr_cols),
-                    n_buckets,
-                )
-            ],
-            "n_docs long, avgdl double, k1 double, b double, "
-            "id_col string, attr_cols string, n_buckets int",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        cls._write_meta(
+            spark, path,
+            int(row["n"]),
+            float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+            k1, b, id_col, attr_cols, n_buckets,
+        )
         return cls.load(spark, path)
 
     @classmethod
     def load(cls, spark, path: str) -> "ShardedBM25Index":
         """Open for serving. The postings are NOT persisted or counted —
         the entire point is that no query ever materializes them; only
-        the narrow doclens table (filtered-pool scalars) is cached."""
-        meta = spark.read.parquet(f"{path}/meta").first()
+        the narrow doclens table (filtered-pool scalars) is cached.
+        Pre-segment metas (no ``segments``/dir-pointer columns) load
+        with the original layout defaults."""
+        row = spark.read.parquet(f"{path}/meta").first()
+        meta = row.asDict()
         obj = cls.__new__(cls)
         obj._id_col = meta["id_col"]
         obj._k1, obj._b = float(meta["k1"]), float(meta["b"])
@@ -523,14 +537,73 @@ class ShardedBM25Index(BM25Index):
             c for c in (meta["attr_cols"] or "").split(",") if c
         )
         obj._n_buckets = int(meta["n_buckets"])
-        obj._posts = spark.read.parquet(f"{path}/postings")
-        obj._doclens = spark.read.parquet(f"{path}/doclens").persist()
+        obj._path = path
+        obj._spark = spark
+        obj._postings_dir = meta.get("postings_dir") or "postings"
+        obj._doclens_dir = meta.get("doclens_dir") or "doclens"
+        obj._segments = [
+            s for s in (meta.get("segments") or "").split(",") if s
+        ]
+        obj._posts = spark.read.parquet(f"{path}/{obj._postings_dir}")
+        obj._seg_posts = [
+            spark.read.parquet(f"{path}/postings_incr/{rid}")
+            for rid in obj._segments
+        ]
+        dl = spark.read.parquet(f"{path}/{obj._doclens_dir}")
+        for rid in obj._segments:
+            dl = dl.unionByName(
+                spark.read.parquet(f"{path}/doclens_incr/{rid}")
+            )
+        obj._doclens = dl.persist()
         return obj
+
+    @staticmethod
+    def _write_meta(
+        spark,
+        path: str,
+        n_docs: int,
+        avgdl: float,
+        k1: float,
+        b: float,
+        id_col: str,
+        attr_cols: tuple,
+        n_buckets: int,
+        postings_dir: str = "postings",
+        doclens_dir: str = "doclens",
+        segments: tuple = (),
+    ) -> None:
+        """The meta row is the index's COMMIT POINT: every structural
+        mutation (append's new segment, compact's dir swap) becomes
+        visible only when this one-file table lands — a crash before it
+        leaves unreferenced directories, never a half-visible index.
+        Single-writer maintenance contract: the overwrite itself is
+        delete-then-write, so concurrent maintenance ops race."""
+        spark.createDataFrame(
+            [
+                (
+                    int(n_docs),
+                    float(avgdl),
+                    float(k1),
+                    float(b),
+                    id_col,
+                    ",".join(attr_cols),
+                    int(n_buckets),
+                    postings_dir,
+                    doclens_dir,
+                    ",".join(segments),
+                )
+            ],
+            "n_docs long, avgdl double, k1 double, b double, "
+            "id_col string, attr_cols string, n_buckets int, "
+            "postings_dir string, doclens_dir string, segments string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     def save(self, path: str) -> None:
         """Copy the sharded layout to a new location (the postings frame
         carries ``term_bucket`` from the partitioned read, so the bucket
-        assignment is preserved byte-for-byte)."""
+        assignment is preserved byte-for-byte). Live segments copy along
+        unmerged — the copy serves identically; :meth:`compact` folds
+        them at either location."""
         spark = self._posts.sparkSession
         sort_cols = (
             ["term", "impact_rank"]
@@ -544,38 +617,240 @@ class ShardedBM25Index(BM25Index):
             .partitionBy("term_bucket")
             .parquet(f"{path}/postings")
         )
-        self._doclens.write.mode("overwrite").parquet(f"{path}/doclens")
-        spark.createDataFrame(
-            [
-                (
-                    self._n_docs,
-                    self._avgdl,
-                    self._k1,
-                    self._b,
-                    self._id_col,
-                    ",".join(self._attr_cols),
-                    self._n_buckets,
-                )
-            ],
-            "n_docs long, avgdl double, k1 double, b double, "
-            "id_col string, attr_cols string, n_buckets int",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        spark.read.parquet(f"{self._path}/{self._doclens_dir}").write.mode(
+            "overwrite"
+        ).parquet(f"{path}/doclens")
+        for rid, seg in zip(self._segments, self._seg_posts):
+            seg.repartition(F.col("term_bucket")).sortWithinPartitions(
+                "term"
+            ).write.mode("overwrite").partitionBy("term_bucket").parquet(
+                f"{path}/postings_incr/{rid}"
+            )
+            spark.read.parquet(f"{self._path}/doclens_incr/{rid}").write.mode(
+                "overwrite"
+            ).parquet(f"{path}/doclens_incr/{rid}")
+        self._write_meta(
+            spark, path, self._n_docs, self._avgdl, self._k1, self._b,
+            self._id_col, self._attr_cols, self._n_buckets,
+            segments=tuple(self._segments),
+        )
+
+    def append(
+        self, new_docs: DataFrame, run_id: str, text_col: str = "text"
+    ) -> "ShardedBM25Index":
+        """Incremental index maintenance (r13) — the LSM/Lucene-segment
+        shape: NEW documents land as a self-contained SEGMENT
+        (``postings_incr/<run_id>/`` bucketed by the SAME term hash as
+        the base, plus ``doclens_incr/<run_id>/``), and the meta rewrite
+        is the commit point. Nothing existing is rewritten — append cost
+        is proportional to the increment, never the corpus, which is the
+        only affordable maintenance shape at 100 TB (a base rebuild per
+        ingest batch is corpus-linear).
+
+        Serving semantics after append: the EXACT faces (:meth:`topk`,
+        :meth:`topk_batch`, filtered, hybrid) are exactly correct —
+        corpus scalars update here, and per-term df_t is recomputed over
+        the pruned lookup itself (see :meth:`_lookup_parts`; exact
+        because every part buckets a term's complete list into the same
+        partition). The IMPACT faces raise until :meth:`compact`: stored
+        impacts bake build-time scalars, and an appended corpus changes
+        n_docs/avgdl for EVERY posting — serving stale impacts would
+        silently break the WAND certificate's upper-bound property.
+
+        Contracts: appended ids must be NEW (one broadcast semi-join
+        guard — replace/delete is a different operation); attr columns
+        must match the build's. Crash windows: before the meta lands the
+        segment directories are unreferenced garbage and re-running the
+        SAME run_id overwrites them (idempotent heal); after the meta
+        lands the segment is committed and a same-run_id re-run RAISES
+        (it would double-count the documents).
+
+        Reference anchor: the watcher's incremental re-ingest loop
+        (worker/app/watcher — new files upsert without reindexing the
+        collection), applied to the lexical index this repo adds."""
+        if str(run_id) in self._segments:
+            raise ValueError(
+                f"append: segment {run_id!r} is already committed — "
+                "re-appending would double-count its documents; use a "
+                "fresh run_id (or compact() and re-ingest deliberately)"
+            )
+        idc = self._id_col
+        new_ids = new_docs.select(F.col(idc)).distinct()
+        dup = self._doclens.join(F.broadcast(new_ids), idc, "left_semi").count()
+        if dup:
+            raise ValueError(
+                f"append: {dup} incoming id(s) already exist in the index "
+                "— append() only ADDS documents; rebuild (or delete "
+                "first) to replace content"
+            )
+        missing = [c for c in self._attr_cols if c not in new_docs.columns]
+        if missing:
+            raise ValueError(
+                f"append: increment lacks the build's attr_cols {missing}"
+            )
+
+        posts = build_postings(
+            new_docs, text_col=text_col, id_col=idc
+        ).withColumn("term_bucket", _term_bucket(F.col("term"), self._n_buckets))
+        (
+            posts.repartition(F.col("term_bucket"))
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{self._path}/postings_incr/{run_id}")
+        )
+        toks = F.transform(tokens(F.col(text_col)), F.lower)
+        doclens_new = new_docs.select(
+            F.col(idc), F.size(toks).alias("dl"),
+            *[F.col(c) for c in self._attr_cols],
+        )
+        doclens_new.write.mode("overwrite").parquet(
+            f"{self._path}/doclens_incr/{run_id}"
+        )
+        srow = self._spark.read.parquet(
+            f"{self._path}/doclens_incr/{run_id}"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).first()
+        n_new, dl_new = int(srow["n"]), int(srow["s"] or 0)
+        total = self._n_docs + n_new
+        avgdl = (
+            (self._avgdl * self._n_docs + dl_new) / total if total else 0.0
+        )
+        segments = tuple(self._segments) + (str(run_id),)
+        # commit point: the segment becomes visible here
+        self._write_meta(
+            self._spark, self._path, total, avgdl, self._k1, self._b,
+            idc, self._attr_cols, self._n_buckets,
+            postings_dir=self._postings_dir, doclens_dir=self._doclens_dir,
+            segments=segments,
+        )
+        self._doclens.unpersist()
+        return type(self).load(self._spark, self._path)
+
+    def compact(
+        self, max_postings_per_term: int | None = None
+    ) -> "ShardedBM25Index":
+        """Fold live segments into a fresh base layout — the segment
+        merge that restores the no-tax serving shape (stored df_t valid
+        again, no per-query recompute window) and recomputes every
+        posting's impact/rank under the MERGED corpus scalars, making
+        the impact faces exact again (impact columns byte-identical to
+        a fresh build of the merged corpus: shared ``_with_impacts``).
+        Stage-and-swap through the meta commit point: the folded
+        postings land at ``postings_v<k>/`` (same term-hash buckets)
+        and doclens at ``doclens_v<k>/``; the old directories are
+        removed best-effort AFTER the meta lands (single-writer
+        maintenance window — a lazy reader mid-scan should finish
+        before compaction runs). No-op without segments. One
+        term-keyed shuffle over the merged postings (df_t + rank
+        windows share it) and one bucket-keyed write."""
+        if not self._segments:
+            return self
+        import shutil
+
+        spark = self._spark
+        keep_impact = "impact_rank" in self._posts.columns
+        core = ["term", self._id_col, "dl", "tf"]
+        merged = self._posts.select(*core)
+        for seg in self._seg_posts:
+            merged = merged.unionByName(seg.select(*core))
+        dfreq = merged.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+        joined = merged.join(dfreq, "term")
+        if keep_impact or max_postings_per_term is not None:
+            joined = _with_impacts(
+                joined, self._n_docs, self._avgdl, self._k1, self._b,
+                self._id_col, max_postings_per_term, keep_impact,
+            )
+        sort_cols = ["term", "impact_rank"] if keep_impact else ["term"]
+
+        def _bump(rel: str, stem: str) -> str:
+            v = int(rel.rsplit("_v", 1)[1]) if "_v" in rel else 0
+            return f"{stem}_v{v + 1}"
+
+        new_posts_rel = _bump(self._postings_dir, "postings")
+        new_dl_rel = _bump(self._doclens_dir, "doclens")
+        (
+            joined.withColumn(
+                "term_bucket", _term_bucket(F.col("term"), self._n_buckets)
+            )
+            .repartition(F.col("term_bucket"))
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{self._path}/{new_posts_rel}")
+        )
+        self._doclens.write.mode("overwrite").parquet(
+            f"{self._path}/{new_dl_rel}"
+        )
+        old_dirs = [
+            f"{self._path}/{self._postings_dir}",
+            f"{self._path}/{self._doclens_dir}",
+        ] + [
+            f"{self._path}/{sub}/{rid}"
+            for rid in self._segments
+            for sub in ("postings_incr", "doclens_incr")
+        ]
+        # commit point: segments cleared, dir pointers swapped
+        self._write_meta(
+            spark, self._path, self._n_docs, self._avgdl, self._k1,
+            self._b, self._id_col, self._attr_cols, self._n_buckets,
+            postings_dir=new_posts_rel, doclens_dir=new_dl_rel,
+        )
+        for d in old_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        self._doclens.unpersist()
+        return type(self).load(spark, self._path)
+
+    def _lookup_parts(self, cond) -> DataFrame:
+        """Bucket-pruned rows from the base layout plus every live
+        segment (all partitioned the same way, so the pruning predicate
+        lands on every scan). With segments present, the stored ``df_t``
+        is stale for any term the segments touch — it is recomputed
+        EXACTLY over the retrieved rows: the pruned scan returns each
+        term's COMPLETE posting list (a term's list lives in exactly one
+        bucket, in every part), so a per-term count over the lookup
+        equals the merged index's df_t. Cost is a window over the query
+        terms' rows only — the segment-mode serving tax; :meth:`compact`
+        removes it."""
+        base = self._posts.filter(cond)
+        if not self._seg_posts:
+            return base
+        from pyspark.sql import Window
+
+        core = ["term", self._id_col, "dl", "tf", "term_bucket"]
+        u = base.select(*core)
+        for seg in self._seg_posts:
+            u = u.unionByName(seg.filter(cond).select(*core))
+        return u.withColumn(
+            "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
 
     def _lookup(self, terms: list) -> DataFrame:
         buckets = sorted({_term_bucket_py(t, self._n_buckets) for t in terms})
-        return self._posts.filter(
+        return self._lookup_parts(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
         )
 
     def _lookup_batch(self, qdf: DataFrame, terms: list) -> DataFrame:
         buckets = sorted({_term_bucket_py(t, self._n_buckets) for t in terms})
-        return self._posts.filter(
-            F.col("term_bucket").isin(buckets)
-        ).join(F.broadcast(qdf), "term")
+        # df_t (in segment mode) is computed over the bucket-pruned rows
+        # BEFORE the query join — a term shared by two queries would
+        # double its window count after the join
+        return self._lookup_parts(F.col("term_bucket").isin(buckets)).join(
+            F.broadcast(qdf), "term"
+        )
 
     # -- impact-ordered (dynamic-pruning) serving -------------------------
 
     def _require_impact(self) -> None:
+        if self._segments:
+            raise ValueError(
+                "impact-ordered serving is unavailable while append() "
+                "segments are live: stored impacts/ranks are computed "
+                "under build-time corpus scalars and segment rows carry "
+                "none — compact() folds the segments and restores exact "
+                "impact order (the exact faces topk/topk_batch remain "
+                "correct throughout)"
+            )
         if "impact_rank" not in self._posts.columns:
             raise ValueError(
                 "this index was built with impact_ordered=False — "

@@ -3703,3 +3703,62 @@ def test_purge_packed_bins_reslices_affected_bins_only(spark):
 
     with pytest.raises(ValueError, match="doc_ids"):
         purge_packed_bins(bins.drop("doc_ids", "doc_lens"), [4])
+
+
+def test_semantic_pack_groups_locality_and_determinism(spark):
+    """The md5-hyperplane bucket is deterministic (cluster-shape-free
+    arithmetic), identical vectors always share a bucket, near-identical
+    vectors almost always do while far vectors split, and
+    pack_sequences(group_col=) fills bins from one bucket only."""
+    import random
+
+    import pytest
+
+    from jsonify2ai_spark.operators.packing import (
+        pack_sequences,
+        semantic_pack_groups,
+    )
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(6)]
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(4):  # tight cluster around each base vector
+            rows.append((vid, [x + rng.uniform(-0.01, 0.01) for x in b]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semantic_pack_groups(df, n_bits=3, dim=16)
+    got = {r["vec_id"]: r["pack_group"] for r in out.collect()}
+    assert all(0 <= g < 8 for g in got.values())
+    # determinism under repartition
+    again = {
+        r["vec_id"]: r["pack_group"]
+        for r in semantic_pack_groups(df.repartition(5), n_bits=3, dim=16).collect()
+    }
+    assert again == got
+    # locality: members of a tight cluster mostly collide (a boundary
+    # can split a cluster, but not most of them)
+    whole_clusters = sum(
+        1 for c in range(6)
+        if len({got[c * 4 + k] for k in range(4)}) == 1
+    )
+    assert whole_clusters >= 4
+    # an exact duplicate vector ALWAYS collides
+    dup = spark.createDataFrame(
+        [(100, base[0]), (101, base[0])], "vec_id long, embedding array<double>"
+    )
+    d = {r["vec_id"]: r["pack_group"] for r in semantic_pack_groups(dup, n_bits=3, dim=16).collect()}
+    assert d[100] == d[101]
+
+    # group_col packing: every bin's members come from one bucket
+    sized = out.withColumn("_w", F.lit(3).cast("bigint"))
+    packed = pack_sequences(
+        sized, budget=7, size_col="_w", id_col="vec_id", group_col="pack_group"
+    )
+    for r in packed.collect():
+        assert r["pack_group"] == got[r["vec_id"]]
+
+    with pytest.raises(ValueError, match="n_bits"):
+        semantic_pack_groups(df, n_bits=0)

@@ -792,3 +792,164 @@ def test_impact_prefix_pushes_rank_filter_to_scan(spark, tmp_path):
     assert p, plan[:2000]
     assert "LessThanOrEqual(impact_rank,7)" in p.group(1), p.group(1)
     idx.close()
+
+
+def _seg_corpora(spark):
+    words = [
+        "alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa",
+    ]
+    base = spark.createDataFrame(
+        [(i, " ".join(words[j % 10] for j in range(i, i + 6)), "a" if i % 2 else "b")
+         for i in range(40)],
+        "doc_id long, text string, kind string",
+    )
+    incr = spark.createDataFrame(
+        [(i, " ".join(words[(j * 3) % 10] for j in range(i, i + 7)) + " omega",
+          "a" if i % 2 else "b")
+         for i in range(100, 125)],
+        "doc_id long, text string, kind string",
+    )
+    return base, incr
+
+
+def test_sharded_bm25_append_exact_parity(spark, tmp_path):
+    """LSM-segment append (r13): after append(), every EXACT face —
+    plain, filtered, batched — scores byte-identically to a fresh build
+    of the merged corpus (corpus scalars updated at the meta commit,
+    per-term df_t recomputed exactly over the pruned lookup), the
+    segment survives a reload from disk, and a second disjoint segment
+    stacks the same way."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.textsearch import ShardedBM25Index
+
+    base, incr = _seg_corpora(spark)
+    full = base.unionByName(incr)
+    idx = ShardedBM25Index.build(
+        base, str(tmp_path / "idx"), n_buckets=8, attr_cols=("kind",)
+    )
+    ref = ShardedBM25Index.build(
+        full, str(tmp_path / "ref"), n_buckets=8, attr_cols=("kind",)
+    )
+    idx = idx.append(incr, "run1")
+
+    for q in ("alpha omega", "gamma delta epsilon", "omega", "zzz nothing"):
+        got = [tuple(r) for r in idx.topk(q, k=8).collect()]
+        want = [tuple(r) for r in ref.topk(q, k=8).collect()]
+        assert got == want, (q, got, want)
+    # filtered face recomputes pool scalars over the UNIONED doclens
+    pred = F.col("kind") == "a"
+    got = [tuple(r) for r in idx.topk("alpha omega", k=8, filter=pred).collect()]
+    want = [tuple(r) for r in ref.topk("alpha omega", k=8, filter=pred).collect()]
+    assert got == want
+    # batched face
+    qs = ["alpha omega", "gamma delta", "omega kappa"]
+    got = sorted(tuple(r) for r in idx.topk_batch(qs, k=5).collect())
+    want = sorted(tuple(r) for r in ref.topk_batch(qs, k=5).collect())
+    assert got == want and got
+
+    # the segment is durable: a fresh load serves identically
+    re = ShardedBM25Index.load(spark, str(tmp_path / "idx"))
+    got = [tuple(r) for r in re.topk("alpha omega", k=8).collect()]
+    assert got == [tuple(r) for r in ref.topk("alpha omega", k=8).collect()]
+
+    # stacking a second segment
+    extra = spark.createDataFrame(
+        [(200, "omega omega sigma", "a"), (201, "sigma alpha", "b")],
+        "doc_id long, text string, kind string",
+    )
+    ref2 = ShardedBM25Index.build(
+        full.unionByName(extra), str(tmp_path / "ref2"), n_buckets=8,
+        attr_cols=("kind",),
+    )
+    idx2 = re.append(extra, "run2")
+    got = [tuple(r) for r in idx2.topk("sigma omega", k=8).collect()]
+    want = [tuple(r) for r in ref2.topk("sigma omega", k=8).collect()]
+    assert got == want
+    for i in (idx, ref, re, ref2, idx2):
+        i.close()
+
+
+def test_sharded_bm25_append_guards_and_commit_point(spark, tmp_path):
+    """Contracts: duplicate incoming ids raise (append only ADDS);
+    missing attr columns raise; a run_id crash-heals BEFORE the meta
+    commit (unreferenced dirs overwrite silently) but raises AFTER
+    (re-append would double-count); impact faces raise while segments
+    are live."""
+    import pytest
+
+    from jsonify2ai_spark.operators.textsearch import ShardedBM25Index
+
+    base, incr = _seg_corpora(spark)
+    idx = ShardedBM25Index.build(
+        base, str(tmp_path / "idx"), n_buckets=8, attr_cols=("kind",)
+    )
+    with pytest.raises(ValueError, match="already exist"):
+        idx.append(base.limit(3), "dup")
+    with pytest.raises(ValueError, match="attr_cols"):
+        idx.append(incr.drop("kind"), "noattr")
+
+    idx = idx.append(incr, "run1")
+    with pytest.raises(ValueError, match="impact-ordered serving"):
+        idx.topk_impact("alpha", k=3)
+    with pytest.raises(ValueError, match="impact-ordered serving"):
+        idx.topk_adaptive("alpha", k=3)[0].collect()
+    # committed segment: same run_id raises instead of double-counting
+    fresh = spark.createDataFrame(
+        [(900, "nu xi", "a")], "doc_id long, text string, kind string"
+    )
+    with pytest.raises(ValueError, match="already committed"):
+        idx.append(fresh, "run1")
+    idx.close()
+
+
+def test_sharded_bm25_compact_restores_impact_serving(spark, tmp_path):
+    """compact() folds segments into a versioned base (old dirs gone,
+    meta pointers swapped), stored df_t is valid again, and the impact
+    faces return with impacts byte-identical to a fresh build of the
+    merged corpus (shared _with_impacts arithmetic). Idempotent when
+    no segments are live."""
+    import os
+
+    from jsonify2ai_spark.operators.textsearch import ShardedBM25Index
+
+    base, incr = _seg_corpora(spark)
+    full = base.unionByName(incr)
+    path = str(tmp_path / "idx")
+    idx = ShardedBM25Index.build(base, path, n_buckets=8, attr_cols=("kind",))
+    ref = ShardedBM25Index.build(
+        full, str(tmp_path / "ref"), n_buckets=8, attr_cols=("kind",)
+    )
+    idx = idx.append(incr, "run1").compact()
+
+    assert os.path.isdir(os.path.join(path, "postings_v1"))
+    assert not os.path.isdir(os.path.join(path, "postings"))
+    assert not os.path.isdir(os.path.join(path, "postings_incr", "run1"))
+
+    for q in ("alpha omega", "omega",):
+        got = [tuple(r) for r in idx.topk(q, k=8).collect()]
+        want = [tuple(r) for r in ref.topk(q, k=8).collect()]
+        assert got == want
+    gi = [(r[0], r[1]) for r in idx.topk_impact("alpha omega", k=5).collect()]
+    wi = [(r[0], r[1]) for r in ref.topk_impact("alpha omega", k=5).collect()]
+    assert gi == wi
+    gdf, _ = idx.topk_adaptive("omega kappa", k=5)
+    wdf, _ = ref.topk_adaptive("omega kappa", k=5)
+    assert sorted(map(tuple, gdf.collect())) == sorted(map(tuple, wdf.collect()))
+
+    # stored postings carry exact merged df_t again (no serving window)
+    sdf = {r["term"]: r["df_t"] for r in idx._lookup(["omega"]).select("term", "df_t").distinct().collect()}
+    want_df = incr.count()  # every incr doc contains omega, no base doc does
+    assert sdf == {"omega": want_df}
+
+    assert idx.compact() is idx  # no segments -> no-op
+    # compaction is repeatable: append again post-compact, fold to v2
+    extra = spark.createDataFrame(
+        [(300, "omega tau", "b")], "doc_id long, text string, kind string"
+    )
+    idx2 = idx.append(extra, "run9").compact()
+    assert os.path.isdir(os.path.join(path, "postings_v2"))
+    idx.close()
+    ref.close()
+    idx2.close()
