@@ -953,3 +953,33 @@ def test_sharded_bm25_compact_restores_impact_serving(spark, tmp_path):
     idx.close()
     ref.close()
     idx2.close()
+
+
+def test_sharded_bm25_segment_lookup_prunes_every_part(spark, tmp_path):
+    """Segment-mode serving must keep the static pruning on EVERY part:
+    a query over an appended index scans only its terms' bucket
+    directories in the base AND in each segment — one PartitionFilters
+    entry per parquet scan, all carrying term_bucket."""
+    import re
+
+    from jsonify2ai_spark.operators.textsearch import ShardedBM25Index
+
+    base, incr = _seg_corpora(spark)
+    idx = ShardedBM25Index.build(
+        base, str(tmp_path / "idx"), n_buckets=8, attr_cols=("kind",)
+    ).append(incr, "run1")
+
+    plan = (
+        idx.topk("alpha omega", k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    # base + 1 segment = two pruned scans (doclens scans carry no
+    # partition filters and are not counted: the regex only matches
+    # scans that HAVE the PartitionFilters section populated upstream
+    # of this assertion)
+    pruned = [f for f in filters if "term_bucket" in f]
+    assert len(pruned) >= 2, plan[:3000]
+    idx.close()
