@@ -2485,6 +2485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_dpo_tokens": q131_dpo_tokens,  # NEW r13: DPO paired token samples
         "q132_purge_packed": q132_purge_packed,  # NEW r13: trainer-shard document purge
         "q133_semantic_pack": q133_semantic_pack,  # NEW r13: in-context-pretraining layout
+        "q134_ppl_buckets": q134_ppl_buckets,  # NEW r13: CCNet head/middle/tail split
+        "q135_memorization_probe": q135_memorization_probe,  # NEW r13: verbatim-overlap audit
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -3404,6 +3406,55 @@ def q133_semantic_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "doc_ids_csv",
     )
+
+
+def q134_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split (operators/textstats.py
+    ppl_buckets, NEW r13 — Wenzek et al. 2020 §4.3): q108's
+    reference-LM perplexity (model = the doc_id%5==0 slice), then the
+    corpus cuts into three equal-mass ppl bands from the exact
+    4dp-rounded distribution (the q80 CDF idiom — no global ntile
+    sort). The oracle replays the ppl arithmetic, the cumulative
+    fraction over the distinct-ppl frame, the min-over-threshold
+    cutoffs, and the tie-sharing band assignment. Downstream the
+    bucket column feeds the standard mixture machinery (head+middle
+    train, tail drops — the CCNet policy as a plain filter)."""
+    from jsonify2ai_spark.operators.textstats import ppl_buckets
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    return ppl_buckets(docs, ref, n_buckets=3)
+
+
+def q135_memorization_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization audit of candidate texts vs the training corpus
+    (operators/dedup.py memorization_probe, NEW r13 — the k-gram form
+    of the Carlini et al. extraction test): candidates are a planted
+    mix — each doc_id%10==0 document's verbatim 20-word prefix (a
+    memorized extract: hit_rate 1.0, longest span = its length) and
+    each doc_id%10==5 document's word-REVERSED text (same vocabulary,
+    no verbatim 8-gram). The oracle replays the positioned md5 gram
+    hashes, the distinct-corpus-gram membership, and the
+    gaps-and-islands longest-run fold. The inverse direction of q60/q95
+    decontamination: what a model might have memorized OUT of the
+    corpus rather than what leaked IN."""
+    from jsonify2ai_spark.operators.dedup import memorization_probe
+    from jsonify2ai_spark.functions.text import tokens
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    tk = tokens(F.col("text"))
+    extracts = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("cand_id"),
+        F.concat_ws(" ", F.slice(tk, 1, 20)).alias("text"),
+    )
+    reversed_ = docs.filter(F.col("doc_id") % 10 == 5).select(
+        F.col("doc_id").alias("cand_id"),
+        F.concat_ws(" ", F.reverse(tk)).alias("text"),
+    )
+    cands = extracts.unionByName(reversed_)
+    return memorization_probe(cands, docs, n=8)
 
 
 def _dd_prep_report_sql(
@@ -6260,6 +6311,109 @@ def oracle_sql() -> dict[str, str]:
                          / sum(dw.dc))), 4) AS ppl
             FROM dw LEFT JOIN vocab USING (w) CROSS JOIN totals
             GROUP BY dw.doc_id
+        """,
+        # q134 twin: q108's reference-ppl CTE, then the CCNet band split
+        # — cumulative mass over the DISTINCT 4dp-ppl frame, cut_k =
+        # min(ppl | cdf >= k/3), ties share a band via the <= rule
+        "q134_ppl_buckets": f"""
+            WITH words AS (
+              SELECT doc_id, unnest({_DD_TOKENS.format(t="text")}) AS w FROM documents
+            ), dw AS (
+              SELECT doc_id, w, count(*) AS dc FROM words GROUP BY 1, 2
+            ), refw AS (
+              SELECT unnest({_DD_TOKENS.format(t="text")}) AS w
+              FROM documents WHERE doc_id % 5 = 0
+            ), vocab AS (
+              SELECT w, count(*) AS c FROM refw GROUP BY 1
+            ), totals AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v FROM vocab
+            ), scored AS (
+              SELECT dw.doc_id,
+                     CAST(sum(dw.dc) AS BIGINT) AS n_tokens,
+                     round(exp(-(sum(dw.dc * ln((coalesce(vocab.c, 0) + 1.0)
+                                                / (totals.n + 1.0 * totals.v)))
+                           / sum(dw.dc))), 4) AS ppl
+              FROM dw LEFT JOIN vocab USING (w) CROSS JOIN totals
+              GROUP BY dw.doc_id
+            ), dist AS (
+              SELECT ppl, count(*) AS cnt FROM scored GROUP BY ppl
+            ), cum AS (
+              SELECT ppl,
+                     CAST(sum(cnt) OVER (ORDER BY ppl ROWS UNBOUNDED PRECEDING)
+                          AS DOUBLE) / sum(cnt) OVER () AS cdf
+              FROM dist
+            ), cuts AS (
+              SELECT min(CASE WHEN cdf >= 1.0/3 THEN ppl END) AS c1,
+                     min(CASE WHEN cdf >= 2.0/3 THEN ppl END) AS c2
+              FROM cum
+            )
+            SELECT s.doc_id, s.n_tokens, s.ppl,
+                   CAST(CASE WHEN s.ppl <= cuts.c1 THEN 0
+                             WHEN s.ppl <= cuts.c2 THEN 1
+                             ELSE 2 END AS INT) AS bucket,
+                   CASE WHEN s.ppl <= cuts.c1 THEN 'head'
+                        WHEN s.ppl <= cuts.c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket_label
+            FROM scored s CROSS JOIN cuts
+        """,
+        # q135 twin: planted candidates (verbatim 20-word prefixes of the
+        # %10==0 docs, word-reversed %10==5 docs), positioned 15-hex md5
+        # gram hashes, distinct corpus-gram membership, islands fold
+        "q135_memorization_probe": r"""
+            WITH tk AS (
+              SELECT doc_id,
+                     (CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                           ELSE string_split_regex(trim(text), '\s+') END) AS t
+              FROM documents
+            ), cands AS (
+              SELECT doc_id AS cand_id, list_slice(t, 1, 20) AS ct
+              FROM tk WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id, list_reverse(t) FROM tk WHERE doc_id % 10 = 5
+            ), cgrams AS (
+              SELECT DISTINCT CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+              FROM (
+                SELECT unnest(CASE WHEN len(t) >= 8
+                              THEN list_transform(range(1, len(t) - 6),
+                                   i -> array_to_string(list_slice(t, i, i + 7), ' '))
+                              ELSE CAST([] AS VARCHAR[]) END) AS g
+                FROM tk
+              )
+            ), qgrams AS (
+              SELECT cand_id, i AS pos,
+                     CAST('0x' || substr(md5(array_to_string(
+                         list_slice(ct, i, i + 7), ' ')), 1, 15) AS BIGINT) AS gh
+              FROM cands,
+                   unnest(CASE WHEN len(ct) >= 8 THEN range(1, len(ct) - 6)
+                          ELSE CAST([] AS BIGINT[]) END) u(i)
+            ), hits AS (
+              SELECT cand_id, pos,
+                     CASE WHEN gh IN (SELECT gh FROM cgrams) THEN 1 ELSE 0 END AS hit
+              FROM qgrams
+            ), agg AS (
+              SELECT cand_id, count(*) AS n_grams, sum(hit) AS n_hits
+              FROM hits GROUP BY cand_id
+            ), runs AS (
+              SELECT cand_id, max(cnt) AS mr FROM (
+                SELECT cand_id, isl, count(*) AS cnt FROM (
+                  SELECT cand_id,
+                         pos - row_number() OVER (PARTITION BY cand_id
+                                                  ORDER BY pos) AS isl
+                  FROM hits WHERE hit = 1
+                ) GROUP BY cand_id, isl
+              ) GROUP BY cand_id
+            )
+            SELECT c.cand_id,
+                   CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+                   (CASE WHEN coalesce(a.n_grams, 0) > 0
+                         THEN round(coalesce(a.n_hits, 0) * 1.0 / a.n_grams, 4)
+                         ELSE 0.0 END) + 0.0 AS hit_rate,
+                   CAST(CASE WHEN coalesce(r.mr, 0) > 0 THEN r.mr + 7
+                             ELSE 0 END AS BIGINT) AS longest_span_tokens
+            FROM (SELECT DISTINCT cand_id FROM cands) c
+            LEFT JOIN agg a USING (cand_id)
+            LEFT JOIN runs r USING (cand_id)
         """,
         # twin of textstats.blocklist_filter(scope="doc"): whole-token
         # lowercased membership over the shared tokenizer

@@ -2083,3 +2083,99 @@ def semantic_decontaminate(
             best >= F.lit(float(threshold)), F.lit(False)
         ).alias("contaminated"),
     )
+
+
+def memorization_probe(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    n: int = 8,
+    corpus_text_col: str = "text",
+    cand_text_col: str = "text",
+    cand_id_col: str = "cand_id",
+) -> DataFrame:
+    """Verbatim-memorization probe of candidate texts (model generations,
+    eval outputs) against a training corpus — the k-gram form of the
+    Carlini et al. extraction methodology: a candidate span that appears
+    word-for-word in the corpus is evidence of memorization, and the
+    LENGTH of the longest such span is the severity. Per candidate:
+    how many of its word ``n``-grams occur verbatim ANYWHERE in the
+    corpus (``n_hits`` / ``hit_rate``), and the longest contiguous run
+    of overlapped grams converted back to words
+    (``longest_span_tokens`` = max_run + n - 1 — the longest verbatim
+    substring at n-gram resolution). The inverse direction of
+    :func:`decontaminate` (which protects eval sets FROM the corpus;
+    this audits what came OUT of a model trained on it).
+
+    Shape at scale: corpus grams reduce to a DISTINCT 60-bit md5 gram
+    hash set (the shingle-hash idiom — engine-portable, so the DuckDB
+    oracle replays collisions too); candidates posexplode to positioned
+    gram hashes; one hash-keyed left join marks hits (corpus side
+    distinct — never row-multiplying); runs fold with the gaps-and-
+    islands window per candidate (candidate-sized partitions). No
+    all-pairs anything; the join is the same decontamination shape the
+    q60/q95 rows pin. Candidates shorter than ``n`` words carry zero
+    grams and report rate 0.0 — a one-word verbatim copy is below the
+    probe's resolution by construction.
+    """
+    from pyspark.sql import Window
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2: {n}")
+
+    def _pos_grams(df, text_col, keep):
+        based = df.select(*keep, tokens(F.col(text_col)).alias("_tk"))
+        m = F.size("_tk") - F.lit(n - 1)
+        # sequence(1, m) DESCENDS when m < 1 — guard to an empty gram list
+        idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+            F.array().cast("array<int>")
+        )
+        ghs = F.transform(
+            idx,
+            lambda i: _shingle_hash(F.concat_ws(" ", F.slice("_tk", i, n))),
+        )
+        return based.select(
+            *keep, F.posexplode(ghs).alias("pos", "gh")
+        )
+
+    cg = (
+        _pos_grams(corpus, corpus_text_col, [])
+        .select("gh")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    grams = _pos_grams(candidates, cand_text_col, [cand_id_col])
+    hits = grams.join(cg, "gh", "left").localCheckpoint(eager=False)
+
+    agg = hits.groupBy(cand_id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_hits"),
+    )
+    w = Window.partitionBy(cand_id_col).orderBy("pos")
+    runs = (
+        hits.filter(F.col("_hit") == 1)
+        .withColumn("_isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(cand_id_col, "_isl")
+        .agg(F.count(F.lit(1)).alias("_run"))
+        .groupBy(cand_id_col)
+        .agg(F.max("_run").cast("bigint").alias("_max_run"))
+    )
+    base = candidates.select(cand_id_col).distinct()
+    out = base.join(agg, cand_id_col, "left").join(runs, cand_id_col, "left")
+    n_grams = F.coalesce("n_grams", F.lit(0)).cast("bigint")
+    n_hits = F.coalesce("n_hits", F.lit(0)).cast("bigint")
+    max_run = F.coalesce("_max_run", F.lit(0)).cast("bigint")
+    return out.select(
+        F.col(cand_id_col),
+        n_grams.alias("n_grams"),
+        n_hits.alias("n_hits"),
+        (
+            F.when(n_grams > 0, F.round(n_hits / n_grams, 4)).otherwise(
+                F.lit(0.0)
+            )
+            + F.lit(0.0)
+        ).alias("hit_rate"),
+        F.when(max_run > 0, max_run + F.lit(n - 1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("longest_span_tokens"),
+    )

@@ -314,6 +314,86 @@ def unigram_logprob(
     )
 
 
+def ppl_buckets(
+    df: DataFrame,
+    reference: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    ref_text_col: str | None = None,
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet's corpus split (Wenzek et al. 2020 §4.3): score every
+    document's perplexity under the reference LM
+    (:func:`unigram_logprob` with ``reference=``) and cut the corpus
+    into ``n_buckets`` equal-MASS bands by ppl — ``head`` (lowest ppl,
+    most reference-like), ``middle``, ``tail``. CCNet trains on head+
+    middle and drops or down-samples tail; here the bucket is a COLUMN,
+    so the downstream policy is the standard mixture machinery
+    (``mixture_weights``/``interleave_sources`` over ``bucket_label``
+    as the domain key, or a plain filter).
+
+    Cutoffs derive from the EXACT distribution of the 4dp-rounded ppl
+    values (the q80 length-CDF idiom): one group-by-ppl rollup, a
+    cumulative fraction over the DISTINCT-ppl frame (bounded by the
+    rounding grid, never corpus-sized), and ``cut_k = min(ppl | cdf >=
+    k/n)`` collected driver-side (n-1 scalars). Ties share a ppl value
+    and therefore a bucket — deterministic on any cluster shape, unlike
+    an ``ntile`` row-split (which also needs a single-partition global
+    sort). Masses are equal up to tie granularity.
+
+    Output: (id, n_tokens, ppl, bucket, bucket_label); ``labels`` names
+    the buckets when its length matches, else indexes stringify.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(
+        df, text_col=text_col, id_col=id_col, alpha=alpha,
+        reference=reference, ref_text_col=ref_text_col,
+    ).localCheckpoint(eager=False)
+    dist = scored.groupBy("ppl").agg(F.count(F.lit(1)).alias("_cnt"))
+    wc = Window.orderBy("ppl").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = dist.select(
+        "ppl",
+        (
+            F.sum("_cnt").over(wc).cast("double")
+            / F.sum("_cnt").over(wall)
+        ).alias("_cdf"),
+    )
+    cuts_row = cum.agg(
+        *[
+            F.min(
+                F.when(F.col("_cdf") >= F.lit(k / n_buckets), F.col("ppl"))
+            ).alias(f"c{k}")
+            for k in range(1, n_buckets)
+        ]
+    ).first()
+    cuts = [cuts_row[f"c{k}"] for k in range(1, n_buckets)]
+    if cuts[0] is None:  # empty corpus: keep the schema, zero rows
+        cuts = [0.0] * (n_buckets - 1)
+
+    bucket = F.lit(n_buckets - 1)
+    for k in range(n_buckets - 1, 0, -1):
+        bucket = F.when(
+            F.col("ppl") <= F.lit(float(cuts[k - 1])), F.lit(k - 1)
+        ).otherwise(bucket)
+    names = (
+        list(labels)
+        if len(labels) == n_buckets
+        else [str(i) for i in range(n_buckets)]
+    )
+    label = F.element_at(
+        F.array(*[F.lit(x) for x in names]), F.col("bucket") + 1
+    )
+    return scored.select(
+        F.col(id_col), "n_tokens", "ppl", bucket.cast("int").alias("bucket")
+    ).withColumn("bucket_label", label)
+
+
 def language_id_df(
     df: DataFrame, text_col: str = "text", out_col: str = "lang_pred", impl: str = "arrow"
 ) -> DataFrame:

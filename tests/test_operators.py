@@ -3762,3 +3762,100 @@ def test_semantic_pack_groups_locality_and_determinism(spark):
 
     with pytest.raises(ValueError, match="n_bits"):
         semantic_pack_groups(df, n_bits=0)
+
+
+def test_ppl_buckets_ccnet_split(spark):
+    """CCNet head/middle/tail: equal-mass bands up to tie granularity,
+    head holds the most reference-like documents (lower ppl than tail by
+    construction), cutoffs derive from the exact rounded-ppl CDF (no
+    global sort), assignment is deterministic under repartition, and the
+    bucket column composes with a plain filter as the CCNet keep rule."""
+    import pytest
+
+    from jsonify2ai_spark.operators.textstats import ppl_buckets
+
+    # a GRADIENT of reference-likeness: doc i swaps i%12 of its 12 words
+    # for novel soup, so ppl spreads over many distinct values; the last
+    # 15 docs are pure novel-word soup (count-0 smoothing -> max ppl)
+    ref_words = "the quick brown fox jumps over a lazy dog daily".split()
+    rows = []
+    for i in range(30):
+        novel = i % 12
+        words = [f"zz{i}x{j}" for j in range(novel)] + [
+            ref_words[(i + j) % 10] for j in range(12 - novel)
+        ]
+        rows.append((i, " ".join(words)))
+    for i in range(30, 45):
+        rows.append((i, " ".join(f"zz{i}x{j}" for j in range(12))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = docs.filter(F.col("doc_id") < 10)
+
+    out = ppl_buckets(docs, ref, n_buckets=3)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 45
+    masses = [sum(1 for r in got.values() if r["bucket"] == b) for b in (0, 1, 2)]
+    assert sum(masses) == 45
+    assert all(m >= 9 for m in masses)  # equal thirds up to ties
+    # band ordering: every head ppl <= every tail ppl
+    assert max(
+        r["ppl"] for r in got.values() if r["bucket"] == 0
+    ) <= min(r["ppl"] for r in got.values() if r["bucket"] == 2)
+    # the novel-soup docs are all tail
+    assert all(got[i]["bucket"] == 2 for i in range(30, 45))
+    assert {r["bucket_label"] for r in got.values()} == {"head", "middle", "tail"}
+
+    again = {
+        r["doc_id"]: (r["bucket"], r["ppl"])
+        for r in ppl_buckets(docs.repartition(7), ref, n_buckets=3).collect()
+    }
+    assert again == {k: (v["bucket"], v["ppl"]) for k, v in got.items()}
+
+    # the CCNet policy is a filter over the column
+    kept = ppl_buckets(docs, ref, n_buckets=3).filter(F.col("bucket") < 2)
+    assert kept.count() == 45 - masses[2]
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        ppl_buckets(docs, ref, n_buckets=1)
+
+
+def test_memorization_probe(spark):
+    """Verbatim k-gram audit: a planted verbatim extract reads rate 1.0
+    with its full length as the span; novel text reads 0; a candidate
+    below gram resolution reports zero grams; a half-memorized candidate
+    localizes the span; determinism under repartition."""
+    import pytest
+
+    from jsonify2ai_spark.operators.dedup import memorization_probe
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(30))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{(3 * 7 + j) % 40}" for j in range(12))),
+            (2, " ".join(f"nv{j}" for j in range(12))),
+            (3, "short text"),
+            (4, " ".join(f"w{(5 * 7 + j) % 40}" for j in range(8))
+             + " " + " ".join(f"nv{j}" for j in range(8))),
+        ],
+        "cand_id long, text string",
+    )
+    out = {r["cand_id"]: r.asDict() for r in memorization_probe(cands, corpus, n=8).collect()}
+    assert out[1]["hit_rate"] == 1.0 and out[1]["longest_span_tokens"] == 12
+    assert out[2]["n_hits"] == 0 and out[2]["longest_span_tokens"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["hit_rate"] == 0.0
+    # exactly the first 8 words are verbatim: one hit gram, span == n
+    assert out[4]["n_hits"] == 1 and out[4]["longest_span_tokens"] == 8
+    assert out[4]["hit_rate"] == round(1 / 9, 4)
+
+    again = {
+        r["cand_id"]: r.asDict()
+        for r in memorization_probe(
+            cands.repartition(3), corpus.repartition(5), n=8
+        ).collect()
+    }
+    assert again == out
+
+    with pytest.raises(ValueError, match="n must be"):
+        memorization_probe(cands, corpus, n=1)
