@@ -2487,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_semantic_pack": q133_semantic_pack,  # NEW r13: in-context-pretraining layout
         "q134_ppl_buckets": q134_ppl_buckets,  # NEW r13: CCNet head/middle/tail split
         "q135_memorization_probe": q135_memorization_probe,  # NEW r13: verbatim-overlap audit
+        "q136_ivf_store": q136_ivf_store,  # NEW r13: IVF store lifecycle (build+append+serve)
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -3457,6 +3458,49 @@ def q135_memorization_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memorization_probe(cands, docs, n=8)
 
 
+def q136_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF store lifecycle (operators/ann.py IVFIndex, NEW r13
+    — the vector-side sibling of the q123 sharded-BM25 store): q69's
+    exact serving arithmetic, but THROUGH the disk lifecycle — build the
+    store on the vec_id%7!=3 slice, APPEND the %7==3 remainder as a
+    segment under the frozen centroids, serve the probe query from the
+    loaded parts. Assignment is centroid-relative per vector (no corpus
+    scalars), so the result must be INVARIANT to the split — the oracle
+    is q69's all-at-once SQL verbatim, which is precisely the append
+    contract. Scratch store cleaned in finally (the q123 discipline)."""
+    import shutil
+    import tempfile
+
+    from jsonify2ai_spark.operators.ann import IVFIndex
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    cents = (
+        emb.filter(F.col("vec_id") < _IVF_K_CENTROIDS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cents]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == _KNN_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    d = tempfile.mkdtemp(prefix="q136_ivf_")
+    try:
+        idx = IVFIndex.build(
+            emb.filter(F.col("vec_id") % 7 != 3), d, centroids=centroids
+        )
+        idx = idx.append(emb.filter(F.col("vec_id") % 7 == 3), "incr-1")
+        out = idx.topk(qvec, k=10, n_probe=_IVF_N_PROBE)
+        # materialize before the scratch dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _dd_prep_report_sql(
     min_quality: float = 0.2,
     lo: float = 0.02,
@@ -3778,7 +3822,7 @@ def oracle_sql() -> dict[str, str]:
     qhex = dev_embedding_py(_SEARCH_QUERY, dim=64)
     qlit = "[" + ", ".join(f"{x!r}" for x in qhex) + "]"
 
-    return {
+    oracles = {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -6428,3 +6472,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
     }
+    # q136 serves q69's exact arithmetic THROUGH the IVFIndex disk
+    # lifecycle with an append mid-way — split-invariance IS the
+    # contract, so the oracle is q69's all-at-once SQL verbatim
+    oracles["q136_ivf_store"] = oracles["q69_quantized_ivf"]
+    return oracles

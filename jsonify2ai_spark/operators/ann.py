@@ -609,3 +609,221 @@ def refresh_quantizer(
         "recall_at_k": round(_recall(new_cents), 4),
         "recall_before": round(_recall(centroids), 4),
     }
+
+
+class IVFIndex:
+    """Persisted IVF+int8 serving index with an append lifecycle (r13) —
+    the vector-side sibling of :class:`~jsonify2ai_spark.operators.
+    textsearch.ShardedBM25Index`'s segment protocol. On disk:
+    ``cells/`` (the :func:`build_quantized_ivf` layout partitioned by
+    ``cluster``, so a probe is a partition prune), ``centroids/`` (the
+    frozen coarse quantizer), ``meta/`` (the commit point). Appends land
+    as self-contained ``cells_incr/<run_id>/`` parts — assignment under
+    the FROZEN centroids is per-vector arithmetic with no corpus-scalar
+    dependence (unlike BM25's df_t/impacts), so an appended index serves
+    IDENTICALLY to one built whole under the same centroids, with NO
+    serving tax and no raise-until-compact face: every part's scan
+    carries the same ``cluster IN (probes)`` partition filter.
+    :meth:`compact` exists purely for small-files pressure; the
+    operational signals for retraining the quantizer are
+    :meth:`health` (cell skew/cohesion, from the dequantized codes) and
+    :func:`refresh_quantizer` over the raw corpus — retraining rebuilds
+    (assignments are centroid-relative by construction).
+
+    Reference anchor: the reference's Qdrant collection lifecycle
+    (worker/app/services/qdrant_io.py ensure/upsert) re-expressed as a
+    bucketed-parquet serving layout.
+    """
+
+    def __init__(self) -> None:
+        raise TypeError("use IVFIndex.build(...) or IVFIndex.load(...)")
+
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        path: str,
+        centroids: list[list[float]] | None = None,
+        k: int = 16,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> "IVFIndex":
+        """One batch job: (train or take) centroids -> float-precision
+        nearest-centroid assignment + int8 quantization -> cluster-
+        partitioned parquet + centroid table + meta."""
+        spark = df.sparkSession
+        if centroids is None:
+            centroids = kmeans_centroids(df, k=k, vector_col=vector_col)
+        index = build_quantized_ivf(
+            df, centroids, vector_col=vector_col, id_col=id_col
+        )
+        (
+            index.repartition(F.col("cluster"))
+            .sortWithinPartitions(id_col)
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{path}/cells")
+        )
+        spark.createDataFrame(
+            [(i, list(map(float, c))) for i, c in enumerate(centroids)],
+            "cluster int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        cls._write_meta(spark, path, id_col, len(centroids[0]), "cells", ())
+        return cls.load(spark, path)
+
+    @staticmethod
+    def _write_meta(spark, path, id_col, dim, cells_dir, segments) -> None:
+        """The one-row commit point (the ShardedBM25Index convention):
+        segment visibility and dir swaps happen HERE or not at all."""
+        spark.createDataFrame(
+            [(id_col, int(dim), cells_dir, ",".join(segments))],
+            "id_col string, dim int, cells_dir string, segments string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IVFIndex":
+        meta = spark.read.parquet(f"{path}/meta").first().asDict()
+        obj = cls.__new__(cls)
+        obj._spark = spark
+        obj._path = path
+        obj._id_col = meta["id_col"]
+        obj._dim = int(meta["dim"])
+        obj._cells_dir = meta.get("cells_dir") or "cells"
+        obj._segments = [
+            s for s in (meta.get("segments") or "").split(",") if s
+        ]
+        crows = (
+            spark.read.parquet(f"{path}/centroids")
+            .orderBy("cluster")
+            .collect()
+        )
+        obj._centroids = [[float(x) for x in r["centroid"]] for r in crows]
+        obj._parts = [spark.read.parquet(f"{path}/{obj._cells_dir}")] + [
+            spark.read.parquet(f"{path}/cells_incr/{rid}")
+            for rid in obj._segments
+        ]
+        return obj
+
+    def _index_df(self) -> DataFrame:
+        df = self._parts[0]
+        for p in self._parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def topk(
+        self, query_vec: list[float], k: int = 10, n_probe: int = 2
+    ) -> DataFrame:
+        """Partition-pruned int8 serving over base + segments — exactly
+        :func:`quantized_ivf_topk` over the unioned parts (the probe
+        filter prunes EVERY part's scan; assignment is centroid-stable,
+        so segment rows score identically to a whole-build's)."""
+        return quantized_ivf_topk(
+            self._index_df(), query_vec, self._centroids,
+            k=k, n_probe=n_probe, id_col=self._id_col,
+        )
+
+    def topk_batch(
+        self, query_vecs: list[list[float]], k: int = 10, n_probe: int = 2
+    ) -> DataFrame:
+        return quantized_ivf_topk_batch(
+            self._index_df(), query_vecs, self._centroids,
+            k=k, n_probe=n_probe, id_col=self._id_col,
+        )
+
+    def append(
+        self, new_vectors: DataFrame, run_id: str,
+        vector_col: str = "embedding",
+    ) -> "IVFIndex":
+        """O(batch) maintenance: assign + quantize the increment under
+        the frozen centroids, land it as ``cells_incr/<run_id>/`` (same
+        cluster partitioning), commit via the meta rewrite. Same
+        run_id contract as the BM25 segments: a pre-commit crash heals
+        by re-running the id; a committed id raises (double-count)."""
+        if str(run_id) in self._segments:
+            raise ValueError(
+                f"append: segment {run_id!r} is already committed — "
+                "re-appending would duplicate its vectors"
+            )
+        idc = self._id_col
+        new_ids = new_vectors.select(F.col(idc)).distinct()
+        dup = (
+            self._index_df()
+            .select(idc)
+            .join(F.broadcast(new_ids), idc, "left_semi")
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"append: {dup} incoming id(s) already exist in the index"
+            )
+        first = new_vectors.select(F.size(vector_col).alias("d")).first()
+        if first and int(first["d"]) != self._dim:
+            raise ValueError(
+                f"append: vector dim {first['d']} != index dim {self._dim}"
+            )
+        seg = build_quantized_ivf(
+            new_vectors, self._centroids, vector_col=vector_col, id_col=idc
+        )
+        (
+            seg.repartition(F.col("cluster"))
+            .sortWithinPartitions(idc)
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{self._path}/cells_incr/{run_id}")
+        )
+        self._write_meta(
+            self._spark, self._path, idc, self._dim, self._cells_dir,
+            tuple(self._segments) + (str(run_id),),
+        )
+        return type(self).load(self._spark, self._path)
+
+    def compact(self) -> "IVFIndex":
+        """Fold segments into ``cells_v<k>/`` — pure small-files
+        maintenance (no arithmetic changes: rows are centroid-relative
+        and carry everything). Stage-and-swap through the meta; old
+        dirs removed best-effort after the commit (single-writer
+        maintenance window)."""
+        if not self._segments:
+            return self
+        import shutil
+
+        v = (
+            int(self._cells_dir.rsplit("_v", 1)[1]) + 1
+            if "_v" in self._cells_dir
+            else 1
+        )
+        new_rel = f"cells_v{v}"
+        (
+            self._index_df()
+            .repartition(F.col("cluster"))
+            .sortWithinPartitions(self._id_col)
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{self._path}/{new_rel}")
+        )
+        old = [f"{self._path}/{self._cells_dir}"] + [
+            f"{self._path}/cells_incr/{rid}" for rid in self._segments
+        ]
+        self._write_meta(
+            self._spark, self._path, self._id_col, self._dim, new_rel, ()
+        )
+        for d in old:
+            shutil.rmtree(d, ignore_errors=True)
+        return type(self).load(self._spark, self._path)
+
+    def health(self) -> DataFrame:
+        """:func:`ivf_health_report` over the DEQUANTIZED codes (qvec *
+        scale / 127) — cohesion/skew read through the int8 error, which
+        is the resolution the index actually serves at; the raw-corpus
+        report + :func:`refresh_quantizer` remain the retraining
+        decision's exact instruments."""
+        deq = self._index_df().select(
+            self._id_col,
+            F.transform(
+                F.col("qvec"),
+                lambda x: x.cast("double") * F.col("scale") / F.lit(127.0),
+            ).alias("embedding"),
+        )
+        return ivf_health_report(
+            deq, self._centroids, id_col=self._id_col
+        )

@@ -307,3 +307,95 @@ def test_refresh_quantizer_breach_retrain_recall_recovered(spark):
     )
     assert h_res["retrained"] is False and h_res["breaches"] == []
     assert h_res["centroids"] == stale
+
+
+def test_ivf_index_store_lifecycle(spark, tmp_path):
+    """Persisted IVF store: build -> append (frozen centroids, O(batch))
+    -> serve parity with a whole-build under the same centroids (the
+    split-invariance contract — assignment is centroid-relative, no
+    corpus scalars) -> compact (small-files fold, results unchanged) ->
+    health over dequantized codes; guards on duplicate ids, dim drift,
+    and committed run_id replays."""
+    import os
+    import random
+
+    import pytest
+
+    from jsonify2ai_spark.operators.ann import (
+        IVFIndex,
+        build_quantized_ivf,
+        quantized_ivf_topk,
+    )
+
+    rng = random.Random(3)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    base = df.filter(F.col("vec_id") % 7 != 3)
+    incr = df.filter(F.col("vec_id") % 7 == 3)
+    cents = [list(map(float, v)) for _, v in vecs[:8]]
+    q = [float(x) for x in vecs[5][1]]
+    path = str(tmp_path / "ivf")
+
+    idx = IVFIndex.build(base, path, centroids=cents).append(incr, "r1")
+    got = [tuple(r) for r in idx.topk(q, k=10, n_probe=3).collect()]
+    ref = quantized_ivf_topk(
+        build_quantized_ivf(df, cents), q, cents, k=10, n_probe=3
+    )
+    assert got == [tuple(r) for r in ref.collect()]
+    gb = sorted(map(tuple, idx.topk_batch([q, [0.1] * 16], k=5).collect()))
+    full = IVFIndex.build(df, str(tmp_path / "full"), centroids=cents)
+    assert gb == sorted(map(tuple, full.topk_batch([q, [0.1] * 16], k=5).collect()))
+
+    with pytest.raises(ValueError, match="already exist"):
+        idx.append(incr.limit(2), "r2")
+    fresh_bad_dim = spark.createDataFrame(
+        [(999, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        idx.append(fresh_bad_dim, "r2")
+    fresh = spark.createDataFrame(
+        [(999, [0.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="already committed"):
+        idx.append(fresh, "r1")
+
+    idx = idx.compact()
+    assert os.path.isdir(os.path.join(path, "cells_v1"))
+    assert not os.path.isdir(os.path.join(path, "cells"))
+    assert [tuple(r) for r in idx.topk(q, k=10, n_probe=3).collect()] == got
+    assert idx.compact() is idx
+
+    h = {r["cluster"]: r for r in idx.health().collect()}
+    assert len(h) == 8 and sum(r["n"] for r in h.values()) == 200
+
+    re = IVFIndex.load(spark, path)
+    assert [tuple(r) for r in re.topk(q, k=10, n_probe=3).collect()] == got
+
+
+def test_ivf_index_probe_prunes_every_part(spark, tmp_path):
+    """The probe filter must land as a cluster partition-prune on the
+    base AND each segment scan — the layout's whole point."""
+    import random
+    import re
+
+    from jsonify2ai_spark.operators.ann import IVFIndex
+
+    rng = random.Random(5)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(100)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = [list(map(float, v)) for _, v in vecs[:6]]
+    idx = IVFIndex.build(
+        df.filter(F.col("vec_id") < 70), str(tmp_path / "ivf"), centroids=cents
+    ).append(df.filter(F.col("vec_id") >= 70), "r1")
+    plan = (
+        idx.topk([float(x) for x in vecs[2][1]], k=5, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pruned = [
+        f
+        for f in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "cluster" in f
+    ]
+    assert len(pruned) >= 2, plan[:3000]
