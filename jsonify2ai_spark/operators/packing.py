@@ -31,6 +31,7 @@ def pack_sequences(
     n_groups: int = 32,
     strategy: str = "nextfit",
     group_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Assign each row to (pack_group, bin_idx) by ``strategy`` within
     ``id % n_groups`` groups. One shuffle (the groupBy); the fold runs
@@ -42,6 +43,15 @@ def pack_sequences(
     where "which documents share a bin" is itself a modeling choice.
     Same determinism and oracle story: the fold is unchanged, only the
     group key differs.
+
+    ``order_col``: next-fit walks each group in (``order_col``,
+    ``id_col``) order instead of plain id order — with
+    :func:`semantic_pack_groups`' ``order_col=`` projection this makes
+    similar documents ADJACENT inside a bin, not merely co-resident
+    (the within-sequence half of the in-context-pretraining layout).
+    The id tiebreak keeps the fold fully deterministic. ``"bfd"``
+    ignores it (best-fit-decreasing defines its own size-descending
+    order).
 
     - ``"nextfit"`` (default): one pass in ``id_col`` order — the
       streaming-compatible rule (PackGate runs the same fold over
@@ -81,7 +91,8 @@ def pack_sequences(
         raise ValueError(f"strategy must be 'nextfit' or 'bfd': {strategy!r}")
 
     def fold(pdf):
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        sort_keys = [order_col, id_col] if order_col is not None else [id_col]
+        pdf = pdf.sort_values(sort_keys).reset_index(drop=True)
         bins: list[int] = []
         acc, b = 0, 0
         for sz in pdf[size_col]:
@@ -331,6 +342,7 @@ def semantic_pack_groups(
     dim: int = 64,
     seed: str = "icp-v1",
     out_col: str = "pack_group",
+    order_out: str | None = None,
 ) -> DataFrame:
     """Semantic grouping key for in-context-pretraining-style packing
     (Shi et al. 2023, "In-Context Pretraining": training sequences built
@@ -353,11 +365,18 @@ def semantic_pack_groups(
     More bits = tighter semantic neighborhoods but fewer docs per group
     (a group below ~budget tokens degenerates to a lone ragged bin) —
     size ``n_bits`` so corpus_tokens / 2**n_bits >> budget.
+
+    ``order_out``: additionally emit plane 0's (rounded) dot product —
+    a 1-D semantic coordinate for :func:`pack_sequences`'
+    ``order_col=``, so documents inside a bucket pack in projection
+    order (nearer in the projection ≈ nearer in embedding space): the
+    within-sequence half of the ICP layout, still pure map-side.
     """
     if not 1 <= n_bits <= 16:
         raise ValueError(f"n_bits must be in [1, 16]: {n_bits}")
     v = F.col(vector_col).cast("array<double>")
     bucket = F.lit(0).cast("long")
+    dot0 = None
     for i in range(n_bits):
         g = F.array(*[F.lit(x) for x in semantic_plane(seed, i, dim)])
         dot = F.round(
@@ -368,8 +387,13 @@ def semantic_pack_groups(
             ),
             6,
         )
+        if i == 0:
+            dot0 = dot
         bucket = bucket + (dot >= 0).cast("long") * F.lit(1 << i)
-    return df.withColumn(out_col, bucket)
+    out = df.withColumn(out_col, bucket)
+    if order_out is not None:
+        out = out.withColumn(order_out, dot0)
+    return out
 
 
 def purge_packed_bins(

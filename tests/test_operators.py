@@ -3859,3 +3859,47 @@ def test_memorization_probe(spark):
 
     with pytest.raises(ValueError, match="n must be"):
         memorization_probe(cands, corpus, n=1)
+
+
+def test_pack_sequences_order_col_semantic_adjacency(spark):
+    """order_col walks the next-fit fold in (order, id) order so similar
+    documents sit ADJACENT inside a bin (the within-sequence half of the
+    ICP layout); semantic_pack_groups(order_out=) supplies the 1-D
+    projection; default behavior (no order_col) is unchanged."""
+    import random
+
+    from jsonify2ai_spark.operators.packing import (
+        pack_sequences,
+        semantic_pack_groups,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    g = semantic_pack_groups(df, n_bits=2, dim=16, order_out="sem_order")
+    sized = g.withColumn("_w", F.lit(4).cast("bigint"))
+    packed = pack_sequences(
+        sized, budget=12, size_col="_w", id_col="doc_id",
+        group_col="pack_group", order_col="sem_order",
+    )
+    got = packed.collect()
+    # within (group, bin): walking rows in fold order means bins are
+    # CONTIGUOUS runs of the (order, id) sort — verify bin boundaries
+    # respect the projection order inside every group
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r["pack_group"], []).append(r)
+    assert len(by_group) >= 2
+    for grp, rows_g in by_group.items():
+        rows_g.sort(key=lambda r: (r["sem_order"], r["doc_id"]))
+        bins_seen = [r["bin_idx"] for r in rows_g]
+        # bin indexes are non-decreasing along the projection order
+        assert bins_seen == sorted(bins_seen), (grp, bins_seen)
+
+    # default path unchanged: no order_col == id-order fold
+    a = pack_sequences(sized, budget=12, size_col="_w", id_col="doc_id",
+                       group_col="pack_group")
+    b = pack_sequences(sized.drop("sem_order"), budget=12, size_col="_w",
+                       id_col="doc_id", group_col="pack_group")
+    assert sorted((r["doc_id"], r["bin_idx"]) for r in a.collect()) == \
+           sorted((r["doc_id"], r["bin_idx"]) for r in b.collect())
