@@ -672,12 +672,16 @@ class IVFIndex:
         return cls.load(spark, path)
 
     @staticmethod
-    def _write_meta(spark, path, id_col, dim, cells_dir, segments) -> None:
+    def _write_meta(
+        spark, path, id_col, dim, cells_dir, segments, n_deleted=0
+    ) -> None:
         """The one-row commit point (the ShardedBM25Index convention):
-        segment visibility and dir swaps happen HERE or not at all."""
+        segment visibility, dir swaps, and delete-tombstone visibility
+        happen HERE or not at all."""
         spark.createDataFrame(
-            [(id_col, int(dim), cells_dir, ",".join(segments))],
-            "id_col string, dim int, cells_dir string, segments string",
+            [(id_col, int(dim), cells_dir, ",".join(segments), int(n_deleted))],
+            "id_col string, dim int, cells_dir string, segments string, "
+            "n_deleted int",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
@@ -702,13 +706,53 @@ class IVFIndex:
             spark.read.parquet(f"{path}/cells_incr/{rid}")
             for rid in obj._segments
         ]
+        obj._tombs = (
+            spark.read.parquet(f"{path}/tombstones")
+            if int(meta.get("n_deleted") or 0) > 0
+            else None
+        )
         return obj
 
     def _index_df(self) -> DataFrame:
         df = self._parts[0]
         for p in self._parts[1:]:
             df = df.unionByName(p)
+        if self._tombs is not None:
+            df = df.join(
+                F.broadcast(self._tombs),
+                df[self._id_col].cast("string") == F.col("_id"),
+                "left_anti",
+            )
         return df
+
+    def delete(self, ids: list) -> "IVFIndex":
+        """Delete vectors (r13) — the reference's delete-by-document
+        point reconciliation (worker/app/services/qdrant_io.py delete
+        path, SURVEY K4) for the persisted IVF store: ids tombstone in
+        ``tombstones/`` and every lookup anti-joins them out (broadcast,
+        request-sized by contract) — EXACT immediately, since int8
+        cosine has no corpus-scalar dependence. Physical erasure rides
+        :meth:`compact`; unknown ids are harmless; deletes merge; a
+        tombstoned id cannot re-append until erased."""
+        want = sorted({str(x) for x in ids})
+        if not want:
+            return self
+        prev = (
+            [r["_id"] for r in self._tombs.collect()]
+            if self._tombs is not None
+            else []
+        )
+        merged = sorted(set(prev) | set(want))
+        self._spark.createDataFrame(
+            [(i,) for i in merged], "_id string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self._path}/tombstones"
+        )
+        self._write_meta(
+            self._spark, self._path, self._id_col, self._dim,
+            self._cells_dir, tuple(self._segments), n_deleted=len(merged),
+        )
+        return type(self).load(self._spark, self._path)
 
     def topk(
         self, query_vec: list[float], k: int = 10, n_probe: int = 2
@@ -756,6 +800,17 @@ class IVFIndex:
             raise ValueError(
                 f"append: {dup} incoming id(s) already exist in the index"
             )
+        if self._tombs is not None:
+            shadowed = new_ids.join(
+                F.broadcast(self._tombs),
+                new_ids[idc].cast("string") == F.col("_id"),
+                "left_semi",
+            ).count()
+            if shadowed:
+                raise ValueError(
+                    f"append: {shadowed} incoming id(s) are tombstoned by "
+                    "a pending delete — compact() first, then re-ingest"
+                )
         first = new_vectors.select(F.size(vector_col).alias("d")).first()
         if first and int(first["d"]) != self._dim:
             raise ValueError(
@@ -783,7 +838,7 @@ class IVFIndex:
         and carry everything). Stage-and-swap through the meta; old
         dirs removed best-effort after the commit (single-writer
         maintenance window)."""
-        if not self._segments:
+        if not self._segments and self._tombs is None:
             return self
         import shutil
 
@@ -804,6 +859,8 @@ class IVFIndex:
         old = [f"{self._path}/{self._cells_dir}"] + [
             f"{self._path}/cells_incr/{rid}" for rid in self._segments
         ]
+        if self._tombs is not None:
+            old.append(f"{self._path}/tombstones")
         self._write_meta(
             self._spark, self._path, self._id_col, self._dim, new_rel, ()
         )

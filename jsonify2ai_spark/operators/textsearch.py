@@ -549,10 +549,21 @@ class ShardedBM25Index(BM25Index):
             spark.read.parquet(f"{path}/postings_incr/{rid}")
             for rid in obj._segments
         ]
+        obj._tombs = (
+            spark.read.parquet(f"{path}/tombstones")
+            if int(meta.get("n_deleted") or 0) > 0
+            else None
+        )
         dl = spark.read.parquet(f"{path}/{obj._doclens_dir}")
         for rid in obj._segments:
             dl = dl.unionByName(
                 spark.read.parquet(f"{path}/doclens_incr/{rid}")
+            )
+        if obj._tombs is not None:
+            dl = dl.join(
+                F.broadcast(obj._tombs),
+                dl[obj._id_col].cast("string") == F.col("_id"),
+                "left_anti",
             )
         obj._doclens = dl.persist()
         return obj
@@ -571,6 +582,7 @@ class ShardedBM25Index(BM25Index):
         postings_dir: str = "postings",
         doclens_dir: str = "doclens",
         segments: tuple = (),
+        n_deleted: int = 0,
     ) -> None:
         """The meta row is the index's COMMIT POINT: every structural
         mutation (append's new segment, compact's dir swap) becomes
@@ -591,11 +603,13 @@ class ShardedBM25Index(BM25Index):
                     postings_dir,
                     doclens_dir,
                     ",".join(segments),
+                    int(n_deleted),
                 )
             ],
             "n_docs long, avgdl double, k1 double, b double, "
             "id_col string, attr_cols string, n_buckets int, "
-            "postings_dir string, doclens_dir string, segments string",
+            "postings_dir string, doclens_dir string, segments string, "
+            "n_deleted int",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     def save(self, path: str) -> None:
@@ -629,10 +643,16 @@ class ShardedBM25Index(BM25Index):
             spark.read.parquet(f"{self._path}/doclens_incr/{rid}").write.mode(
                 "overwrite"
             ).parquet(f"{path}/doclens_incr/{rid}")
+        n_deleted = 0
+        if self._tombs is not None:
+            n_deleted = self._tombs.count()
+            self._tombs.coalesce(1).write.mode("overwrite").parquet(
+                f"{path}/tombstones"
+            )
         self._write_meta(
             spark, path, self._n_docs, self._avgdl, self._k1, self._b,
             self._id_col, self._attr_cols, self._n_buckets,
-            segments=tuple(self._segments),
+            segments=tuple(self._segments), n_deleted=n_deleted,
         )
 
     def append(
@@ -683,6 +703,20 @@ class ShardedBM25Index(BM25Index):
                 "— append() only ADDS documents; rebuild (or delete "
                 "first) to replace content"
             )
+        if self._tombs is not None:
+            shadowed = (
+                new_ids.join(
+                    F.broadcast(self._tombs),
+                    new_ids[idc].cast("string") == F.col("_id"),
+                    "left_semi",
+                ).count()
+            )
+            if shadowed:
+                raise ValueError(
+                    f"append: {shadowed} incoming id(s) are tombstoned by "
+                    "a pending delete — compact() to erase them first, "
+                    "then re-ingest"
+                )
         missing = [c for c in self._attr_cols if c not in new_docs.columns]
         if missing:
             raise ValueError(
@@ -726,6 +760,55 @@ class ShardedBM25Index(BM25Index):
         self._doclens.unpersist()
         return type(self).load(self._spark, self._path)
 
+    def delete(self, doc_ids: list) -> "ShardedBM25Index":
+        """Delete documents from the index (r13) — the reference's
+        delete-by-document reconciliation (worker/app/services/
+        qdrant_io.py delete path; SURVEY K4) for the lexical store,
+        tombstone-style: the ids land in ``tombstones/`` (request-sized
+        by contract), the corpus scalars update EXACTLY in the meta
+        commit (n_docs/avgdl subtract the deleted doclens), and serving
+        switches to the df_t-recompute path (:meth:`_lookup_parts` —
+        the same machinery segments use), so the EXACT faces score
+        byte-identically to an index rebuilt without the documents.
+        Physical erasure and the impact faces return at
+        :meth:`compact` (stored impacts bake scalars, same reasoning as
+        append). Deleting an unknown id is harmless; deletes merge."""
+        idc = self._id_col
+        spark = self._spark
+        ids = sorted({str(x) for x in doc_ids})
+        if not ids:
+            return self
+        prev = (
+            [r["_id"] for r in self._tombs.collect()]
+            if self._tombs is not None
+            else []
+        )
+        merged = sorted(set(prev) | set(ids))
+        fresh = set(merged) - set(prev)
+        # exact scalar update: only ids that EXIST (and are newly
+        # tombstoned) move n_docs/avgdl
+        hit = self._doclens.filter(
+            F.col(idc).cast("string").isin(sorted(fresh))
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).first()
+        n_del, dl_del = int(hit["n"]), int(hit["s"] or 0)
+        total = self._n_docs - n_del
+        avgdl = (
+            (self._avgdl * self._n_docs - dl_del) / total if total > 0 else 0.0
+        )
+        spark.createDataFrame(
+            [(i,) for i in merged], "_id string"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self._path}/tombstones"
+        )
+        self._write_meta(
+            spark, self._path, total, avgdl, self._k1, self._b, idc,
+            self._attr_cols, self._n_buckets,
+            postings_dir=self._postings_dir, doclens_dir=self._doclens_dir,
+            segments=tuple(self._segments), n_deleted=len(merged),
+        )
+        self._doclens.unpersist()
+        return type(self).load(spark, self._path)
+
     def compact(
         self, max_postings_per_term: int | None = None
     ) -> "ShardedBM25Index":
@@ -743,7 +826,7 @@ class ShardedBM25Index(BM25Index):
         before compaction runs). No-op without segments. One
         term-keyed shuffle over the merged postings (df_t + rank
         windows share it) and one bucket-keyed write."""
-        if not self._segments:
+        if not self._segments and self._tombs is None:
             return self
         import shutil
 
@@ -753,6 +836,14 @@ class ShardedBM25Index(BM25Index):
         merged = self._posts.select(*core)
         for seg in self._seg_posts:
             merged = merged.unionByName(seg.select(*core))
+        if self._tombs is not None:
+            # physical erasure of pending deletes rides the fold — df_t
+            # and impacts below are computed over the survivors only
+            merged = merged.join(
+                F.broadcast(self._tombs),
+                merged[self._id_col].cast("string") == F.col("_id"),
+                "left_anti",
+            )
         dfreq = merged.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
         joined = merged.join(dfreq, "term")
         if keep_impact or max_postings_per_term is not None:
@@ -789,6 +880,8 @@ class ShardedBM25Index(BM25Index):
             for rid in self._segments
             for sub in ("postings_incr", "doclens_incr")
         ]
+        if self._tombs is not None:
+            old_dirs.append(f"{self._path}/tombstones")
         # commit point: segments cleared, dir pointers swapped
         self._write_meta(
             spark, self._path, self._n_docs, self._avgdl, self._k1,
@@ -812,7 +905,7 @@ class ShardedBM25Index(BM25Index):
         terms' rows only — the segment-mode serving tax; :meth:`compact`
         removes it."""
         base = self._posts.filter(cond)
-        if not self._seg_posts:
+        if not self._seg_posts and self._tombs is None:
             return base
         from pyspark.sql import Window
 
@@ -820,6 +913,14 @@ class ShardedBM25Index(BM25Index):
         u = base.select(*core)
         for seg in self._seg_posts:
             u = u.unionByName(seg.filter(cond).select(*core))
+        if self._tombs is not None:
+            # deleted docs leave the lookup BEFORE the df_t recompute,
+            # so per-term df is exact for the post-delete corpus
+            u = u.join(
+                F.broadcast(self._tombs),
+                u[self._id_col].cast("string") == F.col("_id"),
+                "left_anti",
+            )
         return u.withColumn(
             "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
         )
@@ -842,6 +943,14 @@ class ShardedBM25Index(BM25Index):
     # -- impact-ordered (dynamic-pruning) serving -------------------------
 
     def _require_impact(self) -> None:
+        if self._tombs is not None:
+            raise ValueError(
+                "impact-ordered serving is unavailable while deletions "
+                "are pending: stored impacts/ranks bake pre-delete corpus "
+                "scalars and df_t — compact() erases the tombstoned "
+                "documents and restores exact impact order (the exact "
+                "faces topk/topk_batch remain correct throughout)"
+            )
         if self._segments:
             raise ValueError(
                 "impact-ordered serving is unavailable while append() "

@@ -399,3 +399,43 @@ def test_ivf_index_probe_prunes_every_part(spark, tmp_path):
         if "cluster" in f
     ]
     assert len(pruned) >= 2, plan[:3000]
+
+
+def test_ivf_index_delete(spark, tmp_path):
+    """IVF store deletes: tombstoned vectors vanish from every lookup at
+    once and EXACTLY (int8 cosine has no corpus scalars), a tombstoned
+    id cannot re-append until compact() erases it physically."""
+    import os
+    import random
+
+    import pytest
+
+    from jsonify2ai_spark.operators.ann import IVFIndex
+
+    rng = random.Random(3)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(150)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = [list(map(float, v)) for _, v in vecs[:6]]
+    q = [float(x) for x in vecs[4][1]]
+    gone = [4, 50, 99]
+    path = str(tmp_path / "ivf")
+
+    idx = IVFIndex.build(df, path, centroids=cents).delete(gone)
+    ref = IVFIndex.build(
+        df.filter(~F.col("vec_id").isin(gone)), str(tmp_path / "ref"),
+        centroids=cents,
+    )
+    got = [tuple(r) for r in idx.topk(q, k=10, n_probe=3).collect()]
+    assert got == [tuple(r) for r in ref.topk(q, k=10, n_probe=3).collect()]
+
+    with pytest.raises(ValueError, match="tombstoned"):
+        idx.append(
+            spark.createDataFrame([(50, [0.0] * 16)],
+                                  "vec_id long, embedding array<float>"),
+            "x",
+        )
+    idx = idx.compact()
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    assert [tuple(r) for r in idx.topk(q, k=10, n_probe=3).collect()] == got
+    raw = spark.read.parquet(os.path.join(path, idx._cells_dir))
+    assert raw.filter(F.col("vec_id").isin(gone)).count() == 0

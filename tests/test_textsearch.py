@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from jsonify2ai_spark.operators.textsearch import bm25_topk, build_postings
 
 
@@ -983,3 +985,57 @@ def test_sharded_bm25_segment_lookup_prunes_every_part(spark, tmp_path):
     pruned = [f for f in filters if "term_bucket" in f]
     assert len(pruned) >= 2, plan[:3000]
     idx.close()
+
+
+def test_sharded_bm25_delete_exact_parity(spark, tmp_path):
+    """Tombstone deletes (K4 for the lexical store): after delete(), the
+    EXACT faces score byte-identically to an index rebuilt WITHOUT the
+    documents (scalars subtracted exactly at the meta commit, df_t
+    recomputed over the tombstone-filtered lookup); impact faces raise
+    until compact() erases; deletes merge, unknown ids are harmless, a
+    tombstoned id cannot re-append until erased — then it can."""
+    import os
+
+    import pytest
+
+    from jsonify2ai_spark.operators.textsearch import ShardedBM25Index
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon",
+             "zeta", "eta", "theta", "iota", "kappa"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(words[j % 10] for j in range(i, i + 6))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    gone = [7, 21, 33]
+    path = str(tmp_path / "idx")
+    idx = ShardedBM25Index.build(docs, path, n_buckets=8).delete(gone)
+    ref = ShardedBM25Index.build(
+        docs.filter(~F.col("doc_id").isin(gone)), str(tmp_path / "ref"),
+        n_buckets=8,
+    )
+    for q in ("alpha beta", "gamma delta epsilon", "zzz"):
+        got = [tuple(r) for r in idx.topk(q, k=8).collect()]
+        want = [tuple(r) for r in ref.topk(q, k=8).collect()]
+        assert got == want, (q, got, want)
+    gb = sorted(map(tuple, idx.topk_batch(["alpha beta", "kappa iota"], k=5).collect()))
+    wb = sorted(map(tuple, ref.topk_batch(["alpha beta", "kappa iota"], k=5).collect()))
+    assert gb == wb
+
+    with pytest.raises(ValueError, match="deletions"):
+        idx.topk_impact("alpha", k=3)
+    idx = idx.delete([21, 999])  # merge + unknown id
+    assert idx._n_docs == 57
+    back = spark.createDataFrame([(7, "alpha beta")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="tombstoned"):
+        idx.append(back, "re1")
+
+    idx = idx.compact()
+    assert not os.path.isdir(os.path.join(path, "tombstones"))
+    got = [tuple(r) for r in idx.topk("alpha beta", k=8).collect()]
+    assert got == [tuple(r) for r in ref.topk("alpha beta", k=8).collect()]
+    gi = [(r[0], r[1]) for r in idx.topk_impact("alpha beta", k=5).collect()]
+    assert gi == [(r[0], r[1]) for r in ref.topk_impact("alpha beta", k=5).collect()]
+    idx2 = idx.append(back, "re1")  # erased id re-ingests cleanly
+    assert idx2._n_docs == 58
+    for i in (idx2, ref):
+        i.close()
