@@ -1453,7 +1453,13 @@ def purge_shard_store(
             "rebuild the store with boundaries=True to make it purgeable"
         )
     ledger = manifest.get("tombstones") or {}
-    want_id = id_col or ledger.get("id_col") or cfg.get("id_col") or "doc_id"
+    want_id = (
+        id_col
+        or ledger.get("id_col")
+        or cfg.get("id_col")      # media stores record it
+        or cfg.get("pair_col")    # DPO stores key rows by the pair key
+        or "doc_id"
+    )
     if ledger and ledger.get("id_col") != want_id:
         raise ValueError(
             f"purge_shard_store: pending tombstones use id_col="
@@ -1494,6 +1500,12 @@ def _apply_tombstones(df: DataFrame, manifest: dict) -> DataFrame:
             pad_id=int(cfg.get("pad_id", 0)),
         )
     id_col = ledger["id_col"]
+    if id_col not in df.columns:
+        raise ValueError(
+            f"tombstones target id column {id_col!r} which this store's "
+            f"rows do not carry (columns: {df.columns}) — re-purge with "
+            "the store's real key via purge_shard_store(id_col=...)"
+        )
     spark = df.sparkSession
     tomb = spark.createDataFrame([(i,) for i in ids], "_tomb_id string")
     return df.join(

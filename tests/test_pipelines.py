@@ -2385,3 +2385,42 @@ def test_purge_media_store(spark, tmp_path):
     raw = spark.read.parquet(os.path.join(out, man["shards_dir"]))
     assert raw.filter(F.col("media_id").isin(["m3", "m7"])).count() == 0
     assert man["tombstones"] is None and man["purged_rows_total"] == 2
+
+
+def test_purge_dpo_store_by_pair_key(spark, tmp_path):
+    """DPO stores key rows by pair_col — purge resolves it from the
+    manifest config and the pair vanishes from the loader and, after
+    compaction, from disk."""
+    import json
+    import os
+
+    from jsonify2ai_spark.operators.sft import preference_pairs
+    from jsonify2ai_spark.pipelines import (
+        compact_token_shards,
+        dpo_to_token_shards,
+        purge_shard_store,
+        read_token_shards,
+    )
+
+    cand = spark.createDataFrame(
+        [
+            (p, f"prompt {p}", f"response {p} variant {v} text here", float(v))
+            for p in range(6)
+            for v in range(3)
+        ],
+        "prompt_id long, prompt string, response string, score double",
+    )
+    out = str(tmp_path / "dpo")
+    dpo_to_token_shards(preference_pairs(cand), out, num_merges=8)
+    keys = [r[0] for r in read_token_shards(spark, out).select("prompt_id").collect()]
+    victim = sorted(keys)[1]
+
+    purge_shard_store(out, [victim])  # id_col resolves to config pair_col
+    left = {r[0] for r in read_token_shards(spark, out).select("prompt_id").collect()}
+    assert victim not in left and len(left) == len(set(keys)) - 1
+
+    compact_token_shards(spark, out)
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["tombstones"] is None
+    raw = spark.read.parquet(os.path.join(out, man["shards_dir"]))
+    assert raw.filter(F.col("prompt_id") == victim).count() == 0
