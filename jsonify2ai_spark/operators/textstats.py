@@ -394,6 +394,58 @@ def ppl_buckets(
     ).withColumn("bucket_label", label)
 
 
+def calibrate_ppl_cutoff(
+    df: DataFrame,
+    reference: DataFrame,
+    keep_frac: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    ref_text_col: str | None = None,
+) -> float:
+    """Derive a reference-LM perplexity cutoff from a target keep
+    fraction — the :func:`~jsonify2ai_spark.operators.sampling.
+    calibrate_dsir_cutoff` pattern for the CCNet gate: run it on a
+    representative (sample-sized) corpus and feed the scalar to
+    ``PerplexityGate(max_ppl=...)``, so the streaming gate's knob is
+    DERIVED from data instead of hand-set. ``keep_frac=2/3`` is
+    CCNet's own head+middle policy (:func:`ppl_buckets`' first two
+    bands). The cutoff is the smallest 4dp-rounded ppl whose CDF mass
+    reaches ``keep_frac`` — ties share a side, so
+    ``ppl <= cutoff`` keeps AT LEAST the fraction (the floor
+    convention, matching the dsir calibrator). One scoring pass + one
+    distinct-ppl rollup + a single-scalar collect."""
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac}")
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(
+        df, text_col=text_col, id_col=id_col, alpha=alpha,
+        reference=reference, ref_text_col=ref_text_col,
+    )
+    dist = scored.groupBy("ppl").agg(F.count(F.lit(1)).alias("_cnt"))
+    wc = Window.orderBy("ppl").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cut = (
+        dist.select(
+            "ppl",
+            (
+                F.sum("_cnt").over(wc).cast("double")
+                / F.sum("_cnt").over(wall)
+            ).alias("_cdf"),
+        )
+        .agg(
+            F.min(
+                F.when(F.col("_cdf") >= F.lit(float(keep_frac)), F.col("ppl"))
+            ).alias("c")
+        )
+        .first()["c"]
+    )
+    if cut is None:
+        raise ValueError("calibrate_ppl_cutoff: empty corpus")
+    return float(cut)
+
+
 def language_id_df(
     df: DataFrame, text_col: str = "text", out_col: str = "lang_pred", impl: str = "arrow"
 ) -> DataFrame:

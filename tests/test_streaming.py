@@ -2408,3 +2408,39 @@ def test_full_curation_chain_with_quality_and_selection(spark, tables, tmp_path)
     loaded = read_token_shards(spark, out, validate=True)
     assert loaded.count() > base_rows
     chain.close()
+
+
+def test_calibrate_ppl_cutoff_feeds_gate(spark, tables):
+    """The CCNet gate's knob is DERIVED, not hand-set (the
+    calibrate_dsir_cutoff pattern): a PerplexityGate thinned at
+    calibrate_ppl_cutoff(keep_frac=2/3) keeps exactly ppl_buckets'
+    head+middle bands — and at least the asked fraction (ties share the
+    keep side, the floor convention)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.operators.textstats import (
+        calibrate_ppl_cutoff,
+        ppl_buckets,
+    )
+    from jsonify2ai_spark.streaming.windowed import PerplexityGate
+
+    docs = tables["documents"].select("doc_id", "text", "lang")
+    ref = docs.filter("lang = 'en'").select("doc_id", "text")
+
+    cutoff = calibrate_ppl_cutoff(docs, ref, keep_frac=2 / 3)
+    gate = PerplexityGate(ref, max_ppl=cutoff)
+    kept = set()
+    for part in range(3):  # partitioned replay = the stream's view
+        b = docs.filter(F.col("doc_id") % 3 == part)
+        kept |= {r["doc_id"] for r in gate.filter_batch(b).collect()}
+
+    bands = ppl_buckets(docs, ref, n_buckets=3)
+    want = {r["doc_id"] for r in bands.filter(F.col("bucket") < 2).collect()}
+    assert kept == want
+    total = docs.count()
+    assert len(kept) >= (2 / 3) * total * 0.999  # at least the fraction
+
+    with pytest.raises(ValueError, match="keep_frac"):
+        calibrate_ppl_cutoff(docs, ref, keep_frac=0.0)
