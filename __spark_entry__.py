@@ -2488,6 +2488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_ppl_buckets": q134_ppl_buckets,  # NEW r13: CCNet head/middle/tail split
         "q135_memorization_probe": q135_memorization_probe,  # NEW r13: verbatim-overlap audit
         "q136_ivf_store": q136_ivf_store,  # NEW r13: IVF store lifecycle (build+append+serve)
+        "q137_bm25_delete": q137_bm25_delete,  # NEW r13: exact index deletes (K4 on the lexical store)
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -3155,6 +3156,42 @@ def q123_bm25_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
             t["documents"], tmp, n_buckets=16, impact_ordered=False
         )
         out = idx.topk(_SEARCH_QUERY, k=15).localCheckpoint()
+        idx.close()
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q137_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tombstone deletes on the sharded lexical index
+    (operators/textsearch.py ShardedBM25Index.delete, NEW r13 — the
+    reference's delete-by-document reconciliation, SURVEY K4, on the
+    serving index): build the q123 index over ALL documents, DELETE the
+    doc_id%9==4 cohort, serve — scores must equal bm25_topk over the
+    corpus WITHOUT those documents (the oracle is the q30 arithmetic
+    over the filtered table; k=13 to differentiate). Exactness comes
+    from the meta-commit scalar subtraction plus the df_t recompute
+    over the tombstone-filtered lookup — no rebuild, O(request) delete
+    cost. Scratch index removed in finally (the q123 discipline)."""
+    import shutil
+    import tempfile
+
+    from jsonify2ai_spark.operators.textsearch import ShardedBM25Index
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    victims = [
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 9 == 4)
+        .select("doc_id")
+        .collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="bm25del_")
+    try:
+        idx = ShardedBM25Index.build(
+            docs, tmp, n_buckets=16, impact_ordered=False
+        ).delete(victims)
+        out = idx.topk(_SEARCH_QUERY, k=13).localCheckpoint()
         idx.close()
         return out
     finally:
@@ -4055,6 +4092,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q30_bm25_search": bm25_oracle_sql(_SEARCH_QUERY, k=10),
         "q123_bm25_sharded": bm25_oracle_sql(_SEARCH_QUERY, k=15),
+        # q137 twin: the q30/q123 arithmetic over the corpus WITHOUT the
+        # deleted cohort — index.delete() must be indistinguishable from
+        # never having ingested the documents
+        "q137_bm25_delete": bm25_oracle_sql(
+            _SEARCH_QUERY, k=13,
+            table="(SELECT * FROM documents WHERE doc_id % 9 <> 4) AS survivors",
+        ),
         # q128 gates the impact-scan arithmetic: at covering depth the
         # summed STORED impacts must equal the recomputed exact scores
         "q128_bm25_impact": bm25_oracle_sql(_SEARCH_QUERY, k=12),
