@@ -742,7 +742,20 @@ class IVFIndex:
             if self._tombs is not None
             else []
         )
-        merged = sorted(set(prev) | set(want))
+        asked = sorted(set(want) - set(prev))
+        # only EXISTING ids tombstone — a never-ingested id would tax
+        # every lookup's anti-join and block its future append for
+        # nothing (one column-pruned membership probe at delete time)
+        existing = {
+            r["_i"]
+            for r in self._index_df()
+            .select(F.col(self._id_col).cast("string").alias("_i"))
+            .filter(F.col("_i").isin(asked))
+            .collect()
+        }
+        if not existing:
+            return self
+        merged = sorted(set(prev) | existing)
         self._spark.createDataFrame(
             [(i,) for i in merged], "_id string"
         ).coalesce(1).write.mode("overwrite").parquet(
@@ -777,29 +790,60 @@ class IVFIndex:
     def append(
         self, new_vectors: DataFrame, run_id: str,
         vector_col: str = "embedding",
+        check_ids: bool = True,
     ) -> "IVFIndex":
         """O(batch) maintenance: assign + quantize the increment under
         the frozen centroids, land it as ``cells_incr/<run_id>/`` (same
         cluster partitioning), commit via the meta rewrite. Same
         run_id contract as the BM25 segments: a pre-commit crash heals
-        by re-running the id; a committed id raises (double-count)."""
+        by re-running the id; a committed id raises (double-count).
+
+        Guards, all batch-sized except one: within-batch duplicate ids
+        and dim drift raise from ONE aggregate over the increment; an
+        empty increment is a NO-OP (committing it would tax every later
+        load with a zero-row part). ``check_ids=True`` (default) also
+        semi-joins the increment's ids against the EXISTING index —
+        that probe is a column-pruned scan of the cells (the store
+        keeps no narrow id table), i.e. O(corpus) IO on one column:
+        leave it on unless the ingest pipeline already guarantees
+        id uniqueness and the scan cost matters at your scale."""
         if str(run_id) in self._segments:
             raise ValueError(
                 f"append: segment {run_id!r} is already committed — "
                 "re-appending would duplicate its vectors"
             )
         idc = self._id_col
-        new_ids = new_vectors.select(F.col(idc)).distinct()
-        dup = (
-            self._index_df()
-            .select(idc)
-            .join(F.broadcast(new_ids), idc, "left_semi")
-            .count()
-        )
-        if dup:
+        stats0 = new_vectors.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(idc)).alias("u"),
+            F.min(F.size(vector_col)).alias("lo"),
+            F.max(F.size(vector_col)).alias("hi"),
+        ).first()
+        if int(stats0["n"]) == 0:
+            return self  # empty increment: nothing to commit
+        if int(stats0["n"]) != int(stats0["u"]):
             raise ValueError(
-                f"append: {dup} incoming id(s) already exist in the index"
+                f"append: increment carries "
+                f"{stats0['n'] - stats0['u']} duplicate id row(s) — "
+                "dedup upstream; every id must appear exactly once"
             )
+        if int(stats0["lo"]) != self._dim or int(stats0["hi"]) != self._dim:
+            raise ValueError(
+                f"append: vector dims [{stats0['lo']}, {stats0['hi']}] "
+                f"!= index dim {self._dim}"
+            )
+        new_ids = new_vectors.select(F.col(idc)).distinct()
+        if check_ids:
+            dup = (
+                self._index_df()
+                .select(idc)
+                .join(F.broadcast(new_ids), idc, "left_semi")
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    f"append: {dup} incoming id(s) already exist in the index"
+                )
         if self._tombs is not None:
             shadowed = new_ids.join(
                 F.broadcast(self._tombs),
@@ -811,11 +855,6 @@ class IVFIndex:
                     f"append: {shadowed} incoming id(s) are tombstoned by "
                     "a pending delete — compact() first, then re-ingest"
                 )
-        first = new_vectors.select(F.size(vector_col).alias("d")).first()
-        if first and int(first["d"]) != self._dim:
-            raise ValueError(
-                f"append: vector dim {first['d']} != index dim {self._dim}"
-            )
         seg = build_quantized_ivf(
             new_vectors, self._centroids, vector_col=vector_col, id_col=idc
         )

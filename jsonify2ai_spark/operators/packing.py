@@ -374,7 +374,24 @@ def semantic_pack_groups(
     """
     if not 1 <= n_bits <= 16:
         raise ValueError(f"n_bits must be in [1, 16]: {n_bits}")
-    v = F.col(vector_col).cast("array<double>")
+    # plan-embedded dim guard: a mismatched dim would NULL-propagate
+    # through zip_with and silently collapse the whole corpus into one
+    # NULL group (one sequential pandas fold, zero semantic grouping)
+    v = (
+        F.when(
+            F.size(vector_col) == F.lit(int(dim)),
+            F.col(vector_col).cast("array<double>"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("semantic_pack_groups: embedding length "),
+                    F.size(vector_col).cast("string"),
+                    F.lit(f" != dim={int(dim)}"),
+                )
+            ).cast("array<double>")
+        )
+    )
     bucket = F.lit(0).cast("long")
     dot0 = None
     for i in range(n_bits):

@@ -516,6 +516,7 @@ class ShardedBM25Index(BM25Index):
             int(row["n"]),
             float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
             k1, b, id_col, attr_cols, n_buckets,
+            pruned=max_postings_per_term is not None,
         )
         return cls.load(spark, path)
 
@@ -544,6 +545,7 @@ class ShardedBM25Index(BM25Index):
         obj._segments = [
             s for s in (meta.get("segments") or "").split(",") if s
         ]
+        obj._pruned = bool(meta.get("pruned") or False)
         obj._posts = spark.read.parquet(f"{path}/{obj._postings_dir}")
         obj._seg_posts = [
             spark.read.parquet(f"{path}/postings_incr/{rid}")
@@ -583,6 +585,7 @@ class ShardedBM25Index(BM25Index):
         doclens_dir: str = "doclens",
         segments: tuple = (),
         n_deleted: int = 0,
+        pruned: bool = False,
     ) -> None:
         """The meta row is the index's COMMIT POINT: every structural
         mutation (append's new segment, compact's dir swap) becomes
@@ -604,12 +607,13 @@ class ShardedBM25Index(BM25Index):
                     doclens_dir,
                     ",".join(segments),
                     int(n_deleted),
+                    bool(pruned),
                 )
             ],
             "n_docs long, avgdl double, k1 double, b double, "
             "id_col string, attr_cols string, n_buckets int, "
             "postings_dir string, doclens_dir string, segments string, "
-            "n_deleted int",
+            "n_deleted int, pruned boolean",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     def save(self, path: str) -> None:
@@ -653,6 +657,7 @@ class ShardedBM25Index(BM25Index):
             spark, path, self._n_docs, self._avgdl, self._k1, self._b,
             self._id_col, self._attr_cols, self._n_buckets,
             segments=tuple(self._segments), n_deleted=n_deleted,
+            pruned=self._pruned,
         )
 
     def append(
@@ -694,7 +699,27 @@ class ShardedBM25Index(BM25Index):
                 "re-appending would double-count its documents; use a "
                 "fresh run_id (or compact() and re-ingest deliberately)"
             )
+        if self._pruned:
+            raise ValueError(
+                "append: this index was built with max_postings_per_term "
+                "(statically pruned) — its stored lists no longer carry "
+                "enough rows to recompute true df_t, so segment-mode "
+                "serving would score WRONG; rebuild (or compact an "
+                "unpruned base with max_postings_per_term=) instead"
+            )
         idc = self._id_col
+        # one agg: within-batch duplicate ids would double-count postings
+        # and doclens SILENTLY (the distinct below would hide them)
+        stats0 = new_docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(idc)).alias("d"),
+        ).first()
+        if int(stats0["n"]) != int(stats0["d"]):
+            raise ValueError(
+                f"append: increment carries {stats0['n'] - stats0['d']} "
+                "duplicate id row(s) — dedup upstream; every id must "
+                "appear exactly once"
+            )
         new_ids = new_docs.select(F.col(idc)).distinct()
         dup = self._doclens.join(F.broadcast(new_ids), idc, "left_semi").count()
         if dup:
@@ -773,6 +798,13 @@ class ShardedBM25Index(BM25Index):
         Physical erasure and the impact faces return at
         :meth:`compact` (stored impacts bake scalars, same reasoning as
         append). Deleting an unknown id is harmless; deletes merge."""
+        if self._pruned:
+            raise ValueError(
+                "delete: this index was built with max_postings_per_term "
+                "(statically pruned) — tombstone-mode serving recomputes "
+                "df_t from the stored (pruned) lists and would score "
+                "WRONG; rebuild without the documents instead"
+            )
         idc = self._id_col
         spark = self._spark
         ids = sorted({str(x) for x in doc_ids})
@@ -783,14 +815,23 @@ class ShardedBM25Index(BM25Index):
             if self._tombs is not None
             else []
         )
-        merged = sorted(set(prev) | set(ids))
-        fresh = set(merged) - set(prev)
-        # exact scalar update: only ids that EXIST (and are newly
-        # tombstoned) move n_docs/avgdl
-        hit = self._doclens.filter(
-            F.col(idc).cast("string").isin(sorted(fresh))
-        ).agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).first()
-        n_del, dl_del = int(hit["n"]), int(hit["s"] or 0)
+        asked = set(ids) - set(prev)
+        # only ids that EXIST tombstone (a never-ingested id would tax
+        # every lookup and block its future append for nothing); the
+        # probe is one filter over the narrow persisted doclens
+        exist_rows = (
+            self._doclens.filter(
+                F.col(idc).cast("string").isin(sorted(asked))
+            )
+            .select(F.col(idc).cast("string").alias("_i"), "dl")
+            .collect()
+        )
+        fresh = {r["_i"] for r in exist_rows}
+        merged = sorted(set(prev) | fresh)
+        if not fresh:
+            return self
+        n_del = len(exist_rows)
+        dl_del = sum(int(r["dl"]) for r in exist_rows)
         total = self._n_docs - n_del
         avgdl = (
             (self._avgdl * self._n_docs - dl_del) / total if total > 0 else 0.0
@@ -882,11 +923,15 @@ class ShardedBM25Index(BM25Index):
         ]
         if self._tombs is not None:
             old_dirs.append(f"{self._path}/tombstones")
-        # commit point: segments cleared, dir pointers swapped
+        # commit point: segments cleared, dir pointers swapped; a
+        # freshly-applied static cap marks the new base pruned (its
+        # lists can no longer recompute true df_t, so maintenance on it
+        # must rebuild — the same contract as a pruned build())
         self._write_meta(
             spark, self._path, self._n_docs, self._avgdl, self._k1,
             self._b, self._id_col, self._attr_cols, self._n_buckets,
             postings_dir=new_posts_rel, doclens_dir=new_dl_rel,
+            pruned=max_postings_per_term is not None,
         )
         for d in old_dirs:
             shutil.rmtree(d, ignore_errors=True)

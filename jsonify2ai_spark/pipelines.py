@@ -599,6 +599,7 @@ def corpus_to_token_shards(
             "budget": budget,
             "n_groups": n_groups,
             "assemble": assemble,
+            "id_col": id_col,
             "eos_id": eos_id,
             "pad_id": pad_id,
             "oov": oov,
@@ -1464,7 +1465,8 @@ def purge_shard_store(
         raise ValueError(
             f"purge_shard_store: pending tombstones use id_col="
             f"{ledger.get('id_col')!r}, this purge asked for {want_id!r} "
-            "— compact the store to apply the pending set first"
+            "— compact the store to apply the pending set first, or "
+            "clear_tombstones() to abandon a mis-keyed ledger"
         )
     ids = sorted(set(ledger.get("ids", [])) | {str(x) for x in purged_ids})
     manifest["tombstones"] = {"id_col": want_id, "ids": ids}
@@ -1474,6 +1476,26 @@ def purge_shard_store(
         "pending_purge_ids": len(ids),
         "physically_erased": False,
     }
+
+
+def clear_tombstones(out_dir: str) -> dict:
+    """Abandon a store's PENDING tombstone ledger without applying it —
+    the recovery path for a purge issued with the wrong ``id_col`` (the
+    loader fails fast on a key the rows don't carry, and compaction
+    refuses for the same reason, so a mis-keyed ledger would otherwise
+    wedge the store). Deliberately NOT part of the normal flow: a
+    correct pending purge should be erased by compaction, never
+    cleared."""
+    import json
+    import os
+
+    man_path = os.path.join(out_dir, "manifest.json")
+    with open(man_path, encoding="utf-8") as fh:
+        manifest = json.load(fh)
+    dropped = len((manifest.get("tombstones") or {}).get("ids", []))
+    manifest["tombstones"] = None
+    _write_json_atomic(man_path, manifest)
+    return {"out_dir": out_dir, "cleared_ids": dropped}
 
 
 def _apply_tombstones(df: DataFrame, manifest: dict) -> DataFrame:

@@ -439,3 +439,45 @@ def test_ivf_index_delete(spark, tmp_path):
     assert [tuple(r) for r in idx.topk(q, k=10, n_probe=3).collect()] == got
     raw = spark.read.parquet(os.path.join(path, idx._cells_dir))
     assert raw.filter(F.col("vec_id").isin(gone)).count() == 0
+
+
+def test_ivf_index_append_delete_guards_review_r13(spark, tmp_path):
+    """Review findings, pinned: within-batch duplicate ids raise; dim
+    drift anywhere in the increment raises (min/max, not first-row);
+    an empty increment is a no-op that commits no segment; deleting a
+    never-ingested id is a true no-op (no ledger, id still appendable)."""
+    import random
+
+    import pytest
+
+    from jsonify2ai_spark.operators.ann import IVFIndex
+
+    rng = random.Random(9)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(80)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = [list(map(float, v)) for _, v in vecs[:4]]
+    idx = IVFIndex.build(df, str(tmp_path / "ivf"), centroids=cents)
+
+    dup = spark.createDataFrame(
+        [(500, [0.1] * 16), (500, [0.2] * 16)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="duplicate id"):
+        idx.append(dup, "r1")
+    mixed = spark.createDataFrame(
+        [(501, [0.1] * 16), (502, [0.2] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="dim"):
+        idx.append(mixed, "r1")
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    same = idx.append(empty, "r1")
+    assert same is idx and idx._segments == []
+
+    same = idx.delete([777777])
+    assert same._tombs is None and same._segments == []
+    late = spark.createDataFrame(
+        [(777777, [0.3] * 16)], "vec_id long, embedding array<float>"
+    )
+    same.append(late, "late")  # not shadowed

@@ -3903,3 +3903,18 @@ def test_pack_sequences_order_col_semantic_adjacency(spark):
                        id_col="doc_id", group_col="pack_group")
     assert sorted((r["doc_id"], r["bin_idx"]) for r in a.collect()) == \
            sorted((r["doc_id"], r["bin_idx"]) for r in b.collect())
+
+
+def test_semantic_pack_groups_dim_mismatch_raises(spark):
+    """Review finding, pinned: a dim mismatch raises plan-embedded
+    instead of NULL-propagating every bucket into one sequential NULL
+    group."""
+    import pytest
+
+    from jsonify2ai_spark.operators.packing import semantic_pack_groups
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 32)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="embedding length 32 != dim=64"):
+        semantic_pack_groups(df, n_bits=2).collect()

@@ -2424,3 +2424,49 @@ def test_purge_dpo_store_by_pair_key(spark, tmp_path):
     assert man["tombstones"] is None
     raw = spark.read.parquet(os.path.join(out, man["shards_dir"]))
     assert raw.filter(F.col("prompt_id") == victim).count() == 0
+
+
+def test_clear_tombstones_recovers_miskeyed_purge(spark, tmp_path):
+    """Review finding, pinned: a purge ledgered under a key the rows do
+    not carry fails fast at read AND compaction (never silently), and
+    clear_tombstones() un-wedges the store; the token-store config now
+    records id_col so the default purge keys correctly for custom ids."""
+    import json
+    import os
+
+    import pytest
+
+    from jsonify2ai_spark.pipelines import (
+        clear_tombstones,
+        compact_token_shards,
+        corpus_to_token_shards,
+        purge_shard_store,
+        read_token_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 9}" for j in range(6))) for i in range(1, 15)],
+        "chunk_id long, text string",
+    )
+    out = str(tmp_path / "store")
+    corpus_to_token_shards(
+        docs, out, num_merges=4, budget=64, n_groups=2, assemble=False,
+        prep=None, id_col="chunk_id",
+    )
+    # config records the custom id -> default purge keys correctly
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["config"]["id_col"] == "chunk_id"
+    purge_shard_store(out, [3])
+    got = {r["chunk_id"] for r in read_token_shards(spark, out).collect()}
+    assert 3 not in got
+    compact_token_shards(spark, out)
+
+    # force a mis-keyed ledger (the pre-fix scenario) and recover
+    purge_shard_store(out, [5], id_col="doc_id")
+    with pytest.raises(ValueError, match="do not carry"):
+        read_token_shards(spark, out).collect()
+    with pytest.raises(ValueError, match="do not carry"):
+        compact_token_shards(spark, out)
+    res = clear_tombstones(out)
+    assert res["cleared_ids"] == 1
+    assert read_token_shards(spark, out).count() == 13

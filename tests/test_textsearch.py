@@ -1039,3 +1039,55 @@ def test_sharded_bm25_delete_exact_parity(spark, tmp_path):
     assert idx2._n_docs == 58
     for i in (idx2, ref):
         i.close()
+
+
+def test_sharded_bm25_maintenance_guards_review_r13(spark, tmp_path):
+    """Review findings, pinned: (1) a statically-pruned index refuses
+    append()/delete() — its stored lists cannot recompute true df_t, so
+    segment/tombstone serving would silently mis-score; (2)
+    compact(max_postings_per_term=) marks the NEW base pruned; (3) an
+    increment with within-batch duplicate ids raises instead of
+    double-counting; (4) deleting a never-ingested id is a TRUE no-op
+    (no tombstone ledger, no lookup tax, the id can still append)."""
+    import pytest
+
+    from jsonify2ai_spark.operators.textsearch import ShardedBM25Index
+
+    base, incr = _seg_corpora(spark)
+    pruned = ShardedBM25Index.build(
+        base, str(tmp_path / "pruned"), n_buckets=8, attr_cols=("kind",),
+        max_postings_per_term=5,
+    )
+    with pytest.raises(ValueError, match="statically pruned"):
+        pruned.append(incr, "r1")
+    with pytest.raises(ValueError, match="statically pruned"):
+        pruned.delete([0])
+    # the flag survives a reload
+    re = ShardedBM25Index.load(spark, str(tmp_path / "pruned"))
+    with pytest.raises(ValueError, match="statically pruned"):
+        re.delete([0])
+
+    idx = ShardedBM25Index.build(
+        base, str(tmp_path / "idx"), n_buckets=8, attr_cols=("kind",)
+    )
+    dup_batch = incr.unionByName(incr.limit(1))
+    with pytest.raises(ValueError, match="duplicate id"):
+        idx.append(dup_batch, "r1")
+
+    # unknown-id delete: no ledger, serving untouched, id appendable
+    same = idx.delete([999999])
+    assert same._tombs is None and same._n_docs == idx._n_docs
+    fresh = spark.createDataFrame(
+        [(999999, "alpha beta", "a")], "doc_id long, text string, kind string"
+    )
+    same.append(fresh, "late")  # would raise if 999999 were tombstoned
+
+    # compacting WITH a cap produces a pruned base that then refuses
+    # maintenance (df over full lists happened before the prune)
+    idx2 = ShardedBM25Index.load(spark, str(tmp_path / "idx"))
+    idx2 = idx2.append(incr, "r2").compact(max_postings_per_term=5)
+    assert idx2._pruned
+    with pytest.raises(ValueError, match="statically pruned"):
+        idx2.delete([0])
+    for i in (pruned, re, idx2):
+        i.close()
