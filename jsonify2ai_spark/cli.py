@@ -247,6 +247,28 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_purge(args) -> int:
+    """Right-to-be-forgotten over a SHARD STORE (r13): ledger the ids
+    as tombstones (logical at once for every loader), optionally run the
+    erasing compaction in the same invocation (--erase)."""
+    from jsonify2ai_spark.pipelines import (
+        compact_media_shards,
+        compact_token_shards,
+        purge_shard_store,
+    )
+
+    res = purge_shard_store(args.store, args.ids, id_col=args.id_col)
+    if args.erase:
+        spark = _spark("cli-purge")
+        compact = (
+            compact_media_shards if args.kind == "media" else compact_token_shards
+        )
+        out = compact(spark, args.store)
+        res = {**res, "physically_erased": True, "rows": out["rows"]}
+    _emit(res)
+    return 0
+
+
 def cmd_snapshot(args) -> int:
     from jsonify2ai_spark.sinks.tables import snapshot_table
 
@@ -339,6 +361,19 @@ def build_parser() -> argparse.ArgumentParser:
     table_arg(sp)
     sp.add_argument("--target-file-mb", type=int, default=128)
     sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser(
+        "purge", help="tombstone document ids in a shard store (GDPR delete)"
+    )
+    sp.add_argument("--store", required=True, help="shard store directory")
+    sp.add_argument("ids", nargs="+", help="document ids to purge")
+    sp.add_argument("--id-col", default=None, help="override the store's key column")
+    sp.add_argument("--kind", choices=["token", "media"], default="token")
+    sp.add_argument(
+        "--erase", action="store_true",
+        help="also run the erasing compaction now (physical deletion)",
+    )
+    sp.set_defaults(fn=cmd_purge)
 
     sp = sub.add_parser("snapshot", help="tar.gz the table + integrity manifest")
     table_arg(sp)

@@ -145,3 +145,35 @@ def test_bench_summary_line_bounded_and_parseable():
     assert s["n_queries"] == 150 and s["queries"]["q07"] is None
     d = json.loads(detail)
     assert set(d["queries"]) == set(timings)
+
+
+def test_cli_purge_lifecycle(spark, tmp_path, capsys):
+    """`purge` tombstones ids in a shard store (logical at once) and
+    `--erase` runs the erasing compaction in the same invocation."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.pipelines import corpus_to_token_shards, read_token_shards
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j % 9}" for j in range(6))) for i in range(1, 13)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "store")
+    corpus_to_token_shards(
+        docs, store, num_merges=4, budget=64, n_groups=2, assemble=False,
+        prep=None,
+    )
+    res = run_cli(capsys, ["purge", "--store", store, "4", "7"])
+    assert res["pending_purge_ids"] == 2 and not res["physically_erased"]
+    left = {r["doc_id"] for r in read_token_shards(spark, store).collect()}
+    assert not ({4, 7} & left)
+
+    res = run_cli(capsys, ["purge", "--store", store, "9", "--erase"])
+    assert res["physically_erased"] and res["rows"] == 9
+    import json as _json
+    import os
+
+    man = _json.load(open(os.path.join(store, "manifest.json")))
+    assert man["tombstones"] is None and man["purged_ids_applied"] == 3
+    raw = spark.read.parquet(os.path.join(store, man["shards_dir"]))
+    assert raw.filter(F.col("doc_id").isin([4, 7, 9])).count() == 0
