@@ -791,6 +791,7 @@ class IVFIndex:
         self, new_vectors: DataFrame, run_id: str,
         vector_col: str = "embedding",
         check_ids: bool = True,
+        replace: bool = False,
     ) -> "IVFIndex":
         """O(batch) maintenance: assign + quantize the increment under
         the frozen centroids, land it as ``cells_incr/<run_id>/`` (same
@@ -807,10 +808,13 @@ class IVFIndex:
         keeps no narrow id table), i.e. O(corpus) IO on one column:
         leave it on unless the ingest pipeline already guarantees
         id uniqueness and the scan cost matters at your scale."""
-        if str(run_id) in self._segments:
+        if str(run_id) in self._segments and not replace:
             raise ValueError(
                 f"append: segment {run_id!r} is already committed — "
-                "re-appending would duplicate its vectors"
+                "re-appending would duplicate its vectors (pass "
+                "replace=True for deliberate same-run re-ingest: the IVF "
+                "meta keeps NO corpus scalars, so overwriting a committed "
+                "segment is safe — the streaming redelivery contract)"
             )
         idc = self._id_col
         stats0 = new_vectors.agg(
@@ -834,8 +838,13 @@ class IVFIndex:
             )
         new_ids = new_vectors.select(F.col(idc)).distinct()
         if check_ids:
+            others = self._parts[0]
+            for rid, part in zip(self._segments, self._parts[1:]):
+                if replace and rid == str(run_id):
+                    continue  # the segment being overwritten doesn't count
+                others = others.unionByName(part)
             dup = (
-                self._index_df()
+                others
                 .select(idc)
                 .join(F.broadcast(new_ids), idc, "left_semi")
                 .count()
@@ -865,9 +874,12 @@ class IVFIndex:
             .partitionBy("cluster")
             .parquet(f"{self._path}/cells_incr/{run_id}")
         )
+        segments = tuple(self._segments)
+        if str(run_id) not in segments:
+            segments = segments + (str(run_id),)
         self._write_meta(
             self._spark, self._path, idc, self._dim, self._cells_dir,
-            tuple(self._segments) + (str(run_id),),
+            segments,
         )
         return type(self).load(self._spark, self._path)
 
@@ -922,4 +934,37 @@ class IVFIndex:
         )
         return ivf_health_report(
             deq, self._centroids, id_col=self._id_col
+        )
+
+
+class IVFStreamSink:
+    """foreachBatch target that keeps an :class:`IVFIndex` CURRENT as a
+    stream of embeddings arrives (r13) — the scale analog of the
+    reference watcher's continuous vector upsert loop
+    (worker/app/watcher -> qdrant_io upsert): each trigger's vectors
+    land as the segment ``b<batch_id>``, committed through the meta,
+    and queries on a freshly-loaded index see them immediately.
+    Redelivery-safe by construction: a replayed batch_id re-lands the
+    SAME segment (``append(replace=True)`` — the IVF meta keeps no
+    corpus scalars, so the overwrite is exactly idempotent), and the
+    duplicate-id guard checks the OTHER parts only. Run
+    :meth:`IVFIndex.compact` on the store's own cadence to fold the
+    per-trigger segments (small-files pressure — the StreamShardSink
+    auto-compaction lesson applies; here compaction is operator-driven
+    because the sink never holds the index open)."""
+
+    def __init__(
+        self, path: str, vector_col: str = "embedding",
+        check_ids: bool = True,
+    ) -> None:
+        self._path = path
+        self._vector_col = vector_col
+        self._check_ids = check_ids
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        idx = IVFIndex.load(batch_df.sparkSession, self._path)
+        idx.append(
+            batch_df, run_id=f"b{int(batch_id)}",
+            vector_col=self._vector_col, check_ids=self._check_ids,
+            replace=True,
         )

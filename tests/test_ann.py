@@ -481,3 +481,81 @@ def test_ivf_index_append_delete_guards_review_r13(spark, tmp_path):
         [(777777, [0.3] * 16)], "vec_id long, embedding array<float>"
     )
     same.append(late, "late")  # not shadowed
+
+
+def test_ivf_stream_sink_keeps_index_current(spark, tmp_path):
+    """IVFStreamSink (the watcher's continuous vector-upsert loop at
+    store scale): triggers land as b<batch_id> segments, a freshly
+    loaded index sees them at once and matches a batch build of
+    everything so far; a REDELIVERED batch_id overwrites its own
+    segment (exactly idempotent — no scalars, same content); compact
+    folds the per-trigger segments."""
+    import json
+    import random
+
+    from jsonify2ai_spark.operators.ann import IVFIndex, IVFStreamSink
+
+    rng = random.Random(13)
+    vecs = [(i, [round(rng.uniform(-1, 1), 4) for _ in range(8)]) for i in range(60)]
+    cents = [list(map(float, v)) for _, v in vecs[:4]]
+    q = [float(x) for x in vecs[3][1]]
+    path = str(tmp_path / "ivf")
+    base = spark.createDataFrame(vecs[:20], "vec_id long, embedding array<float>")
+    IVFIndex.build(base, path, centroids=cents)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>"
+
+    def write_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"vec_id": i, "embedding": v}) for i, v in rows)
+        )
+
+    write_batch("b1.json", vecs[20:40])
+    sink = IVFStreamSink(path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        idx = IVFIndex.load(spark, path)
+        ref = IVFIndex.build(
+            spark.createDataFrame(vecs[:40], "vec_id long, embedding array<float>"),
+            str(tmp_path / "ref40"), centroids=cents,
+        )
+        got = [tuple(r) for r in idx.topk(q, k=8, n_probe=2).collect()]
+        assert got == [tuple(r) for r in ref.topk(q, k=8, n_probe=2).collect()]
+
+        write_batch("b2.json", vecs[40:60])
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    idx = IVFIndex.load(spark, path)
+    ref_all = IVFIndex.build(
+        spark.createDataFrame(vecs, "vec_id long, embedding array<float>"),
+        str(tmp_path / "refall"), centroids=cents,
+    )
+    want = [tuple(r) for r in ref_all.topk(q, k=8, n_probe=2).collect()]
+    assert [tuple(r) for r in idx.topk(q, k=8, n_probe=2).collect()] == want
+
+    # redelivery: re-invoke the sink with an already-committed batch_id
+    # and the same content — the segment overwrites, nothing duplicates
+    seg_before = sorted(idx._segments)
+    replay = spark.createDataFrame(vecs[20:40], "vec_id long, embedding array<float>")
+    sink(replay, 0)
+    idx2 = IVFIndex.load(spark, path)
+    assert sorted(idx2._segments) == seg_before
+    assert [tuple(r) for r in idx2.topk(q, k=8, n_probe=2).collect()] == want
+
+    idx3 = idx2.compact()
+    assert idx3._segments == []
+    assert [tuple(r) for r in idx3.topk(q, k=8, n_probe=2).collect()] == want
