@@ -673,15 +673,21 @@ class IVFIndex:
 
     @staticmethod
     def _write_meta(
-        spark, path, id_col, dim, cells_dir, segments, n_deleted=0
+        spark, path, id_col, dim, cells_dir, segments, n_deleted=0,
+        centroids_dir="centroids",
     ) -> None:
         """The one-row commit point (the ShardedBM25Index convention):
         segment visibility, dir swaps, and delete-tombstone visibility
         happen HERE or not at all."""
         spark.createDataFrame(
-            [(id_col, int(dim), cells_dir, ",".join(segments), int(n_deleted))],
+            [
+                (
+                    id_col, int(dim), cells_dir, ",".join(segments),
+                    int(n_deleted), centroids_dir,
+                )
+            ],
             "id_col string, dim int, cells_dir string, segments string, "
-            "n_deleted int",
+            "n_deleted int, centroids_dir string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
@@ -696,8 +702,9 @@ class IVFIndex:
         obj._segments = [
             s for s in (meta.get("segments") or "").split(",") if s
         ]
+        obj._centroids_dir = meta.get("centroids_dir") or "centroids"
         crows = (
-            spark.read.parquet(f"{path}/centroids")
+            spark.read.parquet(f"{path}/{obj._centroids_dir}")
             .orderBy("cluster")
             .collect()
         )
@@ -764,6 +771,7 @@ class IVFIndex:
         self._write_meta(
             self._spark, self._path, self._id_col, self._dim,
             self._cells_dir, tuple(self._segments), n_deleted=len(merged),
+            centroids_dir=self._centroids_dir,
         )
         return type(self).load(self._spark, self._path)
 
@@ -837,6 +845,20 @@ class IVFIndex:
                 f"!= index dim {self._dim}"
             )
         new_ids = new_vectors.select(F.col(idc)).distinct()
+        # the tombstone check runs FIRST: a tombstoned id would also trip
+        # the existence probe below, but "compact() first, then re-ingest"
+        # is the actionable message for that case
+        if self._tombs is not None:
+            shadowed = new_ids.join(
+                F.broadcast(self._tombs),
+                new_ids[idc].cast("string") == F.col("_id"),
+                "left_semi",
+            ).count()
+            if shadowed:
+                raise ValueError(
+                    f"append: {shadowed} incoming id(s) are tombstoned by "
+                    "a pending delete — compact() first, then re-ingest"
+                )
         if check_ids:
             others = self._parts[0]
             for rid, part in zip(self._segments, self._parts[1:]):
@@ -853,17 +875,6 @@ class IVFIndex:
                 raise ValueError(
                     f"append: {dup} incoming id(s) already exist in the index"
                 )
-        if self._tombs is not None:
-            shadowed = new_ids.join(
-                F.broadcast(self._tombs),
-                new_ids[idc].cast("string") == F.col("_id"),
-                "left_semi",
-            ).count()
-            if shadowed:
-                raise ValueError(
-                    f"append: {shadowed} incoming id(s) are tombstoned by "
-                    "a pending delete — compact() first, then re-ingest"
-                )
         seg = build_quantized_ivf(
             new_vectors, self._centroids, vector_col=vector_col, id_col=idc
         )
@@ -879,7 +890,7 @@ class IVFIndex:
             segments = segments + (str(run_id),)
         self._write_meta(
             self._spark, self._path, idc, self._dim, self._cells_dir,
-            segments,
+            segments, centroids_dir=self._centroids_dir,
         )
         return type(self).load(self._spark, self._path)
 
@@ -913,28 +924,91 @@ class IVFIndex:
         if self._tombs is not None:
             old.append(f"{self._path}/tombstones")
         self._write_meta(
-            self._spark, self._path, self._id_col, self._dim, new_rel, ()
+            self._spark, self._path, self._id_col, self._dim, new_rel, (),
+            centroids_dir=self._centroids_dir,
         )
         for d in old:
             shutil.rmtree(d, ignore_errors=True)
         return type(self).load(self._spark, self._path)
 
-    def health(self) -> DataFrame:
-        """:func:`ivf_health_report` over the DEQUANTIZED codes (qvec *
-        scale / 127) — cohesion/skew read through the int8 error, which
-        is the resolution the index actually serves at; the raw-corpus
-        report + :func:`refresh_quantizer` remain the retraining
-        decision's exact instruments."""
-        deq = self._index_df().select(
+    def _dequantized(self) -> DataFrame:
+        """(id, embedding) reconstructed as qvec * scale / 127 — the
+        resolution the index actually serves at; shared by
+        :meth:`health` and :meth:`refresh`."""
+        return self._index_df().select(
             self._id_col,
             F.transform(
                 F.col("qvec"),
                 lambda x: x.cast("double") * F.col("scale") / F.lit(127.0),
             ).alias("embedding"),
         )
+
+    def health(self) -> DataFrame:
+        """:func:`ivf_health_report` over the DEQUANTIZED codes —
+        cohesion/skew read through the int8 error, which is the
+        resolution the index actually serves at; the raw-corpus report
+        + :func:`refresh_quantizer` remain the retraining decision's
+        exact instruments."""
         return ivf_health_report(
-            deq, self._centroids, id_col=self._id_col
+            self._dequantized(), self._centroids, id_col=self._id_col
         )
+
+    def refresh(
+        self, k: int | None = None, seed: int = 7, max_iter: int = 10
+    ) -> "IVFIndex":
+        """Retrain the coarse quantizer FROM THE STORE'S OWN CODES and
+        rebuild the layout (r13) — the action :meth:`health`'s skew/
+        cohesion breach calls for, without requiring the raw corpus to
+        still exist: k-means over the dequantized vectors, reassignment
+        + re-quantization, stage-and-swap of ``cells_v<k>`` AND
+        ``centroids_v<k>`` through the meta commit (segments and
+        tombstones fold in the same pass). Honesty note: the rebuilt
+        codes re-quantize from DEQUANTIZED values, compounding at most
+        one extra half-step of int8 error per element per refresh — fine
+        for the coarse-quantizer maintenance this is for, but refresh
+        from the raw vectors (rebuild) when serving precision is the
+        concern. MLlib KMeans is seeded — same store, same layout."""
+        spark = self._spark
+        import shutil
+
+        deq = self._dequantized().localCheckpoint(eager=False)
+        cents = kmeans_centroids(
+            deq, k=k or len(self._centroids), seed=seed, max_iter=max_iter
+        )
+        index = build_quantized_ivf(deq, cents, id_col=self._id_col)
+
+        def _bump(rel: str, stem: str) -> str:
+            v = int(rel.rsplit("_v", 1)[1]) + 1 if "_v" in rel else 1
+            return f"{stem}_v{v}"
+
+        new_cells = _bump(self._cells_dir, "cells")
+        new_cents = _bump(self._centroids_dir, "centroids")
+        (
+            index.repartition(F.col("cluster"))
+            .sortWithinPartitions(self._id_col)
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{self._path}/{new_cells}")
+        )
+        spark.createDataFrame(
+            [(i, list(map(float, c))) for i, c in enumerate(cents)],
+            "cluster int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{self._path}/{new_cents}"
+        )
+        old = [
+            f"{self._path}/{self._cells_dir}",
+            f"{self._path}/{self._centroids_dir}",
+        ] + [f"{self._path}/cells_incr/{rid}" for rid in self._segments]
+        if self._tombs is not None:
+            old.append(f"{self._path}/tombstones")
+        self._write_meta(
+            spark, self._path, self._id_col, self._dim, new_cells, (),
+            centroids_dir=new_cents,
+        )
+        for d in old:
+            shutil.rmtree(d, ignore_errors=True)
+        return type(self).load(spark, self._path)
 
 
 class IVFStreamSink:

@@ -559,3 +559,47 @@ def test_ivf_stream_sink_keeps_index_current(spark, tmp_path):
     idx3 = idx2.compact()
     assert idx3._segments == []
     assert [tuple(r) for r in idx3.topk(q, k=8, n_probe=2).collect()] == want
+
+
+def test_ivf_index_refresh_from_codes(spark, tmp_path):
+    """refresh() retrains the coarse quantizer from the store's OWN
+    dequantized codes: a deliberately-skewed layout (all-equal
+    centroids -> every vector in one cell) rebalances, segments and
+    tombstones fold in the same pass, the dirs stage-and-swap through
+    the meta, and serving still finds the true nearest neighbors."""
+    import os
+    import random
+
+    from jsonify2ai_spark.operators.ann import IVFIndex
+
+    rng = random.Random(21)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(12)]) for i in range(120)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    # degenerate quantizer: 4 identical centroids -> cell 0 gets everything
+    bad = [[1.0] + [0.0] * 11] * 4
+    path = str(tmp_path / "ivf")
+    idx = IVFIndex.build(
+        df.filter(F.col("vec_id") < 100), path, centroids=bad
+    ).append(df.filter(F.col("vec_id") >= 100), "r1").delete([5])
+
+    h0 = {r["cluster"]: r["n"] for r in idx.health().collect()}
+    assert max(h0.values()) == 119  # everything in one cell
+
+    idx = idx.refresh(k=4)
+    assert os.path.isdir(os.path.join(path, "cells_v1"))
+    assert os.path.isdir(os.path.join(path, "centroids_v1"))
+    assert not os.path.isdir(os.path.join(path, "centroids"))
+    assert idx._segments == [] and idx._tombs is None
+
+    h1 = {r["cluster"]: r["n"] for r in idx.health().collect()}
+    assert sum(h1.values()) == 119  # tombstone folded, segment folded
+    assert max(h1.values()) < 119  # rebalanced
+
+    # serving quality: top-1 for a member vector is itself
+    q = [float(x) for x in vecs[42][1]]
+    top = idx.topk(q, k=1, n_probe=2).collect()[0]
+    assert top["vec_id"] == 42
+    # the deleted id stays gone
+    q5 = [float(x) for x in vecs[5][1]]
+    got = {r["vec_id"] for r in idx.topk(q5, k=5, n_probe=4).collect()}
+    assert 5 not in got
