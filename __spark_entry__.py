@@ -2494,6 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_memorization_probe": q135_memorization_probe,  # NEW r13: verbatim-overlap audit
         "q136_ivf_store": q136_ivf_store,  # NEW r13: IVF store lifecycle (build+append+serve)
         "q137_bm25_delete": q137_bm25_delete,  # NEW r13: exact index deletes (K4 on the lexical store)
+        "q138_doremi_weights": q138_doremi_weights,  # NEW r13: DoReMi domain reweighting (unigram proxy)
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -3541,6 +3542,23 @@ def q136_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def q138_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting with unigram proxies
+    (operators/sampling.py doremi_mixture_weights, NEW r13 — Xie et al.
+    2023): each source domain's excess log-likelihood (its OWN unigram
+    model vs the q108 reference model trained on the doc_id%5==0 slice)
+    sets its mixture weight ∝ token_share · exp(excess/τ). The oracle
+    replays the (domain, word) counts, both Laplace models, the 4dp/6dp
+    rounding points, and the normalization — pinning the whole
+    weight-assignment arithmetic per domain."""
+    from jsonify2ai_spark.operators.sampling import doremi_mixture_weights
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    ref = docs.filter(F.col("doc_id") % 5 == 0)
+    return doremi_mixture_weights(docs, ref, domain_col="source")
 
 
 def _dd_prep_report_sql(
@@ -6404,6 +6422,50 @@ def oracle_sql() -> dict[str, str]:
                          / sum(dw.dc))), 4) AS ppl
             FROM dw LEFT JOIN vocab USING (w) CROSS JOIN totals
             GROUP BY dw.doc_id
+        """,
+        # q138 twin: (domain, word) counts -> per-domain own Laplace model
+        # vs the q108 reference model; excess rounds 4dp and shares 6dp
+        # BEFORE the exponential, weights normalize over the domain frame
+        "q138_doremi_weights": f"""
+            WITH words AS (
+              SELECT source AS d, unnest({_DD_TOKENS.format(t="text")}) AS w
+              FROM documents
+            ), cdw AS (
+              SELECT d, w, count(*) AS c FROM words GROUP BY 1, 2
+            ), dstats AS (
+              SELECT d, CAST(sum(c) AS DOUBLE) AS n,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM cdw GROUP BY d
+            ), refc AS (
+              SELECT w, count(*) AS rc
+              FROM (SELECT unnest({_DD_TOKENS.format(t="text")}) AS w
+                    FROM documents WHERE doc_id % 5 = 0)
+              GROUP BY w
+            ), reft AS (
+              SELECT CAST(sum(rc) AS DOUBLE) AS rn,
+                     CAST(count(*) AS DOUBLE) AS rv
+              FROM refc
+            ), per_dom AS (
+              SELECT cdw.d, any_value(s.n) AS n,
+                     sum(cdw.c * ln((cdw.c + 1.0) / (s.n + 1.0 * s.v)))
+                         / any_value(s.n) AS own,
+                     sum(cdw.c * ln((coalesce(refc.rc, 0) + 1.0)
+                                    / (reft.rn + 1.0 * reft.rv)))
+                         / any_value(s.n) AS ref
+              FROM cdw JOIN dstats s USING (d)
+              LEFT JOIN refc USING (w) CROSS JOIN reft
+              GROUP BY cdw.d
+            ), based AS (
+              SELECT d AS source, CAST(n AS BIGINT) AS n_tokens,
+                     round(n / sum(n) OVER (), 6) AS token_share,
+                     round(own - ref, 4) AS excess_logprob
+              FROM per_dom
+            )
+            SELECT source, n_tokens, token_share, excess_logprob,
+                   round(token_share * exp(excess_logprob / 1.0)
+                         / sum(token_share * exp(excess_logprob / 1.0))
+                               OVER (), 6) AS weight
+            FROM based
         """,
         # q134 twin: q108's reference-ppl CTE, then the CCNet band split
         # — cumulative mass over the DISTINCT 4dp-ppl frame, cut_k =

@@ -661,3 +661,101 @@ def calibrate_dsir_cutoff(
         .collect()[0]
     )
     return float(row[0])
+
+
+def doremi_mixture_weights(
+    df: DataFrame,
+    reference: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    temperature: float = 1.0,
+    alpha: float = 1.0,
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Domain reweighting from proxy-model excess log-likelihood — the
+    DoReMi recipe (Xie et al. 2023, "Doremi: Optimizing Data Mixtures")
+    with UNIGRAM proxies standing in for the trained proxy/reference
+    LMs (the same substitution unigram_logprob makes for the CCNet
+    KenLM): a domain whose OWN model explains its text much better than
+    the generic reference model does carries domain-specific signal the
+    reference lacks — DoReMi's "excess loss" — and gets up-weighted;
+    a domain the reference already explains adds little and shrinks.
+
+    Per domain ``d``: ``excess_d = mean own-model token logprob − mean
+    reference-model token logprob`` (both Laplace-``alpha`` smoothed;
+    the own model is fit per domain IN ONE PASS via (domain, word)
+    counts — never K separate fits), then
+    ``weight_d ∝ token_share_d · exp(excess_d / temperature)``,
+    normalized to sum 1. ``temperature`` plays DoReMi's step-size role:
+    large τ stays near the corpus proportions, small τ chases excess.
+    Output: (domain, n_tokens, token_share, excess_logprob, weight) —
+    feed ``weight`` to :func:`weighted_interleave` /
+    :func:`read_token_shards_mixture` as the domain blend.
+
+    Shapes: one (domain, word) rollup + one vocabulary join against the
+    reference counts (AQE broadcasts it when small) + two domain-sized
+    windows. All intermediates round (4dp logprobs, 6dp shares) BEFORE
+    the exponential so the DuckDB twin reproduces the weights exactly
+    (driver gate row q138).
+    """
+    from jsonify2ai_spark.functions.text import tokens
+
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0: {temperature}")
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(domain_col).alias("_d"),
+        F.explode(tokens(F.col(text_col))).alias("_w"),
+    )
+    cdw = words.groupBy("_d", "_w").agg(F.count(F.lit(1)).alias("_c"))
+    dstats = cdw.groupBy("_d").agg(
+        F.sum("_c").cast("double").alias("_n"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    refc = (
+        reference.select(
+            F.explode(tokens(F.col(ref_text_col or text_col))).alias("_w")
+        )
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_rc"))
+    )
+    reft = refc.agg(
+        F.sum("_rc").cast("double").alias("_rn"),
+        F.count(F.lit(1)).cast("double").alias("_rv"),
+    )
+    a = F.lit(float(alpha))
+    scored = (
+        cdw.join(dstats, "_d")
+        .join(refc, "_w", "left")
+        .crossJoin(F.broadcast(reft))
+    )
+    own_lp = F.log((F.col("_c") + a) / (F.col("_n") + a * F.col("_v")))
+    ref_lp = F.log(
+        (F.coalesce(F.col("_rc"), F.lit(0)) + a)
+        / (F.col("_rn") + a * F.col("_rv"))
+    )
+    per_dom = scored.groupBy("_d").agg(
+        F.first("_n").alias("_n"),
+        (F.sum(F.col("_c") * own_lp) / F.first("_n")).alias("_own"),
+        (F.sum(F.col("_c") * ref_lp) / F.first("_n")).alias("_ref"),
+    )
+    wall = Window.partitionBy()
+    excess = F.round(F.col("_own") - F.col("_ref"), 4)
+    share = F.round(F.col("_n") / F.sum("_n").over(wall), 6)
+    based = per_dom.select(
+        F.col("_d").alias(domain_col),
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        share.alias("token_share"),
+        excess.alias("excess_logprob"),
+    )
+    raw = F.col("token_share") * F.exp(
+        F.col("excess_logprob") / F.lit(float(temperature))
+    )
+    return based.select(
+        domain_col,
+        "n_tokens",
+        "token_share",
+        "excess_logprob",
+        F.round(raw / F.sum(raw).over(wall), 6).alias("weight"),
+    )

@@ -3918,3 +3918,45 @@ def test_semantic_pack_groups_dim_mismatch_raises(spark):
     )
     with pytest.raises(Exception, match="embedding length 32 != dim=64"):
         semantic_pack_groups(df, n_bits=2).collect()
+
+
+def test_doremi_mixture_weights(spark):
+    """DoReMi with unigram proxies: a domain carrying vocabulary the
+    reference lacks (high excess log-likelihood) up-weights past its
+    token share; a reference-like domain shrinks; weights sum to 1;
+    a huge temperature collapses to corpus proportions; τ<=0 raises."""
+    import pytest
+
+    from jsonify2ai_spark.operators.sampling import doremi_mixture_weights
+
+    common = "the quick brown fox jumps over a lazy dog daily".split()
+    rows = []
+    for i in range(20):  # reference-like domain: pure common vocabulary
+        rows.append((i, "web", " ".join(common[(i + j) % 10] for j in range(10))))
+    for i in range(20, 40):  # specialized domain: FREQUENT in-domain jargon
+        # (repeated across the domain's docs — a unigram proxy reads
+        # singletons as surprising under the domain's OWN model too)
+        rows.append((i, "code", " ".join(f"fn{j}" for j in range(8)) + " the a"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    ref = docs.filter(F.col("source") == "web").limit(10)
+
+    out = {r["source"]: r.asDict() for r in
+           doremi_mixture_weights(docs, ref, domain_col="source").collect()}
+    assert set(out) == {"web", "code"}
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-4
+    assert out["code"]["excess_logprob"] > out["web"]["excess_logprob"]
+    assert out["code"]["weight"] > out["code"]["token_share"]  # upweighted
+    assert out["web"]["weight"] < out["web"]["token_share"]
+
+    # τ -> ∞ forgets excess: weights == token shares
+    flat = {r["source"]: r for r in doremi_mixture_weights(
+        docs, ref, domain_col="source", temperature=1e9).collect()}
+    for s in flat:
+        assert abs(flat[s]["weight"] - flat[s]["token_share"]) < 1e-3
+
+    again = {r["source"]: r.asDict() for r in doremi_mixture_weights(
+        docs.repartition(7), ref, domain_col="source").collect()}
+    assert again == out
+
+    with pytest.raises(ValueError, match="temperature"):
+        doremi_mixture_weights(docs, ref, temperature=0)
