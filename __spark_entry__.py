@@ -2495,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_ivf_store": q136_ivf_store,  # NEW r13: IVF store lifecycle (build+append+serve)
         "q137_bm25_delete": q137_bm25_delete,  # NEW r13: exact index deletes (K4 on the lexical store)
         "q138_doremi_weights": q138_doremi_weights,  # NEW r13: DoReMi domain reweighting (unigram proxy)
+        "q139_corpus_diff": q139_corpus_diff,  # NEW r13: snapshot lineage (added/removed/changed)
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -3559,6 +3560,30 @@ def q138_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
     ref = docs.filter(F.col("doc_id") % 5 == 0)
     return doremi_mixture_weights(docs, ref, domain_col="source")
+
+
+def q139_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot lineage between two corpus versions
+    (operators/lineage.py corpus_diff, NEW r13): old = docs with
+    doc_id%7 != 3, new = docs with doc_id%7 != 5 where every %11==0 doc
+    gained a ' [rev2]' suffix — so added/removed/changed/unchanged are
+    all exercised. The diff is one id-keyed full-outer join over
+    map-side content fingerprints (the q15 md5-of-normalized-text);
+    whitespace-only churn reads as unchanged by construction. Reference
+    analog: the watcher's re-ingest/delete reconciliation loop
+    (worker/app/watcher.py, services/qdrant_io.py delete) — this is its
+    audit face between published snapshots."""
+    from jsonify2ai_spark.operators.lineage import corpus_diff
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    old = docs.filter(F.col("doc_id") % 7 != 3)
+    new = docs.filter(F.col("doc_id") % 7 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    return corpus_diff(old, new)
 
 
 def _dd_prep_report_sql(
@@ -6466,6 +6491,29 @@ def oracle_sql() -> dict[str, str]:
                          / sum(token_share * exp(excess_logprob / 1.0))
                                OVER (), 6) AS weight
             FROM based
+        """,
+        # q139 twin: both snapshots' q15 fingerprints, full-outer join on
+        # the id, status by presence + fingerprint inequality
+        "q139_corpus_diff": r"""
+            WITH oldv AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS f
+              FROM documents WHERE doc_id % 7 <> 3
+            ), newv AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(
+                       CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+                            ELSE text END, '\s+', ' ', 'g'))) AS f
+              FROM documents WHERE doc_id % 7 <> 5
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   o.f AS old_fingerprint,
+                   n.f AS new_fingerprint,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.f <> n.f THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
         """,
         # q134 twin: q108's reference-ppl CTE, then the CCNet band split
         # — cumulative mass over the DISTINCT 4dp-ppl frame, cut_k =

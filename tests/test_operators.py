@@ -3960,3 +3960,44 @@ def test_doremi_mixture_weights(spark):
 
     with pytest.raises(ValueError, match="temperature"):
         doremi_mixture_weights(docs, ref, temperature=0)
+
+
+# ---------------------------------------------------------------------------
+# corpus_diff (snapshot lineage)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_diff_statuses(spark):
+    from jsonify2ai_spark.operators.lineage import corpus_diff, corpus_diff_summary
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "kept  as-is"), (4, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta CHANGED"),
+            (2, "gamma   delta"),  # whitespace-only reflow -> unchanged
+            (3, "kept as-is"),
+            (5, "brand new"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in corpus_diff(old, new).collect()}
+    assert out[1]["status"] == "changed"
+    assert out[2]["status"] == "unchanged"  # fingerprint normalizes ws
+    assert out[3]["status"] == "unchanged"
+    assert out[4]["status"] == "removed" and out[4]["new_fingerprint"] is None
+    assert out[5]["status"] == "added" and out[5]["old_fingerprint"] is None
+    assert len(out) == 5
+
+    summary = {r["status"]: r["n_docs"] for r in
+               corpus_diff_summary(old, new).collect()}
+    assert summary == {
+        "added": 1, "removed": 1, "changed": 1, "unchanged": 2, "total": 5,
+    }
+
+    # determinism under repartition — join is keyed, statuses stable
+    again = {r["doc_id"]: r.asDict() for r in
+             corpus_diff(old.repartition(5), new.repartition(3)).collect()}
+    assert again == out
