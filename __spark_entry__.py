@@ -2496,6 +2496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q137_bm25_delete": q137_bm25_delete,  # NEW r13: exact index deletes (K4 on the lexical store)
         "q138_doremi_weights": q138_doremi_weights,  # NEW r13: DoReMi domain reweighting (unigram proxy)
         "q139_corpus_diff": q139_corpus_diff,  # NEW r13: snapshot lineage (added/removed/changed)
+        "q140_excess_loss": q140_excess_loss,  # NEW r13: RHO-style excess-loss selection
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -3584,6 +3585,26 @@ def q139_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return corpus_diff(old, new)
+
+
+def q140_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-1-style excess-loss selection (operators/sampling.py
+    excess_loss_select, NEW r13 — Lin et al. 2024): per-document
+    excess = logprob under a target-domain reference (doc_id%3==1
+    slice) minus logprob under a general reference (doc_id%5==0 slice),
+    both Laplace unigram proxies; keep the top 40% with a derived
+    cutoff (distinct-4dp-excess CDF, ties keep). Oracle replays both
+    models, the 4dp rounding point, and the descending-CDF floor cutoff
+    — pinning score AND selection arithmetic."""
+    from jsonify2ai_spark.operators.sampling import excess_loss_select
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return excess_loss_select(
+        docs,
+        target_ref=docs.filter(F.col("doc_id") % 3 == 1),
+        general_ref=docs.filter(F.col("doc_id") % 5 == 0),
+        keep_frac=0.4,
+    )
 
 
 def _dd_prep_report_sql(
@@ -6514,6 +6535,61 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o.f <> n.f THEN 'changed'
                         ELSE 'unchanged' END AS status
             FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+        """,
+        # q140 twin: one (doc, word) rollup joined to BOTH Laplace
+        # models; excess rounds 4dp, then the descending distinct-value
+        # CDF floor cutoff at keep_frac=0.4 (ties keep)
+        "q140_excess_loss": f"""
+            WITH words AS (
+              SELECT doc_id, unnest({_DD_TOKENS.format(t="text")}) AS w
+              FROM documents
+            ), dw AS (
+              SELECT doc_id, w, count(*) AS dc FROM words GROUP BY 1, 2
+            ), tvoc AS (
+              SELECT w, count(*) AS tc
+              FROM (SELECT unnest({_DD_TOKENS.format(t="text")}) AS w
+                    FROM documents WHERE doc_id % 3 = 1)
+              GROUP BY w
+            ), gvoc AS (
+              SELECT w, count(*) AS gc
+              FROM (SELECT unnest({_DD_TOKENS.format(t="text")}) AS w
+                    FROM documents WHERE doc_id % 5 = 0)
+              GROUP BY w
+            ), tt AS (
+              SELECT CAST(sum(tc) AS DOUBLE) AS tn,
+                     CAST(count(*) AS DOUBLE) AS tvv
+              FROM tvoc
+            ), gt AS (
+              SELECT CAST(sum(gc) AS DOUBLE) AS gn,
+                     CAST(count(*) AS DOUBLE) AS gvv
+              FROM gvoc
+            ), per_doc AS (
+              SELECT dw.doc_id,
+                     CAST(sum(dw.dc) AS BIGINT) AS n_tokens,
+                     round(sum(dw.dc * ln((coalesce(tvoc.tc, 0) + 1.0)
+                                          / (tt.tn + 1.0 * tt.tvv)))
+                               / sum(dw.dc)
+                         - sum(dw.dc * ln((coalesce(gvoc.gc, 0) + 1.0)
+                                          / (gt.gn + 1.0 * gt.gvv)))
+                               / sum(dw.dc), 4) AS excess_logprob
+              FROM dw LEFT JOIN tvoc USING (w) LEFT JOIN gvoc USING (w)
+              CROSS JOIN tt CROSS JOIN gt
+              GROUP BY dw.doc_id
+            ), dist AS (
+              SELECT excess_logprob, count(*) AS cnt FROM per_doc GROUP BY 1
+            ), cum AS (
+              SELECT excess_logprob,
+                     CAST(sum(cnt) OVER (ORDER BY excess_logprob DESC
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       / sum(cnt) OVER () AS cdf
+              FROM dist
+            ), cuts AS (
+              SELECT max(CASE WHEN cdf >= 0.4 THEN excess_logprob END) AS cut
+              FROM cum
+            )
+            SELECT p.doc_id, p.n_tokens, p.excess_logprob,
+                   p.excess_logprob >= cuts.cut AS selected
+            FROM per_doc p CROSS JOIN cuts
         """,
         # q134 twin: q108's reference-ppl CTE, then the CCNet band split
         # — cumulative mass over the DISTINCT 4dp-ppl frame, cut_k =

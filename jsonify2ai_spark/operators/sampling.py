@@ -759,3 +759,123 @@ def doremi_mixture_weights(
         "excess_logprob",
         F.round(raw / F.sum(raw).over(wall), 6).alias("weight"),
     )
+
+
+def excess_loss_select(
+    df: DataFrame,
+    target_ref: DataFrame,
+    general_ref: DataFrame,
+    keep_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """RHO-1-style excess-loss data selection at document granularity
+    (Lin et al. 2024 "Selective Language Modeling"; the DoGE/DoReMi
+    excess-likelihood signal applied per DOCUMENT instead of per domain):
+    score every document by how much better a TARGET-domain reference
+    model explains it than a GENERAL reference model does —
+    ``excess = logprob_target - logprob_general`` per token — and keep
+    the top ``keep_frac`` mass, the slice most distinctive of the target
+    distribution relative to what any corpus already covers. Both
+    references are Laplace-smoothed unigram proxies (the q108/q138
+    stand-in for trained proxy LMs; swap in real per-token losses by
+    replacing the two logprob columns).
+
+    Output: ``(id, n_tokens, excess_logprob, selected)``; ``selected``
+    keeps at LEAST ``keep_frac`` of the documents (ties at the cutoff
+    share a side — the calibrate_dsir_cutoff floor convention), and the
+    cutoff derives from the data, never hand-set.
+
+    ONE scan of the corpus: a single (doc, word) rollup joins BOTH
+    vocabularies (left joins — absent words are count-0 events under
+    each model's own N/V, exactly unigram_logprob's fixed-vocabulary
+    treatment), so the corpus is tokenized once, not once per model.
+    Each reference is one count rollup, reference-sized. The cutoff is
+    the ppl_buckets CDF idiom: cumulative doc counts over the DISTINCT
+    4dp-excess frame — one |distinct excess|-sized window, never a
+    global row sort. At 100 TB the vocab joins are plain shuffle joins
+    AQE broadcasts when small; nothing driver-side but two scalar rows.
+    """
+    from pyspark.sql import Window
+
+    from jsonify2ai_spark.functions.text import tokens
+
+    if not (0.0 < keep_frac <= 1.0):
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+
+    def _c(x):
+        return F.col(x) if isinstance(x, str) else x
+
+    def _vocab(ref: DataFrame, cname: str) -> DataFrame:
+        return (
+            ref.select(
+                F.explode(tokens(_c(ref_text_col or text_col))).alias("w")
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    dw = (
+        df.select(F.col(id_col), F.explode(tokens(_c(text_col))).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("dc"))
+    )
+    tv = _vocab(target_ref, "tc")
+    gv = _vocab(general_ref, "gc")
+    totals = (
+        tv.agg(
+            F.sum("tc").cast("double").alias("tN"),
+            F.count(F.lit(1)).cast("double").alias("tV"),
+        )
+        .crossJoin(
+            gv.agg(
+                F.sum("gc").cast("double").alias("gN"),
+                F.count(F.lit(1)).cast("double").alias("gV"),
+            )
+        )
+    )
+    scored = (
+        dw.join(tv, "w", "left")
+        .join(gv, "w", "left")
+        .withColumn("tc", F.coalesce("tc", F.lit(0)))
+        .withColumn("gc", F.coalesce("gc", F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+    )
+    a = F.lit(float(alpha))
+    lp_t = F.log((F.col("tc") + a) / (F.col("tN") + a * F.col("tV")))
+    lp_g = F.log((F.col("gc") + a) / (F.col("gN") + a * F.col("gV")))
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum("dc").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("dc") * lp_t) / F.sum("dc")
+            - F.sum(F.col("dc") * lp_g) / F.sum("dc"),
+            4,
+        ).alias("excess_logprob"),
+    ).localCheckpoint(eager=False)
+    # cutoff = max 4dp-excess x with share(docs >= x) >= keep_frac: the
+    # distinct-value CDF (descending), floor convention — ties keep.
+    dist = per_doc.groupBy("excess_logprob").agg(F.count(F.lit(1)).alias("cnt"))
+    w_desc = (
+        Window.orderBy(F.col("excess_logprob").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dist.select(
+        "excess_logprob",
+        (
+            F.sum("cnt").over(w_desc).cast("double")
+            / F.sum("cnt").over(Window.partitionBy())
+        ).alias("cdf"),
+    )
+    cutoff = cum.agg(
+        F.max(
+            F.when(F.col("cdf") >= F.lit(float(keep_frac)), F.col("excess_logprob"))
+        ).alias("cut")
+    )
+    return per_doc.crossJoin(F.broadcast(cutoff)).select(
+        F.col(id_col),
+        "n_tokens",
+        "excess_logprob",
+        (F.col("excess_logprob") >= F.col("cut")).alias("selected"),
+    )

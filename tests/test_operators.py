@@ -4001,3 +4001,50 @@ def test_corpus_diff_statuses(spark):
     again = {r["doc_id"]: r.asDict() for r in
              corpus_diff(old.repartition(5), new.repartition(3)).collect()}
     assert again == out
+
+
+# ---------------------------------------------------------------------------
+# excess_loss_select (RHO-style document selection)
+# ---------------------------------------------------------------------------
+
+
+def test_excess_loss_select(spark):
+    from jsonify2ai_spark.operators.sampling import excess_loss_select
+
+    # target domain speaks "code" jargon; general reference is plain prose
+    rows = []
+    for i in range(10):
+        rows.append((i, "fn struct impl trait " + f"tok{i % 3}"))
+    for i in range(10, 20):
+        rows.append((i, "the quick brown fox jumps " + f"tok{i % 3}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id < 10")
+    general = docs.filter("doc_id >= 10")
+
+    out = {r["doc_id"]: r.asDict() for r in
+           excess_loss_select(docs, target, general, keep_frac=0.5).collect()}
+    assert len(out) == 20
+    # every code doc scores higher excess than every prose doc, and the
+    # top half selected == exactly the code docs
+    code_excess = [out[i]["excess_logprob"] for i in range(10)]
+    prose_excess = [out[i]["excess_logprob"] for i in range(10, 20)]
+    assert min(code_excess) > max(prose_excess)
+    assert all(out[i]["selected"] for i in range(10))
+    assert not any(out[i]["selected"] for i in range(10, 20))
+
+    # floor convention: keep_frac below one distinct value's mass still
+    # keeps the whole tie group (all 10 code docs share scores by %3 class)
+    tiny = {r["doc_id"]: r["selected"] for r in
+            excess_loss_select(docs, target, general, keep_frac=0.05).collect()}
+    assert sum(tiny.values()) >= 1
+    assert all(not tiny[i] for i in range(10, 20))
+
+    # determinism under repartition
+    again = {r["doc_id"]: r.asDict() for r in
+             excess_loss_select(docs.repartition(7), target, general,
+                                keep_frac=0.5).collect()}
+    assert again == out
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="keep_frac"):
+        excess_loss_select(docs, target, general, keep_frac=0.0)
