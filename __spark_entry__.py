@@ -2497,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_doremi_weights": q138_doremi_weights,  # NEW r13: DoReMi domain reweighting (unigram proxy)
         "q139_corpus_diff": q139_corpus_diff,  # NEW r13: snapshot lineage (added/removed/changed)
         "q140_excess_loss": q140_excess_loss,  # NEW r13: RHO-style excess-loss selection
+        "q141_hard_negatives": q141_hard_negatives,  # NEW r13: BM25 hard-negative mining
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -3605,6 +3606,27 @@ def q140_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         general_ref=docs.filter(F.col("doc_id") % 5 == 0),
         keep_frac=0.4,
     )
+
+
+def q141_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 hard-negative mining (operators/textsearch.py
+    mine_hard_negatives, NEW r13 — the DPR recipe): every %23==1
+    document becomes a query (its first 6 tokens), with itself as the
+    positive; top-5 BM25 negatives per query, positives excluded before
+    the rank cut. The whole batch is one plan — corpus tokenized once,
+    postings restricted to the batch vocabulary via a broadcast
+    semi-join, df_t corpus-global. The oracle replays the q30 BM25
+    arithmetic per (query, doc) plus the anti-join and the ranked cut."""
+    from jsonify2ai_spark.operators.textsearch import mine_hard_negatives
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tk = F.transform(tokens(F.col("text")), F.lower)
+    qs = docs.filter(F.col("doc_id") % 23 == 1).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tk, 1, 6), " ").alias("query_text"),
+        F.col("doc_id").alias("positive_id"),
+    )
+    return mine_hard_negatives(qs, docs, k=5)
 
 
 def _dd_prep_report_sql(
@@ -6590,6 +6612,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, p.n_tokens, p.excess_logprob,
                    p.excess_logprob >= cuts.cut AS selected
             FROM per_doc p CROSS JOIN cuts
+        """,
+        # q141 twin: the q30 BM25 arithmetic per (query, doc) — queries
+        # are the %23==1 docs' first-6-token prefixes, positives (the
+        # query doc itself) excluded before the ranked top-5 cut
+        "q141_hard_negatives": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_transform({_DD_TOKENS.format(t="text")},
+                                    t -> lower(t)) AS tk
+              FROM documents
+            ), b2 AS (
+              SELECT doc_id, tk, len(tk) AS dl FROM base
+            ), qt AS (
+              SELECT DISTINCT doc_id AS query_id, unnest(tk[1:6]) AS term
+              FROM b2 WHERE doc_id % 23 = 1
+            ), stats AS (
+              SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b2
+            ), posted AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM (SELECT doc_id, dl, unnest(tk) AS term FROM b2)
+              WHERE term IN (SELECT DISTINCT term FROM qt)
+              GROUP BY 1, 2, 3
+            ), dfreq AS (
+              SELECT term, count(*) AS df_t FROM posted GROUP BY 1
+            ), contrib AS (
+              SELECT qt.query_id, p.doc_id,
+                     ln(1.0 + (s.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+                       * p.tf * 2.2
+                       / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * p.dl / s.avgdl))
+                       AS w
+              FROM posted p JOIN dfreq d USING (term)
+              JOIN qt ON p.term = qt.term CROSS JOIN stats s
+            ), scored AS (
+              SELECT query_id, doc_id, round(sum(w), 6) AS bm25
+              FROM contrib GROUP BY 1, 2
+            ), ranked AS (
+              SELECT query_id, doc_id, bm25,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY bm25 DESC, doc_id ASC) AS rank
+              FROM scored WHERE doc_id <> query_id
+            )
+            SELECT query_id, doc_id, CAST(rank AS INT) AS rank, bm25
+            FROM ranked WHERE rank <= 5
         """,
         # q134 twin: q108's reference-ppl CTE, then the CCNet band split
         # — cumulative mass over the DISTINCT 4dp-ppl frame, cut_k =

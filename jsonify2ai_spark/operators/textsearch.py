@@ -1496,3 +1496,91 @@ class RoutedBM25:
     def close(self) -> None:
         self._exact.close()
         self._pruned.close()
+
+
+def mine_hard_negatives(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    positive_id_col: str = "positive_id",
+) -> DataFrame:
+    """BM25 hard-negative mining for retrieval/embedding training — the
+    offline job that turns (query, positive) supervision into
+    (query, positive, hard negatives) triplets (the DPR / sentence-
+    transformers recipe: the strongest negatives are the lexically
+    closest NON-relevant documents, and BM25 finds them without a
+    trained model in the loop).
+
+    ``pairs``: one row per (query_id, query_text, positive_id);
+    repeated query_ids with different positives are fine — every listed
+    positive is excluded. Returns ``(query_id, doc_id, rank, bm25)``:
+    the top-``k`` BM25-scored corpus documents per query, positives
+    removed BEFORE the rank cut so each query still yields k negatives.
+
+    The whole batch is ONE plan — no per-query driver loop (the
+    RoutedBM25 routing lesson): the corpus tokenizes once; postings are
+    restricted to the batch's union vocabulary via a broadcast semi-join
+    (the filter reaches the explode, so a 10k-term batch never
+    materializes full-corpus postings); df_t comes from a term-partition
+    window over that restricted posting (corpus-global df, the q30
+    arithmetic unchanged); one term-keyed join fans contributions out to
+    queries; per-query top-k is a query-partitioned row_number. At 100 TB
+    serve instead from a prebuilt ShardedBM25Index (`topk_batch`) — this
+    raw-corpus form exists for mining runs where no index is standing.
+    """
+    from pyspark.sql import Window
+
+    qt = pairs.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(F.transform(tokens(F.col(query_text_col)), F.lower))
+        ).alias("term"),
+    ).distinct()
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    base = corpus.select(F.col(id_col), toks.alias("_tk")).withColumn(
+        "dl", F.size("_tk")
+    )
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    posted = (
+        base.select(id_col, "dl", F.explode("_tk").alias("term"))
+        .join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("df_t", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = (
+        posted.join(qt, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", idf * F.col("tf") * F.lit(k1 + 1.0) / denom)
+    )
+    scored = contrib.groupBy(query_id_col, id_col).agg(
+        F.round(F.sum("w"), 6).alias("bm25")
+    )
+    negatives = scored.join(
+        pairs.select(F.col(query_id_col), F.col(positive_id_col).alias(id_col)),
+        [query_id_col, id_col],
+        "left_anti",
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(query_id_col).orderBy(
+            F.col("bm25").desc(), F.col(id_col).asc()
+        )
+    )
+    return (
+        negatives.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "bm25")
+    )

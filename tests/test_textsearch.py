@@ -1091,3 +1091,54 @@ def test_sharded_bm25_maintenance_guards_review_r13(spark, tmp_path):
         idx2.delete([0])
     for i in (pruned, re, idx2):
         i.close()
+
+
+# ---------------------------------------------------------------------------
+# mine_hard_negatives (BM25 triplet mining)
+# ---------------------------------------------------------------------------
+
+
+def test_mine_hard_negatives_parity_with_per_query_topk(spark):
+    from jsonify2ai_spark.operators.textsearch import bm25_topk, mine_hard_negatives
+
+    rows = [
+        (1, "spark join window merge shuffle"),
+        (2, "spark join broadcast hash"),
+        (3, "window functions over partitions"),
+        (4, "merge sort join spark window"),
+        (5, "totally unrelated prose about cats"),
+        (6, "spark window merge join tricks"),
+        (7, "the cats sat on the mat"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(101, "spark join window", 1), (102, "cats mat", 7)],
+        "query_id long, query_text string, positive_id long",
+    )
+    out = mine_hard_negatives(pairs, corpus, k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["bm25"]))
+    for q in got:
+        got[q].sort()
+
+    # per-query reference: full bm25_topk, positive removed, top-3
+    for qid, qtext, pos in [(101, "spark join window", 1), (102, "cats mat", 7)]:
+        ref = [
+            (r["doc_id"], r["bm25"])
+            for r in bm25_topk(corpus, qtext, k=10).collect()
+            if r["doc_id"] != pos
+        ][:3]
+        assert [(d, s) for _, d, s in got[qid]] == ref
+        assert [rk for rk, _, _ in got[qid]] == list(range(1, len(ref) + 1))
+        assert all(d != pos for _, d, _ in got[qid])
+
+    # multi-positive exclusion: a second positive row for q101 removes
+    # that doc from its negatives too
+    pairs2 = pairs.union(
+        spark.createDataFrame([(101, "spark join window", 4)],
+                              "query_id long, query_text string, positive_id long")
+    )
+    out2 = mine_hard_negatives(pairs2, corpus, k=3)
+    ids2 = {r["doc_id"] for r in out2.filter("query_id = 101").collect()}
+    assert 1 not in ids2 and 4 not in ids2
