@@ -2638,3 +2638,237 @@ class PerplexityGate:
 
     def close(self) -> None:
         self._vocab.unpersist()
+
+
+class BloomDedupGate:
+    """Exact-dedup streaming gate with a broadcast Bloom-filter prefilter:
+    drop every micro-batch row whose (whitespace-normalized) content
+    fingerprint already exists in a STATIC reference corpus, at a
+    per-batch cost where the common case — a novel document — is decided
+    MAP-SIDE with zero shuffle.
+
+    Why a Bloom filter when CorpusNearDupGate already amortizes the
+    corpus: that gate (and an exact fingerprint anti-join) still probes a
+    corpus-sized distributed table every trigger. Here the corpus
+    collapses to an m-bit bitmap broadcast once to every executor
+    (m = 10 bits/doc at fp 1%: a 1e9-doc corpus is a 1.25 GB broadcast —
+    size ``m_bits`` to the corpus and fall back to the join gate past
+    executor memory). Each batch row tests its k positions against the
+    local bitmap:
+
+    - bloom-negative  -> DEFINITELY novel (no false negatives): emitted
+      with no shuffle at all;
+    - bloom-positive  -> true duplicate OR false positive (rate
+      ~(1-e^{-kn/m})^k, :meth:`fp_rate_estimate`): verified EXACTLY
+      against the persisted fingerprint table, a candidate-sized
+      left-semi probe, so the gate's OUTPUT is exactly the fingerprint
+      anti-join's — the bloom changes cost, never the answer.
+
+    Positions are computed in the JVM (conv of md5(fp || "#i"), 60-bit,
+    engine-deterministic); Python only tests bits against a shared numpy
+    bitmap (Arrow-batched), so there is no cross-language hash parity to
+    maintain. Build is one corpus scan: per-partition packed bitmaps
+    (mapInPandas) OR-folded on the driver via toLocalIterator — driver
+    peak is one m/8-byte buffer per in-flight partition chunk, never the
+    position list.
+    """
+
+    kind = "filter"
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        m_bits: int = 1 << 22,
+        n_hashes: int = 5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> None:
+        from jsonify2ai_spark.operators.dedup import _content_fingerprint
+
+        if m_bits < 8:
+            raise ValueError(f"m_bits must be >= 8, got {m_bits}")
+        if n_hashes < 1:
+            raise ValueError(f"n_hashes must be >= 1, got {n_hashes}")
+        self._m = int(m_bits)
+        self._k = int(n_hashes)
+        self._text_col = text_col
+        self._id_col = id_col
+        fps = corpus.select(
+            _content_fingerprint(F.col(text_col)).alias("_fp")
+        ).distinct()
+        # exact-verification side: fingerprints clustered on their own
+        # value so candidate probes shuffle only the candidates
+        self._fps = fps.repartition(F.col("_fp")).persist()
+        self._n_corpus = self._fps.count()
+        self._bitmap = self._build_bitmap(
+            self._fps.select(
+                F.explode(self._positions(F.col("_fp"))).alias("pos")
+            )
+        )
+        self._bc = corpus.sparkSession.sparkContext.broadcast(self._bitmap)
+
+    # ---- hashing ----------------------------------------------------
+
+    def _positions(self, fp):
+        cols = [
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(fp, F.lit(f"#{i}"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(self._m)
+            )
+            for i in range(self._k)
+        ]
+        return F.array(*cols)
+
+    def _build_bitmap(self, pos_df: DataFrame):
+        import numpy as np
+        import pandas as pd
+
+        nbytes = (self._m + 7) // 8
+
+        def fold(it):
+            buf = np.zeros(nbytes, dtype=np.uint8)
+            any_rows = False
+            for pdf in it:
+                if len(pdf):
+                    any_rows = True
+                    p = pdf["pos"].to_numpy(dtype=np.int64)
+                    np.bitwise_or.at(buf, p >> 3, (1 << (p & 7)).astype(np.uint8))
+            if any_rows:
+                yield pd.DataFrame({"chunk": [buf.tobytes()]})
+
+        final = np.zeros(nbytes, dtype=np.uint8)
+        for row in pos_df.mapInPandas(fold, "chunk binary").toLocalIterator():
+            final |= np.frombuffer(row["chunk"], dtype=np.uint8)
+        return final
+
+    def _hit_udf(self):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        bc = self._bc
+
+        def _test(positions):
+            bm = bc.value
+
+            def one(ps):
+                a = np.asarray(ps, dtype=np.int64)
+                return bool(np.all(bm[a >> 3] & (1 << (a & 7)).astype(np.uint8)))
+
+            return pd.Series([one(p) for p in positions], dtype="bool")
+
+        return pandas_udf(_test, "boolean")
+
+    # ---- serving ----------------------------------------------------
+
+    def probe_batch(self, batch: DataFrame) -> DataFrame:
+        """Audit face: ``(id, bloom_hit, is_dup)`` per batch row —
+        bloom_hit from the bitmap alone, is_dup after exact verification
+        (every is_dup has bloom_hit; the gap is the realized FP rate)."""
+        from jsonify2ai_spark.operators.dedup import _content_fingerprint
+
+        hit = self._hit_udf()
+        probed = batch.select(
+            F.col(self._id_col),
+            _content_fingerprint(F.col(self._text_col)).alias("_fp"),
+        ).withColumn("bloom_hit", hit(self._positions(F.col("_fp"))))
+        cand = probed.filter(F.col("bloom_hit"))
+        confirmed = cand.join(self._fps, "_fp", "left_semi").select(
+            F.col(self._id_col).alias("_dup_id")
+        )
+        return probed.join(
+            confirmed,
+            probed[self._id_col] == confirmed["_dup_id"],
+            "left",
+        ).select(
+            self._id_col,
+            "bloom_hit",
+            F.col("_dup_id").isNotNull().alias("is_dup"),
+        )
+
+    def filter_batch(self, batch: DataFrame) -> DataFrame:
+        """Rows of ``batch`` whose content is NOT in the corpus — exactly
+        the fingerprint anti-join's output, bloom-accelerated."""
+        from jsonify2ai_spark.operators.dedup import _content_fingerprint
+
+        hit = self._hit_udf()
+        probed = batch.withColumn(
+            "_fp", _content_fingerprint(F.col(self._text_col))
+        ).withColumn("_bh", hit(self._positions(F.col("_fp"))))
+        cand = probed.filter(F.col("_bh"))
+        dup_ids = (
+            cand.select(self._id_col, "_fp")
+            .join(self._fps, "_fp", "left_semi")
+            .select(self._id_col)
+        )
+        return batch.join(dup_ids, self._id_col, "left_anti")
+
+    def foreach_batch(self, append):
+        """Wrap ``append(clean_df, batch_id)`` as a foreachBatch callable."""
+
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            append(self.filter_batch(batch), batch_id)
+
+        return _fn
+
+    def fp_rate_estimate(self) -> float:
+        """Expected bloom false-positive rate (1 - e^{-kn/m})^k for the
+        built corpus — the fraction of NOVEL rows that pay the exact
+        verification probe (they are still emitted correctly)."""
+        import math
+
+        return (1.0 - math.exp(-self._k * self._n_corpus / self._m)) ** self._k
+
+    # ---- persistence -------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist bitmap + fingerprints + params; a stream restart
+        warm-loads instead of re-scanning the corpus (the
+        CorpusNearDupGate.save contract)."""
+        spark = self._fps.sparkSession
+        self._fps.write.mode("overwrite").parquet(f"{path}/fps")
+        chunk = 1 << 22
+        raw = self._bitmap.tobytes()
+        rows = [
+            (i, raw[i : i + chunk]) for i in range(0, len(raw), chunk)
+        ]
+        spark.createDataFrame(rows, "off long, chunk binary").coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{path}/bitmap")
+        spark.createDataFrame(
+            [(self._m, self._k, self._text_col, self._id_col, self._n_corpus)],
+            "m_bits long, n_hashes int, text_col string, id_col string, n_corpus long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "BloomDedupGate":
+        import numpy as np
+
+        meta = spark.read.parquet(f"{path}/meta").first()
+        obj = cls.__new__(cls)
+        obj._m = int(meta["m_bits"])
+        obj._k = int(meta["n_hashes"])
+        obj._text_col = meta["text_col"]
+        obj._id_col = meta["id_col"]
+        obj._n_corpus = int(meta["n_corpus"])
+        obj._fps = (
+            spark.read.parquet(f"{path}/fps").repartition(F.col("_fp")).persist()
+        )
+        obj._fps.count()
+        parts = sorted(
+            spark.read.parquet(f"{path}/bitmap").collect(),
+            key=lambda r: r["off"],
+        )
+        obj._bitmap = np.frombuffer(
+            b"".join(bytes(r["chunk"]) for r in parts), dtype=np.uint8
+        ).copy()
+        obj._bc = spark.sparkContext.broadcast(obj._bitmap)
+        return obj
+
+    def close(self) -> None:
+        self._fps.unpersist()
+        self._bc.destroy()

@@ -2444,3 +2444,114 @@ def test_calibrate_ppl_cutoff_feeds_gate(spark, tables):
 
     with pytest.raises(ValueError, match="keep_frac"):
         calibrate_ppl_cutoff(docs, ref, keep_frac=0.0)
+
+
+# ---------------------------------------------------------------------------
+# BloomDedupGate (broadcast-bitmap exact dedup prefilter)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_exact_reference(corpus, batch):
+    """Fingerprint anti-join — the answer the gate must reproduce."""
+    from jsonify2ai_spark.operators.dedup import _content_fingerprint
+
+    cfp = corpus.select(_content_fingerprint(F.col("text")).alias("_fp")).distinct()
+    return batch.join(
+        batch.select(
+            "doc_id", _content_fingerprint(F.col("text")).alias("_fp")
+        ).join(cfp, "_fp", "left_semi").select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+
+
+def test_bloom_dedup_gate_exact_parity(spark):
+    from jsonify2ai_spark.streaming.windowed import BloomDedupGate
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} about topic {i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    batch_rows = (
+        # 5 verbatim dups + 3 whitespace-reflowed dups (normalize -> dup)
+        [(100 + i, f"corpus document number {i} about topic {i % 7}") for i in range(5)]
+        + [(200 + i, f"corpus  document   number {i} about topic {i % 7}\n") for i in range(3)]
+        + [(300 + i, f"a genuinely novel doc {i}") for i in range(8)]
+    )
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    gate = BloomDedupGate(corpus, m_bits=1 << 14, n_hashes=5)
+    try:
+        kept = sorted(r["doc_id"] for r in gate.filter_batch(batch).collect())
+        ref = sorted(r["doc_id"] for r in _bloom_exact_reference(corpus, batch).collect())
+        assert kept == ref == sorted(300 + i for i in range(8))
+
+        probe = {r["doc_id"]: r.asDict() for r in gate.probe_batch(batch).collect()}
+        assert len(probe) == len(batch_rows)
+        # no false negatives: every true dup bloom-hits and confirms
+        for i in range(5):
+            assert probe[100 + i]["bloom_hit"] and probe[100 + i]["is_dup"]
+        for i in range(3):
+            assert probe[200 + i]["bloom_hit"] and probe[200 + i]["is_dup"]
+        # is_dup implies bloom_hit everywhere
+        assert all((not r["is_dup"]) or r["bloom_hit"] for r in probe.values())
+        assert 0.0 < gate.fp_rate_estimate() < 0.01
+    finally:
+        gate.close()
+
+
+def test_bloom_dedup_gate_fp_saturated_still_exact(spark):
+    """m_bits tiny enough that nearly every probe bloom-hits: the exact
+    verification must still produce the anti-join answer (the bloom is a
+    cost lever, never a semantics lever)."""
+    from jsonify2ai_spark.streaming.windowed import BloomDedupGate
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i} alpha beta") for i in range(30)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, "doc 3 alpha beta"), (101, "never seen before text"),
+         (102, "doc 29 alpha beta"), (103, "also new material here")],
+        "doc_id long, text string",
+    )
+    gate = BloomDedupGate(corpus, m_bits=32, n_hashes=2)
+    try:
+        assert gate.fp_rate_estimate() > 0.5  # saturated on purpose
+        kept = sorted(r["doc_id"] for r in gate.filter_batch(batch).collect())
+        assert kept == [101, 103]
+    finally:
+        gate.close()
+
+
+def test_bloom_dedup_gate_save_load_and_foreach(spark, tmp_path):
+    from jsonify2ai_spark.streaming.windowed import BloomDedupGate
+
+    corpus = spark.createDataFrame(
+        [(i, f"stable doc {i}") for i in range(25)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(900, "stable doc 7"), (901, "fresh content"), (902, "stable doc 24")],
+        "doc_id long, text string",
+    )
+    gate = BloomDedupGate(corpus, m_bits=1 << 12, n_hashes=4)
+    p = str(tmp_path / "bloomgate")
+    try:
+        want = sorted(r["doc_id"] for r in gate.filter_batch(batch).collect())
+        gate.save(p)
+    finally:
+        gate.close()
+
+    loaded = BloomDedupGate.load(spark, p)
+    try:
+        got = sorted(r["doc_id"] for r in loaded.filter_batch(batch).collect())
+        assert got == want == [901]
+        assert (loaded._bitmap == loaded._bitmap).all()  # intact buffer
+
+        # foreachBatch contract: append receives the filtered frame + id
+        seen = {}
+        loaded.foreach_batch(
+            lambda df, bid: seen.setdefault(bid, sorted(r["doc_id"] for r in df.collect()))
+        )(batch, 17)
+        assert seen == {17: [901]}
+    finally:
+        loaded.close()
