@@ -2498,6 +2498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_corpus_diff": q139_corpus_diff,  # NEW r13: snapshot lineage (added/removed/changed)
         "q140_excess_loss": q140_excess_loss,  # NEW r13: RHO-style excess-loss selection
         "q141_hard_negatives": q141_hard_negatives,  # NEW r13: BM25 hard-negative mining
+        "q142_decontaminate_multi": q142_decontaminate_multi,  # NEW r13: multi-suite contamination matrix
+        "q143_distinct_ngrams": q143_distinct_ngrams,  # NEW r13: distinct-n diversity per source
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -3627,6 +3629,38 @@ def q141_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("positive_id"),
     )
     return mine_hard_negatives(qs, docs, k=5)
+
+
+def q142_decontaminate_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-benchmark contamination matrix (operators/dedup.py
+    decontaminate_multi, NEW r13): three 'benchmark' slices (%97==0,
+    %89==1, %83==2) screened in ONE corpus shingle pass — the
+    benchmark sets union into a single tagged broadcast, so cost is
+    invariant in the suite count (vs q60's one-benchmark form run 3x).
+    Sparse long-form output: only (doc, benchmark) pairs sharing an
+    8-gram. Oracle replays the q60 shingle CTE with the tagged union."""
+    from jsonify2ai_spark.operators.dedup import decontaminate_multi
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    benches = {
+        "heldout97": docs.filter(F.col("doc_id") % 97 == 0),
+        "wiki89": docs.filter(F.col("doc_id") % 89 == 1),
+        "qa83": docs.filter(F.col("doc_id") % 83 == 2),
+    }
+    return decontaminate_multi(docs, benches, n=8)
+
+
+def q143_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n lexical diversity per source (operators/textstats.py
+    distinct_ngram_report, NEW r13 — Li et al. 2016 corpus-level): raw
+    1/2/3-gram totals, distinct counts, and ratios per source — the
+    synthetic-data mode-collapse check. One explode + count/
+    count_distinct rollup per n; the oracle replays the raw (non-
+    distinct) gram construction and the 6dp ratio."""
+    from jsonify2ai_spark.operators.textstats import distinct_ngram_report
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return distinct_ngram_report(docs, ns=(1, 2, 3), by="source")
 
 
 def _dd_prep_report_sql(
@@ -6655,6 +6689,57 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, CAST(rank AS INT) AS rank, bm25
             FROM ranked WHERE rank <= 5
+        """,
+        # q142 twin: the q60 shingle CTE once, three tagged benchmark
+        # sets unioned, sparse (doc, benchmark) hit counts
+        "q142_decontaminate_multi": f"""
+            WITH ex AS (
+              SELECT doc_id, sh
+              FROM (SELECT doc_id, unnest({_dd_shingles("text", 8)}) AS sh
+                    FROM documents)
+              WHERE sh <> ''
+            ), bench AS (
+              SELECT DISTINCT 'heldout97' AS benchmark, sh FROM ex
+              WHERE doc_id % 97 = 0
+              UNION
+              SELECT DISTINCT 'wiki89' AS benchmark, sh FROM ex
+              WHERE doc_id % 89 = 1
+              UNION
+              SELECT DISTINCT 'qa83' AS benchmark, sh FROM ex
+              WHERE doc_id % 83 = 2
+            )
+            SELECT e.doc_id, b.benchmark,
+                   CAST(count(DISTINCT e.sh) AS BIGINT) AS n_shared_ngrams
+            FROM ex e JOIN bench b USING (sh)
+            GROUP BY 1, 2
+        """,
+        # q143 twin: RAW n-gram construction (no list_distinct — the
+        # dedup shingles dedup per doc; distinct-n's denominator is
+        # every occurrence), short docs contribute none
+        "q143_distinct_ngrams": f"""
+            WITH t AS (
+              SELECT source, {_DD_TOKENS.format(t="text")} AS tk
+              FROM documents
+            ), {" , ".join(
+                f'''g{n} AS (
+                  SELECT source, unnest(
+                    CASE WHEN len(tk) >= {n}
+                         THEN list_transform(range(1, len(tk) - {n} + 2),
+                              i -> array_to_string(tk[i:i+{n - 1}], ' '))
+                         ELSE CAST([] AS VARCHAR[]) END) AS g
+                  FROM t
+                ), a{n} AS (
+                  SELECT source, {n} AS n,
+                         CAST(count(*) AS BIGINT) AS total_ngrams,
+                         CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams
+                  FROM g{n} GROUP BY source
+                )''' for n in (1, 2, 3)
+            )}
+            SELECT source, n, total_ngrams, distinct_ngrams,
+                   round(distinct_ngrams / CAST(total_ngrams AS DOUBLE), 6)
+                     AS distinct_ratio
+            FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+                  UNION ALL SELECT * FROM a3)
         """,
         # q134 twin: q108's reference-ppl CTE, then the CCNet band split
         # — cumulative mass over the DISTINCT 4dp-ppl frame, cut_k =

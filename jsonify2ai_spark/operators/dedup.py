@@ -2179,3 +2179,92 @@ def memorization_probe(
         .cast("bigint")
         .alias("longest_span_tokens"),
     )
+
+
+def decontaminate_multi(
+    docs: DataFrame,
+    benchmarks: dict[str, DataFrame],
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    normalize: bool = False,
+) -> DataFrame:
+    """Decontamination against MANY benchmarks in one corpus pass — the
+    shape a release pipeline actually runs (a model card lists overlap
+    against every eval suite, not one): the training side shingles ONCE,
+    every benchmark's distinct shingle set is tagged with its name and
+    unioned into a single broadcast, and one join + one (doc, benchmark)
+    rollup yields the full contamination matrix. Per-benchmark passes
+    would re-scan the corpus len(benchmarks) times; this is invariant in
+    the benchmark count.
+
+    Returns the SPARSE long form: ``(id, benchmark, n_shared_ngrams)``,
+    one row per (document, benchmark) pair with at least one shared
+    ``n``-gram — at 100 TB the dense matrix is corpus x suites and
+    almost entirely zero, so the hit rows are the only sane
+    materialization. Same shingle construction, empty-shingle guard, and
+    optional GPT-3/PaLM normalization as :func:`decontaminate` (scores
+    exact, benchmark side broadcast).
+    """
+    def _prep(c: Column) -> Column:
+        if not normalize:
+            return c
+        return F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+
+    d = docs.select(
+        F.col(id_col), F.explode(shingles(_prep(F.col(text_col)), n)).alias("sh")
+    ).filter(F.col("sh") != "")
+    tagged = None
+    for name in sorted(benchmarks):
+        b = (
+            benchmarks[name]
+            .select(
+                F.lit(name).alias("benchmark"),
+                F.explode(
+                    shingles(_prep(F.col(bench_text_col)), n)
+                ).alias("sh"),
+            )
+            .filter(F.col("sh") != "")
+            .distinct()
+        )
+        tagged = b if tagged is None else tagged.unionByName(b)
+    if tagged is None:
+        raise ValueError("benchmarks must be a non-empty dict")
+    return (
+        d.join(F.broadcast(tagged), "sh")
+        .groupBy(id_col, "benchmark")
+        .agg(F.count_distinct("sh").cast("bigint").alias("n_shared_ngrams"))
+    )
+
+
+def decontamination_report(
+    docs: DataFrame,
+    benchmarks: dict[str, DataFrame],
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    normalize: bool = False,
+) -> DataFrame:
+    """The model-card rollup of :func:`decontaminate_multi`: per
+    benchmark, how many training documents are contaminated and what
+    corpus fraction that is — ``(benchmark, n_contaminated,
+    pct_contaminated)`` (6dp). Suites-count-sized output; the corpus
+    total attaches as a one-row broadcast."""
+    hits = decontaminate_multi(
+        docs, benchmarks, n, id_col, text_col, bench_text_col, normalize
+    )
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    return (
+        hits.groupBy("benchmark")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "benchmark",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("_total"), 6).alias(
+                "pct_contaminated"
+            ),
+        )
+    )

@@ -4048,3 +4048,84 @@ def test_excess_loss_select(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="keep_frac"):
         excess_loss_select(docs, target, general, keep_frac=0.0)
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_multi + distinct_ngram_report
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_multi_matches_per_benchmark(spark):
+    from jsonify2ai_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_multi,
+        decontamination_report,
+    )
+
+    leak_a = "alpha beta gamma delta epsilon zeta eta theta"
+    leak_b = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix {leak_a} suffix words here"),
+            (2, f"{leak_a} and also {leak_b} in one doc"),
+            (3, "totally clean document with no overlap at all whatsoever ok"),
+            (4, f"tail mention {leak_b} only"),
+        ],
+        "doc_id long, text string",
+    )
+    benches = {
+        "suiteA": spark.createDataFrame([(0, leak_a)], "qid long, text string"),
+        "suiteB": spark.createDataFrame([(0, leak_b)], "qid long, text string"),
+    }
+    hits = {(r["doc_id"], r["benchmark"]): r["n_shared_ngrams"]
+            for r in decontaminate_multi(docs, benches, n=8).collect()}
+    assert set(hits) == {(1, "suiteA"), (2, "suiteA"), (2, "suiteB"), (4, "suiteB")}
+
+    # parity with the single-benchmark operator, per suite
+    for name, bench in benches.items():
+        solo = {r["doc_id"]: r["n_shared_ngrams"]
+                for r in decontaminate(docs, bench, n=8).collect()
+                if r["contaminated"]}
+        multi = {d: c for (d, b), c in hits.items() if b == name}
+        assert multi == solo
+
+    rep = {r["benchmark"]: r.asDict()
+           for r in decontamination_report(docs, benches, n=8).collect()}
+    assert rep["suiteA"]["n_contaminated"] == 2
+    assert rep["suiteB"]["n_contaminated"] == 2
+    assert rep["suiteA"]["pct_contaminated"] == 0.5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        decontaminate_multi(docs, {}, n=8)
+
+
+def test_distinct_ngram_report_detects_mode_collapse(spark):
+    from jsonify2ai_spark.operators.textstats import distinct_ngram_report
+
+    rows = (
+        # collapsed generator: same sentence over and over
+        [(i, "gen", "the same old phrase again") for i in range(10)]
+        # diverse source: all-different sentences
+        + [(i + 100, "human", f"fresh sentence number {i} varies a lot {i * 7}")
+           for i in range(10)]
+        + [(200, "gen", "xy")]  # 1 token: no bigrams/trigrams contributed
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r["source"], r["n"]): r.asDict()
+           for r in distinct_ngram_report(docs, ns=(1, 2, 3), by="source").collect()}
+    assert len(out) == 6
+    # collapsed source: 10 copies of 5 tokens + 1 single-token doc
+    assert out[("gen", 1)]["total_ngrams"] == 51
+    assert out[("gen", 1)]["distinct_ngrams"] == 6
+    assert out[("gen", 2)]["total_ngrams"] == 40  # the xy doc adds none
+    assert out[("gen", 2)]["distinct_ngrams"] == 4
+    # diversity separates the sources at every n
+    for n in (1, 2, 3):
+        assert (out[("human", n)]["distinct_ratio"]
+                > out[("gen", n)]["distinct_ratio"])
+
+    # global card (by=None): one row per n
+    glob = {r["n"]: r for r in distinct_ngram_report(docs, ns=(2,)).collect()}
+    assert set(glob) == {2}
+    assert glob[2]["total_ngrams"] == out[("gen", 2)]["total_ngrams"] + out[("human", 2)]["total_ngrams"]
