@@ -2649,12 +2649,13 @@ class BloomDedupGate:
 
     Why a Bloom filter when CorpusNearDupGate already amortizes the
     corpus: that gate (and an exact fingerprint anti-join) still probes a
-    corpus-sized distributed table every trigger. Here the corpus
-    collapses to an m-bit bitmap broadcast once to every executor
-    (m = 10 bits/doc at fp 1%: a 1e9-doc corpus is a 1.25 GB broadcast —
-    size ``m_bits`` to the corpus and fall back to the join gate past
-    executor memory). Each batch row tests its k positions against the
-    local bitmap:
+    corpus-sized distributed table every trigger — on a CLUSTER that is a
+    per-trigger network reshuffle of the corpus side, growing with the
+    corpus. Here the corpus collapses to an m-bit bitmap broadcast once
+    to every executor (m = 10 bits/doc at fp 1%: a 1e9-doc corpus is a
+    1.25 GB broadcast — size ``m_bits`` to the corpus and fall back to
+    the join gate past executor memory). Each batch row tests its k
+    positions against the local bitmap:
 
     - bloom-negative  -> DEFINITELY novel (no false negatives): emitted
       with no shuffle at all;
@@ -2671,6 +2672,16 @@ class BloomDedupGate:
     (mapInPandas) OR-folded on the driver via toLocalIterator — driver
     peak is one m/8-byte buffer per in-flight partition chunk, never the
     position list.
+
+    MEASURED regime (bench_bloom_gate.py, PERF.md): on local[32] the
+    plain anti-join gate wins at every corpus size that fits the bench —
+    a single-JVM shuffle is memory-local, so the reshuffle this gate
+    avoids costs ~nothing there, while the bitmap probe pays a fixed
+    ~1-3 s Arrow round-trip per trigger. Deploy this gate on multi-node
+    clusters with >=1e9-doc corpora (where the join arm's per-trigger
+    corpus reshuffle crosses the network); locally prefer the anti-join
+    with auto-broadcast disabled. Output parity is test-pinned either
+    way — choosing wrong costs time, never correctness.
     """
 
     kind = "filter"
