@@ -522,3 +522,31 @@ def test_q123_sharded_bm25_partition_pruned_scan(spark, tmp_path):
     out = entry_mod.queries()["q123_bm25_sharded"](spark, SF_DIR)
     assert out.count() == 15
     idx.close()
+
+
+def test_q141_hard_negatives_broadcast_restriction_no_python(spark):
+    """The mining batch's union vocabulary must broadcast into the corpus
+    postings explode (a BroadcastHashJoin below the tf rollup), the
+    query fan-out join must also be broadcast (query-terms side is
+    batch-sized), and the whole plan stays JVM-side — no Python eval of
+    any kind."""
+    df = entry_mod.queries()["q141_hard_negatives"](spark, SF_DIR)
+    p = plan_string(df, "simple")
+    assert "BroadcastHashJoin" in p, p[:1500]
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, p[:800]
+    # top-k per query is a window rank filter, not a global sort+limit
+    assert "RunningWindowFunction" in p or "Window" in p, p[:1500]
+
+
+def test_q142_decontaminate_multi_single_corpus_explode(spark):
+    """The multi-benchmark matrix must shingle the corpus ONCE: exactly
+    one explode over the full documents relation (the three benchmark
+    slices explode their own filtered subsets), and the tagged benchmark
+    union joins as a broadcast."""
+    df = entry_mod.queries()["q142_decontaminate_multi"](spark, SF_DIR)
+    p = plan_string(df, "simple")
+    assert "BroadcastHashJoin" in p, p[:1500]
+    # corpus-side (unfiltered) explode appears once: count Generate nodes
+    # that are NOT below a doc_id-filter (benchmark sides filter first)
+    n_gen = p.count("Generate explode")
+    assert n_gen == 4, (n_gen, p[:2000])  # 1 corpus + 3 filtered benches
