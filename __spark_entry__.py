@@ -2500,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_hard_negatives": q141_hard_negatives,  # NEW r13: BM25 hard-negative mining
         "q142_decontaminate_multi": q142_decontaminate_multi,  # NEW r13: multi-suite contamination matrix
         "q143_distinct_ngrams": q143_distinct_ngrams,  # NEW r13: distinct-n diversity per source
+        "q144_filter_agreement": q144_filter_agreement,  # NEW r13: quality-gate agreement matrix
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -2996,6 +2997,77 @@ SELECT d.doc_id,
        CAST(coalesce(s.n, 0) AS BIGINT) AS n_shared_ngrams,
        coalesce(s.n, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN shared s USING (doc_id)
+"""
+
+
+def _dd_filter_agreement_sql() -> str:
+    """q144 twin: quality/alpha scalar flags + the q71 gopher keep CTE
+    (left-joined, coalesce FALSE for zero-token docs), then the pairwise
+    contingency sums and the drop-set Jaccard per unordered gate pair."""
+    qual, _, _, _ = _dd_prep_fragments()
+    alpha = (
+        "(CASE WHEN length(text) > 0 THEN "
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+        " / length(text) ELSE 0.0 END)"
+    )
+    names = ["alpha", "gopher", "quality"]
+    pair_selects = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            pair_selects.append(
+                f"SELECT '{a}' AS gate_a, '{b}' AS gate_b,"
+                f" CAST(sum(CASE WHEN {a} AND {b} THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,"
+                f" CAST(sum(CASE WHEN (NOT {a}) AND {b} THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_a_only,"
+                f" CAST(sum(CASE WHEN {a} AND (NOT {b}) THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_b_only,"
+                f" CAST(sum(CASE WHEN (NOT {a}) AND (NOT {b}) THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop"
+                " FROM base"
+            )
+    union = " UNION ALL ".join(pair_selects)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, (CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END) AS l FROM documents
+), words AS (
+  SELECT doc_id, unnest(l) AS w FROM t
+), uni AS (
+  SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2
+), unistats AS (
+  SELECT doc_id, sum(c) AS n_words, max(c) AS top_w,
+         sum(len(w) * c) AS sum_chars
+  FROM uni GROUP BY 1
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS b
+  FROM t
+), bi AS (
+  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+), bistats AS (
+  SELECT doc_id, sum(c) AS n_bg, max(c) AS top_bg FROM bi GROUP BY 1
+), sig AS (
+  SELECT u.doc_id,
+         CAST(u.n_words AS BIGINT) AS n_words,
+         round(CAST(u.sum_chars AS DOUBLE) / u.n_words, 4) AS mean_word_len,
+         round(CAST(u.top_w AS DOUBLE) / u.n_words, 4) AS top_word_frac,
+         round(coalesce(CAST(b.top_bg AS DOUBLE) / b.n_bg, 0.0), 4) AS top_bigram_frac
+  FROM unistats u LEFT JOIN bistats b USING (doc_id)
+), gflag AS (
+  SELECT doc_id,
+         ((n_words >= 15 AND n_words <= 100000)
+          AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+          AND NOT (top_word_frac > 0.2 OR top_bigram_frac > 0.18)) AS gopher
+  FROM sig
+), base AS (
+  SELECT d.doc_id,
+         ({qual} >= 0.2) AS quality,
+         ({alpha} >= 0.55) AS alpha,
+         coalesce(g.gopher, FALSE) AS gopher
+  FROM documents d LEFT JOIN gflag g USING (doc_id)
+)
+SELECT gate_a, gate_b, n_both_keep, n_drop_a_only, n_drop_b_only, n_both_drop,
+       CASE WHEN (n_drop_a_only + n_drop_b_only + n_both_drop) > 0
+            THEN round(CAST(n_both_drop AS DOUBLE)
+                       / (n_drop_a_only + n_drop_b_only + n_both_drop), 6)
+       END AS drop_jaccard
+FROM ({union})
 """
 
 
@@ -3661,6 +3733,41 @@ def q143_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return distinct_ngram_report(docs, ns=(1, 2, 3), by="source")
+
+
+def q144_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate agreement matrix (operators/textstats.py
+    filter_agreement, NEW r13): three keep flags — quality_score>=0.2,
+    the Gopher composite keep (q71), and an alpha-char-ratio>=0.55
+    gate — audited pairwise in ONE aggregate scan: keep/drop
+    contingencies + drop-set Jaccard per gate pair (redundant gates
+    show near 1, complementary near 0). Gopher's output lacks
+    zero-token docs, so flags left-join + coalesce FALSE (a gate that
+    never saw a doc did not keep it). Oracle replays the q71 keep CTE,
+    both scalar flags, and the pairwise CASE sums."""
+    from jsonify2ai_spark.operators.textstats import (
+        filter_agreement,
+        gopher_filter,
+        quality_score,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    g = gopher_filter(docs).select("doc_id", F.col("keep").alias("gopher"))
+    alpha_ratio = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+        / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    flags = (
+        docs.select(
+            "doc_id",
+            (quality_score("text") >= 0.2).alias("quality"),
+            (alpha_ratio >= 0.55).alias("alpha"),
+        )
+        .join(g, "doc_id", "left")
+        .withColumn("gopher", F.coalesce("gopher", F.lit(False)))
+    )
+    return filter_agreement(flags, ["alpha", "gopher", "quality"])
 
 
 def _dd_prep_report_sql(
@@ -6741,6 +6848,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
                   UNION ALL SELECT * FROM a3)
         """,
+        "q144_filter_agreement": _dd_filter_agreement_sql(),
         # q134 twin: q108's reference-ppl CTE, then the CCNet band split
         # — cumulative mass over the DISTINCT 4dp-ppl frame, cut_k =
         # min(ppl | cdf >= k/3), ties share a band via the <= rule

@@ -1656,3 +1656,81 @@ def distinct_ngram_report(
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+def filter_agreement(
+    flags: DataFrame,
+    flag_cols: list[str],
+) -> DataFrame:
+    """Quality-gate agreement audit — which filters drop the SAME
+    documents: given per-document boolean keep flags (one column per
+    gate, assembled by joining the gate outputs), emit for every
+    unordered gate pair (diagonal included) the keep/drop contingency
+    and the drop-set Jaccard:
+
+    ``(gate_a, gate_b, n_both_keep, n_drop_a_only, n_drop_b_only,
+    n_both_drop, drop_jaccard)``
+
+    A pair with drop_jaccard near 1 is a redundant gate (same documents,
+    twice the compute — run only the cheaper one); near 0 means the
+    gates catch disjoint failure modes and both earn their place. The
+    DataComp/Dolma-style ablation card, without re-running the corpus
+    per pair.
+
+    ONE scan: all K*(K+1)/2 contingencies are sums of boolean products
+    in a single global aggregate (map-side partial, 4 longs per pair),
+    collected as ONE row — never a per-pair pass, never a join between
+    gate outputs at audit time. The reshape to long form is driver-side
+    over that row (pair-count-sized); the Jaccard division happens in a
+    Spark column so its rounding matches every other oracle'd ratio.
+    NULL flags count as drops (a gate that never saw the doc did not
+    keep it).
+    """
+    names = sorted(flag_cols)
+    if not names:
+        raise ValueError("flag_cols must be non-empty")
+    proj = flags.select(
+        *[
+            F.coalesce(F.col(n).cast("boolean"), F.lit(False)).alias(n)
+            for n in names
+        ]
+    )
+    aggs = []
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    for a, b in pairs:
+        pa, pb = F.col(a), F.col(b)
+        key = f"{a}__{b}"
+        aggs += [
+            F.sum((pa & pb).cast("long")).alias(f"bk_{key}"),
+            F.sum(((~pa) & pb).cast("long")).alias(f"da_{key}"),
+            F.sum((pa & (~pb)).cast("long")).alias(f"db_{key}"),
+            F.sum(((~pa) & (~pb)).cast("long")).alias(f"dd_{key}"),
+        ]
+    row = proj.agg(*aggs).collect()[0]  # ONE row of scalars, bounded
+
+    spark = flags.sparkSession
+    out_rows = []
+    for a, b in pairs:
+        key = f"{a}__{b}"
+        out_rows.append(
+            (
+                a,
+                b,
+                int(row[f"bk_{key}"] or 0),
+                int(row[f"da_{key}"] or 0),
+                int(row[f"db_{key}"] or 0),
+                int(row[f"dd_{key}"] or 0),
+            )
+        )
+    out = spark.createDataFrame(
+        out_rows,
+        "gate_a string, gate_b string, n_both_keep bigint, "
+        "n_drop_a_only bigint, n_drop_b_only bigint, n_both_drop bigint",
+    )
+    denom = (
+        F.col("n_drop_a_only") + F.col("n_drop_b_only") + F.col("n_both_drop")
+    )
+    return out.withColumn(
+        "drop_jaccard",
+        F.when(denom > 0, F.round(F.col("n_both_drop") / denom, 6)),
+    )

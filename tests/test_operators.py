@@ -4129,3 +4129,49 @@ def test_distinct_ngram_report_detects_mode_collapse(spark):
     glob = {r["n"]: r for r in distinct_ngram_report(docs, ns=(2,)).collect()}
     assert set(glob) == {2}
     assert glob[2]["total_ngrams"] == out[("gen", 2)]["total_ngrams"] + out[("human", 2)]["total_ngrams"]
+
+
+def test_filter_agreement_contingency(spark):
+    from jsonify2ai_spark.operators.textstats import filter_agreement
+
+    # hand-built flags: a and b agree on everything; c is independent
+    flags = spark.createDataFrame(
+        [
+            (1, True, True, True),
+            (2, True, True, False),
+            (3, False, False, True),
+            (4, False, False, False),
+            (5, True, True, True),
+            (6, False, None, True),  # NULL counts as drop
+        ],
+        "doc_id long, a boolean, b boolean, c boolean",
+    )
+    out = {(r["gate_a"], r["gate_b"]): r.asDict()
+           for r in filter_agreement(flags, ["a", "b", "c"]).collect()}
+    assert len(out) == 6  # 3 diagonal + 3 pairs
+
+    ab = out[("a", "b")]
+    assert ab["n_both_keep"] == 3 and ab["n_both_drop"] == 3
+    assert ab["n_drop_a_only"] == 0 and ab["n_drop_b_only"] == 0
+    assert ab["drop_jaccard"] == 1.0  # redundant gates
+
+    ac = out[("a", "c")]
+    assert ac["n_both_keep"] == 2 and ac["n_both_drop"] == 1
+    assert ac["n_drop_a_only"] == 2 and ac["n_drop_b_only"] == 1
+    assert ac["drop_jaccard"] == 0.25
+
+    aa = out[("a", "a")]
+    assert aa["n_both_keep"] == 3 and aa["n_both_drop"] == 3
+    assert aa["n_drop_a_only"] == aa["n_drop_b_only"] == 0
+
+    # all-keep gate pair: no drops anywhere -> NULL jaccard
+    allkeep = spark.createDataFrame(
+        [(1, True, True), (2, True, True)], "doc_id long, x boolean, y boolean"
+    )
+    xy = {(r["gate_a"], r["gate_b"]): r
+          for r in filter_agreement(allkeep, ["x", "y"]).collect()}
+    assert xy[("x", "y")]["drop_jaccard"] is None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        filter_agreement(flags, [])
