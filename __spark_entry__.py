@@ -2501,6 +2501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_decontaminate_multi": q142_decontaminate_multi,  # NEW r13: multi-suite contamination matrix
         "q143_distinct_ngrams": q143_distinct_ngrams,  # NEW r13: distinct-n diversity per source
         "q144_filter_agreement": q144_filter_agreement,  # NEW r13: quality-gate agreement matrix
+        "q145_best_of_n": q145_best_of_n,  # NEW r13: rejection-sampling winner selection
+        "q146_soft_dedup": q146_soft_dedup,  # NEW r13: SoftDeDup commonness reweighting
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -3768,6 +3770,40 @@ def q144_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("gopher", F.coalesce("gopher", F.lit(False)))
     )
     return filter_agreement(flags, ["alpha", "gopher", "quality"])
+
+
+def q145_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection-sampling winner selection (operators/sft.py best_of_n,
+    NEW r13 — Llama 2 §3.2.2): documents grouped into 40 synthetic
+    prompts (doc_id%40), scored by the q37 quality heuristic; the
+    highest-scoring candidate per prompt survives with its runner-up
+    margin and candidate count. One prompt-keyed window pass; the
+    oracle is the window twin (score desc, response asc tie rule)."""
+    from jsonify2ai_spark.operators.sft import best_of_n
+    from jsonify2ai_spark.operators.textstats import quality_score
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cands = docs.select(
+        (F.col("doc_id") % 40).alias("prompt_id"),
+        F.concat(F.lit("q"), (F.col("doc_id") % 40)).alias("prompt"),
+        F.col("text").alias("response"),
+        quality_score("text").alias("score"),
+    )
+    return best_of_n(cands)
+
+
+def q146_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup commonness reweighting (operators/dedup.py
+    soft_dedup_weights, NEW r13 — He et al. 2024): per-doc geometric
+    mean of shingle document frequencies (4dp) -> weight ∝ c^-1
+    normalized to mean 1 (6dp). Keeps duplicates but stops them
+    dominating the gradient — the soft face of the q15/q17 hard-dedup
+    family. Oracle replays the shingle df rollup, the rounded
+    commonness, and the mean normalization."""
+    from jsonify2ai_spark.operators.dedup import soft_dedup_weights
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return soft_dedup_weights(docs, beta=1.0)
 
 
 def _dd_prep_report_sql(
@@ -6849,6 +6885,56 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT * FROM a3)
         """,
         "q144_filter_agreement": _dd_filter_agreement_sql(),
+        # q145 twin: the window recipe (score desc, response asc),
+        # winner + runner-up margin + candidate count in one sort
+        "q145_best_of_n": f"""
+            WITH cand AS (
+              SELECT doc_id % 40 AS prompt_id,
+                     'q' || CAST(doc_id % 40 AS VARCHAR) AS prompt,
+                     text AS response,
+                     {_dd_prep_fragments()[0]} AS score
+              FROM documents
+            ), ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY prompt_id
+                        ORDER BY score DESC, response ASC) AS rn,
+                     lead(score) OVER (PARTITION BY prompt_id
+                        ORDER BY score DESC, response ASC) AS ru,
+                     count(*) OVER (PARTITION BY prompt_id) AS n_candidates
+              FROM cand
+            )
+            SELECT prompt_id, prompt, response, score,
+                   CAST(n_candidates AS BIGINT) AS n_candidates,
+                   round(score - ru, 6) AS margin
+            FROM ranked WHERE rn = 1
+        """,
+        # q146 twin: distinct-per-doc shingles (the q15/q17 construction),
+        # shingle df rollup, geometric-mean commonness at 4dp, weight
+        # from the ROUNDED commonness normalized to mean 1 at 6dp
+        "q146_soft_dedup": f"""
+            WITH ex AS (
+              SELECT doc_id, sh
+              FROM (SELECT doc_id, unnest({_dd_shingles("text", 3)}) AS sh
+                    FROM documents)
+              WHERE sh <> ''
+            ), dfreq AS (
+              SELECT sh, count(*) AS dfq FROM ex GROUP BY 1
+            ), per_doc AS (
+              SELECT e.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_shingles,
+                     round(exp(avg(ln(d.dfq))), 4) AS commonness
+              FROM ex e JOIN dfreq d USING (sh) GROUP BY 1
+            ), normd AS (
+              SELECT *, pow(commonness, -1.0) AS raw FROM per_doc
+            ), m AS (
+              SELECT avg(raw) AS mraw FROM normd
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   p.commonness,
+                   round(p.raw / m.mraw, 6) AS weight
+            FROM documents d LEFT JOIN normd p USING (doc_id) CROSS JOIN m
+        """,
         # q134 twin: q108's reference-ppl CTE, then the CCNet band split
         # — cumulative mass over the DISTINCT 4dp-ppl frame, cut_k =
         # min(ppl | cdf >= k/3), ties share a band via the <= rule

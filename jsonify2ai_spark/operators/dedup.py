@@ -2268,3 +2268,59 @@ def decontamination_report(
             ),
         )
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    beta: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """SoftDeDup-style commonness reweighting (He et al. 2024): instead
+    of DROPPING near-duplicate content, down-weight it in the sampling /
+    loss schedule — per document, ``commonness`` = geometric mean of its
+    distinct shingles' corpus document frequency (4dp), and ``weight``
+    proportional to commonness^-beta, normalized to MEAN 1 over the
+    weighted docs (6dp) so plugging the column into the existing mixture
+    machinery leaves total token mass unchanged. A unique document
+    weighs ~max; boilerplate that appears in a thousand docs weighs
+    ~1000^-beta of that. The hard-dedup operators remove copies; this
+    keeps them but stops them dominating the gradient.
+
+    Shape: the q15/q17 shingle explode (distinct per doc by
+    construction), one shingle-keyed df rollup, one join back, one
+    per-doc mean — all partial-aggregated; the normalizing mean attaches
+    as a one-row broadcast. Weight derives from the ROUNDED commonness
+    so cross-engine libm noise cannot reach the 6dp weight. Documents
+    with no shingles (empty text) carry NULL commonness/weight — they
+    have no content to weigh; filter or coalesce downstream.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    ).filter(F.col("sh") != "")
+    dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("dfq"))
+    per_doc = (
+        ex.join(dfreq, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.round(F.exp(F.avg(F.log("dfq"))), 4).alias("commonness"),
+        )
+        .withColumn("_raw", F.pow(F.col("commonness"), F.lit(-float(beta))))
+        # consumed twice (normalizing mean + the join) — checkpoint the
+        # subtree or the explode/df rollup runs once per consumer
+        .localCheckpoint(eager=False)
+    )
+    m = per_doc.agg(F.avg("_raw").alias("_mraw"))
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            "commonness",
+            F.round(F.col("_raw") / F.col("_mraw"), 6).alias("weight"),
+        )
+    )

@@ -476,3 +476,74 @@ def dpo_token_samples(
             F.col("rejected_n_tokens").alias("n_rejected_tokens"),
         )
     )
+
+
+def best_of_n(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    prompt_text_col: str = "prompt",
+    response_col: str = "response",
+    score_col: str = "score",
+    min_score: float | None = None,
+    min_margin: float | None = None,
+) -> DataFrame:
+    """Rejection-sampling SFT assembly (the Llama 2 §3.2.2 recipe /
+    rejection-sampling fine-tuning): keep the single highest-scoring
+    candidate response per prompt as a supervised training row — the
+    sibling of :func:`preference_pairs` when the downstream consumer is
+    SFT rather than DPO (same candidate frame, winner-only output that
+    feeds render_sft_samples directly).
+
+    Output per surviving prompt: ``(prompt_id, prompt, response, score,
+    n_candidates, margin)`` with margin = winner minus runner-up (6dp;
+    NULL for single-candidate prompts — there was no competition).
+    Ranking uses the repo's total order (score desc, response asc) so
+    the winner is deterministic on any engine; a NULL score raises
+    in-plan (the preference_pairs NULL-score contract).
+
+    ``min_score`` drops weak winners (the reward-model floor);
+    ``min_margin`` drops ambiguous wins AND single-candidate prompts
+    (a NULL margin cannot certify the min — require real competition
+    when you ask for separation).
+
+    One prompt-keyed window pass: rank, runner-up (lead), and candidate
+    count share the single sort; no joins, no collect.
+    """
+    sc = F.when(
+        F.col(score_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"best_of_n: NULL in score column {score_col!r} — every "
+                "candidate response must carry a score; drop or impute "
+                "upstream"
+            )
+        ).cast(df.schema[score_col].dataType.simpleString()),
+    ).otherwise(F.col(score_col))
+    w = Window.partitionBy(prompt_col).orderBy(
+        F.col("_sc").desc(), F.col(response_col).asc()
+    )
+    wall = Window.partitionBy(prompt_col)
+    ranked = df.select(
+        F.col(prompt_col),
+        F.col(prompt_text_col),
+        F.col(response_col),
+        sc.alias("_sc"),
+    ).select(
+        "*",
+        F.row_number().over(w).alias("_rn"),
+        F.lead("_sc").over(w).alias("_runner_up"),
+        F.count(F.lit(1)).over(wall).alias("n_candidates"),
+    )
+    out = ranked.filter(F.col("_rn") == 1).select(
+        F.col(prompt_col),
+        F.col(prompt_text_col),
+        F.col(response_col),
+        F.col("_sc").alias(score_col),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.round(F.col("_sc") - F.col("_runner_up"), 6).alias("margin"),
+    )
+    if min_score is not None:
+        out = out.filter(F.col(score_col) >= F.lit(float(min_score)))
+    if min_margin is not None:
+        out = out.filter(F.col("margin") >= F.lit(float(min_margin)))
+    return out

@@ -4175,3 +4175,71 @@ def test_filter_agreement_contingency(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="non-empty"):
         filter_agreement(flags, [])
+
+
+def test_best_of_n_selection(spark):
+    import pytest as _pytest
+
+    from jsonify2ai_spark.operators.sft import best_of_n
+
+    cands = spark.createDataFrame(
+        [
+            (1, "p1", "mediocre answer", 0.5),
+            (1, "p1", "great answer", 0.9),
+            (1, "p1", "bad answer", 0.1),
+            (2, "p2", "only answer", 0.4),
+            (3, "p3", "tie b", 0.7),
+            (3, "p3", "tie a", 0.7),
+        ],
+        "prompt_id long, prompt string, response string, score double",
+    )
+    out = {r["prompt_id"]: r.asDict() for r in best_of_n(cands).collect()}
+    assert out[1]["response"] == "great answer"
+    assert out[1]["n_candidates"] == 3
+    assert abs(out[1]["margin"] - 0.4) < 1e-9
+    assert out[2]["response"] == "only answer" and out[2]["margin"] is None
+    # tie: response asc wins deterministically, margin 0
+    assert out[3]["response"] == "tie a" and out[3]["margin"] == 0.0
+
+    # min_score floors the winner; min_margin drops ties AND singletons
+    floored = {r["prompt_id"] for r in best_of_n(cands, min_score=0.45).collect()}
+    assert floored == {1, 3}
+    separated = {r["prompt_id"] for r in best_of_n(cands, min_margin=0.1).collect()}
+    assert separated == {1}
+
+    # NULL score raises in-plan
+    bad = spark.createDataFrame(
+        [(9, "p", "x", None)], "prompt_id long, prompt string, response string, score double"
+    )
+    with _pytest.raises(Exception, match="NULL in score"):
+        best_of_n(bad).collect()
+
+
+def test_soft_dedup_weights(spark):
+    from jsonify2ai_spark.operators.dedup import soft_dedup_weights
+
+    base = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [(i, base) for i in range(10)]  # 10 exact copies: common content
+    rows += [(100 + i, f"unique document alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+             for i in range(5)]
+    rows.append((999, ""))  # no shingles
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in soft_dedup_weights(docs).collect()}
+    assert len(out) == 16
+    # copies share commonness 10; uniques have commonness 1
+    for i in range(10):
+        assert out[i]["commonness"] == 10.0
+    for i in range(5):
+        assert out[100 + i]["commonness"] == 1.0
+        assert out[100 + i]["weight"] > out[0]["weight"]
+    # copies weigh 1/10th of uniques under beta=1
+    assert abs(out[0]["weight"] * 10 - out[100]["weight"]) < 1e-4
+    # normalization: mean weight over weighted docs = 1
+    ws = [r["weight"] for r in out.values() if r["weight"] is not None]
+    assert abs(sum(ws) / len(ws) - 1.0) < 1e-4
+    # empty doc: no content to weigh
+    assert out[999]["n_shingles"] == 0 and out[999]["weight"] is None
+
+    # beta=0: everything weighs exactly 1
+    flat = soft_dedup_weights(docs.filter("doc_id < 999"), beta=0.0)
+    assert {r["weight"] for r in flat.collect()} == {1.0}
