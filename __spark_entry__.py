@@ -2503,6 +2503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_filter_agreement": q144_filter_agreement,  # NEW r13: quality-gate agreement matrix
         "q145_best_of_n": q145_best_of_n,  # NEW r13: rejection-sampling winner selection
         "q146_soft_dedup": q146_soft_dedup,  # NEW r13: SoftDeDup commonness reweighting
+        "q147_vector_negatives": q147_vector_negatives,  # NEW r13: embedding-space negative mining
+        "q148_epoch_plan": q148_epoch_plan,  # NEW r13: mixture repetition forecast
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -3804,6 +3806,39 @@ def q146_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return soft_dedup_weights(docs, beta=1.0)
+
+
+def q147_vector_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space hard-negative mining (operators/search.py
+    mine_vector_negatives, NEW r13 — the ANCE iteration after q141's
+    lexical round): every %29==1 vector queries with itself as the
+    positive; top-5 cosine negatives per query. The deduped query batch
+    broadcasts into ONE corpus pass (map-side fused-fold cosine,
+    bit-identical to the oracle's sequential fold); the only shuffle is
+    the per-query window. Exact mining baseline — at serving scale the
+    same contract runs against IVFIndex.topk_batch."""
+    from jsonify2ai_spark.operators.search import mine_vector_negatives
+
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    pairs = emb.filter(F.col("vec_id") % 29 == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("vec_id").alias("positive_id"),
+    )
+    return mine_vector_negatives(pairs, emb, k=5)
+
+
+def q148_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained repetition forecast (operators/sampling.py
+    mixture_epoch_plan, NEW r13 — Muennighoff et al. 2023): the q82
+    alpha=0.5 target mixture against a 120k-token training budget —
+    per source planned tokens, epochs seen, and the >4-epoch
+    over-repetition flag. Oracle replays the q82 rollup + the plan
+    arithmetic from the 6dp-rounded p_target."""
+    from jsonify2ai_spark.operators.sampling import mixture_epoch_plan
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return mixture_epoch_plan(docs, token_budget=120_000, alpha=0.5)
 
 
 def _dd_prep_report_sql(
@@ -6934,6 +6969,54 @@ def oracle_sql() -> dict[str, str]:
                    p.commonness,
                    round(p.raw / m.mraw, 6) AS weight
             FROM documents d LEFT JOIN normd p USING (doc_id) CROSS JOIN m
+        """,
+        # q147 twin: query batch x corpus brute-force cosine (the
+        # bit-parity sequential fold), self-positive excluded, ranked cut
+        "q147_vector_negatives": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id % 29 = 1
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                     {_dd_cosine("e.embedding", "q.qv")} AS s
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.query_id
+            ), ranked AS (
+              SELECT query_id, vec_id, s,
+                     row_number() OVER (PARTITION BY query_id
+                        ORDER BY s DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+                   round(s, 6) AS score
+            FROM ranked WHERE rank <= 5
+        """,
+        # q148 twin: the q82 rollup + plan arithmetic from the
+        # 6dp-rounded p_target against a 120k-token budget
+        "q148_epoch_plan": r"""
+            WITH per_src AS (
+              SELECT source,
+                     CAST(sum(len((CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(text), '\s+') END))) AS BIGINT)
+                         AS n_tokens
+              FROM documents GROUP BY source
+            ), tot AS (
+              SELECT CAST(sum(n_tokens) AS DOUBLE) AS N,
+                     sum(pow(n_tokens, 0.5)) AS Z
+              FROM per_src
+            ), based AS (
+              SELECT source, n_tokens,
+                     round(pow(n_tokens, 0.5) / Z, 6) AS p_target
+              FROM per_src, tot
+            )
+            SELECT source, n_tokens, p_target,
+                   CAST(round(120000.0 * p_target, 0) AS BIGINT) AS planned_tokens,
+                   CASE WHEN n_tokens > 0
+                        THEN round(120000.0 * p_target / n_tokens, 4)
+                   END AS epochs,
+                   coalesce(CASE WHEN n_tokens > 0
+                        THEN round(120000.0 * p_target / n_tokens, 4)
+                   END, 0.0) > 4.0 AS over_repeated
+            FROM based
         """,
         # q134 twin: q108's reference-ppl CTE, then the CCNet band split
         # — cumulative mass over the DISTINCT 4dp-ppl frame, cut_k =

@@ -879,3 +879,46 @@ def excess_loss_select(
         "excess_logprob",
         (F.col("excess_logprob") >= F.col("cut")).alias("selected"),
     )
+
+
+def mixture_epoch_plan(
+    df: DataFrame,
+    token_budget: int,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    source_col: str = "source",
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Data-constrained repetition planning (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): given the alpha-smoothed
+    target mixture (:func:`mixture_weights`) and a TOTAL training token
+    budget, forecast per source how many epochs of its data the model
+    will actually see — ``planned_tokens = budget * p_target`` and
+    ``epochs = planned / n_tokens`` — and flag sources past
+    ``max_epochs`` (the paper's ~4-epoch point where repeated tokens'
+    value decays to near zero). The pre-flight check that catches "this
+    mixture trains 30 epochs of the tiny domain" BEFORE the run, not in
+    the loss curves.
+
+    Derives from mixture_weights' 6dp-rounded p_target so the plan's
+    arithmetic is engine-reproducible; |sources|-sized output, cost is
+    the q82 rollup unchanged.
+    """
+    base = mixture_weights(df, alpha, text_col, source_col)
+    planned = F.round(F.lit(float(token_budget)) * F.col("p_target"), 0)
+    epochs = F.when(
+        F.col("n_tokens") > 0,
+        F.round(
+            F.lit(float(token_budget)) * F.col("p_target") / F.col("n_tokens"), 4
+        ),
+    )
+    return base.select(
+        source_col,
+        "n_tokens",
+        "p_target",
+        planned.cast("bigint").alias("planned_tokens"),
+        epochs.alias("epochs"),
+        (F.coalesce(epochs, F.lit(0.0)) > F.lit(float(max_epochs))).alias(
+            "over_repeated"
+        ),
+    )

@@ -299,3 +299,64 @@ def _similarity_self_join_chunked(
 def normalize_table(df: DataFrame, vector_col: str = "embedding") -> DataFrame:
     """One-time ETL: store unit vectors so serving scores are pure dots."""
     return df.withColumn(vector_col, l2_normalize(vector_col))
+
+
+def mine_vector_negatives(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    positive_id_col: str = "positive_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space hard-negative mining — the ANCE/DPR iteration
+    step that follows lexical mining (textsearch.mine_hard_negatives):
+    once a first-round embedding model exists, the strongest negatives
+    are the corpus vectors CLOSEST to each query under that model,
+    minus the labeled positives. Returns ``(query_id, id, rank, score)``
+    — top-``k`` cosine-similar corpus vectors per query, positives
+    excluded before the rank cut; repeated query_ids with different
+    positives are fine (every listed positive is excluded).
+
+    Shape: the query batch (deduped on query_id) broadcasts into ONE
+    pass over the corpus — scores are map-side ``cosine_similarity``
+    (single fused fold, bit-identical to the oracle), the only shuffle
+    is the per-query top-k window. This is the EXACT mining baseline:
+    at serving corpus sizes, mine against IVFIndex.topk_batch instead
+    and keep this as the recall yardstick (the q25/q69 relationship).
+    """
+    from pyspark.sql import Window
+
+    from jsonify2ai_spark.functions.vectors import cosine_similarity
+
+    q = pairs.groupBy(query_id_col).agg(
+        F.first(query_vec_col).alias("_qv")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_similarity(F.col(vector_col), F.col("_qv")).alias("_s"),
+    )
+    negatives = scored.join(
+        pairs.select(F.col(query_id_col), F.col(positive_id_col).alias(id_col)),
+        [query_id_col, id_col],
+        "left_anti",
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(query_id_col).orderBy(
+            F.col("_s").desc(), F.col(id_col).asc()
+        )
+    )
+    return (
+        negatives.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "rank",
+            F.round("_s", round_to).alias("score"),
+        )
+    )

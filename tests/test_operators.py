@@ -4243,3 +4243,51 @@ def test_soft_dedup_weights(spark):
     # beta=0: everything weighs exactly 1
     flat = soft_dedup_weights(docs.filter("doc_id < 999"), beta=0.0)
     assert {r["weight"] for r in flat.collect()} == {1.0}
+
+
+def test_mine_vector_negatives_parity_and_exclusion(spark):
+    from jsonify2ai_spark.operators.search import knn_brute, mine_vector_negatives
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.7, 0.3, 0.0]),
+        (5, [0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pairs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0], 1), (1, [1.0, 0.0, 0.0], 2)],  # two positives
+        "query_id long, query_vec array<double>, positive_id long",
+    )
+    out = [r.asDict() for r in
+           mine_vector_negatives(pairs, emb, k=2).orderBy("rank").collect()]
+    ids = [r["vec_id"] for r in out]
+    assert 1 not in ids and 2 not in ids  # both positives excluded
+    assert ids == [4, 3]  # cosine order among the rest
+    assert [r["rank"] for r in out] == [1, 2]
+
+    # score parity with the brute-force baseline
+    ref = {r["vec_id"]: r["score"] for r in
+           knn_brute(emb, [1.0, 0.0, 0.0], k=5).collect()}
+    for r in out:
+        assert r["score"] == ref[r["vec_id"]]
+
+
+def test_mixture_epoch_plan_flags(spark):
+    from jsonify2ai_spark.operators.sampling import mixture_epoch_plan
+
+    rows = [(i, "big", "tok " * 100) for i in range(50)]       # 5000+ tokens
+    rows += [(100 + i, "tiny", "tok " * 10) for i in range(2)]  # 20 tokens
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r.asDict()
+           for r in mixture_epoch_plan(docs, token_budget=10_000, alpha=0.5).collect()}
+    # alpha-smoothing hands the tiny source far more than its share:
+    # it must cycle many epochs and be flagged; the big source is not
+    assert out["tiny"]["over_repeated"] and out["tiny"]["epochs"] > 4.0
+    assert not out["big"]["over_repeated"]
+    # plan arithmetic: planned = budget * p_target, epochs = planned/n
+    for s in out:
+        r = out[s]
+        assert abs(r["planned_tokens"] - 10_000 * r["p_target"]) <= 0.5
+        assert abs(r["epochs"] - (10_000 * r["p_target"] / r["n_tokens"])) < 1e-3
