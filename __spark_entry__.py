@@ -2505,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_soft_dedup": q146_soft_dedup,  # NEW r13: SoftDeDup commonness reweighting
         "q147_vector_negatives": q147_vector_negatives,  # NEW r13: embedding-space negative mining
         "q148_epoch_plan": q148_epoch_plan,  # NEW r13: mixture repetition forecast
+        "q149_signal_correlation": q149_signal_correlation,  # NEW r13: quality-signal Pearson matrix
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -3072,6 +3073,61 @@ SELECT gate_a, gate_b, n_both_keep, n_drop_a_only, n_drop_b_only, n_both_drop,
                        / (n_drop_a_only + n_drop_b_only + n_both_drop), 6)
        END AS drop_jaccard
 FROM ({union})
+"""
+
+
+def _dd_signal_corr_sql() -> str:
+    """q149 twin: quality/tokens/alpha signals, per-pair exact-decimal
+    accumulators in ONE aggregate, the fixed-order Pearson formula with
+    4dp rounding and -0.0 canonicalization (round(x,4) + 0.0)."""
+    qual, _, _, _ = _dd_prep_fragments()
+    toks = _DD_TOKENS.format(t="text")
+    alpha = (
+        "round((CASE WHEN length(text) > 0 THEN "
+        "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+        " / length(text) ELSE 0.0 END), 4)"
+    )
+    names = ["alpha", "quality", "tokens"]
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    dec = "DECIMAL(38,18)"
+    agg_cols = []
+    for a, b in pairs:
+        k = f"{a}__{b}"
+        both = f"({a} IS NOT NULL AND {b} IS NOT NULL)"
+        agg_cols += [
+            f"CAST(sum(CASE WHEN {both} THEN 1 ELSE 0 END) AS DOUBLE) AS n_{k}",
+            f"CAST(sum(CAST(CASE WHEN {both} THEN {a} END AS {dec})) AS DOUBLE) AS sa_{k}",
+            f"CAST(sum(CAST(CASE WHEN {both} THEN {b} END AS {dec})) AS DOUBLE) AS sb_{k}",
+            f"CAST(sum(CAST(({a} * {b}) AS {dec})) AS DOUBLE) AS sab_{k}",
+            f"CAST(sum(CAST((CASE WHEN {both} THEN {a} END) * (CASE WHEN {both} THEN {a} END) AS {dec})) AS DOUBLE) AS saa_{k}",
+            f"CAST(sum(CAST((CASE WHEN {both} THEN {b} END) * (CASE WHEN {both} THEN {b} END) AS {dec})) AS DOUBLE) AS sbb_{k}",
+        ]
+    selects = []
+    for a, b in pairs:
+        k = f"{a}__{b}"
+        selects.append(
+            f"""SELECT '{a}' AS signal_a, '{b}' AS signal_b,
+                  CAST(n_{k} AS BIGINT) AS n,
+                  CASE WHEN (sqrt(n_{k} * saa_{k} - sa_{k} * sa_{k})
+                             * sqrt(n_{k} * sbb_{k} - sb_{k} * sb_{k})) > 0
+                       THEN round((n_{k} * sab_{k} - sa_{k} * sb_{k})
+                                  / (sqrt(n_{k} * saa_{k} - sa_{k} * sa_{k})
+                                     * sqrt(n_{k} * sbb_{k} - sb_{k} * sb_{k})),
+                                  4) + 0.0
+                  END AS r
+                FROM agg"""
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH s AS (
+  SELECT {qual} AS quality,
+         CAST(len({toks}) AS DOUBLE) AS tokens,
+         {alpha} AS alpha
+  FROM documents
+), agg AS (
+  SELECT {", ".join(agg_cols)} FROM s
+)
+{union}
 """
 
 
@@ -3839,6 +3895,34 @@ def q148_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return mixture_epoch_plan(docs, token_budget=120_000, alpha=0.5)
+
+
+def q149_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal Pearson matrix (operators/textstats.py
+    signal_correlation, NEW r13): the continuous companion of q144 —
+    quality score vs token count vs alpha-char ratio, all pairs from
+    ONE aggregate scan over exact decimal sums (the _stable_avg
+    discipline; r straddles zero, so the rounded value canonicalizes
+    -0.0). The oracle replays the decimal accumulators and the fixed
+    r-formula expression order."""
+    from jsonify2ai_spark.functions.text import token_count
+    from jsonify2ai_spark.operators.textstats import (
+        quality_score,
+        signal_correlation,
+    )
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    alpha_ratio = F.when(
+        F.length("text") > 0,
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+        / F.length("text"),
+    ).otherwise(F.lit(0.0))
+    sigs = docs.select(
+        quality_score("text").alias("quality"),
+        token_count(F.col("text")).cast("double").alias("tokens"),
+        F.round(alpha_ratio, 4).alias("alpha"),
+    )
+    return signal_correlation(sigs, ["alpha", "quality", "tokens"])
 
 
 def _dd_prep_report_sql(
@@ -7018,6 +7102,7 @@ def oracle_sql() -> dict[str, str]:
                    END, 0.0) > 4.0 AS over_repeated
             FROM based
         """,
+        "q149_signal_correlation": _dd_signal_corr_sql(),
         # q134 twin: q108's reference-ppl CTE, then the CCNet band split
         # — cumulative mass over the DISTINCT 4dp-ppl frame, cut_k =
         # min(ppl | cdf >= k/3), ties share a band via the <= rule

@@ -1734,3 +1734,71 @@ def filter_agreement(
         "drop_jaccard",
         F.when(denom > 0, F.round(F.col("n_both_drop") / denom, 6)),
     )
+
+
+def signal_correlation(
+    df: DataFrame,
+    signal_cols: list[str],
+) -> DataFrame:
+    """Pearson correlation matrix between per-document quality signals —
+    the CONTINUOUS companion of :func:`filter_agreement`: two signals
+    correlating near 1 measure the same thing (drop the expensive one);
+    near 0 they carry independent evidence and both earn their compute.
+    The signal-selection audit a curation pipeline runs before stacking
+    a fifth quality model.
+
+    Output per unordered signal pair (diagonal included):
+    ``(signal_a, signal_b, n, r)`` with ``n`` the count of rows where
+    BOTH signals are non-NULL (pairwise deletion) and ``r`` the Pearson
+    coefficient (4dp; NULL when either signal has zero variance).
+
+    Determinism: every accumulator is an exact DECIMAL(38,18) sum (the
+    _stable_avg discipline — float reassociation across partitions
+    cannot move it), the r formula evaluates in one fixed expression
+    order on both engines, and the rounded value canonicalizes -0.0 to
+    +0.0 (r straddles zero; the r6 q89 byte-hash lesson). ONE corpus
+    scan computes all pairs' sums in a single aggregate (map-side
+    partial, 6 scalars per pair); the reshape reads the checkpointed
+    one-row result, never re-runs the scan.
+    """
+    _DEC = "decimal(38,18)"
+    names = sorted(signal_cols)
+    if not names:
+        raise ValueError("signal_cols must be non-empty")
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    aggs = []
+    for a, b in pairs:
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        key = f"{a}__{b}"
+        va = F.when(both, F.col(a))
+        vb = F.when(both, F.col(b))
+        aggs += [
+            F.sum(F.when(both, F.lit(1)).otherwise(F.lit(0)))
+            .cast("double")
+            .alias(f"n_{key}"),
+            F.sum(va.cast(_DEC)).cast("double").alias(f"sa_{key}"),
+            F.sum(vb.cast(_DEC)).cast("double").alias(f"sb_{key}"),
+            F.sum((F.col(a) * F.col(b)).cast(_DEC))
+            .cast("double")
+            .alias(f"sab_{key}"),
+            F.sum((va * va).cast(_DEC)).cast("double").alias(f"saa_{key}"),
+            F.sum((vb * vb).cast(_DEC)).cast("double").alias(f"sbb_{key}"),
+        ]
+    row = df.agg(*aggs).localCheckpoint(eager=False)
+    out = None
+    for a, b in pairs:
+        key = f"{a}__{b}"
+        n = F.col(f"n_{key}")
+        sa, sb = F.col(f"sa_{key}"), F.col(f"sb_{key}")
+        sab = F.col(f"sab_{key}")
+        saa, sbb = F.col(f"saa_{key}"), F.col(f"sbb_{key}")
+        num = n * sab - sa * sb
+        den = F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        sel = row.select(
+            F.lit(a).alias("signal_a"),
+            F.lit(b).alias("signal_b"),
+            n.cast("bigint").alias("n"),
+            F.when(den > 0, F.round(num / den, 4) + F.lit(0.0)).alias("r"),
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out

@@ -4291,3 +4291,39 @@ def test_mixture_epoch_plan_flags(spark):
         r = out[s]
         assert abs(r["planned_tokens"] - 10_000 * r["p_target"]) <= 0.5
         assert abs(r["epochs"] - (10_000 * r["p_target"] / r["n_tokens"])) < 1e-3
+
+
+def test_signal_correlation(spark):
+    import pytest as _pytest
+
+    from jsonify2ai_spark.operators.textstats import signal_correlation
+
+    rows = [(float(i), float(2 * i + 3), float(-i), 1.0, None if i % 2 else float(i))
+            for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "x double, linear double, anti double, const double, holey double"
+    )
+    out = {(r["signal_a"], r["signal_b"]): r.asDict()
+           for r in signal_correlation(df, ["x", "linear", "anti", "const"]).collect()}
+    assert len(out) == 10
+    assert out[("linear", "x")]["r"] == 1.0      # exact linear
+    assert out[("anti", "x")]["r"] == -1.0       # exact inverse
+    assert out[("x", "x")]["r"] == 1.0           # diagonal
+    assert out[("const", "x")]["r"] is None      # zero variance -> NULL
+    assert out[("linear", "x")]["n"] == 20
+
+    # pairwise deletion: NULLs shrink n for that pair only
+    holey = {(r["signal_a"], r["signal_b"]): r
+             for r in signal_correlation(df, ["holey", "x"]).collect()}
+    assert holey[("holey", "x")]["n"] == 10
+    assert holey[("holey", "x")]["r"] == 1.0     # non-null part is y=x
+    assert holey[("x", "x")]["n"] == 20
+
+    # determinism under repartition (the decimal-sum discipline)
+    again = {(r["signal_a"], r["signal_b"]): r.asDict()
+             for r in signal_correlation(
+                 df.repartition(7), ["x", "linear", "anti", "const"]).collect()}
+    assert again == out
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        signal_correlation(df, [])
