@@ -4327,3 +4327,43 @@ def test_signal_correlation(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         signal_correlation(df, [])
+
+
+def test_best_of_n_feeds_sft_render_chain(spark):
+    """Composition pin: best_of_n winners become 2-turn conversations
+    (user prompt, assistant winner) that render_sft_samples consumes
+    directly — the rejection-sampling -> SFT assembly path is one
+    select away, and the loss-mask spans cover exactly the winner."""
+    from jsonify2ai_spark.operators.sft import best_of_n, render_sft_samples
+
+    cands = spark.createDataFrame(
+        [
+            (1, "what is spark?", "a distributed engine", 0.9),
+            (1, "what is spark?", "no idea", 0.1),
+            (2, "what is duckdb?", "an in-process olap db", 0.8),
+        ],
+        "prompt_id long, prompt string, response string, score double",
+    )
+    winners = best_of_n(cands)
+    turns = winners.selectExpr(
+        "prompt_id AS conv_id", "0 AS turn_idx", "'user' AS role",
+        "prompt AS text",
+    ).union(
+        winners.selectExpr(
+            "prompt_id AS conv_id", "1 AS turn_idx", "'assistant' AS role",
+            "response AS text",
+        )
+    )
+    rendered = {r["conv_id"]: r.asDict()
+                for r in render_sft_samples(turns).collect()}
+    assert len(rendered) == 2
+    for cid, resp in ((1, "a distributed engine"), (2, "an in-process olap db")):
+        r = rendered[cid]
+        assert resp in r["text"] and "no idea" not in r["text"]
+        assert r["n_turns"] == 2 and r["n_mask_turns"] == 1
+        # the single mask span ("start:end" CSV) slices out the winner
+        spans = [tuple(map(int, s.split(":")))
+                 for s in r["mask_spans"].split(",")]
+        assert len(spans) == 1
+        start, end = spans[0]
+        assert r["text"][start:end] == resp

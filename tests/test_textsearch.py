@@ -1142,3 +1142,48 @@ def test_mine_hard_negatives_parity_with_per_query_topk(spark):
     out2 = mine_hard_negatives(pairs2, corpus, k=3)
     ids2 = {r["doc_id"] for r in out2.filter("query_id = 101").collect()}
     assert 1 not in ids2 and 4 not in ids2
+
+
+def test_mine_hard_negatives_matches_standing_index(spark):
+    """The mining contract composes with the serving family: the same
+    negatives fall out of a standing BM25Index's batched serving face
+    (top-k, positives removed) as out of the raw-corpus miner — so a
+    pipeline can mine from whichever artifact it already has."""
+    from jsonify2ai_spark.operators.textsearch import (
+        BM25Index,
+        mine_hard_negatives,
+    )
+
+    rows = [
+        (1, "spark join window merge shuffle"),
+        (2, "spark join broadcast hash"),
+        (3, "window functions over partitions"),
+        (4, "merge sort join spark window"),
+        (5, "totally unrelated prose about cats"),
+        (6, "spark window merge join tricks"),
+        (7, "the cats sat on the mat"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = ["spark join window", "cats mat"]
+    positives = {0: {1}, 1: {7}}
+
+    pairs = spark.createDataFrame(
+        [(0, queries[0], 1), (1, queries[1], 7)],
+        "query_id long, query_text string, positive_id long",
+    )
+    mined = {}
+    for r in mine_hard_negatives(pairs, corpus, k=3).collect():
+        mined.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["bm25"]))
+
+    idx = BM25Index(corpus)
+    try:
+        served = {}
+        for r in idx.topk_batch(queries, k=10).collect():
+            if r["doc_id"] not in positives[r["query_id"]]:
+                served.setdefault(r["query_id"], []).append((r["doc_id"], r["bm25"]))
+        for qid in (0, 1):
+            want = served[qid][:3]
+            got = [(d, s) for _, d, s in sorted(mined[qid])]
+            assert got == want, (qid, got, want)
+    finally:
+        idx.close()
