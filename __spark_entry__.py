@@ -3700,7 +3700,8 @@ def q138_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q139_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot lineage between two corpus versions
-    (operators/lineage.py corpus_diff, NEW r13): old = docs with
+    (operators/inventory.py corpus_diff(include_fingerprints=True) — the
+    q87 operator's lineage face, NEW r13): old = docs with
     doc_id%7 != 3, new = docs with doc_id%7 != 5 where every %11==0 doc
     gained a ' [rev2]' suffix — so added/removed/changed/unchanged are
     all exercised. The diff is one id-keyed full-outer join over
@@ -3709,7 +3710,7 @@ def q139_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog: the watcher's re-ingest/delete reconciliation loop
     (worker/app/watcher.py, services/qdrant_io.py delete) — this is its
     audit face between published snapshots."""
-    from jsonify2ai_spark.operators.lineage import corpus_diff
+    from jsonify2ai_spark.operators.inventory import corpus_diff
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     old = docs.filter(F.col("doc_id") % 7 != 3)
@@ -3719,7 +3720,7 @@ def q139_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
         ).otherwise(F.col("text")),
     )
-    return corpus_diff(old, new)
+    return corpus_diff(old, new, include_fingerprints=True)
 
 
 def q140_excess_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7041,12 +7042,12 @@ def oracle_sql() -> dict[str, str]:
             ), per_doc AS (
               SELECT e.doc_id,
                      CAST(count(*) AS BIGINT) AS n_shingles,
-                     round(exp(avg(ln(d.dfq))), 4) AS commonness
+                     round(exp({_dd_stable_avg("ln(d.dfq)")}), 4) AS commonness
               FROM ex e JOIN dfreq d USING (sh) GROUP BY 1
             ), normd AS (
               SELECT *, pow(commonness, -1.0) AS raw FROM per_doc
             ), m AS (
-              SELECT avg(raw) AS mraw FROM normd
+              SELECT {_dd_stable_avg("raw")} AS mraw FROM normd
             )
             SELECT d.doc_id,
                    CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,

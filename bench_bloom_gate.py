@@ -94,7 +94,7 @@ def main() -> None:
         pool = batch_pool(spark, corpus, max(BATCH_SIZES))
 
         t0 = time.time()
-        # 16 bits/doc -> fp ~0.5% at k=5; bitmap = n_corpus*2 bytes
+        # 16 bits/doc -> fp ~0.14% at k=5; bitmap = n_corpus*2 bytes
         bloom = BloomDedupGate(corpus, m_bits=16 * n_corpus, n_hashes=5)
         bloom_build = round(time.time() - t0, 2)
         t0 = time.time()

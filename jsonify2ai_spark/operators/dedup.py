@@ -2256,9 +2256,20 @@ def decontamination_report(
         docs, benchmarks, n, id_col, text_col, bench_text_col, normalize
     )
     total = docs.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    # every suite gets a row — a CLEAN benchmark's n_contaminated=0 line
+    # is the headline a model card needs, and the hits frame is sparse
+    suites = docs.sparkSession.createDataFrame(
+        [(name,) for name in sorted(benchmarks)], "benchmark string"
+    )
+    rollup = hits.groupBy("benchmark").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contaminated")
+    )
     return (
-        hits.groupBy("benchmark")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+        suites.join(rollup, "benchmark", "left")
+        .withColumn(
+            "n_contaminated",
+            F.coalesce("n_contaminated", F.lit(0)).cast("bigint"),
+        )
         .crossJoin(F.broadcast(total))
         .select(
             "benchmark",
@@ -2291,11 +2302,16 @@ def soft_dedup_weights(
     Shape: the q15/q17 shingle explode (distinct per doc by
     construction), one shingle-keyed df rollup, one join back, one
     per-doc mean — all partial-aggregated; the normalizing mean attaches
-    as a one-row broadcast. Weight derives from the ROUNDED commonness
-    so cross-engine libm noise cannot reach the 6dp weight. Documents
+    as a one-row broadcast. Weight derives from the ROUNDED commonness,
+    and BOTH means (the per-doc log mean and the normalizing mean) use
+    the exact-decimal _stable_avg accumulator — F.avg's float
+    reassociation at a round boundary is the r5 q89 driver flake, and a
+    plain avg here would put it inside the 4dp/6dp outputs. Documents
     with no shingles (empty text) carry NULL commonness/weight — they
     have no content to weigh; filter or coalesce downstream.
     """
+    from jsonify2ai_spark.operators.inventory import _stable_avg
+
     ex = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
     ).filter(F.col("sh") != "")
@@ -2305,14 +2321,14 @@ def soft_dedup_weights(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.round(F.exp(F.avg(F.log("dfq"))), 4).alias("commonness"),
+            F.round(F.exp(_stable_avg(F.log("dfq"))), 4).alias("commonness"),
         )
         .withColumn("_raw", F.pow(F.col("commonness"), F.lit(-float(beta))))
         # consumed twice (normalizing mean + the join) — checkpoint the
         # subtree or the explode/df rollup runs once per consumer
         .localCheckpoint(eager=False)
     )
-    m = per_doc.agg(F.avg("_raw").alias("_mraw"))
+    m = per_doc.agg(_stable_avg(F.col("_raw")).alias("_mraw"))
     return (
         df.select(F.col(id_col))
         .join(per_doc, id_col, "left")

@@ -209,6 +209,7 @@ def corpus_diff(
     new: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    include_fingerprints: bool = False,
 ) -> DataFrame:
     """Corpus VERSION diff: per document id, its status between two corpus
     snapshots — added / removed / changed / unchanged — the audit a
@@ -222,7 +223,13 @@ def corpus_diff(
     so there is no skew hazard and AQE sizes it; both inputs reduce to
     (id, 16-byte fingerprint) projections before the shuffle (no text
     movement). Output is corpus-sized; aggregate downstream if only the
-    counts matter.
+    counts matter (:func:`corpus_diff_summary`).
+
+    ``include_fingerprints=True`` adds the two fingerprint columns
+    (``old_fingerprint``, ``new_fingerprint``, NULL on the absent side)
+    so a lineage consumer can key follow-up work off content identity
+    without re-hashing; the default output stays (id, status) — the q87
+    contract.
     """
     from jsonify2ai_spark.functions.text import normalize_ws
 
@@ -235,7 +242,33 @@ def corpus_diff(
         .when(F.col("_fo") == F.col("_fn"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
+    if include_fingerprints:
+        return j.select(
+            F.col(id_col),
+            F.col("_fo").alias("old_fingerprint"),
+            F.col("_fn").alias("new_fingerprint"),
+            status.alias("status"),
+        )
     return j.select(F.col(id_col), status.alias("status"))
+
+
+def corpus_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The churn card over :func:`corpus_diff`: ``(status, n_docs)`` plus
+    a ``total`` row — the numbers a snapshot publication note carries.
+    5-row-bounded output; the single wide shuffle is the diff's own (the
+    diff subtree is checkpointed — it feeds both the per-status rollup
+    and the total row)."""
+    diff = corpus_diff(old, new, text_col, id_col).localCheckpoint(eager=False)
+    per = diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = diff.agg(
+        F.lit("total").alias("status"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return per.unionByName(total)
 
 
 def embedding_drift(

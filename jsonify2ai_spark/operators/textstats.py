@@ -1696,10 +1696,12 @@ def filter_agreement(
         ]
     )
     aggs = []
-    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
-    for a, b in pairs:
-        pa, pb = F.col(a), F.col(b)
-        key = f"{a}__{b}"
+    # index-based agg keys: name-concatenation keys collide when a flag
+    # name itself contains the separator (review-found)
+    pairs = [(i, j) for i in range(len(names)) for j in range(i, len(names))]
+    for i, j in pairs:
+        pa, pb = F.col(names[i]), F.col(names[j])
+        key = f"{i}_{j}"
         aggs += [
             F.sum((pa & pb).cast("long")).alias(f"bk_{key}"),
             F.sum(((~pa) & pb).cast("long")).alias(f"da_{key}"),
@@ -1710,12 +1712,12 @@ def filter_agreement(
 
     spark = flags.sparkSession
     out_rows = []
-    for a, b in pairs:
-        key = f"{a}__{b}"
+    for i, j in pairs:
+        key = f"{i}_{j}"
         out_rows.append(
             (
-                a,
-                b,
+                names[i],
+                names[j],
                 int(row[f"bk_{key}"] or 0),
                 int(row[f"da_{key}"] or 0),
                 int(row[f"db_{key}"] or 0),
@@ -1765,11 +1767,14 @@ def signal_correlation(
     names = sorted(signal_cols)
     if not names:
         raise ValueError("signal_cols must be non-empty")
-    pairs = [(a, b) for i, a in enumerate(names) for b in names[i:]]
+    # index-based agg keys: name-concatenation keys collide when a
+    # signal name itself contains the separator (review-found)
+    pairs = [(i, j) for i in range(len(names)) for j in range(i, len(names))]
     aggs = []
-    for a, b in pairs:
+    for i, j in pairs:
+        a, b = names[i], names[j]
         both = F.col(a).isNotNull() & F.col(b).isNotNull()
-        key = f"{a}__{b}"
+        key = f"{i}_{j}"
         va = F.when(both, F.col(a))
         vb = F.when(both, F.col(b))
         aggs += [
@@ -1786,8 +1791,9 @@ def signal_correlation(
         ]
     row = df.agg(*aggs).localCheckpoint(eager=False)
     out = None
-    for a, b in pairs:
-        key = f"{a}__{b}"
+    for i, j in pairs:
+        a, b = names[i], names[j]
+        key = f"{i}_{j}"
         n = F.col(f"n_{key}")
         sa, sb = F.col(f"sa_{key}"), F.col(f"sb_{key}")
         sab = F.col(f"sab_{key}")

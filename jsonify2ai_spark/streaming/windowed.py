@@ -2704,9 +2704,15 @@ class BloomDedupGate:
         self._k = int(n_hashes)
         self._text_col = text_col
         self._id_col = id_col
-        fps = corpus.select(
-            _content_fingerprint(F.col(text_col)).alias("_fp")
-        ).distinct()
+        # NULL text -> NULL fingerprint: such rows can never be duplicates
+        # (the anti-join parity contract: NULL never equi-joins), so they
+        # are excluded from the bitmap and bypass the probe (review-found:
+        # NULL positions crashed both the build fold and the probe UDF)
+        fps = (
+            corpus.select(_content_fingerprint(F.col(text_col)).alias("_fp"))
+            .filter(F.col("_fp").isNotNull())
+            .distinct()
+        )
         # exact-verification side: fingerprints clustered on their own
         # value so candidate probes shuffle only the candidates
         self._fps = fps.repartition(F.col("_fp")).persist()
@@ -2767,7 +2773,23 @@ class BloomDedupGate:
             bm = bc.value
 
             def one(ps):
-                a = np.asarray(ps, dtype=np.int64)
+                # NULL fingerprint -> NULL positions: definitely not in
+                # the corpus (parity with the NULL-never-joins baseline).
+                # Arrow delivers NULL elements as None (object array) or
+                # NaN (float array) depending on the batch — guard both.
+                if ps is None:
+                    return False
+                a = np.asarray(ps)
+                if a.dtype == object:
+                    if any(x is None for x in a):
+                        return False
+                    a = a.astype(np.int64)
+                elif a.dtype.kind == "f":
+                    if np.isnan(a).any():
+                        return False
+                    a = a.astype(np.int64)
+                else:
+                    a = a.astype(np.int64)
                 return bool(np.all(bm[a >> 3] & (1 << (a & 7)).astype(np.uint8)))
 
             return pd.Series([one(p) for p in positions], dtype="bool")

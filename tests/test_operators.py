@@ -3968,7 +3968,10 @@ def test_doremi_mixture_weights(spark):
 
 
 def test_corpus_diff_statuses(spark):
-    from jsonify2ai_spark.operators.lineage import corpus_diff, corpus_diff_summary
+    from jsonify2ai_spark.operators.inventory import (
+        corpus_diff,
+        corpus_diff_summary,
+    )
 
     old = spark.createDataFrame(
         [(1, "alpha beta"), (2, "gamma delta"), (3, "kept  as-is"), (4, "gone")],
@@ -3983,7 +3986,8 @@ def test_corpus_diff_statuses(spark):
         ],
         "doc_id long, text string",
     )
-    out = {r["doc_id"]: r.asDict() for r in corpus_diff(old, new).collect()}
+    out = {r["doc_id"]: r.asDict()
+           for r in corpus_diff(old, new, include_fingerprints=True).collect()}
     assert out[1]["status"] == "changed"
     assert out[2]["status"] == "unchanged"  # fingerprint normalizes ws
     assert out[3]["status"] == "unchanged"
@@ -3999,8 +4003,12 @@ def test_corpus_diff_statuses(spark):
 
     # determinism under repartition — join is keyed, statuses stable
     again = {r["doc_id"]: r.asDict() for r in
-             corpus_diff(old.repartition(5), new.repartition(3)).collect()}
+             corpus_diff(old.repartition(5), new.repartition(3),
+                         include_fingerprints=True).collect()}
     assert again == out
+
+    # default output keeps the q87 contract: (id, status) only
+    assert corpus_diff(old, new).columns == ["doc_id", "status"]
 
 
 # ---------------------------------------------------------------------------
@@ -4089,11 +4097,22 @@ def test_decontaminate_multi_matches_per_benchmark(spark):
         multi = {d: c for (d, b), c in hits.items() if b == name}
         assert multi == solo
 
+    # a CLEAN suite must still get its zero row (review-found)
+    benches_plus = dict(
+        benches,
+        clean=spark.createDataFrame(
+            [(0, "completely disjoint benchmark content nine words long total")],
+            "qid long, text string",
+        ),
+    )
     rep = {r["benchmark"]: r.asDict()
-           for r in decontamination_report(docs, benches, n=8).collect()}
+           for r in decontamination_report(docs, benches_plus, n=8).collect()}
+    assert set(rep) == {"suiteA", "suiteB", "clean"}
     assert rep["suiteA"]["n_contaminated"] == 2
     assert rep["suiteB"]["n_contaminated"] == 2
     assert rep["suiteA"]["pct_contaminated"] == 0.5
+    assert rep["clean"]["n_contaminated"] == 0
+    assert rep["clean"]["pct_contaminated"] == 0.0
 
     import pytest as _pytest
     with _pytest.raises(ValueError, match="non-empty"):
@@ -4171,6 +4190,16 @@ def test_filter_agreement_contingency(spark):
     xy = {(r["gate_a"], r["gate_b"]): r
           for r in filter_agreement(allkeep, ["x", "y"]).collect()}
     assert xy[("x", "y")]["drop_jaccard"] is None
+
+    # separator-hostile flag names must not collide (index-keyed aggs)
+    hostile = flags.selectExpr(
+        "doc_id", "a AS `a__b`", "b AS `b__c`", "c AS `a`", "a AS `c`"
+    )
+    h = {(r["gate_a"], r["gate_b"]): r["n_both_keep"]
+         for r in filter_agreement(hostile, ["a", "a__b", "b__c", "c"]).collect()}
+    assert len(h) == 10
+    assert h[("a", "a__b")] == 2   # c-column (aliased 'a') vs a-column
+    assert h[("a__b", "b__c")] == 3  # original a vs original b
 
     import pytest as _pytest
     with _pytest.raises(ValueError, match="non-empty"):

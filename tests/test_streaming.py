@@ -2472,11 +2472,15 @@ def test_bloom_dedup_gate_exact_parity(spark):
         [(i, f"corpus document number {i} about topic {i % 7}") for i in range(40)],
         "doc_id long, text string",
     )
+    corpus = corpus.union(
+        spark.createDataFrame([(777, None)], "doc_id long, text string")
+    )  # NULL text in the corpus must not break the bitmap build
     batch_rows = (
         # 5 verbatim dups + 3 whitespace-reflowed dups (normalize -> dup)
         [(100 + i, f"corpus document number {i} about topic {i % 7}") for i in range(5)]
         + [(200 + i, f"corpus  document   number {i} about topic {i % 7}\n") for i in range(3)]
         + [(300 + i, f"a genuinely novel doc {i}") for i in range(8)]
+        + [(400, None)]  # NULL text: never a dup (NULL never equi-joins)
     )
     batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
 
@@ -2484,7 +2488,7 @@ def test_bloom_dedup_gate_exact_parity(spark):
     try:
         kept = sorted(r["doc_id"] for r in gate.filter_batch(batch).collect())
         ref = sorted(r["doc_id"] for r in _bloom_exact_reference(corpus, batch).collect())
-        assert kept == ref == sorted(300 + i for i in range(8))
+        assert kept == ref == sorted([300 + i for i in range(8)] + [400])
 
         probe = {r["doc_id"]: r.asDict() for r in gate.probe_batch(batch).collect()}
         assert len(probe) == len(batch_rows)
