@@ -2506,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_vector_negatives": q147_vector_negatives,  # NEW r13: embedding-space negative mining
         "q148_epoch_plan": q148_epoch_plan,  # NEW r13: mixture repetition forecast
         "q149_signal_correlation": q149_signal_correlation,  # NEW r13: quality-signal Pearson matrix
+        "q150_cluster_safe_splits": q150_cluster_safe_splits,  # NEW r13: near-dup-cluster split assignment
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -3924,6 +3925,28 @@ def q149_signal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alpha_ratio, 4).alias("alpha"),
     )
     return signal_correlation(sigs, ["alpha", "quality", "tokens"])
+
+
+def q150_cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster-aware split assignment (operators/sampling.py
+    cluster_safe_splits, NEW r13): the q18 LSH pair graph folds into
+    q51's connected components, and the train/val/test hash (the q113
+    md5-bucket layout, 80/10/10, salt 'cluster-v1') keys on the CLUSTER
+    representative — so a paraphrased test doc's near-dup sibling can
+    never sit in train. Oracle = the q51 recursive closure + the q113
+    bucket arithmetic over coalesce(rep, doc_id)."""
+    from jsonify2ai_spark.operators.sampling import cluster_safe_splits
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=_MINHASH_H, bands=_MINHASH_BANDS
+    )
+    return cluster_safe_splits(
+        docs,
+        pairs,
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="cluster-v1",
+    )
 
 
 def _dd_prep_report_sql(
@@ -7104,6 +7127,40 @@ def oracle_sql() -> dict[str, str]:
             FROM based
         """,
         "q149_signal_correlation": _dd_signal_corr_sql(),
+        # q150 twin: q51's recursive closure over the q18 LSH pairs,
+        # reps coalesced to own ids, the q113 md5-bucket split layout
+        # at 80/10/10 with salt 'cluster-v1' keyed on the REP
+        "q150_cluster_safe_splits": f"""
+            WITH RECURSIVE pairs AS (
+                {_dd_minhash_lsh_sql()}
+            ), edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION
+                SELECT b, a FROM pairs
+            ), reach(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.label
+                FROM edges e JOIN reach r ON e.dst = r.node
+            ), cc AS (
+                SELECT node, min(label) AS cluster_rep
+                FROM reach GROUP BY node
+            ), labeled AS (
+                SELECT d.doc_id,
+                       coalesce(cc.cluster_rep, d.doc_id) AS cluster_rep
+                FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+            )
+            SELECT doc_id, cluster_rep,
+                   CASE WHEN bucket < 800000 THEN 'train'
+                        WHEN bucket < 900000 THEN 'val'
+                        WHEN bucket < 1000000 THEN 'test'
+                        ELSE 'train' END AS split
+            FROM (SELECT doc_id, cluster_rep,
+                         CAST('0x' || substr(md5('cluster-v1'
+                              || CAST(cluster_rep AS VARCHAR)), 1, 12) AS BIGINT)
+                             % 1000000 AS bucket
+                  FROM labeled)
+        """,
         # q134 twin: q108's reference-ppl CTE, then the CCNet band split
         # — cumulative mass over the DISTINCT 4dp-ppl frame, cut_k =
         # min(ppl | cdf >= k/3), ties share a band via the <= rule

@@ -922,3 +922,40 @@ def mixture_epoch_plan(
             "over_repeated"
         ),
     )
+
+
+def cluster_safe_splits(
+    df: DataFrame,
+    pairs: DataFrame,
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Near-dup-CLUSTER-aware train/val/test assignment — the leakage
+    control :func:`assign_splits` cannot give alone: that operator keys
+    on content identity, so exact duplicates share a split, but NEAR
+    duplicates carry different fingerprints and can straddle train/test
+    (the classic eval-inflation trap: a paraphrased test document's
+    sibling sits in train). Fold the near-dup pair graph
+    (minhash_lsh_pairs / simhash_pairs / ngram_jaccard_pairs output)
+    into connected components and hash the CLUSTER REPRESENTATIVE: every
+    member of a near-dup cluster lands in the same split by
+    construction; documents in no pair are their own singleton cluster.
+
+    Output: ``(id, cluster_rep, split)`` — assign_splits' stability and
+    NULL-safety guarantees carry over (the rep is never NULL: it
+    coalesces to the document's own id). Cost: the components fold
+    (edge-graph-sized, usually driver-small after LSH contraction) + one
+    id-keyed join + the map-side split projection.
+    """
+    from jsonify2ai_spark.operators.dedup import connected_components
+
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col)
+    labeled = (
+        df.select(F.col(id_col))
+        .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+        .withColumn("cluster_rep", F.coalesce("cluster_rep", F.col(id_col)))
+    )
+    return assign_splits(labeled, "cluster_rep", splits, salt)

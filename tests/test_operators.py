@@ -4396,3 +4396,36 @@ def test_best_of_n_feeds_sft_render_chain(spark):
         assert len(spans) == 1
         start, end = spans[0]
         assert r["text"][start:end] == resp
+
+
+def test_cluster_safe_splits_leakage_free(spark):
+    from jsonify2ai_spark.operators.sampling import (
+        assign_splits,
+        cluster_safe_splits,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(30)], "doc_id long, text string"
+    )
+    # pair graph: {1,2,3} chain transitively; {10,11}; rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in cluster_safe_splits(docs, pairs, salt="t").collect()}
+    assert len(out) == 30
+    # every cluster member shares the rep AND the split
+    assert out[1]["cluster_rep"] == out[2]["cluster_rep"] == out[3]["cluster_rep"] == 1
+    assert out[1]["split"] == out[2]["split"] == out[3]["split"]
+    assert out[10]["cluster_rep"] == out[11]["cluster_rep"] == 10
+    assert out[10]["split"] == out[11]["split"]
+    # singletons are their own cluster and match plain assign_splits
+    plain = {r["doc_id"]: r["split"] for r in assign_splits(
+        docs.select("doc_id"), "doc_id", salt="t").collect()}
+    for i in range(30):
+        if i not in (2, 3, 11):
+            assert out[i]["cluster_rep"] == i
+            assert out[i]["split"] == plain[i]
+    # a near-dup member may MOVE relative to doc-keyed assignment (it
+    # follows its rep) — that movement is exactly the leakage fix
+    assert out[2]["split"] == plain[1] and out[3]["split"] == plain[1]
