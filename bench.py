@@ -89,6 +89,15 @@ def main() -> int:
     # one-time codegen compile + Python-worker spinup (measured in PERF.md), a
     # fixed cost that is noise at bench scale and nonexistent at real scale;
     # extra runs also absorb transient co-tenant contention (the q17 r3 story).
+    # Wall budget: the driver runs this script under a hard timeout (580 s),
+    # and min-of-3 over a growing suite eventually exceeds it (at 149
+    # queries a 3-run pass is ~750 s on a warm machine — the whole bench
+    # would record NOTHING). Once elapsed wall passes the budget, remaining
+    # queries drop to single-run (every query still measured and present in
+    # the summary; BENCH_RUNS.json shows per-query run counts, so a
+    # degraded pass is visible, not silent).
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "450"))
+    bench_start = time.time()
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     total = 0.0
@@ -96,7 +105,9 @@ def main() -> int:
     for name, fn in entry_mod.queries().items():
         runs = []
         try:
-            for _ in range(n_runs):
+            for i in range(n_runs):
+                if i > 0 and (time.time() - bench_start) > budget_s:
+                    break  # keep first-run coverage for every query
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
