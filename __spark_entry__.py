@@ -2507,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_epoch_plan": q148_epoch_plan,  # NEW r13: mixture repetition forecast
         "q149_signal_correlation": q149_signal_correlation,  # NEW r13: quality-signal Pearson matrix
         "q150_cluster_safe_splits": q150_cluster_safe_splits,  # NEW r13: near-dup-cluster split assignment
+        "q151_semantic_mixture": q151_semantic_mixture,  # NEW r13: domain-discovery mixture
         # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
         "q103_squeeze_lines": q103_squeeze_lines,
         "q104_build_vocab": q104_build_vocab,
@@ -3946,6 +3947,22 @@ def q150_cluster_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs,
         splits={"train": 0.8, "val": 0.1, "test": 0.1},
         salt="cluster-v1",
+    )
+
+
+def q151_semantic_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-discovery mixture (operators/sampling.py
+    semantic_domain_mixture, NEW r13): the q133 hyperplane bucketing
+    (3 md5-planes, seed 'domains-v1' -> 8 discovered domains over the
+    embedding column) feeding the q82 alpha=0.5 mixture arithmetic —
+    unsupervised DoReMi-style reweighting when source labels are absent
+    or untrusted. Oracle = the q133 plane-matrix replay + the q82
+    rollup grouped by the discovered bucket."""
+    from jsonify2ai_spark.operators.sampling import semantic_domain_mixture
+
+    t = load_tables(spark, sf_dir, ["documents", "embeddings"])
+    return semantic_domain_mixture(
+        t["documents"], t["embeddings"], alpha=0.5, n_bits=3
     )
 
 
@@ -7160,6 +7177,36 @@ def oracle_sql() -> dict[str, str]:
                               || CAST(cluster_rep AS VARCHAR)), 1, 12) AS BIGINT)
                              % 1000000 AS bucket
                   FROM labeled)
+        """,
+        # q151 twin: the q133 hyperplane bucketing (seed 'domains-v1',
+        # 3 planes) + the q82 mixture arithmetic over the buckets
+        "q151_semantic_mixture": r"""
+            WITH b AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN dot >= 0 THEN (1 << i) ELSE 0 END)
+                          AS BIGINT) AS domain
+              FROM (
+                SELECT vec_id, i,
+                       round(list_sum(list_transform(range(1, 65),
+                         j -> embedding[j] * ((CAST('0x' || substr(md5('domains-v1|' || CAST(i AS VARCHAR) || '|' || CAST(j-1 AS VARCHAR)), 1, 12) AS BIGINT) % 2001 - 1000) / 1000.0))), 6) AS dot
+                FROM embeddings, range(3) t(i)
+              ) GROUP BY vec_id
+            ), per_src AS (
+              SELECT b.domain,
+                     CAST(sum(len((CASE WHEN length(trim(d.text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex(trim(d.text), '\s+') END))) AS BIGINT)
+                         AS n_tokens
+              FROM documents d JOIN b ON d.doc_id = b.vec_id
+              GROUP BY b.domain
+            ), tot AS (
+              SELECT CAST(sum(n_tokens) AS DOUBLE) AS N,
+                     sum(pow(n_tokens, 0.5)) AS Z
+              FROM per_src
+            )
+            SELECT domain, n_tokens,
+                   round(n_tokens / N, 6) AS p_corpus,
+                   round(pow(n_tokens, 0.5) / Z, 6) AS p_target,
+                   round((pow(n_tokens, 0.5) / Z) / (n_tokens / N), 6) AS weight
+            FROM per_src, tot
         """,
         # q134 twin: q108's reference-ppl CTE, then the CCNet band split
         # — cumulative mass over the DISTINCT 4dp-ppl frame, cut_k =

@@ -959,3 +959,48 @@ def cluster_safe_splits(
         .withColumn("cluster_rep", F.coalesce("cluster_rep", F.col(id_col)))
     )
     return assign_splits(labeled, "cluster_rep", splits, salt)
+
+
+def semantic_domain_mixture(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    alpha: float = 0.5,
+    n_bits: int = 3,
+    dim: int = 64,
+    seed: str = "domains-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Domain-DISCOVERY mixture: the q82/mixture_weights recipe when the
+    corpus has no trustworthy source labels (one giant crawl bucket, or
+    labels that lie): domains are DISCOVERED by hyperplane-bucketing the
+    embedding column (packing.semantic_pack_groups — 2**n_bits buckets
+    from deterministic md5-planes, dots 6dp-rounded before the sign
+    test, so the bucketing is engine-replayable), then the
+    alpha-smoothed target mixture computes over the discovered domains
+    exactly as over source labels. The unsupervised face of DoReMi-style
+    reweighting: semantic neighborhoods get tail-up-weighted without
+    anyone having labeled them.
+
+    Output: ``(domain, n_tokens, p_corpus, p_target, weight)`` —
+    2**n_bits rows, plug into weighted_interleave / sample_to_token_
+    budget like any source mixture. Cost: the bucketing is map-side
+    Column arithmetic on the embeddings; one id-keyed join attaches
+    buckets to text; then mixture_weights' single token rollup.
+    """
+    from jsonify2ai_spark.operators.packing import semantic_pack_groups
+
+    buckets = semantic_pack_groups(
+        embeddings,
+        vector_col=vector_col,
+        n_bits=n_bits,
+        dim=dim,
+        seed=seed,
+        out_col="domain",
+    )
+    joined = docs.select(F.col(id_col), F.col(text_col)).join(
+        buckets.select(F.col(vec_id_col).alias(id_col), "domain"), id_col
+    )
+    return mixture_weights(joined, alpha, text_col, "domain")

@@ -4429,3 +4429,46 @@ def test_cluster_safe_splits_leakage_free(spark):
     # a near-dup member may MOVE relative to doc-keyed assignment (it
     # follows its rep) — that movement is exactly the leakage fix
     assert out[2]["split"] == plain[1] and out[3]["split"] == plain[1]
+
+
+def test_semantic_domain_mixture(spark):
+    from jsonify2ai_spark.operators.sampling import (
+        mixture_weights,
+        semantic_domain_mixture,
+    )
+
+    # two well-separated embedding clusters; cluster B has far fewer tokens
+    rows, vecs = [], []
+    for i in range(12):
+        rows.append((i, "alpha " * 50))            # big domain
+        vecs.append((i, [1.0] * 8 + [0.0] * 56))
+    for i in range(12, 16):
+        rows.append((i, "beta " * 5))              # tail domain
+        vecs.append((i, [-1.0] * 8 + [0.0] * 56))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    out = semantic_domain_mixture(docs, emb, alpha=0.5, n_bits=2)
+    got = {r["domain"]: r.asDict() for r in out.collect()}
+    # opposite vectors cannot share a bucket (every plane flips sign
+    # unless its dot rounds to exactly 0), so >= 2 discovered domains
+    assert len(got) >= 2
+    # total token mass conserved across discovered domains
+    assert sum(r["n_tokens"] for r in got.values()) == 12 * 50 + 4 * 5
+    # alpha-smoothing up-weights the tail domain (weight > 1), shrinks
+    # the dominant one — same invariant as labeled mixture_weights
+    tail = min(got.values(), key=lambda r: r["n_tokens"])
+    big = max(got.values(), key=lambda r: r["n_tokens"])
+    assert tail["weight"] > 1.0 > big["weight"]
+
+    # label-parity: with the buckets as labels, mixture_weights agrees
+    from jsonify2ai_spark.operators.packing import semantic_pack_groups
+
+    lab = docs.join(
+        semantic_pack_groups(emb, n_bits=2, out_col="domain", seed="domains-v1")
+        .selectExpr("vec_id AS doc_id", "domain"),
+        "doc_id",
+    )
+    ref = {r["domain"]: r.asDict()
+           for r in mixture_weights(lab, 0.5, "text", "domain").collect()}
+    assert ref == got
