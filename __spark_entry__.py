@@ -2477,11 +2477,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # COVERAGE.md ledger.
     return {
         # --- new this round (policy (a): first driver row gates) ---
-        # NOTE (r13 continuation): q132-q137 joined mid-round, so the
-        # gate's first 50 now carries 12 never-green rows + the 24
-        # mandatory r10-greens + the 14 oldest r11-greens; the 12 r11
-        # rows they displaced moved to the tail head and are r14 debt
-        # alongside the block already listed below.
+        # NOTE (r13 continuation): the mid-round additions (q126-q151)
+        # grew the never-green block to 26 rows, which with the 24
+        # mandatory r10-greens fills the first 50 EXACTLY — every r11
+        # row is displaced to the tail head and is r14 debt. The gate is
+        # at capacity: one more oracle-gated query would evict a
+        # mandatory r10 row (3-round staleness violation next round), so
+        # round-13 oracle additions STOP at q151; later r13 operators
+        # must be pytest-covered classes (the sink/streaming convention)
+        # or wait for the r14 rotation.
         "q126_sft_tokens": q126_sft_tokens,  # NEW r13: token-space SFT loss masks
         "q127_media_store_audit": q127_media_store_audit,  # NEW r13: media store health card
         "q128_bm25_impact": q128_bm25_impact,  # NEW r13: impact-ordered BM25 serving
