@@ -2905,3 +2905,170 @@ class BloomDedupGate:
     def close(self) -> None:
         self._fps.unpersist()
         self._bc.destroy()
+
+
+class CommonnessGate:
+    """Streaming face of SoftDeDup commonness reweighting
+    (:func:`~jsonify2ai_spark.operators.dedup.soft_dedup_weights` —
+    q146's oracle-verified arithmetic): the reference corpus's shingle
+    document frequencies fit ONCE into a persisted, shingle-clustered
+    table plus one normalization scalar, then every trigger's documents
+    score against the FROZEN model — a doc whose shingles the corpus
+    has seen a thousand times is common (low weight), novel content
+    weighs ~max.
+
+    A batch doc's commonness = geometric mean over its distinct
+    shingles of (corpus df + 1) — the ``+1`` counts the document
+    itself, so a doc that exactly duplicates a corpus doc with k copies
+    reads commonness k+1, exactly what the batch operator would assign
+    had it been appended; a fully novel doc reads 1.0. Weight =
+    commonness^-beta normalized by the FROZEN corpus mean (the batch
+    operator's own normalizer), so streaming weights are comparable
+    with the q146 column across the whole run.
+
+    Modes (the DSIRGate/PerplexityGate convention):
+    - ``min_weight=None`` (default): ANNOTATE — ``kind='rewrite'``,
+      appends ``dup_weight`` (and ``commonness``) to every row;
+      shingle-less docs annotate NULL.
+    - ``min_weight=<float>``: THIN — ``kind='filter'``; keep a doc iff
+      its 6dp weight >= the floor (drop the most-duplicated content
+      instead of loss-weighting it). Stateless and deterministic, so a
+      replayed batch keeps exactly the same rows.
+
+    Per-trigger cost: one batch shingle explode, one join against the
+    persisted df table CUT TO BATCH SIZE first (the batch's distinct
+    shingles broadcast into a semi-join — the CorpusNearDupGate r6
+    lesson, so the corpus-sized table contributes a memory-speed probe,
+    never a per-trigger reshuffle), one per-doc stable-decimal mean.
+    Model side is corpus-sized ONCE; ``save``/``load`` warm-restarts.
+    """
+
+    def __init__(
+        self,
+        corpus: DataFrame,
+        beta: float = 1.0,
+        min_weight: float | None = None,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        shingle_n: int = 3,
+    ) -> None:
+        from jsonify2ai_spark.operators.dedup import shingles
+        from jsonify2ai_spark.operators.inventory import _stable_avg
+
+        self._beta = float(beta)
+        self._min_weight = min_weight
+        self._text_col = text_col
+        self._id_col = id_col
+        self._shingle_n = shingle_n
+        self.kind = "filter" if min_weight is not None else "rewrite"
+        self.rewritten_col = "dup_weight"
+
+        ex = corpus.select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+        ).filter(F.col("sh") != "")
+        self._dfreq = (
+            ex.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("dfq"))
+            .repartition(F.col("sh"))
+            .persist()
+        )
+        self._dfreq.count()
+        # the batch operator's normalizer, frozen: mean over the corpus
+        # of commonness^-beta (commonness at its 4dp rounding point)
+        per_doc = (
+            ex.join(self._dfreq, "sh")
+            .groupBy(id_col)
+            .agg(F.round(F.exp(_stable_avg(F.log("dfq"))), 4).alias("c"))
+        )
+        row = per_doc.agg(
+            _stable_avg(F.pow(F.col("c"), F.lit(-self._beta))).alias("m")
+        ).collect()[0]
+        self._mraw = float(row["m"]) if row["m"] is not None else None
+
+    def _scored(self, batch: DataFrame) -> DataFrame:
+        from jsonify2ai_spark.operators.dedup import shingles
+        from jsonify2ai_spark.operators.inventory import _stable_avg
+
+        idc = self._id_col
+        ex = batch.select(
+            F.col(idc),
+            F.explode(shingles(F.col(self._text_col), self._shingle_n)).alias("sh"),
+        ).filter(F.col("sh") != "")
+        batch_sh = ex.select("sh").distinct()
+        touched = self._dfreq.join(F.broadcast(batch_sh), "sh", "left_semi")
+        joined = ex.join(touched, "sh", "left").withColumn(
+            "dfq", F.coalesce("dfq", F.lit(0))
+        )
+        per_doc = joined.groupBy(idc).agg(
+            F.round(
+                F.exp(_stable_avg(F.log(F.col("dfq") + F.lit(1)))), 4
+            ).alias("commonness")
+        )
+        w = F.round(
+            F.pow(F.col("commonness"), F.lit(-self._beta)) / F.lit(self._mraw),
+            6,
+        ) if self._mraw else F.lit(None).cast("double")
+        return per_doc.withColumn("dup_weight", w)
+
+    def annotate_batch(self, batch: DataFrame) -> DataFrame:
+        """Every batch row + (commonness, dup_weight); NULL for
+        shingle-less docs."""
+        return batch.join(self._scored(batch), self._id_col, "left")
+
+    def filter_batch(self, batch: DataFrame) -> DataFrame:
+        if self._min_weight is None:
+            return self.annotate_batch(batch)
+        keep = self._scored(batch).filter(
+            F.col("dup_weight") >= F.lit(float(self._min_weight))
+        )
+        return batch.join(
+            keep.select(self._id_col), self._id_col, "left_semi"
+        )
+
+    def foreach_batch(self, append):
+        def _fn(batch: DataFrame, batch_id: int) -> None:
+            append(self.filter_batch(batch), batch_id)
+
+        return _fn
+
+    def save(self, path: str) -> None:
+        spark = self._dfreq.sparkSession
+        self._dfreq.write.mode("overwrite").parquet(f"{path}/dfreq")
+        spark.createDataFrame(
+            [
+                (
+                    self._beta,
+                    self._min_weight,
+                    self._text_col,
+                    self._id_col,
+                    self._shingle_n,
+                    self._mraw,
+                )
+            ],
+            "beta double, min_weight double, text_col string, id_col string, "
+            "shingle_n int, mraw double",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "CommonnessGate":
+        meta = spark.read.parquet(f"{path}/meta").first()
+        obj = cls.__new__(cls)
+        obj._beta = float(meta["beta"])
+        obj._min_weight = (
+            float(meta["min_weight"]) if meta["min_weight"] is not None else None
+        )
+        obj._text_col = meta["text_col"]
+        obj._id_col = meta["id_col"]
+        obj._shingle_n = int(meta["shingle_n"])
+        obj._mraw = float(meta["mraw"]) if meta["mraw"] is not None else None
+        obj.kind = "filter" if obj._min_weight is not None else "rewrite"
+        obj.rewritten_col = "dup_weight"
+        obj._dfreq = (
+            spark.read.parquet(f"{path}/dfreq").repartition(F.col("sh")).persist()
+        )
+        obj._dfreq.count()
+        return obj
+
+    def close(self) -> None:
+        self._dfreq.unpersist()

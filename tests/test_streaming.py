@@ -2559,3 +2559,69 @@ def test_bloom_dedup_gate_save_load_and_foreach(spark, tmp_path):
         assert seen == {17: [901]}
     finally:
         loaded.close()
+
+
+# ---------------------------------------------------------------------------
+# CommonnessGate (streaming SoftDeDup reweighting)
+# ---------------------------------------------------------------------------
+
+
+def test_commonness_gate_annotate_and_thin(spark, tmp_path):
+    from jsonify2ai_spark.streaming.windowed import CommonnessGate
+
+    common = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [(i, common) for i in range(4)]
+        + [(100 + i, f"unique corpus doc alpha{i} beta{i} gamma{i} delta{i} eps{i}")
+           for i in range(8)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(900, common),                      # exact copy of the 4x doc
+         (901, "completely novel material never seen here before at all"),
+         (902, "")],                         # shingle-less
+        "doc_id long, text string",
+    )
+
+    gate = CommonnessGate(corpus, beta=1.0)
+    try:
+        assert gate.kind == "rewrite" and gate.rewritten_col == "dup_weight"
+        out = {r["doc_id"]: r.asDict()
+               for r in gate.annotate_batch(batch).collect()}
+        assert len(out) == 3
+        # a copy of the 4x corpus doc reads commonness 4+1 (the +1 is
+        # the doc itself — what the batch operator would assign appended)
+        assert out[900]["commonness"] == 5.0
+        # fully novel: every shingle df 0 -> +1 -> geometric mean 1
+        assert out[901]["commonness"] == 1.0
+        assert out[901]["dup_weight"] > out[900]["dup_weight"] > 0
+        assert out[902]["commonness"] is None and out[902]["dup_weight"] is None
+
+        # thin mode drops the common doc, keeps the novel one; the
+        # shingle-less doc has no weight and drops (no score, no row)
+        floor = (out[900]["dup_weight"] + out[901]["dup_weight"]) / 2
+        p = str(tmp_path / "cgate")
+        gate.save(p)
+    finally:
+        gate.close()
+
+    thin = CommonnessGate.load(spark, p)
+    try:
+        # loaded gate scores identically
+        again = {r["doc_id"]: r["dup_weight"]
+                 for r in thin.annotate_batch(batch).collect()}
+        assert again[900] == out[900]["dup_weight"]
+        assert again[901] == out[901]["dup_weight"]
+    finally:
+        thin.close()
+
+    gate2 = CommonnessGate(corpus, beta=1.0, min_weight=floor)
+    try:
+        assert gate2.kind == "filter"
+        kept = sorted(r["doc_id"] for r in gate2.filter_batch(batch).collect())
+        assert kept == [901]
+        # replay determinism (at-least-once hygiene)
+        again2 = sorted(r["doc_id"] for r in gate2.filter_batch(batch).collect())
+        assert again2 == kept
+    finally:
+        gate2.close()
