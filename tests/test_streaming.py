@@ -2625,3 +2625,40 @@ def test_commonness_gate_annotate_and_thin(spark, tmp_path):
         assert again2 == kept
     finally:
         gate2.close()
+
+
+def test_commonness_gate_joins_prep_chain(spark):
+    """CommonnessGate's filter mode slots into StreamingPrepChain like
+    any other filter gate — duplicated-content rows drop in-chain, and
+    downstream gates see only survivors."""
+    from jsonify2ai_spark.streaming.windowed import (
+        CommonnessGate,
+        DecontaminationGate,
+        StreamingPrepChain,
+    )
+
+    common = "repeated corpus sentence appearing many times over again verbatim"
+    corpus = spark.createDataFrame(
+        [(i, common) for i in range(6)]
+        + [(50 + i, f"singular doc number {i} content words here now then") for i in range(6)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("benchmark leak sentence must never appear in the training data",)],
+        "text string",
+    )
+    gate = CommonnessGate(corpus, min_weight=1.0)
+    chain = StreamingPrepChain([gate, DecontaminationGate(bench, n=8)])
+    batch = spark.createDataFrame(
+        [
+            (900, common),  # too common -> dropped by the commonness gate
+            (901, "benchmark leak sentence must never appear in the training data"),
+            (902, "a fresh document with plainly novel running text inside"),
+        ],
+        "doc_id long, text string",
+    )
+    try:
+        kept = sorted(r["doc_id"] for r in chain.filter_batch(batch).collect())
+        assert kept == [902]
+    finally:
+        gate.close()
