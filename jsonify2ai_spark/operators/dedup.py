@@ -2312,9 +2312,16 @@ def soft_dedup_weights(
     """
     from jsonify2ai_spark.operators.inventory import _stable_avg
 
-    ex = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
-    ).filter(F.col("sh") != "")
+    ex = (
+        df.select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+        .filter(F.col("sh") != "")
+        # consumed twice (df rollup + the join back) — checkpoint or the
+        # tokenize/explode runs once per consumer
+        .localCheckpoint(eager=False)
+    )
     dfreq = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("dfq"))
     per_doc = (
         ex.join(dfreq, "sh")

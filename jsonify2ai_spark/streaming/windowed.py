@@ -2963,10 +2963,16 @@ class CommonnessGate:
         self.kind = "filter" if min_weight is not None else "rewrite"
         self.rewritten_col = "dup_weight"
 
-        ex = corpus.select(
-            F.col(id_col),
-            F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
-        ).filter(F.col("sh") != "")
+        ex = (
+            corpus.select(
+                F.col(id_col),
+                F.explode(shingles(F.col(text_col), shingle_n)).alias("sh"),
+            )
+            .filter(F.col("sh") != "")
+            # consumed twice (the df rollup + the normalizer's per-doc
+            # join) — checkpoint so the corpus tokenizes once at build
+            .localCheckpoint(eager=False)
+        )
         self._dfreq = (
             ex.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("dfq"))
