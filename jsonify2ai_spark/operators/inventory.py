@@ -233,13 +233,25 @@ def corpus_diff(
     """
     from jsonify2ai_spark.functions.text import normalize_ws
 
-    fpo = old.select(F.col(id_col), F.md5(normalize_ws(F.col(text_col))).alias("_fo"))
-    fpn = new.select(F.col(id_col), F.md5(normalize_ws(F.col(text_col))).alias("_fn"))
+    # presence flags, not fingerprint NULL-ness, decide added/removed:
+    # a NULL-text document fingerprints to NULL, and reading that as
+    # "absent" would call a deleted NULL-text doc 'added' (review-found);
+    # null-safe fingerprint equality then treats NULL==NULL as unchanged
+    fpo = old.select(
+        F.col(id_col),
+        F.md5(normalize_ws(F.col(text_col))).alias("_fo"),
+        F.lit(True).alias("_po"),
+    )
+    fpn = new.select(
+        F.col(id_col),
+        F.md5(normalize_ws(F.col(text_col))).alias("_fn"),
+        F.lit(True).alias("_pn"),
+    )
     j = fpo.join(fpn, id_col, "full_outer")
     status = (
-        F.when(F.col("_fo").isNull(), F.lit("added"))
-        .when(F.col("_fn").isNull(), F.lit("removed"))
-        .when(F.col("_fo") == F.col("_fn"), F.lit("unchanged"))
+        F.when(F.col("_po").isNull(), F.lit("added"))
+        .when(F.col("_pn").isNull(), F.lit("removed"))
+        .when(F.col("_fo").eqNullSafe(F.col("_fn")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     if include_fingerprints:

@@ -2930,10 +2930,12 @@ class CommonnessGate:
     - ``min_weight=None`` (default): ANNOTATE — ``kind='rewrite'``,
       appends ``dup_weight`` (and ``commonness``) to every row;
       shingle-less docs annotate NULL.
-    - ``min_weight=<float>``: THIN — ``kind='filter'``; keep a doc iff
-      its 6dp weight >= the floor (drop the most-duplicated content
-      instead of loss-weighting it). Stateless and deterministic, so a
-      replayed batch keeps exactly the same rows.
+    - ``min_weight=<float>``: THIN — ``kind='filter'``; DROP a doc iff
+      its 6dp weight falls under the floor (remove the most-duplicated
+      content instead of loss-weighting it). A shingle-less doc has no
+      weight and is KEPT — no score is no evidence of duplication (the
+      BloomDedupGate NULL-parity rule, not the inverse). Stateless and
+      deterministic, so a replayed batch keeps exactly the same rows.
 
     Per-trigger cost: one batch shingle explode, one join against the
     persisted df table CUT TO BATCH SIZE first (the batch's distinct
@@ -2957,7 +2959,12 @@ class CommonnessGate:
 
         self._beta = float(beta)
         self._min_weight = min_weight
-        self._text_col = text_col
+        self._input_col = text_col
+        # chain rewrite destination (APPEND, the DSIRGate convention):
+        # the chain drops+rejoins gate._text_col, so it must name the
+        # appended column, never the input text — review-found: the old
+        # wiring made the chain overwrite document text with the weight
+        self._text_col = "dup_weight"
         self._id_col = id_col
         self._shingle_n = shingle_n
         self.kind = "filter" if min_weight is not None else "rewrite"
@@ -2990,7 +2997,15 @@ class CommonnessGate:
         row = per_doc.agg(
             _stable_avg(F.pow(F.col("c"), F.lit(-self._beta))).alias("m")
         ).collect()[0]
-        self._mraw = float(row["m"]) if row["m"] is not None else None
+        if row["m"] is None:
+            # a model with no shingles scores nothing: every weight would
+            # be NULL and a thin gate would silently drop whole triggers
+            raise ValueError(
+                "CommonnessGate: fit corpus produced no shingles "
+                f"(text_col={text_col!r}, shingle_n={shingle_n}) — the "
+                "gate cannot score; fit on a corpus with content"
+            )
+        self._mraw = float(row["m"])
 
     def _scored(self, batch: DataFrame) -> DataFrame:
         from jsonify2ai_spark.operators.dedup import shingles
@@ -2999,7 +3014,7 @@ class CommonnessGate:
         idc = self._id_col
         ex = batch.select(
             F.col(idc),
-            F.explode(shingles(F.col(self._text_col), self._shingle_n)).alias("sh"),
+            F.explode(shingles(F.col(self._input_col), self._shingle_n)).alias("sh"),
         ).filter(F.col("sh") != "")
         batch_sh = ex.select("sh").distinct()
         touched = self._dfreq.join(F.broadcast(batch_sh), "sh", "left_semi")
@@ -3014,7 +3029,7 @@ class CommonnessGate:
         w = F.round(
             F.pow(F.col("commonness"), F.lit(-self._beta)) / F.lit(self._mraw),
             6,
-        ) if self._mraw else F.lit(None).cast("double")
+        )
         return per_doc.withColumn("dup_weight", w)
 
     def annotate_batch(self, batch: DataFrame) -> DataFrame:
@@ -3025,11 +3040,13 @@ class CommonnessGate:
     def filter_batch(self, batch: DataFrame) -> DataFrame:
         if self._min_weight is None:
             return self.annotate_batch(batch)
-        keep = self._scored(batch).filter(
-            F.col("dup_weight") >= F.lit(float(self._min_weight))
+        # anti-join on the DROPPED ids: a shingle-less doc has no score
+        # row, and no score is no evidence of duplication — it stays
+        dropped = self._scored(batch).filter(
+            F.col("dup_weight") < F.lit(float(self._min_weight))
         )
         return batch.join(
-            keep.select(self._id_col), self._id_col, "left_semi"
+            dropped.select(self._id_col), self._id_col, "left_anti"
         )
 
     def foreach_batch(self, append):
@@ -3046,7 +3063,7 @@ class CommonnessGate:
                 (
                     self._beta,
                     self._min_weight,
-                    self._text_col,
+                    self._input_col,
                     self._id_col,
                     self._shingle_n,
                     self._mraw,
@@ -3064,10 +3081,11 @@ class CommonnessGate:
         obj._min_weight = (
             float(meta["min_weight"]) if meta["min_weight"] is not None else None
         )
-        obj._text_col = meta["text_col"]
+        obj._input_col = meta["text_col"]
+        obj._text_col = "dup_weight"  # chain append destination
         obj._id_col = meta["id_col"]
         obj._shingle_n = int(meta["shingle_n"])
-        obj._mraw = float(meta["mraw"]) if meta["mraw"] is not None else None
+        obj._mraw = float(meta["mraw"])
         obj.kind = "filter" if obj._min_weight is not None else "rewrite"
         obj.rewritten_col = "dup_weight"
         obj._dfreq = (

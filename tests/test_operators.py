@@ -4472,3 +4472,23 @@ def test_semantic_domain_mixture(spark):
     ref = {r["domain"]: r.asDict()
            for r in mixture_weights(lab, 0.5, "text", "domain").collect()}
     assert ref == got
+
+
+def test_corpus_diff_null_text_statuses(spark):
+    """Presence decides added/removed; NULL fingerprints compare
+    null-safely (review-found: a deleted NULL-text doc read 'added')."""
+    from jsonify2ai_spark.operators.inventory import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, None), (3, None), (4, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {
+        1: "removed",    # NULL-text doc present only in old
+        2: "unchanged",  # NULL == NULL, null-safe
+        3: "changed",    # real -> NULL
+        4: "added",      # NULL-text doc present only in new
+    }

@@ -2598,7 +2598,8 @@ def test_commonness_gate_annotate_and_thin(spark, tmp_path):
         assert out[902]["commonness"] is None and out[902]["dup_weight"] is None
 
         # thin mode drops the common doc, keeps the novel one; the
-        # shingle-less doc has no weight and drops (no score, no row)
+        # shingle-less doc has no score and KEEPS (no score is no
+        # evidence of duplication — review-found)
         floor = (out[900]["dup_weight"] + out[901]["dup_weight"]) / 2
         p = str(tmp_path / "cgate")
         gate.save(p)
@@ -2619,12 +2620,60 @@ def test_commonness_gate_annotate_and_thin(spark, tmp_path):
     try:
         assert gate2.kind == "filter"
         kept = sorted(r["doc_id"] for r in gate2.filter_batch(batch).collect())
-        assert kept == [901]
+        assert kept == [901, 902]
         # replay determinism (at-least-once hygiene)
         again2 = sorted(r["doc_id"] for r in gate2.filter_batch(batch).collect())
         assert again2 == kept
     finally:
         gate2.close()
+
+    # a shingle-less fit corpus cannot score anything: loud, not silent
+    import pytest as _pytest
+    empty = spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="no shingles"):
+        CommonnessGate(empty)
+
+
+def test_commonness_gate_annotate_mode_in_chain_appends(spark):
+    """Annotate mode in a StreamingPrepChain must APPEND dup_weight and
+    leave document text intact (the DSIRGate _text_col=append-dest
+    convention — review-found: the old wiring replaced text with the
+    weight, feeding stringified doubles to downstream gates)."""
+    from jsonify2ai_spark.streaming.windowed import (
+        CommonnessGate,
+        DecontaminationGate,
+        StreamingPrepChain,
+    )
+
+    common = "repeated corpus sentence appearing many times over again verbatim"
+    corpus = spark.createDataFrame(
+        [(i, common) for i in range(5)]
+        + [(50 + i, f"plain doc {i} with its own words in here also") for i in range(5)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("benchmark leak sentence must never appear in the training data",)],
+        "text string",
+    )
+    gate = CommonnessGate(corpus)  # annotate mode
+    chain = StreamingPrepChain([gate, DecontaminationGate(bench, n=8)])
+    batch = spark.createDataFrame(
+        [(900, common),
+         (901, "benchmark leak sentence must never appear in the training data"),
+         (902, "a fresh document with plainly novel running text inside")],
+        "doc_id long, text string",
+    )
+    try:
+        out = {r["doc_id"]: r.asDict() for r in chain.filter_batch(batch).collect()}
+        # decontamination still sees REAL text: the leak row drops
+        assert sorted(out) == [900, 902]
+        # text survived verbatim; the weight rode along as a new column
+        assert out[900]["text"] == common
+        assert out[902]["text"].startswith("a fresh document")
+        assert out[900]["dup_weight"] is not None
+        assert out[902]["dup_weight"] > out[900]["dup_weight"]
+    finally:
+        gate.close()
 
 
 def test_commonness_gate_joins_prep_chain(spark):
