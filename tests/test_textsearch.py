@@ -1187,3 +1187,65 @@ def test_mine_hard_negatives_matches_standing_index(spark):
             assert got == want, (qid, got, want)
     finally:
         idx.close()
+
+
+def test_mine_hard_negatives_constant_jobs_in_batch_size(spark):
+    """The whole mining batch is ONE plan (the RoutedBM25 routing lesson
+    mechanized): growing the query batch must not grow the Spark job
+    count — no per-query driver loop anywhere in the path."""
+    from jsonify2ai_spark.operators.textsearch import mine_hard_negatives
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} about topic {i % 5} with words w{i % 11} w{i % 7}")
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+
+    def pairs_of(n):
+        return spark.createDataFrame(
+            [(q, f"topic {q % 5} words w{q % 11}", q) for q in range(n)],
+            "query_id long, query_text string, positive_id long",
+        )
+
+    def probe_jobs(pairs, tag):
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, "mining job-count pin")
+        try:
+            mine_hard_negatives(pairs, corpus, k=3).count()
+            return len(sc.statusTracker().getJobIdsForGroup(tag))
+        finally:
+            sc.setJobGroup(None, None)
+
+    one = probe_jobs(pairs_of(1), "mine-jobs-1")
+    many = probe_jobs(pairs_of(12), "mine-jobs-12")
+    assert many == one, f"mining jobs grew with batch size: {one} -> {many}"
+
+
+def test_mine_vector_negatives_constant_jobs_in_batch_size(spark):
+    """Same pin for the embedding-space miner: the deduped query batch
+    broadcasts into one corpus pass — job count flat in batch size."""
+    from jsonify2ai_spark.operators.search import mine_vector_negatives
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(8)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def pairs_of(n):
+        return spark.createDataFrame(
+            [(q, [float((q + j) % 5) for j in range(8)], q) for q in range(n)],
+            "query_id long, query_vec array<double>, positive_id long",
+        )
+
+    def probe_jobs(pairs, tag):
+        sc = spark.sparkContext
+        sc.setJobGroup(tag, "vector mining job-count pin")
+        try:
+            mine_vector_negatives(pairs, emb, k=3).count()
+            return len(sc.statusTracker().getJobIdsForGroup(tag))
+        finally:
+            sc.setJobGroup(None, None)
+
+    one = probe_jobs(pairs_of(1), "vmine-jobs-1")
+    many = probe_jobs(pairs_of(12), "vmine-jobs-12")
+    assert many == one, f"vector mining jobs grew with batch size: {one} -> {many}"
