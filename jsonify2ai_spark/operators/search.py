@@ -360,3 +360,61 @@ def mine_vector_negatives(
             F.round("_s", round_to).alias("score"),
         )
     )
+
+
+def mine_vector_negatives_indexed(
+    ivf,
+    queries: list,
+    positives: dict,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """The standing-index form of :func:`mine_vector_negatives`: mine
+    embedding-space negatives from a persisted IVFIndex's batched face
+    instead of a brute-force corpus pass — the serving-scale path the
+    exact miner is the recall yardstick for.
+
+    ``queries``: list of ``(query_id, query_vec)``; ``positives`` maps
+    query_id -> iterable of positive ids. Returns
+    ``(query_id, <id>, rank, score)`` with the caller's query ids,
+    positives excluded before the rank cut (the index over-fetches by
+    the largest positive set). Scores are the index's int8-dequantized
+    cosines; ranking quality vs exact mining follows the IVF recall the
+    q25/q69 bench rows measure — raise ``n_probe`` to trade cost for
+    recall.
+    """
+    from pyspark.sql import Window
+
+    over = k + max((len(v) for v in positives.values()), default=0)
+    res = ivf.topk_batch([v for _, v in queries], k=over, n_probe=n_probe)
+    spark = res.sparkSession
+    # the IVF batch face returns (query_id, <id>, cluster, qcos)
+    score_col = "qcos" if "qcos" in res.columns else "score"
+    id_col = [
+        c for c in res.columns if c not in ("query_id", "cluster", score_col)
+    ][0]
+    pos_map = spark.createDataFrame(
+        [(i, qid) for i, (qid, _) in enumerate(queries)],
+        "query_id int, _ext_qid long",
+    )
+    rekeyed = (
+        res.join(F.broadcast(pos_map), "query_id")
+        .drop("query_id")
+        .withColumnRenamed("_ext_qid", "query_id")
+    )
+    pos_rows = [(int(qid), int(d)) for qid, ds in positives.items() for d in ds]
+    if pos_rows:
+        pos_df = spark.createDataFrame(pos_rows, f"query_id long, {id_col} long")
+        rekeyed = rekeyed.join(
+            F.broadcast(pos_df), ["query_id", id_col], "left_anti"
+        )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+    )
+    return (
+        rekeyed.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", score_col)
+    )

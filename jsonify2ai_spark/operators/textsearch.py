@@ -1584,3 +1584,65 @@ def mine_hard_negatives(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank", "bm25")
     )
+
+
+def mine_hard_negatives_indexed(
+    index,
+    queries: list,
+    positives: dict,
+    k: int = 5,
+) -> DataFrame:
+    """The standing-index form of :func:`mine_hard_negatives` — when a
+    BM25 index already serves the corpus (BM25Index, ShardedBM25Index,
+    or RoutedBM25: anything with the ``topk_batch(queries, k)`` face),
+    recurring mining jobs should read the PREBUILT postings instead of
+    re-deriving them per batch (PERF.md's measured division of labor:
+    raw-corpus mining is corpus-linear per query once the batch
+    amortizes; indexed serving is |terms|/n_buckets IO).
+
+    ``queries``: list of ``(query_id, query_text)``; ``positives`` maps
+    query_id -> iterable of positive doc ids to exclude. Returns
+    ``(query_id, <id>, rank, bm25)`` — top-``k`` negatives per query
+    with the caller's query ids (the index's positional ids are
+    re-keyed), positives excluded BEFORE the rank cut: the index is
+    over-fetched by the largest positive set so exclusion can never
+    starve a query below k.
+    """
+    spark = None
+    texts = [q for _, q in queries]
+    over = k + max((len(v) for v in positives.values()), default=0)
+    res = index.topk_batch(texts, k=over)
+    spark = res.sparkSession
+    score_col = "bm25"
+    id_col = [c for c in res.columns if c not in ("query_id", score_col)][0]
+    from pyspark.sql import Window
+
+    pos_map = spark.createDataFrame(
+        [(i, qid) for i, (qid, _) in enumerate(queries)],
+        "query_id int, _ext_qid long",
+    )
+    rekeyed = (
+        res.join(F.broadcast(pos_map), "query_id")
+        .drop("query_id")
+        .withColumnRenamed("_ext_qid", "query_id")
+    )
+    pos_rows = [
+        (int(qid), int(d)) for qid, ds in positives.items() for d in ds
+    ]
+    if pos_rows:
+        pos_df = spark.createDataFrame(
+            pos_rows, f"query_id long, {id_col} long"
+        )
+        rekeyed = rekeyed.join(
+            F.broadcast(pos_df), ["query_id", id_col], "left_anti"
+        )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+    )
+    return (
+        rekeyed.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", score_col)
+    )

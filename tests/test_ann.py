@@ -603,3 +603,48 @@ def test_ivf_index_refresh_from_codes(spark, tmp_path):
     q5 = [float(x) for x in vecs[5][1]]
     got = {r["vec_id"] for r in idx.topk(q5, k=5, n_probe=4).collect()}
     assert 5 not in got
+
+
+def test_mine_vector_negatives_indexed_matches_exact_ids(spark, tmp_path):
+    """The IVF-backed mining face: at full probe depth on well-separated
+    vectors, the negative ID SET per query equals the exact brute-force
+    miner's (scores are int8-dequantized, so sets — not scores — are the
+    contract), positives excluded before the cut."""
+    from jsonify2ai_spark.operators.ann import IVFIndex
+    from jsonify2ai_spark.operators.search import (
+        mine_vector_negatives,
+        mine_vector_negatives_indexed,
+    )
+
+    import math
+
+    # 20 well-separated unit-ish vectors on distinct directions
+    def vec(i):
+        a = 2 * math.pi * i / 20
+        return [math.cos(a), math.sin(a)] + [0.0] * 6
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    queries = [(0, vec(0)), (10, vec(10))]
+    positives = {0: [0], 10: [10, 11]}
+
+    pairs = spark.createDataFrame(
+        [(qid, qv, p) for qid, qv in queries for p in positives[qid]],
+        "query_id long, query_vec array<double>, positive_id long",
+    )
+    exact = {}
+    for r in mine_vector_negatives(pairs, emb, k=3).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    idx = IVFIndex.build(
+        emb, str(tmp_path / "ivf"), centroids=[vec(0), vec(7), vec(14)]
+    )
+    got = {}
+    for r in mine_vector_negatives_indexed(
+        idx, queries, positives, k=3, n_probe=3
+    ).collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert got == exact
+    for qid, pos in positives.items():
+        assert got[qid].isdisjoint(set(pos))

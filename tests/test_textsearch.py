@@ -1249,3 +1249,50 @@ def test_mine_vector_negatives_constant_jobs_in_batch_size(spark):
     one = probe_jobs(pairs_of(1), "vmine-jobs-1")
     many = probe_jobs(pairs_of(12), "vmine-jobs-12")
     assert many == one, f"vector mining jobs grew with batch size: {one} -> {many}"
+
+
+def test_mine_hard_negatives_indexed_parity(spark):
+    """The standing-index mining face reproduces the raw-corpus miner
+    row-for-row on the same corpus (ids, ranks, scores), with positives
+    excluded before the cut even when a query carries several."""
+    from jsonify2ai_spark.operators.textsearch import (
+        BM25Index,
+        mine_hard_negatives,
+        mine_hard_negatives_indexed,
+    )
+
+    rows = [
+        (1, "spark join window merge shuffle"),
+        (2, "spark join broadcast hash"),
+        (3, "window functions over partitions"),
+        (4, "merge sort join spark window"),
+        (5, "totally unrelated prose about cats"),
+        (6, "spark window merge join tricks"),
+        (7, "the cats sat on the mat"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = [(101, "spark join window"), (102, "cats mat")]
+    positives = {101: [1, 4], 102: [7]}
+
+    pairs = spark.createDataFrame(
+        [(qid, qt, p) for qid, qt in queries for p in positives[qid]],
+        "query_id long, query_text string, positive_id long",
+    )
+    raw = sorted(
+        tuple(r) for r in mine_hard_negatives(pairs, corpus, k=3).collect()
+    )
+
+    idx = BM25Index(corpus)
+    try:
+        via_index = sorted(
+            tuple(r)
+            for r in mine_hard_negatives_indexed(
+                idx, queries, positives, k=3
+            ).collect()
+        )
+        assert via_index == raw
+        # multi-positive exclusion really happened
+        mined_ids = {r[1] for r in via_index}
+        assert mined_ids.isdisjoint({1, 4, 7})
+    finally:
+        idx.close()
