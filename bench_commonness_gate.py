@@ -19,7 +19,6 @@ import json
 import sys
 import time
 
-from pyspark.sql import functions as F
 
 from bench_bloom_gate import batch_pool
 from bench_posting_scale import replicated_docs

@@ -383,28 +383,49 @@ def mine_vector_negatives_indexed(
     q25/q69 bench rows measure — raise ``n_probe`` to trade cost for
     recall.
     """
-    from pyspark.sql import Window
-
     over = k + max((len(v) for v in positives.values()), default=0)
     res = ivf.topk_batch([v for _, v in queries], k=over, n_probe=n_probe)
-    spark = res.sparkSession
-    # the IVF batch face returns (query_id, <id>, cluster, qcos)
+    # the IVF batch face returns (query_id, <id>, cluster, qcos); the
+    # output aliases the score to 'score' — the exact miner's column
+    # name, so the indexed face really is the documented drop-in
     score_col = "qcos" if "qcos" in res.columns else "score"
     id_col = [
         c for c in res.columns if c not in ("query_id", "cluster", score_col)
     ][0]
+    return _rekey_exclude_rank(
+        res, queries, positives, k, score_col=score_col, id_col=id_col,
+        out_score="score",
+    )
+
+
+def _rekey_exclude_rank(res, queries, positives, k, score_col, id_col, out_score):
+    """Shared tail of the indexed mining faces: re-key the index's
+    POSITIONAL query ids to the caller's, anti-join the positives, rank
+    to k. Id and query-id types are whatever the caller/index use —
+    both small frames build by inference, never a hardcoded schema (the
+    indexes explicitly support string ids). Duplicate caller query_ids
+    would merge two candidate pools into one rank window, so they are
+    rejected loudly — merge their positives and pass each query once."""
+    from pyspark.sql import Window
+
+    spark = res.sparkSession
+    qids = [qid for qid, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError(
+            "indexed mining: duplicate query_ids in `queries` — merge "
+            "their positives and pass each query once"
+        )
     pos_map = spark.createDataFrame(
-        [(i, qid) for i, (qid, _) in enumerate(queries)],
-        "query_id int, _ext_qid long",
+        [(i, qid) for i, qid in enumerate(qids)], ["query_id", "_ext_qid"]
     )
     rekeyed = (
         res.join(F.broadcast(pos_map), "query_id")
         .drop("query_id")
         .withColumnRenamed("_ext_qid", "query_id")
     )
-    pos_rows = [(int(qid), int(d)) for qid, ds in positives.items() for d in ds]
+    pos_rows = [(qid, d) for qid, ds in positives.items() for d in ds]
     if pos_rows:
-        pos_df = spark.createDataFrame(pos_rows, f"query_id long, {id_col} long")
+        pos_df = spark.createDataFrame(pos_rows, ["query_id", id_col])
         rekeyed = rekeyed.join(
             F.broadcast(pos_df), ["query_id", id_col], "left_anti"
         )
@@ -416,5 +437,7 @@ def mine_vector_negatives_indexed(
     return (
         rekeyed.withColumn("rank", rn)
         .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "rank", score_col)
+        .select(
+            "query_id", id_col, "rank", F.col(score_col).alias(out_score)
+        )
     )

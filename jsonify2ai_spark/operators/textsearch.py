@@ -1608,41 +1608,13 @@ def mine_hard_negatives_indexed(
     over-fetched by the largest positive set so exclusion can never
     starve a query below k.
     """
-    spark = None
+    from jsonify2ai_spark.operators.search import _rekey_exclude_rank
+
     texts = [q for _, q in queries]
     over = k + max((len(v) for v in positives.values()), default=0)
     res = index.topk_batch(texts, k=over)
-    spark = res.sparkSession
-    score_col = "bm25"
-    id_col = [c for c in res.columns if c not in ("query_id", score_col)][0]
-    from pyspark.sql import Window
-
-    pos_map = spark.createDataFrame(
-        [(i, qid) for i, (qid, _) in enumerate(queries)],
-        "query_id int, _ext_qid long",
-    )
-    rekeyed = (
-        res.join(F.broadcast(pos_map), "query_id")
-        .drop("query_id")
-        .withColumnRenamed("_ext_qid", "query_id")
-    )
-    pos_rows = [
-        (int(qid), int(d)) for qid, ds in positives.items() for d in ds
-    ]
-    if pos_rows:
-        pos_df = spark.createDataFrame(
-            pos_rows, f"query_id long, {id_col} long"
-        )
-        rekeyed = rekeyed.join(
-            F.broadcast(pos_df), ["query_id", id_col], "left_anti"
-        )
-    rn = F.row_number().over(
-        Window.partitionBy("query_id").orderBy(
-            F.col(score_col).desc(), F.col(id_col).asc()
-        )
-    )
-    return (
-        rekeyed.withColumn("rank", rn)
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "rank", score_col)
+    id_col = [c for c in res.columns if c not in ("query_id", "bm25")][0]
+    return _rekey_exclude_rank(
+        res, queries, positives, k, score_col="bm25", id_col=id_col,
+        out_score="bm25",
     )

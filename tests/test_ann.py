@@ -648,3 +648,10 @@ def test_mine_vector_negatives_indexed_matches_exact_ids(spark, tmp_path):
     assert got == exact
     for qid, pos in positives.items():
         assert got[qid].isdisjoint(set(pos))
+
+    # the indexed face is a drop-in: the score column is named 'score'
+    # like the exact miner's (review-found: it leaked 'qcos')
+    cols = mine_vector_negatives_indexed(
+        idx, queries, positives, k=3, n_probe=3
+    ).columns
+    assert cols == ["query_id", "vec_id", "rank", "score"]

@@ -1294,5 +1294,29 @@ def test_mine_hard_negatives_indexed_parity(spark):
         # multi-positive exclusion really happened
         mined_ids = {r[1] for r in via_index}
         assert mined_ids.isdisjoint({1, 4, 7})
+
+        # duplicate caller query_ids would merge two candidate pools
+        # into one rank window — rejected loudly (review-found)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="duplicate query_ids"):
+            mine_hard_negatives_indexed(
+                idx, [(101, "spark"), (101, "spark")], {}, k=2
+            )
     finally:
         idx.close()
+
+    # string ids end-to-end: the indexes support them, so must mining
+    scorpus = corpus.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    sidx = BM25Index(scorpus)
+    try:
+        out = mine_hard_negatives_indexed(
+            sidx, [("q-1", "spark join window")], {"q-1": ["doc-1"]}, k=3
+        ).collect()
+        assert len(out) == 3
+        assert all(r["doc_id"].startswith("doc-") for r in out)
+        assert all(r["doc_id"] != "doc-1" for r in out)
+        assert out[0]["query_id"] == "q-1"
+    finally:
+        sidx.close()
