@@ -3096,3 +3096,108 @@ class CommonnessGate:
 
     def close(self) -> None:
         self._dfreq.unpersist()
+
+
+def streaming_best_of_n(
+    records: DataFrame,
+    n: int,
+    prompt_col: str = "prompt_id",
+    prompt_text_col: str = "prompt",
+    response_col: str = "response",
+    score_col: str = "score",
+    ttl_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming rejection sampling — the live face of
+    :func:`~jsonify2ai_spark.operators.sft.best_of_n` for generation
+    pipelines that STREAM candidates out of a sampler: candidates for
+    each prompt accumulate across micro-batches in keyed state, and the
+    trigger in which a prompt's candidate count reaches ``n`` emits ONE
+    winner row ``(prompt_id, prompt, response, score, n_candidates)``;
+    the prompt is then done and later candidates are ignored.
+
+    Determinism: the winner is the MAX over every candidate seen up to
+    and including the crossing trigger (score desc, response asc — the
+    repo's total order), an order-free fold, so arbitrary row order
+    inside a trigger cannot change the emission. A NULL score raises in
+    the state function (the best_of_n NULL contract — loud, not
+    mis-ranked). State per live prompt is one (best, count) tuple;
+    with ``ttl_seconds`` set, a prompt idle past the TTL is EVICTED
+    without emitting (documented: a sampler that died mid-prompt should
+    be retried upstream, not silently awarded a sub-n winner) — the
+    100 TB-safe bound is TTL x live-prompt rate, not stream lifetime.
+
+    Exactly-once through the engine: applyInPandasWithState rides the
+    query checkpoint, so a replayed trigger re-emits the same winner to
+    the sink's dedup boundary, never a different one.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if n < 1:
+        raise ValueError(f"streaming_best_of_n: n must be >= 1, got {n}")
+    pt = records.schema[prompt_col].dataType.simpleString()
+    out_schema = (
+        f"{prompt_col} {pt}, {prompt_text_col} string, "
+        f"{response_col} string, {score_col} double, n_candidates bigint"
+    )
+    state_schema = (
+        "best_response STRING, best_score DOUBLE, n_seen LONG, "
+        "done BOOLEAN, prompt STRING"
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_seconds
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            best_r, best_s, n_seen, done, prompt = state.get
+        else:
+            best_r, best_s, n_seen, done, prompt = None, None, 0, False, None
+        for pdf in pdfs:
+            if done or not len(pdf):
+                continue
+            if pdf[score_col].isnull().any():
+                raise ValueError(
+                    f"streaming_best_of_n: NULL in score column "
+                    f"{score_col!r} for prompt {key!r} — every candidate "
+                    "must carry a score"
+                )
+            for r, s, p in zip(
+                pdf[response_col], pdf[score_col], pdf[prompt_text_col]
+            ):
+                n_seen += 1
+                if prompt is None:
+                    prompt = p
+                s = float(s)
+                if (
+                    best_s is None
+                    or s > best_s
+                    or (s == best_s and str(r) < str(best_r))
+                ):
+                    best_s, best_r = s, str(r)
+        if not done and n_seen >= n:
+            done = True
+            yield pd.DataFrame(
+                [
+                    {
+                        prompt_col: key[0],
+                        prompt_text_col: prompt,
+                        response_col: best_r,
+                        score_col: best_s,
+                        "n_candidates": n_seen,
+                    }
+                ]
+            )
+        state.update((best_r, best_s, n_seen, done, prompt))
+        if ttl_seconds:
+            state.setTimeoutDuration(ttl_seconds * 1000)
+
+    return records.groupBy(prompt_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", timeout
+    )

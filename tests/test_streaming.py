@@ -2711,3 +2711,112 @@ def test_commonness_gate_joins_prep_chain(spark):
         assert kept == [902]
     finally:
         gate.close()
+
+
+def test_streaming_best_of_n_count_triggered(spark, tmp_path):
+    """Candidates accumulate across triggers; the crossing trigger emits
+    ONE winner (max over everything seen), later candidates for a done
+    prompt are ignored, and sub-n prompts emit nothing."""
+    import json
+
+    from jsonify2ai_spark.streaming.windowed import streaming_best_of_n
+
+    src = tmp_path / "cands"
+    src.mkdir()
+    schema = "prompt_id LONG, prompt STRING, response STRING, score DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    winners = streaming_best_of_n(stream, n=3)
+    q = (
+        winners.writeStream.format("memory")
+        .queryName("bon_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # trigger 1: p1 gets 2 candidates (below n), p2 gets 1
+        (src / "b1.json").write_text("\n".join(json.dumps(r) for r in [
+            {"prompt_id": 1, "prompt": "q1", "response": "meh", "score": 0.3},
+            {"prompt_id": 1, "prompt": "q1", "response": "good", "score": 0.8},
+            {"prompt_id": 2, "prompt": "q2", "response": "only", "score": 0.5},
+        ]))
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM bon_sink").count() == 0  # nobody crossed
+
+        # trigger 2: p1 crosses n=3 (winner = max over ALL THREE);
+        # p2 stays at 2
+        (src / "b2.json").write_text("\n".join(json.dumps(r) for r in [
+            {"prompt_id": 1, "prompt": "q1", "response": "best", "score": 0.9},
+            {"prompt_id": 2, "prompt": "q2", "response": "later", "score": 0.1},
+        ]))
+        q.processAllAvailable()
+        rows = {r["prompt_id"]: r.asDict()
+                for r in spark.sql("SELECT * FROM bon_sink").collect()}
+        assert list(rows) == [1]
+        assert rows[1]["response"] == "best" and rows[1]["score"] == 0.9
+        assert rows[1]["n_candidates"] == 3 and rows[1]["prompt"] == "q1"
+
+        # trigger 3: a 4th candidate for the DONE p1 is ignored even
+        # with a higher score; p2 finally crosses — in-batch overflow
+        # counts everything seen (4 candidates, one emission)
+        (src / "b3.json").write_text("\n".join(json.dumps(r) for r in [
+            {"prompt_id": 1, "prompt": "q1", "response": "too-late", "score": 99.0},
+            {"prompt_id": 2, "prompt": "q2", "response": "tie a", "score": 0.5},
+            {"prompt_id": 2, "prompt": "q2", "response": "winner", "score": 0.7},
+        ]))
+        q.processAllAvailable()
+        rows = {r["prompt_id"]: r.asDict()
+                for r in spark.sql("SELECT * FROM bon_sink").collect()}
+        assert sorted(rows) == [1, 2]
+        assert rows[1]["response"] == "best"          # done stays done
+        assert rows[2]["response"] == "winner"
+        assert rows[2]["n_candidates"] == 4           # overflow counted
+    finally:
+        q.stop()
+
+
+def test_streaming_best_of_n_tie_rule_and_guards(spark, tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from jsonify2ai_spark.streaming.windowed import streaming_best_of_n
+
+    with _pytest.raises(ValueError, match="n must be"):
+        streaming_best_of_n(
+            spark.readStream.schema(
+                "prompt_id LONG, prompt STRING, response STRING, score DOUBLE"
+            ).json(str(tmp_path)),
+            n=0,
+        )
+
+    src = tmp_path / "cands2"
+    src.mkdir()
+    schema = "prompt_id LONG, prompt STRING, response STRING, score DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    q = (
+        streaming_best_of_n(stream, n=2)
+        .writeStream.format("memory")
+        .queryName("bon_tie_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        (src / "b1.json").write_text("\n".join(json.dumps(r) for r in [
+            {"prompt_id": 7, "prompt": "q", "response": "zz tie", "score": 0.5},
+            {"prompt_id": 7, "prompt": "q", "response": "aa tie", "score": 0.5},
+        ]))
+        q.processAllAvailable()
+        (one,) = spark.sql("SELECT * FROM bon_tie_sink").collect()
+        assert one["response"] == "aa tie"  # score desc, response asc
+    finally:
+        q.stop()
