@@ -3116,15 +3116,20 @@ def streaming_best_of_n(
     the prompt is then done and later candidates are ignored.
 
     Determinism: the winner is the MAX over every candidate seen up to
-    and including the crossing trigger (score desc, response asc — the
-    repo's total order), an order-free fold, so arbitrary row order
-    inside a trigger cannot change the emission. A NULL score raises in
-    the state function (the best_of_n NULL contract — loud, not
-    mis-ranked). State per live prompt is one (best, count) tuple;
-    with ``ttl_seconds`` set, a prompt idle past the TTL is EVICTED
-    without emitting (documented: a sampler that died mid-prompt should
-    be retried upstream, not silently awarded a sub-n winner) — the
-    100 TB-safe bound is TTL x live-prompt rate, not stream lifetime.
+    and including the crossing trigger (score desc, response asc with
+    NULLs first — exactly the batch operator's total order, so both
+    faces pick the same winner), an order-free fold: arbitrary row
+    order inside a trigger cannot change the emission. A NULL score
+    raises in the state function (the best_of_n NULL contract — loud,
+    not mis-ranked). State per live prompt is one (best, count) tuple;
+    with ``ttl_seconds`` set, ANY prompt idle past the TTL is EVICTED:
+    an incomplete prompt emits nothing (a sampler that died mid-prompt
+    should be retried upstream, not awarded a sub-n winner), and — the
+    stream_dedup caveat — a DONE prompt whose state ages out can emit
+    AGAIN if candidates arrive later, i.e. at-most-once-per-TTL, so
+    sinks that must be exactly-once dedup on the prompt id downstream.
+    The 100 TB-safe state bound is TTL x live-prompt rate, not stream
+    lifetime.
 
     Exactly-once through the engine: applyInPandasWithState rides the
     query checkpoint, so a replayed trigger re-emits the same winner to
@@ -3159,6 +3164,20 @@ def streaming_best_of_n(
             best_r, best_s, n_seen, done, prompt = state.get
         else:
             best_r, best_s, n_seen, done, prompt = None, None, 0, False, None
+        def beats(s, r):
+            # the batch operator's total order: score desc, response asc
+            # with NULLs FIRST (Spark asc default) — NULL responses stay
+            # NULL, never the string 'None'
+            if best_s is None:
+                return True
+            if s != best_s:
+                return s > best_s
+            if r is None:
+                return best_r is not None
+            if best_r is None:
+                return False
+            return str(r) < str(best_r)
+
         for pdf in pdfs:
             if done or not len(pdf):
                 continue
@@ -3168,19 +3187,22 @@ def streaming_best_of_n(
                     f"{score_col!r} for prompt {key!r} — every candidate "
                     "must carry a score"
                 )
-            for r, s, p in zip(
-                pdf[response_col], pdf[score_col], pdf[prompt_text_col]
-            ):
-                n_seen += 1
-                if prompt is None:
-                    prompt = p
-                s = float(s)
-                if (
-                    best_s is None
-                    or s > best_s
-                    or (s == best_s and str(r) < str(best_r))
-                ):
-                    best_s, best_r = s, str(r)
+            n_seen += len(pdf)
+            if prompt is None:
+                prompt = pdf[prompt_text_col].iloc[0]
+            # vectorized per-chunk best (the hot path never loops rows):
+            # NaN-free scores by the check above; na_position='first'
+            # gives the response column its NULLS FIRST asc semantics
+            top = pdf.sort_values(
+                [score_col, response_col],
+                ascending=[False, True],
+                na_position="first",
+            ).iloc[0]
+            s = float(top[score_col])
+            r = top[response_col]
+            r = None if pd.isna(r) else str(r)
+            if beats(s, r):
+                best_s, best_r = s, r
         if not done and n_seen >= n:
             done = True
             yield pd.DataFrame(

@@ -2820,3 +2820,70 @@ def test_streaming_best_of_n_tie_rule_and_guards(spark, tmp_path):
         assert one["response"] == "aa tie"  # score desc, response asc
     finally:
         q.stop()
+
+
+def test_streaming_best_of_n_null_score_raises_and_null_response_parity(
+    spark, tmp_path
+):
+    """A NULL score fails the trigger loudly (the batch contract); a
+    NULL response stays NULL and wins ties NULLS-FIRST — the batch
+    operator's exact total order, never the string 'None'."""
+    import json
+
+    from jsonify2ai_spark.streaming.windowed import streaming_best_of_n
+
+    schema = "prompt_id LONG, prompt STRING, response STRING, score DOUBLE"
+
+    # NULL score: the query fails with the contract message
+    src1 = tmp_path / "nullscore"
+    src1.mkdir()
+    stream1 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src1))
+    )
+    q1 = (
+        streaming_best_of_n(stream1, n=1)
+        .writeStream.format("memory")
+        .queryName("bon_nullscore")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    try:
+        (src1 / "b.json").write_text(json.dumps(
+            {"prompt_id": 1, "prompt": "q", "response": "x", "score": None}
+        ))
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="NULL in score"):
+            q1.processAllAvailable()
+    finally:
+        q1.stop()
+
+    # NULL response: ties break NULLS FIRST, and the emitted value is
+    # a real NULL (not 'None')
+    src2 = tmp_path / "nullresp"
+    src2.mkdir()
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src2))
+    )
+    q2 = (
+        streaming_best_of_n(stream2, n=2)
+        .writeStream.format("memory")
+        .queryName("bon_nullresp")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        (src2 / "b.json").write_text("\n".join(json.dumps(r) for r in [
+            {"prompt_id": 9, "prompt": "q", "response": "aa", "score": 0.5},
+            {"prompt_id": 9, "prompt": "q", "response": None, "score": 0.5},
+        ]))
+        q2.processAllAvailable()
+        (one,) = spark.sql("SELECT * FROM bon_nullresp").collect()
+        assert one["response"] is None  # NULLS FIRST on the tie, real NULL
+    finally:
+        q2.stop()
