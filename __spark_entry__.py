@@ -2458,86 +2458,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 #4 / r5 #4, amended r9): (a) every NEW operator's first driver
     # row is in-gate, (b) any query whose code changed this round is
     # in-gate, (c) remaining slots go to the OLDEST driver-green cohort so
-    # no query sits >2 rounds without a driver row. ALL queries rotate
-    # (the q51-q62 permanent pin was retired late r9). Run
-    # scripts/gate_staleness.py to plan each rotation; `--check` FAILS if
-    # this ordering wastes gate slots on fresh queries while staler ones
-    # wait (the r10 miss, mechanized — see tests/test_entry.py).
-    # Round-13 gate (staleness tool: 74 queries hit the 2-round line —
-    # the 24 r10-greens q103/q104/q82/q80 + the 20-query q03…q28 block,
-    # plus the full 50-query r11-gate cohort — vs 50 slots, so again the
-    # strongest satisfiable form applies: gate = a 50-stalest set): ALL
-    # 24 r10-greens + the 26 OLDEST r11-greens in gate_staleness.py
-    # order. New round-13 queries (never-green = stalest) slot at the
-    # top per policy (a), displacing the gate's bottom r11 entries back
-    # to the tail head. Round-14 owes the remaining r11-greens (q49 q50
-    # q01 q14 q24 q64 q65 q66 q67 q110 q111 q112 q106 q97 q109 q105 q30
-    # q107 q68 q69 q70 q71 q72 q73 + any displaced below, laid out FIRST
-    # in the tail so the debt lands as the r14 gate's head). See
-    # COVERAGE.md ledger.
+    # no query sits >2 rounds without a driver row. ALL queries rotate.
+    # Run scripts/gate_staleness.py to plan each rotation; `--check` FAILS
+    # if this ordering wastes gate slots on fresh queries while staler
+    # ones wait (the r10 miss, mechanized — see tests/test_entry.py).
+    # Round-14 gate: the complete 50-query r11-green cohort (last driver
+    # row r11 — exactly at the 2-round line), in gate_staleness.py order.
+    # This clears the whole r13-verdict debt in one rotation. The r12
+    # cohort (50 queries, green r12) is laid out FIRST in the tail so it
+    # lands as the r15 gate's head when it hits its own 2-round line.
+    # New r14 queries (policy (a), never-green = stalest) slot at the
+    # top, displacing the gate's bottom r11 entries to the tail head.
     return {
-        # --- new this round (policy (a): first driver row gates) ---
-        # NOTE (r13 continuation): the mid-round additions (q126-q151)
-        # grew the never-green block to 26 rows, which with the 24
-        # mandatory r10-greens fills the first 50 EXACTLY — every r11
-        # row is displaced to the tail head and is r14 debt. The gate is
-        # at capacity: one more oracle-gated query would evict a
-        # mandatory r10 row (3-round staleness violation next round), so
-        # round-13 oracle additions STOP at q151; later r13 operators
-        # must be pytest-covered classes (the sink/streaming convention)
-        # or wait for the r14 rotation.
-        "q126_sft_tokens": q126_sft_tokens,  # NEW r13: token-space SFT loss masks
-        "q127_media_store_audit": q127_media_store_audit,  # NEW r13: media store health card
-        "q128_bm25_impact": q128_bm25_impact,  # NEW r13: impact-ordered BM25 serving
-        "q129_extend_vocab": q129_extend_vocab,  # NEW r13: id-stable vocab evolution
-        "q130_preference_pairs": q130_preference_pairs,  # NEW r13: DPO pair assembly
-        "q131_dpo_tokens": q131_dpo_tokens,  # NEW r13: DPO paired token samples
-        "q132_purge_packed": q132_purge_packed,  # NEW r13: trainer-shard document purge
-        "q133_semantic_pack": q133_semantic_pack,  # NEW r13: in-context-pretraining layout
-        "q134_ppl_buckets": q134_ppl_buckets,  # NEW r13: CCNet head/middle/tail split
-        "q135_memorization_probe": q135_memorization_probe,  # NEW r13: verbatim-overlap audit
-        "q136_ivf_store": q136_ivf_store,  # NEW r13: IVF store lifecycle (build+append+serve)
-        "q137_bm25_delete": q137_bm25_delete,  # NEW r13: exact index deletes (K4 on the lexical store)
-        "q138_doremi_weights": q138_doremi_weights,  # NEW r13: DoReMi domain reweighting (unigram proxy)
-        "q139_corpus_diff": q139_corpus_diff,  # NEW r13: snapshot lineage (added/removed/changed)
-        "q140_excess_loss": q140_excess_loss,  # NEW r13: RHO-style excess-loss selection
-        "q141_hard_negatives": q141_hard_negatives,  # NEW r13: BM25 hard-negative mining
-        "q142_decontaminate_multi": q142_decontaminate_multi,  # NEW r13: multi-suite contamination matrix
-        "q143_distinct_ngrams": q143_distinct_ngrams,  # NEW r13: distinct-n diversity per source
-        "q144_filter_agreement": q144_filter_agreement,  # NEW r13: quality-gate agreement matrix
-        "q145_best_of_n": q145_best_of_n,  # NEW r13: rejection-sampling winner selection
-        "q146_soft_dedup": q146_soft_dedup,  # NEW r13: SoftDeDup commonness reweighting
-        "q147_vector_negatives": q147_vector_negatives,  # NEW r13: embedding-space negative mining
-        "q148_epoch_plan": q148_epoch_plan,  # NEW r13: mixture repetition forecast
-        "q149_signal_correlation": q149_signal_correlation,  # NEW r13: quality-signal Pearson matrix
-        "q150_cluster_safe_splits": q150_cluster_safe_splits,  # NEW r13: near-dup-cluster split assignment
-        "q151_semantic_mixture": q151_semantic_mixture,  # NEW r13: domain-discovery mixture
-        # --- 24 r10-greens (2 rounds driver-stale: round-13's mandatory block) ---
-        "q103_squeeze_lines": q103_squeeze_lines,
-        "q104_build_vocab": q104_build_vocab,
-        "q82_mixture_weights": q82_mixture_weights,
-        "q80_length_outliers": q80_length_outliers,
-        "q03_topk_orders": q03_topk_orders,
-        "q05_region_customers": q05_region_customers,
-        "q07_cumulative_spend": q07_cumulative_spend,
-        "q08_union_slices": q08_union_slices,
-        "q10_top3_per_customer": q10_top3_per_customer,
-        "q04_orders_per_customer": q04_orders_per_customer,
-        "q06_events_dedup": q06_events_dedup,
-        "q13_lang_distribution": q13_lang_distribution,
-        "q32_order_revenue": q32_order_revenue,
-        "q33_events_inventory": q33_events_inventory,
-        "q36_pagination": q36_pagination,
-        "q37_source_projection": q37_source_projection,
-        "q41_semi_join": q41_semi_join,
-        "q43_anti_join": q43_anti_join,
-        "q11_json_extract": q11_json_extract,
-        "q12_doc_stats": q12_doc_stats,
-        "q15_doc_dedup_exact": q15_doc_dedup_exact,
-        "q19_knn_brute": q19_knn_brute,
-        "q21_vector_search_docs": q21_vector_search_docs,
-        "q28_winnowing": q28_winnowing,
-        # --- 26 oldest r11-greens (gate_staleness.py order) ---
+        # --- round-14 gate: the 50-query r11-green cohort (2 rounds stale) ---
         "q119_packed_boundaries": q119_packed_boundaries,
         "q120_dsir": q120_dsir,
         "q121_pack_report": q121_pack_report,
@@ -2558,10 +2491,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_archive_shards": q35_archive_shards,
         "q38_latency_percentiles": q38_latency_percentiles,
         "q39_sessionize": q39_sessionize,
-        # ================= tail (entry 51+) =================
-        # round-14's mandatory debt: the r11-greens that did not fit
-        # (oldest-first, gate_staleness.py order; q40/q42/q44/q46/q47/
-        # q48 displaced by the six new r13 rows above)
         "q40_asof_join": q40_asof_join,
         "q42_moving_window": q42_moving_window,
         "q44_hybrid_rrf": q44_hybrid_rrf,
@@ -2592,8 +2521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_gopher_filter": q71_gopher_filter,
         "q72_clip_tokens": q72_clip_tokens,
         "q73_bigram_logprob": q73_bigram_logprob,
-        # r12-gate cohort (driver-green r12): ages to its 2-round line
-        # at r15; gate_staleness.py order within the cohort
+        # ================= tail (entry 51+) =================
+        # r12-green cohort: r15's mandatory debt, laid head-first
         "q122_prep_report": q122_prep_report,
         "q123_bm25_sharded": q123_bm25_sharded,
         "q124_dsir_prep": q124_dsir_prep,
@@ -2644,6 +2573,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_training_pipeline": q100_training_pipeline,
         "q101_incremental_pipeline": q101_incremental_pipeline,
         "q102_conversation_lint": q102_conversation_lint,
+        # r13-green cohort (freshest): ages to its line at r16
+        "q126_sft_tokens": q126_sft_tokens,  # token-space SFT loss masks
+        "q127_media_store_audit": q127_media_store_audit,  # media store health card
+        "q128_bm25_impact": q128_bm25_impact,  # impact-ordered BM25 serving
+        "q129_extend_vocab": q129_extend_vocab,  # id-stable vocab evolution
+        "q130_preference_pairs": q130_preference_pairs,  # DPO pair assembly
+        "q131_dpo_tokens": q131_dpo_tokens,  # DPO paired token samples
+        "q132_purge_packed": q132_purge_packed,  # trainer-shard document purge
+        "q133_semantic_pack": q133_semantic_pack,  # in-context-pretraining layout
+        "q134_ppl_buckets": q134_ppl_buckets,  # CCNet head/middle/tail split
+        "q135_memorization_probe": q135_memorization_probe,  # verbatim-overlap audit
+        "q136_ivf_store": q136_ivf_store,  # IVF store lifecycle (build+append+serve)
+        "q137_bm25_delete": q137_bm25_delete,  # exact index deletes (K4 on the lexical store)
+        "q138_doremi_weights": q138_doremi_weights,  # DoReMi domain reweighting (unigram proxy)
+        "q139_corpus_diff": q139_corpus_diff,  # snapshot lineage (added/removed/changed)
+        "q140_excess_loss": q140_excess_loss,  # RHO-style excess-loss selection
+        "q141_hard_negatives": q141_hard_negatives,  # BM25 hard-negative mining
+        "q142_decontaminate_multi": q142_decontaminate_multi,  # multi-suite contamination matrix
+        "q143_distinct_ngrams": q143_distinct_ngrams,  # distinct-n diversity per source
+        "q144_filter_agreement": q144_filter_agreement,  # quality-gate agreement matrix
+        "q145_best_of_n": q145_best_of_n,  # rejection-sampling winner selection
+        "q146_soft_dedup": q146_soft_dedup,  # SoftDeDup commonness reweighting
+        "q147_vector_negatives": q147_vector_negatives,  # embedding-space negative mining
+        "q148_epoch_plan": q148_epoch_plan,  # mixture repetition forecast
+        "q149_signal_correlation": q149_signal_correlation,  # quality-signal Pearson matrix
+        "q150_cluster_safe_splits": q150_cluster_safe_splits,  # near-dup-cluster split assignment
+        "q151_semantic_mixture": q151_semantic_mixture,  # domain-discovery mixture
+        "q103_squeeze_lines": q103_squeeze_lines,
+        "q104_build_vocab": q104_build_vocab,
+        "q82_mixture_weights": q82_mixture_weights,
+        "q80_length_outliers": q80_length_outliers,
+        "q03_topk_orders": q03_topk_orders,
+        "q05_region_customers": q05_region_customers,
+        "q07_cumulative_spend": q07_cumulative_spend,
+        "q08_union_slices": q08_union_slices,
+        "q10_top3_per_customer": q10_top3_per_customer,
+        "q04_orders_per_customer": q04_orders_per_customer,
+        "q06_events_dedup": q06_events_dedup,
+        "q13_lang_distribution": q13_lang_distribution,
+        "q32_order_revenue": q32_order_revenue,
+        "q33_events_inventory": q33_events_inventory,
+        "q36_pagination": q36_pagination,
+        "q37_source_projection": q37_source_projection,
+        "q41_semi_join": q41_semi_join,
+        "q43_anti_join": q43_anti_join,
+        "q11_json_extract": q11_json_extract,
+        "q12_doc_stats": q12_doc_stats,
+        "q15_doc_dedup_exact": q15_doc_dedup_exact,
+        "q19_knn_brute": q19_knn_brute,
+        "q21_vector_search_docs": q21_vector_search_docs,
+        "q28_winnowing": q28_winnowing,
     }
 
 
