@@ -340,8 +340,13 @@ def mine_vector_negatives(
         F.col(id_col),
         cosine_similarity(F.col(vector_col), F.col("_qv")).alias("_s"),
     )
+    # positives are batch-sized — broadcast the anti-join side, or the
+    # corpus×batch scored frame shuffles on (query_id, id) just to drop
+    # a handful of labeled rows (the plan pin caught this as an SMJ)
     negatives = scored.join(
-        pairs.select(F.col(query_id_col), F.col(positive_id_col).alias(id_col)),
+        F.broadcast(
+            pairs.select(F.col(query_id_col), F.col(positive_id_col).alias(id_col))
+        ),
         [query_id_col, id_col],
         "left_anti",
     )

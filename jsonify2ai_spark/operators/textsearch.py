@@ -1562,15 +1562,19 @@ def mine_hard_negatives(
         F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
     )
     contrib = (
-        posted.join(qt, "term")
+        posted.join(F.broadcast(qt), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn("w", idf * F.col("tf") * F.lit(k1 + 1.0) / denom)
     )
     scored = contrib.groupBy(query_id_col, id_col).agg(
         F.round(F.sum("w"), 6).alias("bm25")
     )
+    # positives are batch-sized — broadcast the anti-join side so the
+    # corpus×batch scored frame never shuffles just to drop labeled rows
     negatives = scored.join(
-        pairs.select(F.col(query_id_col), F.col(positive_id_col).alias(id_col)),
+        F.broadcast(
+            pairs.select(F.col(query_id_col), F.col(positive_id_col).alias(id_col))
+        ),
         [query_id_col, id_col],
         "left_anti",
     )
