@@ -846,11 +846,16 @@ def excess_loss_select(
     a = F.lit(float(alpha))
     lp_t = F.log((F.col("tc") + a) / (F.col("tN") + a * F.col("tV")))
     lp_g = F.log((F.col("gc") + a) / (F.col("gN") + a * F.col("gV")))
+    # exact DECIMAL(38,18) accumulators (the _stable_avg discipline):
+    # a plain double sum reassociates across partitions, and at the
+    # round(.,4) boundary that noise can flip the 4th decimal — and with
+    # it the CDF cutoff and the selected flag (the r5 q89 flake class)
+    _DEC = "decimal(38,18)"
     per_doc = scored.groupBy(id_col).agg(
         F.sum("dc").cast("bigint").alias("n_tokens"),
         F.round(
-            F.sum(F.col("dc") * lp_t) / F.sum("dc")
-            - F.sum(F.col("dc") * lp_g) / F.sum("dc"),
+            F.sum((F.col("dc") * lp_t).cast(_DEC)).cast("double") / F.sum("dc")
+            - F.sum((F.col("dc") * lp_g).cast(_DEC)).cast("double") / F.sum("dc"),
             4,
         ).alias("excess_logprob"),
     ).localCheckpoint(eager=False)

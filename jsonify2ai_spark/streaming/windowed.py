@@ -2801,44 +2801,60 @@ class BloomDedupGate:
     def probe_batch(self, batch: DataFrame) -> DataFrame:
         """Audit face: ``(id, bloom_hit, is_dup)`` per batch row —
         bloom_hit from the bitmap alone, is_dup after exact verification
-        (every is_dup has bloom_hit; the gap is the realized FP rate)."""
+        (every is_dup has bloom_hit; the gap is the realized FP rate).
+        Per-ROW semantics keyed on the fingerprint (r13 advisor: the
+        previous id-equality re-join fanned out on repeated batch ids
+        and never matched NULL ids); the id column is carried through
+        untouched, whatever its contents."""
         from jsonify2ai_spark.operators.dedup import _content_fingerprint
 
         hit = self._hit_udf()
         probed = batch.select(
             F.col(self._id_col),
             _content_fingerprint(F.col(self._text_col)).alias("_fp"),
-        ).withColumn("bloom_hit", hit(self._positions(F.col("_fp"))))
-        cand = probed.filter(F.col("bloom_hit"))
-        confirmed = cand.join(self._fps, "_fp", "left_semi").select(
-            F.col(self._id_col).alias("_dup_id")
-        )
-        return probed.join(
-            confirmed,
-            probed[self._id_col] == confirmed["_dup_id"],
-            "left",
-        ).select(
-            self._id_col,
+        ).withColumn(
+            # NULL text -> NULL fingerprint -> NULL positions: never a
+            # dup (NULL never equi-joins), so a definite bloom miss
             "bloom_hit",
-            F.col("_dup_id").isNotNull().alias("is_dup"),
+            F.coalesce(hit(self._positions(F.col("_fp"))), F.lit(False)),
+        )
+        neg = probed.filter(~F.col("bloom_hit")).withColumn(
+            "is_dup", F.lit(False)
+        )
+        # _fps is distinct by construction, so the left join cannot fan out
+        marks = self._fps.withColumn("_in", F.lit(True))
+        pos = (
+            probed.filter(F.col("bloom_hit"))
+            .join(marks, "_fp", "left")
+            .withColumn("is_dup", F.coalesce(F.col("_in"), F.lit(False)))
+        )
+        return neg.unionByName(pos.drop("_in")).select(
+            self._id_col, "bloom_hit", "is_dup"
         )
 
     def filter_batch(self, batch: DataFrame) -> DataFrame:
         """Rows of ``batch`` whose content is NOT in the corpus — exactly
-        the fingerprint anti-join's output, bloom-accelerated."""
+        the fingerprint anti-join's output, bloom-accelerated. Keyed on
+        the FINGERPRINT itself, never the batch's id column (r13
+        advisor: the old id-keyed drop diverged on NULL or repeated
+        batch ids): bloom-negative rows — including NULL-text rows,
+        whose fingerprint can never equi-join — emit map-side with no
+        shuffle; only bloom-positive candidates pay the exact
+        candidate-sized anti-probe."""
         from jsonify2ai_spark.operators.dedup import _content_fingerprint
 
         hit = self._hit_udf()
         probed = batch.withColumn(
             "_fp", _content_fingerprint(F.col(self._text_col))
-        ).withColumn("_bh", hit(self._positions(F.col("_fp"))))
-        cand = probed.filter(F.col("_bh"))
-        dup_ids = (
-            cand.select(self._id_col, "_fp")
-            .join(self._fps, "_fp", "left_semi")
-            .select(self._id_col)
+        ).withColumn(
+            "_bh",
+            F.coalesce(hit(self._positions(F.col("_fp"))), F.lit(False)),
         )
-        return batch.join(dup_ids, self._id_col, "left_anti")
+        novel = probed.filter(~F.col("_bh"))
+        survivors = probed.filter(F.col("_bh")).join(
+            self._fps, "_fp", "left_anti"
+        )
+        return novel.unionByName(survivors).drop("_fp", "_bh")
 
     def foreach_batch(self, append):
         """Wrap ``append(clean_df, batch_id)`` as a foreachBatch callable."""

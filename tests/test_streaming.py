@@ -2452,16 +2452,16 @@ def test_calibrate_ppl_cutoff_feeds_gate(spark, tables):
 
 
 def _bloom_exact_reference(corpus, batch):
-    """Fingerprint anti-join — the answer the gate must reproduce."""
+    """FINGERPRINT anti-join — the answer the gate must reproduce. Keyed
+    on the fingerprint itself (r13 advisor: an id-keyed reference would
+    itself diverge on NULL or repeated batch ids)."""
     from jsonify2ai_spark.operators.dedup import _content_fingerprint
 
     cfp = corpus.select(_content_fingerprint(F.col("text")).alias("_fp")).distinct()
-    return batch.join(
-        batch.select(
-            "doc_id", _content_fingerprint(F.col("text")).alias("_fp")
-        ).join(cfp, "_fp", "left_semi").select("doc_id"),
-        "doc_id",
-        "left_anti",
+    return (
+        batch.withColumn("_fp", _content_fingerprint(F.col("text")))
+        .join(cfp, "_fp", "left_anti")
+        .drop("_fp")
     )
 
 
@@ -2500,6 +2500,43 @@ def test_bloom_dedup_gate_exact_parity(spark):
         # is_dup implies bloom_hit everywhere
         assert all((not r["is_dup"]) or r["bloom_hit"] for r in probe.values())
         assert 0.0 < gate.fp_rate_estimate() < 0.01
+    finally:
+        gate.close()
+
+
+def test_bloom_dedup_gate_null_and_repeated_ids(spark):
+    """r13 advisor: the filter path keys on the fingerprint, never the
+    batch's id column — a NULL-id duplicate row must be dropped (the old
+    id-keyed anti-join could never match it), rows SHARING an id are
+    judged independently by content, and probe_batch emits exactly one
+    row per batch ROW (the old id-equality re-join fanned out)."""
+    from jsonify2ai_spark.streaming.windowed import BloomDedupGate
+
+    corpus = spark.createDataFrame(
+        [(i, f"known doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (None, "known doc 3"),    # NULL-id duplicate: must drop
+            (None, "new thing one"),  # NULL-id novel: must survive
+            (7, "known doc 7"),       # repeated id, duplicate: drops
+            (7, "new thing two"),     # repeated id, novel: survives
+            (8, "new thing three"),
+        ],
+        "doc_id long, text string",
+    )
+    gate = BloomDedupGate(corpus, m_bits=1 << 12, n_hashes=4)
+    try:
+        kept = sorted(r["text"] for r in gate.filter_batch(batch).collect())
+        ref = sorted(
+            r["text"] for r in _bloom_exact_reference(corpus, batch).collect()
+        )
+        assert kept == ref == ["new thing one", "new thing three", "new thing two"]
+
+        probe = gate.probe_batch(batch).collect()
+        assert len(probe) == 5  # one row per batch ROW, no id fanout
+        assert sum(1 for r in probe if r["is_dup"]) == 2
+        assert all((not r["is_dup"]) or r["bloom_hit"] for r in probe)
     finally:
         gate.close()
 
