@@ -2519,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displace the gate's two bottom r11 entries to the tail head) ---
         "q152_bm25_append": q152_bm25_append,  # NEW r14: LSM segment appends on the lexical index
         "q153_purge_accounting": q153_purge_accounting,  # NEW r14: RTBF store-lifecycle ledger
+        "q154_media_dup_clusters": q154_media_dup_clusters,  # NEW r14: near-dup over a media store's vectors
         # --- round-14 gate: the 48 stalest r11-greens (2 rounds stale) ---
         "q119_packed_boundaries": q119_packed_boundaries,
         "q120_dsir": q120_dsir,
@@ -2567,9 +2568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_overlap_pairs": q68_overlap_pairs,
         "q69_quantized_ivf": q69_quantized_ivf,
         "q70_per_source_cap": q70_per_source_cap,
-        "q71_gopher_filter": q71_gopher_filter,
         # ================= tail (entry 51+) =================
-        # r11-greens displaced by the two new r14 rows: r15's first debt
+        # r11-greens displaced by the three new r14 rows: r15's first debt
+        "q71_gopher_filter": q71_gopher_filter,
         "q72_clip_tokens": q72_clip_tokens,
         "q73_bigram_logprob": q73_bigram_logprob,
         # r12-green cohort: r15's mandatory debt, laid head-first
@@ -3817,6 +3818,57 @@ def q135_memorization_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memorization_probe(cands, docs, n=8)
 
 
+def q154_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over a media feature store's own vectors
+    (multimodal/shards.py media_dup_clusters, NEW r14 — r13 verdict #7:
+    every dedup family was text-keyed; this closes the seam by reading
+    a store's FEATURES into the q62 machinery): a store builds from the
+    documents table's bytes (base %4!=1 + one increment, the q127/q136
+    split idiom — the loader's union is what gets deduped), vectors
+    hyperplane-bucket via semantic_pack_groups' md5 planes (n_bits=2,
+    6dp-rounded sign test — engine-replayable, q133's idiom), cosine
+    pairs >= 0.95 form WITHIN buckets only (the blocked equi-join that
+    survives a 100 TB media store — never all-pairs), and connected
+    components fold to (node, cluster_rep). The oracle replays feature
+    derivation (sha256 dev features, the q29 idiom), the plane matrix,
+    the fold cosine, and the recursive closure end-to-end. Recall vs
+    the exact face is pytest territory (identical vectors always
+    collide, so exact dups have recall 1.0 at any n_bits)."""
+    import shutil
+    import tempfile
+
+    from jsonify2ai_spark.multimodal.shards import (
+        append_media_shards,
+        media_dup_clusters,
+        media_to_feature_shards,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("content"),
+    )
+
+    def build(d):
+        media_to_feature_shards(
+            media.filter(F.col("media_id") % 4 != 1), d, dim=16, n_groups=4
+        )
+        append_media_shards(media.filter(F.col("media_id") % 4 == 1), d, "incr-1")
+        return d
+
+    memo = _scratch_memo(("q154", sf_dir), build)
+    if memo is not None:
+        return media_dup_clusters(spark, memo, threshold=0.95, n_bits=2)
+    tmp = tempfile.mkdtemp(prefix="mediadup_")
+    try:
+        out = media_dup_clusters(
+            spark, build(tmp), threshold=0.95, n_bits=2
+        ).localCheckpoint()
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q136_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted IVF store lifecycle (operators/ann.py IVFIndex, NEW r13
     — the vector-side sibling of the q123 sharded-BM25 store): q69's
@@ -4717,6 +4769,43 @@ def oracle_sql() -> dict[str, str]:
         # to the q30 arithmetic over the FULL table — split invariance
         # IS the append contract (the q136 shape on the lexical side)
         "q152_bm25_append": bm25_oracle_sql(_SEARCH_QUERY, k=14),
+        # q154 twin: dev features (sha256 bytes, the q29 idiom) -> q133's
+        # md5-plane bucket replay (seed media-dup-v1, dim 16, 2 bits) ->
+        # within-bucket fold-cosine pairs -> q62's recursive closure
+        "q154_media_dup_clusters": f"""
+            WITH RECURSIVE feat AS (
+                SELECT doc_id AS id,
+                       {_dd_dev_embedding("coalesce(text, '')", 16)} AS v
+                FROM documents
+            ), bkt AS (
+                SELECT id,
+                       CAST(sum(CASE WHEN dot >= 0 THEN (1 << i) ELSE 0 END)
+                            AS BIGINT) AS grp
+                FROM (
+                    SELECT id, i,
+                           round(list_sum(list_transform(range(1, 17),
+                             j -> v[j] * ((CAST('0x' || substr(md5('media-dup-v1|' || CAST(i AS VARCHAR) || '|' || CAST(j-1 AS VARCHAR)), 1, 12) AS BIGINT) % 2001 - 1000) / 1000.0))), 6) AS dot
+                    FROM feat, range(2) t(i)
+                ) GROUP BY id
+            ), bv AS (
+                SELECT f.id, f.v, b.grp FROM feat f JOIN bkt b USING (id)
+            ), pairs AS (
+                SELECT a.id AS a, b.id AS b
+                FROM bv a JOIN bv b ON a.id < b.id AND a.grp = b.grp
+                WHERE {_dd_cosine("a.v", "b.v")} >= 0.95
+            ), edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION
+                SELECT b, a FROM pairs
+            ), reach(node, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.label
+                FROM edges e JOIN reach r ON e.dst = r.node
+            )
+            SELECT node, min(label) AS cluster_rep
+            FROM reach GROUP BY node
+        """,
         # q153 twin: every ledger number is doc_id-cohort arithmetic —
         # recomputed independently of the store (the q127 idiom)
         "q153_purge_accounting": """

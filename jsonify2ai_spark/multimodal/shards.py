@@ -333,3 +333,69 @@ def read_media_shards_mixture(
             "re-run the odd store with matching config"
         )
     return _balanced_union(frames)
+
+
+def media_dup_clusters(
+    spark,
+    out_dir: str,
+    threshold: float = 0.95,
+    n_bits: int = 0,
+    seed: str = "media-dup-v1",
+    include_increments: bool = True,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Near-duplicate clusters over a media feature store (r13 verdict
+    #7 — the dedup families were text-keyed; this reads a store's
+    FEATURE VECTORS into the q62 embedding machinery): load base +
+    increments with the tombstone ledger applied, cosine-pair at
+    ``threshold``, fold connected components, return
+    ``(node, cluster_rep)`` keyed on the store's own id column — the
+    frame a keep-one-per-cluster decision (or a purge request) acts on.
+
+    ``n_bits=0`` is the EXACT all-pairs face (the recall yardstick, the
+    q20/q62 relationship); ``n_bits>=1`` hyperplane-buckets the vectors
+    first (``semantic_pack_groups``' deterministic md5 planes, dots
+    6dp-rounded before the sign test, so the bucketing is
+    engine-replayable) and pairs only WITHIN a bucket — the blocked
+    equi-join form whose quadratic term shrinks by ~2**n_bits, the
+    shape that survives a 100 TB media store. Same-bytes media always
+    share every bucket (identical vectors, identical signs), so exact
+    duplicates have recall 1.0 at any n_bits; near-dup recall is the
+    usual LSH trade measured against the n_bits=0 face.
+
+    Reference anchor: the images collection the reference upserts
+    (worker/app/config.py:36-38) — dedup over that collection's vectors
+    is the maintenance pass it never had."""
+    import json
+    import os
+
+    from jsonify2ai_spark.operators.dedup import connected_components
+    from jsonify2ai_spark.operators.packing import semantic_pack_groups
+    from jsonify2ai_spark.operators.search import similarity_self_join
+
+    with open(os.path.join(out_dir, "manifest.json"), encoding="utf-8") as fh:
+        cfg = json.load(fh)["config"]
+    id_col = cfg.get("id_col", "media_id")
+    emb = read_media_shards(
+        spark, out_dir, include_increments=include_increments
+    ).select(F.col(id_col), F.col("features"))
+    block = None
+    if n_bits:
+        emb = semantic_pack_groups(
+            emb,
+            vector_col="features",
+            n_bits=n_bits,
+            dim=int(cfg["dim"]),
+            seed=seed,
+            out_col="_blk",
+        )
+        block = "_blk"
+    pairs = similarity_self_join(
+        emb,
+        threshold,
+        vector_col="features",
+        id_col=id_col,
+        block_col=block,
+        strategy=strategy,
+    )
+    return connected_components(pairs.select("a", "b"))

@@ -507,3 +507,84 @@ def test_read_media_shards_mixture(spark, tmp_path):
         read_media_shards_mixture(
             spark, {"a": a, "d": dpath}, {"a": 1.0, "d": 1.0}, budget_rows=10
         )
+
+
+def test_media_dup_clusters_exact_and_blocked(spark, tmp_path):
+    """Near-dup over a media store's own vectors (r13 verdict #7): exact
+    byte-duplicates cluster together at ANY n_bits (identical vectors
+    share every bucket — recall 1.0 by construction), the blocked face's
+    pairs are a subset of the exact face's, tombstoned media leave the
+    clustering, and the blocked pair join is an equi-join on the bucket
+    key (never a cartesian pair explosion)."""
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.multimodal.shards import (
+        append_media_shards,
+        media_dup_clusters,
+        media_to_feature_shards,
+    )
+    from jsonify2ai_spark.pipelines import purge_shard_store
+
+    # 3 exact-dup groups of 3 (same bytes => same sha feature) + 21 singles
+    rows = []
+    for g in range(3):
+        for k in range(3):
+            rows.append((g * 10 + k, f"duplicate payload {g}".encode()))
+    rows += [(100 + i, f"unique payload {i} x{i * 3}".encode()) for i in range(21)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = str(tmp_path / "mdup")
+    media_to_feature_shards(
+        media.filter(F.col("media_id") < 100), out, dim=16, n_groups=4
+    )
+    append_media_shards(media.filter(F.col("media_id") >= 100), out, "i1")
+
+    # threshold 1.0-epsilon: only the planted byte-dups pair
+    for n_bits in (0, 2, 4):
+        cc = {
+            r["node"]: r["cluster_rep"]
+            for r in media_dup_clusters(
+                spark, out, threshold=0.999999, n_bits=n_bits
+            ).collect()
+        }
+        assert cc == {
+            g * 10 + k: g * 10 for g in range(3) for k in range(3)
+        }, (n_bits, cc)
+
+    # blocked pairs ⊆ exact pairs at a loose threshold
+    exact = media_dup_clusters(spark, out, threshold=0.95, n_bits=0)
+    blocked = media_dup_clusters(spark, out, threshold=0.95, n_bits=2)
+    exact_nodes = {r["node"] for r in exact.collect()}
+    blocked_nodes = {r["node"] for r in blocked.collect()}
+    assert blocked_nodes.issubset(exact_nodes)
+
+    # a purged media row vanishes from the clustering (loader tombstones)
+    purge_shard_store(out, [10])
+    cc2 = {
+        r["node"]: r["cluster_rep"]
+        for r in media_dup_clusters(
+            spark, out, threshold=0.999999, n_bits=2
+        ).collect()
+    }
+    assert 10 not in cc2 and cc2[11] == 11 and cc2[12] == 11
+
+    # plan pin: the blocked pair join carries the bucket equi-key — no
+    # cartesian/nested-loop pair explosion anywhere in the plan
+    from jsonify2ai_spark.multimodal.shards import read_media_shards
+    from jsonify2ai_spark.operators.packing import semantic_pack_groups
+    from jsonify2ai_spark.operators.search import similarity_self_join
+    from jsonify2ai_spark.plans.inspect import plan_string
+
+    emb = semantic_pack_groups(
+        read_media_shards(spark, out).select("media_id", "features"),
+        vector_col="features", n_bits=2, dim=16,
+        seed="media-dup-v1", out_col="_blk",
+    )
+    p = plan_string(
+        similarity_self_join(
+            emb, 0.95, vector_col="features", id_col="media_id",
+            block_col="_blk",
+        ),
+        "simple",
+    )
+    assert "CartesianProduct" not in p, p[:1500]
+    assert "BroadcastNestedLoopJoin" not in p, p[:1500]
