@@ -2924,3 +2924,160 @@ def test_streaming_best_of_n_null_score_raises_and_null_response_parity(
         assert one["response"] is None  # NULLS FIRST on the tie, real NULL
     finally:
         q2.stop()
+
+
+def test_streaming_sft_assembly_e2e(spark, tmp_path):
+    """r13 verdict #6: the full live-candidates -> trainer-ready SFT
+    store wiring in one test — a file stream of scored candidates feeds
+    streaming_best_of_n, each trigger's winners land idempotently in a
+    parquet staging area (batch_id-keyed overwrite: a replayed trigger
+    rewrites its own part, the MediaShardSink convention), the query
+    survives a STOP + RESTART from its checkpoint without re-emitting
+    or losing winners, and the staged winners assemble into an SFT
+    token-shard store whose shards are ROW-IDENTICAL to a pure-batch
+    build (best_of_n over all candidates -> sft_to_token_shards).
+    Reference anchor: the watcher->ingest->index loop
+    (scripts/dev/tools/watch_dropzone.py:249-307) generalized to
+    training-data assembly."""
+    import json
+
+    from jsonify2ai_spark.operators.sft import best_of_n
+    from jsonify2ai_spark.pipelines import read_token_shards, sft_to_token_shards
+    from jsonify2ai_spark.streaming.windowed import streaming_best_of_n
+
+    # every prompt gets EXACTLY n=2 candidates in total, so the streaming
+    # winner (max over candidates seen at the crossing trigger) provably
+    # equals the batch winner (max over all candidates)
+    all_cands = [
+        {"prompt_id": p, "prompt": f"question {p}",
+         "response": f"answer {p} v{k} " + "tok " * (3 + (p + k) % 4),
+         "score": float((p * 7 + k * 3) % 10)}
+        for p in range(6)
+        for k in range(2)
+    ]
+    batch1 = all_cands[:7]   # prompts 0-2 complete, prompt 3 half done
+    batch2 = all_cands[7:]   # the rest (delivered after the restart)
+
+    src = tmp_path / "cands"
+    src.mkdir()
+    staging = tmp_path / "staging"
+    schema = "prompt_id LONG, prompt STRING, response STRING, score DOUBLE"
+
+    def winners_sink(df, batch_id):
+        # idempotent landing: a replayed batch_id overwrites its own part
+        if df.count():
+            df.write.mode("overwrite").parquet(str(staging / f"b{batch_id}"))
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+        return (
+            streaming_best_of_n(stream, n=2)
+            .writeStream.foreachBatch(winners_sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    q = start_query()
+    try:
+        (src / "f1.json").write_text(
+            "\n".join(json.dumps(r) for r in batch1)
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    staged_mid = spark.read.parquet(str(staging / "*"))
+    assert {r["prompt_id"] for r in staged_mid.collect()} == {0, 1, 2}
+
+    # restart from the checkpoint: pre-stop winners are NOT re-emitted,
+    # the half-done prompt completes, the rest arrive fresh
+    q = start_query()
+    try:
+        (src / "f2.json").write_text(
+            "\n".join(json.dumps(r) for r in batch2)
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    staged = spark.read.parquet(str(staging / "*"))
+    winners_stream = {
+        r["prompt_id"]: (r["prompt"], r["response"], r["score"])
+        for r in staged.collect()
+    }
+    assert len(winners_stream) == 6  # exactly-once: one winner per prompt
+    assert staged.count() == 6       # ... and no duplicate rows at all
+
+    # batch parity on the winners themselves
+    cands_df = spark.createDataFrame(
+        [(r["prompt_id"], r["prompt"], r["response"], r["score"])
+         for r in all_cands],
+        schema,
+    )
+    winners_batch = {
+        r["prompt_id"]: (r["prompt"], r["response"], r["score"])
+        for r in best_of_n(cands_df).collect()
+    }
+    assert winners_stream == winners_batch
+
+    # trainer-ready assembly: winners -> (user, assistant) turns -> SFT
+    # token shards; the stream-fed store is row-identical to the batch one
+    def to_msgs(df):
+        user = df.select(
+            F.col("prompt_id").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.col("prompt").alias("text"),
+        )
+        asst = df.select(
+            F.col("prompt_id").alias("conv_id"),
+            F.lit(1).alias("turn_idx"),
+            F.lit("assistant").alias("role"),
+            F.col("response").alias("text"),
+        )
+        return user.unionByName(asst)
+
+    kw = dict(num_merges=5, budget=64, n_groups=4)
+    store_s = str(tmp_path / "sft_stream")
+    store_b = str(tmp_path / "sft_batch")
+    sft_to_token_shards(
+        to_msgs(staged.select("prompt_id", "prompt", "response")),
+        store_s, **kw,
+    )
+    sft_to_token_shards(
+        to_msgs(
+            best_of_n(cands_df).select("prompt_id", "prompt", "response")
+        ),
+        store_b, **kw,
+    )
+
+    def rows_of(path):
+        df = read_token_shards(spark, path)
+        return sorted(
+            (tuple(r["input_ids"]), tuple(r["loss_mask"]))
+            for r in df.select("input_ids", "loss_mask").collect()
+        )
+
+    got, want = rows_of(store_s), rows_of(store_b)
+    assert got == want and len(got) > 0
+    # the loss mask is live somewhere (assistant turns train)
+    assert any(any(m) for _, m in got)
+
+    # idempotent-redelivery face of the sink: the engine's unclean-stop
+    # replay redelivers the SAME winner rows under the SAME batch_id —
+    # re-landing a part's own content must change nothing at all
+    import os
+
+    before = sorted(tuple(r) for r in staged.collect())
+    part = sorted(d for d in os.listdir(staging) if d.startswith("b"))[0]
+    replay_rows = spark.read.parquet(str(staging / part)).collect()
+    winners_sink(  # materialized first: overwrite would read-under-write
+        spark.createDataFrame(replay_rows), int(part[1:])
+    )
+    after = spark.read.parquet(str(staging / "*"))
+    assert sorted(tuple(r) for r in after.collect()) == before
