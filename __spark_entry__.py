@@ -3826,6 +3826,9 @@ def q154_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table's bytes (base %4!=1 + one increment, the q127/q136
     split idiom — the loader's union is what gets deduped), vectors
     hyperplane-bucket via semantic_pack_groups' md5 planes (n_bits=2,
+    center=0.5: the sha dev features live in [0,1)^d and uncentered
+    sign-LSH collapses them into one bucket — measured 68% in a single
+    bucket; a FIXED center keeps assignment append-invariant;
     6dp-rounded sign test — engine-replayable, q133's idiom), cosine
     pairs >= 0.95 form WITHIN buckets only (the blocked equi-join that
     survives a 100 TB media store — never all-pairs), and connected
@@ -3858,11 +3861,13 @@ def q154_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     memo = _scratch_memo(("q154", sf_dir), build)
     if memo is not None:
-        return media_dup_clusters(spark, memo, threshold=0.95, n_bits=2)
+        return media_dup_clusters(
+            spark, memo, threshold=0.95, n_bits=2, center=0.5
+        )
     tmp = tempfile.mkdtemp(prefix="mediadup_")
     try:
         out = media_dup_clusters(
-            spark, build(tmp), threshold=0.95, n_bits=2
+            spark, build(tmp), threshold=0.95, n_bits=2, center=0.5
         ).localCheckpoint()
         return out
     finally:
@@ -4784,7 +4789,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM (
                     SELECT id, i,
                            round(list_sum(list_transform(range(1, 17),
-                             j -> v[j] * ((CAST('0x' || substr(md5('media-dup-v1|' || CAST(i AS VARCHAR) || '|' || CAST(j-1 AS VARCHAR)), 1, 12) AS BIGINT) % 2001 - 1000) / 1000.0))), 6) AS dot
+                             j -> (v[j] - 0.5) * ((CAST('0x' || substr(md5('media-dup-v1|' || CAST(i AS VARCHAR) || '|' || CAST(j-1 AS VARCHAR)), 1, 12) AS BIGINT) % 2001 - 1000) / 1000.0))), 6) AS dot
                     FROM feat, range(2) t(i)
                 ) GROUP BY id
             ), bv AS (

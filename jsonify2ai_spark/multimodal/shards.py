@@ -343,6 +343,7 @@ def media_dup_clusters(
     seed: str = "media-dup-v1",
     include_increments: bool = True,
     strategy: str = "auto",
+    center: float | None = None,
 ) -> DataFrame:
     """Near-duplicate clusters over a media feature store (r13 verdict
     #7 — the dedup families were text-keyed; this reads a store's
@@ -381,14 +382,33 @@ def media_dup_clusters(
     ).select(F.col(id_col), F.col("features"))
     block = None
     if n_bits:
+        # ``center``: subtract a FIXED constant from every coordinate
+        # before the sign test (bucketing only — pair SCORES always use
+        # the raw vectors). Sign-LSH balance needs ~zero-mean data: the
+        # dev-mode sha features live in [0,1)^d, so their dots with any
+        # plane share the plane's weight-sum sign and ~everything lands
+        # in one bucket (measured: 68% of a 20k store in a single
+        # bucket at n_bits=3). center=0.5 rebalances them; real CLIP
+        # embeddings are roughly centered already (leave None). A fixed
+        # constant — never a corpus mean — keeps bucket assignment
+        # append-invariant, the store-lifecycle contract.
+        bvec = "features"
+        if center is not None:
+            c = float(center)
+            emb = emb.withColumn(
+                "_cf", F.transform(F.col("features"), lambda x: x - F.lit(c))
+            )
+            bvec = "_cf"
         emb = semantic_pack_groups(
             emb,
-            vector_col="features",
+            vector_col=bvec,
             n_bits=n_bits,
             dim=int(cfg["dim"]),
             seed=seed,
             out_col="_blk",
         )
+        if center is not None:
+            emb = emb.drop("_cf")
         block = "_blk"
     pairs = similarity_self_join(
         emb,

@@ -105,6 +105,16 @@ def similarity_self_join(
       block key first) — with an IVF cluster id or LSH band as the block, the
       quadratic term shrinks to within-block pairs, which is the preferred
       100 TB strategy when approximate candidates are acceptable.
+    - ``"block_gemm"`` (requires ``block_col``): each block's rows shuffle to
+      ONE task (``applyInPandas``) which scores the whole block with a single
+      numpy matmul — the IVF-cell layout. Shuffle volume is the INPUT (each
+      row ships once to its block), compute is within-block quadratic, and
+      the per-pair constant is BLAS, not an interpreted fold: measured 10-40x
+      over the expr-blocked form past ~20k rows (bench_media_dedup.py). Same
+      caveats as ``blas``: one block must fit a task's memory (size the LSH
+      ``n_bits`` so rows/2**n_bits does) and BLAS pairwise summation differs
+      from the sequential fold in final ulps — callers gating oracle
+      bit-parity at the raw threshold keep the expr-blocked form.
 
     ``"auto"`` without a block_col reads Catalyst's size estimate for the
     input (free — plan statistics, no job) and picks ``blas`` only below
@@ -117,6 +127,15 @@ def similarity_self_join(
         if est is None:
             est = df.count() * 1024  # stats unavailable: rough 1 KiB/row
         strategy = "blas" if est <= max_broadcast_bytes else "chunked"
+    if strategy == "block_gemm":
+        if block_col is None:
+            raise ValueError(
+                "similarity_self_join: strategy='block_gemm' needs a "
+                "block_col (an LSH bucket or IVF cluster id)"
+            )
+        return _similarity_self_join_block_gemm(
+            df, threshold, vector_col, id_col, block_col, round_to
+        )
     if strategy == "blas":
         return _similarity_self_join_blas(df, threshold, vector_col, id_col, round_to)
     if strategy == "chunked":
@@ -151,6 +170,58 @@ def similarity_self_join(
         joined.withColumn("score", sim)
         .filter(F.col("score") >= threshold)
         .select("a", "b", "score")
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out
+
+
+def _similarity_self_join_block_gemm(
+    df: DataFrame,
+    threshold: float,
+    vector_col: str,
+    id_col: str,
+    block_col: str,
+    round_to: int | None,
+) -> DataFrame:
+    """Per-block GEMM all-pairs: rows shuffle ONCE to their block's task,
+    which scores the whole block with one (n_b x d) @ (d x n_b) matmul and
+    emits surviving pairs — the IVF-cell layout for bucketed near-dup. The
+    quadratic term is within-block only; memory per task is one block's
+    matrix (size the bucketing so it fits). Scores are double dot/(|a||b|)
+    like every other strategy; BLAS pairwise summation differs from the
+    sequential fold only in final ulps."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"a {id_type}, b {id_type}, score double"
+
+    def pairs_of_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"a": [], "b": [], "score": []}).astype(
+                {"score": "float64"}
+            )
+        ids = pdf[id_col].to_numpy()
+        m = np.array(pdf[vector_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        scores = m @ m.T
+        denom = np.outer(norms, norms)
+        np.divide(scores, denom, out=scores, where=denom != 0)
+        mask = (
+            (denom != 0)
+            & (scores >= threshold)
+            & (ids[:, None] < ids[None, :])
+        )
+        ai, bi = np.nonzero(mask)
+        return pd.DataFrame(
+            {"a": ids[ai], "b": ids[bi], "score": scores[ai, bi]}
+        )
+
+    out = (
+        df.select(id_col, vector_col, block_col)
+        .groupBy(block_col)
+        .applyInPandas(pairs_of_block, schema=out_schema)
     )
     if round_to is not None:
         out = out.withColumn("score", F.round("score", round_to))
