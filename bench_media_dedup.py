@@ -88,7 +88,12 @@ def main() -> None:
                 )
                 nodes = cc.count()
                 dt = round(time.time() - t0, 2)
-                cells[face] = {"nodes": nodes, "s": dt}
+                # assignment set for the parity check (collected OUTSIDE
+                # the timed window; count above already ran the plan)
+                assign = frozenset(
+                    (r["node"], r["cluster_rep"]) for r in cc.collect()
+                )
+                cells[face] = {"nodes": nodes, "s": dt, "assign": assign}
                 print(
                     json.dumps(
                         {
@@ -119,7 +124,10 @@ def main() -> None:
                         "block_gemm_speedup": round(ex["s"] / bg["s"], 2)
                         if bg["s"]
                         else None,
-                        "gemm_matches_blocked": bg["nodes"] == bl["nodes"],
+                        # node-for-node: the full (node, cluster_rep)
+                        # assignment sets must be identical, not just
+                        # their cardinality (r14 self-review)
+                        "gemm_matches_blocked": bg["assign"] == bl["assign"],
                     }
                 ),
                 flush=True,

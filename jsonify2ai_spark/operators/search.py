@@ -198,6 +198,10 @@ def _similarity_self_join_block_gemm(
     out_schema = f"a {id_type}, b {id_type}, score double"
 
     def pairs_of_block(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # NULL vector or NULL id rows can never form a pair (the expr
+        # path NULL-propagates them into the dropped-score filter) —
+        # drop them here instead of crashing the ragged np.array build
+        pdf = pdf[pdf[vector_col].notna() & pdf[id_col].notna()]
         if len(pdf) < 2:
             return pd.DataFrame({"a": [], "b": [], "score": []}).astype(
                 {"score": "float64"}

@@ -2844,17 +2844,25 @@ class BloomDedupGate:
         from jsonify2ai_spark.operators.dedup import _content_fingerprint
 
         hit = self._hit_udf()
+        # collision-proof internal names: a caller's own '_fp'/'_bh'
+        # column must pass through untouched (r14 self-review — the
+        # old withColumn would silently overwrite then drop it)
+        fpc, bhc = "_fp", "_bh"
+        while fpc in batch.columns:
+            fpc += "_"
+        while bhc in batch.columns:
+            bhc += "_"
         probed = batch.withColumn(
-            "_fp", _content_fingerprint(F.col(self._text_col))
+            fpc, _content_fingerprint(F.col(self._text_col))
         ).withColumn(
-            "_bh",
-            F.coalesce(hit(self._positions(F.col("_fp"))), F.lit(False)),
+            bhc,
+            F.coalesce(hit(self._positions(F.col(fpc))), F.lit(False)),
         )
-        novel = probed.filter(~F.col("_bh"))
-        survivors = probed.filter(F.col("_bh")).join(
-            self._fps, "_fp", "left_anti"
+        novel = probed.filter(~F.col(bhc))
+        survivors = probed.filter(F.col(bhc)).join(
+            self._fps.select(F.col("_fp").alias(fpc)), fpc, "left_anti"
         )
-        return novel.unionByName(survivors).drop("_fp", "_bh")
+        return novel.unionByName(survivors).select(*batch.columns)
 
     def foreach_batch(self, append):
         """Wrap ``append(clean_df, batch_id)`` as a foreachBatch callable."""

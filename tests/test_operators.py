@@ -4492,3 +4492,43 @@ def test_corpus_diff_null_text_statuses(spark):
         3: "changed",    # real -> NULL
         4: "added",      # NULL-text doc present only in new
     }
+
+
+def test_similarity_block_gemm_matches_expr_blocked(spark, tables):
+    """strategy='block_gemm' (r14): the per-block GEMM emits the SAME
+    pair set with the SAME 6dp scores as the expr-blocked form — the
+    contract that lets a bucketed near-dup pass swap the interpreted
+    per-pair fold for one matmul per block. NULL vectors and NULL ids
+    drop exactly as the expr path's NULL-propagation drops them, and
+    the strategy refuses to run without a block key."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    emb = (
+        tables["embeddings"]
+        .select("vec_id", "embedding")
+        .limit(60)
+        .withColumn("_blk", (F.col("vec_id") % 4).cast("long"))
+    )
+    # null fodder: one NULL vector, one NULL id (type-matched)
+    nulls = spark.createDataFrame(
+        [(9001, None, 1), (None, [0.5] * 64, 1)],
+        "vec_id long, embedding array<double>, _blk long",
+    )
+    emb = emb.unionByName(nulls)
+    expr = {
+        (r["a"], r["b"]): r["score"]
+        for r in similarity_self_join(
+            emb, 0.2, block_col="_blk", strategy="expr"
+        ).collect()
+    }
+    gemm = {
+        (r["a"], r["b"]): r["score"]
+        for r in similarity_self_join(
+            emb, 0.2, block_col="_blk", strategy="block_gemm"
+        ).collect()
+    }
+    assert gemm == expr and len(gemm) > 0
+
+    with _pytest.raises(ValueError, match="block_gemm"):
+        similarity_self_join(emb, 0.2, strategy="block_gemm")
