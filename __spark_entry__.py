@@ -3378,12 +3378,32 @@ def q137_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
 
     def build(d):
+        import shutil as _shutil
+
         victims = [
             r["doc_id"]
             for r in docs.filter(F.col("doc_id") % 9 == 4)
             .select("doc_id")
             .collect()
         ]
+        # bench memo mode (we are only inside build() under the memo):
+        # q123 memoizes the IDENTICAL full-corpus build (same docs,
+        # n_buckets, flat layout) — get-or-build that shared store, copy
+        # its files, and apply the delete to the COPY, instead of paying
+        # a second ~15 s corpus build. The copy is store-sized file IO
+        # (~MBs at bench SF); the delete contract is exercised exactly
+        # as before, on its own store. Isolated (non-memo) runs build
+        # from scratch below.
+        def base_build(d2):
+            return ShardedBM25Index.build(
+                docs, d2, n_buckets=16, impact_ordered=False
+            )
+
+        src = _scratch_memo(("q123", sf_dir), base_build)
+        if src is not None:
+            _shutil.rmtree(d, ignore_errors=True)
+            _shutil.copytree(src._path, d)
+            return type(src).load(docs.sparkSession, d).delete(victims)
         return ShardedBM25Index.build(
             docs, d, n_buckets=16, impact_ordered=False
         ).delete(victims)

@@ -105,18 +105,54 @@ def main() -> int:
     # queries drop to single-run (every query still measured and present in
     # the summary; BENCH_RUNS.json shows per-query run counts, so a
     # degraded pass is visible, not silent).
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "450"))
+    # Two budgets: past the SOFT budget a query whose first run came in
+    # sub-second still gets ONE extra run (its ~0.2 s steady-state re-run
+    # is nearly free and strips the ~1 s first-run plan-compile bias that
+    # would otherwise read as a phantom regression against an earlier
+    # round's min-of-3 value); costlier queries drop straight to
+    # single-run. Past the HARD budget everything is single-run.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "390"))
+    hard_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_BUDGET_S", "515"))
     bench_start = time.time()
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     total = 0.0
     n_errors = 0
-    for name, fn in entry_mod.queries().items():
+    # Execution order: HEAVIEST FIRST, by the previous run's recorded
+    # first-run cost (BENCH_RUNS.json rides the repo, so a fresh checkout
+    # has last round's costs; the file self-tunes every run). The wall
+    # budget degrades the tail to single-run — with heavy-first ordering
+    # that tail is the sub-second stable queries, whose single run is
+    # reliable, while every expensive query gets its full min-of-N. The
+    # r13/r14 phantom regressions came from exactly the opposite layout:
+    # the build-heavy lifecycle rows sat in the degraded suffix and their
+    # single runs recorded build+JIT cost as if it were serving cost.
+    # Queries with no history (new this round) count as heavy, run first.
+    runs_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"
+    )
+    prev_first: dict[str, float] = {}
+    try:
+        with open(runs_path) as f:
+            prev_first = {
+                k: v[0] for k, v in json.load(f)["runs"].items() if v
+            }
+    except (OSError, ValueError, KeyError):
+        pass
+    ordered = sorted(
+        entry_mod.queries().items(),
+        key=lambda kv: -prev_first.get(kv[0], float("1e18")),
+    )
+    for name, fn in ordered:
         runs = []
         try:
             for i in range(n_runs):
-                if i > 0 and (time.time() - bench_start) > budget_s:
-                    break  # keep first-run coverage for every query
+                if i > 0:
+                    elapsed = time.time() - bench_start
+                    if elapsed > hard_budget_s:
+                        break  # keep first-run coverage for every query
+                    if elapsed > budget_s and (runs[0] >= 1.0 or i > 1):
+                        break  # degraded: min-of-2 for sub-second plans only
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -134,7 +170,6 @@ def main() -> int:
     spark.stop()
 
     # Raw runs (spread diagnostics) go to a side artifact, never to stdout.
-    runs_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json")
     try:
         with open(runs_path, "w") as f:
             json.dump({"sf": sf, "n_runs": n_runs, "runs": all_runs}, f, indent=1)
