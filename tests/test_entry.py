@@ -130,3 +130,32 @@ def test_q97_oracle_all_bad_lines_doc_matches_spark(spark, tmp_path):
     assert row["n_good_lines"] == 0
     assert row["n_sentences"] == 0 and row["n_sentences"] is not None
     assert row["keep"] is False  # NOT NULL — the coalesce guard
+
+
+def test_scratch_memo_contract(monkeypatch, tmp_path):
+    """The bench-only store memo (r13 verdict #3): inert without the env
+    flag (correctness rows keep isolated builds), build-once per key with
+    the flag on, and distinct keys get distinct scratch dirs."""
+    import __spark_entry__ as em
+
+    calls = []
+
+    def build(d):
+        calls.append(d)
+        return ("store", d)
+
+    monkeypatch.delenv("SPARK_GRAFT_SCRATCH_MEMO", raising=False)
+    assert em._scratch_memo(("t1", "sf"), build) is None
+    assert calls == []  # flag off: never builds, caller goes isolated
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_MEMO", "1")
+    try:
+        v1 = em._scratch_memo(("t1", "sf"), build)
+        v2 = em._scratch_memo(("t1", "sf"), build)
+        assert v1 is v2 and len(calls) == 1  # build-once
+        v3 = em._scratch_memo(("t2", "sf"), build)
+        assert v3 is not v1 and len(calls) == 2
+        assert calls[0] != calls[1]  # distinct scratch dirs per key
+    finally:
+        for k in [("t1", "sf"), ("t2", "sf")]:
+            em._SCRATCH_MEMO.pop(k, None)
