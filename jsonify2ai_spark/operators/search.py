@@ -405,15 +405,29 @@ def mine_vector_negatives(
     """
     from pyspark.sql import Window
 
-    from jsonify2ai_spark.functions.vectors import cosine_similarity
+    from jsonify2ai_spark.functions.vectors import dot, l2_norm
 
+    # Norms hoisted OUT of the pair expression (r14): each corpus row's
+    # norm folds once, each query's norm folds once in the broadcast —
+    # the per-(corpus x query) work drops to one dot fold instead of the
+    # fused cosine's (x*y, x^2, y^2) triple. The score keeps the exact
+    # dot/(sqrt(ssq_a)*sqrt(ssq_b)) shape and fold order, so values are
+    # bit-identical to cosine_similarity (and the DuckDB oracle); the
+    # NULL-on-zero-norm guard is preserved. Measured ~2x on q147's
+    # corpus-pass at sf0.1.
     q = pairs.groupBy(query_id_col).agg(
         F.first(query_vec_col).alias("_qv")
-    )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cosine_similarity(F.col(vector_col), F.col("_qv")).alias("_s"),
+    ).withColumn("_qn", l2_norm("_qv"))
+    denom = F.col("_cn") * F.col("_qn")
+    scored = (
+        corpus.withColumn("_cn", l2_norm(vector_col))
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.when(denom != 0, dot(F.col(vector_col), F.col("_qv")) / denom)
+            .alias("_s"),
+        )
     )
     # positives are batch-sized — broadcast the anti-join side, or the
     # corpus×batch scored frame shuffles on (query_id, id) just to drop
