@@ -588,3 +588,46 @@ def test_media_dup_clusters_exact_and_blocked(spark, tmp_path):
     )
     assert "CartesianProduct" not in p, p[:1500]
     assert "BroadcastNestedLoopJoin" not in p, p[:1500]
+
+
+def test_media_dedup_to_purge_composition(spark, tmp_path):
+    """The maintenance loop composed end-to-end: media_dup_clusters
+    DECIDES (keep the cluster representative), purge_shard_store
+    EXECUTES (tombstone the other members), and the loader immediately
+    serves the thinned store — every byte-dup group collapses to its
+    representative, singletons untouched, and compaction makes the
+    erasure physical with the ledger cleared."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from jsonify2ai_spark.multimodal.shards import (
+        media_dup_clusters,
+        media_to_feature_shards,
+        read_media_shards,
+    )
+    from jsonify2ai_spark.pipelines import compact_media_shards, purge_shard_store
+
+    rows = [(g * 10 + k, f"payload {g}".encode()) for g in range(4) for k in range(3)]
+    rows += [(200 + i, f"one-off {i} {'x' * i}".encode()) for i in range(10)]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = str(tmp_path / "store")
+    media_to_feature_shards(media, out, dim=16, n_groups=4)
+
+    cc = media_dup_clusters(spark, out, threshold=0.999999, n_bits=2)
+    victims = [r["node"] for r in cc.filter(F.col("node") != F.col("cluster_rep")).collect()]
+    assert len(victims) == 8  # 4 groups x (3 - 1 rep)
+
+    res = purge_shard_store(out, victims)
+    assert res["pending_purge_ids"] == 8
+    kept = {r["media_id"] for r in read_media_shards(spark, out).collect()}
+    assert kept == {g * 10 for g in range(4)} | {200 + i for i in range(10)}
+    # the thinned store is duplicate-free at the same threshold
+    assert media_dup_clusters(spark, out, threshold=0.999999).count() == 0
+
+    compact_media_shards(spark, out)
+    man = json.load(open(os.path.join(out, "manifest.json")))
+    assert man["tombstones"] is None and man["purged_rows_total"] == 8
+    raw = spark.read.parquet(os.path.join(out, man["shards_dir"]))
+    assert {r["media_id"] for r in raw.collect()} == kept
