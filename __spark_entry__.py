@@ -2524,12 +2524,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # top, displacing the gate's bottom r11 entries to the tail head.
     return {
         # --- new this round (policy (a): first driver row gates; these
-        # three displace the gate's bottom r11 entries q71/q72/q73 to
-        # the tail head) ---
+        # four displace the gate's bottom r11 entries q70-q73 to the
+        # tail head) ---
         "q152_bm25_append": q152_bm25_append,  # NEW r14: LSM segment appends on the lexical index
         "q153_purge_accounting": q153_purge_accounting,  # NEW r14: RTBF store-lifecycle ledger
         "q154_media_dup_clusters": q154_media_dup_clusters,  # NEW r14: near-dup over a media store's vectors
-        # --- round-14 gate: the 47 stalest r11-greens (2 rounds stale) ---
+        "q155_ivf_delete": q155_ivf_delete,  # NEW r14: exact deletes on the vector store (K4)
+        # --- round-14 gate: the 46 stalest r11-greens (2 rounds stale) ---
         "q119_packed_boundaries": q119_packed_boundaries,
         "q120_dsir": q120_dsir,
         "q121_pack_report": q121_pack_report,
@@ -2576,9 +2577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_ivf_health": q107_ivf_health,
         "q68_overlap_pairs": q68_overlap_pairs,
         "q69_quantized_ivf": q69_quantized_ivf,
-        "q70_per_source_cap": q70_per_source_cap,
         # ================= tail (entry 51+) =================
-        # r11-greens displaced by the three new r14 rows: r15's first debt
+        # r11-greens displaced by the four new r14 rows: r15's first debt
+        "q70_per_source_cap": q70_per_source_cap,
         "q71_gopher_filter": q71_gopher_filter,
         "q72_clip_tokens": q72_clip_tokens,
         "q73_bigram_logprob": q73_bigram_logprob,
@@ -3922,6 +3923,63 @@ def q154_media_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q155_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tombstone deletes on the persisted vector store
+    (operators/ann.py IVFIndex.delete, NEW r14 — q137's K4 contract on
+    the VECTOR side, previously pytest-only): build the q136-shaped IVF
+    store over ALL embeddings, DELETE the vec_id%9==4 cohort, serve —
+    the result must equal q69's arithmetic over the table WITHOUT those
+    vectors. Exactness is free by construction (int8 cosine has no
+    corpus scalars, so the request-sized broadcast anti-join is exact
+    immediately — simpler than the lexical side's df_t recompute);
+    centroids are frozen build parameters, so deleting a vector that
+    happened to seed a centroid changes nothing about the geometry.
+    O(request) delete cost; physical erasure rides compact().
+    Reference anchor: delete-by-document reconciliation
+    (worker/app/services/qdrant_client.py:410-433). Scratch store
+    removed in finally (the q123 discipline)."""
+    import shutil
+    import tempfile
+
+    from jsonify2ai_spark.operators.ann import IVFIndex
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    cents = (
+        emb.filter(F.col("vec_id") < _IVF_K_CENTROIDS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cents]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == _KNN_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+
+    def build(d):
+        victims = [
+            r["vec_id"]
+            for r in emb.filter(F.col("vec_id") % 9 == 4)
+            .select("vec_id")
+            .collect()
+        ]
+        return IVFIndex.build(emb, d, centroids=centroids).delete(victims)
+
+    memo = _scratch_memo(("q155", sf_dir), build)
+    if memo is not None:
+        return memo.topk(qvec, k=10, n_probe=_IVF_N_PROBE)
+    d = tempfile.mkdtemp(prefix="q155_ivfdel_")
+    try:
+        out = build(d).topk(qvec, k=10, n_probe=_IVF_N_PROBE)
+        # materialize before the scratch dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def q136_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7676,4 +7734,14 @@ def oracle_sql() -> dict[str, str]:
     # lifecycle with an append mid-way — split-invariance IS the
     # contract, so the oracle is q69's all-at-once SQL verbatim
     oracles["q136_ivf_store"] = oracles["q69_quantized_ivf"]
+    # q155 twin: index.delete() must be indistinguishable from never
+    # having ingested the vectors — q69's arithmetic with the MEMBER
+    # scan filtered to the survivors (centroids and the probe vector
+    # still read the full table: centroids are frozen build parameters
+    # and the query is external to the store)
+    oracles["q155_ivf_delete"] = oracles["q69_quantized_ivf"].replace(
+        "FROM embeddings e CROSS JOIN cents c",
+        "FROM (SELECT * FROM embeddings WHERE vec_id % 9 <> 4) e "
+        "CROSS JOIN cents c",
+    )
     return oracles
