@@ -111,8 +111,8 @@ def main() -> int:
     # would otherwise read as a phantom regression against an earlier
     # round's min-of-3 value); costlier queries drop straight to
     # single-run. Past the HARD budget everything is single-run.
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "390"))
-    hard_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_BUDGET_S", "515"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "375"))
+    hard_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_BUDGET_S", "500"))
     bench_start = time.time()
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
