@@ -65,7 +65,13 @@ def _scratch_memo(key: tuple, build: Callable):
     — an index handle, the store dir, or captured one-shot history
     scalars. NEVER the final result rows: runs 2+ must still execute
     the serving/report path, or the memo inverts the r13 problem and
-    hides regressions behind a cached answer (r14 self-review)."""
+    hides regressions behind a cached answer (r14 self-review).
+
+    Build attribution note: delete rows SHARE their base store with the
+    corresponding build row via :func:`_shared_store_copy` (q137←q123,
+    q155←q136), so the one-time base build lands in whichever sharing
+    row the bench's heavy-first ordering runs FIRST — the other row's
+    run 1 is then serve-only in BENCH_RUNS.json."""
     import atexit
     import os
     import shutil
@@ -78,6 +84,24 @@ def _scratch_memo(key: tuple, build: Callable):
         atexit.register(shutil.rmtree, tmp, ignore_errors=True)
         _SCRATCH_MEMO[key] = build(tmp)
     return _SCRATCH_MEMO[key]
+
+
+def _shared_store_copy(base_key: tuple, base_build, dest: str):
+    """Memo-mode sharing protocol for the delete rows (q137←q123,
+    q155←q136): get-or-build the base row's memoized store, copy its
+    FILES to ``dest`` (store-sized IO, ~MBs at bench SF), and load the
+    copy — the caller then applies its delete to the copy, so the base
+    row's store is never mutated and the one-time corpus build is paid
+    once per process instead of once per row. Returns None outside memo
+    mode (callers build isolated from scratch)."""
+    import shutil
+
+    src = _scratch_memo(base_key, base_build)
+    if src is None:
+        return None
+    shutil.rmtree(dest, ignore_errors=True)
+    shutil.copytree(src._path, dest)
+    return type(src).load(src._spark, dest)
 
 # ---------------------------------------------------------------------------
 # flagship
@@ -3379,8 +3403,6 @@ def q137_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t["documents"]
 
     def build(d):
-        import shutil as _shutil
-
         victims = [
             r["doc_id"]
             for r in docs.filter(F.col("doc_id") % 9 == 4)
@@ -3389,22 +3411,17 @@ def q137_bm25_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         # bench memo mode (we are only inside build() under the memo):
         # q123 memoizes the IDENTICAL full-corpus build (same docs,
-        # n_buckets, flat layout) — get-or-build that shared store, copy
-        # its files, and apply the delete to the COPY, instead of paying
-        # a second ~15 s corpus build. The copy is store-sized file IO
-        # (~MBs at bench SF); the delete contract is exercised exactly
-        # as before, on its own store. Isolated (non-memo) runs build
-        # from scratch below.
+        # n_buckets, flat layout) — share it via _shared_store_copy and
+        # apply the delete to the copy instead of paying a second ~15 s
+        # corpus build. Isolated (non-memo) runs build from scratch.
         def base_build(d2):
             return ShardedBM25Index.build(
                 docs, d2, n_buckets=16, impact_ordered=False
             )
 
-        src = _scratch_memo(("q123", sf_dir), base_build)
-        if src is not None:
-            _shutil.rmtree(d, ignore_errors=True)
-            _shutil.copytree(src._path, d)
-            return type(src).load(docs.sparkSession, d).delete(victims)
+        copied = _shared_store_copy(("q123", sf_dir), base_build, d)
+        if copied is not None:
+            return copied.delete(victims)
         return ShardedBM25Index.build(
             docs, d, n_buckets=16, impact_ordered=False
         ).delete(victims)
@@ -3962,8 +3979,6 @@ def q155_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
 
     def build(d):
-        import shutil as _shutil
-
         victims = [
             r["vec_id"]
             for r in emb.filter(F.col("vec_id") % 9 == 4)
@@ -3973,21 +3988,18 @@ def q155_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bench memo mode (we are only inside build() under the memo):
         # q136's store holds ALL embeddings under the SAME frozen
         # centroids (build on %7!=3 + appended remainder), and delete()
-        # is content-keyed, so copy that store's files and delete from
-        # the COPY instead of paying a second full build — the q137
-        # sharing pattern on the vector side. Isolated runs build from
-        # scratch below.
+        # is content-keyed — share it via _shared_store_copy and delete
+        # from the copy (the q137 pattern on the vector side). Isolated
+        # runs build from scratch below.
         def base_build(d2):
             idx = IVFIndex.build(
                 emb.filter(F.col("vec_id") % 7 != 3), d2, centroids=centroids
             )
             return idx.append(emb.filter(F.col("vec_id") % 7 == 3), "incr-1")
 
-        src = _scratch_memo(("q136", sf_dir), base_build)
-        if src is not None:
-            _shutil.rmtree(d, ignore_errors=True)
-            _shutil.copytree(src._path, d)
-            return type(src).load(emb.sparkSession, d).delete(victims)
+        copied = _shared_store_copy(("q136", sf_dir), base_build, d)
+        if copied is not None:
+            return copied.delete(victims)
         return IVFIndex.build(emb, d, centroids=centroids).delete(victims)
 
     memo = _scratch_memo(("q155", sf_dir), build)
@@ -7763,5 +7775,12 @@ def oracle_sql() -> dict[str, str]:
         "FROM embeddings e CROSS JOIN cents c",
         "FROM (SELECT * FROM embeddings WHERE vec_id % 9 <> 4) e "
         "CROSS JOIN cents c",
+    )
+    # a reformatted q69 SQL would make the replace a silent no-op and
+    # q155's oracle the UNfiltered arithmetic — fail here, not as an
+    # inscrutable driver value mismatch
+    assert oracles["q155_ivf_delete"] != oracles["q69_quantized_ivf"], (
+        "q155 oracle derivation: the member-scan substring in the q69 "
+        "SQL moved — update the replace() anchor"
     )
     return oracles

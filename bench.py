@@ -135,10 +135,12 @@ def main() -> int:
     try:
         with open(runs_path) as f:
             prev_first = {
-                k: v[0] for k, v in json.load(f)["runs"].items() if v
+                k: float(v[0])
+                for k, v in json.load(f)["runs"].items()
+                if isinstance(v, list) and v
             }
-    except (OSError, ValueError, KeyError):
-        pass
+    except Exception:  # ordering seed is best-effort: a malformed file
+        prev_first = {}  # must never cost the round its whole artifact
     ordered = sorted(
         entry_mod.queries().items(),
         key=lambda kv: -prev_first.get(kv[0], float("1e18")),
