@@ -112,7 +112,16 @@ def main() -> int:
     # round's min-of-3 value); costlier queries drop straight to
     # single-run. Past the HARD budget everything is single-run.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "375"))
-    hard_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_BUDGET_S", "500"))
+    hard_budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_HARD_BUDGET_S", "490"))
+    # Terminal deadline: first runs are otherwise unbounded, so a noisy
+    # co-tenant window could push the suite past the driver's 580 s kill
+    # and record NOTHING (total artifact loss — it happened twice in r14
+    # testing). Past the deadline, remaining queries are SKIPPED and the
+    # artifact ships with what was measured: with heavy-first ordering
+    # the skipped remainder is the cheapest, least informative tail, and
+    # the truncation is visible (n_queries < the suite size, skipped
+    # names on stderr + in BENCH_RUNS.json).
+    deadline_s = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_S", "540"))
     bench_start = time.time()
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -134,18 +143,28 @@ def main() -> int:
     prev_first: dict[str, float] = {}
     try:
         with open(runs_path) as f:
-            prev_first = {
-                k: float(v[0])
-                for k, v in json.load(f)["runs"].items()
-                if isinstance(v, list) and v
-            }
+            seed = json.load(f)
+        prev_first = {
+            k: float(v[0])
+            for k, v in seed["runs"].items()
+            if isinstance(v, list) and v
+        }
+        # queries the previous pass deadline-skipped were the cheapest
+        # tail — seed them cheap, or their missing history would count
+        # as "new = heavy" and invert the ordering next run
+        for k in seed.get("skipped") or []:
+            prev_first.setdefault(str(k), 0.0)
     except Exception:  # ordering seed is best-effort: a malformed file
         prev_first = {}  # must never cost the round its whole artifact
     ordered = sorted(
         entry_mod.queries().items(),
         key=lambda kv: -prev_first.get(kv[0], float("1e18")),
     )
+    skipped: list[str] = []
     for name, fn in ordered:
+        if (time.time() - bench_start) > deadline_s:
+            skipped.append(name)
+            continue
         runs = []
         try:
             for i in range(n_runs):
@@ -170,11 +189,21 @@ def main() -> int:
         total += dt
 
     spark.stop()
+    if skipped:
+        print(
+            f"bench deadline: skipped {len(skipped)} tail queries: "
+            f"{' '.join(skipped)}",
+            file=sys.stderr,
+        )
 
     # Raw runs (spread diagnostics) go to a side artifact, never to stdout.
     try:
         with open(runs_path, "w") as f:
-            json.dump({"sf": sf, "n_runs": n_runs, "runs": all_runs}, f, indent=1)
+            json.dump(
+                {"sf": sf, "n_runs": n_runs, "runs": all_runs, "skipped": skipped},
+                f,
+                indent=1,
+            )
     except OSError as e:
         print(f"bench warning: could not write {runs_path}: {e}", file=sys.stderr)
 
