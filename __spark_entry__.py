@@ -2539,75 +2539,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Run scripts/gate_staleness.py to plan each rotation; `--check` FAILS
     # if this ordering wastes gate slots on fresh queries while staler
     # ones wait (the r10 miss, mechanized — see tests/test_entry.py).
-    # Round-14 gate: the complete 50-query r11-green cohort (last driver
-    # row r11 — exactly at the 2-round line), in gate_staleness.py order.
-    # This clears the whole r13-verdict debt in one rotation. The r12
-    # cohort (50 queries, green r12) is laid out FIRST in the tail so it
-    # lands as the r15 gate's head when it hits its own 2-round line.
-    # New r14 queries (policy (a), never-green = stalest) slot at the
-    # top, displacing the gate's bottom r11 entries to the tail head.
+    # Round-15 gate (ledger at COVERAGE.md "Gate-rotation ledger"): the
+    # four stalest queries q70-q73 (last driver row r11 — displaced from
+    # the r14 gate by the four new r14 rows) + the 46 oldest r12-greens
+    # in gate_staleness.py order. Total stale debt is 54 > 50 slots, so
+    # this is the strongest satisfiable form (a 50-stalest set); the 4
+    # remaining r12 rows (q99-q102) lead the tail as r16's first debt,
+    # followed by the r13 cohort, then the r14 cohort (freshest last).
     return {
-        # --- new this round (policy (a): first driver row gates; these
-        # four displace the gate's bottom r11 entries q70-q73 to the
-        # tail head) ---
-        "q152_bm25_append": q152_bm25_append,  # NEW r14: LSM segment appends on the lexical index
-        "q153_purge_accounting": q153_purge_accounting,  # NEW r14: RTBF store-lifecycle ledger
-        "q154_media_dup_clusters": q154_media_dup_clusters,  # NEW r14: near-dup over a media store's vectors
-        "q155_ivf_delete": q155_ivf_delete,  # NEW r14: exact deletes on the vector store (K4)
-        # --- round-14 gate: the 46 stalest r11-greens (2 rounds stale) ---
-        "q119_packed_boundaries": q119_packed_boundaries,
-        "q120_dsir": q120_dsir,
-        "q121_pack_report": q121_pack_report,
-        "q108_reference_ppl": q108_reference_ppl,
-        "q89_embedding_drift": q89_embedding_drift,
-        "q74_embedding_stats": q74_embedding_stats,
-        "q83_label_coherence": q83_label_coherence,
-        "q95_decontaminate_normalized": q95_decontaminate_normalized,
-        "q02_revenue_filter": q02_revenue_filter,
-        "q09_events_hourly": q09_events_hourly,
-        "q20_embedding_pairs": q20_embedding_pairs,
-        "q22_source_inventory": q22_source_inventory,
-        "q23_ask_snippets": q23_ask_snippets,
-        "q26_simhash_pairs": q26_simhash_pairs,
-        "q29_multimodal_meta": q29_multimodal_meta,
-        "q31_stats_rollup": q31_stats_rollup,
-        "q34_chunk_stats": q34_chunk_stats,
-        "q35_archive_shards": q35_archive_shards,
-        "q38_latency_percentiles": q38_latency_percentiles,
-        "q39_sessionize": q39_sessionize,
-        "q40_asof_join": q40_asof_join,
-        "q42_moving_window": q42_moving_window,
-        "q44_hybrid_rrf": q44_hybrid_rrf,
-        "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
-        "q47_csv_lines": q47_csv_lines,
-        "q48_salted_agg": q48_salted_agg,
-        "q49_salted_join": q49_salted_join,
-        "q50_time_range_search": q50_time_range_search,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q14_language_id": q14_language_id,
-        "q24_replace_upsert": q24_replace_upsert,
-        "q64_tfidf_sql": q64_tfidf_sql,
-        "q65_incremental_dedup": q65_incremental_dedup,
-        "q66_token_budget_mix": q66_token_budget_mix,
-        "q67_quantized_search": q67_quantized_search,
-        "q110_span_dedup_keep_one": q110_span_dedup_keep_one,
-        "q111_blocklist_lines": q111_blocklist_lines,
-        "q112_fix_mojibake": q112_fix_mojibake,
-        "q106_span_dedup": q106_span_dedup,
-        "q97_c4_filter": q97_c4_filter,
-        "q109_blocklist": q109_blocklist,
-        "q105_bm25_filtered": q105_bm25_filtered,
-        "q30_bm25_search": q30_bm25_search,
-        "q107_ivf_health": q107_ivf_health,
-        "q68_overlap_pairs": q68_overlap_pairs,
-        "q69_quantized_ivf": q69_quantized_ivf,
-        # ================= tail (entry 51+) =================
-        # r11-greens displaced by the four new r14 rows: r15's first debt
+        # --- r15 gate head: the stalest queries in the suite (r11) ---
         "q70_per_source_cap": q70_per_source_cap,
         "q71_gopher_filter": q71_gopher_filter,
         "q72_clip_tokens": q72_clip_tokens,
         "q73_bigram_logprob": q73_bigram_logprob,
-        # r12-green cohort: r15's mandatory debt, laid head-first
+        # --- the 46 oldest r12-greens (2 rounds stale), staleness order ---
         "q122_prep_report": q122_prep_report,
         "q123_bm25_sharded": q123_bm25_sharded,
         "q124_dsir_prep": q124_dsir_prep,
@@ -2654,11 +2599,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_language_mix": q94_language_mix,
         "q96_curriculum_buckets": q96_curriculum_buckets,
         "q98_line_dedup": q98_line_dedup,
+        # ================= tail (entry 51+) =================
+        # r12 remainder displaced by the 50-slot cap: r16's first debt
         "q99_tokenizer_fertility": q99_tokenizer_fertility,
         "q100_training_pipeline": q100_training_pipeline,
         "q101_incremental_pipeline": q101_incremental_pipeline,
         "q102_conversation_lint": q102_conversation_lint,
-        # r13-green cohort (freshest): ages to its line at r16
+        # r13-green cohort: hits its 2-round line at r16
         "q126_sft_tokens": q126_sft_tokens,  # token-space SFT loss masks
         "q127_media_store_audit": q127_media_store_audit,  # media store health card
         "q128_bm25_impact": q128_bm25_impact,  # impact-ordered BM25 serving
@@ -2709,6 +2656,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_knn_brute": q19_knn_brute,
         "q21_vector_search_docs": q21_vector_search_docs,
         "q28_winnowing": q28_winnowing,
+        # r14-green cohort (freshest): ages to its line at r17
+        "q152_bm25_append": q152_bm25_append,  # NEW r14: LSM segment appends on the lexical index
+        "q153_purge_accounting": q153_purge_accounting,  # NEW r14: RTBF store-lifecycle ledger
+        "q154_media_dup_clusters": q154_media_dup_clusters,  # NEW r14: near-dup over a media store's vectors
+        "q155_ivf_delete": q155_ivf_delete,  # NEW r14: exact deletes on the vector store (K4)
+        "q119_packed_boundaries": q119_packed_boundaries,
+        "q120_dsir": q120_dsir,
+        "q121_pack_report": q121_pack_report,
+        "q108_reference_ppl": q108_reference_ppl,
+        "q89_embedding_drift": q89_embedding_drift,
+        "q74_embedding_stats": q74_embedding_stats,
+        "q83_label_coherence": q83_label_coherence,
+        "q95_decontaminate_normalized": q95_decontaminate_normalized,
+        "q02_revenue_filter": q02_revenue_filter,
+        "q09_events_hourly": q09_events_hourly,
+        "q20_embedding_pairs": q20_embedding_pairs,
+        "q22_source_inventory": q22_source_inventory,
+        "q23_ask_snippets": q23_ask_snippets,
+        "q26_simhash_pairs": q26_simhash_pairs,
+        "q29_multimodal_meta": q29_multimodal_meta,
+        "q31_stats_rollup": q31_stats_rollup,
+        "q34_chunk_stats": q34_chunk_stats,
+        "q35_archive_shards": q35_archive_shards,
+        "q38_latency_percentiles": q38_latency_percentiles,
+        "q39_sessionize": q39_sessionize,
+        "q40_asof_join": q40_asof_join,
+        "q42_moving_window": q42_moving_window,
+        "q44_hybrid_rrf": q44_hybrid_rrf,
+        "q46_cheapest_part_per_brand": q46_cheapest_part_per_brand,
+        "q47_csv_lines": q47_csv_lines,
+        "q48_salted_agg": q48_salted_agg,
+        "q49_salted_join": q49_salted_join,
+        "q50_time_range_search": q50_time_range_search,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q14_language_id": q14_language_id,
+        "q24_replace_upsert": q24_replace_upsert,
+        "q64_tfidf_sql": q64_tfidf_sql,
+        "q65_incremental_dedup": q65_incremental_dedup,
+        "q66_token_budget_mix": q66_token_budget_mix,
+        "q67_quantized_search": q67_quantized_search,
+        "q110_span_dedup_keep_one": q110_span_dedup_keep_one,
+        "q111_blocklist_lines": q111_blocklist_lines,
+        "q112_fix_mojibake": q112_fix_mojibake,
+        "q106_span_dedup": q106_span_dedup,
+        "q97_c4_filter": q97_c4_filter,
+        "q109_blocklist": q109_blocklist,
+        "q105_bm25_filtered": q105_bm25_filtered,
+        "q30_bm25_search": q30_bm25_search,
+        "q107_ivf_health": q107_ivf_health,
+        "q68_overlap_pairs": q68_overlap_pairs,
+        "q69_quantized_ivf": q69_quantized_ivf,
     }
 
 
