@@ -147,6 +147,58 @@ def test_bench_summary_line_bounded_and_parseable():
     assert set(d["queries"]) == set(timings)
 
 
+def test_bench_skipped_queries_rerun_next_round():
+    """r14 verdict #2 (the skip-tail blind spot), pinned: a query the
+    deadline skipped in round N must be MEASURED in round N+1, not seeded
+    to the tail and skipped forever. build_order_seed seeds skipped
+    queries at the new-query weight (run first), so under the same
+    per-query costs and the same deadline the next pass measures them at
+    the head — the old 0.0 seeding pinned the same skip set forever, and
+    an epsilon-above-cheapest placement still re-skips part of the band
+    (this simulation showed it)."""
+    from bench import NEW_QUERY_WEIGHT, build_order_seed, order_queries
+
+    costs = {  # simulated true per-query wall cost, seconds
+        "q90_heavy": 5.0, "q91_mid": 2.0, "q92_mid": 1.5,
+        "q93_cheap": 0.3, "q94_cheap": 0.2, "q95_cheap": 0.1,
+        "q96_cheap": 0.1, "q97_cheap": 0.1,
+    }
+
+    def simulate(prev_first, deadline):
+        elapsed, measured, skipped = 0.0, {}, []
+        for name, _ in order_queries({k: None for k in costs}, prev_first):
+            if elapsed > deadline:
+                skipped.append(name)
+                continue
+            measured[name] = [costs[name]]
+            elapsed += costs[name]
+        return measured, skipped
+
+    # round N: full history from round N-1, noisy window → deadline skips
+    # the two cheapest-tail queries
+    full_seed = build_order_seed({"runs": {k: [v] for k, v in costs.items()}})
+    measured_n, skipped_n = simulate(full_seed, deadline=9.0)
+    assert skipped_n, "scenario must actually skip a tail"
+
+    # round N+1 reads round N's artifact (skipped queries have NO runs row)
+    seed_n1 = build_order_seed({"runs": measured_n, "skipped": skipped_n})
+    # skipped queries run at the HEAD of the next pass, before every
+    # measured query — the absolute form of the guarantee
+    order_n1 = [k for k, _ in order_queries({k: None for k in costs}, seed_n1)]
+    for s in skipped_n:
+        assert order_n1.index(s) < order_n1.index("q90_heavy")
+    # and under the SAME deadline they are measured this time
+    measured_n1, skipped_n1 = simulate(seed_n1, deadline=9.0)
+    for s in skipped_n:
+        assert s in measured_n1, f"{s} skipped two rounds running"
+    # the old 0.0-seeding failure mode: skip set must not repeat
+    assert not (set(skipped_n) & set(skipped_n1))
+
+    # degenerate artifacts never crash the ordering seed
+    assert build_order_seed({"skipped": ["qx"]}) == {"qx": NEW_QUERY_WEIGHT}
+    assert build_order_seed({}) == {}
+
+
 def test_cli_purge_lifecycle(spark, tmp_path, capsys):
     """`purge` tombstones ids in a shard store (logical at once) and
     `--erase` runs the erasing compaction in the same invocation."""
