@@ -2540,14 +2540,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # if this ordering wastes gate slots on fresh queries while staler
     # ones wait (the r10 miss, mechanized — see tests/test_entry.py).
     # Round-15 gate (ledger at COVERAGE.md "Gate-rotation ledger"): the
-    # four stalest queries q70-q73 (last driver row r11 — displaced from
-    # the r14 gate by the four new r14 rows) + the 46 oldest r12-greens
-    # in gate_staleness.py order. Total stale debt is 54 > 50 slots, so
-    # this is the strongest satisfiable form (a 50-stalest set); the 4
-    # remaining r12 rows (q99-q102) lead the tail as r16's first debt,
-    # followed by the r13 cohort, then the r14 cohort (freshest last).
+    # NEW r15 operator q156 (policy a — a never-green query is stalest by
+    # definition) + the four stalest queries q70-q73 (last driver row r11
+    # — displaced from the r14 gate by the four new r14 rows) + the 45
+    # oldest r12-greens in gate_staleness.py order. Total stale debt is
+    # 55 > 50 slots, so this is the strongest satisfiable form (a
+    # 50-stalest set); the 5 remaining r12 rows (q98-q102) lead the tail
+    # as r16's first debt, followed by the r13 cohort, then the r14
+    # cohort (freshest last).
     return {
-        # --- r15 gate head: the stalest queries in the suite (r11) ---
+        # --- r15 gate head: the round's NEW operator (policy a) ---
+        "q156_ivf_filtered_serving": q156_ivf_filtered_serving,  # NEW r15: filtered kNN inside the IVF store
+        # --- the stalest queries in the suite (r11) ---
         "q70_per_source_cap": q70_per_source_cap,
         "q71_gopher_filter": q71_gopher_filter,
         "q72_clip_tokens": q72_clip_tokens,
@@ -2598,9 +2602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_syndication_capped": q93_syndication_capped,
         "q94_language_mix": q94_language_mix,
         "q96_curriculum_buckets": q96_curriculum_buckets,
-        "q98_line_dedup": q98_line_dedup,
         # ================= tail (entry 51+) =================
         # r12 remainder displaced by the 50-slot cap: r16's first debt
+        # (q98 displaced a second time by q156, the r15 new-operator slot)
+        "q98_line_dedup": q98_line_dedup,
         "q99_tokenizer_fertility": q99_tokenizer_fertility,
         "q100_training_pipeline": q100_training_pipeline,
         "q101_incremental_pipeline": q101_incremental_pipeline,
@@ -4006,6 +4011,69 @@ def q155_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="q155_ivfdel_")
     try:
         out = build(d).topk(qvec, k=10, n_probe=_IVF_N_PROBE)
+        # materialize before the scratch dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q156_ivf_filtered_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered kNN INSIDE the persisted vector store (operators/ann.py
+    IVFIndex.topk(where=), NEW r15 — the last reference capability with
+    no index-side twin: the reference's core search passes the payload
+    filter INTO the index, worker/app/services/qdrant_client.py:588-593,
+    filter built at worker/app/routers/search.py:74-105; the lexical
+    sibling is q105's ShardedBM25Index.topk(filter=)). Build the
+    q136-shaped store with the ``label`` payload denormalized onto the
+    index rows (attr_cols — the Qdrant payload-with-the-point model),
+    split as build(%7!=3) + append(%7==3) so the filter face is exercised
+    across base AND segment parts, then serve ``label % 3 = 1`` candidates
+    only. The predicate sits between the cluster partition-prune and the
+    int8 cosine, reaching every part's parquet scan as a pushed filter —
+    non-matching vectors are never scored. Per-vector quantization means
+    survivor scores are untouched, so the oracle is q69's serving
+    arithmetic verbatim with the label predicate applied inside the
+    probed cells — filtered serving == serving over the pre-filtered
+    corpus. Scratch store removed in finally (the q123 discipline)."""
+    import shutil
+    import tempfile
+
+    from jsonify2ai_spark.operators.ann import IVFIndex
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    cents = (
+        emb.filter(F.col("vec_id") < _IVF_K_CENTROIDS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cents]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == _KNN_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+
+    def build(d):
+        idx = IVFIndex.build(
+            emb.filter(F.col("vec_id") % 7 != 3), d,
+            centroids=centroids, attr_cols=("label",),
+        )
+        return idx.append(emb.filter(F.col("vec_id") % 7 == 3), "incr-1")
+
+    def serve(idx):
+        return idx.topk(
+            qvec, k=10, n_probe=_IVF_N_PROBE, where=F.col("label") % 3 == 1
+        ).select("vec_id", "cluster", "qcos")
+
+    memo = _scratch_memo(("q156", sf_dir), build)
+    if memo is not None:
+        return serve(memo)
+    d = tempfile.mkdtemp(prefix="q156_ivffilt_")
+    try:
+        out = serve(build(d))
         # materialize before the scratch dir disappears
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
@@ -7781,4 +7849,28 @@ def oracle_sql() -> dict[str, str]:
         "q155 oracle derivation: the member-scan substring in the q69 "
         "SQL moved — update the replace() anchor"
     )
+    # q156 twin: filtered serving INSIDE the store == q69's serving
+    # arithmetic with the payload predicate applied to the probed cells'
+    # members (per-vector quantization ⇒ survivor scores are untouched;
+    # the probe set is chosen by the QUERY geometry, which the filter
+    # never sees — both faces of the contract live in this derivation:
+    # label rides the assignment, the predicate lands inside the
+    # cluster-pruned member scan)
+    q156 = oracles["q69_quantized_ivf"].replace(
+        "SELECT e.vec_id, e.embedding, c.cid AS cluster,",
+        "SELECT e.vec_id, e.embedding, e.label, c.cid AS cluster,",
+    ).replace(
+        "SELECT vec_id, embedding, cluster FROM (",
+        "SELECT vec_id, embedding, cluster, label FROM (",
+    ).replace(
+        "WHERE cluster IN (SELECT cid FROM probe)",
+        "WHERE cluster IN (SELECT cid FROM probe) AND label % 3 = 1",
+    )
+    # same tripwire discipline as q155: a reformatted q69 SQL must fail
+    # HERE, not as an inscrutable driver value mismatch
+    assert q156.count("e.label") == 1 and "AND label % 3 = 1" in q156, (
+        "q156 oracle derivation: a replace() anchor in the q69 SQL "
+        "moved — update the anchors"
+    )
+    oracles["q156_ivf_filtered_serving"] = q156
     return oracles

