@@ -2549,8 +2549,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # as r16's first debt, followed by the r13 cohort, then the r14
     # cohort (freshest last).
     return {
-        # --- r15 gate head: the round's NEW operator (policy a) ---
+        # --- r15 gate head: the round's NEW operators (policy a) ---
         "q156_ivf_filtered_serving": q156_ivf_filtered_serving,  # NEW r15: filtered kNN inside the IVF store
+        "q157_cluster_store": q157_cluster_store,  # NEW r15: O(delta) incremental cluster maintenance
         # --- the stalest queries in the suite (r11) ---
         "q70_per_source_cap": q70_per_source_cap,
         "q71_gopher_filter": q71_gopher_filter,
@@ -2601,10 +2602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_embed_dup_clusters": q62_embed_dup_clusters,
         "q93_syndication_capped": q93_syndication_capped,
         "q94_language_mix": q94_language_mix,
-        "q96_curriculum_buckets": q96_curriculum_buckets,
         # ================= tail (entry 51+) =================
         # r12 remainder displaced by the 50-slot cap: r16's first debt
-        # (q98 displaced a second time by q156, the r15 new-operator slot)
+        # (q96/q98 displaced by q156/q157, the r15 new-operator slots)
+        "q96_curriculum_buckets": q96_curriculum_buckets,
         "q98_line_dedup": q98_line_dedup,
         "q99_tokenizer_fertility": q99_tokenizer_fertility,
         "q100_training_pipeline": q100_training_pipeline,
@@ -4074,6 +4075,54 @@ def q156_ivf_filtered_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="q156_ivffilt_")
     try:
         out = serve(build(d))
+        # materialize before the scratch dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q157_cluster_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup cluster maintenance (operators/dedup.py
+    ClusterStore, NEW r15 — the r14 verdict's #4: q51/q62/q154 recompute
+    connected components from scratch per call, corpus-sized at 100 TB;
+    a delta's edges only touch delta-many components). Build the
+    persisted rep mapping from the LSH pairs among OLD documents
+    (doc_id % 4 != 1 on both endpoints), then merge_delta the remaining
+    edges — the pairs a batch of NEW documents introduces — in one
+    O(delta) maintenance call: bucket-pruned membership probe,
+    delta-sized contraction + connected-components, overlay entries for
+    superseded reps, new nodes as a segment. Because every stored rep is
+    its component's min at write time and min() is associative, the
+    incremental mapping must equal ONE connected-components run over the
+    union of both edge sets — the oracle is q51's recursive-CTE closure
+    verbatim (the q136 split-invariance pattern applied to clustering).
+    Reference anchor: the watcher's incremental re-ingest reconciliation
+    (scripts/dev/tools/watch_dropzone.py:190-229), its dedup analog.
+    Scratch store removed in finally (the q123 discipline)."""
+    import shutil
+    import tempfile
+
+    from jsonify2ai_spark.operators.dedup import ClusterStore
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    # one LSH candidate pass feeds BOTH edge sets (eager checkpoint: the
+    # banded join is the expensive subtree; base/delta/merge all read it)
+    pairs = minhash_lsh_pairs(
+        t["documents"], num_hashes=_MINHASH_H, bands=_MINHASH_BANDS
+    ).localCheckpoint()
+    new_a, new_b = F.col("a") % 4 == 1, F.col("b") % 4 == 1
+    base = pairs.filter(~new_a & ~new_b)
+    delta = pairs.filter(new_a | new_b)
+
+    def build(d):
+        return ClusterStore.build(base, d).merge_delta(delta, "incr-1")
+
+    memo = _scratch_memo(("q157", sf_dir), build)
+    if memo is not None:
+        return memo.reps()
+    d = tempfile.mkdtemp(prefix="q157_cstore_")
+    try:
+        out = build(d).reps()
         # materialize before the scratch dir disappears
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
@@ -7873,4 +7922,9 @@ def oracle_sql() -> dict[str, str]:
         "moved — update the anchors"
     )
     oracles["q156_ivf_filtered_serving"] = q156
+    # q157 serves q51's clustering THROUGH the ClusterStore disk
+    # lifecycle with an O(delta) merge mid-way — split-invariance IS the
+    # contract (stored reps are component minima and min() is
+    # associative), so the oracle is q51's recursive closure verbatim
+    oracles["q157_cluster_store"] = oracles["q51_dedup_clusters"]
     return oracles

@@ -76,15 +76,19 @@ def main() -> None:
             )
             build_s = round(time.time() - t0, 2)
             cells = {}
-            for face, n_bits, strat in (
-                ("exact", 0, "auto"),
-                ("blocked", N_BITS, "auto"),
-                ("block_gemm", N_BITS, "block_gemm"),
+            for face, n_bits, strat, n_bands in (
+                ("exact", 0, "auto", 1),
+                ("blocked", N_BITS, "auto", 1),
+                ("block_gemm", N_BITS, "block_gemm", 1),
+                # band-OR multiprobe (r15): B independent plane sets;
+                # the recall lever the r14 verdict asked for (#5)
+                ("banded2", N_BITS, "block_gemm", 2),
+                ("banded4", N_BITS, "block_gemm", 4),
             ):
                 t0 = time.time()
                 cc = media_dup_clusters(
                     spark, tmp, threshold=THRESHOLD, n_bits=n_bits,
-                    strategy=strat, center=0.5,
+                    strategy=strat, center=0.5, n_bands=n_bands,
                 )
                 nodes = cc.count()
                 dt = round(time.time() - t0, 2)
@@ -100,6 +104,7 @@ def main() -> None:
                             "store_rows": n,
                             "face": face,
                             "n_bits": n_bits,
+                            "n_bands": n_bands,
                             "threshold": THRESHOLD,
                             "build_s": build_s,
                             "cluster_nodes": nodes,
@@ -109,6 +114,8 @@ def main() -> None:
                     flush=True,
                 )
             ex, bl, bg = cells["exact"], cells["blocked"], cells["block_gemm"]
+            b2, b4 = cells["banded2"], cells["banded4"]
+            ex_nodes = {a for a, _ in ex["assign"]}
             print(
                 json.dumps(
                     {
@@ -118,16 +125,30 @@ def main() -> None:
                         )
                         if ex["nodes"]
                         else None,
+                        "banded2_node_recall": round(b2["nodes"] / ex["nodes"], 4)
+                        if ex["nodes"]
+                        else None,
+                        "banded4_node_recall": round(b4["nodes"] / ex["nodes"], 4)
+                        if ex["nodes"]
+                        else None,
                         "blocked_speedup": round(ex["s"] / bl["s"], 2)
                         if bl["s"]
                         else None,
                         "block_gemm_speedup": round(ex["s"] / bg["s"], 2)
                         if bg["s"]
                         else None,
+                        "banded4_vs_blocked_cost": round(b4["s"] / bg["s"], 2)
+                        if bg["s"]
+                        else None,
                         # node-for-node: the full (node, cluster_rep)
                         # assignment sets must be identical, not just
                         # their cardinality (r14 self-review)
                         "gemm_matches_blocked": bg["assign"] == bl["assign"],
+                        # banded candidates are a superset per band-OR,
+                        # but always a subset of exact (score parity)
+                        "banded_subset_of_exact": {
+                            a for a, _ in b4["assign"]
+                        }.issubset(ex_nodes),
                     }
                 ),
                 flush=True,

@@ -344,6 +344,7 @@ def media_dup_clusters(
     include_increments: bool = True,
     strategy: str = "auto",
     center: float | None = None,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Near-duplicate clusters over a media feature store (r13 verdict
     #7 — the dedup families were text-keyed; this reads a store's
@@ -363,6 +364,17 @@ def media_dup_clusters(
     share every bucket (identical vectors, identical signs), so exact
     duplicates have recall 1.0 at any n_bits; near-dup recall is the
     usual LSH trade measured against the n_bits=0 face.
+
+    ``n_bands`` (r15 — the q18 minhash-banding idiom on the vector
+    side) runs B INDEPENDENT plane sets (seed-derived per band, so each
+    stays deterministic and append-invariant) and unions the
+    within-bucket candidates across bands: a near-dup pair split by one
+    band's planes has B-1 more chances to collide, recall goes
+    1-(1-p^n)^B while the blocked quadratic term only multiplies by B
+    (each row is shipped once per band; recall/cost table in PERF.md
+    via bench_media_dedup.py). Pair SCORES never change —
+    every band scores the same raw vectors, so the cross-band distinct
+    is exact and blocked ⊆ exact is preserved at any B.
 
     Reference anchor: the images collection the reference upserts
     (worker/app/config.py:36-38) — dedup over that collection's vectors
@@ -399,14 +411,39 @@ def media_dup_clusters(
                 "_cf", F.transform(F.col("features"), lambda x: x - F.lit(c))
             )
             bvec = "_cf"
-        emb = semantic_pack_groups(
-            emb,
-            vector_col=bvec,
-            n_bits=n_bits,
-            dim=int(cfg["dim"]),
-            seed=seed,
-            out_col="_blk",
-        )
+        if n_bands <= 1:
+            emb = semantic_pack_groups(
+                emb,
+                vector_col=bvec,
+                n_bits=n_bits,
+                dim=int(cfg["dim"]),
+                seed=seed,
+                out_col="_blk",
+            )
+        else:
+            # band-OR: one bucket key per independent plane set, bucket
+            # ids namespaced per band so the blocked join never pairs
+            # across bands; rows replicate B times (the multiprobe cost)
+            banded = []
+            for bi in range(int(n_bands)):
+                banded.append(
+                    semantic_pack_groups(
+                        emb,
+                        vector_col=bvec,
+                        n_bits=n_bits,
+                        dim=int(cfg["dim"]),
+                        seed=f"{seed}|band{bi}",
+                        out_col="_bits",
+                    ).select(
+                        "*",
+                        F.concat(
+                            F.lit(f"b{bi}:"), F.col("_bits").cast("string")
+                        ).alias("_blk"),
+                    ).drop("_bits")
+                )
+            emb = banded[0]
+            for e in banded[1:]:
+                emb = emb.unionByName(e)
         if center is not None:
             emb = emb.drop("_cf")
         block = "_blk"
@@ -418,4 +455,8 @@ def media_dup_clusters(
         block_col=block,
         strategy=strategy,
     )
+    if n_bits and n_bands > 1:
+        # the same pair can collide in several bands; scores are
+        # band-independent (raw vectors), so the distinct is exact
+        pairs = pairs.select("a", "b").distinct()
     return connected_components(pairs.select("a", "b"))

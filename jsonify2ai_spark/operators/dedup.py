@@ -2347,3 +2347,370 @@ def soft_dedup_weights(
             F.round(F.col("_raw") / F.col("_mraw"), 6).alias("weight"),
         )
     )
+
+
+class ClusterStore:
+    """Persisted near-dup cluster mapping with O(delta) incremental
+    maintenance (r15) — the clustering analog of the serving stores'
+    segment protocol (textsearch.ShardedBM25Index, ann.IVFIndex), and
+    the scale answer to "q62/q154 recompute connected components from
+    scratch per call": at 100 TB the closure recompute per append is
+    corpus-sized, but a delta's edges only ever touch delta-many
+    components, so the merge is delta-sized by construction.
+
+    Reference anchor: the watcher's incremental re-ingest loop
+    (scripts/dev/tools/watch_dropzone.py:190-229) — new/changed files
+    are reconciled against the existing corpus without re-ingesting it;
+    this store is that contract applied to duplicate clustering.
+
+    On disk::
+
+        nodes/            (node, rep0) base mapping, partitionBy(bucket)
+        nodes_incr/<id>/  per-merge NEW nodes, same layout
+        remap_v<k>/       (src_rep, dst_rep) overlay — path-compressed:
+                          dst is ALWAYS the current canonical rep
+        meta/             one-row commit point (the IVFIndex convention)
+
+    The read face (:meth:`reps`) is ``union(parts) left-join broadcast
+    remap`` — one corpus-wide map-side pass, no shuffle. The overlay is
+    merge-sized, not corpus-sized: it holds one row per SUPERSEDED rep
+    (a rep stops being canonical at most once per merge that touches
+    it), and :meth:`compact` folds it into the base. ``bucket =
+    pmod(xxhash64(node), n_buckets)`` partitions the mapping so a
+    delta's membership probe prunes to the delta's buckets instead of
+    scanning the corpus — the IVFIndex cluster-prune idiom applied to
+    a key-value mapping.
+
+    Merge math (:meth:`merge_delta`): map each delta endpoint through
+    the current mapping (unknown nodes map to themselves), CONTRACT the
+    delta to (rep_a, rep_b) edges, run :func:`connected_components` on
+    that delta-sized graph, then (a) superseded old reps become overlay
+    entries pointing at the merged component's min label, (b) new nodes
+    land as a segment with their canonical rep. Because every stored
+    rep0 is the min of its component at write time and min() is
+    associative, incremental reps equal a full recompute on the union
+    of all edge sets — the q136/q152 split-invariance contract, pinned
+    by the q157 oracle row and the pytest parity suite.
+    """
+
+    def __init__(self) -> None:
+        raise TypeError("use ClusterStore.build(...) or ClusterStore.load(...)")
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        pairs: DataFrame,
+        path: str,
+        a_col: str = "a",
+        b_col: str = "b",
+        n_buckets: int = 64,
+    ) -> "ClusterStore":
+        """One batch job: full connected-components over ``pairs`` ->
+        bucket-partitioned (node, rep0) mapping + meta."""
+        spark = pairs.sparkSession
+        labels = connected_components(pairs, a_col=a_col, b_col=b_col)
+        (
+            labels.select(
+                F.col("node"),
+                F.col("cluster_rep").alias("rep0"),
+                F.pmod(F.xxhash64("node"), F.lit(n_buckets)).cast("int").alias("bucket"),
+            )
+            .repartition(F.col("bucket"))
+            .sortWithinPartitions("node")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{path}/nodes")
+        )
+        cls._write_meta(spark, path, n_buckets, "nodes", (), "")
+        return cls.load(spark, path)
+
+    @staticmethod
+    def _write_meta(
+        spark, path, n_buckets, nodes_dir, segments, remap_dir
+    ) -> None:
+        """The one-row commit point: segment visibility, overlay swaps,
+        and dir swaps happen HERE or not at all."""
+        spark.createDataFrame(
+            [(int(n_buckets), nodes_dir, ",".join(segments), remap_dir)],
+            "n_buckets int, nodes_dir string, segments string, remap_dir string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "ClusterStore":
+        meta = spark.read.parquet(f"{path}/meta").first().asDict()
+        obj = cls.__new__(cls)
+        obj._spark = spark
+        obj._path = path
+        obj._n_buckets = int(meta["n_buckets"])
+        obj._nodes_dir = meta.get("nodes_dir") or "nodes"
+        obj._segments = [s for s in (meta.get("segments") or "").split(",") if s]
+        obj._remap_dir = meta.get("remap_dir") or ""
+        obj._parts = [spark.read.parquet(f"{path}/{obj._nodes_dir}")] + [
+            spark.read.parquet(f"{path}/nodes_incr/{rid}")
+            for rid in obj._segments
+        ]
+        obj._remap = (
+            spark.read.parquet(f"{path}/{obj._remap_dir}")
+            if obj._remap_dir
+            else None
+        )
+        return obj
+
+    # -- read faces ----------------------------------------------------------
+
+    def _stored(self) -> DataFrame:
+        df = self._parts[0]
+        for p in self._parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def reps(self) -> DataFrame:
+        """(node, cluster_rep) for every clustered node — stored rep0
+        mapped through the broadcast overlay (merge-sized by the
+        path-compression invariant; compact() folds it away)."""
+        df = self._stored()
+        if self._remap is None:
+            return df.select("node", F.col("rep0").alias("cluster_rep"))
+        return (
+            df.join(
+                F.broadcast(self._remap),
+                df["rep0"] == F.col("src_rep"),
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("dst_rep"), F.col("rep0")).alias("cluster_rep"),
+            )
+        )
+
+    def reps_of(self, nodes: DataFrame, node_col: str = "node") -> DataFrame:
+        """Membership probe for a DELTA-sized node set: bucket-pruned
+        scan of the mapping (partition filter on the delta's buckets —
+        never a full-corpus scan), then the overlay map. Returns
+        (node, cluster_rep) for the nodes that ARE in the store."""
+        want = nodes.select(F.col(node_col).alias("node")).distinct()
+        bs = [
+            r["b"]
+            for r in want.select(
+                F.pmod(F.xxhash64("node"), F.lit(self._n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()  # bounded: <= n_buckets rows by construction
+        ]
+        df = self._stored().filter(F.col("bucket").isin(bs))
+        hit = df.join(F.broadcast(want), "node", "inner")
+        if self._remap is None:
+            return hit.select("node", F.col("rep0").alias("cluster_rep"))
+        return (
+            hit.join(
+                F.broadcast(self._remap),
+                hit["rep0"] == F.col("src_rep"),
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("dst_rep"), F.col("rep0")).alias("cluster_rep"),
+            )
+        )
+
+    # -- the incremental merge ----------------------------------------------
+
+    def merge_delta(
+        self,
+        pairs: DataFrame,
+        run_id: str,
+        a_col: str = "a",
+        b_col: str = "b",
+        replace: bool = False,
+    ) -> "ClusterStore":
+        """Merge a delta's near-dup edges into the persisted clustering
+        in O(delta): the only corpus-shaped IO is the bucket-PRUNED
+        membership probe; everything else — contraction, the
+        connected-components run, the overlay compose, the segment
+        write — is sized by the delta and the components it touches.
+
+        Same run_id contract as the serving stores: a pre-commit crash
+        heals by re-running the id; a committed id raises unless
+        ``replace=True`` (the store keeps no corpus scalars, so
+        re-landing a segment is idempotent given the SAME delta)."""
+        if str(run_id) in self._segments and not replace:
+            raise ValueError(
+                f"merge_delta: segment {run_id!r} is already committed — "
+                "re-merging would double its edges (pass replace=True only "
+                "for deliberate same-delta redelivery)"
+            )
+        delta = (
+            pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+            .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .distinct()
+            .localCheckpoint()  # eager: consumed by 3+ branches below
+        )
+        if delta.count() == 0:
+            return self
+        endpoints = (
+            delta.select(F.col("a").alias("node"))
+            .union(delta.select(F.col("b").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        known = self.reps_of(endpoints).localCheckpoint()  # delta-sized
+        # contract: endpoint -> its current rep; unknown nodes are their
+        # own rep (they join the graph as themselves)
+        ka = known.select(F.col("node").alias("a"), F.col("cluster_rep").alias("ra"))
+        kb = known.select(F.col("node").alias("b"), F.col("cluster_rep").alias("rb"))
+        contracted = (
+            delta.join(F.broadcast(ka), "a", "left")
+            .join(F.broadcast(kb), "b", "left")
+            .select(
+                F.coalesce(F.col("ra"), F.col("a")).alias("a"),
+                F.coalesce(F.col("rb"), F.col("b")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # delta-sized CC: nodes are touched reps + new nodes only
+        merged = connected_components(contracted).localCheckpoint()
+        old_reps = known.select(F.col("cluster_rep").alias("node")).distinct()
+        # (a) superseded reps -> overlay entries (path-compressed: dst is
+        # the NEW canonical label, by CC's min-label construction)
+        remap_new = (
+            merged.join(F.broadcast(old_reps), "node", "left_semi")
+            .filter(F.col("node") != F.col("cluster_rep"))
+            .select(
+                F.col("node").alias("src_rep"),
+                F.col("cluster_rep").alias("dst_rep"),
+            )
+        )
+        # (b) new nodes -> segment rows with their canonical rep. Every
+        # new node with a real (non-self) edge survives contraction —
+        # its mapped edge (node, rep_x) cannot collapse since the node
+        # is not a store member — so its merged label is already the
+        # post-merge canonical rep. A self-loop-only node falls back to
+        # itself, exactly what a full CC over the union would emit.
+        new_nodes = endpoints.join(F.broadcast(known.select("node")), "node", "left_anti")
+        seg = (
+            new_nodes.join(merged, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("cluster_rep"), F.col("node")).alias("rep0"),
+                F.pmod(F.xxhash64("node"), F.lit(self._n_buckets)).cast("int").alias("bucket"),
+            )
+            .localCheckpoint()
+        )
+        remap_new = remap_new.localCheckpoint()
+        n_seg, n_remap = seg.count(), remap_new.count()
+        if n_seg == 0 and n_remap == 0:
+            # the delta's every edge already lies inside one existing
+            # component: re-merging edges is idempotent by the math, so
+            # there is NOTHING to commit — no segment, no overlay, no
+            # run_id (this is also what makes replace=True redelivery of
+            # an already-merged delta a clean no-op instead of landing
+            # an empty, unreadable segment dir)
+            return self
+        segments = tuple(self._segments)
+        if n_seg > 0 and str(run_id) in segments:
+            # replace=True redelivery of the SAME delta lands in the
+            # no-op branch above (its nodes are already known). Reaching
+            # here means the "replayed" delta carries nodes the committed
+            # segment does not — overwriting that dir would drop the
+            # previously landed rows. That is not redelivery; merge the
+            # new content under its own id.
+            raise ValueError(
+                f"merge_delta: replayed segment {run_id!r} carries "
+                f"{n_seg} node(s) the committed segment lacks — this is "
+                "new content, not redelivery; use a fresh run_id"
+            )
+        if n_seg > 0:
+            (
+                seg.repartition(F.col("bucket"))
+                .sortWithinPartitions("node")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{self._path}/nodes_incr/{run_id}")
+            )
+            if str(run_id) not in segments:
+                segments = segments + (str(run_id),)
+        # compose the overlay: existing entries whose dst was superseded
+        # follow it (src uniqueness holds — a remap_new src is canonical
+        # PRE-merge, so it cannot already be an overlay src). Untouched
+        # when this merge superseded nothing (bridge-free delta).
+        new_remap_rel = self._remap_dir
+        if n_remap > 0:
+            if self._remap is not None:
+                composed = (
+                    self._remap.alias("o")
+                    .join(
+                        F.broadcast(remap_new.alias("n")),
+                        F.col("o.dst_rep") == F.col("n.src_rep"),
+                        "left",
+                    )
+                    .select(
+                        F.col("o.src_rep").alias("src_rep"),
+                        F.coalesce(F.col("n.dst_rep"), F.col("o.dst_rep")).alias("dst_rep"),
+                    )
+                    .unionByName(remap_new)
+                )
+            else:
+                composed = remap_new
+            v = (
+                int(self._remap_dir.rsplit("_v", 1)[1]) + 1
+                if self._remap_dir
+                else 1
+            )
+            new_remap_rel = f"remap_v{v}"
+            composed.coalesce(1).write.mode("overwrite").parquet(
+                f"{self._path}/{new_remap_rel}"
+            )
+        self._write_meta(
+            self._spark, self._path, self._n_buckets, self._nodes_dir,
+            segments, new_remap_rel,
+        )
+        # old overlay dir removed best-effort after the commit
+        if n_remap > 0 and self._remap_dir:
+            import shutil
+
+            shutil.rmtree(f"{self._path}/{self._remap_dir}", ignore_errors=True)
+        return type(self).load(self._spark, self._path)
+
+    def compact(self) -> "ClusterStore":
+        """Fold segments + overlay into ``nodes_v<k>/`` — small-files /
+        overlay-size maintenance, results unchanged (stage-and-swap
+        through the meta, the IVFIndex discipline)."""
+        if not self._segments and self._remap is None:
+            return self
+        import shutil
+
+        v = (
+            int(self._nodes_dir.rsplit("_v", 1)[1]) + 1
+            if "_v" in self._nodes_dir
+            else 1
+        )
+        new_rel = f"nodes_v{v}"
+        (
+            self.reps()
+            .select(
+                "node",
+                F.col("cluster_rep").alias("rep0"),
+                F.pmod(F.xxhash64("node"), F.lit(self._n_buckets)).cast("int").alias("bucket"),
+            )
+            .repartition(F.col("bucket"))
+            .sortWithinPartitions("node")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(f"{self._path}/{new_rel}")
+        )
+        old = [f"{self._path}/{self._nodes_dir}"] + [
+            f"{self._path}/nodes_incr/{rid}" for rid in self._segments
+        ]
+        if self._remap_dir:
+            old.append(f"{self._path}/{self._remap_dir}")
+        self._write_meta(
+            self._spark, self._path, self._n_buckets, new_rel, (), ""
+        )
+        for d in old:
+            shutil.rmtree(d, ignore_errors=True)
+        return type(self).load(self._spark, self._path)

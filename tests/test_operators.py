@@ -4532,3 +4532,109 @@ def test_similarity_block_gemm_matches_expr_blocked(spark, tables):
 
     with _pytest.raises(ValueError, match="block_gemm"):
         similarity_self_join(emb, 0.2, strategy="block_gemm")
+
+
+def test_cluster_store_incremental_equals_full_recompute(spark, tmp_path):
+    """ClusterStore (r15): persisted rep mapping with O(delta) merges —
+    incremental reps after a sequence of merge_delta calls must equal a
+    single connected_components run over the UNION of every edge set
+    (the q136/q152 split-invariance shape, applied to clustering). The
+    edge split is adversarial by construction: deltas bridge existing
+    components, introduce new nodes that BECOME the merged rep (forcing
+    overlay entries on old reps), chain two merges so the overlay must
+    compose, and carry a self-loop-only node."""
+    import random
+
+    from jsonify2ai_spark.operators.dedup import ClusterStore, connected_components
+
+    rng = random.Random(29)
+    # a pool of edges over ~120 nodes with several multi-edge components
+    nodes = list(range(10, 130))
+    all_edges = set()
+    for _ in range(140):
+        a, b = rng.sample(nodes, 2)
+        all_edges.add((min(a, b), max(a, b)))
+    all_edges = sorted(all_edges)
+    base_e = all_edges[: len(all_edges) // 2]
+    delta1 = all_edges[len(all_edges) // 2 : 3 * len(all_edges) // 4]
+    delta2 = all_edges[3 * len(all_edges) // 4 :]
+    # force the interesting shapes: a NEW node with the smallest id in
+    # its component (must become the rep and supersede an old one), a
+    # bridge between two base components, and a self-loop-only node
+    delta1 = delta1 + [(1, base_e[0][0]), (base_e[0][1], base_e[-1][0])]
+    delta2 = delta2 + [(2, 1), (999, 999)]
+
+    def df_of(edges):
+        return spark.createDataFrame(edges, "a long, b long")
+
+    path = str(tmp_path / "cstore")
+    store = ClusterStore.build(df_of(base_e), path)
+    store = store.merge_delta(df_of(delta1), "d1")
+    store = store.merge_delta(df_of(delta2), "d2")
+
+    got = {(r["node"], r["cluster_rep"]) for r in store.reps().collect()}
+    want = {
+        (r["node"], r["cluster_rep"])
+        for r in connected_components(
+            df_of(base_e + delta1 + delta2)
+        ).collect()
+    }
+    assert got == want and len(got) > 100
+
+    # redelivery contract: committed run_id raises; replace=True with the
+    # same delta is idempotent
+    import pytest
+
+    with pytest.raises(ValueError, match="already committed"):
+        store.merge_delta(df_of(delta2), "d2")
+    store = store.merge_delta(df_of(delta2), "d2", replace=True)
+    assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == want
+
+    # empty delta is a no-op (no segment committed)
+    assert store.merge_delta(df_of([]).limit(0), "d3") is store
+
+    # compact folds segments + overlay, results unchanged, dirs swapped
+    import os
+
+    store = store.compact()
+    assert os.path.isdir(os.path.join(path, "nodes_v1"))
+    assert not os.path.isdir(os.path.join(path, "nodes"))
+    assert store._remap is None and store._segments == []
+    assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == want
+
+    # a fresh load serves identically
+    re = ClusterStore.load(spark, path)
+    assert {(r["node"], r["cluster_rep"]) for r in re.reps().collect()} == want
+
+    # merge after compact still works (fresh overlay lineage)
+    re = re.merge_delta(df_of([(3, 10)]), "d4")
+    want2 = {
+        (r["node"], r["cluster_rep"])
+        for r in connected_components(
+            df_of(base_e + delta1 + delta2 + [(3, 10)])
+        ).collect()
+    }
+    assert {(r["node"], r["cluster_rep"]) for r in re.reps().collect()} == want2
+
+
+def test_cluster_store_probe_prunes_buckets(spark, tmp_path):
+    """The membership probe must reach the mapping as a bucket partition
+    prune — never a full-corpus scan (the store's O(delta) claim)."""
+    import re as _re
+
+    from jsonify2ai_spark.operators.dedup import ClusterStore
+
+    edges = [(i, i + 1) for i in range(0, 400, 2)]
+    store = ClusterStore.build(
+        spark.createDataFrame(edges, "a long, b long"), str(tmp_path / "cs")
+    )
+    probe = store.reps_of(spark.createDataFrame([(4,), (5,)], "node long"))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        f
+        for f in _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "bucket" in f
+    ]
+    assert pruned, plan[:3000]
+    got = {(r["node"], r["cluster_rep"]) for r in probe.collect()}
+    assert got == {(4, 4), (5, 4)}
