@@ -426,6 +426,8 @@ _ASK_MAX_TOTAL = 700
 _ASK_SYNTH_GATE = 0.9
 _IVF_K_CENTROIDS = 8
 _IVF_N_PROBE = 2
+_PQ_N_CODES = 16  # PQ codebook entries per subspace (K)
+_PQ_N_SUB = 4  # PQ subspaces (M); dim 64 -> 16-dim subvectors
 _SIMHASH_MAX_HAMMING = 2
 
 
@@ -2552,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r15 gate head: the round's NEW operators (policy a) ---
         "q156_ivf_filtered_serving": q156_ivf_filtered_serving,  # NEW r15: filtered kNN inside the IVF store
         "q157_cluster_store": q157_cluster_store,  # NEW r15: O(delta) incremental cluster maintenance
+        "q158_pq_ivf": q158_pq_ivf,  # NEW r15: product-quantized IVF serving (ADC)
         # --- the stalest queries in the suite (r11) ---
         "q70_per_source_cap": q70_per_source_cap,
         "q71_gopher_filter": q71_gopher_filter,
@@ -2601,10 +2604,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_unigram_logprob": q61_unigram_logprob,
         "q62_embed_dup_clusters": q62_embed_dup_clusters,
         "q93_syndication_capped": q93_syndication_capped,
-        "q94_language_mix": q94_language_mix,
         # ================= tail (entry 51+) =================
         # r12 remainder displaced by the 50-slot cap: r16's first debt
-        # (q96/q98 displaced by q156/q157, the r15 new-operator slots)
+        # (q94/q96/q98 displaced by q156/q157/q158, the r15 new-operator slots)
+        "q94_language_mix": q94_language_mix,
         "q96_curriculum_buckets": q96_curriculum_buckets,
         "q98_line_dedup": q98_line_dedup,
         "q99_tokenizer_fertility": q99_tokenizer_fertility,
@@ -4129,6 +4132,52 @@ def q157_cluster_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q158_pq_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized IVF serving (operators/ann.py pq_encode /
+    build_pq_ivf / pq_ivf_topk, NEW r15 — the r14 verdict's #6: int8 is
+    the 4-8x memory lever (q67/q69), PQ subspace codebooks are the next
+    ~10x a 100 TB store needs — M bytes per vector). Offline: q69's
+    float-precision coarse assignment, then each vector's 4 subvectors
+    encode to their L2-nearest entry of a 16-entry codebook. Query:
+    asymmetric distance computation — the query stays float, the
+    per-(subspace, code) dot/norm lookup tables are computed ONCE
+    driver-side, each row's score is 4 lookups + an m-ordered sum.
+    Codebooks are the q69 frozen-params discipline (the first 16
+    vectors' subvector slices — corpus-derived build parameters), so
+    encode AND serve replay in ANSI SQL: distances round to 6dp before
+    the argmin (ties to the lower code), LUT sums and the 4-term score
+    additions run in the same left-to-right order on both engines.
+    Reference anchor: the reference serves full-precision vectors from
+    Qdrant (qdrant_client.py search path); PQ is the layout that
+    capability needs at 1000x its scale."""
+    from jsonify2ai_spark.operators.ann import (
+        build_pq_ivf,
+        pq_codebooks_from_rows,
+        pq_ivf_topk,
+    )
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    cents = (
+        emb.filter(F.col("vec_id") < _IVF_K_CENTROIDS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cents]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == _KNN_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    cb = pq_codebooks_from_rows(emb, n_codes=_PQ_N_CODES, n_sub=_PQ_N_SUB)
+    index = build_pq_ivf(emb, centroids, cb)
+    return pq_ivf_topk(
+        index, qvec, centroids, cb, k=10, n_probe=_IVF_N_PROBE
+    )
+
+
 def q136_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted IVF store lifecycle (operators/ann.py IVFIndex, NEW r13
     — the vector-side sibling of the q123 sharded-BM25 store): q69's
@@ -5617,6 +5666,82 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             WHERE na > 0 AND nb > 0
             ORDER BY dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        # twin of ann.pq_encode + pq_ivf_topk: corpus-derived codebooks
+        # (first _PQ_N_CODES vectors' subvector slices), per-subspace
+        # argmin on 6dp-rounded sequential-fold L2 (ties to the lower
+        # code), ADC scoring via per-(m, code) LUTs with explicit
+        # left-to-right 4-term sums — every double replays bit-for-bit
+        "q158_pq_ivf": f"""
+            WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                           WHERE vec_id < {_IVF_K_CENTROIDS}),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_KNN_QUERY_ID}),
+            probe AS (SELECT cid FROM cents, q
+                      ORDER BY {_dd_cosine("cv", "qv")} DESC, cid LIMIT {_IVF_N_PROBE}),
+            assigned AS (
+                SELECT vec_id, embedding, cluster FROM (
+                    SELECT e.vec_id, e.embedding, c.cid AS cluster,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY {_dd_cosine("e.embedding", "c.cv")} DESC, c.cid
+                           ) AS rn
+                    FROM embeddings e CROSS JOIN cents c)
+                WHERE rn = 1),
+            members AS (
+                SELECT vec_id, embedding, cluster FROM assigned
+                WHERE cluster IN (SELECT cid FROM probe)),
+            cb AS (SELECT vec_id AS code, embedding AS cbv FROM embeddings
+                   WHERE vec_id < {_PQ_N_CODES}),
+            ms AS (SELECT unnest([{", ".join(str(m) for m in range(_PQ_N_SUB))}]) AS m),
+            dists AS (
+                SELECT t.vec_id, t.cluster, ms.m, cb.code,
+                       round(list_sum(list_transform(range(1, {64 // _PQ_N_SUB} + 1),
+                           i -> (CAST(t.embedding[ms.m * {64 // _PQ_N_SUB} + i] AS DOUBLE)
+                                 - CAST(cb.cbv[ms.m * {64 // _PQ_N_SUB} + i] AS DOUBLE))
+                              * (CAST(t.embedding[ms.m * {64 // _PQ_N_SUB} + i] AS DOUBLE)
+                                 - CAST(cb.cbv[ms.m * {64 // _PQ_N_SUB} + i] AS DOUBLE)))), 6) AS d
+                FROM members t CROSS JOIN ms CROSS JOIN cb),
+            codes AS (
+                SELECT vec_id, cluster, m, code FROM (
+                    SELECT vec_id, cluster, m, code,
+                           row_number() OVER (
+                               PARTITION BY vec_id, m ORDER BY d ASC, code ASC
+                           ) AS rn
+                    FROM dists)
+                WHERE rn = 1),
+            lut AS (
+                SELECT ms.m, cb.code,
+                       list_sum(list_transform(range(1, {64 // _PQ_N_SUB} + 1),
+                           i -> CAST(q.qv[ms.m * {64 // _PQ_N_SUB} + i] AS DOUBLE)
+                              * CAST(cb.cbv[ms.m * {64 // _PQ_N_SUB} + i] AS DOUBLE))) AS dot,
+                       list_sum(list_transform(range(1, {64 // _PQ_N_SUB} + 1),
+                           i -> CAST(cb.cbv[ms.m * {64 // _PQ_N_SUB} + i] AS DOUBLE)
+                              * CAST(cb.cbv[ms.m * {64 // _PQ_N_SUB} + i] AS DOUBLE))) AS nrm
+                FROM ms CROSS JOIN cb CROSS JOIN q),
+            qn AS (SELECT sqrt(list_sum(list_transform(qv,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm FROM q),
+            piv AS (
+                SELECT vec_id, cluster,
+                       max(CASE WHEN m = 0 THEN code END) AS c0,
+                       max(CASE WHEN m = 1 THEN code END) AS c1,
+                       max(CASE WHEN m = 2 THEN code END) AS c2,
+                       max(CASE WHEN m = 3 THEN code END) AS c3
+                FROM codes GROUP BY 1, 2),
+            scored AS (
+                SELECT p.vec_id, p.cluster,
+                       (l0.dot + l1.dot + l2.dot + l3.dot) AS dot,
+                       (l0.nrm + l1.nrm + l2.nrm + l3.nrm) AS nrm
+                FROM piv p
+                JOIN lut l0 ON l0.m = 0 AND l0.code = p.c0
+                JOIN lut l1 ON l1.m = 1 AND l1.code = p.c1
+                JOIN lut l2 ON l2.m = 2 AND l2.code = p.c2
+                JOIN lut l3 ON l3.m = 3 AND l3.code = p.c3)
+            SELECT vec_id, CAST(cluster AS INT) AS cluster,
+                   round(dot / (sqrt(nrm) * qn.qnorm), 6) AS pqcos
+            FROM scored, qn
+            WHERE nrm > 0 AND qn.qnorm > 0
+            ORDER BY dot / (sqrt(nrm) * qn.qnorm) DESC, vec_id ASC
             LIMIT 10
         """,
         # twin of sampling.per_source_cap: the two-phase bucketed rank equals

@@ -384,6 +384,215 @@ def quantized_ivf_topk_batch(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (r15) — the next memory lever after int8
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks_from_rows(
+    df: DataFrame,
+    n_codes: int = 16,
+    n_sub: int = 4,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Deterministic corpus-derived PQ codebooks: the first ``n_codes``
+    vectors by id, each sliced into ``n_sub`` equal subvectors —
+    codebooks[m][c] is code c of subspace m.
+
+    This is the q69 frozen-params discipline (IVF centroids =
+    ``vec_id < K``) applied to PQ: the codebooks are build PARAMETERS
+    read from the corpus itself, so the whole encode/serve pipeline is
+    replayable in ANSI SQL (driver oracle q158) and append-invariant
+    (no corpus statistics — a segment encoded later under the same
+    codebooks serves identically, the store-lifecycle contract).
+    Production-trained codebooks (seeded per-subspace k-means over a
+    sample) drop in through the same interface; what the engine
+    guarantees is everything AFTER the codebooks are fixed."""
+    rows = (
+        df.filter(F.col(id_col) < n_codes)
+        .orderBy(id_col)
+        .select(vector_col)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"pq codebooks need the first {n_codes} ids present; got {len(rows)}"
+        )
+    dim = len(rows[0][0])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    ds = dim // n_sub
+    return [
+        [[float(x) for x in r[0][m * ds : (m + 1) * ds]] for r in rows]
+        for m in range(n_sub)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    carry_cols: tuple[str, ...] = (),
+    round_to: int = 6,
+) -> DataFrame:
+    """PQ encoding: (id[, carries], codes array<int> of length M) —
+    per subspace, the index of the L2-nearest codebook entry.
+
+    The 100 TB storage shape: M bytes per vector (M=4..16, K<=256)
+    against 4*dim for float and dim for int8 — the ~10x lever past q67
+    that keeps a trillion-vector serving layout in executor memory.
+    One map-only pass, no shuffle, no UDF: per subspace the K squared
+    distances are plan-literal zip_with/aggregate folds (sequential, so
+    DuckDB's list_sum replays them bit-for-bit), rounded to ``round_to``
+    before the argmin with ties to the LOWER code — the engine-portable
+    comparison discipline (q133). Codebook lookups at serve time never
+    read the vector again."""
+    n_sub = len(codebooks)
+    n_codes = len(codebooks[0])
+    ds = len(codebooks[0][0])
+    # let-bind the subvector slices once per subspace: no CSE across
+    # HOF lambda bodies, and each slice feeds K distance folds
+    stage = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        *[
+            F.slice(_as_double_arr(F.col(vector_col)), m * ds + 1, ds).alias(f"_s{m}")
+            for m in range(n_sub)
+        ],
+    )
+
+    def _dist(m: int, c: int) -> Column:
+        cb = F.array(*[F.lit(float(x)) for x in codebooks[m][c]])
+        terms = F.zip_with(
+            F.col(f"_s{m}"), cb, lambda x, y: (x - y) * (x - y)
+        )
+        return F.round(
+            F.aggregate(terms, F.lit(0.0), lambda a, x: a + x), round_to
+        )
+
+    def _argmin(m: int) -> Column:
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(_dist(m, c).alias("d"), F.lit(c).alias("c"))
+                    for c in range(n_codes)
+                ]
+            )
+        ).getField("c")
+
+    return stage.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.array(*[_argmin(m) for m in range(n_sub)]).alias("codes"),
+    )
+
+
+def _as_double_arr(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def build_pq_ivf(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    attr_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """OFFLINE ETL for the PQ serving index: (id, cluster, codes[,
+    attrs]) — float-precision coarse assignment (the quantizer sees the
+    original vectors, FAISS IVF+PQ's layout), then PQ codes. Write it
+    ``partitionBy("cluster")`` exactly like :func:`build_quantized_ivf`;
+    the rows are ~M bytes each, the 4-8x past int8."""
+    assigned = ivf_assign(
+        df.select(id_col, vector_col, *attr_cols), centroids, vector_col
+    )
+    return pq_encode(
+        assigned, codebooks, vector_col, id_col,
+        carry_cols=("cluster", *attr_cols),
+    )
+
+
+def pq_ivf_topk(
+    index: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+    where: Column | None = None,
+) -> DataFrame:
+    """Approximate top-k over the PQ index — asymmetric distance
+    computation (ADC, Jegou et al. 2011): the query stays FLOAT, and
+    per subspace the dot/norm against each codebook entry is
+    precomputed ONCE driver-side (M*K doubles — a lookup table, not
+    data), so each row's score is M array lookups + an explicit
+    m-ordered sum: zero per-row arithmetic on the vector, which no
+    longer exists. cosine ≈ Σ_m dot_m[code] / (sqrt(Σ_m nrm_m[code]) *
+    |q|); the additions run in fixed m order on BOTH engines, so the
+    oracle replays the doubles bit-for-bit. ``where`` is the q156
+    filtered-serving face on the PQ layout."""
+    import math
+
+    n_sub = len(codebooks)
+    probe = probe_clusters(query_vec, centroids, n_probe)
+    ds = len(codebooks[0][0])
+    qsubs = [
+        [float(x) for x in query_vec[m * ds : (m + 1) * ds]]
+        for m in range(n_sub)
+    ]
+    qnorm = math.sqrt(_seq_sum([float(x) * float(x) for x in query_vec]))
+    dot_lut = [
+        [_seq_sum([a * b for a, b in zip(qsubs[m], cb)]) for cb in codebooks[m]]
+        for m in range(n_sub)
+    ]
+    nrm_lut = [
+        [_seq_sum([x * x for x in cb]) for cb in codebooks[m]]
+        for m in range(n_sub)
+    ]
+    pruned = index.filter(F.col("cluster").isin(probe))
+    if where is not None:
+        pruned = pruned.filter(where)
+
+    def _lk(lut: list[list[float]], m: int) -> Column:
+        arr = F.array(*[F.lit(float(v)) for v in lut[m]])
+        return F.element_at(arr, F.element_at(F.col("codes"), m + 1) + 1)
+
+    dot = _lk(dot_lut, 0)
+    nrm = _lk(nrm_lut, 0)
+    for m in range(1, n_sub):
+        dot = dot + _lk(dot_lut, m)
+        nrm = nrm + _lk(nrm_lut, m)
+    scored = pruned.select(
+        id_col,
+        "cluster",
+        F.when(
+            (nrm > 0) & (F.lit(qnorm) > 0),
+            dot / (F.sqrt(nrm) * F.lit(qnorm)),
+        ).alias("pqcos"),
+    ).filter(F.col("pqcos").isNotNull())
+    out = scored.orderBy(
+        F.col("pqcos").desc(), F.col(id_col).asc()
+    ).limit(k)
+    if round_to is not None:
+        out = out.withColumn("pqcos", F.round("pqcos", round_to))
+    return out
+
+
+def _seq_sum(xs: list[float]) -> float:
+    """Left-to-right IEEE double sum — the same fold order Spark's
+    aggregate() and DuckDB's list_sum use, so LUT values computed here
+    equal the oracle's to the bit."""
+    acc = 0.0
+    for x in xs:
+        acc = acc + x
+    return acc
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -748,3 +748,73 @@ def test_ivf_index_filtered_serving(spark, tmp_path):
     )
     pushed = _re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("label" in p and "kind" in p for p in pushed), plan[:3000]
+
+
+def test_pq_encode_and_adc_topk(spark):
+    """Product quantization (r15 — the memory lever past int8: M bytes
+    per vector): (1) codes are valid and the first n_codes vectors —
+    the codebook donors — encode to their own index in every subspace
+    (distance 0 with ties to the lower code); (2) ADC serving equals a
+    float reconstruction reference bit-for-bit at 6dp (the LUT sums
+    replay the same left-to-right fold); (3) the where= face filters
+    inside the pruned cells (q156's contract on the PQ layout)."""
+    import math
+    import random
+
+    from jsonify2ai_spark.operators.ann import (
+        build_pq_ivf,
+        pq_codebooks_from_rows,
+        pq_encode,
+        pq_ivf_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)], i % 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cb = pq_codebooks_from_rows(df, n_codes=16, n_sub=4)
+    assert (len(cb), len(cb[0]), len(cb[0][0])) == (4, 16, 8)
+    got = {r["vec_id"]: r["codes"] for r in pq_encode(df, cb).collect()}
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in got.values())
+    for i in range(16):
+        assert got[i] == [i, i, i, i], (i, got[i])
+
+    cents = [list(map(float, rows[i][1])) for i in range(6)]
+    q = [float(x) for x in rows[9][1]]
+    idx = build_pq_ivf(df, cents, cb, attr_cols=("label",))
+    out = [(r["vec_id"], r["pqcos"]) for r in
+           pq_ivf_topk(idx, q, cents, cb, k=5, n_probe=6).collect()]
+
+    # float reconstruction reference (plain python — no numpy dependence
+    # on exact summation order beyond the same left-to-right fold)
+    def seq(xs):
+        a = 0.0
+        for x in xs:
+            a += x
+        return a
+
+    recon = {
+        i: [v for m in range(4) for v in cb[m][got[i][m]]] for i, _, _ in rows
+    }
+    qn = math.sqrt(seq([x * x for x in q]))
+
+    def cos(r):
+        d = seq([a * b for a, b in zip(q, r)])
+        n = math.sqrt(seq([x * x for x in r]))
+        return d / (n * qn) if n > 0 else None
+
+    ref = sorted(
+        ((cos(r), i) for i, r in recon.items() if cos(r) is not None),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    assert out == [(i, round(s, 6)) for s, i in ref]
+
+    # filtered serving on the PQ layout: survivors satisfy the predicate
+    # and equal serving over the pre-filtered index
+    flt = pq_ivf_topk(
+        idx, q, cents, cb, k=5, n_probe=6, where=F.col("label") == 1
+    ).collect()
+    assert all(r["vec_id"] % 3 == 1 for r in flt)
+    pre = pq_ivf_topk(
+        idx.filter(F.col("label") == 1), q, cents, cb, k=5, n_probe=6
+    ).collect()
+    assert [tuple(r) for r in flt] == [tuple(r) for r in pre]
