@@ -96,10 +96,13 @@ def main() -> int:
             mode = sys.argv[i + 2]
 
     from jsonify2ai_spark.operators.ann import (
+        build_pq_ivf,
         build_quantized_ivf,
         ivf_assign,
         ivf_topk,
         kmeans_centroids,
+        pq_codebooks_kmeans,
+        pq_ivf_topk,
         quantized_ivf_topk,
     )
     from jsonify2ai_spark.operators.search import knn_brute
@@ -133,8 +136,19 @@ def main() -> int:
         t0 = time.time()
         qindex = build_quantized_ivf(big, cents, impl="arrow").localCheckpoint()
         t_quant = time.time() - t0
+        # PQ offline: per-subspace kmeans codebooks on the same ~2% sample,
+        # then GEMM encoding (r15 — 8 bytes/vector vs int8's 64 vs float's 512)
+        t0 = time.time()
+        pq_cb = pq_codebooks_kmeans(
+            big.sample(0.02, seed=7), n_codes=256, n_sub=8, seed=7
+        )
+        t_pq_fit = time.time() - t0
+        t0 = time.time()
+        pqindex = build_pq_ivf(big, cents, pq_cb).localCheckpoint()
+        t_pq_enc = time.time() - t0
         print(f"offline: kmeans_fit={t_fit:.1f}s assign={t_assign:.1f}s "
-              f"quantize={t_quant:.1f}s", flush=True)
+              f"quantize={t_quant:.1f}s pq_fit={t_pq_fit:.1f}s "
+              f"pq_encode={t_pq_enc:.1f}s", flush=True)
 
         # ground truth + brute-force latency baseline
         exact: list[set] = []
@@ -178,6 +192,22 @@ def main() -> int:
                             "recall_at_10": round(mean_rec, 3),
                             "p50_query_s": round(p50, 3)})
             print(f"ivf8  nprobe={n_probe:>2}: recall={mean_rec:.3f} "
+                  f"p50={p50:.2f}s", flush=True)
+
+            recs, ts = [], []
+            for q, ex in zip(queries, exact):
+                t0 = time.time()
+                ids = {r["vec_id"] for r in pq_ivf_topk(
+                    pqindex, q, cents, pq_cb, k=KNN_K,
+                    n_probe=n_probe).collect()}
+                ts.append(time.time() - t0)
+                recs.append(recall(ids, ex))
+            p50 = sorted(ts)[len(ts) // 2]
+            mean_rec = sum(recs) / len(recs)
+            results.append({"n": n, "path": "ivf_pq8x256", "param": n_probe,
+                            "recall_at_10": round(mean_rec, 3),
+                            "p50_query_s": round(p50, 3)})
+            print(f"ivfPQ nprobe={n_probe:>2}: recall={mean_rec:.3f} "
                   f"p50={p50:.2f}s", flush=True)
 
         # MLlib LSH approxNearestNeighbors vs numHashTables

@@ -429,6 +429,41 @@ def pq_codebooks_from_rows(
     ]
 
 
+def pq_codebooks_kmeans(
+    df: DataFrame,
+    n_codes: int = 256,
+    n_sub: int = 8,
+    vector_col: str = "embedding",
+    sample: float = 1.0,
+    seed: int = 7,
+    max_iter: int = 10,
+) -> list[list[list[float]]]:
+    """PRODUCTION PQ codebooks: seeded MLlib KMeans per subspace over a
+    sample — the FAISS training recipe (train on a slice, encode
+    everything). Deterministic for a fixed (sample, seed); unlike
+    :func:`pq_codebooks_from_rows` the entries are not SQL-derivable,
+    so pipelines that need the DuckDB oracle use the corpus-derived
+    variant and treat this one as an externally-supplied parameter
+    (exactly how trained coarse centroids are handled)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    src = df if sample >= 1.0 else df.sample(sample, seed=seed)
+    src = src.select(_as_double_arr(F.col(vector_col)).alias("_v")).localCheckpoint()
+    dim = len(src.first()["_v"])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    ds = dim // n_sub
+    out = []
+    for m in range(n_sub):
+        feat = src.select(
+            array_to_vector(F.slice(F.col("_v"), m * ds + 1, ds)).alias("features")
+        )
+        model = KMeans(k=n_codes, seed=seed + m, maxIter=max_iter).fit(feat)
+        out.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return out
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -436,6 +471,7 @@ def pq_encode(
     id_col: str = "vec_id",
     carry_cols: tuple[str, ...] = (),
     round_to: int = 6,
+    impl: str = "auto",
 ) -> DataFrame:
     """PQ encoding: (id[, carries], codes array<int> of length M) —
     per subspace, the index of the L2-nearest codebook entry.
@@ -443,15 +479,56 @@ def pq_encode(
     The 100 TB storage shape: M bytes per vector (M=4..16, K<=256)
     against 4*dim for float and dim for int8 — the ~10x lever past q67
     that keeps a trillion-vector serving layout in executor memory.
-    One map-only pass, no shuffle, no UDF: per subspace the K squared
-    distances are plan-literal zip_with/aggregate folds (sequential, so
-    DuckDB's list_sum replays them bit-for-bit), rounded to ``round_to``
-    before the argmin with ties to the LOWER code — the engine-portable
-    comparison discipline (q133). Codebook lookups at serve time never
-    read the vector again."""
+    One map-only pass, no shuffle. ``impl="expr"``: per subspace the K
+    squared distances are plan-literal zip_with/aggregate folds
+    (sequential, so DuckDB's list_sum replays them bit-for-bit),
+    rounded to ``round_to`` before the argmin with ties to the LOWER
+    code — the engine-portable comparison discipline (q133). BUT the
+    plan carries K*M fold expressions, which drops out of codegen past
+    K~16 (the ivf_assign lesson) — ``impl="arrow"`` computes each Arrow
+    batch's codes with one numpy GEMM per subspace (||x||^2 - 2xC^T +
+    ||C||^2, argmin row-wise), the form for production K=256. Same
+    codes up to float-summation order at the argmin boundary;
+    ``impl="auto"`` picks expr for K <= 16 (the oracle-parity zone).
+    Codebook lookups at serve time never read the vector again."""
     n_sub = len(codebooks)
     n_codes = len(codebooks[0])
     ds = len(codebooks[0][0])
+    if impl == "auto":
+        impl = "expr" if n_codes <= 16 else "arrow"
+    if impl == "arrow":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        cbs = [np.asarray(codebooks[m], dtype=np.float64) for m in range(n_sub)]
+        cb_sq = [(c * c).sum(axis=1) for c in cbs]  # (K,) per subspace
+
+        def _codes_batch(vs):
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in vs]
+            )
+            if mat.size == 0:
+                return pd.Series([], dtype="object")
+            cols = []
+            for m in range(n_sub):
+                sub = mat[:, m * ds : (m + 1) * ds]  # (B, ds)
+                d2 = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2.0 * (sub @ cbs[m].T)
+                    + cb_sq[m][None, :]
+                )
+                cols.append(np.argmin(d2, axis=1).astype("int32"))
+            return pd.Series(np.stack(cols, axis=1).tolist())
+
+        _codes = pandas_udf(_codes_batch, "array<int>")
+        return df.select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            _codes(_as_double_arr(F.col(vector_col))).alias("codes"),
+        )
+    if impl != "expr":
+        raise ValueError(f"unknown impl: {impl!r}")
     # let-bind the subvector slices once per subspace: no CSE across
     # HOF lambda bodies, and each slice feeds K distance folds
     stage = df.select(
@@ -529,10 +606,9 @@ def pq_ivf_topk(
     """Approximate top-k over the PQ index — asymmetric distance
     computation (ADC, Jegou et al. 2011): the query stays FLOAT, and
     per subspace the dot/norm against each codebook entry is
-    precomputed ONCE driver-side (M*K doubles — a lookup table, not
-    data), so each row's score is M array lookups + an explicit
-    m-ordered sum: zero per-row arithmetic on the vector, which no
-    longer exists. cosine ≈ Σ_m dot_m[code] / (sqrt(Σ_m nrm_m[code]) *
+    precomputed ONCE driver-side (M*K doubles — a lookup table), so
+    each row's score is M array lookups + an explicit m-ordered sum:
+    zero per-row arithmetic on the vector, which no longer exists. cosine ≈ Σ_m dot_m[code] / (sqrt(Σ_m nrm_m[code]) *
     |q|); the additions run in fixed m order on BOTH engines, so the
     oracle replays the doubles bit-for-bit. ``where`` is the q156
     filtered-serving face on the PQ layout."""
@@ -546,41 +622,66 @@ def pq_ivf_topk(
         for m in range(n_sub)
     ]
     qnorm = math.sqrt(_seq_sum([float(x) * float(x) for x in query_vec]))
-    dot_lut = [
-        [_seq_sum([a * b for a, b in zip(qsubs[m], cb)]) for cb in codebooks[m]]
+    dot_flat = [
+        _seq_sum([a * b for a, b in zip(qsubs[m], cb)])
         for m in range(n_sub)
-    ]
-    nrm_lut = [
-        [_seq_sum([x * x for x in cb]) for cb in codebooks[m]]
-        for m in range(n_sub)
+        for cb in codebooks[m]
     ]
     pruned = index.filter(F.col("cluster").isin(probe))
     if where is not None:
         pruned = pruned.filter(where)
-
-    def _lk(lut: list[list[float]], m: int) -> Column:
-        arr = F.array(*[F.lit(float(v)) for v in lut[m]])
-        return F.element_at(arr, F.element_at(F.col("codes"), m + 1) + 1)
-
-    dot = _lk(dot_lut, 0)
-    nrm = _lk(nrm_lut, 0)
-    for m in range(1, n_sub):
-        dot = dot + _lk(dot_lut, m)
-        nrm = nrm + _lk(nrm_lut, m)
-    scored = pruned.select(
-        id_col,
-        "cluster",
-        F.when(
-            (nrm > 0) & (F.lit(qnorm) > 0),
-            dot / (F.sqrt(nrm) * F.lit(qnorm)),
-        ).alias("pqcos"),
-    ).filter(F.col("pqcos").isNotNull())
-    out = scored.orderBy(
+    # the LUTs ride a ONE-ROW broadcast frame, never plan literals: at
+    # production size (M=8, K=256) literal arrays put ~4k constants into
+    # the plan and analysis/codegen dominated serving (~2.3 s/query FLAT
+    # across n_probe vs ~0.3 s for int8 — bench_ann_recall.py's PQ arm,
+    # r15); as broadcast data the plan stays constant-size
+    ldf = index.sparkSession.createDataFrame(
+        [(dot_flat, _pq_nrm_flat(codebooks), float(qnorm))],
+        "dot_lut array<double>, nrm_lut array<double>, qnorm double",
+    )
+    scored = _pq_adc_score(
+        pruned.crossJoin(F.broadcast(ldf)), n_sub, len(codebooks[0]), id_col
+    )
+    out = scored.select(id_col, "cluster", "pqcos").orderBy(
         F.col("pqcos").desc(), F.col(id_col).asc()
     ).limit(k)
     if round_to is not None:
         out = out.withColumn("pqcos", F.round("pqcos", round_to))
     return out
+
+
+def _pq_nrm_flat(codebooks: list[list[list[float]]]) -> list[float]:
+    """Query-independent flattened codebook self-norms (m-major)."""
+    return [
+        _seq_sum([x * x for x in cb])
+        for m in range(len(codebooks))
+        for cb in codebooks[m]
+    ]
+
+
+def _pq_adc_score(
+    joined: DataFrame, n_sub: int, n_codes: int, id_col: str
+) -> DataFrame:
+    """Shared ADC scoring over a frame carrying (codes, dot_lut,
+    nrm_lut, qnorm): m-ordered explicit sums of LUT lookups — the exact
+    fold the q158 oracle replays (both engines add left-to-right)."""
+
+    def _code(m: int) -> Column:
+        return F.element_at(F.col("codes"), m + 1)
+
+    dot = F.element_at(F.col("dot_lut"), _code(0) + 1)
+    nrm = F.element_at(F.col("nrm_lut"), _code(0) + 1)
+    for m in range(1, n_sub):
+        off = F.lit(m * n_codes)
+        dot = dot + F.element_at(F.col("dot_lut"), off + _code(m) + 1)
+        nrm = nrm + F.element_at(F.col("nrm_lut"), off + _code(m) + 1)
+    return joined.withColumn(
+        "pqcos",
+        F.when(
+            (nrm > 0) & (F.col("qnorm") > 0),
+            dot / (F.sqrt(nrm) * F.col("qnorm")),
+        ),
+    ).filter(F.col("pqcos").isNotNull())
 
 
 def _seq_sum(xs: list[float]) -> float:
@@ -591,6 +692,76 @@ def _seq_sum(xs: list[float]) -> float:
     for x in xs:
         acc = acc + x
     return acc
+
+
+def pq_ivf_topk_batch(
+    index: DataFrame,
+    query_vecs: list[list[float]],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+    where: Column | None = None,
+) -> DataFrame:
+    """:func:`pq_ivf_topk` for MANY queries in ONE Spark job —
+    (query_id, id, cluster, pqcos), query_id = position in
+    ``query_vecs``. Same shape as :func:`quantized_ivf_topk_batch`:
+    per-query probes and per-query dot-LUTs ride a broadcast
+    (query_id, cluster, dot_lut, qnorm) frame joined on the
+    union-pruned index; the codebook NORM lut is query-independent, so
+    it stays one plan literal shared by every row. Row-for-row parity
+    with the single-query call is test-pinned."""
+    import math
+
+    from pyspark.sql import Window
+
+    spark = index.sparkSession
+    n_sub = len(codebooks)
+    n_codes = len(codebooks[0])
+    ds = len(codebooks[0][0])
+    rows = []
+    for qid, qv in enumerate(query_vecs):
+        qv = [float(x) for x in qv]
+        dot_flat = [
+            _seq_sum(
+                [a * b for a, b in zip(qv[m * ds : (m + 1) * ds], cb)]
+            )
+            for m in range(n_sub)
+            for cb in codebooks[m]
+        ]
+        qnorm = math.sqrt(_seq_sum([x * x for x in qv]))
+        for cl in probe_clusters(qv, centroids, n_probe):
+            rows.append((qid, cl, dot_flat, qnorm))
+    qdf = spark.createDataFrame(
+        rows,
+        "query_id int, cluster int, dot_lut array<double>, qnorm double",
+    )
+    all_probes = sorted({c for _, c, _, _ in rows})
+    pruned = index.filter(F.col("cluster").isin(all_probes))
+    if where is not None:
+        pruned = pruned.filter(where)
+    # the query-independent norm LUT rides its own one-row broadcast —
+    # never plan literals (see pq_ivf_topk; M*K constants killed compile)
+    ndf = spark.createDataFrame(
+        [(_pq_nrm_flat(codebooks),)], "nrm_lut array<double>"
+    )
+    scored = _pq_adc_score(
+        pruned.join(F.broadcast(qdf), "cluster").crossJoin(F.broadcast(ndf)),
+        n_sub, n_codes, id_col,
+    ).select("query_id", id_col, "cluster", "pqcos")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pqcos").desc(), F.col(id_col).asc()
+    )
+    out = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    if round_to is not None:
+        out = out.withColumn("pqcos", F.round("pqcos", round_to))
+    return out
 
 
 def ivf_topk(
@@ -887,9 +1058,13 @@ class IVFIndex:
         vector_col: str = "embedding",
         id_col: str = "vec_id",
         attr_cols: tuple[str, ...] = (),
+        quantize: str = "int8",
+        codebooks: list[list[list[float]]] | None = None,
+        pq_n_codes: int = 16,
+        pq_n_sub: int = 4,
     ) -> "IVFIndex":
         """One batch job: (train or take) centroids -> float-precision
-        nearest-centroid assignment + int8 quantization -> cluster-
+        nearest-centroid assignment + code generation -> cluster-
         partitioned parquet + centroid table + meta.
 
         ``attr_cols`` names payload attributes denormalized ONTO the
@@ -898,14 +1073,37 @@ class IVFIndex:
         remembers them in its meta, every :meth:`append` must supply
         them, and :meth:`topk`/:meth:`topk_batch` accept a ``where``
         predicate over them (filtered kNN inside the index,
-        qdrant_client.py:588-593)."""
+        qdrant_client.py:588-593).
+
+        ``quantize`` picks the code layout (r15): ``"int8"`` (scalar,
+        4-8x smaller than float, near-zero recall cost — q67/q69) or
+        ``"pq"`` (product quantization, ~M bytes/vector — the next
+        ~10x, the layout a 100 TB store needs; ``codebooks`` or the
+        deterministic :func:`pq_codebooks_from_rows` defaults). Both
+        are per-vector arithmetic with NO corpus scalars, so the whole
+        append/delete/serve lifecycle is identical — segments encoded
+        later under the frozen codebooks serve exactly as a whole
+        build's rows do."""
         spark = df.sparkSession
+        if quantize not in ("int8", "pq"):
+            raise ValueError(f"quantize must be 'int8' or 'pq': {quantize!r}")
         if centroids is None:
             centroids = kmeans_centroids(df, k=k, vector_col=vector_col)
-        index = build_quantized_ivf(
-            df, centroids, vector_col=vector_col, id_col=id_col,
-            attr_cols=attr_cols,
-        )
+        if quantize == "pq":
+            if codebooks is None:
+                codebooks = pq_codebooks_from_rows(
+                    df, n_codes=pq_n_codes, n_sub=pq_n_sub,
+                    vector_col=vector_col, id_col=id_col,
+                )
+            index = build_pq_ivf(
+                df, centroids, codebooks, vector_col=vector_col,
+                id_col=id_col, attr_cols=attr_cols,
+            )
+        else:
+            index = build_quantized_ivf(
+                df, centroids, vector_col=vector_col, id_col=id_col,
+                attr_cols=attr_cols,
+            )
         (
             index.repartition(F.col("cluster"))
             .sortWithinPartitions(id_col)
@@ -917,30 +1115,42 @@ class IVFIndex:
             [(i, list(map(float, c))) for i, c in enumerate(centroids)],
             "cluster int, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        if quantize == "pq":
+            spark.createDataFrame(
+                [
+                    (m, c, [float(x) for x in codebooks[m][c]])
+                    for m in range(len(codebooks))
+                    for c in range(len(codebooks[m]))
+                ],
+                "m int, code int, cv array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
         cls._write_meta(
             spark, path, id_col, len(centroids[0]), "cells", (),
-            attr_cols=attr_cols,
+            attr_cols=attr_cols, quantize=quantize,
         )
         return cls.load(spark, path)
 
     @staticmethod
     def _write_meta(
         spark, path, id_col, dim, cells_dir, segments, n_deleted=0,
-        centroids_dir="centroids", attr_cols=(),
+        centroids_dir="centroids", attr_cols=(), quantize="int8",
     ) -> None:
         """The one-row commit point (the ShardedBM25Index convention):
         segment visibility, dir swaps, and delete-tombstone visibility
-        happen HERE or not at all. ``attr_cols`` is part of the store's
-        schema contract — append/refresh replay it from here."""
+        happen HERE or not at all. ``attr_cols`` and ``quantize`` are
+        part of the store's schema contract — append/refresh replay
+        them from here."""
         spark.createDataFrame(
             [
                 (
                     id_col, int(dim), cells_dir, ",".join(segments),
                     int(n_deleted), centroids_dir, ",".join(attr_cols),
+                    quantize,
                 )
             ],
             "id_col string, dim int, cells_dir string, segments string, "
-            "n_deleted int, centroids_dir string, attr_cols string",
+            "n_deleted int, centroids_dir string, attr_cols string, "
+            "quantize string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
@@ -959,6 +1169,23 @@ class IVFIndex:
         obj._attr_cols = tuple(
             c for c in (meta.get("attr_cols") or "").split(",") if c
         )
+        obj._quantize = meta.get("quantize") or "int8"
+        obj._codebooks = None
+        if obj._quantize == "pq":
+            cbrows = (
+                spark.read.parquet(f"{path}/codebooks")
+                .orderBy("m", "code")
+                .collect()
+            )
+            n_sub = max(r["m"] for r in cbrows) + 1
+            obj._codebooks = [
+                [
+                    [float(x) for x in r["cv"]]
+                    for r in cbrows
+                    if r["m"] == m
+                ]
+                for m in range(n_sub)
+            ]
         crows = (
             spark.read.parquet(f"{path}/{obj._centroids_dir}")
             .orderBy("cluster")
@@ -987,6 +1214,28 @@ class IVFIndex:
                 "left_anti",
             )
         return df
+
+    def _encode(
+        self, vectors: DataFrame, vector_col: str,
+        centroids: list[list[float]] | None = None,
+    ) -> DataFrame:
+        """Code generation under the store's frozen parameters — the
+        one mode dispatch append/refresh share (``centroids`` overrides
+        for refresh's retrained coarse quantizer; PQ codebooks are
+        frozen either way). Both layouts are per-vector arithmetic with
+        no corpus scalars, which is what makes segments serve
+        identically to a whole build's rows."""
+        cents = centroids if centroids is not None else self._centroids
+        if self._quantize == "pq":
+            return build_pq_ivf(
+                vectors, cents, self._codebooks,
+                vector_col=vector_col, id_col=self._id_col,
+                attr_cols=self._attr_cols,
+            )
+        return build_quantized_ivf(
+            vectors, cents, vector_col=vector_col,
+            id_col=self._id_col, attr_cols=self._attr_cols,
+        )
 
     def delete(self, ids: list) -> "IVFIndex":
         """Delete vectors (r13) — the reference's delete-by-document
@@ -1027,7 +1276,7 @@ class IVFIndex:
         self._write_meta(
             self._spark, self._path, self._id_col, self._dim,
             self._cells_dir, tuple(self._segments), n_deleted=len(merged),
-            centroids_dir=self._centroids_dir, attr_cols=self._attr_cols,
+            centroids_dir=self._centroids_dir, attr_cols=self._attr_cols, quantize=self._quantize,
         )
         return type(self).load(self._spark, self._path)
 
@@ -1056,7 +1305,17 @@ class IVFIndex:
         not the filter; a highly selective filter can leave < k
         survivors inside n_probe cells — widen n_probe (or raise k)
         when the filter's selectivity is known to be tight, exactly the
-        reference's ef/hnsw_ef guidance for filtered search."""
+        reference's ef/hnsw_ef guidance for filtered search.
+
+        A ``quantize="pq"`` store serves through the ADC path
+        (:func:`pq_ivf_topk`, score column ``pqcos``); int8 stores
+        through :func:`quantized_ivf_topk` (``qcos``)."""
+        if self._quantize == "pq":
+            return pq_ivf_topk(
+                self._index_df(), query_vec, self._centroids,
+                self._codebooks, k=k, n_probe=n_probe,
+                id_col=self._id_col, where=self._check_where(where),
+            )
         return quantized_ivf_topk(
             self._index_df(), query_vec, self._centroids,
             k=k, n_probe=n_probe, id_col=self._id_col,
@@ -1070,6 +1329,12 @@ class IVFIndex:
         n_probe: int = 2,
         where: Column | None = None,
     ) -> DataFrame:
+        if self._quantize == "pq":
+            return pq_ivf_topk_batch(
+                self._index_df(), query_vecs, self._centroids,
+                self._codebooks, k=k, n_probe=n_probe,
+                id_col=self._id_col, where=self._check_where(where),
+            )
         return quantized_ivf_topk_batch(
             self._index_df(), query_vecs, self._centroids,
             k=k, n_probe=n_probe, id_col=self._id_col,
@@ -1168,10 +1433,7 @@ class IVFIndex:
                 raise ValueError(
                     f"append: {dup} incoming id(s) already exist in the index"
                 )
-        seg = build_quantized_ivf(
-            new_vectors, self._centroids, vector_col=vector_col, id_col=idc,
-            attr_cols=self._attr_cols,
-        )
+        seg = self._encode(new_vectors, vector_col)
         (
             seg.repartition(F.col("cluster"))
             .sortWithinPartitions(idc)
@@ -1185,7 +1447,7 @@ class IVFIndex:
         self._write_meta(
             self._spark, self._path, idc, self._dim, self._cells_dir,
             segments, centroids_dir=self._centroids_dir,
-            attr_cols=self._attr_cols,
+            attr_cols=self._attr_cols, quantize=self._quantize,
         )
         return type(self).load(self._spark, self._path)
 
@@ -1220,17 +1482,44 @@ class IVFIndex:
             old.append(f"{self._path}/tombstones")
         self._write_meta(
             self._spark, self._path, self._id_col, self._dim, new_rel, (),
-            centroids_dir=self._centroids_dir, attr_cols=self._attr_cols,
+            centroids_dir=self._centroids_dir, attr_cols=self._attr_cols, quantize=self._quantize,
         )
         for d in old:
             shutil.rmtree(d, ignore_errors=True)
         return type(self).load(self._spark, self._path)
 
     def _dequantized(self) -> DataFrame:
-        """(id, embedding[, attrs]) reconstructed as qvec * scale / 127
-        — the resolution the index actually serves at; shared by
-        :meth:`health` and :meth:`refresh` (attrs ride along so a
-        refresh rebuilds the payload columns, not just the codes)."""
+        """(id, embedding[, attrs]) reconstructed at the resolution the
+        index actually serves at — int8: qvec * scale / 127; PQ: the
+        concatenated codebook entries for the row's codes (a plan-
+        literal 2-level lookup, no join). Shared by :meth:`health` and
+        :meth:`refresh` (attrs ride along so a refresh rebuilds the
+        payload columns, not just the codes)."""
+        if self._quantize == "pq":
+            cb_lit = F.array(
+                *[
+                    F.array(
+                        *[
+                            F.array(*[F.lit(float(x)) for x in cv])
+                            for cv in self._codebooks[m]
+                        ]
+                    )
+                    for m in range(len(self._codebooks))
+                ]
+            )
+            recon = F.flatten(
+                F.transform(
+                    F.col("codes"),
+                    lambda c, m: F.element_at(
+                        F.element_at(cb_lit, m + 1), c + 1
+                    ),
+                )
+            )
+            return self._index_df().select(
+                self._id_col,
+                recon.alias("embedding"),
+                *[F.col(c) for c in self._attr_cols],
+            )
         return self._index_df().select(
             self._id_col,
             F.transform(
@@ -1272,9 +1561,9 @@ class IVFIndex:
         cents = kmeans_centroids(
             deq, k=k or len(self._centroids), seed=seed, max_iter=max_iter
         )
-        index = build_quantized_ivf(
-            deq, cents, id_col=self._id_col, attr_cols=self._attr_cols
-        )
+        # retrain swaps the COARSE quantizer only; PQ codebooks are
+        # frozen store parameters and re-encode under the new layout
+        index = self._encode(deq, "embedding", centroids=cents)
 
         def _bump(rel: str, stem: str) -> str:
             v = int(rel.rsplit("_v", 1)[1]) + 1 if "_v" in rel else 1
@@ -1303,7 +1592,7 @@ class IVFIndex:
             old.append(f"{self._path}/tombstones")
         self._write_meta(
             spark, self._path, self._id_col, self._dim, new_cells, (),
-            centroids_dir=new_cents, attr_cols=self._attr_cols,
+            centroids_dir=new_cents, attr_cols=self._attr_cols, quantize=self._quantize,
         )
         for d in old:
             shutil.rmtree(d, ignore_errors=True)

@@ -818,3 +818,91 @@ def test_pq_encode_and_adc_topk(spark):
         idx.filter(F.col("label") == 1), q, cents, cb, k=5, n_probe=6
     ).collect()
     assert [tuple(r) for r in flt] == [tuple(r) for r in pre]
+
+
+def test_ivf_index_pq_store_lifecycle(spark, tmp_path):
+    """quantize='pq' through the FULL IVFIndex lifecycle (r15): the PQ
+    layout must inherit every store contract the int8 layout has,
+    because neither keeps corpus scalars — build+append == whole build
+    (split invariance under frozen centroids AND codebooks), batch face
+    parity, filtered serving, delete/compact survival, health/refresh
+    over the reconstructed codes."""
+    import random
+
+    from jsonify2ai_spark.operators.ann import IVFIndex, pq_codebooks_from_rows
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)], i % 2) for i in range(240)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, flag int")
+    cents = [list(map(float, r[1])) for r in rows[:6]]
+    # explicit codebooks (the base slice lacks some of the first-16
+    # donor ids — production passes trained codebooks the same way)
+    cb = pq_codebooks_from_rows(df, n_codes=16, n_sub=4)
+    q = [float(x) for x in rows[8][1]]
+    path = str(tmp_path / "pqivf")
+
+    idx = IVFIndex.build(
+        df.filter(F.col("vec_id") % 5 != 2), path, centroids=cents,
+        attr_cols=("flag",), quantize="pq", codebooks=cb,
+    ).append(df.filter(F.col("vec_id") % 5 == 2), "r1")
+    whole = IVFIndex.build(
+        df, str(tmp_path / "whole"), centroids=cents,
+        attr_cols=("flag",), quantize="pq", codebooks=cb,
+    )
+    got = [tuple(r) for r in idx.topk(q, k=10, n_probe=3).collect()]
+    assert got == [tuple(r) for r in whole.topk(q, k=10, n_probe=3).collect()]
+    assert len(got) == 10 and got[0][0] == 8  # self-match leads
+
+    # batch face == per-query single face
+    q2 = [float(x) for x in rows[33][1]]
+    batch = idx.topk_batch([q, q2], k=5, n_probe=3).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["query_id"], []).append(tuple(r)[1:])
+    assert by_qid[0] == [tuple(r) for r in idx.topk(q, k=5, n_probe=3).collect()]
+    assert by_qid[1] == [tuple(r) for r in idx.topk(q2, k=5, n_probe=3).collect()]
+
+    # filtered serving == serving over the pre-filtered corpus
+    pred = F.col("flag") == 0
+    ref = IVFIndex.build(
+        df.filter(pred), str(tmp_path / "ref"), centroids=cents,
+        quantize="pq", codebooks=cb,
+    )
+    flt = [tuple(r)[:3] for r in idx.topk(q, k=10, n_probe=3, where=pred).collect()]
+    assert flt == [tuple(r)[:3] for r in ref.topk(q, k=10, n_probe=3).collect()]
+
+    # delete + compact: exact and persistent (per-vector codes)
+    victim = got[1][0]
+    idx = idx.delete([victim]).compact()
+    after = [tuple(r) for r in idx.topk(q, k=10, n_probe=3).collect()]
+    assert victim not in {t[0] for t in after}
+    assert [t for t in got if t[0] != victim][:9] == after[:9]
+
+    # reload serves identically; health + refresh run over the
+    # PQ-reconstructed codes and preserve the mode
+    re = IVFIndex.load(spark, path)
+    assert re._quantize == "pq"
+    assert [tuple(r) for r in re.topk(q, k=10, n_probe=3).collect()] == after
+    h = re.health().collect()
+    assert sum(r["n"] for r in h) == 240 - 1
+    re = re.refresh(seed=5, max_iter=3)
+    assert re._quantize == "pq"
+    again = re.topk(q, k=5, n_probe=6).collect()
+    assert len(again) == 5 and victim not in {r["vec_id"] for r in again}
+
+
+def test_pq_encode_arrow_matches_expr(spark):
+    """pq_encode impl='arrow' (the production-K GEMM path) must emit the
+    same codes as the oracle-parity expr path on the K<=16 zone where
+    both run — the ivf_assign expr/arrow contract applied to PQ."""
+    import random
+
+    from jsonify2ai_spark.operators.ann import pq_codebooks_from_rows, pq_encode
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_codebooks_from_rows(df, n_codes=16, n_sub=4)
+    e = {r["vec_id"]: r["codes"] for r in pq_encode(df, cb, impl="expr").collect()}
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(df, cb, impl="arrow").collect()}
+    assert e == a
