@@ -2555,6 +2555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_ivf_filtered_serving": q156_ivf_filtered_serving,  # NEW r15: filtered kNN inside the IVF store
         "q157_cluster_store": q157_cluster_store,  # NEW r15: O(delta) incremental cluster maintenance
         "q158_pq_ivf": q158_pq_ivf,  # NEW r15: product-quantized IVF serving (ADC)
+        "q159_neardup_store": q159_neardup_store,  # NEW r15: incremental near-dup pipeline e2e
         # --- the stalest queries in the suite (r11) ---
         "q70_per_source_cap": q70_per_source_cap,
         "q71_gopher_filter": q71_gopher_filter,
@@ -2603,10 +2604,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_decontaminate": q60_decontaminate,
         "q61_unigram_logprob": q61_unigram_logprob,
         "q62_embed_dup_clusters": q62_embed_dup_clusters,
-        "q93_syndication_capped": q93_syndication_capped,
         # ================= tail (entry 51+) =================
         # r12 remainder displaced by the 50-slot cap: r16's first debt
-        # (q94/q96/q98 displaced by q156/q157/q158, the r15 new-operator slots)
+        # (q93/q94/q96/q98 displaced by q156-q159, the r15 new-operator slots)
+        "q93_syndication_capped": q93_syndication_capped,
         "q94_language_mix": q94_language_mix,
         "q96_curriculum_buckets": q96_curriculum_buckets,
         "q98_line_dedup": q98_line_dedup,
@@ -4176,6 +4177,51 @@ def q158_pq_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ivf_topk(
         index, qvec, centroids, cb, k=10, n_probe=_IVF_N_PROBE
     )
+
+
+def q159_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental near-dup pipeline (operators/dedup.py
+    NearDupStore, NEW r15 — q157's ClusterStore composed with a
+    persisted LSH band table behind one add_batch call): ingest the
+    documents table as THREE batches (doc_id % 3); each batch pays
+    O(batch*bands) band keys, a candidate probe pruned to its own
+    (band, bucket-prefix) partitions, and one O(delta) cluster merge.
+    LSH banding is per-document, so the union of every batch's edges
+    equals minhash_lsh_pairs over the whole corpus — the final reps
+    must equal the all-at-once q51 pipeline, and the oracle is q51's
+    recursive closure verbatim (frozen banding config in the store meta
+    is what makes the equivalence permanent). Reference anchor: the
+    watcher's incremental re-ingest loop (watch_dropzone.py:190-229),
+    now with the dedup side incremental too. Scratch store removed in
+    finally (the q123 discipline)."""
+    import shutil
+    import tempfile
+
+    from jsonify2ai_spark.operators.dedup import NearDupStore
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+
+    def build(d):
+        store = NearDupStore.create(
+            spark, d, num_hashes=_MINHASH_H, bands=_MINHASH_BANDS
+        )
+        for b in range(3):
+            store = store.add_batch(
+                docs.filter(F.col("doc_id") % 3 == b), f"b{b}"
+            )
+        return store
+
+    memo = _scratch_memo(("q159", sf_dir), build)
+    if memo is not None:
+        return memo.reps()
+    d = tempfile.mkdtemp(prefix="q159_ndstore_")
+    try:
+        out = build(d).reps()
+        # materialize before the scratch dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def q136_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8052,4 +8098,9 @@ def oracle_sql() -> dict[str, str]:
     # contract (stored reps are component minima and min() is
     # associative), so the oracle is q51's recursive closure verbatim
     oracles["q157_cluster_store"] = oracles["q51_dedup_clusters"]
+    # q159 runs the WHOLE incremental pipeline (banded candidate probes
+    # + cluster merges, three batches) — per-document banding makes the
+    # batched edge union equal the all-at-once pair set, so the oracle
+    # is again q51's closure verbatim
+    oracles["q159_neardup_store"] = oracles["q51_dedup_clusters"]
     return oracles

@@ -112,6 +112,34 @@ def main() -> int:
 
     arms["ivf"] = lambda c, q: ask(c, q, k=5, dim=64, retriever=ivf_retriever)
 
+    # seventh arm (r15, VERDICT r14 #3/#7): filtered kNN INSIDE the
+    # persisted vector store — IVFIndex with the path payload
+    # denormalized onto the index rows, served with where= (the q156
+    # face; the vector twin of bm25_filt). Same structural hit@1 caveat;
+    # the arm exists to show filtered-store latency is index-class.
+    import shutil
+    import tempfile
+
+    from jsonify2ai_spark.operators.ann import IVFIndex
+
+    store_dir = tempfile.mkdtemp(prefix="eval_ivfstore_")
+    store = IVFIndex.build(
+        corpus, store_dir, centroids=cents, vector_col="vector",
+        id_col="id", attr_cols=("path",),
+    )
+
+    def ivf_filt_retriever(ch, qq, k=5, dim=64, embed=None, **_f):
+        qv = (embed or (lambda t: dev_embedding_py(t, dim=dim)))(qq)
+        top = store.topk(
+            qv, k=max(k, 20), n_probe=3, where=F.col("path") == top_src
+        ).select("id", F.col("qcos").alias("score"))
+        out = ch.drop("score").join(F.broadcast(top), "id")
+        return _project_sources(out, k=k)
+
+    arms["ivf_filt"] = lambda c, q: ask(
+        c, q, k=5, dim=64, retriever=ivf_filt_retriever
+    )
+
     # one warm pass (not timed): JIT/codegen/Python-worker spinup, so the
     # recorded latencies measure serving, not first-call compilation
     for fn in arms.values():
@@ -274,6 +302,7 @@ def main() -> int:
     }
 
     res["batched"] = batched
+    shutil.rmtree(store_dir, ignore_errors=True)
     with open(out, "w", encoding="utf-8") as f:
         json.dump(res, f, ensure_ascii=False, indent=2)
     print(

@@ -220,10 +220,37 @@ def minhash_lsh_pairs(
     near-dup clusters (small by construction); a pathological hot bucket
     produces the same quadratic pair count under either form.
     """
+    banded = _lsh_banded(df, text_col, id_col, num_hashes, bands, shingle_n)
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+
+def _lsh_banded(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band, bucket) — one row per (document, band): the md5 bucket
+    key of each signature slice. Shared by :func:`minhash_lsh_pairs`
+    (in-corpus pair expansion) and :class:`NearDupStore` (the persisted
+    band table an incremental batch probes); identical banding is what
+    makes the incremental pair set equal the all-at-once one."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -239,17 +266,6 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band", "bucket"),
-    )
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list(id_col).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    return (
-        buckets.select(F.explode("ids").alias("a"), "ids")
-        .select("a", F.explode("ids").alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
     )
 
 
@@ -2411,18 +2427,25 @@ class ClusterStore:
         bucket-partitioned (node, rep0) mapping + meta."""
         spark = pairs.sparkSession
         labels = connected_components(pairs, a_col=a_col, b_col=b_col)
-        (
-            labels.select(
-                F.col("node"),
-                F.col("cluster_rep").alias("rep0"),
-                F.pmod(F.xxhash64("node"), F.lit(n_buckets)).cast("int").alias("bucket"),
-            )
-            .repartition(F.col("bucket"))
-            .sortWithinPartitions("node")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{path}/nodes")
+        staged = labels.select(
+            F.col("node"),
+            F.col("cluster_rep").alias("rep0"),
+            F.pmod(F.xxhash64("node"), F.lit(n_buckets)).cast("int").alias("bucket"),
         )
+        if staged.limit(1).count() == 0:
+            # an EMPTY partitionBy write leaves a schema-less dir that no
+            # later load can read — land the empty base unpartitioned
+            # (one zero-row part file carries the schema; the bucket
+            # column still exists for every probe filter)
+            staged.write.mode("overwrite").parquet(f"{path}/nodes")
+        else:
+            (
+                staged.repartition(F.col("bucket"))
+                .sortWithinPartitions("node")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{path}/nodes")
+            )
         cls._write_meta(spark, path, n_buckets, "nodes", (), "")
         return cls.load(spark, path)
 
@@ -2713,4 +2736,256 @@ class ClusterStore:
         )
         for d in old:
             shutil.rmtree(d, ignore_errors=True)
+        return type(self).load(self._spark, self._path)
+
+
+class NearDupStore:
+    """Persisted end-to-end incremental near-dup pipeline (r15): a band
+    table for O(batch) candidate generation + a :class:`ClusterStore`
+    for O(delta) cluster maintenance, behind one ``add_batch`` call —
+    the composition a streaming ingest loop actually needs (reference
+    anchor: the watcher's incremental re-ingest reconciliation,
+    scripts/dev/tools/watch_dropzone.py:190-229, which re-checks only
+    the files that changed).
+
+    On disk::
+
+        bands/             (id, band, bucket) of every ingested doc,
+                           partitionBy(band, bpfx) — bpfx = the bucket's
+                           first md5 hex char (16 cells/band — 256 dirs
+                           per write, the small-files/pruning trade at
+                           bench scale; widen the prefix for a corpus
+                           whose band cells outgrow one executor), so a batch's probe
+                           join prunes to its own (band, prefix) cells
+                           instead of scanning the corpus band table
+        bands_incr/<id>/   per-batch increments, same layout
+        clusters/          the embedded ClusterStore
+        meta/              banding config (frozen) + segment commits
+
+    ``add_batch`` computes the batch's band keys ONCE, derives the
+    delta's edges as (within-batch bucket collisions) ∪ (batch-vs-store
+    bucket joins against the PRUNED band table), merges them into the
+    clustering, then commits the batch's bands as a segment. Because
+    LSH banding is per-document, the union of every batch's edge sets
+    equals :func:`minhash_lsh_pairs` over the full corpus — so the
+    incremental clustering equals the all-at-once q51 pipeline exactly
+    (oracle row q159; the banding config is frozen in the meta because
+    that equivalence needs identical band keys forever).
+
+    Redelivery: band commits and cluster merges are separately
+    idempotent (a committed band segment is skipped; the cluster merge
+    re-lands the same delta as a no-op), and the commit order — bands
+    AFTER the cluster merge would lose the crash-heal property, so
+    bands commit FIRST and a replayed batch derives the same edges with
+    the batch already in the table (batch-vs-self collisions reproduce
+    the within-batch pairs)."""
+
+    def __init__(self) -> None:
+        raise TypeError("use NearDupStore.create(...) or NearDupStore.load(...)")
+
+    @classmethod
+    def create(
+        cls,
+        spark,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 64,
+        bands: int = 16,
+        shingle_n: int = 3,
+        n_buckets: int = 64,
+    ) -> "NearDupStore":
+        """An EMPTY store: banding config frozen into the meta; every
+        document arrives through :meth:`add_batch`."""
+        empty_bands = spark.createDataFrame(
+            [], f"{id_col} long, band int, bucket string"
+        )
+        cls._write_bands(empty_bands, f"{path}/bands", id_col)
+        ClusterStore.build(
+            spark.createDataFrame([], "a long, b long"),
+            f"{path}/clusters", n_buckets=n_buckets,
+        )
+        cls._write_meta(
+            spark, path, text_col, id_col, num_hashes, bands, shingle_n,
+            "bands", (),
+        )
+        return cls.load(spark, path)
+
+    @staticmethod
+    def _write_bands(banded: DataFrame, dest: str, id_col: str) -> None:
+        staged = banded.select(
+            F.col(id_col), F.col("band"),
+            F.substring("bucket", 1, 1).alias("bpfx"), F.col("bucket"),
+        )
+        if staged.limit(1).count() == 0:
+            # an EMPTY partitionBy write leaves a schema-less dir (the
+            # ClusterStore.build lesson) — land it unpartitioned; the
+            # partition columns still exist for every later filter
+            staged.write.mode("overwrite").parquet(dest)
+            return
+        (
+            staged.repartition(F.col("band"), F.col("bpfx"))
+            .sortWithinPartitions(id_col)
+            .write.mode("overwrite")
+            .partitionBy("band", "bpfx")
+            .parquet(dest)
+        )
+
+    @staticmethod
+    def _write_meta(
+        spark, path, text_col, id_col, num_hashes, bands, shingle_n,
+        bands_dir, segments,
+    ) -> None:
+        spark.createDataFrame(
+            [
+                (
+                    text_col, id_col, int(num_hashes), int(bands),
+                    int(shingle_n), bands_dir, ",".join(segments),
+                )
+            ],
+            "text_col string, id_col string, num_hashes int, bands int, "
+            "shingle_n int, bands_dir string, segments string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark, path: str) -> "NearDupStore":
+        meta = spark.read.parquet(f"{path}/meta").first().asDict()
+        obj = cls.__new__(cls)
+        obj._spark = spark
+        obj._path = path
+        obj._text_col = meta["text_col"]
+        obj._id_col = meta["id_col"]
+        obj._num_hashes = int(meta["num_hashes"])
+        obj._bands = int(meta["bands"])
+        obj._shingle_n = int(meta["shingle_n"])
+        obj._bands_dir = meta.get("bands_dir") or "bands"
+        obj._segments = [s for s in (meta.get("segments") or "").split(",") if s]
+        obj._band_parts = [spark.read.parquet(f"{path}/{obj._bands_dir}")] + [
+            spark.read.parquet(f"{path}/bands_incr/{rid}")
+            for rid in obj._segments
+        ]
+        obj._clusters = ClusterStore.load(spark, f"{path}/clusters")
+        return obj
+
+    def _band_table(self) -> DataFrame:
+        df = self._band_parts[0]
+        for p in self._band_parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def reps(self) -> DataFrame:
+        """(node, cluster_rep) — the maintained clustering (nodes that
+        ever collided; singletons are implicit, the CC convention)."""
+        return self._clusters.reps()
+
+    def add_batch(self, docs: DataFrame, run_id: str) -> "NearDupStore":
+        """Ingest one batch: O(batch * bands) band keys, candidate
+        edges from (a) within-batch bucket collisions and (b) the
+        batch's buckets probed against the band table — a join PRUNED
+        to the batch's (band, bucket-prefix) partitions, so its cost
+        follows the batch, not the corpus — then ONE O(delta) cluster
+        merge. Bands commit first; both halves are redelivery-safe
+        (see the class docstring for the crash-window argument)."""
+        idc = self._id_col
+        if str(run_id) in self._segments:
+            batch_banded = None  # bands already committed (redelivery)
+        else:
+            batch_banded = _lsh_banded(
+                docs, self._text_col, idc,
+                self._num_hashes, self._bands, self._shingle_n,
+            ).localCheckpoint()  # consumed by the write AND two joins
+            if batch_banded.limit(1).count() == 0:
+                return self
+            self._write_bands(
+                batch_banded, f"{self._path}/bands_incr/{run_id}", idc
+            )
+            self._write_meta(
+                self._spark, self._path, self._text_col, idc,
+                self._num_hashes, self._bands, self._shingle_n,
+                self._bands_dir, tuple(self._segments) + (str(run_id),),
+            )
+        store = type(self).load(self._spark, self._path)
+        if batch_banded is None:
+            # redelivery: re-derive the batch's keys; the batch is in the
+            # table, so the probe below reproduces the same edge set
+            batch_banded = _lsh_banded(
+                docs, self._text_col, idc,
+                self._num_hashes, self._bands, self._shingle_n,
+            ).localCheckpoint()
+            if batch_banded.limit(1).count() == 0:
+                return store
+        # (a) within-batch collisions (the minhash_lsh_pairs expansion)
+        within = (
+            batch_banded.groupBy("band", "bucket")
+            .agg(F.collect_list(idc).alias("ids"))
+            .filter(F.size("ids") > 1)
+            .select(F.explode("ids").alias("a"), "ids")
+            .select("a", F.explode("ids").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+        )
+        # (b) batch-vs-store: probe the band table pruned to the batch's
+        # (band, bucket-prefix) partition RECTANGLE — two plain isin
+        # filters on the partition columns (a concatenated key would not
+        # prune); the rectangle over-covers some (band, prefix) cells,
+        # which the (band, bucket) equi-join then discards. Bounded
+        # collect: at most bands + 16 distinct values by construction.
+        cells = [
+            (r["band"], r["p"])
+            for r in batch_banded.select(
+                "band", F.substring("bucket", 1, 1).alias("p")
+            ).distinct().collect()
+        ]
+        tbl = store._band_table().filter(
+            F.col("band").isin(sorted({b for b, _ in cells}))
+            & F.col("bpfx").isin(sorted({p for _, p in cells}))
+        )
+        probe = batch_banded.select(
+            F.col(idc).alias("_nid"), "band", "bucket"
+        )
+        cross = (
+            tbl.join(F.broadcast(probe), ["band", "bucket"])
+            .filter(F.col(idc) != F.col("_nid"))
+            .select(
+                F.least(F.col(idc), F.col("_nid")).alias("a"),
+                F.greatest(F.col(idc), F.col("_nid")).alias("b"),
+            )
+        )
+        delta = within.unionByName(cross).distinct()
+        clusters = store._clusters.merge_delta(delta, run_id, replace=True)
+        out = type(store).__new__(type(store))
+        out.__dict__.update(store.__dict__)
+        out._clusters = clusters
+        return out
+
+    def compact(self) -> "NearDupStore":
+        """Fold band segments into ``bands_v<k>/`` and compact the
+        embedded ClusterStore — small-files maintenance only."""
+        if self._segments:
+            v = (
+                int(self._bands_dir.rsplit("_v", 1)[1]) + 1
+                if "_v" in self._bands_dir
+                else 1
+            )
+            new_rel = f"bands_v{v}"
+            (
+                self._band_table()
+                .select(self._id_col, "band", "bpfx", "bucket")
+                .repartition(F.col("band"), F.col("bpfx"))
+                .sortWithinPartitions(self._id_col)
+                .write.mode("overwrite")
+                .partitionBy("band", "bpfx")
+                .parquet(f"{self._path}/{new_rel}")
+            )
+            old = [f"{self._path}/{self._bands_dir}"] + [
+                f"{self._path}/bands_incr/{rid}" for rid in self._segments
+            ]
+            self._write_meta(
+                self._spark, self._path, self._text_col, self._id_col,
+                self._num_hashes, self._bands, self._shingle_n, new_rel, (),
+            )
+            import shutil
+
+            for d in old:
+                shutil.rmtree(d, ignore_errors=True)
+        self._clusters.compact()
         return type(self).load(self._spark, self._path)

@@ -4638,3 +4638,75 @@ def test_cluster_store_probe_prunes_buckets(spark, tmp_path):
     assert pruned, plan[:3000]
     got = {(r["node"], r["cluster_rep"]) for r in probe.collect()}
     assert got == {(4, 4), (5, 4)}
+
+
+def test_neardup_store_batches_equal_all_at_once(spark, tmp_path):
+    """NearDupStore (r15): three document batches ingested through
+    add_batch must yield EXACTLY the clustering of minhash_lsh_pairs +
+    connected_components over the whole corpus — LSH banding is
+    per-document, so (within-batch collisions) ∪ (batch-vs-store
+    probes) over time IS the all-at-once pair set. Also pinned:
+    redelivery of a committed batch is a no-op, the probe join prunes
+    to the batch's (band, prefix) partitions, and compact preserves
+    the clustering."""
+    from jsonify2ai_spark.operators.dedup import (
+        NearDupStore,
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    # overlapping near-dup texts across batches: shared sentences with
+    # small edits so bucket collisions straddle the batch boundaries
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "spark shuffles partitions across the cluster during wide joins",
+        "minhash signatures approximate jaccard similarity of shingle sets",
+        "completely unrelated text about cooking pasta with fresh basil",
+    ]
+    rows = []
+    for i in range(48):
+        t = base[i % 4]
+        if i % 3 == 1:
+            t = t + " extra"
+        if i % 7 == 2:
+            t = "prefix " + t
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = dict(num_hashes=32, bands=8, shingle_n=3)
+
+    path = str(tmp_path / "ndstore")
+    store = NearDupStore.create(spark, path, **cfg)
+    for b in range(3):
+        store = store.add_batch(docs.filter(F.col("doc_id") % 3 == b), f"b{b}")
+
+    got = {(r["node"], r["cluster_rep"]) for r in store.reps().collect()}
+    want = {
+        (r["node"], r["cluster_rep"])
+        for r in connected_components(
+            minhash_lsh_pairs(docs, **cfg)
+        ).collect()
+    }
+    assert got == want and len(got) > 30
+
+    # redelivery: re-adding a committed batch changes nothing
+    store = store.add_batch(docs.filter(F.col("doc_id") % 3 == 1), "b1")
+    assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == want
+
+    # compact folds the band segments + cluster overlay; reps unchanged
+    store = store.compact()
+    assert store._segments == []
+    assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == want
+
+    # a fresh load serves identically and accepts the next batch
+    re = NearDupStore.load(spark, path)
+    more = spark.createDataFrame(
+        [(100, base[0]), (101, base[0] + " extra")], "doc_id long, text string"
+    )
+    re = re.add_batch(more, "b3")
+    want2 = {
+        (r["node"], r["cluster_rep"])
+        for r in connected_components(
+            minhash_lsh_pairs(docs.unionByName(more), **cfg)
+        ).collect()
+    }
+    assert {(r["node"], r["cluster_rep"]) for r in re.reps().collect()} == want2
