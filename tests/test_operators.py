@@ -4710,3 +4710,40 @@ def test_neardup_store_batches_equal_all_at_once(spark, tmp_path):
         ).collect()
     }
     assert {(r["node"], r["cluster_rep"]) for r in re.reps().collect()} == want2
+
+
+def test_neardup_store_probe_prunes_partitions(spark, tmp_path):
+    """The batch-vs-store candidate probe must reach the band table as
+    a (band, bpfx) partition prune — the O(batch) claim's plan half
+    (the value half is the parity test above)."""
+    import re as _re
+
+    from jsonify2ai_spark.operators.dedup import NearDupStore, _lsh_banded
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared sentence body {i % 5} tail") for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ndplan")
+    store = NearDupStore.create(spark, path, num_hashes=32, bands=8)
+    store = store.add_batch(docs, "b0")
+
+    batch = _lsh_banded(
+        spark.createDataFrame([(99, "some shared sentence body 1 tail")],
+                              "doc_id long, text string"),
+        "text", "doc_id", 32, 8, 3,
+    )
+    cells = batch.select(
+        "band", F.substring("bucket", 1, 1).alias("p")
+    ).distinct().collect()
+    tbl = store._band_table().filter(
+        F.col("band").isin(sorted({r["band"] for r in cells}))
+        & F.col("bpfx").isin(sorted({r["p"] for r in cells}))
+    )
+    plan = tbl._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        f
+        for f in _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "band" in f and "bpfx" in f
+    ]
+    assert pruned, plan[:3000]
