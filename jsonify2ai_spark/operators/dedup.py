@@ -2451,13 +2451,21 @@ class ClusterStore:
 
     @staticmethod
     def _write_meta(
-        spark, path, n_buckets, nodes_dir, segments, remap_dir
+        spark, path, n_buckets, nodes_dir, segments, remap_dir,
+        tombs_dir="",
     ) -> None:
         """The one-row commit point: segment visibility, overlay swaps,
-        and dir swaps happen HERE or not at all."""
+        dir swaps, and node-tombstone visibility happen HERE or not at
+        all."""
         spark.createDataFrame(
-            [(int(n_buckets), nodes_dir, ",".join(segments), remap_dir)],
-            "n_buckets int, nodes_dir string, segments string, remap_dir string",
+            [
+                (
+                    int(n_buckets), nodes_dir, ",".join(segments),
+                    remap_dir, tombs_dir,
+                )
+            ],
+            "n_buckets int, nodes_dir string, segments string, "
+            "remap_dir string, tombs_dir string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
@@ -2479,15 +2487,39 @@ class ClusterStore:
             if obj._remap_dir
             else None
         )
+        obj._tombs_dir = meta.get("tombs_dir") or ""
+        obj._tombs = (
+            spark.read.parquet(f"{path}/{obj._tombs_dir}")
+            if obj._tombs_dir
+            else None
+        )
         return obj
 
     # -- read faces ----------------------------------------------------------
 
     def _stored(self) -> DataFrame:
-        df = self._parts[0]
-        for p in self._parts[1:]:
+        """Union of the visible parts. Tombstones are GENERATION-tagged:
+        a tomb (_tn, tgen) written when the store had ``tgen`` parts
+        masks that node's rows in parts 0..tgen-1 ONLY — a node re-added
+        by a LATER merge (re-ingest after an RTBF purge) lands in a
+        segment with a higher ordinal and stays visible. One broadcast
+        hash anti-join, map-side; compact() folds the tombs away."""
+        if self._tombs is None:
+            df = self._parts[0]
+            for p in self._parts[1:]:
+                df = df.unionByName(p)
+            return df
+        tagged = [
+            p.withColumn("_pord", F.lit(i)) for i, p in enumerate(self._parts)
+        ]
+        df = tagged[0]
+        for p in tagged[1:]:
             df = df.unionByName(p)
-        return df
+        return df.join(
+            F.broadcast(self._tombs),
+            (df["node"] == F.col("_tn")) & (df["_pord"] < F.col("tgen")),
+            "left_anti",
+        ).drop("_pord")
 
     def reps(self) -> DataFrame:
         """(node, cluster_rep) for every clustered node — stored rep0
@@ -2539,6 +2571,131 @@ class ClusterStore:
                 F.coalesce(F.col("dst_rep"), F.col("rep0")).alias("cluster_rep"),
             )
         )
+
+    # -- the delete face (RTBF / K4) -----------------------------------------
+
+    def delete_nodes(
+        self,
+        deleted: DataFrame,
+        repaired: "DataFrame | None" = None,
+        run_id: str = "del",
+        node_col: str = "node",
+    ) -> "ClusterStore":
+        """Remove ``deleted`` nodes from the mapping in O(delta) — the
+        q137/q155 tombstone discipline applied to the clustering store.
+
+        The store keeps no edges, so it cannot itself decide how a
+        component REPAIRS after losing a node (a deleted bridge SPLITS
+        its component; a deleted rep forces a relabel) — the caller owns
+        that closure math and passes ``repaired`` = (node, cluster_rep)
+        for every surviving member of every touched component that still
+        has an edge (:meth:`NearDupStore.delete_docs` derives it exactly
+        from the persisted band table). Survivors absent from
+        ``repaired`` are dropped from the mapping too — they became
+        edge-less singletons, which the mapping never stores (the
+        connected-components convention, and what keeps this equal to a
+        fresh closure over the surviving edge set).
+
+        Mechanics: generation-tagged tombstones mask the old rows of
+        deleted nodes AND repaired survivors in every CURRENT part; the
+        repaired labels land as a new segment (higher ordinal, so they
+        are visible); overlay entries pointing at a touched component's
+        rep are dropped (all that component's visible rows now carry
+        direct canonical labels — and without the drop, a repaired rep
+        that was itself superseded pre-delete would be remapped to a
+        purged label). Everything is sized by the touched components;
+        the one-row meta commit makes it atomic. Redelivery of a
+        committed ``run_id`` is a no-op."""
+        if str(run_id) in self._segments:
+            return self
+        dead = (
+            deleted.select(F.col(node_col).alias("node"))
+            .filter(F.col("node").isNotNull())
+            .distinct()
+            .localCheckpoint()
+        )
+        if dead.count() == 0:
+            return self
+        # touched components' CURRENT reps — bucket-pruned, delta-sized;
+        # must be read BEFORE the tombstones land
+        touched_reps = (
+            self.reps_of(dead)
+            .select(F.col("cluster_rep").alias("_tr"))
+            .distinct()
+            .localCheckpoint()
+        )
+        rep_rows = (
+            repaired.select(
+                F.col("node"),
+                F.col("cluster_rep").alias("rep0"),
+                F.pmod(F.xxhash64("node"), F.lit(self._n_buckets))
+                .cast("int")
+                .alias("bucket"),
+            ).localCheckpoint()
+            if repaired is not None
+            else None
+        )
+        tgen = len(self._parts)
+        tombs_new = dead
+        if rep_rows is not None:
+            tombs_new = tombs_new.union(rep_rows.select("node")).distinct()
+        tombs_new = tombs_new.select(
+            F.col("node").alias("_tn"), F.lit(tgen).cast("int").alias("tgen")
+        )
+        composed = (
+            self._tombs.unionByName(tombs_new)
+            if self._tombs is not None
+            else tombs_new
+        )
+        tv = (
+            int(self._tombs_dir.rsplit("_v", 1)[1]) + 1
+            if self._tombs_dir
+            else 1
+        )
+        new_tombs_rel = f"node_tombs_v{tv}"
+        composed.coalesce(1).write.mode("overwrite").parquet(
+            f"{self._path}/{new_tombs_rel}"
+        )
+        segments = tuple(self._segments)
+        if rep_rows is not None and rep_rows.count() > 0:
+            (
+                rep_rows.repartition(F.col("bucket"))
+                .sortWithinPartitions("node")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{self._path}/nodes_incr/{run_id}")
+            )
+            segments = segments + (str(run_id),)
+        # overlay cleanup: path compression guarantees every entry of a
+        # touched component has dst_rep == that component's current rep
+        new_remap_rel = self._remap_dir
+        if self._remap is not None:
+            kept = self._remap.join(
+                F.broadcast(touched_reps),
+                self._remap["dst_rep"] == F.col("_tr"),
+                "left_anti",
+            ).localCheckpoint()
+            if kept.count() < self._remap.count():
+                v = int(self._remap_dir.rsplit("_v", 1)[1]) + 1
+                new_remap_rel = f"remap_v{v}"
+                kept.coalesce(1).write.mode("overwrite").parquet(
+                    f"{self._path}/{new_remap_rel}"
+                )
+        self._write_meta(
+            self._spark, self._path, self._n_buckets, self._nodes_dir,
+            segments, new_remap_rel, new_tombs_rel,
+        )
+        import shutil
+
+        for old_rel in (
+            self._tombs_dir,
+            self._remap_dir if new_remap_rel != self._remap_dir else "",
+        ):
+            if old_rel:
+                shutil.rmtree(
+                    f"{self._path}/{old_rel}", ignore_errors=True
+                )
+        return type(self).load(self._spark, self._path)
 
     # -- the incremental merge ----------------------------------------------
 
@@ -2690,7 +2847,7 @@ class ClusterStore:
             )
         self._write_meta(
             self._spark, self._path, self._n_buckets, self._nodes_dir,
-            segments, new_remap_rel,
+            segments, new_remap_rel, self._tombs_dir,
         )
         # old overlay dir removed best-effort after the commit
         if n_remap > 0 and self._remap_dir:
@@ -2700,10 +2857,10 @@ class ClusterStore:
         return type(self).load(self._spark, self._path)
 
     def compact(self) -> "ClusterStore":
-        """Fold segments + overlay into ``nodes_v<k>/`` — small-files /
-        overlay-size maintenance, results unchanged (stage-and-swap
-        through the meta, the IVFIndex discipline)."""
-        if not self._segments and self._remap is None:
+        """Fold segments + overlay + tombstones into ``nodes_v<k>/`` —
+        small-files / overlay-size maintenance, results unchanged
+        (stage-and-swap through the meta, the IVFIndex discipline)."""
+        if not self._segments and self._remap is None and self._tombs is None:
             return self
         import shutil
 
@@ -2713,24 +2870,30 @@ class ClusterStore:
             else 1
         )
         new_rel = f"nodes_v{v}"
-        (
-            self.reps()
-            .select(
-                "node",
-                F.col("cluster_rep").alias("rep0"),
-                F.pmod(F.xxhash64("node"), F.lit(self._n_buckets)).cast("int").alias("bucket"),
-            )
-            .repartition(F.col("bucket"))
-            .sortWithinPartitions("node")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{self._path}/{new_rel}")
+        folded = self.reps().select(
+            "node",
+            F.col("cluster_rep").alias("rep0"),
+            F.pmod(F.xxhash64("node"), F.lit(self._n_buckets)).cast("int").alias("bucket"),
         )
+        if folded.limit(1).count() == 0:
+            # deletes can empty the mapping; an empty partitionBy write
+            # leaves a schema-less dir (the build() lesson)
+            folded.write.mode("overwrite").parquet(f"{self._path}/{new_rel}")
+        else:
+            (
+                folded.repartition(F.col("bucket"))
+                .sortWithinPartitions("node")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(f"{self._path}/{new_rel}")
+            )
         old = [f"{self._path}/{self._nodes_dir}"] + [
             f"{self._path}/nodes_incr/{rid}" for rid in self._segments
         ]
         if self._remap_dir:
             old.append(f"{self._path}/{self._remap_dir}")
+        if self._tombs_dir:
+            old.append(f"{self._path}/{self._tombs_dir}")
         self._write_meta(
             self._spark, self._path, self._n_buckets, new_rel, (), ""
         )
@@ -2834,17 +2997,19 @@ class NearDupStore:
     @staticmethod
     def _write_meta(
         spark, path, text_col, id_col, num_hashes, bands, shingle_n,
-        bands_dir, segments,
+        bands_dir, segments, btombs_dir="",
     ) -> None:
         spark.createDataFrame(
             [
                 (
                     text_col, id_col, int(num_hashes), int(bands),
                     int(shingle_n), bands_dir, ",".join(segments),
+                    btombs_dir,
                 )
             ],
             "text_col string, id_col string, num_hashes int, bands int, "
-            "shingle_n int, bands_dir string, segments string",
+            "shingle_n int, bands_dir string, segments string, "
+            "btombs_dir string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
@@ -2864,14 +3029,38 @@ class NearDupStore:
             spark.read.parquet(f"{path}/bands_incr/{rid}")
             for rid in obj._segments
         ]
+        obj._btombs_dir = meta.get("btombs_dir") or ""
+        obj._btombs = (
+            spark.read.parquet(f"{path}/{obj._btombs_dir}")
+            if obj._btombs_dir
+            else None
+        )
         obj._clusters = ClusterStore.load(spark, f"{path}/clusters")
         return obj
 
     def _band_table(self) -> DataFrame:
-        df = self._band_parts[0]
-        for p in self._band_parts[1:]:
+        """Visible band rows. Tombstones are generation-tagged exactly
+        like ClusterStore._stored's: a purged doc's bands are masked in
+        the parts that existed when it was purged, while a LATER
+        re-ingest of the same doc id (a fresh band segment, higher
+        ordinal) stays visible. Broadcast anti-join, map-side."""
+        if self._btombs is None:
+            df = self._band_parts[0]
+            for p in self._band_parts[1:]:
+                df = df.unionByName(p)
+            return df
+        tagged = [
+            p.withColumn("_pord", F.lit(i))
+            for i, p in enumerate(self._band_parts)
+        ]
+        df = tagged[0]
+        for p in tagged[1:]:
             df = df.unionByName(p)
-        return df
+        return df.join(
+            F.broadcast(self._btombs),
+            (df[self._id_col] == F.col("_td")) & (df["_pord"] < F.col("tgen")),
+            "left_anti",
+        ).drop("_pord")
 
     def reps(self) -> DataFrame:
         """(node, cluster_rep) — the maintained clustering (nodes that
@@ -2903,6 +3092,7 @@ class NearDupStore:
                 self._spark, self._path, self._text_col, idc,
                 self._num_hashes, self._bands, self._shingle_n,
                 self._bands_dir, tuple(self._segments) + (str(run_id),),
+                self._btombs_dir,
             )
         store = type(self).load(self._spark, self._path)
         if batch_banded is None:
@@ -2957,28 +3147,160 @@ class NearDupStore:
         out._clusters = clusters
         return out
 
+    def delete_docs(self, ids: DataFrame, run_id: str) -> "NearDupStore":
+        """RTBF purge (K4) for the near-dup pipeline — the q137/q155
+        tombstone-delete applied to BOTH halves of the store, with EXACT
+        cluster repair: the band table persists every surviving edge, so
+        the store re-derives the closure of the touched components from
+        the surviving band collisions — splits included, which no
+        rep-relabel shortcut can express (delete a bridge doc and its
+        component must fall apart).
+
+        Cost model: the touched-component membership pass and the
+        survivor band-row pass are each ONE map-side broadcast-semi scan
+        (no shuffle) of the mapping / band table; the collision
+        expansion, the connected-components rerun, and every write are
+        sized by the touched components — O(delta) against the corpus.
+
+        Commit order: band tombstones land FIRST (their meta row is the
+        atomic point — a purged doc stops generating candidate edges
+        even if the process dies mid-repair), then the cluster repair
+        commits through ClusterStore.delete_nodes' own meta. A replay of
+        the same ``run_id`` after a mid-window crash recomputes the same
+        repair from the already-masked band table; after a full commit
+        it's a no-op. Post-purge: the doc's band rows and mapping rows
+        are invisible, survivors' clusters equal a fresh closure over
+        the surviving pair set (the q160 oracle), and a later re-ingest
+        of the same doc id through add_batch is a clean re-admission
+        (generation-tagged tombstones only mask the OLD parts)."""
+        idc = self._id_col
+        dead = (
+            ids.select(F.col(idc).alias("node"))
+            .filter(F.col("node").isNotNull())
+            .distinct()
+            .localCheckpoint()
+        )
+        if dead.count() == 0:
+            return self
+        # touched components + their full membership — read BEFORE any
+        # tombstone lands. reps_of is bucket-pruned (delta-sized IO);
+        # the membership pass is one broadcast-semi map-side scan.
+        touched = (
+            self._clusters.reps_of(dead)
+            .select(F.col("cluster_rep").alias("_tr"))
+            .distinct()
+            .localCheckpoint()
+        )
+        reps_all = self._clusters.reps()
+        members = (
+            reps_all.join(
+                F.broadcast(touched),
+                reps_all["cluster_rep"] == F.col("_tr"),
+                "left_semi",
+            )
+            .select("node")
+            .localCheckpoint()
+        )
+        survivors = members.join(
+            F.broadcast(dead), "node", "left_anti"
+        ).localCheckpoint()
+        # -- band tombstones commit first ---------------------------------
+        tgen = len(self._band_parts)
+        tomb_new = dead.select(
+            F.col("node").alias("_td"), F.lit(tgen).cast("int").alias("tgen")
+        )
+        composed = (
+            self._btombs.unionByName(tomb_new)
+            if self._btombs is not None
+            else tomb_new
+        )
+        tv = (
+            int(self._btombs_dir.rsplit("_v", 1)[1]) + 1
+            if self._btombs_dir
+            else 1
+        )
+        new_btombs_rel = f"band_tombs_v{tv}"
+        composed.coalesce(1).write.mode("overwrite").parquet(
+            f"{self._path}/{new_btombs_rel}"
+        )
+        self._write_meta(
+            self._spark, self._path, self._text_col, idc,
+            self._num_hashes, self._bands, self._shingle_n,
+            self._bands_dir, tuple(self._segments), new_btombs_rel,
+        )
+        if self._btombs_dir:
+            import shutil
+
+            shutil.rmtree(
+                f"{self._path}/{self._btombs_dir}", ignore_errors=True
+            )
+        store = type(self).load(self._spark, self._path)
+        # -- exact repair: closure over the SURVIVING edges ---------------
+        # Every LSH edge incident to a touched component stays inside it
+        # (an edge to an outside node would have merged the components at
+        # ingest time), so the survivors' band rows carry the complete
+        # surviving edge set of every touched component.
+        surv_bands = store._band_table().join(
+            F.broadcast(survivors),
+            F.col(idc) == F.col("node"),
+            "left_semi",
+        )
+        edges = (
+            surv_bands.groupBy("band", "bucket")
+            .agg(F.collect_list(idc).alias("ids"))
+            .filter(F.size("ids") > 1)
+            .select(F.explode("ids").alias("a"), "ids")
+            .select("a", F.explode("ids").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+        )
+        repaired = connected_components(edges).localCheckpoint()
+        # survivors that lost their every edge leave the mapping — they
+        # are singletons now, which the mapping never stores
+        edgeless = survivors.join(
+            repaired.select("node"), "node", "left_anti"
+        )
+        clusters = store._clusters.delete_nodes(
+            dead.union(edgeless).distinct(), repaired, run_id
+        )
+        out = type(store).__new__(type(store))
+        out.__dict__.update(store.__dict__)
+        out._clusters = clusters
+        return out
+
     def compact(self) -> "NearDupStore":
-        """Fold band segments into ``bands_v<k>/`` and compact the
-        embedded ClusterStore — small-files maintenance only."""
-        if self._segments:
+        """Fold band segments + tombstones into ``bands_v<k>/`` and
+        compact the embedded ClusterStore — small-files maintenance
+        only."""
+        if self._segments or self._btombs is not None:
             v = (
                 int(self._bands_dir.rsplit("_v", 1)[1]) + 1
                 if "_v" in self._bands_dir
                 else 1
             )
             new_rel = f"bands_v{v}"
-            (
-                self._band_table()
-                .select(self._id_col, "band", "bpfx", "bucket")
-                .repartition(F.col("band"), F.col("bpfx"))
-                .sortWithinPartitions(self._id_col)
-                .write.mode("overwrite")
-                .partitionBy("band", "bpfx")
-                .parquet(f"{self._path}/{new_rel}")
+            folded = self._band_table().select(
+                self._id_col, "band", "bpfx", "bucket"
             )
+            if folded.limit(1).count() == 0:
+                # purge can empty the table; an empty partitionBy write
+                # leaves a schema-less dir (the create() lesson)
+                folded.write.mode("overwrite").parquet(
+                    f"{self._path}/{new_rel}"
+                )
+            else:
+                (
+                    folded.repartition(F.col("band"), F.col("bpfx"))
+                    .sortWithinPartitions(self._id_col)
+                    .write.mode("overwrite")
+                    .partitionBy("band", "bpfx")
+                    .parquet(f"{self._path}/{new_rel}")
+                )
             old = [f"{self._path}/{self._bands_dir}"] + [
                 f"{self._path}/bands_incr/{rid}" for rid in self._segments
             ]
+            if self._btombs_dir:
+                old.append(f"{self._path}/{self._btombs_dir}")
             self._write_meta(
                 self._spark, self._path, self._text_col, self._id_col,
                 self._num_hashes, self._bands, self._shingle_n, new_rel, (),

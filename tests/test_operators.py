@@ -4747,3 +4747,207 @@ def test_neardup_store_probe_prunes_partitions(spark, tmp_path):
         if "band" in f and "bpfx" in f
     ]
     assert pruned, plan[:3000]
+
+
+def test_cluster_store_delete_nodes_with_repair(spark, tmp_path):
+    """ClusterStore.delete_nodes (r15, RTBF/K4): generation-tagged
+    tombstones + caller-supplied repair labels. The adversarial shapes:
+    (a) deleting a node an OVERLAY entry points at — the entry must be
+    dropped or the repaired survivors would remap to the purged label;
+    (b) a bridge delete whose survivors all go edge-less (the component
+    vanishes from the mapping); (c) re-admission of a purged node by a
+    later merge (the generation tag's whole point); (d) compact folds
+    tombs away with reps unchanged."""
+    from jsonify2ai_spark.operators.dedup import ClusterStore
+
+    def df_of(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    path = str(tmp_path / "cs_del")
+    # base {5,9} (rep 5) and {20,21} (rep 20)
+    store = ClusterStore.build(df_of([(5, 9), (20, 21)], "a long, b long"), path)
+    # merge 3 in: component {3,5,9}, rep 3, overlay entry (5 -> 3)
+    store = store.merge_delta(df_of([(3, 5)], "a long, b long"), "d1")
+    assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == {
+        (3, 3), (5, 3), (9, 3), (20, 20), (21, 20),
+    }
+    # (a) delete 3; survivors 5,9 still share their edge -> repair (5,5),(9,5).
+    # Without the overlay drop, rep0=5 would remap through (5 -> 3) to the
+    # purged label.
+    store = store.delete_nodes(
+        df_of([(3,)], "node long"),
+        repaired=df_of([(5, 5), (9, 5)], "node long, cluster_rep long"),
+        run_id="del1",
+    )
+    want = {(5, 5), (9, 5), (20, 20), (21, 20)}
+    assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == want
+    # redelivery of a committed delete run_id is a no-op
+    assert store.delete_nodes(
+        df_of([(3,)], "node long"), repaired=None, run_id="del1"
+    ) is store
+    # bucket-pruned probe face agrees post-delete
+    got = {
+        (r["node"], r["cluster_rep"])
+        for r in store.reps_of(df_of([(5,), (3,), (21,)], "node long")).collect()
+    }
+    assert got == {(5, 5), (21, 20)}
+    # (b) delete 20: survivor 21 is edge-less -> the caller passes it as
+    # neither deleted nor repaired... the contract is repaired covers
+    # every surviving member that kept an edge; 21 kept none, so the
+    # caller deletes it too (NearDupStore.delete_docs does exactly this)
+    store = store.delete_nodes(
+        df_of([(20,), (21,)], "node long"), repaired=None, run_id="del2"
+    )
+    assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == {
+        (5, 5), (9, 5),
+    }
+    # (c) re-admission: a later merge re-adds purged node 3 — the tomb
+    # is generation-tagged, so the NEW segment row stays visible
+    store = store.merge_delta(df_of([(3, 9)], "a long, b long"), "d2")
+    want3 = {(3, 3), (5, 3), (9, 3)}
+    assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == want3
+    # (d) compact folds tombs/overlay/segments; reps + a fresh load agree
+    store = store.compact()
+    assert store._tombs is None and store._segments == [] and store._remap is None
+    assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == want3
+    re = ClusterStore.load(spark, path)
+    assert {(r["node"], r["cluster_rep"]) for r in re.reps().collect()} == want3
+
+
+def test_neardup_store_delete_docs_equals_recompute(spark, tmp_path):
+    """NearDupStore.delete_docs (r15, RTBF/K4): purge then reps must
+    equal a FRESH closure over minhash_lsh_pairs of the surviving
+    documents — the exact contract, splits included (the band table
+    persists the edges, so component-local repair is exact where a
+    rep-relabel shortcut would silently keep a split component merged).
+    Also pinned: purged docs stop generating candidates for future
+    batches, re-ingest after purge is a clean re-admission, and compact
+    preserves the clustering."""
+    from jsonify2ai_spark.operators.dedup import (
+        NearDupStore,
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten"
+    t3 = "solo unique text about nothing shared with any other document"
+    rows = (
+        [(i, t1) for i in range(0, 4)]            # component A
+        + [(10 + i, t2) for i in range(0, 4)]     # component B
+        + [(50, t1 + " " + t2)]                   # bridge A<->B
+        + [(60, t3)]                              # never clustered
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = dict(num_hashes=32, bands=16, shingle_n=3)
+
+    def recompute(ds):
+        return {
+            (r["node"], r["cluster_rep"])
+            for r in connected_components(minhash_lsh_pairs(ds, **cfg)).collect()
+        }
+
+    path = str(tmp_path / "nd_del")
+    store = NearDupStore.create(spark, path, **cfg)
+    for b in range(2):
+        store = store.add_batch(docs.filter(F.col("doc_id") % 2 == b), f"b{b}")
+    pre = {(r["node"], r["cluster_rep"]) for r in store.reps().collect()}
+    assert pre == recompute(docs)
+    # the bridge really bridges (one merged component pre-delete)
+    assert len({rep for _, rep in pre}) == 1
+
+    # purge the bridge + one member of A + the unclustered doc: the
+    # merged component must SPLIT into A' and B'
+    purged = [50, 0, 60]
+    survivors_df = docs.filter(~F.col("doc_id").isin(purged))
+    store = store.delete_docs(
+        spark.createDataFrame([(p,) for p in purged], "doc_id long"), "purge1"
+    )
+    post = {(r["node"], r["cluster_rep"]) for r in store.reps().collect()}
+    want = recompute(survivors_df)
+    assert post == want
+    assert len({rep for _, rep in post}) == 2  # the split actually happened
+    assert all(n not in purged for n, _ in post)
+
+    # purged docs generate no candidates for future batches: a new exact
+    # copy of t1 clusters with the surviving A' docs only
+    more = spark.createDataFrame([(70, t1)], "doc_id long, text string")
+    store = store.add_batch(more, "b2")
+    want2 = recompute(survivors_df.unionByName(more))
+    assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == want2
+
+    # re-ingest a purged doc id: clean re-admission (generation tombs)
+    readd = docs.filter(F.col("doc_id") == 50)
+    store = store.add_batch(readd, "b3")
+    want3 = recompute(survivors_df.unionByName(more).unionByName(readd))
+    assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == want3
+    assert len({rep for _, rep in want3}) == 1  # re-added bridge re-merges
+
+    # redelivery of a committed purge is a no-op; empty purge too
+    store = store.delete_docs(
+        spark.createDataFrame([(0,)], "doc_id long"), "purge1x"
+    )
+    # 0 was already purged: its mapping/bands are gone, so this must
+    # change nothing
+    assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == want3
+
+    # compact folds band tombs + node tombs; reps unchanged; fresh load
+    store = store.compact()
+    assert store._btombs is None and store._clusters._tombs is None
+    assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == want3
+    re = NearDupStore.load(spark, path)
+    assert {(r["node"], r["cluster_rep"]) for r in re.reps().collect()} == want3
+
+
+def test_neardup_store_delete_keeps_plans_pruned(spark, tmp_path):
+    """With tombstones PRESENT, the scale contracts must survive: the
+    batch probe still reaches the band table as a (band, bpfx)
+    partition prune, and both tombstone masks stay broadcast anti-joins
+    (map-side) — never a SortMergeJoin over the corpus."""
+    import re as _re
+
+    from jsonify2ai_spark.operators.dedup import NearDupStore, _lsh_banded
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared sentence body {i % 5} tail") for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "nd_delplan")
+    store = NearDupStore.create(spark, path, num_hashes=32, bands=8)
+    store = store.add_batch(docs, "b0")
+    store = store.delete_docs(
+        spark.createDataFrame([(1,), (2,)], "doc_id long"), "p1"
+    )
+    assert store._btombs is not None
+
+    # band-table mask: broadcast anti-join, and a probe filter still
+    # prunes the (band, bpfx) partitions beneath it
+    batch = _lsh_banded(
+        spark.createDataFrame(
+            [(99, "some shared sentence body 1 tail")], "doc_id long, text string"
+        ),
+        "text", "doc_id", 32, 8, 3,
+    )
+    cells = batch.select(
+        "band", F.substring("bucket", 1, 1).alias("p")
+    ).distinct().collect()
+    tbl = store._band_table().filter(
+        F.col("band").isin(sorted({r["band"] for r in cells}))
+        & F.col("bpfx").isin(sorted({r["p"] for r in cells}))
+    )
+    plan = tbl._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:3000]
+    pruned = [
+        f
+        for f in _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        if "band" in f and "bpfx" in f
+    ]
+    assert pruned, plan[:3000]
+
+    # mapping mask: same contract on the cluster store's read face
+    plan2 = (
+        store._clusters._stored()._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan2, plan2[:3000]
+    assert "BroadcastHashJoin" in plan2 and "LeftAnti" in plan2, plan2[:3000]
