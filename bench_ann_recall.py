@@ -146,9 +146,22 @@ def main() -> int:
         t0 = time.time()
         pqindex = build_pq_ivf(big, cents, pq_cb).localCheckpoint()
         t_pq_enc = time.time() - t0
+        # residual PQ (r15): codebooks trained on v - centroid[cluster]
+        # over the same sample, encoding against the same coarse layout —
+        # same bytes, the recall fix when plain PQ saturates
+        t0 = time.time()
+        pqr_cb = pq_codebooks_kmeans(
+            big.sample(0.02, seed=7), n_codes=256, n_sub=8, seed=7,
+            centroids=cents,
+        )
+        t_pqr_fit = time.time() - t0
+        t0 = time.time()
+        pqrindex = build_pq_ivf(big, cents, pqr_cb, residual=True).localCheckpoint()
+        t_pqr_enc = time.time() - t0
         print(f"offline: kmeans_fit={t_fit:.1f}s assign={t_assign:.1f}s "
               f"quantize={t_quant:.1f}s pq_fit={t_pq_fit:.1f}s "
-              f"pq_encode={t_pq_enc:.1f}s", flush=True)
+              f"pq_encode={t_pq_enc:.1f}s pqres_fit={t_pqr_fit:.1f}s "
+              f"pqres_encode={t_pqr_enc:.1f}s", flush=True)
 
         # ground truth + brute-force latency baseline
         exact: list[set] = []
@@ -208,6 +221,22 @@ def main() -> int:
                             "recall_at_10": round(mean_rec, 3),
                             "p50_query_s": round(p50, 3)})
             print(f"ivfPQ nprobe={n_probe:>2}: recall={mean_rec:.3f} "
+                  f"p50={p50:.2f}s", flush=True)
+
+            recs, ts = [], []
+            for q, ex in zip(queries, exact):
+                t0 = time.time()
+                ids = {r["vec_id"] for r in pq_ivf_topk(
+                    pqrindex, q, cents, pqr_cb, k=KNN_K,
+                    n_probe=n_probe, residual=True).collect()}
+                ts.append(time.time() - t0)
+                recs.append(recall(ids, ex))
+            p50 = sorted(ts)[len(ts) // 2]
+            mean_rec = sum(recs) / len(recs)
+            results.append({"n": n, "path": "ivf_pqres8x256", "param": n_probe,
+                            "recall_at_10": round(mean_rec, 3),
+                            "p50_query_s": round(p50, 3)})
+            print(f"ivfPR nprobe={n_probe:>2}: recall={mean_rec:.3f} "
                   f"p50={p50:.2f}s", flush=True)
 
         # MLlib LSH approxNearestNeighbors vs numHashTables

@@ -395,6 +395,7 @@ def pq_codebooks_from_rows(
     n_sub: int = 4,
     vector_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic corpus-derived PQ codebooks: the first ``n_codes``
     vectors by id, each sliced into ``n_sub`` equal subvectors —
@@ -408,7 +409,15 @@ def pq_codebooks_from_rows(
     codebooks serves identically, the store-lifecycle contract).
     Production-trained codebooks (seeded per-subspace k-means over a
     sample) drop in through the same interface; what the engine
-    guarantees is everything AFTER the codebooks are fixed."""
+    guarantees is everything AFTER the codebooks are fixed.
+
+    ``centroids`` switches the donors to RESIDUAL space (r15, the
+    FAISS IVF+PQ default): each donor is first assigned to its nearest
+    coarse centroid (max cosine, ties to the lower id — the ivf_assign
+    convention) and the codebook slices come from ``donor - centroid``.
+    Still parameter-only and SQL-derivable (the q161 oracle recomputes
+    the same assignment + subtraction from the parquet rows), so the
+    whole residual pipeline keeps the replayability contract."""
     rows = (
         df.filter(F.col(id_col) < n_codes)
         .orderBy(id_col)
@@ -423,8 +432,17 @@ def pq_codebooks_from_rows(
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
     ds = dim // n_sub
+    donors = [[float(x) for x in r[0]] for r in rows]
+    if centroids is not None:
+        donors = [
+            [
+                x - c
+                for x, c in zip(v, centroids[probe_clusters(v, centroids, 1)[0]])
+            ]
+            for v in donors
+        ]
     return [
-        [[float(x) for x in r[0][m * ds : (m + 1) * ds]] for r in rows]
+        [v[m * ds : (m + 1) * ds] for v in donors]
         for m in range(n_sub)
     ]
 
@@ -437,6 +455,7 @@ def pq_codebooks_kmeans(
     sample: float = 1.0,
     seed: int = 7,
     max_iter: int = 10,
+    centroids: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """PRODUCTION PQ codebooks: seeded MLlib KMeans per subspace over a
     sample — the FAISS training recipe (train on a slice, encode
@@ -444,12 +463,28 @@ def pq_codebooks_kmeans(
     :func:`pq_codebooks_from_rows` the entries are not SQL-derivable,
     so pipelines that need the DuckDB oracle use the corpus-derived
     variant and treat this one as an externally-supplied parameter
-    (exactly how trained coarse centroids are handled)."""
+    (exactly how trained coarse centroids are handled).
+
+    ``centroids`` trains the codebooks in RESIDUAL space (r15 — the
+    FAISS IVF+PQ default): the sample is coarse-assigned and each
+    training vector becomes ``v - centroid[cluster]``. Residuals of
+    tight clusters concentrate near the origin, so the same K codes
+    spend their resolution on the within-cell structure the plain
+    encoding wastes on cross-cell offsets — the standard recall fix
+    when PQ saturates (PERF.md r15 table)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     src = df if sample >= 1.0 else df.sample(sample, seed=seed)
-    src = src.select(_as_double_arr(F.col(vector_col)).alias("_v")).localCheckpoint()
+    if centroids is not None:
+        assigned = ivf_assign(
+            src.select(_as_double_arr(F.col(vector_col)).alias("_vraw")),
+            centroids, "_vraw",
+        )
+        src = _residualize(assigned, centroids, "_vraw", out_col="_v")
+    else:
+        src = src.select(_as_double_arr(F.col(vector_col)).alias("_v"))
+    src = src.select("_v").localCheckpoint()
     dim = len(src.first()["_v"])
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
@@ -570,6 +605,34 @@ def _as_double_arr(v: Column) -> Column:
     return v.cast("array<double>")
 
 
+def _residualize(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vector_col: str,
+    out_col: str = "_vres",
+) -> DataFrame:
+    """Append ``out_col = vector - centroid[cluster]`` to an already-
+    assigned frame. The centroid table rides a broadcast join keyed on
+    ``cluster`` (K rows — never plan literals, the LUT lesson), so the
+    subtraction is one map-side zip_with per row."""
+    cents = df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, _cent array<double>",
+    )
+    return (
+        df.join(F.broadcast(cents), "cluster")
+        .withColumn(
+            out_col,
+            F.zip_with(
+                _as_double_arr(F.col(vector_col)),
+                F.col("_cent"),
+                lambda x, y: x - y,
+            ),
+        )
+        .drop("_cent")
+    )
+
+
 def build_pq_ivf(
     df: DataFrame,
     centroids: list[list[float]],
@@ -577,15 +640,26 @@ def build_pq_ivf(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     attr_cols: tuple[str, ...] = (),
+    residual: bool = False,
 ) -> DataFrame:
     """OFFLINE ETL for the PQ serving index: (id, cluster, codes[,
     attrs]) — float-precision coarse assignment (the quantizer sees the
     original vectors, FAISS IVF+PQ's layout), then PQ codes. Write it
     ``partitionBy("cluster")`` exactly like :func:`build_quantized_ivf`;
-    the rows are ~M bytes each, the 4-8x past int8."""
+    the rows are ~M bytes each, the 4-8x past int8.
+
+    ``residual=True`` (r15) encodes ``v - centroid[cluster]`` instead
+    of ``v`` — FAISS's IVF+PQ default. The codebooks must then be
+    residual-space (pass ``centroids=`` to the codebook trainers).
+    Still per-vector arithmetic under frozen parameters (centroids +
+    codebooks), so the append/delete/serve lifecycle contract is
+    unchanged: a segment encoded later serves identically."""
     assigned = ivf_assign(
         df.select(id_col, vector_col, *attr_cols), centroids, vector_col
     )
+    if residual:
+        assigned = _residualize(assigned, centroids, vector_col)
+        vector_col = "_vres"
     return pq_encode(
         assigned, codebooks, vector_col, id_col,
         carry_cols=("cluster", *attr_cols),
@@ -602,6 +676,7 @@ def pq_ivf_topk(
     id_col: str = "vec_id",
     round_to: int | None = 6,
     where: Column | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """Approximate top-k over the PQ index — asymmetric distance
     computation (ADC, Jegou et al. 2011): the query stays FLOAT, and
@@ -611,17 +686,24 @@ def pq_ivf_topk(
     zero per-row arithmetic on the vector, which no longer exists. cosine ≈ Σ_m dot_m[code] / (sqrt(Σ_m nrm_m[code]) *
     |q|); the additions run in fixed m order on BOTH engines, so the
     oracle replays the doubles bit-for-bit. ``where`` is the q156
-    filtered-serving face on the PQ layout."""
+    filtered-serving face on the PQ layout.
+
+    ``residual=True`` (r15) serves a residual-encoded index: the
+    reconstruction is ``centroid[cluster] + decode(codes)``, so
+    cosine ≈ (q·c + Σ_m dot_m[code]) / (sqrt(|c|² + 2·Σ_m x_m[code] +
+    Σ_m nrm_m[code]) · |q|) where x_m[code] = c_sub_m · cb_m[code] is a
+    per-(probed cluster, m, code) lookup table — n_probe·M·K doubles
+    computed once driver-side, riding a broadcast frame keyed on
+    ``cluster``. Still zero per-row vector arithmetic; every sum keeps
+    its fixed order, so the q161 oracle replays it exactly."""
     import math
 
     n_sub = len(codebooks)
     probe = probe_clusters(query_vec, centroids, n_probe)
     ds = len(codebooks[0][0])
-    qsubs = [
-        [float(x) for x in query_vec[m * ds : (m + 1) * ds]]
-        for m in range(n_sub)
-    ]
-    qnorm = math.sqrt(_seq_sum([float(x) * float(x) for x in query_vec]))
+    qv = [float(x) for x in query_vec]
+    qsubs = [qv[m * ds : (m + 1) * ds] for m in range(n_sub)]
+    qnorm = math.sqrt(_seq_sum([x * x for x in qv]))
     dot_flat = [
         _seq_sum([a * b for a, b in zip(qsubs[m], cb)])
         for m in range(n_sub)
@@ -639,15 +721,76 @@ def pq_ivf_topk(
         [(dot_flat, _pq_nrm_flat(codebooks), float(qnorm))],
         "dot_lut array<double>, nrm_lut array<double>, qnorm double",
     )
-    scored = _pq_adc_score(
-        pruned.crossJoin(F.broadcast(ldf)), n_sub, len(codebooks[0]), id_col
-    )
+    if residual:
+        cdf = index.sparkSession.createDataFrame(
+            [_pq_res_cluster_row(cid, qv, centroids, codebooks) for cid in probe],
+            "cluster int, qc double, cnorm double, x_lut array<double>",
+        )
+        scored = _pq_adc_score_residual(
+            pruned.crossJoin(F.broadcast(ldf)).join(F.broadcast(cdf), "cluster"),
+            n_sub, len(codebooks[0]), id_col,
+        )
+    else:
+        scored = _pq_adc_score(
+            pruned.crossJoin(F.broadcast(ldf)), n_sub, len(codebooks[0]), id_col
+        )
     out = scored.select(id_col, "cluster", "pqcos").orderBy(
         F.col("pqcos").desc(), F.col(id_col).asc()
     ).limit(k)
     if round_to is not None:
         out = out.withColumn("pqcos", F.round("pqcos", round_to))
     return out
+
+
+def _pq_res_cluster_row(
+    cid: int,
+    qv: list[float],
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> tuple:
+    """One probed cluster's residual-serving terms: q·c, |c|², and the
+    flattened (m-major) cross LUT c_sub_m · cb_m[code] — all sequential
+    folds so the oracle's list_sum replays them bit-for-bit."""
+    c = [float(x) for x in centroids[cid]]
+    ds = len(codebooks[0][0])
+    qc = _seq_sum([a * b for a, b in zip(qv, c)])
+    cnorm = _seq_sum([x * x for x in c])
+    x_flat = [
+        _seq_sum([a * b for a, b in zip(c[m * ds : (m + 1) * ds], cb)])
+        for m in range(len(codebooks))
+        for cb in codebooks[m]
+    ]
+    return (int(cid), qc, cnorm, x_flat)
+
+
+def _pq_adc_score_residual(
+    joined: DataFrame, n_sub: int, n_codes: int, id_col: str
+) -> DataFrame:
+    """ADC over residual codes, given a frame carrying (codes, cluster,
+    dot_lut, nrm_lut, qnorm, qc, cnorm, x_lut): reconstruction is
+    c + r̂, so dot = qc + Σ_m dot_lut and |c + r̂|² = cnorm + 2·Σ_m
+    x_lut + Σ_m nrm_lut — every sum in fixed m order, left-to-right on
+    both engines (the q158/q161 discipline)."""
+
+    def _code(m: int) -> Column:
+        return F.element_at(F.col("codes"), m + 1)
+
+    dot = F.col("qc") + F.element_at(F.col("dot_lut"), _code(0) + 1)
+    x = F.element_at(F.col("x_lut"), _code(0) + 1)
+    nrm = F.element_at(F.col("nrm_lut"), _code(0) + 1)
+    for m in range(1, n_sub):
+        off = F.lit(m * n_codes)
+        dot = dot + F.element_at(F.col("dot_lut"), off + _code(m) + 1)
+        x = x + F.element_at(F.col("x_lut"), off + _code(m) + 1)
+        nrm = nrm + F.element_at(F.col("nrm_lut"), off + _code(m) + 1)
+    total = F.col("cnorm") + F.lit(2.0) * x + nrm
+    return joined.withColumn(
+        "pqcos",
+        F.when(
+            (total > 0) & (F.col("qnorm") > 0),
+            dot / (F.sqrt(total) * F.col("qnorm")),
+        ),
+    ).filter(F.col("pqcos").isNotNull())
 
 
 def _pq_nrm_flat(codebooks: list[list[list[float]]]) -> list[float]:
@@ -704,6 +847,7 @@ def pq_ivf_topk_batch(
     id_col: str = "vec_id",
     round_to: int | None = 6,
     where: Column | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """:func:`pq_ivf_topk` for MANY queries in ONE Spark job —
     (query_id, id, cluster, pqcos), query_id = position in
@@ -712,7 +856,10 @@ def pq_ivf_topk_batch(
     (query_id, cluster, dot_lut, qnorm) frame joined on the
     union-pruned index; the codebook NORM lut is query-independent, so
     it stays one plan literal shared by every row. Row-for-row parity
-    with the single-query call is test-pinned."""
+    with the single-query call is test-pinned. ``residual=True``
+    serves a residual-encoded index: the per-(query, cluster) q·c term
+    joins the query frame, the query-independent (cluster, cnorm,
+    x_lut) terms ride their own broadcast frame."""
     import math
 
     from pyspark.sql import Window
@@ -733,12 +880,16 @@ def pq_ivf_topk_batch(
         ]
         qnorm = math.sqrt(_seq_sum([x * x for x in qv]))
         for cl in probe_clusters(qv, centroids, n_probe):
-            rows.append((qid, cl, dot_flat, qnorm))
+            qc = _seq_sum(
+                [a * float(b) for a, b in zip(qv, centroids[cl])]
+            )
+            rows.append((qid, cl, dot_flat, qnorm, qc))
     qdf = spark.createDataFrame(
         rows,
-        "query_id int, cluster int, dot_lut array<double>, qnorm double",
+        "query_id int, cluster int, dot_lut array<double>, qnorm double, "
+        "qc double",
     )
-    all_probes = sorted({c for _, c, _, _ in rows})
+    all_probes = sorted({r[1] for r in rows})
     pruned = index.filter(F.col("cluster").isin(all_probes))
     if where is not None:
         pruned = pruned.filter(where)
@@ -747,10 +898,27 @@ def pq_ivf_topk_batch(
     ndf = spark.createDataFrame(
         [(_pq_nrm_flat(codebooks),)], "nrm_lut array<double>"
     )
-    scored = _pq_adc_score(
-        pruned.join(F.broadcast(qdf), "cluster").crossJoin(F.broadcast(ndf)),
-        n_sub, n_codes, id_col,
-    ).select("query_id", id_col, "cluster", "pqcos")
+    joined = pruned.join(F.broadcast(qdf), "cluster").crossJoin(
+        F.broadcast(ndf)
+    )
+    if residual:
+        qzero = [0.0] * (ds * n_sub)
+        cdf = spark.createDataFrame(
+            [
+                # qc lives on the query frame; this frame carries only
+                # the query-independent cluster terms
+                (cid,) + _pq_res_cluster_row(cid, qzero, centroids, codebooks)[2:]
+                for cid in all_probes
+            ],
+            "cluster int, cnorm double, x_lut array<double>",
+        )
+        scored = _pq_adc_score_residual(
+            joined.join(F.broadcast(cdf), "cluster"), n_sub, n_codes, id_col
+        ).select("query_id", id_col, "cluster", "pqcos")
+    else:
+        scored = _pq_adc_score(
+            joined.drop("qc"), n_sub, n_codes, id_col
+        ).select("query_id", id_col, "cluster", "pqcos")
     w = Window.partitionBy("query_id").orderBy(
         F.col("pqcos").desc(), F.col(id_col).asc()
     )
@@ -1076,28 +1244,36 @@ class IVFIndex:
         qdrant_client.py:588-593).
 
         ``quantize`` picks the code layout (r15): ``"int8"`` (scalar,
-        4-8x smaller than float, near-zero recall cost — q67/q69) or
+        4-8x smaller than float, near-zero recall cost — q67/q69),
         ``"pq"`` (product quantization, ~M bytes/vector — the next
         ~10x, the layout a 100 TB store needs; ``codebooks`` or the
-        deterministic :func:`pq_codebooks_from_rows` defaults). Both
+        deterministic :func:`pq_codebooks_from_rows` defaults), or
+        ``"pq_res"`` (residual PQ, FAISS's IVF+PQ default: codes cover
+        ``v - centroid[cluster]``, spending the same bytes on the
+        within-cell structure — the recall fix when plain PQ saturates;
+        default codebooks come from the residual-space donors). All
         are per-vector arithmetic with NO corpus scalars, so the whole
         append/delete/serve lifecycle is identical — segments encoded
         later under the frozen codebooks serve exactly as a whole
         build's rows do."""
         spark = df.sparkSession
-        if quantize not in ("int8", "pq"):
-            raise ValueError(f"quantize must be 'int8' or 'pq': {quantize!r}")
+        if quantize not in ("int8", "pq", "pq_res"):
+            raise ValueError(
+                f"quantize must be 'int8', 'pq' or 'pq_res': {quantize!r}"
+            )
         if centroids is None:
             centroids = kmeans_centroids(df, k=k, vector_col=vector_col)
-        if quantize == "pq":
+        if quantize in ("pq", "pq_res"):
             if codebooks is None:
                 codebooks = pq_codebooks_from_rows(
                     df, n_codes=pq_n_codes, n_sub=pq_n_sub,
                     vector_col=vector_col, id_col=id_col,
+                    centroids=centroids if quantize == "pq_res" else None,
                 )
             index = build_pq_ivf(
                 df, centroids, codebooks, vector_col=vector_col,
                 id_col=id_col, attr_cols=attr_cols,
+                residual=quantize == "pq_res",
             )
         else:
             index = build_quantized_ivf(
@@ -1115,7 +1291,7 @@ class IVFIndex:
             [(i, list(map(float, c))) for i, c in enumerate(centroids)],
             "cluster int, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-        if quantize == "pq":
+        if quantize in ("pq", "pq_res"):
             spark.createDataFrame(
                 [
                     (m, c, [float(x) for x in codebooks[m][c]])
@@ -1171,7 +1347,7 @@ class IVFIndex:
         )
         obj._quantize = meta.get("quantize") or "int8"
         obj._codebooks = None
-        if obj._quantize == "pq":
+        if obj._quantize in ("pq", "pq_res"):
             cbrows = (
                 spark.read.parquet(f"{path}/codebooks")
                 .orderBy("m", "code")
@@ -1226,11 +1402,12 @@ class IVFIndex:
         no corpus scalars, which is what makes segments serve
         identically to a whole build's rows."""
         cents = centroids if centroids is not None else self._centroids
-        if self._quantize == "pq":
+        if self._quantize in ("pq", "pq_res"):
             return build_pq_ivf(
                 vectors, cents, self._codebooks,
                 vector_col=vector_col, id_col=self._id_col,
                 attr_cols=self._attr_cols,
+                residual=self._quantize == "pq_res",
             )
         return build_quantized_ivf(
             vectors, cents, vector_col=vector_col,
@@ -1307,14 +1484,15 @@ class IVFIndex:
         when the filter's selectivity is known to be tight, exactly the
         reference's ef/hnsw_ef guidance for filtered search.
 
-        A ``quantize="pq"`` store serves through the ADC path
-        (:func:`pq_ivf_topk`, score column ``pqcos``); int8 stores
+        A ``quantize="pq"``/``"pq_res"`` store serves through the ADC
+        path (:func:`pq_ivf_topk`, score column ``pqcos``); int8 stores
         through :func:`quantized_ivf_topk` (``qcos``)."""
-        if self._quantize == "pq":
+        if self._quantize in ("pq", "pq_res"):
             return pq_ivf_topk(
                 self._index_df(), query_vec, self._centroids,
                 self._codebooks, k=k, n_probe=n_probe,
                 id_col=self._id_col, where=self._check_where(where),
+                residual=self._quantize == "pq_res",
             )
         return quantized_ivf_topk(
             self._index_df(), query_vec, self._centroids,
@@ -1329,11 +1507,12 @@ class IVFIndex:
         n_probe: int = 2,
         where: Column | None = None,
     ) -> DataFrame:
-        if self._quantize == "pq":
+        if self._quantize in ("pq", "pq_res"):
             return pq_ivf_topk_batch(
                 self._index_df(), query_vecs, self._centroids,
                 self._codebooks, k=k, n_probe=n_probe,
                 id_col=self._id_col, where=self._check_where(where),
+                residual=self._quantize == "pq_res",
             )
         return quantized_ivf_topk_batch(
             self._index_df(), query_vecs, self._centroids,
@@ -1492,10 +1671,12 @@ class IVFIndex:
         """(id, embedding[, attrs]) reconstructed at the resolution the
         index actually serves at — int8: qvec * scale / 127; PQ: the
         concatenated codebook entries for the row's codes (a plan-
-        literal 2-level lookup, no join). Shared by :meth:`health` and
-        :meth:`refresh` (attrs ride along so a refresh rebuilds the
-        payload columns, not just the codes)."""
-        if self._quantize == "pq":
+        literal 2-level lookup, no join); residual PQ: the same plus
+        the row's coarse centroid (broadcast-joined on cluster).
+        Shared by :meth:`health` and :meth:`refresh` (attrs ride along
+        so a refresh rebuilds the payload columns, not just the
+        codes)."""
+        if self._quantize in ("pq", "pq_res"):
             cb_lit = F.array(
                 *[
                     F.array(
@@ -1515,7 +1696,20 @@ class IVFIndex:
                     ),
                 )
             )
-            return self._index_df().select(
+            base = self._index_df()
+            if self._quantize == "pq_res":
+                cents = self._spark.createDataFrame(
+                    [
+                        (i, [float(x) for x in c])
+                        for i, c in enumerate(self._centroids)
+                    ],
+                    "cluster int, _cent array<double>",
+                )
+                base = base.join(F.broadcast(cents), "cluster")
+                recon = F.zip_with(
+                    F.col("_cent"), recon, lambda c, r: c + r
+                )
+            return base.select(
                 self._id_col,
                 recon.alias("embedding"),
                 *[F.col(c) for c in self._attr_cols],

@@ -906,3 +906,234 @@ def test_pq_encode_arrow_matches_expr(spark):
     e = {r["vec_id"]: r["codes"] for r in pq_encode(df, cb, impl="expr").collect()}
     a = {r["vec_id"]: r["codes"] for r in pq_encode(df, cb, impl="arrow").collect()}
     assert e == a
+
+
+def test_pq_residual_adc_matches_reconstruction(spark):
+    """Residual PQ (r15 — FAISS's IVF+PQ default, the recall fix when
+    plain PQ saturates): codes cover v - centroid[cluster], serving
+    reconstructs c + r̂. Pinned: (1) ADC residual serving equals a float
+    reconstruction reference bit-for-bit at 6dp (the qc/cnorm/x_lut
+    sums replay the same left-to-right folds); (2) batch == single;
+    (3) the where= face filters inside the pruned cells."""
+    import math
+    import random
+
+    from jsonify2ai_spark.operators.ann import (
+        build_pq_ivf,
+        pq_codebooks_from_rows,
+        pq_ivf_topk,
+        pq_ivf_topk_batch,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)], i % 3) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cents = [list(map(float, rows[i][1])) for i in range(6)]
+    cb = pq_codebooks_from_rows(df, n_codes=16, n_sub=4, centroids=cents)
+    q = [float(x) for x in rows[9][1]]
+    idx = build_pq_ivf(df, cents, cb, attr_cols=("label",), residual=True)
+    got = [(r["vec_id"], r["pqcos"]) for r in
+           pq_ivf_topk(idx, q, cents, cb, k=5, n_probe=6, residual=True).collect()]
+
+    def seq(xs):
+        a = 0.0
+        for x in xs:
+            a += x
+        return a
+
+    by_id = {r["vec_id"]: (r["cluster"], r["codes"]) for r in idx.collect()}
+    recon = {
+        i: [
+            c + v
+            for c, v in zip(
+                cents[by_id[i][0]],
+                [x for m in range(4) for x in cb[m][by_id[i][1][m]]],
+            )
+        ]
+        for i, _, _ in rows
+    }
+    qn = math.sqrt(seq([x * x for x in q]))
+
+    def cos(r):
+        d = seq([a * b for a, b in zip(q, r)])
+        n = math.sqrt(seq([x * x for x in r]))
+        return d / (n * qn) if n > 0 else None
+
+    ref = sorted(
+        ((cos(r), i) for i, r in recon.items() if cos(r) is not None),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    assert [i for _, i in ref] == [i for i, _ in got]
+    for (i, s), (rs, ri) in zip(got, ref):
+        assert abs(s - round(rs, 6)) <= 1e-6, (i, s, rs)
+
+    # batch == single, and filtered == pre-filtered
+    q2 = [float(x) for x in rows[33][1]]
+    batch = pq_ivf_topk_batch(
+        idx, [q, q2], cents, cb, k=5, n_probe=6, residual=True
+    ).collect()
+    by_qid = {}
+    for r in batch:
+        by_qid.setdefault(r["query_id"], []).append(tuple(r)[1:])
+    assert by_qid[0] == [tuple(r) for r in
+        pq_ivf_topk(idx, q, cents, cb, k=5, n_probe=6, residual=True).collect()]
+    assert by_qid[1] == [tuple(r) for r in
+        pq_ivf_topk(idx, q2, cents, cb, k=5, n_probe=6, residual=True).collect()]
+    flt = pq_ivf_topk(
+        idx, q, cents, cb, k=5, n_probe=6, residual=True,
+        where=F.col("label") == 1,
+    ).collect()
+    assert all(r["vec_id"] % 3 == 1 for r in flt)
+    pre = pq_ivf_topk(
+        idx.filter(F.col("label") == 1), q, cents, cb, k=5, n_probe=6,
+        residual=True,
+    ).collect()
+    assert [tuple(r) for r in flt] == [tuple(r) for r in pre]
+
+
+def test_ivf_index_pq_res_store_lifecycle(spark, tmp_path):
+    """quantize='pq_res' through the FULL IVFIndex lifecycle: residual
+    codes are per-vector arithmetic under frozen (centroids, codebooks),
+    so every store contract must hold — build+append == whole build,
+    reload preserves the mode, delete/compact survive, health/refresh
+    run over the centroid-plus-residual reconstruction."""
+    import random
+
+    from jsonify2ai_spark.operators.ann import IVFIndex, pq_codebooks_from_rows
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(32)], i % 2) for i in range(240)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, flag int")
+    cents = [list(map(float, r[1])) for r in rows[:6]]
+    cb = pq_codebooks_from_rows(df, n_codes=16, n_sub=4, centroids=cents)
+    q = [float(x) for x in rows[8][1]]
+    path = str(tmp_path / "pqres")
+
+    idx = IVFIndex.build(
+        df.filter(F.col("vec_id") % 5 != 2), path, centroids=cents,
+        attr_cols=("flag",), quantize="pq_res", codebooks=cb,
+    ).append(df.filter(F.col("vec_id") % 5 == 2), "r1")
+    whole = IVFIndex.build(
+        df, str(tmp_path / "whole"), centroids=cents,
+        attr_cols=("flag",), quantize="pq_res", codebooks=cb,
+    )
+    got = [tuple(r) for r in idx.topk(q, k=10, n_probe=3).collect()]
+    assert got == [tuple(r) for r in whole.topk(q, k=10, n_probe=3).collect()]
+    assert len(got) == 10 and got[0][0] == 8  # self-match leads
+
+    # filtered serving == serving over the pre-filtered corpus
+    pred = F.col("flag") == 0
+    ref = IVFIndex.build(
+        df.filter(pred), str(tmp_path / "ref"), centroids=cents,
+        quantize="pq_res", codebooks=cb,
+    )
+    flt = [tuple(r)[:3] for r in idx.topk(q, k=10, n_probe=3, where=pred).collect()]
+    assert flt == [tuple(r)[:3] for r in ref.topk(q, k=10, n_probe=3).collect()]
+
+    # delete + compact + reload: mode and results persist
+    victim = got[1][0]
+    idx = idx.delete([victim]).compact()
+    after = [tuple(r) for r in idx.topk(q, k=10, n_probe=3).collect()]
+    assert victim not in {t[0] for t in after}
+    assert [t for t in got if t[0] != victim][:9] == after[:9]
+    re = IVFIndex.load(spark, path)
+    assert re._quantize == "pq_res"
+    assert [tuple(r) for r in re.topk(q, k=10, n_probe=3).collect()] == after
+    h = re.health().collect()
+    assert sum(r["n"] for r in h) == 240 - 1
+    re = re.refresh(seed=5, max_iter=3)
+    assert re._quantize == "pq_res"
+    again = re.topk(q, k=5, n_probe=6).collect()
+    assert len(again) == 5 and victim not in {r["vec_id"] for r in again}
+
+
+def test_pq_residual_recall_beats_plain_on_tight_clusters(spark):
+    """The reason residual PQ exists (r15 advisor: plain PQ recall
+    saturates ~0.475 on tight clusters): when vectors sit in tight
+    clusters far from the origin, raw-space codebooks spend their K
+    entries on cross-cell offsets while residual-space codebooks spend
+    them on the within-cell structure that actually ranks neighbors.
+    Same bytes (M=4, K=16), kmeans-trained both ways, all cells probed
+    (coarse stage recall-1, so the delta is PURELY the encoding):
+    residual recall@10 must beat plain and clear 0.8."""
+    import math
+    import random
+
+    from jsonify2ai_spark.operators.ann import (
+        build_pq_ivf,
+        pq_codebooks_kmeans,
+        pq_ivf_topk,
+    )
+
+    rng = random.Random(23)
+    # 12 far-from-origin cluster centers; WITHIN each cluster the points
+    # sit in 8 sub-modes whose offsets are SHARED across clusters (the
+    # "within-cell structure" residual PQ is built for: residuals
+    # collapse to 8 recurring offsets that 16 codes nail, while the raw
+    # space has 96 distinct locations 16 codes cannot cover). Ids are
+    # SHUFFLED: with sequential ids the true neighbors hold the lowest
+    # ids and tie-breaking hands plain PQ a free perfect score.
+    n_clusters, modes, per_mode, dim = 12, 8, 10, 32
+    centers = [
+        [rng.uniform(-1, 1) * 10.0 for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    offsets = [
+        [rng.uniform(-1, 1) * 0.3 for _ in range(dim)] for _ in range(modes)
+    ]
+    ids = list(range(n_clusters * modes * per_mode))
+    rng.shuffle(ids)
+    rows = []
+    i = 0
+    for c in centers:
+        for s in range(modes):
+            for _j in range(per_mode):
+                rows.append(
+                    (
+                        ids[i],
+                        [
+                            x + o + rng.gauss(0.0, 0.05)
+                            for x, o in zip(c, offsets[s])
+                        ],
+                    )
+                )
+                i += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in rows[5][1]]
+
+    def seq(xs):
+        a = 0.0
+        for x in xs:
+            a += x
+        return a
+
+    qn = math.sqrt(seq([x * x for x in q]))
+    truth = sorted(
+        (
+            (
+                -seq([a * b for a, b in zip(q, v)])
+                / (math.sqrt(seq([x * x for x in v])) * qn),
+                i,
+            )
+            for i, v in rows
+        ),
+    )[:10]
+    want = {i for _, i in truth}
+
+    def recall(residual: bool) -> float:
+        cb = pq_codebooks_kmeans(
+            df, n_codes=16, n_sub=4, seed=3, max_iter=8,
+            centroids=centers if residual else None,
+        )
+        idx = build_pq_ivf(df, centers, cb, residual=residual)
+        got = {
+            r["vec_id"]
+            for r in pq_ivf_topk(
+                idx, q, centers, cb, k=10, n_probe=n_clusters,
+                residual=residual,
+            ).collect()
+        }
+        return len(got & want) / 10.0
+
+    r_plain, r_res = recall(False), recall(True)
+    assert r_res >= 0.8, (r_plain, r_res)
+    assert r_res > r_plain, (r_plain, r_res)
