@@ -2556,6 +2556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_cluster_store": q157_cluster_store,  # NEW r15: O(delta) incremental cluster maintenance
         "q158_pq_ivf": q158_pq_ivf,  # NEW r15: product-quantized IVF serving (ADC)
         "q159_neardup_store": q159_neardup_store,  # NEW r15: incremental near-dup pipeline e2e
+        "q160_neardup_purge": q160_neardup_purge,  # NEW r15: RTBF purge + exact cluster repair on the near-dup store
+        "q161_pq_res_ivf": q161_pq_res_ivf,  # NEW r15: residual-PQ ADC serving (FAISS IVF+PQ layout)
         # --- the stalest queries in the suite (r11) ---
         "q70_per_source_cap": q70_per_source_cap,
         "q71_gopher_filter": q71_gopher_filter,
@@ -2602,11 +2604,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_pii_scan": q58_pii_scan,
         "q59_repetition_quality": q59_repetition_quality,
         "q60_decontaminate": q60_decontaminate,
-        "q61_unigram_logprob": q61_unigram_logprob,
-        "q62_embed_dup_clusters": q62_embed_dup_clusters,
         # ================= tail (entry 51+) =================
         # r12 remainder displaced by the 50-slot cap: r16's first debt
-        # (q93/q94/q96/q98 displaced by q156-q159, the r15 new-operator slots)
+        # (q93/q94/q96/q98 displaced by q156-q159, q62 by q160, and q61
+        # by q161 — the r15 new-operator slots)
+        "q61_unigram_logprob": q61_unigram_logprob,
+        "q62_embed_dup_clusters": q62_embed_dup_clusters,
         "q93_syndication_capped": q93_syndication_capped,
         "q94_language_mix": q94_language_mix,
         "q96_curriculum_buckets": q96_curriculum_buckets,
@@ -4235,6 +4238,129 @@ def q159_neardup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     if memo is not None:
         return memo.reps()
     d = tempfile.mkdtemp(prefix="q159_ndstore_")
+    try:
+        out = build(d).reps()
+        # materialize before the scratch dir disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q161_pq_res_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-PQ IVF serving (operators/ann.py build_pq_ivf(residual=
+    True) / pq_ivf_topk(residual=True), NEW r15 — the r15 advisor's #3:
+    plain PQ recall saturates on tight clusters because raw-space
+    codebooks spend their K entries on cross-cell offsets; FAISS's
+    IVF+PQ default encodes ``v - centroid[cluster]`` so the same M
+    bytes cover the within-cell structure that actually ranks
+    neighbors). Offline: q158's coarse assignment, then each vector's
+    RESIDUAL encodes against residual-space codebooks (the same first-16
+    donors, residualized under the same assignment — corpus-derived
+    build parameters, the q69/q158 frozen-params discipline). Query:
+    ADC with reconstruction c + r̂ — cosine = (q·c + Σ_m dot_m[code]) /
+    (sqrt(|c|² + 2·Σ_m x_m[code] + Σ_m nrm_m[code]) · |q|); q·c, |c|²
+    and the cross LUT x_m are per-probed-cluster driver scalars riding
+    a broadcast frame keyed on cluster (never plan literals — the q158
+    lesson), every sum a fixed-order fold both engines replay
+    bit-for-bit. Still per-vector arithmetic under frozen parameters,
+    so the whole store lifecycle (q136/q155/q156 faces) is inherited
+    via IVFIndex quantize="pq_res" (pytest-pinned); recall-vs-plain is
+    measured in PERF.md (bench_ann_recall pq_res arm)."""
+    from jsonify2ai_spark.operators.ann import (
+        build_pq_ivf,
+        pq_codebooks_from_rows,
+        pq_ivf_topk,
+    )
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    cents = (
+        emb.filter(F.col("vec_id") < _IVF_K_CENTROIDS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cents]
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == _KNN_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    cb = pq_codebooks_from_rows(
+        emb, n_codes=_PQ_N_CODES, n_sub=_PQ_N_SUB, centroids=centroids
+    )
+
+    def build(_d):
+        # memo caches the ENCODED index (runs 2+ measure ADC serving,
+        # the steady-state figure); checkpointed frame, not a disk store
+        return build_pq_ivf(emb, centroids, cb, residual=True).localCheckpoint()
+
+    memo = _scratch_memo(("q161", sf_dir), build)
+    index = (
+        memo if memo is not None
+        else build_pq_ivf(emb, centroids, cb, residual=True)
+    )
+    return pq_ivf_topk(
+        index, qvec, centroids, cb, k=10, n_probe=_IVF_N_PROBE,
+        residual=True,
+    )
+
+
+def q160_neardup_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTBF purge on the incremental near-dup pipeline (operators/
+    dedup.py NearDupStore.delete_docs + ClusterStore.delete_nodes, NEW
+    r15 — the delete face (K4) the r15 advisor flagged: a purged
+    document's bands stayed in the band table and its node in the
+    cluster mapping). Ingest the documents table as the q159 two-batch
+    store, then purge the doc_id % 7 = 2 slice: generation-tagged
+    tombstones mask the purged docs' band rows and mapping rows, and the
+    touched components are repaired EXACTLY — the band table persists
+    every surviving edge, so the store re-runs connected components on
+    the survivors' collisions only (splits included, which no rep-
+    relabel shortcut can express; survivors that lost their every edge
+    leave the mapping as singletons). Everything is sized by the touched
+    components except two map-side broadcast-semi scans (membership +
+    survivor bands), so the purge is O(delta) against the corpus. The
+    oracle is q51's recursive closure over the LSH pairs with purged
+    endpoints excluded — banding is per-document, so pair filtering
+    equals recomputing over the survivor corpus. Reference anchor: the
+    reference deletes by document across its stores
+    (worker/app/services/qdrant_client.py delete path; the lexical twin
+    is q137, the vector twin q155). Scratch store removed in finally
+    (the q123 discipline)."""
+    import shutil
+    import tempfile
+
+    from jsonify2ai_spark.operators.dedup import NearDupStore
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    purged = docs.filter(F.col("doc_id") % 7 == 2).select("doc_id")
+
+    def base_build(d2):
+        # the q159 build verbatim (shared memo key: one corpus build
+        # serves both rows in bench memo mode)
+        store = NearDupStore.create(
+            spark, d2, num_hashes=_MINHASH_H, bands=_MINHASH_BANDS,
+            n_buckets=16,
+        )
+        for b in range(2):
+            store = store.add_batch(
+                docs.filter(F.col("doc_id") % 2 == b), f"b{b}"
+            )
+        return store
+
+    def build(d):
+        copied = _shared_store_copy(("q159", sf_dir), base_build, d)
+        if copied is not None:
+            return copied.delete_docs(purged, "purge-1")
+        return base_build(d).delete_docs(purged, "purge-1")
+
+    memo = _scratch_memo(("q160", sf_dir), build)
+    if memo is not None:
+        return memo.reps()
+    d = tempfile.mkdtemp(prefix="q160_ndpurge_")
     try:
         out = build(d).reps()
         # materialize before the scratch dir disappears
@@ -8122,4 +8248,132 @@ def oracle_sql() -> dict[str, str]:
     # batched edge union equal the all-at-once pair set, so the oracle
     # is again q51's closure verbatim
     oracles["q159_neardup_store"] = oracles["q51_dedup_clusters"]
+    # q160 purges the doc_id % 7 = 2 slice from the q159 store — banding
+    # is per-document, so excluding purged ENDPOINTS from the all-corpus
+    # LSH pair set equals recomputing the pairs over the survivor corpus,
+    # and the exact-repair contract says the maintained clustering equals
+    # a fresh closure over that surviving pair set
+    # q161 residual-PQ ADC: q158's pipeline with (a) donors AND members
+    # residualized against their assigned centroid (same max-cosine
+    # assignment CTE), (b) the reconstruction c + r̂ carried through the
+    # score — dot picks up the per-cluster q·c scalar, the norm picks up
+    # |c|² + 2·(c_sub·cb) cross terms. Every sum is a sequential fold;
+    # the dot/nrm additions and the cnorm + 2·x + nrm shape parse
+    # left-assoc on both engines (the q158 bit-for-bit discipline).
+    _ds = 64 // _PQ_N_SUB
+    oracles["q161_pq_res_ivf"] = f"""
+        WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                       WHERE vec_id < {_IVF_K_CENTROIDS}),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_KNN_QUERY_ID}),
+        probe AS (SELECT cid FROM cents, q
+                  ORDER BY {_dd_cosine("cv", "qv")} DESC, cid LIMIT {_IVF_N_PROBE}),
+        assigned AS (
+            SELECT vec_id, embedding, cluster FROM (
+                SELECT e.vec_id, e.embedding, c.cid AS cluster,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_dd_cosine("e.embedding", "c.cv")} DESC, c.cid
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+            WHERE rn = 1),
+        donors AS (
+            SELECT a.vec_id AS code,
+                   list_transform(range(1, 65),
+                       i -> CAST(a.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS cbv
+            FROM assigned a JOIN cents c ON a.cluster = c.cid
+            WHERE a.vec_id < {_PQ_N_CODES}),
+        mres AS (
+            SELECT a.vec_id, a.cluster,
+                   list_transform(range(1, 65),
+                       i -> CAST(a.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS rv
+            FROM assigned a JOIN cents c ON a.cluster = c.cid
+            WHERE a.cluster IN (SELECT cid FROM probe)),
+        ms AS (SELECT unnest([{", ".join(str(m) for m in range(_PQ_N_SUB))}]) AS m),
+        dists AS (
+            SELECT t.vec_id, t.cluster, ms.m, d.code,
+                   round(list_sum(list_transform(range(1, {_ds} + 1),
+                       i -> (t.rv[ms.m * {_ds} + i] - d.cbv[ms.m * {_ds} + i])
+                          * (t.rv[ms.m * {_ds} + i] - d.cbv[ms.m * {_ds} + i]))), 6) AS d
+            FROM mres t CROSS JOIN ms CROSS JOIN donors d),
+        codes AS (
+            SELECT vec_id, cluster, m, code FROM (
+                SELECT vec_id, cluster, m, code,
+                       row_number() OVER (
+                           PARTITION BY vec_id, m ORDER BY d ASC, code ASC
+                       ) AS rn
+                FROM dists)
+            WHERE rn = 1),
+        lut AS (
+            SELECT ms.m, d.code,
+                   list_sum(list_transform(range(1, {_ds} + 1),
+                       i -> CAST(q.qv[ms.m * {_ds} + i] AS DOUBLE)
+                          * d.cbv[ms.m * {_ds} + i])) AS dot,
+                   list_sum(list_transform(range(1, {_ds} + 1),
+                       i -> d.cbv[ms.m * {_ds} + i]
+                          * d.cbv[ms.m * {_ds} + i])) AS nrm
+            FROM ms CROSS JOIN donors d CROSS JOIN q),
+        xlut AS (
+            SELECT p.cid, ms.m, d.code,
+                   list_sum(list_transform(range(1, {_ds} + 1),
+                       i -> CAST(c.cv[ms.m * {_ds} + i] AS DOUBLE)
+                          * d.cbv[ms.m * {_ds} + i])) AS x
+            FROM probe p JOIN cents c ON c.cid = p.cid
+            CROSS JOIN ms CROSS JOIN donors d),
+        cterm AS (
+            SELECT p.cid,
+                   list_sum(list_transform(range(1, 65),
+                       i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) AS qc,
+                   list_sum(list_transform(range(1, 65),
+                       i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) AS cnorm
+            FROM probe p JOIN cents c ON c.cid = p.cid CROSS JOIN q),
+        qn AS (SELECT sqrt(list_sum(list_transform(qv,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm FROM q),
+        piv AS (
+            SELECT vec_id, cluster,
+                   max(CASE WHEN m = 0 THEN code END) AS c0,
+                   max(CASE WHEN m = 1 THEN code END) AS c1,
+                   max(CASE WHEN m = 2 THEN code END) AS c2,
+                   max(CASE WHEN m = 3 THEN code END) AS c3
+            FROM codes GROUP BY 1, 2),
+        scored AS (
+            SELECT p.vec_id, p.cluster,
+                   (ct.qc + l0.dot + l1.dot + l2.dot + l3.dot) AS dot,
+                   (ct.cnorm + 2.0 * (x0.x + x1.x + x2.x + x3.x)
+                    + (l0.nrm + l1.nrm + l2.nrm + l3.nrm)) AS nrm
+            FROM piv p
+            JOIN cterm ct ON ct.cid = p.cluster
+            JOIN lut l0 ON l0.m = 0 AND l0.code = p.c0
+            JOIN lut l1 ON l1.m = 1 AND l1.code = p.c1
+            JOIN lut l2 ON l2.m = 2 AND l2.code = p.c2
+            JOIN lut l3 ON l3.m = 3 AND l3.code = p.c3
+            JOIN xlut x0 ON x0.cid = p.cluster AND x0.m = 0 AND x0.code = p.c0
+            JOIN xlut x1 ON x1.cid = p.cluster AND x1.m = 1 AND x1.code = p.c1
+            JOIN xlut x2 ON x2.cid = p.cluster AND x2.m = 2 AND x2.code = p.c2
+            JOIN xlut x3 ON x3.cid = p.cluster AND x3.m = 3 AND x3.code = p.c3)
+        SELECT vec_id, CAST(cluster AS INT) AS cluster,
+               round(dot / (sqrt(nrm) * qn.qnorm), 6) AS pqcos
+        FROM scored, qn
+        WHERE nrm > 0 AND qn.qnorm > 0
+        ORDER BY dot / (sqrt(nrm) * qn.qnorm) DESC, vec_id ASC
+        LIMIT 10
+    """
+    oracles["q160_neardup_purge"] = f"""
+        WITH RECURSIVE allpairs AS (
+            {_dd_minhash_lsh_sql()}
+        ), pairs AS (
+            SELECT a, b FROM allpairs
+            WHERE a % 7 <> 2 AND b % 7 <> 2
+        ), edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION
+            SELECT b, a FROM pairs
+        ), reach(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.label
+            FROM edges e JOIN reach r ON e.dst = r.node
+        )
+        SELECT node, min(label) AS cluster_rep
+        FROM reach GROUP BY node
+    """
     return oracles
