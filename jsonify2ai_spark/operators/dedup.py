@@ -2997,19 +2997,19 @@ class NearDupStore:
     @staticmethod
     def _write_meta(
         spark, path, text_col, id_col, num_hashes, bands, shingle_n,
-        bands_dir, segments, btombs_dir="",
+        bands_dir, segments, btombs_dir="", dsegments=(),
     ) -> None:
         spark.createDataFrame(
             [
                 (
                     text_col, id_col, int(num_hashes), int(bands),
                     int(shingle_n), bands_dir, ",".join(segments),
-                    btombs_dir,
+                    btombs_dir, ",".join(dsegments),
                 )
             ],
             "text_col string, id_col string, num_hashes int, bands int, "
             "shingle_n int, bands_dir string, segments string, "
-            "btombs_dir string",
+            "btombs_dir string, dsegments string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
@@ -3035,6 +3035,9 @@ class NearDupStore:
             if obj._btombs_dir
             else None
         )
+        obj._dsegments = [
+            s for s in (meta.get("dsegments") or "").split(",") if s
+        ]
         obj._clusters = ClusterStore.load(spark, f"{path}/clusters")
         return obj
 
@@ -3092,7 +3095,7 @@ class NearDupStore:
                 self._spark, self._path, self._text_col, idc,
                 self._num_hashes, self._bands, self._shingle_n,
                 self._bands_dir, tuple(self._segments) + (str(run_id),),
-                self._btombs_dir,
+                self._btombs_dir, dsegments=tuple(self._dsegments),
             )
         store = type(self).load(self._spark, self._path)
         if batch_banded is None:
@@ -3172,8 +3175,17 @@ class NearDupStore:
         are invisible, survivors' clusters equal a fresh closure over
         the surviving pair set (the q160 oracle), and a later re-ingest
         of the same doc id through add_batch is a clean re-admission
-        (generation-tagged tombstones only mask the OLD parts)."""
+        (generation-tagged tombstones only mask the OLD parts).
+
+        The committed-``run_id`` ledger (``dsegments``, recorded in a
+        final meta write AFTER the repair commits) is what makes the
+        full-commit no-op exact: without it, a replay arriving after a
+        delete-then-re-add of the same doc id would purge the re-added
+        doc — the tombstone generation at replay time is higher than
+        the re-add segment's ordinal."""
         idc = self._id_col
+        if str(run_id) in self._dsegments:
+            return self
         dead = (
             ids.select(F.col(idc).alias("node"))
             .filter(F.col("node").isNotNull())
@@ -3227,6 +3239,7 @@ class NearDupStore:
             self._spark, self._path, self._text_col, idc,
             self._num_hashes, self._bands, self._shingle_n,
             self._bands_dir, tuple(self._segments), new_btombs_rel,
+            dsegments=tuple(self._dsegments),
         )
         if self._btombs_dir:
             import shutil
@@ -3263,8 +3276,16 @@ class NearDupStore:
         clusters = store._clusters.delete_nodes(
             dead.union(edgeless).distinct(), repaired, run_id
         )
-        out = type(store).__new__(type(store))
-        out.__dict__.update(store.__dict__)
+        # the run_id ledger commits LAST: a crash anywhere above leaves
+        # the id unrecorded and the replay re-derives the same repair
+        # from the already-masked band table
+        self._write_meta(
+            self._spark, self._path, self._text_col, idc,
+            self._num_hashes, self._bands, self._shingle_n,
+            store._bands_dir, tuple(store._segments), store._btombs_dir,
+            dsegments=tuple(store._dsegments) + (str(run_id),),
+        )
+        out = type(self).load(self._spark, self._path)
         out._clusters = clusters
         return out
 
@@ -3304,6 +3325,7 @@ class NearDupStore:
             self._write_meta(
                 self._spark, self._path, self._text_col, self._id_col,
                 self._num_hashes, self._bands, self._shingle_n, new_rel, (),
+                dsegments=tuple(self._dsegments),
             )
             import shutil
 
@@ -3311,3 +3333,48 @@ class NearDupStore:
                 shutil.rmtree(d, ignore_errors=True)
         self._clusters.compact()
         return type(self).load(self._spark, self._path)
+
+
+class NearDupStreamSink:
+    """foreachBatch target that keeps a :class:`NearDupStore` CURRENT as
+    a change stream of documents arrives (r15) — the FULL watcher
+    reconciliation loop at store scale (reference anchor:
+    scripts/dev/tools/watch_dropzone.py:190-229, which re-ingests new
+    and CHANGED files and reconciles deletions): a new doc is an
+    ``add_batch`` row, a removed doc a ``delete_docs`` row, and a
+    changed doc is delete + re-add in the same trigger — which the
+    generation-tagged tombstones make a clean re-admission (the old
+    bands/mapping rows stay masked, the new ones land in a fresh
+    segment).
+
+    ``op_col`` names an optional operation column: rows with the value
+    ``"delete"`` purge (only the id column is read), everything else
+    upserts; without it every row is an upsert. Deletes run FIRST
+    within a trigger so a changed doc's re-add lands after its purge.
+
+    Redelivery-safe end-to-end: both halves key their commits on the
+    batch id (``b<id>-del`` / ``b<id>``), ``delete_docs`` of an
+    already-purged id is a no-op by the math, and a replayed
+    ``add_batch`` re-derives the same edges against the already-
+    committed band segment. Run :meth:`NearDupStore.compact` on the
+    store's own cadence — per-trigger band segments and accumulated
+    tombstones are small-files pressure, exactly the IVFStreamSink
+    guidance."""
+
+    def __init__(self, path: str, op_col: str | None = None) -> None:
+        self._path = path
+        self._op_col = op_col
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        store = NearDupStore.load(batch_df.sparkSession, self._path)
+        bid = int(batch_id)
+        ups = batch_df
+        if self._op_col is not None:
+            dels = batch_df.filter(F.col(self._op_col) == "delete")
+            ups = batch_df.filter(
+                F.coalesce(F.col(self._op_col), F.lit("")) != "delete"
+            )
+            store = store.delete_docs(
+                dels.select(store._id_col), f"b{bid}-del"
+            )
+        store.add_batch(ups, f"b{bid}")

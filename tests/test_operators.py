@@ -4951,3 +4951,107 @@ def test_neardup_store_delete_keeps_plans_pruned(spark, tmp_path):
     )
     assert "SortMergeJoin" not in plan2, plan2[:3000]
     assert "BroadcastHashJoin" in plan2 and "LeftAnti" in plan2, plan2[:3000]
+
+
+def test_neardup_stream_sink_reconciles_changes(spark, tmp_path):
+    """NearDupStreamSink (r15): the watcher reconciliation loop —
+    adds, deletes, and CHANGED docs (delete + re-add in one trigger)
+    arriving as a change stream must leave the store's clustering equal
+    to a fresh closure over the CURRENT corpus after every trigger;
+    a replayed batch changes nothing."""
+    import json
+
+    from jsonify2ai_spark.operators.dedup import (
+        NearDupStore,
+        NearDupStreamSink,
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t2 = "one two three four five six seven eight nine ten"
+    cfg = dict(num_hashes=32, bands=16, shingle_n=3)
+    path = str(tmp_path / "ndsink")
+    NearDupStore.create(spark, path, **cfg)
+
+    def recompute(rows):
+        ds = spark.createDataFrame(
+            [(i, t) for i, t in rows.items()], "doc_id long, text string"
+        )
+        return {
+            (r["node"], r["cluster_rep"])
+            for r in connected_components(minhash_lsh_pairs(ds, **cfg)).collect()
+        }
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(name, ops):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": t, "op": op})
+                for i, t, op in ops
+            )
+        )
+
+    # trigger 1: initial adds — two components bridged by doc 50
+    live = {i: t1 for i in range(4)}
+    live.update({10 + i: t2 for i in range(4)})
+    live[50] = t1 + " " + t2
+    write_batch("b1.json", [(i, t, "upsert") for i, t in live.items()])
+
+    sink = NearDupStreamSink(path, op_col="op")
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, op STRING")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        store = NearDupStore.load(spark, path)
+        got = {(r["node"], r["cluster_rep"]) for r in store.reps().collect()}
+        assert got == recompute(live)
+        assert len({rep for _, rep in got}) == 1  # bridged
+
+        # trigger 2: delete the bridge (split!), CHANGE doc 1 from the
+        # t1 family to the t2 family (delete + re-add), add a new doc
+        ops = [
+            (50, None, "delete"),
+            (1, None, "delete"),
+            (1, t2 + " extra", "upsert"),
+            (70, t1, "upsert"),
+        ]
+        del live[50]
+        live[1] = t2 + " extra"
+        live[70] = t1
+        write_batch("b2.json", ops)
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    store = NearDupStore.load(spark, path)
+    got = {(r["node"], r["cluster_rep"]) for r in store.reps().collect()}
+    want = recompute(live)
+    assert got == want
+    assert len({rep for _, rep in want}) == 2  # the bridge delete split
+    # the changed doc now clusters with its NEW family
+    rep_of = dict(want)
+    assert rep_of[1] == rep_of[10] and rep_of[1] != rep_of[0]
+
+    # redelivery: re-invoking the sink with a committed batch id and the
+    # same content changes nothing
+    replay = spark.createDataFrame(
+        [(i, t, op) for i, t, op in ops], "doc_id long, text string, op string"
+    )
+    sink(replay, 1)
+    store = NearDupStore.load(spark, path)
+    assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == want
+
+    # compact folds segments + both tombstone tables; clustering survives
+    store = store.compact()
+    assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == want
