@@ -999,3 +999,104 @@ def test_concat_token_bins_matches_python_model(rows, eos, pad_to):
         for r in concat_token_bins(df, eos_id=eos, pad_to=pad_to).collect()
     }
     assert got == model, (eos, pad_to)
+
+
+def test_neardup_store_random_interleaving_model_convergence(spark, tmp_path):
+    """Model-convergence property for the near-dup store's full
+    mutation surface (r15): a SEEDED random interleaving of add_batch /
+    delete_docs / compact must leave reps() equal to connected
+    components over minhash_lsh_pairs of exactly the LIVE documents
+    after EVERY operation — the q160 oracle contract generalized from
+    one purge to arbitrary histories (including delete-then-re-add of
+    the same doc id, the generation-tombstone case, and deletes of
+    never-ingested ids). Deterministic: fixed seed, fixed op count."""
+    import random
+
+    from jsonify2ai_spark.operators.dedup import (
+        NearDupStore,
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    rng = random.Random(41)
+    # a small pool of near-dup families so collisions are dense enough
+    # for deletes to hit reps, bridges, and whole components
+    fams = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet colors of light",
+    ]
+    cfg = dict(num_hashes=32, bands=16, shingle_n=3)
+    path = str(tmp_path / "nd_prop")
+    store = NearDupStore.create(spark, path, **cfg)
+
+    def text_for(i: int) -> str:
+        t = fams[i % 3]
+        if i % 5 == 1:
+            t = t + " extra"
+        if i % 7 == 3:
+            t = "prefix " + t
+        # the bridge id straddles two families
+        if i == 17:
+            t = fams[0] + " " + fams[1]
+        return t
+
+    live: dict[int, str] = {}
+    next_id = 0
+    for op in range(12):
+        kind = rng.choice(["add", "add", "delete", "compact"])
+        if kind == "add":
+            n = rng.randint(1, 6)
+            batch = {}
+            # mix of new ids and RE-ADDS of previously deleted ids
+            for _ in range(n):
+                if rng.random() < 0.3 and next_id > 0:
+                    i = rng.randrange(next_id)
+                    if i in live:
+                        continue  # already live: add_batch ids must be new
+                else:
+                    i = next_id
+                    next_id += 1
+                batch[i] = text_for(i)
+            if not batch:
+                continue
+            live.update(batch)
+            store = store.add_batch(
+                spark.createDataFrame(
+                    list(batch.items()), "doc_id long, text string"
+                ),
+                f"op{op}",
+            )
+        elif kind == "delete":
+            # sample from live ids plus a never-ingested id (harmless)
+            pool = sorted(live) + [99999]
+            victims = rng.sample(pool, min(len(pool), rng.randint(1, 4)))
+            for v in victims:
+                live.pop(v, None)
+            store = store.delete_docs(
+                spark.createDataFrame(
+                    [(v,) for v in victims], "doc_id long"
+                ),
+                f"op{op}",
+            )
+        else:
+            store = store.compact()
+
+        got = {(r["node"], r["cluster_rep"]) for r in store.reps().collect()}
+        if live:
+            docs = spark.createDataFrame(
+                list(live.items()), "doc_id long, text string"
+            )
+            want = {
+                (r["node"], r["cluster_rep"])
+                for r in connected_components(
+                    minhash_lsh_pairs(docs, **cfg)
+                ).collect()
+            }
+        else:
+            want = set()
+        assert got == want, (op, kind, sorted(live))
+
+    # a fresh load at the end serves the same mapping
+    re = NearDupStore.load(spark, path)
+    assert {(r["node"], r["cluster_rep"]) for r in re.reps().collect()} == want
