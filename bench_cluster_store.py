@@ -16,6 +16,12 @@ components, adds new nodes, and makes some new nodes the merged rep
   merge_delta       ClusterStore.merge_delta of the same delta
   probe_reps        bucket-pruned reps_of for the delta's endpoints
   parity            incremental reps == full recompute (hard assert)
+  purge             delete a 0.025% victim set THROUGH the store: the
+                    delete_docs repair math (touched membership ->
+                    surviving edges -> component-local CC ->
+                    delete_nodes), vs recompute_excl = full CC over
+                    every edge not incident to a victim (the naive
+                    purge); parity hard-asserted
 
 Usage: python bench_cluster_store.py    # one JSON line last
 """
@@ -105,6 +111,80 @@ def main() -> int:
         out["nodes"] = n_full
         out["merge_vs_recompute"] = round(
             out["merge_delta_s"] / out["recompute_full_s"], 3
+        )
+
+        # -- purge economics (r15 delete face) ---------------------------
+        all_edges = base_edges.unionByName(delta_edges).localCheckpoint(
+            eager=False
+        )
+        victims = (
+            spark.range(max(1, n_base // 4000))
+            .select((F.col("id") * 4000 + 1).alias("node"))
+            .localCheckpoint()
+        )
+        out["victims"] = victims.count()
+
+        # naive purge: full CC over every edge not incident to a victim
+        t0 = time.time()
+        va = victims.select(F.col("node").alias("a"))
+        vb = victims.select(F.col("node").alias("b"))
+        live_edges = (
+            all_edges.join(F.broadcast(va), "a", "left_anti")
+            .join(F.broadcast(vb), "b", "left_anti")
+        )
+        excl = connected_components(live_edges, driver_threshold=0)
+        n_excl = excl.count()
+        out["recompute_excl_s"] = round(time.time() - t0, 2)
+
+        # store purge: the NearDupStore.delete_docs repair math with the
+        # edge table standing in for the band table
+        t0 = time.time()
+        touched = (
+            store.reps_of(victims)
+            .select(F.col("cluster_rep").alias("_tr"))
+            .distinct()
+            .localCheckpoint()
+        )
+        reps_all = store.reps()
+        members = (
+            reps_all.join(
+                F.broadcast(touched),
+                reps_all["cluster_rep"] == F.col("_tr"),
+                "left_semi",
+            )
+            .select("node")
+            .localCheckpoint()
+        )
+        survivors = members.join(
+            F.broadcast(victims), "node", "left_anti"
+        ).localCheckpoint()
+        surv_edges = (
+            all_edges.join(
+                F.broadcast(survivors.select(F.col("node").alias("a"))),
+                "a", "left_semi",
+            ).join(
+                F.broadcast(survivors.select(F.col("node").alias("b"))),
+                "b", "left_semi",
+            )
+        )
+        repaired = connected_components(
+            surv_edges, driver_threshold=0
+        ).localCheckpoint()
+        edgeless = survivors.join(
+            repaired.select("node"), "node", "left_anti"
+        )
+        store = store.delete_nodes(
+            victims.union(edgeless).distinct(), repaired, "p1"
+        )
+        out["purge_s"] = round(time.time() - t0, 2)
+
+        got = {(r["node"], r["cluster_rep"]) for r in store.reps().collect()}
+        want = {(r["node"], r["cluster_rep"]) for r in excl.collect()}
+        assert got == want and len(got) == n_excl, (
+            f"purge parity broke: {len(got)} vs {n_excl}"
+        )
+        out["purge_vs_recompute"] = round(
+            out["purge_s"] / out["recompute_excl_s"], 3
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
