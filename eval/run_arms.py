@@ -140,6 +140,34 @@ def main() -> int:
         c, q, k=5, dim=64, retriever=ivf_filt_retriever
     )
 
+    # eighth arm (r15): residual-PQ serving through the persisted store
+    # (quantize="pq_res", the q161 face) — the memory-optimized layout
+    # (~M bytes/vector) in the ask data plane, next to the int8 arms.
+    # Codebooks are the production kmeans trainer in residual space.
+    from jsonify2ai_spark.operators.ann import pq_codebooks_kmeans
+
+    pqr_cb = pq_codebooks_kmeans(
+        corpus, n_codes=16, n_sub=4, vector_col="vector",
+        seed=7, max_iter=5, centroids=cents,
+    )
+    pqr_dir = tempfile.mkdtemp(prefix="eval_pqres_")
+    pqr_store = IVFIndex.build(
+        corpus, pqr_dir, centroids=cents, vector_col="vector",
+        id_col="id", quantize="pq_res", codebooks=pqr_cb,
+    )
+
+    def pqres_retriever(ch, qq, k=5, dim=64, embed=None, **_f):
+        qv = (embed or (lambda t: dev_embedding_py(t, dim=dim)))(qq)
+        top = pqr_store.topk(qv, k=max(k, 20), n_probe=3).select(
+            "id", F.col("pqcos").alias("score")
+        )
+        out = ch.drop("score").join(F.broadcast(top), "id")
+        return _project_sources(out, k=k)
+
+    arms["ivf_pqres"] = lambda c, q: ask(
+        c, q, k=5, dim=64, retriever=pqres_retriever
+    )
+
     # one warm pass (not timed): JIT/codegen/Python-worker spinup, so the
     # recorded latencies measure serving, not first-call compilation
     for fn in arms.values():
@@ -301,8 +329,24 @@ def main() -> int:
         "hit@k": _batch_hits(by_q),
     }
 
+    # residual-PQ batched serving (r15): one ADC job for the whole set
+    pqr_store.topk_batch(qvecs[:2], k=5, n_probe=3).collect()
+    t0 = time.perf_counter()
+    rows = pqr_store.topk_batch(qvecs, k=5, n_probe=3).collect()
+    total = (time.perf_counter() - t0) * 1000.0
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    batched["ivf_pqres"] = {
+        "n": len(uniq_qs),
+        "total_ms": round(total, 1),
+        "per_q_ms": round(total / len(uniq_qs), 1),
+        "hit@k": _batch_hits(by_q),
+    }
+
     res["batched"] = batched
     shutil.rmtree(store_dir, ignore_errors=True)
+    shutil.rmtree(pqr_dir, ignore_errors=True)
     with open(out, "w", encoding="utf-8") as f:
         json.dump(res, f, ensure_ascii=False, indent=2)
     print(

@@ -2605,7 +2605,10 @@ class ClusterStore:
         that was itself superseded pre-delete would be remapped to a
         purged label). Everything is sized by the touched components;
         the one-row meta commit makes it atomic. Redelivery of a
-        committed ``run_id`` is a no-op."""
+        committed ``run_id`` is a no-op — and the run_id NAMESPACE is
+        shared with :meth:`merge_delta` (the repair lands as a segment),
+        so reusing a merge's id silently skips the delete: key deletes
+        distinctly (NearDupStreamSink uses ``b<id>-del`` vs ``b<id>``)."""
         if str(run_id) in self._segments:
             return self
         dead = (
