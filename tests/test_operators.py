@@ -5055,3 +5055,46 @@ def test_neardup_stream_sink_reconciles_changes(spark, tmp_path):
     # compact folds segments + both tombstone tables; clustering survives
     store = store.compact()
     assert {(r["node"], r["cluster_rep"]) for r in store.reps().collect()} == want
+
+
+def test_neardup_store_purge_all_then_compact_then_readd(spark, tmp_path):
+    """Purge-to-empty is the delete face's degenerate corner: deleting
+    EVERY doc leaves both the band table and the mapping empty, compact
+    must fold that to readable empty bases (an empty partitionBy write
+    leaves a schema-less dir — the create() lesson, now reachable at
+    runtime), and the store must accept a fresh corpus afterwards."""
+    from jsonify2ai_spark.operators.dedup import (
+        NearDupStore,
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    cfg = dict(num_hashes=32, bands=16, shingle_n=3)
+    path = str(tmp_path / "nd_empty")
+    store = NearDupStore.create(spark, path, **cfg)
+    docs = spark.createDataFrame(
+        [(i, t1) for i in range(6)], "doc_id long, text string"
+    )
+    store = store.add_batch(docs, "b0")
+    assert store.reps().count() == 6
+
+    store = store.delete_docs(docs.select("doc_id"), "purge-all")
+    assert store.reps().count() == 0
+    assert store._band_table().count() == 0
+
+    # compact folds tombs into EMPTY bases; both must stay loadable
+    store = store.compact()
+    assert store._btombs is None and store._clusters._tombs is None
+    assert store.reps().count() == 0
+    re = NearDupStore.load(spark, path)
+    assert re.reps().count() == 0 and re._band_table().count() == 0
+
+    # and the store lives on: re-ingest (same ids! they were purged and
+    # compacted away) clusters exactly as a fresh corpus would
+    re = re.add_batch(docs, "b1")
+    want = {
+        (r["node"], r["cluster_rep"])
+        for r in connected_components(minhash_lsh_pairs(docs, **cfg)).collect()
+    }
+    assert {(r["node"], r["cluster_rep"]) for r in re.reps().collect()} == want
