@@ -5098,3 +5098,67 @@ def test_neardup_store_purge_all_then_compact_then_readd(spark, tmp_path):
         for r in connected_components(minhash_lsh_pairs(docs, **cfg)).collect()
     }
     assert {(r["node"], r["cluster_rep"]) for r in re.reps().collect()} == want
+
+
+def test_unigram_lm_train_and_encode(spark):
+    """Unigram-LM tokenizer (r15 — Kudo 2018, the SentencePiece model;
+    completes the tokenizer-training family next to train_bpe). Pinned:
+    (1) EM monotonicity — within a prune round, each re-estimation's
+    corpus log-likelihood is non-decreasing (the EM guarantee, on the
+    _stats probe); (2) coverage — every seen single char survives
+    training, so Viterbi encode round-trips every word exactly;
+    (3) the learned vocab actually spends slots on the corpus's
+    recurring multi-char units and encode USES them; (4) training is
+    deterministic end-to-end (no RNG, rounded prune ranking)."""
+    from jsonify2ai_spark.operators.unigram import train_unigram, unigram_encode
+
+    stems = ["walk", "talk", "jump", "read", "play", "work", "learn"]
+    rows = []
+    for i in range(30):
+        s = stems[i % len(stems)]
+        rows.append(
+            (
+                i,
+                f"{s}ing {s}ed {s}s preprocessing tokenization "
+                f"{stems[(i + 1) % len(stems)]}ing",
+            )
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    stats: dict = {}
+    kw = dict(
+        vocab_size=80, seed_size=300, em_iters=2, max_piece_len=6,
+        text_col="text",
+    )
+    logp = train_unigram(docs, _stats=stats, **kw)
+
+    # (1) EM monotone within each 2-iteration block
+    lls = stats["ll"]
+    assert len(lls) >= 2
+    for k in range(0, len(lls) - 1, 2):
+        if k + 1 < len(lls):
+            assert lls[k + 1] >= lls[k] - abs(lls[k]) * 1e-9, (k, lls)
+
+    # (2) coverage + sane size + normalized
+    import math
+
+    corpus_chars = {
+        c for _, t in rows for w in t.lower().split() for c in w
+    }
+    assert corpus_chars <= set(logp)
+    assert len(logp) <= 3 * 80 and len(logp) >= len(corpus_chars)
+    assert abs(sum(math.exp(v) for v in logp.values()) - 1.0) < 1e-6
+
+    enc = unigram_encode(docs, logp, max_piece_len=6)
+    got = {r["doc_id"]: r["unigram_tokens"] for r in enc.collect()}
+    for i, t in rows:
+        words = t.lower().split()
+        assert "".join(got[i]) == "".join(words), (i, got[i])
+
+    # (3) recurring units earn multi-char pieces that encode then uses
+    multi_used = {tok for toks in got.values() for tok in toks if len(tok) > 1}
+    assert multi_used, "no multi-char piece survived training"
+
+    # (4) determinism
+    logp2 = train_unigram(docs, **kw)
+    assert logp2 == logp
