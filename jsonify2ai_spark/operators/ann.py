@@ -1807,20 +1807,47 @@ class IVFStreamSink:
     :meth:`IVFIndex.compact` on the store's own cadence to fold the
     per-trigger segments (small-files pressure — the StreamShardSink
     auto-compaction lesson applies; here compaction is operator-driven
-    because the sink never holds the index open)."""
+    because the sink never holds the index open).
+
+    ``op_col`` (r15) makes the sink a CHANGE stream target — the
+    watcher's delete-reconciliation half (a removed file's vectors
+    leave the serving index): rows whose operation is ``"delete"``
+    tombstone through :meth:`IVFIndex.delete` (request-sized, exact
+    immediately), everything else appends; deletes run first within a
+    trigger. Deleting and re-adding the SAME id in one trigger RAISES
+    from the append guard ("compact() first") — IVFIndex tombstones
+    are id-keyed, not generation-tagged, so re-admission needs the
+    erase; that loud stop is the store's documented contract, unlike
+    :class:`~jsonify2ai_spark.operators.dedup.NearDupStreamSink` whose
+    generation-tagged stores re-admit in-stream. Delete redelivery is
+    idempotent (tombstones merge)."""
 
     def __init__(
         self, path: str, vector_col: str = "embedding",
-        check_ids: bool = True,
+        check_ids: bool = True, op_col: str | None = None,
     ) -> None:
         self._path = path
         self._vector_col = vector_col
         self._check_ids = check_ids
+        self._op_col = op_col
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         idx = IVFIndex.load(batch_df.sparkSession, self._path)
+        ups = batch_df
+        if self._op_col is not None:
+            dels = [
+                r[0]
+                for r in batch_df.filter(F.col(self._op_col) == "delete")
+                .select(idx._id_col)
+                .collect()  # request-sized by the delete-face contract
+            ]
+            ups = batch_df.filter(
+                F.coalesce(F.col(self._op_col), F.lit("")) != "delete"
+            ).drop(self._op_col)
+            if dels:
+                idx = idx.delete(dels)
         idx.append(
-            batch_df, run_id=f"b{int(batch_id)}",
+            ups, run_id=f"b{int(batch_id)}",
             vector_col=self._vector_col, check_ids=self._check_ids,
             replace=True,
         )

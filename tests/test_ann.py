@@ -1137,3 +1137,94 @@ def test_pq_residual_recall_beats_plain_on_tight_clusters(spark):
     r_plain, r_res = recall(False), recall(True)
     assert r_res >= 0.8, (r_plain, r_res)
     assert r_res > r_plain, (r_plain, r_res)
+
+
+def test_ivf_stream_sink_cdc_deletes(spark, tmp_path):
+    """IVFStreamSink op_col (r15 — the watcher's delete-reconciliation
+    half on the vector store): a change stream of upserts and deletes
+    keeps the index equal to a batch build over the LIVE vectors;
+    delete redelivery is idempotent; delete + re-add of the same id in
+    ONE trigger raises from the append guard (IVFIndex tombstones are
+    id-keyed — the loud "compact() first" contract, unlike the
+    generation-tagged near-dup stores)."""
+    import json
+
+    import pytest
+
+    from jsonify2ai_spark.operators.ann import IVFIndex, IVFStreamSink
+
+    import random
+
+    rng = random.Random(19)
+    vecs = [(i, [round(rng.uniform(-1, 1), 4) for _ in range(8)]) for i in range(50)]
+    cents = [list(map(float, v)) for _, v in vecs[:4]]
+    q = [float(x) for x in vecs[3][1]]
+    path = str(tmp_path / "ivfcdc")
+    IVFIndex.build(
+        spark.createDataFrame(vecs[:20], "vec_id long, embedding array<float>"),
+        path, centroids=cents,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>, op STRING"
+
+    def write_batch(name, ops):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"vec_id": i, "embedding": v, "op": op})
+                for i, v, op in ops
+            )
+        )
+
+    # trigger 1: adds 20-35; trigger 2: deletes 5,6,21 + adds 35-50
+    write_batch("b1.json", [(i, v, "upsert") for i, v in vecs[20:35]])
+    sink = IVFStreamSink(path, op_col="op")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        write_batch(
+            "b2.json",
+            [(i, None, "delete") for i in (5, 6, 21)]
+            + [(i, v, "upsert") for i, v in vecs[35:]],
+        )
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    live = [(i, v) for i, v in vecs if i not in (5, 6, 21)]
+    ref = IVFIndex.build(
+        spark.createDataFrame(live, "vec_id long, embedding array<float>"),
+        str(tmp_path / "ref"), centroids=cents,
+    )
+    idx = IVFIndex.load(spark, path)
+    got = [tuple(r) for r in idx.topk(q, k=10, n_probe=4).collect()]
+    assert got == [tuple(r) for r in ref.topk(q, k=10, n_probe=4).collect()]
+    assert not {5, 6, 21} & {t[0] for t in got}
+
+    # replayed trigger: same batch id, same content — nothing changes
+    replay = spark.createDataFrame(
+        [(i, None, "delete") for i in (5, 6, 21)]
+        + [(i, v, "upsert") for i, v in vecs[35:]],
+        schema,
+    )
+    sink(replay, 1)
+    idx2 = IVFIndex.load(spark, path)
+    assert [tuple(r) for r in idx2.topk(q, k=10, n_probe=4).collect()] == got
+
+    # delete + re-add of one id in a single trigger: loud stop (the
+    # id-keyed tombstone contract — compact() first, then re-ingest)
+    bad = spark.createDataFrame(
+        [(30, None, "delete"), (30, vecs[30][1], "upsert")], schema
+    )
+    with pytest.raises(ValueError, match="compact"):
+        sink(bad, 2)
