@@ -24,6 +24,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jsonify2ai_spark.session import local_rows_df
+
 from jsonify2ai_spark.functions.vectors import dev_embedding_py
 from jsonify2ai_spark.operators.inventory import documents_inventory, stats_report
 from jsonify2ai_spark.operators.search import cosine_topk
@@ -309,8 +311,8 @@ def hybrid_topk_batch(
             .select("query_id", "id", F.col("_rn").alias("rank_vec"))
         )
     else:
-        qdf = spark.createDataFrame(
-            [(i, qv) for i, qv in enumerate(qvecs)],
+        qdf = local_rows_df(
+            spark, [(i, qv) for i, qv in enumerate(qvecs)],
             "query_id int, _qv array<double>",
         )
         w_v = Window.partitionBy("query_id").orderBy(

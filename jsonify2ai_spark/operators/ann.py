@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from jsonify2ai_spark.functions.vectors import cosine_similarity
+from jsonify2ai_spark.session import local_rows_df
 
 
 def _vec_lit(vec: list[float]) -> Column:
@@ -351,11 +352,11 @@ def quantized_ivf_topk_batch(
         # `long` would make the degenerate empty-batch schema diverge from
         # the non-empty one, breaking downstream unions (r7 advisor)
         idt = index.schema[id_col].dataType.simpleString()
-        return spark.createDataFrame(
-            [], f"query_id int, {id_col} {idt}, cluster int, qcos double"
+        return local_rows_df(
+            spark, [], f"query_id int, {id_col} {idt}, cluster int, qcos double"
         )
-    qdf = spark.createDataFrame(
-        rows, "query_id int, cluster int, _q array<int>"
+    qdf = local_rows_df(
+        spark, rows, "query_id int, cluster int, _q array<int>"
     )
     all_probes = sorted({c for _, c, _ in rows})
     pruned = index.filter(F.col("cluster").isin(all_probes))
@@ -615,7 +616,8 @@ def _residualize(
     assigned frame. The centroid table rides a broadcast join keyed on
     ``cluster`` (K rows — never plan literals, the LUT lesson), so the
     subtraction is one map-side zip_with per row."""
-    cents = df.sparkSession.createDataFrame(
+    cents = local_rows_df(
+        df.sparkSession,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cluster int, _cent array<double>",
     )
@@ -717,12 +719,14 @@ def pq_ivf_topk(
     # the plan and analysis/codegen dominated serving (~2.3 s/query FLAT
     # across n_probe vs ~0.3 s for int8 — bench_ann_recall.py's PQ arm,
     # r15); as broadcast data the plan stays constant-size
-    ldf = index.sparkSession.createDataFrame(
+    ldf = local_rows_df(
+        index.sparkSession,
         [(dot_flat, _pq_nrm_flat(codebooks), float(qnorm))],
         "dot_lut array<double>, nrm_lut array<double>, qnorm double",
     )
     if residual:
-        cdf = index.sparkSession.createDataFrame(
+        cdf = local_rows_df(
+            index.sparkSession,
             [_pq_res_cluster_row(cid, qv, centroids, codebooks) for cid in probe],
             "cluster int, qc double, cnorm double, x_lut array<double>",
         )
@@ -884,7 +888,8 @@ def pq_ivf_topk_batch(
                 [a * float(b) for a, b in zip(qv, centroids[cl])]
             )
             rows.append((qid, cl, dot_flat, qnorm, qc))
-    qdf = spark.createDataFrame(
+    qdf = local_rows_df(
+        spark,
         rows,
         "query_id int, cluster int, dot_lut array<double>, qnorm double, "
         "qc double",
@@ -895,15 +900,16 @@ def pq_ivf_topk_batch(
         pruned = pruned.filter(where)
     # the query-independent norm LUT rides its own one-row broadcast —
     # never plan literals (see pq_ivf_topk; M*K constants killed compile)
-    ndf = spark.createDataFrame(
-        [(_pq_nrm_flat(codebooks),)], "nrm_lut array<double>"
+    ndf = local_rows_df(
+        spark, [(_pq_nrm_flat(codebooks),)], "nrm_lut array<double>"
     )
     joined = pruned.join(F.broadcast(qdf), "cluster").crossJoin(
         F.broadcast(ndf)
     )
     if residual:
         qzero = [0.0] * (ds * n_sub)
-        cdf = spark.createDataFrame(
+        cdf = local_rows_df(
+            spark,
             [
                 # qc lives on the query frame; this frame carries only
                 # the query-independent cluster terms
@@ -1144,8 +1150,9 @@ def refresh_quantizer(
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    qdf = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(qvecs)], "query_id int, _qv array<double>"
+    qdf = local_rows_df(
+        spark, [(i, v) for i, v in enumerate(qvecs)],
+        "query_id int, _qv array<double>",
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col(id_col).asc()
@@ -1287,19 +1294,21 @@ class IVFIndex:
             .partitionBy("cluster")
             .parquet(f"{path}/cells")
         )
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(i, list(map(float, c))) for i, c in enumerate(centroids)],
             "cluster int, centroid array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
         if quantize in ("pq", "pq_res"):
-            spark.createDataFrame(
+            local_rows_df(
+                spark,
                 [
                     (m, c, [float(x) for x in codebooks[m][c]])
                     for m in range(len(codebooks))
                     for c in range(len(codebooks[m]))
                 ],
                 "m int, code int, cv array<double>",
-            ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+            ).write.mode("overwrite").parquet(f"{path}/codebooks")
         cls._write_meta(
             spark, path, id_col, len(centroids[0]), "cells", (),
             attr_cols=attr_cols, quantize=quantize,
@@ -1316,7 +1325,8 @@ class IVFIndex:
         happen HERE or not at all. ``attr_cols`` and ``quantize`` are
         part of the store's schema contract — append/refresh replay
         them from here."""
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [
                 (
                     id_col, int(dim), cells_dir, ",".join(segments),
@@ -1327,7 +1337,7 @@ class IVFIndex:
             "id_col string, dim int, cells_dir string, segments string, "
             "n_deleted int, centroids_dir string, attr_cols string, "
             "quantize string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        ).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
     def load(cls, spark, path: str) -> "IVFIndex":
@@ -1445,9 +1455,9 @@ class IVFIndex:
         if not existing:
             return self
         merged = sorted(set(prev) | existing)
-        self._spark.createDataFrame(
-            [(i,) for i in merged], "_id string"
-        ).coalesce(1).write.mode("overwrite").parquet(
+        local_rows_df(
+            self._spark, [(i,) for i in merged], "_id string"
+        ).write.mode("overwrite").parquet(
             f"{self._path}/tombstones"
         )
         self._write_meta(
@@ -1698,7 +1708,8 @@ class IVFIndex:
             )
             base = self._index_df()
             if self._quantize == "pq_res":
-                cents = self._spark.createDataFrame(
+                cents = local_rows_df(
+                    self._spark,
                     [
                         (i, [float(x) for x in c])
                         for i, c in enumerate(self._centroids)
@@ -1772,10 +1783,11 @@ class IVFIndex:
             .partitionBy("cluster")
             .parquet(f"{self._path}/{new_cells}")
         )
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(i, list(map(float, c))) for i, c in enumerate(cents)],
             "cluster int, centroid array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(
+        ).write.mode("overwrite").parquet(
             f"{self._path}/{new_cents}"
         )
         old = [

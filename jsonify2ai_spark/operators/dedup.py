@@ -20,12 +20,13 @@ what lets the DuckDB oracle check these operators value-for-value.
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from jsonify2ai_spark.session import ensure_min_partitions
+from jsonify2ai_spark.session import ensure_min_partitions, local_rows_df
 from jsonify2ai_spark.functions.text import normalize_ws, shingles, tokens
 
 # Modulus for the minhash permutation family: 2^31 - 1 (prime). Keeps
@@ -35,6 +36,56 @@ _P = 2_147_483_647
 
 def _content_fingerprint(text: Column) -> Column:
     return F.md5(normalize_ws(text))
+
+
+def _store_partitioned_write(
+    staged: DataFrame,
+    dest: str,
+    part_cols: list[str],
+    sort_cols: list[str],
+    n_rows: int | None = None,
+) -> None:
+    """Write a store table partitioned by ``part_cols`` — as DIRECTORIES
+    when the table is big enough that directory pruning is the
+    scan-avoidance that matters, and as LEADING SORT COLUMNS in a flat
+    write when it is not (r15 optimization).
+
+    Every partition directory costs ~15 ms of writer open/close + commit
+    rename regardless of its size: the 16x16 (band, bpfx) band-table
+    layout paid ~7 s PER WRITE at bench scale with a few KB in each cell
+    (measured, OPTIMIZATION_r15.md). Below the row threshold the
+    partition keys become ordinary data columns sorted to the front of
+    one file — the probes' equality/isin predicates on them push down to
+    parquet row-group stats instead of pruning directories (PushedFilters
+    in place of PartitionFilters; same rows either way, pinned by
+    parity + plan tests). Above it the directory layout returns, where
+    cells are file-sized and dir pruning skips real IO. The threshold is
+    rows, not bytes, because these tables are fixed-width key rows:
+    SPARK_GRAFT_STORE_PART_ROWS (default 2M — ~30-60 MB of key rows,
+    i.e. about one healthy parquet file; deployments override per store
+    shape)."""
+    n = staged.count() if n_rows is None else n_rows
+    if n == 0:
+        # an EMPTY partitionBy write leaves a schema-less dir that no
+        # later load can read — land it flat (one zero-row part file
+        # carries the schema; partition columns stay filterable)
+        staged.write.mode("overwrite").parquet(dest)
+        return
+    if n < int(os.environ.get("SPARK_GRAFT_STORE_PART_ROWS", "2000000")):
+        (
+            staged.repartition(1)
+            .sortWithinPartitions(*part_cols, *sort_cols)
+            .write.mode("overwrite")
+            .parquet(dest)
+        )
+        return
+    (
+        staged.repartition(*[F.col(c) for c in part_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(dest)
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -963,7 +1014,7 @@ def _cc_union_find_driver(base: DataFrame) -> DataFrame:
         ]
     )
     data = [(n, reps[find(n)]) for n in parent]
-    return base.sparkSession.createDataFrame(data, out_schema)
+    return local_rows_df(base.sparkSession, data, out_schema)
 
 
 def connected_components(
@@ -2274,8 +2325,9 @@ def decontamination_report(
     total = docs.agg(F.count(F.lit(1)).cast("double").alias("_total"))
     # every suite gets a row — a CLEAN benchmark's n_contaminated=0 line
     # is the headline a model card needs, and the hits frame is sparse
-    suites = docs.sparkSession.createDataFrame(
-        [(name,) for name in sorted(benchmarks)], "benchmark string"
+    suites = local_rows_df(
+        docs.sparkSession, [(name,) for name in sorted(benchmarks)],
+        "benchmark string",
     )
     rollup = hits.groupBy("benchmark").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_contaminated")
@@ -2432,20 +2484,7 @@ class ClusterStore:
             F.col("cluster_rep").alias("rep0"),
             F.pmod(F.xxhash64("node"), F.lit(n_buckets)).cast("int").alias("bucket"),
         )
-        if staged.limit(1).count() == 0:
-            # an EMPTY partitionBy write leaves a schema-less dir that no
-            # later load can read — land the empty base unpartitioned
-            # (one zero-row part file carries the schema; the bucket
-            # column still exists for every probe filter)
-            staged.write.mode("overwrite").parquet(f"{path}/nodes")
-        else:
-            (
-                staged.repartition(F.col("bucket"))
-                .sortWithinPartitions("node")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(f"{path}/nodes")
-            )
+        _store_partitioned_write(staged, f"{path}/nodes", ["bucket"], ["node"])
         cls._write_meta(spark, path, n_buckets, "nodes", (), "")
         return cls.load(spark, path)
 
@@ -2457,7 +2496,8 @@ class ClusterStore:
         """The one-row commit point: segment visibility, overlay swaps,
         dir swaps, and node-tombstone visibility happen HERE or not at
         all."""
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [
                 (
                     int(n_buckets), nodes_dir, ",".join(segments),
@@ -2466,7 +2506,7 @@ class ClusterStore:
             ],
             "n_buckets int, nodes_dir string, segments string, "
             "remap_dir string, tombs_dir string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        ).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
     def load(cls, spark, path: str) -> "ClusterStore":
@@ -2660,13 +2700,11 @@ class ClusterStore:
             f"{self._path}/{new_tombs_rel}"
         )
         segments = tuple(self._segments)
-        if rep_rows is not None and rep_rows.count() > 0:
-            (
-                rep_rows.repartition(F.col("bucket"))
-                .sortWithinPartitions("node")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(f"{self._path}/nodes_incr/{run_id}")
+        n_rep = rep_rows.count() if rep_rows is not None else 0
+        if n_rep > 0:
+            _store_partitioned_write(
+                rep_rows, f"{self._path}/nodes_incr/{run_id}",
+                ["bucket"], ["node"], n_rows=n_rep,
             )
             segments = segments + (str(run_id),)
         # overlay cleanup: path compression guarantees every entry of a
@@ -2808,12 +2846,9 @@ class ClusterStore:
                 "new content, not redelivery; use a fresh run_id"
             )
         if n_seg > 0:
-            (
-                seg.repartition(F.col("bucket"))
-                .sortWithinPartitions("node")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(f"{self._path}/nodes_incr/{run_id}")
+            _store_partitioned_write(
+                seg, f"{self._path}/nodes_incr/{run_id}",
+                ["bucket"], ["node"], n_rows=n_seg,
             )
             if str(run_id) not in segments:
                 segments = segments + (str(run_id),)
@@ -2878,18 +2913,9 @@ class ClusterStore:
             F.col("cluster_rep").alias("rep0"),
             F.pmod(F.xxhash64("node"), F.lit(self._n_buckets)).cast("int").alias("bucket"),
         )
-        if folded.limit(1).count() == 0:
-            # deletes can empty the mapping; an empty partitionBy write
-            # leaves a schema-less dir (the build() lesson)
-            folded.write.mode("overwrite").parquet(f"{self._path}/{new_rel}")
-        else:
-            (
-                folded.repartition(F.col("bucket"))
-                .sortWithinPartitions("node")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(f"{self._path}/{new_rel}")
-            )
+        _store_partitioned_write(
+            folded, f"{self._path}/{new_rel}", ["bucket"], ["node"]
+        )
         old = [f"{self._path}/{self._nodes_dir}"] + [
             f"{self._path}/nodes_incr/{rid}" for rid in self._segments
         ]
@@ -2963,12 +2989,12 @@ class NearDupStore:
     ) -> "NearDupStore":
         """An EMPTY store: banding config frozen into the meta; every
         document arrives through :meth:`add_batch`."""
-        empty_bands = spark.createDataFrame(
-            [], f"{id_col} long, band int, bucket string"
+        empty_bands = local_rows_df(
+            spark, [], f"{id_col} long, band int, bucket string"
         )
         cls._write_bands(empty_bands, f"{path}/bands", id_col)
         ClusterStore.build(
-            spark.createDataFrame([], "a long, b long"),
+            local_rows_df(spark, [], "a long, b long"),
             f"{path}/clusters", n_buckets=n_buckets,
         )
         cls._write_meta(
@@ -2983,26 +3009,15 @@ class NearDupStore:
             F.col(id_col), F.col("band"),
             F.substring("bucket", 1, 1).alias("bpfx"), F.col("bucket"),
         )
-        if staged.limit(1).count() == 0:
-            # an EMPTY partitionBy write leaves a schema-less dir (the
-            # ClusterStore.build lesson) — land it unpartitioned; the
-            # partition columns still exist for every later filter
-            staged.write.mode("overwrite").parquet(dest)
-            return
-        (
-            staged.repartition(F.col("band"), F.col("bpfx"))
-            .sortWithinPartitions(id_col)
-            .write.mode("overwrite")
-            .partitionBy("band", "bpfx")
-            .parquet(dest)
-        )
+        _store_partitioned_write(staged, dest, ["band", "bpfx"], [id_col])
 
     @staticmethod
     def _write_meta(
         spark, path, text_col, id_col, num_hashes, bands, shingle_n,
         bands_dir, segments, btombs_dir="", dsegments=(),
     ) -> None:
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [
                 (
                     text_col, id_col, int(num_hashes), int(bands),
@@ -3013,7 +3028,7 @@ class NearDupStore:
             "text_col string, id_col string, num_hashes int, bands int, "
             "shingle_n int, bands_dir string, segments string, "
             "btombs_dir string, dsegments string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        ).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
     def load(cls, spark, path: str) -> "NearDupStore":
@@ -3306,20 +3321,10 @@ class NearDupStore:
             folded = self._band_table().select(
                 self._id_col, "band", "bpfx", "bucket"
             )
-            if folded.limit(1).count() == 0:
-                # purge can empty the table; an empty partitionBy write
-                # leaves a schema-less dir (the create() lesson)
-                folded.write.mode("overwrite").parquet(
-                    f"{self._path}/{new_rel}"
-                )
-            else:
-                (
-                    folded.repartition(F.col("band"), F.col("bpfx"))
-                    .sortWithinPartitions(self._id_col)
-                    .write.mode("overwrite")
-                    .partitionBy("band", "bpfx")
-                    .parquet(f"{self._path}/{new_rel}")
-                )
+            _store_partitioned_write(
+                folded, f"{self._path}/{new_rel}",
+                ["band", "bpfx"], [self._id_col],
+            )
             old = [f"{self._path}/{self._bands_dir}"] + [
                 f"{self._path}/bands_incr/{rid}" for rid in self._segments
             ]

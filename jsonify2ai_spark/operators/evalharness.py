@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from jsonify2ai_spark.session import local_rows_df
+
 from jsonify2ai_spark.functions.vectors import cosine_similarity, dev_embedding
 
 
@@ -165,7 +167,7 @@ def word2vec_arm(
     qvec: dict[str, list[float]] = {}
 
     def _embed_batch(qs: list[str]) -> None:
-        qdf = spark.createDataFrame([(q,) for q in qs], "text string").withColumn(
+        qdf = local_rows_df(spark, [(q,) for q in qs], "text string").withColumn(
             "_tok",
             F.coalesce(tokens(F.col("text")), F.array().cast("array<string>")),
         )

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from jsonify2ai_spark.session import local_rows_df
+
 
 def pack_sequences(
     df: DataFrame,
@@ -474,7 +476,7 @@ def purge_packed_bins(
 
     spark = bins.sparkSession
     elem_t = bins.schema[ids_col].dataType.elementType.simpleString()
-    tomb_df = spark.createDataFrame([(ids,)], "_tomb_ids array<string>")
+    tomb_df = local_rows_df(spark, [(ids,)], "_tomb_ids array<string>")
     df = bins.crossJoin(F.broadcast(tomb_df))
     tomb = F.col("_tomb_ids")
 

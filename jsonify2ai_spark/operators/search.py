@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jsonify2ai_spark.session import local_rows_df
+
 from jsonify2ai_spark.functions.vectors import cosine_similarity, dot, l2_norm, l2_normalize
 
 
@@ -509,8 +511,9 @@ def _rekey_exclude_rank(res, queries, positives, k, score_col, id_col, out_score
             "indexed mining: duplicate query_ids in `queries` — merge "
             "their positives and pass each query once"
         )
-    pos_map = spark.createDataFrame(
-        [(i, qid) for i, qid in enumerate(qids)], ["query_id", "_ext_qid"]
+    pos_map = local_rows_df(
+        spark, [(i, qid) for i, qid in enumerate(qids)],
+        ["query_id", "_ext_qid"],
     )
     rekeyed = (
         res.join(F.broadcast(pos_map), "query_id")
@@ -519,7 +522,7 @@ def _rekey_exclude_rank(res, queries, positives, k, score_col, id_col, out_score
     )
     pos_rows = [(qid, d) for qid, ds in positives.items() for d in ds]
     if pos_rows:
-        pos_df = spark.createDataFrame(pos_rows, ["query_id", id_col])
+        pos_df = local_rows_df(spark, pos_rows, ["query_id", id_col])
         rekeyed = rekeyed.join(
             F.broadcast(pos_df), ["query_id", id_col], "left_anti"
         )

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from jsonify2ai_spark.session import local_rows_df
+
 
 def render_sft_samples(
     df: DataFrame,
@@ -174,8 +176,8 @@ def sft_token_samples(
             "every turn must carry a role; fill or drop malformed turns "
             "upstream"
         )
-    hdr_df = spark.createDataFrame([(r, f"<|{r}|>") for r in roles],
-                                   f"{role_col} string, _h string")
+    hdr_df = local_rows_df(spark, [(r, f"<|{r}|>") for r in roles],
+                           f"{role_col} string, _h string")
     hdr_counts = bpe_encode_fast(
         hdr_df, merges, text_col="_h", out_col="_htoks", lowercase=lowercase
     ).select(role_col, F.size("_htoks").alias("_hn"))

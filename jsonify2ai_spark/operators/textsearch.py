@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from jsonify2ai_spark.session import local_rows_df
 from jsonify2ai_spark.functions.text import tokens
 
 K1_DEFAULT = 1.2
@@ -274,10 +275,10 @@ class BM25Index:
             # long — the empty-batch schema must equal the non-empty one
             # for downstream unions on the degenerate path (r7 advisor)
             idt = self._doclens.schema[idc].dataType.simpleString()
-            return spark.createDataFrame(
-                [], f"query_id int, {idc} {idt}, bm25 double"
+            return local_rows_df(
+                spark, [], f"query_id int, {idc} {idt}, bm25 double"
             )
-        qdf = spark.createDataFrame(qterms, "query_id int, term string")
+        qdf = local_rows_df(spark, qterms, "query_id int, term string")
         # broadcast the tiny (qid, term) list into the term-partitioned
         # postings: each query's terms pull only their own posting lists
         posted = self._lookup_batch(qdf, sorted({t for _, t in qterms}))
@@ -304,7 +305,8 @@ class BM25Index:
         spark = self._posts.sparkSession
         self._posts.write.mode("overwrite").parquet(f"{path}/postings")
         self._doclens.write.mode("overwrite").parquet(f"{path}/doclens")
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [
                 (
                     self._n_docs,
@@ -317,7 +319,7 @@ class BM25Index:
             ],
             "n_docs long, avgdl double, k1 double, b double, "
             "id_col string, attr_cols string",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        ).write.mode("overwrite").parquet(f"{path}/meta")
 
     @classmethod
     def load(cls, spark, path: str) -> "BM25Index":
@@ -593,7 +595,8 @@ class ShardedBM25Index(BM25Index):
         leaves unreferenced directories, never a half-visible index.
         Single-writer maintenance contract: the overwrite itself is
         delete-then-write, so concurrent maintenance ops race."""
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [
                 (
                     int(n_docs),
@@ -614,7 +617,7 @@ class ShardedBM25Index(BM25Index):
             "id_col string, attr_cols string, n_buckets int, "
             "postings_dir string, doclens_dir string, segments string, "
             "n_deleted int, pruned boolean",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        ).write.mode("overwrite").parquet(f"{path}/meta")
 
     def save(self, path: str) -> None:
         """Copy the sharded layout to a new location (the postings frame
@@ -836,9 +839,9 @@ class ShardedBM25Index(BM25Index):
         avgdl = (
             (self._avgdl * self._n_docs - dl_del) / total if total > 0 else 0.0
         )
-        spark.createDataFrame(
-            [(i,) for i in merged], "_id string"
-        ).coalesce(1).write.mode("overwrite").parquet(
+        local_rows_df(
+            spark, [(i,) for i in merged], "_id string"
+        ).write.mode("overwrite").parquet(
             f"{self._path}/tombstones"
         )
         self._write_meta(
@@ -1061,7 +1064,7 @@ class ShardedBM25Index(BM25Index):
         spark = self._posts.sparkSession
         if not terms:
             idt = self._doclens.schema[idc].dataType.simpleString()
-            empty = spark.createDataFrame([], f"{idc} {idt}, bm25 double")
+            empty = local_rows_df(spark, [], f"{idc} {idt}, bm25 double")
             return (empty, True) if with_certificate else empty
         prefix = self._impact_prefix(terms, depth)
         if not with_certificate:
@@ -1088,8 +1091,9 @@ class ShardedBM25Index(BM25Index):
         }
         t_sum = sum(tails.values())
         n_capped = sum(1 for v in tails.values() if v > 0.0)
-        tail_df = spark.createDataFrame(
-            [(t, v) for t, v in tails.items()], "term string, _tail double"
+        tail_df = local_rows_df(
+            spark, [(t, v) for t, v in tails.items()],
+            "term string, _tail double",
         )
         aggd = (
             prefix.join(F.broadcast(tail_df), "term")
@@ -1159,10 +1163,10 @@ class ShardedBM25Index(BM25Index):
         idc = self._id_col
         if not qterms:
             idt = self._doclens.schema[idc].dataType.simpleString()
-            return spark.createDataFrame(
-                [], f"query_id int, {idc} {idt}, bm25 double"
+            return local_rows_df(
+                spark, [], f"query_id int, {idc} {idt}, bm25 double"
             )
-        qdf = spark.createDataFrame(qterms, "query_id int, term string")
+        qdf = local_rows_df(spark, qterms, "query_id int, term string")
         posted = self._lookup_batch(
             qdf, sorted({t for _, t in qterms})
         ).filter(F.col("impact_rank") <= depth)
@@ -1236,8 +1240,8 @@ class ShardedBM25Index(BM25Index):
         spark = self._posts.sparkSession
         idc = self._id_col
         idt = self._doclens.schema[idc].dataType.simpleString()
-        empty = spark.createDataFrame(
-            [], f"query_id int, {idc} {idt}, bm25 double"
+        empty = local_rows_df(
+            spark, [], f"query_id int, {idc} {idt}, bm25 double"
         )
         pending = list(range(len(queries)))
         pieces, info = [], {"certified_at": {}, "exact_fallback": []}
@@ -1256,7 +1260,7 @@ class ShardedBM25Index(BM25Index):
                     info["certified_at"].setdefault(depth, []).append(qi)
                 pending = []
                 break
-            qdf = spark.createDataFrame(qterms, "query_id int, term string")
+            qdf = local_rows_df(spark, qterms, "query_id int, term string")
             prefix = (
                 self._lookup_batch(qdf, sorted({t for _, t in qterms}))
                 .filter(F.col("impact_rank") <= depth)
@@ -1307,8 +1311,8 @@ class ShardedBM25Index(BM25Index):
             # bound is partial + (the query's all-terms tail sum − the
             # tails of terms it WAS seen in); the query's t_sum joins in
             # as a tiny broadcast frame
-            tsum_df = spark.createDataFrame(
-                [(qi, t_sums.get(qi, 0.0)) for qi in pending],
+            tsum_df = local_rows_df(
+                spark, [(qi, t_sums.get(qi, 0.0)) for qi in pending],
                 "query_id int, _tsum double",
             )
             upper = F.col("_partial") + F.col("_tsum") - F.col("_seen_tail")
@@ -1364,8 +1368,8 @@ class ShardedBM25Index(BM25Index):
             depth *= 2
         if pending:
             sub = [queries[qi] for qi in pending]
-            remap = spark.createDataFrame(
-                [(i, qi) for i, qi in enumerate(pending)],
+            remap = local_rows_df(
+                spark, [(i, qi) for i, qi in enumerate(pending)],
                 "query_id int, _orig int",
             )
             part = self.topk_batch(sub, k=k)
@@ -1473,8 +1477,8 @@ class RoutedBM25:
                 continue
             idx = self._pruned if use_pruned else self._exact
             part = idx.topk_batch([q for _, q in sub], k=k)
-            remap = spark.createDataFrame(
-                [(i, qi) for i, (qi, _) in enumerate(sub)],
+            remap = local_rows_df(
+                spark, [(i, qi) for i, (qi, _) in enumerate(sub)],
                 "query_id int, _orig int",
             )
             part = (
@@ -1488,8 +1492,9 @@ class RoutedBM25:
             idt = self._exact._doclens.schema[
                 self._exact._id_col
             ].dataType.simpleString()
-            return spark.createDataFrame(
-                [], f"query_id int, {self._exact._id_col} {idt}, bm25 double"
+            return local_rows_df(
+                spark, [],
+                f"query_id int, {self._exact._id_col} {idt}, bm25 double",
             )
         return out
 

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from jsonify2ai_spark.functions.text import token_count, tokens
 from jsonify2ai_spark.operators.inventory import _stable_avg
-from jsonify2ai_spark.session import ensure_min_partitions
+from jsonify2ai_spark.session import ensure_min_partitions, local_rows_df
 
 # Tiny per-language marker lexicons for the n-gram/stopword heuristic.
 # Real corpora would use a trained char-n-gram profile (still a pure
@@ -1373,7 +1373,7 @@ def blocklist_filter(
     wordset = sorted({w.lower() for w in words})
     if scope == "doc" and len(wordset) > _BLOCKLIST_JOIN_THRESHOLD:
         spark = df.sparkSession
-        wl = spark.createDataFrame([(w,) for w in wordset], "_bw string")
+        wl = local_rows_df(spark, [(w,) for w in wordset], "_bw string")
         ex = df.select(
             F.col(id_col), F.explode(tokens(_c(text_col))).alias("_t")
         ).select(F.col(id_col), F.lower("_t").alias("_t"))
@@ -1417,7 +1417,7 @@ def blocklist_filter(
         # reassembly. Same decisions as the literal-array scan below
         # (parity-pinned); NULL-text docs restored via the left join.
         spark = df.sparkSession
-        wl = spark.createDataFrame([(w,) for w in wordset], "_bw string")
+        wl = local_rows_df(spark, [(w,) for w in wordset], "_bw string")
         lx = df.select(
             F.col(id_col),
             F.posexplode(F.split(_c(text_col), "\n")).alias("_idx", "_ln"),
@@ -1724,7 +1724,8 @@ def filter_agreement(
                 int(row[f"dd_{key}"] or 0),
             )
         )
-    out = spark.createDataFrame(
+    out = local_rows_df(
+        spark,
         out_rows,
         "gate_a string, gate_b string, n_both_keep bigint, "
         "n_drop_a_only bigint, n_drop_b_only bigint, n_both_drop bigint",

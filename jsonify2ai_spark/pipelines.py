@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from jsonify2ai_spark.session import local_rows_df
+
 
 def prepare_training_corpus(
     docs: DataFrame,
@@ -552,10 +554,11 @@ def corpus_to_token_shards(
     )
 
     tok_dir = os.path.join(out_dir, "tokenizer")
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string",
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).write.mode("overwrite").parquet(
         os.path.join(tok_dir, "merges.parquet")
     )
     vocab.coalesce(1).write.mode("overwrite").parquet(
@@ -734,10 +737,11 @@ def sft_to_token_shards(
     )
 
     tok_dir = os.path.join(out_dir, "tokenizer")
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string",
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).write.mode("overwrite").parquet(
         os.path.join(tok_dir, "merges.parquet")
     )
     vocab.coalesce(1).write.mode("overwrite").parquet(
@@ -947,10 +951,11 @@ def dpo_to_token_shards(
     )
 
     tok_dir = os.path.join(out_dir, "tokenizer")
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string",
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).write.mode("overwrite").parquet(
         os.path.join(tok_dir, "merges.parquet")
     )
     vocab.coalesce(1).write.mode("overwrite").parquet(
@@ -1529,7 +1534,7 @@ def _apply_tombstones(df: DataFrame, manifest: dict) -> DataFrame:
             "the store's real key via purge_shard_store(id_col=...)"
         )
     spark = df.sparkSession
-    tomb = spark.createDataFrame([(i,) for i in ids], "_tomb_id string")
+    tomb = local_rows_df(spark, [(i,) for i in ids], "_tomb_id string")
     return df.join(
         F.broadcast(tomb),
         F.col(id_col).cast("string") == F.col("_tomb_id"),

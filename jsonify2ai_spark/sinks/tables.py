@@ -17,6 +17,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from jsonify2ai_spark.session import local_rows_df
+
 
 class SchemaMismatch(Exception):
     """Existing table schema is incompatible with the expected one."""
@@ -59,7 +61,7 @@ def ensure_table(
             )
         shutil.rmtree(path, ignore_errors=True)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+    local_rows_df(spark, [], schema).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 

@@ -21,6 +21,8 @@ aggregates, so batch backfill and the live stream share one definition.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from jsonify2ai_spark.session import local_rows_df
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
@@ -313,7 +315,7 @@ class CorpusNearDupGate:
         spark = self._sets.sparkSession
         self._sets.write.mode("overwrite").parquet(f"{path}/sets")
         self._posts.write.mode("overwrite").parquet(f"{path}/posts")
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [
                 (
                     self._threshold,
@@ -522,7 +524,7 @@ class BoilerplateLineGate:
         CorpusNearDupGate.save — same contract, one artifact)."""
         spark = self._hot.sparkSession
         self._hot.write.mode("overwrite").parquet(f"{path}/hot")
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(self._text_col, self._id_col)], "text_col string, id_col string"
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
@@ -639,7 +641,7 @@ class DecontaminationGate:
         warm-load (see CorpusNearDupGate.save — same contract)."""
         spark = self._bsh.sparkSession
         self._bsh.write.mode("overwrite").parquet(f"{path}/bsh")
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(self._n, self._text_col, self._id_col, self._normalize)],
             "n int, text_col string, id_col string, normalize boolean",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -763,7 +765,7 @@ class SpanDedupGate:
         (see CorpusNearDupGate.save — same contract)."""
         spark = self._hot.sparkSession
         self._hot.write.mode("overwrite").parquet(f"{path}/hot")
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [
                 (
                     self._n,
@@ -1105,7 +1107,7 @@ class DiversityCapGate:
         # K-row (cluster, remaining) frame, broadcast-joined on cluster —
         # planning cost flat in |centroids| (r8 verdict #3; the previous
         # K-deep chained when() grew expression depth linearly in K)
-        rem = batch.sparkSession.createDataFrame(
+        rem = local_rows_df(batch.sparkSession, 
             [(cid, max(self._cap - used, 0)) for cid, used in budgets.items()],
             "cluster int, _remaining int",
         )
@@ -1367,7 +1369,7 @@ class LeakageGate:
         warm-load (see CorpusNearDupGate.save — same contract)."""
         spark = self._tsh.sparkSession
         self._tsh.write.mode("overwrite").parquet(f"{path}/tsh")
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [
                 (
                     self._split_col,
@@ -1592,15 +1594,15 @@ class TokenizeGate:
         """Persist merges + vocab + params (the corpus_to_token_shards
         tokenizer artifact layout, plus gate meta) for restart warm-load."""
         spark = self._spark
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(i, a, b) for i, (a, b) in enumerate(self._merges)],
             "rank int, left string, right string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/merges.parquet")
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(t, i) for t, i in self._mapping.items()],
             "token string, token_id long",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab.parquet")
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [
                 (
                     self._input_col,
@@ -1796,7 +1798,7 @@ class PackGate:
             for k, (i, t) in enumerate(docs)
         ]
         if carried_rows:
-            carried = spark.createDataFrame(
+            carried = local_rows_df(spark, 
                 carried_rows,
                 StructType(
                     [
@@ -1812,7 +1814,7 @@ class PackGate:
         # K-row start-bin frame, broadcast-joined (flat planning in K);
         # union with next_bin's keys so negative-id groups (outside
         # range(n_groups), see the fold's fillna note) keep their state
-        starts = spark.createDataFrame(
+        starts = local_rows_df(spark, 
             [
                 (g, next_bin.get(g, 0))
                 for g in set(range(self._n_groups)) | set(next_bin)
@@ -1865,7 +1867,7 @@ class PackGate:
             .agg(F.max("bin_idx").alias("mx"))
             .collect()
         }
-        open_frame = spark.createDataFrame(
+        open_frame = local_rows_df(spark, 
             [(g, b) for g, b in opens.items()] or [(0, -1)],
             "pack_group long, _open_bin long",
         )
@@ -1928,7 +1930,7 @@ class PackGate:
             for g, docs in self._open.items()
             for i, t in docs
         ]
-        df = spark.createDataFrame(
+        df = local_rows_df(spark, 
             rows,
             f"pack_group long, {self._id_col} {self._id_dtype}, "
             f"{self._ids_col} array<bigint>, bin_idx long",
@@ -2320,7 +2322,7 @@ class DSIRGate:
         (CorpusNearDupGate.save contract)."""
         spark = self._model.sparkSession
         self._model.write.mode("overwrite").parquet(f"{path}/model")
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [
                 (
                     self._buckets,
@@ -2587,7 +2589,7 @@ class PerplexityGate:
         """Persist the vocab model + params for restart warm-load."""
         spark = self._vocab.sparkSession
         self._vocab.write.mode("overwrite").parquet(f"{path}/vocab")
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [
                 (
                     self._alpha,
@@ -2605,7 +2607,7 @@ class PerplexityGate:
         if self._drift_alert is not None:
             # sidecar rather than a meta column: pre-r13 artifacts stay
             # loadable with the fixed meta schema above
-            spark.createDataFrame(
+            local_rows_df(spark, 
                 [(self._drift_alert,)], "drift_alert double"
             ).coalesce(1).write.mode("overwrite").parquet(
                 f"{path}/drift_meta"
@@ -2893,10 +2895,10 @@ class BloomDedupGate:
         rows = [
             (i, raw[i : i + chunk]) for i in range(0, len(raw), chunk)
         ]
-        spark.createDataFrame(rows, "off long, chunk binary").coalesce(
+        local_rows_df(spark, rows, "off long, chunk binary").coalesce(
             1
         ).write.mode("overwrite").parquet(f"{path}/bitmap")
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [(self._m, self._k, self._text_col, self._id_col, self._n_corpus)],
             "m_bits long, n_hashes int, text_col string, id_col string, n_corpus long",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
@@ -3082,7 +3084,7 @@ class CommonnessGate:
     def save(self, path: str) -> None:
         spark = self._dfreq.sparkSession
         self._dfreq.write.mode("overwrite").parquet(f"{path}/dfreq")
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [
                 (
                     self._beta,

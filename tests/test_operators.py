@@ -4617,13 +4617,18 @@ def test_cluster_store_incremental_equals_full_recompute(spark, tmp_path):
     assert {(r["node"], r["cluster_rep"]) for r in re.reps().collect()} == want2
 
 
-def test_cluster_store_probe_prunes_buckets(spark, tmp_path):
+def test_cluster_store_probe_prunes_buckets(spark, tmp_path, monkeypatch):
     """The membership probe must reach the mapping as a bucket partition
-    prune — never a full-corpus scan (the store's O(delta) claim)."""
+    prune — never a full-corpus scan (the store's O(delta) claim).
+    Forces the at-scale directory layout: below the
+    SPARK_GRAFT_STORE_PART_ROWS threshold, small writes land flat and
+    the probe predicate pushes down to row groups instead (pinned by
+    test_store_small_write_layout)."""
     import re as _re
 
     from jsonify2ai_spark.operators.dedup import ClusterStore
 
+    monkeypatch.setenv("SPARK_GRAFT_STORE_PART_ROWS", "0")
     edges = [(i, i + 1) for i in range(0, 400, 2)]
     store = ClusterStore.build(
         spark.createDataFrame(edges, "a long, b long"), str(tmp_path / "cs")
@@ -4638,6 +4643,98 @@ def test_cluster_store_probe_prunes_buckets(spark, tmp_path):
     assert pruned, plan[:3000]
     got = {(r["node"], r["cluster_rep"]) for r in probe.collect()}
     assert got == {(4, 4), (5, 4)}
+
+
+def test_store_small_write_layout(spark, tmp_path, monkeypatch):
+    """The r15 layout-adaptive store write: below the
+    SPARK_GRAFT_STORE_PART_ROWS threshold a partitioned store table
+    lands FLAT (no partition directories — each dir costs ~15 ms of
+    writer+commit overhead regardless of size, ~7 s per 256-cell band
+    write at bench scale), with the partition keys as leading sort
+    columns so probe predicates push down to parquet row groups. The
+    pins: (a) no key=value dirs on disk, (b) the probe's key predicate
+    reaches the scan as a PushedFilter, (c) results are IDENTICAL to
+    the directory layout — including a MIXED store whose base is
+    directory-partitioned and whose segment is flat."""
+    import os as _os
+    import re as _re
+
+    from jsonify2ai_spark.operators.dedup import ClusterStore, NearDupStore
+
+    edges = [(i, i + 1) for i in range(0, 400, 2)]
+    edf = spark.createDataFrame(edges, "a long, b long")
+
+    # directory layout (forced) = the reference answer
+    monkeypatch.setenv("SPARK_GRAFT_STORE_PART_ROWS", "0")
+    big = ClusterStore.build(edf, str(tmp_path / "cs_dir"))
+    want = {(r["node"], r["cluster_rep"]) for r in big.reps().collect()}
+
+    # small/flat layout
+    monkeypatch.setenv("SPARK_GRAFT_STORE_PART_ROWS", "2000000")
+    flat = ClusterStore.build(edf, str(tmp_path / "cs_flat"))
+    nodes_dir = str(tmp_path / "cs_flat" / "nodes")
+    assert not any(
+        e.startswith("bucket=") for e in _os.listdir(nodes_dir)
+    ), _os.listdir(nodes_dir)
+    assert {(r["node"], r["cluster_rep"]) for r in flat.reps().collect()} == want
+
+    # probe predicate pushes down to the flat scan
+    probe = flat.reps_of(spark.createDataFrame([(4,), (5,)], "node long"))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pushed = [
+        f
+        for f in _re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        if "bucket" in f
+    ]
+    assert pushed, plan[:3000]
+    assert {(r["node"], r["cluster_rep"]) for r in probe.collect()} == {
+        (4, 4), (5, 4),
+    }
+
+    # mixed layouts in ONE store: dir-partitioned base + flat segment
+    monkeypatch.setenv("SPARK_GRAFT_STORE_PART_ROWS", "0")
+    mixed = ClusterStore.build(edf, str(tmp_path / "cs_mixed"))
+    monkeypatch.setenv("SPARK_GRAFT_STORE_PART_ROWS", "2000000")
+    mixed = mixed.merge_delta(
+        spark.createDataFrame([(1, 2), (1000, 1001)], "a long, b long"), "d1"
+    )
+    from jsonify2ai_spark.operators.dedup import connected_components
+
+    want2 = {
+        (r["node"], r["cluster_rep"])
+        for r in connected_components(
+            spark.createDataFrame(
+                edges + [(1, 2), (1000, 1001)], "a long, b long"
+            )
+        ).collect()
+    }
+    assert {
+        (r["node"], r["cluster_rep"]) for r in mixed.reps().collect()
+    } == want2
+
+    # NearDupStore: flat band segment == the same clustering as the
+    # dir layout, and no band=*/ dirs under the segment
+    docs = spark.createDataFrame(
+        [(i, f"some shared sentence body {i % 5} tail") for i in range(40)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setenv("SPARK_GRAFT_STORE_PART_ROWS", "0")
+    nd_dir = NearDupStore.create(
+        spark, str(tmp_path / "nd_dir"), num_hashes=32, bands=8
+    ).add_batch(docs, "b0")
+    want_nd = {(r["node"], r["cluster_rep"]) for r in nd_dir.reps().collect()}
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_PART_ROWS", "2000000")
+    nd_flat = NearDupStore.create(
+        spark, str(tmp_path / "nd_flat"), num_hashes=32, bands=8
+    ).add_batch(docs, "b0")
+    seg_dir = str(tmp_path / "nd_flat" / "bands_incr" / "b0")
+    assert not any(
+        e.startswith("band=") for e in _os.listdir(seg_dir)
+    ), _os.listdir(seg_dir)
+    assert {
+        (r["node"], r["cluster_rep"]) for r in nd_flat.reps().collect()
+    } == want_nd
 
 
 def test_neardup_store_batches_equal_all_at_once(spark, tmp_path):
@@ -4712,14 +4809,17 @@ def test_neardup_store_batches_equal_all_at_once(spark, tmp_path):
     assert {(r["node"], r["cluster_rep"]) for r in re.reps().collect()} == want2
 
 
-def test_neardup_store_probe_prunes_partitions(spark, tmp_path):
+def test_neardup_store_probe_prunes_partitions(spark, tmp_path, monkeypatch):
     """The batch-vs-store candidate probe must reach the band table as
     a (band, bpfx) partition prune — the O(batch) claim's plan half
-    (the value half is the parity test above)."""
+    (the value half is the parity test above). Forces the at-scale
+    directory layout (see test_store_small_write_layout for the
+    below-threshold flat layout)."""
     import re as _re
 
     from jsonify2ai_spark.operators.dedup import NearDupStore, _lsh_banded
 
+    monkeypatch.setenv("SPARK_GRAFT_STORE_PART_ROWS", "0")
     docs = spark.createDataFrame(
         [(i, f"some shared sentence body {i % 5} tail") for i in range(40)],
         "doc_id long, text string",
@@ -4899,15 +4999,17 @@ def test_neardup_store_delete_docs_equals_recompute(spark, tmp_path):
     assert {(r["node"], r["cluster_rep"]) for r in re.reps().collect()} == want3
 
 
-def test_neardup_store_delete_keeps_plans_pruned(spark, tmp_path):
+def test_neardup_store_delete_keeps_plans_pruned(spark, tmp_path, monkeypatch):
     """With tombstones PRESENT, the scale contracts must survive: the
     batch probe still reaches the band table as a (band, bpfx)
     partition prune, and both tombstone masks stay broadcast anti-joins
-    (map-side) — never a SortMergeJoin over the corpus."""
+    (map-side) — never a SortMergeJoin over the corpus. Forces the
+    at-scale directory layout (SPARK_GRAFT_STORE_PART_ROWS=0)."""
     import re as _re
 
     from jsonify2ai_spark.operators.dedup import NearDupStore, _lsh_banded
 
+    monkeypatch.setenv("SPARK_GRAFT_STORE_PART_ROWS", "0")
     docs = spark.createDataFrame(
         [(i, f"some shared sentence body {i % 5} tail") for i in range(40)],
         "doc_id long, text string",
