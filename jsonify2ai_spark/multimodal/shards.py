@@ -454,6 +454,9 @@ def media_dup_clusters(
         id_col=id_col,
         block_col=block,
         strategy=strategy,
+        # the store's frozen dim: the expr path unrolls its per-pair dot
+        # to a codegen'd F.get chain (bit-identical fp order, ~2x)
+        dim=int(cfg["dim"]),
     )
     if n_bits and n_bands > 1:
         # the same pair can collide in several bands; scores are

@@ -133,6 +133,54 @@ def test_similarity_blas_matches_expr(spark, tables):
     assert blas == expr
 
 
+def test_similarity_unrolled_dot_matches_fold(spark, tables):
+    """The r15 ``dim=`` unrolled per-pair dot (codegen'd F.get chain)
+    must be BIT-identical to the interpreted zip_with+aggregate fold —
+    same left-to-right fp addition order is the whole contract. Raw
+    (unrounded) scores compared, blocked and unblocked, plus the
+    ragged-row NULL-propagation edge (ONE vector shorter than dim: its
+    pairs score NULL and drop, exactly like the fold zipping it against
+    a full-length partner — the only ragged shape a validated store can
+    present)."""
+    from pyspark.sql import functions as F
+
+    emb = tables["embeddings"].limit(60)
+    d = len(emb.select("embedding").first()[0])
+    for kw in ({}, {"block_col": "_blk"}):
+        e = emb.withColumn("_blk", F.col("vec_id") % 3) if kw else emb
+        fold = {
+            (r["a"], r["b"]): r["score"]
+            for r in similarity_self_join(
+                e, 0.4, strategy="expr", round_to=None, **kw
+            ).collect()
+        }
+        unrolled = {
+            (r["a"], r["b"]): r["score"]
+            for r in similarity_self_join(
+                e, 0.4, strategy="expr", round_to=None, dim=d, **kw
+            ).collect()
+        }
+        assert unrolled == fold and fold
+
+    one_short = emb.agg(F.min("vec_id")).first()[0]
+    ragged = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == one_short, F.slice("embedding", 1, d - 2))
+        .otherwise(F.col("embedding")),
+    )
+    fold_r = {
+        (r["a"], r["b"])
+        for r in similarity_self_join(ragged, 0.0, strategy="expr").collect()
+    }
+    unr_r = {
+        (r["a"], r["b"])
+        for r in similarity_self_join(
+            ragged, 0.0, strategy="expr", dim=d
+        ).collect()
+    }
+    assert unr_r == fold_r
+
+
 def test_jaccard_prefix_filter_exact(spark, tables):
     """Prefix filtering must be EXACT (candidate-completeness theorem) —
     identical pairs and scores to the full posting join at any threshold."""
