@@ -2478,6 +2478,20 @@ class ClusterStore:
         """One batch job: full connected-components over ``pairs`` ->
         bucket-partitioned (node, rep0) mapping + meta."""
         spark = pairs.sparkSession
+        if pairs.isEmpty():
+            # empty-store fast path (r15): NearDupStore.create builds an
+            # empty embedded ClusterStore on every store creation — the
+            # CC machinery's checkpoint + count + collect actions are
+            # ~4 driver jobs spent labeling nothing
+            a_t = pairs.schema[a_col].dataType.simpleString()
+            staged = local_rows_df(
+                spark, [], f"node {a_t}, rep0 {a_t}, bucket int"
+            )
+            _store_partitioned_write(
+                staged, f"{path}/nodes", ["bucket"], ["node"], n_rows=0
+            )
+            cls._write_meta(spark, path, n_buckets, "nodes", (), "")
+            return cls.load(spark, path)
         labels = connected_components(pairs, a_col=a_col, b_col=b_col)
         staged = labels.select(
             F.col("node"),
@@ -2992,7 +3006,7 @@ class NearDupStore:
         empty_bands = local_rows_df(
             spark, [], f"{id_col} long, band int, bucket string"
         )
-        cls._write_bands(empty_bands, f"{path}/bands", id_col)
+        cls._write_bands(empty_bands, f"{path}/bands", id_col, n_rows=0)
         ClusterStore.build(
             local_rows_df(spark, [], "a long, b long"),
             f"{path}/clusters", n_buckets=n_buckets,
@@ -3004,12 +3018,16 @@ class NearDupStore:
         return cls.load(spark, path)
 
     @staticmethod
-    def _write_bands(banded: DataFrame, dest: str, id_col: str) -> None:
+    def _write_bands(
+        banded: DataFrame, dest: str, id_col: str, n_rows: int | None = None
+    ) -> None:
         staged = banded.select(
             F.col(id_col), F.col("band"),
             F.substring("bucket", 1, 1).alias("bpfx"), F.col("bucket"),
         )
-        _store_partitioned_write(staged, dest, ["band", "bpfx"], [id_col])
+        _store_partitioned_write(
+            staged, dest, ["band", "bpfx"], [id_col], n_rows=n_rows
+        )
 
     @staticmethod
     def _write_meta(
@@ -3104,10 +3122,12 @@ class NearDupStore:
                 docs, self._text_col, idc,
                 self._num_hashes, self._bands, self._shingle_n,
             ).localCheckpoint()  # consumed by the write AND two joins
-            if batch_banded.limit(1).count() == 0:
+            n_banded = batch_banded.count()
+            if n_banded == 0:
                 return self
             self._write_bands(
-                batch_banded, f"{self._path}/bands_incr/{run_id}", idc
+                batch_banded, f"{self._path}/bands_incr/{run_id}", idc,
+                n_rows=n_banded,
             )
             self._write_meta(
                 self._spark, self._path, self._text_col, idc,
