@@ -477,20 +477,34 @@ class ShardedBM25Index(BM25Index):
         escalates depth under a WAND-style rank-safety certificate.
         Costs one per-term window at build (shared with the static
         pruning path) and two extra postings columns (~12 B/posting)."""
+        # doclens FIRST (r15): the corpus scalars (n_docs, avgdl) that the
+        # impact branch and the meta both need are aggregates of the
+        # doclens table — write it once and aggregate the WRITTEN parquet.
+        # The previous order tokenized the corpus up to FOUR times (posts,
+        # impact-stats agg, doclens write, meta agg over the un-persisted
+        # doclens frame); now exactly twice (posts + doclens), the floor
+        # for an index that stores both. Values are bit-identical: dl is
+        # integral, so avg = exact long sum / count in either order.
+        # Commit order is unchanged in effect — nothing is visible until
+        # the meta lands.
+        spark = docs.sparkSession
+        toks = F.transform(tokens(F.col(text_col)), F.lower)
+        doclens = docs.select(
+            F.col(id_col), F.size(toks).alias("dl"), *[F.col(c) for c in attr_cols]
+        )
+        doclens.write.mode("overwrite").parquet(f"{path}/doclens")
+        row = spark.read.parquet(f"{path}/doclens").agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
         posts = build_postings(docs, text_col=text_col, id_col=id_col)
         dfreq = posts.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
         joined = posts.join(dfreq, "term")
         if max_postings_per_term is not None or impact_ordered:
-            # exact per-posting BM25 contribution under the corpus
-            # scalars — needs avgdl/n_docs up front (one narrow agg)
-            toks = F.transform(tokens(F.col(text_col)), F.lower)
-            srow = docs.select(F.size(toks).alias("dl")).agg(
-                F.count(F.lit(1)).alias("n"), F.avg("dl").alias("a")
-            ).first()
-            n_docs, avgdl = int(srow["n"]), float(srow["a"] or 0.0)
+            # exact per-posting BM25 contribution under the corpus scalars
             joined = _with_impacts(
-                joined, n_docs, avgdl, k1, b, id_col,
-                max_postings_per_term, impact_ordered,
+                joined, int(row["n"]),
+                float(row["avgdl"]) if row["avgdl"] is not None else 0.0,
+                k1, b, id_col, max_postings_per_term, impact_ordered,
             )
         sort_cols = (
             ["term", "impact_rank"] if impact_ordered else ["term"]
@@ -504,15 +518,6 @@ class ShardedBM25Index(BM25Index):
             .partitionBy("term_bucket")
             .parquet(f"{path}/postings")
         )
-        toks = F.transform(tokens(F.col(text_col)), F.lower)
-        doclens = docs.select(
-            F.col(id_col), F.size(toks).alias("dl"), *[F.col(c) for c in attr_cols]
-        )
-        doclens.write.mode("overwrite").parquet(f"{path}/doclens")
-        row = doclens.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
-        ).first()
-        spark = docs.sparkSession
         cls._write_meta(
             spark, path,
             int(row["n"]),
