@@ -1546,30 +1546,70 @@ def mine_hard_negatives(
     """
     from pyspark.sql import Window
 
+    # One corpus tokenization for the WHOLE mine (postings, df_t, and the
+    # corpus-global n_docs/avgdl scalars). The naive three-branch form
+    # (postings explode / df_t agg / stats agg) re-tokenizes the corpus
+    # once per branch because column pruning specializes each branch's
+    # aggregate and kills exchange reuse. Instead every doc emits one
+    # SENTINEL row alongside its tokens (the sentinel contains whitespace,
+    # which tokens() can never produce), the sentinel rides the vocabulary
+    # broadcast, and all three consumers aggregate the SAME
+    # (term, doc, dl) frame — each referencing tf so Catalyst cannot prune
+    # the count out of the shared subtree, which makes all branches hit
+    # ONE ReusedExchange over one tokenize+explode pass.
+    _SENT = "\x00 dl"
     qt = pairs.select(
         F.col(query_id_col),
         F.explode(
             F.array_distinct(F.transform(tokens(F.col(query_text_col)), F.lower))
         ).alias("term"),
     ).distinct()
+    vocab = qt.select("term").distinct().unionAll(
+        pairs.sparkSession.range(1).select(F.lit(_SENT).alias("term"))
+    )
     toks = F.transform(tokens(F.col(text_col)), F.lower)
     base = corpus.select(F.col(id_col), toks.alias("_tk")).withColumn(
         "dl", F.size("_tk")
     )
-    stats = base.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
-    posted = base.select(id_col, "dl", F.explode("_tk").alias("term")).join(
-        F.broadcast(qt.select("term").distinct()), "term"
-    ).groupBy("term", id_col, "dl").agg(F.count(F.lit(1)).alias("tf"))
+    tok_rows = base.select(
+        id_col,
+        "dl",
+        F.explode(
+            F.concat(
+                F.array(F.lit(_SENT)),
+                F.coalesce("_tk", F.array().cast("array<string>")),
+            )
+        ).alias("term"),
+    )
+    grouped = (
+        tok_rows.join(F.broadcast(vocab), "term")
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # n_docs/avgdl from the sentinel rows via conditional aggregation (a
+    # term==SENT *filter* would push below grouped's aggregate and split
+    # the exchange); count(when(..., tf)) keeps tf referenced so the
+    # subtree stays identical to the postings branch. Sentinel rows exist
+    # for EVERY doc (empty and null text included), so n_docs/avgdl match
+    # the plain corpus aggregate exactly (dl is integral: avg is the exact
+    # long sum over count in any order).
+    stats = grouped.agg(
+        F.count(F.when(F.col("term") == _SENT, F.col("tf"))).alias("n_docs"),
+        F.avg(F.when(F.col("term") == _SENT, F.col("dl"))).alias("avgdl"),
+    )
     # df_t via partial-agg + broadcast join, NOT a term-partition window:
     # the window re-shuffles EVERY restricted posting row by term just to
-    # attach a per-term count, and a mining batch's vocabulary covers a
-    # corpus-sized posting slice (unlike the serving paths, whose lookups
-    # are already pruned to one query's terms). The partial aggregation
-    # ships one (term, df) row per term and joins back map-side —
-    # identical counts, one full Exchange removed (r15: 6.4 -> 5.1 s at
-    # sf0.1, exact parity).
-    dft = posted.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    posted = posted.join(F.broadcast(dft), "term")
+    # attach a per-term count. count(when(tf > 0, tf)) == count(1) here
+    # (tf = count(1) >= 1 always) but the optimizer cannot prove that, so
+    # tf stays referenced and the subtree stays identical to the postings
+    # branch (a bare count("tf") gets rewritten to count(1), tf pruned,
+    # and the shared exchange specialized away). The sentinel's df row
+    # never matches a real posting term; the later inner join against qt
+    # drops the sentinel postings themselves.
+    dft = grouped.groupBy("term").agg(
+        F.count(F.when(F.col("tf") > 0, F.col("tf"))).alias("df_t")
+    )
+    posted = grouped.join(F.broadcast(dft), "term")
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
