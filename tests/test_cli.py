@@ -199,6 +199,51 @@ def test_bench_skipped_queries_rerun_next_round():
     assert build_order_seed({}) == {}
 
 
+def test_bench_degraded_window_goes_single_run_not_skip():
+    """r15 coverage-first projection, pinned: in a window where every
+    first run inflates by a common factor (the host-contention shape the
+    r15 cold pass measured: ~2.2x, 51 queries deadline-skipped while
+    extra min-of-N runs burned the margin the tail needed), the
+    projection must flag the backlog so the run loop drops to single-run
+    and the deadline never has to skip coverage; in a healthy window the
+    projection must stay at plain history and leave min-of-N alone."""
+    from bench import NEW_QUERY_WEIGHT, estimate_remaining_first_runs
+
+    hist = [5.0, 2.0, 1.5, 1.0, 0.5, 0.5]  # remaining queries' history
+
+    # healthy window: observed ratios ~1 → projection == sum(history)
+    est = estimate_remaining_first_runs(hist, [1.0, 1.1, 0.9, 1.0, 1.05])
+    assert abs(est - sum(hist)) < sum(hist) * 0.15
+
+    # degraded window: sustained ~2.5x ratios → projection scales up, so
+    # (elapsed + est) crosses a deadline that plain history would not
+    est_bad = estimate_remaining_first_runs(hist, [2.4, 2.6, 2.5, 2.3, 2.7])
+    assert est_bad > 2.2 * sum(hist)
+
+    # too few observations: never leaves history (no single-sample panic)
+    assert estimate_remaining_first_runs(hist, [9.0]) == sum(hist)
+
+    # a FAST window may discount an inflated history (a degraded pass
+    # writes 2x+ costs into BENCH_RUNS.json; the next healthy pass must
+    # walk that back or it stays single-run forever) — but by at most
+    # 2x: the ratio clamps at 0.5
+    assert estimate_remaining_first_runs(hist, [0.3] * 6) == 0.5 * sum(hist)
+    assert estimate_remaining_first_runs(hist, [0.8] * 6) == 0.8 * sum(hist)
+
+    # skip-seeded / new entries (1e18 weight) estimate at the median of
+    # the known costs, not at the seed weight
+    with_seeds = hist + [NEW_QUERY_WEIGHT, NEW_QUERY_WEIGHT]
+    est_seeded = estimate_remaining_first_runs(with_seeds, [])
+    known_median = sorted(hist)[len(hist) // 2 - 1 : len(hist) // 2 + 1]
+    med = sum(known_median) / 2
+    assert abs(est_seeded - (sum(hist) + 2 * med)) < 1e-9
+
+    # no history at all: every entry estimates at the 1 s default
+    assert estimate_remaining_first_runs(
+        [NEW_QUERY_WEIGHT, NEW_QUERY_WEIGHT], []
+    ) == 2.0
+
+
 def test_cli_purge_lifecycle(spark, tmp_path, capsys):
     """`purge` tombstones ids in a shard store (logical at once) and
     `--erase` runs the erasing compaction in the same invocation."""
