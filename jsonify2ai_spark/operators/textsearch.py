@@ -29,6 +29,15 @@ from jsonify2ai_spark.functions.text import tokens
 K1_DEFAULT = 1.2
 B_DEFAULT = 0.75
 
+# Sentinel "term" for single-corpus-pass BM25 shapes (bm25_topk,
+# mine_hard_negatives): contains whitespace, which tokens() (split on \s+)
+# can never produce, so it cannot collide with a real token or query term.
+# Every doc emits one sentinel row alongside its tokens; the corpus
+# n_docs/avgdl scalars then come from conditional aggregation over the
+# SAME (term, doc, dl, tf) frame the postings use — one tokenize+explode
+# pass instead of one per consumer.
+_SENT_TERM = "\x00 dl"
+
 
 def build_postings(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -63,24 +72,57 @@ def bm25_topk(
     terms = sorted({t.lower() for t in query.split() if t})
     toks = F.transform(tokens(F.col(text_col)), F.lower)
     base = docs.select(F.col(id_col), toks.alias("_tk")).withColumn("dl", F.size("_tk"))
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    # ONE corpus tokenization (r15): the n_docs/avgdl stats used to be a
+    # separate aggregate over `base` — a second full tokenize pass. Every
+    # doc now emits a sentinel row (empty/null text included, via
+    # coalesce) that rides the query-term isin filter, and the stats are
+    # a conditional aggregate over the SAME grouped frame the postings
+    # use — count(when(.., tf)) keeps tf referenced so Catalyst cannot
+    # prune the partial count out of the shared subtree, which is what
+    # lets AQE land a ReusedExchange instead of a second scan.
+    tok_rows = base.select(
+        id_col,
+        "dl",
+        F.explode(
+            F.concat(
+                F.array(F.lit(_SENT_TERM)),
+                F.coalesce("_tk", F.array().cast("array<string>")),
+            )
+        ).alias("term"),
+    )
+    grouped = (
+        tok_rows.filter(F.col("term").isin(terms + [_SENT_TERM]))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = grouped.agg(
+        F.count(F.when(F.col("term") == _SENT_TERM, F.col("tf"))).alias("n_docs"),
+        F.avg(F.when(F.col("term") == _SENT_TERM, F.col("dl"))).alias("avgdl"),
     )
     # df_t via a window over posted, NOT a separate groupBy+join: posted is
     # derived from the corpus tokenize, and referencing it from two plan
     # branches would re-run that tokenize per branch (no subtree reuse).
     # The term-partition window holds one query term's posting list per
     # partition — bounded by the hottest query term, the standard serving
-    # shape. Measured ~30% faster at sf0.1, identical scores.
+    # shape. Measured ~30% faster at sf0.1, identical scores. The sentinel
+    # rows must drop BEFORE that window (they are a corpus-sized hot key)
+    # but WITHOUT specializing the shared subtree away from the stats
+    # branch: a term != sentinel FILTER pushes below the aggregate (term
+    # is a grouping key), and so does a plain keyed anti-join
+    # (PushDownLeftSemiAntiJoin). The anti-join's vacuous tf > -1
+    # conjunct references an AGGREGATE OUTPUT, which cannot resolve below
+    # the aggregate — the join stays put, the exchange stays shared, and
+    # the one-row build side costs nothing.
     from pyspark.sql import Window
 
-    posted = (
-        base.select(id_col, "dl", F.explode("_tk").alias("term"))
-        .filter(F.col("term").isin(terms))
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("df_t", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    sent_row = docs.sparkSession.range(1).select(
+        F.lit(_SENT_TERM).alias("_sent")
     )
+    posted = grouped.join(
+        F.broadcast(sent_row),
+        (F.col("term") == F.col("_sent")) & (F.col("tf") > F.lit(-1)),
+        "left_anti",
+    ).withColumn("df_t", F.count(F.lit(1)).over(Window.partitionBy("term")))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
@@ -1557,7 +1599,7 @@ def mine_hard_negatives(
     # (term, doc, dl) frame — each referencing tf so Catalyst cannot prune
     # the count out of the shared subtree, which makes all branches hit
     # ONE ReusedExchange over one tokenize+explode pass.
-    _SENT = "\x00 dl"
+    _SENT = _SENT_TERM
     qt = pairs.select(
         F.col(query_id_col),
         F.explode(
