@@ -1342,3 +1342,48 @@ def test_mine_hard_negatives_indexed_parity(spark):
         assert out[0]["query_id"] == "q-1"
     finally:
         sidx.close()
+
+
+def test_bm25_single_corpus_pass_reused_exchange(spark):
+    """r15 Changes 8/10 pinned: bm25_topk and mine_hard_negatives derive
+    the corpus n_docs/avgdl scalars (and q141's df_t) from the SAME
+    tokenize+explode exchange as the postings — the executed adaptive
+    plan must show ReusedExchange, not extra corpus scan branches. Three
+    optimizer rewrites silently undo this if the shapes drift: the
+    count(non-null) -> count(1) rewrite + column pruning, filter
+    pushdown through the aggregate on a grouping key, and
+    PushDownLeftSemiAntiJoin on the sentinel drop. This is the canary —
+    and the value check rides along (hand-checkable membership)."""
+    from jsonify2ai_spark.operators.textsearch import mine_hard_negatives
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"alpha beta doc{i % 7} common token stream run{i % 3}")
+            for i in range(1, 41)
+        ]
+        + [(100, ""), (101, None)],
+        "doc_id long, text string",
+    )
+
+    out = bm25_topk(docs, "alpha doc1 stream", k=5)
+    rows = out.collect()
+    assert len(rows) == 5 and all(r["bm25"] > 0 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, "bm25_topk stats branch re-scans the corpus"
+
+    pairs = docs.filter(F.col("doc_id") % 5 == 1).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat(F.lit("alpha doc"), (F.col("doc_id") % 7).cast("string")).alias(
+            "query_text"
+        ),
+        F.col("doc_id").alias("positive_id"),
+    )
+    mined = mine_hard_negatives(pairs, docs, k=3)
+    mrows = mined.collect()
+    assert mrows and all(r["rank"] <= 3 for r in mrows)
+    # no positive may survive as its own negative
+    assert all(r["query_id"] != r["doc_id"] for r in mrows)
+    mplan = mined._jdf.queryExecution().executedPlan().toString()
+    assert mplan.count("ReusedExchange") >= 2, (
+        "mine_hard_negatives df_t/stats branches re-scan the corpus"
+    )
