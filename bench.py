@@ -168,6 +168,22 @@ def main() -> int:
     spark.range(0, 320_000, 1, 32).selectExpr("id as x").mapInPandas(
         lambda it: it, schema="x bigint"
     ).write.format("noop").mode("overwrite").save()
+    # Parquet WRITE+READ warmup (r15): with heavy-first ordering the
+    # store-lifecycle rows run first, so the suite's very first parquet
+    # write landed inside q159's timed run — committer/codec class
+    # loading measured ~2.9 s on an empty-store create (4.9 s cold vs
+    # 2.0 s warm phase sum). Same rationale as the JIT warmup above:
+    # per-query timings measure queries, not one-time class loading. No
+    # benchmark data is touched.
+    import shutil
+    import tempfile
+
+    _wd = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        spark.range(1000).write.mode("overwrite").parquet(f"{_wd}/warm")
+        spark.read.parquet(f"{_wd}/warm").count()
+    finally:
+        shutil.rmtree(_wd, ignore_errors=True)
 
     # min-of-N (default 3): the first run of each DISTINCT plan pays ~1.5 s of
     # one-time codegen compile + Python-worker spinup (measured in PERF.md), a
