@@ -2541,73 +2541,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Run scripts/gate_staleness.py to plan each rotation; `--check` FAILS
     # if this ordering wastes gate slots on fresh queries while staler
     # ones wait (the r10 miss, mechanized — see tests/test_entry.py).
-    # Round-15 gate (ledger at COVERAGE.md "Gate-rotation ledger"): the
-    # NEW r15 operator q156 (policy a — a never-green query is stalest by
-    # definition) + the four stalest queries q70-q73 (last driver row r11
-    # — displaced from the r14 gate by the four new r14 rows) + the 45
-    # oldest r12-greens in gate_staleness.py order. Total stale debt is
-    # 55 > 50 slots, so this is the strongest satisfiable form (a
-    # 50-stalest set); the 5 remaining r12 rows (q98-q102) lead the tail
-    # as r16's first debt, followed by the r13 cohort, then the r14
-    # cohort (freshest last).
+    # Round-16 gate (ledger at COVERAGE.md "Gate-rotation ledger"): no
+    # new operators this round (optimization only), so the gate is pure
+    # debt payment — the 10 r12-greens the r15 rotation displaced
+    # (q61/q62/q93/q94/q96/q98-q102, the r15 verdict's item 5) plus the
+    # 40 stalest r13-greens in gate_staleness.py ledger order.
     return {
-        # --- r15 gate head: the round's NEW operators (policy a) ---
-        "q156_ivf_filtered_serving": q156_ivf_filtered_serving,  # NEW r15: filtered kNN inside the IVF store
-        "q157_cluster_store": q157_cluster_store,  # NEW r15: O(delta) incremental cluster maintenance
-        "q158_pq_ivf": q158_pq_ivf,  # NEW r15: product-quantized IVF serving (ADC)
-        "q159_neardup_store": q159_neardup_store,  # NEW r15: incremental near-dup pipeline e2e
-        "q160_neardup_purge": q160_neardup_purge,  # NEW r15: RTBF purge + exact cluster repair on the near-dup store
-        "q161_pq_res_ivf": q161_pq_res_ivf,  # NEW r15: residual-PQ ADC serving (FAISS IVF+PQ layout)
-        # --- the stalest queries in the suite (r11) ---
-        "q70_per_source_cap": q70_per_source_cap,
-        "q71_gopher_filter": q71_gopher_filter,
-        "q72_clip_tokens": q72_clip_tokens,
-        "q73_bigram_logprob": q73_bigram_logprob,
-        # --- the 46 oldest r12-greens (2 rounds stale), staleness order ---
-        "q122_prep_report": q122_prep_report,
-        "q123_bm25_sharded": q123_bm25_sharded,
-        "q124_dsir_prep": q124_dsir_prep,
-        "q125_sft_render": q125_sft_render,
-        "q75_dedup_keep_best": q75_dedup_keep_best,
-        "q76_containment_pairs": q76_containment_pairs,
-        "q77_shingle_census": q77_shingle_census,
-        "q78_vocab_stats": q78_vocab_stats,
-        "q79_cross_source_dup": q79_cross_source_dup,
-        "q81_source_quality": q81_source_quality,
-        "q84_novelty_scores": q84_novelty_scores,
-        "q85_boilerplate_catalog": q85_boilerplate_catalog,
-        "q86_token_histogram": q86_token_histogram,
-        "q87_corpus_diff": q87_corpus_diff,
-        "q88_syndication_matrix": q88_syndication_matrix,
-        "q90_dedup_impact": q90_dedup_impact,
-        "q91_containment_capped": q91_containment_capped,
-        "q92_corpus_divergence": q92_corpus_divergence,
-        "q16_simhash": q16_simhash,
-        "q17_jaccard_pairs": q17_jaccard_pairs,
-        "q18_minhash_lsh": q18_minhash_lsh,
-        "q25_ivf_ann": q25_ivf_ann,
-        "q27_bpe_tokens": q27_bpe_tokens,
-        "q45_brand_revenue_having": q45_brand_revenue_having,
-        "q116_token_ids": q116_token_ids,
-        "q113_assign_splits": q113_assign_splits,
-        "q114_split_leakage": q114_split_leakage,
-        "q115_diversity_sample": q115_diversity_sample,
-        "q117_pack_token_ids": q117_pack_token_ids,
-        "q118_semantic_decontaminate": q118_semantic_decontaminate,
-        "q51_dedup_clusters": q51_dedup_clusters,
-        "q52_jaccard_capped": q52_jaccard_capped,
-        "q53_ingest_summary": q53_ingest_summary,
-        "q54_stratified_sample": q54_stratified_sample,
-        "q55_weighted_interleave": q55_weighted_interleave,
-        "q56_chat_chunk_stats": q56_chat_chunk_stats,
-        "q57_pack_sequences": q57_pack_sequences,
-        "q58_pii_scan": q58_pii_scan,
-        "q59_repetition_quality": q59_repetition_quality,
-        "q60_decontaminate": q60_decontaminate,
-        # ================= tail (entry 51+) =================
-        # r12 remainder displaced by the 50-slot cap: r16's first debt
-        # (q93/q94/q96/q98 displaced by q156-q159, q62 by q160, and q61
-        # by q161 — the r15 new-operator slots)
+        # ===== r16 gate (first 50): the 50-stalest oracle-backed set =====
+        # Ledger: COVERAGE.md "Gate-rotation ledger" r16 row. The 10
+        # r12-greens displaced by r15's new-operator slots lead (the
+        # r15 verdict's item 5), then the 40 stalest r13-greens in
+        # gate_staleness.py ledger order. Total stale debt is 60 > 50
+        # slots, so this is the strongest satisfiable form (a 50-stalest
+        # set); the 10 remaining r13 rows lead the tail as r17's first
+        # debt.
+        # --- r12 cohort (last driver-green r12) ---
         "q61_unigram_logprob": q61_unigram_logprob,
         "q62_embed_dup_clusters": q62_embed_dup_clusters,
         "q93_syndication_capped": q93_syndication_capped,
@@ -2618,7 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_training_pipeline": q100_training_pipeline,
         "q101_incremental_pipeline": q101_incremental_pipeline,
         "q102_conversation_lint": q102_conversation_lint,
-        # r13-green cohort: hits its 2-round line at r16
+        # --- 40 stalest r13-greens, ledger order ---
         "q126_sft_tokens": q126_sft_tokens,  # token-space SFT loss masks
         "q127_media_store_audit": q127_media_store_audit,  # media store health card
         "q128_bm25_impact": q128_bm25_impact,  # impact-ordered BM25 serving
@@ -2659,6 +2607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_lang_distribution": q13_lang_distribution,
         "q32_order_revenue": q32_order_revenue,
         "q33_events_inventory": q33_events_inventory,
+        # ================= tail (entry 51+) =================
+        # 10 r13-greens displaced by the 50-slot cap: r17's first debt
         "q36_pagination": q36_pagination,
         "q37_source_projection": q37_source_projection,
         "q41_semi_join": q41_semi_join,
@@ -2669,7 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_knn_brute": q19_knn_brute,
         "q21_vector_search_docs": q21_vector_search_docs,
         "q28_winnowing": q28_winnowing,
-        # r14-green cohort (freshest): ages to its line at r17
+        # r14-green cohort, ledger order (freshest below)
         "q152_bm25_append": q152_bm25_append,  # NEW r14: LSM segment appends on the lexical index
         "q153_purge_accounting": q153_purge_accounting,  # NEW r14: RTBF store-lifecycle ledger
         "q154_media_dup_clusters": q154_media_dup_clusters,  # NEW r14: near-dup over a media store's vectors
@@ -2720,6 +2670,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_ivf_health": q107_ivf_health,
         "q68_overlap_pairs": q68_overlap_pairs,
         "q69_quantized_ivf": q69_quantized_ivf,
+        # r15-green cohort (the r15 gate): freshest last
+        "q156_ivf_filtered_serving": q156_ivf_filtered_serving,  # NEW r15: filtered kNN inside the IVF store
+        "q157_cluster_store": q157_cluster_store,  # NEW r15: O(delta) incremental cluster maintenance
+        "q158_pq_ivf": q158_pq_ivf,  # NEW r15: product-quantized IVF serving (ADC)
+        "q159_neardup_store": q159_neardup_store,  # NEW r15: incremental near-dup pipeline e2e
+        "q160_neardup_purge": q160_neardup_purge,  # NEW r15: RTBF purge + exact cluster repair on the near-dup store
+        "q161_pq_res_ivf": q161_pq_res_ivf,  # NEW r15: residual-PQ ADC serving (FAISS IVF+PQ layout)
+        "q70_per_source_cap": q70_per_source_cap,
+        "q71_gopher_filter": q71_gopher_filter,
+        "q72_clip_tokens": q72_clip_tokens,
+        "q73_bigram_logprob": q73_bigram_logprob,
+        "q122_prep_report": q122_prep_report,
+        "q123_bm25_sharded": q123_bm25_sharded,
+        "q124_dsir_prep": q124_dsir_prep,
+        "q125_sft_render": q125_sft_render,
+        "q75_dedup_keep_best": q75_dedup_keep_best,
+        "q76_containment_pairs": q76_containment_pairs,
+        "q77_shingle_census": q77_shingle_census,
+        "q78_vocab_stats": q78_vocab_stats,
+        "q79_cross_source_dup": q79_cross_source_dup,
+        "q81_source_quality": q81_source_quality,
+        "q84_novelty_scores": q84_novelty_scores,
+        "q85_boilerplate_catalog": q85_boilerplate_catalog,
+        "q86_token_histogram": q86_token_histogram,
+        "q87_corpus_diff": q87_corpus_diff,
+        "q88_syndication_matrix": q88_syndication_matrix,
+        "q90_dedup_impact": q90_dedup_impact,
+        "q91_containment_capped": q91_containment_capped,
+        "q92_corpus_divergence": q92_corpus_divergence,
+        "q16_simhash": q16_simhash,
+        "q17_jaccard_pairs": q17_jaccard_pairs,
+        "q18_minhash_lsh": q18_minhash_lsh,
+        "q25_ivf_ann": q25_ivf_ann,
+        "q27_bpe_tokens": q27_bpe_tokens,
+        "q45_brand_revenue_having": q45_brand_revenue_having,
+        "q116_token_ids": q116_token_ids,
+        "q113_assign_splits": q113_assign_splits,
+        "q114_split_leakage": q114_split_leakage,
+        "q115_diversity_sample": q115_diversity_sample,
+        "q117_pack_token_ids": q117_pack_token_ids,
+        "q118_semantic_decontaminate": q118_semantic_decontaminate,
+        "q51_dedup_clusters": q51_dedup_clusters,
+        "q52_jaccard_capped": q52_jaccard_capped,
+        "q53_ingest_summary": q53_ingest_summary,
+        "q54_stratified_sample": q54_stratified_sample,
+        "q55_weighted_interleave": q55_weighted_interleave,
+        "q56_chat_chunk_stats": q56_chat_chunk_stats,
+        "q57_pack_sequences": q57_pack_sequences,
+        "q58_pii_scan": q58_pii_scan,
+        "q59_repetition_quality": q59_repetition_quality,
+        "q60_decontaminate": q60_decontaminate,
     }
 
 

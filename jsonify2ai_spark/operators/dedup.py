@@ -88,6 +88,27 @@ def _store_partitioned_write(
     )
 
 
+def _run_writes(thunks) -> None:
+    """Run independent write jobs concurrently from driver threads
+    (guide §2.6): Spark's FIFO scheduler back-fills one job's task tail
+    with the next job's tasks, so two sub-second store commits overlap
+    instead of paying two full scheduling floors. Callers order the
+    VISIBILITY commit (the meta write) strictly after this returns, so
+    the crash-consistency story is untouched — a die mid-writes leaves
+    only unreferenced dirs. Zero/one thunk short-circuits (no thread)."""
+    if not thunks:
+        return
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        for f in futs:
+            f.result()
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one row (min id) per distinct normalized text. Single shuffle on
     the 128-bit content hash; at scale partition-count it like any groupBy."""
@@ -1067,12 +1088,16 @@ def connected_components(
     """
     import warnings
 
-    # EAGER checkpoint of the pair list before the symmetric union: the two
-    # union branches are separate task chains, so a lazy checkpoint would
-    # still execute the (often expensive — banded candidate join, cosine
+    # Checkpoint of the pair list before the symmetric union: the two
+    # union branches are separate task chains, so an unmaterialized plan
+    # would execute the (often expensive — banded candidate join, cosine
     # self-join) upstream subtree twice. Pairs are tiny relative to their
-    # producing plan; one materialization job is the cheap side of the trade.
-    base = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).localCheckpoint()
+    # producing plan; one materialization job is the cheap side of the
+    # trade — and the gate count below IS that job (lazy checkpoint +
+    # immediate count = one driver action, not two; r16 §5 job-folding).
+    base = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")).localCheckpoint(
+        eager=False
+    )
     # Small-graph gate: below ``driver_threshold`` edges the distributed
     # loop is pure per-round scheduling (~3 jobs/round x ~log(n) rounds) —
     # union-find on the driver is both faster and immune to co-tenant
@@ -2594,13 +2619,17 @@ class ClusterStore:
             )
         )
 
-    def reps_of(self, nodes: DataFrame, node_col: str = "node") -> DataFrame:
+    def reps_of(
+        self, nodes: DataFrame, node_col: str = "node", _buckets=None
+    ) -> DataFrame:
         """Membership probe for a DELTA-sized node set: bucket-pruned
         scan of the mapping (partition filter on the delta's buckets —
         never a full-corpus scan), then the overlay map. Returns
-        (node, cluster_rep) for the nodes that ARE in the store."""
+        (node, cluster_rep) for the nodes that ARE in the store.
+        ``_buckets`` (private): the caller already collected the node
+        set's bucket values in an earlier job — skip the collect."""
         want = nodes.select(F.col(node_col).alias("node")).distinct()
-        bs = [
+        bs = _buckets if _buckets is not None else [
             r["b"]
             for r in want.select(
                 F.pmod(F.xxhash64("node"), F.lit(self._n_buckets))
@@ -2669,18 +2698,19 @@ class ClusterStore:
             deleted.select(F.col(node_col).alias("node"))
             .filter(F.col("node").isNotNull())
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if dead.count() == 0:
+        # one job: materialize the checkpoint, count it, and collect the
+        # dead nodes' mapping buckets for the (conditional) overlay probe
+        _drow = dead.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(
+                F.pmod(F.xxhash64("node"), F.lit(self._n_buckets))
+                .cast("int")
+            ).alias("bs"),
+        ).collect()[0]
+        if _drow["n"] == 0:
             return self
-        # touched components' CURRENT reps — bucket-pruned, delta-sized;
-        # must be read BEFORE the tombstones land
-        touched_reps = (
-            self.reps_of(dead)
-            .select(F.col("cluster_rep").alias("_tr"))
-            .distinct()
-            .localCheckpoint()
-        )
         rep_rows = (
             repaired.select(
                 F.col("node"),
@@ -2688,7 +2718,7 @@ class ClusterStore:
                 F.pmod(F.xxhash64("node"), F.lit(self._n_buckets))
                 .cast("int")
                 .alias("bucket"),
-            ).localCheckpoint()
+            ).localCheckpoint(eager=False)
             if repaired is not None
             else None
         )
@@ -2710,32 +2740,63 @@ class ClusterStore:
             else 1
         )
         new_tombs_rel = f"node_tombs_v{tv}"
-        composed.coalesce(1).write.mode("overwrite").parquet(
-            f"{self._path}/{new_tombs_rel}"
-        )
         segments = tuple(self._segments)
+        # rep_rows materializes here (count on the lazy checkpoint = one
+        # job) so both writer threads below read the checkpoint, not the
+        # upstream lineage
         n_rep = rep_rows.count() if rep_rows is not None else 0
+        writes = [
+            lambda: composed.coalesce(1).write.mode("overwrite").parquet(
+                f"{self._path}/{new_tombs_rel}"
+            )
+        ]
         if n_rep > 0:
-            _store_partitioned_write(
-                rep_rows, f"{self._path}/nodes_incr/{run_id}",
-                ["bucket"], ["node"], n_rows=n_rep,
+            writes.append(
+                lambda: _store_partitioned_write(
+                    rep_rows, f"{self._path}/nodes_incr/{run_id}",
+                    ["bucket"], ["node"], n_rows=n_rep,
+                )
             )
             segments = segments + (str(run_id),)
         # overlay cleanup: path compression guarantees every entry of a
-        # touched component has dst_rep == that component's current rep
+        # touched component has dst_rep == that component's current rep.
+        # touched_reps (the components' CURRENT reps — bucket-pruned,
+        # delta-sized) is only needed here, and it reads the PRE-delete
+        # mapping view (self's frames; the tombstones land in a NEW dir
+        # and are invisible to `self` by construction)
         new_remap_rel = self._remap_dir
         if self._remap is not None:
+            touched_reps = (
+                self.reps_of(dead, _buckets=sorted(_drow["bs"]))
+                .select(F.col("cluster_rep").alias("_tr"))
+                .distinct()
+            )
             kept = self._remap.join(
                 F.broadcast(touched_reps),
                 self._remap["dst_rep"] == F.col("_tr"),
                 "left_anti",
-            ).localCheckpoint()
-            if kept.count() < self._remap.count():
+            ).localCheckpoint(eager=False)
+            # one job: kept count + total overlay count (was three driver
+            # actions — eager checkpoint + two counts)
+            _oc = {
+                r["t"]: r["n"]
+                for r in kept.select(F.lit(0).alias("t"))
+                .unionAll(self._remap.select(F.lit(1).alias("t")))
+                .groupBy("t")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            if _oc.get(0, 0) < _oc.get(1, 0):
                 v = int(self._remap_dir.rsplit("_v", 1)[1]) + 1
                 new_remap_rel = f"remap_v{v}"
-                kept.coalesce(1).write.mode("overwrite").parquet(
-                    f"{self._path}/{new_remap_rel}"
+                writes.append(
+                    lambda: kept.coalesce(1).write.mode("overwrite").parquet(
+                        f"{self._path}/{new_remap_rel}"
+                    )
                 )
+        # tombstones + repair segment + trimmed overlay land concurrently
+        # (§2.6); visibility is the meta write below, exactly as before
+        _run_writes(writes)
         self._write_meta(
             self._spark, self._path, self._n_buckets, self._nodes_dir,
             segments, new_remap_rel, new_tombs_rel,
@@ -2750,7 +2811,25 @@ class ClusterStore:
                 shutil.rmtree(
                     f"{self._path}/{old_rel}", ignore_errors=True
                 )
-        return type(self).load(self._spark, self._path)
+        # post-commit handle built directly from the committed state
+        obj = type(self).__new__(type(self))
+        obj._spark, obj._path = self._spark, self._path
+        obj._n_buckets, obj._nodes_dir = self._n_buckets, self._nodes_dir
+        obj._segments = [s for s in segments]
+        obj._parts = list(self._parts)
+        if n_rep > 0:
+            obj._parts.append(
+                self._spark.read.parquet(f"{self._path}/nodes_incr/{run_id}")
+            )
+        obj._remap_dir = new_remap_rel
+        obj._remap = (
+            self._spark.read.parquet(f"{self._path}/{new_remap_rel}")
+            if new_remap_rel != self._remap_dir
+            else self._remap
+        )
+        obj._tombs_dir = new_tombs_rel
+        obj._tombs = self._spark.read.parquet(f"{self._path}/{new_tombs_rel}")
+        return obj
 
     # -- the incremental merge ----------------------------------------------
 
@@ -2761,6 +2840,8 @@ class ClusterStore:
         a_col: str = "a",
         b_col: str = "b",
         replace: bool = False,
+        _prepared_n: int | None = None,
+        _endpoint_buckets=None,
     ) -> "ClusterStore":
         """Merge a delta's near-dup edges into the persisted clustering
         in O(delta): the only corpus-shaped IO is the bucket-PRUNED
@@ -2771,28 +2852,64 @@ class ClusterStore:
         Same run_id contract as the serving stores: a pre-commit crash
         heals by re-running the id; a committed id raises unless
         ``replace=True`` (the store keeps no corpus scalars, so
-        re-landing a segment is idempotent given the SAME delta)."""
+        re-landing a segment is idempotent given the SAME delta).
+
+        ``_prepared_n`` (private, NearDupStore.add_batch): the caller
+        already normalized the delta — (a, b) columns, non-null,
+        distinct, localCheckpointed — and knows its count; skip the
+        redundant normalize + checkpoint + count driver actions here
+        (r16 §5 driver-chain cut; the caller's derivation is exactly
+        the removed normalization, so the merged rows are identical)."""
         if str(run_id) in self._segments and not replace:
             raise ValueError(
                 f"merge_delta: segment {run_id!r} is already committed — "
                 "re-merging would double its edges (pass replace=True only "
                 "for deliberate same-delta redelivery)"
             )
-        delta = (
-            pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-            .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-            .distinct()
-            .localCheckpoint()  # eager: consumed by 3+ branches below
-        )
-        if delta.count() == 0:
+        if _prepared_n is None:
+            delta = (
+                pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+                .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+                .distinct()
+                # consumed by 3+ branches below; the count materializes it
+                # (lazy checkpoint + count = ONE job, not two)
+                .localCheckpoint(eager=False)
+            )
+            n_delta = delta.count()
+        else:
+            delta, n_delta = pairs, int(_prepared_n)
+        if n_delta == 0:
             return self
+        # Driver-sized fast path (r16): a delta under the SAME gate as
+        # connected_components' phase-0 union-find gets contracted,
+        # labeled, and split into segment/overlay rows entirely on the
+        # driver — the distributed path below would collect the same
+        # magnitude of edges inside CC anyway, but only after paying
+        # ~6 plan-heavy delta-sized jobs (endpoints/known checkpoints,
+        # CC gate count, the combined seg/remap count). Here the only
+        # cluster-store reads are the bucket-pruned membership probe
+        # (one collect) plus the commit writes. Identical labels by the
+        # same argument as the CC gate (union-find with min-label =
+        # the distributed algorithm's fixpoint); parity is test-pinned
+        # against the distributed path. SPARK_GRAFT_CLUSTER_DRIVER_MERGE
+        # overrides the row gate (0 forces the distributed path).
+        drv_max = int(
+            os.environ.get("SPARK_GRAFT_CLUSTER_DRIVER_MERGE", "100000")
+        )
+        if n_delta <= drv_max:
+            return self._merge_delta_driver(delta, run_id, _endpoint_buckets)
         endpoints = (
             delta.select(F.col("a").alias("node"))
             .union(delta.select(F.col("b").alias("node")))
             .distinct()
             .localCheckpoint(eager=False)
         )
-        known = self.reps_of(endpoints).localCheckpoint()  # delta-sized
+        # delta-sized; lazy — materializes inside the first consuming job
+        # (the CC gate count via `contracted`) and is reused by the three
+        # later branches (old_reps / new_nodes / seg)
+        known = self.reps_of(
+            endpoints, _buckets=_endpoint_buckets
+        ).localCheckpoint(eager=False)
         # contract: endpoint -> its current rep; unknown nodes are their
         # own rep (they join the graph as themselves)
         ka = known.select(F.col("node").alias("a"), F.col("cluster_rep").alias("ra"))
@@ -2807,8 +2924,10 @@ class ClusterStore:
             .filter(F.col("a") != F.col("b"))
             .distinct()
         )
-        # delta-sized CC: nodes are touched reps + new nodes only
-        merged = connected_components(contracted).localCheckpoint()
+        # delta-sized CC: nodes are touched reps + new nodes only. Lazy
+        # checkpoint: both consumers (remap_new + seg) materialize in the
+        # ONE combined count job below
+        merged = connected_components(contracted).localCheckpoint(eager=False)
         old_reps = known.select(F.col("cluster_rep").alias("node")).distinct()
         # (a) superseded reps -> overlay entries (path-compressed: dst is
         # the NEW canonical label, by CC's min-label construction)
@@ -2834,10 +2953,124 @@ class ClusterStore:
                 F.coalesce(F.col("cluster_rep"), F.col("node")).alias("rep0"),
                 F.pmod(F.xxhash64("node"), F.lit(self._n_buckets)).cast("int").alias("bucket"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        remap_new = remap_new.localCheckpoint()
-        n_seg, n_remap = seg.count(), remap_new.count()
+        remap_new = remap_new.localCheckpoint(eager=False)
+        # ONE job materializes BOTH checkpoints and returns both counts
+        # (r16 §5: was 4 driver actions — two eager checkpoints + two
+        # counts; the tagged-union count is one)
+        _cnt = {
+            r["t"]: r["n"]
+            for r in seg.select(F.lit(0).alias("t"))
+            .unionAll(remap_new.select(F.lit(1).alias("t")))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_seg, n_remap = _cnt.get(0, 0), _cnt.get(1, 0)
+        return self._commit_merge(run_id, seg, n_seg, remap_new, n_remap)
+
+    def _merge_delta_driver(
+        self, delta: DataFrame, run_id: str, ebuckets=None
+    ) -> "ClusterStore":
+        """merge_delta's driver-sized path: collect the (bounded) delta,
+        probe the store ONCE for the endpoints' current reps
+        (bucket-pruned, the only corpus-shaped read), then contraction +
+        min-label union-find + overlay/segment derivation in Python —
+        exactly :func:`_cc_union_find_driver`'s algorithm applied to the
+        contracted graph, so the labels equal the distributed path's by
+        the same argument. Two driver actions before the commit writes."""
+        rows = delta.collect()  # bounded by the caller's row gate
+        nodes = set()
+        for r in rows:
+            nodes.add(r["a"])
+            nodes.add(r["b"])
+        node_t = delta.schema["a"].dataType
+        want = local_rows_df(
+            self._spark,
+            [(n,) for n in sorted(nodes)],
+            T.StructType([T.StructField("node", node_t)]),
+        )
+        known = {
+            r["node"]: r["cluster_rep"]
+            for r in self.reps_of(want, _buckets=ebuckets).collect()
+        }
+        # contract each edge through the current mapping (unknown nodes
+        # are their own rep), then union-find with min-label reps — the
+        # merged component label, as in _cc_union_find_driver
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            a = known.get(row["a"], row["a"])
+            b = known.get(row["b"], row["b"])
+            if a == b:
+                continue
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        reps_min: dict = {}
+        for n in parent:
+            r = find(n)
+            if r not in reps_min or n < reps_min[r]:
+                reps_min[r] = n
+        merged = {n: reps_min[find(n)] for n in parent}
+        # (a) superseded reps -> overlay entries (dst = new canonical)
+        remap_rows = [
+            (x, merged[x])
+            for x in sorted(set(known.values()))
+            if x in merged and merged[x] != x
+        ]
+        # (b) new nodes -> segment rows with their canonical rep (a
+        # self-loop-only node is absent from `merged` and keeps itself)
+        seg_rows = [
+            (n, merged.get(n, n)) for n in sorted(nodes) if n not in known
+        ]
+        n_seg, n_remap = len(seg_rows), len(remap_rows)
+        seg = remap_new = None
+        if n_seg:
+            seg = local_rows_df(
+                self._spark, seg_rows,
+                T.StructType(
+                    [T.StructField("node", node_t), T.StructField("rep0", node_t)]
+                ),
+            ).withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("node"), F.lit(self._n_buckets)).cast("int"),
+            )
+        if n_remap:
+            remap_new = local_rows_df(
+                self._spark, remap_rows,
+                T.StructType(
+                    [
+                        T.StructField("src_rep", node_t),
+                        T.StructField("dst_rep", node_t),
+                    ]
+                ),
+            )
+        return self._commit_merge(run_id, seg, n_seg, remap_new, n_remap)
+
+    def _commit_merge(
+        self, run_id, seg, n_seg: int, remap_new, n_remap: int
+    ) -> "ClusterStore":
+        """Shared commit tail of :meth:`merge_delta` (distributed and
+        driver-sized paths): segment + composed-overlay writes land
+        concurrently, the one-row meta write makes them visible, and
+        the post-commit handle is built directly from the committed
+        state. ``seg`` is a (node, rep0, bucket) frame, ``remap_new``
+        a (src_rep, dst_rep) frame; both may be unused when their
+        count is 0."""
         if n_seg == 0 and n_remap == 0:
             # the delta's every edge already lies inside one existing
             # component: re-merging edges is idempotent by the math, so
@@ -2859,10 +3092,13 @@ class ClusterStore:
                 f"{n_seg} node(s) the committed segment lacks — this is "
                 "new content, not redelivery; use a fresh run_id"
             )
+        writes = []
         if n_seg > 0:
-            _store_partitioned_write(
-                seg, f"{self._path}/nodes_incr/{run_id}",
-                ["bucket"], ["node"], n_rows=n_seg,
+            writes.append(
+                lambda: _store_partitioned_write(
+                    seg, f"{self._path}/nodes_incr/{run_id}",
+                    ["bucket"], ["node"], n_rows=n_seg,
+                )
             )
             if str(run_id) not in segments:
                 segments = segments + (str(run_id),)
@@ -2894,9 +3130,16 @@ class ClusterStore:
                 else 1
             )
             new_remap_rel = f"remap_v{v}"
-            composed.coalesce(1).write.mode("overwrite").parquet(
-                f"{self._path}/{new_remap_rel}"
+            writes.append(
+                lambda: composed.coalesce(1).write.mode("overwrite").parquet(
+                    f"{self._path}/{new_remap_rel}"
+                )
             )
+        # segment + overlay land CONCURRENTLY (guide §2.6: independent
+        # jobs from driver threads back-fill each other's task tails) —
+        # neither is visible until the meta commit that FOLLOWS both, so
+        # the single-writer crash-consistency contract is unchanged
+        _run_writes(writes)
         self._write_meta(
             self._spark, self._path, self._n_buckets, self._nodes_dir,
             segments, new_remap_rel, self._tombs_dir,
@@ -2906,7 +3149,26 @@ class ClusterStore:
             import shutil
 
             shutil.rmtree(f"{self._path}/{self._remap_dir}", ignore_errors=True)
-        return type(self).load(self._spark, self._path)
+        # post-commit handle built directly from what was just committed —
+        # a full load() would re-read the meta (a driver action) and
+        # re-open every part; only the NEW segment/overlay need opening
+        obj = type(self).__new__(type(self))
+        obj._spark, obj._path = self._spark, self._path
+        obj._n_buckets, obj._nodes_dir = self._n_buckets, self._nodes_dir
+        obj._segments = [s for s in segments]
+        obj._parts = list(self._parts)
+        if n_seg > 0:
+            obj._parts.append(
+                self._spark.read.parquet(f"{self._path}/nodes_incr/{run_id}")
+            )
+        obj._remap_dir = new_remap_rel
+        obj._remap = (
+            self._spark.read.parquet(f"{self._path}/{new_remap_rel}")
+            if n_remap > 0
+            else self._remap
+        )
+        obj._tombs_dir, obj._tombs = self._tombs_dir, self._tombs
+        return obj
 
     def compact(self) -> "ClusterStore":
         """Fold segments + overlay + tombstones into ``nodes_v<k>/`` —
@@ -3006,11 +3268,18 @@ class NearDupStore:
         empty_bands = local_rows_df(
             spark, [], f"{id_col} long, band int, bucket string"
         )
-        cls._write_bands(empty_bands, f"{path}/bands", id_col, n_rows=0)
-        ClusterStore.build(
-            local_rows_df(spark, [], "a long, b long"),
-            f"{path}/clusters", n_buckets=n_buckets,
-        )
+        # the empty band table and the empty embedded ClusterStore are
+        # independent sub-commits — land them concurrently (§2.6); the
+        # store only becomes loadable through the meta write that follows
+        _run_writes([
+            lambda: cls._write_bands(
+                empty_bands, f"{path}/bands", id_col, n_rows=0
+            ),
+            lambda: ClusterStore.build(
+                local_rows_df(spark, [], "a long, b long"),
+                f"{path}/clusters", n_buckets=n_buckets,
+            ),
+        ])
         cls._write_meta(
             spark, path, text_col, id_col, num_hashes, bands, shingle_n,
             "bands", (),
@@ -3106,6 +3375,82 @@ class NearDupStore:
         ever collided; singletons are implicit, the CC convention)."""
         return self._clusters.reps()
 
+    def _batch_cells_and_count(self, batch_banded: DataFrame):
+        """ONE job over the checkpointed banded batch: its row count
+        (materializes the checkpoint) plus its distinct (band, bucket-
+        prefix) cells — bounded at bands x 16 values by construction.
+        The old shape paid a count job AND a distinct-collect job."""
+        row = batch_banded.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(
+                F.struct(
+                    F.col("band").alias("b"),
+                    F.substring("bucket", 1, 1).alias("p"),
+                )
+            ).alias("cells"),
+        ).collect()[0]
+        return int(row["n"]), [(c["b"], c["p"]) for c in row["cells"]]
+
+    def _batch_edges(self, batch_banded: DataFrame, cells) -> DataFrame:
+        """The batch's candidate-edge delta against THIS store view:
+        ONE broadcast equi-join of the batch's (band, bucket) keys
+        against (pruned band table ∪ the batch itself) — the union
+        makes the within-batch bucket collisions (the minhash_lsh_pairs
+        expansion) fall out of the same join that produces the
+        batch-vs-store pairs, replacing the r15 shape's separate
+        groupBy/collect_list/double-explode branch (one aggregate
+        shuffle fewer; identical pair set: batch⋈batch collisions ARE
+        the within-batch pairs after least/greatest + distinct, and
+        self-pairs are filtered). The table side is PRUNED to the
+        batch's (band, bucket-prefix) partition RECTANGLE — two plain
+        isin filters on the partition columns (a concatenated key would
+        not prune); the rectangle over-covers some (band, prefix)
+        cells, which the equi-join then discards. Output is normalized
+        for merge_delta's prepared path: (a, b) with a < b, non-null,
+        distinct."""
+        idc = self._id_col
+        tbl = self._band_table().filter(
+            F.col("band").isin(sorted({b for b, _ in cells}))
+            & F.col("bpfx").isin(sorted({p for _, p in cells}))
+        )
+        both = tbl.select(idc, "band", "bucket").unionByName(
+            batch_banded.select(idc, "band", "bucket")
+        )
+        probe = batch_banded.select(
+            F.col(idc).alias("_nid"), "band", "bucket"
+        )
+        return (
+            both.join(F.broadcast(probe), ["band", "bucket"])
+            .filter(F.col(idc) != F.col("_nid"))
+            .select(
+                F.least(F.col(idc), F.col("_nid")).alias("a"),
+                F.greatest(F.col(idc), F.col("_nid")).alias("b"),
+            )
+            .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+            .distinct()
+        )
+
+    def _prepared_delta(self, batch_banded: DataFrame, cells):
+        """Checkpoint the batch's edge delta and, in the SAME job,
+        count it and collect its endpoints' mapping buckets (bounded:
+        <= n_buckets values) — everything merge_delta's prepared path
+        needs, one driver action instead of three (count, then
+        reps_of's separate bucket collect)."""
+        delta = self._batch_edges(batch_banded, cells).localCheckpoint(
+            eager=False
+        )
+        nb = self._clusters._n_buckets
+        row = delta.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(
+                F.pmod(F.xxhash64("a"), F.lit(nb)).cast("int")
+            ).alias("ba"),
+            F.collect_set(
+                F.pmod(F.xxhash64("b"), F.lit(nb)).cast("int")
+            ).alias("bb"),
+        ).collect()[0]
+        return delta, int(row["n"]), sorted(set(row["ba"]) | set(row["bb"]))
+
     def add_batch(self, docs: DataFrame, run_id: str) -> "NearDupStore":
         """Ingest one batch: O(batch * bands) band keys, candidate
         edges from (a) within-batch bucket collisions and (b) the
@@ -3113,18 +3458,52 @@ class NearDupStore:
         to the batch's (band, bucket-prefix) partitions, so its cost
         follows the batch, not the corpus — then ONE O(delta) cluster
         merge. Bands commit first; both halves are redelivery-safe
-        (see the class docstring for the crash-window argument)."""
+        (see the class docstring for the crash-window argument).
+
+        r16 driver-chain cut: the edge derivation runs CONCURRENTLY
+        with the band-segment + meta commit (§2.6 — the probe is pure
+        compute, the commit pure IO; commit ORDER is untouched). The
+        probe reads the PRE-commit table view, which derives the same
+        delta: the new segment holds exactly the batch's own rows, so
+        probing it would only re-produce the within-batch pairs that
+        branch (a) already contributes (self-pairs are filtered, and
+        the union is distinct). The redelivery path still probes the
+        committed table — there the batch IS in the table, and
+        batch-vs-self collisions reproduce the within-batch pairs."""
         idc = self._id_col
         if str(run_id) in self._segments:
-            batch_banded = None  # bands already committed (redelivery)
-        else:
+            # redelivery: bands already committed — self's view already
+            # contains the segment (the invariant _band_parts mirrors
+            # _segments), so the probe reproduces the same edge set
             batch_banded = _lsh_banded(
                 docs, self._text_col, idc,
                 self._num_hashes, self._bands, self._shingle_n,
-            ).localCheckpoint()  # consumed by the write AND two joins
-            n_banded = batch_banded.count()
+            ).localCheckpoint(eager=False)
+            n_banded, cells = self._batch_cells_and_count(batch_banded)
             if n_banded == 0:
                 return self
+            delta, n_delta, ebuckets = self._prepared_delta(
+                batch_banded, cells
+            )
+            clusters = self._clusters.merge_delta(
+                delta, run_id, replace=True, _prepared_n=n_delta,
+                _endpoint_buckets=ebuckets,
+            )
+            out = type(self).__new__(type(self))
+            out.__dict__.update(self.__dict__)
+            out._clusters = clusters
+            return out
+        batch_banded = _lsh_banded(
+            docs, self._text_col, idc,
+            self._num_hashes, self._bands, self._shingle_n,
+        ).localCheckpoint(eager=False)  # consumed by the write AND two joins
+        # one job: materialize the checkpoint, count it, collect its cells
+        n_banded, cells = self._batch_cells_and_count(batch_banded)
+        if n_banded == 0:
+            return self
+
+        def _commit_bands():
+            # ordered: segment BEFORE the meta that makes it visible
             self._write_bands(
                 batch_banded, f"{self._path}/bands_incr/{run_id}", idc,
                 n_rows=n_banded,
@@ -3135,54 +3514,28 @@ class NearDupStore:
                 self._bands_dir, tuple(self._segments) + (str(run_id),),
                 self._btombs_dir, dsegments=tuple(self._dsegments),
             )
-        store = type(self).load(self._spark, self._path)
-        if batch_banded is None:
-            # redelivery: re-derive the batch's keys; the batch is in the
-            # table, so the probe below reproduces the same edge set
-            batch_banded = _lsh_banded(
-                docs, self._text_col, idc,
-                self._num_hashes, self._bands, self._shingle_n,
-            ).localCheckpoint()
-            if batch_banded.limit(1).count() == 0:
-                return store
-        # (a) within-batch collisions (the minhash_lsh_pairs expansion)
-        within = (
-            batch_banded.groupBy("band", "bucket")
-            .agg(F.collect_list(idc).alias("ids"))
-            .filter(F.size("ids") > 1)
-            .select(F.explode("ids").alias("a"), "ids")
-            .select("a", F.explode("ids").alias("b"))
-            .filter(F.col("a") < F.col("b"))
-        )
-        # (b) batch-vs-store: probe the band table pruned to the batch's
-        # (band, bucket-prefix) partition RECTANGLE — two plain isin
-        # filters on the partition columns (a concatenated key would not
-        # prune); the rectangle over-covers some (band, prefix) cells,
-        # which the (band, bucket) equi-join then discards. Bounded
-        # collect: at most bands + 16 distinct values by construction.
-        cells = [
-            (r["band"], r["p"])
-            for r in batch_banded.select(
-                "band", F.substring("bucket", 1, 1).alias("p")
-            ).distinct().collect()
-        ]
-        tbl = store._band_table().filter(
-            F.col("band").isin(sorted({b for b, _ in cells}))
-            & F.col("bpfx").isin(sorted({p for _, p in cells}))
-        )
-        probe = batch_banded.select(
-            F.col(idc).alias("_nid"), "band", "bucket"
-        )
-        cross = (
-            tbl.join(F.broadcast(probe), ["band", "bucket"])
-            .filter(F.col(idc) != F.col("_nid"))
-            .select(
-                F.least(F.col(idc), F.col("_nid")).alias("a"),
-                F.greatest(F.col(idc), F.col("_nid")).alias("b"),
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_commit_bands)
+            # the probe compute, overlapped with the commit IO
+            delta, n_delta, ebuckets = self._prepared_delta(
+                batch_banded, cells
             )
+            fut.result()
+        # post-commit handle built directly from the committed state (a
+        # load() would re-read two metas and re-open every part)
+        store = type(self).__new__(type(self))
+        store.__dict__.update(self.__dict__)
+        store._segments = list(self._segments) + [str(run_id)]
+        store._band_parts = list(self._band_parts) + [
+            self._spark.read.parquet(f"{self._path}/bands_incr/{run_id}")
+        ]
+        clusters = store._clusters.merge_delta(
+            delta, run_id, replace=True, _prepared_n=n_delta,
+            _endpoint_buckets=ebuckets,
         )
-        delta = within.unionByName(cross).distinct()
-        clusters = store._clusters.merge_delta(delta, run_id, replace=True)
         out = type(store).__new__(type(store))
         out.__dict__.update(store.__dict__)
         out._clusters = clusters
@@ -3228,33 +3581,46 @@ class NearDupStore:
             ids.select(F.col(idc).alias("node"))
             .filter(F.col("node").isNotNull())
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        if dead.count() == 0:
+        # one job: materialize the checkpoint, count it, collect the
+        # dead docs' mapping buckets for the membership probe below
+        _drow = dead.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(
+                F.pmod(
+                    F.xxhash64("node"), F.lit(self._clusters._n_buckets)
+                ).cast("int")
+            ).alias("bs"),
+        ).collect()[0]
+        if _drow["n"] == 0:
             return self
-        # touched components + their full membership — read BEFORE any
-        # tombstone lands. reps_of is bucket-pruned (delta-sized IO);
-        # the membership pass is one broadcast-semi map-side scan.
+        # touched components + their full membership — read from the
+        # PRE-delete view (self's frames; the tombstones land in a new,
+        # not-yet-visible dir). reps_of is bucket-pruned (delta-sized
+        # IO); the membership pass is one broadcast-semi map-side scan;
+        # ONE eager checkpoint materializes the whole chain (touched and
+        # members are single-consumer intermediates — r16 job-folding)
         touched = (
-            self._clusters.reps_of(dead)
+            self._clusters.reps_of(dead, _buckets=sorted(_drow["bs"]))
             .select(F.col("cluster_rep").alias("_tr"))
             .distinct()
-            .localCheckpoint()
         )
         reps_all = self._clusters.reps()
-        members = (
-            reps_all.join(
-                F.broadcast(touched),
-                reps_all["cluster_rep"] == F.col("_tr"),
-                "left_semi",
-            )
-            .select("node")
-            .localCheckpoint()
-        )
+        members = reps_all.join(
+            F.broadcast(touched),
+            reps_all["cluster_rep"] == F.col("_tr"),
+            "left_semi",
+        ).select("node")
         survivors = members.join(
             F.broadcast(dead), "node", "left_anti"
         ).localCheckpoint()
-        # -- band tombstones commit first ---------------------------------
+        # -- band tombstones commit first, CONCURRENT with the repair ----
+        # closure compute (§2.6). Equivalent to computing the repair from
+        # the post-commit masked table: the new tombstones mask exactly
+        # the `dead` rows, which the survivors semi-join below already
+        # excludes (survivors ∩ dead = ∅ by construction), and older
+        # tombstones are already masked in self's view.
         tgen = len(self._band_parts)
         tomb_new = dead.select(
             F.col("node").alias("_td"), F.lit(tgen).cast("int").alias("tgen")
@@ -3270,48 +3636,61 @@ class NearDupStore:
             else 1
         )
         new_btombs_rel = f"band_tombs_v{tv}"
-        composed.coalesce(1).write.mode("overwrite").parquet(
-            f"{self._path}/{new_btombs_rel}"
-        )
-        self._write_meta(
-            self._spark, self._path, self._text_col, idc,
-            self._num_hashes, self._bands, self._shingle_n,
-            self._bands_dir, tuple(self._segments), new_btombs_rel,
-            dsegments=tuple(self._dsegments),
-        )
+
+        def _commit_tombs():
+            # ordered: tombstone file BEFORE the meta that makes it
+            # visible — their meta row is the atomic point
+            composed.coalesce(1).write.mode("overwrite").parquet(
+                f"{self._path}/{new_btombs_rel}"
+            )
+            self._write_meta(
+                self._spark, self._path, self._text_col, idc,
+                self._num_hashes, self._bands, self._shingle_n,
+                self._bands_dir, tuple(self._segments), new_btombs_rel,
+                dsegments=tuple(self._dsegments),
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_commit_tombs)
+            # -- exact repair: closure over the SURVIVING edges ----------
+            # Every LSH edge incident to a touched component stays inside
+            # it (an edge to an outside node would have merged the
+            # components at ingest time), so the survivors' band rows
+            # carry the complete surviving edge set of every touched
+            # component.
+            surv_bands = self._band_table().join(
+                F.broadcast(survivors),
+                F.col(idc) == F.col("node"),
+                "left_semi",
+            )
+            edges = (
+                surv_bands.groupBy("band", "bucket")
+                .agg(F.collect_list(idc).alias("ids"))
+                .filter(F.size("ids") > 1)
+                .select(F.explode("ids").alias("a"), "ids")
+                .select("a", F.explode("ids").alias("b"))
+                .filter(F.col("a") < F.col("b"))
+                .distinct()
+            )
+            # EAGER: must materialize while the old tombstone dir (read
+            # via self._band_table()) still exists — the rmtree below
+            # waits for both this and the commit
+            repaired = connected_components(edges).localCheckpoint()
+            fut.result()
         if self._btombs_dir:
             import shutil
 
             shutil.rmtree(
                 f"{self._path}/{self._btombs_dir}", ignore_errors=True
             )
-        store = type(self).load(self._spark, self._path)
-        # -- exact repair: closure over the SURVIVING edges ---------------
-        # Every LSH edge incident to a touched component stays inside it
-        # (an edge to an outside node would have merged the components at
-        # ingest time), so the survivors' band rows carry the complete
-        # surviving edge set of every touched component.
-        surv_bands = store._band_table().join(
-            F.broadcast(survivors),
-            F.col(idc) == F.col("node"),
-            "left_semi",
-        )
-        edges = (
-            surv_bands.groupBy("band", "bucket")
-            .agg(F.collect_list(idc).alias("ids"))
-            .filter(F.size("ids") > 1)
-            .select(F.explode("ids").alias("a"), "ids")
-            .select("a", F.explode("ids").alias("b"))
-            .filter(F.col("a") < F.col("b"))
-            .distinct()
-        )
-        repaired = connected_components(edges).localCheckpoint()
         # survivors that lost their every edge leave the mapping — they
         # are singletons now, which the mapping never stores
         edgeless = survivors.join(
             repaired.select("node"), "node", "left_anti"
         )
-        clusters = store._clusters.delete_nodes(
+        clusters = self._clusters.delete_nodes(
             dead.union(edgeless).distinct(), repaired, run_id
         )
         # the run_id ledger commits LAST: a crash anywhere above leaves
@@ -3320,10 +3699,17 @@ class NearDupStore:
         self._write_meta(
             self._spark, self._path, self._text_col, idc,
             self._num_hashes, self._bands, self._shingle_n,
-            store._bands_dir, tuple(store._segments), store._btombs_dir,
-            dsegments=tuple(store._dsegments) + (str(run_id),),
+            self._bands_dir, tuple(self._segments), new_btombs_rel,
+            dsegments=tuple(self._dsegments) + (str(run_id),),
         )
-        out = type(self).load(self._spark, self._path)
+        # post-commit handle built directly from the committed state
+        out = type(self).__new__(type(self))
+        out.__dict__.update(self.__dict__)
+        out._btombs_dir = new_btombs_rel
+        out._btombs = self._spark.read.parquet(
+            f"{self._path}/{new_btombs_rel}"
+        )
+        out._dsegments = list(self._dsegments) + [str(run_id)]
         out._clusters = clusters
         return out
 

@@ -631,36 +631,62 @@ def calibrate_dsir_cutoff(
     Pass the SAME ``salt``/``temperature`` the gate will run with —
     the keys must be the gate's keys for the quantile to transfer.
 
-    Scale shape: one NULL-filtered count + the k-row ordered take's
-    min — the take keeps a k-row heap per partition, so calibrate on a
-    SAMPLE-sized corpus (the deployment shape anyway: the calibration
-    frame models the incoming distribution, it does not need to be the
-    100 TB corpus).
+    Scale shape (r16, VERDICT r15 item 4): ONE driver action — a
+    single-partition ranked window over the NULL-filtered keys picks
+    the k-th key with ``k = ceil(keep_frac * count)`` computed inside
+    the same pass (count(*) over the unbounded window), where the old
+    shape paid two eager actions (a count, then a k-row ordered take)
+    and therefore computed the weights frame twice when it was not
+    checkpointed. The value is IDENTICAL: row_number k in
+    (key desc, id asc) order is exactly min(resample_key) over
+    ``dsir_resample(weights, k)`` (same key expression, same rounding,
+    same tiebreak). The global window is the deliberate trade:
+    calibrate on a SAMPLE-sized corpus (the deployment shape anyway —
+    the calibration frame models the incoming distribution, it does
+    not need to be the 100 TB corpus), and one sorted partition of a
+    sample beats two full passes over it.
     """
-    import math
+    from pyspark.sql import Window
 
     if not (0.0 < keep_frac <= 1.0):
         raise ValueError(f"keep_frac must be in (0, 1]: {keep_frac!r}")
-    n = weights.filter(F.col(weight_col).isNotNull()).count()
-    if n == 0:
+    # the resample key verbatim (dsir_resample's arithmetic)
+    u = (sample_hash(F.col(id_col), salt) + F.lit(0.5)) / F.lit(
+        float(_BUCKETS)
+    )
+    key = F.round(
+        F.col(weight_col) / F.lit(float(temperature)) - F.log(-F.log(u)), 4
+    ) + F.lit(0.0)
+    ranked = (
+        weights.filter(F.col(weight_col).isNotNull())
+        .select(key.alias("_k"), F.col(id_col).alias("_i"))
+        .select(
+            "_k",
+            F.row_number()
+            .over(Window.orderBy(F.col("_k").desc(), F.col("_i")))
+            .alias("_rn"),
+            F.count(F.lit(1))
+            .over(
+                # same ordering as the rank window -> one sort serves both
+                Window.orderBy(F.col("_k").desc(), F.col("_i")).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("_n"),
+        )
+    )
+    # k = max(1, ceil(keep_frac * n)) — the max() guard is vacuous for
+    # n >= 1 (keep_frac > 0), and n == 0 yields no row at all
+    row = ranked.filter(
+        F.col("_rn")
+        == F.ceil(F.lit(float(keep_frac)) * F.col("_n")).cast("int")
+    ).select("_k").collect()
+    if not row:
         raise ValueError(
             "calibrate_dsir_cutoff: no weighted rows in the calibration "
             "corpus (all-NULL weight_col or empty frame)"
         )
-    k = max(1, math.ceil(keep_frac * n))
-    row = (
-        dsir_resample(
-            weights,
-            k,
-            weight_col=weight_col,
-            id_col=id_col,
-            salt=salt,
-            temperature=temperature,
-        )
-        .agg(F.min("resample_key"))
-        .collect()[0]
-    )
-    return float(row[0])
+    return float(row[0][0])
 
 
 def doremi_mixture_weights(

@@ -109,10 +109,10 @@ def prepare_training_corpus(
     """
     from jsonify2ai_spark.operators.dedup import (
         connected_components,
-        exact_dedup,
         keep_representatives,
         minhash_lsh_pairs,
     )
+    from jsonify2ai_spark.functions.text import normalize_ws
     from jsonify2ai_spark.operators.packing import pack_sequences
     from jsonify2ai_spark.operators.pii import redact_pii, with_pii_counts
     from jsonify2ai_spark.operators.textstats import quality_score, repetition_stats
@@ -151,19 +151,62 @@ def prepare_training_corpus(
     _note("quality", out)
 
     if length_trim is not None:
-        from jsonify2ai_spark.operators.textstats import length_outlier_flags
-
         lo, hi = length_trim
         sized = out.withColumn("_len", F.length(text_col).cast("bigint"))
-        # trim only MEASURED outliers: rows with no length (flag='no_length',
-        # possible only for NULL text, which the quality gate above already
-        # removed) are not outliers and pass through rather than vanishing
-        keep_len = (
-            length_outlier_flags(sized, lower=lo, upper=hi, length_col="_len", id_col=id_col)
-            .filter(F.col("flag").isin("keep", "no_length"))
-            .select(id_col)
+        # the keep decision depends only on the LENGTH VALUE, so key it on
+        # _len instead of the document id (r16, VERDICT r15 item 3): the
+        # value-level CDF (length_outlier_flags' exact arithmetic — one
+        # partial-aggregated shuffle whose output is |distinct lengths|
+        # rows) yields the surviving length VALUES, broadcast back onto
+        # the corpus map-side. The old shape computed per-id flags and
+        # re-attached them with a corpus×corpus semi-join on the id — two
+        # full exchanges for a decision the tiny value table already
+        # carries. Same rows: flag='keep' ⟺ lower <= pct_rank <= upper
+        # for the row's length; rows with no length (flag='no_length',
+        # possible only for NULL text, which the quality gate above
+        # already removed) still pass through rather than vanishing.
+        # the cumulative sum over the value table runs on the DRIVER
+        # (build_vocab's partition-offset idiom): one partial-aggregated
+        # collect bounded by |distinct lengths|, then the surviving
+        # values gate the corpus as a map-side predicate — no window
+        # exchange, no broadcast-build job. pct arithmetic is the
+        # operator's verbatim: (#docs strictly shorter) / (N - 1) in
+        # double, mid-rank 0.5 for a one-document corpus.
+        val_rows = sorted(
+            (r["_len"], r["cnt"])
+            for r in sized.filter(F.col("_len").isNotNull())
+            .groupBy("_len")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
         )
-        out = out.join(keep_len, id_col, "left_semi").localCheckpoint(eager=False)
+        n_total = sum(c for _, c in val_rows)
+        keep_vals, cum = [], 0
+        for ln, c in val_rows:
+            pct = cum / (n_total - 1) if n_total > 1 else 0.5
+            if lo <= pct <= hi:
+                keep_vals.append(ln)
+            cum += c
+        if len(keep_vals) <= 10_000:
+            # plan-safe literal set: the predicate compiles to an InSet
+            keep_cond = F.col("_len").isNull() | F.col("_len").isin(keep_vals)
+            out = (
+                sized.filter(keep_cond)
+                .drop("_len")
+                .localCheckpoint(eager=False)
+            )
+        else:
+            # a corpus whose distinct-length set outgrows a plan literal
+            # gates through a one-slice local frame instead (map-side
+            # broadcast semi-join; same rows)
+            kv = local_rows_df(
+                sized.sparkSession, [(v,) for v in keep_vals], "_len bigint"
+            )
+            out = (
+                sized.join(F.broadcast(kv), "_len", "left_semi")
+                .unionByName(sized.filter(F.col("_len").isNull()))
+                .drop("_len")
+                .localCheckpoint(eager=False)
+            )
         _note("length_trim", out)
 
     if filter_repetitive:
@@ -190,8 +233,21 @@ def prepare_training_corpus(
         out = out.join(keep_c, id_col, "left_semi").localCheckpoint(eager=False)
         _note("compression_trim", out)
 
-    keep_exact = exact_dedup(out, text_col=text_col, id_col=id_col).select(id_col)
-    out = out.join(keep_exact, id_col, "left_semi").localCheckpoint(eager=False)
+    # exact dedup as ONE window over the content hash (r16, VERDICT r15
+    # item 3): min(id) over the fingerprint partition, keep the row that
+    # IS the minimum — one exchange on the hash key, where the old
+    # keep-set + semi-join shape paid the same groupBy exchange PLUS a
+    # corpus×corpus join on the id. Same survivors as exact_dedup's
+    # min-id keeper by definition (q15's oracle contract).
+    _fp = F.md5(normalize_ws(F.col(text_col)))
+    w_fp = Window.partitionBy("_fp")
+    out = (
+        out.withColumn("_fp", _fp)
+        .withColumn("_keep_id", F.min(id_col).over(w_fp))
+        .filter(F.col(id_col) == F.col("_keep_id"))
+        .drop("_fp", "_keep_id")
+        .localCheckpoint(eager=False)
+    )
     _note("exact_dedup", out)
 
     if near_dedup:

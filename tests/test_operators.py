@@ -4665,6 +4665,72 @@ def test_cluster_store_incremental_equals_full_recompute(spark, tmp_path):
     assert {(r["node"], r["cluster_rep"]) for r in re.reps().collect()} == want2
 
 
+def test_cluster_store_driver_merge_equals_distributed(spark, tmp_path, monkeypatch):
+    """r16: merge_delta's driver-sized fast path (delta collected,
+    contraction + min-label union-find + overlay/segment derivation in
+    Python) must produce the SAME mapping as the distributed path —
+    same reps, same segment membership, same overlay behavior — on the
+    adversarial delta shapes (bridge, new-min rep, overlay composition,
+    self-loop). SPARK_GRAFT_CLUSTER_DRIVER_MERGE=0 forces the
+    distributed path for the twin build."""
+    import random
+
+    from jsonify2ai_spark.operators.dedup import ClusterStore
+
+    rng = random.Random(31)
+    nodes = list(range(10, 110))
+    all_edges = set()
+    for _ in range(120):
+        a, b = rng.sample(nodes, 2)
+        all_edges.add((min(a, b), max(a, b)))
+    all_edges = sorted(all_edges)
+    base_e = all_edges[: len(all_edges) // 2]
+    delta1 = all_edges[len(all_edges) // 2 : 3 * len(all_edges) // 4] + [
+        (1, base_e[0][0]), (base_e[0][1], base_e[-1][0]),
+    ]
+    delta2 = all_edges[3 * len(all_edges) // 4 :] + [(2, 1), (888, 888)]
+
+    def df_of(edges):
+        return spark.createDataFrame(edges, "a long, b long")
+
+    def build(path):
+        store = ClusterStore.build(df_of(base_e), path)
+        store = store.merge_delta(df_of(delta1), "d1")
+        return store.merge_delta(df_of(delta2), "d2")
+
+    monkeypatch.delenv("SPARK_GRAFT_CLUSTER_DRIVER_MERGE", raising=False)
+    drv = build(str(tmp_path / "cs_drv"))
+    monkeypatch.setenv("SPARK_GRAFT_CLUSTER_DRIVER_MERGE", "0")
+    dist = build(str(tmp_path / "cs_dist"))
+
+    got_drv = {(r["node"], r["cluster_rep"]) for r in drv.reps().collect()}
+    got_dist = {(r["node"], r["cluster_rep"]) for r in dist.reps().collect()}
+    assert got_drv == got_dist and len(got_drv) > 80
+    # same commit structure, not just the same read face: identical
+    # segment membership and overlay entries
+    assert drv._segments == dist._segments
+    seg_drv = {
+        (r["node"], r["rep0"], r["bucket"])
+        for p in drv._parts[1:]
+        for r in p.collect()
+    }
+    seg_dist = {
+        (r["node"], r["rep0"], r["bucket"])
+        for p in dist._parts[1:]
+        for r in p.collect()
+    }
+    assert seg_drv == seg_dist
+    rm_drv = (
+        {(r["src_rep"], r["dst_rep"]) for r in drv._remap.collect()}
+        if drv._remap is not None else set()
+    )
+    rm_dist = (
+        {(r["src_rep"], r["dst_rep"]) for r in dist._remap.collect()}
+        if dist._remap is not None else set()
+    )
+    assert rm_drv == rm_dist
+
+
 def test_cluster_store_probe_prunes_buckets(spark, tmp_path, monkeypatch):
     """The membership probe must reach the mapping as a bucket partition
     prune — never a full-corpus scan (the store's O(delta) claim).
