@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from jsonify2ai_spark.session import local_rows_df
+# purge sets up to this size ride the literal-InSet membership path in
+# purge_packed_bins; larger sets switch to the broadcast-hash-set Arrow
+# probe (crossover measured between 100 and 1000 ids at sf0.1 — literal
+# analysis cost grows ~0.9 s per 1000 ids)
+_PURGE_INSET_MAX = 128
 
 
 def pack_sequences(
@@ -446,13 +450,15 @@ def purge_packed_bins(
     Membership compares ids AS STRINGS (purge requests arrive as
     external identifiers; the store's id type — int doc ids, string
     conversation keys — must not matter). ``purged_ids`` is
-    request-sized by contract (a deletion request, never a corpus): it
-    ships as ONE broadcast single-row array, so the plan stays O(1) in
-    the set size and the rebuild is map-side — zero shuffles at any
-    store size. Pure Column expressions end to end (aggregate scan for
-    offsets, filter + slice + flatten for the rebuild), so the same
-    transform serves the read path (logical purge) and compaction
-    (physical erasure) and is DuckDB-replayable (driver gate row q132).
+    request-sized by contract (a deletion request, never a corpus):
+    tiny sets become a literal InSet predicate, larger ones a broadcast
+    hash set probed behind one vectorized Arrow boundary — either way
+    the plan stays O(1)-ish in the set size, each lookup is O(1), and
+    the rebuild is map-side — zero shuffles at any store size. The
+    rebuild itself is pure Column expressions (aggregate scan for
+    offsets, filter + slice + flatten), so the same transform serves
+    the read path (logical purge) and compaction (physical erasure)
+    and is DuckDB-replayable (driver gate row q132).
 
     Reference anchor: generalizes the reference's delete-by-document
     reconciliation (worker/app/services/qdrant_io.py delete path;
@@ -476,21 +482,55 @@ def purge_packed_bins(
 
     spark = bins.sparkSession
     elem_t = bins.schema[ids_col].dataType.elementType.simpleString()
-    tomb_df = local_rows_df(spark, [(ids,)], "_tomb_ids array<string>")
-    df = bins.crossJoin(F.broadcast(tomb_df))
-    tomb = F.col("_tomb_ids")
+    if len(ids) <= _PURGE_INSET_MAX:
+        # tiny set: literal InSet membership — cheapest total cost while
+        # the literal list stays small enough that Catalyst walking it
+        # (times the ~7 expression sites _gone gets re-inlined into) is
+        # negligible. Same string-equality semantics, same NULL
+        # propagation as the paths below.
+        gone_flags = F.transform(
+            "doc_ids", lambda d: d.cast("string").isin(ids)
+        )
+    else:
+        # request-sized set as a vectorized hash-set probe behind ONE
+        # Arrow boundary (r16, guide §4): the plan stays O(1) in the set
+        # size (the set ships once per executor as a broadcast) and each
+        # member lookup is O(1). The two all-JVM alternatives both fail
+        # at this size, measured at sf0.1 (1727 bins × 1000 victims):
+        # literal isin makes ANALYSIS O(set) per rule pass (1.2 s plan /
+        # 0.2 s exec) and a broadcast single-row array makes EXECUTION
+        # O(members × set) via array_contains' linear scan (0.4 s plan /
+        # 1.0 s exec); the Arrow probe is 0.45 s plan / 0.35 s exec and
+        # size-independent. Id normalization stays in the JVM (cast to
+        # string feeds the UDF) so the Python side is a pure frozenset
+        # probe with the exact NULL propagation of both former paths.
+        from pyspark.sql.functions import pandas_udf
 
-    gone = lambda d: F.array_contains(tomb, d.cast("string"))  # noqa: E731
-    affected = F.coalesce(
-        F.arrays_overlap(
-            F.transform("doc_ids", lambda d: d.cast("string")), tomb
-        ),
-        F.lit(False),
-    )
-    # one linear scan over the (id, len) pairs builds each member's
-    # (start, length, keep) segment — offsets are cumulative doc_lens,
-    # 1-based for slice()
-    zipped = F.arrays_zip("doc_ids", "doc_lens")
+        bv = spark.sparkContext.broadcast(frozenset(ids))
+
+        # explicit pandas_udf(fn, type): `from __future__ import
+        # annotations` stringifies hints, breaking inference (ann.py idiom)
+        def _flags_batch(keys):
+            tomb = bv.value
+            return keys.map(
+                lambda arr: None
+                if arr is None
+                else [None if k is None else (k in tomb) for k in arr]
+            )
+
+        _member_gone = pandas_udf(_flags_batch, "array<boolean>")
+        gone_flags = _member_gone(
+            F.transform("doc_ids", lambda d: d.cast("string"))
+        )
+    # membership evaluated ONCE per member into a flag array that every
+    # downstream expression reads instead of re-testing the set
+    df = bins.withColumn("_gone", gone_flags)
+    gone_of = lambda z: z["_gone"]  # noqa: E731
+    affected = F.coalesce(F.exists("_gone", lambda g: g), F.lit(False))
+    # one linear scan over the (id, len, gone) triples builds each
+    # member's (start, length, keep) segment — offsets are cumulative
+    # doc_lens, 1-based for slice()
+    zipped = F.arrays_zip("doc_ids", "doc_lens", "_gone")
     init = F.struct(
         F.lit(1).cast("bigint").alias("pos"),
         F.expr(
@@ -505,7 +545,7 @@ def purge_packed_bins(
                 F.struct(
                     acc["pos"].alias("s"),
                     x["doc_lens"].cast("bigint").alias("l"),
-                    (~gone(x["doc_ids"])).alias("k"),
+                    (~gone_of(x)).alias("k"),
                 )
             ),
         ).alias("segs"),
@@ -517,7 +557,7 @@ def purge_packed_bins(
         ),
     ).withColumn("_aff", affected)
 
-    kept_pairs = F.filter(zipped, lambda z: ~gone(z["doc_ids"]))
+    kept_pairs = F.filter(zipped, lambda z: ~gone_of(z))
     new_core = F.flatten(
         F.transform(
             "_kept",

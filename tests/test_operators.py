@@ -3737,6 +3737,21 @@ def test_purge_packed_bins_reslices_affected_bins_only(spark):
         map(repr, bins.collect())
     )
 
+    # branch parity (r16): the literal-InSet path (small sets) and the
+    # broadcast-hash-set Arrow probe (large sets) are the same function —
+    # force the UDF branch on the same tiny purge and pin row identity
+    from jsonify2ai_spark.operators import packing as _packing
+
+    _saved = _packing._PURGE_INSET_MAX
+    try:
+        _packing._PURGE_INSET_MAX = 0
+        udf_out = purge_packed_bins(bins, [4, 5], pad_to=12)
+        assert sorted(map(repr, udf_out.collect())) == sorted(
+            map(repr, out.collect())
+        )
+    finally:
+        _packing._PURGE_INSET_MAX = _saved
+
     # membership is string-typed: int inputs purge string-keyed stores
     sbins = bins.withColumn(
         "doc_ids", F.transform("doc_ids", lambda d: d.cast("string"))
