@@ -64,6 +64,10 @@ def format_stdout_lines(
 
 
 NEW_QUERY_WEIGHT = float("1e18")  # no-history queries run first
+# anything at or above this is a skip-seed / NEW_QUERY_WEIGHT entry, not a
+# real historical cost — one constant so the seed weight and the three
+# history gates below cannot silently drift apart (r15 ADVICE)
+HISTORY_MAX_S = 1e6
 
 
 def build_order_seed(seed: dict) -> dict[str, float]:
@@ -119,7 +123,7 @@ def estimate_remaining_first_runs(
     threatens the deadline, the run loop drops to single-run EARLY so the
     deadline never has to skip coverage that extra runs spent.
 
-    Entries >= 1e6 are skip-seeds / new queries with no real history —
+    Entries >= HISTORY_MAX_S are skip-seeds / new queries with no real history —
     they estimate at the median of the known costs (or 1 s). The ratio
     needs >= 5 observations before it leaves 1.0, and discounts history
     by at most 2x (clamp at 0.5): a HEALTHY window must be able to walk
@@ -130,12 +134,14 @@ def estimate_remaining_first_runs(
     """
     import statistics
 
-    known = [h for h in remaining_hist if h < 1e6]
+    known = [h for h in remaining_hist if h < HISTORY_MAX_S]
     default = statistics.median(known) if known else 1.0
     ratio = (
         max(0.5, statistics.median(ratios)) if len(ratios) >= 5 else 1.0
     )
-    return sum((h if h < 1e6 else default) for h in remaining_hist) * ratio
+    return sum(
+        (h if h < HISTORY_MAX_S else default) for h in remaining_hist
+    ) * ratio
 
 
 def main() -> int:
@@ -255,9 +261,12 @@ def main() -> int:
         if (time.time() - bench_start) > deadline_s:
             skipped.append(name)
             continue
+        # include the CURRENT query: at the head of a degraded pass one
+        # heavy first run could otherwise blow past the deadline before
+        # the projection re-evaluates (r15 ADVICE)
         remaining_hist = [
             prev_first.get(n, NEW_QUERY_WEIGHT)
-            for n, _ in ordered[qi + 1 :]
+            for n, _ in ordered[qi:]
         ]
         est = estimate_remaining_first_runs(remaining_hist, ratios)
         was = coverage_only
@@ -296,7 +305,7 @@ def main() -> int:
         all_runs[name] = runs
         total += dt
         hist = prev_first.get(name, NEW_QUERY_WEIGHT)
-        if 0.2 <= hist < 1e6:  # real history, denominator big enough
+        if 0.2 <= hist < HISTORY_MAX_S:  # real history, denominator big enough
             ratios.append(runs[0] / hist)
 
     spark.stop()

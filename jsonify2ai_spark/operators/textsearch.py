@@ -68,6 +68,13 @@ def bm25_topk(
     Lucene form — never negative), tf saturation k1, length normalization b.
     Everything is DataFrame ops: corpus stats broadcast, per-term df
     broadcast, one aggregation per doc. Output (id, bm25) rounded to 6dp.
+
+    CONTRACT: ``id_col`` must be unique per document (r15 ADVICE). The
+    single-pass corpus stats group the sentinel rows by (id, dl, term),
+    so two corpus rows sharing BOTH id and token count would collapse to
+    one in n_docs/avgdl, diverging from :func:`bm25_oracle_sql`'s
+    count(*)/avg(dl). Every caller in this engine feeds a keyed corpus;
+    a multiset corpus needs a surrogate key first.
     """
     terms = sorted({t.lower() for t in query.split() if t})
     toks = F.transform(tokens(F.col(text_col)), F.lower)
@@ -112,7 +119,11 @@ def bm25_topk(
     # (PushDownLeftSemiAntiJoin). The anti-join's vacuous tf > -1
     # conjunct references an AGGREGATE OUTPUT, which cannot resolve below
     # the aggregate — the join stays put, the exchange stays shared, and
-    # the one-row build side costs nothing.
+    # the one-row build side costs nothing. Shape validated on Spark
+    # 4.1.2; it depends on optimizer NON-behavior (the vacuous conjunct
+    # not being simplified, count(when(...)) not rewritten to count(1)) —
+    # an upgrade that regresses it to two scans is caught by the
+    # ReusedExchange canary test (correctness is unaffected either way).
     from pyspark.sql import Window
 
     sent_row = docs.sparkSession.range(1).select(
@@ -1585,6 +1596,12 @@ def mine_hard_negatives(
     queries; per-query top-k is a query-partitioned row_number. At 100 TB
     serve instead from a prebuilt ShardedBM25Index (`topk_batch`) — this
     raw-corpus form exists for mining runs where no index is standing.
+
+    CONTRACT: corpus ``id_col`` must be unique per document (r15 ADVICE,
+    same contract as :func:`bm25_topk`): the single-pass corpus stats
+    group sentinel rows by (id, dl, term), so duplicate (id, dl) corpus
+    rows would collapse in n_docs/avgdl and diverge from the oracle's
+    count(*)/avg(dl).
     """
     from pyspark.sql import Window
 
