@@ -518,7 +518,15 @@ def purge_packed_bins(
                 else [None if k is None else (k in tomb) for k in arr]
             )
 
-        _member_gone = pandas_udf(_flags_batch, "array<boolean>")
+        # asNondeterministic (guide §4.4): the fully-purged-bin filter
+        # references columns derived from _gone, and predicate pushdown
+        # otherwise copies the probe below the filter — two
+        # ArrowEvalPython nodes evaluating the same UDF. The function is
+        # pure (values unchanged, branch-parity test pins it); the marker
+        # only forbids the optimizer to duplicate/reorder it.
+        _member_gone = pandas_udf(
+            _flags_batch, "array<boolean>"
+        ).asNondeterministic()
         gone_flags = _member_gone(
             F.transform("doc_ids", lambda d: d.cast("string"))
         )
